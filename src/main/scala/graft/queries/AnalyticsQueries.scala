@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Analytical workloads beyond the reference's surface: multi-way
+  * joins, time bucketing, JSON extraction, approximate distinct — the
+  * shapes a 100 TB deployment of this engine actually runs.
+  *
+  * Monetary aggregates use exact integer cents
+  * (`sum(cast(round(x*100) as long))`): double summation order is
+  * nondeterministic across engines/partitionings, integer summation is
+  * exact — this is what makes the oracle hash-match stable at any
+  * parallelism, and it is also the right call at scale (no
+  * floating-point drift across 1000 executors).
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables(s, d, n)
+
+  /** Exact integer cents of a monetary double expression. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  /** TPC-H Q1-shaped pricing summary: single wide scan, grouped
+    * partial+final agg, no join — the throughput yardstick.
+    */
+  val pricingSummary: Q = Q(
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_cents"),
+        count("*").as("n"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+      |  count(*)::BIGINT AS n
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  /** TPC-H Q3-shaped: segment filter → 3-way join → grouped revenue →
+    * top-10. The customer side is small post-filter; Catalyst
+    * broadcasts it (verified in the plan) so only lineitem⨝orders
+    * shuffles.
+    */
+  val shippingPriority: Q = Q(
+    (s, d) => {
+      val cust = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), asc("l_orderkey"))
+        .limit(10)
+    },
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin)
+
+  /** TPC-H Q5-shaped: 5-way join through the region→nation→customer
+    * dimension chain (all broadcast — only the fact-side join
+    * shuffles), grouped national revenue.
+    */
+  val nationRevenue: Q = Q(
+    (s, d) => {
+      val dims = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name")
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), asc("n_name"))
+    },
+    """SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue_cents DESC, n_name""".stripMargin)
+
+  /** Time bucketing over the event stream (batch form of the
+    * Structured Streaming windowed count, SURVEY.md §2.8).
+    */
+  val dailyEventCounts: Q = Q(
+    (s, d) => t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count("*").as("n"), sum(cents(col("value"))).as("value_cents"))
+      .orderBy("day", "event_type"),
+    """SELECT date_trunc('day', ts) AS day, event_type,
+      |  count(*)::BIGINT AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
+
+  /** Semi-structured access: JSON prop extraction + grouped counts
+    * (`events.props` is the reference's free-text `comment` upgraded
+    * to a typed path, SURVEY.md §2.8).
+    */
+  val jsonProps: Q = Q(
+    (s, d) => t(s, d, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k").agg(count("*").as("n"))
+      .orderBy("k"),
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  count(*)::BIGINT AS n
+      |FROM events GROUP BY k ORDER BY k""".stripMargin)
+
+  /** Sessionization via lag window: a >30-minute gap starts a new
+    * session; count sessions per user. The streaming analog is
+    * `flatMapGroupsWithState`; this is the batch form.
+    */
+  val sessionize: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull
+            .or(unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L), 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_session").as("n_sessions"), count("*").as("n_events"))
+        .orderBy("user_id")
+    },
+    """SELECT user_id,
+      |  CAST(sum(new_session) AS BIGINT) AS n_sessions,
+      |  count(*)::BIGINT AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    CASE WHEN prev_ts IS NULL
+      |              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |    FROM events) g) h
+      |GROUP BY user_id ORDER BY user_id""".stripMargin)
+
+  /** A2 at scale: HyperLogLog++ approximate distinct — the form the
+    * exact `countDistinct` takes at 100 TB. Not SQL-oracle-checkable
+    * (DuckDB's approx sketch differs); the driver records a rows-only
+    * check, and the ScalaTest spec bounds the error vs exact.
+    */
+  val approxDistinct: Q = Q(
+    (s, d) => t(s, d, "lineitem").agg(
+      approx_count_distinct("l_partkey", 0.01).as("approx_parts"),
+      count("*").as("n")),
+    None)
+
+  val all: Map[String, Q] = Map(
+    "q15_pricing_summary"  -> pricingSummary,
+    "q16_shipping_priority" -> shippingPriority,
+    "q17_nation_revenue"   -> nationRevenue,
+    "q18_daily_events"     -> dailyEventCounts,
+    "q19_json_props"       -> jsonProps,
+    "q20_sessionize"       -> sessionize,
+    "q21_approx_distinct"  -> approxDistinct)
+}
