@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, ReferenceQueries}
+import graft.queries.{AnalyticsQueries, PipelineQueries, ReferenceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in `graft.queries.*`, each paired with its DuckDB
@@ -12,7 +12,7 @@ import graft.queries.{AnalyticsQueries, ReferenceQueries}
 object SparkEntry {
 
   private def registry: Map[String, Q] =
-    ReferenceQueries.all ++ AnalyticsQueries.all
+    ReferenceQueries.all ++ AnalyticsQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

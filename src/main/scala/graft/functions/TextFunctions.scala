@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the training-data pipeline
+  * operators (tokenization, shingling, quality metrics, language ID,
+  * fingerprinting). Pure `functions._` compositions — everything stays
+  * inside whole-stage codegen; no UDFs.
+  *
+  * Each primitive that feeds an oracled query has a `...Sql` twin
+  * producing the equivalent DuckDB expression, kept adjacent so the
+  * two can only change together.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def words(text: Column): Column = split(text, " ")
+
+  def wordsSql(e: String): String = s"regexp_split_to_array($e, ' ')"
+
+  /** Word n-gram shingles (default 3) — the unit set for Jaccard /
+    * MinHash dedup. Empty array below n words (DuckDB's `range`
+    * mirrors this by producing an empty list).
+    */
+  def shingles(w: Column, n: Int = 3): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j + 1))): _*)))
+      .otherwise(array())
+
+  /** DuckDB twin of [[shingles]] over a list expression `arr`
+    * (1-indexed lists; `range(1, len-n+2)` yields starts 1..len-n+1).
+    */
+  def shinglesSql(arr: String, n: Int = 3): String = {
+    val gram = (0 until n).map(j => s"$arr[i + $j]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len($arr) - ${n - 2}), i -> $gram)"
+  }
+
+  /** Stopword list used by quality scoring and language ID. */
+  val stopwordsEn: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Ratio of stopword tokens — high for prose, low for word-salad;
+    * one of the standard quality-filter features.
+    */
+  def stopwordRatio(w: Column): Column =
+    size(filter(w, x => x.isin(stopwordsEn: _*))) / size(w).cast("double")
+
+  def stopwordRatioSql(arr: String): String = {
+    val list = stopwordsEn.map(s => s"'$s'").mkString(", ")
+    s"len(list_filter($arr, x -> x IN ($list))) / len($arr)::DOUBLE"
+  }
+
+  /** Type-token ratio (distinct words / words) — repetition detector. */
+  def uniqueRatio(w: Column): Column =
+    size(array_distinct(w)) / size(w).cast("double")
+
+  def uniqueRatioSql(arr: String): String =
+    s"len(list_distinct($arr)) / len($arr)::DOUBLE"
+}

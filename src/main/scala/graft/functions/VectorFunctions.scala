@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over `array<float>` embedding columns, built on
+  * codegen'd higher-order functions (`zip_with`/`aggregate`) — no
+  * UDFs, no driver-side math.
+  *
+  * All arithmetic is promoted to double and summed left-to-right,
+  * which is exactly what DuckDB's `list_dot_product` over `DOUBLE[]`
+  * does — that sequential-sum parity is what lets cosine scores
+  * hash-match the oracle. (At 100 TB one would trade this for SIMD
+  * float kernels; the sequential-double contract is the portable
+  * correctness spec the fast path must reproduce.)
+  */
+object VectorFunctions {
+
+  /** Cast array<float> → array<double> (exact widening). */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two float-array embeddings. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toDouble(a)
+    val bd = toDouble(b)
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** DuckDB twin of [[cosine]] over list expressions. */
+  def cosineSql(a: String, b: String): String =
+    s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
+
+  /** Sign-bit bucket over the first `bits` dimensions — the cheapest
+    * LSH family for cosine space (random-hyperplane LSH with axis
+    * hyperplanes). Buckets co-locate similar vectors so ANN probes
+    * touch one bucket instead of the full table: the scale path where
+    * brute force stops being an option.
+    */
+  def signBucket(v: Column, bits: Int = 8): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(v, i) > 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  def signBucketSql(v: String, bits: Int = 8): String =
+    (1 to bits).map(i =>
+      s"(CASE WHEN $v[$i] > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+}

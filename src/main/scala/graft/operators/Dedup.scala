@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, TextFunctions}
+
+/** Document deduplication for training-data pipelines: exact
+  * (content-hash groupBy), n-gram Jaccard verification, MinHash+LSH
+  * candidate generation, and SimHash fingerprints.
+  *
+  * Scale posture: every path is groupBy/join-shaped (shuffle on
+  * content hash, shingle, or band key — never a cross join), so the
+  * same plans run on 10^9 documents; the all-pairs work only ever
+  * happens *within* an LSH band bucket or shared-shingle group. The
+  * hash family is md5-derived ([[Hashing.h32]]) so the DuckDB oracle
+  * can recompute every value exactly.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id as the
+    * canonical row. `groupBy` not `dropDuplicates` so the survivor is
+    * deterministic (dropDuplicates keeps an arbitrary row — useless
+    * for an oracle and for reproducible pipelines).
+    */
+  def exactGroups(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.groupBy(md5(col(text)).as("content_hash"))
+      .agg(min(col(id)).as("keep_id"), count("*").as("n_copies"))
+
+  /** (id, shingle) pairs — distinct word n-gram shingles per doc. */
+  def shingleSet(docs: DataFrame, id: String, text: String, n: Int = 3): DataFrame =
+    docs.select(col(id),
+        explode(TextFunctions.shingles(TextFunctions.words(col(text)), n)).as("s"))
+      .distinct()
+
+  /** Exact n-gram Jaccard similarity for every pair of docs sharing at
+    * least one shingle. The shingle-key join means cost is
+    * sum-over-shingles(docs²-within-shingle) — bounded by content
+    * overlap, not |docs|²; with a vocabulary this is the verification
+    * stage run on LSH candidates at scale.
+    */
+  def jaccardPairs(docs: DataFrame, id: String, text: String,
+                   n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingleSet(docs, id, text, n)
+    val sizes = sh.groupBy(col(id)).agg(count("*").as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("s"))
+      .filter(col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .agg(count("*").as("n_inter"))
+    inter
+      .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signatures: one row per doc with `k` minimum seeded
+    * hashes over its shingle set. One explode + one groupBy — a
+    * single shuffle keyed by doc id regardless of k.
+    */
+  def minhashSignatures(docs: DataFrame, id: String, text: String,
+                        k: Int, n: Int = 3): DataFrame = {
+    val sh = shingleSet(docs, id, text, n)
+    val hashed = sh.select(col(id) +:
+      (0 until k).map(i => Hashing.seeded(i, col("s")).as(s"h$i")): _*)
+    hashed.groupBy(col(id))
+      .agg(min(col("h0")).as("h0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+  }
+
+  /** LSH banding over a MinHash signature frame: emit (id, band,
+    * band_key) rows; docs colliding in any band are candidate pairs.
+    * Stacked via posexplode so it stays one narrow frame (no k-way
+    * union), then the candidate join shuffles on (band, key) — the
+    * classic sub-quadratic near-dup path.
+    */
+  def lshCandidates(sig: DataFrame, id: String,
+                    bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandKeys: Column = array((0 until bands).map { b =>
+      concat_ws(",",
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+    }: _*)
+    val banded = sig.select(col(id),
+      posexplode(bandKeys).as(Seq("band", "band_key")))
+    banded.as("a").join(banded.as("b"), Seq("band", "band_key"))
+      .filter(col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash similarity estimate (matching-minhash fraction) for
+    * candidate pairs, joined back against the signature frame.
+    */
+  def minhashEstimate(cands: DataFrame, sig: DataFrame, id: String,
+                      k: Int): DataFrame = {
+    val sa = sig.toDF(sig.columns.map(c => if (c == id) "id_a" else s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == id) "id_b" else s"b_$c"): _*)
+    val matches = (0 until k).map(i =>
+      when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (matches / lit(k.toDouble)).as("est_sim"))
+  }
+
+  /** 32-bit SimHash fingerprint per doc over whitespace tokens (with
+    * multiplicity): bit j of the fingerprint is the sign of
+    * sum(±1 over tokens, + if bit j of h32(token) set). One explode +
+    * one groupBy with 32 conditional sums — single shuffle.
+    */
+  def simhash(docs: DataFrame, id: String, text: String): DataFrame = {
+    val tok = docs.select(col(id),
+      explode(TextFunctions.words(col(text))).as("w"))
+      .withColumn("h", Hashing.h32(col("w")))
+    val bitSums = tok.groupBy(col(id)).agg(
+      bitSum(0).as("s0"), (1 until 32).map(j => bitSum(j).as(s"s$j")): _*)
+    val fp = (0 until 32).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bitSums.select(col(id), fp.as("simhash"))
+  }
+
+  private def bitSum(j: Int): Column =
+    sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1))
+}

@@ -1,0 +1,348 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.{Hashing, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Similarity}
+
+/** The LLM-training-data pipeline operators (`BASELINE.json:6`):
+  * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
+  * search over embeddings (exact + LSH-bucketed ANN), and text
+  * analysis (quality, language ID, token stats, fingerprints).
+  *
+  * Every DuckDB oracle here is *generated from the same constants*
+  * (hash seeds, band layout, stopword lists) as the Spark
+  * implementation — the two sides cannot drift independently.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables(s, d, n)
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup over a corpus with synthesized duplicates (each doc
+    * injected twice under a shifted id): grouping by content hash must
+    * collapse every pair to the original id.
+    */
+  val exactDedup: Q = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val dupes = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.exactGroups(docs.unionByName(dupes), "doc_id", "text")
+        .orderBy("keep_id")
+    },
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      |       count(*)::BIGINT AS n_copies
+      |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin)
+
+  /** Exact word-3-gram Jaccard near-dup pairs (the verification stage
+    * of near-dedup; pairs meet only through shared shingles, never a
+    * cross join).
+    */
+  val jaccardPairs: Q = Q(
+    (s, d) => Dedup.jaccardPairs(
+      t(s, d, "documents"), "doc_id", "text", n = 3, minJaccard = 0.5)
+      .orderBy("id_a", "id_b"),
+    s"""WITH w AS (
+       |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |       round(n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON id_a = sa.doc_id
+       |JOIN sizes sb ON id_b = sb.doc_id
+       |WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin)
+
+  /** MinHash(k=16) + LSH(4 bands × 4 rows) near-dup candidates with
+    * matching-hash similarity estimate — the sub-quadratic scale path
+    * whose candidates [[jaccardPairs]] verifies.
+    */
+  val minhashLsh: Q = {
+    val K = 16; val BANDS = 4; val R = 4; val THRESH = 0.25
+    val fn = (s: SparkSession, d: String) => {
+      val sig = Dedup.minhashSignatures(t(s, d, "documents"), "doc_id", "text", K)
+      val cands = Dedup.lshCandidates(sig, "doc_id", BANDS, R)
+      Dedup.minhashEstimate(cands, sig, "doc_id", K)
+        .filter(col("est_sim") >= THRESH)
+        .orderBy("id_a", "id_b")
+    }
+    val sigCols = (0 until K)
+      .map(i => s"min(${Hashing.seededSql(i, "s")}) AS h$i").mkString(",\n    ")
+    val bandRows = (0 until BANDS).map { b =>
+      val key = (0 until R).map(r => s"h${b * R + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val matchSum = (0 until K)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    Q(fn,
+      s"""WITH w AS (
+         |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, ($matchSum) / ${K}.0 AS est_sim
+         |FROM cand
+         |JOIN sig sa ON id_a = sa.doc_id
+         |JOIN sig sb ON id_b = sb.doc_id
+         |WHERE ($matchSum) / ${K}.0 >= $THRESH
+         |ORDER BY id_a, id_b""".stripMargin)
+  }
+
+  /** 32-bit SimHash fingerprint per document. */
+  val simhashFp: Q = {
+    val bitSums = (0 until 32)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n    ")
+    val fp = (0 until 32)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    Q(
+      (s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${TextFunctions.wordsSql("text")}) AS w FROM documents),
+         |h AS (SELECT doc_id, ${Hashing.h32Sql("w")} AS h FROM tok),
+         |s AS (
+         |  SELECT doc_id,
+         |    $bitSums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin)
+  }
+
+  // ------------------------------------------------------ similarity search
+
+  private def cosineCte: String =
+    """q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |       FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, vec_id,
+      |    round(list_dot_product(qv, v) /
+      |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+      |      AS cos_sim
+      |  FROM q JOIN c ON vec_id <> query_id)""".stripMargin
+
+  /** Exact brute-force cosine top-10 for 5 query vectors — the ANN
+    * baseline (broadcast queries, one corpus scan).
+    */
+  val annBruteForce: Q = Q(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    },
+    s"""WITH $cosineCte,
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)
+
+  /** Sign-bit LSH-bucketed approximate top-5 — scoring confined to the
+    * query's bucket (the sub-linear scale path).
+    */
+  val annBucketed: Q = {
+    val bucket = VectorFunctions.signBucketSql("embedding")
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bucketedTopK(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+      },
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v, $bucket AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, e.vec_id,
+         |    round(list_dot_product(qv, v) /
+         |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+         |      AS cos_sim
+         |  FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  /** Embedding near-dup sweep: every vector's single nearest neighbor
+    * (k=1 all-pairs kNN) — the "is anything a near-copy" report.
+    */
+  val nearestNeighbor: Q = Q(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 1)
+    },
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, vec_id,
+      |    round(list_dot_product(qv, v) /
+      |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+      |      AS cos_sim
+      |  FROM q JOIN c ON vec_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+      |  FROM scored)
+      |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+      |FROM ranked WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin)
+
+  // ----------------------------------------------------------- text analysis
+
+  /** Quality scoring: length, stopword ratio, type-token ratio, and a
+    * blended score — the standard pre-training quality filter features.
+    */
+  val textQuality: Q = {
+    val fn = (s: SparkSession, d: String) => {
+      val w = TextFunctions.words(col("text"))
+      val nWords = size(w)
+      val stopR = TextFunctions.stopwordRatio(w)
+      val uniqR = TextFunctions.uniqueRatio(w)
+      val score = lit(0.4) * least(lit(1.0), nWords / lit(50.0)) +
+        lit(0.3) * stopR + lit(0.3) * uniqR
+      t(s, d, "documents").select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        round(stopR, 6).as("stop_ratio"),
+        round(uniqR, 6).as("uniq_ratio"),
+        round(score, 6).as("quality_score"))
+        .orderBy("doc_id")
+    }
+    Q(fn,
+      s"""WITH w AS (
+         |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr FROM documents)
+         |SELECT doc_id,
+         |  len(arr)::INT AS n_words,
+         |  round(${TextFunctions.stopwordRatioSql("arr")}, 6) AS stop_ratio,
+         |  round(${TextFunctions.uniqueRatioSql("arr")}, 6) AS uniq_ratio,
+         |  round(0.4 * least(1.0, len(arr) / 50.0)
+         |      + 0.3 * (${TextFunctions.stopwordRatioSql("arr")})
+         |      + 0.3 * (${TextFunctions.uniqueRatioSql("arr")}), 6) AS quality_score
+         |FROM w ORDER BY doc_id""".stripMargin)
+  }
+
+  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> TextFunctions.stopwordsEn,
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Language ID via stopword-hit scoring with a deterministic argmax
+    * chain (first language in declaration order wins ties).
+    */
+  val langId: Q = {
+    val fn = (s: SparkSession, d: String) => {
+      val w = array_distinct(TextFunctions.words(col("text")))
+      val scores = langStopwords.map { case (lang, stops) =>
+        lang -> size(array_intersect(w, array(stops.map(lit): _*)))
+      }
+      val langs = scores.map(_._1)
+      val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+        case ((lang, i), elseCol) =>
+          val rest = langs.drop(i + 1)
+          val isMax = rest.map(r =>
+            scores(i)._2 >= scores(langs.indexOf(r))._2).reduce(_ && _)
+          when(isMax, lit(lang)).otherwise(elseCol)
+      }
+      t(s, d, "documents").select(
+        col("doc_id") +: scores.map { case (l, c) => c.as(s"score_$l") } :+
+          pred.as("pred_lang") :+ col("lang"): _*)
+        .orderBy("doc_id")
+    }
+    val scoreSqls = langStopwords.map { case (lang, stops) =>
+      val list = stops.map(s => s"'$s'").mkString(", ")
+      lang -> s"len(list_intersect(list_distinct(arr), [$list]))::INT"
+    }
+    val langs = scoreSqls.map(_._1)
+    val predSql = langs.init.zipWithIndex.map { case (lang, i) =>
+      val cond = langs.drop(i + 1)
+        .map(r => s"score_$lang >= score_$r").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    Q(fn,
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, ${TextFunctions.wordsSql("text")} AS arr FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    ${scoreSqls.map { case (l, e) => s"$e AS score_$l" }.mkString(",\n    ")}
+         |  FROM w)
+         |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         |  $predSql AS pred_lang, lang
+         |FROM scored ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Token counting: whitespace tokens + a chars/4 BPE-ish estimate
+    * (the budget heuristic for context-length accounting).
+    */
+  val tokenStats: Q = Q(
+    (s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      size(TextFunctions.words(col("text"))).as("n_ws_tokens"),
+      col("n_chars"),
+      ceil(col("n_chars") / lit(4.0)).as("n_bpe_approx"))
+      .orderBy("doc_id"),
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(text, ' '))::INT AS n_ws_tokens,
+      |  n_chars,
+      |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe_approx
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** Head/tail content fingerprints — the cheap first-pass signal for
+    * prefix/suffix duplication in a crawl.
+    */
+  val fingerprints: Q = Q(
+    (s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      Hashing.h32(expr("substring(text, 1, 64)")).as("h_head"),
+      Hashing.h32(expr("substring(text, greatest(length(text) - 63, 1), 64)"))
+        .as("h_tail"),
+      col("n_chars"))
+      .orderBy("doc_id"),
+    s"""SELECT doc_id,
+       |  ${Hashing.h32Sql("substr(text, 1, 64)")} AS h_head,
+       |  ${Hashing.h32Sql("substr(text, greatest(length(text) - 63, 1), 64)")} AS h_tail,
+       |  n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin)
+
+  val all: Map[String, Q] = Map(
+    "q22_exact_dedup"    -> exactDedup,
+    "q23_jaccard_pairs"  -> jaccardPairs,
+    "q24_minhash_lsh"    -> minhashLsh,
+    "q25_simhash"        -> simhashFp,
+    "q26_ann_bruteforce" -> annBruteForce,
+    "q27_ann_bucketed"   -> annBucketed,
+    "q28_nearest_neighbor" -> nearestNeighbor,
+    "q29_text_quality"   -> textQuality,
+    "q30_lang_id"        -> langId,
+    "q31_token_stats"    -> tokenStats,
+    "q32_fingerprints"   -> fingerprints)
+}

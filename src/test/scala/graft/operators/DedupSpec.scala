@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),    // near dup of 1
+    (4L, "completely different content about spark engines here"))
+    .toDF("doc_id", "text")
+
+  test("exactGroups collapses exact duplicates to min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() == 3)
+    val dup = g.filter(col("n_copies") === 2)
+      .select("keep_id").as[Long].collect()
+    assert(dup.toSeq == Seq(1L))
+  }
+
+  test("jaccardPairs finds near-dups above threshold, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)) && keys.contains((1L, 3L)))
+    assert(!keys.exists { case (a, b) => a == 4L || b == 4L })
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 1.0)
+  }
+
+  test("minhash signatures of identical docs are identical; LSH pairs them") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", k = 16)
+    val rows = sig.filter(col("doc_id").isin(1L, 2L)).drop("doc_id")
+      .collect().map(_.toSeq)
+    assert(rows(0) == rows(1))
+    val cands = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("minhashEstimate is 1.0 for identical docs") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", k = 16)
+    val cands = Dedup.lshCandidates(sig, "doc_id", bands = 4, rowsPerBand = 4)
+    val est = Dedup.minhashEstimate(cands, sig, "doc_id", k = 16)
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .select("est_sim").as[Double].collect()
+    assert(est.toSeq == Seq(1.0))
+  }
+
+  test("simhash: identical docs share fingerprints; near-dups are close") {
+    val fp = Dedup.simhash(docs, "doc_id", "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
+  }
+}
