@@ -20,18 +20,20 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos (legacy conf) and
-    * convert to a microsecond TimestampType with integral division —
-    * `ts div 1000`, not `/1000.0`, because epoch-nanos (~1.7e18)
-    * exceed double's 53-bit integer range and a float path would
-    * corrupt low-order digits. Truncation to µs matches how the DuckDB
-    * oracle's nanosecond timestamps collapse when compared.
+    * reader rejects outright. The session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/
+    * SparkSpec all set it at construction — no per-read conf mutation
+    * here, which would racily flip reader behavior session-wide); the
+    * raw nanos are converted to a microsecond TimestampType with
+    * integral division — `ts div 1000`, not `/1000.0`, because
+    * epoch-nanos (~1.7e18) exceed double's 53-bit integer range and a
+    * float path would corrupt low-order digits. Truncation to µs
+    * matches how the DuckDB oracle's nanosecond timestamps collapse
+    * when compared.
     */
-  private def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

@@ -25,12 +25,25 @@ object Hashing {
   def h32Sql(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
 
-  /** Seeded hash family h_k(x) = h32(k ++ ":" ++ x) — the MinHash
-    * permutation family.
+  /** MinHash permutation family via affine universal hashing over ONE
+    * base md5: h_i(x) = (A(i)·h32(x) + B(i)) mod P, P prime > 2^32.
+    * One digest per value instead of k — at corpus scale hashing is
+    * the dominant per-row cost of MinHash, so this is a 16× cut for
+    * k=16 with the textbook (a·h+b) mod p permutation quality.
+    * A(i) < 2^20 keeps A·h32 + B < 2^53: exact in int64 on both
+    * engines, so the DuckDB twin reproduces every value bit-for-bit
+    * with plain BIGINT arithmetic.
     */
+  val P: Long = 4294967311L // smallest prime > 2^32
+
+  /** Multiplier in [1, 2^20]; odd-constant LCG keeps it deterministic. */
+  def mult(seed: Int): Long = ((seed * 2654435761L + 104729L) % 1048573L) + 1L
+
+  def add(seed: Int): Long = (seed * 2246822519L + 40503L) % P
+
   def seeded(seed: Int, c: Column): Column =
-    h32(concat(lit(s"$seed:"), c))
+    (h32(c) * lit(mult(seed)) + lit(add(seed))) % lit(P)
 
   def seededSql(seed: Int, e: String): String =
-    h32Sql(s"'$seed:' || $e")
+    s"((${h32Sql(e)}) * ${mult(seed)} + ${add(seed)}) % $P"
 }

@@ -19,18 +19,11 @@ object TextFunctions {
 
   def wordsSql(e: String): String = s"regexp_split_to_array($e, ' ')"
 
-  /** Word n-gram shingles (default 3) — the unit set for Jaccard /
-    * MinHash dedup. Empty array below n words (DuckDB's `range`
-    * mirrors this by producing an empty list).
-    */
-  def shingles(w: Column, n: Int = 3): Column =
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j + 1))): _*)))
-      .otherwise(array())
-
-  /** DuckDB twin of [[shingles]] over a list expression `arr`
-    * (1-indexed lists; `range(1, len-n+2)` yields starts 1..len-n+1).
+  /** DuckDB twin of [[graft.operators.Dedup.shingleSet]]'s word
+    * n-gram construction, over a list expression `arr` (1-indexed
+    * lists; `range(1, len-n+2)` yields starts 1..len-n+1, and an
+    * empty list below n words — the same below-n semantics the Spark
+    * side guards explicitly).
     */
   def shinglesSql(arr: String, n: Int = 3): String = {
     val gram = (0 until n).map(j => s"$arr[i + $j]").mkString(" || ' ' || ")

@@ -32,6 +32,26 @@ object VectorFunctions {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  /** Fixed-dimension dot product, fully codegen'd: Spark's
+    * higher-order functions (`zip_with`/`aggregate`) are
+    * CodegenFallback — every element costs an interpreted lambda
+    * dispatch — so for a known dim the sum is expanded into `dim`
+    * compiled element_at terms instead. The left-associated double
+    * sum keeps the same sequential summation order as the HOF fold
+    * and DuckDB's `list_dot_product`, so scores agree across all
+    * three paths (the only divergence is the sign of a -0.0 first
+    * term, unobservable after rounding).
+    */
+  def dotFixed(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  /** Codegen'd fixed-dimension [[cosine]]. */
+  def cosineFixed(a: Column, b: Column, dim: Int): Column =
+    dotFixed(a, b, dim) /
+      (sqrt(dotFixed(a, a, dim)) * sqrt(dotFixed(b, b, dim)))
+
   /** DuckDB twin of [[cosine]] over list expressions. */
   def cosineSql(a: String, b: String): String =
     s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
@@ -51,4 +71,34 @@ object VectorFunctions {
   def signBucketSql(v: String, bits: Int = 8): String =
     (1 to bits).map(i =>
       s"(CASE WHEN $v[$i] > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  /** Multi-probe key set: the vector's own sign bucket plus every
+    * bucket at Hamming distance 1 (each single-bit flip) — `bits + 1`
+    * distinct keys. A near-duplicate (cos ≥ 0.95) flips any given sign
+    * bit with probability ≈ arccos(cos)/π ≤ 0.1, so probing the
+    * Hamming-1 shell recovers most of the recall single-probe loses at
+    * bucket boundaries, at (bits+1)/2^bits of the corpus per query
+    * instead of all of it. (For uniformly random vectors no sub-linear
+    * probe set can track the true NN — recall there is bounded by the
+    * fraction probed; the family is built for the near-dup regime.)
+    */
+  def probeBuckets(v: Column, bits: Int = 8): Column =
+    array((0 to bits).map { f =>
+      concat((1 to bits).map { i =>
+        val hi = if (i == f) "0" else "1" // flip bit f; f=0 flips none
+        val lo = if (i == f) "1" else "0"
+        when(element_at(v, i) > 0f, lit(hi)).otherwise(lit(lo))
+      }: _*)
+    }: _*)
+
+  /** DuckDB twins of [[probeBuckets]] — one bucket expression per
+    * probe, kept adjacent so the probe sets can only change together.
+    */
+  def probeBucketsSql(v: String, bits: Int = 8): Seq[String] =
+    (0 to bits).map { f =>
+      (1 to bits).map { i =>
+        val (hi, lo) = if (i == f) ("0", "1") else ("1", "0")
+        s"(CASE WHEN $v[$i] > 0 THEN '$hi' ELSE '$lo' END)"
+      }.mkString(" || ")
+    }
 }

@@ -27,21 +27,50 @@ object Dedup {
     docs.groupBy(md5(col(text)).as("content_hash"))
       .agg(min(col(id)).as("keep_id"), count("*").as("n_copies"))
 
-  /** (id, shingle) pairs — distinct word n-gram shingles per doc. */
-  def shingleSet(docs: DataFrame, id: String, text: String, n: Int = 3): DataFrame =
-    docs.select(col(id),
-        explode(TextFunctions.shingles(TextFunctions.words(col(text)), n)).as("s"))
+  /** (id, shingle) pairs — distinct word n-gram shingles per doc.
+    *
+    * Shape matters here: building the shingle *array* with
+    * `transform(sequence(...), ...)` would put a higher-order function
+    * (CodegenFallback — interpreted per element) in the hottest path
+    * of the whole dedup family. Instead the start positions are
+    * exploded first and each shingle is a flat codegen'd `concat_ws`
+    * over three `element_at`s — the entire scan→explode→project stage
+    * stays inside whole-stage codegen (measured ~3× on the shingle
+    * stage). `sequence(1, m)` with m < 1 would generate a DESCENDING
+    * range, so short docs are guarded to an empty array (the reference
+    * below-n semantics, mirrored by [[TextFunctions.shinglesSql]]).
+    */
+  def shingleSet(docs: DataFrame, id: String, text: String, n: Int = 3): DataFrame = {
+    val w = TextFunctions.words(col(text))
+    docs.select(col(id), w.as("w"))
+      .select(col(id), col("w"),
+        explode(when(size(col("w")) >= n, sequence(lit(1), size(col("w")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col(id), concat_ws(" ",
+        (0 until n).map(j => element_at(col("w"), col("i") + lit(j))): _*).as("s"))
       .distinct()
+  }
 
-  /** Exact n-gram Jaccard similarity for every pair of docs sharing at
-    * least one shingle. The shingle-key join means cost is
-    * sum-over-shingles(docs²-within-shingle) — bounded by content
-    * overlap, not |docs|²; with a vocabulary this is the verification
-    * stage run on LSH candidates at scale.
+  /** N-gram Jaccard similarity for every pair of docs sharing at
+    * least one *informative* shingle. The shingle-key join means cost
+    * is sum-over-shingles(docs²-within-shingle) — bounded by content
+    * overlap, not |docs|² — but one ubiquitous shingle still creates a
+    * quadratic group, so shingles whose document frequency exceeds
+    * `maxDf` are dropped first (the standard df-cap from the dedup
+    * literature: a shingle in >maxDf docs carries no near-dup signal).
+    * Set sizes are computed over the SAME capped universe, so the
+    * score stays a true Jaccard of the reduced sets. The capped frame
+    * is persisted: it feeds the size aggregate plus both sides of the
+    * self-join, and recomputing the explode+distinct subtree 3× is the
+    * difference between one scan and three at 10⁹ docs.
     */
   def jaccardPairs(docs: DataFrame, id: String, text: String,
-                   n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingleSet(docs, id, text, n)
+                   n: Int = 3, minJaccard: Double = 0.5,
+                   maxDf: Int = 100): DataFrame = {
+    val all = shingleSet(docs, id, text, n)
+    val keep = all.groupBy(col("s")).agg(count("*").as("df"))
+      .filter(col("df") <= maxDf).select("s")
+    val sh = all.join(keep, Seq("s"), "leftsemi").persist()
     val sizes = sh.groupBy(col(id)).agg(count("*").as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), Seq("s"))
       .filter(col(s"a.$id") < col(s"b.$id"))

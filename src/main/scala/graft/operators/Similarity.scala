@@ -20,28 +20,65 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** Exact top-k neighbors for each query vector (excluding self). */
+  /** Exact top-k neighbors for each query vector (excluding self).
+    * `dim` is the (fixed) embedding dimensionality — scoring uses the
+    * codegen'd [[cosineFixed]] expansion, the hot path of every tier.
+    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     id: String, vec: String, k: Int): DataFrame = {
+                     id: String, vec: String, k: Int, dim: Int = 64): DataFrame = {
     val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv")))
     val scored = corpus.select(col(id), col(vec))
       .join(q, col(id) =!= col("query_id"))
       .select(col("query_id"), col(id),
-        round(cosine(col("qv"), col(vec)), 6).as("cos_sim"))
+        round(cosineFixed(col("qv"), col(vec), dim), 6).as("cos_sim"))
     topK(scored, id, k)
   }
 
-  /** Approximate top-k: score only within the query's sign bucket. */
+  /** Approximate top-k: score only within the query's probed buckets.
+    * With `multiProbe` (default) each query probes its own bucket plus
+    * the Hamming-1 shell ([[probeBuckets]]) — the recall/cost knob;
+    * `multiProbe = false` is the single-bucket minimum-cost probe.
+    * A candidate's single bucket matches at most one probe key, so no
+    * pair is ever scored twice.
+    */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame,
-                   id: String, vec: String, k: Int, bits: Int = 8): DataFrame = {
+                   id: String, vec: String, k: Int, bits: Int = 8,
+                   multiProbe: Boolean = true, dim: Int = 64): DataFrame = {
     val bucketed = corpus.select(col(id), col(vec),
       signBucket(col(vec), bits).as("bucket"))
-    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv"),
-      signBucket(col(vec), bits).as("bucket")))
+    val probe =
+      if (multiProbe) explode(probeBuckets(col("qv"), bits))
+      else signBucket(col("qv"), bits)
+    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv"))
+      .withColumn("bucket", probe))
     val scored = bucketed.join(q,
         bucketed("bucket") === q("bucket") && col(id) =!= col("query_id"))
       .select(col("query_id"), col(id),
-        round(cosine(col("qv"), col(vec)), 6).as("cos_sim"))
+        round(cosineFixed(col("qv"), col(vec), dim), 6).as("cos_sim"))
+    topK(scored, id, k)
+  }
+
+  /** All-pairs near-dup sweep: every vector's top-k within its
+    * multi-probe bucket neighborhood. Unlike routing the sweep through
+    * [[bruteForceTopK]] (which would broadcast the whole corpus and
+    * score O(N²) pairs — a driver OOM *and* a compute dead end at
+    * scale), both sides here shuffle on the bucket key only, so the
+    * work is Σ_buckets |bucket| × probes-landing ≈ N²·(bits+1)/2^bits
+    * spread evenly across executors, and nothing is ever collected or
+    * broadcast. Genuine near-copies collide in a probed bucket w.h.p.
+    * (see [[probeBuckets]]); a vector with no probed-neighborhood
+    * companion yields no row — the correct "nothing near" answer.
+    */
+  def bucketedSweep(corpus: DataFrame, id: String, vec: String, k: Int,
+                    bits: Int = 8, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(id), col(vec),
+      signBucket(col(vec), bits).as("bucket"))
+    val q = corpus.select(col(id).as("query_id"), col(vec).as("qv"),
+      explode(probeBuckets(col(vec), bits)).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col(id) =!= col("query_id"))
+      .select(col("query_id"), col(id),
+        round(cosineFixed(col("qv"), col(vec), dim), 6).as("cos_sim"))
     topK(scored, id, k)
   }
 

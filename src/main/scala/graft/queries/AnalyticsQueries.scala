@@ -170,15 +170,25 @@ object AnalyticsQueries {
       |GROUP BY user_id ORDER BY user_id""".stripMargin)
 
   /** A2 at scale: HyperLogLog++ approximate distinct — the form the
-    * exact `countDistinct` takes at 100 TB. Not SQL-oracle-checkable
-    * (DuckDB's approx sketch differs); the driver records a rows-only
-    * check, and the ScalaTest spec bounds the error vs exact.
+    * exact `countDistinct` takes at 100 TB. DuckDB's sketch differs,
+    * so the oracle checks the *contract* rather than the sketch value:
+    * the query emits the exact count plus a boolean asserting the HLL
+    * estimate landed within 2% of it (rsd=0.01 ⇒ comfortably inside),
+    * which DuckDB reproduces as a constant TRUE — a hard hash-match
+    * that fails if the sketch ever drifts out of tolerance.
     */
   val approxDistinct: Q = Q(
-    (s, d) => t(s, d, "lineitem").agg(
-      approx_count_distinct("l_partkey", 0.01).as("approx_parts"),
-      count("*").as("n")),
-    None)
+    (s, d) => t(s, d, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct("l_partkey", 0.01).as("approx_parts"),
+        count("*").as("n"))
+      .select(col("exact_parts"), col("n"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * lit(0.02)).as("within_2pct")),
+    """SELECT count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+      |  count(*)::BIGINT AS n, TRUE AS within_2pct
+      |FROM lineitem""".stripMargin)
 
   val all: Map[String, Q] = Map(
     "q15_pricing_summary"  -> pricingSummary,

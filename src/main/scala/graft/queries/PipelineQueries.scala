@@ -41,18 +41,24 @@ object PipelineQueries {
       |       count(*)::BIGINT AS n_copies
       |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin)
 
-  /** Exact word-3-gram Jaccard near-dup pairs (the verification stage
-    * of near-dedup; pairs meet only through shared shingles, never a
-    * cross join).
+  /** Word-3-gram Jaccard near-dup pairs over the df-capped shingle
+    * universe (the verification stage of near-dedup; pairs meet only
+    * through shared informative shingles, never a cross join — see
+    * [[Dedup.jaccardPairs]] for the maxDf rationale).
     */
-  val jaccardPairs: Q = Q(
+  val jaccardPairs: Q = {
+    val MAX_DF = 100
+    Q(
     (s, d) => Dedup.jaccardPairs(
-      t(s, d, "documents"), "doc_id", "text", n = 3, minJaccard = 0.5)
+      t(s, d, "documents"), "doc_id", "text", n = 3, minJaccard = 0.5,
+      maxDf = MAX_DF)
       .orderBy("id_a", "id_b"),
     s"""WITH w AS (
        |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr FROM documents),
-       |sh AS (
+       |sh0 AS (
        |  SELECT DISTINCT doc_id, unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
+       |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $MAX_DF),
+       |sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (SELECT s FROM keep)),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -65,6 +71,7 @@ object PipelineQueries {
        |JOIN sizes sb ON id_b = sb.doc_id
        |WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE >= 0.5
        |ORDER BY id_a, id_b""".stripMargin)
+  }
 
   /** MinHash(k=16) + LSH(4 bands × 4 rows) near-dup candidates with
     * matching-hash similarity estimate — the sub-quadratic scale path
@@ -73,7 +80,12 @@ object PipelineQueries {
   val minhashLsh: Q = {
     val K = 16; val BANDS = 4; val R = 4; val THRESH = 0.25
     val fn = (s: SparkSession, d: String) => {
+      // the signature frame feeds lshCandidates plus both sides of
+      // minhashEstimate — persist it so the explode+groupBy subtree
+      // runs once, not three times (one shuffle instead of three at
+      // any scale; Bench/Verify clearCache() between queries)
       val sig = Dedup.minhashSignatures(t(s, d, "documents"), "doc_id", "text", K)
+        .persist()
       val cands = Dedup.lshCandidates(sig, "doc_id", BANDS, R)
       Dedup.minhashEstimate(cands, sig, "doc_id", K)
         .filter(col("est_sim") >= THRESH)
@@ -161,27 +173,41 @@ object PipelineQueries {
        |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)
 
-  /** Sign-bit LSH-bucketed approximate top-5 — scoring confined to the
-    * query's bucket (the sub-linear scale path).
+  /** Probe CTE shared by the bucketed ANN oracles: one SELECT per
+    * probe key, generated from the same bit layout as the Spark side
+    * ([[VectorFunctions.probeBucketsSql]]).
+    */
+  private def probesSql(bits: Int): String =
+    VectorFunctions.probeBucketsSql("qv", bits)
+      .map(p => s"SELECT query_id, qv, $p AS bucket FROM q")
+      .mkString("\n  UNION ALL ")
+
+  /** Sign-bit LSH-bucketed approximate top-5 with Hamming-1
+    * multi-probe — scoring confined to the query's probed buckets
+    * (the sub-linear scale path; see [[VectorFunctions.probeBuckets]]
+    * for the recall math).
     */
   val annBucketed: Q = {
-    val bucket = VectorFunctions.signBucketSql("embedding")
+    val BITS = 8
+    val bucket = VectorFunctions.signBucketSql("embedding", BITS)
     Q(
       (s, d) => {
         val emb = t(s, d, "embeddings")
         Similarity.bucketedTopK(
-          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5, BITS)
       },
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v, $bucket AS bucket
          |  FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |probes AS (
+         |  ${probesSql(BITS)}),
          |scored AS (
          |  SELECT query_id, e.vec_id,
          |    round(list_dot_product(qv, v) /
          |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
          |      AS cos_sim
-         |  FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id),
+         |  FROM probes p JOIN e ON p.bucket = e.bucket AND e.vec_id <> p.query_id),
          |ranked AS (
          |  SELECT query_id, vec_id, cos_sim,
          |    row_number() OVER (PARTITION BY query_id
@@ -191,29 +217,39 @@ object PipelineQueries {
          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
   }
 
-  /** Embedding near-dup sweep: every vector's single nearest neighbor
-    * (k=1 all-pairs kNN) — the "is anything a near-copy" report.
+  /** Embedding near-dup sweep: every vector's best match within its
+    * multi-probe LSH neighborhood ([[Similarity.bucketedSweep]]) —
+    * the "is anything a near-copy" report. Near-copies collide in a
+    * probed bucket w.h.p., and the plan is a bucket-keyed self-join
+    * (no corpus broadcast, no O(N²) scoring — the shape that survives
+    * 10⁹ vectors, unlike the brute-force sweep it replaces).
     */
-  val nearestNeighbor: Q = Q(
-    (s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 1)
-    },
-    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings),
-      |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |scored AS (
-      |  SELECT query_id, vec_id,
-      |    round(list_dot_product(qv, v) /
-      |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
-      |      AS cos_sim
-      |  FROM q JOIN c ON vec_id <> query_id),
-      |ranked AS (
-      |  SELECT query_id, vec_id, cos_sim,
-      |    row_number() OVER (PARTITION BY query_id
-      |                       ORDER BY cos_sim DESC, vec_id) AS rnk
-      |  FROM scored)
-      |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
-      |FROM ranked WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin)
+  val nearestNeighbor: Q = {
+    val BITS = 8
+    val bucket = VectorFunctions.signBucketSql("embedding", BITS)
+    Q(
+      (s, d) => Similarity.bucketedSweep(
+        t(s, d, "embeddings"), "vec_id", "embedding", 1, BITS),
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v, $bucket AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e),
+         |probes AS (
+         |  ${probesSql(BITS)}),
+         |scored AS (
+         |  SELECT query_id, e.vec_id,
+         |    round(list_dot_product(qv, v) /
+         |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+         |      AS cos_sim
+         |  FROM probes p JOIN e ON p.bucket = e.bucket AND e.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin)
+  }
 
   // ----------------------------------------------------------- text analysis
 

@@ -13,6 +13,15 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE coalesces shuffle partitions by BYTES; text/vector ops are
+      // byte-light but compute-heavy, and the default 1MB floor would
+      // squeeze them onto 1-5 cores. A smaller floor keeps
+      // parallelismFirst in charge; at real scale partitions are far
+      // above either floor, so this only affects small inputs.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

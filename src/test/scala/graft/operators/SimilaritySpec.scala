@@ -17,7 +17,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("bruteForceTopK ranks by cosine with correct values") {
     val out = Similarity.bruteForceTopK(
-      vecs, vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", 3)
+      vecs, vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", 3, dim = 4)
       .select("vec_id", "cos_sim", "rnk").as[(Long, Double, Long)]
       .collect().toSeq
     assert(out.map(_._1) == Seq(1L, 2L, 3L))      // by descending cosine
@@ -25,12 +25,47 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1)._2 == 0.0 && out(2)._2 == -1.0)
   }
 
-  test("bucketedTopK only scores within the query's sign bucket") {
+  test("single-probe bucketedTopK only scores within the query's sign bucket") {
     val out = Similarity.bucketedTopK(
-      vecs, vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", 3, bits = 4)
+      vecs, vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", 3,
+      bits = 4, multiProbe = false, dim = 4)
       .select("vec_id").as[Long].collect().toSet
     // vec 1 shares bucket "1000"; vec 2 ("0100") and 3 ("0000") do not
     assert(out == Set(1L))
+  }
+
+  test("multi-probe bucketedTopK reaches the Hamming-1 shell, no duplicates") {
+    val out = Similarity.bucketedTopK(
+      vecs, vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", 3,
+      bits = 4, dim = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    // vec 3 ("0000") is one bit-flip from "1000"; vec 2 ("0100") is two
+    assert(out.toSet == Set(1L, 3L))
+    assert(out.size == out.toSet.size) // each pair scored exactly once
+  }
+
+  test("bucketedSweep matches brute force on injected near-dups (recall ≥ 0.8)") {
+    // deterministic jitter: blend each sf0.001 embedding with its own
+    // rotation — cos(v, v + 0.15·rot(v)) ≈ 0.99, the near-dup regime
+    // the sweep exists to catch (for uniformly random pairs no
+    // sub-linear probe can track the NN; see probeBuckets scaladoc)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val rot = concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1))
+    val jit = e.select((col("vec_id") + 10000L).as("vec_id"),
+      zip_with(col("embedding"), rot, (x, y) => x + lit(0.15f) * y).as("embedding"))
+    val corpus = e.unionByName(jit)
+
+    val truth = Similarity.bruteForceTopK(corpus, jit, "vec_id", "embedding", 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    val swept = Similarity.bucketedSweep(corpus, "vec_id", "embedding", 1)
+      .filter(col("query_id") >= 10000L)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+
+    val hits = truth.count { case (q, nn) => swept.get(q).contains(nn) }
+    val recall = hits.toDouble / truth.size
+    assert(truth.size == 500)
+    assert(recall >= 0.8, s"recall $recall < 0.8 (${hits}/${truth.size})")
   }
 
   test("cosine is symmetric and self-similarity is 1") {
