@@ -16,22 +16,67 @@ import graft.sources.CsvIngest
   * cohort like/comment counts, clamp-at-zero view updates,
   * FK-validated appends, cascading renames.
   *
-  * Storage model: each table is a directory of headered CSV parts
-  * (`dir/users.csv/part-*`), the distributed form of the reference's
-  * single files. Durability keeps the reference's tmp-file + atomic
-  * rename protocol (buzzdb_lab1.cpp:1032-1059) — writers materialize
-  * a complete new table directory and swap it in with a filesystem
-  * rename, so readers never observe a torn table; Spark's commit
-  * protocol makes the *directory* internally consistent and the
-  * rename makes the swap atomic. Concurrency needs no locks: a
-  * loaded DataFrame is an immutable snapshot (the reference's
-  * parse-then-swap under scoped_lock, :308-315, is free here).
+  * Storage model: each table is a *versioned* directory of headered
+  * CSV parts (`dir/posts.csv.v3/part-*`) — the multi-snapshot form of
+  * the reference's tmp-file + rename protocol
+  * (buzzdb_lab1.cpp:1032-1059). A writer never touches the live
+  * snapshot: it materializes the complete next version and Spark's
+  * commit protocol publishes it by writing `_SUCCESS` last; readers
+  * resolve the highest version carrying that marker. The previous
+  * version is retained through the next commit (then vacuumed), so a
+  * lazily-executing reader keeps a complete, immutable snapshot under
+  * its feet while a swap happens — snapshot isolation without a
+  * single rename race, the property the reference buys with its
+  * scoped_lock parse-then-swap (:308-315). A writer killed
+  * mid-materialization leaves an uncommitted orphan that readers
+  * ignore and the next writer vacuums. Writers within one engine
+  * instance are serialized by a lock (the reference's mutexes,
+  * buzzdb_lab1.cpp:96-97); writers in separate processes are
+  * uncoordinated, the same scope as the reference's process-local
+  * mutexes. A plain `posts.csv` fixture (file or dir) is read as the
+  * pre-version-0 snapshot, so reference-style fixtures work unchanged.
   */
 class FlatFileEngine(spark: SparkSession, dir: String) {
 
   import FlatFileEngine._
 
   private def path(table: String) = s"$dir/$table.csv"
+
+  /** Serializes writers within this engine instance — the analog of
+    * the reference's per-table mutexes (buzzdb_lab1.cpp:96-97).
+    */
+  private val writeLock = new Object
+
+  private def fs =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (version number, path) of every `<table>.csv.vN` directory. */
+  private def listVersions(table: String): Seq[(Long, Path)] = {
+    val base = new Path(dir)
+    val prefix = s"$table.csv.v"
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(prefix) && name.drop(prefix.length).forall(_.isDigit)
+          && name.length > prefix.length)
+        Some((name.drop(prefix.length).toLong, st.getPath))
+      else None
+    }
+  }
+
+  /** A version is visible once Spark's commit protocol has written its
+    * `_SUCCESS` marker (the job-level commit, written last).
+    */
+  private def committed(p: Path): Boolean = fs.exists(new Path(p, "_SUCCESS"))
+
+  /** Read-side snapshot resolution: the highest committed version,
+    * falling back to the bare fixture path. Never mutates the
+    * filesystem, so racing readers are safe by construction.
+    */
+  private def tablePath(table: String): String =
+    listVersions(table).filter(v => committed(v._2))
+      .sortBy(-_._1).headOption
+      .map(_._2.toString).getOrElse(path(table))
 
   // ------------------------------------------------------------------ loads
 
@@ -43,15 +88,15 @@ class FlatFileEngine(spark: SparkSession, dir: String) {
     * dissolves (SURVEY.md §2.1 S2).
     */
   def users: DataFrame =
-    CsvIngest.readFlatFile(spark, path("users"), userSchema)
+    CsvIngest.readFlatFile(spark, tablePath("users"), userSchema)
 
   def posts: DataFrame = {
-    val p = CsvIngest.readFlatFile(spark, path("posts"), postSchema)
+    val p = CsvIngest.readFlatFile(spark, tablePath("posts"), postSchema)
     SocialOps.riFilter(p, "username", users, "username")
   }
 
   def engagements: DataFrame = {
-    val e = CsvIngest.readFlatFile(spark, path("engagements"), engagementSchema)
+    val e = CsvIngest.readFlatFile(spark, tablePath("engagements"), engagementSchema)
     val byPost = SocialOps.riFilter(e, "postId", posts.select(col("id")), "id")
     SocialOps.riFilter(byPost, "username", users, "username")
   }
@@ -80,7 +125,7 @@ class FlatFileEngine(spark: SparkSession, dir: String) {
   /** RI sweep (`check_no_dangling_post_ids`, buzzdb_lab1.cpp:1063-1070). */
   def danglingEngagements: DataFrame =
     SocialOps.dangling(
-      CsvIngest.readFlatFile(spark, path("engagements"), engagementSchema),
+      CsvIngest.readFlatFile(spark, tablePath("engagements"), engagementSchema),
       "postId", posts.select(col("id")), "id")
 
   // ---------------------------------------------------------------- writes
@@ -89,30 +134,32 @@ class FlatFileEngine(spark: SparkSession, dir: String) {
     * on one post, persisted via write-new + atomic swap. Returns false
     * (no write) when the id is absent, like the reference.
     */
-  def updatePostViews(postId: Int, delta: Int): Boolean = {
-    val current = CsvIngest.readFlatFile(spark, path("posts"), postSchema)
-    if (current.filter(col("id") === postId).isEmpty) false
-    else {
-      val updated = current.withColumn("views",
-        when(col("id") === postId,
-          greatest(lit(0), col("views") + delta)).otherwise(col("views")))
-      swapIn(updated, "posts")
-      true
+  def updatePostViews(postId: Int, delta: Int): Boolean =
+    writeLock.synchronized {
+      val current = CsvIngest.readFlatFile(spark, tablePath("posts"), postSchema)
+      if (current.filter(col("id") === postId).isEmpty) false
+      else {
+        val updated = current.withColumn("views",
+          when(col("id") === postId,
+            greatest(lit(0), col("views") + delta)).otherwise(col("views")))
+        swapIn(updated, "posts")
+        true
+      }
     }
-  }
 
   /** `addEngagementRecord` batch form (buzzdb_lab1.cpp:639-673):
     * FK-validate fresh rows (silently dropping violations, as the
     * reference does) and append — appends add new part files, no
     * rewrite of existing data.
     */
-  def addEngagementRecords(fresh: DataFrame): Unit = {
-    // appends add part files to a table *directory*; a fixture that
-    // starts as a single CSV file is converted on first append
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new Path(path("engagements"))
-    if (fs.exists(live) && fs.getFileStatus(live).isFile)
-      swapIn(CsvIngest.readFlatFile(spark, path("engagements"), engagementSchema),
+  def addEngagementRecords(fresh: DataFrame): Unit = writeLock.synchronized {
+    // appends add part files to the current snapshot *directory*
+    // (per-file commit is atomic, and Spark readers ignore the
+    // in-flight `_temporary` dir); a fixture that starts as a single
+    // CSV file is first converted to a version directory
+    val cur = new Path(tablePath("engagements"))
+    if (fs.exists(cur) && fs.getFileStatus(cur).isFile)
+      swapIn(CsvIngest.readFlatFile(spark, cur.toString, engagementSchema),
         "engagements")
     val valid = SocialOps.riFilter(
       SocialOps.riFilter(fresh, "postId", posts.select(col("id")), "id"),
@@ -121,7 +168,7 @@ class FlatFileEngine(spark: SparkSession, dir: String) {
     // every part file in the table directory has the same header
     valid.select(engagementSchema.fields.map(f => col(f.name)).toSeq: _*)
       .write.mode(SaveMode.Append)
-      .option("header", true).csv(path("engagements"))
+      .option("header", true).csv(tablePath("engagements"))
   }
 
   /** `updateUserName` (buzzdb_lab1.cpp:775-963): cascading rename
@@ -131,8 +178,9 @@ class FlatFileEngine(spark: SparkSession, dir: String) {
     * SURVEY.md §3.3). Returns false if the id is absent, true (no-op)
     * if the name is unchanged.
     */
-  def updateUserName(userId: Int, newName: String): Boolean = {
-    val u = CsvIngest.readFlatFile(spark, path("users"), userSchema)
+  def updateUserName(userId: Int, newName: String): Boolean =
+    writeLock.synchronized {
+    val u = CsvIngest.readFlatFile(spark, tablePath("users"), userSchema)
     val row = u.filter(col("id") === userId).select("username").collect()
     if (row.isEmpty) return false
     val oldName = row.head.getString(0)
@@ -143,30 +191,45 @@ class FlatFileEngine(spark: SparkSession, dir: String) {
     swapIn(u.withColumn("username",
       when(col("id") === userId, lit(newName)).otherwise(col("username"))),
       "users")
-    val p = CsvIngest.readFlatFile(spark, path("posts"), postSchema)
+    val p = CsvIngest.readFlatFile(spark, tablePath("posts"), postSchema)
     swapIn(p.select(col("id"), col("content"), renameCol("username"),
       col("views")), "posts")
-    val e = CsvIngest.readFlatFile(spark, path("engagements"), engagementSchema)
+    val e = CsvIngest.readFlatFile(spark, tablePath("engagements"), engagementSchema)
     swapIn(e.select(col("id"), col("postId"), renameCol("username"),
       col("type"), col("comment"), col("timestamp")), "engagements")
     true
-  }
+    }
 
-  /** Write-new-then-swap: materialize the full new table next to the
-    * old one, then rename over it — the reference's `*.tmp` + `rename`
-    * durability protocol (buzzdb_lab1.cpp:1032-1059) lifted to
-    * directories. Readers race-free: they see the old or the new
-    * directory, never a mix.
+  /** Commit a new table snapshot: materialize the complete next
+    * version directory (Spark's commit protocol writes `_SUCCESS`
+    * last — that marker IS the publish), then vacuum everything except
+    * the new version and the one it replaced. Retaining one
+    * generation lets a reader that resolved the previous snapshot
+    * finish its (lazy) scan while this commit lands; a reader older
+    * than one full commit must re-resolve — the documented vacuum
+    * horizon. Crash at any point leaves either the old snapshot
+    * current (uncommitted orphan ignored by readers, vacuumed by the
+    * next writer) or the new one fully committed — there is no
+    * in-between state, because nothing that readers resolve is ever
+    * renamed or deleted inside the commit.
     */
   private def swapIn(updated: DataFrame, table: String): Unit = {
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new Path(path(table))
-    val tmp = new Path(path(table) + ".tmp")
+    val versions = listVersions(table)
+    val cur = new Path(tablePath(table)).getName
+    val next = new Path(
+      path(table) + ".v" + (versions.map(_._1).maxOption.getOrElse(0L) + 1L))
     updated.write.mode(SaveMode.Overwrite).option("header", true)
-      .csv(tmp.toString)
-    fs.delete(live, true)
-    if (!fs.rename(tmp, live))
-      throw new java.io.IOException(s"atomic swap failed for $table")
+      .csv(next.toString)
+    // compare by directory NAME: listed paths are scheme-qualified
+    // (file:/...), constructed ones are bare — string-equality on full
+    // paths would vacuum the snapshot we mean to keep
+    val keep = Set(next.getName, cur)
+    versions.foreach { case (_, v) =>
+      if (!keep.contains(v.getName)) fs.delete(v, true)
+    }
+    val legacy = new Path(path(table))
+    if (!keep.contains(legacy.getName) && fs.exists(legacy))
+      fs.delete(legacy, true)
   }
 }
 
