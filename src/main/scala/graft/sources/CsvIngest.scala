@@ -14,7 +14,10 @@ import org.apache.spark.sql.types._
   *  - every cell whitespace-trimmed (`trim`, :131-141)
   *  - wrong arity ⇒ row dropped (`arr.size() != N`, :191)
   *  - strict int parse failure ⇒ whole row silently dropped
-  *    (`to_int`, :144-154) — Spark form: `try_cast` + null filter
+  *    (`to_int`, :144-154) — Spark form: `try_cast` + null filter on
+  *    the int-typed columns ONLY: an empty *string* cell survives as
+  *    "" exactly as the reference's split_csv keeps empty tokens
+  *    (a user with a blank location is a valid row there)
   *  - blank lines skipped (:186)
   *
   * The reader itself is partition-parallel: what the reference's
@@ -34,13 +37,18 @@ object CsvIngest {
       .option("mode", "DROPMALFORMED")
       .schema(StructType(columns.map(StructField(_, StringType, nullable = true))))
       .csv(path)
-    raw.select(columns.map(c => trim(col(c)).as(c)): _*)
+    // an empty cell parses as null, but wrong-arity rows were already
+    // dropped above — so every surviving null IS an empty cell, which
+    // the reference keeps as "" (split_csv keeps empty tokens)
+    raw.select(columns.map(c => coalesce(trim(col(c)), lit("")).as(c)): _*)
   }
 
   /** Apply the reference's typed-load semantics: strict int parse on
-    * the integer columns, dropping any row where a parse fails or a
-    * cell is missing (malformed arity surfaces as nulls under
-    * DROPMALFORMED with an explicit schema).
+    * the integer columns, dropping any row where a parse fails
+    * (wrong-arity rows are already dropped by the DROPMALFORMED
+    * reader). String columns are NOT null-filtered: the reference
+    * keeps empty cells as empty strings (split_csv,
+    * buzzdb_lab1.cpp:156-165).
     */
   def typed(df: DataFrame, schema: StructType): DataFrame = {
     val converted = df.select(schema.fields.map { f =>
@@ -52,9 +60,12 @@ object CsvIngest {
         case _ => df.col(f.name)
       }).as(f.name)
     }.toSeq: _*)
-    // a failed cast or missing cell is null ⇒ drop the whole row,
-    // mirroring the reference's silent row drop (buzzdb_lab1.cpp:198-200)
-    converted.na.drop("any", schema.fields.map(_.name).toSeq)
+    // a failed int parse is null ⇒ drop the whole row, mirroring the
+    // reference's silent row drop (buzzdb_lab1.cpp:198-200)
+    val intCols = schema.fields.collect {
+      case f if f.dataType == IntegerType || f.dataType == LongType => f.name
+    }
+    converted.na.drop("any", intCols.toSeq)
   }
 
   /** Full reference load pipeline for one table. */

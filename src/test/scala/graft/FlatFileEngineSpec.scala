@@ -24,6 +24,7 @@ class FlatFileEngineSpec extends SparkSpec {
         |notanint,badrow,Nowhere
         |
         |4,solo,Remote
+        |5,blankloc,
         |""".stripMargin)
     Files.writeString(Paths.get(d, "posts.csv"),
       """id,content,username,views
@@ -49,8 +50,11 @@ class FlatFileEngineSpec extends SparkSpec {
 
   test("load drops malformed rows and trims cells (ref tests 1/13)") {
     val u = engine.users.collect()
-    assert(u.length == 4)                       // badrow + blank line dropped
+    assert(u.length == 5)                       // badrow + blank line dropped
     assert(u.map(_.getString(1)).contains("knorman"))  // trimmed
+    // an empty STRING cell is kept as "" (reference split_csv keeps
+    // empty tokens; only int-parse failure or wrong arity drops rows)
+    assert(u.find(_.getInt(0) == 5).map(_.getString(2)).contains(""))
   }
 
   test("load applies RI filters (ref tests 1/12)") {

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+
+/** The reference's append-only log, streamed (SURVEY.md §2.8): events
+  * arrive as files in a directory (the stream form of `ios::app` on
+  * the engagement CSV), FK violations are dropped per micro-batch,
+  * and the windowed counts after all micro-batches equal the one-shot
+  * batch aggregation over the same rows — the batch/stream parity
+  * that makes the streaming path trustworthy.
+  */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = "user_id LONG, ts TIMESTAMP, event_type STRING"
+
+  private def writeJson(dir: Path, name: String,
+                        rows: Seq[(Long, String, String)]): Unit =
+    Files.writeString(dir.resolve(name), rows.map { case (u, ts, t) =>
+      s"""{"user_id":$u,"ts":"$ts","event_type":"$t"}"""
+    }.mkString("\n"))
+
+  test("streamed FK-validated windowed counts equal the batch aggregation") {
+    val users = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
+    // two 15-minute windows; user 99 violates the FK; the 10:05 view
+    // in the second file arrives late but inside the 30-min watermark
+    val file1 = Seq(
+      (1L, "2026-01-01T10:00:00", "click"),
+      (2L, "2026-01-01T10:01:00", "view"),
+      (99L, "2026-01-01T10:02:00", "click"))
+    val file2 = Seq(
+      (1L, "2026-01-01T10:16:00", "click"),
+      (2L, "2026-01-01T10:05:00", "view"))
+
+    val dir = Files.createTempDirectory("graft-stream")
+    val stream = spark.readStream.schema(schema)
+      .json(dir.toString)
+    val counts = EventStream.windowedCounts(
+      EventStream.fkValidated(stream, users, "user_id"),
+      "ts", "event_type", "15 minutes", "30 minutes")
+    val q = counts.writeStream.format("memory").queryName("ev_counts")
+      .outputMode("complete").start()
+    try {
+      writeJson(dir, "batch1.json", file1)
+      q.processAllAvailable()
+      writeJson(dir, "batch2.json", file2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("ev_counts")
+      .orderBy("win_start", "event_type")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+
+    val batch = EventStream.windowedCounts(
+      EventStream.fkValidated(
+        spark.read.schema(schema).json(
+          (file1 ++ file2).map { case (u, ts, t) =>
+            s"""{"user_id":$u,"ts":"$ts","event_type":"$t"}"""
+          }.toDS()),
+        users, "user_id"),
+      "ts", "event_type", "15 minutes", "30 minutes")
+      .orderBy("win_start", "event_type")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+
+    assert(streamed == batch)
+    // FK violation (user 99) dropped: first window has exactly 1 click
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    assert(streamed == Seq(
+      (ts("2026-01-01 10:00:00"), "click", 1L),
+      (ts("2026-01-01 10:00:00"), "view", 2L),
+      (ts("2026-01-01 10:15:00"), "click", 1L)))
+  }
+}
