@@ -1,0 +1,96 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (SURVEY.md north star; the reference
+  * has no media, its closest analog being the opaque free-text
+  * `comment` column, buzzdb_lab1.cpp:75): media travels as an opaque
+  * `binary` content column plus typed metadata, and the engine never
+  * interprets the bytes itself — decode happens at a single, swappable
+  * seam.
+  *
+  * This container ships no image/audio codecs, so [[fakeDecode]] is a
+  * clearly-marked deterministic STUB. Everything around it is real
+  * and tested: the schema convention, the typed `mapPartitions` batch
+  * shape (iterator-per-partition, no driver involvement, partitioning
+  * preserved — where a JNI/ffmpeg call would sit), the codegen'd
+  * frame sampler, and the aspect-fit resize arithmetic. Swapping the
+  * stub for an actual codec changes one function.
+  */
+object Multimodal {
+
+  /** Media-table convention: (id, content binary, mime). Built here
+    * from document text bytes — the testdata ships no real media, and
+    * an engine must treat content as opaque bytes either way.
+    */
+  def mediaTable(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), encode(col(text), "UTF-8").as("content"),
+      lit("application/octet-stream").as("mime"))
+
+  /** Typed decode output: what a real codec would yield per media. */
+  final case class Decoded(media_id: Long, n_bytes: Int, width: Int, height: Int)
+
+  /** STUB decoder — a real implementation calls the codec here
+    * (ImageIO, ffmpeg, ...). The deterministic fake derives dimensions
+    * from the byte length so specs and SQL oracles reproduce it
+    * exactly.
+    */
+  private[multimodal] def fakeDecode(bytes: Array[Byte]): (Int, Int) =
+    (bytes.length % 640 + 1, bytes.length % 480 + 1)
+
+  /** Batch decode over the binary column: one partition = one batch
+    * of media, consumed iterator-style inside the executors. This is
+    * the production shape for per-media native work — no collect, no
+    * shuffle, partitioning preserved; only [[fakeDecode]] is fake.
+    */
+  def decodeMeta(media: DataFrame, id: String): Dataset[Decoded] =
+    media.select(col(id).cast("long"), col("content"))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.map { case (i, bytes) =>
+        val (w, h) = fakeDecode(bytes)
+        Decoded(i, bytes.length, w, h)
+      })(Encoders.product[Decoded])
+
+  /** Frame sampling as pure codegen expressions: a `frameLen`-byte
+    * frame every `stride` bytes, at most `maxFrames` per media —
+    * positions are exploded first and each frame is a flat
+    * `substring` slice, the same generator-then-project shape as
+    * [[graft.operators.Dedup.shingleSet]] (no interpreted
+    * higher-order functions in the per-byte path). `greatest(..., 0)`
+    * runs BEFORE the division so both this and the DuckDB oracle
+    * divide non-negative numbers (trunc == floor there).
+    */
+  def sampleFrames(media: DataFrame, id: String,
+                   frameLen: Int, stride: Int, maxFrames: Int): DataFrame =
+    media.select(col(id), col("content"),
+        explode(sequence(lit(0),
+          least(lit(maxFrames - 1),
+            expr(s"greatest(octet_length(content) - $frameLen, 0) div $stride")
+              .cast("int")))).as("f"))
+      .select(col(id), col("f"),
+        expr(s"substring(content, f * $stride + 1, $frameLen)").as("frame"))
+
+  /** Aspect-preserving fit of (width, height) into a bounding box —
+    * the resize arithmetic (the pixel resample itself would live in
+    * the [[decodeMeta]] seam). Pure double/int expressions, identical
+    * in SQL.
+    */
+  def fitWithin(width: org.apache.spark.sql.Column,
+                height: org.apache.spark.sql.Column,
+                maxW: Int, maxH: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val scale = least(lit(maxW.toDouble) / width, lit(maxH.toDouble) / height, lit(1.0))
+    (greatest(floor(width * scale), lit(1)).cast("int"),
+      greatest(floor(height * scale), lit(1)).cast("int"))
+  }
+
+  /** DuckDB twins, kept adjacent so both sides change together. */
+  def fitWithinSql(w: String, h: String, maxW: Int, maxH: Int): (String, String) = {
+    val scale = s"least($maxW.0 / $w, $maxH.0 / $h, 1.0)"
+    (s"CAST(greatest(floor($w * $scale), 1) AS INT)",
+      s"CAST(greatest(floor($h * $scale), 1) AS INT)")
+  }
+
+  def fakeDecodeSql(nBytes: String): (String, String) =
+    (s"$nBytes % 640 + 1", s"$nBytes % 480 + 1")
+}

@@ -62,10 +62,12 @@ object Similarity {
     * multi-probe bucket neighborhood. Unlike routing the sweep through
     * [[bruteForceTopK]] (which would broadcast the whole corpus and
     * score O(N²) pairs — a driver OOM *and* a compute dead end at
-    * scale), both sides here shuffle on the bucket key only, so the
-    * work is Σ_buckets |bucket| × probes-landing ≈ N²·(bits+1)/2^bits
-    * spread evenly across executors, and nothing is ever collected or
-    * broadcast. Genuine near-copies collide in a probed bucket w.h.p.
+    * scale), the join here is keyed on the bucket only and nothing is
+    * *forced* to broadcast: the optimizer may still broadcast the
+    * probe side while its stats say it fits, and at corpus scale both
+    * sides degrade gracefully to a bucket-keyed shuffle, so the work
+    * is Σ_buckets |bucket| × probes-landing ≈ N²·(bits+1)/2^bits
+    * spread evenly across executors. Genuine near-copies collide in a probed bucket w.h.p.
     * (see [[probeBuckets]]); a vector with no probed-neighborhood
     * companion yields no row — the correct "nothing near" answer.
     */
@@ -76,6 +78,43 @@ object Similarity {
     val q = corpus.select(col(id).as("query_id"), col(vec).as("qv"),
       explode(probeBuckets(col(vec), bits)).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
+      .filter(col(id) =!= col("query_id"))
+      .select(col("query_id"), col(id),
+        round(cosineFixed(col("qv"), col(vec), dim), 6).as("cos_sim"))
+    topK(scored, id, k)
+  }
+
+  /** IVF-style approximate top-k: a coarse quantizer partitions the
+    * corpus into `nCells` cells (each vector assigned to its nearest
+    * pivot), and a query scores only the vectors in its `nProbe`
+    * nearest cells — the inverted-file ANN layout, the other standard
+    * scale path next to LSH. Pivots here are the `nCells` lowest-id
+    * corpus vectors, which keeps the quantizer deterministic and
+    * oracle-reproducible; a production deployment would drop k-means
+    * centroids into the same seam (only `pivots` changes). Cost
+    * shape: assignment is one broadcast-pivot pass over the corpus
+    * (O(N·C), embarrassingly parallel), and probing shuffles on the
+    * cell key only — no corpus broadcast, no O(N²).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, nCells: Int = 16, nProbe: Int = 2, dim: Int = 64): DataFrame = {
+    val pivots = broadcast(corpus.filter(col(id) < nCells)
+      .select(col(id).as("cell"), col(vec).as("pv")))
+    def assign(df: DataFrame, outId: String, outVec: String, top: Int) = {
+      val w = Window.partitionBy(outId).orderBy(desc("pcos"), asc("cell"))
+      df.crossJoin(pivots)
+        .select(col(outId), col(outVec), col("cell"),
+          cosineFixed(col(outVec), col("pv"), dim).as("pcos"))
+        .withColumn("prnk", row_number().over(w))
+        .filter(col("prnk") <= top)
+        .select(col(outId), col(outVec), col("cell"))
+    }
+    val cells = assign(
+      corpus.select(col(id), col(vec)), id, vec, top = 1)
+    val probes = assign(
+      queries.select(col(id).as("query_id"), col(vec).as("qv")),
+      "query_id", "qv", top = nProbe)
+    val scored = cells.join(probes, Seq("cell"))
       .filter(col(id) =!= col("query_id"))
       .select(col("query_id"), col(id),
         round(cosineFixed(col("qv"), col(vec), dim), 6).as("cos_sim"))

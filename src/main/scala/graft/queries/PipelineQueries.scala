@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
 import graft.functions.{Hashing, TextFunctions, VectorFunctions}
+import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Similarity}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
@@ -369,6 +370,98 @@ object PipelineQueries {
        |  n_chars
        |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** IVF-probed approximate top-5 — the inverted-file scale path next
+    * to LSH ([[Similarity.ivfTopK]]): deterministic pivot quantizer,
+    * corpus assigned to nearest cell, queries probe their 2 nearest
+    * cells. The oracle replays the same quantizer from the same
+    * constants, including the argmax tie-break on cell id.
+    */
+  val annIvf: Q = {
+    val CELLS = 16; val PROBE = 2
+    val cos = (a: String, b: String) => VectorFunctions.cosineSql(a, b)
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 5, CELLS, PROBE)
+      },
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id AS cell, v AS pv FROM e WHERE vec_id < $CELLS),
+         |ca0 AS (
+         |  SELECT e.vec_id, e.v, p.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |                       ORDER BY ${cos("e.v", "p.pv")} DESC, p.cell) AS prnk
+         |  FROM e CROSS JOIN p),
+         |ca AS (SELECT vec_id, v, cell FROM ca0 WHERE prnk = 1),
+         |qa0 AS (
+         |  SELECT e.vec_id AS query_id, e.v AS qv, p.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |                       ORDER BY ${cos("e.v", "p.pv")} DESC, p.cell) AS prnk
+         |  FROM e CROSS JOIN p WHERE e.vec_id < 5),
+         |qa AS (SELECT query_id, qv, cell FROM qa0 WHERE prnk <= $PROBE),
+         |scored AS (
+         |  SELECT query_id, ca.vec_id,
+         |    round(${cos("qv", "ca.v")}, 6) AS cos_sim
+         |  FROM qa JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Multimodal pipeline over opaque binary content: stub-decoded
+    * metadata (via the typed mapPartitions batch path —
+    * [[Multimodal.decodeMeta]]), codegen frame sampling, per-frame
+    * fingerprints, and aspect-fit resize targets. The oracle
+    * recomputes every value from the same constants; byte slicing is
+    * mirrored with char slicing, which is exact because the corpus is
+    * ASCII (octet_length == length for every document — verified).
+    */
+  val multimodalFrames: Q = {
+    val FRAME = 32; val STRIDE = 64; val MAXF = 4
+    val MAXW = 320; val MAXH = 240
+    val fn = (s: SparkSession, d: String) => {
+      val media = Multimodal.mediaTable(t(s, d, "documents"), "doc_id", "text")
+      val decoded = Multimodal.decodeMeta(media, "doc_id").toDF()
+        .select(col("media_id").as("doc_id"),
+          col("n_bytes"), col("width"), col("height"))
+      val frames = Multimodal.sampleFrames(media, "doc_id", FRAME, STRIDE, MAXF)
+      val (fitW, fitH) = Multimodal.fitWithin(col("width"), col("height"), MAXW, MAXH)
+      frames.join(decoded, Seq("doc_id"))
+        .select(col("doc_id"), col("f").cast("long").as("f"),
+          Hashing.h32(col("frame")).as("frame_h"),
+          col("n_bytes"), col("width"), col("height"),
+          fitW.as("fit_w"), fitH.as("fit_h"))
+        .orderBy("doc_id", "f")
+    }
+    val (wSql, hSql) = Multimodal.fakeDecodeSql("n_bytes")
+    val (fitWSql, fitHSql) = Multimodal.fitWithinSql("width", "height", MAXW, MAXH)
+    Q(fn,
+      s"""WITH m AS (
+         |  SELECT doc_id, text, octet_length(encode(text))::INT AS n_bytes
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, n_bytes, ($wSql) AS width, ($hSql) AS height FROM m),
+         |f AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, least(${MAXF - 1}, greatest(n_bytes - $FRAME, 0) // $STRIDE) + 1)) AS f
+         |  FROM m),
+         |s AS (
+         |  SELECT f.doc_id, f.f,
+         |    substr(m.text, (f.f * $STRIDE + 1)::INT, $FRAME) AS frame
+         |  FROM f JOIN m ON f.doc_id = m.doc_id)
+         |SELECT s.doc_id, s.f, ${Hashing.h32Sql("frame")} AS frame_h,
+         |  d.n_bytes, d.width, d.height,
+         |  $fitWSql AS fit_w, $fitHSql AS fit_h
+         |FROM s JOIN d ON s.doc_id = d.doc_id
+         |ORDER BY s.doc_id, f""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
@@ -380,5 +473,7 @@ object PipelineQueries {
     "q29_text_quality"   -> textQuality,
     "q30_lang_id"        -> langId,
     "q31_token_stats"    -> tokenStats,
-    "q32_fingerprints"   -> fingerprints)
+    "q32_fingerprints"   -> fingerprints,
+    "q33_multimodal_frames" -> multimodalFrames,
+    "q34_ann_ivf"        -> annIvf)
 }

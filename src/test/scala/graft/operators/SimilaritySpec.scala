@@ -68,6 +68,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall < 0.8 (${hits}/${truth.size})")
   }
 
+  test("ivfTopK scores only within the probed cells") {
+    // pivots = vec 0 ([1,0,0,0]) and vec 1 ([0.9,-0.1,0,0]);
+    // assignment: 0->cell0 (self), 1->cell1 (self), 2->cell0
+    // (cos 0 > -0.110), 3->cell1 (cos -0.993 > -1)
+    val one = Similarity.ivfTopK(
+      vecs, vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      k = 3, nCells = 2, nProbe = 1, dim = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(one == Set(2L)) // only cell 0 probed; self excluded
+    val two = Similarity.ivfTopK(
+      vecs, vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      k = 3, nCells = 2, nProbe = 2, dim = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(two.toSet == Set(1L, 2L, 3L)) // both cells probed
+    assert(two.size == two.toSet.size)   // each pair scored once
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val a = VectorFunctions.cosine(col("x"), col("y"))
     val row = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f)))
