@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.operators.AsOfJoin
 
 /** Analytical workloads beyond the reference's surface: multi-way
   * joins, time bucketing, JSON extraction, approximate distinct — the
@@ -190,6 +191,37 @@ object AnalyticsQueries {
       |  count(*)::BIGINT AS n, TRUE AS within_2pct
       |FROM lineitem""".stripMargin)
 
+  /** As-of join: each event picks up the customer's most recent order
+    * as of the event time ([[AsOfJoin]] — one key shuffle, no range
+    * explosion). The right side is deduped to one row per
+    * (customer, date) with the max order key so the "most recent"
+    * pick is deterministic on both engines; DuckDB's native ASOF JOIN
+    * is the oracle.
+    */
+  val asofJoin: Q = Q(
+    (s, d) => {
+      val ord = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+        // events.ts is TimestampType (µs, UTC session); o_orderdate is
+        // parquet timestamp_ntz — align for the union-window compare
+        .select(col("user_id"), col("o_orderdate").cast("timestamp"),
+          col("o_orderkey"))
+      val ev = t(s, d, "events").select("event_id", "user_id", "ts")
+      AsOfJoin.asOf(ev, ord, "user_id", "ts", "o_orderdate")
+        .filter(col("o_orderkey").isNotNull) // inner as-of
+        .select("event_id", "user_id", "o_orderkey")
+        .orderBy("event_id")
+    },
+    """WITH ord AS (
+      |  SELECT o_custkey AS user_id, o_orderdate,
+      |         max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, o.o_orderkey
+      |FROM events e ASOF JOIN ord o
+      |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
@@ -197,5 +229,6 @@ object AnalyticsQueries {
     "q18_daily_events"     -> dailyEventCounts,
     "q19_json_props"       -> jsonProps,
     "q20_sessionize"       -> sessionize,
-    "q21_approx_distinct"  -> approxDistinct)
+    "q21_approx_distinct"  -> approxDistinct,
+    "q35_asof_join"        -> asofJoin)
 }

@@ -370,6 +370,55 @@ object PipelineQueries {
        |  n_chars
        |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** Per-document top TF-IDF term. The scoring uses the rational
+    * variant tf · N/df instead of tf · ln(N/df): one IEEE division is
+    * bit-identical across engines, whereas libm `ln` implementations
+    * can differ in the last ulp and flip a rounded rank — the same
+    * determinism-first reasoning as the integer-cents monetary sums.
+    * Shape: explode → two grouped counts (term-frequency per doc,
+    * document-frequency per term) → broadcast corpus size → window
+    * top-1 per doc with a term tie-break.
+    */
+  val tfidfTop: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(TextFunctions.words(col("text"))).as("w"))
+      val tf = tok.groupBy("doc_id", "w").agg(count("*").as("tf"))
+      val df = tok.select("doc_id", "w").distinct()
+        .groupBy("w").agg(count("*").as("df"))
+      val n = docs.agg(countDistinct("doc_id").as("n_docs"))
+      val scored = tf.join(df, Seq("w")).crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") * col("n_docs") / col("df"))
+      val win = Window.partitionBy("doc_id")
+        .orderBy(desc("score"), asc("w"))
+      scored.withColumn("rnk", row_number().over(win))
+        .filter(col("rnk") === 1)
+        .select(col("doc_id"), col("w").as("top_term"),
+          round(col("score"), 6).as("tfidf"))
+        .orderBy("doc_id")
+    },
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${TextFunctions.wordsSql("text")}) AS w
+       |  FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (
+       |  SELECT w, count(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, w, tf::DOUBLE * n_docs / df AS score
+       |  FROM tf JOIN df USING (w) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, w, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, w) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, w AS top_term, round(score, 6) AS tfidf
+       |FROM ranked WHERE rnk = 1 ORDER BY doc_id""".stripMargin)
+
   /** IVF-probed approximate top-5 — the inverted-file scale path next
     * to LSH ([[Similarity.ivfTopK]]): deterministic pivot quantizer,
     * corpus assigned to nearest cell, queries probe their 2 nearest
@@ -475,5 +524,6 @@ object PipelineQueries {
     "q31_token_stats"    -> tokenStats,
     "q32_fingerprints"   -> fingerprints,
     "q33_multimodal_frames" -> multimodalFrames,
-    "q34_ann_ivf"        -> annIvf)
+    "q34_ann_ivf"        -> annIvf,
+    "q36_tfidf_top"      -> tfidfTop)
 }

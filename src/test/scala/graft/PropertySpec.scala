@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Hashing
+import graft.multimodal.Multimodal
+import graft.operators.Dedup
+
+/** ScalaCheck-generated property tests, batch-evaluated: each property
+  * generates a few hundred cases with a fixed seed and evaluates them
+  * in ONE DataFrame job (a Spark job per ScalaCheck case would take
+  * minutes). Replaces the reference's randomized self-oracle pattern
+  * (buzzdb_lab1.cpp:1227-1270) with seeded generators.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L)).get
+
+  test("hash family ranges: h32 in [0, 2^32), seeded in [0, P), all seeds") {
+    val strs = sample(Gen.asciiPrintableStr, 300).toDF("s")
+    val cols = col("s") +: (Hashing.h32(col("s")).as("h") +:
+      (0 until 16).map(i => Hashing.seeded(i, col("s")).as(s"s$i")))
+    val rows = strs.select(cols: _*).collect()
+    rows.foreach { r =>
+      val h = r.getLong(1)
+      assert(h >= 0L && h < (1L << 32), s"h32 out of range: $h")
+      (0 until 16).foreach { i =>
+        val v = r.getLong(i + 2)
+        assert(v >= 0L && v < Hashing.P, s"seeded($i) out of range: $v")
+      }
+    }
+    // the affine family must not be degenerate: multipliers distinct
+    assert((0 until 16).map(Hashing.mult).distinct.size == 16)
+  }
+
+  test("shingle count: n words yield exactly max(n-2, 0) shingles when all distinct") {
+    val wordCounts = sample(Gen.choose(0, 40), 120)
+    val docs = wordCounts.zipWithIndex.map { case (n, i) =>
+      // globally unique words: every shingle distinct by construction
+      (i.toLong, (0 until n).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val counts = Dedup.shingleSet(docs, "doc_id", "text", 3)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    wordCounts.zipWithIndex.foreach { case (n, i) =>
+      val expected = math.max(n - 2, 0)
+      // split(" ") on "" yields one empty token, still below n=3
+      assert(counts.getOrElse(i.toLong, 0L) == expected,
+        s"doc $i with $n words: ${counts.getOrElse(i.toLong, 0L)} != $expected")
+    }
+  }
+
+  test("fitWithin: always inside the box, never upscaled, floors at 1, ratio kept") {
+    val dims = sample(Gen.zip(Gen.choose(1, 4000), Gen.choose(1, 4000)), 300)
+    val (fw, fh) = Multimodal.fitWithin(col("w"), col("h"), 320, 240)
+    val rows = dims.toDF("w", "h")
+      .select(col("w"), col("h"), fw.as("fw"), fh.as("fh"))
+      .as[(Int, Int, Int, Int)].collect()
+    rows.foreach { case (w, h, w2, h2) =>
+      assert(w2 >= 1 && h2 >= 1 && w2 <= 320 && h2 <= 240, s"($w,$h)->($w2,$h2)")
+      assert(w2 <= w && h2 <= h, s"upscaled ($w,$h)->($w2,$h2)")
+      if (w <= 320 && h <= 240) assert((w2, h2) == ((w, h)), "no-op case resized")
+    }
+  }
+
+  test("clamp-at-zero update semantics (ref buzzdb_lab1.cpp:619-622)") {
+    val cases = sample(Gen.zip(Gen.choose(0, 1000), Gen.choose(-2000, 2000)), 300)
+    val rows = cases.toDF("views", "delta")
+      .select(col("views"), col("delta"),
+        greatest(lit(0), col("views") + col("delta")).as("updated"))
+      .as[(Int, Int, Int)].collect()
+    rows.foreach { case (v, d, u) =>
+      assert(u == math.max(0, v + d), s"clamp($v, $d) = $u")
+    }
+  }
+}
