@@ -32,25 +32,18 @@ object VectorFunctions {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
-  /** Fixed-dimension dot product, fully codegen'd: Spark's
-    * higher-order functions (`zip_with`/`aggregate`) are
-    * CodegenFallback — every element costs an interpreted lambda
-    * dispatch — so for a known dim the sum is expanded into `dim`
-    * compiled element_at terms instead. The left-associated double
-    * sum keeps the same sequential summation order as the HOF fold
-    * and DuckDB's `list_dot_product`, so scores agree across all
-    * three paths (the only divergence is the sign of a -0.0 first
-    * term, unobservable after rounding).
+  /** The hot-path cosine: the native codegen'd
+    * [[graft.plans.CosineSimilarity]] expression — one fused loop
+    * over both arrays inside whole-stage codegen, dimension-agnostic.
+    * The HOF composition above is the no-custom-code reference
+    * semantics; this is the production form ([[cosine]] and this must
+    * agree exactly — asserted by ExpressionSpec).
     */
-  def dotFixed(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduce(_ + _)
-
-  /** Codegen'd fixed-dimension [[cosine]]. */
-  def cosineFixed(a: Column, b: Column, dim: Int): Column =
-    dotFixed(a, b, dim) /
-      (sqrt(dotFixed(a, a, dim)) * sqrt(dotFixed(b, b, dim)))
+  def cosineNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.CosineSimilarity(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   /** DuckDB twin of [[cosine]] over list expressions. */
   def cosineSql(a: String, b: String): String =

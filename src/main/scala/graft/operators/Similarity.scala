@@ -21,16 +21,16 @@ import graft.functions.VectorFunctions._
 object Similarity {
 
   /** Exact top-k neighbors for each query vector (excluding self).
-    * `dim` is the (fixed) embedding dimensionality — scoring uses the
-    * codegen'd [[cosineFixed]] expansion, the hot path of every tier.
+    * Scoring uses the native fused-loop expression
+    * ([[graft.plans.CosineSimilarity]]) — the hot path of every tier.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     id: String, vec: String, k: Int, dim: Int = 64): DataFrame = {
+                     id: String, vec: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv")))
     val scored = corpus.select(col(id), col(vec))
       .join(q, col(id) =!= col("query_id"))
       .select(col("query_id"), col(id),
-        round(cosineFixed(col("qv"), col(vec), dim), 6).as("cos_sim"))
+        round(cosineNative(col("qv"), col(vec)), 6).as("cos_sim"))
     topK(scored, id, k)
   }
 
@@ -43,7 +43,7 @@ object Similarity {
     */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame,
                    id: String, vec: String, k: Int, bits: Int = 8,
-                   multiProbe: Boolean = true, dim: Int = 64): DataFrame = {
+                   multiProbe: Boolean = true): DataFrame = {
     val bucketed = corpus.select(col(id), col(vec),
       signBucket(col(vec), bits).as("bucket"))
     val probe =
@@ -54,7 +54,7 @@ object Similarity {
     val scored = bucketed.join(q,
         bucketed("bucket") === q("bucket") && col(id) =!= col("query_id"))
       .select(col("query_id"), col(id),
-        round(cosineFixed(col("qv"), col(vec), dim), 6).as("cos_sim"))
+        round(cosineNative(col("qv"), col(vec)), 6).as("cos_sim"))
     topK(scored, id, k)
   }
 
@@ -72,7 +72,7 @@ object Similarity {
     * companion yields no row — the correct "nothing near" answer.
     */
   def bucketedSweep(corpus: DataFrame, id: String, vec: String, k: Int,
-                    bits: Int = 8, dim: Int = 64): DataFrame = {
+                    bits: Int = 8): DataFrame = {
     val c = corpus.select(col(id), col(vec),
       signBucket(col(vec), bits).as("bucket"))
     val q = corpus.select(col(id).as("query_id"), col(vec).as("qv"),
@@ -80,7 +80,7 @@ object Similarity {
     val scored = c.join(q, Seq("bucket"))
       .filter(col(id) =!= col("query_id"))
       .select(col("query_id"), col(id),
-        round(cosineFixed(col("qv"), col(vec), dim), 6).as("cos_sim"))
+        round(cosineNative(col("qv"), col(vec)), 6).as("cos_sim"))
     topK(scored, id, k)
   }
 
@@ -97,14 +97,14 @@ object Similarity {
     * cell key only — no corpus broadcast, no O(N²).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-              k: Int, nCells: Int = 16, nProbe: Int = 2, dim: Int = 64): DataFrame = {
+              k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
     val pivots = broadcast(corpus.filter(col(id) < nCells)
       .select(col(id).as("cell"), col(vec).as("pv")))
     def assign(df: DataFrame, outId: String, outVec: String, top: Int) = {
       val w = Window.partitionBy(outId).orderBy(desc("pcos"), asc("cell"))
       df.crossJoin(pivots)
         .select(col(outId), col(outVec), col("cell"),
-          cosineFixed(col(outVec), col("pv"), dim).as("pcos"))
+          cosineNative(col(outVec), col("pv")).as("pcos"))
         .withColumn("prnk", row_number().over(w))
         .filter(col("prnk") <= top)
         .select(col(outId), col(outVec), col("cell"))
@@ -117,7 +117,7 @@ object Similarity {
     val scored = cells.join(probes, Seq("cell"))
       .filter(col(id) =!= col("query_id"))
       .select(col("query_id"), col(id),
-        round(cosineFixed(col("qv"), col(vec), dim), 6).as("cos_sim"))
+        round(cosineNative(col("qv"), col(vec)), 6).as("cos_sim"))
     topK(scored, id, k)
   }
 

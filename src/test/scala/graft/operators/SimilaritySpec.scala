@@ -17,7 +17,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("bruteForceTopK ranks by cosine with correct values") {
     val out = Similarity.bruteForceTopK(
-      vecs, vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", 3, dim = 4)
+      vecs, vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", 3)
       .select("vec_id", "cos_sim", "rnk").as[(Long, Double, Long)]
       .collect().toSeq
     assert(out.map(_._1) == Seq(1L, 2L, 3L))      // by descending cosine
@@ -28,7 +28,7 @@ class SimilaritySpec extends SparkSpec {
   test("single-probe bucketedTopK only scores within the query's sign bucket") {
     val out = Similarity.bucketedTopK(
       vecs, vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", 3,
-      bits = 4, multiProbe = false, dim = 4)
+      bits = 4, multiProbe = false)
       .select("vec_id").as[Long].collect().toSet
     // vec 1 shares bucket "1000"; vec 2 ("0100") and 3 ("0000") do not
     assert(out == Set(1L))
@@ -37,7 +37,7 @@ class SimilaritySpec extends SparkSpec {
   test("multi-probe bucketedTopK reaches the Hamming-1 shell, no duplicates") {
     val out = Similarity.bucketedTopK(
       vecs, vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", 3,
-      bits = 4, dim = 4)
+      bits = 4)
       .select("vec_id").as[Long].collect().toSeq
     // vec 3 ("0000") is one bit-flip from "1000"; vec 2 ("0100") is two
     assert(out.toSet == Set(1L, 3L))
@@ -74,12 +74,12 @@ class SimilaritySpec extends SparkSpec {
     // (cos 0 > -0.110), 3->cell1 (cos -0.993 > -1)
     val one = Similarity.ivfTopK(
       vecs, vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
-      k = 3, nCells = 2, nProbe = 1, dim = 4)
+      k = 3, nCells = 2, nProbe = 1)
       .select("vec_id").as[Long].collect().toSet
     assert(one == Set(2L)) // only cell 0 probed; self excluded
     val two = Similarity.ivfTopK(
       vecs, vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
-      k = 3, nCells = 2, nProbe = 2, dim = 4)
+      k = 3, nCells = 2, nProbe = 2)
       .select("vec_id").as[Long].collect().toSeq
     assert(two.toSet == Set(1L, 2L, 3L)) // both cells probed
     assert(two.size == two.toSet.size)   // each pair scored once
