@@ -222,6 +222,31 @@ object AnalyticsQueries {
       |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin)
 
+  /** Rollup with subtotals and grand total (the grouping-sets family,
+    * SURVEY.md §2.4 extension row). Null group keys from the rollup
+    * are folded to 'ALL' on both engines so the hash compare never
+    * depends on null rendering; `gid` disambiguates a real 'ALL'
+    * value from a rollup subtotal.
+    */
+  val rollupRevenue: Q = Q(
+    (s, d) => t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"),
+        count("*").as("n"), grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("rev_cents"), col("n"), col("gid"))
+      .orderBy("gid", "l_returnflag", "l_linestatus"),
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  count(*)::BIGINT AS n,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
@@ -230,5 +255,6 @@ object AnalyticsQueries {
     "q19_json_props"       -> jsonProps,
     "q20_sessionize"       -> sessionize,
     "q21_approx_distinct"  -> approxDistinct,
-    "q35_asof_join"        -> asofJoin)
+    "q35_asof_join"        -> asofJoin,
+    "q37_rollup_revenue"   -> rollupRevenue)
 }
