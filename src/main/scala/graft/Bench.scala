@@ -37,17 +37,26 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // min of 2 executions per query: this box is shared and a single
+    // sample can spike 5× from neighbor noise/GC; the min is the
+    // steady-state cost of the plan, which is what the number is for.
+    // Each execution still runs the full plan through the noop sink.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}".take(200)
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}".take(200)
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries may persist() intermediate frames (q24); don't let
+        // the cache bleed into the next measurement
+        spark.catalog.clearCache()
+        if (ok) Some(dt) else None
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries may persist() intermediate frames (q24); don't let the
-      // cache bleed into the next measurement
-      spark.catalog.clearCache()
-      name -> dt
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
