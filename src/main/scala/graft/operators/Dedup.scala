@@ -68,9 +68,15 @@ object Dedup {
                    n: Int = 3, minJaccard: Double = 0.5,
                    maxDf: Int = 100): DataFrame = {
     val all = shingleSet(docs, id, text, n)
-    val keep = all.groupBy(col("s")).agg(count("*").as("df"))
-      .filter(col("df") <= maxDf).select("s")
-    val sh = all.join(keep, Seq("s"), "leftsemi").persist()
+    // The cap is applied by ANTI-joining the hot set (df > maxDf), not
+    // semi-joining the keep set: hot shingles are few by definition
+    // (ubiquitous boilerplate), so the anti side broadcasts at any
+    // corpus size, whereas the keep set grows with the corpus and
+    // would force a full shuffle (or a giant broadcast) of the shingle
+    // universe just to filter it.
+    val hot = all.groupBy(col("s")).agg(count("*").as("df"))
+      .filter(col("df") > maxDf).select("s")
+    val sh = all.join(broadcast(hot), Seq("s"), "leftanti").persist()
     val sizes = sh.groupBy(col(id)).agg(count("*").as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), Seq("s"))
       .filter(col(s"a.$id") < col(s"b.$id"))

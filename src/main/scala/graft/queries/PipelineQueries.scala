@@ -58,8 +58,8 @@ object PipelineQueries {
        |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr FROM documents),
        |sh0 AS (
        |  SELECT DISTINCT doc_id, unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
-       |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $MAX_DF),
-       |sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (SELECT s FROM keep)),
+       |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > $MAX_DF),
+       |sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
