@@ -84,6 +84,30 @@ object Similarity {
     topK(scored, id, k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: every (a, b) with
+    * cos(a, b) ≥ `minCos` whose sign buckets are within Hamming
+    * distance 1 — the dedup-framed counterpart of [[bucketedSweep]]
+    * (pairs above a threshold instead of top-k per vector). The probe
+    * side explodes into the Hamming-1 shell and the join shuffles on
+    * the bucket key only, so the shape is the same sub-quadratic one.
+    * No `distinct` is needed: a pair's buckets are at one fixed
+    * Hamming distance, the probe keys of a vector are pairwise
+    * distinct, and the `id_a < id_b` guard keeps a single orientation
+    * — each qualifying pair is emitted exactly once.
+    */
+  def nearDupPairs(corpus: DataFrame, id: String, vec: String,
+                   minCos: Double, bits: Int = 8): DataFrame = {
+    val c = corpus.select(col(id).as("id_b"), col(vec).as("vb"),
+      signBucket(col(vec), bits).as("bucket"))
+    val q = corpus.select(col(id).as("id_a"), col(vec).as("va"),
+      explode(probeBuckets(col(vec), bits)).as("bucket"))
+    q.join(c, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosineNative(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
   /** IVF-style approximate top-k: a coarse quantizer partitions the
     * corpus into `nCells` cells (each vector assigned to its nearest
     * pivot), and a query scores only the vectors in its `nProbe`

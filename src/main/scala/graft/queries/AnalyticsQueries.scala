@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 
 /** Analytical workloads beyond the reference's surface: multi-way
   * joins, time bucketing, JSON extraction, approximate distinct — the
@@ -247,6 +247,107 @@ object AnalyticsQueries {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
 
+  /** Pivot (long → wide): daily event counts spread across one column
+    * per event type. The value list is explicit, which both fixes the
+    * output schema (no extra distinct-values pass over the data — at
+    * 100 TB an implicit pivot is a full second scan) and keeps the
+    * column set deterministic for the oracle. Pivot cells with no
+    * rows surface as null counts; they are folded to 0.
+    */
+  val pivotDaily: Q = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Q(
+      (s, d) => t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy("day").pivot("event_type", types).agg(count(lit(1)))
+        .select(col("day") +:
+          types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+        .orderBy("day"),
+      s"""SELECT date_trunc('day', ts) AS day,
+         |  ${types.map(tp =>
+              s"count(*) FILTER (WHERE event_type = '$tp')::BIGINT AS n_$tp")
+              .mkString(",\n  ")}
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin)
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`: both rank at (n-1)·p and linearly
+    * interpolate). The exact form is the correctness spec;
+    * `approx_percentile` (KLL-sketch, mergeable) is the drop-in at
+    * 100 TB the same way q21 shadows `countDistinct`.
+    */
+  val percentiles: Q = Q(
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("ps"),
+        count("*").as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 6).as("p25"),
+        round(element_at(col("ps"), 2), 6).as("p50"),
+        round(element_at(col("ps"), 3), 6).as("p75"),
+        col("n"))
+      .orderBy("l_returnflag"),
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      |  round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+      |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+      |  count(*)::BIGINT AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  /** Attribution-window range join: purchases matched to any click by
+    * the same user in the preceding 3 days ([[RangeJoin.inWindow]] —
+    * day-bucketed equi-join, never a per-user cross product),
+    * aggregated per user.
+    */
+  val rangeAttribution: Q = {
+    val DAYS = 3
+    Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        RangeJoin.inWindow(purchases, "p_user", "p_ts",
+            clicks, "c_user", "c_ts", DAYS)
+          .groupBy(col("p_user").as("user_id"))
+          .agg(count("*").as("n_attributed"),
+            sum(cents(col("value"))).as("value_cents"))
+          .orderBy("user_id")
+      },
+      s"""SELECT p.user_id,
+         |  count(*)::BIGINT AS n_attributed,
+         |  CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         |FROM events p JOIN events c
+         |  ON p.user_id = c.user_id
+         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+         |  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL $DAYS DAY
+         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin)
+  }
+
+  /** Second-moment statistics per group: Pearson correlation, sample
+    * stddev, mean. Both engines compute these from merged co-moments
+    * in double precision; agreement to 6 dp is the determinism
+    * contract (the exact-cents trick has no analog for ratios).
+    */
+  val corrStats: Q = Q(
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(stddev_samp(col("l_discount")), 6).as("sd_discount"),
+        round(avg(col("l_tax")), 6).as("avg_tax"),
+        count("*").as("n"))
+      .orderBy("l_returnflag"),
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(stddev_samp(l_discount), 6) AS sd_discount,
+      |  round(avg(l_tax), 6) AS avg_tax,
+      |  count(*)::BIGINT AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
@@ -256,5 +357,9 @@ object AnalyticsQueries {
     "q20_sessionize"       -> sessionize,
     "q21_approx_distinct"  -> approxDistinct,
     "q35_asof_join"        -> asofJoin,
-    "q37_rollup_revenue"   -> rollupRevenue)
+    "q37_rollup_revenue"   -> rollupRevenue,
+    "q38_pivot_daily"      -> pivotDaily,
+    "q39_percentiles"      -> percentiles,
+    "q40_range_attrib"     -> rangeAttribution,
+    "q41_corr_stats"       -> corrStats)
 }

@@ -461,6 +461,78 @@ object PipelineQueries {
          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** Embedding-cosine near-duplicate pairs — the vector-space member
+    * of the dedup family (exact q22 / Jaccard q23 / MinHash q24 /
+    * SimHash q25 cover the text side). The corpus is random synthetic
+    * vectors with no natural near-dups (max in-bucket cosine ≈ 0.43),
+    * so duplicates are synthesized the same way q22 does: every
+    * vector re-injected under a shifted id. [[Similarity.nearDupPairs]]
+    * must then recover exactly the injected pairs at cos ≥ 0.999
+    * through the multi-probe bucket join, with no random pair leaking
+    * past the threshold.
+    */
+  val embedDupes: Q = {
+    val BITS = 8; val MIN_COS = 0.999
+    val bucket = VectorFunctions.signBucketSql("embedding", BITS)
+    val probes = VectorFunctions.probeBucketsSql("va", BITS)
+      .map(p => s"SELECT id_a, va, $p AS bucket FROM c")
+      .mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val dupes = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding"))
+        Similarity.nearDupPairs(emb.unionByName(dupes),
+            "vec_id", "embedding", MIN_COS, BITS)
+          .orderBy("id_a", "id_b")
+      },
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+         |c AS (
+         |  SELECT vec_id AS id_a, embedding::DOUBLE[] AS va, $bucket AS bucket
+         |  FROM corpus),
+         |b AS (
+         |  SELECT vec_id AS id_b, embedding::DOUBLE[] AS vb, $bucket AS bucket
+         |  FROM corpus),
+         |probes AS (
+         |  $probes),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    round(${VectorFunctions.cosineSql("va", "vb")}, 6) AS cos_sim
+         |  FROM probes p JOIN b ON p.bucket = b.bucket AND p.id_a < b.id_b)
+         |SELECT id_a, id_b, cos_sim FROM scored
+         |WHERE cos_sim >= $MIN_COS ORDER BY id_a, id_b""".stripMargin)
+  }
+
+  /** Deterministic train/val/test split by content-independent id
+    * hash (80/10/10) — the reproducible alternative to `TABLESAMPLE`
+    * (sample membership must not depend on partitioning, execution
+    * order, or a seed's RNG stream; h32(id) mod 100 is the same on
+    * every engine and every run). Reported as per-(lang, split)
+    * counts.
+    */
+  val hashSplit: Q = {
+    Q(
+      (s, d) => {
+        val bucket = Hashing.h32(col("doc_id").cast("string")) % 100
+        val split = when(bucket < 80, "train")
+          .when(bucket < 90, "val").otherwise("test")
+        t(s, d, "documents")
+          .select(col("lang"), split.as("split"))
+          .groupBy("lang", "split").agg(count("*").as("n"))
+          .orderBy("lang", "split")
+      },
+      s"""WITH s AS (
+         |  SELECT lang,
+         |    CASE WHEN ${Hashing.h32Sql("doc_id::VARCHAR")} % 100 < 80 THEN 'train'
+         |         WHEN ${Hashing.h32Sql("doc_id::VARCHAR")} % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT lang, split, count(*)::BIGINT AS n
+         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin)
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal pipeline over opaque binary content: stub-decoded
@@ -525,5 +597,7 @@ object PipelineQueries {
     "q32_fingerprints"   -> fingerprints,
     "q33_multimodal_frames" -> multimodalFrames,
     "q34_ann_ivf"        -> annIvf,
-    "q36_tfidf_top"      -> tfidfTop)
+    "q36_tfidf_top"      -> tfidfTop,
+    "q42_embed_dupes"    -> embedDupes,
+    "q43_hash_split"     -> hashSplit)
 }

@@ -85,6 +85,30 @@ class SimilaritySpec extends SparkSpec {
     assert(two.size == two.toSet.size)   // each pair scored once
   }
 
+  test("nearDupPairs recovers injected duplicates exactly once, nothing else") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dupes = e.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val pairs = Similarity.nearDupPairs(
+        e.unionByName(dupes), "vec_id", "embedding", minCos = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs.size == pairs.toSet.size, "pair emitted more than once")
+    // exactly the 500 injected (v, v+10000) copies; random pairs top out
+    // far below the threshold
+    assert(pairs.toSet == (0L until 500L).map(i => (i, i + 10000L)).toSet)
+  }
+
+  test("nearDupPairs finds Hamming-1 bucket neighbors above threshold") {
+    val near = Seq(
+      (0L, Array(0.01f, 1f, 1f, 1f)),   // bucket 1111
+      (1L, Array(-0.01f, 1f, 1f, 1f)))  // bucket 0111, cos ≈ 0.9999
+      .toDF("vec_id", "embedding")
+    val out = Similarity.nearDupPairs(near, "vec_id", "embedding",
+        minCos = 0.99, bits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L)))
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val a = VectorFunctions.cosine(col("x"), col("y"))
     val row = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f)))
