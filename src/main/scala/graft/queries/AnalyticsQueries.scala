@@ -348,6 +348,39 @@ object AnalyticsQueries {
       |  count(*)::BIGINT AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
+  /** Range-frame window: rolling 7-day activity per user (count +
+    * exact-cents spend over `RANGE BETWEEN 7 DAYS PRECEDING AND
+    * CURRENT ROW`). The frame is a true range frame — peers at the
+    * same timestamp are in or out together, so the result is
+    * independent of intra-timestamp row order (a rows-frame would
+    * not be). Spark's range frame needs a numeric sort key; µs since
+    * epoch reproduces DuckDB's `INTERVAL 7 DAYS` bound exactly.
+    * Shape at scale: one hash shuffle on user_id + per-partition
+    * sort — same cost class as any windowed query.
+    */
+  val windowRange: Q = {
+    val DAYS = 7L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-DAYS * 86400L * 1000000L, 0L)
+        t(s, d, "events").select(
+          col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_7d"),
+          sum(cents(col("value"))).over(w).as("spend_7d_cents"))
+          .orderBy("event_id")
+      },
+      s"""SELECT event_id, user_id,
+         |  CAST(count(*) OVER w AS BIGINT) AS n_7d,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS spend_7d_cents
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+         |             RANGE BETWEEN INTERVAL $DAYS DAYS PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
@@ -361,5 +394,6 @@ object AnalyticsQueries {
     "q38_pivot_daily"      -> pivotDaily,
     "q39_percentiles"      -> percentiles,
     "q40_range_attrib"     -> rangeAttribution,
-    "q41_corr_stats"       -> corrStats)
+    "q41_corr_stats"       -> corrStats,
+    "q44_window_range"     -> windowRange)
 }

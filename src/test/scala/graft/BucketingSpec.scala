@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketed-table co-location: the shuffle-elimination strategy
+  * SCALE.md prescribes for repeated big-big joins at 100 TB. Both
+  * sides are written bucketed on the join key; a sort-merge join can
+  * then read bucket i of each side into the same task — zero
+  * Exchange in the plan. On a cluster this is the difference between
+  * re-shuffling 100 TB per join and never shuffling it again.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("join of co-bucketed tables plans without a shuffle exchange") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force a non-broadcast join so the exchange (or its absence) is visible
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = Tables(spark, sf0001, "orders")
+      val customer = Tables(spark, sf0001, "customer")
+      orders.write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("b_orders")
+      customer.write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("b_customer")
+
+      val joined = spark.table("b_orders").join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"co-bucketed join still shuffles:\n$plan")
+
+      // and it computes the same result as the unbucketed join
+      val expected = orders.join(customer, col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() == expected)
+
+      // a non-bucketed baseline of the same join DOES shuffle — the
+      // assertion above is meaningful
+      val baseline = orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .queryExecution.executedPlan.toString
+      assert(baseline.contains("Exchange"), baseline)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+}

@@ -22,6 +22,10 @@ object SparkSpec {
       // above either floor, so this only affects small inputs.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf, so set at build: saveAsTable targets (BucketingSpec)
+      // land in a temp dir, not the repo
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
