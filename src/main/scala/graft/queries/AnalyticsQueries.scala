@@ -179,14 +179,25 @@ object AnalyticsQueries {
     * that fails if the sketch ever drifts out of tolerance.
     */
   val approxDistinct: Q = Q(
-    (s, d) => t(s, d, "lineitem")
-      .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
+    (s, d) => {
+      // Two separate aggregations joined on their 1-row outputs, NOT
+      // one combined agg: mixing countDistinct with other aggregates
+      // makes Catalyst plan an Expand (one replicated row stream per
+      // aggregation path) and push every row twice through the
+      // aggregate — measured 5-9 s vs ~1 s at sf0.1. The split is
+      // also the scale shape: distinct-then-count does partial
+      // distinct per partition before the shuffle.
+      val li = t(s, d, "lineitem")
+      val exact = li.select("l_partkey").distinct()
+        .agg(count("*").as("exact_parts"))
+      val approx = li.agg(
         approx_count_distinct("l_partkey", 0.01).as("approx_parts"),
         count("*").as("n"))
-      .select(col("exact_parts"), col("n"),
-        (abs(col("approx_parts") - col("exact_parts")) <=
-          col("exact_parts") * lit(0.02)).as("within_2pct")),
+      exact.crossJoin(broadcast(approx))
+        .select(col("exact_parts"), col("n"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.02)).as("within_2pct"))
+    },
     """SELECT count(DISTINCT l_partkey)::BIGINT AS exact_parts,
       |  count(*)::BIGINT AS n, TRUE AS within_2pct
       |FROM lineitem""".stripMargin)
