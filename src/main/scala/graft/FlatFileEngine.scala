@@ -128,6 +128,34 @@ class FlatFileEngine(spark: SparkSession, dir: String) {
       CsvIngest.readFlatFile(spark, tablePath("engagements"), engagementSchema),
       "postId", posts.select(col("id")), "id")
 
+  // ----------------------------------------------------------- time travel
+
+  /** Committed snapshot versions of a table, ascending. Depth is
+    * bounded by the vacuum horizon: the current generation plus the
+    * one it replaced (see [[swapIn]]) — the single-table form of a
+    * table format's retention window.
+    */
+  def snapshotVersions(table: String): Seq[Long] =
+    listVersions(table).filter(v => committed(v._2)).map(_._1).sorted
+
+  /** Time-travel read of one committed snapshot version (raw rows —
+    * RI filtering is a load-time semantic of the *current* tables, not
+    * of a historical snapshot).
+    */
+  def tableAt(table: String, version: Long): DataFrame = {
+    require(snapshotVersions(table).contains(version),
+      s"$table has no committed version $version " +
+        s"(retained: ${snapshotVersions(table).mkString(", ")})")
+    CsvIngest.readFlatFile(spark, path(table) + ".v" + version, schemaOf(table))
+  }
+
+  private def schemaOf(table: String): StructType = table match {
+    case "users"       => userSchema
+    case "posts"       => postSchema
+    case "engagements" => engagementSchema
+    case other => throw new IllegalArgumentException(s"unknown table $other")
+  }
+
   // ---------------------------------------------------------------- writes
 
   /** `updatePostViews` (buzzdb_lab1.cpp:603-631): clamp-at-zero delta

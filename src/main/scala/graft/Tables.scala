@@ -19,6 +19,16 @@ object Tables {
     if (name == "events") readEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Register every table as a session temp view, exposing the full
+    * Spark SQL surface over the same data (the reference has no SQL
+    * layer at all — SURVEY.md §3; here parser/analyzer/optimizer come
+    * with the platform). Queries built via `spark.sql` after this are
+    * planned by the exact same Catalyst pipeline as the DataFrame
+    * ones — q45 exercises the path end-to-end against its oracle.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects outright. The session must be built with
     * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/

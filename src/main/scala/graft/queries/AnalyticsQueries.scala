@@ -392,6 +392,30 @@ object AnalyticsQueries {
          |ORDER BY event_id""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS — the general member of the family whose
+    * chain form is q37's rollup — run through `spark.sql` over
+    * registered views ([[Tables.registerAll]]): the one query that
+    * exercises the engine's full SQL surface (parser → analyzer →
+    * the same Catalyst plan the DataFrame API builds). The SQL text
+    * is dialect-portable; the oracle differs only in DuckDB's BIGINT
+    * count cast.
+    */
+  val groupingSets: Q = {
+    def sql(countExpr: String) =
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+         |  $countExpr AS n,
+         |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |                        (l_returnflag), (l_linestatus), ())
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+    Q(
+      (s, d) => { Tables.registerAll(s, d); s.sql(sql("count(*)")) },
+      sql("count(*)::BIGINT"))
+  }
+
   val all: Map[String, Q] = Map(
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
@@ -406,5 +430,6 @@ object AnalyticsQueries {
     "q39_percentiles"      -> percentiles,
     "q40_range_attrib"     -> rangeAttribution,
     "q41_corr_stats"       -> corrStats,
-    "q44_window_range"     -> windowRange)
+    "q44_window_range"     -> windowRange,
+    "q45_grouping_sets"    -> groupingSets)
 }

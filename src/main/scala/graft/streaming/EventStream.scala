@@ -42,4 +42,17 @@ object EventStream {
       .groupBy(window(col(tsCol), windowLen).as("win"), col(typeCol))
       .agg(count("*").as("n"))
       .select(col("win.start").as("win_start"), col(typeCol), col("n"))
+
+  /** Streaming exact dedup — the stream form of q22: an event id seen
+    * again within the watermark horizon is dropped (at-least-once
+    * feeds: redeliveries, producer retries). State is keyed on the id
+    * only and evicted once the watermark passes the first sighting's
+    * event time, so it stays bounded no matter how long the stream
+    * runs — the property that makes dedup deployable on an unbounded
+    * feed, where a batch `dropDuplicates` would need all history.
+    */
+  def dedupedWithinWatermark(events: DataFrame, tsCol: String, idCol: String,
+                             lateness: String): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(idCol)
 }

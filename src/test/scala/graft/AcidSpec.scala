@@ -37,6 +37,23 @@ class AcidSpec extends SparkSpec {
   private def views(e: FlatFileEngine, id: Int): Int =
     e.posts.filter(col("id") === id).select("views").as[Int].head()
 
+  test("time travel: previous committed snapshot stays readable until vacuumed") {
+    val dir = freshDir()
+    val engine = new FlatFileEngine(spark, dir)
+    assert(engine.updatePostViews(19, +1))  // v1: 100
+    assert(engine.updatePostViews(19, +5))  // v2: 105, fixture vacuumed
+    assert(engine.snapshotVersions("posts") == Seq(1L, 2L))
+    def viewsAt(v: Long): Int = engine.tableAt("posts", v)
+      .filter(col("id") === 19).select("views").as[Int].head()
+    assert(viewsAt(1L) == 100)
+    assert(viewsAt(2L) == 105)
+    // beyond the retention horizon → refused, not silently wrong
+    intercept[IllegalArgumentException](engine.tableAt("posts", 99L))
+    // a third commit vacuums v1
+    assert(engine.updatePostViews(19, +1))
+    assert(engine.snapshotVersions("posts") == Seq(2L, 3L))
+  }
+
   test("sequential batched updates persist the exact total (ref test 7)") {
     val dir = freshDir()
     val engine = new FlatFileEngine(spark, dir)

@@ -22,6 +22,37 @@ class EventStreamSpec extends SparkSpec {
       s"""{"user_id":$u,"ts":"$ts","event_type":"$t"}"""
     }.mkString("\n"))
 
+  test("streaming dedup drops redelivered event ids across micro-batches") {
+    val schema = "event_id LONG, ts TIMESTAMP, event_type STRING"
+    def write(dir: Path, name: String, rows: Seq[(Long, String, String)]): Unit =
+      Files.writeString(dir.resolve(name), rows.map { case (id, ts, t) =>
+        s"""{"event_id":$id,"ts":"$ts","event_type":"$t"}"""
+      }.mkString("\n"))
+
+    val dir = Files.createTempDirectory("graft-dedup-stream")
+    val stream = spark.readStream.schema(schema).json(dir.toString)
+    val deduped = EventStream.dedupedWithinWatermark(stream, "ts", "event_id", "30 minutes")
+    val q = deduped.writeStream.format("memory").queryName("ev_dedup")
+      .outputMode("append").start()
+    try {
+      // id 1 delivered twice in one batch, id 2 redelivered in the
+      // next micro-batch (same event time): both must surface once
+      write(dir, "b1.json", Seq(
+        (1L, "2026-01-01T10:00:00", "click"),
+        (1L, "2026-01-01T10:00:00", "click"),
+        (2L, "2026-01-01T10:01:00", "view")))
+      q.processAllAvailable()
+      write(dir, "b2.json", Seq(
+        (2L, "2026-01-01T10:01:00", "view"),
+        (3L, "2026-01-01T10:02:00", "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.table("ev_dedup").select("event_id")
+      .as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("streamed FK-validated windowed counts equal the batch aggregation") {
     val users = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
     // two 15-minute windows; user 99 violates the FK; the 10:05 view
