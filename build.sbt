@@ -13,8 +13,12 @@ Test / fork := true
 run / fork := true
 // Pass forked-run output through unwrapped: sbt's default logger prefixes
 // every stdout line with "[info] ", which breaks machine parsing of the
-// one-line JSON metric emitted by graft.Bench / graft.Verify.
+// one-line JSON metric emitted by graft.Bench / graft.Verify. Must be
+// unscoped: `run / outputStrategy` does not reach the `runMain` task
+// (which is how the driver invokes Bench).
+outputStrategy := Some(StdoutOutput)
 run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
