@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.{Hashing, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{ConnectedComponents, Dedup, Similarity}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
   * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
@@ -74,54 +74,98 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin)
   }
 
+  // MinHash/LSH family constants shared by q24 (candidate pairs) and
+  // q46 (connected components over those pairs) — one definition, so
+  // the two queries and both oracles can never disagree on the family.
+  private val MH_K = 16; private val MH_BANDS = 4; private val MH_R = 4
+  private val MH_THRESH = 0.25
+
+  /** MinHash+LSH near-dup pairs (est_sim ≥ threshold) — the Spark
+    * side shared by q24 and q46. The signature frame feeds
+    * lshCandidates plus both sides of minhashEstimate — persist it so
+    * the explode+groupBy subtree runs once, not three times (one
+    * shuffle instead of three at any scale; Bench/Verify clearCache()
+    * between queries).
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = Dedup.minhashSignatures(t(s, d, "documents"), "doc_id", "text", MH_K)
+      .persist()
+    val cands = Dedup.lshCandidates(sig, "doc_id", MH_BANDS, MH_R)
+    Dedup.minhashEstimate(cands, sig, "doc_id", MH_K)
+      .filter(col("est_sim") >= MH_THRESH)
+  }
+
+  /** Oracle CTE chain ending in `pairs(id_a, id_b, est_sim)` — the SQL
+    * twin of [[minhashPairs]], generated from the same constants.
+    */
+  private def minhashPairsCtes: String = {
+    val sigCols = (0 until MH_K)
+      .map(i => s"min(${Hashing.seededSql(i, "s")}) AS h$i").mkString(",\n    ")
+    val bandRows = (0 until MH_BANDS).map { b =>
+      val key = (0 until MH_R).map(r => s"h${b * MH_R + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val matchSum = (0 until MH_K)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""w AS (
+       |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b, ($matchSum) / ${MH_K}.0 AS est_sim
+       |  FROM cand
+       |  JOIN sig sa ON id_a = sa.doc_id
+       |  JOIN sig sb ON id_b = sb.doc_id
+       |  WHERE ($matchSum) / ${MH_K}.0 >= $MH_THRESH)""".stripMargin
+  }
+
   /** MinHash(k=16) + LSH(4 bands × 4 rows) near-dup candidates with
     * matching-hash similarity estimate — the sub-quadratic scale path
     * whose candidates [[jaccardPairs]] verifies.
     */
-  val minhashLsh: Q = {
-    val K = 16; val BANDS = 4; val R = 4; val THRESH = 0.25
-    val fn = (s: SparkSession, d: String) => {
-      // the signature frame feeds lshCandidates plus both sides of
-      // minhashEstimate — persist it so the explode+groupBy subtree
-      // runs once, not three times (one shuffle instead of three at
-      // any scale; Bench/Verify clearCache() between queries)
-      val sig = Dedup.minhashSignatures(t(s, d, "documents"), "doc_id", "text", K)
-        .persist()
-      val cands = Dedup.lshCandidates(sig, "doc_id", BANDS, R)
-      Dedup.minhashEstimate(cands, sig, "doc_id", K)
-        .filter(col("est_sim") >= THRESH)
-        .orderBy("id_a", "id_b")
-    }
-    val sigCols = (0 until K)
-      .map(i => s"min(${Hashing.seededSql(i, "s")}) AS h$i").mkString(",\n    ")
-    val bandRows = (0 until BANDS).map { b =>
-      val key = (0 until R).map(r => s"h${b * R + r}").mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
-    }.mkString("\n  UNION ALL ")
-    val matchSum = (0 until K)
-      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
-    Q(fn,
-      s"""WITH w AS (
-         |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
-         |sig AS (
-         |  SELECT doc_id,
-         |    $sigCols
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  $bandRows),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, ($matchSum) / ${K}.0 AS est_sim
-         |FROM cand
-         |JOIN sig sa ON id_a = sa.doc_id
-         |JOIN sig sb ON id_b = sb.doc_id
-         |WHERE ($matchSum) / ${K}.0 >= $THRESH
-         |ORDER BY id_a, id_b""".stripMargin)
-  }
+  val minhashLsh: Q = Q(
+    (s, d) => minhashPairs(s, d).orderBy("id_a", "id_b"),
+    s"""WITH $minhashPairsCtes
+       |SELECT id_a, id_b, est_sim FROM pairs ORDER BY id_a, id_b""".stripMargin)
+
+  /** Near-dup clustering: connected components over the MinHash-LSH
+    * pair graph ([[ConnectedComponents.assign]] — alternating
+    * large-star/small-star, O(log n) groupBy rounds). Every document
+    * in a component is a transitive near-duplicate; the component
+    * label (= minimum doc_id) is the dedup survivor. The oracle walks
+    * the same pair graph with a recursive label-propagation CTE and
+    * takes min over reachable labels — exact on the small scale the
+    * gate runs at, while the Spark side is the shape that holds at
+    * 10⁹ nodes.
+    */
+  val dedupGroups: Q = Q(
+    (s, d) => {
+      val edges = minhashPairs(s, d)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+      ConnectedComponents.assign(edges)
+        .distinct()
+        .orderBy("node")
+    },
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |walk(n, m) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, walk.m FROM walk JOIN edges e ON e.u = walk.n)
+       |SELECT n AS node, min(m) AS component
+       |FROM walk GROUP BY n ORDER BY node""".stripMargin)
 
   /** 32-bit SimHash fingerprint per document. */
   val simhashFp: Q = {
@@ -599,5 +643,6 @@ object PipelineQueries {
     "q34_ann_ivf"        -> annIvf,
     "q36_tfidf_top"      -> tfidfTop,
     "q42_embed_dupes"    -> embedDupes,
-    "q43_hash_split"     -> hashSplit)
+    "q43_hash_split"     -> hashSplit,
+    "q46_dedup_groups"   -> dedupGroups)
 }
