@@ -51,6 +51,33 @@ object Dedup {
       .distinct()
   }
 
+  /** (id, shingle-key) pairs like [[shingleSet]], but the key is the
+    * 64-bit `xxhash64` of the n words instead of their concatenated
+    * text. Joining/shuffling near-dup candidates never needs the
+    * shingle's characters — only its identity — and an 8-byte key
+    * shuffles and sorts for a fraction of a ~25-byte string (and skips
+    * the concat allocation entirely). Collisions merge two shingles
+    * corpus-wide: P ≈ d²/2⁶⁵ for d distinct shingles, ~10⁻⁹ even at
+    * 10⁸ shingles, and a merge only perturbs Jaccard by one shingle.
+    */
+  def shingleKeys(docs: DataFrame, id: String, text: String, n: Int = 3): DataFrame =
+    shingleKeysRaw(docs, id, text, n).distinct()
+
+  /** [[shingleKeys]] before per-doc dedup — one row per shingle
+    * *occurrence*. Callers that are about to shuffle by `s` anyway
+    * (see [[jaccardPairs]]) dedup after that shuffle instead of paying
+    * a separate (id, s)-keyed exchange first.
+    */
+  private def shingleKeysRaw(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val w = TextFunctions.words(col(text))
+    docs.select(col(id), w.as("w"))
+      .select(col(id), col("w"),
+        explode(when(size(col("w")) >= n, sequence(lit(1), size(col("w")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col(id), xxhash64(
+        (0 until n).map(j => element_at(col("w"), col("i") + lit(j))): _*).as("s"))
+  }
+
   /** N-gram Jaccard similarity for every pair of docs sharing at
     * least one *informative* shingle. The shingle-key join means cost
     * is sum-over-shingles(docs²-within-shingle) — bounded by content
@@ -59,24 +86,35 @@ object Dedup {
     * `maxDf` are dropped first (the standard df-cap from the dedup
     * literature: a shingle in >maxDf docs carries no near-dup signal).
     * Set sizes are computed over the SAME capped universe, so the
-    * score stays a true Jaccard of the reduced sets. The capped frame
-    * is persisted: it feeds the size aggregate plus both sides of the
-    * self-join, and recomputing the explode+distinct subtree 3× is the
-    * difference between one scan and three at 10⁹ docs.
+    * score stays a true Jaccard of the reduced sets.
+    *
+    * Plan shape: the df-cap is a windowed count over the shingle key —
+    * ONE shuffle that both computes every shingle's document frequency
+    * and leaves the frame hash-partitioned by `s`, so the self-join
+    * below consumes the persisted frame with NO further exchange on
+    * either side (vs. the groupBy→broadcast→anti-join alternative:
+    * two extra stages and a broadcast barrier on the hot set). The
+    * capped frame is persisted: it feeds the size aggregate plus both
+    * sides of the self-join, and recomputing the explode+distinct
+    * subtree 3× is the difference between one scan and three at 10⁹
+    * docs.
     */
   def jaccardPairs(docs: DataFrame, id: String, text: String,
                    n: Int = 3, minJaccard: Double = 0.5,
                    maxDf: Int = 100): DataFrame = {
-    val all = shingleSet(docs, id, text, n)
-    // The cap is applied by ANTI-joining the hot set (df > maxDf), not
-    // semi-joining the keep set: hot shingles are few by definition
-    // (ubiquitous boilerplate), so the anti side broadcasts at any
-    // corpus size, whereas the keep set grows with the corpus and
-    // would force a full shuffle (or a giant broadcast) of the shingle
-    // universe just to filter it.
-    val hot = all.groupBy(col("s")).agg(count("*").as("df"))
-      .filter(col("df") > maxDf).select("s")
-    val sh = all.join(broadcast(hot), Seq("s"), "leftanti").persist()
+    import org.apache.spark.sql.expressions.Window
+    // One exchange for the whole build: hash-partition by shingle key,
+    // after which the (id, s) dedup (partitioning on s satisfies the
+    // subset clustering requirement), the windowed df count, AND both
+    // sides of the self-join all consume that same partitioning with
+    // no further exchange.
+    val sh = shingleKeysRaw(docs, id, text, n)
+      .repartition(col("s"))
+      .distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+      .persist()
     val sizes = sh.groupBy(col(id)).agg(count("*").as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), Seq("s"))
       .filter(col(s"a.$id") < col(s"b.$id"))
