@@ -197,4 +197,40 @@ object Dedup {
 
   private def bitSum(j: Int): Column =
     sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
+    * every `k`-char gram (a rolling-hash equivalent — positions are
+    * exploded and each gram hashed independently, which distributes
+    * where a sequential rolling hash cannot), then keep the minimum
+    * hash of every `w`-wide window of consecutive gram positions. Any
+    * shared substring of length ≥ k + w - 1 between two documents is
+    * guaranteed to contribute at least one identical fingerprint —
+    * the local-sampling property that makes winnowed sets comparable
+    * where head/tail hashes ([[graft.queries.PipelineQueries]] q32)
+    * only see boundaries. Output: distinct (id, fp) rows.
+    *
+    * Plan shape: explode → codegen'd hash → one window (single
+    * shuffle keyed by doc) → distinct; same per-doc-bounded cost as
+    * [[simhash]], no joins. Documents shorter than k produce no rows;
+    * shorter than k + w - 1 produce the min over all their grams
+    * (window start capped at 1).
+    */
+  def winnowFingerprints(docs: DataFrame, id: String, text: String,
+                         k: Int = 8, w: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nPos = length(col(text)) - (k - 1)
+    val grams = docs.select(col(id), col(text).as("t"),
+        greatest(nPos - (w - 1), lit(1)).as("max_start"),
+        explode(when(nPos >= 1, sequence(lit(1), nPos))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col(id), col("max_start"), col("pos"),
+        Hashing.h32(substr(col("t"), col("pos"), lit(k))).as("h"))
+    val win = Window.partitionBy(col(id)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams.withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") <= col("max_start"))
+      .select(col(id), col("fp"))
+      .distinct()
+  }
 }

@@ -167,6 +167,67 @@ object PipelineQueries {
        |SELECT n AS node, min(m) AS component
        |FROM walk GROUP BY n ORDER BY node""".stripMargin)
 
+  /** Winnowing fingerprints ([[Dedup.winnowFingerprints]]): the
+    * rolling-hash fingerprint family member — any shared run of
+    * k+w-1 = 23 chars between two docs yields a shared fingerprint.
+    * The oracle replays gram hashing and the window minimum with the
+    * same md5-derived h32 and the same ROWS frame.
+    */
+  val winnow: Q = {
+    val K = 8; val W = 16
+    Q(
+      (s, d) => Dedup.winnowFingerprints(t(s, d, "documents"), "doc_id", "text", K, W)
+        .orderBy("doc_id", "fp"),
+      s"""WITH g AS (
+         |  SELECT doc_id, text,
+         |    greatest(length(text) - ${K - 1} - ${W - 1}, 1) AS max_start,
+         |    unnest(range(1, greatest(length(text) - ${K - 1}, 0) + 1)) AS pos
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, max_start, pos,
+         |    ${Hashing.h32Sql(s"substr(text, pos::INT, $K)")} AS h
+         |  FROM g),
+         |f AS (
+         |  SELECT doc_id, pos, max_start,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS fp
+         |  FROM h)
+         |SELECT DISTINCT doc_id, fp FROM f
+         |WHERE pos <= max_start ORDER BY doc_id, fp""".stripMargin)
+  }
+
+  /** The dedup pipeline's terminal step: apply the q46 component
+    * assignment to the corpus — drop every document whose component
+    * label is a smaller doc_id (a transitive near-duplicate of the
+    * survivor), report per-language kept counts. documents ⟕̸ dupes is
+    * a broadcast-able anti-join (the dupe list is |pairs|-bounded,
+    * tiny relative to the corpus).
+    */
+  val dedupApply: Q = Q(
+    (s, d) => {
+      val edges = minhashPairs(s, d)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+      val dupes = ConnectedComponents.assign(edges)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id")).distinct()
+      t(s, d, "documents").join(broadcast(dupes), Seq("doc_id"), "leftanti")
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    },
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |walk(n, m) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, walk.m FROM walk JOIN edges e ON e.u = walk.n),
+       |comp AS (SELECT n AS node, min(m) AS component FROM walk GROUP BY n),
+       |dupes AS (SELECT node FROM comp WHERE node <> component)
+       |SELECT lang, count(*)::BIGINT AS n_kept FROM documents
+       |WHERE doc_id NOT IN (SELECT node FROM dupes)
+       |GROUP BY lang ORDER BY lang""".stripMargin)
+
   /** 32-bit SimHash fingerprint per document. */
   val simhashFp: Q = {
     val bitSums = (0 until 32)
@@ -644,5 +705,7 @@ object PipelineQueries {
     "q36_tfidf_top"      -> tfidfTop,
     "q42_embed_dupes"    -> embedDupes,
     "q43_hash_split"     -> hashSplit,
-    "q46_dedup_groups"   -> dedupGroups)
+    "q46_dedup_groups"   -> dedupGroups,
+    "q47_winnow_fp"      -> winnow,
+    "q48_dedup_apply"    -> dedupApply)
 }

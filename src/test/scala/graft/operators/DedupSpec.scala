@@ -51,6 +51,31 @@ class DedupSpec extends SparkSpec {
     assert(est.toSeq == Seq(1.0))
   }
 
+  test("winnowing: shared run >= k+w-1 chars guarantees a shared fingerprint") {
+    val k = 8; val w = 4
+    val shared = "zqxjkvbw marker run of text" // 27 chars > k+w-1 = 11
+    val d = Seq(
+      (1L, s"first document begins $shared and then diverges completely"),
+      (2L, s"totally other opening words $shared with a different ending"),
+      (3L, "no overlap with anything else at all here"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(d, "doc_id", "text", k, w)
+      .as[(Long, Long)].collect().toSeq
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)      // guarantee property
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)       // unrelated docs don't collide
+  }
+
+  test("winnowing: short docs yield one whole-doc window; sub-k docs none") {
+    val d = Seq((1L, "abcdefghij"), (2L, "abc")).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(d, "doc_id", "text", k = 8, w = 16)
+      .as[(Long, Long)].collect().toSeq
+    // doc 1: 3 gram positions, all < w -> exactly one min-of-all fingerprint
+    assert(fp.count(_._1 == 1L) == 1)
+    // doc 2: shorter than k -> no grams, no rows
+    assert(!fp.exists(_._1 == 2L))
+  }
+
   test("simhash: identical docs share fingerprints; near-dups are close") {
     val fp = Dedup.simhash(docs, "doc_id", "text")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
