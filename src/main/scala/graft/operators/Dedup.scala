@@ -220,7 +220,17 @@ object Dedup {
                          k: Int = 8, w: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nPos = length(col(text)) - (k - 1)
-    val grams = docs.select(col(id), col(text).as("t"),
+    // Repartition by doc BEFORE exploding: the window below needs
+    // HashPartitioning(id) anyway, and placing the exchange ahead of
+    // the explode (a) ships one text per doc instead of ~|text| gram
+    // rows (fewer shuffle bytes by w·|gram|/|char|), and (b) spreads
+    // the per-gram md5 work across the cluster even when the input
+    // arrives in few splits. Everything downstream — gram hashing,
+    // the window, the (id, fp) distinct — then runs with NO further
+    // exchange (partitioning on id satisfies both).
+    val grams = docs.select(col(id), col(text))
+      .repartition(col(id))
+      .select(col(id), col(text).as("t"),
         greatest(nPos - (w - 1), lit(1)).as("max_start"),
         explode(when(nPos >= 1, sequence(lit(1), nPos))
           .otherwise(array().cast("array<int>"))).as("pos"))
