@@ -47,9 +47,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q03_ri_sweep").contains("LeftAnti"))
   }
 
-  test("jaccard df-cap anti-joins a broadcast hot set (q23)") {
+  test("jaccard df-cap is a windowed count, not an extra join (q23)") {
     val p = plan("q23_jaccard_pairs")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // the cap rides the one shingle-key exchange as a window count;
+    // a regression back to groupBy+anti-join would show LeftAnti here
+    assert(p.contains("windowspecdefinition"), p)
+    assert(!p.contains("LeftAnti"), p)
+  }
+
+  test("winnowing build is a single exchange (q47)") {
+    val p = plan("q47_winnow_fp")
+    // repartition(doc) up front; gram hashing, the window minimum and
+    // the fingerprint distinct must all reuse that partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
   test("bucketed ANN joins on the bucket key — no nested loop (q27, q28, q42)") {
