@@ -638,6 +638,99 @@ object PipelineQueries {
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin)
   }
 
+  /** Deterministic stratified sample: the first N documents per
+    * language in content-independent h32(id) order — balanced
+    * cross-language subsets whose membership is reproducible on any
+    * engine, any partitioning, any run (the same determinism stance
+    * as [[hashSplit]]; `TABLESAMPLE`/`rand()` give neither balance
+    * nor reproducibility). One window shuffle keyed by the stratum.
+    */
+  val stratifiedSample: Q = {
+    val N = 20
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val win = Window.partitionBy("lang")
+          .orderBy(Hashing.h32(col("doc_id").cast("string")), col("doc_id"))
+        t(s, d, "documents").select(col("lang"), col("doc_id"))
+          .withColumn("rnk", row_number().over(win))
+          .filter(col("rnk") <= N)
+          .orderBy("lang", "rnk")
+      },
+      s"""WITH r AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |                       ORDER BY ${Hashing.h32Sql("doc_id::VARCHAR")}, doc_id) AS rnk
+         |  FROM documents)
+         |SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk FROM r
+         |WHERE rnk <= $N ORDER BY lang, rnk""".stripMargin)
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥
+    * `MIN_SHARED` distinct word-3-gram shingles with a benchmark set
+    * (here: doc_id < 25 stands in for the eval suite). The shape that
+    * matters at 100 TB: the benchmark shingle set is bounded by the
+    * *benchmark* (small by construction), so it broadcasts and the
+    * corpus is scanned once with a semi-join probe — no corpus-sized
+    * shuffle, no pair materialization.
+    */
+  val decontaminate: Q = {
+    val BENCH_MAX = 25L; val MIN_SHARED = 5
+    Q(
+      (s, d) => {
+        val sh = Dedup.shingleKeys(t(s, d, "documents"), "doc_id", "text", 3)
+        val bench = sh.filter(col("doc_id") < BENCH_MAX).select("s").distinct()
+        sh.filter(col("doc_id") >= BENCH_MAX)
+          .join(broadcast(bench), Seq("s"), "leftsemi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= MIN_SHARED)
+          .orderBy("doc_id")
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < $BENCH_MAX)
+         |SELECT doc_id, count(*)::BIGINT AS n_shared
+         |FROM sh WHERE doc_id >= $BENCH_MAX AND s IN (SELECT s FROM bench)
+         |GROUP BY doc_id HAVING count(*) >= $MIN_SHARED
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Intra-document repetition: duplicate-trigram fraction
+    * (1 − distinct/total 3-grams) — the Gopher-style repetition
+    * signal that catches boilerplate loops [[textQuality]]'s
+    * type-token ratio sees only at the word level. Per-doc bounded:
+    * one explode + one groupBy, no cross-doc work.
+    */
+  val repetition: Q = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val total = docs.select(col("doc_id"),
+        greatest(size(TextFunctions.words(col("text"))) - 2, lit(0)).as("n_total"))
+      val dist = Dedup.shingleKeys(docs, "doc_id", "text", 3)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+      total.join(dist, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_total"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          round(when(col("n_total") > 0,
+            lit(1.0) - coalesce(col("n_distinct"), lit(0L)) / col("n_total").cast("double"))
+            .otherwise(lit(0.0)), 6).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+    s"""WITH w AS (
+       |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr FROM documents),
+       |tot AS (SELECT doc_id, greatest(len(arr) - 2, 0)::INT AS n_total FROM w),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
+       |dst AS (SELECT doc_id, count(*)::BIGINT AS n_distinct FROM sh GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_total, coalesce(d.n_distinct, 0)::BIGINT AS n_distinct,
+       |  round(CASE WHEN t.n_total > 0
+       |        THEN 1.0 - coalesce(d.n_distinct, 0) / t.n_total::DOUBLE
+       |        ELSE 0.0 END, 6) AS rep_ratio
+       |FROM tot t LEFT JOIN dst d ON t.doc_id = d.doc_id
+       |ORDER BY t.doc_id""".stripMargin)
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal pipeline over opaque binary content: stub-decoded
@@ -707,5 +800,8 @@ object PipelineQueries {
     "q43_hash_split"     -> hashSplit,
     "q46_dedup_groups"   -> dedupGroups,
     "q47_winnow_fp"      -> winnow,
-    "q48_dedup_apply"    -> dedupApply)
+    "q48_dedup_apply"    -> dedupApply,
+    "q49_stratified_sample" -> stratifiedSample,
+    "q50_decontaminate"  -> decontaminate,
+    "q51_repetition"     -> repetition)
 }
