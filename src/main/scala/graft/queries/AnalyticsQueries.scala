@@ -416,6 +416,44 @@ object AnalyticsQueries {
       sql("count(*)::BIGINT"))
   }
 
+  /** Gap-merged session spans per user via the native `session_window`
+    * operator ([[graft.streaming.EventStream.sessionWindowCounts]] —
+    * the same code streams with a watermark; q20 counts sessions, this
+    * materializes them). Span bounds are emitted as epoch MICROS
+    * (bigint) because Spark's session end is `last event + gap` at
+    * µs precision while the raw parquet carries nanos — integer µs is
+    * the precision both engines share exactly. The oracle rebuilds
+    * the same sessions with the standard gaps-and-islands window SQL.
+    */
+  val sessionWindows: Q = {
+    val GAP_US = 1800000000L // 30 minutes
+    Q(
+      (s, d) => graft.streaming.EventStream.sessionWindowCounts(
+          t(s, d, "events"), "ts", "user_id", "30 minutes", "0 seconds")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us"),
+      s"""WITH x AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $GAP_US
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |g AS (
+         |  SELECT user_id, ts,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                   ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM x)
+         |SELECT user_id,
+         |  min(epoch_us(ts)) AS start_us,
+         |  max(epoch_us(ts)) + $GAP_US AS end_us,
+         |  count(*)::BIGINT AS n_events
+         |FROM g GROUP BY user_id, grp
+         |ORDER BY user_id, start_us""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
@@ -431,5 +469,6 @@ object AnalyticsQueries {
     "q40_range_attrib"     -> rangeAttribution,
     "q41_corr_stats"       -> corrStats,
     "q44_window_range"     -> windowRange,
-    "q45_grouping_sets"    -> groupingSets)
+    "q45_grouping_sets"    -> groupingSets,
+    "q52_session_windows"  -> sessionWindows)
 }

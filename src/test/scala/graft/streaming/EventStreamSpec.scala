@@ -53,6 +53,40 @@ class EventStreamSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("stateful sessionize closes sessions on gap break and on idle timeout") {
+    val schema = "user_id LONG, ts TIMESTAMP, event_type STRING"
+    val dir = Files.createTempDirectory("graft-session-stream")
+    val stream = spark.readStream.schema(schema).json(dir.toString)
+      .as[SessionEvent]
+    val sessions = EventStream.sessionize(
+      stream, gapMs = 30 * 60 * 1000L, lateness = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("ev_sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session); user 7: one event
+      writeJson(dir, "b1.json", Seq(
+        (1L, "2026-01-01T10:00:00", "click"),
+        (1L, "2026-01-01T10:05:00", "view"),
+        (7L, "2026-01-01T10:00:00", "click")))
+      q.processAllAvailable()
+      // user 1 returns 2h later: breaks the gap (data path closes the
+      // first session); the watermark advance (12:00 - 10min) passes
+      // user 7's timeout (10:00 + 30min) -> idle path closes it
+      writeJson(dir, "b2.json", Seq(
+        (1L, "2026-01-01T12:00:00", "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val got = spark.table("ev_sessions")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:05:00"), 2L),
+      (7L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:00:00"), 1L)))
+    // user 1's 12:00 session is still open -> not emitted
+  }
+
   test("streamed FK-validated windowed counts equal the batch aggregation") {
     val users = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
     // two 15-minute windows; user 99 violates the FK; the 10:05 view
