@@ -59,8 +59,12 @@ object Bench {
           }
         val dt = (System.nanoTime() - t0) / 1e9
         // queries may persist() intermediate frames (q24); don't let
-        // the cache bleed into the next measurement
+        // the cache bleed into the next measurement. The explicit gc
+        // keeps one query's garbage from landing in another's timing
+        // (r02 measured a 0.8s query at 7.8s on all three iterations
+        // purely from inherited heap pressure).
         spark.catalog.clearCache()
+        System.gc()
         if (ok) Some(dt) else None
       }
       name -> (if (times.nonEmpty) times.min else -1.0)

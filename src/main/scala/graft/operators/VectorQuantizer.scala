@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means vector quantization (Lloyd's algorithm) over an
+  * embedding column — the trained upgrade of [[Similarity.ivfTopK]]'s
+  * deterministic pivot quantizer: run `fit`, feed the centroids to the
+  * IVF cell-assignment seam, and the inverted file clusters around
+  * actual data density instead of arbitrary pivots.
+  *
+  * Everything is exact integer arithmetic so the result is
+  * bit-identical on any engine, any partitioning, any executor count:
+  * components are scaled to micro-units (`round(x·10⁶)` longs),
+  * distances are exact long sums of squared deltas (|x| ≤ ~10³ and
+  * d ≤ 4096 stay far under 2⁶³), centroid updates re-quantize to the
+  * same scaled domain, and argmin ties break on the lowest cell id.
+  * Floating-point k-means would converge equally well but no two runs
+  * — let alone two engines — would agree bit-for-bit on the result;
+  * this is the same determinism stance as the integer-cents monetary
+  * sums (SCALE.md).
+  *
+  * Scale shape per iteration: one broadcast of the (c·d)-row centroid
+  * table against the long-form corpus, one groupBy (vec, cell) for
+  * distances, one window argmin keyed by vec, one groupBy (cell, dim)
+  * for the update — all shuffles keyed on corpus-sized keys, nothing
+  * driver-side, no O(N²) anywhere. Seeding is the first `c` vectors
+  * by id (deterministic; k-means|| would drop into the same seam).
+  */
+object VectorQuantizer {
+
+  private val SCALE = 1000000L
+
+  /** Long-form scaled corpus: (id, dim 1-based, xs = round(x·10⁶)). */
+  def scaled(emb: DataFrame, id: String, vec: String): DataFrame =
+    emb.select(col(id), posexplode(col(vec)).as(Seq("pos", "x")))
+      .select(col(id), (col("pos") + 1).as("dim"),
+        round(col("x").cast("double") * SCALE).cast("long").as("xs"))
+
+  /** `iters` Lloyd rounds from first-`c`-vectors seeds; returns
+    * (cell, dim, cs, n) — scaled centroid components plus the cell's
+    * final assignment count.
+    */
+  def fit(emb: DataFrame, id: String, vec: String,
+          c: Int, iters: Int): DataFrame = {
+    val e = scaled(emb, id, vec).persist()
+    var cent = e.filter(col(id) < c)
+      .select(col(id).as("cell"), col("dim"), col("xs").as("cs"))
+    var assign: DataFrame = null
+    for (_ <- 1 to iters) {
+      assign = assignCells(e, cent, id)
+      cent = e.join(assign, Seq(id))
+        .groupBy("cell", "dim")
+        .agg(round(sum(col("xs")) / count(lit(1))).cast("long").as("cs"))
+    }
+    val n = assign.groupBy("cell").agg(count(lit(1)).as("n"))
+    cent.join(n, Seq("cell"))
+  }
+
+  /** Nearest-centroid assignment: exact integer squared-L2 argmin,
+    * ties to the lowest cell id. Returns (id, cell).
+    */
+  def assignCells(scaledCorpus: DataFrame, cent: DataFrame,
+                  id: String): DataFrame = {
+    val d2 = scaledCorpus.join(broadcast(cent), Seq("dim"))
+      .groupBy(col(id), col("cell"))
+      .agg(sum((col("xs") - col("cs")) * (col("xs") - col("cs"))).as("d2"))
+    d2.withColumn("rnk",
+        row_number().over(Window.partitionBy(col(id)).orderBy(col("d2"), col("cell"))))
+      .filter(col("rnk") === 1)
+      .select(col(id), col("cell"))
+  }
+
+  /** Scaled centroid component back to a double in vector units. */
+  def unscale(cs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    cs / lit(SCALE.toDouble)
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.{Hashing, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ConnectedComponents, Dedup, Similarity}
+import graft.operators.{ConnectedComponents, Dedup, Similarity, VectorQuantizer}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
   * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
@@ -731,6 +731,52 @@ object PipelineQueries {
        |FROM tot t LEFT JOIN dst d ON t.doc_id = d.doc_id
        |ORDER BY t.doc_id""".stripMargin)
 
+  /** K-means vector quantization ([[VectorQuantizer]]): 2 Lloyd
+    * rounds, 8 cells, first-8-vectors seeding — the trained codebook
+    * for the IVF index (q34 uses raw pivots; this is the same seam
+    * with learned centroids). All-integer arithmetic end to end, so
+    * the oracle unrolls the identical two iterations in SQL and every
+    * centroid component matches bit-for-bit.
+    */
+  val kmeansCodebook: Q = {
+    val C = 8; val ITERS = 2
+    def iterCte(i: Int): String =
+      s"""d$i AS (
+         |  SELECT e.vec_id, c.cell,
+         |    sum((e.xs - c.cs) * (e.xs - c.cs)) AS d2
+         |  FROM e JOIN c${i - 1} c USING (dim)
+         |  GROUP BY e.vec_id, c.cell),
+         |a$i AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM d$i) WHERE rnk = 1),
+         |c$i AS (
+         |  SELECT a$i.cell, e.dim, round(sum(e.xs) / count(*))::BIGINT AS cs
+         |  FROM e JOIN a$i USING (vec_id)
+         |  GROUP BY a$i.cell, e.dim)"""
+    Q(
+      (s, d) => {
+        val fitted = VectorQuantizer.fit(
+          t(s, d, "embeddings"), "vec_id", "embedding", C, ITERS)
+        fitted.select(col("cell"), col("dim"),
+            round(VectorQuantizer.unscale(col("cs")), 6).as("centroid"),
+            col("n"))
+          .orderBy("cell", "dim")
+      },
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    unnest(range(1, len(embedding) + 1)) AS dim,
+         |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xs
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS cell, dim, xs AS cs FROM e WHERE vec_id < $C),
+         |${(1 to ITERS).map(iterCte).mkString(",\n")},
+         |n AS (SELECT cell, count(*)::BIGINT AS n FROM a$ITERS GROUP BY cell)
+         |SELECT c$ITERS.cell, c$ITERS.dim,
+         |  round(c$ITERS.cs / 1000000.0, 6) AS centroid, n.n
+         |FROM c$ITERS JOIN n USING (cell) ORDER BY cell, dim""".stripMargin)
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal pipeline over opaque binary content: stub-decoded
@@ -803,5 +849,6 @@ object PipelineQueries {
     "q48_dedup_apply"    -> dedupApply,
     "q49_stratified_sample" -> stratifiedSample,
     "q50_decontaminate"  -> decontaminate,
-    "q51_repetition"     -> repetition)
+    "q51_repetition"     -> repetition,
+    "q53_kmeans_codebook" -> kmeansCodebook)
 }
