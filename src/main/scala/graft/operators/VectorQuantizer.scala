@@ -43,8 +43,14 @@ object VectorQuantizer {
     * final assignment count.
     */
   def fit(emb: DataFrame, id: String, vec: String,
-          c: Int, iters: Int): DataFrame = {
-    val e = scaled(emb, id, vec).persist()
+          c: Int, iters: Int): DataFrame =
+    fitCentroids(scaled(emb, id, vec).persist(), id, c, iters)
+
+  /** [[fit]] over an already-[[scaled]] (persisted) corpus — the
+    * entry point when the caller also needs the scaled frame for cell
+    * assignment afterwards (q54's trained IVF search).
+    */
+  def fitCentroids(e: DataFrame, id: String, c: Int, iters: Int): DataFrame = {
     var cent = e.filter(col(id) < c)
       .select(col(id).as("cell"), col("dim"), col("xs").as("cs"))
     var assign: DataFrame = null
@@ -59,16 +65,18 @@ object VectorQuantizer {
   }
 
   /** Nearest-centroid assignment: exact integer squared-L2 argmin,
-    * ties to the lowest cell id. Returns (id, cell).
+    * ties to the lowest cell id. Returns one (id, cell) row per id
+    * for `top = 1` (cluster assignment) or the `top` nearest cells
+    * per id (IVF probing).
     */
   def assignCells(scaledCorpus: DataFrame, cent: DataFrame,
-                  id: String): DataFrame = {
-    val d2 = scaledCorpus.join(broadcast(cent), Seq("dim"))
+                  id: String, top: Int = 1): DataFrame = {
+    val d2 = scaledCorpus.join(broadcast(cent.select("cell", "dim", "cs")), Seq("dim"))
       .groupBy(col(id), col("cell"))
       .agg(sum((col("xs") - col("cs")) * (col("xs") - col("cs"))).as("d2"))
     d2.withColumn("rnk",
         row_number().over(Window.partitionBy(col(id)).orderBy(col("d2"), col("cell"))))
-      .filter(col("rnk") === 1)
+      .filter(col("rnk") <= top)
       .select(col(id), col("cell"))
   }
 

@@ -738,8 +738,18 @@ object PipelineQueries {
     * the oracle unrolls the identical two iterations in SQL and every
     * centroid component matches bit-for-bit.
     */
-  val kmeansCodebook: Q = {
-    val C = 8; val ITERS = 2
+  // k-means constants shared by q53 (codebook) and q54 (trained IVF
+  // search) — like the MinHash family, one definition for both queries
+  // and both oracles.
+  private val KM_C = 8; private val KM_ITERS = 2
+
+  /** Oracle CTE chain replaying [[VectorQuantizer.fitCentroids]]:
+    * scaled long-form corpus `e`, seeds `c0`, then per Lloyd round i
+    * the distances `d_i`, assignment `a_i`, and centroids `c_i` —
+    * ending at `c$KM_ITERS` / `a$KM_ITERS`. Bit-exact because both
+    * sides work in the same integer domain.
+    */
+  private def kmeansCtes: String = {
     def iterCte(i: Int): String =
       s"""d$i AS (
          |  SELECT e.vec_id, c.cell,
@@ -755,26 +765,95 @@ object PipelineQueries {
          |  SELECT a$i.cell, e.dim, round(sum(e.xs) / count(*))::BIGINT AS cs
          |  FROM e JOIN a$i USING (vec_id)
          |  GROUP BY a$i.cell, e.dim)"""
+    s"""e AS (
+       |  SELECT vec_id,
+       |    unnest(range(1, len(embedding) + 1)) AS dim,
+       |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xs
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell, dim, xs AS cs FROM e WHERE vec_id < $KM_C),
+       |${(1 to KM_ITERS).map(iterCte).mkString(",\n")}""".stripMargin
+  }
+
+  val kmeansCodebook: Q = Q(
+    (s, d) => {
+      val fitted = VectorQuantizer.fit(
+        t(s, d, "embeddings"), "vec_id", "embedding", KM_C, KM_ITERS)
+      fitted.select(col("cell"), col("dim"),
+          round(VectorQuantizer.unscale(col("cs")), 6).as("centroid"),
+          col("n"))
+        .orderBy("cell", "dim")
+    },
+    s"""WITH $kmeansCtes,
+       |n AS (SELECT cell, count(*)::BIGINT AS n FROM a$KM_ITERS GROUP BY cell)
+       |SELECT c$KM_ITERS.cell, c$KM_ITERS.dim,
+       |  round(c$KM_ITERS.cs / 1000000.0, 6) AS centroid, n.n
+       |FROM c$KM_ITERS JOIN n USING (cell) ORDER BY cell, dim""".stripMargin)
+
+  /** Trained-codebook IVF search: the q34 shape with the q53 codebook
+    * in place of raw pivots — fit, assign the corpus to its nearest
+    * trained cell (exact integer L2), probe each query's 2 nearest
+    * cells, score only within probed cells with the native cosine on
+    * the ORIGINAL float vectors. Centroids exist solely in the integer
+    * domain, so assignment is engine-exact end to end; the cosine path
+    * is the same float-array parity every other ANN query relies on.
+    */
+  val annTrained: Q = {
+    val PROBE = 2; val K = 5
     Q(
       (s, d) => {
-        val fitted = VectorQuantizer.fit(
-          t(s, d, "embeddings"), "vec_id", "embedding", C, ITERS)
-        fitted.select(col("cell"), col("dim"),
-            round(VectorQuantizer.unscale(col("cs")), 6).as("centroid"),
-            col("n"))
-          .orderBy("cell", "dim")
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings")
+        val e = VectorQuantizer.scaled(emb, "vec_id", "embedding").persist()
+        val cent = VectorQuantizer.fitCentroids(e, "vec_id", KM_C, KM_ITERS)
+        val corpusCells = VectorQuantizer.assignCells(e, cent, "vec_id")
+        val queryCells = VectorQuantizer.assignCells(
+            e.filter(col("vec_id") < 5), cent, "vec_id", PROBE)
+          .withColumnRenamed("vec_id", "query_id")
+        val corpusSide = emb.select(col("vec_id"), col("embedding"))
+          .join(corpusCells, Seq("vec_id"))
+        val querySide = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+          .join(queryCells, Seq("query_id"))
+        val scored = corpusSide.join(querySide, Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(VectorFunctions.cosineNative(col("qv"), col("embedding")), 6)
+              .as("cos_sim"))
+        val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
+        scored.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= K)
+          .orderBy("query_id", "rnk")
       },
-      s"""WITH e AS (
-         |  SELECT vec_id,
-         |    unnest(range(1, len(embedding) + 1)) AS dim,
-         |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xs
-         |  FROM embeddings),
-         |c0 AS (SELECT vec_id AS cell, dim, xs AS cs FROM e WHERE vec_id < $C),
-         |${(1 to ITERS).map(iterCte).mkString(",\n")},
-         |n AS (SELECT cell, count(*)::BIGINT AS n FROM a$ITERS GROUP BY cell)
-         |SELECT c$ITERS.cell, c$ITERS.dim,
-         |  round(c$ITERS.cs / 1000000.0, 6) AS centroid, n.n
-         |FROM c$ITERS JOIN n USING (cell) ORDER BY cell, dim""".stripMargin)
+      s"""WITH $kmeansCtes,
+         |fa AS (
+         |  SELECT e.vec_id, c.cell,
+         |    sum((e.xs - c.cs) * (e.xs - c.cs)) AS d2
+         |  FROM e JOIN c$KM_ITERS c USING (dim)
+         |  GROUP BY e.vec_id, c.cell),
+         |ca AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM fa) WHERE rnk = 1),
+         |qa AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM fa WHERE vec_id < 5) WHERE rnk <= $PROBE),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |scored AS (
+         |  SELECT qa.query_id, ca.vec_id,
+         |    round(${VectorFunctions.cosineSql("qv.v", "cv.v")}, 6) AS cos_sim
+         |  FROM qa JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.query_id
+         |  JOIN v cv ON cv.vec_id = ca.vec_id
+         |  JOIN v qv ON qv.vec_id = qa.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin)
   }
 
   // ------------------------------------------------------------ multimodal
@@ -850,5 +929,6 @@ object PipelineQueries {
     "q49_stratified_sample" -> stratifiedSample,
     "q50_decontaminate"  -> decontaminate,
     "q51_repetition"     -> repetition,
-    "q53_kmeans_codebook" -> kmeansCodebook)
+    "q53_kmeans_codebook" -> kmeansCodebook,
+    "q54_ann_trained"    -> annTrained)
 }
