@@ -856,6 +856,25 @@ object PipelineQueries {
          |FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** Corpus vocabulary: top terms by raw frequency — the seed stage
+    * of tokenizer/vocab training. Map-side partial counts into one
+    * term-keyed shuffle, then a TakeOrderedAndProject top-k (no global
+    * sort; asserted shape, same as q13).
+    */
+  val vocabTop: Q = {
+    val K = 100
+    Q(
+      (s, d) => t(s, d, "documents")
+        .select(explode(TextFunctions.words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("w"))
+        .limit(K),
+      s"""WITH tok AS (
+         |  SELECT unnest(${TextFunctions.wordsSql("text")}) AS w FROM documents)
+         |SELECT w, count(*)::BIGINT AS n FROM tok GROUP BY w
+         |ORDER BY n DESC, w LIMIT $K""".stripMargin)
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal pipeline over opaque binary content: stub-decoded
@@ -930,5 +949,6 @@ object PipelineQueries {
     "q50_decontaminate"  -> decontaminate,
     "q51_repetition"     -> repetition,
     "q53_kmeans_codebook" -> kmeansCodebook,
-    "q54_ann_trained"    -> annTrained)
+    "q54_ann_trained"    -> annTrained,
+    "q55_vocab_top"      -> vocabTop)
 }

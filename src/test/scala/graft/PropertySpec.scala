@@ -37,6 +37,54 @@ class PropertySpec extends SparkSpec {
     assert((0 until 16).map(Hashing.mult).distinct.size == 16)
   }
 
+  test("winnowing guarantee: docs sharing a >= k+w-1 run share a fingerprint") {
+    // random distinct word-soup docs, each pair given a shared marker
+    // run longer than the winnowing guarantee threshold (k=8, w=4)
+    val wordG = Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+    val docG = Gen.listOfN(12, wordG).map(_.mkString(" "))
+    val docs = sample(docG, 40)
+    val marker = "shared marker run long enough to survive"
+    val d = docs.zipWithIndex.map { case (t, i) =>
+      // even ids carry the marker mid-text, odd ids don't
+      (i.toLong, if (i % 2 == 0) s"$t $marker $t" else t)
+    }.toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(d, "doc_id", "text", k = 8, w = 4)
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val withMarker = (0 until 40 by 2).map(_.toLong)
+    // every marker-carrying pair shares at least one fingerprint
+    val sharedAll = withMarker.map(fp(_)).reduce(_ & _)
+    assert(sharedAll.nonEmpty,
+      "marker docs share no fingerprint despite a 40-char shared run")
+  }
+
+  test("kmeans centroids are the exact integer means of the final assignment") {
+    import graft.operators.VectorQuantizer
+    val vecG = Gen.listOfN(4, Gen.chooseNum(-1.0f, 1.0f)).map(_.toArray)
+    val vecs = sample(vecG, 60).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val e = VectorQuantizer.scaled(emb, "vec_id", "embedding").persist()
+    val fitted = VectorQuantizer.fitCentroids(e, "vec_id", c = 4, iters = 2)
+    // recompute: assignment against the PENULTIMATE centroids produced
+    // the final ones; assert via one more exact recomputation in Spark
+    val cent1 = {
+      var c = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cell"), col("dim"), col("xs").as("cs"))
+      val a = VectorQuantizer.assignCells(e, c, "vec_id")
+      c = e.join(a, Seq("vec_id")).groupBy("cell", "dim")
+        .agg(round(sum(col("xs")) / count(lit(1))).cast("long").as("cs"))
+      c
+    }
+    val a2 = VectorQuantizer.assignCells(e, cent1, "vec_id")
+    val expect = e.join(a2, Seq("vec_id")).groupBy("cell", "dim")
+      .agg(round(sum(col("xs")) / count(lit(1))).cast("long").as("cs"))
+      .as[(Long, Int, Long)].collect().toSet
+    val got = fitted.select("cell", "dim", "cs")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == expect)
+    e.unpersist()
+  }
+
   test("shingle count: n words yield exactly max(n-2, 0) shingles when all distinct") {
     val wordCounts = sample(Gen.choose(0, 40), 120)
     val docs = wordCounts.zipWithIndex.map { case (n, i) =>
