@@ -56,9 +56,15 @@ object VectorQuantizer {
     var assign: DataFrame = null
     for (_ <- 1 to iters) {
       assign = assignCells(e, cent, id)
+      // checkpoint each round's centroids (c·d rows — tiny): the plan
+      // stays O(1) in iteration count, and downstream consumers that
+      // broadcast the codebook (assignment, probing) read the
+      // materialized rows instead of replaying the whole fit per
+      // broadcast — the same practice as ConnectedComponents' rounds
       cent = e.join(assign, Seq(id))
         .groupBy("cell", "dim")
         .agg(round(sum(col("xs")) / count(lit(1))).cast("long").as("cs"))
+        .localCheckpoint()
     }
     val n = assign.groupBy("cell").agg(count(lit(1)).as("n"))
     cent.join(n, Seq("cell"))
