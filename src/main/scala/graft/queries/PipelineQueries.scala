@@ -875,6 +875,84 @@ object PipelineQueries {
          |ORDER BY n DESC, w LIMIT $K""".stripMargin)
   }
 
+  /** Source-level filtering (the RefinedWeb/C4 pattern): compute each
+    * source's mean quality score, drop every document from sources
+    * below threshold, report kept docs per language. The mean is an
+    * exact integer (sum of micro-unit-scaled scores / count), so the
+    * threshold comparison cannot flap with partitioning — a double
+    * `avg` would be ulp-nondeterministic across executor counts, and
+    * a source sitting on the boundary would make the whole filter
+    * unstable. Two shuffles (per-source agg, per-lang count) plus a
+    * broadcast semi-join of the small good-source list.
+    */
+  val sourceFilter: Q = {
+    val T_SCALED = 500000L // 0.5 in micro-units
+    Q(
+      (s, d) => {
+        val w = TextFunctions.words(col("text"))
+        val score = lit(0.4) * least(lit(1.0), size(w) / lit(50.0)) +
+          lit(0.3) * TextFunctions.stopwordRatio(w) +
+          lit(0.3) * TextFunctions.uniqueRatio(w)
+        val scored = t(s, d, "documents").select(
+          col("source"), col("lang"), round(score, 6).as("q"))
+        val good = scored.groupBy("source")
+          .agg((sum(round(col("q") * 1e6).cast("long")) / count(lit(1)))
+            .as("mean_q_scaled"))
+          .filter(col("mean_q_scaled") >= T_SCALED.toDouble)
+          .select("source")
+        scored.join(broadcast(good), Seq("source"), "leftsemi")
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+          .orderBy("lang")
+      },
+      s"""WITH w AS (
+         |  SELECT source, lang, ${TextFunctions.wordsSql("text")} AS arr FROM documents),
+         |sc AS (
+         |  SELECT source, lang,
+         |    round(0.4 * least(1.0, len(arr) / 50.0)
+         |        + 0.3 * (${TextFunctions.stopwordRatioSql("arr")})
+         |        + 0.3 * (${TextFunctions.uniqueRatioSql("arr")}), 6) AS q
+         |  FROM w),
+         |good AS (
+         |  SELECT source FROM sc GROUP BY source
+         |  HAVING sum(round(q * 1000000)::BIGINT) / count(*) >= $T_SCALED.0)
+         |SELECT lang, count(*)::BIGINT AS n_kept FROM sc
+         |WHERE source IN (SELECT source FROM good)
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  /** PII scrubbing: redact phone-shaped patterns, count hits per doc,
+    * fingerprint the redacted text (the md5 proves byte-exact
+    * redaction, not just matching counts). The corpus carries no PII,
+    * so patterns are injected deterministically the way q22 injects
+    * duplicates. Stateless projection — embarrassingly parallel at
+    * any scale; the pattern set is where a production rule pack
+    * (emails, SSNs, keys) plugs in.
+    */
+  val piiScrub: Q = {
+    val PAT = "[0-9]{3}-[0-9]{4}" // 8-char matches, so hits = len-delta / 8
+    Q(
+      (s, d) => {
+        val injected = when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" call 555-0199 or 555-0100")))
+          .otherwise(col("text"))
+        t(s, d, "documents").select(col("doc_id"), injected.as("text"))
+          .select(col("doc_id"),
+            ((length(col("text")) -
+              length(regexp_replace(col("text"), PAT, ""))) / 8)
+              .cast("long").as("n_hits"),
+            md5(regexp_replace(col("text"), PAT, "<PHONE>")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      s"""WITH c AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+         |    THEN text || ' call 555-0199 or 555-0100' ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ((length(text) - length(regexp_replace(text, '$PAT', '', 'g'))) // 8)::BIGINT AS n_hits,
+         |  md5(regexp_replace(text, '$PAT', '<PHONE>', 'g')) AS redacted_md5
+         |FROM c ORDER BY doc_id""".stripMargin)
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal pipeline over opaque binary content: stub-decoded
@@ -950,5 +1028,7 @@ object PipelineQueries {
     "q51_repetition"     -> repetition,
     "q53_kmeans_codebook" -> kmeansCodebook,
     "q54_ann_trained"    -> annTrained,
-    "q55_vocab_top"      -> vocabTop)
+    "q55_vocab_top"      -> vocabTop,
+    "q56_source_filter"  -> sourceFilter,
+    "q57_pii_scrub"      -> piiScrub)
 }
