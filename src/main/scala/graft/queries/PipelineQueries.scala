@@ -953,6 +953,37 @@ object PipelineQueries {
          |FROM c ORDER BY doc_id""".stripMargin)
   }
 
+  /** Context-length chunking: split each document into fixed-size
+    * token windows (the packing stage that turns documents into
+    * training sequences). Pure per-doc arithmetic — explode of a
+    * computed range, no shuffle at all until the output sort; at
+    * scale this is a map-only stage.
+    */
+  val chunks: Q = {
+    val CHUNK = 32
+    Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          size(TextFunctions.words(col("text"))).as("n_tok"))
+        .select(col("doc_id"), col("n_tok"),
+          explode(sequence(lit(0), expr(s"(n_tok - 1) div $CHUNK"))).as("chunk"))
+        .select(col("doc_id"), col("chunk").cast("long").as("chunk"),
+          (col("chunk") * CHUNK + 1).as("tok_start"),
+          least(col("n_tok"), (col("chunk") + 1) * CHUNK).as("tok_end"))
+        .orderBy("doc_id", "chunk"),
+      s"""WITH n AS (
+         |  SELECT doc_id, len(${TextFunctions.wordsSql("text")})::INT AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tok,
+         |    unnest(range(0, (n_tok - 1) // $CHUNK + 1)) AS chunk
+         |  FROM n)
+         |SELECT doc_id, chunk,
+         |  (chunk * $CHUNK + 1)::INT AS tok_start,
+         |  least(n_tok, (chunk + 1) * $CHUNK)::INT AS tok_end
+         |FROM c ORDER BY doc_id, chunk""".stripMargin)
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal pipeline over opaque binary content: stub-decoded
@@ -1030,5 +1061,6 @@ object PipelineQueries {
     "q54_ann_trained"    -> annTrained,
     "q55_vocab_top"      -> vocabTop,
     "q56_source_filter"  -> sourceFilter,
-    "q57_pii_scrub"      -> piiScrub)
+    "q57_pii_scrub"      -> piiScrub,
+    "q58_chunks"         -> chunks)
 }
