@@ -66,10 +66,13 @@ object ConnectedComponents {
     * until every edge points directly at its component root; stability
     * is detected by comparing an order-independent checksum of the
     * edge set across rounds (one tiny aggregate per round — not a
-    * full self-join diff). `maxRounds` bounds the loop defensively;
-    * 2·log₂(n) rounds suffice per the paper, so 20 covers 10⁹ nodes.
+    * full self-join diff). `maxRounds` bounds the loop defensively at
+    * 64 (the paper's bound is O(log n) alternating rounds — 64 covers
+    * any node-id universe a 64-bit key can address); hitting the bound
+    * without a checksum fixpoint throws rather than silently returning
+    * a still-contracting edge set as if it were the assignment.
     */
-  def assign(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def assign(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
     val spark = edges.sparkSession
     var e = edges.select(col("u"), col("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
@@ -88,6 +91,9 @@ object ConnectedComponents {
       prev = checksum
       round += 1
     }
+    if (!stable)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds rounds")
     // post-convergence the edge set IS the assignment — one (node,
     // root) edge per non-root node — plus each root assigned to itself
     e.select(col("u").as("node"), col("v").as("component"))

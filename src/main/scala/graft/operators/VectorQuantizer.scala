@@ -32,10 +32,12 @@ object VectorQuantizer {
 
   private val SCALE = 1000000L
 
-  /** Long-form scaled corpus: (id, dim 1-based, xs = round(x·10⁶)). */
+  /** Long-form scaled corpus: (id, dim 1-based, xs = round(x·10⁶)).
+    * `dim` is a long to match the oracle twins' `range()` output type.
+    */
   def scaled(emb: DataFrame, id: String, vec: String): DataFrame =
     emb.select(col(id), posexplode(col(vec)).as(Seq("pos", "x")))
-      .select(col(id), (col("pos") + 1).as("dim"),
+      .select(col(id), (col("pos") + 1).cast("long").as("dim"),
         round(col("x").cast("double") * SCALE).cast("long").as("xs"))
 
   /** `iters` Lloyd rounds from first-`c`-vectors seeds; returns
@@ -43,14 +45,22 @@ object VectorQuantizer {
     * final assignment count.
     */
   def fit(emb: DataFrame, id: String, vec: String,
-          c: Int, iters: Int): DataFrame =
-    fitCentroids(scaled(emb, id, vec).persist(), id, c, iters)
+          c: Int, iters: Int): DataFrame = {
+    val e = scaled(emb, id, vec).persist()
+    // checkpoint the (tiny) result so the corpus cache can be released
+    // before returning — fit() owns e, so it must not leak it
+    val out = fitCentroids(e, id, c, iters).localCheckpoint()
+    e.unpersist()
+    out
+  }
 
   /** [[fit]] over an already-[[scaled]] (persisted) corpus — the
     * entry point when the caller also needs the scaled frame for cell
-    * assignment afterwards (q54's trained IVF search).
+    * assignment afterwards (q54's trained IVF search). The caller
+    * owns the corpus cache.
     */
   def fitCentroids(e: DataFrame, id: String, c: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"at least one Lloyd round required, got $iters")
     var cent = e.filter(col(id) < c)
       .select(col(id).as("cell"), col("dim"), col("xs").as("cs"))
     var assign: DataFrame = null

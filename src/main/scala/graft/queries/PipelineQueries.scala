@@ -653,7 +653,7 @@ object PipelineQueries {
         val win = Window.partitionBy("lang")
           .orderBy(Hashing.h32(col("doc_id").cast("string")), col("doc_id"))
         t(s, d, "documents").select(col("lang"), col("doc_id"))
-          .withColumn("rnk", row_number().over(win))
+          .withColumn("rnk", row_number().over(win).cast("long"))
           .filter(col("rnk") <= N)
           .orderBy("lang", "rnk")
       },
@@ -979,8 +979,8 @@ object PipelineQueries {
          |    unnest(range(0, (n_tok - 1) // $CHUNK + 1)) AS chunk
          |  FROM n)
          |SELECT doc_id, chunk,
-         |  (chunk * $CHUNK + 1)::INT AS tok_start,
-         |  least(n_tok, (chunk + 1) * $CHUNK)::INT AS tok_end
+         |  (chunk * $CHUNK + 1)::BIGINT AS tok_start,
+         |  least(n_tok, (chunk + 1) * $CHUNK)::BIGINT AS tok_end
          |FROM c ORDER BY doc_id, chunk""".stripMargin)
   }
 

@@ -96,9 +96,12 @@ object EventStream {
     * unbounded feed. A session is emitted exactly once, either when a
     * later event breaks the gap (data path) or when the timeout fires
     * (idle path). In-batch events are processed in event-time order;
-    * cross-batch out-of-order events within the watermark open a new
-    * session rather than rewriting an emitted one (the append-mode
-    * contract).
+    * a cross-batch out-of-order event within the watermark extends the
+    * open session's interval in whichever direction it falls inside
+    * the gap, and a straggler more than `gap` BEFORE the open session
+    * is emitted as its own singleton session immediately (the open
+    * session may already have emitted successors — append mode cannot
+    * rewrite it).
     */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
                  lateness: String): Dataset[Session] = {
@@ -125,11 +128,15 @@ object EventStream {
       batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
         val t = e.ts.getTime
         cur = cur match {
-          case Some(s) if t - s.end <= gapMs =>
-            Some(SessionAcc(s.start, math.max(s.end, t), s.n + 1))
-          case Some(s) =>
+          case Some(s) if t > s.end + gapMs => // gap broken forward
             closed += emit(s)
             Some(SessionAcc(t, t, 1))
+          case Some(s) if t < s.start - gapMs => // straggler far in the past
+            closed += Session(user,
+              new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1)
+            Some(s)
+          case Some(s) => // inside [start-gap, end+gap]: extend either way
+            Some(SessionAcc(math.min(s.start, t), math.max(s.end, t), s.n + 1))
           case None => Some(SessionAcc(t, t, 1))
         }
       }

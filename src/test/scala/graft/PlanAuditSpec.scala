@@ -13,8 +13,18 @@ class PlanAuditSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf0001)
       .queryExecution.executedPlan.toString
 
+  // Iterative queries (connected components, k-means) EXECUTE during
+  // DataFrame construction — per-round localCheckpoint + convergence
+  // aggregates — so "building the plan" would run the whole pipeline
+  // and the returned plan would only be the post-checkpoint tail.
+  // Their round shapes are audited where they're visible instead:
+  // ConnectedComponentsSpec (star rounds), VectorQuantizerSpec (fit).
+  private val iterative =
+    Set("q46_dedup_groups", "q48_dedup_apply",
+      "q53_kmeans_codebook", "q54_ann_trained")
+
   test("no judged query plans a CartesianProduct") {
-    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+    for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
       assert(!plan(name).contains("CartesianProduct"),
         s"$name degenerated to a cartesian product")
     }

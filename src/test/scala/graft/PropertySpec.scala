@@ -78,9 +78,9 @@ class PropertySpec extends SparkSpec {
     val a2 = VectorQuantizer.assignCells(e, cent1, "vec_id")
     val expect = e.join(a2, Seq("vec_id")).groupBy("cell", "dim")
       .agg(round(sum(col("xs")) / count(lit(1))).cast("long").as("cs"))
-      .as[(Long, Int, Long)].collect().toSet
+      .as[(Long, Long, Long)].collect().toSet
     val got = fitted.select("cell", "dim", "cs")
-      .as[(Long, Int, Long)].collect().toSet
+      .as[(Long, Long, Long)].collect().toSet
     assert(got == expect)
     e.unpersist()
   }

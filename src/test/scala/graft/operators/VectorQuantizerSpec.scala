@@ -18,12 +18,12 @@ class VectorQuantizerSpec extends SparkSpec {
   test("fit recovers the exact integer-scaled cluster means") {
     val fitted = VectorQuantizer.fit(emb, "vec_id", "embedding", c = 2, iters = 2)
       .select("cell", "dim", "cs", "n")
-      .as[(Long, Int, Long, Long)].collect().toSeq
+      .as[(Long, Long, Long, Long)].collect().toSeq
     val byCell = fitted.groupBy(_._1)
     assert(byCell(0L).map(r => r._2 -> r._3).toMap ==
-      Map(1 -> 200000L, 2 -> 0L))           // mean(0, 0.2, 0.4) = 0.2
+      Map(1L -> 200000L, 2L -> 0L))           // mean(0, 0.2, 0.4) = 0.2
     assert(byCell(1L).map(r => r._2 -> r._3).toMap ==
-      Map(1 -> 10200000L, 2 -> 10000000L))  // mean(10, 10.2, 10.4), mean(10)
+      Map(1L -> 10200000L, 2L -> 10000000L))  // mean(10, 10.2, 10.4), mean(10)
     assert(fitted.map(r => r._1 -> r._4).toMap == Map(0L -> 3L, 1L -> 3L))
   }
 

@@ -87,6 +87,34 @@ class EventStreamSpec extends SparkSpec {
     // user 1's 12:00 session is still open -> not emitted
   }
 
+  test("sessionize extends the open session backward for in-gap late events") {
+    val schema = "user_id LONG, ts TIMESTAMP, event_type STRING"
+    val dir = Files.createTempDirectory("graft-session-ooo")
+    val stream = spark.readStream.schema(schema).json(dir.toString)
+      .as[SessionEvent]
+    val sessions = EventStream.sessionize(
+      stream, gapMs = 30 * 60 * 1000L, lateness = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("ev_sessions_ooo")
+      .outputMode("append").start()
+    try {
+      writeJson(dir, "b1.json", Seq((1L, "2026-01-01T10:10:00", "click")))
+      q.processAllAvailable()
+      // out of order but within watermark AND within gap of the open
+      // session: must extend session_start backward, not merge-forward
+      writeJson(dir, "b2.json", Seq((1L, "2026-01-01T10:05:00", "view")))
+      q.processAllAvailable()
+      writeJson(dir, "b3.json", Seq((1L, "2026-01-01T12:00:00", "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val got = spark.table("ev_sessions_ooo")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, ts("2026-01-01 10:05:00"), ts("2026-01-01 10:10:00"), 2L)))
+  }
+
   test("streamed FK-validated windowed counts equal the batch aggregation") {
     val users = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
     // two 15-minute windows; user 99 violates the FK; the 10:05 view
