@@ -129,6 +129,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact Jaccard for an explicit candidate-pair list — the
+    * verification stage as it runs at corpus scale: [[jaccardPairs]]
+    * meets pairs through shared shingles (bounded-quadratic within a
+    * shingle even under the df-cap), whereas here the work is
+    * Σ_pairs |shingles(a)| — LINEAR in the candidate count, which LSH
+    * keeps sub-quadratic. No df-cap needed or applied: scores are
+    * true Jaccard over the full shingle sets. Pairs sharing no
+    * shingle never produce a row (their Jaccard is 0 — below any
+    * useful threshold).
+    */
+  def jaccardFor(cands: DataFrame, docs: DataFrame, id: String,
+                 text: String, n: Int = 3,
+                 minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingleKeys(docs, id, text, n).persist()
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val shA = sh.toDF("id_a", "s")
+    val shB = sh.toDF("id_b", "s")
+    val inter = cands.join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** MinHash signatures: one row per doc with `k` minimum seeded
     * hashes over its shingle set. One explode + one groupBy — a
     * single shuffle keyed by doc id regardless of k.

@@ -228,6 +228,37 @@ object PipelineQueries {
        |WHERE doc_id NOT IN (SELECT node FROM dupes)
        |GROUP BY lang ORDER BY lang""".stripMargin)
 
+  /** The near-dedup pipeline as it runs at corpus scale: LSH
+    * candidates (sub-quadratic generation) verified with EXACT Jaccard
+    * ([[Dedup.jaccardFor]] — work linear in candidates, vs q23's
+    * shared-shingle meeting which is bounded-quadratic within each
+    * shingle). The oracle reuses the MinHash candidate CTEs plus an
+    * exact-Jaccard verification over the same `cand` set.
+    */
+  val lshVerified: Q = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text", MH_K).persist()
+      val cands = Dedup.lshCandidates(sig, "doc_id", MH_BANDS, MH_R)
+      Dedup.jaccardFor(cands, docs, "doc_id", "text", 3, 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    s"""WITH $minhashPairsCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT id_a, id_b,
+       |  round(n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON id_a = sa.doc_id
+       |JOIN sizes sb ON id_b = sb.doc_id
+       |WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin)
+
   /** 32-bit SimHash fingerprint per document. */
   val simhashFp: Q = {
     val bitSums = (0 until 32)
@@ -1062,5 +1093,6 @@ object PipelineQueries {
     "q55_vocab_top"      -> vocabTop,
     "q56_source_filter"  -> sourceFilter,
     "q57_pii_scrub"      -> piiScrub,
-    "q58_chunks"         -> chunks)
+    "q58_chunks"         -> chunks,
+    "q59_lsh_verified"   -> lshVerified)
 }
