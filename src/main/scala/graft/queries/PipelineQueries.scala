@@ -1015,6 +1015,49 @@ object PipelineQueries {
          |FROM c ORDER BY doc_id, chunk""".stripMargin)
   }
 
+  /** Adaptive quality filtering: keep documents at or above their
+    * language's MEDIAN quality — per-stratum thresholds instead of
+    * q56's global cutoff (low-resource languages aren't graded on the
+    * dominant language's curve). The threshold compare happens in the
+    * scaled-integer domain: an interpolated median of micro-unit longs
+    * is an exact integer or exact half in IEEE double on every engine
+    * (values ≪ 2⁵³), so `qs >= median` cannot flap on a last-ulp
+    * disagreement the way raw double medians can. Shapes: one
+    * per-lang percentile agg, one broadcast join back, one count agg.
+    */
+  val adaptiveFilter: Q = Q(
+    (s, d) => {
+      val w = TextFunctions.words(col("text"))
+      val score = lit(0.4) * least(lit(1.0), size(w) / lit(50.0)) +
+        lit(0.3) * TextFunctions.stopwordRatio(w) +
+        lit(0.3) * TextFunctions.uniqueRatio(w)
+      val sc = t(s, d, "documents").select(col("lang"),
+        round(round(score, 6) * 1e6).cast("long").as("qs"))
+      val med = sc.groupBy("lang")
+        .agg(expr("percentile(qs, 0.5D)").as("ms"))
+      sc.join(broadcast(med), Seq("lang"))
+        .groupBy("lang", "ms")
+        .agg(sum(when(col("qs") >= col("ms"), 1L).otherwise(0L)).as("n_kept"),
+          count(lit(1)).as("n_docs"))
+        .select(col("lang"), round(col("ms") / 1e6, 6).as("med_q"),
+          col("n_kept"), col("n_docs"))
+        .orderBy("lang")
+    },
+    s"""WITH w AS (
+       |  SELECT lang, ${TextFunctions.wordsSql("text")} AS arr FROM documents),
+       |sc AS (
+       |  SELECT lang,
+       |    round(round(0.4 * least(1.0, len(arr) / 50.0)
+       |        + 0.3 * (${TextFunctions.stopwordRatioSql("arr")})
+       |        + 0.3 * (${TextFunctions.uniqueRatioSql("arr")}), 6) * 1000000)::BIGINT AS qs
+       |  FROM w),
+       |med AS (SELECT lang, quantile_cont(qs, 0.5) AS ms FROM sc GROUP BY lang)
+       |SELECT sc.lang, round(ms / 1000000.0, 6) AS med_q,
+       |  count(*) FILTER (qs >= ms)::BIGINT AS n_kept,
+       |  count(*)::BIGINT AS n_docs
+       |FROM sc JOIN med USING (lang)
+       |GROUP BY sc.lang, ms ORDER BY sc.lang""".stripMargin)
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal pipeline over opaque binary content: stub-decoded
@@ -1094,5 +1137,6 @@ object PipelineQueries {
     "q56_source_filter"  -> sourceFilter,
     "q57_pii_scrub"      -> piiScrub,
     "q58_chunks"         -> chunks,
-    "q59_lsh_verified"   -> lshVerified)
+    "q59_lsh_verified"   -> lshVerified,
+    "q60_adaptive_filter" -> adaptiveFilter)
 }
