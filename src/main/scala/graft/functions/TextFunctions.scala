@@ -51,4 +51,17 @@ object TextFunctions {
 
   def uniqueRatioSql(arr: String): String =
     s"len(list_distinct($arr)) / len($arr)::DOUBLE"
+
+  /** Blended document quality score (length / stopword / type-token),
+    * the single definition behind q29 scoring, q56's source means and
+    * q60's adaptive thresholds — one formula, so a weight change
+    * cannot reach some call sites (or some oracles) and not others.
+    */
+  def qualityScore(w: Column): Column =
+    lit(0.4) * least(lit(1.0), size(w) / lit(50.0)) +
+      lit(0.3) * stopwordRatio(w) + lit(0.3) * uniqueRatio(w)
+
+  def qualityScoreSql(arr: String): String =
+    s"0.4 * least(1.0, len($arr) / 50.0) " +
+      s"+ 0.3 * (${stopwordRatioSql(arr)}) + 0.3 * (${uniqueRatioSql(arr)})"
 }

@@ -120,14 +120,27 @@ object Dedup {
       .filter(col(s"a.$id") < col(s"b.$id"))
       .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .agg(count("*").as("n_inter"))
+    scorePairs(inter, sizes, id, minJaccard)
+  }
+
+  /** Shared scoring tail of [[jaccardPairs]] and [[jaccardFor]]: join
+    * set sizes, compute Jaccard, threshold. The score is emitted as
+    * the RAW double of the integer division — both engines perform
+    * the identical IEEE division on identical integers, so the value
+    * is bit-exact without rounding; a round-to-6 would *introduce*
+    * divergence on exact-half fractions (Spark rounds the shortest
+    * decimal string HALF_UP, DuckDB rounds the binary value — e.g.
+    * 323/640 disagrees in the 6th decimal between the two).
+    */
+  private def scorePairs(inter: DataFrame, sizes: DataFrame, id: String,
+                         minJaccard: Double): DataFrame =
     inter
       .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
+      .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** Exact Jaccard for an explicit candidate-pair list — the
     * verification stage as it runs at corpus scale: [[jaccardPairs]]
@@ -142,20 +155,20 @@ object Dedup {
   def jaccardFor(cands: DataFrame, docs: DataFrame, id: String,
                  text: String, n: Int = 3,
                  minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingleKeys(docs, id, text, n).persist()
+    // only documents that appear in a candidate pair contribute to the
+    // output — shingle (and cache) just that subset, keeping the whole
+    // stage linear in candidates, not in the corpus
+    val candIds = cands.select(col("id_a").as(id))
+      .union(cands.select(col("id_b").as(id))).distinct()
+    val sh = shingleKeys(docs.join(candIds, Seq(id), "leftsemi"),
+      id, text, n).persist()
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val shA = sh.toDF("id_a", "s")
     val shB = sh.toDF("id_b", "s")
     val inter = cands.join(shA, Seq("id_a"))
       .join(shB, Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    scorePairs(inter, sizes, id, minJaccard)
   }
 
   /** MinHash signatures: one row per doc with `k` minimum seeded

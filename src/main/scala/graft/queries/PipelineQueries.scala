@@ -66,7 +66,7 @@ object PipelineQueries {
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
-       |       round(n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 6) AS jaccard
+       |       n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE AS jaccard
        |FROM inter
        |JOIN sizes sa ON id_a = sa.doc_id
        |JOIN sizes sb ON id_b = sb.doc_id
@@ -252,7 +252,7 @@ object PipelineQueries {
        |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
        |  GROUP BY c.id_a, c.id_b)
        |SELECT id_a, id_b,
-       |  round(n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 6) AS jaccard
+       |  n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE AS jaccard
        |FROM inter
        |JOIN sizes sa ON id_a = sa.doc_id
        |JOIN sizes sb ON id_b = sb.doc_id
@@ -399,8 +399,7 @@ object PipelineQueries {
       val nWords = size(w)
       val stopR = TextFunctions.stopwordRatio(w)
       val uniqR = TextFunctions.uniqueRatio(w)
-      val score = lit(0.4) * least(lit(1.0), nWords / lit(50.0)) +
-        lit(0.3) * stopR + lit(0.3) * uniqR
+      val score = TextFunctions.qualityScore(w)
       t(s, d, "documents").select(
         col("doc_id"),
         nWords.as("n_words"),
@@ -416,9 +415,7 @@ object PipelineQueries {
          |  len(arr)::INT AS n_words,
          |  round(${TextFunctions.stopwordRatioSql("arr")}, 6) AS stop_ratio,
          |  round(${TextFunctions.uniqueRatioSql("arr")}, 6) AS uniq_ratio,
-         |  round(0.4 * least(1.0, len(arr) / 50.0)
-         |      + 0.3 * (${TextFunctions.stopwordRatioSql("arr")})
-         |      + 0.3 * (${TextFunctions.uniqueRatioSql("arr")}), 6) AS quality_score
+         |  round(${TextFunctions.qualityScoreSql("arr")}, 6) AS quality_score
          |FROM w ORDER BY doc_id""".stripMargin)
   }
 
@@ -920,10 +917,7 @@ object PipelineQueries {
     val T_SCALED = 500000L // 0.5 in micro-units
     Q(
       (s, d) => {
-        val w = TextFunctions.words(col("text"))
-        val score = lit(0.4) * least(lit(1.0), size(w) / lit(50.0)) +
-          lit(0.3) * TextFunctions.stopwordRatio(w) +
-          lit(0.3) * TextFunctions.uniqueRatio(w)
+        val score = TextFunctions.qualityScore(TextFunctions.words(col("text")))
         val scored = t(s, d, "documents").select(
           col("source"), col("lang"), round(score, 6).as("q"))
         val good = scored.groupBy("source")
@@ -939,9 +933,7 @@ object PipelineQueries {
          |  SELECT source, lang, ${TextFunctions.wordsSql("text")} AS arr FROM documents),
          |sc AS (
          |  SELECT source, lang,
-         |    round(0.4 * least(1.0, len(arr) / 50.0)
-         |        + 0.3 * (${TextFunctions.stopwordRatioSql("arr")})
-         |        + 0.3 * (${TextFunctions.uniqueRatioSql("arr")}), 6) AS q
+         |    round(${TextFunctions.qualityScoreSql("arr")}, 6) AS q
          |  FROM w),
          |good AS (
          |  SELECT source FROM sc GROUP BY source
@@ -1018,19 +1010,19 @@ object PipelineQueries {
   /** Adaptive quality filtering: keep documents at or above their
     * language's MEDIAN quality — per-stratum thresholds instead of
     * q56's global cutoff (low-resource languages aren't graded on the
-    * dominant language's curve). The threshold compare happens in the
-    * scaled-integer domain: an interpolated median of micro-unit longs
-    * is an exact integer or exact half in IEEE double on every engine
-    * (values ≪ 2⁵³), so `qs >= median` cannot flap on a last-ulp
-    * disagreement the way raw double medians can. Shapes: one
-    * per-lang percentile agg, one broadcast join back, one count agg.
+    * dominant language's curve). The threshold compare AND the emitted
+    * median stay in the scaled-integer domain: an interpolated median
+    * of micro-unit longs is an exact integer or exact half in IEEE
+    * double on every engine (values ≪ 2⁵³), so `qs >= median` cannot
+    * flap on a last-ulp disagreement, and `med_q_us` is emitted as
+    * that exact value — dividing back to vector units and rounding
+    * would reintroduce the exact-half rounding divergence between
+    * Spark and DuckDB. Shapes: one per-lang percentile agg, one
+    * broadcast join back, one count agg.
     */
   val adaptiveFilter: Q = Q(
     (s, d) => {
-      val w = TextFunctions.words(col("text"))
-      val score = lit(0.4) * least(lit(1.0), size(w) / lit(50.0)) +
-        lit(0.3) * TextFunctions.stopwordRatio(w) +
-        lit(0.3) * TextFunctions.uniqueRatio(w)
+      val score = TextFunctions.qualityScore(TextFunctions.words(col("text")))
       val sc = t(s, d, "documents").select(col("lang"),
         round(round(score, 6) * 1e6).cast("long").as("qs"))
       val med = sc.groupBy("lang")
@@ -1039,7 +1031,7 @@ object PipelineQueries {
         .groupBy("lang", "ms")
         .agg(sum(when(col("qs") >= col("ms"), 1L).otherwise(0L)).as("n_kept"),
           count(lit(1)).as("n_docs"))
-        .select(col("lang"), round(col("ms") / 1e6, 6).as("med_q"),
+        .select(col("lang"), col("ms").as("med_q_us"),
           col("n_kept"), col("n_docs"))
         .orderBy("lang")
     },
@@ -1047,12 +1039,10 @@ object PipelineQueries {
        |  SELECT lang, ${TextFunctions.wordsSql("text")} AS arr FROM documents),
        |sc AS (
        |  SELECT lang,
-       |    round(round(0.4 * least(1.0, len(arr) / 50.0)
-       |        + 0.3 * (${TextFunctions.stopwordRatioSql("arr")})
-       |        + 0.3 * (${TextFunctions.uniqueRatioSql("arr")}), 6) * 1000000)::BIGINT AS qs
+       |    round(round(${TextFunctions.qualityScoreSql("arr")}, 6) * 1000000)::BIGINT AS qs
        |  FROM w),
        |med AS (SELECT lang, quantile_cont(qs, 0.5) AS ms FROM sc GROUP BY lang)
-       |SELECT sc.lang, round(ms / 1000000.0, 6) AS med_q,
+       |SELECT sc.lang, ms AS med_q_us,
        |  count(*) FILTER (qs >= ms)::BIGINT AS n_kept,
        |  count(*)::BIGINT AS n_docs
        |FROM sc JOIN med USING (lang)

@@ -32,6 +32,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 1.0)
   }
 
+  test("jaccardFor scores exactly the listed candidates, matching jaccardPairs") {
+    val cands = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val scored = Dedup.jaccardFor(cands, docs, "doc_id", "text",
+        minJaccard = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // identical docs -> 1.0; near-dup agrees with the full-corpus path
+    assert(scored((1L, 2L)) == 1.0)
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.0,
+        maxDf = 1000)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(scored((1L, 3L)) == full((1L, 3L)))
+    // unlisted pairs (2,3) never appear; listed-but-disjoint (1,4) drops out
+    assert(!scored.contains((2L, 3L)) && !scored.contains((1L, 4L)))
+  }
+
   test("minhash signatures of identical docs are identical; LSH pairs them") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", k = 16)
     val rows = sig.filter(col("doc_id").isin(1L, 2L)).drop("doc_id")
