@@ -400,12 +400,17 @@ object PipelineQueries {
       val stopR = TextFunctions.stopwordRatio(w)
       val uniqR = TextFunctions.uniqueRatio(w)
       val score = TextFunctions.qualityScore(w)
+      // raw doubles, not round(...,6): both engines compute the same
+      // IEEE value from the same integers, so raw is bit-exact, while
+      // scale-6 rounding diverges on exact-half rationals (Spark
+      // rounds the shortest decimal string HALF_UP, DuckDB rounds the
+      // binary value). Same reasoning as Dedup.scorePairs.
       t(s, d, "documents").select(
         col("doc_id"),
         nWords.as("n_words"),
-        round(stopR, 6).as("stop_ratio"),
-        round(uniqR, 6).as("uniq_ratio"),
-        round(score, 6).as("quality_score"))
+        stopR.as("stop_ratio"),
+        uniqR.as("uniq_ratio"),
+        score.as("quality_score"))
         .orderBy("doc_id")
     }
     Q(fn,
@@ -413,9 +418,9 @@ object PipelineQueries {
          |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr FROM documents)
          |SELECT doc_id,
          |  len(arr)::INT AS n_words,
-         |  round(${TextFunctions.stopwordRatioSql("arr")}, 6) AS stop_ratio,
-         |  round(${TextFunctions.uniqueRatioSql("arr")}, 6) AS uniq_ratio,
-         |  round(${TextFunctions.qualityScoreSql("arr")}, 6) AS quality_score
+         |  ${TextFunctions.stopwordRatioSql("arr")} AS stop_ratio,
+         |  ${TextFunctions.uniqueRatioSql("arr")} AS uniq_ratio,
+         |  ${TextFunctions.qualityScoreSql("arr")} AS quality_score
          |FROM w ORDER BY doc_id""".stripMargin)
   }
 
@@ -527,10 +532,13 @@ object PipelineQueries {
           col("tf").cast("double") * col("n_docs") / col("df"))
       val win = Window.partitionBy("doc_id")
         .orderBy(desc("score"), asc("w"))
+      // raw double — tf·N/df is the same IEEE arithmetic on the same
+      // integers in both engines; scale-6 rounding diverges on exact
+      // halves (see Dedup.scorePairs)
       scored.withColumn("rnk", row_number().over(win))
         .filter(col("rnk") === 1)
         .select(col("doc_id"), col("w").as("top_term"),
-          round(col("score"), 6).as("tfidf"))
+          col("score").as("tfidf"))
         .orderBy("doc_id")
     },
     s"""WITH tok AS (
@@ -549,7 +557,7 @@ object PipelineQueries {
        |    row_number() OVER (PARTITION BY doc_id
        |                       ORDER BY score DESC, w) AS rnk
        |  FROM scored)
-       |SELECT doc_id, w AS top_term, round(score, 6) AS tfidf
+       |SELECT doc_id, w AS top_term, score AS tfidf
        |FROM ranked WHERE rnk = 1 ORDER BY doc_id""".stripMargin)
 
   /** IVF-probed approximate top-5 — the inverted-file scale path next
@@ -738,12 +746,15 @@ object PipelineQueries {
         greatest(size(TextFunctions.words(col("text"))) - 2, lit(0)).as("n_total"))
       val dist = Dedup.shingleKeys(docs, "doc_id", "text", 3)
         .groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+      // raw double: identical integer inputs -> identical IEEE result
+      // on both engines; scale-6 rounding would diverge on exact
+      // halves (see Dedup.scorePairs)
       total.join(dist, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_total"),
           coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-          round(when(col("n_total") > 0,
+          when(col("n_total") > 0,
             lit(1.0) - coalesce(col("n_distinct"), lit(0L)) / col("n_total").cast("double"))
-            .otherwise(lit(0.0)), 6).as("rep_ratio"))
+            .otherwise(lit(0.0)).as("rep_ratio"))
         .orderBy("doc_id")
     },
     s"""WITH w AS (
@@ -753,9 +764,9 @@ object PipelineQueries {
        |  SELECT DISTINCT doc_id, unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
        |dst AS (SELECT doc_id, count(*)::BIGINT AS n_distinct FROM sh GROUP BY doc_id)
        |SELECT t.doc_id, t.n_total, coalesce(d.n_distinct, 0)::BIGINT AS n_distinct,
-       |  round(CASE WHEN t.n_total > 0
-       |        THEN 1.0 - coalesce(d.n_distinct, 0) / t.n_total::DOUBLE
-       |        ELSE 0.0 END, 6) AS rep_ratio
+       |  CASE WHEN t.n_total > 0
+       |       THEN 1.0 - coalesce(d.n_distinct, 0) / t.n_total::DOUBLE
+       |       ELSE 0.0 END AS rep_ratio
        |FROM tot t LEFT JOIN dst d ON t.doc_id = d.doc_id
        |ORDER BY t.doc_id""".stripMargin)
 
@@ -917,12 +928,16 @@ object PipelineQueries {
     val T_SCALED = 500000L // 0.5 in micro-units
     Q(
       (s, d) => {
+        // quantize straight to micro-unit longs: round-to-integer of
+        // an identical double agrees across engines (an exact half is
+        // binary-representable), whereas an inner round(score, 6)
+        // would hit the scale-6 exact-half divergence
         val score = TextFunctions.qualityScore(TextFunctions.words(col("text")))
         val scored = t(s, d, "documents").select(
-          col("source"), col("lang"), round(score, 6).as("q"))
+          col("source"), col("lang"),
+          round(score * 1e6).cast("long").as("qs"))
         val good = scored.groupBy("source")
-          .agg((sum(round(col("q") * 1e6).cast("long")) / count(lit(1)))
-            .as("mean_q_scaled"))
+          .agg((sum(col("qs")) / count(lit(1))).as("mean_q_scaled"))
           .filter(col("mean_q_scaled") >= T_SCALED.toDouble)
           .select("source")
         scored.join(broadcast(good), Seq("source"), "leftsemi")
@@ -933,11 +948,11 @@ object PipelineQueries {
          |  SELECT source, lang, ${TextFunctions.wordsSql("text")} AS arr FROM documents),
          |sc AS (
          |  SELECT source, lang,
-         |    round(${TextFunctions.qualityScoreSql("arr")}, 6) AS q
+         |    round((${TextFunctions.qualityScoreSql("arr")}) * 1000000)::BIGINT AS qs
          |  FROM w),
          |good AS (
          |  SELECT source FROM sc GROUP BY source
-         |  HAVING sum(round(q * 1000000)::BIGINT) / count(*) >= $T_SCALED.0)
+         |  HAVING sum(qs) / count(*) >= $T_SCALED.0)
          |SELECT lang, count(*)::BIGINT AS n_kept FROM sc
          |WHERE source IN (SELECT source FROM good)
          |GROUP BY lang ORDER BY lang""".stripMargin)
@@ -1023,8 +1038,11 @@ object PipelineQueries {
   val adaptiveFilter: Q = Q(
     (s, d) => {
       val score = TextFunctions.qualityScore(TextFunctions.words(col("text")))
+      // direct micro-unit quantization: round-to-integer of identical
+      // doubles agrees across engines; an inner round(score, 6) would
+      // hit the scale-6 exact-half divergence
       val sc = t(s, d, "documents").select(col("lang"),
-        round(round(score, 6) * 1e6).cast("long").as("qs"))
+        round(score * 1e6).cast("long").as("qs"))
       val med = sc.groupBy("lang")
         .agg(expr("percentile(qs, 0.5D)").as("ms"))
       sc.join(broadcast(med), Seq("lang"))
@@ -1039,7 +1057,7 @@ object PipelineQueries {
        |  SELECT lang, ${TextFunctions.wordsSql("text")} AS arr FROM documents),
        |sc AS (
        |  SELECT lang,
-       |    round(round(${TextFunctions.qualityScoreSql("arr")}, 6) * 1000000)::BIGINT AS qs
+       |    round((${TextFunctions.qualityScoreSql("arr")}) * 1000000)::BIGINT AS qs
        |  FROM w),
        |med AS (SELECT lang, quantile_cont(qs, 0.5) AS ms FROM sc GROUP BY lang)
        |SELECT sc.lang, ms AS med_q_us,
