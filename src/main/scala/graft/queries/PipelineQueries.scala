@@ -1066,6 +1066,62 @@ object PipelineQueries {
        |FROM sc JOIN med USING (lang)
        |GROUP BY sc.lang, ms ORDER BY sc.lang""".stripMargin)
 
+  /** Corpus-level duplicate-span removal (the C4/CCNet rule at span
+    * granularity): chunk every document into fixed W-word spans, drop
+    * each span occurrence except the corpus-first one (ordered by
+    * (doc_id, span index)), and prove the reassembled text byte-exact
+    * with an md5. The corpus carries a deterministic injected
+    * duplicate (an 8-word preamble on every 10th doc — the same
+    * synthesis pattern as q22/q57) so the removal path is genuinely
+    * exercised. Two shuffles, both linear in corpus spans: a ranking
+    * window keyed by span text, then the per-doc reassembly agg.
+    */
+  val spanDedup: Q = {
+    val W = 8
+    val DUP = "alpha beta gamma delta epsilon zeta eta theta"
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val injected = when(col("doc_id") % 10 === 0,
+          concat(lit(DUP + " "), col("text"))).otherwise(col("text"))
+        val spans = t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.words(injected).as("arr"))
+          .select(col("doc_id"), posexplode(
+            transform(sequence(lit(0), expr(s"(size(arr) - 1) div $W")),
+              i => array_join(slice(col("arr"), i * W + 1, lit(W)), " ")))
+            .as(Seq("idx", "span")))
+        spans
+          .withColumn("keep", row_number().over(
+            Window.partitionBy("span").orderBy("doc_id", "idx")) === 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+            md5(array_join(transform(
+              array_sort(collect_list(when(col("keep"),
+                struct(col("idx"), col("span"))))),
+              x => x.getField("span")), " ")).as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      s"""WITH c AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+         |    THEN '$DUP ' || text ELSE text END AS text
+         |  FROM documents),
+         |w AS (SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr FROM c),
+         |e AS (SELECT doc_id, arr,
+         |  unnest(range(0, (len(arr) - 1) // $W + 1)) AS idx FROM w),
+         |sp AS (SELECT doc_id, idx,
+         |  array_to_string(arr[(idx * $W + 1):(idx * $W + $W)], ' ') AS span
+         |  FROM e),
+         |k AS (SELECT doc_id, idx, span,
+         |  row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) = 1 AS keep
+         |  FROM sp)
+         |SELECT doc_id, count(*)::BIGINT AS n_spans,
+         |  count(*) FILTER (NOT keep)::BIGINT AS n_removed,
+         |  md5(coalesce(string_agg(span, ' ' ORDER BY idx) FILTER (keep), ''))
+         |    AS kept_md5
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal pipeline over opaque binary content: stub-decoded
@@ -1146,5 +1202,6 @@ object PipelineQueries {
     "q57_pii_scrub"      -> piiScrub,
     "q58_chunks"         -> chunks,
     "q59_lsh_verified"   -> lshVerified,
-    "q60_adaptive_filter" -> adaptiveFilter)
+    "q60_adaptive_filter" -> adaptiveFilter,
+    "q61_span_dedup"     -> spanDedup)
 }

@@ -93,6 +93,17 @@ class DedupSpec extends SparkSpec {
     assert(!fp.exists(_._1 == 2L))
   }
 
+  test("q61 span dedup: injected preamble survives only in its first doc") {
+    val r = graft.SparkEntry.queries("q61_span_dedup")(spark, sf0001)
+      .select("doc_id", "n_removed")
+      .as[(Long, Long)].collect().toMap
+    val injected = r.keys.filter(_ % 10 == 0).toSeq.sorted
+    // the corpus-first occurrence keeps the preamble span; every later
+    // injected doc must lose at least that one span
+    assert(injected.tail.forall(r(_) >= 1L),
+      s"injected docs missing removals: ${injected.tail.filter(r(_) < 1L)}")
+  }
+
   test("simhash: identical docs share fingerprints; near-dups are close") {
     val fp = Dedup.simhash(docs, "doc_id", "text")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
