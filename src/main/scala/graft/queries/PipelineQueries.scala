@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.{Hashing, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ConnectedComponents, Dedup, Similarity, VectorQuantizer}
+import graft.operators.{ConnectedComponents, Dedup, Packing, Similarity, VectorQuantizer}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
   * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
@@ -1122,6 +1122,47 @@ object PipelineQueries {
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** Sequence packing: next-fit documents into fixed token-budget
+    * training bins, independently per hash stratum
+    * ([[graft.operators.Packing]]). The oracle replays the identical
+    * sequential fold as a DuckDB recursive CTE — bin boundaries are
+    * exact-integer decisions on both sides, so the assignment (not
+    * just the totals) must agree. Emits per-bin occupancy.
+    */
+  val packSequences: Q = {
+    val BUDGET = 64L; val STRATA = 16
+    Q(
+      (s, d) => {
+        val n = t(s, d, "documents").select(
+          (col("doc_id") % STRATA).as("stratum"), col("doc_id"),
+          size(TextFunctions.words(col("text"))).cast("long").as("n_tok"))
+        Packing.nextFitPack(n, "stratum", "doc_id", "n_tok", BUDGET)
+          .groupBy("stratum", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+          .orderBy("stratum", "bin")
+      },
+      s"""WITH RECURSIVE n AS (
+         |  SELECT doc_id % $STRATA AS stratum, doc_id,
+         |    len(${TextFunctions.wordsSql("text")})::BIGINT AS n_tok
+         |  FROM documents),
+         |o AS (
+         |  SELECT stratum, doc_id, n_tok,
+         |    row_number() OVER (PARTITION BY stratum ORDER BY doc_id) AS rn
+         |  FROM n),
+         |p AS (
+         |  SELECT stratum, rn, n_tok, 0::BIGINT AS bin, n_tok AS cum
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.stratum, o.rn, o.n_tok,
+         |    CASE WHEN p.cum + o.n_tok > $BUDGET THEN p.bin + 1 ELSE p.bin END,
+         |    CASE WHEN p.cum + o.n_tok > $BUDGET THEN o.n_tok
+         |         ELSE p.cum + o.n_tok END
+         |  FROM p JOIN o ON o.stratum = p.stratum AND o.rn = p.rn + 1)
+         |SELECT stratum, bin, count(*)::BIGINT AS n_docs,
+         |  sum(n_tok)::BIGINT AS sum_tokens
+         |FROM p GROUP BY stratum, bin ORDER BY stratum, bin""".stripMargin)
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal pipeline over opaque binary content: stub-decoded
@@ -1203,5 +1244,6 @@ object PipelineQueries {
     "q58_chunks"         -> chunks,
     "q59_lsh_verified"   -> lshVerified,
     "q60_adaptive_filter" -> adaptiveFilter,
-    "q61_span_dedup"     -> spanDedup)
+    "q61_span_dedup"     -> spanDedup,
+    "q62_pack_sequences" -> packSequences)
 }
