@@ -1163,6 +1163,75 @@ object PipelineQueries {
          |FROM p GROUP BY stratum, bin ORDER BY stratum, bin""".stripMargin)
   }
 
+  /** Collocation mining: top-K adjacent-word bigrams with an exact
+    * integer association strength (P(y|x) in ppm — the ln-free stand-in
+    * for PMI, same discipline as q36's rational TF-IDF). The bigram
+    * explode is map-side; one shuffle keyed by bigram; the per-head
+    * totals frame is vocabulary-sized, so it broadcasts; the top-K is
+    * a TakeOrderedAndProject, never a global sort.
+    */
+  val collocations: Q = {
+    val K = 50
+    Q(
+      (s, d) => {
+        val bigrams = t(s, d, "documents")
+          .select(TextFunctions.words(col("text")).as("arr"))
+          .filter(size(col("arr")) >= 2) // sequence(2,1) would descend
+          .select(explode(transform(sequence(lit(2), size(col("arr"))),
+            i => struct(element_at(col("arr"), i - 1).as("x"),
+              element_at(col("arr"), i).as("y")))).as("b"))
+          .select(col("b.x").as("x"), col("b.y").as("y"))
+        val c = bigrams.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+        val cx = c.groupBy("x").agg(sum("n_xy").as("n_x"))
+        c.join(broadcast(cx), Seq("x"))
+          .select(col("x"), col("y"), col("n_xy"),
+            expr("(n_xy * 1000000) div n_x").as("strength_ppm"))
+          .orderBy(desc("n_xy"), asc("x"), asc("y"))
+          .limit(K)
+      },
+      s"""WITH w AS (
+         |  SELECT ${TextFunctions.wordsSql("text")} AS arr FROM documents
+         |  WHERE len(${TextFunctions.wordsSql("text")}) >= 2),
+         |i AS (SELECT arr, unnest(range(2, len(arr) + 1)) AS i FROM w),
+         |b AS (SELECT arr[i - 1] AS x, arr[i] AS y FROM i),
+         |c AS (SELECT x, y, count(*)::BIGINT AS n_xy FROM b GROUP BY x, y),
+         |cx AS (SELECT x, sum(n_xy)::BIGINT AS n_x FROM c GROUP BY x)
+         |SELECT x, y, n_xy, ((n_xy * 1000000) // n_x)::BIGINT AS strength_ppm
+         |FROM c JOIN cx USING (x)
+         |ORDER BY n_xy DESC, x, y LIMIT $K""".stripMargin)
+  }
+
+  /** Document-partitioned inverted index: per (term, shard) posting
+    * lists, proven byte-exact with an md5 over the sorted doc-id list.
+    * Sharding by doc id is how distributed indexes actually bound
+    * memory — a ubiquitous term's posting list is capped at shard df,
+    * and shard count grows with the corpus, so per-group state stays
+    * executor-sized at any scale. Two shuffles: the (doc, term)
+    * distinct and the (term, shard) group.
+    */
+  val invertedIndex: Q = {
+    val SHARDS = 8
+    Q(
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), (col("doc_id") % SHARDS).as("shard"),
+            explode(TextFunctions.words(col("text"))).as("w"))
+          .distinct()
+        tok.groupBy("w", "shard")
+          .agg(count(lit(1)).as("df"),
+            md5(array_join(transform(array_sort(collect_set(col("doc_id"))),
+              _.cast("string")), ",")).as("postings_md5"))
+          .orderBy("w", "shard")
+      },
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, doc_id % $SHARDS AS shard,
+         |    unnest(${TextFunctions.wordsSql("text")}) AS w
+         |  FROM documents)
+         |SELECT w, shard, count(*)::BIGINT AS df,
+         |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS postings_md5
+         |FROM tok GROUP BY w, shard ORDER BY w, shard""".stripMargin)
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal pipeline over opaque binary content: stub-decoded
@@ -1245,5 +1314,7 @@ object PipelineQueries {
     "q59_lsh_verified"   -> lshVerified,
     "q60_adaptive_filter" -> adaptiveFilter,
     "q61_span_dedup"     -> spanDedup,
-    "q62_pack_sequences" -> packSequences)
+    "q62_pack_sequences" -> packSequences,
+    "q63_collocations"   -> collocations,
+    "q64_inverted_index" -> invertedIndex)
 }

@@ -72,6 +72,12 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("collocation head totals broadcast; top-k avoids a global sort (q63)") {
+    val p = plan("q63_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("bucketed ANN joins on the bucket key — no nested loop (q27, q28, q42)") {
     for (name <- Seq("q27_ann_bucketed", "q28_nearest_neighbor", "q42_embed_dupes")) {
       val p = plan(name)
