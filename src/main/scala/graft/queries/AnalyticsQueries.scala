@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, BloomJoin, RangeJoin}
 
 /** Analytical workloads beyond the reference's surface: multi-way
   * joins, time bucketing, JSON extraction, approximate distinct — the
@@ -454,6 +454,32 @@ object AnalyticsQueries {
          |ORDER BY user_id, start_us""".stripMargin)
   }
 
+  /** Bloom-pruned fact/dim semi join ([[BloomJoin]]): the build side
+    * (one market segment's customers) is folded distributedly into an
+    * m-bit bitmap, the probe side (events) is pre-filtered by k
+    * codegen'd hash tests before the exchange, and the exact semi join
+    * removes the bloom's false positives — so the result is EXACTLY
+    * the semi join and the oracle is the plain `IN` subquery. At
+    * 100 TB the bloom is what keeps the fact-side shuffle proportional
+    * to selectivity instead of corpus size.
+    */
+  val bloomSemiJoin: Q = Q(
+    (s, d) => {
+      val build = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey"))
+      BloomJoin.semiJoin(t(s, d, "events"), build, "user_id", "c_custkey")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy("event_type")
+    },
+    """SELECT event_type, count(*)::BIGINT AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events
+      |WHERE user_id IN (SELECT c_custkey FROM customer
+      |                  WHERE c_mktsegment = 'MACHINERY')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
@@ -470,5 +496,6 @@ object AnalyticsQueries {
     "q41_corr_stats"       -> corrStats,
     "q44_window_range"     -> windowRange,
     "q45_grouping_sets"    -> groupingSets,
-    "q52_session_windows"  -> sessionWindows)
+    "q52_session_windows"  -> sessionWindows,
+    "q65_bloom_join"       -> bloomSemiJoin)
 }
