@@ -19,6 +19,11 @@ run / fork := true
 outputStrategy := Some(StdoutOutput)
 run / outputStrategy := Some(StdoutOutput)
 Compile / runMain / outputStrategy := Some(StdoutOutput)
+// ...and suppress the "[success] Total time: ..." banner sbt prints AFTER
+// the forked JVM exits: it lands after Bench's JSON line, so a parser
+// that reads the last line of output sees the banner, not the metric
+// (BENCH_r01–r03 all recorded parsed:null).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

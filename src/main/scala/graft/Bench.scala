@@ -74,10 +74,20 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // 3-decimal (ms) precision: nanosecond noise is meaningless, and the
+    // shorter line matters — the driver keeps only a bounded tail of the
+    // run's output, and a ~3.3 kB line (65 queries at full double width)
+    // had its front truncated out of BENCH_r03's capture.
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Nothing may follow the JSON metric on the merged stdout/stderr
+    // stream: silence the Spark logger before printing so stop()'s
+    // shutdown chatter can't land after it.
+    spark.sparkContext.setLogLevel("OFF")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
