@@ -40,17 +40,23 @@ object Packing {
     val sorted: Dataset[(Long, Long, Long)] = df
       .select(col(stratum).cast("long"), col(id).cast("long"),
         col(tok).cast("long"))
+      // the typed decode below NPEs on null primitives, and a
+      // null-keyed row has no stratum to pack into — drop, don't crash
+      .na.drop()
       .as[(Long, Long, Long)]
       .repartition(col(stratum))
       .sortWithinPartitions(col(stratum), col(id))
     sorted.mapPartitions { it =>
       // a partition holds whole strata (hash partitioning), sorted by
-      // (stratum, id); the fold resets at each stratum boundary
-      var cur = Long.MinValue
+      // (stratum, id); the fold resets at each stratum boundary.
+      // first-row state is a flag, not a sentinel value — a genuine
+      // stratum of Long.MinValue must still reset the bin numbering
+      var first = true
+      var cur = 0L
       var bin = 0L
       var cum = 0L
       it.map { case (s, i, t) =>
-        if (s != cur) { cur = s; bin = 0L; cum = t }
+        if (first || s != cur) { first = false; cur = s; bin = 0L; cum = t }
         else if (cum + t > budget) { bin += 1; cum = t }
         else cum += t
         (s, i, t, bin)

@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   * Everything is exact integer arithmetic so the result is
   * bit-identical on any engine, any partitioning, any executor count:
   * components are scaled to micro-units (`round(x·10⁶)` longs),
-  * distances are exact long sums of squared deltas (|x| ≤ ~10³ and
-  * d ≤ 4096 stay far under 2⁶³), centroid updates re-quantize to the
+  * distances are exact decimal(38) sums of squared deltas — exact for
+  * any |x| ≤ ~10¹¹ after scaling, at any dimensionality, where a raw
+  * long accumulator would silently wrap at |x| ≈ 24 for d = 4096
+  * (Spark's non-ANSI sum(long) wraps; DuckDB promotes to HUGEINT, so
+  * an overflow would break cross-engine bit-identity, not just
+  * precision) — centroid updates re-quantize to the
   * same scaled domain, and argmin ties break on the lowest cell id.
   * Floating-point k-means would converge equally well but no two runs
   * — let alone two engines — would agree bit-for-bit on the result;
@@ -87,9 +91,14 @@ object VectorQuantizer {
     */
   def assignCells(scaledCorpus: DataFrame, cent: DataFrame,
                   id: String, top: Int = 1): DataFrame = {
+    // deltas fit decimal(18) (scaled components are int-range longs);
+    // the product is decimal(37) and sum() widens to decimal(38) — all
+    // exact, matching DuckDB's HUGEINT promotion where sum(long) would
+    // wrap at d·(2·maxΔ)² > 2⁶³
+    val delta = (col("xs") - col("cs")).cast("decimal(18,0)")
     val d2 = scaledCorpus.join(broadcast(cent.select("cell", "dim", "cs")), Seq("dim"))
       .groupBy(col(id), col("cell"))
-      .agg(sum((col("xs") - col("cs")) * (col("xs") - col("cs"))).as("d2"))
+      .agg(sum(delta * delta).as("d2"))
     d2.withColumn("rnk",
         row_number().over(Window.partitionBy(col(id)).orderBy(col("d2"), col("cell"))))
       .filter(col("rnk") <= top)

@@ -1003,8 +1003,13 @@ object PipelineQueries {
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),
           size(TextFunctions.words(col("text"))).as("n_tok"))
+        // greatest(…, 0): Spark `div` truncates toward zero, DuckDB `//`
+        // floors — they disagree at n_tok = 0 (-1 div C = 0 vs -1 // C
+        // = -1). Unreachable today (split('', ' ') yields ['']), but
+        // the guard makes both engines agree for ALL inputs.
         .select(col("doc_id"), col("n_tok"),
-          explode(sequence(lit(0), expr(s"(n_tok - 1) div $CHUNK"))).as("chunk"))
+          explode(sequence(lit(0),
+            expr(s"greatest(n_tok - 1, 0) div $CHUNK"))).as("chunk"))
         .select(col("doc_id"), col("chunk").cast("long").as("chunk"),
           (col("chunk") * CHUNK + 1).as("tok_start"),
           least(col("n_tok"), (col("chunk") + 1) * CHUNK).as("tok_end"))
@@ -1014,7 +1019,7 @@ object PipelineQueries {
          |  FROM documents),
          |c AS (
          |  SELECT doc_id, n_tok,
-         |    unnest(range(0, (n_tok - 1) // $CHUNK + 1)) AS chunk
+         |    unnest(range(0, greatest(n_tok - 1, 0) // $CHUNK + 1)) AS chunk
          |  FROM n)
          |SELECT doc_id, chunk,
          |  (chunk * $CHUNK + 1)::BIGINT AS tok_start,
@@ -1087,7 +1092,9 @@ object PipelineQueries {
         val spans = t(s, d, "documents")
           .select(col("doc_id"), TextFunctions.words(injected).as("arr"))
           .select(col("doc_id"), posexplode(
-            transform(sequence(lit(0), expr(s"(size(arr) - 1) div $W")),
+            // greatest guard: see chunks — div/`//` disagree below zero
+            transform(sequence(lit(0),
+                expr(s"greatest(size(arr) - 1, 0) div $W")),
               i => array_join(slice(col("arr"), i * W + 1, lit(W)), " ")))
             .as(Seq("idx", "span")))
         spans
@@ -1108,7 +1115,7 @@ object PipelineQueries {
          |  FROM documents),
          |w AS (SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr FROM c),
          |e AS (SELECT doc_id, arr,
-         |  unnest(range(0, (len(arr) - 1) // $W + 1)) AS idx FROM w),
+         |  unnest(range(0, greatest(len(arr) - 1, 0) // $W + 1)) AS idx FROM w),
          |sp AS (SELECT doc_id, idx,
          |  array_to_string(arr[(idx * $W + 1):(idx * $W + $W)], ' ') AS span
          |  FROM e),

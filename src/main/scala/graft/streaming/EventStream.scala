@@ -14,8 +14,15 @@ final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
 final case class Session(user_id: Long, session_start: java.sql.Timestamp,
                          session_end: java.sql.Timestamp, n_events: Long)
 
-/** Accumulating session state kept per user between micro-batches. */
+/** One open (not-yet-emittable) session interval. */
 private[streaming] final case class SessionAcc(start: Long, end: Long, n: Long)
+
+/** Per-user state between micro-batches: ALL open intervals, not just
+  * the latest — a straggler more than `gap` before the newest interval
+  * opens its own interval here and waits for the watermark like any
+  * other, so it can still merge with later-arriving neighbours.
+  */
+private[streaming] final case class SessionsAcc(open: List[SessionAcc])
 
 /** Structured Streaming analog of the reference's append-only
   * engagement log (`addEngagementRecord`, buzzdb_lab1.cpp:639-673;
@@ -95,59 +102,56 @@ object EventStream {
     * watermark passes `end + gap`, so state cannot accrete on an
     * unbounded feed. A session is emitted exactly once, either when a
     * later event breaks the gap (data path) or when the timeout fires
-    * (idle path). In-batch events are processed in event-time order;
-    * a cross-batch out-of-order event within the watermark extends the
-    * open session's interval in whichever direction it falls inside
-    * the gap, and a straggler more than `gap` BEFORE the open session
-    * is emitted as its own singleton session immediately (the open
-    * session may already have emitted successors — append mode cannot
-    * rewrite it).
+    * (idle path). State holds EVERY open interval for the user (a
+    * straggler more than `gap` before the newest interval becomes its
+    * own open interval), and an interval is emitted only once the
+    * watermark passes its `end + gap` — at which point no admissible
+    * event can still merge into it. That defers emission by up to the
+    * lateness bound but buys exact batch `session_window` gap-merge
+    * parity for ANY arrival order within the watermark (the append-mode
+    * discipline: never emit what a legal future event could rewrite).
+    * State is O(open intervals per user), bounded by the watermark.
     */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
                  lateness: String): Dataset[Session] = {
     import events.sparkSession.implicits._
     events.withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionAcc, Session](
+      .flatMapGroupsWithState[SessionsAcc, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (user, batch, state) => sessionStep(user, batch, state, gapMs))
   }
 
   private def sessionStep(user: Long, batch: Iterator[SessionEvent],
-                          state: GroupState[SessionAcc],
+                          state: GroupState[SessionsAcc],
                           gapMs: Long): Iterator[Session] = {
     def emit(s: SessionAcc): Session = Session(user,
       new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n)
-    if (state.hasTimedOut) {
-      val s = state.get
-      state.remove()
-      Iterator.single(emit(s))
-    } else {
-      val closed = Seq.newBuilder[Session]
-      var cur = state.getOption
+    // fold the batch's events into the open-interval set: an event
+    // merges every interval it is within `gap` of (it can bridge two)
+    var open = state.getOption.map(_.open).getOrElse(Nil)
+    if (!state.hasTimedOut) {
       batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
         val t = e.ts.getTime
-        cur = cur match {
-          case Some(s) if t > s.end + gapMs => // gap broken forward
-            closed += emit(s)
-            Some(SessionAcc(t, t, 1))
-          case Some(s) if t < s.start - gapMs => // straggler far in the past
-            closed += Session(user,
-              new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1)
-            Some(s)
-          case Some(s) => // inside [start-gap, end+gap]: extend either way
-            Some(SessionAcc(math.min(s.start, t), math.max(s.end, t), s.n + 1))
-          case None => Some(SessionAcc(t, t, 1))
-        }
+        val (touch, rest) = open.partition(s =>
+          t >= s.start - gapMs && t <= s.end + gapMs)
+        open = SessionAcc(
+          (t :: touch.map(_.start)).min,
+          (t :: touch.map(_.end)).max,
+          touch.map(_.n).sum + 1) :: rest
       }
-      cur.foreach { s =>
-        state.update(s)
-        // must be strictly past the current watermark or Spark rejects
-        // the timeout; an already-idle session then fires next batch
-        state.setTimeoutTimestamp(
-          math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
-      }
-      closed.result().iterator
     }
+    // emit exactly the ripe intervals — watermark past end+gap means no
+    // admissible event can extend them — and re-arm for the earliest
+    // still-open one (strictly past the watermark or Spark rejects it)
+    val wm = state.getCurrentWatermarkMs
+    val (ripe, still) = open.partition(s => s.end + gapMs <= wm)
+    if (still.isEmpty) { if (state.exists) state.remove() }
+    else {
+      state.update(SessionsAcc(still))
+      state.setTimeoutTimestamp(
+        math.max(still.map(_.end + gapMs).min, wm + 1))
+    }
+    ripe.sortBy(s => (s.start, s.end)).map(emit).iterator
   }
 }
