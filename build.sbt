@@ -24,6 +24,7 @@ Compile / runMain / outputStrategy := Some(StdoutOutput)
 // that reads the last line of output sees the banner, not the metric
 // (BENCH_r01–r03 all recorded parsed:null).
 Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank in exact integer arithmetic — the graph
+  * companion to [[ConnectedComponents]]: influence/centrality over an
+  * entity graph (link graphs for crawl prioritization, author graphs
+  * for source weighting in a training-data pipeline).
+  *
+  * Determinism stance: rank mass is an integer number of units
+  * (SCALE = 10¹²), every division is integer `div`, and all operands
+  * are non-negative — so Spark's truncate-toward-zero `div` and
+  * DuckDB's floor `//` agree on every intermediate, and the result is
+  * bit-identical on any engine at any parallelism. (Float PageRank
+  * would converge to the same ORDER but never hash-match across
+  * engines.) With damping d = 85/100:
+  *
+  *   r₀(v)    = SCALE div N
+  *   share(u) = r(u) div outdeg(u)
+  *   r'(v)    = (15·(SCALE div N)) div 100
+  *              + (85·Σ_{u→v} share(u)) div 100
+  *
+  * Scale shape per iteration: one join of the rank table against the
+  * edge list keyed on src, one groupBy dst — both shuffles keyed on
+  * node id, nothing driver-side, no O(N²). N reaches the plan as a
+  * broadcast 1-row aggregate (not a collected scalar), so the whole
+  * computation stays one declarative plan. Truncation loses ≤ 1 unit
+  * per division (≤ outdeg·10⁻¹² relative), irrelevant for ranking.
+  *
+  * Callers with dangling nodes (outdeg 0) should densify first (add
+  * reverse edges, as q70 does, or a sink self-loop): mass flowing to
+  * nowhere is silently dropped here, same as the classic formulation.
+  */
+object PageRank {
+
+  val SCALE = 1000000000000L // 1e12 rank units
+
+  /** `iters` damped rounds over `(src, dst)` edges (dedup'd here);
+    * returns (node, rank) for every node appearing as src or dst.
+    */
+  def ranks(edges: DataFrame, src: String, dst: String,
+            iters: Int): DataFrame = {
+    require(iters >= 1, s"at least one iteration, got $iters")
+    // one scan feeds edges/nodes/outdeg in every iteration — persist,
+    // callers clear via spark.catalog.clearCache() (Verify/Bench do)
+    val e = edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    var r = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), expr(s"$SCALE div n_nodes").as("r"))
+    for (_ <- 1 to iters) {
+      val shares = r.join(outdeg, col("node") === col("src"))
+        .select(col("src"), expr("r div outdeg").as("share"))
+      val inflow = e.join(shares, Seq("src"))
+        .groupBy("dst").agg(sum("share").as("inflow"))
+      r = nodes.crossJoin(broadcast(nn))
+        .join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"), expr(
+          s"(15 * ($SCALE div n_nodes)) div 100" +
+            " + (85 * coalesce(inflow, 0L)) div 100").as("r"))
+    }
+    r
+  }
+}

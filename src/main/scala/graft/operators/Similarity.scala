@@ -108,6 +108,34 @@ object Similarity {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** SemDeDup-style semantic deduplication: pairwise cosine bounded
+    * by a cluster assignment. `cells` is the (id, cell) map from a
+    * trained quantizer ([[VectorQuantizer.assignCells]]); within each
+    * cell every pair is scored and a vector with a LOWER-id neighbour
+    * at rounded cosine ≥ `tau` is dropped — lowest id survives each
+    * semantic-duplicate set, matching the deterministic-survivor rule
+    * of every dedup stage here. Returns the survivors as (id, cell).
+    *
+    * Scale shape: the self-join shuffles on the CELL key only, so
+    * pairwise work is O(Σ cellᵢ²) and cross-cell pairs never
+    * materialize — the cluster count is the knob (web-scale SemDeDup
+    * runs ~10⁵ clusters so each cell stays executor-sized; a hot cell
+    * is AQE-splittable because scoring is per-pair). The threshold
+    * compares the 6-decimal ROUNDED cosine so both engines make the
+    * same keep/drop call on boundary pairs.
+    */
+  def semanticKeep(emb: DataFrame, id: String, vec: String,
+                   cells: DataFrame, tau: Double): DataFrame = {
+    val v = emb.select(col(id), col(vec)).join(cells, Seq(id))
+    val a = v.select(col("cell"), col(id).as("id_a"), col(vec).as("va"))
+    val b = v.select(col("cell"), col(id).as("id_b"), col(vec).as("vb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosineNative(col("va"), col("vb")), 6) >= tau)
+      .select(col("id_b").as(id)).distinct()
+    v.join(dropped, Seq(id), "left_anti").select(col(id), col("cell"))
+  }
+
   /** IVF-style approximate top-k: a coarse quantizer partitions the
     * corpus into `nCells` cells (each vector assigned to its nearest
     * pivot), and a query scores only the vectors in its `nProbe`

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
-import graft.operators.{AsOfJoin, BloomJoin, RangeJoin}
+import graft.operators.{AsOfJoin, BloomJoin, Merge, PageRank, RangeJoin, Salting}
 
 /** Analytical workloads beyond the reference's surface: multi-way
   * joins, time bucketing, JSON extraction, approximate distinct — the
@@ -480,6 +480,118 @@ object AnalyticsQueries {
       |                  WHERE c_mktsegment = 'MACHINERY')
       |GROUP BY event_type ORDER BY event_type""".stripMargin)
 
+  /** CDC latest-wins upsert ([[Merge.latestWins]]): the customer
+    * snapshot unioned with an order-derived changelog (each order
+    * restates its customer's balance as of its order date), compacted
+    * to latest state per key. Version order is (commit time, sequence)
+    * — the total order a real CDC feed's LSN/binlog offset provides;
+    * the base snapshot sits at version 0 so any update wins. One
+    * key-shuffle + first-row window, no join.
+    */
+  val upsertMerge: Q = Q(
+    (s, d) => {
+      val base = t(s, d, "customer").select(col("c_custkey"),
+        cents(col("c_acctbal")).as("bal_cents"),
+        lit(0L).as("ver_us"), lit(0L).as("seq"))
+      val updates = t(s, d, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        cents(col("o_totalprice")).as("bal_cents"),
+        // o_orderdate is parquet TIMESTAMP_NTZ; the session runs UTC,
+        // so the LTZ cast pins the same wall clock DuckDB's epoch_us
+        // reads off the naive value
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ver_us"),
+        col("o_orderkey").as("seq"))
+      Merge.latestWins(base.unionByName(updates),
+          Seq("c_custkey"), Seq("ver_us", "seq"))
+        .orderBy("c_custkey")
+    },
+    """WITH ch AS (
+      |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+      |    0::BIGINT AS ver_us, 0::BIGINT AS seq
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT),
+      |    epoch_us(o_orderdate), o_orderkey
+      |  FROM orders),
+      |r AS (
+      |  SELECT c_custkey, bal_cents, ver_us, seq,
+      |    row_number() OVER (PARTITION BY c_custkey
+      |                       ORDER BY ver_us DESC, seq DESC) AS rn
+      |  FROM ch)
+      |SELECT c_custkey, bal_cents, ver_us, seq FROM r WHERE rn = 1
+      |ORDER BY c_custkey""".stripMargin)
+
+  /** Hot-key aggregation through [[Salting.saltedSum]] as a judged
+    * query: `l_returnflag` has THREE values over the whole fact table
+    * — the worst-case skew shape, where an unsalted groupBy hands each
+    * of 3 reducers a third of 100 TB no matter how many executors
+    * exist. The salted two-phase plan spreads each key over the salt
+    * fan-out first; the oracle is the plain GROUP BY (salting must be
+    * result-invisible), exact because the values are integer cents.
+    */
+  val saltedAgg: Q = Q(
+    (s, d) => Salting.saltedSum(
+      t(s, d, "lineitem").select(col("l_returnflag"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("disc_cents")),
+      Seq("l_returnflag"), "disc_cents", salts = 32)
+      .orderBy("l_returnflag"),
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      |       AS BIGINT) AS sum_disc_cents
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin)
+
+  /** Integer PageRank ([[PageRank.ranks]]) over the customer–supplier
+    * trade graph (an edge per distinct (customer, supplier) pair that
+    * traded, both directions so no node dangles), 3 damped rounds,
+    * top 20 nodes. Supplier node ids are offset by 10⁷ to share the
+    * namespace. The oracle unrolls the identical integer recurrence —
+    * every division is positive-integer `div`, so Spark and DuckDB
+    * agree bit-for-bit (see [[PageRank]] for the determinism stance).
+    */
+  val pageRankTop: Q = {
+    val ITERS = 3; val OFF = 10000000L; val K = 20
+    def iterCte(i: Int): String =
+      s"""s$i AS (
+         |  SELECT r${i - 1}.node AS src, (r // outdeg)::BIGINT AS share
+         |  FROM r${i - 1} JOIN od ON r${i - 1}.node = od.src),
+         |f$i AS (
+         |  SELECT e.dst AS node, sum(share) AS inflow
+         |  FROM e JOIN s$i ON e.src = s$i.src GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.node,
+         |    ((15 * (${PageRank.SCALE} // nn.n_nodes)) // 100
+         |     + (85 * coalesce(f.inflow, 0)) // 100)::BIGINT AS r
+         |  FROM nodes n CROSS JOIN nn
+         |  LEFT JOIN f$i f ON n.node = f.node)"""
+    Q(
+      (s, d) => {
+        val e0 = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"), (col("l_suppkey") + OFF).as("dst"))
+        val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.ranks(edges, "src", "dst", ITERS)
+          .select(col("node"), col("r").as("rank_units"))
+          .orderBy(desc("rank_units"), asc("node")).limit(K)
+      },
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + $OFF AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |e AS (SELECT src, dst FROM e0
+         |      UNION SELECT dst AS src, src AS dst FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |nn AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes),
+         |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT node, (${PageRank.SCALE} // n_nodes)::BIGINT AS r
+         |       FROM nodes, nn),
+         |${(1 to ITERS).map(iterCte).mkString(",\n")}
+         |SELECT node, r AS rank_units FROM r$ITERS
+         |ORDER BY rank_units DESC, node LIMIT $K""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
@@ -497,5 +609,8 @@ object AnalyticsQueries {
     "q44_window_range"     -> windowRange,
     "q45_grouping_sets"    -> groupingSets,
     "q52_session_windows"  -> sessionWindows,
-    "q65_bloom_join"       -> bloomSemiJoin)
+    "q65_bloom_join"       -> bloomSemiJoin,
+    "q67_upsert_merge"     -> upsertMerge,
+    "q68_salted_agg"       -> saltedAgg,
+    "q70_pagerank"         -> pageRankTop)
 }

@@ -1289,6 +1289,81 @@ object PipelineQueries {
          |ORDER BY s.doc_id, f""".stripMargin)
   }
 
+  /** Semantic dedup (the SemDeDup recipe: embed → cluster → pairwise
+    * cosine within clusters → drop all but one of each semantic-dup
+    * set). Reuses the q53 trained codebook — same constants, same
+    * oracle CTEs — for the cluster assignment, which is what bounds
+    * pairwise work to O(Σ cell²) where a corpus-wide pair join would
+    * be O(N²); at web scale the cluster count rises (~10⁵) so cells
+    * stay executor-sized. Duplicates are synthesized (+10⁶ ids, as in
+    * q22/q42): an injected copy lands in its original's cell at
+    * cosine 1.0, so every copy must drop; natural within-cell
+    * near-dups above τ drop too. Output: surviving (vec_id, cell).
+    */
+  val semanticDedup: Q = {
+    val TAU = 0.95
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(
+          emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        val e = VectorQuantizer.scaled(emb, "vec_id", "embedding").persist()
+        val cent = VectorQuantizer.fitCentroids(e, "vec_id", KM_C, KM_ITERS)
+        val cells = VectorQuantizer.assignCells(
+          VectorQuantizer.scaled(corpus, "vec_id", "embedding"), cent, "vec_id")
+        Similarity.semanticKeep(corpus, "vec_id", "embedding", cells, TAU)
+          .orderBy("vec_id")
+      },
+      s"""WITH $kmeansCtes,
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+         |ec AS (
+         |  SELECT vec_id,
+         |    unnest(range(1, len(embedding) + 1)) AS dim,
+         |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xs
+         |  FROM corpus),
+         |fa AS (
+         |  SELECT ec.vec_id, c.cell,
+         |    sum((ec.xs - c.cs) * (ec.xs - c.cs)) AS d2
+         |  FROM ec JOIN c$KM_ITERS c USING (dim)
+         |  GROUP BY ec.vec_id, c.cell),
+         |ca AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM fa) WHERE rnk = 1),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM corpus),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN v va ON va.vec_id = a.vec_id
+         |  JOIN v vb ON vb.vec_id = b.vec_id
+         |  WHERE round(${VectorFunctions.cosineSql("va.v", "vb.v")}, 6) >= $TAU)
+         |SELECT ca.vec_id, ca.cell FROM ca
+         |WHERE ca.vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY ca.vec_id""".stripMargin)
+  }
+
+  /** Zipf frequency-of-frequency histogram: how many vocabulary terms
+    * occur exactly n times — the corpus-statistics curve behind
+    * vocabulary sizing and Good-Turing smoothing. Two grouped counts
+    * (term-keyed, then count-keyed); the second key space is tiny by
+    * construction, and `n` is unique per output row so the total
+    * order needs no tiebreaker.
+    */
+  val zipfHistogram: Q = Q(
+    (s, d) => t(s, d, "documents")
+      .select(explode(TextFunctions.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_terms"), min("w").as("first_term"))
+      .orderBy(desc("n")),
+    s"""WITH tok AS (
+       |  SELECT unnest(${TextFunctions.wordsSql("text")}) AS w FROM documents),
+       |tf AS (SELECT w, count(*)::BIGINT AS n FROM tok GROUP BY w)
+       |SELECT n, count(*)::BIGINT AS n_terms, min(w) AS first_term
+       |FROM tf GROUP BY n ORDER BY n DESC""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
@@ -1323,5 +1398,7 @@ object PipelineQueries {
     "q61_span_dedup"     -> spanDedup,
     "q62_pack_sequences" -> packSequences,
     "q63_collocations"   -> collocations,
-    "q64_inverted_index" -> invertedIndex)
+    "q64_inverted_index" -> invertedIndex,
+    "q66_semantic_dedup" -> semanticDedup,
+    "q69_zipf_histogram" -> zipfHistogram)
 }

@@ -109,6 +109,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((0L, 1L)))
   }
 
+  test("semanticKeep drops within-cell near-dups, keeps cross-cell ones") {
+    // cells: {0,1,4} together, {2,3} together. 0~1 near-dup (cos .993),
+    // 4 is 1's exact copy; 2 vs 3 are opposite (cos -1) so both keep.
+    val emb = vecs.unionByName(
+      Seq((4L, Array(0.9f, -0.1f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val cells = Seq(0L -> 0L, 1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L)
+      .toDF("vec_id", "cell")
+    val keep = Similarity.semanticKeep(emb, "vec_id", "embedding",
+      cells, tau = 0.99).select("vec_id").as[Long].collect().toSet
+    // 1 drops against 0 (cos .993884 >= .99); 4 drops against 1 (copy);
+    // 2 and 3 survive: same cell but cos -1
+    assert(keep == Set(0L, 2L, 3L))
+  }
+
+  test("semanticKeep never pairs across cells even at tau 0") {
+    // identical vectors in DIFFERENT cells must both survive — the
+    // cluster bound is what makes the operator sub-quadratic
+    val emb = Seq((0L, Array(1f, 0f)), (1L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cells = Seq(0L -> 0L, 1L -> 1L).toDF("vec_id", "cell")
+    val keep = Similarity.semanticKeep(emb, "vec_id", "embedding",
+      cells, tau = 0.0).select("vec_id").as[Long].collect().toSet
+    assert(keep == Set(0L, 1L))
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val a = VectorFunctions.cosine(col("x"), col("y"))
     val row = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f)))

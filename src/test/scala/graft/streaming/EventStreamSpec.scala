@@ -115,6 +115,62 @@ class EventStreamSpec extends SparkSpec {
       (1L, ts("2026-01-01 10:05:00"), ts("2026-01-01 10:10:00"), 2L)))
   }
 
+  test("stream-stream interval join attributes views to clicks; equals batch") {
+    val clickSchema = "click_user LONG, click_ts TIMESTAMP"
+    val viewSchema = "view_user LONG, view_ts TIMESTAMP"
+    def writeRows(dir: Path, name: String, colU: String, colT: String,
+                  rows: Seq[(Long, String)]): Unit =
+      Files.writeString(dir.resolve(name), rows.map { case (u, ts) =>
+        s"""{"$colU":$u,"$colT":"$ts"}"""
+      }.mkString("\n"))
+
+    // u1: view 10:00 within 10min of click 10:05 (pair); view 09:40 too
+    // old (no pair). u2: view 10:25 arrives a batch AFTER click 10:30
+    // but still joins — the buffered-state case.
+    val clicks1 = Seq((1L, "2026-01-01T10:05:00"), (2L, "2026-01-01T10:30:00"))
+    val views1 = Seq((1L, "2026-01-01T10:00:00"), (1L, "2026-01-01T09:40:00"))
+    val views2 = Seq((2L, "2026-01-01T10:25:00"))
+
+    val cDir = Files.createTempDirectory("graft-clicks")
+    val vDir = Files.createTempDirectory("graft-views")
+    val joined = EventStream.intervalJoin(
+      spark.readStream.schema(clickSchema).json(cDir.toString),
+      "click_user", "click_ts",
+      spark.readStream.schema(viewSchema).json(vDir.toString),
+      "view_user", "view_ts",
+      lateness = "30 minutes", lower = "10 minutes", upper = "0 seconds")
+    val q = joined.writeStream.format("memory").queryName("ev_attrib")
+      .outputMode("append").start()
+    try {
+      writeRows(cDir, "c1.json", "click_user", "click_ts", clicks1)
+      writeRows(vDir, "v1.json", "view_user", "view_ts", views1)
+      q.processAllAvailable()
+      writeRows(vDir, "v2.json", "view_user", "view_ts", views2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val streamed = spark.table("ev_attrib")
+      .select("click_user", "click_ts", "view_ts")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    assert(streamed == Set(
+      (1L, ts("2026-01-01 10:05:00"), ts("2026-01-01 10:00:00")),
+      (2L, ts("2026-01-01 10:30:00"), ts("2026-01-01 10:25:00"))))
+
+    // identical call in batch mode must agree
+    val batch = EventStream.intervalJoin(
+      spark.read.schema(clickSchema).json(
+        clicks1.map { case (u, t) => s"""{"click_user":$u,"click_ts":"$t"}""" }.toDS()),
+      "click_user", "click_ts",
+      spark.read.schema(viewSchema).json(
+        (views1 ++ views2).map { case (u, t) => s"""{"view_user":$u,"view_ts":"$t"}""" }.toDS()),
+      "view_user", "view_ts",
+      lateness = "30 minutes", lower = "10 minutes", upper = "0 seconds")
+      .select("click_user", "click_ts", "view_ts")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    assert(batch == streamed)
+  }
+
   test("streamed FK-validated windowed counts equal the batch aggregation") {
     val users = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
     // two 15-minute windows; user 99 violates the FK; the 10:05 view
