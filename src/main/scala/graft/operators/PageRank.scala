@@ -46,9 +46,11 @@ object PageRank {
     // callers clear via spark.catalog.clearCache() (Verify/Bench do)
     val e = edges.select(col(src).cast("long").as("src"),
       col(dst).cast("long").as("dst")).distinct().persist()
+    // nodes/outdeg feed every round — persist so each is one shuffle
+    // total, not one per round (callers clear via catalog.clearCache)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
     var r = nodes.crossJoin(broadcast(nn))
       .select(col("node"), expr(s"$SCALE div n_nodes").as("r"))
@@ -62,6 +64,11 @@ object PageRank {
         .select(col("node"), expr(
           s"(15 * ($SCALE div n_nodes)) div 100" +
             " + (85 * coalesce(inflow, 0L)) div 100").as("r"))
+        // checkpoint each round's (tiny, node-sized) rank table: the
+        // executed plan stays O(1) in iteration count instead of
+        // replanning/re-shuffling the whole prefix — same practice as
+        // ConnectedComponents' rounds and VectorQuantizer's fit
+        .localCheckpoint()
     }
     r
   }

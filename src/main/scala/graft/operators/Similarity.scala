@@ -126,7 +126,10 @@ object Similarity {
     */
   def semanticKeep(emb: DataFrame, id: String, vec: String,
                    cells: DataFrame, tau: Double): DataFrame = {
-    val v = emb.select(col(id), col(vec)).join(cells, Seq(id))
+    // v feeds three plan branches (both pair sides + the survivor
+    // anti-join); persisting makes the embed+assign subtree execute
+    // once instead of 3× (callers clear via catalog.clearCache)
+    val v = emb.select(col(id), col(vec)).join(cells, Seq(id)).persist()
     val a = v.select(col("cell"), col(id).as("id_a"), col(vec).as("va"))
     val b = v.select(col("cell"), col(id).as("id_b"), col(vec).as("vb"))
     val dropped = a.join(b, Seq("cell"))

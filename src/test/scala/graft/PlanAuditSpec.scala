@@ -21,7 +21,9 @@ class PlanAuditSpec extends SparkSpec {
   // ConnectedComponentsSpec (star rounds), VectorQuantizerSpec (fit).
   private val iterative =
     Set("q46_dedup_groups", "q48_dedup_apply",
-      "q53_kmeans_codebook", "q54_ann_trained")
+      "q53_kmeans_codebook", "q54_ann_trained",
+      "q66_semantic_dedup", // reuses the q53 fit (same checkpointed rounds)
+      "q70_pagerank") // per-round localCheckpoint (PageRankSpec audits shape)
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {

@@ -39,6 +39,21 @@ class VectorQuantizerSpec extends SparkSpec {
     assert(cells == Set(0L))
   }
 
+  test("scaled guards the exact-arithmetic domain instead of wrapping") {
+    // |x| = 23 is inside the guarded domain; 23.5 must raise rather
+    // than risk a silent long overflow in the distance sums
+    // consume xs (a bare count() would prune the guarded column away)
+    val ok = Seq((0L, Array(23.0f, -23.0f))).toDF("vec_id", "embedding")
+    assert(VectorQuantizer.scaled(ok, "vec_id", "embedding")
+      .agg(sum("xs")).as[Long].head() == 0L)
+    val bad = Seq((0L, Array(23.5f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      VectorQuantizer.scaled(bad, "vec_id", "embedding")
+        .agg(sum("xs")).as[Long].head()
+    }
+    assert(e.getMessage.contains("pre-normalize"))
+  }
+
   test("fit plans no cartesian product") {
     val p = VectorQuantizer.fit(emb, "vec_id", "embedding", 2, 1)
       .queryExecution.executedPlan.toString
