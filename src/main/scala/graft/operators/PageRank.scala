@@ -44,8 +44,14 @@ object PageRank {
     require(iters >= 1, s"at least one iteration, got $iters")
     // one scan feeds edges/nodes/outdeg in every iteration — persist,
     // callers clear via spark.catalog.clearCache() (Verify/Bench do)
+    // distinct shuffles on (src, dst); the extra repartition pins the
+    // CACHED edge list on hash(src) so every round's share-join reuses
+    // the partitioning instead of re-exchanging the (corpus-sized)
+    // edge side per iteration — one edge shuffle total, not one per
+    // round, which is the dominant cost at real graph sizes
     val e = edges.select(col(src).cast("long").as("src"),
-      col(dst).cast("long").as("dst")).distinct().persist()
+      col(dst).cast("long").as("dst")).distinct()
+      .repartition(col("src")).persist()
     // nodes/outdeg feed every round — persist so each is one shuffle
     // total, not one per round (callers clear via catalog.clearCache)
     val nodes = e.select(col("src").as("node"))
