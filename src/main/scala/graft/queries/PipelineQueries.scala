@@ -171,7 +171,8 @@ object PipelineQueries {
     * rolling-hash fingerprint family member — any shared run of
     * k+w-1 = 23 chars between two docs yields a shared fingerprint.
     * The oracle replays gram hashing and the window minimum with the
-    * same md5-derived h32 and the same ROWS frame.
+    * same polynomial [[Hashing.gramHash]] fold and the same ROWS
+    * frame.
     */
   val winnow: Q = {
     val K = 8; val W = 16
@@ -183,10 +184,14 @@ object PipelineQueries {
          |    greatest(length(text) - ${K - 1} - ${W - 1}, 1) AS max_start,
          |    unnest(range(1, greatest(length(text) - ${K - 1}, 0) + 1)) AS pos
          |  FROM documents),
+         |gr AS (
+         |  SELECT doc_id, max_start, pos,
+         |    substr(text, pos::INT, $K) AS gram
+         |  FROM g),
          |h AS (
          |  SELECT doc_id, max_start, pos,
-         |    ${Hashing.h32Sql(s"substr(text, pos::INT, $K)")} AS h
-         |  FROM g),
+         |    ${Hashing.charHashSql("gram", K)} AS h
+         |  FROM gr),
          |f AS (
          |  SELECT doc_id, pos, max_start,
          |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
