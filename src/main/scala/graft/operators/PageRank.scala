@@ -28,9 +28,14 @@ import org.apache.spark.sql.functions._
   * computation stays one declarative plan. Truncation loses ≤ 1 unit
   * per division (≤ outdeg·10⁻¹² relative), irrelevant for ranking.
   *
-  * Callers with dangling nodes (outdeg 0) should densify first (add
-  * reverse edges, as q70 does, or a sink self-loop): mass flowing to
-  * nowhere is silently dropped here, same as the classic formulation.
+  * Dangling nodes (outdeg 0): with `redistributeDangling` their rank
+  * mass is shared equally across all nodes each round — the standard
+  * sink-redistribution fix, as one more broadcast 1-row aggregate
+  * (Σ rank over outdeg-less nodes), each node receiving
+  * `dangling div N` extra inflow before damping. Off by default: the
+  * default recurrence stays bit-identical for densified graphs (q70's
+  * oracle replays it), where the dangling sum is zero anyway and the
+  * extra aggregate would be pure cost.
   */
 object PageRank {
 
@@ -40,7 +45,7 @@ object PageRank {
     * returns (node, rank) for every node appearing as src or dst.
     */
   def ranks(edges: DataFrame, src: String, dst: String,
-            iters: Int): DataFrame = {
+            iters: Int, redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"at least one iteration, got $iters")
     // one scan feeds edges/nodes/outdeg in every iteration — persist,
     // callers clear via spark.catalog.clearCache() (Verify/Bench do)
@@ -65,11 +70,24 @@ object PageRank {
         .select(col("src"), expr("r div outdeg").as("share"))
       val inflow = e.join(shares, Seq("src"))
         .groupBy("dst").agg(sum("share").as("inflow"))
-      r = nodes.crossJoin(broadcast(nn))
+      // sink redistribution: the rank mass sitting on outdeg-0 nodes,
+      // as a broadcast 1-row aggregate (same discipline as n_nodes —
+      // never a collected scalar), split evenly into every node's
+      // pre-damping inflow
+      val base = if (!redistributeDangling) nodes.crossJoin(broadcast(nn))
+        else {
+          val dangling = r.join(outdeg, col("node") === col("src"), "left_anti")
+            .agg(coalesce(sum("r"), lit(0L)).as("dangling"))
+          nodes.crossJoin(broadcast(nn)).crossJoin(broadcast(dangling))
+        }
+      val inflowExpr =
+        if (redistributeDangling) "coalesce(inflow, 0L) + dangling div n_nodes"
+        else "coalesce(inflow, 0L)"
+      r = base
         .join(inflow, col("node") === col("dst"), "left")
         .select(col("node"), expr(
           s"(15 * ($SCALE div n_nodes)) div 100" +
-            " + (85 * coalesce(inflow, 0L)) div 100").as("r"))
+            s" + (85 * ($inflowExpr)) div 100").as("r"))
         // checkpoint each round's (tiny, node-sized) rank table: the
         // executed plan stays O(1) in iteration count instead of
         // replanning/re-shuffling the whole prefix — same practice as

@@ -53,6 +53,35 @@ class PageRankSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dangling node: redistribution conserves mass, default leaks it") {
+    // 1 -> 2, 2 -> 3, 3 dangling: without redistribution node 3's rank
+    // drains out of the system every round
+    val e = Seq((1L, 2L), (2L, 3L))
+    val leaky = ranksOf(e, iters = 3)
+    val S = PageRank.SCALE
+    assert(leaky.values.sum < S - S / 10, "dangling mass should leak by default")
+    val r = PageRank.ranks(e.toDF("src", "dst"), "src", "dst",
+        iters = 3, redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    // total mass within integer-truncation loss of SCALE (each of the
+    // 3 rounds loses < a few units per node to the div truncations)
+    assert(math.abs(r.values.sum - S) < 1000L * r.size * 3)
+    // the chain still orders 3 (two hops of inflow) above 1 (teleport
+    // + redistribution only)
+    assert(r(3L) > r(2L) && r(2L) > r(1L))
+    spark.catalog.clearCache()
+  }
+
+  test("redistribution on a dangling-free graph matches the default") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val a = ranksOf(e, iters = 2)
+    val b = PageRank.ranks(e.toDF("src", "dst"), "src", "dst",
+        iters = 2, redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    spark.catalog.clearCache()
+  }
+
   test("plan is join/agg shaped — no cartesian product on the edge side") {
     val df = PageRank.ranks(
       Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), "src", "dst", 2)
