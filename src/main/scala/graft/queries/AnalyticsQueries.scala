@@ -454,6 +454,47 @@ object AnalyticsQueries {
          |ORDER BY user_id, start_us""".stripMargin)
   }
 
+  /** Click→purchase attribution through the stream-stream interval
+    * θ-join operator ([[graft.streaming.EventStream.intervalJoin]] —
+    * the same call streams with both sides watermarked; here the
+    * watermark no-ops and the condition is a plain equi+range join):
+    * every purchase paired with the same user's clicks in the
+    * preceding 30 minutes, rolled up per purchase. Purchases with no
+    * admissible click produce no row (attribution of matched
+    * conversions — the inner-join semantics the streaming form has).
+    * Plan shape: the user_id equality keys a sort-merge join and the
+    * interval bound is the join's range condition — shuffle on the
+    * key only, state/width bounded by the 30-minute window. Span
+    * bounds as epoch MICROS, the shared-precision contract of q52.
+    */
+  val intervalAttribution: Q = Q(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      graft.streaming.EventStream.intervalJoin(
+          purchases, "p_user", "p_ts", clicks, "c_user", "c_ts",
+          lateness = "0 seconds", lower = "30 minutes", upper = "0 seconds")
+        .groupBy(col("purchase_id"), col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          min(unix_micros(col("c_ts"))).as("first_click_us"),
+          max(unix_micros(col("c_ts"))).as("last_click_us"))
+        .orderBy("purchase_id")
+    },
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  count(*)::BIGINT AS n_clicks,
+      |  min(epoch_us(c.ts)) AS first_click_us,
+      |  max(epoch_us(c.ts)) AS last_click_us
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+      |GROUP BY p.event_id, p.user_id
+      |ORDER BY purchase_id""".stripMargin)
+
   /** Bloom-pruned fact/dim semi join ([[BloomJoin]]): the build side
     * (one market segment's customers) is folded distributedly into an
     * m-bit bitmap, the probe side (events) is pre-filtered by k
@@ -610,6 +651,7 @@ object AnalyticsQueries {
     "q45_grouping_sets"    -> groupingSets,
     "q52_session_windows"  -> sessionWindows,
     "q65_bloom_join"       -> bloomSemiJoin,
+    "q73_interval_attrib"  -> intervalAttribution,
     "q67_upsert_merge"     -> upsertMerge,
     "q68_salted_agg"       -> saltedAgg,
     "q70_pagerank"         -> pageRankTop)
