@@ -51,11 +51,36 @@ object VectorFunctions {
       s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
       s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
 
+  /** Scale-derived bucket-bit count for the sign-bucket LSH family:
+    * ceil(log₂(n/2)) with a floor of 8 and a ceiling of the embedding
+    * dimension — i.e. 2^bits ≈ n/2 buckets, expected ~2 vectors per
+    * bucket, so in-bucket scoring stays O(n·probes) as the corpus
+    * grows instead of O(n²/2^const) (a FIXED bits is quadratic at any
+    * real corpus — the r4 `weak` finding). The log is computed as the
+    * binary-string length of (n/2 − 1), never through floating-point
+    * log (log(x)/log(2) can land an ulp past an integer and flip the
+    * ceil on exactly the power-of-two corpus sizes where it matters);
+    * [[bitsForSql]] is the DuckDB twin with identical integer
+    * semantics. Callers obtain n from `corpus.count()` — on parquet a
+    * footer-statistics read, metadata-cheap at any scale.
+    */
+  def bitsFor(n: Long, dim: Int): Int = {
+    val m = math.max(1L, n / 2)
+    math.min(dim, math.max(8, java.lang.Long.toBinaryString(m - 1).length))
+  }
+
+  /** DuckDB twin of [[bitsFor]]: `length(bin(m-1))` is the same
+    * integer ceil-log₂. `nExpr` is a COUNT expression (BIGINT).
+    */
+  def bitsForSql(nExpr: String, dim: Int): String =
+    s"least($dim, greatest(8, length(bin(greatest(1, ($nExpr) // 2) - 1))))"
+
   /** Sign-bit bucket over the first `bits` dimensions — the cheapest
     * LSH family for cosine space (random-hyperplane LSH with axis
     * hyperplanes). Buckets co-locate similar vectors so ANN probes
     * touch one bucket instead of the full table: the scale path where
-    * brute force stops being an option.
+    * brute force stops being an option. Pass [[bitsFor]] of the
+    * corpus size as `bits` unless pinning a configuration.
     */
   def signBucket(v: Column, bits: Int = 8): Column =
     concat((1 to bits).map(i =>
@@ -94,4 +119,24 @@ object VectorFunctions {
         s"(CASE WHEN $v[$i] > 0 THEN '$hi' ELSE '$lo' END)"
       }.mkString(" || ")
     }
+
+  /** Dynamic-bits DuckDB twin of [[signBucket]]: `bitsCol` is a plain
+    * column (cross-join a 1-row params CTE computing [[bitsForSql]] —
+    * DuckDB rejects subqueries inside lambdas). Semantics are
+    * identical to the static form: bit i is '1' iff v[i] > 0.
+    */
+  def signBucketSqlDyn(v: String, bitsCol: String): String =
+    s"list_aggr(list_transform(range(1, $bitsCol + 1), " +
+      s"i -> CASE WHEN $v[i] > 0 THEN '1' ELSE '0' END), 'string_agg', '')"
+
+  /** Dynamic-bits DuckDB twin of [[probeBuckets]]: a LIST of the
+    * bits+1 probe keys (own bucket at f = 0, then each single-bit
+    * flip) — the caller unnests it. Bit character = sign XOR flip,
+    * the same truth table as the static hi/lo form.
+    */
+  def probeBucketsSqlDyn(v: String, bitsCol: String): String =
+    s"list_transform(range(0, $bitsCol + 1), f -> " +
+      s"list_aggr(list_transform(range(1, $bitsCol + 1), " +
+      s"i -> CASE WHEN ($v[i] > 0) != (i = f) THEN '1' ELSE '0' END), " +
+      "'string_agg', ''))"
 }

@@ -108,6 +108,25 @@ object Similarity {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** Scale-derived cluster count for [[semanticKeep]]: ⌈2·√n⌉ with a
+    * floor of 8. With c ∝ √n cells the expected in-cell pair work is
+    * Σ(n/c)²·c = n²/c = n^1.5/2 — sub-quadratic and shrinking as a
+    * fraction of n² as the corpus grows, where a FIXED cell count is
+    * O(n²/const) at any real corpus (the r4 `weak` finding; web-scale
+    * SemDeDup runs ~10⁵ clusters for the same reason). Both engines
+    * compute ⌈2·√n⌉ from a correctly-rounded IEEE sqrt (sqrt IS
+    * exactly rounded, unlike log), so the derived count is
+    * engine-exact; [[cellsForSql]] is the DuckDB twin. Callers obtain
+    * n from `corpus.count()` — parquet-footer metadata, cheap at any
+    * scale. The count must not exceed the FIT corpus size (seeds are
+    * the first c vectors).
+    */
+  def cellsFor(n: Long): Int =
+    math.max(8, math.ceil(2.0 * math.sqrt(n.toDouble)).toInt)
+
+  def cellsForSql(nExpr: String): String =
+    s"greatest(8, CAST(ceil(2 * sqrt($nExpr)) AS BIGINT))"
+
   /** SemDeDup-style semantic deduplication: pairwise cosine bounded
     * by a cluster assignment. `cells` is the (id, cell) map from a
     * trained quantizer ([[VectorQuantizer.assignCells]]); within each
@@ -118,9 +137,11 @@ object Similarity {
     *
     * Scale shape: the self-join shuffles on the CELL key only, so
     * pairwise work is O(Σ cellᵢ²) and cross-cell pairs never
-    * materialize — the cluster count is the knob (web-scale SemDeDup
-    * runs ~10⁵ clusters so each cell stays executor-sized; a hot cell
-    * is AQE-splittable because scoring is per-pair). The threshold
+    * materialize — the cluster count is the knob, and [[cellsFor]] is
+    * how it must grow with the corpus (c ∝ √n keeps the pair work at
+    * n^1.5; web-scale SemDeDup runs ~10⁵ clusters for the same
+    * reason; a hot cell is AQE-splittable because scoring is
+    * per-pair). The threshold
     * compares the 6-decimal ROUNDED cosine so both engines make the
     * same keep/drop call on boundary pairs.
     */

@@ -171,7 +171,7 @@ object PipelineQueries {
     * rolling-hash fingerprint family member — any shared run of
     * k+w-1 = 23 chars between two docs yields a shared fingerprint.
     * The oracle replays gram hashing and the window minimum with the
-    * same polynomial [[Hashing.gramHash]] fold and the same ROWS
+    * same polynomial [[Hashing.charHash]] fold and the same ROWS
     * frame.
     */
   val winnow: Q = {
@@ -319,45 +319,70 @@ object PipelineQueries {
     * probe key, generated from the same bit layout as the Spark side
     * ([[VectorFunctions.probeBucketsSql]]).
     */
-  private def probesSql(bits: Int): String =
-    VectorFunctions.probeBucketsSql("qv", bits)
-      .map(p => s"SELECT query_id, qv, $p AS bucket FROM q")
-      .mkString("\n  UNION ALL ")
+  /** Embedding dimension of the `embeddings` table — the ceiling for
+    * the sign-bucket family's bit count (bits are leading-dimension
+    * signs). A table property, fixed like the k-means constants.
+    */
+  private val EMB_DIM = 64
+
+  /** Shared oracle CTE prefix of the dynamic-bits sign-bucket family
+    * (q27/q28/q42): `params` computes bits = [[VectorFunctions
+    * .bitsFor]] of the corpus count, `e` carries the per-row bucket
+    * and the ORIGINAL float embedding (probe keys are generated from
+    * it downstream; DuckDB forbids subqueries in lambdas, so `nbits`
+    * rides along as a cross-joined column).
+    */
+  private def bucketedCtes(corpus: String): String =
+    s"""params AS (
+       |  SELECT ${VectorFunctions.bitsForSql("count(*)", EMB_DIM)} AS nbits
+       |  FROM $corpus),
+       |e AS (
+       |  SELECT vec_id, embedding, embedding::DOUBLE[] AS v, nbits,
+       |    ${VectorFunctions.signBucketSqlDyn("embedding", "nbits")} AS bucket
+       |  FROM $corpus, params)""".stripMargin
+
+  private def probesSqlDyn(queryCte: String): String =
+    s"""SELECT query_id, qv,
+       |    unnest(${VectorFunctions.probeBucketsSqlDyn("embedding", "nbits")})
+       |      AS bucket
+       |  FROM $queryCte""".stripMargin
 
   /** Sign-bit LSH-bucketed approximate top-5 with Hamming-1
     * multi-probe — scoring confined to the query's probed buckets
     * (the sub-linear scale path; see [[VectorFunctions.probeBuckets]]
-    * for the recall math).
+    * for the recall math). Bits are CORPUS-DERIVED
+    * ([[VectorFunctions.bitsFor]]: ceil-log₂(n/2), floor 8): 2^bits
+    * tracks n so in-bucket work stays ~O(probes) per query as the
+    * corpus grows — a fixed bit count is quadratic at any real corpus
+    * (the r4 `weak` finding). The Spark side derives it from the
+    * parquet-footer `count()`; the oracle derives the identical value
+    * in its params CTE.
     */
-  val annBucketed: Q = {
-    val BITS = 8
-    val bucket = VectorFunctions.signBucketSql("embedding", BITS)
-    Q(
-      (s, d) => {
-        val emb = t(s, d, "embeddings")
-        Similarity.bucketedTopK(
-          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5, BITS)
-      },
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v, $bucket AS bucket
-         |  FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-         |probes AS (
-         |  ${probesSql(BITS)}),
-         |scored AS (
-         |  SELECT query_id, e.vec_id,
-         |    round(list_dot_product(qv, v) /
-         |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
-         |      AS cos_sim
-         |  FROM probes p JOIN e ON p.bucket = e.bucket AND e.vec_id <> p.query_id),
-         |ranked AS (
-         |  SELECT query_id, vec_id, cos_sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |                       ORDER BY cos_sim DESC, vec_id) AS rnk
-         |  FROM scored)
-         |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
-         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
-  }
+  val annBucketed: Q = Q(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val bits = VectorFunctions.bitsFor(emb.count(), EMB_DIM)
+      Similarity.bucketedTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5, bits)
+    },
+    s"""WITH ${bucketedCtes("embeddings")},
+       |q AS (SELECT vec_id AS query_id, embedding, v AS qv, nbits
+       |      FROM e WHERE vec_id < 5),
+       |probes AS (
+       |  ${probesSqlDyn("q")}),
+       |scored AS (
+       |  SELECT query_id, e.vec_id,
+       |    round(list_dot_product(qv, v) /
+       |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+       |      AS cos_sim
+       |  FROM probes p JOIN e ON p.bucket = e.bucket AND e.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
 
   /** Embedding near-dup sweep: every vector's best match within its
     * multi-probe LSH neighborhood ([[Similarity.bucketedSweep]]) —
@@ -366,32 +391,29 @@ object PipelineQueries {
     * (no corpus broadcast, no O(N²) scoring — the shape that survives
     * 10⁹ vectors, unlike the brute-force sweep it replaces).
     */
-  val nearestNeighbor: Q = {
-    val BITS = 8
-    val bucket = VectorFunctions.signBucketSql("embedding", BITS)
-    Q(
-      (s, d) => Similarity.bucketedSweep(
-        t(s, d, "embeddings"), "vec_id", "embedding", 1, BITS),
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v, $bucket AS bucket
-         |  FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e),
-         |probes AS (
-         |  ${probesSql(BITS)}),
-         |scored AS (
-         |  SELECT query_id, e.vec_id,
-         |    round(list_dot_product(qv, v) /
-         |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
-         |      AS cos_sim
-         |  FROM probes p JOIN e ON p.bucket = e.bucket AND e.vec_id <> p.query_id),
-         |ranked AS (
-         |  SELECT query_id, vec_id, cos_sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |                       ORDER BY cos_sim DESC, vec_id) AS rnk
-         |  FROM scored)
-         |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
-         |FROM ranked WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin)
-  }
+  val nearestNeighbor: Q = Q(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bucketedSweep(emb, "vec_id", "embedding", 1,
+        VectorFunctions.bitsFor(emb.count(), EMB_DIM))
+    },
+    s"""WITH ${bucketedCtes("embeddings")},
+       |q AS (SELECT vec_id AS query_id, embedding, v AS qv, nbits FROM e),
+       |probes AS (
+       |  ${probesSqlDyn("q")}),
+       |scored AS (
+       |  SELECT query_id, e.vec_id,
+       |    round(list_dot_product(qv, v) /
+       |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+       |      AS cos_sim
+       |  FROM probes p JOIN e ON p.bucket = e.bucket AND e.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin)
 
   // ----------------------------------------------------------- text analysis
 
@@ -618,31 +640,37 @@ object PipelineQueries {
     * past the threshold.
     */
   val embedDupes: Q = {
-    val BITS = 8; val MIN_COS = 0.999
-    val bucket = VectorFunctions.signBucketSql("embedding", BITS)
-    val probes = VectorFunctions.probeBucketsSql("va", BITS)
-      .map(p => s"SELECT id_a, va, $p AS bucket FROM c")
-      .mkString("\n  UNION ALL ")
+    val MIN_COS = 0.999
     Q(
       (s, d) => {
         val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val dupes = emb.select((col("vec_id") + 1000000L).as("vec_id"),
           col("embedding"))
-        Similarity.nearDupPairs(emb.unionByName(dupes),
-            "vec_id", "embedding", MIN_COS, BITS)
+        val corpus = emb.unionByName(dupes)
+        // bits from the DEDUP corpus size (injected copies included):
+        // 1000 vectors here -> 9 bits, growing with the corpus
+        Similarity.nearDupPairs(corpus, "vec_id", "embedding", MIN_COS,
+            VectorFunctions.bitsFor(2L * emb.count(), EMB_DIM))
           .orderBy("id_a", "id_b")
       },
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+         |params AS (
+         |  SELECT ${VectorFunctions.bitsForSql("count(*)", EMB_DIM)} AS nbits
+         |  FROM corpus),
          |c AS (
-         |  SELECT vec_id AS id_a, embedding::DOUBLE[] AS va, $bucket AS bucket
-         |  FROM corpus),
+         |  SELECT vec_id AS id_a, embedding, embedding::DOUBLE[] AS va, nbits
+         |  FROM corpus, params),
          |b AS (
-         |  SELECT vec_id AS id_b, embedding::DOUBLE[] AS vb, $bucket AS bucket
-         |  FROM corpus),
+         |  SELECT vec_id AS id_b, embedding::DOUBLE[] AS vb,
+         |    ${VectorFunctions.signBucketSqlDyn("embedding", "nbits")} AS bucket
+         |  FROM corpus, params),
          |probes AS (
-         |  $probes),
+         |  SELECT id_a, va,
+         |    unnest(${VectorFunctions.probeBucketsSqlDyn("embedding", "nbits")})
+         |      AS bucket
+         |  FROM c),
          |scored AS (
          |  SELECT id_a, id_b,
          |    round(${VectorFunctions.cosineSql("va", "vb")}, 6) AS cos_sim
@@ -791,9 +819,13 @@ object PipelineQueries {
     * scaled long-form corpus `e`, seeds `c0`, then per Lloyd round i
     * the distances `d_i`, assignment `a_i`, and centroids `c_i` —
     * ending at `c$KM_ITERS` / `a$KM_ITERS`. Bit-exact because both
-    * sides work in the same integer domain.
+    * sides work in the same integer domain. `seedBound` is the
+    * exclusive seed-id bound — the cell count: the `$KM_C` literal
+    * for the fixed shared codebook (q53/q54/q66), or a scalar
+    * subquery over a params CTE when the count is corpus-derived
+    * (q71).
     */
-  private def kmeansCtes: String = {
+  private def kmeansCtes(seedBound: String = KM_C.toString): String = {
     def iterCte(i: Int): String =
       s"""d$i AS (
          |  SELECT e.vec_id, c.cell,
@@ -814,7 +846,7 @@ object PipelineQueries {
        |    unnest(range(1, len(embedding) + 1)) AS dim,
        |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xs
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cell, dim, xs AS cs FROM e WHERE vec_id < $KM_C),
+       |c0 AS (SELECT vec_id AS cell, dim, xs AS cs FROM e WHERE vec_id < $seedBound),
        |${(1 to KM_ITERS).map(iterCte).mkString(",\n")}""".stripMargin
   }
 
@@ -827,7 +859,7 @@ object PipelineQueries {
           col("n"))
         .orderBy("cell", "dim")
     },
-    s"""WITH $kmeansCtes,
+    s"""WITH ${kmeansCtes()},
        |n AS (SELECT cell, count(*)::BIGINT AS n FROM a$KM_ITERS GROUP BY cell)
        |SELECT c$KM_ITERS.cell, c$KM_ITERS.dim,
        |  round(c$KM_ITERS.cs / 1000000.0, 6) AS centroid, n.n
@@ -868,7 +900,7 @@ object PipelineQueries {
           .filter(col("rnk") <= K)
           .orderBy("query_id", "rnk")
       },
-      s"""WITH $kmeansCtes,
+      s"""WITH ${kmeansCtes()},
          |fa AS (
          |  SELECT e.vec_id, c.cell,
          |    sum((e.xs - c.cs) * (e.xs - c.cs)) AS d2
@@ -1299,8 +1331,10 @@ object PipelineQueries {
     * set). Reuses the q53 trained codebook — same constants, same
     * oracle CTEs — for the cluster assignment, which is what bounds
     * pairwise work to O(Σ cell²) where a corpus-wide pair join would
-    * be O(N²); at web scale the cluster count rises (~10⁵) so cells
-    * stay executor-sized. Duplicates are synthesized (+10⁶ ids, as in
+    * be O(N²); the fixed 8-cell codebook is this query's SHARED-MODEL
+    * demonstration — q71 is the same pipeline with the corpus-derived
+    * [[Similarity.cellsFor]] count, the form that holds at scale.
+    * Duplicates are synthesized (+10⁶ ids, as in
     * q22/q42): an injected copy lands in its original's cell at
     * cosine 1.0, so every copy must drop; natural within-cell
     * near-dups above τ drop too. Output: surviving (vec_id, cell).
@@ -1319,7 +1353,69 @@ object PipelineQueries {
         Similarity.semanticKeep(corpus, "vec_id", "embedding", cells, TAU)
           .orderBy("vec_id")
       },
-      s"""WITH $kmeansCtes,
+      s"""WITH ${kmeansCtes()},
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+         |ec AS (
+         |  SELECT vec_id,
+         |    unnest(range(1, len(embedding) + 1)) AS dim,
+         |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xs
+         |  FROM corpus),
+         |fa AS (
+         |  SELECT ec.vec_id, c.cell,
+         |    sum((ec.xs - c.cs) * (ec.xs - c.cs)) AS d2
+         |  FROM ec JOIN c$KM_ITERS c USING (dim)
+         |  GROUP BY ec.vec_id, c.cell),
+         |ca AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM fa) WHERE rnk = 1),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM corpus),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN v va ON va.vec_id = a.vec_id
+         |  JOIN v vb ON vb.vec_id = b.vec_id
+         |  WHERE round(${VectorFunctions.cosineSql("va.v", "vb.v")}, 6) >= $TAU)
+         |SELECT ca.vec_id, ca.cell FROM ca
+         |WHERE ca.vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY ca.vec_id""".stripMargin)
+  }
+
+  /** Semantic dedup with the SCALE-DERIVED cluster count
+    * ([[Similarity.cellsFor]]): the q66 pipeline with c = ⌈2·√n⌉
+    * cells instead of the fixed shared codebook — 64 cells at this
+    * gate's 1 000-vector corpus, 200 at sf0.1's 10 000, ~632 000 at
+    * 10¹¹ vectors: in-cell pair work stays Σ(n/c)²·c = n^1.5/2, the
+    * sub-quadratic regime web-scale SemDeDup runs (~10⁵ clusters),
+    * where q66's fixed 8 cells would be O(n²/8) at any real corpus.
+    * The cell count reaches the plan from `count()` on the Spark side
+    * (parquet-footer metadata) and from a params CTE computing the
+    * identical ⌈2·√n⌉ on the oracle side, so both engines derive the
+    * same codebook size from the data alone. SimilaritySpec asserts
+    * the quadratic fraction Σcell²/n² SHRINKS under 10× replication
+    * with this knob — the property a fixed count lacks.
+    */
+  val semanticDedupScaled: Q = {
+    val TAU = 0.95
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(
+          emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        val c = Similarity.cellsFor(2L * emb.count())
+        val e = VectorQuantizer.scaled(emb, "vec_id", "embedding").persist()
+        val cent = VectorQuantizer.fitCentroids(e, "vec_id", c, KM_ITERS)
+        val cells = VectorQuantizer.assignCells(
+          VectorQuantizer.scaled(corpus, "vec_id", "embedding"), cent, "vec_id")
+        Similarity.semanticKeep(corpus, "vec_id", "embedding", cells, TAU)
+          .orderBy("vec_id")
+      },
+      s"""WITH params AS (
+         |  SELECT ${Similarity.cellsForSql("2 * count(*)")} AS c FROM embeddings),
+         |${kmeansCtes("(SELECT c FROM params)")},
          |corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
@@ -1405,5 +1501,6 @@ object PipelineQueries {
     "q63_collocations"   -> collocations,
     "q64_inverted_index" -> invertedIndex,
     "q66_semantic_dedup" -> semanticDedup,
-    "q69_zipf_histogram" -> zipfHistogram)
+    "q69_zipf_histogram" -> zipfHistogram,
+    "q71_semantic_cells" -> semanticDedupScaled)
 }

@@ -23,6 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     Set("q46_dedup_groups", "q48_dedup_apply",
       "q53_kmeans_codebook", "q54_ann_trained",
       "q66_semantic_dedup", // reuses the q53 fit (same checkpointed rounds)
+      "q71_semantic_cells", // corpus-derived cell count, same fit rounds
       "q70_pagerank") // per-round localCheckpoint (PageRankSpec audits shape)
 
   test("no judged query plans a CartesianProduct") {
