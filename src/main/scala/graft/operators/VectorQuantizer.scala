@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,10 +26,15 @@ import org.apache.spark.sql.functions._
   * this is the same determinism stance as the integer-cents monetary
   * sums (SCALE.md).
   *
-  * Scale shape per iteration: one broadcast of the (c·d)-row centroid
-  * table against the long-form corpus, one groupBy (vec, cell) for
-  * distances, one window argmin keyed by vec, one groupBy (cell, dim)
-  * for the update — all shuffles keyed on corpus-sized keys, nothing
+  * Scale shape per iteration: scoring is one fused
+  * [[graft.plans.L2DistSq]] loop per (vector, cell) pair against the
+  * broadcast centroid table — the corpus stays in ARRAY form, so the
+  * distance stage materializes n·c scored rows, not the n·c·d
+  * long-form join rows of the per-dimension formulation it replaced
+  * (measured 64× fewer rows at d = 64; q71's 12.9 s → see BENCH).
+  * The centroid update explodes only the n assigned vectors (n·d
+  * rows, independent of c), one groupBy (cell, dim), and folds back
+  * to arrays. All shuffles are keyed on corpus-sized keys, nothing
   * driver-side, no O(N²) anywhere. Seeding is the first `c` vectors
   * by id (deterministic; k-means|| would drop into the same seam).
   */
@@ -42,56 +47,77 @@ object VectorQuantizer {
     */
   val MAX_ABS = 23.0
 
-  /** Long-form scaled corpus: (id, dim 1-based, xs = round(x·10⁶)).
-    * `dim` is a long to match the oracle twins' `range()` output type.
-    * Components outside ±[[MAX_ABS]] raise (assert_true) rather than
-    * risk a silent long overflow downstream — one codegen'd compare
-    * per element, no extra pass.
+  /** Scaled corpus in array form: (id, xs: array<long>) with
+    * xs[i] = round(x[i]·10⁶). Components outside ±[[MAX_ABS]] raise
+    * (assert_true) rather than risk a silent long overflow downstream
+    * — one codegen'd compare per element, no extra pass.
     */
   def scaled(emb: DataFrame, id: String, vec: String): DataFrame =
-    emb.select(col(id), posexplode(col(vec)).as(Seq("pos", "x")))
-      .select(col(id), (col("pos") + 1).cast("long").as("dim"),
-        when(assert_true(abs(col("x").cast("double")) <= MAX_ABS,
-            lit(s"VectorQuantizer: |component| > $MAX_ABS breaks exact " +
-              "integer distances; pre-normalize the embedding"))
-            .isNotNull, lit(0L))
-          .otherwise(round(col("x").cast("double") * SCALE).cast("long"))
-          .as("xs"))
+    emb.select(col(id), transform(col(vec), x =>
+      when(assert_true(abs(x.cast("double")) <= MAX_ABS,
+          lit(s"VectorQuantizer: |component| > $MAX_ABS breaks exact " +
+            "integer distances; pre-normalize the embedding"))
+          .isNotNull, lit(0L))
+        .otherwise(round(x.cast("double") * SCALE).cast("long")))
+      .as("xs"))
 
-  /** `iters` Lloyd rounds from first-`c`-vectors seeds; returns
-    * (cell, dim, cs, n) — scaled centroid components plus the cell's
-    * final assignment count.
+  /** Native fused integer squared-L2 ([[graft.plans.L2DistSq]]) — the
+    * scoring hot path of [[assignCells]], exposed for callers that
+    * score against a codebook directly.
+    */
+  def l2DistSq(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.L2DistSq(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** `iters` Lloyd rounds from first-`c`-vectors seeds; returns the
+    * long-form codebook (cell, dim, cs, n) — scaled centroid
+    * components (dim 1-based) plus the cell's final assignment count.
     */
   def fit(emb: DataFrame, id: String, vec: String,
           c: Int, iters: Int): DataFrame = {
     val e = scaled(emb, id, vec).persist()
     // checkpoint the (tiny) result so the corpus cache can be released
     // before returning — fit() owns e, so it must not leak it
-    val out = fitCentroids(e, id, c, iters).localCheckpoint()
+    val out = fitCentroids(e, id, c, iters)
+      .select(col("cell"), col("n"), posexplode(col("cs")).as(Seq("pos", "csv")))
+      .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
+        col("csv").as("cs"), col("n"))
+      .localCheckpoint()
     e.unpersist()
     out
   }
 
   /** [[fit]] over an already-[[scaled]] (persisted) corpus — the
     * entry point when the caller also needs the scaled frame for cell
-    * assignment afterwards (q54's trained IVF search). The caller
-    * owns the corpus cache.
+    * assignment afterwards (q54's trained IVF search). Returns the
+    * array-form codebook (cell, cs: array<long>, n). The caller owns
+    * the corpus cache.
     */
   def fitCentroids(e: DataFrame, id: String, c: Int, iters: Int): DataFrame = {
     require(iters >= 1, s"at least one Lloyd round required, got $iters")
     var cent = e.filter(col(id) < c)
-      .select(col(id).as("cell"), col("dim"), col("xs").as("cs"))
+      .select(col(id).as("cell"), col("xs").as("cs"))
     var assign: DataFrame = null
     for (_ <- 1 to iters) {
       assign = assignCells(e, cent, id)
-      // checkpoint each round's centroids (c·d rows — tiny): the plan
-      // stays O(1) in iteration count, and downstream consumers that
-      // broadcast the codebook (assignment, probing) read the
-      // materialized rows instead of replaying the whole fit per
-      // broadcast — the same practice as ConnectedComponents' rounds
+      // per-dim means need the long form, but only over the n assigned
+      // vectors (n·d rows — independent of the cell count, unlike the
+      // distance stage this update used to share a shape with); fold
+      // back to arrays ordered by dim, and checkpoint each round's
+      // (c-row — tiny) codebook: the plan stays O(1) in iteration
+      // count, and downstream consumers that broadcast it (assignment,
+      // probing) read materialized rows instead of replaying the whole
+      // fit per broadcast — the same practice as ConnectedComponents'
+      // rounds
       cent = e.join(assign, Seq(id))
-        .groupBy("cell", "dim")
-        .agg(round(sum(col("xs")) / count(lit(1))).cast("long").as("cs"))
+        .select(col("cell"), posexplode(col("xs")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(round(sum(col("x")) / count(lit(1))).cast("long").as("cs"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cs")))),
+          s => s.getField("cs")).as("cs"))
         .localCheckpoint()
     }
     val n = assign.groupBy("cell").agg(count(lit(1)).as("n"))
@@ -99,19 +125,24 @@ object VectorQuantizer {
   }
 
   /** Nearest-centroid assignment: exact integer squared-L2 argmin,
-    * ties to the lowest cell id. Returns one (id, cell) row per id
-    * for `top = 1` (cluster assignment) or the `top` nearest cells
-    * per id (IVF probing).
+    * ties to the lowest cell id. `cent` is the array-form codebook
+    * (cell, cs). Returns one (id, cell) row per id for `top = 1`
+    * (cluster assignment) or the `top` nearest cells per id (IVF
+    * probing).
     */
   def assignCells(scaledCorpus: DataFrame, cent: DataFrame,
                   id: String, top: Int = 1): DataFrame = {
     // long arithmetic is exact here BY CONSTRUCTION: [[scaled]] guards
     // |x| ≤ MAX_ABS, so Σdelta² ≤ d·(2·MAX_ABS·SCALE)² < 2⁶³ for any
-    // d ≤ 4096 — no silent wrap, and ~2× faster than a decimal(38)
-    // accumulator (measured: q53 3.2s → 1.3s at sf0.1)
-    val d2 = scaledCorpus.join(broadcast(cent.select("cell", "dim", "cs")), Seq("dim"))
-      .groupBy(col(id), col("cell"))
-      .agg(sum((col("xs") - col("cs")) * (col("xs") - col("cs"))).as("d2"))
+    // d ≤ 4096 — no silent wrap, and integer addition is order-free,
+    // so the fused-loop sum is bit-identical to the oracle's per-dim
+    // SUM. One scored row per (vector, cell): the broadcast
+    // nested-loop join against the c-row codebook is the intended
+    // plan — c is bounded (√n at the largest, see Similarity.cellsFor)
+    // while the corpus side streams through codegen untouched.
+    val d2 = scaledCorpus
+      .crossJoin(broadcast(cent.select(col("cell"), col("cs"))))
+      .select(col(id), col("cell"), l2DistSq(col("xs"), col("cs")).as("d2"))
     d2.withColumn("rnk",
         row_number().over(Window.partitionBy(col(id)).orderBy(col("d2"), col("cell"))))
       .filter(col("rnk") <= top)
@@ -119,6 +150,5 @@ object VectorQuantizer {
   }
 
   /** Scaled centroid component back to a double in vector units. */
-  def unscale(cs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    cs / lit(SCALE.toDouble)
+  def unscale(cs: Column): Column = cs / lit(SCALE.toDouble)
 }

@@ -67,19 +67,26 @@ class PropertySpec extends SparkSpec {
     val fitted = VectorQuantizer.fitCentroids(e, "vec_id", c = 4, iters = 2)
     // recompute: assignment against the PENULTIMATE centroids produced
     // the final ones; assert via one more exact recomputation in Spark
+    def update(assign: org.apache.spark.sql.DataFrame) =
+      e.join(assign, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("xs")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(round(sum(col("x")) / count(lit(1))).cast("long").as("cs"))
     val cent1 = {
-      var c = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cell"), col("dim"), col("xs").as("cs"))
-      val a = VectorQuantizer.assignCells(e, c, "vec_id")
-      c = e.join(a, Seq("vec_id")).groupBy("cell", "dim")
-        .agg(round(sum(col("xs")) / count(lit(1))).cast("long").as("cs"))
-      c
+      val c = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cell"), col("xs").as("cs"))
+      update(VectorQuantizer.assignCells(e, c, "vec_id"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cs")))),
+          s => s.getField("cs")).as("cs"))
     }
     val a2 = VectorQuantizer.assignCells(e, cent1, "vec_id")
-    val expect = e.join(a2, Seq("vec_id")).groupBy("cell", "dim")
-      .agg(round(sum(col("xs")) / count(lit(1))).cast("long").as("cs"))
+    val expect = update(a2)
+      .select(col("cell"), (col("pos") + 1).cast("long").as("dim"), col("cs"))
       .as[(Long, Long, Long)].collect().toSet
-    val got = fitted.select("cell", "dim", "cs")
+    val got = fitted
+      .select(col("cell"), col("n"), posexplode(col("cs")).as(Seq("pos", "csv")))
+      .select(col("cell"), (col("pos") + 1).cast("long").as("dim"), col("csv"))
       .as[(Long, Long, Long)].collect().toSet
     assert(got == expect)
     e.unpersist()

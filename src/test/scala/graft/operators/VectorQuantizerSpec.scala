@@ -33,7 +33,7 @@ class VectorQuantizerSpec extends SparkSpec {
     val cent = VectorQuantizer.scaled(
       Seq((0L, Array(5.0f, 5.0f)), (1L, Array(5.0f, 5.0f)))
         .toDF("vec_id", "embedding"), "vec_id", "embedding")
-      .select(col("vec_id").as("cell"), col("dim"), col("xs").as("cs"))
+      .select(col("vec_id").as("cell"), col("xs").as("cs"))
     val cells = VectorQuantizer.assignCells(corpus, cent, "vec_id")
       .select("cell").as[Long].collect().toSet
     assert(cells == Set(0L))
@@ -45,11 +45,11 @@ class VectorQuantizerSpec extends SparkSpec {
     // consume xs (a bare count() would prune the guarded column away)
     val ok = Seq((0L, Array(23.0f, -23.0f))).toDF("vec_id", "embedding")
     assert(VectorQuantizer.scaled(ok, "vec_id", "embedding")
-      .agg(sum("xs")).as[Long].head() == 0L)
+      .select(explode(col("xs")).as("x")).agg(sum("x")).as[Long].head() == 0L)
     val bad = Seq((0L, Array(23.5f, 0f))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
       VectorQuantizer.scaled(bad, "vec_id", "embedding")
-        .agg(sum("xs")).as[Long].head()
+        .select(explode(col("xs")).as("x")).agg(sum("x")).as[Long].head()
     }
     assert(e.getMessage.contains("pre-normalize"))
   }
