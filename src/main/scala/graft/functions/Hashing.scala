@@ -63,17 +63,38 @@ object Hashing {
   val GB: Long = 257L
   val PG: Long = 2147483647L // 2^31 - 1
 
+  /** ASCII-domain guard for the char-hash family: Spark's `ascii`
+    * reads the first BYTE of a string (negative for multibyte UTF-8
+    * leads) while DuckDB's reads the first CODE POINT, so engine
+    * parity and hash quality hold only for single-byte text. Rather
+    * than leaving the narrowed domain documented-but-unguarded
+    * (ADVICE r5), callers wrap the hashed column: equal byte and char
+    * lengths ⇔ pure-ASCII, two codegen'd length ops — no extra pass.
+    * Non-ASCII corpora must transliterate first or switch the fold to
+    * an explicit byte read on both engines.
+    */
+  def asciiGuard(text: Column): Column =
+    when(assert_true(octet_length(text) === length(text),
+        lit("Hashing.charHash: non-ASCII text breaks cross-engine " +
+          "parity (byte vs code-point read); transliterate first"))
+        .isNotNull, text)
+      .otherwise(text)
+
   /** Polynomial hash of a k-char string column. Callers extract the
     * gram ONCE (`substr(t, pos, k)` — one char-position scan) and fold
     * over the small gram here: per-char `substr` on the full document
     * would rescan from the start for every character (char-position
     * lookup is O(pos)) — measured 2× SLOWER than the md5 it replaces,
-    * while this shape is the intended k-int-op fold.
+    * while this shape is the intended k-int-op fold. The fold runs
+    * over the [[asciiGuard]]ed gram — parity is enforced, not hoped
+    * for.
     */
-  def charHash(gram: Column, k: Int): Column =
+  def charHash(gram: Column, k: Int): Column = {
+    val g = asciiGuard(gram)
     (1 to k).foldLeft(lit(0L)) { (acc, j) =>
-      (acc * lit(GB) + ascii(gram.substr(lit(j), lit(1)))) % lit(PG)
+      (acc * lit(GB) + ascii(g.substr(lit(j), lit(1)))) % lit(PG)
     }
+  }
 
   /** DuckDB twin of [[charHash]] — kept adjacent so the fold can only
     * change on both engines together. `gram` should be a plain column

@@ -281,7 +281,10 @@ object Dedup {
     // Everything downstream — the lead window, the min window, the
     // (id, fp) distinct — then runs with NO further exchange, and the
     // two windows share one (id, pos) sort.
-    val chars = docs.select(col(id), col(text))
+    val chars = docs
+      // one guarded compare per DOC (not per char): the ascii() char
+      // fold below shares charHash's single-byte domain assumption
+      .select(col(id), graft.functions.Hashing.asciiGuard(col(text)).as(text))
       .repartition(col(id))
       .select(col(id),
         greatest(nPos - (w - 1), lit(1)).as("max_start"),

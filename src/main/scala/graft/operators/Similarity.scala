@@ -108,6 +108,79 @@ object Similarity {
       .filter(col("cos_sim") >= minCos)
   }
 
+  // ------------------------------------------------------ multi-table LSH
+  //
+  // The at-scale ANN/near-dup family: T independent SimHash tables of
+  // r hyperplane bits ([[VectorFunctions.mtBits]]/[[VectorFunctions
+  // .mtTables]] — see the recall-budget table there). The single-table
+  // Hamming-1 family above stays as the bounded-n demonstration
+  // (its recall decays as bits grow; ADVICE r5).
+
+  /** (id, tbl, bucket) keys of every vector: one row per table, keyed
+    * by the packed r-bit hyperplane bucket. The probe set of a vector
+    * is exactly its own T keys — multi-table replaces neighborhood
+    * probing with independent tables.
+    */
+  private def mtKeys(df: DataFrame, id: String, vec: String,
+                     outId: String, outVec: String,
+                     bits: Int, tables: Int): DataFrame =
+    df.select(col(id).as(outId), col(vec).as(outVec),
+      posexplode(multiTableBuckets(col(vec), bits, tables))
+        .as(Seq("tbl", "bucket")))
+
+  /** Multi-table approximate top-k: queries and corpus are keyed per
+    * table, the join shuffles on (tbl, bucket) only, and a candidate
+    * pair colliding in several tables is scored once per collision but
+    * COUNTED once (max-aggregated on the identical score before
+    * ranking). Recall ≥ 95% for cos ≥ 0.95 neighbors at every corpus
+    * size ≤ the table cap — the property the Hamming-1 single-table
+    * family loses as bits grow.
+    */
+  def multiTableTopK(corpus: DataFrame, queries: DataFrame,
+                     id: String, vec: String, k: Int,
+                     bits: Int, tables: Int): DataFrame = {
+    val c = mtKeys(corpus, id, vec, id, vec, bits, tables)
+    val q = broadcast(mtKeys(queries, id, vec, "query_id", "qv", bits, tables))
+    val scored = c.join(q, Seq("tbl", "bucket"))
+      .filter(col(id) =!= col("query_id"))
+      .groupBy(col("query_id"), col(id))
+      .agg(max(round(cosineNative(col("qv"), col(vec)), 6)).as("cos_sim"))
+    topK(scored, id, k)
+  }
+
+  /** Multi-table all-pairs sweep: every vector's top-k across its T
+    * bucket collisions — the at-scale form of [[bucketedSweep]]. Same
+    * join shape with the corpus on both sides; nothing forced to
+    * broadcast.
+    */
+  def multiTableSweep(corpus: DataFrame, id: String, vec: String, k: Int,
+                      bits: Int, tables: Int): DataFrame = {
+    val c = mtKeys(corpus, id, vec, id, vec, bits, tables)
+    val q = mtKeys(corpus, id, vec, "query_id", "qv", bits, tables)
+    val scored = c.join(q, Seq("tbl", "bucket"))
+      .filter(col(id) =!= col("query_id"))
+      .groupBy(col("query_id"), col(id))
+      .agg(max(round(cosineNative(col("qv"), col(vec)), 6)).as("cos_sim"))
+    topK(scored, id, k)
+  }
+
+  /** Multi-table near-duplicate pairs: every (a, b), a < b, colliding
+    * in at least one table with rounded cosine ≥ `minCos` — the
+    * at-scale form of [[nearDupPairs]]. The pair aggregate both
+    * deduplicates multi-table collisions and keeps candidate state
+    * bounded per (tbl, bucket) partition.
+    */
+  def multiTableNearDupPairs(corpus: DataFrame, id: String, vec: String,
+                             minCos: Double, bits: Int, tables: Int): DataFrame = {
+    val b = mtKeys(corpus, id, vec, "id_b", "vb", bits, tables)
+    val a = mtKeys(corpus, id, vec, "id_a", "va", bits, tables)
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(round(cosineNative(col("va"), col("vb")), 6)).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
   /** Scale-derived cluster count for [[semanticKeep]]: ⌈2·√n⌉ with a
     * floor of 8. With c ∝ √n cells the expected in-cell pair work is
     * Σ(n/c)²·c = n²/c = n^1.5/2 — sub-quadratic and shrinking as a
@@ -118,14 +191,22 @@ object Similarity {
     * exactly rounded, unlike log), so the derived count is
     * engine-exact; [[cellsForSql]] is the DuckDB twin. Callers obtain
     * n from `corpus.count()` — parquet-footer metadata, cheap at any
-    * scale. The count must not exceed the FIT corpus size (seeds are
-    * the first c vectors).
+    * scale. The count is CLAMPED to the fit-corpus size (seeds are
+    * the first `fitN` vectors by id — asking for more would silently
+    * seed fewer cells than requested; ADVICE r5): pass `fitN`
+    * whenever the scored corpus outgrows the fit corpus (q71 fits on
+    * the originals but scores the dup-injected union).
     */
-  def cellsFor(n: Long): Int =
-    math.max(8, math.ceil(2.0 * math.sqrt(n.toDouble)).toInt)
+  def cellsFor(n: Long, fitN: Long): Int =
+    math.min(fitN,
+      math.max(8L, math.ceil(2.0 * math.sqrt(n.toDouble)).toLong)).toInt
 
-  def cellsForSql(nExpr: String): String =
-    s"greatest(8, CAST(ceil(2 * sqrt($nExpr)) AS BIGINT))"
+  def cellsFor(n: Long): Int = cellsFor(n, n)
+
+  def cellsForSql(nExpr: String, fitNExpr: String): String =
+    s"least($fitNExpr, greatest(8, CAST(ceil(2 * sqrt($nExpr)) AS BIGINT)))"
+
+  def cellsForSql(nExpr: String): String = cellsForSql(nExpr, nExpr)
 
   /** SemDeDup-style semantic deduplication: pairwise cosine bounded
     * by a cluster assignment. `cells` is the (id, cell) map from a

@@ -40,12 +40,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorQuantizer {
 
-  private val SCALE = 1000000L
+  private val SCALE = graft.functions.VectorFunctions.MICRO
 
   /** Largest |component| for which long squared-delta sums are exact
-    * at any d ≤ 4096 (see object doc); enforced per element below.
+    * at any d ≤ 4096 (see object doc); enforced per element by the
+    * shared guarded scaling ([[graft.functions.VectorFunctions
+    * .scaledMicro]]).
     */
-  val MAX_ABS = 23.0
+  val MAX_ABS: Double = graft.functions.VectorFunctions.MAX_ABS
 
   /** Scaled corpus in array form: (id, xs: array<long>) with
     * xs[i] = round(x[i]·10⁶). Components outside ±[[MAX_ABS]] raise
@@ -53,13 +55,8 @@ object VectorQuantizer {
     * — one codegen'd compare per element, no extra pass.
     */
   def scaled(emb: DataFrame, id: String, vec: String): DataFrame =
-    emb.select(col(id), transform(col(vec), x =>
-      when(assert_true(abs(x.cast("double")) <= MAX_ABS,
-          lit(s"VectorQuantizer: |component| > $MAX_ABS breaks exact " +
-            "integer distances; pre-normalize the embedding"))
-          .isNotNull, lit(0L))
-        .otherwise(round(x.cast("double") * SCALE).cast("long")))
-      .as("xs"))
+    emb.select(col(id),
+      graft.functions.VectorFunctions.scaledMicro(col(vec)).as("xs"))
 
   /** Native fused integer squared-L2 ([[graft.plans.L2DistSq]]) — the
     * scoring hot path of [[assignCells]], exposed for callers that

@@ -315,31 +315,64 @@ object PipelineQueries {
        |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)
 
-  /** Probe CTE shared by the bucketed ANN oracles: one SELECT per
-    * probe key, generated from the same bit layout as the Spark side
-    * ([[VectorFunctions.probeBucketsSql]]).
+  /** Corpus stats for the ANN families, read in ONE aggregate pass:
+    * (n, dim) with a ragged-table guard — the bit ceiling must be the
+    * real embedding dimension, not an assumed constant (ADVICE r5: a
+    * smaller real dimension would silently append constant '0' bucket
+    * bits via out-of-range NULLs instead of failing).
     */
-  /** Embedding dimension of the `embeddings` table — the ceiling for
-    * the sign-bucket family's bit count (bits are leading-dimension
-    * signs). A table property, fixed like the k-means constants.
-    */
-  private val EMB_DIM = 64
+  private def corpusStats(emb: org.apache.spark.sql.DataFrame): (Long, Int) = {
+    val row = emb.agg(count(lit(1)), min(size(col("embedding"))),
+      max(size(col("embedding")))).head()
+    val (n, dMin, dMax) = (row.getLong(0), row.getInt(1), row.getInt(2))
+    require(dMin == dMax,
+      s"ragged embedding dimensions: min $dMin != max $dMax")
+    (n, dMin)
+  }
 
   /** Shared oracle CTE prefix of the dynamic-bits sign-bucket family
-    * (q27/q28/q42): `params` computes bits = [[VectorFunctions
-    * .bitsFor]] of the corpus count, `e` carries the per-row bucket
-    * and the ORIGINAL float embedding (probe keys are generated from
-    * it downstream; DuckDB forbids subqueries in lambdas, so `nbits`
+    * (q27): `params` computes bits = [[VectorFunctions.bitsFor]] of
+    * the corpus count with the ceiling read from the DATA
+    * (`min(len(embedding))` in the same aggregate as the count —
+    * mirroring [[corpusStats]]); `e` carries the per-row bucket and
+    * the ORIGINAL float embedding (probe keys are generated from it
+    * downstream; DuckDB forbids subqueries in lambdas, so `nbits`
     * rides along as a cross-joined column).
     */
   private def bucketedCtes(corpus: String): String =
     s"""params AS (
-       |  SELECT ${VectorFunctions.bitsForSql("count(*)", EMB_DIM)} AS nbits
+       |  SELECT least(min(len(embedding)),
+       |    greatest(8, length(bin(greatest(1, count(*) // 2) - 1)))) AS nbits
        |  FROM $corpus),
        |e AS (
        |  SELECT vec_id, embedding, embedding::DOUBLE[] AS v, nbits,
        |    ${VectorFunctions.signBucketSqlDyn("embedding", "nbits")} AS bucket
        |  FROM $corpus, params)""".stripMargin
+
+  /** Shared oracle CTE prefix of the MULTI-TABLE LSH family
+    * (q28/q42/q74): `params` derives (r, nt) = per-table bits and
+    * table count from the corpus count ([[VectorFunctions.mtBitsSql]]
+    * / [[VectorFunctions.mtTablesSql]]); `kb` holds one (vec_id, tbl,
+    * bucket) row per table per vector, the packed hyperplane key
+    * replayed bit-for-bit from [[graft.plans.MultiTableBuckets]]'s
+    * σ-mix over the micro-unit scaled components.
+    */
+  private def mtCtes(corpus: String): String = {
+    val rSql = VectorFunctions.mtBitsSql("count(*)")
+    s"""params AS (
+       |  SELECT ($rSql) AS r, ${VectorFunctions.mtTablesSql(rSql)} AS nt
+       |  FROM $corpus),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+       |  FROM $corpus, params),
+       |ek AS (
+       |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl FROM e),
+       |kb AS (
+       |  SELECT vec_id, embedding, tbl,
+       |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+       |  FROM ek)""".stripMargin
+  }
 
   private def probesSqlDyn(queryCte: String): String =
     s"""SELECT query_id, qv,
@@ -361,9 +394,10 @@ object PipelineQueries {
   val annBucketed: Q = Q(
     (s, d) => {
       val emb = t(s, d, "embeddings")
-      val bits = VectorFunctions.bitsFor(emb.count(), EMB_DIM)
+      val (n, dim) = corpusStats(emb)
       Similarity.bucketedTopK(
-        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5, bits)
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5,
+        VectorFunctions.bitsFor(n, dim))
     },
     s"""WITH ${bucketedCtes("embeddings")},
        |q AS (SELECT vec_id AS query_id, embedding, v AS qv, nbits
@@ -384,29 +418,31 @@ object PipelineQueries {
        |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
 
-  /** Embedding near-dup sweep: every vector's best match within its
-    * multi-probe LSH neighborhood ([[Similarity.bucketedSweep]]) —
-    * the "is anything a near-copy" report. Near-copies collide in a
-    * probed bucket w.h.p., and the plan is a bucket-keyed self-join
-    * (no corpus broadcast, no O(N²) scoring — the shape that survives
-    * 10⁹ vectors, unlike the brute-force sweep it replaces).
+  /** Embedding near-dup sweep: every vector's best match across its
+    * multi-table LSH collisions ([[Similarity.multiTableSweep]]) —
+    * the "is anything a near-copy" report. Near-copies collide in at
+    * least one of the T tables with probability ≥ 95% at every corpus
+    * size (the recall-budget contract in [[VectorFunctions]]), and
+    * the plan is a (tbl, bucket)-keyed self-join — no corpus
+    * broadcast, no O(N²) scoring, and no recall decay as the
+    * corpus-derived bit count grows (the single-table Hamming-1 form
+    * q27 demonstrates loses recall unboundedly there; ADVICE r5).
     */
   val nearestNeighbor: Q = Q(
     (s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.bucketedSweep(emb, "vec_id", "embedding", 1,
-        VectorFunctions.bitsFor(emb.count(), EMB_DIM))
+      val r = VectorFunctions.mtBits(corpusStats(emb)._1)
+      Similarity.multiTableSweep(emb, "vec_id", "embedding", 1,
+        r, VectorFunctions.mtTables(r))
     },
-    s"""WITH ${bucketedCtes("embeddings")},
-       |q AS (SELECT vec_id AS query_id, embedding, v AS qv, nbits FROM e),
-       |probes AS (
-       |  ${probesSqlDyn("q")}),
+    s"""WITH ${mtCtes("embeddings")},
        |scored AS (
-       |  SELECT query_id, e.vec_id,
-       |    round(list_dot_product(qv, v) /
-       |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+       |  SELECT q.vec_id AS query_id, kb.vec_id,
+       |    max(round(${VectorFunctions.cosineSql("q.embedding", "kb.embedding")}, 6))
        |      AS cos_sim
-       |  FROM probes p JOIN e ON p.bucket = e.bucket AND e.vec_id <> p.query_id),
+       |  FROM kb q JOIN kb ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+       |    AND kb.vec_id <> q.vec_id
+       |  GROUP BY q.vec_id, kb.vec_id),
        |ranked AS (
        |  SELECT query_id, vec_id, cos_sim,
        |    row_number() OVER (PARTITION BY query_id
@@ -414,6 +450,39 @@ object PipelineQueries {
        |  FROM scored)
        |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin)
+
+  /** Multi-table approximate top-5 for 5 query vectors
+    * ([[Similarity.multiTableTopK]]) — the at-scale ANN query: T
+    * independent r-bit hyperplane tables hold recall ≥ 95% for
+    * cos ≥ 0.95 neighbors at EVERY corpus size, where q27's
+    * Hamming-1 probing decays as its corpus-derived bits grow. Both
+    * (r, T) reach the plan from the corpus count alone; the oracle
+    * derives the identical pair in its params CTE and replays the
+    * σ-mix hyperplane keys bit-for-bit.
+    */
+  val annMultiTable: Q = Q(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val r = VectorFunctions.mtBits(corpusStats(emb)._1)
+      Similarity.multiTableTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5, r, VectorFunctions.mtTables(r))
+    },
+    s"""WITH ${mtCtes("embeddings")},
+       |q AS (SELECT vec_id, embedding, tbl, bucket FROM kb WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, kb.vec_id,
+       |    max(round(${VectorFunctions.cosineSql("q.embedding", "kb.embedding")}, 6))
+       |      AS cos_sim
+       |  FROM q JOIN kb ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+       |    AND kb.vec_id <> q.vec_id
+       |  GROUP BY q.vec_id, kb.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
 
   // ----------------------------------------------------------- text analysis
 
@@ -647,34 +716,23 @@ object PipelineQueries {
         val dupes = emb.select((col("vec_id") + 1000000L).as("vec_id"),
           col("embedding"))
         val corpus = emb.unionByName(dupes)
-        // bits from the DEDUP corpus size (injected copies included):
-        // 1000 vectors here -> 9 bits, growing with the corpus
-        Similarity.nearDupPairs(corpus, "vec_id", "embedding", MIN_COS,
-            VectorFunctions.bitsFor(2L * emb.count(), EMB_DIM))
+        // (r, T) from the DEDUP corpus size (injected copies included)
+        val r = VectorFunctions.mtBits(2L * corpusStats(emb)._1)
+        Similarity.multiTableNearDupPairs(corpus, "vec_id", "embedding",
+            MIN_COS, r, VectorFunctions.mtTables(r))
           .orderBy("id_a", "id_b")
       },
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
-         |params AS (
-         |  SELECT ${VectorFunctions.bitsForSql("count(*)", EMB_DIM)} AS nbits
-         |  FROM corpus),
-         |c AS (
-         |  SELECT vec_id AS id_a, embedding, embedding::DOUBLE[] AS va, nbits
-         |  FROM corpus, params),
-         |b AS (
-         |  SELECT vec_id AS id_b, embedding::DOUBLE[] AS vb,
-         |    ${VectorFunctions.signBucketSqlDyn("embedding", "nbits")} AS bucket
-         |  FROM corpus, params),
-         |probes AS (
-         |  SELECT id_a, va,
-         |    unnest(${VectorFunctions.probeBucketsSqlDyn("embedding", "nbits")})
-         |      AS bucket
-         |  FROM c),
+         |${mtCtes("corpus")},
          |scored AS (
-         |  SELECT id_a, id_b,
-         |    round(${VectorFunctions.cosineSql("va", "vb")}, 6) AS cos_sim
-         |  FROM probes p JOIN b ON p.bucket = b.bucket AND p.id_a < b.id_b)
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    max(round(${VectorFunctions.cosineSql("a.embedding", "b.embedding")}, 6))
+         |      AS cos_sim
+         |  FROM kb a JOIN kb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id)
          |SELECT id_a, id_b, cos_sim FROM scored
          |WHERE cos_sim >= $MIN_COS ORDER BY id_a, id_b""".stripMargin)
   }
@@ -1405,7 +1463,9 @@ object PipelineQueries {
         val emb = t(s, d, "embeddings")
         val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(
           emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-        val c = Similarity.cellsFor(2L * emb.count())
+        val n = emb.count()
+        // fit runs on the originals; clamp cells to that corpus
+        val c = Similarity.cellsFor(2L * n, n)
         val e = VectorQuantizer.scaled(emb, "vec_id", "embedding").persist()
         val cent = VectorQuantizer.fitCentroids(e, "vec_id", c, KM_ITERS)
         val cells = VectorQuantizer.assignCells(
@@ -1414,7 +1474,8 @@ object PipelineQueries {
           .orderBy("vec_id")
       },
       s"""WITH params AS (
-         |  SELECT ${Similarity.cellsForSql("2 * count(*)")} AS c FROM embeddings),
+         |  SELECT ${Similarity.cellsForSql("2 * count(*)", "count(*)")} AS c
+         |  FROM embeddings),
          |${kmeansCtes("(SELECT c FROM params)")},
          |corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
@@ -1502,5 +1563,6 @@ object PipelineQueries {
     "q64_inverted_index" -> invertedIndex,
     "q66_semantic_dedup" -> semanticDedup,
     "q69_zipf_histogram" -> zipfHistogram,
-    "q71_semantic_cells" -> semanticDedupScaled)
+    "q71_semantic_cells" -> semanticDedupScaled,
+    "q74_ann_multitable" -> annMultiTable)
 }

@@ -99,7 +99,9 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("cellsFor and bitsFor grow with the corpus, with floors and ceilings") {
-    assert(Similarity.cellsFor(1) == 8)       // floor
+    assert(Similarity.cellsFor(1) == 1)       // fit-corpus clamp beats the floor
+    assert(Similarity.cellsFor(20) == 9)      // floor 8 < clamp 20: ⌈2·√20⌉
+    assert(Similarity.cellsFor(100, 10) == 10) // oversized ask clamps to fitN
     assert(Similarity.cellsFor(100) == 20)    // 2·√100
     assert(Similarity.cellsFor(1000) == 64)   // the judged q71 regime
     assert(Similarity.cellsFor(10000) == 200) // ∝ √n
@@ -169,6 +171,79 @@ class SimilaritySpec extends SparkSpec {
     assert(found >= 400, s"near-dup recall at $bits bits: $found/500 < 0.8")
     corpus.unpersist()
     spark.catalog.clearCache()
+  }
+
+  test("multi-table recall holds at 95% where Hamming-1 probing decays") {
+    // the ADVICE r5 medium: single-table recall at corpus-derived bits
+    // shrinks as the corpus grows; the multi-table family's (r, T)
+    // budget must hold recall at BOTH sizes. Same jittered-replication
+    // corpus as the fan-in test: (original, jitter-1) pairs at
+    // cos ≈ 0.9996 are the ground truth.
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val rot = concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1))
+    def jittered(copies: Int): org.apache.spark.sql.DataFrame =
+      (0 until copies).map(i =>
+          e.select((col("vec_id") + i * 10000L).as("vec_id"),
+            zip_with(col("embedding"), rot,
+              (x, y) => x + lit(0.03f * i) * y).as("embedding")))
+        .reduce(_ unionByName _).persist()
+    def recallAt(corpus: org.apache.spark.sql.DataFrame): Double = {
+      val n = corpus.count()
+      val r = VectorFunctions.mtBits(n)
+      val found = Similarity.multiTableNearDupPairs(corpus, "vec_id",
+          "embedding", minCos = 0.999, r, VectorFunctions.mtTables(r))
+        .filter(col("id_a") < 10000L && col("id_b") >= 10000L &&
+          col("id_b") < 20000L && col("id_b") - col("id_a") === 10000L)
+        .count()
+      corpus.unpersist()
+      found / 500.0
+    }
+    val r2 = recallAt(jittered(2))   // n = 1000, r = 9, T = 8
+    val r10 = recallAt(jittered(10)) // n = 5000, r = 12, T = 11
+    assert(r2 >= 0.9, s"multi-table recall at n=1000: $r2 < 0.9")
+    assert(r10 >= 0.9, s"multi-table recall at n=5000: $r10 < 0.9")
+    spark.catalog.clearCache()
+  }
+
+  test("multiTableTopK matches brute force on injected near-dups") {
+    // every vector's jittered copy (cos ≈ 0.9996) must surface as its
+    // top-1 through the table join, and scores must equal brute force
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 200).select("vec_id", "embedding")
+    val rot = concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1))
+    val corpus = e.unionByName(
+      e.select((col("vec_id") + 10000L).as("vec_id"),
+        zip_with(col("embedding"), rot,
+          (x, y) => x + lit(0.03f) * y).as("embedding"))).persist()
+    val queries = corpus.filter(col("vec_id") < 20)
+    val r = VectorFunctions.mtBits(corpus.count())
+    val mt = Similarity.multiTableTopK(corpus, queries, "vec_id",
+        "embedding", 1, r, VectorFunctions.mtTables(r))
+      .select("query_id", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+        "embedding", 1)
+      .select("query_id", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(mt == bf, s"multi-table top-1 diverged from brute force")
+    corpus.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("mtBits and mtTables follow the documented recall budget") {
+    assert(VectorFunctions.mtBits(500) == 8)
+    assert(VectorFunctions.mtBits(1000) == 9)
+    assert(VectorFunctions.mtBits(1L << 30) == 29)
+    assert(VectorFunctions.mtBits(Long.MaxValue) == 62)   // packed-long cap
+    assert(VectorFunctions.mtTables(8) == 7)
+    assert(VectorFunctions.mtTables(29) == 64)
+    assert(VectorFunctions.mtTables(62) == 128)           // table cap
+    // recall 1-(1-0.9^r)^T >= 1-e^-3 for every uncapped r
+    (8 to 35).foreach { r =>
+      val recall = 1 - math.pow(1 - math.pow(0.9, r), VectorFunctions.mtTables(r))
+      assert(recall >= 0.949, s"recall budget broken at r=$r: $recall")
+    }
   }
 
   test("nearDupPairs finds Hamming-1 bucket neighbors above threshold") {
