@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.{Hashing, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ConnectedComponents, Dedup, Packing, Similarity, VectorQuantizer}
+import graft.operators.{Bpe, ConnectedComponents, Dedup, Packing, Similarity, VectorQuantizer}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
   * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
@@ -1384,6 +1384,76 @@ object PipelineQueries {
          |ORDER BY s.doc_id, f""".stripMargin)
   }
 
+  /** BPE tokenizer training ([[graft.operators.Bpe.trainMerges]]):
+    * learn the first N subword merges over the corpus vocabulary —
+    * the vocabulary-learning stage q55's raw vocab feeds. The oracle
+    * unrolls the IDENTICAL N rounds in SQL: per round, adjacent-pair
+    * counts via a lead window over the long-form (word, pos, sym)
+    * state, the same (cnt DESC, lhs, rhs) top-pair rule, and greedy
+    * left-to-right merging replayed as run-parity window selection
+    * (Spark's merge fold and the parity rule are the same greedy
+    * scan — see the operator doc). Integer counts + single-byte text
+    * ⇒ every round's pick is bit-identical on both engines. The
+    * multiply-referenced round CTEs are MATERIALIZED: DuckDB inlines
+    * CTEs by default, and each round referencing its predecessor
+    * twice would expand the plan exponentially in the round count.
+    */
+  val bpeMerges: Q = {
+    val ROUNDS = 8
+    def roundCte(i: Int): String =
+      s"""p$i AS MATERIALIZED (
+         |  SELECT word, freq, pos, sym AS a,
+         |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b
+         |  FROM s${i - 1}),
+         |c$i AS (
+         |  SELECT a, b, sum(freq)::BIGINT AS cnt FROM p$i
+         |  WHERE b IS NOT NULL GROUP BY a, b),
+         |b$i AS MATERIALIZED (SELECT a, b, cnt FROM c$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |mm$i AS (
+         |  SELECT p.word, p.pos,
+         |    row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn
+         |  FROM p$i p JOIN b$i t ON p.a = t.a AND p.b = t.b),
+         |sel$i AS MATERIALIZED (
+         |  SELECT word, pos FROM (
+         |    SELECT word, pos,
+         |      row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS k
+         |    FROM mm$i)
+         |  WHERE k % 2 = 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+         |  FROM (
+         |    SELECT s.word, s.freq, s.pos,
+         |      CASE WHEN m1.pos IS NOT NULL THEN t.a || t.b ELSE s.sym END AS sym
+         |    FROM s${i - 1} s
+         |    CROSS JOIN b$i t
+         |    LEFT JOIN sel$i m1 ON s.word = m1.word AND s.pos = m1.pos
+         |    LEFT JOIN sel$i m2 ON s.word = m2.word AND s.pos = m2.pos + 1
+         |    WHERE m2.pos IS NULL))""".stripMargin
+    Q(
+      (s, d) => {
+        val vocab = t(s, d, "documents")
+          .select(explode(TextFunctions.words(col("text"))).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        Bpe.trainMerges(vocab, ROUNDS)
+      },
+      s"""WITH w AS (
+         |  SELECT word, count(*)::BIGINT AS freq FROM (
+         |    SELECT unnest(${TextFunctions.wordsSql("text")}) AS word
+         |    FROM documents)
+         |  WHERE length(word) > 0 GROUP BY word),
+         |s0p AS (
+         |  SELECT word, freq, unnest(range(1, length(word) + 1)) AS pos FROM w),
+         |s0 AS MATERIALIZED (SELECT word, freq, pos, substr(word, pos::INT, 1) AS sym FROM s0p),
+         |${(1 to ROUNDS).map(roundCte).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to ROUNDS).map(i =>
+              s"SELECT $i AS round, a AS lhs, b AS rhs, a||b AS merged, cnt FROM b$i")
+              .mkString("\nUNION ALL ")}
+         |) ORDER BY round""".stripMargin)
+  }
+
   /** Semantic dedup (the SemDeDup recipe: embed → cluster → pairwise
     * cosine within clusters → drop all but one of each semantic-dup
     * set). Reuses the q53 trained codebook — same constants, same
@@ -1564,5 +1634,6 @@ object PipelineQueries {
     "q66_semantic_dedup" -> semanticDedup,
     "q69_zipf_histogram" -> zipfHistogram,
     "q71_semantic_cells" -> semanticDedupScaled,
+    "q72_bpe_merges"     -> bpeMerges,
     "q74_ann_multitable" -> annMultiTable)
 }
