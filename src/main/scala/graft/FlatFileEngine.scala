@@ -35,8 +35,30 @@ import graft.sources.CsvIngest
   * uncoordinated, the same scope as the reference's process-local
   * mutexes. A plain `posts.csv` fixture (file or dir) is read as the
   * pre-version-0 snapshot, so reference-style fixtures work unchanged.
+  *
+  * **Point-write modes.** The reference rewrites the whole table per
+  * point update (buzzdb_lab1.cpp:1032-1059) and the default mode is
+  * faithful to that. With `changelogWrites = true`, `updatePostViews`
+  * instead APPENDS a one-row delta snapshot (`posts.csv.v3.d1`, same
+  * `_SUCCESS` commit discipline as full versions) and reads resolve
+  * base ∪ deltas through [[graft.operators.Merge.latestWins]] —
+  * merge-on-read, write cost independent of table size. Every
+  * `compactAfter` committed deltas the writer folds the merged state
+  * into the next full version (compaction), whose commit vacuums the
+  * superseded generation and its deltas one generation later — the
+  * snapshot-plus-changelog layout every production table format
+  * (Delta/Hudi/Iceberg) converges on, built from the same two
+  * primitives this engine already owns (versioned `_SUCCESS` publish
+  * + latest-wins merge). Visible semantics are IDENTICAL in both
+  * modes: per-update clamp-at-zero (each delta stores the resolved
+  * row image, never a raw increment — summing increments would clamp
+  * only once at read time), false-on-missing, snapshot isolation,
+  * crash recovery (an uncommitted delta orphan is invisible and gets
+  * superseded) — AcidSpec asserts the matrix in both modes.
   */
-class FlatFileEngine(spark: SparkSession, dir: String) {
+class FlatFileEngine(spark: SparkSession, dir: String,
+                     changelogWrites: Boolean = false,
+                     compactAfter: Int = 4) {
 
   import FlatFileEngine._
 
@@ -78,6 +100,49 @@ class FlatFileEngine(spark: SparkSession, dir: String) {
       .sortBy(-_._1).headOption
       .map(_._2.toString).getOrElse(path(table))
 
+  // ------------------------------------------------------- changelog deltas
+
+  /** (seq, path) of every delta dir riding on the CURRENT base
+    * snapshot: `<base>.dM` (e.g. `posts.csv.v3.d1`). The version
+    * lister's all-digits check keeps delta names out of the version
+    * namespace and vice versa.
+    */
+  private def listDeltas(table: String): Seq[(Long, Path)] = {
+    val prefix = s"${new Path(tablePath(table)).getName}.d"
+    val root = new Path(dir)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(prefix) && name.length > prefix.length &&
+          name.drop(prefix.length).forall(_.isDigit))
+        Some((name.drop(prefix.length).toLong, st.getPath))
+      else None
+    }
+  }
+
+  /** Merge-on-read resolution: the base snapshot with every COMMITTED
+    * delta applied, the highest-sequence row image per id winning
+    * ([[graft.operators.Merge.latestWins]] — one key shuffle, no
+    * join). With no deltas this is exactly the plain snapshot read;
+    * an uncommitted delta (crashed writer) is invisible, the same
+    * `_SUCCESS` rule as full versions.
+    */
+  private def currentTable(table: String): DataFrame = {
+    val base = CsvIngest.readFlatFile(spark, tablePath(table), schemaOf(table))
+    val deltas = listDeltas(table).filter(d => committed(d._2)).sortBy(_._1)
+    if (deltas.isEmpty) base
+    else {
+      val all = deltas.foldLeft(base.withColumn("_seq", lit(0L))) {
+        case (acc, (m, p)) =>
+          acc.unionByName(
+            CsvIngest.readFlatFile(spark, p.toString, schemaOf(table))
+              .withColumn("_seq", lit(m)))
+      }
+      graft.operators.Merge.latestWins(all, Seq("id"), Seq("_seq"))
+        .drop("_seq")
+    }
+  }
+
   // ------------------------------------------------------------------ loads
 
   /** `loadFlatFile` (buzzdb_lab1.cpp:126-316): typed, trimmed,
@@ -87,16 +152,13 @@ class FlatFileEngine(spark: SparkSession, dir: String) {
     * split-parallel natively, so the serial/parallel distinction
     * dissolves (SURVEY.md §2.1 S2).
     */
-  def users: DataFrame =
-    CsvIngest.readFlatFile(spark, tablePath("users"), userSchema)
+  def users: DataFrame = currentTable("users")
 
-  def posts: DataFrame = {
-    val p = CsvIngest.readFlatFile(spark, tablePath("posts"), postSchema)
-    SocialOps.riFilter(p, "username", users, "username")
-  }
+  def posts: DataFrame =
+    SocialOps.riFilter(currentTable("posts"), "username", users, "username")
 
   def engagements: DataFrame = {
-    val e = CsvIngest.readFlatFile(spark, tablePath("engagements"), engagementSchema)
+    val e = currentTable("engagements")
     val byPost = SocialOps.riFilter(e, "postId", posts.select(col("id")), "id")
     SocialOps.riFilter(byPost, "username", users, "username")
   }
@@ -124,8 +186,7 @@ class FlatFileEngine(spark: SparkSession, dir: String) {
 
   /** RI sweep (`check_no_dangling_post_ids`, buzzdb_lab1.cpp:1063-1070). */
   def danglingEngagements: DataFrame =
-    SocialOps.dangling(
-      CsvIngest.readFlatFile(spark, tablePath("engagements"), engagementSchema),
+    SocialOps.dangling(currentTable("engagements"),
       "postId", posts.select(col("id")), "id")
 
   // ----------------------------------------------------------- time travel
@@ -159,18 +220,46 @@ class FlatFileEngine(spark: SparkSession, dir: String) {
   // ---------------------------------------------------------------- writes
 
   /** `updatePostViews` (buzzdb_lab1.cpp:603-631): clamp-at-zero delta
-    * on one post, persisted via write-new + atomic swap. Returns false
-    * (no write) when the id is absent, like the reference.
+    * on one post. Returns false (no write) when the id is absent,
+    * like the reference. Rewrite mode persists via write-new + atomic
+    * swap (faithful to the reference's O(table) rewrite,
+    * buzzdb_lab1.cpp:1032-1059); changelog mode appends a one-row
+    * RESOLVED row image as a committed delta — write cost independent
+    * of table size — and compacts every `compactAfter` deltas. Both
+    * modes read through the merge-on-read view, so they compose
+    * freely on one table.
     */
   def updatePostViews(postId: Int, delta: Int): Boolean =
     writeLock.synchronized {
-      val current = CsvIngest.readFlatFile(spark, tablePath("posts"), postSchema)
-      if (current.filter(col("id") === postId).isEmpty) false
-      else {
+      val current = currentTable("posts")
+      val hit = current.filter(col("id") === postId).collect()
+      if (hit.isEmpty) false
+      else if (!changelogWrites) {
         val updated = current.withColumn("views",
           when(col("id") === postId,
             greatest(lit(0), col("views") + delta)).otherwise(col("views")))
         swapIn(updated, "posts")
+        true
+      } else {
+        // the delta stores the resolved, per-update-clamped row image
+        // (NOT a raw increment: summing increments would clamp once at
+        // read time — "views 2, -10, +3" must end at 3, not 0)
+        val r = hit.head
+        val one = spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(
+            r.getAs[Int]("id"), r.getAs[String]("content"),
+            r.getAs[String]("username"),
+            math.max(0, r.getAs[Int]("views") + delta))),
+          postSchema)
+        // next sequence past EVERY delta dir, committed or orphaned —
+        // never overwrite a dir a concurrent/killed writer may own
+        val m = listDeltas("posts").map(_._1).maxOption.getOrElse(0L) + 1L
+        val target = new Path(dir,
+          s"${new Path(tablePath("posts")).getName}.d$m")
+        one.coalesce(1).write.mode(SaveMode.Overwrite)
+          .option("header", true).csv(target.toString)
+        if (listDeltas("posts").count(d => committed(d._2)) >= compactAfter)
+          swapIn(currentTable("posts"), "posts")
         true
       }
     }
@@ -208,7 +297,7 @@ class FlatFileEngine(spark: SparkSession, dir: String) {
     */
   def updateUserName(userId: Int, newName: String): Boolean =
     writeLock.synchronized {
-    val u = CsvIngest.readFlatFile(spark, tablePath("users"), userSchema)
+    val u = currentTable("users")
     val row = u.filter(col("id") === userId).select("username").collect()
     if (row.isEmpty) return false
     val oldName = row.head.getString(0)
@@ -219,10 +308,10 @@ class FlatFileEngine(spark: SparkSession, dir: String) {
     swapIn(u.withColumn("username",
       when(col("id") === userId, lit(newName)).otherwise(col("username"))),
       "users")
-    val p = CsvIngest.readFlatFile(spark, tablePath("posts"), postSchema)
+    val p = currentTable("posts")
     swapIn(p.select(col("id"), col("content"), renameCol("username"),
       col("views")), "posts")
-    val e = CsvIngest.readFlatFile(spark, tablePath("engagements"), engagementSchema)
+    val e = currentTable("engagements")
     swapIn(e.select(col("id"), col("postId"), renameCol("username"),
       col("type"), col("comment"), col("timestamp")), "engagements")
     true
@@ -254,6 +343,19 @@ class FlatFileEngine(spark: SparkSession, dir: String) {
     val keep = Set(next.getName, cur)
     versions.foreach { case (_, v) =>
       if (!keep.contains(v.getName)) fs.delete(v, true)
+    }
+    // deltas ride their base snapshot's retention: a reader that
+    // resolved (cur, cur's deltas) keeps both until the NEXT commit,
+    // exactly like the base itself; deltas of vacuumed generations go
+    // with them. The just-committed `next` starts delta-free.
+    val root = new Path(dir)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      val di = name.lastIndexOf(".d")
+      if (name.startsWith(s"$table.csv") && di > 0 &&
+          name.length > di + 2 && name.drop(di + 2).forall(_.isDigit) &&
+          !keep.contains(name.take(di)))
+        fs.delete(st.getPath, true)
     }
     val legacy = new Path(path(table))
     if (!keep.contains(legacy.getName) && fs.exists(legacy))

@@ -125,4 +125,91 @@ class AcidSpec extends SparkSpec {
     assert(!engine.updatePostViews(777, 5))
     assert(views(engine, 19) == 99)
   }
+
+  // ------------------------------------------------ changelog write mode
+
+  private def deltaDirs(dir: String): Seq[String] =
+    new java.io.File(dir).list().toSeq
+      .filter(_.matches("posts\\.csv(\\.v\\d+)?\\.d\\d+")).sorted
+
+  test("changelog update commits a one-row delta; the base is untouched") {
+    val dir = freshDir()
+    val e = new FlatFileEngine(spark, dir, changelogWrites = true)
+    assert(e.updatePostViews(19, +1))
+    assert(views(e, 19) == 100)
+    // write cost independent of table size: the base fixture is
+    // byte-identical, the only new data is the committed delta dir
+    assert(Files.readString(Paths.get(dir, "posts.csv"))
+      .contains("19,Sunset,alice,99"))
+    assert(deltaDirs(dir) == Seq("posts.csv.d1"))
+    assert(e.snapshotVersions("posts").isEmpty) // no full rewrite happened
+    // durability + mode-independence: a fresh DEFAULT-mode engine
+    // resolves the same merged state (merge-on-read is unconditional)
+    assert(views(new FlatFileEngine(spark, dir), 19) == 100)
+  }
+
+  test("changelog deltas clamp per update, not once at read time (ref test 7)") {
+    val dir = freshDir()
+    val e = new FlatFileEngine(spark, dir, changelogWrites = true)
+    // post 20 starts at views 10: 10 → 0 (clamped) → 3. A raw-delta
+    // log summed at read time would end at max(0, 10-20+3) = 0.
+    assert(e.updatePostViews(20, -20))
+    assert(views(e, 20) == 0)
+    assert(e.updatePostViews(20, +3))
+    assert(views(e, 20) == 3)
+    assert(views(new FlatFileEngine(spark, dir), 20) == 3)
+  }
+
+  test("changelog mode: missing id writes no delta (ref test 8)") {
+    val dir = freshDir()
+    val e = new FlatFileEngine(spark, dir, changelogWrites = true)
+    assert(!e.updatePostViews(777, 5))
+    assert(deltaDirs(dir).isEmpty)
+  }
+
+  test("orphaned delta from a killed writer is invisible; writers pass it (ref test 11)") {
+    val dir = freshDir()
+    val e = new FlatFileEngine(spark, dir, changelogWrites = true)
+    // crashed delta writer: data, no _SUCCESS
+    val orphan = Paths.get(dir, "posts.csv.d7")
+    Files.createDirectory(orphan)
+    Files.writeString(orphan.resolve("part-00000.csv"),
+      "id,content,username,views\n19,Sunset,alice,777777\n")
+    assert(views(e, 19) == 99)
+    // the next writer sequences PAST the orphan (never overwrites a
+    // dir a killed/concurrent writer may own) and its commit wins
+    assert(e.updatePostViews(19, +1))
+    assert(deltaDirs(dir).contains("posts.csv.d8"))
+    assert(views(e, 19) == 100)
+  }
+
+  test("compaction folds deltas into a full version with identical state") {
+    val dir = freshDir()
+    val e = new FlatFileEngine(spark, dir, changelogWrites = true,
+      compactAfter = 3)
+    assert(e.updatePostViews(19, +1)) // d1
+    assert(e.updatePostViews(20, +5)) // d2
+    assert(e.updatePostViews(19, +2)) // d3 → triggers compaction → v1
+    assert(e.snapshotVersions("posts") == Seq(1L))
+    assert(views(e, 19) == 102 && views(e, 20) == 15)
+    // fixture-generation deltas survive one generation (a lazy reader
+    // may still hold them), then the next commit vacuums; new deltas
+    // ride the compacted base
+    assert(e.updatePostViews(19, +1)) // d1 on v1
+    assert(deltaDirs(dir).contains("posts.csv.v1.d1"))
+    assert(views(new FlatFileEngine(spark, dir), 19) == 103)
+  }
+
+  test("rewrite-mode cascade over pending deltas keeps the merged state") {
+    val dir = freshDir()
+    val cl = new FlatFileEngine(spark, dir, changelogWrites = true)
+    assert(cl.updatePostViews(19, +1)) // pending delta: views 100
+    // a full-rewrite writer (rename cascade) must fold the delta in,
+    // not resurrect the base image
+    val rw = new FlatFileEngine(spark, dir)
+    assert(rw.updateUserName(1, "alicia"))
+    val posts = new FlatFileEngine(spark, dir).posts
+    assert(posts.filter(col("id") === 19)
+      .select("username", "views").as[(String, Int)].head() == ("alicia", 100))
+  }
 }
