@@ -148,36 +148,64 @@ object Similarity {
     topK(scored, id, k)
   }
 
+  /** Bare (id, tbl, bucket) key rows — the SELF-JOIN form of the key
+    * table: ~24 bytes per row through the (tbl, bucket) exchange,
+    * where joining with the embeddings attached would shuffle the
+    * d-float vector T times per corpus row (at n = 10⁹, T = 64,
+    * d = 64 that is ~16 KB/vector of shuffle — the difference between
+    * a viable sweep and a dead one). Scoring re-joins vectors by id
+    * AFTER candidate dedup: two corpus-keyed joins, each touching the
+    * vector once. The table is persisted — both self-join sides and
+    * the hashing pass execute once (callers clear via
+    * `catalog.clearCache`, as with [[semanticKeep]]).
+    */
+  private def mtBareKeys(corpus: DataFrame, id: String, vec: String,
+                         bits: Int, tables: Int): DataFrame =
+    corpus.select(col(id),
+      posexplode(multiTableBuckets(col(vec), bits, tables))
+        .as(Seq("tbl", "bucket"))).persist()
+
   /** Multi-table all-pairs sweep: every vector's top-k across its T
-    * bucket collisions — the at-scale form of [[bucketedSweep]]. Same
-    * join shape with the corpus on both sides; nothing forced to
-    * broadcast.
+    * bucket collisions — the at-scale form of [[bucketedSweep]].
+    * Candidate-pair shape: keys self-join light, pairs dedup'd
+    * (`distinct` — a pair colliding in several tables is a single
+    * candidate), vectors re-joined by id for one scoring pass.
     */
   def multiTableSweep(corpus: DataFrame, id: String, vec: String, k: Int,
                       bits: Int, tables: Int): DataFrame = {
-    val c = mtKeys(corpus, id, vec, id, vec, bits, tables)
-    val q = mtKeys(corpus, id, vec, "query_id", "qv", bits, tables)
-    val scored = c.join(q, Seq("tbl", "bucket"))
+    val v = corpus.select(col(id), col(vec))
+    val keys = mtBareKeys(corpus, id, vec, bits, tables)
+    val cand = keys.select(col(id).as("query_id"), col("tbl"), col("bucket"))
+      .join(keys, Seq("tbl", "bucket"))
       .filter(col(id) =!= col("query_id"))
-      .groupBy(col("query_id"), col(id))
-      .agg(max(round(cosineNative(col("qv"), col(vec)), 6)).as("cos_sim"))
+      .select(col("query_id"), col(id)).distinct()
+    val scored = cand
+      .join(v.select(col(id).as("query_id"), col(vec).as("qv")), Seq("query_id"))
+      .join(v, Seq(id))
+      .select(col("query_id"), col(id),
+        round(cosineNative(col("qv"), col(vec)), 6).as("cos_sim"))
     topK(scored, id, k)
   }
 
   /** Multi-table near-duplicate pairs: every (a, b), a < b, colliding
     * in at least one table with rounded cosine ≥ `minCos` — the
-    * at-scale form of [[nearDupPairs]]. The pair aggregate both
-    * deduplicates multi-table collisions and keeps candidate state
-    * bounded per (tbl, bucket) partition.
+    * at-scale form of [[nearDupPairs]]. Same candidate-pair shape as
+    * [[multiTableSweep]].
     */
   def multiTableNearDupPairs(corpus: DataFrame, id: String, vec: String,
                              minCos: Double, bits: Int, tables: Int): DataFrame = {
-    val b = mtKeys(corpus, id, vec, "id_b", "vb", bits, tables)
-    val a = mtKeys(corpus, id, vec, "id_a", "va", bits, tables)
-    a.join(b, Seq("tbl", "bucket"))
+    val v = corpus.select(col(id), col(vec))
+    val keys = mtBareKeys(corpus, id, vec, bits, tables)
+    val cand = keys.select(col(id).as("id_a"), col("tbl"), col("bucket"))
+      .join(keys.select(col(id).as("id_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(round(cosineNative(col("va"), col("vb")), 6)).as("cos_sim"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(v.select(col(id).as("id_a"), col(vec).as("va")), Seq("id_a"))
+      .join(v.select(col(id).as("id_b"), col(vec).as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosineNative(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
 
