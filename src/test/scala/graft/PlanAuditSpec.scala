@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
       "q53_kmeans_codebook", "q54_ann_trained",
       "q66_semantic_dedup", // reuses the q53 fit (same checkpointed rounds)
       "q71_semantic_cells", // corpus-derived cell count, same fit rounds
-      "q70_pagerank") // per-round localCheckpoint (PageRankSpec audits shape)
+      "q70_pagerank", // per-round localCheckpoint (PageRankSpec audits shape)
+      "q72_bpe_merges") // per-round localCheckpoint (BpeSpec audits behavior)
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
@@ -81,11 +82,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("bucketed ANN joins on the bucket key — no nested loop (q27, q28, q42)") {
-    for (name <- Seq("q27_ann_bucketed", "q28_nearest_neighbor", "q42_embed_dupes")) {
+  test("bucketed ANN joins on the bucket key — no nested loop (q27, q28, q42, q74)") {
+    for (name <- Seq("q27_ann_bucketed", "q28_nearest_neighbor",
+        "q42_embed_dupes", "q74_ann_multitable")) {
       val p = plan(name)
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$name lost its bucket equi-join:\n$p")
+      spark.catalog.clearCache() // q28/q42 persist their key tables
+    }
+  }
+
+  test("multi-table self-joins exchange bare keys, never the embeddings (q28, q42)") {
+    for (name <- Seq("q28_nearest_neighbor", "q42_embed_dupes")) {
+      val p = plan(name)
+      // every hash exchange below the candidate distinct must carry
+      // (id, tbl, bucket)-shaped rows; an embedding column inside an
+      // exchange means the T-x vector shuffle came back
+      val exchanges = "Exchange hashpartitioning\\([^)]*\\)[^\\n]*".r
+        .findAllIn(p).toSeq
+      assert(exchanges.nonEmpty, p)
+      assert(!"Exchange [^\\n]*embedding".r.findFirstIn(p).isDefined,
+        s"$name shuffles embeddings on the key exchange:\n$p")
+      spark.catalog.clearCache()
     }
   }
 
