@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.{Hashing, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Bpe, ConnectedComponents, Dedup, Packing, Similarity, VectorQuantizer}
+import graft.operators.{Bpe, ConnectedComponents, CountMin, Dedup, Packing, Similarity, VectorQuantizer}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
   * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
@@ -1384,6 +1384,56 @@ object PipelineQueries {
          |ORDER BY s.doc_id, f""".stripMargin)
   }
 
+  /** Count-min heavy hitters ([[graft.operators.CountMin]]): build
+    * the d×w sketch over every corpus token (one bounded groupBy —
+    * the sketch is ≤ d·w rows at ANY corpus size), then read the
+    * true top-25 terms' estimates back out of it next to their exact
+    * counts — the never-undercount ε-overcount contract, judged
+    * value-exactly: the affine hash family is engine-identical, so
+    * every cell and every min-estimate matches the oracle
+    * bit-for-bit. The at-100TB story is the build: map-side partial
+    * counts into d·w cells, mergeable across partitions/days by
+    * summing — the hot-key detector that tells [[graft.operators
+    * .Salting]] which keys need salt without a full key-domain
+    * groupBy.
+    */
+  val cmsHeavy: Q = {
+    val D = 4; val W = 1024; val K = 25
+    Q(
+      (s, d) => {
+        val wds = t(s, d, "documents")
+          .select(explode(TextFunctions.words(col("text"))).as("term"))
+          .filter(length(col("term")) > 0)
+        val sketch = CountMin.build(wds, "term", D, W)
+        val top = wds.groupBy("term").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("term")).limit(K)
+        top.join(CountMin.estimate(sketch, top.select("term"), "term", D, W),
+            Seq("term"))
+          .select(col("term"), col("n"), col("cms_est"))
+          .orderBy(desc("n"), asc("term"))
+      },
+      s"""WITH wds AS (
+         |  SELECT unnest(${TextFunctions.wordsSql("text")}) AS term
+         |  FROM documents),
+         |wf AS (SELECT term FROM wds WHERE length(term) > 0),
+         |params(r, a, b) AS (VALUES ${CountMin.paramsSqlValues(D)}),
+         |sketch AS (
+         |  SELECT r, ${CountMin.cellOfSql("term", "a", "b", W)} AS cell,
+         |    count(*)::BIGINT AS cnt
+         |  FROM wf, params GROUP BY 1, 2),
+         |top AS (
+         |  SELECT term, count(*)::BIGINT AS n FROM wf GROUP BY term
+         |  ORDER BY n DESC, term LIMIT $K),
+         |est AS (
+         |  SELECT t.term, min(coalesce(s.cnt, 0))::BIGINT AS cms_est
+         |  FROM top t CROSS JOIN params p
+         |  LEFT JOIN sketch s ON s.r = p.r
+         |    AND s.cell = ${CountMin.cellOfSql("t.term", "p.a", "p.b", W)}
+         |  GROUP BY t.term)
+         |SELECT t.term, t.n, e.cms_est FROM top t JOIN est e USING (term)
+         |ORDER BY t.n DESC, t.term""".stripMargin)
+  }
+
   /** BPE tokenizer training ([[graft.operators.Bpe.trainMerges]]):
     * learn the first N subword merges over the corpus vocabulary —
     * the vocabulary-learning stage q55's raw vocab feeds. The oracle
@@ -1635,5 +1685,6 @@ object PipelineQueries {
     "q69_zipf_histogram" -> zipfHistogram,
     "q71_semantic_cells" -> semanticDedupScaled,
     "q72_bpe_merges"     -> bpeMerges,
-    "q74_ann_multitable" -> annMultiTable)
+    "q74_ann_multitable" -> annMultiTable,
+    "q75_cms_heavy"      -> cmsHeavy)
 }
