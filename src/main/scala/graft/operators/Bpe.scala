@@ -40,13 +40,18 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Train `rounds` merges over `vocab` = (word: string, freq: long).
-    * Symbols start as the word's characters; merges are word-internal
-    * (no end-of-word marker — documented boundary choice).
+  /** Train `rounds` merges over `vocab` = (word: string, freq: long):
+    * returns (merge log, segmented vocab). The merge log has one row
+    * per round; the segmented vocab is the final (word, syms) state —
+    * the subword segmentation of every vocab word under the learned
+    * merges, which is what APPLYING the tokenizer means (q76 joins it
+    * back to the corpus). Symbols start as the word's characters;
+    * merges are word-internal (no end-of-word marker — documented
+    * boundary choice).
     */
-  def trainMerges(vocab: DataFrame, rounds: Int): DataFrame = {
+  def train(vocab: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"at least one merge round, got $rounds")
-    var v = vocab.select(col("freq"),
+    var v = vocab.select(col("word"), col("freq"),
       filter(split(col("word"), ""), s => s =!= lit("")).as("syms"))
     val merges = Seq.newBuilder[DataFrame]
     for (i <- 1 to rounds) {
@@ -67,7 +72,7 @@ object Bpe {
       // last-element probe ANSI-safe on the empty accumulator
       v = v.crossJoin(broadcast(
           best.select(col("lhs").as("mA"), col("rhs").as("mB"))))
-        .select(col("freq"), aggregate(col("syms"),
+        .select(col("word"), col("freq"), aggregate(col("syms"),
           array().cast("array<string>"),
           (acc, x) =>
             when(get(acc, size(acc) - 1) === col("mA") && x === col("mB"),
@@ -76,6 +81,11 @@ object Bpe {
               .otherwise(concat(acc, array(x)))).as("syms"))
         .localCheckpoint()
     }
-    merges.result().reduce(_ unionByName _).orderBy("round")
+    (merges.result().reduce(_ unionByName _).orderBy("round"),
+      v.select(col("word"), col("syms")))
   }
+
+  /** The merge log alone (the q72 surface). */
+  def trainMerges(vocab: DataFrame, rounds: Int): DataFrame =
+    train(vocab, rounds)._1
 }

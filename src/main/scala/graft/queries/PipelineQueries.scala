@@ -1448,8 +1448,11 @@ object PipelineQueries {
     * CTEs by default, and each round referencing its predecessor
     * twice would expand the plan exponentially in the round count.
     */
-  val bpeMerges: Q = {
-    val ROUNDS = 8
+  // shared by q72 (merge log) and q76 (segmentation apply): one
+  // definition of the round count and the oracle's round-replay CTEs
+  private val BPE_ROUNDS = 8
+
+  private object BpeOracle {
     def roundCte(i: Int): String =
       s"""p$i AS MATERIALIZED (
          |  SELECT word, freq, pos, sym AS a,
@@ -1480,15 +1483,10 @@ object PipelineQueries {
          |    LEFT JOIN sel$i m1 ON s.word = m1.word AND s.pos = m1.pos
          |    LEFT JOIN sel$i m2 ON s.word = m2.word AND s.pos = m2.pos + 1
          |    WHERE m2.pos IS NULL))""".stripMargin
-    Q(
-      (s, d) => {
-        val vocab = t(s, d, "documents")
-          .select(explode(TextFunctions.words(col("text"))).as("word"))
-          .filter(length(col("word")) > 0)
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-        Bpe.trainMerges(vocab, ROUNDS)
-      },
-      s"""WITH w AS (
+
+    /** WITH-body through the final round state `s$BPE_ROUNDS`. */
+    val chain: String =
+      s"""w AS (
          |  SELECT word, count(*)::BIGINT AS freq FROM (
          |    SELECT unnest(${TextFunctions.wordsSql("text")}) AS word
          |    FROM documents)
@@ -1496,13 +1494,59 @@ object PipelineQueries {
          |s0p AS (
          |  SELECT word, freq, unnest(range(1, length(word) + 1)) AS pos FROM w),
          |s0 AS MATERIALIZED (SELECT word, freq, pos, substr(word, pos::INT, 1) AS sym FROM s0p),
-         |${(1 to ROUNDS).map(roundCte).mkString(",\n")}
-         |SELECT * FROM (
-         |${(1 to ROUNDS).map(i =>
-              s"SELECT $i AS round, a AS lhs, b AS rhs, a||b AS merged, cnt FROM b$i")
-              .mkString("\nUNION ALL ")}
-         |) ORDER BY round""".stripMargin)
+         |${(1 to BPE_ROUNDS).map(roundCte).mkString(",\n")}""".stripMargin
   }
+
+  /** Corpus vocab (word, freq) — the shared q72/q76 pre-tokenization. */
+  private def bpeVocab(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "documents")
+      .select(explode(TextFunctions.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  val bpeMerges: Q = Q(
+    (s, d) => Bpe.trainMerges(bpeVocab(s, d), BPE_ROUNDS),
+    s"""WITH ${BpeOracle.chain}
+       |SELECT * FROM (
+       |${(1 to BPE_ROUNDS).map(i =>
+            s"SELECT $i AS round, a AS lhs, b AS rhs, a||b AS merged, cnt FROM b$i")
+            .mkString("\nUNION ALL ")}
+       |) ORDER BY round""".stripMargin)
+
+  /** BPE APPLY (q76): segment the corpus with the q72-learned merges
+    * — the tokenize step of the trained tokenizer. The segmentation
+    * is computed once per DISTINCT word (train's final round state is
+    * exactly that table) and joined back to the corpus occurrences:
+    * corpus-sized work only at the final join, everything iterative
+    * stays vocab-sized. Reported per document: whitespace word count
+    * and subword token count — the compression the learned merges buy
+    * on the corpus they were trained on. The oracle reuses the q72
+    * round-replay chain and counts rows of the final state per word.
+    */
+  val bpeTokenize: Q = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+      val seg = Bpe.train(bpeVocab(s, d), BPE_ROUNDS)._2
+        .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+      docs.join(seg, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+        .orderBy("doc_id")
+    },
+    s"""WITH ${BpeOracle.chain},
+       |segn AS (
+       |  SELECT word, count(*)::BIGINT AS n_sub FROM s$BPE_ROUNDS
+       |  GROUP BY word),
+       |dw AS (
+       |  SELECT doc_id, unnest(${TextFunctions.wordsSql("text")}) AS word
+       |  FROM documents),
+       |dwf AS (SELECT doc_id, word FROM dw WHERE length(word) > 0)
+       |SELECT d.doc_id, count(*)::BIGINT AS n_words,
+       |  sum(s.n_sub)::BIGINT AS n_subwords
+       |FROM dwf d JOIN segn s USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
 
   /** Semantic dedup (the SemDeDup recipe: embed → cluster → pairwise
     * cosine within clusters → drop all but one of each semantic-dup
@@ -1686,5 +1730,6 @@ object PipelineQueries {
     "q71_semantic_cells" -> semanticDedupScaled,
     "q72_bpe_merges"     -> bpeMerges,
     "q74_ann_multitable" -> annMultiTable,
-    "q75_cms_heavy"      -> cmsHeavy)
+    "q75_cms_heavy"      -> cmsHeavy,
+    "q76_bpe_tokenize"   -> bpeTokenize)
 }

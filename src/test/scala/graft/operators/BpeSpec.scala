@@ -23,6 +23,16 @@ class BpeSpec extends SparkSpec {
       (3, "l", "o", "lo", 7L)))
   }
 
+  test("train returns the segmented vocab under the learned merges") {
+    val (_, seg) = Bpe.train(vocab, 3)
+    val got = seg.as[(String, Seq[String])].collect().toMap
+    // merges: (e,s) -> (es,t) -> (l,o)
+    assert(got("newest") == Seq("n", "e", "w", "est"))
+    assert(got("widest") == Seq("w", "i", "d", "est"))
+    assert(got("low") == Seq("lo", "w"))
+    assert(got("lower") == Seq("lo", "w", "e", "r"))
+  }
+
   test("merge fold is greedy left-to-right on overlapping runs") {
     // 'aaaa' with top pair (a,a) must merge positions 1-2 and 3-4,
     // leaving no bare 'a' to seed an (aa,a) count inflation next round
