@@ -1448,6 +1448,58 @@ object PipelineQueries {
     * CTEs by default, and each round referencing its predecessor
     * twice would expand the plan exponentially in the round count.
     */
+  /** Temperature-flattened source mixing (q77) — the data-mixing
+    * stage of a training pipeline: downsample each source toward
+    * balance with keep probability √(n_min/n_s) (α = 0.5 temperature;
+    * expected kept ∝ √(n_s·n_min), flattening the source distribution
+    * without discarding the small sources' signal). Membership is the
+    * content-independent h32(doc_id) rule of q43 — reproducible on
+    * any engine, any partitioning — and the per-source threshold is
+    * derived in-plan from a broadcast 1-row min (never collected).
+    * Engine parity: n_min/n_s (one IEEE division), sqrt (correctly
+    * rounded by IEEE-754), ×10⁶ and half-up round are each
+    * bit-identical ops on both engines, and there is NO cross-source
+    * float summation anywhere (a Σ√n normalizer would be
+    * order-dependent — the reason the rule is a pairwise ratio).
+    * Output: per source, total docs, scaled threshold, kept count.
+    */
+  val mixSample: Q = {
+    val SCALE = 1000000L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val nmin = counts.agg(min("n_docs").as("n_min"))
+        val thr = counts.crossJoin(broadcast(nmin))
+          .select(col("source"), col("n_docs"),
+            round(sqrt(col("n_min").cast("double") / col("n_docs").cast("double"))
+              * SCALE).cast("long").as("thr"))
+        val kept = docs.join(broadcast(thr), Seq("source"))
+          .filter(Hashing.h32(col("doc_id").cast("string")) % SCALE < col("thr"))
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        thr.join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("thr"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      s"""WITH counts AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs FROM documents
+         |  GROUP BY source),
+         |nmin AS (SELECT min(n_docs) AS n_min FROM counts),
+         |thr AS (
+         |  SELECT source, n_docs,
+         |    round(sqrt(n_min::DOUBLE / n_docs::DOUBLE) * $SCALE)::BIGINT AS thr
+         |  FROM counts, nmin),
+         |kept AS (
+         |  SELECT d.source, count(*)::BIGINT AS n_kept
+         |  FROM documents d JOIN thr USING (source)
+         |  WHERE (${Hashing.h32Sql("doc_id::VARCHAR")}) % $SCALE < thr
+         |  GROUP BY d.source)
+         |SELECT t.source, t.n_docs, t.thr, coalesce(k.n_kept, 0)::BIGINT AS n_kept
+         |FROM thr t LEFT JOIN kept k USING (source)
+         |ORDER BY t.source""".stripMargin)
+  }
+
   // shared by q72 (merge log) and q76 (segmentation apply): one
   // definition of the round count and the oracle's round-replay CTEs
   private val BPE_ROUNDS = 8
@@ -1731,5 +1783,6 @@ object PipelineQueries {
     "q72_bpe_merges"     -> bpeMerges,
     "q74_ann_multitable" -> annMultiTable,
     "q75_cms_heavy"      -> cmsHeavy,
-    "q76_bpe_tokenize"   -> bpeTokenize)
+    "q76_bpe_tokenize"   -> bpeTokenize,
+    "q77_mix_sample"     -> mixSample)
 }
