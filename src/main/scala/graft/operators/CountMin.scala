@@ -31,15 +31,17 @@ import graft.functions.Hashing
   */
 object CountMin {
 
-  /** (r, a, b) rows of the first `depth` members of the affine hash
-    * family — the sketch's row parameters, shared with the oracle via
-    * [[paramsSqlValues]].
+  /** The first `depth` members of the affine hash family as a LITERAL
+    * array of (r, a, b) structs — exploding it is a pure map-side
+    * projection (d rows per item, no join of any kind), which both
+    * keeps the build plan join-free and makes the same code legal
+    * under Structured Streaming (see [[graft.streaming.EventStream
+    * .hotKeySketch]]). Shared with the oracle via [[paramsSqlValues]].
     */
-  def params(spark: org.apache.spark.sql.SparkSession, depth: Int): DataFrame = {
-    import spark.implicits._
-    (0 until depth).map(r => (r, Hashing.mult(r), Hashing.add(r)))
-      .toDF("r", "a", "b")
-  }
+  def paramsArray(depth: Int): Column =
+    array((0 until depth).map(r => struct(
+      lit(r).as("r"), lit(Hashing.mult(r)).as("a"),
+      lit(Hashing.add(r)).as("b"))): _*)
 
   /** DuckDB VALUES list of [[params]], one definition for both engines. */
   def paramsSqlValues(depth: Int): String =
@@ -55,12 +57,13 @@ object CountMin {
 
   /** Build the sketch over one string column: (r, cell, cnt), at most
     * depth·width rows. Items are weighted 1 each (a weight column
-    * would drop into the same aggregate).
+    * would drop into the same aggregate). Join-free: the param family
+    * explodes as a literal.
     */
   def build(items: DataFrame, term: String, depth: Int, width: Int): DataFrame =
-    items.crossJoin(broadcast(params(items.sparkSession, depth)))
-      .groupBy(col("r"),
-        cellOf(col(term), col("a"), col("b"), width).as("cell"))
+    items.select(col(term), explode(paramsArray(depth)).as("p"))
+      .groupBy(col("p.r").as("r"),
+        cellOf(col(term), col("p.a"), col("p.b"), width).as("cell"))
       .agg(count(lit(1)).as("cnt"))
 
   /** Point estimates for `queries`' terms against a finished sketch:
@@ -69,8 +72,9 @@ object CountMin {
     */
   def estimate(sketch: DataFrame, queries: DataFrame, term: String,
                depth: Int, width: Int): DataFrame =
-    queries.crossJoin(broadcast(params(queries.sparkSession, depth)))
-      .withColumn("cell", cellOf(col(term), col("a"), col("b"), width))
+    queries.select(col(term), explode(paramsArray(depth)).as("p"))
+      .select(col(term), col("p.r").as("r"),
+        cellOf(col(term), col("p.a"), col("p.b"), width).as("cell"))
       .join(broadcast(sketch), Seq("r", "cell"), "left")
       .groupBy(col(term))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))

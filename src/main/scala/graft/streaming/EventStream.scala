@@ -64,6 +64,34 @@ object EventStream {
       .agg(count("*").as("n"))
       .select(col("win.start").as("win_start"), col(typeCol), col("n"))
 
+  /** Windowed count-min hot-key sketch — the stream form of q75: per
+    * tumbling window, the d×w cell table of [[graft.operators
+    * .CountMin]] over a key column. State per window is bounded by
+    * d·w CELLS no matter how many distinct keys the window saw — the
+    * sketch's reason to exist — and the watermark finalizes windows,
+    * so total state is O(d·w · open windows). The param family
+    * explodes as a literal array (a pure projection — no stream-static
+    * join needed), so this is a plain watermarked windowed aggregate;
+    * in batch the watermark no-ops and each window's cells equal
+    * `CountMin.build` on that window's slice (spec-asserted parity).
+    * Downstream, per-window estimates probe exactly as in batch; keys
+    * whose estimate crosses a threshold are the ones worth
+    * [[graft.operators.Salting]] in the very next job.
+    */
+  def hotKeySketch(events: DataFrame, tsCol: String, keyCol: String,
+                   windowLen: String, lateness: String,
+                   depth: Int, width: Int): DataFrame = {
+    import graft.operators.CountMin
+    events.withWatermark(tsCol, lateness)
+      .select(col(tsCol), col(keyCol),
+        explode(CountMin.paramsArray(depth)).as("p"))
+      .groupBy(window(col(tsCol), windowLen).as("win"),
+        col("p.r").as("r"),
+        CountMin.cellOf(col(keyCol), col("p.a"), col("p.b"), width).as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("win_start"), col("r"), col("cell"), col("cnt"))
+  }
+
   /** Streaming exact dedup — the stream form of q22: an event id seen
     * again within the watermark horizon is dropped (at-least-once
     * feeds: redeliveries, producer retries). State is keyed on the id

@@ -171,6 +171,54 @@ class EventStreamSpec extends SparkSpec {
     assert(batch == streamed)
   }
 
+  test("streaming hot-key sketch cells equal per-window batch CountMin builds") {
+    val file1 = Seq(
+      (1L, "2026-01-01T10:00:00", "k_hot"),
+      (2L, "2026-01-01T10:01:00", "k_hot"),
+      (3L, "2026-01-01T10:02:00", "k_cold"))
+    val file2 = Seq(
+      (4L, "2026-01-01T10:16:00", "k_hot"),
+      (5L, "2026-01-01T10:05:00", "k_hot")) // late, inside watermark
+
+    val dir = Files.createTempDirectory("graft-cms-stream")
+    val stream = spark.readStream.schema(schema).json(dir.toString)
+    val sketch = EventStream.hotKeySketch(
+      stream, "ts", "event_type", "15 minutes", "30 minutes",
+      depth = 3, width = 16)
+    val q = sketch.writeStream.format("memory").queryName("cms_cells")
+      .outputMode("complete").start()
+    try {
+      writeJson(dir, "batch1.json", file1)
+      q.processAllAvailable()
+      writeJson(dir, "batch2.json", file2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("cms_cells")
+      .orderBy("win_start", "r", "cell")
+      .as[(java.sql.Timestamp, Int, Long, Long)].collect().toSeq
+
+    // batch parity: per window, cells equal CountMin.build on the slice
+    import org.apache.spark.sql.functions.{col, window}
+    val all = (file1 ++ file2).map { case (u, ts, t) =>
+      s"""{"user_id":$u,"ts":"$ts","event_type":"$t"}"""
+    }
+    val expected = spark.read.schema(schema).json(all.toDS())
+      .select(window(col("ts"), "15 minutes").getField("start").as("win_start"),
+        col("event_type"))
+    val perWindow = expected.select("win_start").distinct()
+      .as[java.sql.Timestamp].collect().sortBy(_.getTime).toSeq
+      .flatMap { w =>
+        graft.operators.CountMin.build(
+            expected.filter(col("win_start") === w), "event_type", 3, 16)
+          .as[(Int, Long, Long)].collect().toSeq.sorted
+          .map { case (r, c, n) => (w, r, c, n) }
+      }
+    assert(streamed == perWindow)
+    // the sketch state is cells, not keys: never more than d*w rows/window
+    assert(streamed.groupBy(_._1).forall(_._2.size <= 3 * 16))
+  }
+
   test("streamed FK-validated windowed counts equal the batch aggregation") {
     val users = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
     // two 15-minute windows; user 99 violates the FK; the 10:05 view
