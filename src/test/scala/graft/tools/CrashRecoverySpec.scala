@@ -1,0 +1,90 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.TimeUnit
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.{FlatFileEngine, SparkSpec}
+
+/** PROCESS-level durability: a real writer JVM SIGKILLed while
+  * committing — the reference's fork()+kill scenario
+  * (buzzdb_lab1.cpp:1604-1648), which AcidSpec's constructed crash
+  * states approximate but don't reproduce. The writer subprocess
+  * commits view updates in a loop; the parent kills it -9 after a few
+  * commits, at whatever point in the materialize→publish→vacuum cycle
+  * it happens to be, then asserts the recovery matrix: a complete,
+  * uncorrupted table at some committed prefix of the updates, and a
+  * next writer that carries on and clears any orphan.
+  */
+class CrashRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft-crash").toString
+    Files.writeString(Paths.get(d, "users.csv"),
+      "id,username,location\n1,alice,Austin\n2,bob,Austin\n")
+    Files.writeString(Paths.get(d, "posts.csv"),
+      "id,content,username,views\n19,Sunset,alice,99\n20,Coffee,bob,10\n")
+    Files.writeString(Paths.get(d, "engagements.csv"),
+      "id,postId,username,type,comment,timestamp\n1,19,bob,like,None,100\n")
+    d
+  }
+
+  test("SIGKILLed writer JVM leaves a committed prefix; next writer recovers") {
+    val dir = freshDir()
+    val cp = Seq("/opt/spark/jars/*",
+      "target/scala-2.13/classes", "target/scala-2.13/test-classes")
+      .mkString(":")
+    val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
+      .defaultModuleOptions().split(" ").toSeq
+    val cmd = (Seq(s"${System.getProperty("java.home")}/bin/java") ++
+      moduleOpts ++ Seq("-Xmx1g", "-cp", cp,
+        "graft.tools.CrashWriter", dir)).asJava
+    val proc = new ProcessBuilder(cmd)
+      .redirectErrorStream(true).start()
+    // pace the kill off the writer's own commit log: let a few commits
+    // land, then SIGKILL wherever the next cycle happens to be —
+    // including mid-materialization
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    var commits = 0
+    val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(180)
+    var line = null: String
+    while (commits < 3 && System.nanoTime() < deadline &&
+        { line = reader.readLine(); line != null }) {
+      if (line.startsWith("committed ")) commits += 1
+    }
+    assert(commits >= 3, s"writer made only $commits commits before timeout")
+    proc.destroyForcibly() // SIGKILL, no shutdown hooks, no cleanup
+    assert(proc.waitFor(30, TimeUnit.SECONDS), "kill did not land")
+
+    // recovery matrix, from a FRESH engine in this JVM:
+    val engine = new FlatFileEngine(spark, dir)
+    val rows = engine.posts.select("id", "views")
+      .as[(Int, Int)].collect().toMap
+    // complete table — both rows parse, nothing torn
+    assert(rows.keySet == Set(19, 20), s"torn table after kill: $rows")
+    // views is 99 + (some committed prefix of the updates): the killed
+    // in-flight commit either landed fully or not at all
+    assert(rows(19) >= 99 + 3, s"committed updates lost: ${rows(19)}")
+    assert(rows(20) == 10)
+    // the next writer proceeds and the table stays consistent
+    assert(engine.updatePostViews(19, 1))
+    val after = new FlatFileEngine(spark, dir).posts
+      .filter(col("id") === 19).select("views").as[Int].head()
+    assert(after == rows(19) + 1)
+    // nothing uncommitted survives the next commit cycle except at
+    // most the one in-flight orphan the kill interrupted — and after
+    // ANOTHER commit, no orphan older than the retention window exists
+    assert(engine.updatePostViews(19, 1))
+    val leftovers = new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("posts.csv.v"))
+      .filterNot(f => Files.exists(f.toPath.resolve("_SUCCESS")))
+      .filterNot(f => f.getName.contains(".d")) // delta namespace
+    assert(leftovers.isEmpty,
+      s"uncommitted orphans survived vacuum: ${leftovers.map(_.getName)}")
+  }
+}
