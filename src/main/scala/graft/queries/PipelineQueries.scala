@@ -1448,6 +1448,38 @@ object PipelineQueries {
     * CTEs by default, and each round referencing its predecessor
     * twice would expand the plan exponentially in the round count.
     */
+  /** Feature-hashed document vectors (q78) — the hashing-trick
+    * text→vector bridge (Weinberger et al. '09): dimension
+    * j = h₀(term) mod D, signed ±1 by an independent h₁ parity, value
+    * = signed term frequency. No vocabulary table, no fit — the
+    * stateless embedding that feeds the ANN/dedup vector family when
+    * no trained model is at hand (the signed sum keeps collision bias
+    * zero-mean). One explode + one (doc, dim) groupBy, all integer
+    * ([[Hashing.seeded]] family), so every component hash-matches.
+    * Dimensions with no hashed term are absent (sparse long form).
+    */
+  val featureHash: Q = {
+    val D = 16
+    Q(
+      (s, d) => {
+        val wds = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("term"))
+          .filter(length(col("term")) > 0)
+        wds.select(col("doc_id"),
+            (Hashing.seeded(0, col("term")) % D).as("dim"),
+            (lit(1L) - lit(2L) * (Hashing.seeded(1, col("term")) % 2)).as("sgn"))
+          .groupBy("doc_id", "dim").agg(sum("sgn").as("val"))
+          .orderBy("doc_id", "dim")
+      },
+      s"""WITH wds AS (
+         |  SELECT doc_id, unnest(${TextFunctions.wordsSql("text")}) AS term
+         |  FROM documents),
+         |wf AS (SELECT doc_id, term FROM wds WHERE length(term) > 0)
+         |SELECT doc_id, (${Hashing.seededSql(0, "term")}) % $D AS dim,
+         |  sum(1 - 2 * ((${Hashing.seededSql(1, "term")}) % 2))::BIGINT AS val
+         |FROM wf GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin)
+  }
+
   /** Temperature-flattened source mixing (q77) — the data-mixing
     * stage of a training pipeline: downsample each source toward
     * balance with keep probability √(n_min/n_s) (α = 0.5 temperature;
@@ -1784,5 +1816,6 @@ object PipelineQueries {
     "q74_ann_multitable" -> annMultiTable,
     "q75_cms_heavy"      -> cmsHeavy,
     "q76_bpe_tokenize"   -> bpeTokenize,
-    "q77_mix_sample"     -> mixSample)
+    "q77_mix_sample"     -> mixSample,
+    "q78_feature_hash"   -> featureHash)
 }

@@ -92,6 +92,21 @@ class PropertySpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("count-min never undercounts on random weighted corpora") {
+    import graft.operators.CountMin
+    // random multiset: 200 draws over a 30-term alphabet
+    val terms = sample(Gen.choose(0, 29), 200).map(i => s"w$i")
+    val items = terms.toDF("term")
+    val (dd, ww) = (3, 8) // deliberately tight width: collisions certain
+    val sketch = CountMin.build(items, "term", dd, ww)
+    val exact = items.groupBy("term").agg(count(lit(1)).as("n"))
+    val bad = exact.join(
+        CountMin.estimate(sketch, exact.select("term"), "term", dd, ww),
+        Seq("term"))
+      .filter(col("cms_est") < col("n"))
+    assert(bad.isEmpty, s"undercount: ${bad.collect().mkString(",")}")
+  }
+
   test("shingle count: n words yield exactly max(n-2, 0) shingles when all distinct") {
     val wordCounts = sample(Gen.choose(0, 40), 120)
     val docs = wordCounts.zipWithIndex.map { case (n, i) =>
