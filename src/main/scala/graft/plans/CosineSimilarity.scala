@@ -99,6 +99,9 @@ object CosineSimilarity {
   * production route for shipping custom expressions with a library.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSimilarity.description)
+    ext.injectFunction(L2DistSq.description)
+    ext.injectFunction(MultiTableBuckets.description)
+  }
 }

@@ -113,6 +113,28 @@ case class MultiTableBuckets(child: Expression, bits: Int, tables: Int)
 }
 
 object MultiTableBuckets {
+  /** FunctionRegistry entry: `SELECT mt_buckets(xs, 9, 8)` for SQL
+    * users — bits and tables must be integer literals (they shape the
+    * generated code).
+    */
+  val description: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("mt_buckets"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[MultiTableBuckets].getName, "mt_buckets"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        s"mt_buckets(xs, bits, tables) takes 3 arguments, got ${children.size}")
+      def intLit(e: Expression, name: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"mt_buckets: $name must be an integer literal, got $other")
+      }
+      MultiTableBuckets(children.head,
+        intLit(children(1), "bits"), intLit(children(2), "tables"))
+    })
+
   /** σ-mix constants, shared verbatim by the DuckDB twin: σ(t,i,j) =
     * 1 − 2·(((u·MUL + ADD) mod MOD) mod 2) with u = (t·4096+i)·4096+j.
     * MOD = 2³¹−1 (odd prime — low-bit parity of a power-of-2-modulus

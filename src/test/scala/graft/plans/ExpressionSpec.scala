@@ -44,6 +44,63 @@ class ExpressionSpec extends SparkSpec {
     assert(interpreted == viaSpark)
   }
 
+  test("native L2DistSq equals the HOF integer composition bit-for-bit") {
+    import graft.operators.VectorQuantizer
+    val pairs = vecs(200, 64).grouped(2).map(p => (p(0), p(1))).toSeq
+    val toLongs = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => round(x.cast("double") * 1000000).cast("long"))
+    val df = pairs.toDF("a", "b")
+      .select(toLongs(col("a")).as("xa"), toLongs(col("b")).as("xb"))
+    val rows = df.select(
+      VectorQuantizer.l2DistSq(col("xa"), col("xb")).as("native"),
+      aggregate(zip_with(col("xa"), col("xb"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d).as("hof"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, h) => assert(n == h, s"native $n != hof $h") }
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val mk = (v: Array[Long]) => Literal.create(ArrayData.toArrayData(v),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+    assert(L2DistSq(mk(Array(3L, -2L)), mk(Array(-1L, 2L))).eval(null) == 32L)
+  }
+
+  test("native MultiTableBuckets equals a scala replay of the sigma mix") {
+    val xs = Array(1000000L, -2000000L, 500000L, -250000L, 750000L)
+    def replay(bits: Int, tables: Int): Seq[Long] =
+      (0 until tables).map { t =>
+        (0 until bits).foldLeft(0L) { (bucket, i) =>
+          val acc = xs.indices.foldLeft(0L) { (a, j) =>
+            val u = (t.toLong * 4096L + i) * 4096L + j
+            val m = (u * MultiTableBuckets.MIX_MUL + MultiTableBuckets.MIX_ADD) %
+              MultiTableBuckets.MIX_MOD
+            a + (1L - 2L * (m % 2L)) * xs(j)
+          }
+          if (acc > 0L) bucket | (1L << i) else bucket
+        }
+      }
+    val viaSpark = Seq(Tuple1(xs)).toDF("xs")
+      .select(org.apache.spark.sql.graft.ColumnBridge.column(
+        MultiTableBuckets(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("xs")), 4, 3)))
+      .as[Seq[Long]].head()
+    assert(viaSpark == replay(4, 3))
+    // DuckDB-prototype parity anchor (the values the oracle computes)
+    assert(replay(4, 3) == Seq(4L, 10L, 4L))
+  }
+
+  test("L2DistSq and mt_buckets register for SQL users") {
+    org.apache.spark.sql.graft.ColumnBridge.register(spark, L2DistSq.description)
+    org.apache.spark.sql.graft.ColumnBridge.register(
+      spark, MultiTableBuckets.description)
+    assert(spark.sql(
+      "SELECT l2_dist_sq(array(3L, -2L), array(-1L, 2L)) AS d")
+      .as[Long].head() == 32L)
+    assert(spark.sql(
+      "SELECT size(mt_buckets(array(1000000L), 4, 3)) AS n")
+      .as[Int].head() == 3)
+  }
+
   test("handles nulls, mismatched lengths, and SQL registration") {
     val df = Seq(
       (Some(Array(1f, 0f)), Some(Array(1f, 0f, 9f))), // common-prefix compare
