@@ -55,10 +55,26 @@ import graft.sources.CsvIngest
   * only once at read time), false-on-missing, snapshot isolation,
   * crash recovery (an uncommitted delta orphan is invisible and gets
   * superseded) — AcidSpec asserts the matrix in both modes.
+  *
+  * **Manifest commits.** With `manifestCommits = true` the publish
+  * point moves from the per-table `_SUCCESS` marker to a database-
+  * level `_manifest.mN` file (one `table,version` line per table)
+  * published by a single atomic rename. Version directories become
+  * visible only when a manifest references them, so a multi-table
+  * write — the reference's `updateUserName` cascade, whose crash
+  * window between file rewrites the reference documents and accepts
+  * (buzzdb_lab1.cpp:791-930, SURVEY.md §3.3) — can materialize every
+  * table's next version first and flip all of them live in one
+  * rename: cross-table atomicity the reference never had, built from
+  * the same versioned-directory primitive. The previous manifest is
+  * retained one generation (the same horizon as table snapshots), so
+  * racing readers keep a complete, mutually-consistent set of tables
+  * under their feet. ManifestSpec asserts the matrix.
   */
 class FlatFileEngine(spark: SparkSession, dir: String,
                      changelogWrites: Boolean = false,
-                     compactAfter: Int = 4) {
+                     compactAfter: Int = 4,
+                     manifestCommits: Boolean = false) {
 
   import FlatFileEngine._
 
@@ -91,14 +107,133 @@ class FlatFileEngine(spark: SparkSession, dir: String,
     */
   private def committed(p: Path): Boolean = fs.exists(new Path(p, "_SUCCESS"))
 
-  /** Read-side snapshot resolution: the highest committed version,
-    * falling back to the bare fixture path. Never mutates the
+  // --------------------------------------------------- manifest commits
+
+  /** (seq, path) of every published `_manifest.mN` file. A manifest is
+    * a single file (one `table,version` line per table) published by
+    * an atomic rename, so it either exists completely or not at all —
+    * there is no torn-manifest state for the `_SUCCESS` rule to guard.
+    */
+  private def listManifests: Seq[(Long, Path)] = {
+    val base = new Path(dir)
+    val prefix = "_manifest.m"
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(prefix) && name.length > prefix.length &&
+          name.drop(prefix.length).forall(_.isDigit))
+        Some((name.drop(prefix.length).toLong, st.getPath))
+      else None
+    }
+  }
+
+  private def readManifest(p: Path): Map[String, Long] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in).getLines()
+      .filter(_.nonEmpty).map { line =>
+        val Array(t, v) = line.split(',')
+        t -> v.toLong
+      }.toMap
+    finally in.close()
+  }
+
+  /** The current database snapshot: the highest manifest's
+    * table→version map (empty before the first manifest commit).
+    */
+  private def currentManifest: Map[String, Long] =
+    listManifests.sortBy(-_._1).headOption
+      .map(m => readManifest(m._2)).getOrElse(Map.empty)
+
+  /** Publish a new database snapshot: write the complete map to a tmp
+    * file, then a single atomic rename to `_manifest.m{N+1}` — the one
+    * instant at which every table version in the map becomes visible
+    * together. A crash before the rename leaves only ignored tmp/orphan
+    * files; there is no state in which a reader can observe some of the
+    * map's tables updated and others not.
+    */
+  private def publishManifest(versions: Map[String, Long]): Unit = {
+    val next = listManifests.map(_._1).maxOption.getOrElse(0L) + 1L
+    val tmp = new Path(dir, s"_manifest.tmp$next")
+    val out = fs.create(tmp, true)
+    try out.write(versions.toSeq.sorted.map { case (t, v) => s"$t,$v" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(dir, s"_manifest.m$next")))
+      throw new java.io.IOException(s"manifest publish failed: m$next")
+    // retain the previous manifest for one generation (same horizon as
+    // table snapshots), vacuum older ones and any abandoned tmp files
+    listManifests.sortBy(-_._1).drop(2).foreach(m => fs.delete(m._2, false))
+    fs.listStatus(new Path(dir)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_manifest.tmp") && n != tmp.getName)
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  /** Read-side snapshot resolution. Manifest mode: exactly the version
+    * the current manifest names (a materialized-but-unreferenced dir —
+    * a writer that crashed after its table write but before its
+    * manifest publish — is invisible even though Spark marked it
+    * `_SUCCESS`, because the manifest reference IS the publish).
+    * Tables not yet committed through a manifest, and all tables in
+    * the default mode, resolve to the highest `_SUCCESS`-committed
+    * version, falling back to the bare fixture path. Never mutates the
     * filesystem, so racing readers are safe by construction.
     */
   private def tablePath(table: String): String =
-    listVersions(table).filter(v => committed(v._2))
-      .sortBy(-_._1).headOption
-      .map(_._2.toString).getOrElse(path(table))
+    resolvePath(table, if (manifestCommits) currentManifest else Map.empty)
+
+  /** Resolve `table` against a given manifest map (the manifest entry
+    * wins — version 0 names the bare fixture; `_SUCCESS` resolution is
+    * the fallback for unmapped tables and the default mode).
+    */
+  private def resolvePath(table: String, manifest: Map[String, Long]): String =
+    manifest.get(table).map(v =>
+      if (v == 0L) path(table) else path(table) + ".v" + v).getOrElse {
+      listVersions(table).filter(v => committed(v._2))
+        .sortBy(-_._1).headOption
+        .map(_._2.toString).getOrElse(path(table))
+    }
+
+  /** The version number `table` currently resolves to (0 = the bare
+    * fixture). Used to pin untouched tables into a complete manifest.
+    */
+  private def pinnedVersion(table: String): Long = {
+    val name = new Path(tablePath(table)).getName
+    val prefix = s"$table.csv.v"
+    if (name.startsWith(prefix)) name.drop(prefix.length).toLong else 0L
+  }
+
+  /** First manifest-mode write to this directory: publish a genesis
+    * manifest pinning every table at its CURRENT resolution *before*
+    * anything is materialized. From that point readers resolve through
+    * manifests only, so a version directory a writer is still
+    * materializing — `_SUCCESS` or not — can never leak into a read:
+    * without this, a reader racing the FIRST cascade would fall back
+    * to `_SUCCESS` resolution and could see the tables it has written
+    * so far mixed with fixtures for the rest.
+    */
+  private def ensureGenesis(): Unit =
+    if (listManifests.isEmpty)
+      publishManifest(
+        Seq("users", "posts", "engagements")
+          .map(t => t -> pinnedVersion(t)).toMap)
+
+  /** A read view whose three tables all resolved through ONE manifest
+    * read — the cross-table analog of the per-table snapshot a racing
+    * reader already gets. In manifest mode no commit that lands after
+    * this call can make the view observe half a cascade; the pinned
+    * generation stays on disk through the next commit (the vacuum
+    * horizon), the same liveness rule as single-table readers. In the
+    * default mode resolution is per-table (there is nothing database-
+    * level to pin), matching the engine's documented scope there.
+    */
+  def snapshot(): FlatFileEngine.SnapshotView = {
+    val m = if (manifestCommits) currentManifest else Map.empty[String, Long]
+    new FlatFileEngine.SnapshotView(
+      Seq("users", "posts", "engagements")
+        .map(t => t -> resolvePath(t, m)).toMap, this)
+  }
 
   // ------------------------------------------------------- changelog deltas
 
@@ -107,8 +242,10 @@ class FlatFileEngine(spark: SparkSession, dir: String,
     * lister's all-digits check keeps delta names out of the version
     * namespace and vice versa.
     */
-  private def listDeltas(table: String): Seq[(Long, Path)] = {
-    val prefix = s"${new Path(tablePath(table)).getName}.d"
+  private def listDeltas(table: String,
+                         basePath: String = null): Seq[(Long, Path)] = {
+    val base = if (basePath == null) tablePath(table) else basePath
+    val prefix = s"${new Path(base).getName}.d"
     val root = new Path(dir)
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq.flatMap { st =>
@@ -127,9 +264,13 @@ class FlatFileEngine(spark: SparkSession, dir: String,
     * an uncommitted delta (crashed writer) is invisible, the same
     * `_SUCCESS` rule as full versions.
     */
-  private def currentTable(table: String): DataFrame = {
-    val base = CsvIngest.readFlatFile(spark, tablePath(table), schemaOf(table))
-    val deltas = listDeltas(table).filter(d => committed(d._2)).sortBy(_._1)
+  private def currentTable(table: String): DataFrame =
+    tableFrom(table, tablePath(table))
+
+  private[graft] def tableFrom(table: String, basePath: String): DataFrame = {
+    val base = CsvIngest.readFlatFile(spark, basePath, schemaOf(table))
+    val deltas = listDeltas(table, basePath)
+      .filter(d => committed(d._2)).sortBy(_._1)
     if (deltas.isEmpty) base
     else {
       val all = deltas.foldLeft(base.withColumn("_seq", lit(0L))) {
@@ -194,10 +335,20 @@ class FlatFileEngine(spark: SparkSession, dir: String,
   /** Committed snapshot versions of a table, ascending. Depth is
     * bounded by the vacuum horizon: the current generation plus the
     * one it replaced (see [[swapIn]]) — the single-table form of a
-    * table format's retention window.
+    * table format's retention window. In manifest mode "committed"
+    * means "referenced by a retained manifest" (an unreferenced
+    * `_SUCCESS` orphan from a crashed writer is not a version), with
+    * the `_SUCCESS` rule as fallback for tables that predate the
+    * first manifest.
     */
-  def snapshotVersions(table: String): Seq[Long] =
-    listVersions(table).filter(v => committed(v._2)).map(_._1).sorted
+  def snapshotVersions(table: String): Seq[Long] = {
+    val viaManifests =
+      if (!manifestCommits) Nil
+      else listManifests.map(m => readManifest(m._2))
+        .flatMap(_.get(table)).filter(_ > 0L).distinct.sorted
+    if (viaManifests.nonEmpty) viaManifests
+    else listVersions(table).filter(v => committed(v._2)).map(_._1).sorted
+  }
 
   /** Time-travel read of one committed snapshot version (raw rows —
     * RI filtering is a load-time semantic of the *current* tables, not
@@ -289,11 +440,16 @@ class FlatFileEngine(spark: SparkSession, dir: String,
   }
 
   /** `updateUserName` (buzzdb_lab1.cpp:775-963): cascading rename
-    * across all three tables. Per-table swaps are atomic; cross-table
-    * atomicity is out of scope exactly as in the reference (a crash
-    * between file rewrites leaves the same inconsistency window,
-    * SURVEY.md §3.3). Returns false if the id is absent, true (no-op)
-    * if the name is unchanged.
+    * across all three tables. Per-table swaps are always atomic. In
+    * the default mode, cross-table atomicity is out of scope exactly
+    * as in the reference (a crash between file rewrites leaves the
+    * same inconsistency window, SURVEY.md §3.3). With
+    * `manifestCommits = true` the window is closed: all three next
+    * versions are materialized first — invisible, whatever their
+    * `_SUCCESS` state — and ONE manifest rename publishes them
+    * together, so readers see either the whole cascade or none of it.
+    * Returns false if the id is absent, true (no-op) if the name is
+    * unchanged.
     */
   def updateUserName(userId: Int, newName: String): Boolean =
     writeLock.synchronized {
@@ -305,15 +461,35 @@ class FlatFileEngine(spark: SparkSession, dir: String,
 
     val renameCol = (c: String) =>
       when(col(c) === oldName, lit(newName)).otherwise(col(c)).as(c)
-    swapIn(u.withColumn("username",
-      when(col("id") === userId, lit(newName)).otherwise(col("username"))),
-      "users")
-    val p = currentTable("posts")
-    swapIn(p.select(col("id"), col("content"), renameCol("username"),
-      col("views")), "posts")
-    val e = currentTable("engagements")
-    swapIn(e.select(col("id"), col("postId"), renameCol("username"),
-      col("type"), col("comment"), col("timestamp")), "engagements")
+    val newUsers = u.withColumn("username",
+      when(col("id") === userId, lit(newName)).otherwise(col("username")))
+    if (!manifestCommits) {
+      swapIn(newUsers, "users")
+      val p = currentTable("posts")
+      swapIn(p.select(col("id"), col("content"), renameCol("username"),
+        col("views")), "posts")
+      val e = currentTable("engagements")
+      swapIn(e.select(col("id"), col("postId"), renameCol("username"),
+        col("type"), col("comment"), col("timestamp")), "engagements")
+    } else {
+      // build every frame against the CURRENT snapshot, materialize
+      // all three (still invisible), then publish one manifest
+      ensureGenesis()
+      val newPosts = currentTable("posts").select(col("id"),
+        col("content"), renameCol("username"), col("views"))
+      val newEng = currentTable("engagements").select(col("id"),
+        col("postId"), renameCol("username"), col("type"),
+        col("comment"), col("timestamp"))
+      val tables = Seq("users" -> newUsers, "posts" -> newPosts,
+        "engagements" -> newEng)
+      val prevNames =
+        tables.map { case (t, _) => t -> new Path(tablePath(t)).getName }
+      val versions = tables.map { case (t, df) => t -> materialize(df, t) }
+      publishManifest(currentManifest ++ versions)
+      versions.zip(prevNames).foreach { case ((t, v), (_, prev)) =>
+        vacuumTable(t, Set(s"$t.csv.v$v", prev))
+      }
+    }
     true
     }
 
@@ -331,23 +507,40 @@ class FlatFileEngine(spark: SparkSession, dir: String,
     * renamed or deleted inside the commit.
     */
   private def swapIn(updated: DataFrame, table: String): Unit = {
-    val versions = listVersions(table)
+    if (manifestCommits) ensureGenesis()
     val cur = new Path(tablePath(table)).getName
-    val next = new Path(
-      path(table) + ".v" + (versions.map(_._1).maxOption.getOrElse(0L) + 1L))
+    val next = materialize(updated, table)
+    if (manifestCommits) publishManifest(currentManifest + (table -> next))
+    vacuumTable(table, Set(s"$table.csv.v$next", cur))
+  }
+
+  /** Write the complete next version directory for `table` and return
+    * its version number. In the default mode the `_SUCCESS` marker
+    * Spark writes last IS the publish; in manifest mode the directory
+    * stays invisible (regardless of `_SUCCESS`) until a manifest
+    * references it.
+    */
+  private def materialize(updated: DataFrame, table: String): Long = {
+    val next = listVersions(table).map(_._1).maxOption.getOrElse(0L) + 1L
     updated.write.mode(SaveMode.Overwrite).option("header", true)
-      .csv(next.toString)
-    // compare by directory NAME: listed paths are scheme-qualified
-    // (file:/...), constructed ones are bare — string-equality on full
-    // paths would vacuum the snapshot we mean to keep
-    val keep = Set(next.getName, cur)
-    versions.foreach { case (_, v) =>
+      .csv(path(table) + ".v" + next)
+    next
+  }
+
+  /** Vacuum everything of `table` except the named snapshots (compare
+    * by directory NAME: listed paths are scheme-qualified `file:/...`,
+    * constructed ones are bare — string-equality on full paths would
+    * vacuum the snapshot we mean to keep). Retaining the replaced
+    * generation lets a reader that resolved the previous snapshot
+    * finish its (lazy) scan while a commit lands; a reader older than
+    * one full commit must re-resolve — the documented vacuum horizon.
+    * Deltas ride their base snapshot's retention; deltas of vacuumed
+    * generations go with them.
+    */
+  private def vacuumTable(table: String, keep: Set[String]): Unit = {
+    listVersions(table).foreach { case (_, v) =>
       if (!keep.contains(v.getName)) fs.delete(v, true)
     }
-    // deltas ride their base snapshot's retention: a reader that
-    // resolved (cur, cur's deltas) keeps both until the NEXT commit,
-    // exactly like the base itself; deltas of vacuumed generations go
-    // with them. The just-committed `next` starts delta-free.
     val root = new Path(dir)
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
@@ -364,6 +557,25 @@ class FlatFileEngine(spark: SparkSession, dir: String,
 }
 
 object FlatFileEngine {
+
+  /** Read view over one pinned table→path resolution (see
+    * [[FlatFileEngine.snapshot]]) with the engine's load-time RI
+    * semantics applied within the pinned set.
+    */
+  final class SnapshotView private[graft] (paths: Map[String, String],
+                                           engine: FlatFileEngine) {
+    def users: DataFrame = engine.tableFrom("users", paths("users"))
+    def posts: DataFrame = SocialOps.riFilter(
+      engine.tableFrom("posts", paths("posts")), "username",
+      users, "username")
+    def engagements: DataFrame = {
+      val e = engine.tableFrom("engagements", paths("engagements"))
+      val byPost = SocialOps.riFilter(e, "postId",
+        posts.select(col("id")), "id")
+      SocialOps.riFilter(byPost, "username", users, "username")
+    }
+  }
+
   /** The reference's three fixed schemas (buzzdb_lab1.cpp:39-83). */
   val userSchema: StructType = StructType(Seq(
     StructField("id", IntegerType), StructField("username", StringType),
