@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting by degree-ordered wedge closure
+  * ("compact-forward" / node-iterator-with-ordering; Latapy 2008,
+  * Suri & Vassilvitskii "Counting Triangles and the Curse of the Last
+  * Reducer", WWW'11 — the standard MapReduce formulation).
+  *
+  * Why the ordering matters at 100 TB: enumerating wedges from raw
+  * adjacency is Σ deg(v)² — a single celebrity node with 10⁷
+  * neighbors generates 10¹⁴ wedges (the "last reducer" problem).
+  * Orienting every edge from its lower-(degree, id) endpoint to the
+  * higher one makes each triangle countable exactly once from its
+  * lowest-ranked vertex, and bounds every node's ORIENTED out-degree
+  * by O(√m): total wedge work is O(m^1.5) regardless of skew. All
+  * three stages are plain shuffles on node keys — wedge generation is
+  * a self-join on the wedge apex, closure is an equi-join of wedges
+  * against oriented edges — so AQE can split a residual hot apex.
+  *
+  * Determinism: the (degree, id) rank is a pure function of the edge
+  * set, so the oriented edge set — and every count derived from it —
+  * is identical at any partitioning/executor count.
+  */
+object Triangles {
+
+  /** Node-id headroom inside the packed (degree, id) rank. Node ids
+    * must be < RANK_BASE; degrees up to 2⁶³/RANK_BASE ≈ 9·10¹¹. For
+    * graphs beyond either bound, widen to a struct comparison — the
+    * packing is an optimization (single long compare in codegen), not
+    * load-bearing semantics.
+    */
+  val RANK_BASE = 10000000L
+
+  /** Per-node exact triangle participation counts.
+    *
+    * @param edges undirected edge list in any form — either or both
+    *              directions, duplicates, self-loops; canonicalized
+    *              (least, greatest) + deduped here.
+    * @return (node, triangles) — one row per node appearing in ≥1
+    *         triangle.
+    */
+  def perNode(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val raw = edges.select(col(uCol).cast("long").as("x"),
+      col(vCol).cast("long").as("y"))
+    val e = raw.select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+    // total-order rank: degree first (id tie-break) — the orientation
+    // that equalizes out-degrees under power-law skew
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val rk = deg.select(col("node"),
+      (col("d") * RANK_BASE + col("node")).as("rank"))
+
+    // orient low-rank -> high-rank; carry dst's rank for wedge ordering
+    val o = e
+      .join(rk.withColumnRenamed("node", "u").withColumnRenamed("rank", "ru"), "u")
+      .join(rk.withColumnRenamed("node", "v").withColumnRenamed("rank", "rv"), "v")
+      .select(
+        when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("dst"),
+        greatest(col("ru"), col("rv")).as("dstrank"))
+
+    // wedges from each apex's (√m-bounded) oriented neighborhood,
+    // ordered so each candidate pair is generated once
+    val w = o.as("e1").join(o.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          col("e1.dstrank") < col("e2.dstrank"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+
+    // close the wedge: (b, c) must be an oriented edge (rank(b) <
+    // rank(c) by construction, so orientation matches)
+    val tri = w.join(o.select(col("src").as("b"), col("dst").as("c")),
+      Seq("b", "c"))
+
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+}

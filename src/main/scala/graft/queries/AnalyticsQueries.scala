@@ -633,6 +633,50 @@ object AnalyticsQueries {
          |ORDER BY rank_units DESC, node LIMIT $K""".stripMargin)
   }
 
+  /** Exact triangle counts on the part co-purchase graph (parts
+    * linked when they share an order) — the graph-analytics
+    * complement of [[pageRankTop]]: community density instead of
+    * centrality. The degree-ordered wedge closure
+    * ([[graft.operators.Triangles]]) keeps wedge work O(m^1.5) under
+    * any skew; the oracle unrolls the identical rank/orient/close
+    * pipeline, so the counts hash-match exactly.
+    */
+  val triangleTop: Q = {
+    val K = 20
+    Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        graft.operators.Triangles.perNode(pairs, "u", "v")
+          .orderBy(desc("triangles"), asc("node")).limit(K)
+      },
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |p0 AS (SELECT DISTINCT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
+         |       FROM li a JOIN li b
+         |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |deg AS (SELECT node, count(*)::BIGINT AS d FROM
+         |        (SELECT u AS node FROM p0 UNION ALL SELECT v AS node FROM p0) t
+         |        GROUP BY node),
+         |rk AS (SELECT node, d * ${graft.operators.Triangles.RANK_BASE} + node AS rnk FROM deg),
+         |o AS (SELECT CASE WHEN ru.rnk < rv.rnk THEN p0.u ELSE p0.v END AS src,
+         |             CASE WHEN ru.rnk < rv.rnk THEN p0.v ELSE p0.u END AS dst,
+         |             greatest(ru.rnk, rv.rnk) AS dstrank
+         |      FROM p0 JOIN rk ru ON p0.u = ru.node JOIN rk rv ON p0.v = rv.node),
+         |w AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |      FROM o e1 JOIN o e2
+         |      ON e1.src = e2.src AND e1.dstrank < e2.dstrank),
+         |tri AS (SELECT a, b, c FROM w JOIN o ON w.b = o.src AND w.c = o.dst),
+         |pn AS (SELECT node, count(*)::BIGINT AS triangles FROM (
+         |       SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+         |       UNION ALL SELECT c FROM tri) x GROUP BY node)
+         |SELECT node, triangles FROM pn
+         |ORDER BY triangles DESC, node LIMIT $K""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
@@ -654,5 +698,6 @@ object AnalyticsQueries {
     "q73_interval_attrib"  -> intervalAttribution,
     "q67_upsert_merge"     -> upsertMerge,
     "q68_salted_agg"       -> saltedAgg,
-    "q70_pagerank"         -> pageRankTop)
+    "q70_pagerank"         -> pageRankTop,
+    "q79_triangles"        -> triangleTop)
 }
