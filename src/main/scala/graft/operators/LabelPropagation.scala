@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (LPA; Raghavan et al. 2007) for
+  * community detection — the cheap complement to
+  * [[ConnectedComponents]] (which finds REACHABILITY classes): labels
+  * flow to the most frequent neighbor label, so densely intra-linked
+  * regions agree on one label after a few rounds even when the whole
+  * graph is a single connected component.
+  *
+  * Determinism: classic LPA is run-order dependent (asynchronous
+  * updates, random tie-breaks). This is the synchronous variant with
+  * a total tie-break — each round every node adopts the neighbor
+  * label with (max count, then MIN label); all updates read the
+  * previous round's labels — so the result is a pure function of the
+  * edge set and round count: identical at any partitioning/executor
+  * count, and replayable as plain SQL for the oracle.
+  *
+  * Scale shape, per round: one join of the (src-partitioned,
+  * persisted) edge list against the node-sized label table, one
+  * (node, label) groupBy, one per-node top-1 window — all shuffles
+  * keyed on node ids, AQE-splittable on hot nodes. The label table is
+  * localCheckpointed per round, keeping the executed plan O(1) in
+  * round count (the q70/q53 discipline).
+  */
+object LabelPropagation {
+
+  /** `rounds` synchronous LPA rounds over an undirected edge list
+    * (canonicalized + deduped here); returns (node, label) for every
+    * node with ≥ 1 neighbor.
+    */
+  def labels(edges: DataFrame, uCol: String, vCol: String,
+             rounds: Int): DataFrame = {
+    require(rounds >= 1, s"at least one round, got $rounds")
+    val raw = edges.select(col(uCol).cast("long").as("x"),
+      col(vCol).cast("long").as("y")).filter(col("x") =!= col("y"))
+    // both directions once, deduped, pinned on hash(src): every
+    // round's neighbor join reuses this partitioning — one edge
+    // shuffle total, not one per round
+    val e = raw.select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v")).distinct()
+    val both = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("dst")).persist()
+
+    var l = both.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val top = Window.partitionBy("src")
+      .orderBy(desc("c"), asc("label"))
+    for (_ <- 1 to rounds) {
+      l = both.join(l, col("dst") === col("node"))
+        .groupBy("src", "label").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(top))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    l
+  }
+}

@@ -757,6 +757,47 @@ object AnalyticsQueries {
          |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin)
   }
 
+  /** Community detection on the part co-purchase graph via
+    * synchronous deterministic label propagation
+    * ([[graft.operators.LabelPropagation]]), 3 rounds, top-20
+    * communities by size. The oracle unrolls the identical rounds —
+    * (max neighbor-label count, min label) is a total order, so both
+    * engines converge to the same labels at any parallelism.
+    */
+  val lpaCommunities: Q = {
+    val ROUNDS = 3; val K = 20
+    def roundCte(i: Int): String =
+      s"""c$i AS (SELECT g.src, l${i - 1}.label, count(*)::BIGINT AS c
+         |  FROM g JOIN l${i - 1} ON g.dst = l${i - 1}.node GROUP BY 1, 2),
+         |l$i AS (SELECT src AS node, label FROM (
+         |  SELECT src, label, row_number() OVER (
+         |    PARTITION BY src ORDER BY c DESC, label) AS rn FROM c$i) t
+         |  WHERE rn = 1)"""
+    Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        graft.operators.LabelPropagation.labels(pairs, "u", "v", ROUNDS)
+          .groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("size"))
+          .orderBy(desc("size"), asc("community")).limit(K)
+      },
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT DISTINCT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
+         |      FROM li a JOIN li b
+         |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |g AS (SELECT u AS src, v AS dst FROM e
+         |      UNION ALL SELECT v AS src, u AS dst FROM e),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM g),
+         |${(1 to ROUNDS).map(roundCte).mkString(",\n")}
+         |SELECT label AS community, count(*)::BIGINT AS size FROM l$ROUNDS
+         |GROUP BY 1 ORDER BY size DESC, community LIMIT $K""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
@@ -781,5 +822,6 @@ object AnalyticsQueries {
     "q70_pagerank"         -> pageRankTop,
     "q79_triangles"        -> triangleTop,
     "q80_quantile_sketch"  -> quantileSketch,
-    "q81_zorder_stats"     -> zorderStats)
+    "q81_zorder_stats"     -> zorderStats,
+    "q82_lpa_communities"  -> lpaCommunities)
 }
