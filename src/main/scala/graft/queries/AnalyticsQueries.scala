@@ -798,6 +798,26 @@ object AnalyticsQueries {
          |GROUP BY 1 ORDER BY size DESC, community LIMIT $K""".stripMargin)
   }
 
+  /** HyperLogLog registers as a stored table
+    * ([[graft.operators.HyperLogLog]]): the mergeable form of q21's
+    * approximate distinct — 256 max-of-rho registers over the event
+    * feed's user ids, persistable per day/source and max-merged later
+    * without re-reading data. The judged artifact is the integer
+    * registers (bit-identical via the cross-engine h32); the float
+    * estimate is consumer-side and spec-checked.
+    */
+  val hllRegisters: Q = {
+    import graft.operators.HyperLogLog
+    Q(
+      (s, d) => HyperLogLog.registers(
+          t(s, d, "events"), col("user_id").cast("string"))
+        .orderBy("bucket"),
+      s"""SELECT bucket, r
+         |FROM ${HyperLogLog.registersSql("user_id::VARCHAR")
+                  .replace("__HLL_IN__", "events")} hr
+         |ORDER BY bucket""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
@@ -823,5 +843,6 @@ object AnalyticsQueries {
     "q79_triangles"        -> triangleTop,
     "q80_quantile_sketch"  -> quantileSketch,
     "q81_zorder_stats"     -> zorderStats,
-    "q82_lpa_communities"  -> lpaCommunities)
+    "q82_lpa_communities"  -> lpaCommunities,
+    "q83_hll_registers"    -> hllRegisters)
 }
