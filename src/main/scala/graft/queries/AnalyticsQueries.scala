@@ -818,6 +818,98 @@ object AnalyticsQueries {
          |ORDER BY bucket""".stripMargin)
   }
 
+  /** Single-pass column profiler — the data-quality stage every
+    * ingest pipeline runs first. Spark side is ONE scan: `stack`
+    * unpivots the audited columns into (col, v) rows and one groupBy
+    * computes row/null/distinct/min/max per column — at 100 TB the
+    * difference between one pass and one pass PER column is the whole
+    * job. The oracle (per-column UNION ALL, DuckDB's natural form)
+    * proves result equality of the two shapes. Monetary/double
+    * columns are audited in exact cents.
+    */
+  val profile: Q = {
+    val intCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    Q(
+      (s, d) => {
+        val pairs = (intCols.map(c => s"'$c', cast($c as long)") :+
+          s"'l_extendedprice_cents', cast(round(l_extendedprice * 100) as long)")
+          .mkString(", ")
+        t(s, d, "lineitem")
+          .select(expr(s"stack(${intCols.size + 1}, $pairs) as (col, v)"))
+          .groupBy("col")
+          .agg(count(col("v")).as("n"),
+            count_distinct(col("v")).as("nd"),
+            min("v").as("mn"), max("v").as("mx"))
+          .orderBy("col")
+      },
+      (intCols.map(c =>
+        s"""SELECT '$c' AS col, count(v)::BIGINT AS n,
+           | count(DISTINCT v)::BIGINT AS nd, min(v) AS mn, max(v) AS mx
+           | FROM (SELECT $c::BIGINT AS v FROM lineitem) t_$c"""
+          .stripMargin.replace("\n", "")) :+
+        s"""SELECT 'l_extendedprice_cents' AS col, count(v)::BIGINT AS n,
+           | count(DISTINCT v)::BIGINT AS nd, min(v) AS mn, max(v) AS mx
+           | FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           |       FROM lineitem) t_price""".stripMargin.replace("\n", ""))
+        .mkString("", " UNION ALL ", " ORDER BY col"))
+  }
+
+  /** Event funnel: of the users who viewed, how many clicked AFTER
+    * their first view, and then purchased after that click — the
+    * first-touch ordered funnel, computed as one per-user pivot of
+    * first-occurrence times (one shuffle, no self-joins) plus
+    * conditional counts.
+    */
+  val funnel: Q = Q(
+    (s, d) => {
+      val firsts = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      firsts.agg(
+        count(col("t_view")).as("n_view"),
+        count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
+        count(when(col("t_click") > col("t_view") &&
+          col("t_buy") > col("t_click"), 1)).as("n_full_funnel"))
+    },
+    """SELECT count(t_view)::BIGINT AS n_view,
+      |  count(CASE WHEN t_click > t_view THEN 1 END)::BIGINT AS n_view_click,
+      |  count(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 END)::BIGINT
+      |    AS n_full_funnel
+      |FROM (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      |  FROM events GROUP BY user_id) f""".stripMargin)
+
+  /** Retention cohorts: for each day-offset k in 1..7, how many users
+    * were active exactly k days after their FIRST active day. One
+    * distinct (user, day) reduction, a broadcast-size first-day
+    * table, one semi-join back — no per-k passes.
+    */
+  val retention: Q = Q(
+    (s, d) => {
+      val active = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = active.groupBy("user_id").agg(min("day").as("day0"))
+      active.join(first, "user_id")
+        .withColumn("k", datediff(col("day"), col("day0")))
+        .filter(col("k").between(1, 7))
+        .groupBy("k").agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("k")
+    },
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day FROM events),
+      |first AS (SELECT user_id, min(day) AS day0 FROM active GROUP BY user_id)
+      |SELECT (day - day0)::INTEGER AS k,
+      |  count(DISTINCT active.user_id)::BIGINT AS n_users
+      |FROM active JOIN first ON active.user_id = first.user_id
+      |WHERE day - day0 BETWEEN 1 AND 7
+      |GROUP BY k ORDER BY k""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
@@ -844,5 +936,8 @@ object AnalyticsQueries {
     "q80_quantile_sketch"  -> quantileSketch,
     "q81_zorder_stats"     -> zorderStats,
     "q82_lpa_communities"  -> lpaCommunities,
-    "q83_hll_registers"    -> hllRegisters)
+    "q83_hll_registers"    -> hllRegisters,
+    "q84_profile"          -> profile,
+    "q85_funnel"           -> funnel,
+    "q86_retention"        -> retention)
 }
