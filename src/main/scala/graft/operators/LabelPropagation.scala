@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Synchronous label propagation (LPA; Raghavan et al. 2007) for
@@ -48,14 +47,17 @@ object LabelPropagation {
 
     var l = both.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    val top = Window.partitionBy("src")
-      .orderBy(desc("c"), asc("label"))
     for (_ <- 1 to rounds) {
+      // (max count, min label) as a single hash aggregate:
+      // max(struct(c, -label)) orders lexicographically, so the max
+      // struct carries the top count with the LOWEST label on ties —
+      // same total order as a (c DESC, label ASC) window top-1 (the
+      // oracle's form) without sorting each node's candidate list
       l = both.join(l, col("dst") === col("node"))
         .groupBy("src", "label").agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(top))
-        .filter(col("rn") === 1)
-        .select(col("src").as("node"), col("label"))
+        .groupBy("src")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))
         .localCheckpoint()
     }
     l
