@@ -29,12 +29,16 @@ class CrashRecoverySpec extends SparkSpec {
     Files.writeString(Paths.get(d, "posts.csv"),
       "id,content,username,views\n19,Sunset,alice,99\n20,Coffee,bob,10\n")
     Files.writeString(Paths.get(d, "engagements.csv"),
-      "id,postId,username,type,comment,timestamp\n1,19,bob,like,None,100\n")
+      "id,postId,username,type,comment,timestamp\n" +
+        "1,19,bob,like,None,100\n2,19,alice,comment,Nice,200\n")
     d
   }
 
-  test("SIGKILLed writer JVM leaves a committed prefix; next writer recovers") {
-    val dir = freshDir()
+  /** Launch CrashWriter in a fresh JVM, SIGKILL it after `minCommits`
+    * committed writes, return how many commits the parent observed.
+    */
+  private def runAndKill(dir: String, mode: String,
+                         minCommits: Int): Int = {
     val cp = Seq("/opt/spark/jars/*",
       "target/scala-2.13/classes", "target/scala-2.13/test-classes")
       .mkString(":")
@@ -42,24 +46,30 @@ class CrashRecoverySpec extends SparkSpec {
       .defaultModuleOptions().split(" ").toSeq
     val cmd = (Seq(s"${System.getProperty("java.home")}/bin/java") ++
       moduleOpts ++ Seq("-Xmx1g", "-cp", cp,
-        "graft.tools.CrashWriter", dir)).asJava
+        "graft.tools.CrashWriter", dir, mode)).asJava
     val proc = new ProcessBuilder(cmd)
       .redirectErrorStream(true).start()
-    // pace the kill off the writer's own commit log: let a few commits
-    // land, then SIGKILL wherever the next cycle happens to be —
-    // including mid-materialization
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream))
     var commits = 0
     val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(180)
     var line = null: String
-    while (commits < 3 && System.nanoTime() < deadline &&
+    while (commits < minCommits && System.nanoTime() < deadline &&
         { line = reader.readLine(); line != null }) {
       if (line.startsWith("committed ")) commits += 1
     }
-    assert(commits >= 3, s"writer made only $commits commits before timeout")
     proc.destroyForcibly() // SIGKILL, no shutdown hooks, no cleanup
     assert(proc.waitFor(30, TimeUnit.SECONDS), "kill did not land")
+    commits
+  }
+
+  test("SIGKILLed writer JVM leaves a committed prefix; next writer recovers") {
+    val dir = freshDir()
+    // pace the kill off the writer's own commit log: let a few commits
+    // land, then SIGKILL wherever the next cycle happens to be —
+    // including mid-materialization
+    val commits = runAndKill(dir, "views", minCommits = 3)
+    assert(commits >= 3, s"writer made only $commits commits before timeout")
 
     // recovery matrix, from a FRESH engine in this JVM:
     val engine = new FlatFileEngine(spark, dir)
@@ -86,5 +96,44 @@ class CrashRecoverySpec extends SparkSpec {
       .filterNot(f => f.getName.contains(".d")) // delta namespace
     assert(leftovers.isEmpty,
       s"uncommitted orphans survived vacuum: ${leftovers.map(_.getName)}")
+  }
+
+  test("SIGKILLed manifest cascade is all-or-nothing across every table") {
+    val dir = freshDir()
+    val commits = runAndKill(dir, "cascade", minCommits = 2)
+    assert(commits >= 2, s"writer made only $commits cascades before timeout")
+
+    // recovery: whatever instant the kill hit — mid-materialization of
+    // any of the three tables, mid-manifest-write, mid-vacuum — a
+    // fresh reader sees ONE cascade's state everywhere, never a mix
+    def consistentName(): String = {
+      val v = new FlatFileEngine(spark, dir, manifestCommits = true)
+        .snapshot()
+      val u = v.users.filter(col("id") === 1)
+        .select("username").as[String].head()
+      val p = v.posts.filter(col("id") === 19)
+        .select("username").as[String].head()
+      val g = v.engagements.filter(col("id") === 2)
+        .select("username").as[String].head()
+      assert(u == p && p == g,
+        s"torn cascade after SIGKILL: users=$u posts=$p engagements=$g")
+      u
+    }
+    val recovered = consistentName()
+    // the surviving name is a committed cascade (or the fixture state)
+    assert(recovered == "alice" || recovered.startsWith("name"))
+    // at least the commits the parent SAW must have survived: the
+    // recovered cascade index is >= observed commits - 1 (0-based)
+    if (recovered.startsWith("name"))
+      assert(recovered.drop(4).toInt >= commits - 1,
+        s"committed cascade lost: recovered=$recovered commits=$commits")
+
+    // the next writer proceeds; the half-materialized leftovers from
+    // the killed cascade are sequenced past and vacuumed
+    val engine = new FlatFileEngine(spark, dir, manifestCommits = true)
+    assert(engine.updateUserName(1, "final"))
+    assert(consistentName() == "final")
+    assert(engine.updateUserName(1, "final2"))
+    assert(consistentName() == "final2")
   }
 }
