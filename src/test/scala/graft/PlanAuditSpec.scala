@@ -25,7 +25,9 @@ class PlanAuditSpec extends SparkSpec {
       "q66_semantic_dedup", // reuses the q53 fit (same checkpointed rounds)
       "q71_semantic_cells", // corpus-derived cell count, same fit rounds
       "q70_pagerank", // per-round localCheckpoint (PageRankSpec audits shape)
-      "q72_bpe_merges") // per-round localCheckpoint (BpeSpec audits behavior)
+      "q72_bpe_merges", // per-round localCheckpoint (BpeSpec audits behavior)
+      "q79_triangles", // adaptive closure strategy runs o.count() at build
+      "q82_lpa_communities") // per-round localCheckpoint (LPA spec audits)
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
@@ -74,6 +76,32 @@ class PlanAuditSpec extends SparkSpec {
     // repartition(doc) up front; gram hashing, the window minimum and
     // the fingerprint distinct must all reuse that partitioning
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("triangle closure probes wedges via broadcast hash join (q79)") {
+    // wedges outnumber edges √m-fold: the closure must be a broadcast
+    // probe fused into wedge generation, never a wedge-side exchange
+    val p = plan("q79_triangles")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("funnel plans join-free: one per-user conditional-min pivot (q85)") {
+    // the naive funnel is events⨝events per stage; this shape must
+    // stay a single grouped pivot
+    assert(!plan("q85_funnel").contains("Join"), plan("q85_funnel"))
+  }
+
+  test("HLL register extraction is one hash exchange (q83)") {
+    val p = plan("q83_hll_registers")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("e2e pipeline keeps its stage shapes (q87): semi + anti joins") {
+    val p = plan("q87_pipeline_e2e")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("collocation head totals broadcast; top-k avoids a global sort (q63)") {
