@@ -1568,22 +1568,30 @@ object PipelineQueries {
          |    LEFT JOIN sel$i m2 ON s.word = m2.word AND s.pos = m2.pos + 1
          |    WHERE m2.pos IS NULL))""".stripMargin
 
-    /** WITH-body through the final round state `s$BPE_ROUNDS`. */
-    val chain: String =
+    /** WITH-body through the final round state `s$BPE_ROUNDS`, with an
+      * optional document filter (e.g. a train split) on the vocab
+      * source.
+      */
+    def chainFor(where: String): String =
       s"""w AS (
          |  SELECT word, count(*)::BIGINT AS freq FROM (
          |    SELECT unnest(${TextFunctions.wordsSql("text")}) AS word
-         |    FROM documents)
+         |    FROM documents $where)
          |  WHERE length(word) > 0 GROUP BY word),
          |s0p AS (
          |  SELECT word, freq, unnest(range(1, length(word) + 1)) AS pos FROM w),
          |s0 AS MATERIALIZED (SELECT word, freq, pos, substr(word, pos::INT, 1) AS sym FROM s0p),
          |${(1 to BPE_ROUNDS).map(roundCte).mkString(",\n")}""".stripMargin
+
+    val chain: String = chainFor("")
   }
 
-  /** Corpus vocab (word, freq) — the shared q72/q76 pre-tokenization. */
-  private def bpeVocab(s: org.apache.spark.sql.SparkSession, d: String) =
-    t(s, d, "documents")
+  /** Corpus vocab (word, freq) — the shared q72/q76 pre-tokenization,
+    * optionally restricted to a document split.
+    */
+  private def bpeVocab(s: org.apache.spark.sql.SparkSession, d: String,
+                       docFilter: org.apache.spark.sql.Column = lit(true)) =
+    t(s, d, "documents").filter(docFilter)
       .select(explode(TextFunctions.words(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -1865,8 +1873,113 @@ object PipelineQueries {
          |ORDER BY stage""".stripMargin)
   }
 
+  /** Tokenizer coverage on a HELD-OUT split — the evaluation stage
+    * every trained tokenizer ships with. Train the q72 merges on the
+    * even-id half of the corpus, then tokenize the odd-id half: a
+    * held-out word seen in training segments by the learned table; an
+    * unseen (OOV) word falls back to characters, exactly a real BPE's
+    * byte-fallback. Per source: held-out word count, OOV count, and
+    * total emitted tokens (the compression the tokenizer actually
+    * achieves off-train). The synthetic corpus draws both splits from
+    * one vocabulary, so genuinely-unseen words are INJECTED into the
+    * held-out docs (`zzq<doc_id mod 7>` — the q22/q57 injection
+    * pattern) to exercise the fallback on data, not just in the spec.
+    * Shapes: the train rounds are vocab-sized (q72's discipline);
+    * evaluation is one corpus explode + one left join against the
+    * word-distinct segmentation.
+    */
+  val bpeCoverage: Q = Q(
+    (s, d) => {
+      val seg = Bpe.train(
+        bpeVocab(s, d, col("doc_id") % 2 === 0), BPE_ROUNDS)._2
+        .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+      val held = t(s, d, "documents").filter(col("doc_id") % 2 === 1)
+        .select(col("source"),
+          explode(TextFunctions.words(concat(col("text"), lit(" zzq"),
+            (col("doc_id") % 7).cast("string")))).as("word"))
+        .filter(length(col("word")) > 0)
+      held.join(seg, Seq("word"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          count(when(col("n_sub").isNull, 1)).as("n_oov"),
+          sum(coalesce(col("n_sub"), length(col("word")).cast("long")))
+            .as("n_tokens"))
+        .orderBy("source")
+    },
+    s"""WITH ${BpeOracle.chainFor("WHERE doc_id % 2 = 0")},
+       |segn AS (
+       |  SELECT word, count(*)::BIGINT AS n_sub FROM s$BPE_ROUNDS
+       |  GROUP BY word),
+       |held AS (
+       |  SELECT source, unnest(${TextFunctions.wordsSql(
+                "text || ' zzq' || (doc_id % 7)::VARCHAR")}) AS word
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |hf AS (SELECT source, word FROM held WHERE length(word) > 0)
+       |SELECT source, count(*)::BIGINT AS n_words,
+       |  count(CASE WHEN s.n_sub IS NULL THEN 1 END)::BIGINT AS n_oov,
+       |  sum(coalesce(s.n_sub, length(h.word)))::BIGINT AS n_tokens
+       |FROM hf h LEFT JOIN segn s USING (word)
+       |GROUP BY source ORDER BY source""".stripMargin)
+
+  /** Per-label embedding centroids + cross-label cosine matrix — the
+    * corpus-cartography readout (which semantic clusters sit close)
+    * and the vector form of a grouped aggregate: centroid components
+    * are exact integer micro-unit truncated means (Spark `div`
+    * truncates toward zero; the oracle emulates that with a sign-case
+    * around DuckDB's flooring `//` — the established div-parity
+    * guard), so both engines build the identical centroid table and
+    * the final rounded cosines hash-match. Shapes: one explode +
+    * (label, dim) groupBy — label-count-bounded state — then a
+    * label×label join over a 640-row centroid table.
+    */
+  val labelCentroids: Q = Q(
+    (s, d) => {
+      val ex = t(s, d, "embeddings").select(col("label"),
+          posexplode(VectorFunctions.scaledMicro(col("embedding"))))
+        .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+      val cent = ex.groupBy("label", "dim")
+        .agg(expr("sum(x) div count(1)").as("c")).persist()
+      val nrm = cent.groupBy("label").agg(sum(col("c") * col("c")).as("n2"))
+      val dots = cent.as("a").join(cent.as("b"),
+          col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(sum(col("a.c") * col("b.c")).as("dot"))
+      dots
+        .join(nrm.select(col("label").as("label_a"), col("n2").as("na")),
+          Seq("label_a"))
+        .join(nrm.select(col("label").as("label_b"), col("n2").as("nb")),
+          Seq("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
+            .as("cos_sim"))
+        .orderBy("label_a", "label_b")
+    },
+    s"""WITH ex AS (
+       |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+       |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS x
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, dim,
+       |    (CASE WHEN sum(x) >= 0 THEN sum(x)::BIGINT // count(*)
+       |          ELSE -((-(sum(x)::BIGINT)) // count(*)) END)::BIGINT AS c
+       |  FROM ex GROUP BY 1, 2),
+       |nrm AS (SELECT label, sum(c * c)::BIGINT AS n2 FROM cent GROUP BY 1),
+       |dots AS (
+       |  SELECT a.label AS label_a, b.label AS label_b,
+       |    sum(a.c * b.c)::BIGINT AS dot
+       |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+       |  GROUP BY 1, 2)
+       |SELECT label_a, label_b,
+       |  round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos_sim
+       |FROM dots
+       |JOIN nrm na ON label_a = na.label
+       |JOIN nrm nb ON label_b = nb.label
+       |ORDER BY label_a, label_b""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "q87_pipeline_e2e"   -> pipelineE2e,
+    "q88_bpe_coverage"   -> bpeCoverage,
+    "q89_label_centroids" -> labelCentroids,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,
