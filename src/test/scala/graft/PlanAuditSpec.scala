@@ -104,6 +104,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("hot scan-agg paths stay inside WholeStageCodegen") {
+    // the throughput yardsticks must not fall back to interpreted
+    // evaluation: the scan→project→partial-agg pipeline is one (or
+    // more) fused codegen stages. q15 = TPC-H Q1 shape, q29 = pure
+    // expression text scoring, q80 = the quantile sketch's
+    // string-built bucket math, q81 = the 30-term morton interleave.
+    for (name <- Seq("q15_pricing_summary", "q29_text_quality",
+        "q80_quantile_sketch", "q81_zorder_stats")) {
+      // the AQE initial plan hides codegen annotation — ask the
+      // codegen explain mode, which prints the fused subtrees
+      val p = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.CodegenMode)
+      assert(p.contains("WholeStageCodegen"),
+        s"$name fell out of whole-stage codegen:\n${p.take(2000)}")
+    }
+  }
+
   test("collocation head totals broadcast; top-k avoids a global sort (q63)") {
     val p = plan("q63_collocations")
     assert(p.contains("TakeOrderedAndProject"), p)
