@@ -910,6 +910,53 @@ object AnalyticsQueries {
       |WHERE day - day0 BETWEEN 1 AND 7
       |GROUP BY k ORDER BY k""".stripMargin)
 
+  /** Personalized PageRank from one customer node on the trade graph
+    * — proximity-to-source ranking (the "similar entities"
+    * recommendation form), q70's uniform teleport replaced by a
+    * source-concentrated one. Same unrolled-oracle discipline.
+    */
+  val personalizedPageRank: Q = {
+    val ITERS = 3; val OFF = 10000000L; val K = 20; val SRC = 1L
+    val TELEPORT = 15L * PageRank.SCALE / 100
+    def iterCte(i: Int): String =
+      s"""s$i AS (
+         |  SELECT r${i - 1}.node AS src, (r // outdeg)::BIGINT AS share
+         |  FROM r${i - 1} JOIN od ON r${i - 1}.node = od.src),
+         |f$i AS (
+         |  SELECT e.dst AS node, sum(share) AS inflow
+         |  FROM e JOIN s$i ON e.src = s$i.src GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.node,
+         |    (CASE WHEN n.node = $SRC THEN $TELEPORT ELSE 0 END
+         |     + (85 * coalesce(f.inflow, 0)) // 100)::BIGINT AS r
+         |  FROM nodes n LEFT JOIN f$i f ON n.node = f.node)"""
+    Q(
+      (s, d) => {
+        val e0 = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"), (col("l_suppkey") + OFF).as("dst"))
+        val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.personalizedRanks(edges, "src", "dst", ITERS, SRC)
+          .select(col("node"), col("r").as("rank_units"))
+          .orderBy(desc("rank_units"), asc("node")).limit(K)
+      },
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + $OFF AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |e AS (SELECT src, dst FROM e0
+         |      UNION SELECT dst AS src, src AS dst FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT node,
+         |         (CASE WHEN node = $SRC THEN ${PageRank.SCALE} ELSE 0 END)::BIGINT AS r
+         |       FROM nodes),
+         |${(1 to ITERS).map(iterCte).mkString(",\n")}
+         |SELECT node, r AS rank_units FROM r$ITERS
+         |ORDER BY rank_units DESC, node LIMIT $K""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
@@ -939,5 +986,6 @@ object AnalyticsQueries {
     "q83_hll_registers"    -> hllRegisters,
     "q84_profile"          -> profile,
     "q85_funnel"           -> funnel,
-    "q86_retention"        -> retention)
+    "q86_retention"        -> retention,
+    "q90_personalized_pr"  -> personalizedPageRank)
 }

@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
       "q70_pagerank", // per-round localCheckpoint (PageRankSpec audits shape)
       "q72_bpe_merges", // per-round localCheckpoint (BpeSpec audits behavior)
       "q79_triangles", // adaptive closure strategy runs o.count() at build
-      "q82_lpa_communities") // per-round localCheckpoint (LPA spec audits)
+      "q82_lpa_communities", // per-round localCheckpoint (LPA spec audits)
+      "q90_personalized_pr") // per-round localCheckpoint (PageRankSpec)
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {

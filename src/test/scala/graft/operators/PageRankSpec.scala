@@ -90,4 +90,28 @@ class PageRankSpec extends SparkSpec {
     assert(!physical.contains("CartesianProduct"))
     spark.catalog.clearCache()
   }
+
+  test("personalized ranks: teleport pins the source, reach bounds the mass") {
+    // triangle {1,2,3} (odd cycle — mixes, no bipartite oscillation)
+    // with 4 hung symmetrically off 2 AND 3; disconnected pair (8,9)
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val edges = tri ++ Seq((8L, 9L), (9L, 8L))
+    val r = PageRank.personalizedRanks(
+      edges.toDF("src", "dst"), "src", "dst", iters = 3, source = 1L)
+      .as[(Long, Long)].collect().toMap
+    // the source keeps its teleport mass every round
+    assert(r(1L) >= 15L * PageRank.SCALE / 100)
+    // 2 and 3 are symmetric w.r.t. the source -> identical ranks
+    assert(r(2L) == r(3L), s"symmetry broken: $r")
+    // the source out-ranks the far node, which still gets SOME mass
+    assert(r(1L) > r(4L) && r(4L) > 0L, s"proximity violated: $r")
+    // nothing leaks to nodes unreachable from the source
+    assert(r(8L) == 0L && r(9L) == 0L)
+    // identical at any partitioning
+    val r16 = PageRank.personalizedRanks(
+      edges.toDF("src", "dst").repartition(16), "src", "dst", 3, 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(r == r16)
+  }
 }
