@@ -193,17 +193,44 @@ object Dedup {
     */
   def lshCandidates(sig: DataFrame, id: String,
                     bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandKeys: Column = array((0 until bands).map { b =>
-      concat_ws(",",
-        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
-    }: _*)
-    val banded = sig.select(col(id),
-      posexplode(bandKeys).as(Seq("band", "band_key")))
+    val banded = bandRows(sig, id, bands, rowsPerBand)
     banded.as("a").join(banded.as("b"), Seq("band", "band_key"))
       .filter(col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .distinct()
   }
+
+  /** (id, band, band_key) rows of a signature frame — the shared
+    * banding of [[lshCandidates]] and [[incrementalCandidates]].
+    */
+  private def bandRows(sig: DataFrame, id: String,
+                       bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandKeys: Column = array((0 until bands).map { b =>
+      concat_ws(",",
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+    }: _*)
+    sig.select(col(id), posexplode(bandKeys).as(Seq("band", "band_key")))
+  }
+
+  /** Incremental near-dedup candidates: a NEW batch against an
+    * already-indexed corpus — the daily-ingest shape. The band join
+    * runs NEW × INDEX only: the index is never re-paired with itself
+    * and never re-shingled, so per-ingest work is O(batch bands +
+    * touched index buckets), not O(corpus²) or even O(corpus) — the
+    * property that lets a 100 TB historical index absorb a daily
+    * batch at batch cost. (In production the banded index is the
+    * PERSISTED artifact — bucketed/sorted by (band, band_key) so the
+    * join prunes to touched buckets; here both sides band from their
+    * signature frames.)
+    */
+  def incrementalCandidates(newSig: DataFrame, indexSig: DataFrame,
+                            id: String, bands: Int,
+                            rowsPerBand: Int): DataFrame =
+    bandRows(newSig, id, bands, rowsPerBand)
+      .withColumnRenamed(id, "new_id")
+      .join(bandRows(indexSig, id, bands, rowsPerBand)
+        .withColumnRenamed(id, "index_id"), Seq("band", "band_key"))
+      .select(col("new_id"), col("index_id")).distinct()
 
   /** MinHash similarity estimate (matching-minhash fraction) for
     * candidate pairs, joined back against the signature frame.

@@ -1976,10 +1976,83 @@ object PipelineQueries {
        |JOIN nrm nb ON label_b = nb.label
        |ORDER BY label_a, label_b""".stripMargin)
 
+  /** Incremental dedup — today's batch against the historical index
+    * ([[Dedup.incrementalCandidates]]): docs < 400 are the indexed
+    * corpus, the new batch is docs ≥ 400 plus redelivered copies of
+    * 50 index docs (+10⁶ ids, the q22 injection). Candidates come
+    * from a NEW × INDEX band join only (the index is never re-paired
+    * with itself), then exact-Jaccard verification is linear in
+    * candidates (q59's rule). Every redelivered copy must surface at
+    * jaccard 1.0 against its original.
+    */
+  val incrementalDedup: Q = {
+    val INDEX_MAX = 400L; val REDELIVER = 50L; val MIN_J = 0.5
+    val sigCols = (0 until MH_K)
+      .map(i => s"min(${Hashing.seededSql(i, "s")}) AS h$i").mkString(",\n    ")
+    val bandRowsSql = (0 until MH_BANDS).map { b =>
+      val key = (0 until MH_R).map(r => s"h${b * MH_R + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, is_new, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val index = docs.filter(col("doc_id") < INDEX_MAX)
+        val fresh = docs.filter(col("doc_id") >= INDEX_MAX).unionByName(
+          docs.filter(col("doc_id") < REDELIVER)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val sigI = Dedup.minhashSignatures(index, "doc_id", "text", MH_K)
+        val sigN = Dedup.minhashSignatures(fresh, "doc_id", "text", MH_K)
+        val cands = Dedup.incrementalCandidates(
+          sigN, sigI, "doc_id", MH_BANDS, MH_R)
+        Dedup.jaccardFor(
+            cands.select(col("new_id").as("id_a"), col("index_id").as("id_b")),
+            index.unionByName(fresh), "doc_id", "text", 3, MIN_J)
+          .select(col("id_a").as("new_id"), col("id_b").as("index_id"),
+            col("jaccard"))
+          .orderBy("new_id", "index_id")
+      },
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text, 0 AS is_new FROM docs WHERE doc_id < $INDEX_MAX
+         |  UNION ALL SELECT doc_id, text, 1 FROM docs WHERE doc_id >= $INDEX_MAX
+         |  UNION ALL SELECT doc_id + 1000000, text, 1 FROM docs
+         |    WHERE doc_id < $REDELIVER),
+         |w AS (SELECT doc_id, is_new,
+         |        ${TextFunctions.wordsSql("text")} AS arr FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id, is_new,
+         |         unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
+         |sig AS (
+         |  SELECT doc_id, is_new,
+         |    $sigCols
+         |  FROM sh GROUP BY doc_id, is_new),
+         |bands AS (
+         |  $bandRowsSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |  WHERE a.is_new = 1 AND b.is_new = 0),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.new_id, c.index_id, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.new_id
+         |  JOIN sh b ON b.doc_id = c.index_id AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT new_id, index_id,
+         |  n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON new_id = sa.doc_id
+         |JOIN sizes sb ON index_id = sb.doc_id
+         |WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE >= $MIN_J
+         |ORDER BY new_id, index_id""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q87_pipeline_e2e"   -> pipelineE2e,
     "q88_bpe_coverage"   -> bpeCoverage,
     "q89_label_centroids" -> labelCentroids,
+    "q91_incremental_dedup" -> incrementalDedup,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,
