@@ -111,4 +111,22 @@ class DedupSpec extends SparkSpec {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
+
+  test("incrementalCandidates pairs the batch with the index, never index with itself") {
+    // index: docs 1 (and its exact dup 2) + unrelated 4; new batch:
+    // doc 101 = exact copy of 1, doc 102 = unrelated
+    val index = docs.filter(col("doc_id").isin(1L, 2L, 4L))
+    val fresh = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "fresh unrelated text that matches nothing indexed today"))
+      .toDF("doc_id", "text")
+    val sigI = Dedup.minhashSignatures(index, "doc_id", "text", 16)
+    val sigN = Dedup.minhashSignatures(fresh, "doc_id", "text", 16)
+    val cands = Dedup.incrementalCandidates(sigN, sigI, "doc_id", 4, 4)
+      .as[(Long, Long)].collect().toSet
+    // the redelivered copy hits BOTH identical index docs
+    assert(cands == Set((101L, 1L), (101L, 2L)), s"got $cands")
+    // crucially: the index pair (1, 2) — identical docs — is absent:
+    // the index is never re-deduped against itself
+  }
 }
