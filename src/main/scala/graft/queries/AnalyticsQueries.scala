@@ -957,6 +957,46 @@ object AnalyticsQueries {
          |ORDER BY rank_units DESC, node LIMIT $K""".stripMargin)
   }
 
+  /** Event-rate anomaly days: per type, flag days whose count exceeds
+    * 1.2× the trailing-7-day mean — the monitoring readout a feed
+    * pipeline runs after q18's roll-up. The compare stays integer
+    * (`cnt·70 > trail7·12` ⟺ cnt > 1.2·trail7/7): no float mean to
+    * diverge on. One groupBy + one ROWS-frame window; the first 7
+    * days (incomplete baseline) are excluded by an in-frame count,
+    * not by date arithmetic.
+    */
+  val anomalyDays: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("trail7", sum("cnt").over(w))
+        .withColumn("n_prev", count(lit(1)).over(w))
+        .filter(col("n_prev") === 7)
+        .select(col("event_type"), col("day"), col("cnt"), col("trail7"),
+          when(col("cnt") * 70 > col("trail7") * 12, 1L).otherwise(0L)
+            .as("is_spike"))
+        .orderBy("event_type", "day")
+    },
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+      |    count(*)::BIGINT AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, cnt,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)::BIGINT AS trail7,
+      |    count(*) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prev
+      |  FROM daily)
+      |SELECT event_type, day, cnt, trail7,
+      |  (CASE WHEN cnt * 70 > trail7 * 12 THEN 1 ELSE 0 END)::BIGINT AS is_spike
+      |FROM w WHERE n_prev = 7 ORDER BY event_type, day""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
@@ -987,5 +1027,6 @@ object AnalyticsQueries {
     "q84_profile"          -> profile,
     "q85_funnel"           -> funnel,
     "q86_retention"        -> retention,
-    "q90_personalized_pr"  -> personalizedPageRank)
+    "q90_personalized_pr"  -> personalizedPageRank,
+    "q92_anomaly_days"     -> anomalyDays)
 }
