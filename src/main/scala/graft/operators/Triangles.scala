@@ -41,7 +41,15 @@ object Triangles {
     * @return (node, triangles) — one row per node appearing in ≥1
     *         triangle.
     */
-  def perNode(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+  /** Edge count up to which the oriented adjacency is broadcast and
+    * closure is a map-only intersection (~70 MB of long pairs);
+    * beyond it, the shuffle wedge join. Injectable so specs exercise
+    * and cross-check BOTH paths.
+    */
+  val BROADCAST_EDGE_LIMIT = 3000000L
+
+  def perNode(edges: DataFrame, uCol: String, vCol: String,
+              broadcastLimit: Long = BROADCAST_EDGE_LIMIT): DataFrame = {
     val raw = edges.select(col(uCol).cast("long").as("x"),
       col(vCol).cast("long").as("y"))
     val e = raw.select(least(col("x"), col("y")).as("u"),
@@ -69,26 +77,40 @@ object Triangles {
         greatest(col("ru"), col("rv")).as("dstrank"))
       .persist()
 
-    // wedges from each apex's (√m-bounded) oriented neighborhood,
-    // ordered so each candidate pair is generated once
-    val w = o.as("e1").join(o.as("e2"),
-        col("e1.src") === col("e2.src") &&
-          col("e1.dstrank") < col("e2.dstrank"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
-        col("e2.dst").as("c"))
-
-    // close the wedge: (b, c) must be an oriented edge (rank(b) <
-    // rank(c) by construction, so orientation matches). Wedges
-    // outnumber edges ~√m-fold, so never sort/shuffle THEM: when the
-    // oriented edge set fits an executor (≤ ~3M pairs ≈ 70 MB),
-    // broadcast it and the closure probes wedges in place, fused into
-    // the wedge-generation stage — no 10×-bigger wedge exchange. A
-    // graph beyond that falls back to the shuffle join, which is the
-    // correct plan once edges themselves dwarf executor memory.
-    val closure = o.select(col("src").as("b"), col("dst").as("c"))
+    // Two physical strategies, one logical result (the oracle is
+    // plan-independent):
+    //
+    // SMALL graphs (oriented edge set ≤ ~3M pairs ≈ 70 MB): broadcast
+    // the whole oriented ADJACENCY (node-sized, ~m longs) and close
+    // each edge (u, v) by intersecting N⁺(u) ∩ N⁺(v) in place — a
+    // map-only stage over the edge list; wedges are never
+    // materialized, let alone shuffled. The third vertex w comes out
+    // of the intersection, so per-node attribution is exact.
+    //
+    // LARGE graphs: the classic wedge self-join + shuffle closure —
+    // correct once edges themselves dwarf executor memory. Wedges
+    // outnumber edges ~√m-fold either way, which is why the small
+    // path avoids them entirely and the large path joins them against
+    // the (smaller) edge set rather than the reverse.
     val tri =
-      if (o.count() <= 3000000L) w.join(broadcast(closure), Seq("b", "c"))
-      else w.join(closure, Seq("b", "c"))
+      if (o.count() <= broadcastLimit) {
+        val adj = o.groupBy("src")
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+        o.join(broadcast(adj.select(col("src"), col("nbrs").as("nu"))),
+            Seq("src"))
+          .join(broadcast(adj.select(col("src").as("dst"),
+            col("nbrs").as("nv"))), Seq("dst"))
+          .select(col("src").as("a"), col("dst").as("b"),
+            explode(array_intersect(col("nu"), col("nv"))).as("c"))
+      } else {
+        val w = o.as("e1").join(o.as("e2"),
+            col("e1.src") === col("e2.src") &&
+              col("e1.dstrank") < col("e2.dstrank"))
+          .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+            col("e2.dst").as("c"))
+        w.join(o.select(col("src").as("b"), col("dst").as("c")),
+          Seq("b", "c"))
+      }
 
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))

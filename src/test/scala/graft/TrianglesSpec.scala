@@ -41,6 +41,22 @@ class TrianglesSpec extends SparkSpec {
     assert(count(star).isEmpty)
   }
 
+  test("broadcast-intersection and shuffle-wedge paths agree exactly") {
+    // a mixed graph with shared-vertex triangles, a K4 and noise
+    val nodes = Seq(7L, 8L, 9L, 10L)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (5L, 6L)) ++
+      (for { a <- nodes; b <- nodes if a < b } yield (a, b)) ++
+      Seq((6L, 7L), (2L, 9L))
+    val small = Triangles.perNode(edges.toDF("u", "v"), "u", "v")
+      .as[(Long, Long)].collect().toMap
+    val large = Triangles.perNode(edges.toDF("u", "v"), "u", "v",
+        broadcastLimit = 0L) // force the shuffle wedge join
+      .as[(Long, Long)].collect().toMap
+    assert(small == large)
+    assert(small.nonEmpty)
+  }
+
   test("triangle count is independent of partitioning") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
       (4L, 5L), (3L, 5L))
