@@ -2106,7 +2106,45 @@ object PipelineQueries {
          |SELECT id_a, id_b, n_shared FROM p ORDER BY id_a, id_b""".stripMargin)
   }
 
+  /** Lexical rarity score — the integer analog of CCNet's LM-driven
+    * quality signal: rare tokens carry information, so a document's
+    * mean token-frequency magnitude separates natural text from
+    * keyword stuffing and boilerplate. The magnitude proxy is the
+    * DIGIT COUNT of each token's corpus frequency (an exact integer
+    * log₁₀ bucket — no float log to diverge on); per-doc score =
+    * mean digits ×1000, truncating div (all positive, so Spark `div`
+    * == DuckDB `//`). Shapes: one token groupBy (vocab-sized), one
+    * corpus join back, one per-doc agg.
+    */
+  val rarityScore: Q = Q(
+    (s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+      val tf = tok.groupBy("w").agg(count(lit(1)).as("freq"))
+      tok.join(tf, Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(length(col("freq").cast("string")).cast("long"))
+            .as("digit_sum"))
+        .select(col("doc_id"), col("n_tok"),
+          expr("digit_sum * 1000 div n_tok").as("rarity_scaled"))
+        .orderBy("doc_id")
+    },
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${TextFunctions.wordsSql("text")}) AS w
+       |  FROM documents),
+       |tf AS (SELECT w, count(*)::BIGINT AS freq FROM tok
+       |       WHERE length(w) > 0 GROUP BY w),
+       |j AS (SELECT doc_id, length(freq::VARCHAR)::BIGINT AS dg
+       |      FROM tok JOIN tf USING (w))
+       |SELECT doc_id, count(*)::BIGINT AS n_tok,
+       |  (sum(dg) * 1000 // count(*))::BIGINT AS rarity_scaled
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "q94_rarity_score"   -> rarityScore,
     "q93_media_dupes"    -> mediaDupes,
     "q87_pipeline_e2e"   -> pipelineE2e,
     "q88_bpe_coverage"   -> bpeCoverage,
