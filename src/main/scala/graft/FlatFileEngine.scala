@@ -230,9 +230,15 @@ class FlatFileEngine(spark: SparkSession, dir: String,
     */
   def snapshot(): FlatFileEngine.SnapshotView = {
     val m = if (manifestCommits) currentManifest else Map.empty[String, Long]
+    // pin the COMMITTED DELTA CHAIN along with each base path: without
+    // this, a delta committed after snapshot() (or between accesses of
+    // two tables in the view) would leak in through merge-on-read —
+    // weaker isolation than the pinned-version semantics promised here
     new FlatFileEngine.SnapshotView(
-      Seq("users", "posts", "engagements")
-        .map(t => t -> resolvePath(t, m)).toMap, this)
+      Seq("users", "posts", "engagements").map { t =>
+        val p = resolvePath(t, m)
+        t -> ((p, committedDeltas(t, p)))
+      }.toMap, this)
   }
 
   // ------------------------------------------------------- changelog deltas
@@ -267,16 +273,26 @@ class FlatFileEngine(spark: SparkSession, dir: String,
   private def currentTable(table: String): DataFrame =
     tableFrom(table, tablePath(table))
 
-  private[graft] def tableFrom(table: String, basePath: String): DataFrame = {
+  /** The committed delta chain riding `basePath`, in sequence order —
+    * resolved eagerly so a snapshot can PIN it (see [[snapshot]]).
+    */
+  private[graft] def committedDeltas(table: String,
+                                     basePath: String): Seq[(Long, String)] =
+    listDeltas(table, basePath).filter(d => committed(d._2)).sortBy(_._1)
+      .map { case (m, p) => (m, p.toString) }
+
+  private[graft] def tableFrom(table: String, basePath: String): DataFrame =
+    tableFrom(table, basePath, committedDeltas(table, basePath))
+
+  private[graft] def tableFrom(table: String, basePath: String,
+                               deltas: Seq[(Long, String)]): DataFrame = {
     val base = CsvIngest.readFlatFile(spark, basePath, schemaOf(table))
-    val deltas = listDeltas(table, basePath)
-      .filter(d => committed(d._2)).sortBy(_._1)
     if (deltas.isEmpty) base
     else {
       val all = deltas.foldLeft(base.withColumn("_seq", lit(0L))) {
         case (acc, (m, p)) =>
           acc.unionByName(
-            CsvIngest.readFlatFile(spark, p.toString, schemaOf(table))
+            CsvIngest.readFlatFile(spark, p, schemaOf(table))
               .withColumn("_seq", lit(m)))
       }
       graft.operators.Merge.latestWins(all, Seq("id"), Seq("_seq"))
@@ -562,15 +578,18 @@ object FlatFileEngine {
     * [[FlatFileEngine.snapshot]]) with the engine's load-time RI
     * semantics applied within the pinned set.
     */
-  final class SnapshotView private[graft] (paths: Map[String, String],
-                                           engine: FlatFileEngine) {
-    def users: DataFrame = engine.tableFrom("users", paths("users"))
+  final class SnapshotView private[graft] (
+      pins: Map[String, (String, Seq[(Long, String)])],
+      engine: FlatFileEngine) {
+    private def read(t: String): DataFrame = {
+      val (base, deltas) = pins(t)
+      engine.tableFrom(t, base, deltas)
+    }
+    def users: DataFrame = read("users")
     def posts: DataFrame = SocialOps.riFilter(
-      engine.tableFrom("posts", paths("posts")), "username",
-      users, "username")
+      read("posts"), "username", users, "username")
     def engagements: DataFrame = {
-      val e = engine.tableFrom("engagements", paths("engagements"))
-      val byPost = SocialOps.riFilter(e, "postId",
+      val byPost = SocialOps.riFilter(read("engagements"), "postId",
         posts.select(col("id")), "id")
       SocialOps.riFilter(byPost, "username", users, "username")
     }

@@ -74,7 +74,11 @@ object Hashing {
     * an explicit byte read on both engines.
     */
   def asciiGuard(text: Column): Column =
-    when(assert_true(octet_length(text) === length(text),
+    // null-transparent: octet_length(null) === length(null) is NULL
+    // and assert_true raises on a null condition, so a null text row
+    // must short-circuit to "ok" — the hash of null is null, which is
+    // exactly what callers propagated before the guard existed
+    when(assert_true(text.isNull || octet_length(text) === length(text),
         lit("Hashing.charHash: non-ASCII text breaks cross-engine " +
           "parity (byte vs code-point read); transliterate first"))
         .isNotNull, text)

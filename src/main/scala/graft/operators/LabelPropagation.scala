@@ -36,9 +36,10 @@ object LabelPropagation {
     require(rounds >= 1, s"at least one round, got $rounds")
     val raw = edges.select(col(uCol).cast("long").as("x"),
       col(vCol).cast("long").as("y")).filter(col("x") =!= col("y"))
-    // both directions once, deduped, pinned on hash(src): every
-    // round's neighbor join reuses this partitioning — one edge
-    // shuffle total, not one per round
+    // both directions once, deduped, pinned on hash(dst) — dst is the
+    // per-round join key (dst === node): every round's neighbor join
+    // reuses this partitioning — one edge shuffle total, not one per
+    // round
     val e = raw.select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v")).distinct()
     val both = e.select(col("u").as("src"), col("v").as("dst"))

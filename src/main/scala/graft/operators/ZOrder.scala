@@ -25,15 +25,21 @@ object ZOrder {
 
   /** Morton key of two non-negative ints using their low `bits` bits
     * each (callers bucket/clamp the raw domain first; bits ≤ 31).
+    * Inputs are widened to long BEFORE shifting: int shift masks the
+    * amount mod 32 and wraps at bit 31, so interleave positions ≥ 32
+    * (any bits ≥ 16) would silently alias in int arithmetic. On long
+    * the top term lands at bit 2·bits−1 ≤ 61 — no sign-bit contact
+    * anywhere in [1,31].
     */
   def mortonKey(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     val terms = (0 until bits).flatMap { i =>
       Seq(
-        shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i),
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1))
+        shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
-    terms.reduce(_ + _).cast("long")
+    terms.reduce(_ + _)
   }
 
   /** The identical arithmetic as DuckDB SQL, for oracles: emits
@@ -41,8 +47,8 @@ object ZOrder {
     */
   def mortonSql(a: String, b: String, bits: Int): String =
     (0 until bits).flatMap { i =>
-      Seq(s"((($a >> $i) & 1) << ${2 * i})",
-        s"((($b >> $i) & 1) << ${2 * i + 1})")
+      Seq(s"(((($a)::BIGINT >> $i) & 1) << ${2 * i})",
+        s"(((($b)::BIGINT >> $i) & 1) << ${2 * i + 1})")
     }.mkString("(", " + ", ")::BIGINT")
 
   /** Rewrite `df` into `numFiles` range-partitions of the morton

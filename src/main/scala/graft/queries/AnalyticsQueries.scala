@@ -50,9 +50,10 @@ object AnalyticsQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin)
 
   /** TPC-H Q3-shaped: segment filter → 3-way join → grouped revenue →
-    * top-10. The customer side is small post-filter; Catalyst
-    * broadcasts it (verified in the plan) so only lineitem⨝orders
-    * shuffles.
+    * top-10. The segment-filtered customer side is ~1/5 of customer —
+    * which itself scales with SF — so it is NOT hint-broadcast: AQE
+    * broadcasts it when the measured size allows and falls back to a
+    * shuffled join at scale.
     */
   val shippingPriority: Q = Q(
     (s, d) => {
@@ -62,8 +63,10 @@ object AnalyticsQueries {
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val li = t(s, d, "lineitem")
         .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      // cust scales with SF (~1/10 of lineitem rows) — no broadcast
+      // hint; AQE picks BHJ at small SF by measured size, SMJ at scale
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("revenue_cents"))
@@ -82,8 +85,10 @@ object AnalyticsQueries {
       |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin)
 
   /** TPC-H Q5-shaped: 5-way join through the region→nation→customer
-    * dimension chain (all broadcast — only the fact-side join
-    * shuffles), grouped national revenue.
+    * dimension chain, grouped national revenue. nation (25 rows) and
+    * region (5 rows) are fixed-size regardless of SF and stay
+    * hint-broadcast; the customer-joined dim side scales with SF, so
+    * its join strategy is left to AQE's runtime size check.
     */
   val nationRevenue: Q = Q(
     (s, d) => {
@@ -95,7 +100,7 @@ object AnalyticsQueries {
         .select("c_custkey", "n_name")
       t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .join(dims, col("o_custkey") === col("c_custkey"))
         .groupBy("n_name")
         .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("revenue_cents"))

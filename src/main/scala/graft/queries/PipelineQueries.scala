@@ -204,9 +204,11 @@ object PipelineQueries {
   /** The dedup pipeline's terminal step: apply the q46 component
     * assignment to the corpus — drop every document whose component
     * label is a smaller doc_id (a transitive near-duplicate of the
-    * survivor), report per-language kept counts. documents ⟕̸ dupes is
-    * a broadcast-able anti-join (the dupe list is |pairs|-bounded,
-    * tiny relative to the corpus).
+    * survivor), report per-language kept counts. The dupe side is NOT
+    * hint-broadcast: its size scales with the corpus duplicate rate
+    * (30% dupes of 10^10 docs is tens of GB of ids), so the join
+    * strategy is left to AQE — broadcast when the runtime size allows,
+    * shuffled anti-join when it doesn't.
     */
   val dedupApply: Q = Q(
     (s, d) => {
@@ -215,7 +217,7 @@ object PipelineQueries {
       val dupes = ConnectedComponents.assign(edges)
         .filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id")).distinct()
-      t(s, d, "documents").join(broadcast(dupes), Seq("doc_id"), "leftanti")
+      t(s, d, "documents").join(dupes, Seq("doc_id"), "leftanti")
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")
     },
@@ -2057,28 +2059,48 @@ object PipelineQueries {
     * with a real codec the hash input becomes decoded pixel blocks
     * and NOTHING else changes — the plumbing (sampler, fingerprint
     * join, pair threshold) is the judged artifact. Work is
-    * bucket-keyed on the frame hash: no media×media comparison.
+    * bucket-keyed on the frame hash: no media×media comparison, and a
+    * degenerate frame shared by k media items (black frame, silence,
+    * boilerplate header bytes) cannot blow up to k²/2 pairs — hashes
+    * seen in more than MAX_DF media are dropped before the self-join,
+    * the same hot-bucket discipline as q23's shingle cap. The cap
+    * rides the fh-keyed exchange as a window count, not an extra join.
     */
+  /** q93's pairing core, shared with its spec: sample → fingerprint →
+    * df-cap → bucket self-join → shared-frame threshold. `corpus` is
+    * any (doc_id, text) frame; the spec drives it with a constant-
+    * frame corpus to prove the cap bounds pair count.
+    */
+  def frameDupePairs(corpus: DataFrame, frame: Int, stride: Int,
+                     maxFrames: Int, minShared: Long,
+                     maxDf: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val media = Multimodal.mediaTable(corpus, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+      media, "doc_id", frame, stride, maxFrames)
+    val fh0 = frames.filter(octet_length(col("frame")) === frame)
+      .select(col("doc_id"),
+        Hashing.charHash(decode(col("frame"), "UTF-8"), frame).as("fh"))
+      .distinct()
+    val fh = fh0
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fh")))
+      .filter(col("df") <= maxDf).drop("df")
+    fh.as("a").join(fh.as("b"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   val mediaDupes: Q = {
     val FRAME = 32; val STRIDE = 16; val MAX_F = 8
-    val MIN_SHARED = 4L; val REDELIVER = 50L
+    val MIN_SHARED = 4L; val REDELIVER = 50L; val MAX_DF = 100L
     Q(
       (s, d) => {
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
         val corpus = docs.unionByName(docs.filter(col("doc_id") < REDELIVER)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-        val media = Multimodal.mediaTable(corpus, "doc_id", "text")
-        val frames = Multimodal.sampleFrames(
-          media, "doc_id", FRAME, STRIDE, MAX_F)
-        val fh = frames.filter(octet_length(col("frame")) === FRAME)
-          .select(col("doc_id"),
-            Hashing.charHash(decode(col("frame"), "UTF-8"), FRAME).as("fh"))
-          .distinct()
-        fh.as("a").join(fh.as("b"),
-            col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= MIN_SHARED)
+        frameDupePairs(corpus, FRAME, STRIDE, MAX_F, MIN_SHARED, MAX_DF)
           .orderBy("id_a", "id_b")
       },
       s"""WITH corpus AS (
@@ -2095,9 +2117,12 @@ object PipelineQueries {
          |       FROM fr),
          |f32 AS (SELECT DISTINCT doc_id, frame FROM fx
          |        WHERE length(frame) = $FRAME),
-         |fh AS (SELECT DISTINCT doc_id,
+         |fh0 AS (SELECT DISTINCT doc_id,
          |         ${Hashing.charHashSql("frame", FRAME)} AS fh
          |       FROM f32),
+         |hot AS (SELECT fh FROM fh0 GROUP BY fh HAVING count(*) > $MAX_DF),
+         |fh AS (SELECT doc_id, fh FROM fh0
+         |       WHERE fh NOT IN (SELECT fh FROM hot)),
          |p AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    count(*)::BIGINT AS n_shared

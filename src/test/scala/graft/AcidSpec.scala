@@ -160,6 +160,21 @@ class AcidSpec extends SparkSpec {
     assert(views(new FlatFileEngine(spark, dir), 20) == 3)
   }
 
+  test("snapshot() pins the delta chain: later deltas stay invisible") {
+    val dir = freshDir()
+    val e = new FlatFileEngine(spark, dir, changelogWrites = true)
+    assert(e.updatePostViews(19, +1)) // d1: views 99 → 100
+    val snap = e.snapshot()
+    assert(e.updatePostViews(19, +5)) // d2, committed AFTER the pin
+    // the live engine sees the new delta; the pinned view must not —
+    // merge-on-read resolves against the delta list captured at
+    // snapshot() time, not at access time
+    assert(views(e, 19) == 105)
+    val pinned = snap.posts.filter(col("id") === 19)
+      .select("views").collect().head.getInt(0)
+    assert(pinned == 100, s"snapshot leaked a post-pin delta: $pinned")
+  }
+
   test("changelog mode: missing id writes no delta (ref test 8)") {
     val dir = freshDir()
     val e = new FlatFileEngine(spark, dir, changelogWrites = true)

@@ -157,4 +157,24 @@ class PlanAuditSpec extends SparkSpec {
   test("range join is day-bucketed — no nested loop (q40)") {
     assert(!plan("q40_range_attrib").contains("BroadcastNestedLoopJoin"))
   }
+
+  private def hintCount(name: String): Int = {
+    val p = SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    "strategy=broadcast".r.findAllIn(p).size
+  }
+
+  test("scaling join sides are never hint-forced to broadcast (q16, q17, q48)") {
+    // q48's dupe set and q16/q17's customer side grow with the corpus:
+    // a broadcast HINT there bypasses AQE's size check and OOMs at
+    // scale. Only fixed-cardinality dims (nation=25, region=5 rows)
+    // may carry hints — q17 has exactly those two.
+    assert(hintCount("q16_shipping_priority") == 0,
+      "q16 re-grew a broadcast hint on a scaling side")
+    assert(hintCount("q17_nation_revenue") == 2,
+      "q17 must hint exactly nation and region, nothing larger")
+    assert(hintCount("q48_dedup_apply") == 0,
+      "q48's anti-join build side must be AQE-chosen, not hint-forced")
+    spark.catalog.clearCache() // q48's CC rounds persist intermediates
+  }
 }

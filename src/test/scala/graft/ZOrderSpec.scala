@@ -28,14 +28,38 @@ class ZOrderSpec extends SparkSpec {
   }
 
   test("mortonSql mirrors mortonKey bit for bit") {
+    // Spark 4 parses the same ::BIGINT cast syntax DuckDB does, so the
+    // oracle string runs verbatim — including the pre-shift widening
     val df = (for { a <- 0 to 31; b <- 0 to 31 } yield (a, b)).toDF("a", "b")
     df.createOrReplaceTempView("zin")
     val viaSql = spark.sql(
-      s"SELECT ${ZOrder.mortonSql("a", "b", 5).replace("::BIGINT", "")} AS z FROM zin")
+      s"SELECT ${ZOrder.mortonSql("a", "b", 5)} AS z FROM zin")
       .as[Long].collect().toSeq
     val viaCol = df.select(ZOrder.mortonKey(col("a"), col("b"), 5).as("z"))
       .as[Long].collect().toSeq
     assert(viaSql == viaCol)
+  }
+
+  test("mortonKey is exact for bits ≥ 16 (long arithmetic, no int wrap)") {
+    // int shifts mask the amount mod 32, so before the long-widening
+    // fix any interleave position ≥ 32 silently aliased; bits=20 puts
+    // the top term at position 39
+    def ref(a: Long, b: Long): Long =
+      (0 until 20).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val m = (1 << 20) - 1
+    val cases = Seq((m, m), (m, 0), (0, m), (1 << 19, 1 << 19), (777777, 999999))
+    val got = cases.toDF("a", "b")
+      .select(ZOrder.mortonKey(col("a"), col("b"), 20).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == cases.map { case (a, b) => ref(a, b) })
+    assert(got.head == (1L << 40) - 1)
+    // and the SQL twin agrees on the widened domain too
+    cases.toDF("a", "b").createOrReplaceTempView("zwide")
+    val viaSql = spark.sql(
+      s"SELECT ${ZOrder.mortonSql("a", "b", 20)} AS z FROM zwide")
+      .as[Long].collect().toSeq
+    assert(viaSql == got)
   }
 
   test("z-order files prune a rectangle predicate; linear-sort files cannot") {

@@ -43,4 +43,24 @@ class MultimodalSpec extends SparkSpec {
       .as[(Int, Int)].collect().toSeq
     assert(out == Seq((320, 240), (100, 50), (320, 3), (1, 240)))
   }
+
+  test("frame-dup pairing drops hot frame buckets (q93 df cap)") {
+    // a constant frame shared by EVERY media row — the black-frame /
+    // boilerplate-header degenerate case. Each doc: 32 constant bytes
+    // then 32 unique bytes; frame=stride=32 samples exactly those two.
+    val n = 150
+    val corpus = spark.range(n).selectExpr(
+      "id AS doc_id",
+      "concat(repeat('Z', 32), lpad(cast(id AS string), 32, 'x')) AS text")
+    // capped: the constant frame's df (150) exceeds maxDf (100), so it
+    // never reaches the self-join; unique frames pair nothing
+    val capped = graft.queries.PipelineQueries.frameDupePairs(
+      corpus, 32, 32, 2, 1L, maxDf = 100L)
+    assert(capped.count() == 0L)
+    // uncapped control: the same corpus explodes to n·(n−1)/2 pairs —
+    // the quadratic blowup the cap exists to prevent
+    val uncapped = graft.queries.PipelineQueries.frameDupePairs(
+      corpus, 32, 32, 2, 1L, maxDf = 1000L)
+    assert(uncapped.count() == n.toLong * (n - 1) / 2)
+  }
 }

@@ -39,9 +39,9 @@ class CrashRecoverySpec extends SparkSpec {
     */
   private def runAndKill(dir: String, mode: String,
                          minCommits: Int): Int = {
-    val cp = Seq("/opt/spark/jars/*",
-      "target/scala-2.13/classes", "target/scala-2.13/test-classes")
-      .mkString(":")
+    // inherit this JVM's classpath — portable across Spark install
+    // locations and build layouts, unlike hardcoded paths
+    val cp = System.getProperty("java.class.path")
     val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
       .defaultModuleOptions().split(" ").toSeq
     val cmd = (Seq(s"${System.getProperty("java.home")}/bin/java") ++
