@@ -203,8 +203,8 @@ object Dedup {
   /** (id, band, band_key) rows of a signature frame — the shared
     * banding of [[lshCandidates]] and [[incrementalCandidates]].
     */
-  private def bandRows(sig: DataFrame, id: String,
-                       bands: Int, rowsPerBand: Int): DataFrame = {
+  private[graft] def bandRows(sig: DataFrame, id: String,
+                              bands: Int, rowsPerBand: Int): DataFrame = {
     val bandKeys: Column = array((0 until bands).map { b =>
       concat_ws(",",
         (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED half of incremental near-dedup: the historical
+  * corpus's banded MinHash index materialized as a parquet table
+  * partitioned by a hash bucket of (band, band_key), so a daily-ingest
+  * probe scans ONLY the bucket directories its batch touches — the
+  * property that lets a 100 TB index absorb a batch at batch cost.
+  * [[Dedup.incrementalCandidates]] keeps both sides in-plan (the
+  * oracle-checkable form); this is the production artifact the q91
+  * docstring promises.
+  *
+  * Layout mirrors [[graft.FlatFileEngine]]'s versioned-dir commit
+  * protocol: each publish writes a fresh `index.vN` directory (Spark's
+  * own `_SUCCESS` marker is the commit record — a crashed writer
+  * leaves an unreferenced dir that readers skip), and [[resolve]]
+  * returns the highest committed version, so re-indexing never
+  * disturbs a concurrent reader of the previous generation.
+  *
+  * Scale notes: the bucket count is a layout constant (64 here for
+  * test-visible pruning; thousands at 100 TB — one directory per
+  * bucket, each holding one sorted file per writer partition). The
+  * probe's touched-bucket set is collected to the driver to become a
+  * STATIC partition filter — bounded by the bucket-count constant, the
+  * same bounded-by-design class as the HLL register map, never by
+  * data volume.
+  */
+object DedupIndex {
+
+  val NumBuckets = 64
+
+  /** Stable bucket of a band row — the partition key of the index. */
+  def bucketOf(band: Column, bandKey: Column): Column =
+    pmod(xxhash64(band, bandKey), lit(NumBuckets.toLong)).cast("int")
+
+  private def versionsOf(root: String): Seq[(Long, java.io.File)] = {
+    val d = new java.io.File(root)
+    val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+    kids.filter(f => f.isDirectory && f.getName.startsWith("index.v") &&
+        f.getName.drop(7).forall(_.isDigit))
+      .map(f => (f.getName.drop(7).toLong, f))
+  }
+
+  /** Highest committed (`_SUCCESS`-marked) index version under `root`,
+    * or None before the first publish.
+    */
+  def resolve(root: String): Option[String] =
+    versionsOf(root).filter { case (_, f) =>
+      new java.io.File(f, "_SUCCESS").isFile }
+      .sortBy(-_._1).headOption.map(_._2.getAbsolutePath)
+
+  /** Publish the banded index of `indexSig` (a MinHash signature
+    * frame) as the next version under `root`: one row per (id, band,
+    * band_key), hash-partitioned into [[NumBuckets]] directories and
+    * sorted by (band, band_key) within each file. Returns the
+    * committed path.
+    */
+  def publish(indexSig: DataFrame, id: String, bands: Int,
+              rowsPerBand: Int, root: String): String = synchronized {
+    val next = versionsOf(root).map(_._1).maxOption.getOrElse(0L) + 1
+    val path = new java.io.File(root, s"index.v$next").getAbsolutePath
+    Dedup.bandRows(indexSig, id, bands, rowsPerBand)
+      .withColumnRenamed(id, "index_id")
+      .withColumn("bucket", bucketOf(col("band"), col("band_key")))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("band", "band_key")
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    // engine-style retention: the previous generation stays on disk for
+    // readers that resolved before this publish; older ones vacuum
+    versionsOf(root).sortBy(-_._1).drop(2).foreach { case (_, f) =>
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(f)
+    }
+    path
+  }
+
+  /** NEW × persisted-INDEX candidate pairs with bucket pruning: band
+    * the new batch, collect its touched buckets (≤ [[NumBuckets]]
+    * ints — a constant, not data-sized), and read ONLY those
+    * partition directories of the committed index. The equi-join then
+    * runs on (bucket, band, band_key); untouched buckets never leave
+    * the filesystem. Result schema matches
+    * [[Dedup.incrementalCandidates]]: distinct (new_id, index_id).
+    */
+  def probe(spark: SparkSession, newSig: DataFrame, id: String,
+            bands: Int, rowsPerBand: Int, root: String): DataFrame = {
+    val idxPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val nb = Dedup.bandRows(newSig, id, bands, rowsPerBand)
+      .withColumnRenamed(id, "new_id")
+      .withColumn("bucket", bucketOf(col("band"), col("band_key")))
+    val touched = nb.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idx = spark.read.parquet(idxPath)
+      .filter(col("bucket").isin(touched.map(Int.box): _*))
+    nb.join(idx, Seq("bucket", "band", "band_key"))
+      .select(col("new_id"), col("index_id")).distinct()
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.{Hashing, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Bpe, ConnectedComponents, CountMin, Dedup, Packing, Similarity, VectorQuantizer}
+import graft.operators.{Bpe, ConnectedComponents, CountMin, Dedup, DedupIndex, Packing, Similarity, VectorQuantizer}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
   * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
@@ -317,20 +317,15 @@ object PipelineQueries {
        |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)
 
-  /** Corpus stats for the ANN families, read in ONE aggregate pass:
-    * (n, dim) with a ragged-table guard — the bit ceiling must be the
-    * real embedding dimension, not an assumed constant (ADVICE r5: a
-    * smaller real dimension would silently append constant '0' bucket
-    * bits via out-of-range NULLs instead of failing).
+  /** Corpus stats for the ANN families: (n, dim) with a ragged-table
+    * guard — the bit ceiling must be the real embedding dimension, not
+    * an assumed constant (ADVICE r5). Served from the
+    * [[graft.sources.TableStats]] sidecar: one aggregate pass per
+    * TABLE VERSION instead of one per query build (ADVICE r6's
+    * plan-time-pass item).
     */
-  private def corpusStats(emb: org.apache.spark.sql.DataFrame): (Long, Int) = {
-    val row = emb.agg(count(lit(1)), min(size(col("embedding"))),
-      max(size(col("embedding")))).head()
-    val (n, dMin, dMax) = (row.getLong(0), row.getInt(1), row.getInt(2))
-    require(dMin == dMax,
-      s"ragged embedding dimensions: min $dMin != max $dMax")
-    (n, dMin)
-  }
+  private def corpusStats(s: SparkSession, d: String): (Long, Int) =
+    graft.sources.TableStats.embeddingStats(s, s"$d/embeddings.parquet")
 
   /** Shared oracle CTE prefix of the dynamic-bits sign-bucket family
     * (q27): `params` computes bits = [[VectorFunctions.bitsFor]] of
@@ -396,7 +391,7 @@ object PipelineQueries {
   val annBucketed: Q = Q(
     (s, d) => {
       val emb = t(s, d, "embeddings")
-      val (n, dim) = corpusStats(emb)
+      val (n, dim) = corpusStats(s, d)
       Similarity.bucketedTopK(
         emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5,
         VectorFunctions.bitsFor(n, dim))
@@ -433,7 +428,7 @@ object PipelineQueries {
   val nearestNeighbor: Q = Q(
     (s, d) => {
       val emb = t(s, d, "embeddings")
-      val r = VectorFunctions.mtBits(corpusStats(emb)._1)
+      val r = VectorFunctions.mtBits(corpusStats(s, d)._1)
       Similarity.multiTableSweep(emb, "vec_id", "embedding", 1,
         r, VectorFunctions.mtTables(r))
     },
@@ -465,7 +460,7 @@ object PipelineQueries {
   val annMultiTable: Q = Q(
     (s, d) => {
       val emb = t(s, d, "embeddings")
-      val r = VectorFunctions.mtBits(corpusStats(emb)._1)
+      val r = VectorFunctions.mtBits(corpusStats(s, d)._1)
       Similarity.multiTableTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", 5, r, VectorFunctions.mtTables(r))
     },
@@ -719,7 +714,7 @@ object PipelineQueries {
           col("embedding"))
         val corpus = emb.unionByName(dupes)
         // (r, T) from the DEDUP corpus size (injected copies included)
-        val r = VectorFunctions.mtBits(2L * corpusStats(emb)._1)
+        val r = VectorFunctions.mtBits(2L * corpusStats(s, d)._1)
         Similarity.multiTableNearDupPairs(corpus, "vec_id", "embedding",
             MIN_COS, r, VectorFunctions.mtTables(r))
           .orderBy("id_a", "id_b")
@@ -1721,7 +1716,7 @@ object PipelineQueries {
         val emb = t(s, d, "embeddings")
         val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(
           emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-        val n = emb.count()
+        val n = corpusStats(s, d)._1 // sidecar-cached, not a per-build pass
         // fit runs on the originals; clamp cells to that corpus
         val c = Similarity.cellsFor(2L * n, n)
         val e = VectorQuantizer.scaled(emb, "vec_id", "embedding").persist()
@@ -2004,8 +1999,15 @@ object PipelineQueries {
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
         val sigI = Dedup.minhashSignatures(index, "doc_id", "text", MH_K)
         val sigN = Dedup.minhashSignatures(fresh, "doc_id", "text", MH_K)
-        val cands = Dedup.incrementalCandidates(
-          sigN, sigI, "doc_id", MH_BANDS, MH_R)
+        // the production shape: the index is a PERSISTED bucketed
+        // artifact ([[DedupIndex]]), published once per re-index
+        // (amortized — not per batch) and probed with bucket pruning;
+        // candidates are identical to the in-plan NEW × INDEX band
+        // join, which the oracle below mirrors
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft-dedup-index-" + new java.io.File(d).getName).getAbsolutePath
+        DedupIndex.publish(sigI, "doc_id", MH_BANDS, MH_R, root)
+        val cands = DedupIndex.probe(s, sigN, "doc_id", MH_BANDS, MH_R, root)
         Dedup.jaccardFor(
             cands.select(col("new_id").as("id_a"), col("index_id").as("id_b")),
             index.unionByName(fresh), "doc_id", "text", 3, MIN_J)
