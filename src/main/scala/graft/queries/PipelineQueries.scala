@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.{Hashing, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Bpe, ConnectedComponents, CountMin, Dedup, DedupIndex, Packing, Similarity, VectorQuantizer}
+import graft.operators.{Bpe, ConnectedComponents, CountMin, Dedup, DedupIndex, MixManifest, Packing, Similarity, VectorQuantizer}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
   * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
@@ -2170,7 +2170,54 @@ object PipelineQueries {
        |  (sum(dg) * 1000 // count(*))::BIGINT AS rarity_scaled
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  /** Pinned training-mixture snapshot (q95) — cross-run data
+    * versioning, the reproducibility capstone over q77 + q43: publish
+    * a [[MixManifest]] (amortized — once per mixture decision, not per
+    * run) pinning the per-source keep thresholds, the split bounds,
+    * and the source table's fingerprint, then read the corpus THROUGH
+    * the pinned manifest and report per-(source, split) kept counts.
+    * Membership is a pure function of (doc_id, manifest version):
+    * rerunning — on this engine or any other — reselects the identical
+    * documents, which is what makes a training run auditable end to
+    * end. The oracle derives the same thresholds and split from the
+    * same data, mirroring a manifest pinned at head.
+    */
+  val mixManifestSnapshot: Q = {
+    val SCALE = 1000000L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft-mix-manifest-" + new java.io.File(d).getName).getAbsolutePath
+        MixManifest.publish(docs, "doc_id", "source", SCALE, 80, 90, root,
+          provenance =
+            graft.sources.TableStats.fingerprint(s"$d/documents.parquet"))
+        val pinned = MixManifest.load(s, root)
+        MixManifest.applyMix(docs, pinned, "doc_id", "source")
+          .groupBy("source", "split").agg(count(lit(1)).as("n_kept"))
+          .orderBy("source", "split")
+      },
+      s"""WITH counts AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs FROM documents
+         |  GROUP BY source),
+         |nmin AS (SELECT min(n_docs) AS n_min FROM counts),
+         |thr AS (
+         |  SELECT source,
+         |    round(sqrt(n_min::DOUBLE / n_docs::DOUBLE) * $SCALE)::BIGINT AS thr
+         |  FROM counts, nmin),
+         |kept AS (
+         |  SELECT d.source,
+         |    CASE WHEN (${Hashing.h32Sql("doc_id::VARCHAR")}) % 100 < 80 THEN 'train'
+         |         WHEN (${Hashing.h32Sql("doc_id::VARCHAR")}) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents d JOIN thr USING (source)
+         |  WHERE (${Hashing.h32Sql("doc_id::VARCHAR")}) % $SCALE < thr)
+         |SELECT source, split, count(*)::BIGINT AS n_kept
+         |FROM kept GROUP BY source, split ORDER BY source, split""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q95_mix_manifest"   -> mixManifestSnapshot,
     "q94_rarity_score"   -> rarityScore,
     "q93_media_dupes"    -> mediaDupes,
     "q87_pipeline_e2e"   -> pipelineE2e,

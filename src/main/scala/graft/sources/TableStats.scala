@@ -27,7 +27,7 @@ object TableStats {
 
   private[graft] def clearMemo(): Unit = memo.clear()
 
-  private def fingerprint(tablePath: String): String = {
+  private[graft] def fingerprint(tablePath: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
