@@ -2003,10 +2003,18 @@ object PipelineQueries {
         // artifact ([[DedupIndex]]), published once per re-index
         // (amortized — not per batch) and probed with bucket pruning;
         // candidates are identical to the in-plan NEW × INDEX band
-        // join, which the oracle below mirrors
+        // join, which the oracle below mirrors. The index root is
+        // keyed by the source table's fingerprint, so a rerun against
+        // unchanged data probes the existing generation instead of
+        // re-publishing (the amortization, made literal), while any
+        // data change re-indexes under a fresh key.
+        val fp = graft.sources.TableStats
+          .fingerprint(s"$d/documents.parquet").take(12)
         val root = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft-dedup-index-" + new java.io.File(d).getName).getAbsolutePath
-        DedupIndex.publish(sigI, "doc_id", MH_BANDS, MH_R, root)
+          "graft-dedup-index-" + new java.io.File(d).getName + "-" + fp)
+          .getAbsolutePath
+        if (DedupIndex.resolve(root).isEmpty)
+          DedupIndex.publish(sigI, "doc_id", MH_BANDS, MH_R, root)
         val cands = DedupIndex.probe(s, sigN, "doc_id", MH_BANDS, MH_R, root)
         Dedup.jaccardFor(
             cands.select(col("new_id").as("id_a"), col("index_id").as("id_b")),
@@ -2216,7 +2224,85 @@ object PipelineQueries {
          |FROM kept GROUP BY source, split ORDER BY source, split""".stripMargin)
   }
 
+  /** ANN recall evaluation (q96) — the measurement harness every
+    * production ANN deployment needs: recall@K of the multi-table LSH
+    * path (q74's at-scale form) against exact brute-force ground
+    * truth, per query. At 100 TB this runs on a SAMPLED query set —
+    * the quadratic brute-force cost is paid on the sample only while
+    * the approximate side reuses the production bucket join — making
+    * recall a monitored number instead of a hoped-for property. Both
+    * rankings break cos_sim ties by vec_id, so the hit set is
+    * deterministic on both engines; recall_pct uses integer div
+    * (all-positive — Spark `div` and DuckDB `//` agree).
+    */
+  val annRecall: Q = {
+    val K = 10; val NQ = 20
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < NQ)
+        val exact = Similarity.bruteForceTopK(
+            emb, queries, "vec_id", "embedding", K)
+          .select(col("query_id"), col("vec_id"))
+        val r = VectorFunctions.mtBits(corpusStats(s, d)._1)
+        val approx = Similarity.multiTableTopK(
+            emb, queries, "vec_id", "embedding", K,
+            r, VectorFunctions.mtTables(r))
+          .select(col("query_id"), col("vec_id"))
+        val hits = exact.join(approx, Seq("query_id", "vec_id"), "leftsemi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        queries.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .selectExpr("query_id", "n_hit",
+            s"n_hit * 100 div $K AS recall_pct")
+          .orderBy("query_id")
+      },
+      s"""WITH ${mtCtes("embeddings")},
+         |qx AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE vec_id < $NQ),
+         |cx AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bs AS (
+         |  SELECT query_id, vec_id,
+         |    round(list_dot_product(qv, v) /
+         |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+         |      AS cos_sim
+         |  FROM qx JOIN cx ON vec_id <> query_id),
+         |br AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM bs),
+         |ex AS (SELECT query_id, vec_id FROM br WHERE rnk <= $K),
+         |aq AS (SELECT vec_id, embedding, tbl, bucket FROM kb
+         |       WHERE vec_id < $NQ),
+         |ascore AS (
+         |  SELECT aq.vec_id AS query_id, kb.vec_id,
+         |    max(round(${VectorFunctions.cosineSql("aq.embedding", "kb.embedding")}, 6))
+         |      AS cos_sim
+         |  FROM aq JOIN kb ON aq.tbl = kb.tbl AND aq.bucket = kb.bucket
+         |    AND kb.vec_id <> aq.vec_id
+         |  GROUP BY aq.vec_id, kb.vec_id),
+         |ar AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM ascore),
+         |ax AS (SELECT query_id, vec_id FROM ar WHERE rnk <= $K),
+         |hit AS (
+         |  SELECT e.query_id, count(*)::BIGINT AS n_hit
+         |  FROM ex e JOIN ax a
+         |    ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+         |  GROUP BY e.query_id)
+         |SELECT q.query_id, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+         |  (coalesce(h.n_hit, 0) * 100 // $K)::BIGINT AS recall_pct
+         |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < $NQ) q
+         |LEFT JOIN hit h USING (query_id)
+         |ORDER BY query_id""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q96_ann_recall"     -> annRecall,
     "q95_mix_manifest"   -> mixManifestSnapshot,
     "q94_rarity_score"   -> rarityScore,
     "q93_media_dupes"    -> mediaDupes,

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, DedupIndex}
+
+/** Streaming incremental near-dedup: q91's daily-ingest shape run
+  * continuously under `foreachBatch`. Each micro-batch of documents is
+  * MinHash-signed and banded, probed against the signatures of every
+  * PRIOR committed batch (NEW × INDEX only — a batch never pairs with
+  * itself here, and the index is never re-banded), and the batch's
+  * candidate matches and band rows land as two `_SUCCESS`-committed
+  * batch dirs — the [[VersionedSink]] idempotence trick, so an
+  * at-least-once replay is absorbed:
+  *
+  *  - matches are computed against sigs with batch id < this id, so a
+  *    replay recomputes the IDENTICAL result whatever has committed
+  *    since (streaming replays only ever happen before later batches,
+  *    but the id guard makes determinism unconditional);
+  *  - matches commit before sigs: a crash between the two re-runs the
+  *    batch, overwrites both dirs with identical bytes, and no later
+  *    batch can have probed the half-published state (sigs were not
+  *    yet committed).
+  *
+  * Band rows carry the [[DedupIndex]] bucket as a stored column and
+  * are written sorted by it, so the probe's touched-bucket filter
+  * prunes parquet ROW GROUPS in the batch tail; at scale a periodic
+  * compaction folds the tail into the directory-pruned
+  * [[DedupIndex]] artifact — same base + delta + compact lifecycle as
+  * [[VersionedSink]]. The emitted pairs are LSH candidates (band-key
+  * collisions), not verified duplicates: verification needs the text
+  * store and stays a downstream batch join (q59/q91's rule — linear
+  * in candidates).
+  */
+final class DedupStream(spark: SparkSession, root: String,
+                        id: String, text: String,
+                        k: Int, bands: Int, rowsPerBand: Int) {
+
+  private def fs =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committed(p: Path): Boolean =
+    fs.exists(new Path(p, "_SUCCESS"))
+
+  private def numbered(prefix: String): Seq[(Long, Path)] = {
+    val base = new Path(root)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(prefix) && name.length > prefix.length &&
+          name.drop(prefix.length).forall(_.isDigit))
+        Some((name.drop(prefix.length).toLong, st.getPath))
+      else None
+    }
+  }
+
+  private def sigDirs: Seq[(Long, Path)] =
+    numbered("sig.b").filter(d => committed(d._2)).sortBy(_._1)
+
+  private def matchDirs: Seq[(Long, Path)] =
+    numbered("matches.b").filter(d => committed(d._2)).sortBy(_._1)
+
+  private def bandsOf(batch: DataFrame): DataFrame =
+    Dedup.bandRows(
+        Dedup.minhashSignatures(batch, id, text, k), id, bands, rowsPerBand)
+      .withColumn("bucket",
+        DedupIndex.bucketOf(col("band"), col("band_key")))
+
+  /** The `foreachBatch` body. Returns false when this batch id is
+    * fully committed already (replay absorbed), true when this call
+    * committed it.
+    */
+  def processBatch(batch: DataFrame, batchId: Long): Boolean = {
+    val sigTarget = new Path(root, s"sig.b$batchId")
+    val matchTarget = new Path(root, s"matches.b$batchId")
+    if (committed(sigTarget) && committed(matchTarget)) return false
+    // batch-sized and read three times (touched set, probe join, sig
+    // write) — cache for the scope of this batch only
+    val nb = bandsOf(batch).withColumnRenamed(id, "new_id").persist()
+    try {
+      val prior = sigDirs.filter(_._1 < batchId).map(_._2.toString)
+      val matches =
+        if (prior.isEmpty)
+          nb.select(col("new_id"), col("new_id").as("index_id")).limit(0)
+        else {
+          val touched = nb.select("bucket").distinct()
+            .collect().map(_.getInt(0)).sorted // bounded by NumBuckets
+          spark.read.parquet(prior: _*)
+            .filter(col("bucket").isin(touched.map(Int.box): _*))
+            .withColumnRenamed("new_id", "index_id")
+            .join(nb, Seq("bucket", "band", "band_key"))
+            .select(col("new_id"), col("index_id")).distinct()
+        }
+      if (!committed(matchTarget))
+        matches.write.mode("overwrite").parquet(matchTarget.toString)
+      if (!committed(sigTarget))
+        nb.sortWithinPartitions("bucket")
+          .write.mode("overwrite").parquet(sigTarget.toString)
+      true
+    } finally { nb.unpersist(); () }
+  }
+
+  /** Every committed candidate pair so far. */
+  def matches(): DataFrame = {
+    val dirs = matchDirs.map(_._2.toString)
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("new_id"), col("id").as("index_id"))
+    else spark.read.parquet(dirs: _*).select("new_id", "index_id")
+  }
+
+  /** Batch ids whose signatures are probe-visible. */
+  def committedBatches: Seq[Long] = sigDirs.map(_._1)
+
+  /** Fold every committed batch's band rows into a new generation of
+    * the directory-pruned [[DedupIndex]] artifact under
+    * `root/compacted` — the tail-to-base compaction. Batch sig dirs
+    * stay in place (this stream keeps probing them; a production
+    * deployment would switch its probe base and vacuum, exactly
+    * [[VersionedSink.compact]]'s floor rule).
+    */
+  def compactIndex(): Option[String] = {
+    val dirs = sigDirs.map(_._2.toString)
+    if (dirs.isEmpty) None
+    else {
+      val rows = spark.read.parquet(dirs: _*)
+        .select(col("new_id").as("index_id"), col("band"),
+          col("band_key"), col("bucket"))
+      val next = new java.io.File(root, "compacted").getAbsolutePath
+      val path = new java.io.File(next,
+        s"index.v${sigDirs.map(_._1).max + 1}").getAbsolutePath
+      rows.repartition(col("bucket"))
+        .sortWithinPartitions("band", "band_key")
+        .write.partitionBy("bucket").mode("overwrite").parquet(path)
+      Some(path)
+    }
+  }
+}

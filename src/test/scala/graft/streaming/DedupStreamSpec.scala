@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.DedupIndex
+
+/** [[DedupStream]]: continuous NEW × PRIOR near-dedup with
+  * exactly-once batch commits, replay absorption, and tail-to-base
+  * index compaction.
+  */
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 16; private val BANDS = 4; private val R = 4
+
+  private def doc(i: Int) =
+    s"alpha beta gamma delta epsilon zeta token$i filler${i * 7} " +
+      s"word${i % 13} tail${i * 31} end$i"
+
+  private def streamIn(dir: String) =
+    new DedupStream(spark, dir, "doc_id", "text", K, BANDS, R)
+
+  test("matches surface across batches, never within one (NEW × PRIOR only)") {
+    val dir = Files.createTempDirectory("dstream").toString
+    val s = streamIn(dir)
+    // batch 0 contains an INTERNAL duplicate pair (7 and 107 share
+    // text) — the stream must not pair them: intra-batch dedup is the
+    // batch operators' job (q24), the stream's contract is new-vs-index
+    val b0 = ((0 until 10).map(i => (i.toLong, doc(i))) :+ (107L, doc(7)))
+      .toDF("doc_id", "text")
+    assert(s.processBatch(b0, 0))
+    assert(s.matches().count() == 0)
+    // batch 1 redelivers doc 3 under a new id → exactly one cross-batch
+    // candidate, against the indexed original
+    val b1 = ((10 until 20).map(i => (i.toLong, doc(i))) :+ (1003L, doc(3)))
+      .toDF("doc_id", "text")
+    assert(s.processBatch(b1, 1))
+    val m = s.matches().as[(Long, Long)].collect().toSet
+    assert(m.contains((1003L, 3L)), s"missing redelivery match: $m")
+    assert(!m.exists { case (a, b) => a == 107L || b == 107L },
+      s"intra-batch pair leaked: $m")
+    assert(s.committedBatches == Seq(0L, 1L))
+  }
+
+  test("replay of a committed batch is absorbed byte-for-byte") {
+    val dir = Files.createTempDirectory("dstream").toString
+    val s = streamIn(dir)
+    val b0 = (0 until 8).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val b1 = Seq((100L, doc(2))).toDF("doc_id", "text")
+    assert(s.processBatch(b0, 0))
+    assert(s.processBatch(b1, 1))
+    val before = s.matches().as[(Long, Long)].collect().toSet
+    assert(!s.processBatch(b1, 1)) // at-least-once delivery replays it
+    assert(s.matches().as[(Long, Long)].collect().toSet == before)
+    // crash between the two commits: matches landed, sigs did not —
+    // the replay rewrites the sig dir and changes no visible match
+    val sigDir = new java.io.File(dir, "sig.b1")
+    assert(new java.io.File(sigDir, "_SUCCESS").delete())
+    assert(s.processBatch(b1, 1))
+    assert(s.matches().as[(Long, Long)].collect().toSet == before)
+    assert(s.committedBatches == Seq(0L, 1L))
+  }
+
+  test("compaction folds the batch tail into a DedupIndex generation") {
+    val dir = Files.createTempDirectory("dstream").toString
+    val s = streamIn(dir)
+    val b0 = (0 until 8).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val b1 = (8 until 16).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    assert(s.processBatch(b0, 0))
+    assert(s.processBatch(b1, 1))
+    assert(s.compactIndex().isDefined)
+    val root = new java.io.File(dir, "compacted").getAbsolutePath
+    val resolved = DedupIndex.resolve(root)
+    assert(resolved.isDefined)
+    // the compacted artifact serves DedupIndex.probe directly: a new
+    // doc equal to doc 5 finds its indexed original through the
+    // bucket-pruned path
+    val sigN = graft.operators.Dedup.minhashSignatures(
+      Seq((5000L, doc(5))).toDF("doc_id", "text"), "doc_id", "text", K)
+    val hits = DedupIndex.probe(spark, sigN, "doc_id", BANDS, R, root)
+      .as[(Long, Long)].collect().toSet
+    assert(hits.contains((5000L, 5L)), s"compacted probe missed: $hits")
+  }
+}
