@@ -57,8 +57,12 @@ object BloomJoin {
   def semiJoin(probe: DataFrame, build: DataFrame, probeKey: String,
                buildKey: String, mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
     val bitmap = buildBitmap(build, buildKey, mBits, k)
+    // no broadcast hint on the exact verify join: the build side is
+    // usually small (that's why a bloom fits), but hint-forcing it
+    // would bypass AQE's size check for callers with a larger build —
+    // AQE picks BHJ by measured size where it's safe
     probe.filter(mightContain(col(probeKey), bitmap, mBits, k))
-      .join(broadcast(build.select(col(buildKey).as(probeKey)).distinct()),
+      .join(build.select(col(buildKey).as(probeKey)).distinct(),
         Seq(probeKey), "leftsemi")
   }
 }

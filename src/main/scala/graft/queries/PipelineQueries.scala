@@ -2301,7 +2301,83 @@ object PipelineQueries {
          |ORDER BY query_id""".stripMargin)
   }
 
+  /** Rowwise int8 affine quantization of the embedding column (q97) —
+    * the vector-COMPRESSION step of an embedding pipeline (4× smaller
+    * than float32 at serving/storage time): per vector, map each
+    * component to a 0..255 code against the vector's own [min, max]
+    * range, and report code diversity plus exact reconstruction error.
+    * Everything runs in the shared micro-unit INTEGER domain
+    * ([[VectorFunctions.scaledMicro]]) with floor division on
+    * non-negative operands (Spark `div` = DuckDB `//`), so codes and
+    * error sums are hash-exact across engines — no float rounding to
+    * diverge. One scan, all per-row codegen lambdas, zero shuffles
+    * before the final sort: embarrassingly parallel at any corpus
+    * size.
+    */
+  val int8Quant: Q = Q(
+    (s, d) => {
+      t(s, d, "embeddings").select(col("vec_id"),
+          VectorFunctions.scaledMicro(col("embedding")).as("xs"))
+        .selectExpr("vec_id", "xs",
+          "array_min(xs) AS mn", "array_max(xs) AS mx")
+        .selectExpr("vec_id", "mn", "mx", "xs",
+          "greatest(mx - mn, 1L) AS rng")
+        .selectExpr("vec_id", "mn", "mx",
+          "transform(xs, x -> (x - mn) * 255 div rng) AS codes",
+          "transform(xs, x -> abs((x - mn) - ((x - mn) * 255 div rng) * rng div 255)) AS errs")
+        .selectExpr("vec_id", "mn", "mx",
+          "cast(size(array_distinct(codes)) AS bigint) AS n_codes",
+          "aggregate(errs, 0L, (a, e) -> a + e) AS err_total",
+          "array_max(errs) AS err_max")
+        .orderBy("vec_id")
+    },
+    s"""WITH xs AS (
+       |  SELECT vec_id, ${VectorFunctions.scaledMicroSql("embedding")} AS xs
+       |  FROM embeddings),
+       |mm AS (
+       |  SELECT vec_id, xs, list_min(xs) AS mn, list_max(xs) AS mx,
+       |    greatest(list_max(xs) - list_min(xs), 1) AS rng
+       |  FROM xs),
+       |qc AS (
+       |  SELECT vec_id, mn, mx,
+       |    list_transform(xs, x -> (x - mn) * 255 // rng) AS codes,
+       |    list_transform(xs,
+       |      x -> abs((x - mn) - ((x - mn) * 255 // rng) * rng // 255)) AS errs
+       |  FROM mm)
+       |SELECT vec_id, mn, mx,
+       |  len(list_distinct(codes))::BIGINT AS n_codes,
+       |  list_sum(errs)::BIGINT AS err_total,
+       |  list_max(errs)::BIGINT AS err_max
+       |FROM qc ORDER BY vec_id""".stripMargin)
+
+  /** Document-length histogram in power-of-two buckets per source
+    * (q98) — the packing planner's input: q62's sequence packing needs
+    * the length DISTRIBUTION (how much of the corpus is short-tail vs
+    * max-length) to pick sequence length and predict padding waste.
+    * The bucket is `length(bin(n))` = ⌊log₂ n⌋ + 1 — an exact integer
+    * on both engines, no float log. One scan, one (source, bucket)
+    * groupBy with taxonomy-bounded state.
+    */
+  val lengthHistogram: Q = Q(
+    (s, d) =>
+      t(s, d, "documents")
+        .selectExpr("source",
+          "cast(length(bin(greatest(length(text), 1))) AS bigint) AS len_bucket",
+          "cast(length(text) AS bigint) AS n_chars")
+        .groupBy("source", "len_bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("source", "len_bucket"),
+    """SELECT source,
+      |  length(bin(greatest(length(text), 1)))::BIGINT AS len_bucket,
+      |  count(*)::BIGINT AS n_docs,
+      |  sum(length(text))::BIGINT AS total_chars
+      |FROM documents
+      |GROUP BY source, len_bucket
+      |ORDER BY source, len_bucket""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "q98_length_histogram" -> lengthHistogram,
+    "q97_int8_quant"     -> int8Quant,
     "q96_ann_recall"     -> annRecall,
     "q95_mix_manifest"   -> mixManifestSnapshot,
     "q94_rarity_score"   -> rarityScore,
