@@ -2375,7 +2375,94 @@ object PipelineQueries {
       |GROUP BY source, len_bucket
       |ORDER BY source, len_bucket""".stripMargin)
 
+  /** Benchmark-contamination FRACTION report (q99) — the standard
+    * decontamination metric (n-gram overlap fraction, the GPT-3/PaLM
+    * datasheet number): per corpus doc, the share of its distinct
+    * 3-gram shingles that appear anywhere in the benchmark set,
+    * reported for docs at ≥ 50%. q50 gives the absolute-count filter;
+    * this is the normalized readout an audit wants (a long doc can
+    * share 5 shingles innocently — 50% of its shingles is a different
+    * story). Injected exact copies of benchmark docs must surface at
+    * 1000/1000. Same scale shape as q50: shingle semi-join against
+    * the benchmark set (bounded — benchmark suites are fixed-size,
+    * not corpus-scaled), one doc-keyed groupBy; fraction in integer
+    * thousandths (all-positive floor div — engine-exact).
+    */
+  val contaminationFrac: Q = {
+    val BENCH_MAX = 25L; val REDELIVER = 10L
+    val SCALE = 1000L; val MIN_FRAC = 500L
+    Q(
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val docs = base.unionByName(base.filter(col("doc_id") < REDELIVER)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val sh = Dedup.shingleKeys(docs, "doc_id", "text", 3)
+        val bench = sh.filter(col("doc_id") < BENCH_MAX).select("s").distinct()
+        val corpus = sh.filter(col("doc_id") >= BENCH_MAX)
+        val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val shared = corpus.join(bench, Seq("s"), "leftsemi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        sizes.join(shared, Seq("doc_id"))
+          .selectExpr("doc_id", "n_sh", "n_shared",
+            s"n_shared * $SCALE div n_sh AS frac_scaled")
+          .filter(col("frac_scaled") >= MIN_FRAC)
+          .orderBy("doc_id")
+      },
+      s"""WITH corpus0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+         |    WHERE doc_id < $REDELIVER),
+         |w AS (
+         |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr FROM corpus0),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(${TextFunctions.shinglesSql("arr")}) AS s
+         |  FROM w),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < $BENCH_MAX),
+         |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= $BENCH_MAX),
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM corpus
+         |          GROUP BY doc_id),
+         |shared AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_shared FROM corpus
+         |  WHERE s IN (SELECT s FROM bench) GROUP BY doc_id)
+         |SELECT doc_id, n_sh, n_shared,
+         |  (n_shared * $SCALE // n_sh)::BIGINT AS frac_scaled
+         |FROM sizes JOIN shared USING (doc_id)
+         |WHERE n_shared * $SCALE // n_sh >= $MIN_FRAC
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Dataset card (q100) — the datasheet numbers a corpus release
+    * ships with, from ONE scan: doc count, language/source taxonomy
+    * sizes, total and mean chars (integer div), and distinct-content
+    * count (the exact-dup-rate readout). Exact distincts are the
+    * oracle-checkable form; at 100 TB the content-hash distinct swaps
+    * for q83's HLL registers (2^P state) and lang/source distincts
+    * stay exact (taxonomy-bounded). Spark plans the multi-distinct as
+    * one scan + expand — still a single pass over the data.
+    */
+  val datasetCard: Q = Q(
+    (s, d) =>
+      t(s, d, "documents")
+        .selectExpr("lang", "source",
+          "cast(length(text) AS bigint) AS n_chars", "md5(text) AS h")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum("n_chars").as("total_chars"),
+          expr("sum(n_chars) div count(1)").as("mean_chars"),
+          countDistinct(col("h")).as("n_unique_texts")),
+    """SELECT count(*)::BIGINT AS n_docs,
+      |  count(DISTINCT lang)::BIGINT AS n_langs,
+      |  count(DISTINCT source)::BIGINT AS n_sources,
+      |  sum(length(text))::BIGINT AS total_chars,
+      |  (sum(length(text)) // count(*))::BIGINT AS mean_chars,
+      |  count(DISTINCT md5(text))::BIGINT AS n_unique_texts
+      |FROM documents""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "q100_dataset_card"  -> datasetCard,
+    "q99_contamination_frac" -> contaminationFrac,
     "q98_length_histogram" -> lengthHistogram,
     "q97_int8_quant"     -> int8Quant,
     "q96_ann_recall"     -> annRecall,

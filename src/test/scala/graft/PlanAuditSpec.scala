@@ -111,8 +111,10 @@ class PlanAuditSpec extends SparkSpec {
     // more) fused codegen stages. q15 = TPC-H Q1 shape, q29 = pure
     // expression text scoring, q80 = the quantile sketch's
     // string-built bucket math, q81 = the 30-term morton interleave.
+    // q97 = per-row quantization lambdas, q98 = exact log2 bucket agg
     for (name <- Seq("q15_pricing_summary", "q29_text_quality",
-        "q80_quantile_sketch", "q81_zorder_stats")) {
+        "q80_quantile_sketch", "q81_zorder_stats",
+        "q97_int8_quant", "q98_length_histogram")) {
       // the AQE initial plan hides codegen annotation — ask the
       // codegen explain mode, which prints the fused subtrees
       val p = SparkEntry.queries(name)(spark, sf0001)
