@@ -2195,11 +2195,16 @@ object PipelineQueries {
     Q(
       (s, d) => {
         val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        // root keyed by the source table's fingerprint (q91's
+        // amortization rule): pin once per table version, reruns read
+        // the existing manifest; a data change re-pins under a new key
+        val fp = graft.sources.TableStats.fingerprint(s"$d/documents.parquet")
         val root = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft-mix-manifest-" + new java.io.File(d).getName).getAbsolutePath
-        MixManifest.publish(docs, "doc_id", "source", SCALE, 80, 90, root,
-          provenance =
-            graft.sources.TableStats.fingerprint(s"$d/documents.parquet"))
+          "graft-mix-manifest-" + new java.io.File(d).getName + "-" +
+            fp.take(12)).getAbsolutePath
+        if (MixManifest.resolve(root).isEmpty)
+          MixManifest.publish(docs, "doc_id", "source", SCALE, 80, 90, root,
+            provenance = fp)
         val pinned = MixManifest.load(s, root)
         MixManifest.applyMix(docs, pinned, "doc_id", "source")
           .groupBy("source", "split").agg(count(lit(1)).as("n_kept"))
