@@ -59,8 +59,11 @@ class DedupIndexSpec extends SparkSpec {
     // partition filter — pruning happens at file listing, not post-scan
     val p = DedupIndex.probe(spark, sigN, "doc_id", BANDS, R, root)
       .queryExecution.executedPlan.toString
-    assert(p.contains("PartitionFilters") && p.contains("bucket"),
-      s"probe scan lost its partition filter:\n${p.take(2000)}")
+    // the filter must sit INSIDE the scan's PartitionFilters list (an
+    // empty list would still print the header — anchor on the content)
+    assert("PartitionFilters: \\[[^\\]]*bucket[^\\]]*IN".r.findFirstIn(p).isDefined
+        || "PartitionFilters: \\[[^\\]]*bucket[^\\]]*INSET".r.findFirstIn(p).isDefined,
+      s"probe scan lost its bucket partition filter:\n${p.take(2000)}")
   }
 
   test("resolve picks the highest committed version; uncommitted dirs invisible") {
