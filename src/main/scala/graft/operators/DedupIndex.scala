@@ -67,9 +67,17 @@ object DedupIndex {
       .repartition(col("bucket"))
       .sortWithinPartitions("band", "band_key")
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
-    // engine-style retention: the previous generation stays on disk for
-    // readers that resolved before this publish; older ones vacuum
-    versionsOf(root).sortBy(-_._1).drop(2).foreach { case (_, f) =>
+    // engine-style retention: the floor is the SECOND-newest COMMITTED
+    // version — everything below it (older generations, crashed-writer
+    // leftovers) vacuums; everything at/above survives, so the
+    // previous committed generation stays for readers that resolved
+    // before this publish and a possibly in-flight higher-numbered
+    // writer is never yanked. Ranking raw dirs instead would let a
+    // crash orphan displace the previous committed generation.
+    val committedVs = versionsOf(root).filter { case (_, f) =>
+      new java.io.File(f, "_SUCCESS").isFile }.map(_._1)
+    val keepFloor = committedVs.sorted.takeRight(2).headOption.getOrElse(0L)
+    versionsOf(root).filter(_._1 < keepFloor).foreach { case (_, f) =>
       def rm(x: java.io.File): Unit = {
         Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
       }

@@ -67,7 +67,13 @@ object MixManifest {
     val next = versionsOf(root).map(_._1).maxOption.getOrElse(0L) + 1
     val path = new java.io.File(root, s"mix.v$next").getAbsolutePath
     rows.coalesce(1).write.mode("overwrite").parquet(path)
-    versionsOf(root).sortBy(-_._1).drop(2).foreach { case (_, f) =>
+    // keep the newest two COMMITTED generations (see DedupIndex.publish
+    // — ranking raw dirs would let a crash orphan displace the
+    // previous committed generation a reader may still be pinned on)
+    val committedVs = versionsOf(root).filter { case (_, f) =>
+      new java.io.File(f, "_SUCCESS").isFile }.map(_._1)
+    val keepFloor = committedVs.sorted.takeRight(2).headOption.getOrElse(0L)
+    versionsOf(root).filter(_._1 < keepFloor).foreach { case (_, f) =>
       def rm(x: java.io.File): Unit = {
         Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
       }

@@ -83,4 +83,19 @@ class DedupIndexSpec extends SparkSpec {
       .filter(_.getName.matches("index\\.v\\d+")).map(_.getName).toSet
     assert(!kept.contains("index.v1") && !kept.contains("index.v2"))
   }
+
+  test("a crash orphan above the committed head never displaces the previous generation") {
+    val root = Files.createTempDirectory("dedupidx").toString
+    val v1 = DedupIndex.publish(sigI, "doc_id", BANDS, R, root)
+    // crashed re-index lands ABOVE the committed head (no _SUCCESS)
+    assert(new java.io.File(root, "index.v5").mkdir())
+    val v6 = DedupIndex.publish(sigI, "doc_id", BANDS, R, root)
+    assert(v6.endsWith("index.v6"))
+    // retention must rank COMMITTED versions: v1 is the previous
+    // committed generation and stays; a raw-dir ranking would have
+    // kept {v6, orphan v5} and deleted v1 under a pinned reader
+    assert(new java.io.File(v1, "_SUCCESS").isFile,
+      "previous committed generation was vacuumed by a crash orphan")
+    assert(DedupIndex.resolve(root).contains(v6))
+  }
 }
