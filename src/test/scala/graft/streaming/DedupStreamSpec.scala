@@ -64,6 +64,32 @@ class DedupStreamSpec extends SparkSpec {
     assert(s.committedBatches == Seq(0L, 1L))
   }
 
+  test("runs as a real foreachBatch sink: cross-batch match lands") {
+    val src = Files.createTempDirectory("dstream-src")
+    val root = Files.createTempDirectory("dstream-out").toString
+    val s = streamIn(root)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").json(src.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("dstream-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        s.processBatch(df, id); ()
+      }.start()
+    try {
+      Files.writeString(src.resolve("a.json"),
+        (0 until 6).map(i =>
+          s"""{"doc_id":$i,"text":"${doc(i)}"}""").mkString("\n"))
+      q.processAllAvailable()
+      Files.writeString(src.resolve("b.json"),
+        s"""{"doc_id":500,"text":"${doc(2)}"}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val m = s.matches().as[(Long, Long)].collect().toSet
+    assert(m.contains((500L, 2L)), s"stream missed the redelivery: $m")
+    assert(s.committedBatches.size >= 2)
+  }
+
   test("compaction folds the batch tail into a DedupIndex generation") {
     val dir = Files.createTempDirectory("dstream").toString
     val s = streamIn(dir)
