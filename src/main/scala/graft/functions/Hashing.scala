@@ -84,16 +84,25 @@ object Hashing {
         .isNotNull, text)
       .otherwise(text)
 
-  /** Polynomial hash of a k-char string column. Callers extract the
-    * gram ONCE (`substr(t, pos, k)` — one char-position scan) and fold
-    * over the small gram here: per-char `substr` on the full document
-    * would rescan from the start for every character (char-position
-    * lookup is O(pos)) — measured 2× SLOWER than the md5 it replaces,
-    * while this shape is the intended k-int-op fold. The fold runs
-    * over the [[asciiGuard]]ed gram — parity is enforced, not hoped
-    * for.
+  /** Polynomial hash of a k-char string column — served by the native
+    * codegen'd [[graft.plans.CharPolyHash]]: one fused byte loop per
+    * row (with the ASCII domain guard enforced in the same pass)
+    * instead of k chained `ascii(substr(g, j, 1))` expression nodes.
+    * Bit-identical to the column fold it replaced
+    * ([[charHashFold]], kept for the parity spec) and to the DuckDB
+    * twin [[charHashSql]].
     */
-  def charHash(gram: Column, k: Int): Column = {
+  def charHash(gram: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.CharPolyHash(
+        org.apache.spark.sql.graft.ColumnBridge.expression(gram), k))
+
+  /** The pre-native column fold (k `ascii∘substr` rungs over the
+    * [[asciiGuard]]ed gram). Retained as the executable spec of
+    * [[charHash]]'s semantics — ExpressionSpec asserts the two agree
+    * bit-for-bit; not used on any hot path.
+    */
+  def charHashFold(gram: Column, k: Int): Column = {
     val g = asciiGuard(gram)
     (1 to k).foldLeft(lit(0L)) { (acc, j) =>
       (acc * lit(GB) + ascii(g.substr(lit(j), lit(1)))) % lit(PG)

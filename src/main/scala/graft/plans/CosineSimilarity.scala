@@ -103,5 +103,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(CosineSimilarity.description)
     ext.injectFunction(L2DistSq.description)
     ext.injectFunction(MultiTableBuckets.description)
+    ext.injectFunction(CharPolyHash.description)
   }
 }

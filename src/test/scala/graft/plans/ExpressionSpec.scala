@@ -89,6 +89,35 @@ class ExpressionSpec extends SparkSpec {
     assert(replay(4, 3) == Seq(4L, 10L, 4L))
   }
 
+  test("native CharPolyHash equals the ascii∘substr fold bit-for-bit") {
+    import graft.functions.Hashing
+    // random printable-ASCII grams, including strings SHORTER than k
+    // (the fold's ascii("") = 0 trailing terms) and longer ones
+    val strs = Gen.listOfN(300,
+        Gen.choose(0, 40).flatMap(n =>
+          Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)).map(_.mkString)))
+      .apply(Gen.Parameters.default, Seed(11L)).get
+    val df = strs.toDF("s")
+    for (k <- Seq(1, 8, 32)) {
+      val rows = df.select(
+        Hashing.charHash(col("s"), k).as("native"),
+        Hashing.charHashFold(col("s"), k).as("fold"))
+        .as[(Long, Long)].collect()
+      rows.foreach { case (n, f) => assert(n == f, s"k=$k: $n != $f") }
+    }
+    // null-transparent like the fold's chain
+    val nulls = Seq(Option.empty[String], Some("abc")).toDF("s")
+      .select(Hashing.charHash(col("s"), 8)).as[Option[Long]].collect()
+    assert(nulls.head.isEmpty && nulls(1).nonEmpty)
+    // the guard rides the same pass: a multibyte char in the read
+    // prefix raises, same contract as asciiGuard
+    val ex = intercept[Exception] {
+      Seq("café").toDF("s")
+        .select(Hashing.charHash(col("s"), 8)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("L2DistSq and mt_buckets register for SQL users") {
     org.apache.spark.sql.graft.ColumnBridge.register(spark, L2DistSq.description)
     org.apache.spark.sql.graft.ColumnBridge.register(
@@ -99,6 +128,11 @@ class ExpressionSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT size(mt_buckets(array(1000000L), 4, 3)) AS n")
       .as[Int].head() == 3)
+    org.apache.spark.sql.graft.ColumnBridge.register(
+      spark, CharPolyHash.description)
+    // 'ab' at k=2: (0·257+97)·257+98 mod (2^31−1) = 25027
+    assert(spark.sql("SELECT char_poly_hash('ab', 2) AS h")
+      .as[Long].head() == 97L * 257L + 98L)
   }
 
   test("handles nulls, mismatched lengths, and SQL registration") {
