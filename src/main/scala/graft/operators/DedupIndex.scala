@@ -95,17 +95,26 @@ object DedupIndex {
     * [[Dedup.incrementalCandidates]]: distinct (new_id, index_id).
     */
   def probe(spark: SparkSession, newSig: DataFrame, id: String,
-            bands: Int, rowsPerBand: Int, root: String): DataFrame = {
+            bands: Int, rowsPerBand: Int, root: String): DataFrame =
+    probeBanded(spark,
+      Dedup.bandRows(newSig, id, bands, rowsPerBand)
+        .withColumnRenamed(id, "new_id")
+        .withColumn("bucket", bucketOf(col("band"), col("band_key"))),
+      root)
+
+  /** [[probe]] with an already-banded new side — (new_id, band,
+    * band_key, bucket) rows. The streaming path shares one banding of
+    * its batch across this probe and its tail join.
+    */
+  def probeBanded(spark: SparkSession, newBands: DataFrame,
+                  root: String): DataFrame = {
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
-    val nb = Dedup.bandRows(newSig, id, bands, rowsPerBand)
-      .withColumnRenamed(id, "new_id")
-      .withColumn("bucket", bucketOf(col("band"), col("band_key")))
-    val touched = nb.select("bucket").distinct()
+    val touched = newBands.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val idx = spark.read.parquet(idxPath)
       .filter(col("bucket").isin(touched.map(Int.box): _*))
-    nb.join(idx, Seq("bucket", "band", "band_key"))
+    newBands.join(idx, Seq("bucket", "band", "band_key"))
       .select(col("new_id"), col("index_id")).distinct()
   }
 }

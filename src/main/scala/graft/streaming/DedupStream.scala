@@ -62,6 +62,19 @@ final class DedupStream(spark: SparkSession, root: String,
   private def matchDirs: Seq[(Long, Path)] =
     numbered("matches.b").filter(d => committed(d._2)).sortBy(_._1)
 
+  private def compactedRoot: String =
+    new java.io.File(root, "compacted").getAbsolutePath
+
+  /** Highest batch id folded into the current compacted generation
+    * (−1 before the first compaction). The generation's version number
+    * is max-folded-id + 1 by construction, so the floor falls out of
+    * [[DedupIndex.resolve]] without a separate ledger.
+    */
+  private def foldedThrough: Long =
+    DedupIndex.resolve(compactedRoot)
+      .map(p => new java.io.File(p).getName.drop(7).toLong - 1)
+      .getOrElse(-1L)
+
   private def bandsOf(batch: DataFrame): DataFrame =
     Dedup.bandRows(
         Dedup.minhashSignatures(batch, id, text, k), id, bands, rowsPerBand)
@@ -80,19 +93,35 @@ final class DedupStream(spark: SparkSession, root: String,
     // write) — cache for the scope of this batch only
     val nb = bandsOf(batch).withColumnRenamed(id, "new_id").persist()
     try {
-      val prior = sigDirs.filter(_._1 < batchId).map(_._2.toString)
-      val matches =
-        if (prior.isEmpty)
-          nb.select(col("new_id"), col("new_id").as("index_id")).limit(0)
+      // the probe base: the compacted generation (directory-pruned)
+      // plus only the batch-dir TAIL above the compaction floor — the
+      // candidate SET is identical before and after a compaction (the
+      // generation holds exactly the folded band rows), so replays
+      // stay deterministic by value across compactions too
+      val floor = foldedThrough
+      val tail = sigDirs
+        .filter(d => d._1 < batchId && d._1 > floor).map(_._2.toString)
+      val fromCompacted =
+        if (floor < 0) None
+        else Some(DedupIndex.probeBanded(spark, nb, compactedRoot))
+      val fromTail =
+        if (tail.isEmpty) None
         else {
           val touched = nb.select("bucket").distinct()
             .collect().map(_.getInt(0)).sorted // bounded by NumBuckets
-          spark.read.parquet(prior: _*)
+          Some(spark.read.parquet(tail: _*)
             .filter(col("bucket").isin(touched.map(Int.box): _*))
             .withColumnRenamed("new_id", "index_id")
             .join(nb, Seq("bucket", "band", "band_key"))
-            .select(col("new_id"), col("index_id")).distinct()
+            .select(col("new_id"), col("index_id")))
         }
+      val matches = (fromCompacted, fromTail) match {
+        case (Some(a), Some(b)) => a.unionByName(b).distinct()
+        case (Some(a), None) => a.distinct()
+        case (None, Some(b)) => b.distinct()
+        case (None, None) =>
+          nb.select(col("new_id"), col("new_id").as("index_id")).limit(0)
+      }
       if (!committed(matchTarget))
         matches.write.mode("overwrite").parquet(matchTarget.toString)
       if (!committed(sigTarget))
@@ -115,10 +144,14 @@ final class DedupStream(spark: SparkSession, root: String,
 
   /** Fold every committed batch's band rows into a new generation of
     * the directory-pruned [[DedupIndex]] artifact under
-    * `root/compacted` — the tail-to-base compaction. Batch sig dirs
-    * stay in place (this stream keeps probing them; a production
-    * deployment would switch its probe base and vacuum, exactly
-    * [[VersionedSink.compact]]'s floor rule).
+    * `root/compacted` — the tail-to-base compaction, and it is
+    * LOAD-BEARING: [[processBatch]] probes the compacted generation
+    * plus only the batch dirs above its floor, so probe cost stops
+    * growing with batch count the moment a compaction commits. The
+    * generation's version number is max-folded-id + 1, which is how
+    * the floor is recovered without a ledger ([[VersionedSink
+    * .compact]]'s rule). Folded batch dirs stay until [[vacuumFolded]]
+    * — publish-then-clean, never a window where rows are unreachable.
     */
   def compactIndex(): Option[String] = {
     val dirs = sigDirs.map(_._2.toString)
@@ -127,13 +160,24 @@ final class DedupStream(spark: SparkSession, root: String,
       val rows = spark.read.parquet(dirs: _*)
         .select(col("new_id").as("index_id"), col("band"),
           col("band_key"), col("bucket"))
-      val next = new java.io.File(root, "compacted").getAbsolutePath
-      val path = new java.io.File(next,
+      val path = new java.io.File(compactedRoot,
         s"index.v${sigDirs.map(_._1).max + 1}").getAbsolutePath
       rows.repartition(col("bucket"))
         .sortWithinPartitions("band", "band_key")
         .write.partitionBy("bucket").mode("overwrite").parquet(path)
       Some(path)
     }
+  }
+
+  /** Delete batch sig dirs at or below the compaction floor — their
+    * rows live in the compacted generation, which [[processBatch]]
+    * already prefers. Run AFTER [[compactIndex]] commits; a crash
+    * between the two re-runs harmlessly (probing a folded dir twice
+    * only costs work, `distinct()` keeps results exact).
+    */
+  def vacuumFolded(): Unit = {
+    val floor = foldedThrough
+    numbered("sig.b").filter(_._1 <= floor)
+      .foreach { case (_, p) => fs.delete(p, true) }
   }
 }

@@ -110,4 +110,24 @@ class DedupStreamSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(hits.contains((5000L, 5L)), s"compacted probe missed: $hits")
   }
+
+  test("compaction is load-bearing: folded batch dirs can vacuum and matches still land") {
+    val dir = Files.createTempDirectory("dstream").toString
+    val s = streamIn(dir)
+    val b0 = (0 until 8).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val b1 = (8 until 16).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    assert(s.processBatch(b0, 0))
+    assert(s.processBatch(b1, 1))
+    assert(s.compactIndex().isDefined)
+    s.vacuumFolded()
+    // every folded batch dir is gone — the ONLY way batch 2 can match
+    // doc 3 is through the compacted generation
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("sig.b")) == 0)
+    val b2 = Seq((700L, doc(3)), (701L, doc(12))).toDF("doc_id", "text")
+    assert(s.processBatch(b2, 2))
+    val m = s.matches().as[(Long, Long)].collect().toSet
+    assert(m.contains((700L, 3L)) && m.contains((701L, 12L)),
+      s"post-vacuum probe lost folded docs: $m")
+  }
 }
