@@ -85,7 +85,7 @@ object ConnectedComponents {
       // (count, xor of row hashes) — xor can't overflow under ANSI
       // arithmetic and duplicate rows can't cancel (the set is distinct)
       val row = e.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       val checksum = (row.getLong(0), row.getLong(1))
       stable = checksum == prev
       prev = checksum

@@ -237,8 +237,8 @@ object Dedup {
     */
   def minhashEstimate(cands: DataFrame, sig: DataFrame, id: String,
                       k: Int): DataFrame = {
-    val sa = sig.toDF(sig.columns.map(c => if (c == id) "id_a" else s"a_$c"): _*)
-    val sb = sig.toDF(sig.columns.map(c => if (c == id) "id_b" else s"b_$c"): _*)
+    val sa = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == id) "id_a" else s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == id) "id_b" else s"b_$c"): _*)
     val matches = (0 until k).map(i =>
       when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
       .reduce(_ + _)

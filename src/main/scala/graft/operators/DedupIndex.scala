@@ -113,7 +113,7 @@ object DedupIndex {
     val touched = newBands.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val idx = spark.read.parquet(idxPath)
-      .filter(col("bucket").isin(touched.map(Int.box): _*))
+      .filter(col("bucket").isin(touched.toIndexedSeq.map(Int.box): _*))
     newBands.join(idx, Seq("bucket", "band", "band_key"))
       .select(col("new_id"), col("index_id")).distinct()
   }

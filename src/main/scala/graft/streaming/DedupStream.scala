@@ -110,7 +110,7 @@ final class DedupStream(spark: SparkSession, root: String,
           val touched = nb.select("bucket").distinct()
             .collect().map(_.getInt(0)).sorted // bounded by NumBuckets
           Some(spark.read.parquet(tail: _*)
-            .filter(col("bucket").isin(touched.map(Int.box): _*))
+            .filter(col("bucket").isin(touched.toIndexedSeq.map(Int.box): _*))
             .withColumnRenamed("new_id", "index_id")
             .join(nb, Seq("bucket", "band", "band_key"))
             .select(col("new_id"), col("index_id")))

@@ -192,7 +192,7 @@ object EventStream {
     // emit exactly the ripe intervals — watermark past end+gap means no
     // admissible event can extend them — and re-arm for the earliest
     // still-open one (strictly past the watermark or Spark rejects it)
-    val wm = state.getCurrentWatermarkMs
+    val wm = state.getCurrentWatermarkMs()
     val (ripe, still) = open.partition(s => s.end + gapMs <= wm)
     if (still.isEmpty) { if (state.exists) state.remove() }
     else {
