@@ -59,14 +59,33 @@ object DedupIndex {
     */
   def publish(indexSig: DataFrame, id: String, bands: Int,
               rowsPerBand: Int, root: String): String = synchronized {
-    val next = versionsOf(root).map(_._1).maxOption.getOrElse(0L) + 1
-    val path = new java.io.File(root, s"index.v$next").getAbsolutePath
+    // stage under a writer-private name, then atomic-rename into the
+    // version slot — the engine's commit protocol. rename(2) onto an
+    // existing non-empty dir fails, so two cross-process publishers
+    // racing the same number cannot interleave files: the loser's
+    // rename fails and it retries the next slot with its staging dir
+    // intact. (The `synchronized` covers same-JVM races; the rename
+    // covers everything else.)
+    val staging = new java.io.File(root,
+      s".staging-${java.util.UUID.randomUUID()}")
     Dedup.bandRows(indexSig, id, bands, rowsPerBand)
       .withColumnRenamed(id, "index_id")
       .withColumn("bucket", bucketOf(col("band"), col("band_key")))
       .repartition(col("bucket"))
       .sortWithinPartitions("band", "band_key")
-      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(staging.getAbsolutePath)
+    var next = versionsOf(root).map(_._1).maxOption.getOrElse(0L) + 1
+    var target = new java.io.File(root, s"index.v$next")
+    var attempts = 0
+    while (!staging.renameTo(target)) {
+      attempts += 1
+      require(attempts < 1000,
+        s"publish rename failed repeatedly into $root (not a version race)")
+      next += 1
+      target = new java.io.File(root, s"index.v$next")
+    }
+    val path = target.getAbsolutePath
     // engine-style retention: the floor is the SECOND-newest COMMITTED
     // version — everything below it (older generations, crashed-writer
     // leftovers) vacuums; everything at/above survives, so the
@@ -77,12 +96,15 @@ object DedupIndex {
     val committedVs = versionsOf(root).filter { case (_, f) =>
       new java.io.File(f, "_SUCCESS").isFile }.map(_._1)
     val keepFloor = committedVs.sorted.takeRight(2).headOption.getOrElse(0L)
-    versionsOf(root).filter(_._1 < keepFloor).foreach { case (_, f) =>
-      def rm(x: java.io.File): Unit = {
-        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-      }
-      rm(f)
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
     }
+    versionsOf(root).filter(_._1 < keepFloor).foreach(v => rm(v._2))
+    // abandoned staging dirs (crashed before their rename) vacuum too —
+    // ours was consumed by the successful rename above
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".staging-"))
+      .foreach(rm)
     path
   }
 

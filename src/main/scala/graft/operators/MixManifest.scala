@@ -64,21 +64,37 @@ object MixManifest {
           * scale).cast("long").as("thr"),
         lit(scale).as("scale"), lit(trainLt).as("train_lt"),
         lit(valLt).as("val_lt"), lit(provenance).as("provenance"))
-    val next = versionsOf(root).map(_._1).maxOption.getOrElse(0L) + 1
-    val path = new java.io.File(root, s"mix.v$next").getAbsolutePath
-    rows.coalesce(1).write.mode("overwrite").parquet(path)
+    // stage + atomic rename into the version slot (DedupIndex.publish's
+    // protocol): a cross-process racer's rename fails and retries the
+    // next slot — no interleaved writes into one version dir
+    val staging = new java.io.File(root,
+      s".staging-${java.util.UUID.randomUUID()}")
+    rows.coalesce(1).write.mode("overwrite")
+      .parquet(staging.getAbsolutePath)
+    var next = versionsOf(root).map(_._1).maxOption.getOrElse(0L) + 1
+    var target = new java.io.File(root, s"mix.v$next")
+    var attempts = 0
+    while (!staging.renameTo(target)) {
+      attempts += 1
+      require(attempts < 1000,
+        s"publish rename failed repeatedly into $root (not a version race)")
+      next += 1
+      target = new java.io.File(root, s"mix.v$next")
+    }
+    val path = target.getAbsolutePath
     // keep the newest two COMMITTED generations (see DedupIndex.publish
     // — ranking raw dirs would let a crash orphan displace the
     // previous committed generation a reader may still be pinned on)
     val committedVs = versionsOf(root).filter { case (_, f) =>
       new java.io.File(f, "_SUCCESS").isFile }.map(_._1)
     val keepFloor = committedVs.sorted.takeRight(2).headOption.getOrElse(0L)
-    versionsOf(root).filter(_._1 < keepFloor).foreach { case (_, f) =>
-      def rm(x: java.io.File): Unit = {
-        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-      }
-      rm(f)
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
     }
+    versionsOf(root).filter(_._1 < keepFloor).foreach(v => rm(v._2))
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".staging-"))
+      .foreach(rm)
     path
   }
 

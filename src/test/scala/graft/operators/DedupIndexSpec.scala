@@ -84,6 +84,23 @@ class DedupIndexSpec extends SparkSpec {
     assert(!kept.contains("index.v1") && !kept.contains("index.v2"))
   }
 
+  test("publish renames AROUND an occupied version slot (cross-process race)") {
+    val root = Files.createTempDirectory("dedupidx").toString
+    DedupIndex.publish(sigI, "doc_id", BANDS, R, root)
+    // a racing publisher already owns slot v2 (non-empty, so rename
+    // onto it must fail and this publisher must take the next slot)
+    val occupied = new java.io.File(root, "index.v2")
+    assert(occupied.mkdir())
+    Files.writeString(occupied.toPath.resolve("part-0.parquet"), "racer")
+    val path = DedupIndex.publish(sigI, "doc_id", BANDS, R, root)
+    assert(path.endsWith("index.v3"), s"landed at $path")
+    assert(Files.readString(occupied.toPath.resolve("part-0.parquet")) == "racer",
+      "the racer's slot was clobbered")
+    // and no staging leftovers survive a successful publish
+    assert(!new java.io.File(root).listFiles()
+      .exists(_.getName.startsWith(".staging-")))
+  }
+
   test("a crash orphan above the committed head never displaces the previous generation") {
     val root = Files.createTempDirectory("dedupidx").toString
     val v1 = DedupIndex.publish(sigI, "doc_id", BANDS, R, root)
