@@ -69,30 +69,7 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
-    // 3-decimal (ms) precision: nanosecond noise is meaningless, and the
-    // shorter line matters — the driver keeps only a bounded tail of the
-    // run's output, and a ~3.3 kB line (65 queries at full double width)
-    // had its front truncated out of BENCH_r03's capture.
-    def fmt(v: Double): String =
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // The driver keeps only a bounded TAIL of stdout; at 94 queries the
-    // full-name line is ~3.3 kB and its front (q01-q15) fell outside
-    // r5/r6's capture window, leaving parsed:null. Two-part fix: the
-    // stdout line uses the qNN prefix as the key (~1.3 kB — fits the
-    // window), and the full-name detail goes to BENCH_DETAIL.json in
-    // the working directory for humans.
-    val shortQs = results.map { case (k, v) =>
-      s"${jstr(k.takeWhile(_ != '_'))}:${fmt(v)}" }.mkString("{", ",", "}")
-    val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val fullLine = detailLine(results, errors.toSeq, sfDir)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), fullLine + "\n")
     catch { case _: Throwable => () } // a read-only cwd must not fail the bench
@@ -100,7 +77,49 @@ object Bench {
     // stream: silence the Spark logger before printing so stop()'s
     // shutdown chatter can't land after it.
     spark.sparkContext.setLogLevel("OFF")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"errors":$errs,"sf":"$sfDir"}""")
+    println(compactLine(results, errors.toSeq, sfDir))
     spark.stop()
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  // 3-decimal (ms) precision: nanosecond noise is meaningless, and the
+  // shorter line matters — the driver keeps only a bounded tail of the
+  // run's output, and a ~3.3 kB line (65 queries at full double width)
+  // had its front truncated out of BENCH_r03's capture.
+  private def fmt(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** The stdout metric line. Keys are the qNN prefix: the driver keeps
+    * only a bounded TAIL of stdout, and at 94 queries the full-name
+    * line was ~3.3 kB — its front (q01–q15) fell outside r5/r6's
+    * capture window, leaving parsed:null. BenchFormatSpec pins the
+    * budget so query growth can't silently regress the driver parse.
+    */
+  private[graft] def compactLine(results: Seq[(String, Double)],
+                                 errors: Seq[(String, String)],
+                                 sfDir: String): String = {
+    val qs = results.map { case (k, v) =>
+      s"${jstr(k.takeWhile(_ != '_'))}:${fmt(v)}" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) =>
+      s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+  }
+
+  /** Full-name twin of [[compactLine]], written to BENCH_DETAIL.json
+    * (gitignored) for humans.
+    */
+  private[graft] def detailLine(results: Seq[(String, Double)],
+                                errors: Seq[(String, String)],
+                                sfDir: String): String = {
+    val qs = results.map { case (k, v) =>
+      s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) =>
+      s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
   }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's stdout contract: one machine-parseable JSON line that
+  * FITS the driver's bounded tail capture. r5/r6 shipped a ~3.3 kB
+  * full-name line whose front fell outside the window (parsed:null);
+  * this pins the budget against query-count growth. No SparkSession
+  * needed — the formatter is pure.
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private def results(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => (f"q$i%02d_some_long_query_name_$i", i * 0.123))
+
+  test("compact line for every registered query stays inside the capture window") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val line = Bench.compactLine(
+      names.map(n => (n, 9.999)), Nil, "/root/testdata/sf0.1")
+    assert(line.length < 2000,
+      s"compact bench line grew to ${line.length} bytes — the driver's " +
+        "tail capture will clip it (the r5/r6 parsed:null regression)")
+    // qNN keys must stay unique after prefix-shortening, or timings
+    // silently overwrite each other in the JSON object
+    val keys = names.map(_.takeWhile(_ != '_'))
+    assert(keys.distinct.size == keys.size,
+      s"duplicate qNN prefixes: ${keys.diff(keys.distinct).distinct}")
+  }
+
+  test("line is valid JSON shape with escaped error strings") {
+    val line = Bench.compactLine(results(3),
+      Seq(("q01_x", "boom \"quoted\"\npath\\x")), "/tmp/sf")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.contains("\\\"quoted\\\"") && line.contains("\\n"))
+    assert(!line.contains("\n"))
+    // 0.123+0.246+0.369 = 0.738
+    assert(line.contains(""""value":0.738"""))
+  }
+
+  test("detail line keeps full query names") {
+    val line = Bench.detailLine(results(2), Nil, "/tmp/sf")
+    assert(line.contains("q01_some_long_query_name_1"))
+  }
+}
