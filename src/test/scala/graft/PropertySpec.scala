@@ -136,6 +136,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("persisted-index probe ≡ in-plan band join on random corpora") {
+    import graft.operators.DedupIndex
+    // three random corpora with planted redeliveries: the persisted
+    // bucket-pruned probe must reproduce the in-plan candidate set
+    // EXACTLY — any drift would silently change q91's dedup decisions
+    val word = Gen.choose(1, 60).map(i => s"w$i")
+    val docGen = Gen.choose(8, 20).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val texts = Gen.listOfN(30, docGen)
+        .apply(Gen.Parameters.default, Seed(seed)).get
+      val idx = texts.take(20).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val fresh = (texts.drop(20).zipWithIndex
+        .map { case (t, i) => (100L + i, t) } :+ ((500L, texts.head)))
+        .toDF("doc_id", "text")
+      val sigI = Dedup.minhashSignatures(idx, "doc_id", "text", 16)
+      val sigN = Dedup.minhashSignatures(fresh, "doc_id", "text", 16)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"prop-idx-$seed").toString
+      DedupIndex.publish(sigI, "doc_id", 4, 4, root)
+      val persisted = DedupIndex.probe(spark, sigN, "doc_id", 4, 4, root)
+        .as[(Long, Long)].collect().toSet
+      val inPlan = Dedup.incrementalCandidates(sigN, sigI, "doc_id", 4, 4)
+        .as[(Long, Long)].collect().toSet
+      assert(persisted == inPlan, s"seed $seed drifted")
+      assert(inPlan.contains((500L, 0L)), s"seed $seed lost the redelivery")
+    }
+  }
+
+  test("pinned mix manifest reselects identical membership across reloads") {
+    import graft.operators.MixManifest
+    val src = Gen.oneOf("web", "books", "code", "forum")
+    val docs = sample(src, 400).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val root = java.nio.file.Files.createTempDirectory("prop-mix").toString
+    MixManifest.publish(docs, "doc_id", "source", 1000000L, 80, 90, root)
+    def membership(): Set[(Long, String)] = MixManifest
+      .applyMix(docs, MixManifest.load(spark, root), "doc_id", "source")
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val a = membership()
+    assert(a == membership() && a.nonEmpty)
+    // split shares follow the pinned 80/10/10 bounds on kept docs
+    val bySplit = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.getOrElse("train", 0) > bySplit.getOrElse("val", 0))
+  }
+
   test("clamp-at-zero update semantics (ref buzzdb_lab1.cpp:619-622)") {
     val cases = sample(Gen.zip(Gen.choose(0, 1000), Gen.choose(-2000, 2000)), 300)
     val rows = cases.toDF("views", "delta")
