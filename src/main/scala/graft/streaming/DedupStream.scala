@@ -88,7 +88,14 @@ final class DedupStream(spark: SparkSession, root: String,
   def processBatch(batch: DataFrame, batchId: Long): Boolean = {
     val sigTarget = new Path(root, s"sig.b$batchId")
     val matchTarget = new Path(root, s"matches.b$batchId")
-    if (committed(sigTarget) && committed(matchTarget)) return false
+    // a batch at or below the compaction floor has its sigs IN the
+    // compacted generation — the fold is its commit record
+    // (VersionedSink's ledger rule), and [[vacuumFolded]] may have
+    // deleted the sig dir the plain check would look for. Without
+    // this, a replay of a folded batch would reprocess and probe an
+    // index CONTAINING ITSELF — self-pairs the original run never saw.
+    val sigCommitted = committed(sigTarget) || batchId <= foldedThrough
+    if (sigCommitted && committed(matchTarget)) return false
     // batch-sized and read three times (touched set, probe join, sig
     // write) — cache for the scope of this batch only
     val nb = bandsOf(batch).withColumnRenamed(id, "new_id").persist()
@@ -124,7 +131,9 @@ final class DedupStream(spark: SparkSession, root: String,
       }
       if (!committed(matchTarget))
         matches.write.mode("overwrite").parquet(matchTarget.toString)
-      if (!committed(sigTarget))
+      // never resurrect a folded batch's sig dir: its rows live in the
+      // compacted generation and a duplicate dir would double-probe
+      if (!committed(sigTarget) && batchId > floor)
         nb.sortWithinPartitions("bucket")
           .write.mode("overwrite").parquet(sigTarget.toString)
       true

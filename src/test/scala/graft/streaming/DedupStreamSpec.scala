@@ -130,4 +130,25 @@ class DedupStreamSpec extends SparkSpec {
     assert(m.contains((700L, 3L)) && m.contains((701L, 12L)),
       s"post-vacuum probe lost folded docs: $m")
   }
+
+  test("replay of a FOLDED batch is absorbed by the compaction ledger") {
+    val dir = Files.createTempDirectory("dstream").toString
+    val s = streamIn(dir)
+    val b0 = (0 until 8).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val b1 = Seq((100L, doc(2)), (101L, doc(2))).toDF("doc_id", "text")
+    assert(s.processBatch(b0, 0))
+    assert(s.processBatch(b1, 1))
+    val before = s.matches().as[(Long, Long)].collect().toSet
+    assert(s.compactIndex().isDefined)
+    s.vacuumFolded() // sig.b0/sig.b1 gone — only the fold remembers them
+    // the streaming runtime redelivers batch 1: without the floor rule
+    // the plain sig-dir check would reprocess it against an index that
+    // CONTAINS batch 1 — emitting self-pairs like (100,101)/(100,100)
+    // the original run never saw
+    assert(!s.processBatch(b1, 1), "folded replay was not absorbed")
+    assert(s.matches().as[(Long, Long)].collect().toSet == before)
+    // and no sig dir was resurrected
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("sig.b")) == 0)
+  }
 }
