@@ -93,6 +93,16 @@ object DedupIndex {
     // before this publish and a possibly in-flight higher-numbered
     // writer is never yanked. Ranking raw dirs instead would let a
     // crash orphan displace the previous committed generation.
+    retainLatestGenerations(root)
+    path
+  }
+
+  /** Shared retention for an index root (also used by the streaming
+    * compactor): keep the newest two COMMITTED generations, vacuum
+    * older ones plus abandoned staging dirs. See [[publish]] for why
+    * the floor ranks committed versions, not raw dirs.
+    */
+  private[graft] def retainLatestGenerations(root: String): Unit = {
     val committedVs = versionsOf(root).filter { case (_, f) =>
       new java.io.File(f, "_SUCCESS").isFile }.map(_._1)
     val keepFloor = committedVs.sorted.takeRight(2).headOption.getOrElse(0L)
@@ -100,12 +110,9 @@ object DedupIndex {
       Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
     }
     versionsOf(root).filter(_._1 < keepFloor).foreach(v => rm(v._2))
-    // abandoned staging dirs (crashed before their rename) vacuum too —
-    // ours was consumed by the successful rename above
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(".staging-"))
       .foreach(rm)
-    path
   }
 
   /** NEW × persisted-INDEX candidate pairs with bucket pruning: band

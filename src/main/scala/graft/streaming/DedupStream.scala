@@ -164,16 +164,27 @@ final class DedupStream(spark: SparkSession, root: String,
     */
   def compactIndex(): Option[String] = {
     val dirs = sigDirs.map(_._2.toString)
-    if (dirs.isEmpty) None
+    val current = DedupIndex.resolve(compactedRoot)
+    if (dirs.isEmpty) current // nothing new to fold; keep the generation
     else {
-      val rows = spark.read.parquet(dirs: _*)
+      val tailRows = spark.read.parquet(dirs: _*)
         .select(col("new_id").as("index_id"), col("band"),
           col("band_key"), col("bucket"))
+      // fold the CURRENT generation in, not just the tail: after a
+      // vacuum the batch dirs no longer hold the earlier rows — a
+      // tail-only rewrite would silently drop every previously folded
+      // document from the index
+      val rows = current.map(p => spark.read.parquet(p)
+          .select(col("index_id"), col("band"), col("band_key"),
+            col("bucket"))
+          .unionByName(tailRows))
+        .getOrElse(tailRows)
       val path = new java.io.File(compactedRoot,
         s"index.v${sigDirs.map(_._1).max + 1}").getAbsolutePath
       rows.repartition(col("bucket"))
         .sortWithinPartitions("band", "band_key")
         .write.partitionBy("bucket").mode("overwrite").parquet(path)
+      DedupIndex.retainLatestGenerations(compactedRoot)
       Some(path)
     }
   }

@@ -131,6 +131,26 @@ class DedupStreamSpec extends SparkSpec {
       s"post-vacuum probe lost folded docs: $m")
   }
 
+  test("re-compaction after vacuum retains previously folded rows") {
+    val dir = Files.createTempDirectory("dstream").toString
+    val s = streamIn(dir)
+    assert(s.processBatch(
+      (0 until 8).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"), 0))
+    assert(s.compactIndex().isDefined)
+    s.vacuumFolded() // batch dirs gone; only generation v1 holds b0
+    assert(s.processBatch(
+      (8 until 12).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"), 1))
+    assert(s.compactIndex().isDefined) // folds generation + tail, NOT tail-only
+    s.vacuumFolded()
+    // a doc equal to batch-0's doc 2 must still match: a tail-only
+    // rewrite would have dropped every batch-0 row from the index
+    val b2 = Seq((900L, doc(2))).toDF("doc_id", "text")
+    assert(s.processBatch(b2, 2))
+    val m = s.matches().as[(Long, Long)].collect().toSet
+    assert(m.contains((900L, 2L)),
+      s"re-compaction dropped previously folded rows: $m")
+  }
+
   test("replay of a FOLDED batch is absorbed by the compaction ledger") {
     val dir = Files.createTempDirectory("dstream").toString
     val s = streamIn(dir)
