@@ -2465,7 +2465,59 @@ object PipelineQueries {
       |  count(DISTINCT md5(text))::BIGINT AS n_unique_texts
       |FROM documents""".stripMargin)
 
+  /** Bigram surprisal score (q101) — the sequence-level fluency
+    * signal q94's unigram rarity can't see: keyword stuffing scores
+    * fluent unigram-wise but its bigrams are improbable. The corpus is
+    * its own language model (the self-perplexity curation trick; CCNet
+    * uses an external LM, the plumbing is identical): per bigram,
+    * surprisal = digits(n_x) − digits(n_xy) — an exact integer log₁₀
+    * bucket of 1/P(y|x), q94's digit trick applied to a ratio, never
+    * a float log — and per doc the mean surprisal ×1000 (all
+    * non-negative, so truncating and floor division agree across
+    * engines). Scale shape: bigram LM counts are corpus-DISTINCT-
+    * bounded (two grouped counts), the scoring join is
+    * (x, y)-keyed, and the per-doc mean is one doc-keyed groupBy —
+    * no per-doc LM state, no cross-doc work.
+    */
+  val bigramSurprisal: Q = Q(
+    (s, d) => {
+      val db = t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.words(col("text")).as("arr"))
+        .filter(size(col("arr")) >= 2) // sequence(2,1) would descend
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(2), size(col("arr"))),
+            i => struct(element_at(col("arr"), i - 1).as("x"),
+              element_at(col("arr"), i).as("y")))).as("b"))
+        .select(col("doc_id"), col("b.x").as("x"), col("b.y").as("y"))
+      val c = db.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+      val cx = c.groupBy("x").agg(sum("n_xy").as("n_x"))
+      val lm = c.join(cx, Seq("x"))
+        .select(col("x"), col("y"),
+          (length(col("n_x").cast("string")) -
+            length(col("n_xy").cast("string"))).as("lp"))
+      db.join(lm, Seq("x", "y"))
+        .groupBy("doc_id")
+        .agg(sum("lp").as("sl"), count(lit(1)).as("nb"))
+        .selectExpr("doc_id", "(sl * 1000) div nb AS surprisal_scaled")
+        .orderBy("doc_id")
+    },
+    s"""WITH w AS (
+       |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+       |  FROM documents WHERE len(${TextFunctions.wordsSql("text")}) >= 2),
+       |i AS (SELECT doc_id, arr, unnest(range(2, len(arr) + 1)) AS i FROM w),
+       |b AS (SELECT doc_id, arr[i - 1] AS x, arr[i] AS y FROM i),
+       |c AS (SELECT x, y, count(*)::BIGINT AS n_xy FROM b GROUP BY x, y),
+       |cx AS (SELECT x, sum(n_xy)::BIGINT AS n_x FROM c GROUP BY x),
+       |lm AS (
+       |  SELECT x, y, length(n_x::VARCHAR) - length(n_xy::VARCHAR) AS lp
+       |  FROM c JOIN cx USING (x))
+       |SELECT doc_id,
+       |  ((sum(lp) * 1000) // count(*))::BIGINT AS surprisal_scaled
+       |FROM b JOIN lm USING (x, y)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "q101_bigram_surprisal" -> bigramSurprisal,
     "q100_dataset_card"  -> datasetCard,
     "q99_contamination_frac" -> contaminationFrac,
     "q98_length_histogram" -> lengthHistogram,
