@@ -2516,7 +2516,96 @@ object PipelineQueries {
        |FROM b JOIN lm USING (x, y)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  /** Containment detection (q102) — Broder's asymmetric near-dup
+    * relation symmetric Jaccard MISSES: a short document wrapped
+    * inside a longer one (boilerplate headers, quoted reposts,
+    * concatenated shards) scores low Jaccard (the union is large) but
+    * containment ≈ 1. Over winnow fingerprints (q47): any shared
+    * k+w−1-char run yields a shared fp, so containment_milli =
+    * shared fps ×1000 / contained side's fps — normalized by ONE side,
+    * which is what makes it directional. Injected wrappers (doc A's
+    * text + doc (A+100)'s text) must surface as A ⊂ wrapper at ≥ 800‰
+    * while wrapper ⊄ A stays below. Hot fingerprints are df-capped
+    * before the self-join (q23/q93's discipline); work is
+    * fp-bucket-keyed, never doc×doc.
+    */
+  val containmentPairs: Q = {
+    val K = 8; val W = 16; val MAX_DF = 100L
+    val WRAP = 15L; val MIN_MILLI = 800L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val partner = base
+          .filter(col("doc_id") >= 100 && col("doc_id") < 100 + WRAP)
+          .select((col("doc_id") - 100).as("doc_id"), col("text").as("t2"))
+        val wrappers = base.filter(col("doc_id") < WRAP)
+          .join(partner, Seq("doc_id"))
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" "), col("t2")).as("text"))
+        val corpus = base.unionByName(wrappers)
+        val fps = Dedup.winnowFingerprints(corpus, "doc_id", "text", K, W)
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+          .filter(col("df") <= MAX_DF).drop("df")
+        val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+        val shared = fps.as("a").join(fps.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("contained_id"),
+            col("b.doc_id").as("container_id"))
+          .agg(count(lit(1)).as("n_shared"))
+        shared
+          .join(sizes.withColumnRenamed("doc_id", "contained_id"),
+            Seq("contained_id"))
+          .selectExpr("contained_id", "container_id", "n_shared",
+            "(n_shared * 1000) div n_fp AS containment_milli")
+          .filter(col("containment_milli") >= MIN_MILLI)
+          .orderBy("contained_id", "container_id")
+      },
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT a.doc_id + 1000000, a.text || ' ' || b.text
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 100
+         |  WHERE a.doc_id < $WRAP),
+         |g AS (
+         |  SELECT doc_id, text,
+         |    greatest(length(text) - ${K - 1} - ${W - 1}, 1) AS max_start,
+         |    unnest(range(1, greatest(length(text) - ${K - 1}, 0) + 1)) AS pos
+         |  FROM corpus),
+         |gr AS (
+         |  SELECT doc_id, max_start, pos,
+         |    substr(text, pos::INT, $K) AS gram
+         |  FROM g),
+         |h AS (
+         |  SELECT doc_id, max_start, pos,
+         |    ${Hashing.charHashSql("gram", K)} AS h
+         |  FROM gr),
+         |f AS (
+         |  SELECT doc_id, pos, max_start,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS fp
+         |  FROM h),
+         |fp0 AS (SELECT DISTINCT doc_id, fp FROM f WHERE pos <= max_start),
+         |hot AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) > $MAX_DF),
+         |fps AS (SELECT doc_id, fp FROM fp0
+         |        WHERE fp NOT IN (SELECT fp FROM hot)),
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_fp FROM fps
+         |          GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         |    count(*)::BIGINT AS n_shared
+         |  FROM fps a JOIN fps b
+         |    ON a.fp = b.fp AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT contained_id, container_id, n_shared,
+         |  ((n_shared * 1000) // n_fp)::BIGINT AS containment_milli
+         |FROM shared JOIN sizes ON contained_id = sizes.doc_id
+         |WHERE (n_shared * 1000) // n_fp >= $MIN_MILLI
+         |ORDER BY contained_id, container_id""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q102_containment"   -> containmentPairs,
     "q101_bigram_surprisal" -> bigramSurprisal,
     "q100_dataset_card"  -> datasetCard,
     "q99_contamination_frac" -> contaminationFrac,
