@@ -2604,7 +2604,49 @@ object PipelineQueries {
          |ORDER BY contained_id, container_id""".stripMargin)
   }
 
+  /** LSH candidate-precision report (q103) — the dedup analog of
+    * q96's recall monitor: of the pairs the band join surfaces, what
+    * fraction survives exact-Jaccard verification? This is THE number
+    * that tunes (bands, rows) — precision too low wastes verify work,
+    * too high (bands too selective) silently loses recall — and at
+    * 100 TB it's computed from counts the pipeline already produces
+    * (candidates + q59's verified pairs), so monitoring it is free.
+    * One row: candidates, verified, precision in integer thousandths
+    * (candidate count floored at 1 — DuckDB `//` by zero errors where
+    * Spark's `div` nulls; both sides guard identically).
+    */
+  val lshPrecision: Q = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text", MH_K).persist()
+      val cands = Dedup.lshCandidates(sig, "doc_id", MH_BANDS, MH_R).persist()
+      val verified = Dedup.jaccardFor(cands, docs, "doc_id", "text", 3, 0.5)
+      cands.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(verified.agg(count(lit(1)).as("n_verified"))))
+        .selectExpr("n_candidates", "n_verified",
+          "(n_verified * 1000) div greatest(n_candidates, 1) AS precision_milli")
+    },
+    s"""WITH $minhashPairsCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+       |  GROUP BY c.id_a, c.id_b),
+       |ver AS (
+       |  SELECT id_a FROM inter
+       |  JOIN sizes sa ON id_a = sa.doc_id
+       |  JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE >= 0.5)
+       |SELECT (SELECT count(*)::BIGINT FROM cand) AS n_candidates,
+       |  (SELECT count(*)::BIGINT FROM ver) AS n_verified,
+       |  ((SELECT count(*)::BIGINT FROM ver) * 1000 //
+       |   greatest((SELECT count(*)::BIGINT FROM cand), 1))::BIGINT
+       |    AS precision_milli""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "q103_lsh_precision" -> lshPrecision,
     "q102_containment"   -> containmentPairs,
     "q101_bigram_surprisal" -> bigramSurprisal,
     "q100_dataset_card"  -> datasetCard,
