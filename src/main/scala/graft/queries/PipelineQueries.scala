@@ -2645,7 +2645,150 @@ object PipelineQueries {
        |   greatest((SELECT count(*)::BIGINT FROM cand), 1))::BIGINT
        |    AS precision_milli""".stripMargin)
 
+  /** Normalization-aware exact dedup (q104) — the cheap middle tier
+    * between q22's byte-exact hash and the MinHash family: casefold +
+    * whitespace-collapse + trim BEFORE hashing, catching the
+    * trivially-reformatted copies (case flips, doubled spaces,
+    * padding) that break a byte hash yet need no shingling — the
+    * first dedup pass production pipelines run because it removes the
+    * bulk of duplicates at exact-dedup cost. Injected perturbed
+    * copies (+2·10⁶ ids: uppercased, doubly-spaced, padded) must
+    * collapse onto their originals. Same 100 TB shape as q22: the
+    * normalization chain is per-row codegen'd string work, then ONE
+    * md5-keyed groupBy — no pairs, no second shuffle.
+    */
+  val normalizedDedup: Q = {
+    val PERTURB = 40L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val mangled = docs.filter(col("doc_id") < PERTURB)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(lit("  "),
+              upper(regexp_replace(col("text"), " ", "  ")),
+              lit(" ")).as("text"))
+        docs.unionByName(mangled)
+          .select(col("doc_id"),
+            md5(trim(regexp_replace(lower(col("text")), "  +", " ")))
+              .as("norm_hash"))
+          .groupBy("norm_hash")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") > 1)
+          .orderBy("keep_id")
+      },
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, '  ' || upper(replace(text, ' ', '  ')) || ' '
+         |  FROM documents WHERE doc_id < $PERTURB),
+         |n AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '  +', ' ', 'g'))) AS norm_hash
+         |  FROM corpus)
+         |SELECT norm_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
+         |FROM n GROUP BY norm_hash HAVING count(*) > 1
+         |ORDER BY keep_id""".stripMargin)
+  }
+
+  /** Filter-battery attribution (q105) — "why was my data dropped":
+    * for the standard quality-filter battery (length floor,
+    * stopword-ratio floor, type-token floor, language allowlist),
+    * count documents per failure SIGNATURE — the bitmask of failed
+    * filters — with the earliest example doc for each. The readout
+    * every filter change needs before shipping: which rule pays its
+    * way, which rules fire only together (redundant), what a
+    * threshold move would re-admit. Ratio thresholds are evaluated as
+    * integer cross-multiplications (stop_cnt·10 < n_words, never a
+    * float division), so both engines make the identical keep/drop
+    * call on every row — no epsilon anywhere. One scan into a
+    * 2⁴-group aggregate: constant state at any corpus size.
+    */
+  val filterAttribution: Q = {
+    val MIN_WORDS = 20
+    val ALLOW = Seq("en", "es", "fr", "de")
+    Q(
+      (s, d) => {
+        val w = TextFunctions.words(col("text"))
+        val nW = size(w)
+        val nStop = size(filter(w, x => x.isin(TextFunctions.stopwordsEn: _*)))
+        val nDist = size(array_distinct(w))
+        val mask =
+          when(nW < MIN_WORDS, 1).otherwise(0) +
+            when(nStop * 10 < nW, 2).otherwise(0) +
+            when(nDist * 10 < nW * 8, 4).otherwise(0) +
+            when(!col("lang").isin(ALLOW: _*), 8).otherwise(0)
+        t(s, d, "documents")
+          .select(col("doc_id"), mask.cast("long").as("fail_mask"))
+          .groupBy("fail_mask")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("example_id"))
+          .orderBy("fail_mask")
+      },
+      {
+        val stopList = TextFunctions.stopwordsEn.map(x => s"'$x'").mkString(", ")
+        val allowList = ALLOW.map(x => s"'$x'").mkString(", ")
+        s"""WITH w AS (
+           |  SELECT doc_id, lang, ${TextFunctions.wordsSql("text")} AS arr
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id,
+           |    (CASE WHEN len(arr) < $MIN_WORDS THEN 1 ELSE 0 END
+           |     + CASE WHEN len(list_filter(arr, x -> x IN ($stopList))) * 10
+           |            < len(arr) THEN 2 ELSE 0 END
+           |     + CASE WHEN len(list_distinct(arr)) * 10
+           |            < len(arr) * 8 THEN 4 ELSE 0 END
+           |     + CASE WHEN lang NOT IN ($allowList) THEN 8 ELSE 0 END
+           |    )::BIGINT AS fail_mask
+           |  FROM w)
+           |SELECT fail_mask, count(*)::BIGINT AS n_docs,
+           |  min(doc_id) AS example_id
+           |FROM m GROUP BY fail_mask ORDER BY fail_mask""".stripMargin
+      })
+  }
+
+  /** Near-dup cluster-size distribution (q107) — the dedup REPORT
+    * over q46's component assignment: how many duplicate clusters of
+    * each size the corpus holds, and how many documents dedup-apply
+    * will therefore drop (Σ size−1). The shape of this histogram is
+    * what picks the dedup strategy — a long tail of giant clusters
+    * means boilerplate/template content that wants q102's containment
+    * treatment, an all-pairs head means true reposts. Two
+    * cluster-keyed aggregates on top of the q46 assignment; state is
+    * bounded by the number of DISTINCT sizes (≤ largest cluster).
+    * Documents with no LSH pair never enter the component graph, so
+    * the histogram covers clusters of size ≥ 2 on both engines by
+    * construction.
+    */
+  val clusterSizes: Q = Q(
+    (s, d) => {
+      val edges = minhashPairs(s, d)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+      ConnectedComponents.assign(edges).distinct()
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size") - 1).as("n_dropped"))
+        .orderBy("cluster_size")
+    },
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |walk(n, m) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, walk.m FROM walk JOIN edges e ON e.u = walk.n),
+       |comp AS (SELECT n AS node, min(m) AS component FROM walk GROUP BY n),
+       |cs AS (
+       |  SELECT component, count(*)::BIGINT AS cluster_size
+       |  FROM comp GROUP BY component)
+       |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+       |  sum(cluster_size - 1)::BIGINT AS n_dropped
+       |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "q107_cluster_sizes" -> clusterSizes,
+    "q105_filter_attribution" -> filterAttribution,
+    "q104_normalized_dedup" -> normalizedDedup,
     "q103_lsh_precision" -> lshPrecision,
     "q102_containment"   -> containmentPairs,
     "q101_bigram_surprisal" -> bigramSurprisal,
