@@ -2785,7 +2785,144 @@ object PipelineQueries {
        |  sum(cluster_size - 1)::BIGINT AS n_dropped
        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)
 
+  /** Tokenizer fertility by language (q106) — the multilingual-bias
+    * audit number: subword tokens emitted per whitespace word, per
+    * language, under the q72-trained merge table. A language the
+    * tokenizer under-serves shows fertility well above the corpus
+    * mean — its documents cost proportionally more sequence length
+    * per unit text, which skews both training mix (q77's weights
+    * count documents, not tokens) and serving cost. Reuses q76's
+    * segmentation exactly: the per-WORD subword count is computed on
+    * the vocab (vocab-sized iterative work), joined back to corpus
+    * occurrences once, then aggregated to a language-count-bounded
+    * group state. Fertility in integer thousandths (all-positive
+    * floor div — engine-exact).
+    */
+  val bpeFertility: Q = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("lang"), explode(TextFunctions.words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+      val seg = Bpe.train(bpeVocab(s, d), BPE_ROUNDS)._2
+        .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+      docs.join(seg, Seq("word"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+        .selectExpr("lang", "n_words", "n_subwords",
+          "(n_subwords * 1000) div n_words AS fertility_milli")
+        .orderBy("lang")
+    },
+    s"""WITH ${BpeOracle.chain},
+       |segn AS (
+       |  SELECT word, count(*)::BIGINT AS n_sub FROM s$BPE_ROUNDS
+       |  GROUP BY word),
+       |dw AS (
+       |  SELECT lang, unnest(${TextFunctions.wordsSql("text")}) AS word
+       |  FROM documents),
+       |dwf AS (SELECT lang, word FROM dw WHERE length(word) > 0)
+       |SELECT d.lang, count(*)::BIGINT AS n_words,
+       |  sum(s.n_sub)::BIGINT AS n_subwords,
+       |  ((sum(s.n_sub) * 1000) // count(*))::BIGINT AS fertility_milli
+       |FROM dwf d JOIN segn s USING (word)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+
+  /** Label-centroid outliers (q108) — mislabel/contamination
+    * detection over the embedding table: the top-k vectors FARTHEST
+    * from their own label's centroid, per label. The vectors this
+    * surfaces are the ones a curation pass reviews first (wrong
+    * label, corrupted embedding, or genuine boundary case). Shares
+    * q89's exact-integer centroid table (micro-unit truncated means
+    * with the div-parity sign guard); distances are integer Σδ²
+    * (bounded 2⁴⁶ at d=64 — no overflow), so ranks are decided by
+    * exact comparisons on both engines, ties broken by vec_id.
+    * Shapes: (label, dim) centroid groupBy, one centroid join back
+    * (label-count-bounded build side), one per-label top-k window —
+    * never vector×vector.
+    */
+  val centroidOutliers: Q = {
+    val TOPK = 3
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ex = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+            posexplode(VectorFunctions.scaledMicro(col("embedding"))))
+          .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+          .persist()
+        val cent = ex.groupBy("label", "dim")
+          .agg(expr("sum(x) div count(1)").as("c"))
+        val d2 = ex.join(cent, Seq("label", "dim"))
+          .groupBy("vec_id", "label")
+          .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+        d2.withColumn("rnk", row_number().over(
+            Window.partitionBy("label").orderBy(col("d2").desc, col("vec_id"))))
+          .filter(col("rnk") <= TOPK)
+          .select(col("label"), col("rnk").cast("long").as("rnk"),
+            col("vec_id"), col("d2"))
+          .orderBy("label", "rnk")
+      },
+      s"""WITH ex AS (
+         |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS x
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label, dim,
+         |    (CASE WHEN sum(x) >= 0 THEN sum(x)::BIGINT // count(*)
+         |          ELSE -((-(sum(x)::BIGINT)) // count(*)) END)::BIGINT AS c
+         |  FROM ex GROUP BY 1, 2),
+         |d2 AS (
+         |  SELECT e.vec_id, e.label,
+         |    sum((e.x - c.c) * (e.x - c.c))::BIGINT AS d2
+         |  FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT label, vec_id, d2,
+         |    row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id)
+         |      AS rnk
+         |  FROM d2)
+         |SELECT label, rnk::BIGINT AS rnk, vec_id, d2
+         |FROM r WHERE rnk <= $TOPK
+         |ORDER BY label, rnk""".stripMargin)
+  }
+
+  /** Embedding norm audit (q109) — the vector-column health check a
+    * pipeline runs before any cosine-based stage: per (label,
+    * log₂-bucket of ‖v‖²) counts with the bucket's exact min/max.
+    * Degenerate vectors (zero or near-zero norm) make cosine
+    * undefined and silently poison ANN and SemDeDup — they land in
+    * the lowest buckets here, where an audit catches them before the
+    * similarity stages run. Everything stays in the micro-unit
+    * integer domain: ‖v‖² is an exact Σx² (< 2⁴⁶ at d=64), the
+    * bucket is `length(bin(n))` = ⌊log₂⌋+1 (q98's trick), so the
+    * histogram is hash-exact. One scan, per-row codegen lambdas,
+    * (label × ~46 buckets)-bounded state.
+    */
+  val normAudit: Q = Q(
+    (s, d) =>
+      t(s, d, "embeddings")
+        .select(col("label"), VectorFunctions.scaledMicro(col("embedding")).as("xs"))
+        .selectExpr("label", "aggregate(xs, 0L, (a, x) -> a + x * x) AS n2")
+        .selectExpr("label",
+          "cast(length(bin(greatest(n2, 1L))) AS bigint) AS norm_bucket", "n2")
+        .groupBy("label", "norm_bucket")
+        .agg(count(lit(1)).as("n_vecs"),
+          min("n2").as("min_n2"), max("n2").as("max_n2"))
+        .orderBy("label", "norm_bucket"),
+    s"""WITH xs AS (
+       |  SELECT label, ${VectorFunctions.scaledMicroSql("embedding")} AS xs
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT label,
+       |    list_sum(list_transform(xs, x -> x * x))::BIGINT AS n2
+       |  FROM xs)
+       |SELECT label, length(bin(greatest(n2, 1)))::BIGINT AS norm_bucket,
+       |  count(*)::BIGINT AS n_vecs,
+       |  min(n2)::BIGINT AS min_n2, max(n2)::BIGINT AS max_n2
+       |FROM n GROUP BY 1, 2 ORDER BY label, norm_bucket""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "q109_norm_audit"    -> normAudit,
+    "q108_centroid_outliers" -> centroidOutliers,
+    "q106_bpe_fertility" -> bpeFertility,
     "q107_cluster_sizes" -> clusterSizes,
     "q105_filter_attribution" -> filterAttribution,
     "q104_normalized_dedup" -> normalizedDedup,
