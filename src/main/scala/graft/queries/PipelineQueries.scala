@@ -2919,7 +2919,137 @@ object PipelineQueries {
        |  min(n2)::BIGINT AS min_n2, max(n2)::BIGINT AS max_n2
        |FROM n GROUP BY 1, 2 ORDER BY label, norm_bucket""".stripMargin)
 
+  /** Boilerplate template detection (q110) — the inverse of the df
+    * cap every dedup query applies: the spans the cap DROPS are
+    * exactly the content a curation pass wants to SEE. Surfaces the
+    * highest-document-frequency word-8-gram windows (site chrome,
+    * license headers, navigation text) with their doc and occurrence
+    * counts — the removal list for a template-stripping pass, and the
+    * explanation for q107's giant clusters. Injected headers (every
+    * 7th doc gets one template, every 11th another, window-aligned by
+    * construction) must top the report. One explode + one span-keyed
+    * groupBy + top-k (TakeOrderedAndProject): the same shape and cost
+    * as q55's vocabulary, over spans instead of words.
+    */
+  val templates: Q = {
+    val W = 8; val TOPK = 10; val MIN_DF = 5L
+    val TPL_A = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val TPL_B = "all rights reserved terms of service apply here"
+    Q(
+      (s, d) => {
+        val injected = concat(
+          when(col("doc_id") % 7 === 0, lit(TPL_A + " ")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(TPL_B + " ")).otherwise(lit("")),
+          col("text"))
+        t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.words(injected).as("arr"))
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(0),
+                expr(s"greatest(size(arr) - 1, 0) div $W")),
+              i => array_join(slice(col("arr"), i * W + 1, lit(W)), " ")))
+            .as("span"))
+          .groupBy("span")
+          .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+          .filter(col("n_docs") >= MIN_DF)
+          .orderBy(col("n_docs").desc, col("span"))
+          .limit(TOPK)
+      },
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN '$TPL_A ' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN '$TPL_B ' ELSE '' END || text AS text
+         |  FROM documents),
+         |w AS (SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr FROM c),
+         |e AS (SELECT doc_id, arr,
+         |  unnest(range(0, greatest(len(arr) - 1, 0) // $W + 1)) AS idx FROM w),
+         |sp AS (SELECT doc_id,
+         |  array_to_string(arr[(idx * $W + 1):(idx * $W + $W)], ' ') AS span
+         |  FROM e)
+         |SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |  count(*)::BIGINT AS n_occ
+         |FROM sp GROUP BY span
+         |HAVING count(DISTINCT doc_id) >= $MIN_DF
+         |ORDER BY n_docs DESC, span LIMIT $TOPK""".stripMargin)
+  }
+
+  /** Inter-source duplication matrix (q111) — which crawls/dumps
+    * duplicate each other: q24's LSH near-dup pairs rolled up to an
+    * unordered (source, source) matrix. Off-diagonal mass means two
+    * acquisition channels ship the same content (pay for one);
+    * diagonal mass is within-source duplication the per-source dedup
+    * budget should reflect. The matrix is the mix-planning input q77
+    * and q95 consume upstream. Pair volume is already sub-quadratic
+    * (band-join output), the source lookup is a doc-keyed equi-join
+    * (strategy left to AQE — the id→source side scales with the
+    * corpus), and the final state is source²-bounded. least/greatest
+    * canonicalize the pair — plain ASCII compares, identical on both
+    * engines.
+    */
+  val sourceOverlap: Q = Q(
+    (s, d) => {
+      val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+      minhashPairs(s, d)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          Seq("id_b"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+    s"""WITH $minhashPairsCtes
+       |SELECT least(da.source, db.source) AS source_a,
+       |  greatest(da.source, db.source) AS source_b,
+       |  count(*)::BIGINT AS n_pairs
+       |FROM pairs p
+       |JOIN documents da ON p.id_a = da.doc_id
+       |JOIN documents db ON p.id_b = db.doc_id
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
+
+  /** Exact-quota stratified sampling (q112) — q49 takes a FIXED N
+    * per stratum; this takes an exact PROPORTION: ⌈n·p⌉ documents of
+    * each language, the form an eval-set or ablation draw actually
+    * specifies ("10% of each language, exactly"). A stateless hash
+    * threshold (q43) only approximates quotas; hitting them exactly
+    * requires the stratum count — one window — then a deterministic
+    * hash-ordered take. The quota ⌈n·100/1000⌉ is an all-positive
+    * integer ceil-div, exact on both engines. Cost: one per-stratum
+    * window sort — the price of exactness over q43's approximation,
+    * parallel across strata (the partition key) at any corpus size.
+    */
+  val quotaSample: Q = {
+    val P_MILLI = 100L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val win = Window.partitionBy("lang")
+          .orderBy(Hashing.h32(col("doc_id").cast("string")), col("doc_id"))
+        t(s, d, "documents").select(col("lang"), col("doc_id"))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("lang")).cast("long"))
+          .withColumn("rnk", row_number().over(win).cast("long"))
+          .withColumn("quota", expr(s"(n * $P_MILLI + 999) div 1000"))
+          .filter(col("rnk") <= col("quota"))
+          .select(col("lang"), col("doc_id"), col("rnk"), col("quota"))
+          .orderBy("lang", "rnk")
+      },
+      s"""WITH r AS (
+         |  SELECT lang, doc_id,
+         |    count(*) OVER (PARTITION BY lang) AS n,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${Hashing.h32Sql("doc_id::VARCHAR")}, doc_id) AS rnk
+         |  FROM documents)
+         |SELECT lang, doc_id, rnk::BIGINT AS rnk,
+         |  ((n * $P_MILLI + 999) // 1000)::BIGINT AS quota
+         |FROM r WHERE rnk <= (n * $P_MILLI + 999) // 1000
+         |ORDER BY lang, rnk""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q112_quota_sample"  -> quotaSample,
+    "q111_source_overlap" -> sourceOverlap,
+    "q110_templates"     -> templates,
     "q109_norm_audit"    -> normAudit,
     "q108_centroid_outliers" -> centroidOutliers,
     "q106_bpe_fertility" -> bpeFertility,
