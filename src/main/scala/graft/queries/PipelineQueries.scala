@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -2690,6 +2690,43 @@ object PipelineQueries {
          |ORDER BY keep_id""".stripMargin)
   }
 
+  /** ONE definition of the quality-filter battery shared by q105
+    * (failure-signature attribution) and q114 (per-source rollup /
+    * blocklist) — the thresholds and the bitmask encoding live here
+    * so the two readouts cannot drift. Every ratio threshold is an
+    * integer cross-multiplication (stop_cnt·10 < n_words, never a
+    * float division), so both engines make the identical keep/drop
+    * call on every row.
+    */
+  private object FilterBattery {
+    val MIN_WORDS = 20
+    val ALLOW: Seq[String] = Seq("en", "es", "fr", "de")
+
+    /** Bitmask of failed filters: 1 = length floor, 2 = stopword
+      * ratio, 4 = type-token ratio, 8 = language allowlist. */
+    def mask(text: Column, lang: Column): Column = {
+      val w = TextFunctions.words(text)
+      val nW = size(w)
+      val nStop = size(filter(w, x => x.isin(TextFunctions.stopwordsEn: _*)))
+      val nDist = size(array_distinct(w))
+      (when(nW < MIN_WORDS, 1).otherwise(0) +
+        when(nStop * 10 < nW, 2).otherwise(0) +
+        when(nDist * 10 < nW * 8, 4).otherwise(0) +
+        when(!lang.isin(ALLOW: _*), 8).otherwise(0)).cast("long")
+    }
+
+    /** DuckDB twin over a words-array expression `arr` and a lang
+      * column (single line — safe to embed in any outer CTE). */
+    def maskSql(arr: String, lang: String): String = {
+      val stopList = TextFunctions.stopwordsEn.map(x => s"'$x'").mkString(", ")
+      val allowList = ALLOW.map(x => s"'$x'").mkString(", ")
+      s"(CASE WHEN len($arr) < $MIN_WORDS THEN 1 ELSE 0 END" +
+        s" + CASE WHEN len(list_filter($arr, x -> x IN ($stopList))) * 10 < len($arr) THEN 2 ELSE 0 END" +
+        s" + CASE WHEN len(list_distinct($arr)) * 10 < len($arr) * 8 THEN 4 ELSE 0 END" +
+        s" + CASE WHEN $lang NOT IN ($allowList) THEN 8 ELSE 0 END)::BIGINT"
+    }
+  }
+
   /** Filter-battery attribution (q105) — "why was my data dropped":
     * for the standard quality-filter battery (length floor,
     * stopword-ratio floor, type-token floor, language allowlist),
@@ -2703,47 +2740,23 @@ object PipelineQueries {
     * call on every row — no epsilon anywhere. One scan into a
     * 2⁴-group aggregate: constant state at any corpus size.
     */
-  val filterAttribution: Q = {
-    val MIN_WORDS = 20
-    val ALLOW = Seq("en", "es", "fr", "de")
-    Q(
-      (s, d) => {
-        val w = TextFunctions.words(col("text"))
-        val nW = size(w)
-        val nStop = size(filter(w, x => x.isin(TextFunctions.stopwordsEn: _*)))
-        val nDist = size(array_distinct(w))
-        val mask =
-          when(nW < MIN_WORDS, 1).otherwise(0) +
-            when(nStop * 10 < nW, 2).otherwise(0) +
-            when(nDist * 10 < nW * 8, 4).otherwise(0) +
-            when(!col("lang").isin(ALLOW: _*), 8).otherwise(0)
-        t(s, d, "documents")
-          .select(col("doc_id"), mask.cast("long").as("fail_mask"))
-          .groupBy("fail_mask")
-          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("example_id"))
-          .orderBy("fail_mask")
-      },
-      {
-        val stopList = TextFunctions.stopwordsEn.map(x => s"'$x'").mkString(", ")
-        val allowList = ALLOW.map(x => s"'$x'").mkString(", ")
-        s"""WITH w AS (
-           |  SELECT doc_id, lang, ${TextFunctions.wordsSql("text")} AS arr
-           |  FROM documents),
-           |m AS (
-           |  SELECT doc_id,
-           |    (CASE WHEN len(arr) < $MIN_WORDS THEN 1 ELSE 0 END
-           |     + CASE WHEN len(list_filter(arr, x -> x IN ($stopList))) * 10
-           |            < len(arr) THEN 2 ELSE 0 END
-           |     + CASE WHEN len(list_distinct(arr)) * 10
-           |            < len(arr) * 8 THEN 4 ELSE 0 END
-           |     + CASE WHEN lang NOT IN ($allowList) THEN 8 ELSE 0 END
-           |    )::BIGINT AS fail_mask
-           |  FROM w)
-           |SELECT fail_mask, count(*)::BIGINT AS n_docs,
-           |  min(doc_id) AS example_id
-           |FROM m GROUP BY fail_mask ORDER BY fail_mask""".stripMargin
-      })
-  }
+  val filterAttribution: Q = Q(
+    (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          FilterBattery.mask(col("text"), col("lang")).as("fail_mask"))
+        .groupBy("fail_mask")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("example_id"))
+        .orderBy("fail_mask"),
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, ${TextFunctions.wordsSql("text")} AS arr
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, ${FilterBattery.maskSql("arr", "lang")} AS fail_mask
+       |  FROM w)
+       |SELECT fail_mask, count(*)::BIGINT AS n_docs,
+       |  min(doc_id) AS example_id
+       |FROM m GROUP BY fail_mask ORDER BY fail_mask""".stripMargin)
 
   /** Near-dup cluster-size distribution (q107) — the dedup REPORT
     * over q46's component assignment: how many duplicate clusters of
@@ -3046,7 +3059,221 @@ object PipelineQueries {
          |ORDER BY lang, rnk""".stripMargin)
   }
 
+  /** Exact dedup in QUANTIZED embedding space (q113) — the cheap
+    * pre-pass before SemDeDup (q66/q71): two vectors identical after
+    * int8 quantization (same codes AND same (mn, rng) reconstruction
+    * params — affine-equivalent ranges are NOT merged) are duplicates
+    * no cosine stage needs to re-examine, and finding them costs one
+    * hash groupBy instead of any in-cell pair work. Reuses q97's code
+    * formula verbatim in the shared micro-unit integer domain, so the
+    * code string — and therefore the md5 group key — is byte-exact on
+    * both engines. Injected +1-micro-unit perturbations (below any
+    * int8 step, and range-shift-invariant: mn and x shift together)
+    * must collapse onto their originals, every group exactly size 2.
+    * 100 TB shape = q22 exact dedup: per-row codegen lambdas, ONE
+    * md5-keyed groupBy, no pairs.
+    */
+  val quantizedDedup: Q = Q(
+    (s, d) => {
+      val xs = t(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.scaledMicro(col("embedding")).as("xs"))
+      val shifted = xs.select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(xs, x -> x + 1L)").as("xs"))
+      xs.unionByName(shifted)
+        .selectExpr("vec_id", "xs", "array_min(xs) AS mn",
+          "greatest(array_max(xs) - array_min(xs), 1L) AS rng")
+        .selectExpr("vec_id",
+          """md5(concat(cast(rng AS string), ':',
+            |  array_join(transform(xs, x -> cast((x - mn) * 255 div rng AS string)), ',')))
+            |  AS code_hash""".stripMargin)
+        .groupBy("code_hash")
+        .agg(min("vec_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    },
+    s"""WITH x0 AS (
+       |  SELECT vec_id, ${VectorFunctions.scaledMicroSql("embedding")} AS xs
+       |  FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, xs FROM x0
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_transform(xs, x -> x + 1) FROM x0),
+       |mm AS (
+       |  SELECT vec_id, xs, list_min(xs) AS mn,
+       |    greatest(list_max(xs) - list_min(xs), 1) AS rng
+       |  FROM corpus),
+       |h AS (
+       |  SELECT vec_id,
+       |    md5(rng::VARCHAR || ':' || array_to_string(
+       |      list_transform(xs, x -> ((x - mn) * 255 // rng)::VARCHAR), ','))
+       |      AS code_hash
+       |  FROM mm)
+       |SELECT code_hash, min(vec_id) AS keep_id, count(*)::BIGINT AS n_copies
+       |FROM h GROUP BY code_hash ORDER BY keep_id""".stripMargin)
+
+  /** Per-source quality rollup + blocklist ranking (q114) — the
+    * acquisition-channel readout over the SAME battery as q105 (one
+    * [[FilterBattery]] definition, two reports): per source, document
+    * count, battery-failure count, failure rate in integer
+    * thousandths, and a `blocked` flag on the TOPK worst sources (the
+    * crawl-blocklist candidates a curation pass reviews first). The
+    * rank is a single global window over PER-SOURCE AGGREGATES —
+    * state is taxonomy-bounded (sources are acquisition channels,
+    * dozens to thousands, never corpus-scaled), so the one-partition
+    * sort is over a tiny set no matter the corpus size; the corpus
+    * itself is touched once by the groupBy. Ties break on source name
+    * — deterministic on both engines.
+    */
+  val sourceBlocklist: Q = {
+    val TOPK = 3
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, d, "documents")
+          .select(col("source"),
+            FilterBattery.mask(col("text"), col("lang")).as("fail_mask"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("fail_mask") =!= 0L, 1L).otherwise(0L)).as("n_fail"))
+          .selectExpr("source", "n_docs", "n_fail",
+            "n_fail * 1000 div n_docs AS fail_milli")
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("fail_milli").desc, col("source"))))
+          .select(col("source"), col("n_docs"), col("n_fail"), col("fail_milli"),
+            when(col("rnk") <= TOPK, 1L).otherwise(0L).as("blocked"))
+          .orderBy("source")
+      },
+      s"""WITH w AS (
+         |  SELECT source, lang, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM documents),
+         |m AS (
+         |  SELECT source, ${FilterBattery.maskSql("arr", "lang")} AS fail_mask
+         |  FROM w),
+         |agg AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |    sum(CASE WHEN fail_mask <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_fail
+         |  FROM m GROUP BY source),
+         |r AS (
+         |  SELECT source, n_docs, n_fail,
+         |    (n_fail * 1000 // n_docs)::BIGINT AS fail_milli,
+         |    row_number() OVER (ORDER BY n_fail * 1000 // n_docs DESC, source)
+         |      AS rnk
+         |  FROM agg)
+         |SELECT source, n_docs, n_fail, fail_milli,
+         |  (CASE WHEN rnk <= $TOPK THEN 1 ELSE 0 END)::BIGINT AS blocked
+         |FROM r ORDER BY source""".stripMargin)
+  }
+
+  /** Token-budget epoch planning (q115) — given a training-token
+    * target (OVERSAMPLE× the current corpus, split uniformly across
+    * sources — the "how many epochs of each source do I need" sizing
+    * question every mixture spec answers before q77 picks weights):
+    * per source, its token count, its budget share, and the epoch
+    * count ⌈budget/tokens⌉ required to fill that share. The budget is
+    * derived IN-PLAN from a broadcast 1-row total (q77's idiom, never
+    * collected), and every step is all-positive integer arithmetic —
+    * token sums, floor-div share, ceil-div epochs — so the plan is
+    * hash-exact on both engines and independent of partitioning. One
+    * corpus scan into source-bounded state plus a 1-row aggregate.
+    */
+  val tokenBudget: Q = {
+    val OVERSAMPLE = 3L
+    Q(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("source"),
+            size(TextFunctions.words(col("text"))).cast("long").as("n_tok"))
+          .groupBy("source").agg(sum("n_tok").as("toks"))
+        val tot = toks.agg(sum("toks").as("total"), count(lit(1)).as("n_src"))
+        toks.crossJoin(broadcast(tot))
+          .selectExpr("source", "toks",
+            s"(total * $OVERSAMPLE) div n_src AS budget")
+          .selectExpr("source", "toks", "budget",
+            "(budget + toks - 1) div greatest(toks, 1L) AS epochs")
+          .orderBy("source")
+      },
+      s"""WITH toks AS (
+         |  SELECT source,
+         |    sum(len(${TextFunctions.wordsSql("text")}))::BIGINT AS toks
+         |  FROM documents GROUP BY source),
+         |tot AS (
+         |  SELECT sum(toks)::BIGINT AS total, count(*)::BIGINT AS n_src
+         |  FROM toks)
+         |SELECT source, toks,
+         |  ((total * $OVERSAMPLE) // n_src)::BIGINT AS budget,
+         |  (((total * $OVERSAMPLE) // n_src + toks - 1)
+         |    // greatest(toks, 1))::BIGINT AS epochs
+         |FROM toks, tot ORDER BY source""".stripMargin)
+  }
+
+  /** Embedding-space decontamination (q116) — the SEMANTIC
+    * complement to q50/q99's n-gram overlap: flag training vectors
+    * whose nearest benchmark embedding sits within an exact integer
+    * distance² threshold, catching paraphrased eval leakage that
+    * shares no shingle. Injected exact copies of benchmark vectors
+    * (+10⁶ ids) must surface at min_d2 = 0; TAU2 sits at the ~5th
+    * percentile of organic nearest-bench distances, so genuine
+    * near-bench outliers surface too. All distances are exact integer
+    * Σδ² in the shared micro-unit domain (δ ≤ 2·10⁶, Σ over d=64 <
+    * 2⁴⁸ — no overflow, no float epsilon). 100 TB shape: the bench
+    * side is a FIXED-SIZE suite (never corpus-scaled) broadcast once;
+    * the corpus is scanned once with a constant |bench| work factor
+    * per row and zip_with/aggregate staying codegen — for a
+    * corpus-scaled reference set, q27's bucket prefilter is the
+    * escalation path. Tie-break on bench id via one lexicographic
+    * min(struct) — no second shuffle.
+    */
+  val embedDecontaminate: Q = {
+    val BENCH_MAX = 25L
+    val TAU2 = 1300000000000L
+    Q(
+      (s, d) => {
+        val xs = t(s, d, "embeddings")
+          .select(col("vec_id"), VectorFunctions.scaledMicro(col("embedding")).as("xs"))
+        val bench = xs.filter(col("vec_id") < BENCH_MAX)
+          .select(col("vec_id").as("bvec"), col("xs").as("ys"))
+        val train = xs.filter(col("vec_id") >= BENCH_MAX)
+          .unionByName(bench.select((col("bvec") + 1000000L).as("vec_id"),
+            col("ys").as("xs")))
+        train.crossJoin(broadcast(bench))
+          .selectExpr("vec_id", "bvec",
+            "aggregate(zip_with(xs, ys, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v) AS d2")
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("bvec"))).as("m"))
+          .select(col("vec_id"), col("m.d2").as("min_d2"),
+            col("m.bvec").as("near_bench"))
+          .filter(col("min_d2") <= TAU2)
+          .orderBy("vec_id")
+      },
+      s"""WITH x0 AS (
+         |  SELECT vec_id, ${VectorFunctions.scaledMicroSql("embedding")} AS xs
+         |  FROM embeddings),
+         |bench AS (
+         |  SELECT vec_id AS bvec, xs AS ys FROM x0 WHERE vec_id < $BENCH_MAX),
+         |train AS (
+         |  SELECT vec_id, xs FROM x0 WHERE vec_id >= $BENCH_MAX
+         |  UNION ALL SELECT bvec + 1000000, ys FROM bench),
+         |te AS (
+         |  SELECT vec_id, generate_subscripts(xs, 1) AS dim, unnest(xs) AS x
+         |  FROM train),
+         |be AS (
+         |  SELECT bvec, generate_subscripts(ys, 1) AS dim, unnest(ys) AS y
+         |  FROM bench),
+         |d2 AS (
+         |  SELECT te.vec_id, be.bvec,
+         |    sum((te.x - be.y) * (te.x - be.y))::BIGINT AS d2
+         |  FROM te JOIN be USING (dim) GROUP BY 1, 2),
+         |m AS (SELECT vec_id, min(d2) AS min_d2 FROM d2 GROUP BY 1)
+         |SELECT d.vec_id, m.min_d2, min(d.bvec) AS near_bench
+         |FROM d2 d JOIN m ON d.vec_id = m.vec_id AND d.d2 = m.min_d2
+         |WHERE m.min_d2 <= $TAU2
+         |GROUP BY 1, 2 ORDER BY d.vec_id""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q116_embed_decontaminate" -> embedDecontaminate,
+    "q115_token_budget"  -> tokenBudget,
+    "q114_source_blocklist" -> sourceBlocklist,
+    "q113_quantized_dedup" -> quantizedDedup,
     "q112_quota_sample"  -> quotaSample,
     "q111_source_overlap" -> sourceOverlap,
     "q110_templates"     -> templates,
