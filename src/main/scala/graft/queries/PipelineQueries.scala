@@ -3269,7 +3269,160 @@ object PipelineQueries {
          |GROUP BY 1, 2 ORDER BY d.vec_id""".stripMargin)
   }
 
+  /** Cluster-quality audit (q117) — the silhouette-style readout over
+    * the label assignment: per label, mean intra-cluster distance² to
+    * its own centroid vs the distance² to the NEAREST other centroid.
+    * A label whose nearest-centroid gap is small relative to its
+    * intra spread is a merge/mislabel candidate — the triage signal
+    * read before trusting labels for q89 centroids or q112-style
+    * stratified draws. Scale shape: never vector×vector — vectors
+    * meet only their OWN centroid (q108's (label, dim) join), and the
+    * centroid×centroid stage is label²-bounded (labels are a
+    * taxonomy, not corpus-scaled). All distances exact integer Σδ² in
+    * the micro-unit domain; centroid = sum div count with Spark's
+    * truncating div mirrored by a sign CASE in the oracle (q108's
+    * rule); nearest-centroid argmin via one lexicographic min(struct).
+    */
+  val clusterQuality: Q = Q(
+    (s, d) => {
+      val ex = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+          posexplode(VectorFunctions.scaledMicro(col("embedding"))))
+        .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+      val cent = ex.groupBy("label", "dim")
+        .agg(expr("sum(x) div count(1)").as("c")).persist()
+      val intra = ex.join(cent, Seq("label", "dim"))
+        .groupBy("vec_id", "label")
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), sum("d2").as("sum_d2"))
+        .selectExpr("label", "n_vecs", "sum_d2 div n_vecs AS mean_intra_d2")
+      val cpairs = cent.toDF("label", "dim", "ca")
+        .join(cent.toDF("lb", "dim", "cb"), Seq("dim"))
+        .filter(col("label") =!= col("lb"))
+        .groupBy("label", "lb")
+        .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("cd2"))
+      val nearest = cpairs.groupBy("label")
+        .agg(min(struct(col("cd2"), col("lb"))).as("m"))
+        .select(col("label"), col("m.lb").as("near_label"),
+          col("m.cd2").as("near_d2"))
+      intra.join(nearest, Seq("label"))
+        .select("label", "n_vecs", "mean_intra_d2", "near_label", "near_d2")
+        .orderBy("label")
+    },
+    """WITH ex AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+      |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS x
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, dim,
+      |    (CASE WHEN sum(x) >= 0 THEN sum(x)::BIGINT // count(*)
+      |          ELSE -((-(sum(x)::BIGINT)) // count(*)) END)::BIGINT AS c
+      |  FROM ex GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT e.vec_id, e.label,
+      |    sum((e.x - c.c) * (e.x - c.c))::BIGINT AS d2
+      |  FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+      |  GROUP BY 1, 2),
+      |intra AS (
+      |  SELECT label, count(*)::BIGINT AS n_vecs,
+      |    (sum(d2) // count(*))::BIGINT AS mean_intra_d2
+      |  FROM d2 GROUP BY label),
+      |cp AS (
+      |  SELECT a.label AS label, b.label AS lb,
+      |    sum((a.c - b.c) * (a.c - b.c))::BIGINT AS cd2
+      |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+      |  GROUP BY 1, 2),
+      |mn AS (SELECT label, min(cd2) AS near_d2 FROM cp GROUP BY 1)
+      |SELECT i.label, i.n_vecs, i.mean_intra_d2,
+      |  min(c.lb) AS near_label, m.near_d2
+      |FROM intra i JOIN mn m ON i.label = m.label
+      |JOIN cp c ON c.label = i.label AND c.cd2 = m.near_d2
+      |GROUP BY 1, 2, 3, 5
+      |ORDER BY i.label""".stripMargin)
+
+  /** MinHash estimator-error audit (q118) — q103 reports whether the
+    * BAND layout surfaces good candidates; this audits the SIGNATURE
+    * itself: per LSH candidate pair, the matching-row estimate
+    * (matches·1000/k) against the exact Jaccard (thousandths), and
+    * the absolute error. The k that balances signature cost against
+    * estimator noise is read off this table — E[err] ~ 1/(2√k) —
+    * making it the second half of the (bands, rows, k) tuning loop.
+    * Same constants and CTEs as q24/q59 (one definition, zero drift).
+    * Scale shape: candidate generation sub-quadratic (band join),
+    * estimate is a signature self-join ON THE CANDIDATES (k columns
+    * wide, candidate-linear), exact Jaccard shingles only the
+    * candidate-touched docs (q59's discipline) — never corpus pairs.
+    * All-positive integer floor-div on both engines; pairs with no
+    * shared shingle (possible under band collisions) coalesce to
+    * exact 0, never drop.
+    */
+  val minhashError: Q = {
+    val matchSumSql = (0 until MH_K)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sig = Dedup.minhashSignatures(docs, "doc_id", "text", MH_K).persist()
+        val cands = Dedup.lshCandidates(sig, "doc_id", MH_BANDS, MH_R)
+        val sa = sig.toDF(sig.columns.toIndexedSeq
+          .map(c => if (c == "doc_id") "id_a" else s"a_$c"): _*)
+        val sb = sig.toDF(sig.columns.toIndexedSeq
+          .map(c => if (c == "doc_id") "id_b" else s"b_$c"): _*)
+        val matches = (0 until MH_K)
+          .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        val est = cands.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+          .select(col("id_a"), col("id_b"), matches.cast("long").as("n_match"))
+          .selectExpr("id_a", "id_b", s"n_match * 1000 div $MH_K AS est_milli")
+        val candIds = cands.select(col("id_a").as("doc_id"))
+          .union(cands.select(col("id_b").as("doc_id"))).distinct()
+        val sh = Dedup.shingleKeys(
+          docs.join(candIds, Seq("doc_id"), "leftsemi"), "doc_id", "text", 3)
+          .persist()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val inter = cands.join(sh.toDF("id_a", "s"), Seq("id_a"))
+          .join(sh.toDF("id_b", "s"), Seq("id_b", "s"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+        est.join(inter, Seq("id_a", "id_b"), "left")
+          .join(sizes.toDF("id_a", "na"), Seq("id_a"))
+          .join(sizes.toDF("id_b", "nb"), Seq("id_b"))
+          .selectExpr("id_a", "id_b", "est_milli",
+            "coalesce(n_inter, 0L) * 1000 div (na + nb - coalesce(n_inter, 0L)) AS exact_milli")
+          .selectExpr("id_a", "id_b", "est_milli", "exact_milli",
+            "abs(est_milli - exact_milli) AS err_milli")
+          .orderBy("id_a", "id_b")
+      },
+      s"""WITH $minhashPairsCtes,
+         |est AS (
+         |  SELECT id_a, id_b,
+         |    (($matchSumSql) * 1000 // $MH_K)::BIGINT AS est_milli
+         |  FROM cand
+         |  JOIN sig sa ON id_a = sa.doc_id
+         |  JOIN sig sb ON id_b = sb.doc_id),
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.id_a
+         |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT e.id_a, e.id_b, e.est_milli,
+         |    (coalesce(i.n_inter, 0) * 1000
+         |      // (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)))::BIGINT
+         |      AS exact_milli
+         |  FROM est e
+         |  LEFT JOIN inter i ON e.id_a = i.id_a AND e.id_b = i.id_b
+         |  JOIN sizes sa ON e.id_a = sa.doc_id
+         |  JOIN sizes sb ON e.id_b = sb.doc_id)
+         |SELECT id_a, id_b, est_milli, exact_milli,
+         |  abs(est_milli - exact_milli)::BIGINT AS err_milli
+         |FROM ex ORDER BY id_a, id_b""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q118_minhash_error" -> minhashError,
+    "q117_cluster_quality" -> clusterQuality,
     "q116_embed_decontaminate" -> embedDecontaminate,
     "q115_token_budget"  -> tokenBudget,
     "q114_source_blocklist" -> sourceBlocklist,
