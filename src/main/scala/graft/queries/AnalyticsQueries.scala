@@ -1033,5 +1033,92 @@ object AnalyticsQueries {
     "q85_funnel"           -> funnel,
     "q86_retention"        -> retention,
     "q90_personalized_pr"  -> personalizedPageRank,
-    "q92_anomaly_days"     -> anomalyDays)
+    "q92_anomaly_days"     -> anomalyDays,
+    "q120_skew_diagnostics" -> skewDiagnostics,
+    "q121_salted_join"     -> saltedJoinAgg)
+
+  /** Join-key skew diagnostics (q120) — the pre-flight check a 100 TB
+    * shuffle join runs BEFORE picking a strategy: per-key row counts,
+    * the corpus mean, and the salt fan-out ⌈max/mean⌉ that
+    * [[Salting.saltedJoin]] (judged as q121) would need to level the
+    * hottest key. The test data is deliberately uniform, so the hot
+    * key is INJECTED (one user's events replicated HOT× under a fresh
+    * id — the same injection discipline the dedup family uses) and
+    * must surface at rank 1 with a salt factor ≫ 1. Scale shape: one
+    * key-grouped count (map-side combinable), a broadcast 1-row
+    * stats aggregate, TakeOrderedAndProject for the top-k — no global
+    * sort, nothing driver-side; all-positive integer floor/ceil div
+    * on both engines.
+    */
+  lazy val skewDiagnostics: Q = {
+    val HOT = 20; val TOPK = 5
+    Q(
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"))
+        val injected = ev.filter(col("user_id") === 0L)
+          .withColumn("r", explode(sequence(lit(0), lit(HOT - 1))))
+          .select(lit(999999L).as("user_id"))
+        val freq = ev.unionByName(injected)
+          .groupBy("user_id").agg(count(lit(1)).as("n_rows"))
+        val stats = freq.agg(count(lit(1)).as("n_keys"),
+          sum("n_rows").as("total"), max("n_rows").as("mx"))
+        freq.crossJoin(broadcast(stats))
+          .selectExpr("user_id", "n_rows", "total div n_keys AS mean_rows",
+            "(mx + total div n_keys - 1) div (total div n_keys) AS salt_factor")
+          .orderBy(desc("n_rows"), asc("user_id")).limit(TOPK)
+      },
+      s"""WITH ev AS (
+         |  SELECT user_id FROM events
+         |  UNION ALL
+         |  SELECT 999999 FROM events, range($HOT) WHERE user_id = 0),
+         |freq AS (SELECT user_id, count(*)::BIGINT AS n_rows FROM ev GROUP BY 1),
+         |st AS (
+         |  SELECT count(*)::BIGINT AS n_keys, sum(n_rows)::BIGINT AS total,
+         |    max(n_rows)::BIGINT AS mx
+         |  FROM freq)
+         |SELECT user_id, n_rows,
+         |  (total // n_keys)::BIGINT AS mean_rows,
+         |  ((mx + total // n_keys - 1) // (total // n_keys))::BIGINT AS salt_factor
+         |FROM freq, st
+         |ORDER BY n_rows DESC, user_id LIMIT $TOPK""".stripMargin)
+  }
+
+  /** Skewed fact ⨝ dim through [[Salting.saltedJoin]] as a judged
+    * query (q121) — q68 judges the salted AGGREGATION; this judges
+    * the salted JOIN: the q120-injected hot key would land every one
+    * of its rows on a single reducer in a plain shuffle join, while
+    * the salted plan spreads them over the salt fan-out and
+    * replicates only the (small, but not broadcast-worthy at real
+    * scale) dim side. Salting must be result-invisible, so the oracle
+    * is the PLAIN join + group-by — exact because the rollup is
+    * integer cents. SaltingSpec asserts the operator-level
+    * equivalence; this pins it end-to-end under the oracle hash.
+    */
+  lazy val saltedJoinAgg: Q = {
+    val HOT = 20; val SALTS = 8
+    Q(
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"), col("value"))
+        val injected = ev.filter(col("user_id") === 0L)
+          .withColumn("r", explode(sequence(lit(0), lit(HOT - 1))))
+          .select(lit(999999L).as("user_id"), col("value"))
+        val fact = ev.unionByName(injected)
+        val dim = fact.select("user_id").distinct()
+          .withColumn("tier", pmod(col("user_id"), lit(5L)))
+        Salting.saltedJoin(fact, dim, "user_id", SALTS)
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_events"),
+            sum(cents(col("value"))).as("sum_cents"))
+          .orderBy("tier")
+      },
+      s"""WITH fact AS (
+         |  SELECT user_id, value FROM events
+         |  UNION ALL
+         |  SELECT 999999, value FROM events, range($HOT) WHERE user_id = 0),
+         |dim AS (SELECT DISTINCT user_id, user_id % 5 AS tier FROM fact)
+         |SELECT tier, count(*)::BIGINT AS n_events,
+         |  sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+         |FROM fact JOIN dim USING (user_id)
+         |GROUP BY tier ORDER BY tier""".stripMargin)
+  }
 }

@@ -3420,7 +3420,72 @@ object PipelineQueries {
          |FROM ex ORDER BY id_a, id_b""".stripMargin)
   }
 
+  /** Leakage-safe train/test split (q119) — q43's hash split keyed by
+    * the near-dup COMPONENT instead of the document: two near-dup
+    * docs split independently put one "test" document's twin in
+    * train, and the eval silently measures memorization. Assign q46's
+    * component label (singletons = own id), hash-split ON THE LABEL,
+    * and every cluster lands whole. Output per split: docs, distinct
+    * components, and the split-spanning component count — which the
+    * construction forces to 0 (the column is computed from data, not
+    * a constant: it re-counts components with >1 distinct split).
+    * Scale shape: CC is the q46 machinery (O(log n) rounds), the
+    * split decision is one hash on a per-doc column, the leak check
+    * one component-keyed aggregate; nothing new shuffles the corpus.
+    */
+  val leakSafeSplit: Q = {
+    val TRAIN_MILLI = 800L
+    Q(
+      (s, d) => {
+        val edges = minhashPairs(s, d)
+          .select(col("id_a").as("u"), col("id_b").as("v"))
+        val comp = ConnectedComponents.assign(edges).distinct()
+          .withColumnRenamed("node", "doc_id")
+        val assigned = t(s, d, "documents").select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+          .withColumn("split",
+            when(Hashing.h32(col("component").cast("string")) % 1000 < TRAIN_MILLI,
+              "train").otherwise("test"))
+          .persist()
+        val leaky = assigned.groupBy("component")
+          .agg(countDistinct("split").as("n_splits"))
+          .agg(sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("n_leaky"))
+        assigned.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("component").as("n_components"))
+          .crossJoin(broadcast(leaky))
+          .select("split", "n_docs", "n_components", "n_leaky")
+          .orderBy("split")
+      },
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |walk(n, m) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, walk.m FROM walk JOIN edges e ON e.u = walk.n),
+         |comp AS (SELECT n AS node, min(m) AS component FROM walk GROUP BY n),
+         |asg AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+         |    CASE WHEN (${Hashing.h32Sql("coalesce(c.component, d.doc_id)::VARCHAR")}) % 1000
+         |              < $TRAIN_MILLI
+         |         THEN 'train' ELSE 'test' END AS split
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         |leaky AS (
+         |  SELECT count(*)::BIGINT AS n_leaky FROM (
+         |    SELECT component FROM asg
+         |    GROUP BY component HAVING count(DISTINCT split) > 1))
+         |SELECT split, count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT component)::BIGINT AS n_components,
+         |  (SELECT n_leaky FROM leaky) AS n_leaky
+         |FROM asg GROUP BY split ORDER BY split""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q119_leak_safe_split" -> leakSafeSplit,
     "q118_minhash_error" -> minhashError,
     "q117_cluster_quality" -> clusterQuality,
     "q116_embed_decontaminate" -> embedDecontaminate,
