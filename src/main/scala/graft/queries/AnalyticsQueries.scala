@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.functions.Hashing
 import graft.operators.{AsOfJoin, BloomJoin, Merge, PageRank, RangeJoin, Salting}
 
 /** Analytical workloads beyond the reference's surface: multi-way
@@ -1035,7 +1036,106 @@ object AnalyticsQueries {
     "q90_personalized_pr"  -> personalizedPageRank,
     "q92_anomaly_days"     -> anomalyDays,
     "q120_skew_diagnostics" -> skewDiagnostics,
-    "q121_salted_join"     -> saltedJoinAgg)
+    "q121_salted_join"     -> saltedJoinAgg,
+    "q122_incremental_agg" -> incrementalAgg,
+    "q123_late_data_audit" -> lateDataAudit)
+
+  /** Incremental aggregate maintenance (q122) — the materialized-view
+    * shape: the trailing 3 days of events are the "newly arrived"
+    * delta (cut at the TIMESTAMP level, so the boundary day genuinely
+    * receives partial rows from BOTH sides), base and delta are
+    * aggregated to per-(day, type) partials INDEPENDENTLY, and the
+    * view is the merge of partials — never a rescan of base raw data.
+    * The oracle is the full recompute: maintenance must be
+    * result-invisible, exact because counts and integer cents are
+    * associative-commutative merges. At 100 TB the base partials are
+    * a stored artifact (the MixManifest/DedupIndex versioned-publish
+    * pattern) and each ingest touches only delta-sized input plus
+    * group-sized state; the in-plan split here pins the algebra the
+    * stored form relies on. The cut point derives from a broadcast
+    * 1-row max — never collected.
+    */
+  lazy val incrementalAgg: Q = {
+    val DELTA_US = 3L * 86400000000L
+    Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("ts"), col("event_type"), cents(col("value")).as("c"))
+        val mx = ev.agg(max(unix_micros(col("ts"))).as("mx"))
+        val tagged = ev.crossJoin(broadcast(mx))
+          .withColumn("is_delta",
+            unix_micros(col("ts")) >= col("mx") - DELTA_US)
+          .withColumn("day", to_date(col("ts")))
+        def partials(df: DataFrame) = df.groupBy("day", "event_type")
+          .agg(count(lit(1)).as("pn"), sum("c").as("pc"))
+        partials(tagged.filter(!col("is_delta")))
+          .unionByName(partials(tagged.filter(col("is_delta"))))
+          .groupBy("day", "event_type")
+          .agg(sum("pn").as("n_events"), sum("pc").as("sum_cents"))
+          .orderBy("day", "event_type")
+      },
+      """SELECT date_trunc('day', ts)::DATE AS day, event_type,
+        |  count(*)::BIGINT AS n_events,
+        |  sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Watermark late-data accounting (q123) — the batch twin of the
+    * streaming watermark ([[graft.streaming.EventStream]]): per user
+    * stream (arrival order = event_id), the high-water mark is the
+    * max event time seen so far, and an event whose own time trails
+    * it by more than the 1 h tolerated delay is LATE — exactly the
+    * rows a streaming window with that watermark would drop. The
+    * source data arrives perfectly ordered, so disorder is INJECTED
+    * deterministically (1-in-20 events by seedless hash carry a 24 h
+    * stale event time); the audit must price that injection back out
+    * as a per-type late rate. Scale shape: one user-keyed window max
+    * (parallel across users, the same keying the streaming state
+    * uses) into type-bounded aggregate state; integer µs and
+    * thousandths throughout.
+    */
+  lazy val lateDataAudit: Q = {
+    val DELAY_US = 3600000000L
+    val SHIFT_US = 86400000000L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            when(Hashing.h32(col("event_id").cast("string")) % 20 === 0,
+              unix_micros(col("ts")) - SHIFT_US)
+              .otherwise(unix_micros(col("ts"))).as("us"))
+          .withColumn("hwm", max("us").over(w))
+          .select(col("event_type"),
+            when(col("us") < col("hwm") - DELAY_US, 1L).otherwise(0L).as("late"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("late").as("n_late"))
+          .selectExpr("event_type", "n_events", "n_late",
+            "n_late * 1000 div n_events AS late_milli")
+          .orderBy("event_type")
+      },
+      s"""WITH x AS (
+         |  SELECT user_id, event_id, event_type,
+         |    CASE WHEN (${Hashing.h32Sql("event_id::VARCHAR")}) % 20 = 0
+         |         THEN epoch_us(ts) - $SHIFT_US ELSE epoch_us(ts) END AS us
+         |  FROM events),
+         |h AS (
+         |  SELECT event_type, us,
+         |    max(us) OVER (PARTITION BY user_id ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+         |  FROM x),
+         |l AS (
+         |  SELECT event_type,
+         |    CASE WHEN hwm IS NOT NULL AND us < hwm - $DELAY_US
+         |         THEN 1 ELSE 0 END AS late
+         |  FROM h)
+         |SELECT event_type, count(*)::BIGINT AS n_events,
+         |  sum(late)::BIGINT AS n_late,
+         |  (sum(late) * 1000 // count(*))::BIGINT AS late_milli
+         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
 
   /** Join-key skew diagnostics (q120) — the pre-flight check a 100 TB
     * shuffle join runs BEFORE picking a strategy: per-key row counts,
