@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
       "q72_bpe_merges", // per-round localCheckpoint (BpeSpec audits behavior)
       "q79_triangles", // adaptive closure strategy runs o.count() at build
       "q82_lpa_communities", // per-round localCheckpoint (LPA spec audits)
-      "q90_personalized_pr") // per-round localCheckpoint (PageRankSpec)
+      "q90_personalized_pr", // per-round localCheckpoint (PageRankSpec)
+      "q119_leak_safe_split") // q46's CC rounds run at build (same machinery)
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
@@ -164,6 +165,37 @@ class PlanAuditSpec extends SparkSpec {
     val p = SparkEntry.queries(name)(spark, sf0001)
       .queryExecution.optimizedPlan.toString
     "strategy=broadcast".r.findAllIn(p).size
+  }
+
+  test("quantized dedup is one hash exchange — codes never pair (q113)") {
+    val p = plan("q113_quantized_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("embed decontamination never shuffles vectors (q116)") {
+    val p = plan("q116_embed_decontaminate")
+    // the bench crossJoin is a broadcast nested loop over a FIXED-SIZE
+    // suite (intentional); the corpus-side exchange after d2 must
+    // carry only (vec_id, d2, bvec) — a vector column inside any
+    // exchange means the distance work moved across the wire
+    assert(!"Exchange [^\\n]*\\bxs\\b".r.findFirstIn(p).isDefined,
+      s"q116 shuffles raw vectors:\n$p")
+  }
+
+  test("skew diagnostics top-k avoids a global sort (q120)") {
+    assert(plan("q120_skew_diagnostics").contains("TakeOrderedAndProject"))
+  }
+
+  test("salted join carries the salt into the physical join key (q121)") {
+    val p = plan("q121_salted_join")
+    assert(p.contains("_salt"), s"q121 lost its salt column:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("late-data audit is user-keyed, never a global window (q123)") {
+    val p = plan("q123_late_data_audit")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"q123 window lost its user partitioning:\n$p")
   }
 
   test("scaling join sides are never hint-forced to broadcast (q16, q17, q48)") {
