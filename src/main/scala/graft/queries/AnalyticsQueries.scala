@@ -1038,7 +1038,50 @@ object AnalyticsQueries {
     "q120_skew_diagnostics" -> skewDiagnostics,
     "q121_salted_join"     -> saltedJoinAgg,
     "q122_incremental_agg" -> incrementalAgg,
-    "q123_late_data_audit" -> lateDataAudit)
+    "q123_late_data_audit" -> lateDataAudit,
+    "q126_degree_histogram" -> degreeHistogram)
+
+  /** Degree-distribution audit (q126) — the pre-flight for every
+    * graph stage (q70/q79/q82/q90): per log₂-degree bucket
+    * (`length(bin(deg))`, q98's exact integer trick), node count and
+    * the bucket's min/max degree over the part co-purchase graph. The
+    * top bucket is what decides strategy: it sizes q79's
+    * broadcast-vs-shuffle triangle cutoff, predicts LPA/PR reducer
+    * skew, and flags when q120/q121's salting is needed on the node
+    * key. Scale shape: one degree count (map-side combinable) into
+    * one ~32-bucket aggregate — nothing beyond the edge build
+    * shuffles the graph.
+    */
+  lazy val degreeHistogram: Q = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      pairs.select(col("u").as("node"))
+        .unionByName(pairs.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .selectExpr("cast(length(bin(deg)) AS bigint) AS deg_bucket", "deg")
+        .groupBy("deg_bucket")
+        .agg(count(lit(1)).as("n_nodes"),
+          min("deg").as("min_deg"), max("deg").as("max_deg"))
+        .orderBy("deg_bucket")
+    },
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p0 AS (SELECT DISTINCT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
+      |       FROM li a JOIN li b
+      |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT node, count(*)::BIGINT AS deg FROM
+      |    (SELECT u AS node FROM p0 UNION ALL SELECT v FROM p0) t
+      |  GROUP BY node)
+      |SELECT length(bin(deg))::BIGINT AS deg_bucket,
+      |  count(*)::BIGINT AS n_nodes,
+      |  min(deg)::BIGINT AS min_deg, max(deg)::BIGINT AS max_deg
+      |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** Incremental aggregate maintenance (q122) — the materialized-view
     * shape: the trailing 3 days of events are the "newly arrived"

@@ -3484,7 +3484,110 @@ object PipelineQueries {
          |FROM asg GROUP BY split ORDER BY split""".stripMargin)
   }
 
+  /** Crawl-over-crawl snapshot diff (q124) — the CDC readout of a
+    * refresh: given corpus v1 and v2, classify every doc as added /
+    * removed / changed / unchanged by content hash and report counts
+    * with the earliest example id per class. v2 is synthesized
+    * deterministically from v1 by doc-id hash (1/10 dropped, 1/10
+    * text-perturbed, 1/10 re-added under new ids), so both engines
+    * derive the identical pair of snapshots and the classes have
+    * known, non-trivial populations. Scale shape: one full-outer
+    * equi-join on the id (the only shuffle), per-row md5, class state
+    * is 4 groups — at 100 TB this is the nightly "what changed"
+    * report priced at one join, and the changed/added ids are exactly
+    * the docs the incremental dedup (q91) and index maintenance need
+    * to touch.
+    */
+  val snapshotDiff: Q = Q(
+    (s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val h = Hashing.h32(col("doc_id").cast("string")) % 10
+      val v2 = base.filter(h =!= 0)
+        .select(col("doc_id"),
+          when(h === 1, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.filter(h === 2)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" new")).as("text")))
+      base.select(col("doc_id"), md5(col("text")).as("h1"))
+        .join(v2.select(col("doc_id"), md5(col("text")).as("h2")),
+          Seq("doc_id"), "fullouter")
+        .select(col("doc_id"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") === col("h2"), "unchanged")
+            .otherwise("changed").as("change_type"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("example_id"))
+        .orderBy("change_type")
+    },
+    s"""WITH h AS (
+       |  SELECT doc_id, text,
+       |    (${Hashing.h32Sql("doc_id::VARCHAR")}) % 10 AS sel
+       |  FROM documents),
+       |v2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN sel = 1 THEN text || ' v2' ELSE text END AS text
+       |  FROM h WHERE sel <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, text || ' new' FROM h WHERE sel = 2),
+       |d AS (
+       |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |    CASE WHEN a.doc_id IS NULL THEN 'added'
+       |         WHEN b.doc_id IS NULL THEN 'removed'
+       |         WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+       |         ELSE 'changed' END AS change_type
+       |  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+       |SELECT change_type, count(*)::BIGINT AS n_docs,
+       |  min(doc_id) AS example_id
+       |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin)
+
+  /** Johnson–Lindenstrauss random projection (q125) — the
+    * dimensionality squeeze run BEFORE LSH/clustering at scale: d=64
+    * micro-unit components down to r=8 via a seedless ±1 sign matrix
+    * (sign(i,j) = parity of h32("i:j") — no materialized matrix, no
+    * broadcast, reproducible on any engine). Work is one posexplode +
+    * one vec-keyed groupBy with r conditional integer sums: a single
+    * exchange carrying (vec_id, dim, x) rows, embarrassingly parallel
+    * at any corpus size, and every output an exact integer (|p_j| ≤
+    * 64·10⁶ — no float, no epsilon). Distances are preserved to
+    * O(1/√r) in expectation, which is what makes the projected space
+    * a valid LSH/k-means prefilter; the exact audits (q96 recall,
+    * q118 estimator error) are how a deployment would tune r.
+    */
+  val randomProjection: Q = {
+    val R = 8
+    Q(
+      (s, d) => {
+        val ex = t(s, d, "embeddings").select(col("vec_id"),
+            posexplode(VectorFunctions.scaledMicro(col("embedding"))))
+          .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+        val sums = (0 until R).map { j =>
+          sum(when(Hashing.h32(
+              concat(col("dim").cast("string"), lit(":"), lit(j.toString))) % 2 === 0,
+            col("x")).otherwise(-col("x"))).as(s"p$j")
+        }
+        ex.groupBy("vec_id").agg(sums.head, sums.tail: _*)
+          .orderBy("vec_id")
+      },
+      {
+        val cols = (0 until R).map { j =>
+          s"""sum(CASE WHEN (${Hashing.h32Sql(s"(dim - 1)::VARCHAR || ':' || '$j'")}) % 2 = 0
+             |      THEN x ELSE -x END)::BIGINT AS p$j""".stripMargin
+        }.mkString(",\n  ")
+        s"""WITH ex AS (
+           |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+           |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS x
+           |  FROM embeddings)
+           |SELECT vec_id,
+           |  $cols
+           |FROM ex GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      })
+  }
+
   val all: Map[String, Q] = Map(
+    "q125_random_projection" -> randomProjection,
+    "q124_snapshot_diff" -> snapshotDiff,
     "q119_leak_safe_split" -> leakSafeSplit,
     "q118_minhash_error" -> minhashError,
     "q117_cluster_quality" -> clusterQuality,
