@@ -211,4 +211,27 @@ class PlanAuditSpec extends SparkSpec {
       "q48's anti-join build side must be AQE-chosen, not hint-forced")
     spark.catalog.clearCache() // q48's CC rounds persist intermediates
   }
+
+  test("snapshot diff classifies via a full-outer EQUI-join on the id (q124)") {
+    val p = plan("q124_snapshot_diff")
+    assert(p.contains("FullOuter"), s"q124 lost its full-outer join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q124 degenerated to a nested loop:\n$p")
+  }
+
+  test("random projection pays one key exchange; the sign matrix never materializes (q125)") {
+    val p = plan("q125_random_projection")
+    // posexplode is narrow; the r conditional sums partial-aggregate
+    // map-side, so the only hash exchange carries (vec_id, partials)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"q125 should shuffle exactly once, on vec_id:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"q125 must not broadcast anything — the sign matrix is a hash:\n$p")
+  }
+
+  test("degree histogram's self-join is key-equi; the < is residual (q126)") {
+    val p = plan("q126_degree_histogram")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q126 co-purchase pairing degenerated to a nested loop:\n$p")
+  }
 }
