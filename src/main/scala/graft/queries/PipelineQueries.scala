@@ -3585,7 +3585,189 @@ object PipelineQueries {
       })
   }
 
+  /** Per-source boilerplate fraction (q127) — q110 finds the template
+    * spans; this prices what they COST each acquisition channel: the
+    * share (integer thousandths) of a doc's word-8-gram spans whose
+    * corpus document frequency is ≥ MIN_DF, rolled up per source. The
+    * number that decides whether a source needs template stripping
+    * before its tokens count toward q115's budget. Same injected
+    * templates as q110 (docs ≡ 0 mod 7 / mod 11), so populations are
+    * non-trivial and known. Scale shape: one span explode, one
+    * span-keyed df groupBy (vocabulary-bounded), one span-keyed
+    * equi-join back, then doc- and source-keyed aggregates — the df
+    * side is the same artifact q110 builds, shared at 100 TB.
+    */
+  val boilerplateFrac: Q = {
+    val W = 8; val MIN_DF = 5L
+    val TPL_A = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val TPL_B = "all rights reserved terms of service apply here"
+    Q(
+      (s, d) => {
+        val injected = concat(
+          when(col("doc_id") % 7 === 0, lit(TPL_A + " ")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(TPL_B + " ")).otherwise(lit("")),
+          col("text"))
+        val spans = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.words(injected).as("arr"))
+          .select(col("doc_id"), col("source"), explode(
+            transform(sequence(lit(0),
+                expr(s"greatest(size(arr) - 1, 0) div $W")),
+              i => array_join(slice(col("arr"), i * W + 1, lit(W)), " ")))
+            .as("span"))
+        val df = spans.groupBy("span")
+          .agg(countDistinct("doc_id").as("df"))
+        spans.join(df, "span")
+          .groupBy("doc_id", "source")
+          .agg(expr(s"sum(CASE WHEN df >= $MIN_DF THEN 1 ELSE 0 END)" +
+            " * 1000 div count(1)").as("bp_th"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(bp_th) div count(1)").as("mean_bp_th"),
+            max("bp_th").as("max_bp_th"))
+          .orderBy("source")
+      },
+      s"""WITH c AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 7 = 0 THEN '$TPL_A ' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN '$TPL_B ' ELSE '' END || text AS text
+         |  FROM documents),
+         |w AS (SELECT doc_id, source, ${TextFunctions.wordsSql("text")} AS arr FROM c),
+         |e AS (SELECT doc_id, source, arr,
+         |  unnest(range(0, greatest(len(arr) - 1, 0) // $W + 1)) AS idx FROM w),
+         |sp AS (SELECT doc_id, source,
+         |  array_to_string(arr[(idx * $W + 1):(idx * $W + $W)], ' ') AS span
+         |  FROM e),
+         |df AS (SELECT span, count(DISTINCT doc_id) AS df FROM sp GROUP BY span),
+         |bp AS (
+         |  SELECT sp.doc_id, sp.source,
+         |    (sum(CASE WHEN df.df >= $MIN_DF THEN 1 ELSE 0 END) * 1000
+         |      // count(*))::BIGINT AS bp_th
+         |  FROM sp JOIN df ON sp.span = df.span
+         |  GROUP BY sp.doc_id, sp.source)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  (sum(bp_th) // count(*))::BIGINT AS mean_bp_th,
+         |  max(bp_th)::BIGINT AS max_bp_th
+         |FROM bp GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  /** Embedding coverage audit (q128) — the referential-integrity
+    * check a multimodal corpus runs before any ANN/SemDeDup stage:
+    * which docs have no embedding row, per source, with the first
+    * missing id as the triage example. Gaps are injected
+    * deterministically (1/8 of embeddings dropped by id hash) so the
+    * report has known non-trivial populations. Scale shape: one
+    * id-keyed left join (strategy left to AQE — both sides scale with
+    * the corpus) into a taxonomy-bounded source aggregate; the
+    * missing-id example is a conditional min, not a collect.
+    */
+  val embedCoverage: Q = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+      val have = t(s, d, "embeddings")
+        .select(col("vec_id").as("doc_id"))
+        .filter(Hashing.h32(concat(lit("cov:"),
+          col("doc_id").cast("string"))) % 8 =!= 0)
+        .withColumn("c", lit(1L))
+      docs.join(have, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_covered"),
+          coalesce(min(when(col("c").isNull, col("doc_id"))), lit(-1L))
+            .as("first_missing"))
+        .withColumn("coverage_th", expr("n_covered * 1000 div n_docs"))
+        .select("source", "n_docs", "n_covered", "coverage_th", "first_missing")
+        .orderBy("source")
+    },
+    s"""WITH have AS (
+       |  SELECT vec_id AS doc_id FROM embeddings
+       |  WHERE (${Hashing.h32Sql("'cov:' || vec_id::VARCHAR")}) % 8 <> 0),
+       |j AS (
+       |  SELECT d.source, d.doc_id, h.doc_id AS c
+       |  FROM documents d LEFT JOIN have h ON d.doc_id = h.doc_id)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_covered,
+       |  (sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) * 1000
+       |    // count(*))::BIGINT AS coverage_th,
+       |  coalesce(min(CASE WHEN c IS NULL THEN doc_id END), -1)::BIGINT
+       |    AS first_missing
+       |FROM j GROUP BY source ORDER BY source""".stripMargin)
+
+  /** Output shard balance audit (q129) — after a hash-sharded write
+    * (the layout every training-data export uses), per-shard doc and
+    * char volume plus each shard's share of the corpus in integer
+    * thousandths. A shard with share ≫ 1000/S means the id hash is
+    * skewed and downstream data loaders stall on the straggler file.
+    * Scale shape: one map-side-combinable S-group aggregate; the
+    * share normalization is a window over the S aggregated rows —
+    * state bounded by the shard count, never the corpus.
+    */
+  val shardBalance: Q = {
+    val S = 64
+    Q(
+      (s, d) =>
+        t(s, d, "documents")
+          .select((Hashing.h32(col("doc_id").cast("string")) % S).as("shard"),
+            col("n_chars"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .withColumn("share_th",
+            expr("sum_chars * 1000 div (sum(sum_chars) OVER ())"))
+          .orderBy("shard"),
+      s"""WITH sh AS (
+         |  SELECT (${Hashing.h32Sql("doc_id::VARCHAR")}) % $S AS shard, n_chars
+         |  FROM documents),
+         |agg AS (
+         |  SELECT shard, count(*)::BIGINT AS n_docs,
+         |    sum(n_chars)::BIGINT AS sum_chars
+         |  FROM sh GROUP BY shard)
+         |SELECT shard, n_docs, sum_chars,
+         |  (sum_chars * 1000 // sum(sum_chars) OVER ())::BIGINT AS share_th
+         |FROM agg ORDER BY shard""".stripMargin)
+  }
+
+  /** Deterministic epoch shuffle order (q130) — the training-order
+    * question: every epoch needs a different but REPRODUCIBLE
+    * permutation of the corpus. A global row_number is a single-
+    * partition sort at 100 TB, so the order is hierarchical instead:
+    * shard = id hash mod S picks the output file, pos = rank of the
+    * epoch-salted hash within the shard — the (shard, pos) pair is a
+    * total order, every shard's window sorts in parallel, and any
+    * engine reproduces it from (epoch, doc_id) alone. Changing the
+    * epoch salt re-deals both shard membership and within-shard
+    * order with no state carried between epochs.
+    */
+  val epochOrder: Q = {
+    val SH = 16
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val keyed = t(s, d, "documents")
+          .select(col("doc_id"), Hashing.h32(concat(lit("ep1:"),
+            col("doc_id").cast("string"))).as("k"))
+          .withColumn("shard", col("k") % SH)
+        keyed
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("shard").orderBy(col("k"), col("doc_id")))
+            .cast("long"))
+          .select("doc_id", "shard", "pos")
+          .orderBy("shard", "pos")
+      },
+      s"""WITH keyed AS (
+         |  SELECT doc_id,
+         |    (${Hashing.h32Sql("'ep1:' || doc_id::VARCHAR")}) AS k
+         |  FROM documents),
+         |sh AS (SELECT doc_id, k, k % $SH AS shard FROM keyed)
+         |SELECT doc_id, shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)::BIGINT AS pos
+         |FROM sh ORDER BY shard, pos""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q130_epoch_order" -> epochOrder,
+    "q129_shard_balance" -> shardBalance,
+    "q128_embed_coverage" -> embedCoverage,
+    "q127_boilerplate_frac" -> boilerplateFrac,
     "q125_random_projection" -> randomProjection,
     "q124_snapshot_diff" -> snapshotDiff,
     "q119_leak_safe_split" -> leakSafeSplit,
