@@ -87,12 +87,12 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
-  // 3-decimal (ms) precision: nanosecond noise is meaningless, and the
+  // Bounded precision: nanosecond noise is meaningless, and the
   // shorter line matters — the driver keeps only a bounded tail of the
   // run's output, and a ~3.3 kB line (65 queries at full double width)
   // had its front truncated out of BENCH_r03's capture.
-  private def fmt(v: Double): String =
-    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+  private def fmt(v: Double, scale: Int = 3): String =
+    BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
 
   /** The stdout metric line. Keys are the qNN prefix: the driver keeps
     * only a bounded TAIL of stdout, and at 94 queries the full-name
@@ -103,8 +103,11 @@ object Bench {
   private[graft] def compactLine(results: Seq[(String, Double)],
                                  errors: Seq[(String, String)],
                                  sfDir: String): String = {
+    // 2-decimal per-query timings: 10 ms is below box noise (±20%
+    // run to run), and the saved byte per entry keeps ~200 queries
+    // inside the capture window instead of ~150.
     val qs = results.map { case (k, v) =>
-      s"${jstr(k.takeWhile(_ != '_'))}:${fmt(v)}" }.mkString("{", ",", "}")
+      s"${jstr(k.takeWhile(_ != '_'))}:${fmt(v, 2)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
