@@ -3763,7 +3763,160 @@ object PipelineQueries {
          |FROM sh ORDER BY shard, pos""".stripMargin)
   }
 
+  /** Quality × duplication calibration (q131) — does duplication
+    * concentrate in low-quality docs? Per quality decile (floor of
+    * the blended score × 10 — the same IEEE double both engines
+    * compute, so the bucket is exact): doc count, mean exact-dup
+    * cluster size and dup-rate in integer thousandths. The answer
+    * decides whether dedup or quality filtering should run first in
+    * q87's funnel (if dupes are mostly low-quality, the cheap filter
+    * shrinks the expensive dedup's input). Dupes injected 2× for
+    * docs ≡ 0 mod 5 give known populations. Scale shape: one
+    * content-hash groupBy (q22's single exchange) + one hash-keyed
+    * join back + a 10-group aggregate.
+    */
+  val qualityDupCalibration: Q = Q(
+    (s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val injected = base.filter(col("doc_id") % 5 === 0)
+      val corpus = base
+        .unionByName(injected.select((col("doc_id") + 4000000L).as("doc_id"),
+          col("text")))
+        .unionByName(injected.select((col("doc_id") + 5000000L).as("doc_id"),
+          col("text")))
+      val scored = corpus.select(col("doc_id"), md5(col("text")).as("h"),
+        floor(TextFunctions.qualityScore(TextFunctions.words(col("text"))) * 10)
+          .cast("long").as("q_bucket"))
+      val sizes = scored.groupBy("h").agg(count(lit(1)).as("csize"))
+      scored.join(sizes, "h")
+        .groupBy("q_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(csize) * 1000 div count(1)").as("mean_csize_th"),
+          expr("sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) * 1000 div count(1)")
+            .as("dup_rate_th"))
+        .orderBy("q_bucket")
+    },
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 5 = 0),
+       |w AS (SELECT doc_id, md5(text) AS h,
+       |    ${TextFunctions.wordsSql("text")} AS arr FROM corpus),
+       |sc AS (SELECT doc_id, h,
+       |    floor((${TextFunctions.qualityScoreSql("arr")}) * 10)::BIGINT AS q_bucket
+       |  FROM w),
+       |sz AS (SELECT h, count(*)::BIGINT AS csize FROM sc GROUP BY h)
+       |SELECT q_bucket, count(*)::BIGINT AS n_docs,
+       |  (sum(csize) * 1000 // count(*))::BIGINT AS mean_csize_th,
+       |  (sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) * 1000
+       |    // count(*))::BIGINT AS dup_rate_th
+       |FROM sc JOIN sz USING (h)
+       |GROUP BY q_bucket ORDER BY q_bucket""".stripMargin)
+
+  /** Embedding version-drift audit (q132) — when the embedding model
+    * is upgraded, which labels moved and by how much? v2 is derived
+    * deterministically from v1 (dims selected by (vec_id, dim) hash
+    * get |x| div 10 added — value-dependent, exact integer), and the
+    * audit reports per label: vectors, mean/max drift² and how many
+    * moved at all. In production v2 is a second table and the deltas
+    * come from an id-keyed join; the aggregation shape is identical.
+    * Scale shape: one posexplode + one (vec_id, label) groupBy (the
+    * single exchange) + a label-bounded rollup — q125's cost model.
+    * abs() before the div keeps truncating-div == floor-div on both
+    * engines.
+    */
+  val embedDrift: Q = Q(
+    (s, d) => {
+      val ex = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(VectorFunctions.scaledMicro(col("embedding"))))
+        .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+      val sel = Hashing.h32(concat(lit("drift:"),
+        col("vec_id").cast("string"), lit(":"),
+        col("dim").cast("string"))) % 16 === 0
+      ex.select(col("vec_id"), col("label"),
+          when(sel, expr("(abs(x) div 10) * (abs(x) div 10)"))
+            .otherwise(lit(0L)).as("d2"))
+        .groupBy("vec_id", "label").agg(sum("d2").as("d2"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("sum(d2) div count(1)").as("mean_d2"),
+          max("d2").as("max_d2"),
+          sum(when(col("d2") > 0, 1L).otherwise(0L)).as("n_moved"))
+        .orderBy("label")
+    },
+    s"""WITH ex AS (
+       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+       |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS x
+       |  FROM embeddings),
+       |dd AS (
+       |  SELECT vec_id, label,
+       |    CASE WHEN (${Hashing.h32Sql(
+                "'drift:' || vec_id::VARCHAR || ':' || (dim - 1)::VARCHAR")}) % 16 = 0
+       |      THEN (abs(x) // 10) * (abs(x) // 10) ELSE 0 END AS d2
+       |  FROM ex),
+       |pv AS (SELECT vec_id, label, sum(d2)::BIGINT AS d2
+       |  FROM dd GROUP BY vec_id, label)
+       |SELECT label, count(*)::BIGINT AS n_vecs,
+       |  (sum(d2) // count(*))::BIGINT AS mean_d2,
+       |  max(d2)::BIGINT AS max_d2,
+       |  sum(CASE WHEN d2 > 0 THEN 1 ELSE 0 END)::BIGINT AS n_moved
+       |FROM pv GROUP BY label ORDER BY label""".stripMargin)
+
+  /** Shared-prefix groups (q133) — the truncated-crawl detector:
+    * re-fetches cut short by timeouts/paywalls share their first
+    * words with the full document but hash differently, so exact
+    * dedup misses them and MinHash underweights them (the tail
+    * dominates the shingle set). Groups docs by first-12-words
+    * prefix key and surfaces groups with ≥2 docs AND ≥2 distinct
+    * bodies — shared prefix, different tails. Truncated twins
+    * (first 20 words of docs ≡ 0 mod 9) are injected so populations
+    * are known. Scale shape: one prefix-keyed groupBy — q22's exact
+    * dedup cost on a 12-word key; no pairs ever materialize.
+    */
+  val prefixGroups: Q = Q(
+    (s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val trunc = base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          array_join(slice(TextFunctions.words(col("text")), 1, 20), " ")
+            .as("text"))
+      base.unionByName(trunc)
+        .select(col("doc_id"),
+          Hashing.h32(array_join(
+            slice(TextFunctions.words(col("text")), 1, 12), " ")).as("prefix_key"),
+          md5(col("text")).as("h"))
+        .groupBy("prefix_key")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("h").as("n_bodies"),
+          min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 2 && col("n_bodies") >= 2)
+        .orderBy("prefix_key")
+    },
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 6000000,
+       |    array_to_string((${TextFunctions.wordsSql("text")})[1:20], ' ')
+       |  FROM documents WHERE doc_id % 9 = 0),
+       |pk AS (
+       |  SELECT doc_id,
+       |    (${Hashing.h32Sql(
+              s"array_to_string((${TextFunctions.wordsSql("text")})[1:12], ' ')")})
+       |      AS prefix_key,
+       |    md5(text) AS h
+       |  FROM corpus)
+       |SELECT prefix_key, count(*)::BIGINT AS n_docs,
+       |  count(DISTINCT h)::BIGINT AS n_bodies,
+       |  min(doc_id)::BIGINT AS first_doc
+       |FROM pk GROUP BY prefix_key
+       |HAVING count(*) >= 2 AND count(DISTINCT h) >= 2
+       |ORDER BY prefix_key""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "q133_prefix_groups" -> prefixGroups,
+    "q132_embed_drift" -> embedDrift,
+    "q131_quality_dup" -> qualityDupCalibration,
     "q130_epoch_order" -> epochOrder,
     "q129_shard_balance" -> shardBalance,
     "q128_embed_coverage" -> embedCoverage,
