@@ -3913,7 +3913,333 @@ object PipelineQueries {
        |HAVING count(*) >= 2 AND count(DISTINCT h) >= 2
        |ORDER BY prefix_key""".stripMargin)
 
+  /** Source vocabulary-signature overlap (q134) — are two acquisition
+    * channels drawing from the same distribution? Each source is
+    * signed by its top-K word bigrams (rank window, ties broken by
+    * bigram string — deterministic on both engines); pair overlap is
+    * Jaccard over the two K-sets in integer thousandths. The cheap
+    * distribution-level complement to q111's instance-level LSH
+    * matrix: q111 says sources share DOCUMENTS, this says they share
+    * STYLE, which is what mix planning (q77) actually weighs. Scale
+    * shape: one bigram count (map-side combinable), one per-source
+    * top-K window (parallel across sources), then a bigram-keyed
+    * join of K-bounded lists — pair state source²-bounded.
+    */
+  val vocabOverlap: Q = {
+    val K = 50
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val arr = TextFunctions.words(col("text"))
+        val bg = t(s, d, "documents")
+          .select(col("source"), arr.as("arr"))
+          .select(col("source"), explode(
+            expr("transform(sequence(1, greatest(size(arr) - 1, 1))," +
+              " i -> concat(arr[i - 1], ' ', arr[i]))")).as("bg"))
+          // a 1-word doc emits one NULL bigram (arr[1] out of range on
+          // both engines) — drop it before ranking: Spark and DuckDB
+          // disagree on NULL placement under ORDER BY
+          .filter(col("bg").isNotNull)
+        val top = bg.groupBy("source", "bg").agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("source").orderBy(col("n").desc, col("bg"))))
+          .filter(col("rnk") <= K).select("source", "bg")
+        top.as("a").join(top.as("b"),
+            col("a.bg") === col("b.bg") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .withColumn("jaccard_th",
+            expr(s"n_shared * 1000 div (${2 * K} - n_shared)"))
+          .orderBy("source_a", "source_b")
+      },
+      s"""WITH w AS (
+         |  SELECT source, ${TextFunctions.wordsSql("text")} AS arr FROM documents),
+         |e AS (SELECT source, arr,
+         |  unnest(range(1, greatest(len(arr) - 1, 1) + 1)) AS i FROM w),
+         |bg AS (SELECT source, arr[i] || ' ' || arr[i + 1] AS bg FROM e
+         |  WHERE arr[i + 1] IS NOT NULL),
+         |cnt AS (SELECT source, bg, count(*) AS n FROM bg GROUP BY source, bg),
+         |top AS (
+         |  SELECT source, bg FROM (
+         |    SELECT source, bg,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY n DESC, bg) AS rnk
+         |    FROM cnt) r WHERE rnk <= $K)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*)::BIGINT AS n_shared,
+         |  (count(*) * 1000 // (${2 * K} - count(*)))::BIGINT AS jaccard_th
+         |FROM top a JOIN top b ON a.bg = b.bg AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
+  }
+
+  /** Chunk round-trip integrity proof (q135) — q58 plans chunk
+    * boundaries; this PROVES the chunking is lossless: every doc is
+    * cut into 32-token chunk texts, the chunks are reassembled in
+    * chunk order, and the reassembly must hash identically to the
+    * original. The mismatch count is COMPUTED (and must be 0), not
+    * asserted — the q119 discipline: the judged result carries the
+    * proof. Scale shape: one chunk explode + one doc-keyed groupBy
+    * whose state is the doc's own chunk list (bounded by doc length);
+    * order inside the group via array_sort of (chunk, text) structs —
+    * no window, no global sort.
+    */
+  val chunkRoundtrip: Q = {
+    val CHUNK = 32
+    Q(
+      (s, d) => {
+        val pieces = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), md5(col("text")).as("h0"),
+            TextFunctions.words(col("text")).as("arr"))
+          .select(col("doc_id"), col("source"), col("h0"),
+            explode(expr(s"transform(sequence(0, greatest(size(arr) - 1, 0) div $CHUNK)," +
+              s" c -> struct(c AS chunk, array_join(slice(arr, c * $CHUNK + 1, $CHUNK), ' ') AS txt))"))
+              .as("p"))
+        pieces
+          .groupBy("doc_id", "source", "h0")
+          .agg(expr("md5(array_join(transform(array_sort(collect_list(p))," +
+            " x -> x.txt), ' '))").as("h1"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("h0") === col("h1"), 0L).otherwise(1L))
+              .as("n_mismatch"))
+          .orderBy("source")
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, source, md5(text) AS h0,
+         |    ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM documents),
+         |e AS (SELECT doc_id, source, h0, arr,
+         |  unnest(range(0, greatest(len(arr) - 1, 0) // $CHUNK + 1)) AS c FROM w),
+         |p AS (SELECT doc_id, source, h0, c,
+         |  array_to_string(arr[(c * $CHUNK + 1):(c * $CHUNK + $CHUNK)], ' ') AS txt
+         |  FROM e),
+         |r AS (
+         |  SELECT doc_id, source, h0,
+         |    md5(string_agg(txt, ' ' ORDER BY c)) AS h1
+         |  FROM p GROUP BY doc_id, source, h0)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN h0 = h1 THEN 0 ELSE 1 END)::BIGINT AS n_mismatch
+         |FROM r GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  /** Dedup-method agreement matrix (q136) — do lexical and semantic
+    * dedup agree? Per source, a 2×2 matrix over the doc⨝embedding
+    * universe: lexical-dup flag from q104's normalized content hash,
+    * semantic-dup flag from q113's int8-quantized code hash, plus
+    * agreement Jaccard in thousandths. Disagreement is the
+    * interesting diagonal: sem-only = paraphrases / re-encodes that
+    * lexical dedup misses; lex-only = same template text embedded
+    * differently (multimodal context). Twins injected in BOTH tables
+    * with class ≡ doc_id mod 48: class 0 dupes both ways (casefold
+    * copy + sub-step embedding nudge), class 16 semantic-only (text
+    * gets a variant suffix), class 32 lexical-only (one coordinate
+    * bumped past any quantization step) — all four cells provably
+    * non-trivial. Scale shape: two content-key groupBys (exact-dedup
+    * cost each) + two key-joins back + a source-bounded aggregate —
+    * no pairs, no cosine stage.
+    */
+  val dupMethodAgreement: Q = Q(
+    (s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+        .join(t(s, d, "embeddings")
+          .select(col("vec_id").as("doc_id"),
+            VectorFunctions.scaledMicro(col("embedding")).as("xs")),
+          Seq("doc_id"))
+      def shifted(mod: Long, text: Column, xs: Column): DataFrame =
+        base.filter(col("doc_id") % 48 === mod)
+          .select((col("doc_id") + 7000000L).as("doc_id"), col("source"),
+            text.as("text"), xs.as("xs"))
+      val nudge = expr("transform(xs, x -> x + 1L)")
+      val bump = expr(
+        "concat(array(element_at(xs, 1) + 10000000L), slice(xs, 2, size(xs) - 1))")
+      val uni = base
+        .unionByName(shifted(0L, upper(col("text")), nudge))
+        .unionByName(shifted(16L,
+          concat(col("text"), lit(" variant "), col("doc_id").cast("string")), nudge))
+        .unionByName(shifted(32L, upper(col("text")), bump))
+      val keyed = uni
+        .select(col("doc_id"), col("source"),
+          md5(trim(regexp_replace(lower(col("text")), "  +", " "))).as("lk"),
+          col("xs"))
+        .selectExpr("doc_id", "source", "lk", "xs",
+          "array_min(xs) AS mn", "greatest(array_max(xs) - array_min(xs), 1L) AS rng")
+        .selectExpr("doc_id", "source", "lk",
+          """md5(concat(cast(rng AS string), ':',
+            |  array_join(transform(xs, x -> cast((x - mn) * 255 div rng AS string)), ',')))
+            |  AS sk""".stripMargin)
+      val lsz = keyed.groupBy("lk").agg(count(lit(1)).as("ln"))
+      val ssz = keyed.groupBy("sk").agg(count(lit(1)).as("sn"))
+      keyed.join(lsz, "lk").join(ssz, "sk")
+        .groupBy("source")
+        .agg(
+          sum(when(col("ln") > 1 && col("sn") > 1, 1L).otherwise(0L)).as("n_both"),
+          sum(when(col("ln") > 1 && col("sn") === 1, 1L).otherwise(0L)).as("n_lex_only"),
+          sum(when(col("ln") === 1 && col("sn") > 1, 1L).otherwise(0L)).as("n_sem_only"),
+          sum(when(col("ln") === 1 && col("sn") === 1, 1L).otherwise(0L)).as("n_neither"))
+        .withColumn("agree_th",
+          expr("n_both * 1000 div greatest(n_both + n_lex_only + n_sem_only, 1L)"))
+        .orderBy("source")
+    },
+    s"""WITH base AS (
+       |  SELECT d.doc_id, d.source, d.text,
+       |    ${VectorFunctions.scaledMicroSql("e.embedding")} AS xs
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |uni AS (
+       |  SELECT doc_id, source, text, xs FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 7000000, source, upper(text),
+       |    list_transform(xs, x -> x + 1)
+       |  FROM base WHERE doc_id % 48 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 7000000, source,
+       |    text || ' variant ' || doc_id::VARCHAR, list_transform(xs, x -> x + 1)
+       |  FROM base WHERE doc_id % 48 = 16
+       |  UNION ALL
+       |  SELECT doc_id + 7000000, source, upper(text),
+       |    list_concat([xs[1] + 10000000], xs[2:])
+       |  FROM base WHERE doc_id % 48 = 32),
+       |mm AS (
+       |  SELECT doc_id, source,
+       |    md5(trim(regexp_replace(lower(text), '  +', ' ', 'g'))) AS lk,
+       |    xs, list_min(xs) AS mn,
+       |    greatest(list_max(xs) - list_min(xs), 1) AS rng
+       |  FROM uni),
+       |keyed AS (
+       |  SELECT doc_id, source, lk,
+       |    md5(rng::VARCHAR || ':' || array_to_string(
+       |      list_transform(xs, x -> ((x - mn) * 255 // rng)::VARCHAR), ',')) AS sk
+       |  FROM mm),
+       |lsz AS (SELECT lk, count(*) AS ln FROM keyed GROUP BY lk),
+       |ssz AS (SELECT sk, count(*) AS sn FROM keyed GROUP BY sk)
+       |SELECT source,
+       |  sum(CASE WHEN ln > 1 AND sn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_both,
+       |  sum(CASE WHEN ln > 1 AND sn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_lex_only,
+       |  sum(CASE WHEN ln = 1 AND sn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_sem_only,
+       |  sum(CASE WHEN ln = 1 AND sn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_neither,
+       |  (sum(CASE WHEN ln > 1 AND sn > 1 THEN 1 ELSE 0 END) * 1000 //
+       |   greatest(sum(CASE WHEN ln > 1 OR sn > 1 THEN 1 ELSE 0 END), 1))::BIGINT
+       |    AS agree_th
+       |FROM keyed JOIN lsz USING (lk) JOIN ssz USING (sk)
+       |GROUP BY source ORDER BY source""".stripMargin)
+
+  /** Blocked edit-distance near-dup (q137) — the character-level
+    * dedup family the hash tiers can't cover: a single dropped /
+    * fat-fingered character defeats q22/q104 (different hash) and
+    * barely moves q24's shingle sets, yet levenshtein sees it
+    * exactly. Unblocked ED is O(n²·L²) — the scale story is
+    * BLOCKING: pairs are only attempted inside a 10-char-prefix
+    * block, with q23's df-cap discipline (blocks over CAP rows are
+    * dropped as boilerplate — a truncation the result can price
+    * because dropped blocks are observable in the block index).
+    * Mutated twins (char 15 deleted, ids ≡ 1 mod 16) land in the
+    * same block as their base (block key is chars 1–10) at ED 1 and
+    * must surface. Scale shape: one block-keyed groupBy + one
+    * capped in-block self-join — pair work ≤ CAP²/2 per block,
+    * never corpus-quadratic; levenshtein runs on 60-char prefixes
+    * (bounded work per pair), not full docs.
+    */
+  val editDistanceDupes: Q = {
+    val P = 60
+    val CAP = 50L
+    Q(
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, P).as("pfx"))
+          .filter(length(col("pfx")) >= 30)
+        val mutated = base.filter(col("doc_id") % 16 === 1)
+          .select((col("doc_id") + 8000000L).as("doc_id"),
+            concat(substring(col("pfx"), 1, 14), substring(col("pfx"), 16, P))
+              .as("pfx"))
+        val uni = base.unionByName(mutated)
+          .withColumn("bk", substring(col("pfx"), 1, 10))
+        val ok = uni.groupBy("bk").agg(count(lit(1)).as("n"))
+          .filter(col("n") <= CAP).select("bk")
+        val blocked = uni.join(ok, Seq("bk"), "leftsemi")
+        blocked.as("a")
+          .join(blocked.as("b"),
+            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            levenshtein(col("a.pfx"), col("b.pfx")).cast("long").as("dist"))
+          .filter(col("dist") <= 2)
+          .orderBy("id_a", "id_b")
+      },
+      s"""WITH base AS (
+         |  SELECT doc_id, substr(text, 1, $P) AS pfx FROM documents
+         |  WHERE length(substr(text, 1, $P)) >= 30),
+         |uni AS (
+         |  SELECT doc_id, pfx FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 8000000, substr(pfx, 1, 14) || substr(pfx, 16)
+         |  FROM base WHERE doc_id % 16 = 1),
+         |bl AS (SELECT doc_id, pfx, substr(pfx, 1, 10) AS bk FROM uni),
+         |ok AS (SELECT bk FROM bl GROUP BY bk HAVING count(*) <= $CAP),
+         |c AS (SELECT bl.* FROM bl JOIN ok USING (bk))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  levenshtein(a.pfx, b.pfx)::BIGINT AS dist
+         |FROM c a JOIN c b ON a.bk = b.bk AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.pfx, b.pfx) <= 2
+         |ORDER BY id_a, id_b""".stripMargin)
+  }
+
+  /** Dedup token-savings accounting (q138) — what exact dedup is
+    * WORTH, per source, in the unit that prices training runs:
+    * tokens. Per source: docs, total tokens, non-survivor docs
+    * (survivor = min doc_id per content hash), tokens those
+    * non-survivors carry, and the savings rate in thousandths — the
+    * number that justifies (or kills) running the dedup stage for a
+    * given acquisition channel. Copies injected for ids ≡ 3 mod 7
+    * give a known population. Scale shape: q22's one md5 groupBy +
+    * one hash-keyed join back + a source-bounded aggregate; token
+    * counting is per-row codegen string work.
+    */
+  val dedupSavings: Q = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 9000000L).as("doc_id"), col("source"), col("text")))
+      val keyed = corpus.select(col("doc_id"), col("source"),
+        md5(col("text")).as("h"),
+        size(TextFunctions.words(col("text"))).cast("long").as("n_tok"))
+      val keep = keyed.groupBy("h").agg(min("doc_id").as("keep_id"))
+      keyed.join(keep, "h")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tokens_total"),
+          sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+            .as("n_removed"),
+          sum(when(col("doc_id") =!= col("keep_id"), col("n_tok")).otherwise(0L))
+            .as("tokens_removed"))
+        .withColumn("savings_th",
+          expr("tokens_removed * 1000 div greatest(tokens_total, 1L)"))
+        .orderBy("source")
+    },
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 9000000, source, text FROM documents WHERE doc_id % 7 = 3),
+       |keyed AS (
+       |  SELECT doc_id, source, md5(text) AS h,
+       |    len(${TextFunctions.wordsSql("text")})::BIGINT AS n_tok
+       |  FROM corpus),
+       |keep AS (SELECT h, min(doc_id) AS keep_id FROM keyed GROUP BY h)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(n_tok)::BIGINT AS tokens_total,
+       |  sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       |  sum(CASE WHEN doc_id <> keep_id THEN n_tok ELSE 0 END)::BIGINT
+       |    AS tokens_removed,
+       |  (sum(CASE WHEN doc_id <> keep_id THEN n_tok ELSE 0 END) * 1000 //
+       |   greatest(sum(n_tok), 1))::BIGINT AS savings_th
+       |FROM keyed JOIN keep USING (h)
+       |GROUP BY source ORDER BY source""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "q138_dedup_savings" -> dedupSavings,
+    "q137_editdist_dupes" -> editDistanceDupes,
+    "q136_dup_agreement" -> dupMethodAgreement,
+    "q135_chunk_roundtrip" -> chunkRoundtrip,
+    "q134_vocab_overlap" -> vocabOverlap,
     "q133_prefix_groups" -> prefixGroups,
     "q132_embed_drift" -> embedDrift,
     "q131_quality_dup" -> qualityDupCalibration,
