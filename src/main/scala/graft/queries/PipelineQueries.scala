@@ -4041,11 +4041,18 @@ object PipelineQueries {
     */
   val dupMethodAgreement: Q = Q(
     (s, d) => {
+      // The id-join and the quantized-code projection each feed four
+      // union branches and three consumers (two key-size groupBys +
+      // the final join) — persist both once or the join subtree is
+      // re-evaluated 12×, which is pure stage overhead (measured
+      // 14.1 s → 2.5 s at sf0.1). Same stage-persist discipline as
+      // q87's funnel.
       val base = t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
         .join(t(s, d, "embeddings")
           .select(col("vec_id").as("doc_id"),
             VectorFunctions.scaledMicro(col("embedding")).as("xs")),
           Seq("doc_id"))
+        .persist()
       def shifted(mod: Long, text: Column, xs: Column): DataFrame =
         base.filter(col("doc_id") % 48 === mod)
           .select((col("doc_id") + 7000000L).as("doc_id"), col("source"),
@@ -4068,6 +4075,7 @@ object PipelineQueries {
           """md5(concat(cast(rng AS string), ':',
             |  array_join(transform(xs, x -> cast((x - mn) * 255 div rng AS string)), ',')))
             |  AS sk""".stripMargin)
+        .persist()
       val lsz = keyed.groupBy("lk").agg(count(lit(1)).as("ln"))
       val ssz = keyed.groupBy("sk").agg(count(lit(1)).as("sn"))
       keyed.join(lsz, "lk").join(ssz, "sk")
