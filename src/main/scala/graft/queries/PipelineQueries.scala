@@ -4159,11 +4159,16 @@ object PipelineQueries {
           .select((col("doc_id") + 8000000L).as("doc_id"),
             concat(substring(col("pfx"), 1, 14), substring(col("pfx"), 16, P))
               .as("pfx"))
+        // q23's df-cap discipline: the cap is a windowed count on the
+        // SAME bk exchange the self-join needs — not a groupBy +
+        // semi-join, which would add a second bk shuffle.
+        import org.apache.spark.sql.expressions.Window
         val uni = base.unionByName(mutated)
           .withColumn("bk", substring(col("pfx"), 1, 10))
-        val ok = uni.groupBy("bk").agg(count(lit(1)).as("n"))
-          .filter(col("n") <= CAP).select("bk")
-        val blocked = uni.join(ok, Seq("bk"), "leftsemi")
+        val blocked = uni
+          .withColumn("bn", count(lit(1)).over(Window.partitionBy("bk")))
+          .filter(col("bn") <= CAP)
+          .select("doc_id", "pfx", "bk")
         blocked.as("a")
           .join(blocked.as("b"),
             col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -4181,8 +4186,9 @@ object PipelineQueries {
          |  SELECT doc_id + 8000000, substr(pfx, 1, 14) || substr(pfx, 16)
          |  FROM base WHERE doc_id % 16 = 1),
          |bl AS (SELECT doc_id, pfx, substr(pfx, 1, 10) AS bk FROM uni),
-         |ok AS (SELECT bk FROM bl GROUP BY bk HAVING count(*) <= $CAP),
-         |c AS (SELECT bl.* FROM bl JOIN ok USING (bk))
+         |c AS (SELECT doc_id, pfx, bk FROM (
+         |  SELECT doc_id, pfx, bk, count(*) OVER (PARTITION BY bk) AS bn
+         |  FROM bl) w WHERE bn <= $CAP)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  levenshtein(a.pfx, b.pfx)::BIGINT AS dist
          |FROM c a JOIN c b ON a.bk = b.bk AND a.doc_id < b.doc_id

@@ -234,4 +234,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"q126 co-purchase pairing degenerated to a nested loop:\n$p")
   }
+
+  test("vocab-overlap top-K windows per source; the pair join is bigram-equi (q134)") {
+    val p = plan("q134_vocab_overlap")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q134's rank window must partition by source, never globally:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q134's K-set pair join degenerated:\n$p")
+  }
+
+  test("chunk round-trip reassembles inside the doc groupBy — no window (q135)") {
+    val p = plan("q135_chunk_roundtrip")
+    assert(!p.contains("windowspecdefinition"),
+      s"q135 must order chunks via in-group array_sort, not a window:\n$p")
+  }
+
+  test("dup-agreement evaluates its join and code projection once (q136)") {
+    val p = plan("q136_dup_agreement")
+    // base and keyed are persisted: every consumer must read the
+    // cache, not re-derive the docs-embeddings join (the 12×
+    // re-evaluation this query shipped with cost 14 s at sf0.1)
+    assert(p.contains("InMemoryTableScan"),
+      s"q136's persisted stages are not wired into the plan:\n$p")
+  }
+
+  test("edit-distance block cap rides the bk exchange as a window, not a join (q137)") {
+    val p = plan("q137_editdist_dupes")
+    assert(p.contains("windowspecdefinition"), p)
+    assert(!p.contains("LeftSemi"),
+      s"q137's cap regressed to a groupBy + semi-join (second bk shuffle):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q137's in-block pairing degenerated:\n$p")
+  }
 }
