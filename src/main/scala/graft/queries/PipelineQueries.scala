@@ -4248,7 +4248,169 @@ object PipelineQueries {
        |FROM keyed JOIN keep USING (h)
        |GROUP BY source ORDER BY source""".stripMargin)
 
+  /** Tokenizer vocab-size planning curve (q139) — before training a
+    * tokenizer you pick a vocab budget; this prices the candidates:
+    * for each budget V in {16, 64, 256, 1k}, how many corpus token
+    * occurrences the top-V entries cover (thousandths). The unit is
+    * the word BIGRAM — the corpus's unigram vocabulary is tiny by
+    * construction, bigrams carry the Zipf tail a budget decision
+    * actually trades against. The Spark side ranks HIERARCHICALLY —
+    * ⌊log₂ freq⌋+1 buckets are strictly ordered by construction
+    * (every bucket-b+1 freq exceeds every bucket-b freq), so global
+    * rank = higher-bucket offset (a ~64-row cumulative) +
+    * within-bucket row_number (windows run parallel across buckets) —
+    * and only buckets whose offset is below the largest budget are
+    * ranked at all: the freq-1 long tail, which dominates any corpus
+    * vocabulary, never enters a window. The oracle uses the plain
+    * global row_number — identical ranks for every row that can reach
+    * a budget, which is the equivalence the hash check proves. Scale
+    * shape: one bigram count (map-side combinable), one ~64-row
+    * bucket rollup, bounded-bucket windows, one broadcast-sized
+    * offset join; the only full-vocab pass after the count is the
+    * conditional-sum aggregate.
+    */
+  val vocabCoverageCurve: Q = {
+    val Budgets = Seq(16, 64, 256, 1024)
+    val RMax = Budgets.max
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val vocab = t(s, d, "documents")
+          .select(TextFunctions.words(col("text")).as("arr"))
+          .select(explode(
+            expr("transform(sequence(1, greatest(size(arr) - 1, 1))," +
+              " i -> concat(arr[i - 1], ' ', arr[i]))")).as("word"))
+          .filter(col("word").isNotNull)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        val boff = vocab
+          .withColumn("bucket", length(bin(col("freq"))))
+          .groupBy("bucket").agg(count(lit(1)).as("n_w"))
+          .withColumn("off", coalesce(
+            sum("n_w").over(Window.orderBy(col("bucket").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("bucket", "off")
+        val ranked = vocab
+          .withColumn("bucket", length(bin(col("freq"))))
+          .join(boff, "bucket")
+          .filter(col("off") < RMax)
+          .withColumn("rnk", col("off") + row_number().over(
+            Window.partitionBy("bucket").orderBy(col("freq").desc, col("word"))))
+        val totals = vocab.agg(sum("freq").as("total_occ"))
+        ranked
+          .select(explode(lit(Budgets.toArray)).as("vocab_budget"),
+            col("rnk"), col("freq"))
+          .groupBy("vocab_budget")
+          .agg(sum(when(col("rnk") <= col("vocab_budget"), 1L).otherwise(0L))
+              .as("n_words"),
+            sum(when(col("rnk") <= col("vocab_budget"), col("freq")).otherwise(0L))
+              .as("covered_occ"))
+          .crossJoin(totals)
+          .selectExpr("cast(vocab_budget AS bigint) AS vocab_budget", "n_words",
+            "covered_occ", "covered_occ * 1000 div total_occ AS coverage_th")
+          .orderBy("vocab_budget")
+      },
+      s"""WITH d0 AS (
+         |  SELECT ${TextFunctions.wordsSql("text")} AS arr FROM documents),
+         |e AS (SELECT arr,
+         |  unnest(range(1, greatest(len(arr) - 1, 1) + 1)) AS i FROM d0),
+         |w AS (SELECT arr[i] || ' ' || arr[i + 1] AS word FROM e
+         |  WHERE arr[i + 1] IS NOT NULL),
+         |v AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+         |r AS (SELECT word, freq,
+         |    row_number() OVER (ORDER BY freq DESC, word) AS rnk FROM v),
+         |t AS (SELECT sum(freq) AS total_occ FROM v),
+         |b AS (SELECT unnest([${Budgets.mkString(", ")}]) AS vocab_budget)
+         |SELECT vocab_budget::BIGINT AS vocab_budget,
+         |  sum(CASE WHEN rnk <= vocab_budget THEN 1 ELSE 0 END)::BIGINT AS n_words,
+         |  sum(CASE WHEN rnk <= vocab_budget THEN freq ELSE 0 END)::BIGINT
+         |    AS covered_occ,
+         |  (sum(CASE WHEN rnk <= vocab_budget THEN freq ELSE 0 END) * 1000
+         |    // max(total_occ))::BIGINT AS coverage_th
+         |FROM r, b, t GROUP BY vocab_budget ORDER BY vocab_budget""".stripMargin)
+  }
+
+  /** Dedup survivor-policy comparison (q140) — exact dedup keeps the
+    * min-id copy by convention (q22), but production pipelines keep
+    * the BEST copy. Over normalized-dup groups (q104's key): per
+    * source, how often min-id and max-quality pick different
+    * survivors, and the quality each policy retains (floor(score ×
+    * 1000) — the same IEEE double both engines compute). Injected
+    * classes make both outcomes observable: ids ≡ 4 mod 10 get an
+    * uppercased copy ABOVE the base id (policies agree — the copy's
+    * casefold kills its stopword hits, so it loses on both axes);
+    * ids ≡ 9 mod 10 get the uppercased copy BELOW the base id
+    * (policies disagree: min-id keeps the degraded copy, max-quality
+    * keeps the original — exactly the argument for quality-aware
+    * survivors). Scale shape: one norm-hash groupBy whose survivors
+    * are struct-min/max aggregates (no window, no pair join) + a
+    * source-bounded rollup.
+    */
+  val survivorPolicy: Q = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+      def shifted(mod: Long, off: Long): DataFrame =
+        docs.filter(col("doc_id") % 10 === mod)
+          .select((col("doc_id") + off).as("doc_id"), col("source"),
+            upper(col("text")).as("text"))
+      val corpus = docs
+        .unionByName(shifted(4L, 10000000L))
+        .unionByName(shifted(9L, -1000000000L))
+      val scored = corpus.select(col("doc_id"), col("source"),
+        md5(trim(regexp_replace(lower(col("text")), "  +", " "))).as("h"),
+        floor(TextFunctions.qualityScore(TextFunctions.words(col("text"))) * 1000)
+          .cast("long").as("q_th"))
+      scored.groupBy("h")
+        .agg(count(lit(1)).as("gsize"),
+          min(struct(col("doc_id"), col("source"), col("q_th"))).as("a"),
+          max(struct(col("q_th"), (-col("doc_id")).as("nid"))).as("b"))
+        .groupBy(col("a.source").as("source"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("gsize") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+          sum(when(col("gsize") > 1 && col("a.doc_id") =!= -col("b.nid"), 1L)
+            .otherwise(0L)).as("n_disagree"),
+          sum(col("a.q_th")).as("q_minid_sum"),
+          sum(col("b.q_th")).as("q_maxq_sum"))
+        .orderBy("source")
+    },
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, source, upper(text) FROM documents
+       |  WHERE doc_id % 10 = 4
+       |  UNION ALL
+       |  SELECT doc_id - 1000000000, source, upper(text) FROM documents
+       |  WHERE doc_id % 10 = 9),
+       |sc AS (
+       |  SELECT doc_id, source,
+       |    md5(trim(regexp_replace(lower(text), '  +', ' ', 'g'))) AS h,
+       |    floor((${TextFunctions.qualityScoreSql(
+            TextFunctions.wordsSql("text"))}) * 1000)::BIGINT AS q_th
+       |  FROM corpus),
+       |r AS (
+       |  SELECT h, doc_id, source, q_th,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id) AS r_id,
+       |    row_number() OVER (PARTITION BY h ORDER BY q_th DESC, doc_id) AS r_q,
+       |    count(*) OVER (PARTITION BY h) AS gsize
+       |  FROM sc),
+       |g AS (
+       |  SELECT h, max(gsize) AS gsize,
+       |    max(CASE WHEN r_id = 1 THEN doc_id END) AS id_a,
+       |    max(CASE WHEN r_id = 1 THEN source END) AS src_a,
+       |    max(CASE WHEN r_id = 1 THEN q_th END) AS q_a,
+       |    max(CASE WHEN r_q = 1 THEN doc_id END) AS id_b,
+       |    max(CASE WHEN r_q = 1 THEN q_th END) AS q_b
+       |  FROM r GROUP BY h)
+       |SELECT src_a AS source, count(*)::BIGINT AS n_groups,
+       |  sum(CASE WHEN gsize > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+       |  sum(CASE WHEN gsize > 1 AND id_a <> id_b THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_disagree,
+       |  sum(q_a)::BIGINT AS q_minid_sum,
+       |  sum(q_b)::BIGINT AS q_maxq_sum
+       |FROM g GROUP BY src_a ORDER BY source""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "q140_survivor_policy" -> survivorPolicy,
+    "q139_vocab_coverage" -> vocabCoverageCurve,
     "q138_dedup_savings" -> dedupSavings,
     "q137_editdist_dupes" -> editDistanceDupes,
     "q136_dup_agreement" -> dupMethodAgreement,
