@@ -727,6 +727,89 @@ object AnalyticsQueries {
          |ORDER BY l_returnflag, q_pct""".stripMargin)
   }
 
+  /** Quantile-sketch error audit (q141) — the exact-error eval q80's
+    * sketch was missing, completing the family every approximate
+    * structure here ships with (q96 ANN recall, q103 LSH precision,
+    * q118 MinHash error): per (return flag, percentile), the exact
+    * discrete quantile, the sketch estimate, the signed error in
+    * basis points, and a COMPUTED `ok_1pct` flag (est ≤ exact and
+    * error ≤ 1%, by integer cross-multiplication) that must be 1 —
+    * the q135 discipline: the guarantee rides in the judged result.
+    * The bound is structural: the sketch truncates to 3 significant
+    * digits, so its estimate is exactly trunc₃(exact) and the error
+    * is under one unit in the third digit. Scale shape: the exact
+    * side cumulates over VALUE-DISTINCT cents per flag — bounded by
+    * the price domain (~10⁶ values), not the corpus — after one
+    * map-side-combinable (flag, cents) count; eval-only cost, the
+    * production path stays q80's sketch.
+    */
+  val quantileError: Q = {
+    val QS = Seq(50, 90, 95, 99)
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.QuantileSketch
+        val v = t(s, d, "lineitem").select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("c"))
+        val cum = v.groupBy("l_returnflag", "c").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(
+            Window.partitionBy("l_returnflag").orderBy("c")))
+          .withColumn("n", sum("cnt").over(Window.partitionBy("l_returnflag")))
+        val exact = cum
+          .select(col("l_returnflag"), col("c"), col("cum"), col("n"),
+            explode(lit(QS.toArray)).as("q_pct"))
+          .filter(col("cum") * 100 >= col("q_pct") * col("n"))
+          .groupBy("l_returnflag", "q_pct")
+          .agg(min("c").as("exact_cents"))
+        val est = QuantileSketch.quantiles(
+          QuantileSketch.sketch(v, col("c"), Seq("l_returnflag")),
+          Seq("l_returnflag"), QS)
+          .select(col("l_returnflag"), col("q_pct"), col("est").as("est_cents"))
+        exact.join(est, Seq("l_returnflag", "q_pct"))
+          .selectExpr("l_returnflag", "cast(q_pct AS bigint) AS q_pct",
+            "exact_cents", "est_cents",
+            "(exact_cents - est_cents) * 10000 div greatest(exact_cents, 1L) AS err_bp",
+            """CASE WHEN est_cents <= exact_cents
+              |  AND (exact_cents - est_cents) * 100 <= exact_cents
+              |  THEN 1L ELSE 0L END AS ok_1pct""".stripMargin)
+          .orderBy("l_returnflag", "q_pct")
+      },
+      s"""WITH v AS (SELECT l_returnflag,
+         |            cast(round(l_extendedprice * 100) AS BIGINT) AS c
+         |           FROM lineitem),
+         |qs AS (SELECT * FROM (VALUES (${QS.mkString("), (")})) t(q_pct)),
+         |dv AS (SELECT l_returnflag, c, count(*)::BIGINT AS cnt
+         |       FROM v GROUP BY 1, 2),
+         |cm AS (SELECT l_returnflag, c,
+         |         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY c)::BIGINT AS cum,
+         |         sum(cnt) OVER (PARTITION BY l_returnflag)::BIGINT AS n
+         |       FROM dv),
+         |exact AS (SELECT l_returnflag, q_pct, min(c) AS exact_cents
+         |          FROM cm JOIN qs ON cm.cum * 100 >= qs.q_pct * cm.n
+         |          GROUP BY 1, 2),
+         |sk AS (SELECT l_returnflag,
+         |         c - (c % (('1' || repeat('0',
+         |            greatest(length(c::VARCHAR) - 3, 0)))::BIGINT)) AS bucket,
+         |         count(*)::BIGINT AS cnt
+         |       FROM v GROUP BY 1, 2),
+         |scm AS (SELECT l_returnflag, bucket,
+         |         sum(cnt) OVER (PARTITION BY l_returnflag
+         |                        ORDER BY bucket)::BIGINT AS cum,
+         |         sum(cnt) OVER (PARTITION BY l_returnflag)::BIGINT AS n
+         |        FROM sk),
+         |est AS (SELECT l_returnflag, q_pct, min(bucket) AS est_cents
+         |        FROM scm JOIN qs ON scm.cum * 100 >= qs.q_pct * scm.n
+         |        GROUP BY 1, 2)
+         |SELECT l_returnflag, q_pct::BIGINT AS q_pct, exact_cents, est_cents,
+         |  ((exact_cents - est_cents) * 10000 // greatest(exact_cents, 1))::BIGINT
+         |    AS err_bp,
+         |  (CASE WHEN est_cents <= exact_cents
+         |     AND (exact_cents - est_cents) * 100 <= exact_cents
+         |     THEN 1 ELSE 0 END)::BIGINT AS ok_1pct
+         |FROM exact JOIN est USING (l_returnflag, q_pct)
+         |ORDER BY l_returnflag, q_pct""".stripMargin)
+  }
+
   /** Z-order layout statistics ([[graft.operators.ZOrder]]): bucket
     * the (partkey, suppkey) plane by morton-curve prefix — each
     * bucket is the "file" a clustered rewrite would produce — and
@@ -1039,6 +1122,7 @@ object AnalyticsQueries {
     "q121_salted_join"     -> saltedJoinAgg,
     "q122_incremental_agg" -> incrementalAgg,
     "q123_late_data_audit" -> lateDataAudit,
+    "q141_quantile_error"  -> quantileError,
     "q126_degree_histogram" -> degreeHistogram)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
