@@ -55,4 +55,49 @@ class PipelineInvariantsSpec extends SparkSpec {
         s"injected ${r.getAs[Long]("vec_id")} at d2 ${r.getAs[Long]("min_d2")}")
     }
   }
+
+  test("q135: every source reassembles losslessly (computed mismatch is 0)") {
+    val rows = PipelineQueries.chunkRoundtrip.fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_mismatch") == 0L,
+      s"${r.getAs[String]("source")} lost content in the chunk round-trip"))
+  }
+
+  test("q136: each injected class lands in its designated matrix cell") {
+    val rows = PipelineQueries.dupMethodAgreement.fn(spark, sf0001).collect()
+    def tot(c: String) = rows.map(_.getAs[Long](c)).sum
+    // class 0 (both) + class 16 (sem-only) + class 32 (lex-only) each
+    // inject pairs, so every disagreement cell must be populated and
+    // both-dup must cover at least the class-0 twins
+    assert(tot("n_both") > 0, "class-0 twins missing from the both cell")
+    assert(tot("n_sem_only") > 0, "class-16 twins missing from sem-only")
+    assert(tot("n_lex_only") > 0, "class-32 twins missing from lex-only")
+    assert(tot("n_neither") > tot("n_both") + tot("n_sem_only") + tot("n_lex_only"),
+      "the undisturbed corpus should dominate the matrix")
+  }
+
+  test("q137: every mutated twin pairs with its base at edit distance 1") {
+    val pairs = PipelineQueries.editDistanceDupes.fn(spark, sf0001).collect()
+    val byA = pairs.groupBy(_.getAs[Long]("id_a"))
+    // bases with doc_id % 16 == 1 and a >=30-char prefix got a twin at
+    // +8000000 with one char deleted — each must surface at dist 1
+    val twins = pairs.filter(r =>
+      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 8000000L)
+    assert(twins.nonEmpty, "no mutated twin surfaced")
+    twins.foreach(r => assert(r.getAs[Long]("dist") == 1L,
+      s"twin pair ${r.getAs[Long]("id_a")} at dist ${r.getAs[Long]("dist")}"))
+    assert(byA.nonEmpty)
+  }
+
+  test("q140: max-quality never retains less quality than min-id, and the " +
+    "below-base-id class forces disagreements") {
+    val rows = PipelineQueries.survivorPolicy.fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("q_maxq_sum") >= r.getAs[Long]("q_minid_sum"),
+        s"${r.getAs[String]("source")}: max-quality policy retained less quality")
+    }
+    assert(rows.map(_.getAs[Long]("n_disagree")).sum > 0,
+      "the id-below-base class should force policy disagreements")
+  }
 }
