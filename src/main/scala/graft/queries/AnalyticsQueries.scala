@@ -810,6 +810,48 @@ object AnalyticsQueries {
          |ORDER BY l_returnflag, q_pct""".stripMargin)
   }
 
+  /** Event-type transition matrix (q143) — the first-order Markov
+    * view of user behavior: for each (from, to) event-type pair, how
+    * often `to` immediately follows `from` within a user's stream,
+    * with the row-normalized transition probability in thousandths.
+    * The behavioral complement to the funnel (q85): the funnel asks
+    * "did the user ever reach stage k", this asks "what do users DO
+    * next". Successor via lead() over (user, ts, event_id) — the
+    * per-user window is the same keying streaming state uses, so it
+    * parallelizes across users; the transition cells are
+    * type²-bounded no matter the corpus. Ties at equal ts break on
+    * event_id — deterministic on both engines.
+    */
+  val eventTransitions: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nxt = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead("event_type", 1).over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+        .filter(col("next_type").isNotNull)
+      val cells = nxt.groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val rt = cells.groupBy("from_type").agg(sum("n").as("rtot"))
+      cells.join(rt, "from_type")
+        .selectExpr("from_type", "to_type", "n", "n * 1000 div rtot AS p_th")
+        .orderBy("from_type", "to_type")
+    },
+    """WITH nxt AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |cells AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |    count(*)::BIGINT AS n
+      |  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT from_type, sum(n)::BIGINT AS rtot FROM cells GROUP BY 1)
+      |SELECT from_type, to_type, n, (n * 1000 // rtot)::BIGINT AS p_th
+      |FROM cells JOIN rt USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin)
+
   /** Z-order layout statistics ([[graft.operators.ZOrder]]): bucket
     * the (partkey, suppkey) plane by morton-curve prefix — each
     * bucket is the "file" a clustered rewrite would produce — and
@@ -1123,6 +1165,7 @@ object AnalyticsQueries {
     "q122_incremental_agg" -> incrementalAgg,
     "q123_late_data_audit" -> lateDataAudit,
     "q141_quantile_error"  -> quantileError,
+    "q143_event_transitions" -> eventTransitions,
     "q126_degree_histogram" -> degreeHistogram)
 
   /** Degree-distribution audit (q126) — the pre-flight for every

@@ -4408,7 +4408,49 @@ object PipelineQueries {
        |  sum(q_b)::BIGINT AS q_maxq_sum
        |FROM g GROUP BY src_a ORDER BY source""".stripMargin)
 
+  /** Source × language lift matrix (q142) — the contingency audit
+    * behind "which acquisition channels skew which languages": per
+    * (source, lang) cell, the observed count, P(lang | source) and
+    * P(lang) in thousandths, and the lift P(lang|source)/P(lang) in
+    * thousandths-of-thousandths (1000 = independent). The lift is
+    * computed FROM the truncated integer thousandths — deterministic
+    * on both engines by construction, and overflow-safe at any
+    * corpus size (obs·1000 ≤ 10¹⁵ at 10¹² docs; a χ² statistic's
+    * rowTot·colTot product would overflow int64 at that scale, which
+    * is why the report is lift, not χ²). Scale shape: one
+    * (source, lang) count — the only corpus pass — then marginal
+    * rollups and joins entirely over taxonomy-bounded cell counts.
+    */
+  val sourceLangLift: Q = Q(
+    (s, d) => {
+      val cells = t(s, d, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("obs"))
+      val rt = cells.groupBy("source").agg(sum("obs").as("rtot"))
+      val ct = cells.groupBy("lang").agg(sum("obs").as("ctot"))
+      val tot = cells.agg(sum("obs").as("n"))
+      cells.join(rt, "source").join(ct, "lang").crossJoin(tot)
+        .selectExpr("source", "lang", "obs",
+          "obs * 1000 div rtot AS p_cond_th",
+          "ctot * 1000 div n AS p_marg_th",
+          "(obs * 1000 div rtot) * 1000 div greatest(ctot * 1000 div n, 1L) AS lift_th")
+        .orderBy("source", "lang")
+    },
+    """WITH cells AS (
+      |  SELECT source, lang, count(*)::BIGINT AS obs
+      |  FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT source, sum(obs)::BIGINT AS rtot FROM cells GROUP BY 1),
+      |ct AS (SELECT lang, sum(obs)::BIGINT AS ctot FROM cells GROUP BY 1),
+      |t AS (SELECT sum(obs)::BIGINT AS n FROM cells)
+      |SELECT source, lang, obs,
+      |  (obs * 1000 // rtot)::BIGINT AS p_cond_th,
+      |  (ctot * 1000 // n)::BIGINT AS p_marg_th,
+      |  ((obs * 1000 // rtot) * 1000 //
+      |   greatest(ctot * 1000 // n, 1))::BIGINT AS lift_th
+      |FROM cells JOIN rt USING (source) JOIN ct USING (lang), t
+      |ORDER BY source, lang""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "q142_source_lang_lift" -> sourceLangLift,
     "q140_survivor_policy" -> survivorPolicy,
     "q139_vocab_coverage" -> vocabCoverageCurve,
     "q138_dedup_savings" -> dedupSavings,
