@@ -4449,8 +4449,122 @@ object PipelineQueries {
       |FROM cells JOIN rt USING (source) JOIN ct USING (lang), t
       |ORDER BY source, lang""".stripMargin)
 
+  /** Sequence-bucketing padding-waste audit (q145) — the training
+    * throughput question behind batch construction: if documents are
+    * batched B at a time, how many pad tokens does each batching
+    * policy burn? Docs land in a ⌊log₂ len⌋ length bucket (the
+    * `length(bin(n))` integer-log parity trick), then batches form
+    * within (bucket, shard) ordered by (len desc, doc_id) — the shard
+    * axis is what makes this scale: window partitions are
+    * (bucket, shard)-sized, shard count grows with the corpus exactly
+    * like the inverted index's (q64), so no single sort ever sees a
+    * corpus-scaled partition. A batch's padded cost is
+    * rows × max(len) (dynamic batch, last batch partial); waste is
+    * reported per bucket in thousandths of the padded cost. The
+    * subtext is the measurement itself: bucketing by log-length keeps
+    * waste near zero while naive global batching pays the spread.
+    */
+  val paddingWaste: Q = {
+    val B = 16; val SHARDS = 8
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("bucket", "shard")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        val batches = t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            length(bin(greatest(col("n_chars"), lit(1)))).cast("long").as("bucket"),
+            (col("doc_id") % SHARDS).as("shard"))
+          .withColumn("batch", floor((row_number().over(w) - 1) / B).cast("long"))
+          .groupBy("bucket", "shard", "batch")
+          .agg(count(lit(1)).as("nrows"), max("n_chars").as("mx"),
+            sum("n_chars").as("actual"))
+          .withColumn("padded", col("nrows") * col("mx"))
+        batches.groupBy("bucket")
+          .agg(count(lit(1)).as("n_batches"),
+            sum("padded").as("padded"), sum("actual").as("actual"))
+          .selectExpr("bucket", "n_batches", "padded", "actual",
+            "(padded - actual) * 1000 div padded AS waste_th")
+          .orderBy("bucket")
+      },
+      s"""WITH docs AS (
+         |  SELECT doc_id, n_chars,
+         |    length(bin(greatest(n_chars, 1))) AS bucket,
+         |    doc_id % $SHARDS AS shard
+         |  FROM documents),
+         |rn AS (
+         |  SELECT *, (row_number() OVER (PARTITION BY bucket, shard
+         |      ORDER BY n_chars DESC, doc_id) - 1) // $B AS batch
+         |  FROM docs),
+         |b AS (
+         |  SELECT bucket, shard, batch, count(*)::BIGINT AS nrows,
+         |    max(n_chars) AS mx, sum(n_chars)::BIGINT AS actual
+         |  FROM rn GROUP BY 1, 2, 3)
+         |SELECT bucket, count(*)::BIGINT AS n_batches,
+         |  sum(nrows * mx)::BIGINT AS padded,
+         |  sum(actual)::BIGINT AS actual,
+         |  ((sum(nrows * mx) - sum(actual)) * 1000 // sum(nrows * mx))::BIGINT
+         |    AS waste_th
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  /** Positional phrase search (q146) — the retrieval op the
+    * document-sharded index (q64) cannot answer: "which documents
+    * contain these two words ADJACENT, in order". Postings carry
+    * token positions; a phrase hit is a (doc, pos) row for word x
+    * whose (doc, pos+1) row is word y. The phrase workload is derived
+    * from the corpus itself (top-K bigrams by collocation count, ties
+    * broken lexically), so the query is closed over the data. Scale
+    * shape: adjacency materializes with a per-doc lead() window —
+    * partitions are document-sized, parallel across the corpus, one
+    * exchange (the positional self-join alternative pays two) — and
+    * the occurrence table is persisted once because both the phrase
+    * derivation and the hit join consume it. The K-row phrase table
+    * is a broadcast by size, never by hint; no posting list is ever
+    * collected or windowed globally.
+    */
+  val phraseSearch: Q = {
+    val K = 20
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(TextFunctions.words(col("text"))).as(Seq("pos", "w")))
+        val bi = tok
+          .withColumn("y", lead("w", 1).over(
+            Window.partitionBy("doc_id").orderBy("pos")))
+          .filter(col("y").isNotNull)
+          .select(col("doc_id"), col("pos"), col("w").as("x"), col("y"))
+          .persist()
+        val phrases = bi.groupBy("x", "y").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("x"), col("y")).limit(K)
+          .select(col("x"), col("y"))
+        bi.join(phrases, Seq("x", "y"))
+          .groupBy("x", "y")
+          .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_hits"))
+          .orderBy("x", "y")
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM documents),
+         |i AS (SELECT doc_id, arr, unnest(range(2, len(arr) + 1)) AS i
+         |  FROM w WHERE len(arr) >= 2),
+         |bi AS (SELECT doc_id, i - 2 AS pos, arr[i - 1] AS x, arr[i] AS y
+         |  FROM i),
+         |ph AS (
+         |  SELECT x, y FROM bi GROUP BY x, y
+         |  ORDER BY count(*) DESC, x, y LIMIT $K)
+         |SELECT x, y, count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |  count(*)::BIGINT AS n_hits
+         |FROM bi JOIN ph USING (x, y)
+         |GROUP BY x, y ORDER BY x, y""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q142_source_lang_lift" -> sourceLangLift,
+    "q145_padding_waste" -> paddingWaste,
+    "q146_phrase_search" -> phraseSearch,
     "q140_survivor_policy" -> survivorPolicy,
     "q139_vocab_coverage" -> vocabCoverageCurve,
     "q138_dedup_savings" -> dedupSavings,
