@@ -887,6 +887,47 @@ object AnalyticsQueries {
       |GROUP BY ROLLUP (source, lang)
       |ORDER BY g_src, g_lang, source, lang""".stripMargin)
 
+  /** Rolling 7-day active users (q149) — the WAU curve, computed the
+    * way sliding distinct-counts survive scale: a distinct (user, day)
+    * row contributes to the seven window-end days d..d+6, so a
+    * bounded ×7 explode turns the sliding window into a plain
+    * group-by with map-side combine. The naive alternative — a
+    * per-day distinct over a 7-day range window — holds per-day
+    * distinct state and reshuffles users once per day; this shape is
+    * one distinct + one bounded explode + one count, and every stage
+    * partitions by its own key. Days past the corpus edge are real
+    * windows (they end after the last event but still cover it), so
+    * both engines keep them; DAU is 0-coalesced on days that only
+    * appear as trailing window ends.
+    */
+  val rollingActives: Q = Q(
+    (s, d) => {
+      val ud = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct().persist()
+      val cov = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+        .distinct()
+      val wau = cov.groupBy("day").agg(count(lit(1)).as("wau7"))
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      wau.join(dau, Seq("day"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+          col("wau7"))
+        .orderBy("day")
+    },
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      |cov AS (
+      |  SELECT DISTINCT user_id, day + off::INT AS day
+      |  FROM ud, (SELECT unnest(range(0, 7)) AS off) o),
+      |wau AS (SELECT day, count(*)::BIGINT AS wau7 FROM cov GROUP BY 1),
+      |dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1)
+      |SELECT wau.day, coalesce(dau.dau, 0)::BIGINT AS dau, wau7
+      |FROM wau LEFT JOIN dau USING (day)
+      |ORDER BY day""".stripMargin)
+
   /** Z-order layout statistics ([[graft.operators.ZOrder]]): bucket
     * the (partkey, suppkey) plane by morton-curve prefix — each
     * bucket is the "file" a clustered rewrite would produce — and
@@ -1202,6 +1243,7 @@ object AnalyticsQueries {
     "q141_quantile_error"  -> quantileError,
     "q143_event_transitions" -> eventTransitions,
     "q144_rollup_report"   -> rollupReport,
+    "q149_rolling_actives" -> rollingActives,
     "q126_degree_histogram" -> degreeHistogram)
 
   /** Degree-distribution audit (q126) — the pre-flight for every

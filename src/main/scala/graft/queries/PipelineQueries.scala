@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.{Hashing, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Bpe, ConnectedComponents, CountMin, Dedup, DedupIndex, MixManifest, Packing, Similarity, VectorQuantizer}
+import graft.operators.{Bpe, ConnectedComponents, CountMin, Dedup, DedupIndex, HeavyHitters, MixManifest, Packing, Similarity, VectorQuantizer}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
   * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
@@ -4561,10 +4561,116 @@ object PipelineQueries {
          |GROUP BY x, y ORDER BY x, y""".stripMargin)
   }
 
+  /** Exact heavy hitters via Misra-Gries + recount (q147) — the
+    * at-scale replacement for a full-vocabulary group-by when the
+    * question is "which tokens exceed 1/K of the corpus". The
+    * [[HeavyHitters.mgCandidates]] pass carries ≤ K·partitions
+    * candidate rows across the exchange instead of the whole
+    * vocabulary; the recount is restricted to candidates by a
+    * semi-join, and the provable candidate-superset guarantee (see
+    * the operator's Scaladoc) makes the judged output EXACT and
+    * deterministic even though the intermediate sketch is
+    * partition-order-dependent. The oracle is the naive full
+    * group-by — equality is the guarantee, checked by the driver.
+    */
+  val heavyHitters: Q = {
+    val K = 200
+    Q(
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(explode(TextFunctions.words(col("text"))).as("w"))
+          .persist()
+        val cand = HeavyHitters.mgCandidates(tok, "w", K)
+        val n = tok.agg(count(lit(1)).as("n"))
+        tok.join(cand, Seq("w"), "leftsemi")
+          .groupBy("w").agg(count(lit(1)).as("n_w"))
+          .crossJoin(n)
+          .filter(col("n_w") * K > col("n"))
+          .selectExpr("w", "n_w", "n_w * 1000000 div n AS share_ppm")
+          .orderBy("w")
+      },
+      s"""WITH tok AS (
+         |  SELECT unnest(${TextFunctions.wordsSql("text")}) AS w FROM documents),
+         |n AS (SELECT count(*)::BIGINT AS n FROM tok)
+         |SELECT w, count(*)::BIGINT AS n_w,
+         |  (count(*) * 1000000 // n)::BIGINT AS share_ppm
+         |FROM tok, n GROUP BY w, n HAVING count(*) * $K > n
+         |ORDER BY w""".stripMargin)
+  }
+
+  /** Exact Jaccard similarity join via prefix filtering (q148) — the
+    * Vernica/Carey-style set-similarity join: completeness WITHOUT
+    * q23's df cap. Tokens are totally ordered by (df asc, token) —
+    * the (df, w) pair IS the order, so no global rank window ever
+    * runs — and each doc emits only its p = |s| − ⌈τ|s|⌉ + 1 rarest
+    * tokens as its prefix. The lemma: J(a,b) ≥ τ forces
+    * |a∩b| ≥ ⌈τ·|s|⌉ for each side (τ ≤ la/lb whenever J ≥ τ), and
+    * two ordered sets overlapping that much must collide inside
+    * these prefixes — so the prefix self-join loses no qualifying
+    * pair. Verification is candidate-linear: each candidate pair
+    * joins its two token sets through keyed joins (never all-pairs),
+    * and the brute-force oracle's equality IS the completeness proof,
+    * machine-checked by the driver. τ = 19/20; all arithmetic
+    * integer.
+    */
+  val prefixJaccard: Q = {
+    val NUM = 19; val DEN = 20 // tau = 0.95
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
+          .distinct().persist()
+        val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        val dfreq = tok.groupBy("w").agg(count(lit(1)).as("dfw"))
+        val pref = tok.join(dfreq, "w").join(sz, "doc_id")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("dfw"), col("w"))))
+          .filter(col("rn") <=
+            expr(s"len - (($NUM * len + ${DEN - 1}) div $DEN) + 1"))
+          .select(col("doc_id"), col("w"))
+        val cand = pref.as("pa").join(pref.as("pb"),
+            col("pa.w") === col("pb.w") && col("pa.doc_id") < col("pb.doc_id"))
+          .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
+          .distinct()
+        val shared = cand
+          .join(tok.as("ta"), col("a") === col("ta.doc_id"))
+          .select(col("a"), col("b"), col("ta.w").as("w")).as("c")
+          .join(tok.as("tb"),
+            col("c.b") === col("tb.doc_id") && col("c.w") === col("tb.w"),
+            "leftsemi")
+          .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+        shared
+          .join(sz.as("sa"), col("a") === col("sa.doc_id"))
+          .join(sz.as("sb"), col("b") === col("sb.doc_id"))
+          .select(col("a"), col("b"), col("n_shared"),
+            col("sa.len").as("la"), col("sb.len").as("lb"))
+          .filter(col("n_shared") * (NUM + DEN) >= (col("la") + col("lb")) * NUM)
+          .selectExpr("a", "b", "n_shared", "la", "lb",
+            "n_shared * 1000 div (la + lb - n_shared) AS j_th")
+          .orderBy("a", "b")
+      },
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest(${TextFunctions.wordsSql("text")}) AS w
+         |  FROM documents),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY 1),
+         |p AS (
+         |  SELECT ta.doc_id AS a, tb.doc_id AS b, count(*)::BIGINT AS n_shared
+         |  FROM tok ta JOIN tok tb ON ta.w = tb.w AND ta.doc_id < tb.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, n_shared, sa.len AS la, sb.len AS lb,
+         |  (n_shared * 1000 // (sa.len + sb.len - n_shared))::BIGINT AS j_th
+         |FROM p JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+         |WHERE ${NUM + DEN} * n_shared >= $NUM * (sa.len + sb.len)
+         |ORDER BY a, b""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q142_source_lang_lift" -> sourceLangLift,
     "q145_padding_waste" -> paddingWaste,
     "q146_phrase_search" -> phraseSearch,
+    "q147_heavy_hitters" -> heavyHitters,
+    "q148_prefix_jaccard" -> prefixJaccard,
     "q140_survivor_policy" -> survivorPolicy,
     "q139_vocab_coverage" -> vocabCoverageCurve,
     "q138_dedup_savings" -> dedupSavings,
