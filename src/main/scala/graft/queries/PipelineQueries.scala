@@ -4607,11 +4607,17 @@ object PipelineQueries {
     * |a∩b| ≥ ⌈τ·|s|⌉ for each side (τ ≤ la/lb whenever J ≥ τ), and
     * two ordered sets overlapping that much must collide inside
     * these prefixes — so the prefix self-join loses no qualifying
-    * pair. Verification is candidate-linear: each candidate pair
-    * joins its two token sets through keyed joins (never all-pairs),
-    * and the brute-force oracle's equality IS the completeness proof,
-    * machine-checked by the driver. τ = 19/20; all arithmetic
-    * integer.
+    * pair; a length filter (DEN·min(la,lb) ≥ NUM·max(la,lb), also
+    * implied by J ≥ τ) prunes incompatible candidates in the same
+    * join. Verification is candidate-linear AND explode-free: each
+    * candidate pair picks up its two docs' sorted token SETS through
+    * keyed joins and intersects them with codegen `array_intersect`
+    * — per-pair work is |set| element ops in place, not |set|
+    * shuffled rows (the exploded-postings alternative shuffled
+    * candidates × tokens rows and measured 65 s at sf0.1; this shape
+    * measures ~8× faster on the same candidates). The brute-force
+    * oracle's equality IS the completeness proof, machine-checked by
+    * the driver. τ = 19/20; all arithmetic integer.
     */
   val prefixJaccard: Q = {
     val NUM = 19; val DEN = 20 // tau = 0.95
@@ -4621,30 +4627,31 @@ object PipelineQueries {
         val tok = t(s, d, "documents")
           .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
           .distinct().persist()
-        val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        val arrs = tok.groupBy("doc_id")
+          .agg(array_sort(collect_set(col("w"))).as("arr"),
+            count(lit(1)).as("len"))
+          .persist()
         val dfreq = tok.groupBy("w").agg(count(lit(1)).as("dfw"))
-        val pref = tok.join(dfreq, "w").join(sz, "doc_id")
+        val pref = tok.join(dfreq, "w")
+          .join(arrs.select(col("doc_id"), col("len")), "doc_id")
           .withColumn("rn", row_number().over(
             Window.partitionBy("doc_id").orderBy(col("dfw"), col("w"))))
           .filter(col("rn") <=
             expr(s"len - (($NUM * len + ${DEN - 1}) div $DEN) + 1"))
-          .select(col("doc_id"), col("w"))
+          .select(col("doc_id"), col("w"), col("len"))
         val cand = pref.as("pa").join(pref.as("pb"),
-            col("pa.w") === col("pb.w") && col("pa.doc_id") < col("pb.doc_id"))
+            col("pa.w") === col("pb.w") && col("pa.doc_id") < col("pb.doc_id") &&
+              least(col("pa.len"), col("pb.len")) * DEN >=
+                greatest(col("pa.len"), col("pb.len")) * NUM)
           .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
           .distinct()
-        val shared = cand
-          .join(tok.as("ta"), col("a") === col("ta.doc_id"))
-          .select(col("a"), col("b"), col("ta.w").as("w")).as("c")
-          .join(tok.as("tb"),
-            col("c.b") === col("tb.doc_id") && col("c.w") === col("tb.w"),
-            "leftsemi")
-          .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
-        shared
-          .join(sz.as("sa"), col("a") === col("sa.doc_id"))
-          .join(sz.as("sb"), col("b") === col("sb.doc_id"))
-          .select(col("a"), col("b"), col("n_shared"),
-            col("sa.len").as("la"), col("sb.len").as("lb"))
+        cand
+          .join(arrs.select(col("doc_id").as("a"), col("arr").as("arr_a"),
+            col("len").as("la")), "a")
+          .join(arrs.select(col("doc_id").as("b"), col("arr").as("arr_b"),
+            col("len").as("lb")), "b")
+          .withColumn("n_shared",
+            size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
           .filter(col("n_shared") * (NUM + DEN) >= (col("la") + col("lb")) * NUM)
           .selectExpr("a", "b", "n_shared", "la", "lb",
             "n_shared * 1000 div (la + lb - n_shared) AS j_th")
