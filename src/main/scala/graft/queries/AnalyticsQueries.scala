@@ -928,6 +928,114 @@ object AnalyticsQueries {
       |FROM wau LEFT JOIN dau USING (day)
       |ORDER BY day""".stripMargin)
 
+  /** Incremental JOIN-view maintenance (q150) — q122's delta
+    * discipline extended from aggregates to joins: a materialized
+    * join view V = O ⨝ L absorbs deltas via the join's delta algebra
+    *   V' = V ∪ (ΔO ⨝ L) ∪ (O ⨝ ΔL) ∪ (ΔO ⨝ ΔL)
+    * so a batch costs |Δ|-proportional work instead of a full
+    * recompute. Deltas are carved deterministically (10% of orders,
+    * 1/7 of lineitems); the Spark side assembles the total from the
+    * four parts, while the oracle aggregates the FULL join directly —
+    * the driver's hash equality is the machine check that the delta
+    * algebra loses and double-counts nothing. n_base rides along so
+    * the judged result pins the base/delta split itself.
+    */
+  val incrementalJoin: Q = Q(
+    (s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_orderkey") % 10 === 9).as("d_o"))
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
+          ((col("l_orderkey") * 10 + col("l_linenumber")) % 7 === 3).as("d_l"))
+      def part(oDelta: Boolean, lDelta: Boolean): DataFrame =
+        o.filter(col("d_o") === oDelta)
+          .join(l.filter(col("d_l") === lDelta),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("rev").as("rev"))
+      val v0 = part(oDelta = false, lDelta = false).persist()
+      val total = v0
+        .unionByName(part(oDelta = true, lDelta = false))
+        .unionByName(part(oDelta = false, lDelta = true))
+        .unionByName(part(oDelta = true, lDelta = true))
+        .groupBy("o_orderpriority")
+        .agg(sum("n").as("n_total"), sum("rev").as("rev_total_cents"))
+      total.join(v0.select(col("o_orderpriority"), col("n").as("n_base")),
+          Seq("o_orderpriority"))
+        .select("o_orderpriority", "n_base", "n_total", "rev_total_cents")
+        .orderBy("o_orderpriority")
+    },
+    """WITH l AS (
+      |  SELECT l_orderkey,
+      |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev,
+      |    ((l_orderkey * 10 + l_linenumber) % 7 = 3) AS d_l
+      |  FROM lineitem),
+      |o AS (SELECT o_orderkey, o_orderpriority,
+      |    (o_orderkey % 10 = 9) AS d_o FROM orders),
+      |j AS (SELECT o_orderpriority, rev, d_o, d_l
+      |  FROM o JOIN l ON o_orderkey = l_orderkey),
+      |tot AS (SELECT o_orderpriority, count(*)::BIGINT AS n_total,
+      |    sum(rev)::BIGINT AS rev_total_cents
+      |  FROM j GROUP BY 1),
+      |base AS (SELECT o_orderpriority, count(*)::BIGINT AS n_base
+      |  FROM j WHERE NOT d_o AND NOT d_l GROUP BY 1)
+      |SELECT o_orderpriority, n_base, n_total, rev_total_cents
+      |FROM tot JOIN base USING (o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin)
+
+  /** Join-size estimation from count-min sketches (q151) — what a
+    * cost-based planner does before choosing a join strategy:
+    * |A ⨝ B| on a key is the inner product Σ_k c_A(k)·c_B(k), and the
+    * count-min inner product Σ_cell cntA·cntB (min over the d rows)
+    * estimates it from two O(d·w) sketches — no join, no key-domain
+    * statistics, and the sketches merge across partitions/days. The
+    * estimate NEVER undercounts (collisions only add mass), so the
+    * judged row carries a computed ok_lb flag that must be 1, plus
+    * the realized overcount in ppm. Exact side is two key-domain
+    * counts joined — bounded by the key domain, not the row count.
+    */
+  val joinSizeEstimate: Q = {
+    val D = 4; val W = 16384
+    Q(
+      (s, d) => {
+        val ka = t(s, d, "events").select(col("user_id").cast("string").as("k"))
+        val kb = t(s, d, "orders").select(col("o_custkey").cast("string").as("k"))
+        val sa = graft.operators.CountMin.build(ka, "k", D, W)
+          .select(col("r"), col("cell"), col("cnt").as("ca"))
+        val sb = graft.operators.CountMin.build(kb, "k", D, W)
+          .select(col("r"), col("cell"), col("cnt").as("cb"))
+        val est = sa.join(sb, Seq("r", "cell"))
+          .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
+          .agg(min("ip").as("cms_est"))
+        val exact = ka.groupBy("k").agg(count(lit(1)).as("ca"))
+          .join(kb.groupBy("k").agg(count(lit(1)).as("cb")), "k")
+          .agg(sum(col("ca") * col("cb")).as("exact_size"))
+        est.crossJoin(exact)
+          .selectExpr("exact_size", "cms_est",
+            "(cms_est - exact_size) * 1000000 div exact_size AS over_ppm",
+            "if(cms_est >= exact_size, 1L, 0L) AS ok_lb")
+      },
+      s"""WITH pa(r, a, b) AS (VALUES ${graft.operators.CountMin.paramsSqlValues(D)}),
+         |ka AS (SELECT user_id::VARCHAR AS k FROM events),
+         |kb AS (SELECT o_custkey::VARCHAR AS k FROM orders),
+         |sa AS (SELECT r, ${graft.operators.CountMin.cellOfSql("k", "a", "b", W)} AS cell,
+         |    count(*)::BIGINT AS ca FROM ka, pa GROUP BY 1, 2),
+         |sb AS (SELECT r, ${graft.operators.CountMin.cellOfSql("k", "a", "b", W)} AS cell,
+         |    count(*)::BIGINT AS cb FROM kb, pa GROUP BY 1, 2),
+         |ip AS (SELECT sa.r, sum(ca * cb)::BIGINT AS ip
+         |  FROM sa JOIN sb ON sa.r = sb.r AND sa.cell = sb.cell GROUP BY 1),
+         |est AS (SELECT min(ip)::BIGINT AS cms_est FROM ip),
+         |ex AS (SELECT sum(ca * cb)::BIGINT AS exact_size FROM
+         |    (SELECT k, count(*)::BIGINT AS ca FROM ka GROUP BY 1) a
+         |    JOIN (SELECT k, count(*)::BIGINT AS cb FROM kb GROUP BY 1) b USING (k))
+         |SELECT exact_size, cms_est,
+         |  ((cms_est - exact_size) * 1000000 // exact_size)::BIGINT AS over_ppm,
+         |  (CASE WHEN cms_est >= exact_size THEN 1 ELSE 0 END)::BIGINT AS ok_lb
+         |FROM est, ex""".stripMargin)
+  }
+
   /** Z-order layout statistics ([[graft.operators.ZOrder]]): bucket
     * the (partkey, suppkey) plane by morton-curve prefix — each
     * bucket is the "file" a clustered rewrite would produce — and
@@ -1244,6 +1352,8 @@ object AnalyticsQueries {
     "q143_event_transitions" -> eventTransitions,
     "q144_rollup_report"   -> rollupReport,
     "q149_rolling_actives" -> rollingActives,
+    "q150_incremental_join" -> incrementalJoin,
+    "q151_join_size_est"   -> joinSizeEstimate,
     "q126_degree_histogram" -> degreeHistogram)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
