@@ -100,4 +100,107 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_disagree")).sum > 0,
       "the id-below-base class should force policy disagreements")
   }
+
+  test("q144: the rollup lattice is self-consistent (cells sum to " +
+    "subtotals, subtotals to the grand total)") {
+    val rows = graft.queries.AnalyticsQueries.rollupReport.fn(spark, sf0001)
+      .collect()
+    val cells = rows.filter(r => r.getAs[Long]("g_src") == 0L &&
+      r.getAs[Long]("g_lang") == 0L)
+    val subs = rows.filter(r => r.getAs[Long]("g_src") == 0L &&
+      r.getAs[Long]("g_lang") == 1L)
+    val grand = rows.filter(_.getAs[Long]("g_src") == 1L)
+    assert(grand.length == 1)
+    subs.foreach { sub =>
+      val src = sub.getAs[String]("source")
+      val mine = cells.filter(_.getAs[String]("source") == src)
+      assert(mine.map(_.getAs[Long]("n_docs")).sum == sub.getAs[Long]("n_docs"),
+        s"cells of $src don't sum to its subtotal")
+    }
+    assert(subs.map(_.getAs[Long]("n_docs")).sum ==
+      grand.head.getAs[Long]("n_docs"))
+  }
+
+  test("q145: padded cost dominates actual tokens; waste in [0, 1000)") {
+    val rows = PipelineQueries.paddingWaste.fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("padded") >= r.getAs[Long]("actual"))
+      val w = r.getAs[Long]("waste_th")
+      assert(w >= 0L && w < 1000L, s"waste_th $w out of range")
+    }
+  }
+
+  test("q146: every phrase hits at least one doc, hits >= docs, <= K rows") {
+    val rows = PipelineQueries.phraseSearch.fn(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 1L)
+      assert(r.getAs[Long]("n_hits") >= r.getAs[Long]("n_docs"),
+        "a doc can hold multiple occurrences, never fewer hits than docs")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q148: prefix-filtered join equals the brute-force join " +
+    "(completeness on a second corpus)") {
+    import graft.functions.TextFunctions
+    val pruned = PipelineQueries.prefixJaccard.fn(spark, sf0001)
+      .select("a", "b", "n_shared", "j_th").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val tok = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
+      .distinct()
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val brute = tok.as("x").join(tok.as("y"),
+        col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("sh"))
+      .join(sz.select(col("doc_id").as("a"), col("len").as("la")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("len").as("lb")), "b")
+      .filter(col("sh") * 39 >= (col("la") + col("lb")) * 19)
+      .selectExpr("a", "b", "sh", "sh * 1000 div (la + lb - sh) AS j")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(pruned == brute,
+      s"prefix filter lost ${brute -- pruned} / invented ${pruned -- brute}")
+    spark.catalog.clearCache()
+  }
+
+  test("q149: a 7-day window never counts fewer users than its last day") {
+    val rows = graft.queries.AnalyticsQueries.rollingActives.fn(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wau7") >= r.getAs[Long]("dau"),
+        s"${r.getAs[java.sql.Date]("day")}: wau7 < dau")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q150: the delta-assembled total equals a direct full-join recompute") {
+    val rows = graft.queries.AnalyticsQueries.incrementalJoin.fn(spark, sf0001)
+      .collect()
+    val direct = spark.read.parquet(s"$sf0001/orders.parquet")
+      .join(spark.read.parquet(s"$sf0001/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[String]("o_orderpriority")
+      assert(r.getAs[Long]("n_total") == direct(p),
+        s"$p: delta algebra drifted from the direct join")
+      assert(r.getAs[Long]("n_base") <= r.getAs[Long]("n_total"))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q151: the count-min estimate is a true upper bound (ok_lb = 1)") {
+    val r = graft.queries.AnalyticsQueries.joinSizeEstimate.fn(spark, sf0001)
+      .collect().head
+    assert(r.getAs[Long]("ok_lb") == 1L)
+    assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_size"))
+    assert(r.getAs[Long]("over_ppm") >= 0L)
+  }
 }

@@ -266,4 +266,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"q137's in-block pairing degenerated:\n$p")
   }
+
+  test("rollup expands the lattice before ONE hash aggregate exchange (q144)") {
+    val p = plan("q144_rollup_report")
+    assert(p.contains("Expand"), s"q144 lost the grouping-sets Expand:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"q144 must aggregate the whole lattice in one exchange:\n$p")
+  }
+
+  test("padding batches window by (bucket, shard), never globally (q145)") {
+    val p = plan("q145_padding_waste")
+    assert(p.contains("windowspecdefinition(bucket"),
+      s"q145 window lost its bucket/shard partitioning:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"q145 sorts a corpus-scaled partition:\n$p")
+  }
+
+  test("phrase adjacency windows per doc; phrase table joins by key (q146)") {
+    val p = plan("q146_phrase_search")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"q146 adjacency window lost its per-doc partitioning:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q146's phrase join degenerated to a nested loop:\n$p")
+    spark.catalog.clearCache() // bi is persisted
+  }
+
+  test("heavy hitters recount via semi-join on a MapPartitions sketch (q147)") {
+    val p = plan("q147_heavy_hitters")
+    assert(p.contains("MapPartitions"),
+      s"q147 lost the O(K)-state Misra-Gries pass:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"q147's recount must be candidate-restricted by a semi-join:\n$p")
+    spark.catalog.clearCache() // tok is persisted
+  }
+
+  test("prefix-jaccard windows per doc and joins by key throughout (q148)") {
+    val p = plan("q148_prefix_jaccard")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"q148's prefix rank must partition by doc, never globally:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q148 degenerated off its equi-joins:\n$p")
+    spark.catalog.clearCache() // tok/arrs are persisted
+  }
+
+  test("incremental join reads its persisted base view, not a re-derive (q150)") {
+    val p = plan("q150_incremental_join")
+    assert(p.contains("InMemoryTableScan"),
+      s"q150's base view V0 must be persisted and reused:\n$p")
+    spark.catalog.clearCache()
+  }
 }
