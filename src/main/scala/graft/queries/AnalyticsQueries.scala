@@ -985,6 +985,51 @@ object AnalyticsQueries {
       |FROM tot JOIN base USING (o_orderpriority)
       |ORDER BY o_orderpriority""".stripMargin)
 
+  /** BFS hop levels on the trade graph (q152) — the traversal member
+    * of the graph family ([[Bfs]]): shortest hop distance from
+    * customer 1 over the same bidirectional customer–supplier edges
+    * q70 ranks. Per hop, one frontier⨝edges key join + one anti-join
+    * against visited — no |V|² step, no driver-side frontier, lineage
+    * kept O(1) by per-round checkpoints. The oracle unrolls the same
+    * rounds as MATERIALIZED CTEs (each v_i is referenced three times —
+    * inlining would expand the plan 3^H-fold). Judged output is the
+    * per-hop census with an id-sum checksum, so a single misplaced
+    * node fails the hash.
+    */
+  val bfsHops: Q = {
+    val H = 4; val OFF = 10000000L; val SRC = 1L
+    def round(i: Int): String =
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM e JOIN v${i - 1} f ON e.src = f.node AND f.hop = ${i - 1}
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} p WHERE p.node = e.dst)),
+         |v$i AS MATERIALIZED (
+         |  SELECT node, hop FROM v${i - 1}
+         |  UNION ALL SELECT node, ${i}::BIGINT FROM f$i)"""
+    Q(
+      (s, d) => {
+        val e0 = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"), (col("l_suppkey") + OFF).as("dst"))
+          .distinct()
+        val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.Bfs.levels(edges, "src", "dst", SRC, H)
+          .groupBy("hop")
+          .agg(count(lit(1)).as("n_nodes"), sum("node").as("node_sum"))
+          .orderBy("hop")
+      },
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + $OFF AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |v0(node, hop) AS (VALUES (${SRC}::BIGINT, 0::BIGINT)),
+         |${(1 to H).map(round).mkString(",\n")}
+         |SELECT hop, count(*)::BIGINT AS n_nodes, sum(node)::BIGINT AS node_sum
+         |FROM v$H GROUP BY hop ORDER BY hop""".stripMargin)
+  }
+
   /** Join-size estimation from count-min sketches (q151) — what a
     * cost-based planner does before choosing a join strategy:
     * |A ⨝ B| on a key is the inner product Σ_k c_A(k)·c_B(k), and the
@@ -1354,6 +1399,7 @@ object AnalyticsQueries {
     "q149_rolling_actives" -> rollingActives,
     "q150_incremental_join" -> incrementalJoin,
     "q151_join_size_est"   -> joinSizeEstimate,
+    "q152_bfs_hops"        -> bfsHops,
     "q126_degree_histogram" -> degreeHistogram)
 
   /** Degree-distribution audit (q126) — the pre-flight for every

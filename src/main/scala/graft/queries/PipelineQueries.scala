@@ -4672,8 +4672,106 @@ object PipelineQueries {
          |ORDER BY a, b""".stripMargin)
   }
 
+  /** Entity resolution end-to-end (q153) — the second composition
+    * proof after q87's filter funnel: two independent match signals
+    * feeding one transitive-closure clustering, in one job.
+    * Records = corpus ∪ injected case-variant copies (+4M ids) ∪
+    * injected single-char-deleted copies (+8M ids). Signal 1
+    * (normalization) links each record to its normalized-hash group
+    * minimum — LINEAR edges off one window min, never pairwise.
+    * Signal 2 (fuzzy) is q137's blocked edit-distance join with its
+    * df-capped blocks. Connected components over the union merges
+    * chains that cross signals (a case-copy and an edit-copy of the
+    * same base unify through it); the per-source report counts
+    * records, resolved entities, and merges. The oracle replays both
+    * signals and walks the same pair graph with a recursive min-label
+    * CTE — exact at gate scale, while the Spark side is the shape
+    * that survives 10⁹ records.
+    */
+  val erPipeline: Q = {
+    val P = 60; val CAP = 50L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+        val caseCopies = base.filter(col("doc_id") % 16 === 2)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("source"),
+            upper(col("text")).as("text"))
+        val editCopies = base.filter(col("doc_id") % 16 === 1)
+          .select((col("doc_id") + 8000000L).as("doc_id"), col("source"),
+            expr("substr(text, 1, 14) || substr(text, 16)").as("text"))
+        val rec = base.unionByName(caseCopies).unionByName(editCopies)
+          .select(col("doc_id"), col("source"),
+            md5(lower(col("text"))).as("nk"),
+            substring(col("text"), 1, P).as("pfx"))
+          .persist()
+        // signal 1: normalized exact — one edge per record to its
+        // group min, carried on the nk exchange as a window min
+        val en = rec
+          .withColumn("mn", min("doc_id").over(Window.partitionBy("nk")))
+          .filter(col("doc_id") =!= col("mn"))
+          .select(col("doc_id").as("u"), col("mn").as("v"))
+        // signal 2: q137's blocked, df-capped edit-distance pairs
+        val blocked = rec
+          .withColumn("bk", substring(col("pfx"), 1, 10))
+          .withColumn("bn", count(lit(1)).over(Window.partitionBy("bk")))
+          .filter(col("bn") <= CAP)
+          .select("doc_id", "pfx", "bk")
+        val ee = blocked.as("a")
+          .join(blocked.as("b"),
+            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+          .filter(levenshtein(col("a.pfx"), col("b.pfx")) <= 2)
+          .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+        val comp = ConnectedComponents.assign(en.unionByName(ee))
+        rec.join(comp, col("doc_id") === col("node"), "left")
+          .select(col("source"),
+            coalesce(col("component"), col("doc_id")).as("ent"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_records"),
+            countDistinct("ent").as("n_entities"))
+          .selectExpr("source", "n_records", "n_entities",
+            "n_records - n_entities AS n_merged")
+          .orderBy("source")
+      },
+      s"""WITH RECURSIVE rec AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 4000000, source, upper(text) FROM documents
+         |  WHERE doc_id % 16 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 8000000, source, substr(text, 1, 14) || substr(text, 16)
+         |  FROM documents WHERE doc_id % 16 = 1),
+         |r2 AS (SELECT doc_id, source, md5(lower(text)) AS nk,
+         |    substr(text, 1, $P) AS pfx FROM rec),
+         |nmin AS (SELECT nk, min(doc_id) AS mn FROM r2 GROUP BY nk),
+         |en AS (SELECT r.doc_id AS u, m.mn AS v FROM r2 r
+         |  JOIN nmin m USING (nk) WHERE r.doc_id <> m.mn),
+         |c AS (SELECT doc_id, pfx, bk FROM (
+         |  SELECT doc_id, pfx, substr(pfx, 1, 10) AS bk,
+         |    count(*) OVER (PARTITION BY substr(pfx, 1, 10)) AS bn
+         |  FROM r2) w WHERE bn <= $CAP),
+         |ee AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM c a JOIN c b ON a.bk = b.bk AND a.doc_id < b.doc_id
+         |  WHERE levenshtein(a.pfx, b.pfx) <= 2),
+         |edges AS (
+         |  SELECT u, v FROM en UNION SELECT v, u FROM en
+         |  UNION SELECT u, v FROM ee UNION SELECT v, u FROM ee),
+         |walk(n, m) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, walk.m FROM walk JOIN edges e ON e.u = walk.n),
+         |comp AS (SELECT n AS node, min(m) AS component FROM walk GROUP BY n),
+         |ent AS (SELECT r.source, coalesce(cp.component, r.doc_id) AS ent
+         |  FROM r2 r LEFT JOIN comp cp ON r.doc_id = cp.node)
+         |SELECT source, count(*)::BIGINT AS n_records,
+         |  count(DISTINCT ent)::BIGINT AS n_entities,
+         |  (count(*) - count(DISTINCT ent))::BIGINT AS n_merged
+         |FROM ent GROUP BY source ORDER BY source""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q142_source_lang_lift" -> sourceLangLift,
+    "q153_er_pipeline" -> erPipeline,
     "q145_padding_waste" -> paddingWaste,
     "q146_phrase_search" -> phraseSearch,
     "q147_heavy_hitters" -> heavyHitters,

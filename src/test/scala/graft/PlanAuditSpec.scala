@@ -29,7 +29,9 @@ class PlanAuditSpec extends SparkSpec {
       "q79_triangles", // adaptive closure strategy runs o.count() at build
       "q82_lpa_communities", // per-round localCheckpoint (LPA spec audits)
       "q90_personalized_pr", // per-round localCheckpoint (PageRankSpec)
-      "q119_leak_safe_split") // q46's CC rounds run at build (same machinery)
+      "q119_leak_safe_split", // q46's CC rounds run at build (same machinery)
+      "q152_bfs_hops", // per-hop localCheckpoint (BfsSpec audits semantics)
+      "q153_er_pipeline") // CC rounds run at build (same machinery as q46)
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
