@@ -2544,9 +2544,12 @@ object PipelineQueries {
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat(col("text"), lit(" "), col("t2")).as("text"))
         val corpus = base.unionByName(wrappers)
+        // persisted once: three consumers (sizes + both self-join
+        // sides) would otherwise re-run the winnowing subtree 3x
         val fps = Dedup.winnowFingerprints(corpus, "doc_id", "text", K, W)
           .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
           .filter(col("df") <= MAX_DF).drop("df")
+          .persist()
         val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
         val shared = fps.as("a").join(fps.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
