@@ -1030,6 +1030,109 @@ object AnalyticsQueries {
          |FROM v$H GROUP BY hop ORDER BY hop""".stripMargin)
   }
 
+  /** Bounded Bellman-Ford over the weighted trade graph (q154) — the
+    * weighted complement of q152's BFS ([[graft.operators
+    * .ShortestPaths]]): edge cost falls with trade volume
+    * (w = max(1, 12 − n_trades), an affinity cost), and the judged
+    * result is the 50 cheapest nodes within a 4-edge budget from
+    * customer 1. A cheap multi-hop route beating an expensive direct
+    * edge is exactly what hop-count BFS cannot see. The oracle
+    * unrolls the identical relaxation rounds (union + min per node)
+    * as MATERIALIZED CTEs; integer weights make every tentative
+    * distance bit-equal.
+    */
+  val cheapestNodes: Q = {
+    val H = 4; val OFF = 10000000L; val SRC = 1L; val K = 50
+    def round(i: Int): String =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(dist)::BIGINT AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + e.w AS dist
+         |    FROM d${i - 1} d JOIN e ON e.src = d.node) u
+         |  GROUP BY node)"""
+    Q(
+      (s, d) => {
+        val e0 = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("src"), (col("l_suppkey") + OFF).as("dst"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("src"), col("dst"), greatest(lit(1L), lit(12L) - col("cnt")).as("w"))
+        val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        graft.operators.ShortestPaths.distances(edges, "src", "dst", "w", SRC, H)
+          .orderBy(col("dist"), col("node")).limit(K)
+      },
+      s"""WITH e0 AS (
+         |  SELECT o.o_custkey AS src, l.l_suppkey + $OFF AS dst,
+         |    greatest(1, 12 - count(*))::BIGINT AS w
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2),
+         |e AS (SELECT src, dst, w FROM e0
+         |      UNION ALL SELECT dst, src, w FROM e0),
+         |d0(node, dist) AS (VALUES (${SRC}::BIGINT, 0::BIGINT)),
+         |${(1 to H).map(round).mkString(",\n")}
+         |SELECT node, dist FROM d$H ORDER BY dist, node LIMIT $K""".stripMargin)
+  }
+
+  /** Bag-semantics set operations (q155) — INTERSECT ALL / EXCEPT ALL
+    * complete the set-op family (q11 intersect, q12 except are
+    * DISTINCT-semantics): per event type, how many (user, type)
+    * OCCURRENCES the month's two halves share (multiplicity
+    * min(c₁,c₂)) and how many the first half has over the second
+    * (c₁ − c₂ clamped) — alongside the distinct-semantics counts,
+    * so the judged row shows exactly what ALL adds. Spark plans
+    * intersectAll/exceptAll as aggregate+generate over counts — one
+    * exchange per operand, no pairwise work; the driving type list
+    * left-joins each op's counts so a type with an empty result
+    * stays a 0, not a dropped row.
+    */
+  val bagOps: Q = Q(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          (dayofmonth(col("ts")) <= 15).as("h1"))
+      val a = ev.filter(col("h1")).select("user_id", "event_type")
+      val b = ev.filter(!col("h1")).select("user_id", "event_type")
+      def cnt(df: DataFrame, name: String): DataFrame =
+        df.groupBy("event_type").agg(count(lit(1)).as(name))
+      val types = ev.select("event_type").distinct()
+      types
+        .join(cnt(a.intersectAll(b), "n_inter_all"), Seq("event_type"), "left")
+        .join(cnt(a.exceptAll(b), "n_except_all"), Seq("event_type"), "left")
+        .join(cnt(a.intersect(b), "n_inter"), Seq("event_type"), "left")
+        .join(cnt(a.except(b), "n_except"), Seq("event_type"), "left")
+        .select(col("event_type"),
+          coalesce(col("n_inter_all"), lit(0L)).as("n_inter_all"),
+          coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+        .orderBy("event_type")
+    },
+    """WITH ev AS (
+      |  SELECT user_id, event_type, (date_part('day', ts) <= 15) AS h1
+      |  FROM events),
+      |a AS (SELECT user_id, event_type FROM ev WHERE h1),
+      |b AS (SELECT user_id, event_type FROM ev WHERE NOT h1),
+      |ia AS (SELECT event_type, count(*)::BIGINT AS n_inter_all FROM
+      |  (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+      |ea AS (SELECT event_type, count(*)::BIGINT AS n_except_all FROM
+      |  (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1),
+      |i AS (SELECT event_type, count(*)::BIGINT AS n_inter FROM
+      |  (SELECT * FROM a INTERSECT SELECT * FROM b) GROUP BY 1),
+      |x AS (SELECT event_type, count(*)::BIGINT AS n_except FROM
+      |  (SELECT * FROM a EXCEPT SELECT * FROM b) GROUP BY 1),
+      |ty AS (SELECT DISTINCT event_type FROM ev)
+      |SELECT ty.event_type,
+      |  coalesce(ia.n_inter_all, 0)::BIGINT AS n_inter_all,
+      |  coalesce(ea.n_except_all, 0)::BIGINT AS n_except_all,
+      |  coalesce(i.n_inter, 0)::BIGINT AS n_inter,
+      |  coalesce(x.n_except, 0)::BIGINT AS n_except
+      |FROM ty LEFT JOIN ia USING (event_type) LEFT JOIN ea USING (event_type)
+      |LEFT JOIN i USING (event_type) LEFT JOIN x USING (event_type)
+      |ORDER BY event_type""".stripMargin)
+
   /** Join-size estimation from count-min sketches (q151) — what a
     * cost-based planner does before choosing a join strategy:
     * |A ⨝ B| on a key is the inner product Σ_k c_A(k)·c_B(k), and the
@@ -1400,6 +1503,8 @@ object AnalyticsQueries {
     "q150_incremental_join" -> incrementalJoin,
     "q151_join_size_est"   -> joinSizeEstimate,
     "q152_bfs_hops"        -> bfsHops,
+    "q154_cheapest_nodes"  -> cheapestNodes,
+    "q155_bag_ops"         -> bagOps,
     "q126_degree_histogram" -> degreeHistogram)
 
   /** Degree-distribution audit (q126) — the pre-flight for every

@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
       "q90_personalized_pr", // per-round localCheckpoint (PageRankSpec)
       "q119_leak_safe_split", // q46's CC rounds run at build (same machinery)
       "q152_bfs_hops", // per-hop localCheckpoint (BfsSpec audits semantics)
+      "q154_cheapest_nodes", // per-round localCheckpoint (ShortestPathsSpec)
       "q153_er_pipeline") // CC rounds run at build (same machinery as q46)
 
   test("no judged query plans a CartesianProduct") {
