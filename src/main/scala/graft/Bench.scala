@@ -103,14 +103,24 @@ object Bench {
   private[graft] def compactLine(results: Seq[(String, Double)],
                                  errors: Seq[(String, String)],
                                  sfDir: String): String = {
-    // 2-decimal per-query timings: 10 ms is below box noise (±20%
-    // run to run), and the saved byte per entry keeps ~200 queries
-    // inside the capture window instead of ~150.
+    // 1-decimal per-query timings with trailing ".0" trimmed: 100 ms
+    // is below box noise (±20-30% run to run — full precision lives in
+    // BENCH_DETAIL.json), and the saved bytes keep ~185 queries inside
+    // the capture window; 2 decimals overflowed it at 155 (r7). The
+    // sf dir is likewise its basename — the scale, not the mount.
     val qs = results.map { case (k, v) =>
-      s"${jstr(k.takeWhile(_ != '_'))}:${fmt(v, 2)}" }.mkString("{", ",", "}")
+      s"${jstr(k.takeWhile(_ != '_'))}:${fmtTrim(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val sf = new java.io.File(sfDir).getName
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sf"}"""
+  }
+
+  /** 1-decimal, integral values without the ".0" (`4.0` → `4`). */
+  private def fmtTrim(v: Double): String = {
+    val s = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+    if (s.remainder(BigDecimal(1)).signum == 0) s.toBigInt.toString
+    else s.toString
   }
 
   /** Full-name twin of [[compactLine]], written to BENCH_DETAIL.json

@@ -29,21 +29,35 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. The session must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/
-    * SparkSpec all set it at construction — no per-read conf mutation
-    * here, which would racily flip reader behavior session-wide); the
-    * raw nanos are converted to a microsecond TimestampType with
-    * integral division — `ts div 1000`, not `/1000.0`, because
-    * epoch-nanos (~1.7e18) exceed double's 53-bit integer range and a
-    * float path would corrupt low-order digits. Truncation to µs
-    * matches how the DuckDB oracle's nanosecond timestamps collapse
-    * when compared.
+  /** `events.ts` normalization — the generated data has shipped two
+    * physical types across driver rounds, so the read adapts to the
+    * schema actually on disk rather than assuming one:
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it unless
+    *    the session sets `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    (Verify/Bench/SparkSpec all do, at construction — no per-read
+    *    conf mutation, which would racily flip reader behavior
+    *    session-wide). The long nanos are converted to a microsecond
+    *    TimestampType with integral division — `ts div 1000`, not
+    *    `/1000.0`, because epoch-nanos (~1.7e18) exceed double's
+    *    53-bit integer range and a float path would corrupt low-order
+    *    digits. Truncation to µs matches how the DuckDB oracle's
+    *    nanosecond timestamps collapse when compared.
+    *  - TIMESTAMP(MICROS) without UTC adjustment: Spark infers
+    *    TIMESTAMP_NTZ; cast to the session TimestampType — a
+    *    wall-clock identity under the UTC session timezone every
+    *    entrypoint pins — so every downstream consumer (windows,
+    *    unix_timestamp, range joins) sees one type either way.
     */
-  private def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
