@@ -72,15 +72,24 @@ object HyperLogLog {
     if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros) else raw
   }
 
+  /** The rho CASE chain as DuckDB SQL over a column literally named
+    * `payload` — shared by [[registersSql]] and the grouped-register
+    * oracles (per-day registers in q156) so the two engines' rho can
+    * only change together.
+    */
+  def rhoCaseSql: String = {
+    val cases = (1 to PAYLOAD_BITS)
+      .map(k => s"WHEN ((payload >> ${k - 1}) & 1) = 1 THEN $k")
+      .mkString(" ")
+    s"CASE $cases ELSE ${PAYLOAD_BITS + 1} END"
+  }
+
   /** The DuckDB twin of [[registers]] over expression `e`:
     * `SELECT bucket, max(rho) AS r ... GROUP BY bucket`.
     */
   def registersSql(e: String): String = {
     val h = Hashing.h32Sql(e)
-    val rhoCases = (1 to PAYLOAD_BITS)
-      .map(k => s"WHEN ((payload >> ${k - 1}) & 1) = 1 THEN $k")
-      .mkString(" ")
-    s"""(SELECT bucket, max(CASE $rhoCases ELSE ${PAYLOAD_BITS + 1} END) AS r
+    s"""(SELECT bucket, max($rhoCaseSql) AS r
        | FROM (SELECT ($h) & ${M - 1} AS bucket, ($h) >> $P AS payload
        |       FROM __HLL_IN__) hin GROUP BY bucket)"""
       .stripMargin.replace("\n", " ")

@@ -928,6 +928,102 @@ object AnalyticsQueries {
       |FROM wau LEFT JOIN dau USING (day)
       |ORDER BY day""".stripMargin)
 
+  /** Rolling 7-day distinct users from REGISTERS (q156) — q149's WAU
+    * curve recomputed the way it survives 100 TB: per-day HyperLogLog
+    * registers ([[graft.operators.HyperLogLog]]) rolled with a
+    * bounded ×7 explode and a max-merge. q149's exact shape shuffles
+    * a (user, day) row per active user per window day — state grows
+    * with the user population; here the day table is the only thing
+    * that moves after the one register scan: ≤ 2^P rows per day
+    * REGARDLESS of user count (the sketch-rollup pattern warehouse
+    * WAU/MAU tables are built on — and since register merge is max,
+    * the same rolled table answers 7-day, 30-day, or all-time by
+    * re-merging without touching events again). Judged artifact is
+    * the rolled integer registers themselves, bit-identical via the
+    * cross-engine h32; the float estimate stays consumer-side
+    * (spec-checked against q149's exact curve).
+    */
+  val hllRolling: Q = {
+    import graft.operators.HyperLogLog
+    Q(
+      (s, d) => {
+        val h = Hashing.h32(col("user_id").cast("string"))
+        val dayReg = t(s, d, "events")
+          .select(to_date(col("ts")).as("day"),
+            h.bitwiseAND(lit(HyperLogLog.M - 1)).as("bucket"),
+            shiftright(h, HyperLogLog.P).as("payload"))
+          .groupBy("day", "bucket")
+          .agg(max(HyperLogLog.rho(col("payload"))).as("r"))
+        dayReg
+          .select(col("day"), col("bucket"), col("r"),
+            explode(sequence(lit(0), lit(6))).as("off"))
+          .select(date_add(col("day"), col("off")).as("day"),
+            col("bucket"), col("r"))
+          .groupBy("day", "bucket").agg(max("r").as("r"))
+          .orderBy("day", "bucket")
+      }, {
+        val h = Hashing.h32Sql("user_id::VARCHAR")
+        s"""WITH dr AS (
+           |  SELECT day, bucket, max(${HyperLogLog.rhoCaseSql}) AS r
+           |  FROM (SELECT ts::DATE AS day,
+           |          ($h) & ${HyperLogLog.M - 1} AS bucket,
+           |          ($h) >> ${HyperLogLog.P} AS payload
+           |        FROM events) x
+           |  GROUP BY 1, 2),
+           |roll AS (
+           |  SELECT day + off::INT AS day, bucket, max(r) AS r
+           |  FROM dr, (SELECT unnest(range(0, 7)) AS off) o
+           |  GROUP BY 1, 2)
+           |SELECT day, bucket, r FROM roll ORDER BY day, bucket""".stripMargin
+      })
+  }
+
+  /** Peak concurrency per day (q159) — the sweep-line member of the
+    * temporal family: each event opens a 5-minute load interval
+    * (clipped at midnight, so days are independent), and the judged
+    * row is the day's peak number of simultaneously-open intervals.
+    * The classic shape: ±1 boundary points, one PARTITIONED window
+    * cumsum (per-day sort, never a global one — days are the
+    * parallelism unit at any scale), max per day. Tie rule: at equal
+    * timestamps ends sort before starts (delta ascending), so
+    * touching intervals never count as overlapping — deterministic on
+    * both engines because the running-sum multiset is order-invariant
+    * within a tie class.
+    */
+  val peakConcurrency: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .select(col("ts"), to_date(col("ts")).as("day"))
+      val starts = ev.select(col("day"), col("ts").as("t"),
+        lit(1).as("delta"))
+      val ends = ev.select(col("day"),
+        least(col("ts") + expr("INTERVAL 5 MINUTE"),
+          date_add(col("day"), 1).cast("timestamp")).as("t"),
+        lit(-1).as("delta"))
+      val w = Window.partitionBy("day").orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      starts.unionByName(ends)
+        .withColumn("cur", sum("delta").over(w))
+        .groupBy("day")
+        .agg(count(when(col("delta") === 1, 1)).as("n_events"),
+          max("cur").cast("long").as("peak"))
+        .orderBy("day")
+    },
+    """WITH ev AS (SELECT ts, ts::DATE AS day FROM events),
+      |pts AS (
+      |  SELECT day, ts AS t, 1 AS delta FROM ev
+      |  UNION ALL
+      |  SELECT day, least(ts + INTERVAL 5 MINUTE, (day + 1)::TIMESTAMP) AS t,
+      |         -1 AS delta FROM ev),
+      |ld AS (SELECT day, delta,
+      |        sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+      |                         ROWS UNBOUNDED PRECEDING) AS cur
+      |       FROM pts)
+      |SELECT day, count(CASE WHEN delta = 1 THEN 1 END)::BIGINT AS n_events,
+      |       max(cur)::BIGINT AS peak
+      |FROM ld GROUP BY day ORDER BY day""".stripMargin)
+
   /** Incremental JOIN-view maintenance (q150) — q122's delta
     * discipline extended from aggregates to joins: a materialized
     * join view V = O ⨝ L absorbs deltas via the join's delta algebra
@@ -1074,6 +1170,129 @@ object AnalyticsQueries {
          |d0(node, dist) AS (VALUES (${SRC}::BIGINT, 0::BIGINT)),
          |${(1 to H).map(round).mkString(",\n")}
          |SELECT node, dist FROM d$H ORDER BY dist, node LIMIT $K""".stripMargin)
+  }
+
+  /** HyperBall 2-hop neighborhood sketches (q157) — Boldi/Rosa/Vigna's
+    * ANF algorithm (WWW 2011), the way per-node reach IS computed on
+    * web-scale graphs: give every node a HyperLogLog register set
+    * seeded with itself, then t rounds of neighbor max-merge make
+    * node v's registers sketch its ≤t-hop ball. Exact per-node 2-hop
+    * counting needs the quadratic-blowup 2-hop neighbor join; here a
+    * round is one edge join + one (node, bucket) max-agg with per-node
+    * state capped at 2^P registers no matter how dense the ball —
+    * the exact/sketch trade q149→q156 makes for sliding windows,
+    * replayed on graphs. Judged artifact: each node's register census
+    * (non-empty count + rho sum), integer and bit-identical cross-
+    * engine; the oracle unrolls both rounds as MATERIALIZED CTEs.
+    */
+  val hyperball: Q = {
+    val OFF = 10000000L
+    import graft.operators.HyperLogLog.{M, P, rho}
+    def roundSql(i: Int): String =
+      s"""r$i AS MATERIALIZED (
+         |  SELECT node, bucket, max(r) AS r FROM (
+         |    SELECT node, bucket, r FROM r${i - 1}
+         |    UNION ALL
+         |    SELECT e.src AS node, p.bucket, p.r
+         |    FROM e JOIN r${i - 1} p ON e.dst = p.node) u
+         |  GROUP BY 1, 2)"""
+    Q(
+      (s, d) => {
+        val e0 = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"), (col("l_suppkey") + OFF).as("dst"))
+          .distinct()
+        // one exchange for both rounds: the per-round join probes dst
+        val edges = e0.unionByName(
+            e0.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("dst")).persist()
+        val h = Hashing.h32(col("node").cast("string"))
+        val r0 = edges.select(col("src").as("node")).distinct()
+          .select(col("node"), h.bitwiseAND(lit(M - 1)).as("bucket"),
+            rho(shiftright(h, P)).as("r"))
+        def ball(r: DataFrame): DataFrame =
+          r.unionByName(
+              edges.join(r, col("dst") === col("node"))
+                .select(col("src").as("node"), col("bucket"), col("r")))
+            .groupBy("node", "bucket").agg(max("r").as("r"))
+        ball(ball(r0))
+          .groupBy("node")
+          .agg(count(lit(1)).as("nn2"), sum("r").cast("long").as("sr2"))
+          .orderBy("node")
+      },
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + $OFF AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |r0 AS MATERIALIZED (
+         |  SELECT node, bucket, ${graft.operators.HyperLogLog.rhoCaseSql} AS r
+         |  FROM (SELECT node, h & ${M - 1} AS bucket, h >> $P AS payload
+         |        FROM (SELECT node, ${Hashing.h32Sql("node::VARCHAR")} AS h
+         |              FROM (SELECT DISTINCT src AS node FROM e) n) hn) hp),
+         |${(1 to 2).map(roundSql).mkString(",\n")}
+         |SELECT node, count(*)::BIGINT AS nn2, sum(r)::BIGINT AS sr2
+         |FROM r2 GROUP BY node ORDER BY node""".stripMargin)
+  }
+
+  /** Bounded 2-core peeling (q160) — [[graft.operators.KCore]] on the
+    * repeat-business trade graph (customer–supplier pairs with ≥ 2
+    * distinct orders), plus an INJECTED pendant path of 6 synthetic
+    * nodes hanging off customer 1. The organic bipartite graph
+    * stabilizes almost immediately (hub suppliers never peel), so the
+    * path is the judged proof of the part that makes k-core k-core:
+    * the CASCADE — each peel round exposes the next path node at
+    * degree 1, so the chain unravels exactly one node per round, 6
+    * rounds deep, and the stability early-exit fires inside the
+    * 8-round budget. Judged output is every survivor with its
+    * residual in-core degree; no path node may survive, customer 1
+    * must. The oracle unrolls the same 8 rounds as MATERIALIZED CTE
+    * pairs (keep-set, then edge restriction).
+    */
+  val kcoreResidual: Q = {
+    val K = 2; val H = 8; val OFF = 10000000L; val PATH = 20000000L
+    def roundSql(i: Int): String =
+      s"""k$i AS MATERIALIZED (
+         |  SELECT src AS node FROM e${i - 1}
+         |  GROUP BY src HAVING count(*) >= $K),
+         |e$i AS MATERIALIZED (
+         |  SELECT c.src, c.dst FROM e${i - 1} c
+         |  JOIN k$i a ON c.src = a.node
+         |  JOIN k$i b ON c.dst = b.node)"""
+    Q(
+      (s, d) => {
+        val organic = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+          .agg(count_distinct(col("l_orderkey")).as("n"))
+          .filter(col("n") >= 2)
+          .select(col("c").as("src"), (col("sp") + OFF).as("dst"))
+        val path = s.range(6).select(
+          when(col("id") === 0, lit(1L))
+            .otherwise(col("id") - 1 + PATH).as("src"),
+          (col("id") + PATH).as("dst"))
+        val e0 = organic.unionByName(path)
+        val both = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        graft.operators.KCore.residual(both, "src", "dst", K, H)
+          .orderBy("node")
+      },
+      s"""WITH p AS (
+         |  SELECT o.o_custkey AS c, l.l_suppkey AS sp
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT l.l_orderkey) >= 2),
+         |path AS (
+         |  SELECT CASE WHEN i = 0 THEN 1 ELSE ${PATH - 1} + i END AS src,
+         |         $PATH + i AS dst
+         |  FROM (SELECT unnest(range(0, 6)) AS i)),
+         |e00 AS (SELECT c AS src, sp + $OFF AS dst FROM p
+         |        UNION ALL SELECT src, dst FROM path),
+         |e0 AS (SELECT src, dst FROM e00 UNION SELECT dst, src FROM e00),
+         |${(1 to H).map(roundSql).mkString(",\n")}
+         |SELECT src AS node, count(*)::BIGINT AS deg FROM e$H
+         |GROUP BY 1 ORDER BY node""".stripMargin)
   }
 
   /** Bag-semantics set operations (q155) — INTERSECT ALL / EXCEPT ALL
@@ -1505,6 +1724,10 @@ object AnalyticsQueries {
     "q152_bfs_hops"        -> bfsHops,
     "q154_cheapest_nodes"  -> cheapestNodes,
     "q155_bag_ops"         -> bagOps,
+    "q156_hll_rolling"     -> hllRolling,
+    "q157_hyperball"       -> hyperball,
+    "q159_peak_concurrency" -> peakConcurrency,
+    "q160_kcore"           -> kcoreResidual,
     "q126_degree_histogram" -> degreeHistogram)
 
   /** Degree-distribution audit (q126) — the pre-flight for every

@@ -3062,6 +3062,40 @@ object PipelineQueries {
          |ORDER BY lang, rnk""".stripMargin)
   }
 
+  /** Weighted priority sample (q158) — Duffield/Lund/Thorup's
+    * priority sampling (JACM 2007), the size-K weighted sample with
+    * near-optimal subset-sum variance: each doc gets priority
+    * q = w / u for a uniform u, the K highest priorities win, and
+    * heavy docs are proportionally likelier to make the cut. Here
+    * u is hash-derandomized (u ≈ (h32+1)/2^32) and the priority is
+    * computed in EXACT integer arithmetic — w·2^32 div (h+1), always
+    * below 2^53 for corpus doc lengths — so both engines rank
+    * identically with zero float drift. Scale shape: this is q13's
+    * top-k pattern on a computed key — per-partition top-K heaps into
+    * one K-row driver merge (TakeOrderedAndProject), never a global
+    * sort, nothing shuffled but K rows per partition; contrast with
+    * q49/q112, whose hash-threshold samples are Bernoulli/quota per
+    * stratum but weight-blind.
+    */
+  val prioritySample: Q = {
+    val K = 100
+    Q(
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            Hashing.h32(col("doc_id").cast("string")).as("h"))
+          .select(col("doc_id"), col("n_chars"),
+            expr("(n_chars * 4294967296) div (h + 1)").as("priority"))
+          .orderBy(desc("priority"), asc("doc_id")).limit(K)
+      },
+      s"""SELECT doc_id, n_chars,
+         |  (n_chars * 4294967296) // (h + 1) AS priority
+         |FROM (SELECT doc_id, n_chars,
+         |        ${Hashing.h32Sql("doc_id::VARCHAR")} AS h
+         |      FROM documents) x
+         |ORDER BY priority DESC, doc_id LIMIT $K""".stripMargin)
+  }
+
   /** Exact dedup in QUANTIZED embedding space (q113) — the cheap
     * pre-pass before SemDeDup (q66/q71): two vectors identical after
     * int8 quantization (same codes AND same (mn, rng) reconstruction
@@ -4803,6 +4837,7 @@ object PipelineQueries {
     "q114_source_blocklist" -> sourceBlocklist,
     "q113_quantized_dedup" -> quantizedDedup,
     "q112_quota_sample"  -> quotaSample,
+    "q158_priority_sample" -> prioritySample,
     "q111_source_overlap" -> sourceOverlap,
     "q110_templates"     -> templates,
     "q109_norm_audit"    -> normAudit,

@@ -203,4 +203,131 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_size"))
     assert(r.getAs[Long]("over_ppm") >= 0L)
   }
+
+  // JVM twin of Hashing.h32 / HyperLogLog.rho for driver-side exact
+  // reconstruction (tiny graphs only).
+  private def h32jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+  private def rhoJvm(p: Long): Int =
+    (1 to 24).find(k => ((p >> (k - 1)) & 1) == 1).getOrElse(25)
+
+  test("q156: rolled registers dominate the day's own, and estimate tracks q149") {
+    import graft.operators.HyperLogLog
+    val rolled = graft.queries.AnalyticsQueries.hllRolling.fn(spark, sf0001)
+      .select(col("day").cast("string").as("day"), col("bucket"), col("r"))
+      .collect()
+    assert(rolled.nonEmpty)
+    val ev = graft.Tables(spark, sf0001, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val topDay = ev.groupBy("day").count()
+      .orderBy(desc("count"), asc("day"))
+      .select(col("day").cast("string")).collect().head.getString(0)
+    // per-register dominance: the 7-day max-merge can only raise rho
+    val dayRegs = HyperLogLog.registers(
+        ev.filter(col("day").cast("string") === topDay),
+        col("user_id").cast("string"))
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Int]("r")).toMap
+    val rolledDay = rolled.filter(_.getAs[String]("day") == topDay)
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Int]("r")).toMap
+    assert(dayRegs.nonEmpty)
+    dayRegs.foreach { case (b, r) =>
+      assert(rolledDay.getOrElse(b, 0) >= r,
+        s"bucket $b: rolled ${rolledDay.get(b)} < single-day $r")
+    }
+    // the sketch estimate lands near q149's exact distinct for the day
+    val exact = graft.queries.AnalyticsQueries.rollingActives.fn(spark, sf0001)
+      .filter(col("day").cast("string") === topDay)
+      .collect().head.getAs[Long]("wau7")
+    val sqlCtx = spark
+    import sqlCtx.implicits._
+    val est = HyperLogLog.estimate(
+      rolledDay.toSeq.map { case (b, r) => (b, r) }.toDF("bucket", "r"))
+    assert(math.abs(est - exact) <= math.max(0.35 * exact, 4.0),
+      s"estimate $est vs exact $exact on $topDay")
+    spark.catalog.clearCache()
+  }
+
+  test("q157: register sets equal an exact 2-hop ball reconstruction") {
+    val edges = graft.Tables(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(graft.Tables(spark, sf0001, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 10000000L).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val got = graft.queries.AnalyticsQueries.hyperball.fn(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("nn2"), r.getAs[Long]("sr2")))).toMap
+    assert(got.nonEmpty && got.size == adj.size)
+    adj.foreach { case (v, n1) =>
+      val ball = n1.flatMap(u => adj(u) + u) + v // {v} ∪ N ∪ N²
+      val regs = ball.groupBy(u => h32jvm(u.toString) & 255L)
+        .map { case (_, us) =>
+          us.map(u => rhoJvm(h32jvm(u.toString) >> 8)).max }
+      assert(got(v) == ((regs.size.toLong, regs.map(_.toLong).sum)),
+        s"node $v: sketch ${got(v)} != exact-ball reconstruction")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q158: the sample is exactly the top-K of the full priority order") {
+    val sel = PipelineQueries.prioritySample.fn(spark, sf0001).collect()
+    val all = graft.Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.Hashing.h32(col("doc_id").cast("string")).as("h"))
+      .selectExpr("doc_id", "(n_chars * 4294967296) div (h + 1) AS p")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(sel.length == math.min(100, all.length))
+    val ids = sel.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.size == sel.length, "duplicate doc in sample")
+    val rejected = all.filterNot(kv => ids.contains(kv._1))
+    if (rejected.nonEmpty) {
+      val minSel = sel.map(_.getAs[Long]("priority")).min
+      assert(minSel >= rejected.map(_._2).max,
+        "a rejected doc outranks a selected one")
+    }
+  }
+
+  test("q160: the pendant path cascades off, the organic core keeps degree >= k") {
+    val rows = graft.queries.AnalyticsQueries.kcoreResidual.fn(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap
+    assert(rows.nonEmpty)
+    // the 8-round budget exceeds the 6-node cascade, so the result IS
+    // the 2-core: every survivor has in-core degree >= 2
+    rows.foreach { case (n, d) => assert(d >= 2L, s"node $n at degree $d") }
+    assert(!rows.keySet.exists(_ >= 20000000L), "an injected path node survived")
+    assert(rows.contains(1L), "customer 1 (the path anchor) must survive")
+  }
+
+  test("q159: sweep peak equals the brute-force overlap maximum per day") {
+    val got = graft.queries.AnalyticsQueries.peakConcurrency.fn(spark, sf0001)
+      .select(col("day").cast("string").as("day"), col("n_events"), col("peak"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_events"), r.getAs[Long]("peak"))))
+      .toMap
+    val iv = graft.Tables(spark, sf0001, "events")
+      .select(col("ts"), to_date(col("ts")).as("day"))
+      .select(col("day").cast("string").as("day"),
+        unix_millis(col("ts")).as("s"),
+        unix_millis(least(col("ts") + expr("INTERVAL 5 MINUTE"),
+          date_add(col("day"), 1).cast("timestamp"))).as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.size == iv.map(_._1).distinct.length)
+    iv.groupBy(_._1).foreach { case (day, rows) =>
+      val spans = rows.map(r => (r._2, r._3))
+      // concurrency is maximized at some interval start: count open [s,e)
+      val peak = spans.map { case (s, _) =>
+        spans.count { case (s2, e2) => s2 <= s && s < e2 } }.max
+      assert(got(day) == ((rows.length.toLong, peak.toLong)),
+        s"$day: got ${got(day)}, brute-force ($rows.length, $peak)")
+    }
+    spark.catalog.clearCache()
+  }
 }
