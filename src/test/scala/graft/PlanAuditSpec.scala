@@ -319,4 +319,35 @@ class PlanAuditSpec extends SparkSpec {
       s"q150's base view V0 must be persisted and reused:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("rolling HLL moves registers, never users: no distinct before the merge (q156)") {
+    val p = plan("q156_hll_rolling")
+    // two hash aggregates (day regs, rolled merge) + a bounded explode;
+    // a (user, day) distinct sneaking in would recreate q149's shape
+    assert(p.contains("Generate explode"),
+      s"q156 lost the bounded x7 register explode:\n$p")
+    assert(!p.toLowerCase.contains("distinct"),
+      s"q156 must aggregate registers, not distinct users:\n$p")
+  }
+
+  test("hyperball rounds are key joins feeding (node, bucket) aggregates (q157)") {
+    val p = plan("q157_hyperball")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q157's neighbor merge degenerated off its equi-join:\n$p")
+    assert(p.contains("max(r"),
+      s"q157 lost the register max-merge aggregate:\n$p")
+    spark.catalog.clearCache() // edges are persisted
+  }
+
+  test("priority sample plans per-partition top-K, not a global sort (q158)") {
+    val p = plan("q158_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q158 must heap-select the K winners, not globally sort:\n$p")
+  }
+
+  test("sweep cumsum windows per day, never a single global partition (q159)") {
+    val p = plan("q159_peak_concurrency")
+    assert(p.contains("windowspecdefinition(day"),
+      s"q159's running sum lost its per-day partitioning:\n$p")
+  }
 }
