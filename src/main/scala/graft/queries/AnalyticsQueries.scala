@@ -1500,6 +1500,48 @@ object AnalyticsQueries {
          |ORDER BY bucket""".stripMargin)
   }
 
+  /** k-anonymity audit (q161) — the release-governance complement of
+    * q57's PII scrub: scrubbing removes DIRECT identifiers, but a
+    * record is still re-identifiable when its quasi-identifier
+    * combination (here segment × nation × account-balance band) is
+    * shared by too few others (Sweeney 2002, k-anonymity). Judged
+    * output is the group-size histogram — for each QI-group size, how
+    * many groups and customers sit there, with sizes < 5 flagged at
+    * risk — the exact table a release review reads. Scale shape: one
+    * QI-keyed aggregate (map-side combinable) into a histogram
+    * bounded by the largest group size; nothing else moves. The
+    * balance band is computed in exact integer cents with explicit
+    * FLOOR division — `(cents − pmod) div 100000` in Spark mirrors
+    * DuckDB's floor `//` on negative balances, where truncating `div`
+    * would band -0.5 and +0.5 together.
+    */
+  val kanonAudit: Q = Q(
+    (s, d) => {
+      val qi = t(s, d, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("long").as("nat"),
+          cents(col("c_acctbal")).as("cents"))
+        .select(col("seg"), col("nat"),
+          expr("(cents - pmod(cents, 100000)) div 100000").as("bal_k"))
+      qi.groupBy("seg", "nat", "bal_k").agg(count(lit(1)).as("gs"))
+        .groupBy("gs")
+        .agg(count(lit(1)).as("n_groups"), sum("gs").as("n_customers"))
+        .withColumn("at_risk", when(col("gs") < 5, 1L).otherwise(0L))
+        .orderBy("gs")
+    },
+    """WITH qi AS (
+      |  SELECT c_mktsegment AS seg, c_nationkey::BIGINT AS nat,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer),
+      |qb AS (SELECT seg, nat,
+      |    (cents - (((cents % 100000) + 100000) % 100000)) // 100000 AS bal_k
+      |  FROM qi),
+      |sizes AS (SELECT count(*)::BIGINT AS gs
+      |          FROM qb GROUP BY seg, nat, bal_k)
+      |SELECT gs, count(*)::BIGINT AS n_groups, sum(gs)::BIGINT AS n_customers,
+      |  (CASE WHEN gs < 5 THEN 1 ELSE 0 END)::BIGINT AS at_risk
+      |FROM sizes GROUP BY gs ORDER BY gs""".stripMargin)
+
   /** Single-pass column profiler — the data-quality stage every
     * ingest pipeline runs first. Spark side is ONE scan: `stack`
     * unpivots the audited columns into (col, v) rows and one groupBy
@@ -1728,6 +1770,7 @@ object AnalyticsQueries {
     "q157_hyperball"       -> hyperball,
     "q159_peak_concurrency" -> peakConcurrency,
     "q160_kcore"           -> kcoreResidual,
+    "q161_kanon_audit"     -> kanonAudit,
     "q126_degree_histogram" -> degreeHistogram)
 
   /** Degree-distribution audit (q126) — the pre-flight for every

@@ -306,6 +306,20 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(rows.contains(1L), "customer 1 (the path anchor) must survive")
   }
 
+  test("q161: histogram is self-consistent and covers every customer") {
+    val rows = graft.queries.AnalyticsQueries.kanonAudit.fn(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val gs = r.getAs[Long]("gs")
+      assert(r.getAs[Long]("n_customers") == gs * r.getAs[Long]("n_groups"))
+      assert(r.getAs[Long]("at_risk") == (if (gs < 5) 1L else 0L))
+    }
+    val total = graft.Tables(spark, sf0001, "customer").count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == total,
+      "histogram does not partition the customer table")
+  }
+
   test("q159: sweep peak equals the brute-force overlap maximum per day") {
     val got = graft.queries.AnalyticsQueries.peakConcurrency.fn(spark, sf0001)
       .select(col("day").cast("string").as("day"), col("n_events"), col("peak"))
