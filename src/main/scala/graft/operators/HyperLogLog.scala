@@ -32,10 +32,13 @@ object HyperLogLog {
   val PAYLOAD_BITS: Int = 32 - P
 
   /** rho(payload): 1-based position of the lowest set bit, or
-    * PAYLOAD_BITS+1 when the payload is all zeros.
+    * bits+1 when the payload is all zeros. `bits` defaults to this
+    * module's register layout; callers running a different precision
+    * (HyperBall at P=4, q157) pass their own payload width.
     */
-  private[graft] def rho(payload: Column): Column =
-    (1 to PAYLOAD_BITS).foldRight(lit(PAYLOAD_BITS + 1): Column) {
+  private[graft] def rho(payload: Column,
+                         bits: Int = PAYLOAD_BITS): Column =
+    (1 to bits).foldRight(lit(bits + 1): Column) {
       (k, els) =>
         when(shiftright(payload, k - 1).bitwiseAND(lit(1)) === 1, lit(k))
           .otherwise(els)
@@ -74,14 +77,14 @@ object HyperLogLog {
 
   /** The rho CASE chain as DuckDB SQL over a column literally named
     * `payload` — shared by [[registersSql]] and the grouped-register
-    * oracles (per-day registers in q156) so the two engines' rho can
-    * only change together.
+    * oracles (per-day registers in q156, HyperBall in q157) so the
+    * two engines' rho can only change together.
     */
-  def rhoCaseSql: String = {
-    val cases = (1 to PAYLOAD_BITS)
+  def rhoCaseSql(bits: Int = PAYLOAD_BITS): String = {
+    val cases = (1 to bits)
       .map(k => s"WHEN ((payload >> ${k - 1}) & 1) = 1 THEN $k")
       .mkString(" ")
-    s"CASE $cases ELSE ${PAYLOAD_BITS + 1} END"
+    s"CASE $cases ELSE ${bits + 1} END"
   }
 
   /** The DuckDB twin of [[registers]] over expression `e`:
@@ -89,7 +92,7 @@ object HyperLogLog {
     */
   def registersSql(e: String): String = {
     val h = Hashing.h32Sql(e)
-    s"""(SELECT bucket, max($rhoCaseSql) AS r
+    s"""(SELECT bucket, max(${rhoCaseSql()}) AS r
        | FROM (SELECT ($h) & ${M - 1} AS bucket, ($h) >> $P AS payload
        |       FROM __HLL_IN__) hin GROUP BY bucket)"""
       .stripMargin.replace("\n", " ")

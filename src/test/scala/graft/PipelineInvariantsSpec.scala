@@ -211,8 +211,8 @@ class PipelineInvariantsSpec extends SparkSpec {
       .digest(s.getBytes("UTF-8"))
     java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
   }
-  private def rhoJvm(p: Long): Int =
-    (1 to 24).find(k => ((p >> (k - 1)) & 1) == 1).getOrElse(25)
+  private def rhoJvm(p: Long, bits: Int = 24): Int =
+    (1 to bits).find(k => ((p >> (k - 1)) & 1) == 1).getOrElse(bits + 1)
 
   test("q156: rolled registers dominate the day's own, and estimate tracks q149") {
     import graft.operators.HyperLogLog
@@ -268,9 +268,10 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(got.nonEmpty && got.size == adj.size)
     adj.foreach { case (v, n1) =>
       val ball = n1.flatMap(u => adj(u) + u) + v // {v} ∪ N ∪ N²
-      val regs = ball.groupBy(u => h32jvm(u.toString) & 255L)
+      // q157 runs HyperBall's low-memory layout: P=4, 28 payload bits
+      val regs = ball.groupBy(u => h32jvm(u.toString) & 15L)
         .map { case (_, us) =>
-          us.map(u => rhoJvm(h32jvm(u.toString) >> 8)).max }
+          us.map(u => rhoJvm(h32jvm(u.toString) >> 4, bits = 28)).max }
       assert(got(v) == ((regs.size.toLong, regs.map(_.toLong).sum)),
         s"node $v: sketch ${got(v)} != exact-ball reconstruction")
     }
