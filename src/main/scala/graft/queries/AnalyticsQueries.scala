@@ -727,6 +727,58 @@ object AnalyticsQueries {
          |ORDER BY l_returnflag, q_pct""".stripMargin)
   }
 
+  /** Rolling 7-day quantile sketch (q163) — q156's register-rollup
+    * pattern replayed on [[graft.operators.QuantileSketch]], closing
+    * the mergeable-sketch family: per-day significant-digit
+    * histograms of event value cents, rolled with the bounded ×7
+    * explode and a per-bucket SUM (count merge is addition, the
+    * order-free property the sketch was chosen for), then p50/p95/p99
+    * recovered per window-end day. After the one event scan, only
+    * (day, bucket) rows move — bucket count is bounded by the value
+    * domain's decades, not the event count, so the weekly latency
+    * percentile dashboard costs the same at 100 TB as at sf0.1; the
+    * same rolled table re-sums into 30-day or all-time without
+    * touching events again.
+    */
+  val quantileRolling: Q = {
+    val QS = Seq(50, 95, 99)
+    Q(
+      (s, d) => {
+        import graft.operators.QuantileSketch
+        val v = t(s, d, "events").select(to_date(col("ts")).as("day"),
+          cents(col("value")).as("c"))
+        val daySk = QuantileSketch.sketch(v, col("c"), Seq("day"))
+        val rolled = daySk
+          .select(col("day"), col("bucket"), col("cnt"),
+            explode(sequence(lit(0), lit(6))).as("off"))
+          .select(date_add(col("day"), col("off")).as("day"),
+            col("bucket"), col("cnt"))
+          .groupBy("day", "bucket").agg(sum("cnt").as("cnt"))
+        QuantileSketch.quantiles(rolled, Seq("day"), QS)
+          .select(col("day"), col("q_pct"), col("est").as("est_cents"))
+          .orderBy("day", "q_pct")
+      },
+      s"""WITH v AS (SELECT ts::DATE AS day,
+         |            cast(round(value * 100) AS BIGINT) AS c FROM events),
+         |sk AS (SELECT day,
+         |         c - (c % (('1' || repeat('0',
+         |            greatest(length(c::VARCHAR) - 3, 0)))::BIGINT)) AS bucket,
+         |         count(*)::BIGINT AS cnt
+         |       FROM v GROUP BY 1, 2),
+         |roll AS (SELECT day + off::INT AS day, bucket, sum(cnt)::BIGINT AS cnt
+         |         FROM sk, (SELECT unnest(range(0, 7)) AS off) o GROUP BY 1, 2),
+         |cum AS (SELECT day, bucket,
+         |         sum(cnt) OVER (PARTITION BY day ORDER BY bucket)::BIGINT AS cum,
+         |         sum(cnt) OVER (PARTITION BY day)::BIGINT AS n
+         |        FROM roll),
+         |qs AS (SELECT * FROM (VALUES (${QS.mkString("), (")})) t(q_pct)),
+         |sel AS (SELECT day, q_pct, min(bucket) AS est_cents
+         |        FROM cum JOIN qs ON cum.cum * 100 >= qs.q_pct * cum.n
+         |        GROUP BY 1, 2)
+         |SELECT day, q_pct, est_cents FROM sel
+         |ORDER BY day, q_pct""".stripMargin)
+  }
+
   /** Quantile-sketch error audit (q141) — the exact-error eval q80's
     * sketch was missing, completing the family every approximate
     * structure here ships with (q96 ANN recall, q103 LSH precision,
@@ -1783,6 +1835,7 @@ object AnalyticsQueries {
     "q159_peak_concurrency" -> peakConcurrency,
     "q160_kcore"           -> kcoreResidual,
     "q161_kanon_audit"     -> kanonAudit,
+    "q163_quantile_rolling" -> quantileRolling,
     "q126_degree_histogram" -> degreeHistogram)
 
   /** Degree-distribution audit (q126) — the pre-flight for every

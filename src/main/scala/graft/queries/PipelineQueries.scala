@@ -3096,6 +3096,60 @@ object PipelineQueries {
          |ORDER BY priority DESC, doc_id LIMIT $K""".stripMargin)
   }
 
+  /** Pareto skyline of (length, quality) (q162) — the docs no other
+    * doc beats on BOTH axes (≥ on each, > on one): the dominance
+    * frontier a curation review reads when length and quality trade
+    * off. Distributed the standard two-pass way: each of 32 hash
+    * shards computes its LOCAL frontier (dominance is transitive, so
+    * a local dominator proves global dominance — the local pass is a
+    * sound filter at any sharding), then one global pass over the
+    * surviving sliver. A pass is sort-free of self-joins: rows
+    * ordered by −length, "dominated by a strictly longer doc" is a
+    * range-frame running max of quality, "dominated at equal length"
+    * a per-length group max — two window reads, O(n log n), vs the
+    * oracle's quadratic NOT EXISTS (their equality is the proof).
+    * Quality is q56's micro-unit integer, so dominance compares
+    * identically on both engines.
+    */
+  val skyline: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          round(TextFunctions.qualityScore(TextFunctions.words(col("text")))
+            * 1e6).cast("long").as("quality_micro"),
+          (-col("n_chars")).as("negx"))
+      def frontier(df: DataFrame, parts: Seq[String]): DataFrame = {
+        val gtW = Window.partitionBy(parts.map(col): _*)
+          .orderBy(col("negx"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val eqW = Window.partitionBy((parts :+ "n_chars").map(col): _*)
+        df.withColumn("ygt", max("quality_micro").over(gtW))
+          .withColumn("yeq", max("quality_micro").over(eqW))
+          .filter(coalesce(col("ygt"), lit(-1L)) < col("quality_micro") &&
+            col("yeq") <= col("quality_micro"))
+          .drop("ygt", "yeq")
+      }
+      val local = frontier(
+        pts.withColumn("shard", pmod(col("doc_id"), lit(32L))), Seq("shard"))
+      frontier(local.drop("shard"), Nil).drop("negx")
+        .orderBy(desc("n_chars"), desc("quality_micro"), asc("doc_id"))
+    },
+    s"""WITH w AS (
+       |  SELECT doc_id, n_chars, ${TextFunctions.wordsSql("text")} AS arr
+       |  FROM documents),
+       |pts AS (
+       |  SELECT doc_id, n_chars,
+       |    round((${TextFunctions.qualityScoreSql("arr")}) * 1000000)::BIGINT
+       |      AS quality_micro
+       |  FROM w)
+       |SELECT doc_id, n_chars, quality_micro FROM pts a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM pts b
+       |  WHERE b.n_chars >= a.n_chars AND b.quality_micro >= a.quality_micro
+       |    AND (b.n_chars > a.n_chars OR b.quality_micro > a.quality_micro))
+       |ORDER BY n_chars DESC, quality_micro DESC, doc_id""".stripMargin)
+
   /** Exact dedup in QUANTIZED embedding space (q113) — the cheap
     * pre-pass before SemDeDup (q66/q71): two vectors identical after
     * int8 quantization (same codes AND same (mn, rng) reconstruction
@@ -4838,6 +4892,7 @@ object PipelineQueries {
     "q113_quantized_dedup" -> quantizedDedup,
     "q112_quota_sample"  -> quotaSample,
     "q158_priority_sample" -> prioritySample,
+    "q162_skyline"       -> skyline,
     "q111_source_overlap" -> sourceOverlap,
     "q110_templates"     -> templates,
     "q109_norm_audit"    -> normAudit,

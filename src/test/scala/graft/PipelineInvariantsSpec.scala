@@ -321,6 +321,57 @@ class PipelineInvariantsSpec extends SparkSpec {
       "histogram does not partition the customer table")
   }
 
+  test("q162: two-pass skyline equals the brute-force dominance frontier") {
+    val pts = graft.Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        round(graft.functions.TextFunctions.qualityScore(
+          graft.functions.TextFunctions.words(col("text"))) * 1e6)
+          .cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._1).toSet
+    val got = PipelineQueries.skyline.fn(spark, sf0001)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == brute,
+      s"missing ${brute -- got}, extra ${got -- brute}")
+  }
+
+  test("q163: rolled quantiles are monotone and equal trunc3 of the exact quantile") {
+    def trunc3(v: Long): Long = {
+      val s = v.toString
+      val p = if (s.length > 3) math.pow(10, s.length - 3).toLong else 1L
+      v - v % p
+    }
+    val got = graft.queries.AnalyticsQueries.quantileRolling.fn(spark, sf0001)
+      .select(col("day").cast("string").as("day"), col("q_pct"), col("est_cents"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (day, rs) =>
+        day -> rs.map(r => r.getAs[Int]("q_pct") -> r.getAs[Long]("est_cents")).toMap }
+    assert(got.nonEmpty)
+    // driver-side exact: the rolled multiset per window-end day
+    val vals = graft.Tables(spark, sf0001, "events")
+      .select(to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getAs[java.sql.Date]("day").toLocalDate, r.getLong(1)))
+    val rolled = vals.flatMap { case (d, c) =>
+      (0 to 6).map(off => d.plusDays(off).toString -> c) }
+      .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sorted }
+    got.foreach { case (day, qs) =>
+      assert(qs(50) <= qs(95) && qs(95) <= qs(99), s"$day: not monotone")
+      val sorted = rolled(day)
+      qs.foreach { case (q, est) =>
+        val n = sorted.length
+        val exact = sorted((((q.toLong * n) + 99) / 100 - 1).toInt.max(0))
+        assert(est == trunc3(exact),
+          s"$day p$q: est $est != trunc3($exact)")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q159: sweep peak equals the brute-force overlap maximum per day") {
     val got = graft.queries.AnalyticsQueries.peakConcurrency.fn(spark, sf0001)
       .select(col("day").cast("string").as("day"), col("n_events"), col("peak"))
