@@ -350,4 +350,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(day"),
       s"q159's running sum lost its per-day partitioning:\n$p")
   }
+
+  test("skyline is window passes only — dominance never becomes a join (q162)") {
+    val p = plan("q162_skyline")
+    assert(!p.contains("Join"),
+      s"q162 grew a join; dominance must stay a window prefix-max:\n$p")
+    assert(p.contains("windowspecdefinition(shard"),
+      s"q162's local pass lost its shard partitioning:\n$p")
+  }
+
+  test("rolling quantiles move (day, bucket) rows: aggs + explode, no distinct (q163)") {
+    val p = plan("q163_quantile_rolling")
+    assert(p.contains("Generate explode"),
+      s"q163 lost the bounded x7 histogram explode:\n$p")
+    assert(!p.toLowerCase.contains("distinct"),
+      s"q163 must merge bucket counts, never distinct raw values:\n$p")
+  }
 }
