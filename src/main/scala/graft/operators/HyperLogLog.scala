@@ -46,13 +46,18 @@ object HyperLogLog {
 
   /** (bucket, r) rows for every NON-EMPTY register over the distinct
     * values of `value` (absent buckets are rho 0 — [[estimate]] and
-    * merges treat them so).
+    * merges treat them so). With `groupCols`, one independent register
+    * table per group — the persistable per-day/source/shard form q156
+    * rolls up; keeping the grouped path HERE means the register
+    * derivation cannot fork from the global one.
     */
-  def registers(df: DataFrame, value: Column): DataFrame = {
+  def registers(df: DataFrame, value: Column,
+                groupCols: Seq[String] = Nil): DataFrame = {
     val h = Hashing.h32(value)
-    df.select(h.bitwiseAND(lit(M - 1)).as("bucket"),
-        shiftright(h, P).as("payload"))
-      .groupBy("bucket").agg(max(rho(col("payload"))).as("r"))
+    df.select(groupCols.map(col) :+ h.bitwiseAND(lit(M - 1)).as("bucket") :+
+        shiftright(h, P).as("payload"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(rho(col("payload"))).as("r"))
   }
 
   /** Max-merge any number of register tables (shards/days/sources)

@@ -38,6 +38,15 @@ object QuantileSketch {
     v - (v % pow10)
   }
 
+  /** The DuckDB twin of [[bucketLow]] over column expression `c` —
+    * kept beside the Spark form so the two engines' bucket rule can
+    * only change together (the [[graft.operators.HyperLogLog
+    * .rhoCaseSql]] discipline; q80/q141/q163 all consume this).
+    */
+  def bucketLowSql(c: String, sig: Int = 3): String =
+    s"$c - ($c % (('1' || repeat('0', " +
+      s"greatest(length($c::VARCHAR) - $sig, 0)))::BIGINT))"
+
   /** The sketch itself: per-group per-bucket counts. This is the
     * mergeable/persistable form — union sketches from different
     * shards and re-`groupBy.sum` to merge.

@@ -710,8 +710,7 @@ object AnalyticsQueries {
          |            cast(round(l_extendedprice * 100) AS BIGINT) AS c
          |           FROM lineitem),
          |sk AS (SELECT l_returnflag,
-         |         c - (c % (('1' || repeat('0',
-         |            greatest(length(c::VARCHAR) - 3, 0)))::BIGINT)) AS bucket,
+         |         ${graft.operators.QuantileSketch.bucketLowSql("c")} AS bucket,
          |         count(*)::BIGINT AS cnt
          |       FROM v GROUP BY 1, 2),
          |cum AS (SELECT l_returnflag, bucket,
@@ -761,8 +760,7 @@ object AnalyticsQueries {
       s"""WITH v AS (SELECT ts::DATE AS day,
          |            cast(round(value * 100) AS BIGINT) AS c FROM events),
          |sk AS (SELECT day,
-         |         c - (c % (('1' || repeat('0',
-         |            greatest(length(c::VARCHAR) - 3, 0)))::BIGINT)) AS bucket,
+         |         ${graft.operators.QuantileSketch.bucketLowSql("c")} AS bucket,
          |         count(*)::BIGINT AS cnt
          |       FROM v GROUP BY 1, 2),
          |roll AS (SELECT day + off::INT AS day, bucket, sum(cnt)::BIGINT AS cnt
@@ -840,8 +838,7 @@ object AnalyticsQueries {
          |          FROM cm JOIN qs ON cm.cum * 100 >= qs.q_pct * cm.n
          |          GROUP BY 1, 2),
          |sk AS (SELECT l_returnflag,
-         |         c - (c % (('1' || repeat('0',
-         |            greatest(length(c::VARCHAR) - 3, 0)))::BIGINT)) AS bucket,
+         |         ${graft.operators.QuantileSketch.bucketLowSql("c")} AS bucket,
          |         count(*)::BIGINT AS cnt
          |       FROM v GROUP BY 1, 2),
          |scm AS (SELECT l_returnflag, bucket,
@@ -999,13 +996,10 @@ object AnalyticsQueries {
     import graft.operators.HyperLogLog
     Q(
       (s, d) => {
-        val h = Hashing.h32(col("user_id").cast("string"))
-        val dayReg = t(s, d, "events")
-          .select(to_date(col("ts")).as("day"),
-            h.bitwiseAND(lit(HyperLogLog.M - 1)).as("bucket"),
-            shiftright(h, HyperLogLog.P).as("payload"))
-          .groupBy("day", "bucket")
-          .agg(max(HyperLogLog.rho(col("payload"))).as("r"))
+        val dayReg = HyperLogLog.registers(
+          t(s, d, "events")
+            .select(to_date(col("ts")).as("day"), col("user_id")),
+          col("user_id").cast("string"), Seq("day"))
         dayReg
           .select(col("day"), col("bucket"), col("r"),
             explode(sequence(lit(0), lit(6))).as("off"))

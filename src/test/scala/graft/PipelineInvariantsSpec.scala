@@ -392,7 +392,7 @@ class PipelineInvariantsSpec extends SparkSpec {
       val peak = spans.map { case (s, _) =>
         spans.count { case (s2, e2) => s2 <= s && s < e2 } }.max
       assert(got(day) == ((rows.length.toLong, peak.toLong)),
-        s"$day: got ${got(day)}, brute-force ($rows.length, $peak)")
+        s"$day: got ${got(day)}, brute-force (${rows.length}, $peak)")
     }
     spark.catalog.clearCache()
   }
