@@ -3096,6 +3096,91 @@ object PipelineQueries {
          |ORDER BY priority DESC, doc_id LIMIT $K""".stripMargin)
   }
 
+  /** JSONL source roundtrip with corrupt-record quarantine (q164) —
+    * the third source format beside the CSV facade and parquet, and
+    * the JSON analog of the reference's strict-parse row handling
+    * (buzzdb_lab1.cpp:144-154 silently DROPS malformed rows; a 100 TB
+    * ingest can't afford silent): documents are published once as
+    * JSON Lines under the q91 artifact discipline (tmp root keyed by
+    * sf-dir + table fingerprint, publish-if-absent, `_SUCCESS`
+    * committed), with N deterministic corrupt lines injected the way
+    * q22 injects duplicates. The read is schema-first PERMISSIVE with
+    * `columnNameOfCorruptRecord`: bad lines land in a quarantine
+    * column instead of killing the job or vanishing, and the judged
+    * report counts them beside the per-lang totals — which must equal
+    * the parquet truth exactly, proving the roundtrip lossless
+    * (JSON escaping survives embedded newlines/quotes). One scan, one
+    * aggregate; format parsing is per-row codegen at any scale.
+    */
+  val jsonlSource: Q = {
+    val N_CORRUPT = 7
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val fp = graft.sources.TableStats
+          .fingerprint(s"$d/documents.parquet").take(12)
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft-jsonl-" + new java.io.File(d).getName + "-" + fp)
+          .getAbsolutePath
+        if (!new java.io.File(root, "_SUCCESS").exists()) {
+          val corrupt = s.createDataset(
+            (1 to N_CORRUPT).map(i => s"{corrupt $i"))(
+            org.apache.spark.sql.Encoders.STRING)
+          docs.toJSON.union(corrupt).coalesce(4)
+            .write.mode("overwrite").text(root)
+        }
+        val parsed = s.read
+          .schema(docs.schema.add("_corrupt_record", "string"))
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(root)
+        parsed
+          .groupBy(coalesce(col("lang"), lit("(corrupt)")).as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("n_chars"), lit(0L))).as("chars"))
+          .orderBy("lang")
+      },
+      s"""SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS chars
+         |FROM documents GROUP BY lang
+         |UNION ALL SELECT '(corrupt)', $N_CORRUPT, 0
+         |ORDER BY lang""".stripMargin)
+  }
+
+  /** ORC source roundtrip with predicate pushdown (q165) — the fourth
+    * format, written and re-read under the same fingerprint-keyed
+    * publish-if-absent artifact rule as q164. The judged aggregate
+    * reads the ORC copy through a source filter that must reach the
+    * ORC reader as a pushed predicate + min/max stripe pruning
+    * (PlanAuditSpec asserts the pushdown, the same audit parquet
+    * scans get) — the point being that the engine's scan discipline
+    * is format-independent: swap the container, keep the plan.
+    */
+  val orcSource: Q = {
+    val SRC = "src3"
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val fp = graft.sources.TableStats
+          .fingerprint(s"$d/documents.parquet").take(12)
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft-orc-" + new java.io.File(d).getName + "-" + fp)
+          .getAbsolutePath
+        if (!new java.io.File(root, "_SUCCESS").exists())
+          docs.write.mode("overwrite").orc(root)
+        s.read.orc(root)
+          .filter(col("source") === SRC)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+            sum("doc_id").as("id_sum"))
+          .orderBy("lang")
+      },
+      s"""SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS chars, sum(doc_id)::BIGINT AS id_sum
+         |FROM documents WHERE source = '$SRC'
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   /** Pareto skyline of (length, quality) (q162) — the docs no other
     * doc beats on BOTH axes (≥ on each, > on one): the dominance
     * frontier a curation review reads when length and quality trade
@@ -4893,6 +4978,8 @@ object PipelineQueries {
     "q112_quota_sample"  -> quotaSample,
     "q158_priority_sample" -> prioritySample,
     "q162_skyline"       -> skyline,
+    "q164_jsonl_source"  -> jsonlSource,
+    "q165_orc_source"    -> orcSource,
     "q111_source_overlap" -> sourceOverlap,
     "q110_templates"     -> templates,
     "q109_norm_audit"    -> normAudit,

@@ -321,6 +321,35 @@ class PipelineInvariantsSpec extends SparkSpec {
       "histogram does not partition the customer table")
   }
 
+  test("q164: exactly the injected lines quarantine; no corrupt leakage into langs") {
+    val rows = PipelineQueries.jsonlSource.fn(spark, sf0001).collect()
+    val corrupt = rows.filter(_.getAs[String]("lang") == "(corrupt)")
+    assert(corrupt.length == 1 && corrupt.head.getAs[Long]("n_docs") == 7L)
+    assert(corrupt.head.getAs[Long]("chars") == 0L)
+    // the lang rows must equal the parquet truth — the roundtrip is lossless
+    val truth = graft.Tables(spark, sf0001, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("c"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.filterNot(_.getAs[String]("lang") == "(corrupt)").foreach { r =>
+      assert(truth(r.getAs[String]("lang")) ==
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("chars"))),
+        s"${r.getAs[String]("lang")}: JSONL roundtrip drifted from parquet")
+    }
+  }
+
+  test("q165: the ORC copy aggregates identically to the parquet original") {
+    val got = PipelineQueries.orcSource.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("chars"), r.getAs[Long]("id_sum")))).toMap
+    val truth = graft.Tables(spark, sf0001, "documents")
+      .filter(col("source") === "src3")
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("c"),
+        sum("doc_id").as("i"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == truth)
+  }
+
   test("q162: two-pass skyline equals the brute-force dominance frontier") {
     val pts = graft.Tables(spark, sf0001, "documents")
       .select(col("doc_id"), col("n_chars"),

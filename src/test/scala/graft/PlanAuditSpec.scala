@@ -366,4 +366,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("distinct"),
       s"q163 must merge bucket counts, never distinct raw values:\n$p")
   }
+
+  test("the ORC scan gets the same pushdown discipline as parquet (q165)") {
+    val p = plan("q165_orc_source")
+    assert(p.contains("EqualTo(source,src3)"),
+      s"q165's source filter did not reach the ORC reader:\n$p")
+  }
 }
