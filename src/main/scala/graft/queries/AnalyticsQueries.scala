@@ -1558,6 +1558,37 @@ object AnalyticsQueries {
          |ORDER BY bucket""".stripMargin)
   }
 
+  /** Equi-depth deciles via ntile (q166) — the last ranking-window
+    * member unjudged in §2.5 (row_number q112, rank q14, lead q143,
+    * RANGE/ROWS frames q44/q92): per language, documents split into
+    * ten equal-count bins over a total (n_chars, doc_id) order, with
+    * each bin's population and length bounds — the equi-depth
+    * histogram a query optimizer or length-bucketed batcher reads.
+    * One partitioned sort (lang is the parallelism unit), no joins;
+    * ntile's extra-row rule (first buckets absorb the remainder) is
+    * ANSI-standard and identical on both engines, so the judged bins
+    * are deterministic to the row.
+    */
+  val ntileDeciles: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("lang", "decile")
+        .agg(count(lit(1)).as("n"), min("n_chars").as("lo"),
+          max("n_chars").as("hi"))
+        .orderBy("lang", "decile")
+    },
+    """SELECT lang, decile, count(*)::BIGINT AS n,
+      |  min(n_chars) AS lo, max(n_chars) AS hi
+      |FROM (SELECT lang, n_chars,
+      |        ntile(10) OVER (PARTITION BY lang
+      |          ORDER BY n_chars, doc_id)::BIGINT AS decile
+      |      FROM documents) x
+      |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin)
+
   /** k-anonymity audit (q161) — the release-governance complement of
     * q57's PII scrub: scrubbing removes DIRECT identifiers, but a
     * record is still re-identifiable when its quasi-identifier
@@ -1830,6 +1861,7 @@ object AnalyticsQueries {
     "q160_kcore"           -> kcoreResidual,
     "q161_kanon_audit"     -> kanonAudit,
     "q163_quantile_rolling" -> quantileRolling,
+    "q166_ntile_deciles"   -> ntileDeciles,
     "q126_degree_histogram" -> degreeHistogram)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
