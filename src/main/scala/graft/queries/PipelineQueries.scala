@@ -3101,9 +3101,10 @@ object PipelineQueries {
     * the JSON analog of the reference's strict-parse row handling
     * (buzzdb_lab1.cpp:144-154 silently DROPS malformed rows; a 100 TB
     * ingest can't afford silent): documents are published once as
-    * JSON Lines under the q91 artifact discipline (tmp root keyed by
-    * sf-dir + table fingerprint, publish-if-absent, `_SUCCESS`
-    * committed), with N deterministic corrupt lines injected the way
+    * JSON Lines under the shared [[graft.sources.Artifacts]]
+    * discipline (tmp root keyed by sf-dir + table fingerprint,
+    * publish-if-absent via atomic stage+rename, stale fingerprints
+    * pruned), with N deterministic corrupt lines injected the way
     * q22 injects duplicates. The read is schema-first PERMISSIVE with
     * `columnNameOfCorruptRecord`: bad lines land in a quarantine
     * column instead of killing the job or vanishing, and the judged
@@ -3117,17 +3118,13 @@ object PipelineQueries {
     Q(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val fp = graft.sources.TableStats
-          .fingerprint(s"$d/documents.parquet").take(12)
-        val root = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft-jsonl-" + new java.io.File(d).getName + "-" + fp)
-          .getAbsolutePath
-        if (!new java.io.File(root, "_SUCCESS").exists()) {
+        val root = graft.sources.Artifacts.publishOnce(
+          "graft-jsonl", d, "documents.parquet") { stage =>
           val corrupt = s.createDataset(
             (1 to N_CORRUPT).map(i => s"{corrupt $i"))(
             org.apache.spark.sql.Encoders.STRING)
           docs.toJSON.union(corrupt).coalesce(4)
-            .write.mode("overwrite").text(root)
+            .write.mode("overwrite").text(stage)
         }
         val parsed = s.read
           .schema(docs.schema.add("_corrupt_record", "string"))
@@ -3148,8 +3145,8 @@ object PipelineQueries {
   }
 
   /** ORC source roundtrip with predicate pushdown (q165) — the fourth
-    * format, written and re-read under the same fingerprint-keyed
-    * publish-if-absent artifact rule as q164. The judged aggregate
+    * format, written and re-read through the same
+    * [[graft.sources.Artifacts.publishOnce]] as q164. The judged aggregate
     * reads the ORC copy through a source filter that must reach the
     * ORC reader as a pushed predicate + min/max stripe pruning
     * (PlanAuditSpec asserts the pushdown, the same audit parquet
@@ -3161,13 +3158,10 @@ object PipelineQueries {
     Q(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val fp = graft.sources.TableStats
-          .fingerprint(s"$d/documents.parquet").take(12)
-        val root = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft-orc-" + new java.io.File(d).getName + "-" + fp)
-          .getAbsolutePath
-        if (!new java.io.File(root, "_SUCCESS").exists())
-          docs.write.mode("overwrite").orc(root)
+        val root = graft.sources.Artifacts.publishOnce(
+          "graft-orc", d, "documents.parquet") { stage =>
+          docs.write.mode("overwrite").orc(stage)
+        }
         s.read.orc(root)
           .filter(col("source") === SRC)
           .groupBy("lang")
@@ -3211,7 +3205,7 @@ object PipelineQueries {
         val eqW = Window.partitionBy((parts :+ "n_chars").map(col): _*)
         df.withColumn("ygt", max("quality_micro").over(gtW))
           .withColumn("yeq", max("quality_micro").over(eqW))
-          .filter(coalesce(col("ygt"), lit(-1L)) < col("quality_micro") &&
+          .filter((col("ygt").isNull || col("ygt") < col("quality_micro")) &&
             col("yeq") <= col("quality_micro"))
           .drop("ygt", "yeq")
       }
