@@ -3119,7 +3119,7 @@ object PipelineQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
         val root = graft.sources.Artifacts.publishOnce(
-          "graft-jsonl", d, "documents.parquet") { stage =>
+          "graft-jsonl", d, Seq("documents.parquet")) { stage =>
           val corrupt = s.createDataset(
             (1 to N_CORRUPT).map(i => s"{corrupt $i"))(
             org.apache.spark.sql.Encoders.STRING)
@@ -3159,7 +3159,7 @@ object PipelineQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
         val root = graft.sources.Artifacts.publishOnce(
-          "graft-orc", d, "documents.parquet") { stage =>
+          "graft-orc", d, Seq("documents.parquet")) { stage =>
           docs.write.mode("overwrite").orc(stage)
         }
         s.read.orc(root)

@@ -26,12 +26,16 @@ object Artifacts {
 
   /** Returns the committed root path, publishing it first if absent.
     * `write` receives the staging path and must produce a Spark-style
-    * directory (with `_SUCCESS`) there.
+    * directory (with `_SUCCESS`) there. `tables` lists every source
+    * table the artifact derives from — the root key changes when ANY
+    * of them does.
     */
-  def publishOnce(prefix: String, sfDir: String, table: String)
+  def publishOnce(prefix: String, sfDir: String, tables: Seq[String])
                  (write: String => Unit): String = {
+    require(tables.nonEmpty, "an artifact must derive from some table")
     val base = new File(sys.props("java.io.tmpdir"))
-    val fp = TableStats.fingerprint(s"$sfDir/$table").take(12)
+    val fp = tables
+      .map(t => TableStats.fingerprint(s"$sfDir/$t").take(8)).mkString
     val keyPrefix = prefix + "-" + new File(sfDir).getName + "-"
     val name = keyPrefix + fp
     val root = new File(base, name)
