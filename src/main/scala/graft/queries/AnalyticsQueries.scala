@@ -58,6 +58,29 @@ object AnalyticsQueries {
     s.read.parquet(root)
   }
 
+  /** The part co-purchase pair table — [[tradePairs]]' sibling for
+    * the second graph in the suite (parts linked when they share an
+    * order; q79 triangles, q82 LPA, q126 degree histogram): the
+    * order-keyed self-join that derives the (u < v) pair set is the
+    * single most expensive step of all three queries, paid once per
+    * data version here. n_orders (co-occurrence count) rides along
+    * for weighted consumers.
+    */
+  private def partPairs(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.Artifacts.publishOnce(
+      "graft-copurchase", d, Seq("lineitem.parquet")) { stage =>
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("n_orders"))
+        .write.mode("overwrite").parquet(stage)
+    }
+    s.read.parquet(root)
+  }
+
   /** Exact integer cents of a monetary double expression. */
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
@@ -683,12 +706,7 @@ object AnalyticsQueries {
     val K = 20
     Q(
       (s, d) => {
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val pairs = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        val pairs = partPairs(s, d).select("u", "v")
         graft.operators.Triangles.perNode(pairs, "u", "v")
           .orderBy(desc("triangles"), asc("node")).limit(K)
       },
@@ -1529,12 +1547,7 @@ object AnalyticsQueries {
          |  WHERE rn = 1)"""
     Q(
       (s, d) => {
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val pairs = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        val pairs = partPairs(s, d).select("u", "v")
         graft.operators.LabelPropagation.labels(pairs, "u", "v", ROUNDS)
           .groupBy(col("label").as("community"))
           .agg(count(lit(1)).as("size"))
@@ -1888,13 +1901,7 @@ object AnalyticsQueries {
     */
   lazy val degreeHistogram: Q = Q(
     (s, d) => {
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
+      val pairs = partPairs(s, d).select("u", "v")
       pairs.select(col("u").as("node"))
         .unionByName(pairs.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))

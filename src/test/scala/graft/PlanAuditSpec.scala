@@ -233,10 +233,15 @@ class PlanAuditSpec extends SparkSpec {
       s"q125 must not broadcast anything — the sign matrix is a hash:\n$p")
   }
 
-  test("degree histogram's self-join is key-equi; the < is residual (q126)") {
+  test("degree histogram reads the materialized pair artifact, no pairing join (q126)") {
     val p = plan("q126_degree_histogram")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"q126 co-purchase pairing degenerated to a nested loop:\n$p")
+    // the order-keyed self-join moved into the partPairs artifact
+    // build (paid once per data version); the query plan itself is
+    // join-free — a scan of the pair table into two aggregates
+    assert(!p.contains("Join"),
+      s"q126 should read graft-copurchase, not re-derive the pairs:\n$p")
   }
 
   test("vocab-overlap top-K windows per source; the pair join is bigram-equi (q134)") {
