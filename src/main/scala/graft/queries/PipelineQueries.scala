@@ -1381,6 +1381,118 @@ object PipelineQueries {
          |ORDER BY s.doc_id, f""".stripMargin)
   }
 
+  /** Cross-modal alignment curation (q167) — the LAION-style judged
+    * pair filter that turns the multimodal primitives into a curation
+    * decision: every media item (the opaque-binary table of
+    * [[Multimodal.mediaTable]]) is scored against its caption
+    * document's embedding, and a per-source keep/drop report says
+    * which sources survive an alignment threshold. The media-side
+    * embedding comes out of the decode seam deterministically — the
+    * [[Multimodal.sampleFrames]] frames are hashed twice
+    * ([[Hashing.seeded]]) and each of the 64 hash bits contributes a
+    * ±1 sign feature, summed over the frames (where a real pipeline
+    * would emit CLIP image features, it would swap exactly this step;
+    * everything downstream — the join, the cosine, the report — is
+    * the production shape). The text side rides the exact micro-int
+    * space ([[VectorFunctions.scaledMicro]], the q89 discipline), so
+    * dot products and norms are integer-exact on both engines and
+    * only the final rounded cosine is floating point.
+    *
+    * Scale: frames → features is O(docs · 64) exploded rows into one
+    * (doc, dim) groupBy; the alignment itself is an equi-join on
+    * (doc, dim) + a per-doc sum — embedding-linear, no pair
+    * explosion, no media×media pass, no collect. The embedding
+    * dimension is a layout constant shared with the oracle (the
+    * testdata ships dim=64; [[graft.sources.TableStats]] would derive
+    * it at ingest).
+    */
+  val crossModalAlignment: Q = {
+    val FRAME = 32; val STRIDE = 64; val MAXF = 4
+    val DIM = 64; val TAU = 0.05
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val media = Multimodal.mediaTable(docs, "doc_id", "text")
+        val fh = Multimodal
+          .sampleFrames(media, "doc_id", FRAME, STRIDE, MAXF)
+          .select(col("doc_id"),
+            Hashing.seeded(101, col("frame")).as("h0"),
+            Hashing.seeded(202, col("frame")).as("h1"))
+        // 64 ±1 sign features per frame, summed per (doc, dim) — the
+        // stub "image embedding" at the decode seam
+        val iv = fh
+          .select(col("doc_id"), col("h0"), col("h1"),
+            explode(sequence(lit(0), lit(DIM - 1))).as("dim"))
+          .select(col("doc_id"), col("dim"),
+            expr("(CASE WHEN dim < 32 THEN shiftright(h0, dim) " +
+              "ELSE shiftright(h1, dim - 32) END) & 1").as("bit"))
+          .groupBy("doc_id", "dim")
+          .agg(sum(when(col("bit") === 1, 1L).otherwise(-1L)).as("v"))
+        val te = t(s, d, "embeddings")
+          .select(col("vec_id").as("doc_id"),
+            posexplode(VectorFunctions.scaledMicro(col("embedding"))))
+          .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+        val dots = te.join(iv, Seq("doc_id", "dim"))
+          .groupBy("doc_id").agg(sum(col("x") * col("v")).as("dot"))
+        val na = te.groupBy("doc_id").agg(sum(col("x") * col("x")).as("na"))
+        val nb = iv.groupBy("doc_id").agg(sum(col("v") * col("v")).as("nb"))
+        val cs = dots.join(na, Seq("doc_id")).join(nb, Seq("doc_id"))
+          .select(col("doc_id"),
+            round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
+              .as("a"))
+        cs.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("a") >= TAU, 1L).otherwise(0L)).as("n_keep"),
+            sum(when(col("a") < TAU, 1L).otherwise(0L)).as("n_drop"),
+            sum(round(col("a") * 1000000).cast("long"))
+              .as("sum_align_micro"),
+            max(col("a")).as("max_align"))
+          .orderBy("source")
+      },
+      s"""WITH m AS (SELECT doc_id, text, source FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, least(${MAXF - 1},
+         |      greatest(octet_length(encode(text)) - $FRAME, 0) // $STRIDE) + 1)) AS f
+         |  FROM m),
+         |fr AS (
+         |  SELECT f.doc_id, substr(m.text, (f.f * $STRIDE + 1)::INT, $FRAME) AS frame
+         |  FROM f JOIN m ON f.doc_id = m.doc_id),
+         |fh AS (
+         |  SELECT doc_id, ${Hashing.seededSql(101, "frame")} AS h0,
+         |    ${Hashing.seededSql(202, "frame")} AS h1
+         |  FROM fr),
+         |iv AS (
+         |  SELECT doc_id, dim,
+         |    sum(CASE WHEN ((CASE WHEN dim < 32 THEN h0 >> dim
+         |                         ELSE h1 >> (dim - 32) END) & 1) = 1
+         |        THEN 1 ELSE -1 END)::BIGINT AS v
+         |  FROM fh CROSS JOIN (SELECT unnest(range(0, $DIM)) AS dim) dims
+         |  GROUP BY 1, 2),
+         |te AS (
+         |  SELECT vec_id AS doc_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS x
+         |  FROM embeddings),
+         |dots AS (
+         |  SELECT te.doc_id, sum(te.x * iv.v)::BIGINT AS dot
+         |  FROM te JOIN iv ON te.doc_id = iv.doc_id AND te.dim = iv.dim
+         |  GROUP BY 1),
+         |na AS (SELECT doc_id, sum(x * x)::BIGINT AS na FROM te GROUP BY 1),
+         |nb AS (SELECT doc_id, sum(v * v)::BIGINT AS nb FROM iv GROUP BY 1),
+         |cs AS (
+         |  SELECT d.doc_id, round(d.dot / (sqrt(na.na) * sqrt(nb.nb)), 6) AS a
+         |  FROM dots d JOIN na ON d.doc_id = na.doc_id
+         |  JOIN nb ON d.doc_id = nb.doc_id)
+         |SELECT m.source, count(*)::BIGINT AS n_pairs,
+         |  sum(CASE WHEN a >= $TAU THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+         |  sum(CASE WHEN a < $TAU THEN 1 ELSE 0 END)::BIGINT AS n_drop,
+         |  sum(round(a * 1000000)::BIGINT)::BIGINT AS sum_align_micro,
+         |  max(a) AS max_align
+         |FROM cs JOIN m ON cs.doc_id = m.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Count-min heavy hitters ([[graft.operators.CountMin]]): build
     * the d×w sketch over every corpus token (one bounded groupBy —
     * the sketch is ≤ d·w rows at ANY corpus size), then read the
@@ -4974,6 +5086,7 @@ object PipelineQueries {
     "q162_skyline"       -> skyline,
     "q164_jsonl_source"  -> jsonlSource,
     "q165_orc_source"    -> orcSource,
+    "q167_modal_align"   -> crossModalAlignment,
     "q111_source_overlap" -> sourceOverlap,
     "q110_templates"     -> templates,
     "q109_norm_audit"    -> normAudit,
