@@ -1381,6 +1381,47 @@ object PipelineQueries {
          |ORDER BY s.doc_id, f""".stripMargin)
   }
 
+  /** Avro roundtrip (q168) — the row-format member of the source
+    * matrix (q164 JSONL, q165 ORC), through the same
+    * [[graft.sources.Artifacts.publishOnce]] discipline: documents are
+    * published once as Avro container files (schema-first — the write
+    * itself enforces types, the strict-parse rule of
+    * buzzdb_lab1.cpp:144-154 moved to write time) and read back under
+    * an explicit schema via [[graft.sources.AvroTable]] (this
+    * container ships Avro core but not the spark-avro connector, so
+    * the codec lives at the engine's own source seam — distributed
+    * per-partition write, file-parallel read, no driver funnel). The
+    * judged aggregate must reproduce the parquet truth exactly,
+    * including a content hash sum over `text` — proving every column
+    * (strings with embedded quotes/newlines included) survives the
+    * binary roundtrip bit-for-bit. Being a row format there is no
+    * pushdown to audit (q165 covers that for columnar); projection
+    * happens post-decode by construction.
+    */
+  val avroSource: Q = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val schema = docs.schema
+      val root = graft.sources.Artifacts.publishOnce(
+        "graft-avro", d, Seq("documents.parquet")) { stage =>
+        graft.sources.AvroTable.write(docs.repartition(4), stage)
+      }
+      graft.sources.AvroTable.read(s, root, schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"),
+          countDistinct("source").as("n_srcs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          sum(Hashing.h32(col("text"))).as("text_hash_sum"))
+        .orderBy("lang")
+    },
+    s"""SELECT lang, count(*)::BIGINT AS n_docs,
+       |  sum(n_chars)::BIGINT AS chars,
+       |  count(DISTINCT source)::BIGINT AS n_srcs,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+       |  sum(${Hashing.h32Sql("text")})::BIGINT AS text_hash_sum
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+
   /** Cross-modal alignment curation (q167) — the LAION-style judged
     * pair filter that turns the multimodal primitives into a curation
     * decision: every media item (the opaque-binary table of
@@ -5087,6 +5128,7 @@ object PipelineQueries {
     "q164_jsonl_source"  -> jsonlSource,
     "q165_orc_source"    -> orcSource,
     "q167_modal_align"   -> crossModalAlignment,
+    "q168_avro_source"   -> avroSource,
     "q111_source_overlap" -> sourceOverlap,
     "q110_templates"     -> templates,
     "q109_norm_audit"    -> normAudit,
