@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.{Hashing, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Bpe, ConnectedComponents, CountMin, Dedup, DedupIndex, HeavyHitters, MixManifest, Packing, Similarity, VectorQuantizer}
+import graft.operators.{Bpe, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, HeavyHitters, MixManifest, Packing, Similarity, VectorQuantizer}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
   * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
@@ -1379,6 +1379,53 @@ object PipelineQueries {
          |  $fitWSql AS fit_w, $fitHSql AS fit_h
          |FROM s JOIN d ON s.doc_id = d.doc_id
          |ORDER BY s.doc_id, f""".stripMargin)
+  }
+
+  /** Small-file compaction plan + report (q169) — the write half of
+    * the q129 balance audit ([[graft.operators.Compaction]]): the 64
+    * hash shards of the documents corpus (q129's layout) are re-binned
+    * into target-sized output shards by the deterministic sorted-fill
+    * rule, and the judged report shows, per output bin, how many input
+    * shards and docs merged and the bin's fill against the target —
+    * the before/after a compaction job logs. The plan window runs over
+    * the 64 stats rows (layout-constant state); the physical rewrite
+    * (one exchange, one file per bin) is exercised by CompactionSpec,
+    * file counts and all — a filesystem effect no SQL oracle can see.
+    */
+  val compactionPlan: Q = {
+    val S = 64; val TARGET = 16000L
+    Q(
+      (s, d) => {
+        val stats = t(s, d, "documents")
+          .select(
+            (Hashing.h32(col("doc_id").cast("string")) % S).as("shard"),
+            col("n_chars"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
+        Compaction.plan(stats, "shard", "bytes", TARGET)
+          .groupBy("out_shard")
+          .agg(count(lit(1)).as("n_inputs"), sum("n_docs").as("n_docs"),
+            sum("bytes").as("bytes"), min("shard").as("first_shard"))
+          .withColumn("fill_th", expr(s"bytes * 1000 div $TARGET"))
+          .orderBy("out_shard")
+      },
+      s"""WITH sh AS (
+         |  SELECT (${Hashing.h32Sql("doc_id::VARCHAR")}) % $S AS shard,
+         |    n_chars
+         |  FROM documents),
+         |agg AS (
+         |  SELECT shard, count(*)::BIGINT AS n_docs,
+         |    sum(n_chars)::BIGINT AS bytes
+         |  FROM sh GROUP BY shard),
+         |pl AS (
+         |  SELECT shard, n_docs, bytes,
+         |    ${Compaction.planSql("shard", "bytes", TARGET)} AS out_shard
+         |  FROM agg)
+         |SELECT out_shard, count(*)::BIGINT AS n_inputs,
+         |  sum(n_docs)::BIGINT AS n_docs, sum(bytes)::BIGINT AS bytes,
+         |  min(shard)::BIGINT AS first_shard,
+         |  (sum(bytes) * 1000 // $TARGET)::BIGINT AS fill_th
+         |FROM pl GROUP BY out_shard ORDER BY out_shard""".stripMargin)
   }
 
   /** Avro roundtrip (q168) — the row-format member of the source
@@ -5129,6 +5176,7 @@ object PipelineQueries {
     "q165_orc_source"    -> orcSource,
     "q167_modal_align"   -> crossModalAlignment,
     "q168_avro_source"   -> avroSource,
+    "q169_compaction"    -> compactionPlan,
     "q111_source_overlap" -> sourceOverlap,
     "q110_templates"     -> templates,
     "q109_norm_audit"    -> normAudit,
