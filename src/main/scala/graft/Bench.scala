@@ -48,8 +48,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith)) }
+    // executions that PUBLISHED a fingerprint-keyed artifact (q91
+    // index, trade/part pair tables, format-roundtrip copies) are
+    // marked: their first-run time includes a cold publish that later
+    // runs amortize away, and the marker keeps that from reading as a
+    // probe regression. name -> publish-inclusive wall time.
+    val published = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.map { case (name, fn) =>
       val times = (1 to 3).flatMap { _ =>
+        val pub0 = graft.sources.Artifacts.publishes.get()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -58,6 +65,9 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        if (graft.sources.Artifacts.publishes.get() > pub0 &&
+            !published.contains(name))
+          published(name) = dt
         // queries may persist() intermediate frames (q24); don't let
         // the cache bleed into the next measurement. The explicit gc
         // keeps one query's garbage from landing in another's timing
@@ -69,7 +79,7 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val fullLine = detailLine(results, errors.toSeq, sfDir)
+    val fullLine = detailLine(results, errors.toSeq, sfDir, published.toSeq)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), fullLine + "\n")
     catch { case _: Throwable => () } // a read-only cwd must not fail the bench
@@ -77,7 +87,7 @@ object Bench {
     // stream: silence the Spark logger before printing so stop()'s
     // shutdown chatter can't land after it.
     spark.sparkContext.setLogLevel("OFF")
-    println(compactLine(results, errors.toSeq, sfDir))
+    println(compactLine(results, errors.toSeq, sfDir, published.toSeq))
     spark.stop()
   }
 
@@ -102,7 +112,8 @@ object Bench {
     */
   private[graft] def compactLine(results: Seq[(String, Double)],
                                  errors: Seq[(String, String)],
-                                 sfDir: String): String = {
+                                 sfDir: String,
+                                 published: Seq[(String, Double)] = Nil): String = {
     // 1-decimal per-query timings with trailing ".0" trimmed: 100 ms
     // is below box noise (±20-30% run to run — full precision lives in
     // BENCH_DETAIL.json), and the saved bytes keep ~185 queries inside
@@ -113,7 +124,12 @@ object Bench {
     val errs = errors.map { case (k, v) =>
       s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val sf = new java.io.File(sfDir).getName
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sf"}"""
+    // publish-inclusive first runs, qNN: wall-sec — a handful of
+    // entries (only artifact-building queries on a cold box), so the
+    // capture budget holds
+    val pub = published.map { case (k, v) =>
+      s"${jstr(k.takeWhile(_ != '_'))}:${fmtTrim(v)}" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$errs,"pub":$pub,"sf":"$sf"}"""
   }
 
   /** 1-decimal, integral values without the ".0" (`4.0` → `4`). */
@@ -128,11 +144,14 @@ object Bench {
     */
   private[graft] def detailLine(results: Seq[(String, Double)],
                                 errors: Seq[(String, String)],
-                                sfDir: String): String = {
+                                sfDir: String,
+                                published: Seq[(String, Double)] = Nil): String = {
     val qs = results.map { case (k, v) =>
       s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val pub = published.map { case (k, v) =>
+      s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$errs,"pub":$pub,"sf":"$sfDir"}"""
   }
 }

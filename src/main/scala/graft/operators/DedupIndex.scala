@@ -66,6 +66,7 @@ object DedupIndex {
     // rename fails and it retries the next slot with its staging dir
     // intact. (The `synchronized` covers same-JVM races; the rename
     // covers everything else.)
+    graft.sources.Artifacts.notePublish()
     val staging = new java.io.File(root,
       s".staging-${java.util.UUID.randomUUID()}")
     Dedup.bandRows(indexSig, id, bands, rowsPerBand)

@@ -67,6 +67,7 @@ object MixManifest {
     // stage + atomic rename into the version slot (DedupIndex.publish's
     // protocol): a cross-process racer's rename fails and retries the
     // next slot — no interleaved writes into one version dir
+    graft.sources.Artifacts.notePublish()
     val staging = new java.io.File(root,
       s".staging-${java.util.UUID.randomUUID()}")
     rows.coalesce(1).write.mode("overwrite")

@@ -42,6 +42,18 @@ object Artifacts {
     */
   private val StageOrphanMs = 60L * 60 * 1000
 
+  /** Count of ACTUAL artifact publishes in this JVM (key-hit reads
+    * don't count) — every publish path ([[publishOnce]],
+    * [[graft.operators.DedupIndex.publish]],
+    * [[graft.operators.MixManifest.publish]]) notifies it, and
+    * [[graft.Bench]] samples it around each timed execution so a
+    * cold-box first run that paid an artifact build is MARKED in the
+    * bench output instead of masquerading as probe cost.
+    */
+  val publishes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def notePublish(): Unit = { publishes.incrementAndGet(); () }
+
   /** The base directory artifacts for `sfDir`'s tables publish under.
     * Resolution order: `graft.artifacts.root` system property →
     * existing writable `_derived` sibling of the data dir → tmpdir.
@@ -92,6 +104,7 @@ object Artifacts {
     if (!new File(root, "_SUCCESS").exists()) {
       val stage = new File(base, name + ".stage-" +
         java.util.UUID.randomUUID().toString.take(8))
+      notePublish()
       write(stage.getAbsolutePath)
       if (!stage.renameTo(root)) {
         // only a lost publish race leaves a committed root to fall

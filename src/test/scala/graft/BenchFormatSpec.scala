@@ -15,8 +15,12 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("compact line for every registered query stays inside the capture window") {
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // worst case includes every artifact-publishing query marked
+    val pubs = Seq("q70_pagerank", "q79_triangles", "q91_incremental_dedup",
+      "q95_mix_manifest", "q164_jsonl_source", "q165_orc_source",
+      "q168_avro_source").map(n => (n, 19.9))
     val line = Bench.compactLine(
-      names.map(n => (n, 9.999)), Nil, "/root/testdata/sf0.1")
+      names.map(n => (n, 9.999)), Nil, "/root/testdata/sf0.1", pubs)
     assert(line.length < 2000,
       s"compact bench line grew to ${line.length} bytes — the driver's " +
         "tail capture will clip it (the r5/r6 parsed:null regression)")
@@ -40,5 +44,14 @@ class BenchFormatSpec extends AnyFunSuite {
   test("detail line keeps full query names") {
     val line = Bench.detailLine(results(2), Nil, "/tmp/sf")
     assert(line.contains("q01_some_long_query_name_1"))
+  }
+
+  test("publish-inclusive first runs are marked under pub with qNN keys") {
+    val line = Bench.compactLine(results(2), Nil, "/tmp/sf",
+      Seq(("q91_incremental_dedup", 5.73)))
+    assert(line.contains(""""pub":{"q91":5.7}"""))
+    val detail = Bench.detailLine(results(2), Nil, "/tmp/sf",
+      Seq(("q91_incremental_dedup", 5.73)))
+    assert(detail.contains(""""pub":{"q91_incremental_dedup":5.730}"""))
   }
 }
