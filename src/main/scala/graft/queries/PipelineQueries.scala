@@ -1381,6 +1381,77 @@ object PipelineQueries {
          |ORDER BY s.doc_id, f""".stripMargin)
   }
 
+  /** Judged batch twin of the streaming dedup (q170) — the
+    * [[graft.streaming.DedupStream]] algebra replayed as a
+    * deterministic batch sequence so the driver's DuckDB oracle
+    * guards it too (it was spec-only through r7): the duplicated
+    * corpus (q22's injection — every copy lands in a different
+    * micro-batch than its original, since 10⁶ % 3 ≠ 0) is split into
+    * three batches by id, processed in order with an at-least-once
+    * REPLAY of batch 1 (must be absorbed) and a COMPACTION + VACUUM
+    * between batches 1 and 2 — so batch 2 can only meet batches 0/1
+    * through the compacted [[DedupIndex]] generation, while batch 1
+    * met batch 0 through the sig-dir tail. The emitted candidate set
+    * must equal the flat SQL algebra (pairs sharing a band key with
+    * strictly-later batch id on the probe side) — proving candidate-
+    * set equality across the compaction boundary, replays included.
+    * State roots are fingerprint-keyed ([[graft.sources.Artifacts
+    * .versionedRoot]]): a rerun against unchanged data absorbs every
+    * batch as a replay and re-reads the committed matches.
+    */
+  val streamBatchTwin: Q = {
+    val NB = 3L
+    val sigCols = (0 until MH_K)
+      .map(i => s"min(${Hashing.seededSql(i, "s")}) AS h$i")
+      .mkString(",\n    ")
+    val bandRowsSql = (0 until MH_BANDS).map { b =>
+      val key = (0 until MH_R).map(r => s"h${b * MH_R + r}")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, b, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val corpus = docs.unionByName(
+            docs.select((col("doc_id") + 1000000L).as("doc_id"),
+              col("text")))
+          .withColumn("b", col("doc_id") % NB)
+        def batch(i: Long) =
+          corpus.filter(col("b") === i).select("doc_id", "text")
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-dedup-stream", d, Seq("documents.parquet"))
+        val ds = new graft.streaming.DedupStream(s, root, "doc_id", "text",
+          MH_K, MH_BANDS, MH_R)
+        ds.processBatch(batch(0), 0)
+        ds.processBatch(batch(1), 1)
+        ds.processBatch(batch(1), 1) // at-least-once redelivery: absorbed
+        ds.compactIndex() // fold 0,1 into the bucketed index generation
+        ds.vacuumFolded() // batch 2 must probe THROUGH the compaction
+        ds.processBatch(batch(2), 2)
+        ds.matches().orderBy("new_id", "index_id")
+      },
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text, doc_id % $NB AS b FROM docs
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, (doc_id + 1000000) % $NB FROM docs),
+         |w AS (SELECT doc_id, b, ${TextFunctions.wordsSql("text")} AS arr
+         |      FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id, b,
+         |         unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
+         |sig AS (
+         |  SELECT doc_id, b,
+         |    $sigCols
+         |  FROM sh GROUP BY doc_id, b),
+         |bands AS (
+         |  $bandRowsSql)
+         |SELECT DISTINCT a.doc_id AS new_id, x.doc_id AS index_id
+         |FROM bands a JOIN bands x
+         |  ON a.band = x.band AND a.band_key = x.band_key
+         |WHERE a.b > x.b
+         |ORDER BY new_id, index_id""".stripMargin)
+  }
+
   /** Small-file compaction plan + report (q169) — the write half of
     * the q129 balance audit ([[graft.operators.Compaction]]): the 64
     * hash shards of the documents corpus (q129's layout) are re-binned
@@ -5177,6 +5248,7 @@ object PipelineQueries {
     "q167_modal_align"   -> crossModalAlignment,
     "q168_avro_source"   -> avroSource,
     "q169_compaction"    -> compactionPlan,
+    "q170_stream_twin"   -> streamBatchTwin,
     "q111_source_overlap" -> sourceOverlap,
     "q110_templates"     -> templates,
     "q109_norm_audit"    -> normAudit,

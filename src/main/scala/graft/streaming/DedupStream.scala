@@ -96,6 +96,9 @@ final class DedupStream(spark: SparkSession, root: String,
     // index CONTAINING ITSELF — self-pairs the original run never saw.
     val sigCommitted = committed(sigTarget) || batchId <= foldedThrough
     if (sigCommitted && committed(matchTarget)) return false
+    // this call will commit state — mark it for the bench's
+    // publish-inclusive-run accounting
+    graft.sources.Artifacts.notePublish()
     // batch-sized and read three times (touched set, probe join, sig
     // write) — cache for the scope of this batch only
     val nb = bandsOf(batch).withColumnRenamed(id, "new_id").persist()
@@ -179,6 +182,7 @@ final class DedupStream(spark: SparkSession, root: String,
             col("bucket"))
           .unionByName(tailRows))
         .getOrElse(tailRows)
+      graft.sources.Artifacts.notePublish()
       val path = new java.io.File(compactedRoot,
         s"index.v${sigDirs.map(_._1).max + 1}").getAbsolutePath
       rows.repartition(col("bucket"))

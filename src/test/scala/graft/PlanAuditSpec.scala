@@ -33,7 +33,9 @@ class PlanAuditSpec extends SparkSpec {
       "q152_bfs_hops", // per-hop localCheckpoint (BfsSpec audits semantics)
       "q154_cheapest_nodes", // per-round localCheckpoint (ShortestPathsSpec)
       "q153_er_pipeline", // CC rounds run at build (same machinery as q46)
-      "q160_kcore") // per-round localCheckpoint + count (KCoreSpec audits)
+      "q160_kcore", // per-round localCheckpoint + count (KCoreSpec audits)
+      "q170_stream_twin") // batch replay COMMITS stream state at build;
+                          // audited by DedupStreamSpec + its own oracle
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
@@ -370,6 +372,51 @@ class PlanAuditSpec extends SparkSpec {
       s"q163 lost the bounded x7 histogram explode:\n$p")
     assert(!p.toLowerCase.contains("distinct"),
       s"q163 must merge bucket counts, never distinct raw values:\n$p")
+  }
+
+  test("broadcast hints appear ONLY on documented constant-bounded sides " +
+      "(suite-wide sweep)") {
+    // The generalized q48/q16/q17 rule: a broadcast HINT bypasses AQE's
+    // size check, so a hint on a side that scales with the corpus OOMs
+    // at 100 TB no matter what the sf0.01 oracle says. Every hint in
+    // the codebase must therefore sit on a side bounded by a CONSTANT
+    // (a 1-row aggregate scalar, a fixed query/bench set, a sketch
+    // table, a source/lang taxonomy) and be registered here with its
+    // bound. Any new hint — or a hint-count change on a listed query —
+    // fails this sweep until it's justified below.
+    val bounded = Map(
+      "q17_nation_revenue" -> 2, // nation (25) + region (5) dims
+      "q21_approx_distinct" -> 1, // 1-row exact-count scalar
+      "q26_ann_bruteforce" -> 1, // fixed 5-query set
+      "q27_ann_bucketed" -> 1, // fixed 5-query set
+      "q34_ann_ivf" -> 2, // scale-derived pivot codebook + query set
+      "q36_tfidf_top" -> 1, // 1-row corpus-size scalar
+      "q50_decontaminate" -> 1, // fixed benchmark shingle suite
+      "q56_source_filter" -> 1, // per-source threshold table (taxonomy)
+      "q60_adaptive_filter" -> 1, // per-source quota table (taxonomy)
+      "q63_collocations" -> 1, // 1-row token-total scalar
+      "q74_ann_multitable" -> 1, // fixed query set (multi-table keys)
+      "q75_cms_heavy" -> 1, // d x w count-min sketch table
+      "q77_mix_sample" -> 3, // per-source rates (taxonomy) x2 + scalar
+      "q80_quantile_sketch" -> 1, // constant quantile list
+      "q95_mix_manifest" -> 1, // 1-row min-count scalar (manifest pin)
+      "q96_ann_recall" -> 2, // fixed query set, both ANN arms
+      "q103_lsh_precision" -> 1, // 1-row candidate-count scalar
+      "q115_token_budget" -> 1, // 1-row total-tokens scalar
+      "q116_embed_decontaminate" -> 1, // fixed bench-vector suite
+      "q120_skew_diagnostics" -> 1, // 1-row corpus aggregate scalar
+      "q122_incremental_agg" -> 2, // 1-row delta-fingerprint scalars
+      "q141_quantile_error" -> 1, // constant quantile list
+      "q163_quantile_rolling" -> 1) // constant quantile list
+    for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
+      val hints = hintCount(name)
+      assert(hints == bounded.getOrElse(name, 0),
+        s"$name carries $hints broadcast hint(s), expected " +
+          s"${bounded.getOrElse(name, 0)} — a hint on a corpus-scaled " +
+          "side OOMs at scale; register the bound here only if the " +
+          "side is constant-bounded")
+      spark.catalog.clearCache()
+    }
   }
 
   test("the ORC scan gets the same pushdown discipline as parquet (q165)") {
