@@ -1837,7 +1837,73 @@ object AnalyticsQueries {
       |  (CASE WHEN cnt * 70 > trail7 * 12 THEN 1 ELSE 0 END)::BIGINT AS is_spike
       |FROM w WHERE n_prev = 7 ORDER BY event_type, day""".stripMargin)
 
+  /** Right-to-be-forgotten impact sweep (q172) — the governance op a
+    * deletion request triggers before any rows are touched: given a
+    * deletion cohort (here the deterministic `c_custkey % 97 = 0`
+    * stand-in for an erasure list), report per nation how many rows
+    * each downstream table loses under FK cascade
+    * (customer → orders → lineitem, customer → events). The cohort is
+    * resolved ONCE with its nation label, then each child table is
+    * filtered by one equi-join and the four tagged row streams meet in
+    * a single count aggregate keyed by nation — one shuffle on a
+    * 25-value key, no per-table re-scan of the cohort. No broadcast
+    * hints beyond the fixed 25-row nation dim: the erasure list's size
+    * is the requester's choice, so AQE picks the join side at runtime
+    * (the r7 q48 lesson). At 100 TB the same plan is the dry-run
+    * `DELETE` audit: every join is keyed, every count map-side
+    * combinable.
+    */
+  val purgeSweep: Q = Q(
+    (s, d) => {
+      val delc = t(s, d, "customer")
+        .filter(col("c_custkey") % 97 === 0)
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val odel = t(s, d, "orders")
+        .join(delc, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("n_name"))
+      val ldel = t(s, d, "lineitem")
+        .join(odel, col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name"))
+      val edel = t(s, d, "events")
+        .join(delc, col("user_id") === col("c_custkey"))
+        .select(col("n_name"))
+      delc.select(col("n_name"), lit("c").as("tag"))
+        .unionByName(odel.select(col("n_name"), lit("o").as("tag")))
+        .unionByName(ldel.select(col("n_name"), lit("l").as("tag")))
+        .unionByName(edel.select(col("n_name"), lit("e").as("tag")))
+        .groupBy("n_name")
+        .agg(
+          count(when(col("tag") === "c", 1)).as("n_customers"),
+          count(when(col("tag") === "o", 1)).as("n_orders"),
+          count(when(col("tag") === "l", 1)).as("n_lineitems"),
+          count(when(col("tag") === "e", 1)).as("n_events"))
+        .orderBy("n_name")
+    },
+    """WITH delc AS (
+      |  SELECT c_custkey, n_name FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE c_custkey % 97 = 0),
+      |odel AS (
+      |  SELECT o_orderkey, n_name FROM orders
+      |  JOIN delc ON o_custkey = c_custkey),
+      |u AS (
+      |  SELECT n_name, 'c' AS tag FROM delc
+      |  UNION ALL SELECT n_name, 'o' FROM odel
+      |  UNION ALL SELECT n_name, 'l' FROM lineitem
+      |    JOIN odel ON l_orderkey = o_orderkey
+      |  UNION ALL SELECT n_name, 'e' FROM events
+      |    JOIN delc ON user_id = c_custkey)
+      |SELECT n_name,
+      |  count(CASE WHEN tag = 'c' THEN 1 END)::BIGINT AS n_customers,
+      |  count(CASE WHEN tag = 'o' THEN 1 END)::BIGINT AS n_orders,
+      |  count(CASE WHEN tag = 'l' THEN 1 END)::BIGINT AS n_lineitems,
+      |  count(CASE WHEN tag = 'e' THEN 1 END)::BIGINT AS n_events
+      |FROM u GROUP BY n_name ORDER BY n_name""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "q172_purge_sweep"     -> purgeSweep,
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
     "q17_nation_revenue"   -> nationRevenue,
