@@ -1936,8 +1936,75 @@ object AnalyticsQueries {
       |  count(*)::BIGINT AS n_rows
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** SCD2 dimension reconstruction + as-of fact join (q173) — the
+    * warehouse pattern for event-sourced attributes: each user's
+    * event stream becomes a type-2 slowly-changing dimension (validity
+    * intervals `[ts, next_ts)` carrying the state, built with one
+    * `lead()` window — no self-join), and the orders fact is stamped
+    * with the state valid at its order date. The fact side deliberately
+    * does NOT join the interval table on a range predicate — at 100 TB
+    * a fact×interval range join explodes; instead [[AsOfJoin]] attaches
+    * the state in one key shuffle, which is *equivalent by
+    * construction* to the interval lookup (the oracle proves it: DuckDB
+    * replays the literal `[from, to)` interval join). Orders placed
+    * before a user's first state (or by users with no events) fold to
+    * `(none)`. Ties at one timestamp collapse to the max event id's
+    * state on both engines (`max(struct)` / `arg_max`) before any
+    * window runs.
+    */
+  val scd2Join: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val st = t(s, d, "events")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("ts"), col("m.event_type").as("status"))
+      val iv = st.select(col("user_id"), col("status"), col("ts"))
+      val facts = t(s, d, "orders")
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").as("odate"),
+          cents(col("o_totalprice")).as("cents_v"))
+      val fj = AsOfJoin.asOf(facts, st, "user_id", "odate", "ts")
+        .select(coalesce(col("status"), lit("(none)")).as("status"),
+          col("cents_v"))
+      iv.select(col("status"), lit("i").as("tag"), lit(0L).as("cents_v"))
+        .unionByName(fj.select(col("status"), lit("o").as("tag"), col("cents_v")))
+        .groupBy("status")
+        .agg(count(when(col("tag") === "i", 1)).as("n_intervals"),
+          count(when(col("tag") === "o", 1)).as("n_orders"),
+          sum(when(col("tag") === "o", col("cents_v")).otherwise(0L))
+            .as("rev_cents"))
+        .orderBy("status")
+    },
+    """WITH st AS (
+      |  SELECT user_id, ts::TIMESTAMP AS ts,
+      |         arg_max(event_type, event_id) AS status
+      |  FROM events GROUP BY 1, 2),
+      |iv AS (
+      |  SELECT user_id, status, ts AS valid_from,
+      |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      |  FROM st),
+      |fact AS (
+      |  SELECT o_custkey AS user_id, o_orderdate::TIMESTAMP AS odate,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents_v
+      |  FROM orders),
+      |fj AS (
+      |  SELECT coalesce(i.status, '(none)') AS status, f.cents_v
+      |  FROM fact f LEFT JOIN iv i
+      |    ON f.user_id = i.user_id AND f.odate >= i.valid_from
+      |   AND (i.valid_to IS NULL OR f.odate < i.valid_to)),
+      |u AS (
+      |  SELECT status, 'i' AS tag, 0::BIGINT AS cents_v FROM iv
+      |  UNION ALL SELECT status, 'o', cents_v FROM fj)
+      |SELECT status,
+      |  count(CASE WHEN tag = 'i' THEN 1 END)::BIGINT AS n_intervals,
+      |  count(CASE WHEN tag = 'o' THEN 1 END)::BIGINT AS n_orders,
+      |  sum(CASE WHEN tag = 'o' THEN cents_v ELSE 0 END)::BIGINT AS rev_cents
+      |FROM u GROUP BY status ORDER BY status""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "q171_mv_rewrite"      -> mvAccelAgg,
+    "q173_scd2_join"       -> scd2Join,
     "q172_purge_sweep"     -> purgeSweep,
     "q15_pricing_summary"  -> pricingSummary,
     "q16_shipping_priority" -> shippingPriority,
