@@ -93,4 +93,15 @@ object Multimodal {
 
   def fakeDecodeSql(nBytes: String): (String, String) =
     (s"$nBytes % 640 + 1", s"$nBytes % 480 + 1")
+
+  /** Per-frame energy fold at the decode seam — the native
+    * [[graft.plans.CharEnergy]] expression over a decoded frame (one
+    * fused byte loop per row; the windowed-RMS stand-in a real PCM
+    * decoder would feed).
+    */
+  def frameEnergy(frame: org.apache.spark.sql.Column, k: Int,
+                  center: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.CharEnergy(
+        org.apache.spark.sql.graft.ColumnBridge.expression(frame), k, center))
 }

@@ -104,5 +104,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(L2DistSq.description)
     ext.injectFunction(MultiTableBuckets.description)
     ext.injectFunction(CharPolyHash.description)
+    ext.injectFunction(CharEnergy.description)
   }
 }

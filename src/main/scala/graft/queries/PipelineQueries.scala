@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.{Hashing, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
+import graft.plans.CharEnergy
 import graft.operators.{Bpe, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, HeavyHitters, MixManifest, Packing, Similarity, VectorQuantizer}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
@@ -1379,6 +1380,74 @@ object PipelineQueries {
          |  $fitWSql AS fit_w, $fitHSql AS fit_h
          |FROM s JOIN d ON s.doc_id = d.doc_id
          |ORDER BY s.doc_id, f""".stripMargin)
+  }
+
+  /** Windowed frame-energy audit (q174) — the audio arm of the
+    * multimodal family (q33 covers image-shaped decode/resize; this
+    * is the PCM-shaped path): contiguous fixed-size frames are
+    * sampled from the opaque binary content ([[Multimodal
+    * .sampleFrames]], pure codegen), each full frame folds to an
+    * energy scalar via the native [[graft.plans.CharEnergy]]
+    * expression (one fused byte loop — the windowed-RMS computation a
+    * loudness/silence-trim stage runs per frame), and per-media stats
+    * roll up to a per-source report (frame counts, total and peak
+    * energy, quiet-frame counts). Aggregation is two-level — per media
+    * FIRST, then per source — so the frame-grain rows never shuffle
+    * on the wide source key; at 100 TB the per-media combine happens
+    * map-side next to the decode. Media too short for one full frame
+    * drop out on both engines.
+    */
+  val audioEnergy: Q = {
+    val FRAME = 32; val STRIDE = 32; val MAXF = 8
+    val CENTER = 96; val QUIET = 8000L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val media = Multimodal.mediaTable(docs, "doc_id", "text")
+        val perDoc = Multimodal
+          .sampleFrames(media, "doc_id", FRAME, STRIDE, MAXF)
+          .filter(octet_length(col("frame")) === FRAME)
+          .select(col("doc_id"),
+            Multimodal.frameEnergy(decode(col("frame"), "UTF-8"),
+              FRAME, CENTER).as("energy"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nf"), sum("energy").as("se"),
+            max("energy").as("pk"),
+            count(when(col("energy") < QUIET, 1)).as("nq"))
+        perDoc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_media"),
+            sum("nf").as("n_frames"),
+            sum("se").as("sum_energy"),
+            max("pk").as("peak_energy"),
+            sum("nq").as("n_quiet"))
+          .orderBy("source")
+      },
+      s"""WITH m AS (
+         |  SELECT doc_id, source, text,
+         |    octet_length(encode(text))::INT AS n_bytes
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, least(${MAXF - 1}, greatest(n_bytes - $FRAME, 0) // $STRIDE) + 1)) AS f
+         |  FROM m),
+         |fr AS (
+         |  SELECT f.doc_id,
+         |    substr(m.text, (f.f * $STRIDE + 1)::INT, $FRAME) AS frame
+         |  FROM f JOIN m ON f.doc_id = m.doc_id),
+         |fe AS (
+         |  SELECT doc_id, ${CharEnergy.sql("frame", FRAME, CENTER)} AS energy
+         |  FROM fr WHERE length(frame) = $FRAME),
+         |pd AS (
+         |  SELECT doc_id, count(*) AS nf, sum(energy) AS se,
+         |    max(energy) AS pk,
+         |    count(CASE WHEN energy < $QUIET THEN 1 END) AS nq
+         |  FROM fe GROUP BY 1)
+         |SELECT m.source, count(*)::BIGINT AS n_media,
+         |  sum(pd.nf)::BIGINT AS n_frames, sum(pd.se)::BIGINT AS sum_energy,
+         |  max(pd.pk)::BIGINT AS peak_energy, sum(pd.nq)::BIGINT AS n_quiet
+         |FROM pd JOIN m ON pd.doc_id = m.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
   /** Judged batch twin of the streaming dedup (q170) — the
@@ -5249,6 +5318,7 @@ object PipelineQueries {
     "q168_avro_source"   -> avroSource,
     "q169_compaction"    -> compactionPlan,
     "q170_stream_twin"   -> streamBatchTwin,
+    "q174_audio_energy"  -> audioEnergy,
     "q111_source_overlap" -> sourceOverlap,
     "q110_templates"     -> templates,
     "q109_norm_audit"    -> normAudit,

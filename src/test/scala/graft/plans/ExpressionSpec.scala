@@ -118,6 +118,43 @@ class ExpressionSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("native CharEnergy equals a scala replay of the byte fold") {
+    val strs = Gen.listOfN(200,
+        Gen.choose(0, 40).flatMap(n =>
+          Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)).map(_.mkString)))
+      .apply(Gen.Parameters.default, Seed(12L)).get
+    def replay(s: String, k: Int, center: Int): Long =
+      (0 until k).map { j =>
+        val c = if (j < s.length) s.charAt(j).toLong else 0L
+        val d = c - center
+        d * d
+      }.sum
+    val df = strs.toDF("s")
+    for (k <- Seq(1, 32)) {
+      val got = df.select(col("s"),
+          graft.multimodal.Multimodal.frameEnergy(col("s"), k, 96).as("e"))
+        .as[(String, Long)].collect()
+      got.foreach { case (s, e) =>
+        assert(e == replay(s, k, 96), s"k=$k s='$s'") }
+    }
+    // null-transparent; non-ASCII prefix raises (asciiGuard contract)
+    val nulls = Seq(Option.empty[String], Some("abc")).toDF("s")
+      .select(graft.multimodal.Multimodal.frameEnergy(col("s"), 8, 96))
+      .as[Option[Long]].collect()
+    assert(nulls.head.isEmpty && nulls(1).nonEmpty)
+    val ex = intercept[Exception] {
+      Seq("café").toDF("s")
+        .select(graft.multimodal.Multimodal.frameEnergy(col("s"), 8, 96))
+        .collect()
+    }
+    assert(ex.getMessage != null)
+    // SQL registration
+    org.apache.spark.sql.graft.ColumnBridge.register(spark, CharEnergy.description)
+    // 'ab' at k=2, center 96: (97−96)² + (98−96)² = 5
+    assert(spark.sql("SELECT char_energy('ab', 2, 96) AS e")
+      .as[Long].head() == 5L)
+  }
+
   test("L2DistSq and mt_buckets register for SQL users") {
     org.apache.spark.sql.graft.ColumnBridge.register(spark, L2DistSq.description)
     org.apache.spark.sql.graft.ColumnBridge.register(
