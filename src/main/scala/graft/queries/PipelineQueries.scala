@@ -1450,6 +1450,91 @@ object PipelineQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Held-out centroid-classifier agreement, Cohen's kappa (q175) —
+    * the labeled-data quality gate q117's unsupervised cluster audit
+    * doesn't cover: train-half label centroids (q89's exact integer
+    * micro-unit means), nearest-centroid assignment of the held-out
+    * half, and chance-corrected agreement between true and assigned
+    * labels as scaled-integer kappa — `(N·D − E)·10⁶ // (N² − E)`
+    * with D the diagonal and E the Σ row·col expectation, all BIGINT
+    * (a worse-than-chance classifier goes negative — measured here,
+    * both engines truncate toward zero). The argmin is deterministic on
+    * both engines by packing `(dist, label)` into one integer key
+    * (`dist·1024 + label`, exact: 64·(10⁶)²·1024 < 2⁶³). Shapes:
+    * component explode + (label, dim) centroid groupBy
+    * (label-bounded state), test×centroid join keyed on dim with
+    * label-count-bounded fanout, then class-cardinality-sized
+    * confusion algebra — nothing scales with corpus² at any stage.
+    */
+  val centroidKappa: Q = {
+    val PACK = 1024L
+    Q(
+      (s, d) => {
+        val ex = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            posexplode(VectorFunctions.scaledMicro(col("embedding"))))
+          .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+        val cent = ex.filter(col("vec_id") % 2 === 0)
+          .groupBy(col("label").as("clabel"), col("dim"))
+          .agg(expr("sum(x) div count(1)").as("c"))
+        val pred = ex.filter(col("vec_id") % 2 === 1)
+          .join(cent, Seq("dim"))
+          .groupBy("vec_id", "label", "clabel")
+          .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
+          .groupBy("vec_id", "label")
+          .agg(min(col("dist") * PACK + col("clabel")).as("mk"))
+          .select(col("label"), (col("mk") % PACK).as("pred"))
+        val conf = pred.groupBy("label", "pred")
+          .agg(count(lit(1)).as("n")).persist()
+        val tot = conf.agg(sum("n").as("n_test"),
+          sum(when(col("label") === col("pred"), col("n")).otherwise(0L))
+            .as("n_agree"),
+          countDistinct("label").as("n_labels"))
+        val e = conf.groupBy("label").agg(sum("n").as("rn"))
+          .join(conf.groupBy(col("pred").as("label"))
+            .agg(sum("n").as("cn")), Seq("label"))
+          .agg(coalesce(sum(col("rn") * col("cn")), lit(0L)).as("e"))
+        tot.crossJoin(broadcast(e))
+          .select(col("n_labels"), col("n_test"), col("n_agree"),
+            expr("(n_test * n_agree - e) * 1000000L div (n_test * n_test - e)")
+              .as("kappa_ppm"))
+      },
+      s"""WITH ex AS (
+         |  SELECT vec_id, label::BIGINT AS label,
+         |    generate_subscripts(embedding, 1) - 1 AS dim,
+         |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS x
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS clabel, dim,
+         |    (CASE WHEN sum(x) >= 0 THEN sum(x)::BIGINT // count(*)
+         |          ELSE -((-(sum(x)::BIGINT)) // count(*)) END)::BIGINT AS c
+         |  FROM ex WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+         |dist AS (
+         |  SELECT t.vec_id, t.label, cent.clabel,
+         |    sum((t.x - cent.c) * (t.x - cent.c))::BIGINT AS dist
+         |  FROM ex t JOIN cent ON t.dim = cent.dim
+         |  WHERE t.vec_id % 2 = 1 GROUP BY 1, 2, 3),
+         |pr AS (
+         |  SELECT label, min(dist * $PACK + clabel) % $PACK AS pred
+         |  FROM dist GROUP BY vec_id, label),
+         |conf AS (
+         |  SELECT label, pred, count(*)::BIGINT AS n FROM pr GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT sum(n)::BIGINT AS n_test,
+         |    sum(CASE WHEN label = pred THEN n ELSE 0 END)::BIGINT AS n_agree,
+         |    count(DISTINCT label)::BIGINT AS n_labels
+         |  FROM conf),
+         |ee AS (
+         |  SELECT coalesce(sum(rn * cn), 0)::BIGINT AS e FROM
+         |    (SELECT label, sum(n)::BIGINT AS rn FROM conf GROUP BY 1) r
+         |    JOIN (SELECT pred AS label, sum(n)::BIGINT AS cn
+         |          FROM conf GROUP BY 1) c USING (label))
+         |SELECT n_labels, n_test, n_agree,
+         |  ((n_test * n_agree - e) * 1000000 // (n_test * n_test - e))::BIGINT
+         |    AS kappa_ppm
+         |FROM tot, ee""".stripMargin)
+  }
+
   /** Judged batch twin of the streaming dedup (q170) — the
     * [[graft.streaming.DedupStream]] algebra replayed as a
     * deterministic batch sequence so the driver's DuckDB oracle
@@ -5319,6 +5404,7 @@ object PipelineQueries {
     "q169_compaction"    -> compactionPlan,
     "q170_stream_twin"   -> streamBatchTwin,
     "q174_audio_energy"  -> audioEnergy,
+    "q175_centroid_kappa" -> centroidKappa,
     "q111_source_overlap" -> sourceOverlap,
     "q110_templates"     -> templates,
     "q109_norm_audit"    -> normAudit,

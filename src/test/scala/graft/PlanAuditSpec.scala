@@ -408,8 +408,9 @@ class PlanAuditSpec extends SparkSpec {
       "q122_incremental_agg" -> 2, // 1-row delta-fingerprint scalars
       "q141_quantile_error" -> 1, // constant quantile list
       "q163_quantile_rolling" -> 1, // constant quantile list
-      "q172_purge_sweep" -> 4) // one nation (25) dim hint; the hinted
+      "q172_purge_sweep" -> 4, // one nation (25) dim hint; the hinted
                                // cohort subtree fans into 4 branches
+      "q175_centroid_kappa" -> 1) // 1-row chance-expectation scalar
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
       val hints = hintCount(name)
       assert(hints == bounded.getOrElse(name, 0),
