@@ -2002,8 +2002,63 @@ object AnalyticsQueries {
       |  sum(CASE WHEN tag = 'o' THEN cents_v ELSE 0 END)::BIGINT AS rev_cents
       |FROM u GROUP BY status ORDER BY status""".stripMargin)
 
+  /** Signed-delta MV maintenance (q176) — the refresh half of the
+    * q171 subsystem, and the step past q122/q150's insert-only
+    * deltas: the stored MV absorbs a batch containing RETRACTIONS
+    * (rows leaving: `l_orderkey % 20 = 0`) and inserts (modified
+    * copies of the `% 20 = 5` rows, quantity+5) via the counting
+    * solution for view maintenance — every stream carries a ±1
+    * multiplicity, partials merge by signed sums in one grain-keyed
+    * aggregate, and groups whose row count reaches zero are DELETED
+    * (`HAVING n_rows > 0`, the cleanup insert-only algebras never
+    * need). Work is |MV| + |Δ| — the base table is represented only
+    * by its stored partials, never re-scanned. The oracle recomputes
+    * the post-batch state from scratch; equality proves the signed
+    * algebra including group deletion. Exact by construction:
+    * integral quantities, integer cents, BIGINT counts.
+    */
+  val mvMaintenance: Q = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_returnflag"),
+        col("l_linestatus"), to_date(col("l_shipdate")).as("ship_day"),
+        col("l_quantity"), col("l_extendedprice"), col("l_orderkey"))
+      def partials(df: DataFrame, mult: Int) = df
+        .groupBy("l_returnflag", "l_linestatus", "ship_day")
+        .agg((sum("l_quantity") * mult).as("sum_qty_d"),
+          (count(lit(1)) * mult).as("n_rows"),
+          (sum(cents(col("l_extendedprice"))) * mult).as("price_cents"))
+      val stored = partials(li, 1) // = the MV the last refresh left
+      val retract = partials(li.filter(col("l_orderkey") % 20 === 0), -1)
+      val insert = partials(
+        li.filter(col("l_orderkey") % 20 === 5)
+          .withColumn("l_quantity", col("l_quantity") + 5), 1)
+      stored.unionByName(retract).unionByName(insert)
+        .groupBy("l_returnflag", "l_linestatus", "ship_day")
+        .agg(sum("sum_qty_d").cast("long").as("sum_qty"),
+          sum("n_rows").as("n_rows"),
+          sum("price_cents").as("price_cents"))
+        .filter(col("n_rows") > 0)
+        .orderBy("l_returnflag", "l_linestatus", "ship_day")
+    },
+    """WITH mod AS (
+      |  SELECT l_returnflag, l_linestatus, l_shipdate, l_quantity,
+      |         l_extendedprice
+      |  FROM lineitem WHERE l_orderkey % 20 <> 0
+      |  UNION ALL
+      |  SELECT l_returnflag, l_linestatus, l_shipdate, l_quantity + 5,
+      |         l_extendedprice
+      |  FROM lineitem WHERE l_orderkey % 20 = 5)
+      |SELECT l_returnflag, l_linestatus, l_shipdate::DATE AS ship_day,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  count(*)::BIGINT AS n_rows,
+      |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+      |    AS price_cents
+      |FROM mod GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "q171_mv_rewrite"      -> mvAccelAgg,
+    "q176_mv_maintenance"  -> mvMaintenance,
     "q173_scd2_join"       -> scd2Join,
     "q172_purge_sweep"     -> purgeSweep,
     "q15_pricing_summary"  -> pricingSummary,
