@@ -2056,8 +2056,74 @@ object AnalyticsQueries {
       |FROM mod GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin)
 
+  /** Multi-touch attribution with exact cent-splitting (q177) —
+    * q40/q73 attribute a purchase to single touches; real ad-tech
+    * splits the revenue across EVERY qualifying touch. Each order's
+    * cents divide equally over the user's clicks in the 7 days before
+    * the order, with the integer remainder assigned to the earliest
+    * clicks (largest-remainder method) — so per-order credits sum to
+    * the order's cents EXACTLY, no floating-point leakage, and the
+    * books balance at any scale (the property float splits famously
+    * break). Pairing goes through [[RangeJoin]]'s day-bucket
+    * equi-join (never a nested-loop inequality join); the split needs
+    * one window over each purchase's bounded click set. Daily credited
+    * totals are the judged readout. (Purchases and clicks both live in
+    * the event stream — the only tables whose timelines overlap; the
+    * orders table ends years before events begin.)
+    */
+  val multiTouch: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), cents(col("value")).as("cents_v"))
+        .withColumn("w_start", col("p_ts") - expr("INTERVAL 7 DAYS"))
+      // window [p_ts − 7d, p_ts): the range join's exclusive upper
+      // bound is the purchase instant itself — only PRIOR clicks credit
+      val pairs = RangeJoin.inWindow(clicks, "user_id", "ts",
+        buys, "p_user", "w_start", 7)
+      val wBuy = Window.partitionBy("p_id")
+      pairs
+        .withColumn("rn", row_number().over(wBuy.orderBy("ts", "event_id")))
+        .withColumn("n", count(lit(1)).over(wBuy))
+        .select(to_date(col("ts")).as("day"),
+          (expr("cents_v div n") +
+            when(col("rn") <= col("cents_v") % col("n"), 1L).otherwise(0L))
+            .as("credit"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_credits"),
+          sum("credit").as("credited_cents"))
+        .orderBy("day")
+    },
+    """WITH ck AS (
+      |  SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events
+      |  WHERE event_type = 'click'),
+      |b AS (
+      |  SELECT event_id AS p_id, user_id, ts::TIMESTAMP AS p_ts,
+      |         CAST(round(value * 100) AS BIGINT) AS cents_v
+      |  FROM events WHERE event_type = 'purchase'),
+      |p AS (
+      |  SELECT b.p_id, b.cents_v, ck.ts, ck.event_id
+      |  FROM b JOIN ck ON ck.user_id = b.user_id
+      |   AND ck.ts >= b.p_ts - INTERVAL 7 DAY AND ck.ts < b.p_ts),
+      |r AS (
+      |  SELECT p_id, cents_v, ts,
+      |    row_number() OVER (PARTITION BY p_id
+      |                       ORDER BY ts, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY p_id) AS n
+      |  FROM p)
+      |SELECT ts::DATE AS day, count(*)::BIGINT AS n_credits,
+      |  sum(cents_v // n +
+      |      CASE WHEN rn <= cents_v % n THEN 1 ELSE 0 END)::BIGINT
+      |    AS credited_cents
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "q171_mv_rewrite"      -> mvAccelAgg,
+    "q177_multi_touch"     -> multiTouch,
     "q176_mv_maintenance"  -> mvMaintenance,
     "q173_scd2_join"       -> scd2Join,
     "q172_purge_sweep"     -> purgeSweep,
