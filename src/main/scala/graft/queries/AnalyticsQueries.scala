@@ -2121,8 +2121,64 @@ object AnalyticsQueries {
       |    AS credited_cents
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Categorical snapshot drift (q178) — the monitoring readout a
+    * feed owner checks before retraining: event-type composition of
+    * the first half-month vs the second, as exact ppm rates and the
+    * per-category |r₁−r₂| drift whose half-sum is the total-variation
+    * distance (the standard distribution-shift metric that needs no
+    * logs, so it stays in integer ppm; PSI/KL would drag floats in).
+    * One scan, one
+    * (half, type) aggregate, then a pivot over the type-bounded set —
+    * nothing scales past the category count. Complements q132 (drift
+    * in embedding space) and q124 (row-level snapshot diff) with the
+    * distribution-level view.
+    */
+  val snapshotDrift: Q = Q(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"),
+          when(to_date(col("ts")) <= lit("2024-01-15").cast("date"), 1L)
+            .otherwise(2L).as("half"))
+      val counts = ev.groupBy("event_type", "half")
+        .agg(count(lit(1)).as("n")).persist()
+      val tot = counts.groupBy("half").agg(sum("n").as("nt"))
+      counts.join(tot, Seq("half"))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("half") === 1, col("n")).otherwise(0L)).as("n1"),
+          sum(when(col("half") === 2, col("n")).otherwise(0L)).as("n2"),
+          sum(when(col("half") === 1,
+            expr("n * 1000000L div nt")).otherwise(0L)).as("r1_ppm"),
+          sum(when(col("half") === 2,
+            expr("n * 1000000L div nt")).otherwise(0L)).as("r2_ppm"))
+        .select(col("event_type"), col("n1"), col("n2"),
+          col("r1_ppm"), col("r2_ppm"),
+          abs(col("r1_ppm") - col("r2_ppm")).as("drift_ppm"))
+        .orderBy("event_type")
+    },
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CASE WHEN ts::DATE <= DATE '2024-01-15' THEN 1 ELSE 2 END AS half
+      |  FROM events),
+      |c AS (SELECT event_type, half, count(*)::BIGINT AS n
+      |      FROM ev GROUP BY 1, 2),
+      |t AS (SELECT half, sum(n)::BIGINT AS nt FROM c GROUP BY 1)
+      |SELECT event_type,
+      |  sum(CASE WHEN half = 1 THEN n ELSE 0 END)::BIGINT AS n1,
+      |  sum(CASE WHEN half = 2 THEN n ELSE 0 END)::BIGINT AS n2,
+      |  sum(CASE WHEN half = 1 THEN n * 1000000 // nt ELSE 0 END)::BIGINT
+      |    AS r1_ppm,
+      |  sum(CASE WHEN half = 2 THEN n * 1000000 // nt ELSE 0 END)::BIGINT
+      |    AS r2_ppm,
+      |  abs(sum(CASE WHEN half = 1 THEN n * 1000000 // nt ELSE 0 END) -
+      |      sum(CASE WHEN half = 2 THEN n * 1000000 // nt ELSE 0 END))::BIGINT
+      |    AS drift_ppm
+      |FROM c JOIN t USING (half)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "q171_mv_rewrite"      -> mvAccelAgg,
+    "q178_snapshot_drift"  -> snapshotDrift,
     "q177_multi_touch"     -> multiTouch,
     "q176_mv_maintenance"  -> mvMaintenance,
     "q173_scd2_join"       -> scd2Join,

@@ -1535,6 +1535,49 @@ object PipelineQueries {
          |FROM tot, ee""".stripMargin)
   }
 
+  /** Global ordinal assignment without a global sort (q179) — the
+    * shard/packing prerequisite (q62/q130 consume stable orderings):
+    * every document gets a contiguous global ordinal under
+    * (source, doc_id) order, but the naive `row_number() OVER (ORDER
+    * BY ...)` is a single-partition sort — the canonical scale
+    * anti-pattern. The distributed form: per-source ranks (windows
+    * partitioned by source — source is the parallelism unit), a
+    * 20-row per-source count table whose prefix-sum window is
+    * taxonomy-bounded, and one broadcast-sized offset join;
+    * `ordinal = offset + rank`. The oracle IS the naive global
+    * row_number — equality proves the decomposition. Readout is
+    * per-source boundary evidence plus an ordinal·id checksum: the
+    * boundaries certify contiguity (last − first + 1 = n, consecutive
+    * sources abut), the checksum pins every individual assignment.
+    */
+  val globalOrdinals: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+      val rn = docs.withColumn("rank",
+        row_number().over(Window.partitionBy("source").orderBy("doc_id")))
+      val off = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset",
+          coalesce(sum("cnt").over(Window.orderBy("source")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      rn.join(broadcast(off.select("source", "offset")), Seq("source"))
+        .select(col("source"), col("doc_id"),
+          (col("offset") + col("rank")).as("ordinal"))
+        .groupBy("source")
+        .agg(min("ordinal").as("first_ord"), max("ordinal").as("last_ord"),
+          count(lit(1)).as("n_docs"),
+          sum(col("ordinal") * col("doc_id")).as("chk"))
+        .orderBy("source")
+    },
+    """WITH o AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (ORDER BY source, doc_id) AS ordinal
+      |  FROM documents)
+      |SELECT source, min(ordinal)::BIGINT AS first_ord,
+      |  max(ordinal)::BIGINT AS last_ord, count(*)::BIGINT AS n_docs,
+      |  sum(ordinal * doc_id)::BIGINT AS chk
+      |FROM o GROUP BY source ORDER BY source""".stripMargin)
+
   /** Judged batch twin of the streaming dedup (q170) — the
     * [[graft.streaming.DedupStream]] algebra replayed as a
     * deterministic batch sequence so the driver's DuckDB oracle
@@ -5405,6 +5448,7 @@ object PipelineQueries {
     "q170_stream_twin"   -> streamBatchTwin,
     "q174_audio_energy"  -> audioEnergy,
     "q175_centroid_kappa" -> centroidKappa,
+    "q179_global_ordinals" -> globalOrdinals,
     "q111_source_overlap" -> sourceOverlap,
     "q110_templates"     -> templates,
     "q109_norm_audit"    -> normAudit,

@@ -410,7 +410,8 @@ class PlanAuditSpec extends SparkSpec {
       "q163_quantile_rolling" -> 1, // constant quantile list
       "q172_purge_sweep" -> 4, // one nation (25) dim hint; the hinted
                                // cohort subtree fans into 4 branches
-      "q175_centroid_kappa" -> 1) // 1-row chance-expectation scalar
+      "q175_centroid_kappa" -> 1, // 1-row chance-expectation scalar
+      "q179_global_ordinals" -> 1) // 20-row source-offset table (taxonomy)
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
       val hints = hintCount(name)
       assert(hints == bounded.getOrElse(name, 0),
