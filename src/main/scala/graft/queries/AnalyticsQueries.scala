@@ -2176,8 +2176,118 @@ object AnalyticsQueries {
       |FROM c JOIN t USING (half)
       |GROUP BY event_type ORDER BY event_type""".stripMargin)
 
+  /** Replica reconciliation via bucket fingerprints (q180) — how two
+    * regions compare a 100 TB table without shipping it: each replica
+    * reduces to 256 (count, content-hash-sum) bucket fingerprints —
+    * KB of exchange for TB of data — and only buckets whose
+    * fingerprints disagree are re-read at row grain to classify the
+    * divergence (changed / deleted / inserted keys). The hash-SUM
+    * makes the bucket digest order-free and partition-parallel
+    * (Merkle-tree leaves flattened to one level: a real system nests
+    * more levels, same algebra). Replica B is replica A with three
+    * deterministic tamper classes (`l_orderkey % 1000` ∈ {7: quantity
+    * bumped, 13: rows deleted, 21: rows inserted}); the judged output
+    * is the per-bucket divergence report, so both the fingerprint
+    * pass and the drill-down must agree with DuckDB's replay. Work:
+    * two scans + 256-row exchange + row work proportional to the
+    * TAMPERED fraction only.
+    */
+  val replicaDiff: Q = {
+    val NB = 256L
+    Q(
+      (s, d) => {
+        def rowsOf(df: DataFrame) = df.select(
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("k"),
+          Hashing.h32(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("long"),
+            cents(col("l_extendedprice")))).as("rowh"))
+          .withColumn("bucket", Hashing.h32(col("k")) % NB)
+        val base = t(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice")
+        val a = rowsOf(base)
+        val b = rowsOf(base.filter(col("l_orderkey") % 1000 =!= 13)
+          .withColumn("l_quantity",
+            when(col("l_orderkey") % 1000 === 7, col("l_quantity") + 1)
+              .otherwise(col("l_quantity")))
+          .unionByName(base.filter(col("l_orderkey") % 1000 === 21)
+            .withColumn("l_linenumber", col("l_linenumber") + 100)))
+        def fp(r: DataFrame, nc: String, hc: String) = r.groupBy("bucket")
+          .agg(count(lit(1)).as(nc), sum("rowh").as(hc))
+        val mism = fp(a, "n_a", "hs_a")
+          .join(fp(b, "n_b", "hs_b"), Seq("bucket"), "full_outer")
+          .filter(not(coalesce(col("n_a"), lit(0L)) === coalesce(col("n_b"), lit(0L)) &&
+            coalesce(col("hs_a"), lit(0L)) === coalesce(col("hs_b"), lit(0L))))
+          .select("bucket", "n_a", "n_b").persist()
+        val mb = mism.select("bucket")
+        val drill = a.join(broadcast(mb), Seq("bucket"))
+          .select(col("bucket"), col("k"), col("rowh").as("rh_a"))
+          .join(b.join(broadcast(mb), Seq("bucket"))
+              .select(col("bucket").as("bucket_b"), col("k"),
+                col("rowh").as("rh_b")),
+            Seq("k"), "full_outer")
+          // inserted keys exist only on the B side — their bucket must
+          // come from there, or they'd fold into a null group
+          .withColumn("bucket", coalesce(col("bucket"), col("bucket_b")))
+          .groupBy("bucket")
+          .agg(
+            count(when(col("rh_a").isNotNull && col("rh_b").isNotNull &&
+              col("rh_a") =!= col("rh_b"), 1)).as("n_changed"),
+            count(when(col("rh_b").isNull, 1)).as("n_deleted"),
+            count(when(col("rh_a").isNull, 1)).as("n_inserted"))
+        mism.join(drill, Seq("bucket"))
+          .select(col("bucket"), col("n_a"), col("n_b"),
+            col("n_changed"), col("n_deleted"), col("n_inserted"))
+          .orderBy("bucket")
+      },
+      s"""WITH base AS (
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         |  FROM lineitem),
+         |bt AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CASE WHEN l_orderkey % 1000 = 7 THEN l_quantity + 1
+         |         ELSE l_quantity END AS l_quantity, l_extendedprice
+         |  FROM base WHERE l_orderkey % 1000 <> 13
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber + 100, l_quantity,
+         |    l_extendedprice
+         |  FROM base WHERE l_orderkey % 1000 = 21),
+         |a AS (
+         |  SELECT l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS k,
+         |    ${Hashing.h32Sql("l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|' || l_quantity::BIGINT::VARCHAR || '|' || CAST(round(l_extendedprice * 100) AS BIGINT)::VARCHAR")} AS rowh
+         |  FROM base),
+         |b AS (
+         |  SELECT l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS k,
+         |    ${Hashing.h32Sql("l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|' || l_quantity::BIGINT::VARCHAR || '|' || CAST(round(l_extendedprice * 100) AS BIGINT)::VARCHAR")} AS rowh
+         |  FROM bt),
+         |ab AS (SELECT k, rowh, ${Hashing.h32Sql("k")} % $NB AS bucket FROM a),
+         |bb AS (SELECT k, rowh, ${Hashing.h32Sql("k")} % $NB AS bucket FROM b),
+         |fa AS (SELECT bucket, count(*)::BIGINT AS n_a, sum(rowh)::BIGINT AS hs_a
+         |       FROM ab GROUP BY 1),
+         |fb AS (SELECT bucket, count(*)::BIGINT AS n_b, sum(rowh)::BIGINT AS hs_b
+         |       FROM bb GROUP BY 1),
+         |mism AS (
+         |  SELECT bucket, n_a, n_b FROM fa FULL OUTER JOIN fb USING (bucket)
+         |  WHERE NOT (coalesce(n_a, 0) = coalesce(n_b, 0)
+         |         AND coalesce(hs_a, 0) = coalesce(hs_b, 0))),
+         |drill AS (
+         |  SELECT coalesce(x.bucket, y.bucket) AS bucket,
+         |    count(CASE WHEN x.rowh IS NOT NULL AND y.rowh IS NOT NULL
+         |               AND x.rowh <> y.rowh THEN 1 END)::BIGINT AS n_changed,
+         |    count(CASE WHEN y.rowh IS NULL THEN 1 END)::BIGINT AS n_deleted,
+         |    count(CASE WHEN x.rowh IS NULL THEN 1 END)::BIGINT AS n_inserted
+         |  FROM (SELECT * FROM ab WHERE bucket IN (SELECT bucket FROM mism)) x
+         |  FULL OUTER JOIN
+         |       (SELECT * FROM bb WHERE bucket IN (SELECT bucket FROM mism)) y
+         |    ON x.k = y.k
+         |  GROUP BY 1)
+         |SELECT bucket, n_a, n_b, n_changed, n_deleted, n_inserted
+         |FROM mism JOIN drill USING (bucket)
+         |ORDER BY bucket""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "q171_mv_rewrite"      -> mvAccelAgg,
+    "q180_replica_diff"    -> replicaDiff,
     "q178_snapshot_drift"  -> snapshotDrift,
     "q177_multi_touch"     -> multiTouch,
     "q176_mv_maintenance"  -> mvMaintenance,
