@@ -2345,7 +2345,8 @@ object AnalyticsQueries {
     "q163_quantile_rolling" -> quantileRolling,
     "q166_ntile_deciles"   -> ntileDeciles,
     "q126_degree_histogram" -> degreeHistogram,
-    "q181_assoc_rules"     -> assocRules)
+    "q181_assoc_rules"     -> assocRules,
+    "q182_bucketed_join"   -> bucketedJoin)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -2449,6 +2450,46 @@ object AnalyticsQueries {
          |       JOIN it b ON r.cons = b.item, n
          |ORDER BY ante, cons""".stripMargin)
   }
+
+  /** Co-bucketed shuffle-free join (q182) — the persisted-layout
+    * strategy [[graft.operators.Bucketing]] exists for, elevated to a
+    * judged query: orders and customer are published ONCE per data
+    * version bucketed+sorted on the customer key (16 buckets, one
+    * file per bucket via the aligned pre-repartition), registered in
+    * the session catalog, and the per-market-segment revenue rollup
+    * joins them with a merge hint — the physical plan has ZERO
+    * Exchange below the join (BucketingSpec asserts it; bucket i of
+    * each side streams into the same task; the residual per-task sort
+    * is Spark's post-SPARK-28595 default — the files ARE sorted, the
+    * scan just no longer advertises it). At 100 TB
+    * this is the load-bearing layout decision: the fact table's join
+    * shuffle is paid once at publish, never per query. The oracle
+    * joins the RAW tables, so hash equality also proves the bucketed
+    * artifact faithful.
+    */
+  lazy val bucketedJoin: Q = Q(
+    (s, d) => {
+      val ord = graft.operators.Bucketing.table(s, "graft-bktorders", d,
+        Seq("orders.parquet"),
+        t(s, d, "orders").select(col("o_custkey"),
+          cents(col("o_totalprice")).as("o_cents")),
+        "o_custkey", 16, "graft_bkt_orders",
+        "o_custkey BIGINT, o_cents BIGINT")
+      val cust = graft.operators.Bucketing.table(s, "graft-bktcustomer", d,
+        Seq("customer.parquet"),
+        t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "c_custkey", 16, "graft_bkt_customer",
+        "c_custkey BIGINT, c_mktsegment STRING")
+      ord.hint("merge")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum("o_cents").as("rev_cents"))
+        .orderBy("c_mktsegment")
+    },
+    """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+      |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 
   /** Incremental aggregate maintenance (q122) — the materialized-view
     * shape: the trailing 3 days of events are the "newly arrived"

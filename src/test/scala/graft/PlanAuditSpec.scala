@@ -412,7 +412,8 @@ class PlanAuditSpec extends SparkSpec {
                                // cohort subtree fans into 4 branches
       "q175_centroid_kappa" -> 1, // 1-row chance-expectation scalar
       "q179_global_ordinals" -> 1, // 20-row source-offset table (taxonomy)
-      "q180_replica_diff" -> 2) // ≤256-row mismatched-bucket list, both replicas
+      "q180_replica_diff" -> 2, // ≤256-row mismatched-bucket list, both replicas
+      "q181_assoc_rules" -> 1) // 1-row basket-total scalar
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
       val hints = hintCount(name)
       assert(hints == bounded.getOrElse(name, 0),
