@@ -2346,7 +2346,8 @@ object AnalyticsQueries {
     "q166_ntile_deciles"   -> ntileDeciles,
     "q126_degree_histogram" -> degreeHistogram,
     "q181_assoc_rules"     -> assocRules,
-    "q182_bucketed_join"   -> bucketedJoin)
+    "q182_bucketed_join"   -> bucketedJoin,
+    "q183_twap"            -> twap)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -2490,6 +2491,65 @@ object AnalyticsQueries {
       |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_cents
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+
+  /** Time-weighted average value (q183) — the TWAP readout every
+    * metering/pricing feed needs and a plain `avg()` gets wrong: each
+    * user's event stream is a step function (the value HOLDS until
+    * the user's next event), so the mean must weight each reading by
+    * how long it was in force, not by how often it was sampled. Per
+    * event type: interval count, total held seconds, the exact
+    * Σ cents·seconds integral, and the TWAP itself in cents. All
+    * integer: whole-second durations (`Δµs div 10⁶`) × integer cents
+    * stay under 2⁶³ at any realistic span (user-span-bounded sums,
+    * proven in the docstring arithmetic, not floats). Shape: ONE
+    * per-user window (`lead` over the user's own events — partition
+    * bounded by per-user activity, never corpus-wide) feeding one
+    * map-side-combinable aggregate; the tie-break (`ts, event_id`)
+    * makes the successor deterministic on both engines.
+    */
+  lazy val twap: Q = {
+    import org.apache.spark.sql.expressions.Window
+    Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), cents(col("value")).as("c"))
+          .withColumn("dur_s",
+            expr("(lead(unix_micros(ts)) over " +
+              "(partition by user_id order by ts, event_id) " +
+              "- unix_micros(ts)) div 1000000L"))
+          .filter(col("dur_s").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum("dur_s").as("sum_dur_s"),
+            sum(col("c") * col("dur_s")).as("sum_cents_s"))
+          .select(col("event_type"), col("n_intervals"), col("sum_dur_s"),
+            col("sum_cents_s"),
+            when(col("sum_dur_s") > 0,
+              expr("sum_cents_s div sum_dur_s")).otherwise(0L)
+              .as("twap_cents"))
+          .orderBy("event_type")
+      },
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |iv AS (
+        |  SELECT event_type, c,
+        |    (lead(epoch_us(ts)) OVER
+        |       (PARTITION BY user_id ORDER BY ts, event_id)
+        |     - epoch_us(ts)) // 1000000 AS dur_s
+        |  FROM ev),
+        |ag AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_intervals,
+        |    sum(dur_s)::BIGINT AS sum_dur_s,
+        |    sum(c * dur_s)::BIGINT AS sum_cents_s
+        |  FROM iv WHERE dur_s IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_intervals, sum_dur_s, sum_cents_s,
+        |  CASE WHEN sum_dur_s > 0 THEN sum_cents_s // sum_dur_s
+        |       ELSE 0 END::BIGINT AS twap_cents
+        |FROM ag ORDER BY event_type""".stripMargin)
+  }
 
   /** Incremental aggregate maintenance (q122) — the materialized-view
     * shape: the trailing 3 days of events are the "newly arrived"
