@@ -2347,7 +2347,8 @@ object AnalyticsQueries {
     "q126_degree_histogram" -> degreeHistogram,
     "q181_assoc_rules"     -> assocRules,
     "q182_bucketed_join"   -> bucketedJoin,
-    "q183_twap"            -> twap)
+    "q183_twap"            -> twap,
+    "q184_kmv_sketch"      -> kmvSketch)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -2549,6 +2550,78 @@ object AnalyticsQueries {
         |  CASE WHEN sum_dur_s > 0 THEN sum_cents_s // sum_dur_s
         |       ELSE 0 END::BIGINT AS twap_cents
         |FROM ag ORDER BY event_type""".stripMargin)
+  }
+
+  /** KMV (k-minimum-values) distinct sketch with a union arm (q184) —
+    * the third mergeable cardinality sketch beside HLL (q83) and
+    * count-min (q75): keep the k smallest distinct hash values, read
+    * `(k−1)·2³² div h_k` as the estimate. Unlike HLL it supports SET
+    * ALGEBRA (the union sketch is just the bottom-k of the merged
+    * value set — the `(all)` row here; intersections follow by
+    * inclusion–exclusion), which is why warehouses keep both. The
+    * k-th minimum is found WITHOUT a corpus-wide sort: a 256-cell
+    * hash-prefix histogram (`h div 2²⁴`, bounded state) locates the
+    * smallest prefix holding ≥ k distinct values per segment, only
+    * that prefix's ~1/256 of the distinct set is ranked exactly —
+    * recursing on the prefix bounds the ranked set at any scale. The
+    * oracle ranks the WHOLE distinct set directly, so hash equality
+    * proves the pruned selection ≡ the global k-th minimum. Estimates
+    * are exact int64 (`(k−1)·2³² < 2³⁵`); the err_ppm column reports
+    * the sketch's honest error against the exact count of the same
+    * hash domain.
+    */
+  lazy val kmvSketch: Q = {
+    val K = 8; val PREFIX = 16777216L // 2^24: 256 histogram cells
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("user_id"))
+        val hs = ev.select(col("event_type").as("seg"),
+            Hashing.h32(col("user_id").cast("string")).as("h"))
+          .unionByName(ev.select(lit("(all)").as("seg"),
+            Hashing.h32(col("user_id").cast("string")).as("h")))
+          .distinct().persist()
+        val hist = hs.groupBy(col("seg"),
+            expr(s"h div $PREFIX").as("cell"))
+          .agg(count(lit(1)).as("n"))
+        val cut = hist
+          .withColumn("cum", sum("n").over(
+            Window.partitionBy("seg").orderBy("cell")))
+          .filter(col("cum") >= K)
+          .groupBy("seg").agg(min("cell").as("cutcell"))
+        val hk = hs.join(cut, Seq("seg"))
+          .filter(col("h") < (col("cutcell") + 1) * PREFIX)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("seg").orderBy("h")))
+          .filter(col("rn") === K).select(col("seg"), col("h").as("hk"))
+        hs.groupBy("seg").agg(count(lit(1)).as("exact_nd"))
+          .join(hk, Seq("seg"))
+          .select(col("seg"), col("exact_nd"),
+            expr(s"${K - 1}L * 4294967296L div hk").as("kmv_est"))
+          .withColumn("err_ppm",
+            expr("abs(kmv_est - exact_nd) * 1000000L div exact_nd"))
+          .orderBy("seg")
+      },
+      s"""WITH ev AS (SELECT event_type, user_id FROM events),
+         |hs AS (
+         |  SELECT DISTINCT seg, h FROM (
+         |    SELECT event_type AS seg,
+         |      ${Hashing.h32Sql("user_id::VARCHAR")} AS h FROM ev
+         |    UNION ALL
+         |    SELECT '(all)', ${Hashing.h32Sql("user_id::VARCHAR")} FROM ev)),
+         |rk AS (
+         |  SELECT seg, h,
+         |    row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
+         |  FROM hs),
+         |hk AS (SELECT seg, h AS hk FROM rk WHERE rn = $K),
+         |ex AS (SELECT seg, count(*)::BIGINT AS exact_nd FROM hs GROUP BY 1)
+         |SELECT ex.seg, ex.exact_nd,
+         |  (${K - 1} * 4294967296 // hk)::BIGINT AS kmv_est,
+         |  (abs((${K - 1} * 4294967296 // hk) - exact_nd) * 1000000
+         |     // exact_nd)::BIGINT AS err_ppm
+         |FROM ex JOIN hk USING (seg)
+         |ORDER BY seg""".stripMargin)
   }
 
   /** Incremental aggregate maintenance (q122) — the materialized-view
