@@ -2348,7 +2348,8 @@ object AnalyticsQueries {
     "q181_assoc_rules"     -> assocRules,
     "q182_bucketed_join"   -> bucketedJoin,
     "q183_twap"            -> twap,
-    "q184_kmv_sketch"      -> kmvSketch)
+    "q184_kmv_sketch"      -> kmvSketch,
+    "q185_winsorize"       -> winsorize)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -2622,6 +2623,96 @@ object AnalyticsQueries {
          |     // exact_nd)::BIGINT AS err_ppm
          |FROM ex JOIN hk USING (seg)
          |ORDER BY seg""".stripMargin)
+  }
+
+  /** Rank-exact winsorization (q185) — the robust-mean readout a
+    * metering pipeline runs when a handful of extreme readings would
+    * otherwise own the average: per event type, the exact 5% order
+    * statistics (the (k+1)-th and (n−k)-th smallest cents, k = n div
+    * 20 — ranks, not interpolated percentiles, so everything stays in
+    * int64) clamp the tails and the winsorized mean is reported next
+    * to the raw one. The order statistics are found WITHOUT a
+    * corpus-wide sort by the same prefix-histogram selection q184
+    * uses on hash space, here on VALUE space: a ~900-cell `cents div
+    * 64` histogram (bounded state) locates each target rank's cell,
+    * only that cell's rows are ranked exactly (cell-population
+    * bounded; recurse to bound further at any scale), and the value
+    * at `target − cum_before` pops out. Tied cents make the ranked
+    * VALUE well-defined under any tie order, so both engines agree
+    * without a tiebreak column. The oracle ranks the whole multiset
+    * directly — hash equality proves pruned selection ≡ global order
+    * statistic. Thresholds re-enter as a segment-bounded join (5
+    * rows); the clamp pass is one scan, map-side combinable.
+    */
+  lazy val winsorize: Q = {
+    val CELL = 64L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("event_type"), cents(col("value")).as("c")).persist()
+        val nk = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+          .select(col("event_type"), col("n"), expr("n div 20").as("k"))
+        val targets = nk.select(col("event_type"),
+            (col("k") + 1).as("target"), lit("lo").as("which"))
+          .unionByName(nk.select(col("event_type"),
+            (col("n") - col("k")).as("target"), lit("hi").as("which")))
+        val hist = ev.groupBy(col("event_type"),
+            expr(s"c div $CELL").as("cell"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(
+            Window.partitionBy("event_type").orderBy("cell")))
+          .withColumn("prev", col("cum") - col("cnt"))
+        val hit = targets.join(hist, Seq("event_type"))
+          .filter(col("cum") >= col("target") && col("prev") < col("target"))
+          .select(col("event_type"), col("which"), col("cell"),
+            (col("target") - col("prev")).as("off"))
+        val thr = ev.select(col("event_type"),
+            expr(s"c div $CELL").as("cell"), col("c"))
+          .join(hit, Seq("event_type", "cell"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type", "which").orderBy("c")))
+          .filter(col("rn") === col("off"))
+          .groupBy("event_type")
+          .agg(min(when(col("which") === "lo", col("c"))).as("lo_cents"),
+            min(when(col("which") === "hi", col("c"))).as("hi_cents"))
+        ev.join(thr, Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            min("lo_cents").as("lo_cents"), min("hi_cents").as("hi_cents"),
+            count(when(col("c") < col("lo_cents"), 1)).as("n_lo"),
+            count(when(col("c") > col("hi_cents"), 1)).as("n_hi"),
+            sum("c").as("sum_c"),
+            sum(least(greatest(col("c"), col("lo_cents")),
+              col("hi_cents"))).as("sum_w"))
+          .select(col("event_type"), col("n"), col("lo_cents"),
+            col("hi_cents"), col("n_lo"), col("n_hi"),
+            expr("sum_c div n").as("mean_cents"),
+            expr("sum_w div n").as("wmean_cents"))
+          .orderBy("event_type")
+      },
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |thr AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN rn = n // 20 + 1 THEN c END) AS lo_cents,
+        |    min(CASE WHEN rn = n - n // 20 THEN c END) AS hi_cents
+        |  FROM rk GROUP BY 1)
+        |SELECT ev.event_type, count(*)::BIGINT AS n,
+        |  min(lo_cents)::BIGINT AS lo_cents, min(hi_cents)::BIGINT AS hi_cents,
+        |  count(CASE WHEN c < lo_cents THEN 1 END)::BIGINT AS n_lo,
+        |  count(CASE WHEN c > hi_cents THEN 1 END)::BIGINT AS n_hi,
+        |  (sum(c) // count(*))::BIGINT AS mean_cents,
+        |  (sum(least(greatest(c, lo_cents), hi_cents)) // count(*))::BIGINT
+        |    AS wmean_cents
+        |FROM ev JOIN thr USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
   /** Incremental aggregate maintenance (q122) — the materialized-view
