@@ -1450,6 +1450,85 @@ object PipelineQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Scene-change detection (q186) — the video arm of the multimodal
+    * family (q33 image decode, q174 audio energy): frames sampled
+    * from the opaque binary content, per-frame energy via the native
+    * [[graft.plans.CharEnergy]] fold, and a cut flagged wherever the
+    * energy jumps by more than a threshold between ADJACENT frames —
+    * the |Δ| shot-boundary heuristic every scene segmenter starts
+    * from (a real system swaps frame-difference histograms in at the
+    * same seam). The lag window is partitioned per media and bounded
+    * by the frame cap (≤ 12 rows), so it never becomes a corpus-scale
+    * sort; per-media shot stats aggregate map-side before the
+    * per-source rollup, the same two-level shape as q174. Mean shot
+    * length is reported in milli-frames (`frames·1000 div shots`,
+    * shots = cuts + media) to stay integer-exact.
+    */
+  val sceneCuts: Q = {
+    val FRAME = 48; val STRIDE = 48; val MAXF = 12
+    val CENTER = 96; val CUT = 2000L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val media = Multimodal.mediaTable(docs, "doc_id", "text")
+        val fe = Multimodal
+          .sampleFrames(media, "doc_id", FRAME, STRIDE, MAXF)
+          .filter(octet_length(col("frame")) === FRAME)
+          .select(col("doc_id"), col("f"),
+            Multimodal.frameEnergy(decode(col("frame"), "UTF-8"),
+              FRAME, CENTER).as("energy"))
+        val perDoc = fe
+          .withColumn("prev", lag("energy", 1).over(
+            Window.partitionBy("doc_id").orderBy("f")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nf"),
+            count(when(abs(col("energy") - col("prev")) > CUT, 1))
+              .as("cuts"))
+        perDoc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_media"),
+            sum("nf").as("n_frames"),
+            sum("cuts").as("n_cuts"),
+            max("cuts").as("max_cuts"))
+          .select(col("source"), col("n_media"), col("n_frames"),
+            col("n_cuts"), col("max_cuts"),
+            expr("n_frames * 1000L div (n_cuts + n_media)")
+              .as("shot_mframes"))
+          .orderBy("source")
+      },
+      s"""WITH m AS (
+         |  SELECT doc_id, source, text,
+         |    octet_length(encode(text))::INT AS n_bytes
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, least(${MAXF - 1}, greatest(n_bytes - $FRAME, 0) // $STRIDE) + 1)) AS f
+         |  FROM m),
+         |fr AS (
+         |  SELECT f.doc_id, f.f,
+         |    substr(m.text, (f.f * $STRIDE + 1)::INT, $FRAME) AS frame
+         |  FROM f JOIN m ON f.doc_id = m.doc_id),
+         |fe AS (
+         |  SELECT doc_id, f, ${CharEnergy.sql("frame", FRAME, CENTER)} AS energy
+         |  FROM fr WHERE length(frame) = $FRAME),
+         |lg AS (
+         |  SELECT doc_id, energy,
+         |    lag(energy) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+         |  FROM fe),
+         |pd AS (
+         |  SELECT doc_id, count(*) AS nf,
+         |    count(CASE WHEN abs(energy - prev) > $CUT THEN 1 END) AS cuts
+         |  FROM lg GROUP BY 1)
+         |SELECT m.source, count(*)::BIGINT AS n_media,
+         |  sum(pd.nf)::BIGINT AS n_frames, sum(pd.cuts)::BIGINT AS n_cuts,
+         |  max(pd.cuts)::BIGINT AS max_cuts,
+         |  (sum(pd.nf) * 1000 // (sum(pd.cuts) + count(*)))::BIGINT
+         |    AS shot_mframes
+         |FROM pd JOIN m ON pd.doc_id = m.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Held-out centroid-classifier agreement, Cohen's kappa (q175) —
     * the labeled-data quality gate q117's unsupervised cluster audit
     * doesn't cover: train-half label centroids (q89's exact integer
@@ -5447,6 +5526,7 @@ object PipelineQueries {
     "q169_compaction"    -> compactionPlan,
     "q170_stream_twin"   -> streamBatchTwin,
     "q174_audio_energy"  -> audioEnergy,
+    "q186_scene_cuts"    -> sceneCuts,
     "q175_centroid_kappa" -> centroidKappa,
     "q179_global_ordinals" -> globalOrdinals,
     "q111_source_overlap" -> sourceOverlap,
