@@ -2349,7 +2349,8 @@ object AnalyticsQueries {
     "q182_bucketed_join"   -> bucketedJoin,
     "q183_twap"            -> twap,
     "q184_kmv_sketch"      -> kmvSketch,
-    "q185_winsorize"       -> winsorize)
+    "q185_winsorize"       -> winsorize,
+    "q187_ab_test"         -> abTest)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -2714,6 +2715,79 @@ object AnalyticsQueries {
         |FROM ev JOIN thr USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
+
+  /** A/B experiment readout (q187) — the experimentation family's
+    * core query: users are deterministically hash-assigned to two
+    * variants (`h32(user) % 2` — the same stateless assignment a
+    * production experiment service computes at serve time, so both
+    * engines and any replay agree), conversion is "purchase spend
+    * above the global per-user average" (a scale-free definition —
+    * a fixed count threshold degenerates to all-or-none converters
+    * as the per-user event count grows with sf; the average rides in
+    * as a broadcast 1-row scalar), and the output is the 2×2
+    * contingency summary with
+    * conversion rates in ppm and the chi-square statistic in
+    * milli-units. The statistic is computed on a FIXED integer
+    * expression tree (`(d² div n₁n₂) · N · 1000 div (C·(N−C))`, d =
+    * n₁c₂−n₂c₁) — the interior truncation points are part of the
+    * definition, shared by construction with the oracle, so the
+    * result is deterministic at any parallelism; every operand is
+    * non-negative at each div, where Spark's truncation and DuckDB's
+    * floor agree. Shape: one distinct-user aggregate (map-side
+    * combinable conversion flag via max(case)), then 2-row algebra —
+    * nothing scales past the user count, and the user-grain state is
+    * one bit per user.
+    */
+  lazy val abTest: Q = Q(
+    (s, d) => {
+      val spend = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("value"))
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase",
+          cents(col("value"))).otherwise(0L)).as("sp"))
+      val avg = spend.agg(expr("sum(sp) div count(1)").as("av"))
+      val u = spend.crossJoin(broadcast(avg))
+        .select(Hashing.h32(col("user_id").cast("string")).mod(2L)
+          .as("variant"),
+          when(col("sp") > col("av"), 1L).otherwise(0L).as("conv"))
+      u.groupBy(lit(1).as("g"))
+        .agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c1"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c2"))
+        .select(col("n1"), col("c1"), col("n2"), col("c2"),
+          expr("c1 * 1000000L div n1").as("r1_ppm"),
+          expr("c2 * 1000000L div n2").as("r2_ppm"),
+          expr("(((n1*c2 - n2*c1) * (n1*c2 - n2*c1)) div (n1*n2)) " +
+            "* (n1+n2) * 1000L div ((c1+c2) * (n1+n2-c1-c2))")
+            .as("chi2_milli"))
+    },
+    s"""WITH sp AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT
+       |      AS sp
+       |  FROM events GROUP BY 1),
+       |av AS (SELECT sum(sp) // count(*) AS av FROM sp),
+       |v AS (
+       |  SELECT ${Hashing.h32Sql("user_id::VARCHAR")} % 2 AS variant,
+       |    CASE WHEN sp > av THEN 1 ELSE 0 END AS conv
+       |  FROM sp, av),
+       |ag AS (
+       |  SELECT
+       |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+       |    sum(CASE WHEN variant = 0 THEN conv ELSE 0 END)::BIGINT AS c1,
+       |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n2,
+       |    sum(CASE WHEN variant = 1 THEN conv ELSE 0 END)::BIGINT AS c2
+       |  FROM v)
+       |SELECT n1, c1, n2, c2,
+       |  (c1 * 1000000 // n1)::BIGINT AS r1_ppm,
+       |  (c2 * 1000000 // n2)::BIGINT AS r2_ppm,
+       |  ((((n1*c2 - n2*c1) * (n1*c2 - n2*c1)) // (n1*n2))
+       |    * (n1+n2) * 1000 // ((c1+c2) * (n1+n2-c1-c2)))::BIGINT
+       |    AS chi2_milli
+       |FROM ag""".stripMargin)
 
   /** Incremental aggregate maintenance (q122) — the materialized-view
     * shape: the trailing 3 days of events are the "newly arrived"
