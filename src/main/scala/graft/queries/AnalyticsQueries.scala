@@ -2350,7 +2350,8 @@ object AnalyticsQueries {
     "q183_twap"            -> twap,
     "q184_kmv_sketch"      -> kmvSketch,
     "q185_winsorize"       -> winsorize,
-    "q187_ab_test"         -> abTest)
+    "q187_ab_test"         -> abTest,
+    "q188_forecast_backtest" -> forecastBacktest)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -2788,6 +2789,57 @@ object AnalyticsQueries {
        |    * (n1+n2) * 1000 // ((c1+c2) * (n1+n2-c1-c2)))::BIGINT
        |    AS chi2_milli
        |FROM ag""".stripMargin)
+
+  /** Seasonal-naive forecast backtest (q188) — the baseline every
+    * traffic forecast must beat, scored the way a capacity planner
+    * scores it: predict each day's event count with the count seven
+    * days earlier, then report per event type the days scored, total
+    * absolute error, MAE in milli-events, and MAPE in ppm — all
+    * integer (per-day |a−f| ppm terms summed then divided, the
+    * truncation points shared with the oracle by construction). The
+    * week-ago value attaches by a self-JOIN on `day − 7`, not a
+    * `lag(…, 7)` window — a calendar gap would silently misalign the
+    * lag's "7 rows ago" with "7 days ago", and the join scores only
+    * days whose prior actually exists. Shape: one (day, type) count
+    * aggregate (map-side combinable) feeding a day-keyed self-join
+    * whose both sides are day×type bounded — nothing scales with raw
+    * event volume past the first aggregate.
+    */
+  lazy val forecastBacktest: Q = Q(
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val prior = daily.select(col("event_type").as("p_type"),
+        col("day").as("pday"), col("c").as("f"))
+      daily.join(prior,
+          col("event_type") === col("p_type") &&
+            col("pday") === date_sub(col("day"), 7))
+        .select(col("event_type"), col("c"), col("f"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum("c").as("sum_actual"),
+          sum(abs(col("c") - col("f"))).as("abs_err"),
+          sum(expr("abs(c - f) * 1000000L div c")).as("ape_sum"))
+        .select(col("event_type"), col("n_days"), col("sum_actual"),
+          col("abs_err"),
+          expr("abs_err * 1000L div n_days").as("mae_milli"),
+          expr("ape_sum div n_days").as("mape_ppm"))
+        .orderBy("event_type")
+    },
+    """WITH daily AS (
+      |  SELECT ts::DATE AS day, event_type, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.event_type, a.c, p.c AS f
+      |  FROM daily a JOIN daily p
+      |    ON a.event_type = p.event_type AND p.day = a.day - 7)
+      |SELECT event_type, count(*)::BIGINT AS n_days,
+      |  sum(c)::BIGINT AS sum_actual,
+      |  sum(abs(c - f))::BIGINT AS abs_err,
+      |  (sum(abs(c - f)) * 1000 // count(*))::BIGINT AS mae_milli,
+      |  (sum(abs(c - f) * 1000000 // c) // count(*))::BIGINT AS mape_ppm
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** Incremental aggregate maintenance (q122) — the materialized-view
     * shape: the trailing 3 days of events are the "newly arrived"
