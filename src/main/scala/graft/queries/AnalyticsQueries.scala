@@ -2351,7 +2351,9 @@ object AnalyticsQueries {
     "q184_kmv_sketch"      -> kmvSketch,
     "q185_winsorize"       -> winsorize,
     "q187_ab_test"         -> abTest,
-    "q188_forecast_backtest" -> forecastBacktest)
+    "q188_forecast_backtest" -> forecastBacktest,
+    "q189_benford"         -> benford,
+    "q190_data_contract"   -> dataContract)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -2840,6 +2842,135 @@ object AnalyticsQueries {
       |  (sum(abs(c - f)) * 1000 // count(*))::BIGINT AS mae_milli,
       |  (sum(abs(c - f) * 1000000 // c) // count(*))::BIGINT AS mape_ppm
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** Benford leading-digit audit (q189) — the classic fraud/quality
+    * screen on a monetary column: the distribution of first digits of
+    * positive amounts against Benford's law, per digit 1–9 observed
+    * count, observed ppm, expected ppm (the `log₁₀(1+1/d)` constants
+    * as integer literals — no floats at runtime), and |deviation|.
+    * The leading digit comes from the integer cents' decimal string
+    * (first char of a positive int64 renders identically on both
+    * engines). Shape: one scan into a 9-cell aggregate — map-side
+    * combinable, state bounded by the digit alphabet at any scale.
+    * Synthetic uniform-ish values WON'T follow Benford — the audit
+    * honestly reports the deviation, which is exactly its job.
+    */
+  lazy val benford: Q = {
+    // round(log10(1 + 1/d) * 1e6) for d = 1..9
+    val EXP = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val expCase = EXP.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}" }
+      .mkString("CASE digit ", " ", " END")
+    Q(
+      (s, d) => {
+        val pos = t(s, d, "events")
+          .select(cents(col("value")).as("c")).filter(col("c") > 0)
+        val tot = pos.agg(count(lit(1)).as("n"))
+        pos.select(substring(col("c").cast("string"), 1, 1)
+            .cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("n_obs"),
+            expr("n_obs * 1000000L div n").as("obs_ppm"),
+            expr(expCase).cast("long").as("exp_ppm"))
+          .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+          .orderBy("digit")
+      },
+      s"""WITH pos AS (
+         |  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+         |  WHERE round(value * 100) > 0),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM pos),
+         |dg AS (
+         |  SELECT substr(c::VARCHAR, 1, 1)::BIGINT AS digit,
+         |    count(*)::BIGINT AS n_obs
+         |  FROM pos GROUP BY 1)
+         |SELECT digit, n_obs,
+         |  (n_obs * 1000000 // n)::BIGINT AS obs_ppm,
+         |  ($expCase)::BIGINT AS exp_ppm,
+         |  abs((n_obs * 1000000 // n) - ($expCase))::BIGINT AS dev_ppm
+         |FROM dg, tot ORDER BY digit""".stripMargin)
+  }
+
+  /** Declarative data-contract validation (q190) — the Deequ-style
+    * check suite a pipeline runs before promoting a snapshot: each
+    * registered constraint (non-null, primary-key uniqueness,
+    * referential integrity, value range, derived-column consistency)
+    * evaluates to one report row `(constraint, n_rows, n_violations,
+    * viol_ppm)` and the suite is the union. Every check is a single
+    * aggregate or key anti-join — no row-grain output, map-side
+    * combinable, FK checks are the same left-anti shape as q03's RI
+    * sweep — so the whole contract costs one pass per table at any
+    * scale. Violation counts are first-class results, not assertion
+    * failures: a 100 TB promotion gate reports and routes, it doesn't
+    * throw.
+    */
+  lazy val dataContract: Q = Q(
+    (s, d) => {
+      def row(name: String, df: DataFrame): DataFrame = df.select(
+        lit(name).as("constraint_name"), col("n_rows"), col("n_viol"))
+      val docs = t(s, d, "documents")
+      val ev = t(s, d, "events")
+      val checks = Seq(
+        row("documents.lang NOT NULL",
+          docs.agg(count(lit(1)).as("n_rows"),
+            count(when(col("lang").isNull, 1)).as("n_viol"))),
+        row("documents.doc_id UNIQUE",
+          docs.groupBy("doc_id").agg(count(lit(1)).as("k"))
+            .agg(sum("k").as("n_rows"),
+              sum(when(col("k") > 1, col("k"))
+                .otherwise(0L)).as("n_viol"))),
+        row("documents.n_chars = length(text)",
+          docs.agg(count(lit(1)).as("n_rows"),
+            count(when(col("n_chars") =!= length(col("text")), 1))
+              .as("n_viol"))),
+        row("events.value >= 0",
+          ev.agg(count(lit(1)).as("n_rows"),
+            count(when(col("value") < 0, 1)).as("n_viol"))),
+        row("orders.o_custkey IN customer",
+          t(s, d, "orders").select(col("o_custkey"))
+            .join(t(s, d, "customer").select(col("c_custkey")),
+              col("o_custkey") === col("c_custkey"), "left")
+            .agg(count(lit(1)).as("n_rows"),
+              count(when(col("c_custkey").isNull, 1)).as("n_viol"))),
+        row("lineitem.l_orderkey IN orders",
+          t(s, d, "lineitem").select(col("l_orderkey"))
+            .join(t(s, d, "orders").select(col("o_orderkey")),
+              col("l_orderkey") === col("o_orderkey"), "left")
+            .agg(count(lit(1)).as("n_rows"),
+              count(when(col("o_orderkey").isNull, 1)).as("n_viol"))))
+      checks.reduce(_ unionByName _)
+        .withColumn("viol_ppm", expr("n_viol * 1000000L div n_rows"))
+        .orderBy("constraint_name")
+    },
+    """WITH checks AS (
+      |  SELECT 'documents.lang NOT NULL' AS constraint_name,
+      |    count(*)::BIGINT AS n_rows,
+      |    count(CASE WHEN lang IS NULL THEN 1 END)::BIGINT AS n_viol
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'documents.doc_id UNIQUE', sum(k)::BIGINT,
+      |    sum(CASE WHEN k > 1 THEN k ELSE 0 END)::BIGINT
+      |  FROM (SELECT count(*)::BIGINT AS k FROM documents GROUP BY doc_id)
+      |  UNION ALL
+      |  SELECT 'documents.n_chars = length(text)', count(*)::BIGINT,
+      |    count(CASE WHEN n_chars <> length(text) THEN 1 END)::BIGINT
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'events.value >= 0', count(*)::BIGINT,
+      |    count(CASE WHEN value < 0 THEN 1 END)::BIGINT
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey IN customer', count(*)::BIGINT,
+      |    count(CASE WHEN c_custkey IS NULL THEN 1 END)::BIGINT
+      |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey IN orders', count(*)::BIGINT,
+      |    count(CASE WHEN o_orderkey IS NULL THEN 1 END)::BIGINT
+      |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT constraint_name, n_rows, n_viol,
+      |  (n_viol * 1000000 // n_rows)::BIGINT AS viol_ppm
+      |FROM checks ORDER BY constraint_name""".stripMargin)
 
   /** Incremental aggregate maintenance (q122) — the materialized-view
     * shape: the trailing 3 days of events are the "newly arrived"
