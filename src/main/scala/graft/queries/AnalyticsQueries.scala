@@ -2353,7 +2353,8 @@ object AnalyticsQueries {
     "q187_ab_test"         -> abTest,
     "q188_forecast_backtest" -> forecastBacktest,
     "q189_benford"         -> benford,
-    "q190_data_contract"   -> dataContract)
+    "q190_data_contract"   -> dataContract,
+    "q191_change_point"    -> changePoint)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -2971,6 +2972,81 @@ object AnalyticsQueries {
       |SELECT constraint_name, n_rows, n_viol,
       |  (n_viol * 1000000 // n_rows)::BIGINT AS viol_ppm
       |FROM checks ORDER BY constraint_name""".stripMargin)
+
+  /** Single change-point detection (q191) — the monitoring question
+    * after q92 flags "something moved": WHERE did the level shift?
+    * Per event type, every candidate split of the daily-count series
+    * is scored by the absolute gap between the mean before and after
+    * (the least-squares single-break estimator), in integer
+    * milli-events — `|cum·1000 div k − (tot−cum)·1000 div (n−k)|` —
+    * and the argmax day wins (score ties resolve to the later day —
+    * the max(struct) ordering — identically on both engines). Shape:
+    * one
+    * (day, type) count aggregate, then ALL candidate scores come from
+    * one cumulative-sum window over the day×type-bounded series
+    * (≤ ~31 rows per type — never raw events), and the argmax is a
+    * `max(struct)` hash aggregate, not a sort. The day series is
+    * day-bounded at any corpus scale, so the whole detector's cost
+    * after the first aggregate is constant.
+    */
+  lazy val changePoint: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val scored = daily
+        .withColumn("k", row_number().over(w))
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+        .withColumn("tot", sum("c").over(
+          Window.partitionBy("event_type")))
+        .filter(col("k") < col("n")) // a split needs a non-empty right side
+        .withColumn("before_milli", expr("cum * 1000L div k"))
+        .withColumn("after_milli",
+          expr("(tot - cum) * 1000L div (n - k)"))
+        .withColumn("score_milli",
+          abs(col("before_milli") - col("after_milli")))
+      scored.groupBy("event_type")
+        .agg(max(struct(col("score_milli"),
+          col("day").cast("timestamp").as("day"),
+          col("before_milli"), col("after_milli"))).as("b"))
+        .select(col("event_type"),
+          to_date(col("b.day")).as("break_day"),
+          col("b.score_milli").as("score_milli"),
+          col("b.before_milli").as("before_milli"),
+          col("b.after_milli").as("after_milli"))
+        .orderBy("event_type")
+    },
+    """WITH daily AS (
+      |  SELECT ts::DATE AS day, event_type, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, day, c,
+      |    row_number() OVER w AS k,
+      |    sum(c) OVER w AS cum,
+      |    count(*) OVER (PARTITION BY event_type) AS n,
+      |    sum(c) OVER (PARTITION BY event_type) AS tot
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |sc AS (
+      |  SELECT event_type, day,
+      |    abs(cum * 1000 // k - (tot - cum) * 1000 // (n - k)) AS score_milli,
+      |    cum * 1000 // k AS before_milli,
+      |    (tot - cum) * 1000 // (n - k) AS after_milli
+      |  FROM cum WHERE k < n),
+      |best AS (
+      |  SELECT event_type,
+      |    max(struct_pack(score_milli := score_milli, day := day,
+      |      before_milli := before_milli, after_milli := after_milli)) AS b
+      |  FROM sc GROUP BY 1)
+      |SELECT event_type, (b.day)::DATE AS break_day,
+      |  b.score_milli::BIGINT AS score_milli,
+      |  b.before_milli::BIGINT AS before_milli,
+      |  b.after_milli::BIGINT AS after_milli
+      |FROM best ORDER BY event_type""".stripMargin)
 
   /** Incremental aggregate maintenance (q122) — the materialized-view
     * shape: the trailing 3 days of events are the "newly arrived"
