@@ -1529,6 +1529,61 @@ object PipelineQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Schema-evolution read (q192) — the format-matrix member q164/165
+    * (JSONL/ORC) don't cover: a table whose NEWER partition carries a
+    * column the older one predates. The artifact is one
+    * fingerprint-keyed root with two hive-style partitions (`gen=1`
+    * without `quality_ppm`, `gen=2` with it — the everyday "we
+    * started scoring docs mid-corpus" layout); the judged read uses
+    * `mergeSchema` + partition discovery, and the report proves the
+    * contract: old rows surface with NULL fill (counted per
+    * generation), new rows carry their scores, and the partition
+    * column arrives as data. At 100 TB this is how schema changes
+    * ship WITHOUT rewriting history — additive columns, per-partition
+    * footers merged at planning time; the oracle derives both
+    * generations relationally from the base table, so hash equality
+    * proves the on-disk evolution faithful. The split is
+    * `doc_id % 2`, deterministic on both engines.
+    */
+  val schemaEvolution: Q = Q(
+    (s, d) => {
+      val root = graft.sources.Artifacts.publishOnce(
+        "graft-schemaevo", d, Seq("documents.parquet")) { stage =>
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$stage/gen=1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("quality_ppm",
+            expr("least(n_chars, 1000L) * 1000L"))
+          .write.mode("overwrite").parquet(s"$stage/gen=2")
+        // publishOnce's commit marker sits at the artifact root; the
+        // per-partition writes left theirs one level down
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(stage, "_SUCCESS"))
+        ()
+      }
+      s.read.option("mergeSchema", "true").parquet(root)
+        .groupBy(col("gen").cast("long").as("gen"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("quality_ppm")).as("n_scored"),
+          count(when(col("quality_ppm").isNull, 1)).as("n_nullfill"),
+          coalesce(sum("quality_ppm"), lit(0L)).as("sum_quality"))
+        .orderBy("gen")
+    },
+    """WITH evo AS (
+      |  SELECT 1 AS gen, doc_id, CAST(NULL AS BIGINT) AS quality_ppm
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 2, doc_id, least(n_chars, 1000) * 1000
+      |  FROM documents WHERE doc_id % 2 = 1)
+      |SELECT gen::BIGINT AS gen, count(*)::BIGINT AS n_rows,
+      |  count(quality_ppm)::BIGINT AS n_scored,
+      |  count(CASE WHEN quality_ppm IS NULL THEN 1 END)::BIGINT
+      |    AS n_nullfill,
+      |  coalesce(sum(quality_ppm), 0)::BIGINT AS sum_quality
+      |FROM evo GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Held-out centroid-classifier agreement, Cohen's kappa (q175) —
     * the labeled-data quality gate q117's unsupervised cluster audit
     * doesn't cover: train-half label centroids (q89's exact integer
@@ -5527,6 +5582,7 @@ object PipelineQueries {
     "q170_stream_twin"   -> streamBatchTwin,
     "q174_audio_energy"  -> audioEnergy,
     "q186_scene_cuts"    -> sceneCuts,
+    "q192_schema_evolution" -> schemaEvolution,
     "q175_centroid_kappa" -> centroidKappa,
     "q179_global_ordinals" -> globalOrdinals,
     "q111_source_overlap" -> sourceOverlap,
