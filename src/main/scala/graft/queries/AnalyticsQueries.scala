@@ -2354,7 +2354,8 @@ object AnalyticsQueries {
     "q188_forecast_backtest" -> forecastBacktest,
     "q189_benford"         -> benford,
     "q190_data_contract"   -> dataContract,
-    "q191_change_point"    -> changePoint)
+    "q191_change_point"    -> changePoint,
+    "q193_trend_slope"     -> trendSlope)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -3047,6 +3048,64 @@ object AnalyticsQueries {
       |  b.before_milli::BIGINT AS before_milli,
       |  b.after_milli::BIGINT AS after_milli
       |FROM best ORDER BY event_type""".stripMargin)
+
+  /** Daily trend slope (q193) — the first-order companion to q191's
+    * level break: per event type, the OLS slope of daily counts over
+    * the day index, in exact integer ppm-events/day via the closed
+    * form `(n·Σky − Σk·Σy)·10⁶ // (n·Σk² − (Σk)²)`. The numerator
+    * CAN be negative — measured this round, DuckDB's integer `//`
+    * truncates toward zero exactly like Spark's `div` (−7//2 = −3 on
+    * both), so the plain `div` is the parity-correct form here (the
+    * pmod floor rewrite the graph queries use is for matching
+    * DuckDB's FLOORING `%`-derived buckets, a different construct).
+    * Day indices come from one
+    * row_number window over the day×type-bounded series; the moment
+    * sums are a single map-side-combinable aggregate. Like q191,
+    * everything after the first (day, type) count is constant-cost at
+    * any corpus scale. regr_slope exists on both engines but sums
+    * doubles — the integer closed form is what hash-exact replay (and
+    * a 1000-executor run) needs.
+    */
+  lazy val trendSlope: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("k", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("y").as("sum_y"),
+          sum("k").as("sk"), sum(expr("k * y")).as("sky"),
+          sum(expr("k * k")).as("skk"))
+        .select(col("event_type"), col("n"), col("sum_y"),
+          expr("(n * sky - sk * sum_y) * 1000000L").as("num"),
+          expr("n * skk - sk * sk").as("den"))
+        .select(col("event_type"), col("n"), col("sum_y"),
+          expr("num div den").as("slope_ppm"))
+        .withColumn("direction",
+          signum(col("slope_ppm")).cast("long"))
+        .orderBy("event_type")
+    },
+    """WITH daily AS (
+      |  SELECT ts::DATE AS day, event_type, count(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, y,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day)::BIGINT
+      |      AS k
+      |  FROM daily),
+      |mo AS (
+      |  SELECT event_type, count(*)::BIGINT AS n, sum(y)::BIGINT AS sum_y,
+      |    sum(k)::BIGINT AS sk, sum(k * y)::BIGINT AS sky,
+      |    sum(k * k)::BIGINT AS skk
+      |  FROM idx GROUP BY 1)
+      |SELECT event_type, n, sum_y,
+      |  ((n * sky - sk * sum_y) * 1000000 // (n * skk - sk * sk))::BIGINT
+      |    AS slope_ppm,
+      |  sign((n * sky - sk * sum_y) * 1000000 // (n * skk - sk * sk))::BIGINT
+      |    AS direction
+      |FROM mo ORDER BY event_type""".stripMargin)
 
   /** Incremental aggregate maintenance (q122) — the materialized-view
     * shape: the trailing 3 days of events are the "newly arrived"
