@@ -1584,6 +1584,55 @@ object PipelineQueries {
       |  coalesce(sum(quality_ppm), 0)::BIGINT AS sum_quality
       |FROM evo GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Document-length Gini coefficient (q194) — the inequality audit a
+    * curation team runs per source: is the token budget spread across
+    * documents or owned by a few giants? Gini comes from the rank
+    * form `(2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) · 10⁶ div (n·Σx)`, but WITHOUT
+    * ranking rows: group docs by (source, length) into a value
+    * histogram, and each distinct length v with count c after C
+    * smaller rows contributes `v·(c·C + c(c+1) div 2)` — the sum of
+    * its block's ranks in closed form (tie-invariant, so no tiebreak
+    * column is needed for parity). The only window is the cumulative
+    * count over the DISTINCT-length histogram per source — bounded by
+    * the length alphabet, not the corpus — and everything else is
+    * map-side-combinable aggregation; the oracle ranks the raw
+    * multiset with row_number, so hash equality proves histogram
+    * algebra ≡ per-row ranks. All operands non-negative int64.
+    */
+  val giniLengths: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = t(s, d, "documents")
+        .groupBy(col("source"), col("n_chars").as("x"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("source").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("cb", coalesce(sum("c").over(w), lit(0L)))
+        .groupBy("source")
+        .agg(sum("c").as("n"),
+          sum(expr("x * c")).as("t"),
+          sum(expr("x * (c * cb + c * (c + 1) div 2)")).as("srank"))
+        .select(col("source"), col("n").as("n_docs"),
+          col("t").as("sum_chars"),
+          expr("(2 * srank - (n + 1) * t) * 1000000L div (n * t)")
+            .as("gini_ppm"))
+        .orderBy("source")
+    },
+    """WITH rk AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars)::BIGINT
+      |      AS i
+      |  FROM documents),
+      |ag AS (
+      |  SELECT source, count(*)::BIGINT AS n,
+      |    sum(n_chars)::BIGINT AS t,
+      |    sum(i * n_chars)::BIGINT AS srank
+      |  FROM rk GROUP BY 1)
+      |SELECT source, n AS n_docs, t AS sum_chars,
+      |  ((2 * srank - (n + 1) * t) * 1000000 // (n * t))::BIGINT
+      |    AS gini_ppm
+      |FROM ag ORDER BY source""".stripMargin)
+
   /** Held-out centroid-classifier agreement, Cohen's kappa (q175) —
     * the labeled-data quality gate q117's unsupervised cluster audit
     * doesn't cover: train-half label centroids (q89's exact integer
@@ -5583,6 +5632,7 @@ object PipelineQueries {
     "q174_audio_energy"  -> audioEnergy,
     "q186_scene_cuts"    -> sceneCuts,
     "q192_schema_evolution" -> schemaEvolution,
+    "q194_gini_lengths"  -> giniLengths,
     "q175_centroid_kappa" -> centroidKappa,
     "q179_global_ordinals" -> globalOrdinals,
     "q111_source_overlap" -> sourceOverlap,
