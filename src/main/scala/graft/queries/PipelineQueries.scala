@@ -1633,6 +1633,67 @@ object PipelineQueries {
       |    AS gini_ppm
       |FROM ag ORDER BY source""".stripMargin)
 
+  /** Per-source unigram divergence (q195) — the distribution-level
+    * source audit q178 runs on event categories, applied to TEXT: how
+    * far each source's word distribution sits from the corpus-wide
+    * one, as total-variation distance in integer ppm (`Σ|p_s − p|
+    * div 2`, per-word rates in ppm — TV needs no logs, so unlike KL
+    * it stays in exact int64; the metric a mixture designer uses to
+    * spot an off-distribution source before it skews training).
+    * Shape: one (source, word) count from the exploded token stream
+    * (map-side combinable), a vocabulary-keyed join to the global
+    * word rates, and a per-source rollup — the join is keyed on the
+    * word, never a cross product, and the only state is
+    * vocabulary-sized. Words absent from a source contribute that
+    * word's full global rate; the UNION-side accounting makes both
+    * engines see the identical term set.
+    */
+  val sourceDivergence: Q = Q(
+    (s, d) => {
+      val words = t(s, d, "documents")
+        .select(col("source"),
+          explode(TextFunctions.words(col("text"))).as("w"))
+      val bySrc = words.groupBy("source", "w")
+        .agg(count(lit(1)).as("c")).persist()
+      val srcTot = bySrc.groupBy("source").agg(sum("c").as("st"))
+      val glob = bySrc.groupBy("w").agg(sum("c").as("g"))
+      val globTot = bySrc.agg(sum("c").as("gt"))
+      // full outer on the word key per source would explode; instead
+      // compute Σ|p_s − p| over the source's OWN words, then add the
+      // mass of words the source never uses: Σ_{w∉S} p(w) =
+      // 1 − Σ_{w∈S} p(w) — one subtraction instead of a vocab×source
+      // cross join.
+      val joined = bySrc.join(srcTot, Seq("source"))
+        .join(glob, Seq("w")).crossJoin(broadcast(globTot))
+        .withColumn("ps_ppm", expr("c * 1000000L div st"))
+        .withColumn("p_ppm", expr("g * 1000000L div gt"))
+      joined.groupBy("source")
+        .agg(count(lit(1)).as("vocab_used"),
+          sum(abs(col("ps_ppm") - col("p_ppm"))).as("overlap_dev"),
+          sum("p_ppm").as("covered_ppm"))
+        .select(col("source"), col("vocab_used"),
+          expr("(overlap_dev + (1000000L - covered_ppm)) div 2")
+            .as("tv_ppm"))
+        .orderBy("source")
+    },
+    s"""WITH words AS (
+       |  SELECT source, unnest(${TextFunctions.wordsSql("text")}) AS w
+       |  FROM documents),
+       |bs AS (SELECT source, w, count(*)::BIGINT AS c
+       |       FROM words GROUP BY 1, 2),
+       |st AS (SELECT source, sum(c)::BIGINT AS st FROM bs GROUP BY 1),
+       |g AS (SELECT w, sum(c)::BIGINT AS g FROM bs GROUP BY 1),
+       |gt AS (SELECT sum(c)::BIGINT AS gt FROM bs),
+       |j AS (
+       |  SELECT bs.source,
+       |    bs.c * 1000000 // st.st AS ps_ppm,
+       |    g.g * 1000000 // gt.gt AS p_ppm
+       |  FROM bs JOIN st USING (source) JOIN g USING (w), gt)
+       |SELECT source, count(*)::BIGINT AS vocab_used,
+       |  ((sum(abs(ps_ppm - p_ppm)) + (1000000 - sum(p_ppm))) // 2)::BIGINT
+       |    AS tv_ppm
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Held-out centroid-classifier agreement, Cohen's kappa (q175) —
     * the labeled-data quality gate q117's unsupervised cluster audit
     * doesn't cover: train-half label centroids (q89's exact integer
@@ -5633,6 +5694,7 @@ object PipelineQueries {
     "q186_scene_cuts"    -> sceneCuts,
     "q192_schema_evolution" -> schemaEvolution,
     "q194_gini_lengths"  -> giniLengths,
+    "q195_source_divergence" -> sourceDivergence,
     "q175_centroid_kappa" -> centroidKappa,
     "q179_global_ordinals" -> globalOrdinals,
     "q111_source_overlap" -> sourceOverlap,

@@ -415,7 +415,8 @@ class PlanAuditSpec extends SparkSpec {
       "q180_replica_diff" -> 2, // ≤256-row mismatched-bucket list, both replicas
       "q181_assoc_rules" -> 1, // 1-row basket-total scalar
       "q187_ab_test" -> 1, // 1-row average-spend scalar
-      "q189_benford" -> 1) // 1-row positive-count scalar
+      "q189_benford" -> 1, // 1-row positive-count scalar
+      "q195_source_divergence" -> 1) // 1-row global-token-total scalar
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
       val hints = hintCount(name)
       assert(hints == bounded.getOrElse(name, 0),
