@@ -2355,7 +2355,8 @@ object AnalyticsQueries {
     "q189_benford"         -> benford,
     "q190_data_contract"   -> dataContract,
     "q191_change_point"    -> changePoint,
-    "q193_trend_slope"     -> trendSlope)
+    "q193_trend_slope"     -> trendSlope,
+    "q196_user_growth"     -> userGrowth)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -3106,6 +3107,51 @@ object AnalyticsQueries {
       |  sign((n * sky - sk * sum_y) * 1000000 // (n * skk - sk * sk))::BIGINT
       |    AS direction
       |FROM mo ORDER BY event_type""".stripMargin)
+
+  /** User growth curve (q196) — the dashboard every product review
+    * opens with: per day, new users (first ever seen that day), the
+    * cumulative registered base, and that day's distinct actives —
+    * i.e. a RUNNING DISTINCT count, computed without any stateful
+    * scan: first-seen reduces per user to `min(day)` (map-side
+    * combinable), days aggregate to new-user counts, and the running
+    * total is a cumulative window over the DAY series (calendar-
+    * bounded — ~31 rows — never user-grain). Dividing new by active
+    * gives the day's acquisition share in ppm. At 100 TB the
+    * user-grain state is one date per user and everything after the
+    * two first aggregates is constant-cost.
+    */
+  lazy val userGrowth: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstSeen = ev.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_new"))
+      val active = ev.distinct()
+        .groupBy("day").agg(count(lit(1)).as("n_active"))
+      active.join(firstSeen, Seq("day"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("cum_users", sum("n_new").over(
+          Window.orderBy("day")))
+        .select(col("day"), col("n_new"), col("cum_users"),
+          col("n_active"),
+          expr("n_new * 1000000L div n_active").as("new_share_ppm"))
+        .orderBy("day")
+    },
+    """WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      |fs AS (
+      |  SELECT day, count(*)::BIGINT AS n_new FROM
+      |    (SELECT user_id, min(day) AS day FROM ev GROUP BY 1)
+      |  GROUP BY 1),
+      |ac AS (SELECT day, count(*)::BIGINT AS n_active FROM ev GROUP BY 1)
+      |SELECT ac.day, coalesce(fs.n_new, 0)::BIGINT AS n_new,
+      |  sum(coalesce(fs.n_new, 0)) OVER (ORDER BY ac.day)::BIGINT
+      |    AS cum_users,
+      |  ac.n_active,
+      |  (coalesce(fs.n_new, 0) * 1000000 // ac.n_active)::BIGINT
+      |    AS new_share_ppm
+      |FROM ac LEFT JOIN fs ON ac.day = fs.day
+      |ORDER BY ac.day""".stripMargin)
 
   /** Incremental aggregate maintenance (q122) — the materialized-view
     * shape: the trailing 3 days of events are the "newly arrived"
