@@ -167,6 +167,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan("q40_range_attrib").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("runtime dim filter prunes fact partitions dynamically (q197)") {
+    // the dim rows (top-5 days) exist only at runtime, so the probe
+    // scan must carry a dynamicpruning# subquery in its
+    // PartitionFilters — without it the 100 TB fact scan reads every
+    // day directory instead of 5
+    val p = plan("q197_dpp_join")
+    assert(p.contains("dynamicpruning"),
+      s"q197 lost dynamic partition pruning on the fact scan:\n$p")
+  }
+
   private def hintCount(name: String): Int = {
     val p = SparkEntry.queries(name)(spark, sf0001)
       .queryExecution.optimizedPlan.toString
