@@ -2357,7 +2357,8 @@ object AnalyticsQueries {
     "q191_change_point"    -> changePoint,
     "q193_trend_slope"     -> trendSlope,
     "q196_user_growth"     -> userGrowth,
-    "q197_dpp_join"        -> dppPeakDays)
+    "q197_dpp_join"        -> dppPeakDays,
+    "q198_ind_discovery"   -> indDiscovery)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -2956,6 +2957,77 @@ object AnalyticsQueries {
          |  ($expCase)::BIGINT AS exp_ppm,
          |  abs((n_obs * 1000000 // n) - ($expCase))::BIGINT AS dev_ppm
          |FROM dg, tot ORDER BY digit""".stripMargin)
+  }
+
+  /** Unary inclusion-dependency discovery (q198) — the schema-
+    * profiling pass that finds every "column A's values all appear in
+    * column B" relationship across the warehouse (the candidate FK
+    * map a data catalog shows, and the input to join-order/RI
+    * inference). Implemented as the SINDY inversion (Kruse et al.,
+    * BTW 2015): union all (value, column) pairs, ONE shuffle by
+    * value, `collect_set` the columns containing each value (the set
+    * dedups per-column repeats, so no per-column pre-distinct scans),
+    * expand each ≤13-element set into ordered pairs, and count — A⊆B
+    * iff shared(A,B) = |distinct(A)|. Per-pair state is bounded by
+    * the column registry squared (≤156 counters), never by data;
+    * pairs sharing no value are vacuously non-INDs and absent on both
+    * sides. The oracle computes the same counts via a value-keyed
+    * self-join, so hash equality proves the set inversion ≡ the join
+    * formulation. Finds the real TPC-H FK lattice (l_orderkey ⊆
+    * o_orderkey, o_custkey ⊆ c_custkey, …) plus the key-range
+    * coincidences a profiler is supposed to surface.
+    */
+  lazy val indDiscovery: Q = {
+    val registry = Seq(
+      "customer" -> "c_custkey", "customer" -> "c_nationkey",
+      "orders" -> "o_orderkey", "orders" -> "o_custkey",
+      "lineitem" -> "l_orderkey", "lineitem" -> "l_partkey",
+      "lineitem" -> "l_suppkey",
+      "supplier" -> "s_suppkey", "supplier" -> "s_nationkey",
+      "part" -> "p_partkey",
+      "nation" -> "n_nationkey", "nation" -> "n_regionkey",
+      "region" -> "r_regionkey")
+    Q(
+      (s, d) => {
+        val vals = registry.map { case (tb, c) =>
+          t(s, d, tb)
+            .select(col(c).cast("long").as("v"), lit(c).as("c"))
+            .where(col("v").isNotNull)
+        }.reduce(_ unionByName _)
+        // no persist: both consumers read the identical aggregate
+        // subtree, so the planner reuses ONE value-shuffle
+        // (ReusedExchange, asserted in PlanAuditSpec) and nothing
+        // lingers in the block manager after the query
+        val sets = vals.groupBy("v").agg(collect_set("c").as("cs"))
+        val counts = sets
+          .select(explode(col("cs")).as("col_a"))
+          .groupBy("col_a").agg(count(lit(1)).as("n_a"))
+        val shared = sets
+          .select(explode(col("cs")).as("col_a"), col("cs"))
+          .select(col("col_a"), explode(col("cs")).as("col_b"))
+          .filter(col("col_a") =!= col("col_b"))
+          .groupBy("col_a", "col_b").agg(count(lit(1)).as("n_shared"))
+        shared.join(broadcast(counts), Seq("col_a"))
+          .select(col("col_a"), col("col_b"), col("n_a"),
+            col("n_shared"),
+            when(col("n_shared") === col("n_a"), 1L).otherwise(0L)
+              .as("is_ind"))
+          .orderBy("col_a", "col_b")
+      },
+      s"""WITH vals AS (
+         |${registry.map { case (tb, c) =>
+             s"  SELECT DISTINCT $c::BIGINT AS v, '$c' AS c FROM $tb WHERE $c IS NOT NULL"
+           }.mkString("", "\n  UNION ALL\n", ""
+           )}),
+         |cnt AS (SELECT c, count(*)::BIGINT AS n FROM vals GROUP BY c),
+         |sh AS (
+         |  SELECT a.c AS col_a, b.c AS col_b, count(*)::BIGINT AS n_shared
+         |  FROM vals a JOIN vals b ON a.v = b.v AND a.c <> b.c
+         |  GROUP BY 1, 2)
+         |SELECT col_a, col_b, cnt.n AS n_a, n_shared,
+         |  (CASE WHEN n_shared = cnt.n THEN 1 ELSE 0 END)::BIGINT AS is_ind
+         |FROM sh JOIN cnt ON cnt.c = col_a
+         |ORDER BY col_a, col_b""".stripMargin)
   }
 
   /** Declarative data-contract validation (q190) — the Deequ-style

@@ -177,6 +177,19 @@ class PlanAuditSpec extends SparkSpec {
       s"q197 lost dynamic partition pruning on the fact scan:\n$p")
   }
 
+  test("IND discovery pays ONE value shuffle, reused by both consumers (q198)") {
+    // the column-set aggregate feeds both the per-column counts and
+    // the pair expansion; losing exchange reuse would double the
+    // (value)-keyed shuffle — the only data-sized exchange in the op.
+    // AQE applies reuse at runtime, so execute first and audit the
+    // FINAL adaptive plan
+    val df = SparkEntry.queries("q198_ind_discovery")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedQueryStage") || p.contains("ReusedExchange"),
+      s"q198 recomputes the value shuffle for each consumer:\n$p")
+  }
+
   private def hintCount(name: String): Int = {
     val p = SparkEntry.queries(name)(spark, sf0001)
       .queryExecution.optimizedPlan.toString
