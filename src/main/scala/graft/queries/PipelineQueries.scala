@@ -318,6 +318,112 @@ object PipelineQueries {
        |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)
 
+  /** Hybrid retrieval fusion (q199) — the RAG-serving shape: a
+    * LEXICAL arm (distinct shared informative words between query doc
+    * and candidate, df-capped exactly like q23 so stopwords never
+    * drive the match) and a VECTOR arm (the q26 brute-force cosine
+    * top-k over the aligned embeddings) are each ranked top-10 per
+    * query, then fused by integer Borda points (`K+1 − rank`, 0 when
+    * an arm missed the candidate) — rank fusion instead of
+    * reciprocal-rank so the fused score stays exact int64 (RRF's
+    * 1/(60+r) sums are non-associative doubles; Borda keeps the same
+    * rank-only robustness). Shapes: the lexical arm is a word-keyed
+    * equi-join with a windowed df-cap (one token shuffle — never
+    * pairs-first); the vector arm broadcasts 5 probes over one corpus
+    * scan; fusion is a full outer join of two ≤K·|Q|-row top lists —
+    * constant-sized at any corpus scale. Output: fused top-5 per
+    * query with per-arm points, proving which hits came from which
+    * modality.
+    */
+  val hybridFusion: Q = {
+    val K = 10; val F = 5; val MAX_DF = 50
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val tok = docs.select(col("doc_id"),
+          explode(array_distinct(TextFunctions.words(col("text"))))
+            .as("w"))
+        val capped = tok.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("w")))
+          .filter(col("df") <= MAX_DF)
+          .select("doc_id", "w")
+        val qtok = capped.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("w"))
+        val lex = qtok.join(capped, Seq("w"))
+          .filter(col("query_id") =!= col("doc_id"))
+          .groupBy("query_id", "doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+        val wl = Window.partitionBy("query_id")
+          .orderBy(desc("n_shared"), asc("doc_id"))
+        val lexTop = lex.withColumn("r", row_number().over(wl))
+          .filter(col("r") <= K)
+          .select(col("query_id"), col("doc_id"),
+            (lit(K + 1) - col("r")).cast("long").as("lex_pts"))
+        val emb = t(s, d, "embeddings")
+        val vecTop = Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", K)
+          .select(col("query_id"), col("vec_id").as("doc_id"),
+            (lit(K + 1) - col("rnk")).cast("long").as("vec_pts"))
+        val fused = lexTop
+          .join(vecTop, Seq("query_id", "doc_id"), "full_outer")
+          .na.fill(0L, Seq("lex_pts", "vec_pts"))
+          .withColumn("borda", col("lex_pts") + col("vec_pts"))
+        val wf = Window.partitionBy("query_id")
+          .orderBy(desc("borda"), asc("doc_id"))
+        fused.withColumn("rnk", row_number().over(wf).cast("long"))
+          .filter(col("rnk") <= F)
+          .select("query_id", "doc_id", "lex_pts", "vec_pts", "borda",
+            "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      s"""WITH tok0 AS (
+         |  SELECT doc_id, unnest(${TextFunctions.wordsSql("text")}) AS w
+         |  FROM documents),
+         |tok AS (SELECT DISTINCT doc_id, w FROM tok0),
+         |dfok AS (SELECT w FROM tok GROUP BY w HAVING count(*) <= $MAX_DF),
+         |ct AS (SELECT tok.doc_id, tok.w FROM tok JOIN dfok USING (w)),
+         |lex AS (
+         |  SELECT qd.doc_id AS query_id, cd.doc_id,
+         |    count(*)::BIGINT AS n_shared
+         |  FROM ct qd JOIN ct cd
+         |    ON qd.w = cd.w AND qd.doc_id < 5 AND cd.doc_id <> qd.doc_id
+         |  GROUP BY 1, 2),
+         |lexr AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY n_shared DESC, doc_id) AS r
+         |  FROM lex),
+         |lextop AS (
+         |  SELECT query_id, doc_id, (${K + 1} - r)::BIGINT AS lex_pts
+         |  FROM lexr WHERE r <= $K),
+         |$cosineCte,
+         |vecr AS (
+         |  SELECT query_id, vec_id AS doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS r
+         |  FROM scored),
+         |vectop AS (
+         |  SELECT query_id, doc_id, (${K + 1} - r)::BIGINT AS vec_pts
+         |  FROM vecr WHERE r <= $K),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    coalesce(l.lex_pts, 0)::BIGINT AS lex_pts,
+         |    coalesce(v.vec_pts, 0)::BIGINT AS vec_pts
+         |  FROM lextop l FULL OUTER JOIN vectop v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+         |fr AS (
+         |  SELECT query_id, doc_id, lex_pts, vec_pts,
+         |    (lex_pts + vec_pts)::BIGINT AS borda,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY lex_pts + vec_pts DESC, doc_id)
+         |      AS r
+         |  FROM fused)
+         |SELECT query_id, doc_id, lex_pts, vec_pts, borda, r::BIGINT AS rnk
+         |FROM fr WHERE r <= $F ORDER BY query_id, rnk""".stripMargin)
+  }
+
   /** Corpus stats for the ANN families: (n, dim) with a ragged-table
     * guard — the bit ceiling must be the real embedding dimension, not
     * an assumed constant (ADVICE r5). Served from the
@@ -5695,6 +5801,7 @@ object PipelineQueries {
     "q192_schema_evolution" -> schemaEvolution,
     "q194_gini_lengths"  -> giniLengths,
     "q195_source_divergence" -> sourceDivergence,
+    "q199_hybrid_fusion" -> hybridFusion,
     "q175_centroid_kappa" -> centroidKappa,
     "q179_global_ordinals" -> globalOrdinals,
     "q111_source_overlap" -> sourceOverlap,
