@@ -2358,7 +2358,8 @@ object AnalyticsQueries {
     "q193_trend_slope"     -> trendSlope,
     "q196_user_growth"     -> userGrowth,
     "q197_dpp_join"        -> dppPeakDays,
-    "q198_ind_discovery"   -> indDiscovery)
+    "q198_ind_discovery"   -> indDiscovery,
+    "q200_item_item_recs"  -> itemItemRecs)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -2957,6 +2958,85 @@ object AnalyticsQueries {
          |  ($expCase)::BIGINT AS exp_ppm,
          |  abs((n_obs * 1000000 // n) - ($expCase))::BIGINT AS dev_ppm
          |FROM dg, tot ORDER BY digit""".stripMargin)
+  }
+
+  /** Item-item collaborative-filtering recommendations (q200) — the
+    * classic Amazon-style "customers who bought X also bought Y"
+    * serve, computed relationally: a probe customer's score for an
+    * unseen part is the sum of co-purchase counts between that part
+    * and everything the customer owns, top-3 per customer by
+    * (score, part). The expensive half — global item-item
+    * co-occurrence — is NOT recomputed per serve: it's the same
+    * once-per-data-version [[partPairs]] artifact q79/q82/q126/q181
+    * read (item similarity is a property of the corpus, the per-user
+    * probe is the cheap keyed join against it). Shapes: the probe
+    * cohort filter pushes to the orders scan, ownership is a distinct
+    * key projection, scoring is one item-keyed join + grouped sum,
+    * "unseen only" is a left-anti join, and top-N is a
+    * cohort-bounded window. Exact integer scores; `n_paths` reports
+    * how many owned items vouched for each recommendation.
+    */
+  lazy val itemItemRecs: Q = {
+    val TOPN = 3; val MOD = 100
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val owned = t(s, d, "orders")
+          .filter(col("o_custkey") % MOD === 1)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, d, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            col("l_partkey").as("item"))
+          .distinct()
+        val pairs = partPairs(s, d)
+        val co = pairs
+          .select(col("u").as("item"), col("v").as("rec"),
+            col("n_orders"))
+          .unionByName(pairs.select(col("v").as("item"),
+            col("u").as("rec"), col("n_orders")))
+        val scored = owned.join(co, Seq("item"))
+          .groupBy(col("cust"), col("rec"))
+          .agg(sum("n_orders").as("score"),
+            count(lit(1)).as("n_paths"))
+        val unseen = scored.join(
+          owned.select(col("cust"), col("item").as("rec")),
+          Seq("cust", "rec"), "left_anti")
+        val w = Window.partitionBy("cust")
+          .orderBy(desc("score"), asc("rec"))
+        unseen.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= TOPN)
+          .orderBy("cust", "rnk")
+      },
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |p AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         |    count(*)::BIGINT AS n_orders
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |co AS (SELECT u AS item, v AS rec, n_orders FROM p
+         |       UNION ALL SELECT v, u, n_orders FROM p),
+         |owned AS (
+         |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_custkey % $MOD = 1),
+         |sc AS (
+         |  SELECT cust, rec, sum(n_orders)::BIGINT AS score,
+         |    count(*)::BIGINT AS n_paths
+         |  FROM owned JOIN co USING (item) GROUP BY 1, 2),
+         |un AS (
+         |  SELECT sc.* FROM sc LEFT JOIN owned o2
+         |    ON sc.cust = o2.cust AND sc.rec = o2.item
+         |  WHERE o2.cust IS NULL),
+         |r AS (
+         |  SELECT cust, rec, score, n_paths,
+         |    row_number() OVER (PARTITION BY cust
+         |                       ORDER BY score DESC, rec) AS rn
+         |  FROM un)
+         |SELECT cust, rec, score, n_paths, rn::BIGINT AS rnk
+         |FROM r WHERE rn <= $TOPN ORDER BY cust, rnk""".stripMargin)
   }
 
   /** Unary inclusion-dependency discovery (q198) — the schema-
