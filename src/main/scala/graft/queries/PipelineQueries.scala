@@ -3330,6 +3330,90 @@ object PipelineQueries {
        |FROM b JOIN lm USING (x, y)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  /** TextRank keyword extraction (q201) — Mihalcea & Tarau's
+    * unsupervised keyworder: PageRank over the word co-occurrence
+    * graph. Content words (length ≥ 4 — the stopword screen) are
+    * bigrammed IN filtered-sequence order per doc (q101's array
+    * transform, no posexplode self-join), distinct undirected edges
+    * hash to int64 node ids via the shared seeded family, and the
+    * SAME [[graft.operators.PageRank.ranks]] integer recurrence q70
+    * runs on the trade graph runs here on the vocabulary graph — one
+    * operator, two domains. The oracle unrolls the identical 3
+    * damped rounds, so bit-exact rank units double as a proof the
+    * graph build (filter → bigram → hash → symmetrize) matched.
+    * Graph size is vocabulary-bounded, never corpus-bounded; ranks
+    * join back to `min(word)` per node for the human-readable top-15.
+    */
+  val textRank: Q = {
+    val ITERS = 3; val K = 15; val MINLEN = 4; val SEED = 77
+    def iterCte(i: Int): String =
+      s"""s$i AS (
+         |  SELECT r${i - 1}.node AS src, (r // outdeg)::BIGINT AS share
+         |  FROM r${i - 1} JOIN od ON r${i - 1}.node = od.src),
+         |f$i AS (
+         |  SELECT e.dst AS node, sum(share) AS inflow
+         |  FROM e JOIN s$i ON e.src = s$i.src GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.node,
+         |    ((15 * (${graft.operators.PageRank.SCALE} // nn.n_nodes)) // 100
+         |     + (85 * coalesce(f.inflow, 0)) // 100)::BIGINT AS r
+         |  FROM nodes n CROSS JOIN nn
+         |  LEFT JOIN f$i f ON n.node = f.node)"""
+    Q(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"),
+            filter(TextFunctions.words(col("text")),
+              w => length(w) >= MINLEN).as("arr"))
+        val bi = toks.filter(size(col("arr")) >= 2)
+          .select(explode(transform(sequence(lit(2), size(col("arr"))),
+            i => struct(element_at(col("arr"), i - 1).as("wa"),
+              element_at(col("arr"), i).as("wb")))).as("b"))
+          .select(col("b.wa").as("wa"), col("b.wb").as("wb"))
+          .filter(col("wa") =!= col("wb"))
+        val e0 = bi
+          .select(Hashing.seeded(SEED, col("wa")).as("src"),
+            Hashing.seeded(SEED, col("wb")).as("dst"))
+          .distinct()
+        val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val names = toks.select(explode(col("arr")).as("w"))
+          .groupBy(Hashing.seeded(SEED, col("w")).as("node"))
+          .agg(min("w").as("word"))
+        graft.operators.PageRank.ranks(edges, "src", "dst", ITERS)
+          .join(names, Seq("node"))
+          .select(col("word"), col("r").as("rank_units"))
+          .orderBy(desc("rank_units"), asc("word")).limit(K)
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_filter(${TextFunctions.wordsSql("text")},
+         |      x -> length(x) >= $MINLEN) AS arr
+         |  FROM documents),
+         |w2 AS (SELECT doc_id, arr FROM w WHERE len(arr) >= 2),
+         |i AS (SELECT doc_id, arr, unnest(range(2, len(arr) + 1)) AS i
+         |      FROM w2),
+         |b AS (SELECT arr[i - 1] AS wa, arr[i] AS wb FROM i
+         |      WHERE arr[i - 1] <> arr[i]),
+         |e0 AS (SELECT DISTINCT ${Hashing.seededSql(SEED, "wa")} AS src,
+         |         ${Hashing.seededSql(SEED, "wb")} AS dst FROM b),
+         |e AS (SELECT src, dst FROM e0
+         |      UNION SELECT dst AS src, src AS dst FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |nn AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes),
+         |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT node,
+         |         (${graft.operators.PageRank.SCALE} // n_nodes)::BIGINT AS r
+         |       FROM nodes, nn),
+         |${(1 to ITERS).map(iterCte).mkString(",\n")},
+         |names AS (
+         |  SELECT ${Hashing.seededSql(SEED, "x")} AS node, min(x) AS word
+         |  FROM (SELECT unnest(arr) AS x FROM w) GROUP BY 1)
+         |SELECT word, r AS rank_units
+         |FROM r$ITERS JOIN names ON r$ITERS.node = names.node
+         |ORDER BY rank_units DESC, word LIMIT $K""".stripMargin)
+  }
+
   /** Containment detection (q102) — Broder's asymmetric near-dup
     * relation symmetric Jaccard MISSES: a short document wrapped
     * inside a longer one (boilerplate headers, quoted reposts,
@@ -5802,6 +5886,7 @@ object PipelineQueries {
     "q194_gini_lengths"  -> giniLengths,
     "q195_source_divergence" -> sourceDivergence,
     "q199_hybrid_fusion" -> hybridFusion,
+    "q201_textrank"      -> textRank,
     "q175_centroid_kappa" -> centroidKappa,
     "q179_global_ordinals" -> globalOrdinals,
     "q111_source_overlap" -> sourceOverlap,

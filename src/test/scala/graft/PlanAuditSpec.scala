@@ -34,6 +34,7 @@ class PlanAuditSpec extends SparkSpec {
       "q154_cheapest_nodes", // per-round localCheckpoint (ShortestPathsSpec)
       "q153_er_pipeline", // CC rounds run at build (same machinery as q46)
       "q160_kcore", // per-round localCheckpoint + count (KCoreSpec audits)
+      "q201_textrank", // PageRank rounds run at build (same machinery as q70)
       "q170_stream_twin") // batch replay COMMITS stream state at build;
                           // audited by DedupStreamSpec + its own oracle
 
