@@ -2359,7 +2359,8 @@ object AnalyticsQueries {
     "q196_user_growth"     -> userGrowth,
     "q197_dpp_join"        -> dppPeakDays,
     "q198_ind_discovery"   -> indDiscovery,
-    "q200_item_item_recs"  -> itemItemRecs)
+    "q200_item_item_recs"  -> itemItemRecs,
+    "q202_hits"            -> hitsRanks)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -2958,6 +2959,78 @@ object AnalyticsQueries {
          |  ($expCase)::BIGINT AS exp_ppm,
          |  abs((n_obs * 1000000 // n) - ($expCase))::BIGINT AS dev_ppm
          |FROM dg, tot ORDER BY digit""".stripMargin)
+  }
+
+  /** HITS hubs and authorities (q202) — Kleinberg's second classic
+    * centrality, on the DIRECTED customer→supplier trade graph (q70's
+    * PageRank symmetrizes it; HITS is what the direction is FOR):
+    * authority(supplier) = Σ hub(customers buying from it),
+    * hub(customer) = Σ authority(suppliers it buys from), mutually
+    * renormalized to 10⁶ integer units each half-round (exact `div`
+    * by the broadcast 1-row total — no floats, no driver scalars).
+    * Two full rounds = 4 edge-keyed join+agg pairs, a purely
+    * declarative chain (no checkpoint — plan-auditable, unlike the
+    * convergence-loop operators). The oracle unrolls the identical
+    * recurrence. On the bipartite trade graph the two scores live on
+    * disjoint node sets, which the `kind` column makes explicit;
+    * top-10 each. Scale: per-round cost is two keyed edge joins —
+    * same shape as a PageRank round; the 10⁶ scale keeps
+    * `units × SCALE` far under int64 at any realistic node count.
+    */
+  lazy val hitsRanks: Q = {
+    val ITERS = 2; val K = 10; val SCALE = 1000000L
+    Q(
+      (s, d) => {
+        val e = tradePairs(s, d).select("src", "dst").distinct()
+        val srcs = e.select(col("src").as("node")).distinct()
+        var h = srcs.select(col("node"), lit(SCALE).as("h"))
+        var a: DataFrame = null
+        for (_ <- 1 to ITERS) {
+          val ar = e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+            .groupBy(col("dst").as("node")).agg(sum("h").as("a0"))
+          a = ar.crossJoin(broadcast(ar.agg(sum("a0").as("t"))))
+            .select(col("node"), expr(s"a0 * ${SCALE}L div t").as("a"))
+          val hr = e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+            .groupBy(col("src").as("node")).agg(sum("a").as("h0"))
+          h = hr.crossJoin(broadcast(hr.agg(sum("h0").as("t"))))
+            .select(col("node"), expr(s"h0 * ${SCALE}L div t").as("h"))
+        }
+        a.orderBy(desc("a"), asc("node")).limit(K)
+          .select(lit("auth").as("kind"), col("node"),
+            col("a").as("units"))
+          .unionByName(h.orderBy(desc("h"), asc("node")).limit(K)
+            .select(lit("hub").as("kind"), col("node"),
+              col("h").as("units")))
+          .orderBy(col("kind"), desc("units"), col("node"))
+      },
+      s"""WITH e AS (
+         |  SELECT DISTINCT o.o_custkey AS src,
+         |    l.l_suppkey + $TRADE_OFF AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |h0 AS (SELECT DISTINCT src AS node, $SCALE AS h FROM e),
+         |a1r AS (SELECT dst AS node, sum(h)::BIGINT AS a0
+         |        FROM e JOIN h0 ON e.src = h0.node GROUP BY dst),
+         |a1 AS (SELECT node, (a0 * $SCALE //
+         |         (SELECT sum(a0) FROM a1r))::BIGINT AS a FROM a1r),
+         |h1r AS (SELECT src AS node, sum(a)::BIGINT AS h0
+         |        FROM e JOIN a1 ON e.dst = a1.node GROUP BY src),
+         |h1 AS (SELECT node, (h0 * $SCALE //
+         |         (SELECT sum(h0) FROM h1r))::BIGINT AS h FROM h1r),
+         |a2r AS (SELECT dst AS node, sum(h)::BIGINT AS a0
+         |        FROM e JOIN h1 ON e.src = h1.node GROUP BY dst),
+         |a2 AS (SELECT node, (a0 * $SCALE //
+         |         (SELECT sum(a0) FROM a2r))::BIGINT AS a FROM a2r),
+         |h2r AS (SELECT src AS node, sum(a)::BIGINT AS h0
+         |        FROM e JOIN a2 ON e.dst = a2.node GROUP BY src),
+         |h2 AS (SELECT node, (h0 * $SCALE //
+         |         (SELECT sum(h0) FROM h2r))::BIGINT AS h FROM h2r),
+         |topa AS (SELECT 'auth' AS kind, node, a AS units FROM a2
+         |         ORDER BY a DESC, node LIMIT $K),
+         |toph AS (SELECT 'hub' AS kind, node, h AS units FROM h2
+         |         ORDER BY h DESC, node LIMIT $K)
+         |SELECT kind, node, units FROM topa
+         |UNION ALL SELECT kind, node, units FROM toph
+         |ORDER BY kind, units DESC, node""".stripMargin)
   }
 
   /** Item-item collaborative-filtering recommendations (q200) — the
