@@ -3414,6 +3414,56 @@ object PipelineQueries {
          |ORDER BY rank_units DESC, word LIMIT $K""".stripMargin)
   }
 
+  /** Source-exclusive phrasing mass (q203) — q195's divergence sees
+    * WHICH words a source over-uses; this sees how much of a source's
+    * PHRASING exists nowhere else: the fraction of its word-bigram
+    * occurrences whose bigram type appears in no other source
+    * (global count = the source's own count). High exclusive mass
+    * flags templated/boilerplate-heavy or genuinely novel sources —
+    * both worth a curator's look before mixing; near-zero means the
+    * source phrases like the rest of the corpus. All map-side
+    * aggregation plus one bigram-type-keyed join (vocabulary-of-
+    * bigrams-sized state, never corpus-sized); exact integer ppm.
+    */
+  val exclusivePhrasing: Q = Q(
+    (s, d) => {
+      val bi = t(s, d, "documents")
+        .select(col("source"), TextFunctions.words(col("text")).as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("source"),
+          explode(transform(sequence(lit(2), size(col("arr"))),
+            i => struct(element_at(col("arr"), i - 1).as("x"),
+              element_at(col("arr"), i).as("y")))).as("b"))
+        .select(col("source"), col("b.x").as("x"), col("b.y").as("y"))
+      val cs = bi.groupBy("source", "x", "y").agg(count(lit(1)).as("c"))
+      val g = cs.groupBy("x", "y").agg(sum("c").as("g"))
+      cs.join(g, Seq("x", "y"))
+        .groupBy("source")
+        .agg(sum("c").as("n_bigrams"),
+          sum(when(col("g") === col("c"), col("c")).otherwise(0L))
+            .as("n_exclusive"),
+          count(when(col("g") === col("c"), 1)).as("n_excl_types"))
+        .withColumn("excl_ppm",
+          expr("n_exclusive * 1000000L div n_bigrams"))
+        .orderBy("source")
+    },
+    s"""WITH w AS (
+       |  SELECT source, ${TextFunctions.wordsSql("text")} AS arr
+       |  FROM documents WHERE len(${TextFunctions.wordsSql("text")}) >= 2),
+       |i AS (SELECT source, arr, unnest(range(2, len(arr) + 1)) AS i
+       |      FROM w),
+       |b AS (SELECT source, arr[i - 1] AS x, arr[i] AS y FROM i),
+       |cs AS (SELECT source, x, y, count(*)::BIGINT AS c
+       |       FROM b GROUP BY 1, 2, 3),
+       |g AS (SELECT x, y, sum(c)::BIGINT AS g FROM cs GROUP BY 1, 2)
+       |SELECT source, sum(c)::BIGINT AS n_bigrams,
+       |  sum(CASE WHEN g = c THEN c ELSE 0 END)::BIGINT AS n_exclusive,
+       |  count(CASE WHEN g = c THEN 1 END)::BIGINT AS n_excl_types,
+       |  (sum(CASE WHEN g = c THEN c ELSE 0 END) * 1000000
+       |     // sum(c))::BIGINT AS excl_ppm
+       |FROM cs JOIN g USING (x, y)
+       |GROUP BY source ORDER BY source""".stripMargin)
+
   /** Containment detection (q102) — Broder's asymmetric near-dup
     * relation symmetric Jaccard MISSES: a short document wrapped
     * inside a longer one (boilerplate headers, quoted reposts,
@@ -5887,6 +5937,7 @@ object PipelineQueries {
     "q195_source_divergence" -> sourceDivergence,
     "q199_hybrid_fusion" -> hybridFusion,
     "q201_textrank"      -> textRank,
+    "q203_exclusive_phrasing" -> exclusivePhrasing,
     "q175_centroid_kappa" -> centroidKappa,
     "q179_global_ordinals" -> globalOrdinals,
     "q111_source_overlap" -> sourceOverlap,
