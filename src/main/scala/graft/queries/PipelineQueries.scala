@@ -555,6 +555,50 @@ object PipelineQueries {
        |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin)
 
+  /** Mutual nearest neighbors (q204) — the alignment/matching
+    * primitive (MNN batch-effect matching, dataset linking, symmetric
+    * near-dup seeding): a pair qualifies only when each vector is the
+    * OTHER's top-1, which kills the asymmetric hub matches a plain
+    * top-1 sweep keeps (a hub is many vectors' nearest, but its own
+    * nearest is elsewhere — those pairs drop). Composes q28's
+    * multi-table sweep (k=1, same (r,T) derived from the corpus
+    * count) with one (a,b)-keyed self-join of the N-row top-1 list —
+    * the mutuality test costs nothing next to the sweep. Pairs
+    * emitted once (a < b) with their rounded cosine.
+    */
+  val mutualNn: Q = Q(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val r = VectorFunctions.mtBits(corpusStats(s, d)._1)
+      val nn1 = Similarity.multiTableSweep(emb, "vec_id", "embedding", 1,
+          r, VectorFunctions.mtTables(r))
+        .select(col("query_id").as("a"), col("vec_id").as("b"),
+          col("cos_sim"))
+      nn1.join(nn1.select(col("b").as("a"), col("a").as("b")),
+          Seq("a", "b"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("id_a"), col("b").as("id_b"), col("cos_sim"))
+        .orderBy("id_a", "id_b")
+    },
+    s"""WITH ${mtCtes("embeddings")},
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, kb.vec_id,
+       |    max(round(${VectorFunctions.cosineSql("q.embedding", "kb.embedding")}, 6))
+       |      AS cos_sim
+       |  FROM kb q JOIN kb ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+       |    AND kb.vec_id <> q.vec_id
+       |  GROUP BY q.vec_id, kb.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM scored),
+       |nn AS (SELECT query_id AS a, vec_id AS b, cos_sim
+       |       FROM ranked WHERE rnk = 1)
+       |SELECT x.a AS id_a, x.b AS id_b, x.cos_sim
+       |FROM nn x JOIN nn y ON x.a = y.b AND x.b = y.a
+       |WHERE x.a < x.b ORDER BY id_a, id_b""".stripMargin)
+
   /** Multi-table approximate top-5 for 5 query vectors
     * ([[Similarity.multiTableTopK]]) — the at-scale ANN query: T
     * independent r-bit hyperplane tables hold recall ≥ 95% for
@@ -5938,6 +5982,7 @@ object PipelineQueries {
     "q199_hybrid_fusion" -> hybridFusion,
     "q201_textrank"      -> textRank,
     "q203_exclusive_phrasing" -> exclusivePhrasing,
+    "q204_mutual_nn"     -> mutualNn,
     "q175_centroid_kappa" -> centroidKappa,
     "q179_global_ordinals" -> globalOrdinals,
     "q111_source_overlap" -> sourceOverlap,
