@@ -440,7 +440,15 @@ class PlanAuditSpec extends SparkSpec {
       "q181_assoc_rules" -> 1, // 1-row basket-total scalar
       "q187_ab_test" -> 1, // 1-row average-spend scalar
       "q189_benford" -> 1, // 1-row positive-count scalar
-      "q195_source_divergence" -> 1) // 1-row global-token-total scalar
+      "q195_source_divergence" -> 1, // 1-row global-token-total scalar
+      "q197_dpp_join" -> 1, // calendar dim (≤366 rows/yr), the DPP source
+      "q198_ind_discovery" -> 1, // 13-row column-registry count table
+      "q199_hybrid_fusion" -> 1, // fixed 5-query probe set (vector arm)
+      "q202_hits" -> 22) // 4 one-row normalization totals; the declarative
+                         // 2-round unroll re-embeds each prior round's
+                         // hinted subtree in every consumer branch, so the
+                         // optimized plan repeats them 22× — every one a
+                         // 1-row aggregate
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
       val hints = hintCount(name)
       assert(hints == bounded.getOrElse(name, 0),
