@@ -2360,7 +2360,8 @@ object AnalyticsQueries {
     "q197_dpp_join"        -> dppPeakDays,
     "q198_ind_discovery"   -> indDiscovery,
     "q200_item_item_recs"  -> itemItemRecs,
-    "q202_hits"            -> hitsRanks)
+    "q202_hits"            -> hitsRanks,
+    "q205_gold_table"      -> goldTable)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -2960,6 +2961,70 @@ object AnalyticsQueries {
          |  abs((n_obs * 1000000 // n) - ($expCase))::BIGINT AS dev_ppm
          |FROM dg, tot ORDER BY digit""".stripMargin)
   }
+
+  /** Denormalized gold-table publish (q205) — the star-schema flatten
+    * every BI/reporting stack runs: lineitem joined to its five
+    * dimensions ONCE per data version into a wide fact artifact
+    * (revenue already as integer cents), so every downstream rollup
+    * is a single scan of the wide table with column pruning — the
+    * 5-way join is paid at publish, never per dashboard query. Only
+    * the 25-row nation dim is hint-broadcast; the scaling joins are
+    * left to the planner (AQE broadcasts them at sf, shuffles them at
+    * 100 TB — the right call in both regimes, which a hard-coded hint
+    * would break). The judged read aggregates the ARTIFACT while the
+    * oracle joins the RAW tables, so hash equality proves the
+    * flatten faithful end to end.
+    */
+  lazy val goldTable: Q = Q(
+    (s, d) => {
+      val root = graft.sources.Artifacts.publishOnce(
+        "graft-gold", d, Seq("lineitem.parquet", "orders.parquet",
+          "customer.parquet", "supplier.parquet", "part.parquet",
+          "nation.parquet")) { stage =>
+        val li = t(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev_cents"))
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val c = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            col("c_mktsegment"))
+        val su = t(s, d, "supplier")
+          .select(col("s_suppkey"),
+            col("s_nationkey").as("supp_nationkey"))
+        val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"))
+        val n = t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name").as("cust_nation"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .select(col("o_orderdate"), col("cust_nation"),
+            col("c_mktsegment"), col("supp_nationkey"), col("p_brand"),
+            col("qty"), col("rev_cents"))
+          .write.mode("overwrite").parquet(stage)
+      }
+      s.read.parquet(root)
+        .groupBy("cust_nation", "p_brand")
+        .agg(count(lit(1)).as("n_items"), sum("qty").as("sum_qty"),
+          sum("rev_cents").as("rev_cents"))
+        .orderBy("cust_nation", "p_brand")
+    },
+    """SELECT n_name AS cust_nation, p_brand,
+      |  count(*)::BIGINT AS n_items,
+      |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+      |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |      AS BIGINT))::BIGINT AS rev_cents
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   /** HITS hubs and authorities (q202) — Kleinberg's second classic
     * centrality, on the DIRECTED customer→supplier trade graph (q70's

@@ -445,6 +445,8 @@ class PlanAuditSpec extends SparkSpec {
       "q198_ind_discovery" -> 1, // 13-row column-registry count table
       "q199_hybrid_fusion" -> 1, // fixed 5-query probe set (vector arm)
       "q202_hits" -> 22) // 4 one-row normalization totals; the declarative
+      // (q205's nation hint lives in the publish closure, not the
+      // judged read plan — the read is a hint-free artifact scan)
                          // 2-round unroll re-embeds each prior round's
                          // hinted subtree in every consumer branch, so the
                          // optimized plan repeats them 22× — every one a
