@@ -951,6 +951,96 @@ object AnalyticsQueries {
       |FROM cells JOIN rt USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin)
 
+  /** Stationary event-type mix (q206) — q143 reports the Markov
+    * transition matrix; this asks what that matrix IMPLIES: the
+    * stationary distribution under 3 integer power-iteration rounds
+    * (π′(j) = Σᵢ π(i)·n(i,j) div rtot(i), renormalized to 10⁶ ppm
+    * each round — HITS' discipline), printed next to the EMPIRICAL
+    * type mix. Agreement says the observed mix is self-consistent
+    * with its own dynamics; divergence flags a feed whose mix is
+    * drifting toward what the transitions predict. The corpus-sized
+    * work is the one per-user lead window q143 already pays; every
+    * iteration is K×K-bounded (type-taxonomy algebra), and the
+    * normalization totals are unpartitioned windows over ≤K rows —
+    * bounded, no broadcast hints, no driver scalars.
+    */
+  lazy val stationaryMix: Q = {
+    val ITERS = 3; val SCALE = 1000000L
+    def roundCte(i: Int): String =
+      s"""p${i}r AS (
+         |  SELECT to_type AS et, sum(pi * n // rtot)::BIGINT AS v
+         |  FROM pm JOIN p${i - 1} ON pm.from_type = p${i - 1}.et
+         |  GROUP BY 1),
+         |p$i AS (
+         |  SELECT et, (v * $SCALE //
+         |    (SELECT sum(v) FROM p${i}r))::BIGINT AS pi FROM p${i}r)"""
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wAll = Window.partitionBy()
+        val nxt = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("next_type", lead("event_type", 1).over(
+            Window.partitionBy("user_id").orderBy(col("ts"),
+              col("event_id"))))
+          .filter(col("next_type").isNotNull)
+        val cells = nxt.groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val pmat = cells.join(
+          cells.groupBy("from_type").agg(sum("n").as("rtot")),
+          Seq("from_type"))
+        val types = t(s, d, "events")
+          .select(col("event_type").as("et")).distinct()
+        var pi = types
+          .withColumn("k", count(lit(1)).over(wAll))
+          .select(col("et"), expr(s"${SCALE}L div k").as("pi"))
+        for (_ <- 1 to ITERS) {
+          val raw = pmat
+            .join(pi.withColumnRenamed("et", "from_type"),
+              Seq("from_type"))
+            .groupBy(col("to_type").as("et"))
+            .agg(sum(expr("pi * n div rtot")).as("v"))
+          pi = raw.withColumn("tot", sum("v").over(wAll))
+            .select(col("et"), expr(s"v * ${SCALE}L div tot").as("pi"))
+        }
+        val emp = t(s, d, "events")
+          .groupBy(col("event_type").as("et"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("tot", sum("n").over(wAll))
+          .select(col("et"),
+            expr(s"n * ${SCALE}L div tot").as("emp_ppm"))
+        pi.join(emp, Seq("et"))
+          .select(col("et").as("event_type"), col("pi").as("stat_ppm"),
+            col("emp_ppm"))
+          .orderBy("event_type")
+      },
+      s"""WITH nxt AS (
+         |  SELECT event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS next_type
+         |  FROM events),
+         |cells AS (
+         |  SELECT event_type AS from_type, next_type AS to_type,
+         |    count(*)::BIGINT AS n
+         |  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |pm AS (
+         |  SELECT c.from_type, c.to_type, c.n, r.rtot
+         |  FROM cells c JOIN (SELECT from_type, sum(n)::BIGINT AS rtot
+         |                     FROM cells GROUP BY 1) r USING (from_type)),
+         |ty AS (SELECT DISTINCT event_type AS et FROM events),
+         |p0 AS (SELECT et, ($SCALE // (SELECT count(*) FROM ty))::BIGINT
+         |         AS pi FROM ty),
+         |${(1 to ITERS).map(roundCte).mkString(",\n")},
+         |emp AS (SELECT event_type AS et, count(*)::BIGINT AS n
+         |        FROM events GROUP BY 1)
+         |SELECT et AS event_type, pi AS stat_ppm,
+         |  (n * $SCALE // (SELECT sum(n) FROM emp))::BIGINT AS emp_ppm
+         |FROM p$ITERS JOIN emp USING (et)
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** Grouping-sets rollup (q144) — the classic OLAP subtotal cube the
     * engine had not yet surfaced: one scan of `documents` producing
     * (source, lang) cells, per-source subtotals, and the grand total
@@ -2361,7 +2451,8 @@ object AnalyticsQueries {
     "q198_ind_discovery"   -> indDiscovery,
     "q200_item_item_recs"  -> itemItemRecs,
     "q202_hits"            -> hitsRanks,
-    "q205_gold_table"      -> goldTable)
+    "q205_gold_table"      -> goldTable,
+    "q206_stationary_mix"  -> stationaryMix)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
