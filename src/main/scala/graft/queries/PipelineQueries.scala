@@ -599,6 +599,73 @@ object PipelineQueries {
        |FROM nn x JOIN nn y ON x.a = y.b AND x.b = y.a
        |WHERE x.a < x.b ORDER BY id_a, id_b""".stripMargin)
 
+  /** Neighborhood label purity (q207) — the kNN mislabel/outlier
+    * screen: for every vector, how many of its top-5 embedding
+    * neighbors carry the SAME source label? A source whose documents
+    * sit in neighborhoods dominated by other sources is either
+    * mislabeled, boilerplate-contaminated, or genuinely
+    * indistinguishable — all three are facts a mixture designer needs
+    * before trusting per-source quotas. Same multi-table sweep as
+    * q28/q204 (corpus-count-derived (r,T)); labels arrive by two
+    * id-keyed joins of the (doc_id, source) projection — never the
+    * text, never the vectors. Per-source report: doc count, mean
+    * purity (exact integer ppm of per-doc ppms), and the count of
+    * low-purity (<50%) docs — the review queue.
+    */
+  val labelPurity: Q = {
+    val K = 5; val LOW = 500000L
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val r = VectorFunctions.mtBits(corpusStats(s, d)._1)
+        val knn = Similarity.multiTableSweep(emb, "vec_id", "embedding",
+          K, r, VectorFunctions.mtTables(r))
+        val lab = t(s, d, "documents").select(col("doc_id"), col("source"))
+        val per = knn
+          .join(lab.select(col("doc_id").as("query_id"),
+            col("source").as("q_src")), Seq("query_id"))
+          .join(lab.select(col("doc_id").as("vec_id"),
+            col("source").as("n_src")), Seq("vec_id"))
+          .groupBy(col("query_id"), col("q_src"))
+          .agg(count(lit(1)).as("k"),
+            sum(when(col("n_src") === col("q_src"), 1L).otherwise(0L))
+              .as("agree"))
+          .select(col("q_src").as("source"),
+            expr("agree * 1000000L div k").as("purity_ppm"))
+        per.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(purity_ppm) div count(1)").as("mean_purity_ppm"),
+            count(when(col("purity_ppm") < LOW, 1)).as("n_low"))
+          .orderBy("source")
+      },
+      s"""WITH ${mtCtes("embeddings")},
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, kb.vec_id,
+         |    max(round(${VectorFunctions.cosineSql("q.embedding", "kb.embedding")}, 6))
+         |      AS cos_sim
+         |  FROM kb q JOIN kb ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+         |    AND kb.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, kb.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM scored),
+         |knn AS (SELECT query_id, vec_id FROM ranked WHERE rnk <= $K),
+         |lab AS (SELECT doc_id, source FROM documents),
+         |per AS (
+         |  SELECT ql.source,
+         |    (sum(CASE WHEN nl.source = ql.source THEN 1 ELSE 0 END)
+         |      * 1000000 // count(*))::BIGINT AS purity_ppm
+         |  FROM knn JOIN lab ql ON knn.query_id = ql.doc_id
+         |           JOIN lab nl ON knn.vec_id = nl.doc_id
+         |  GROUP BY knn.query_id, ql.source)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  (sum(purity_ppm) // count(*))::BIGINT AS mean_purity_ppm,
+         |  count(CASE WHEN purity_ppm < $LOW THEN 1 END)::BIGINT AS n_low
+         |FROM per GROUP BY source ORDER BY source""".stripMargin)
+  }
+
   /** Multi-table approximate top-5 for 5 query vectors
     * ([[Similarity.multiTableTopK]]) — the at-scale ANN query: T
     * independent r-bit hyperplane tables hold recall ≥ 95% for
@@ -5983,6 +6050,7 @@ object PipelineQueries {
     "q201_textrank"      -> textRank,
     "q203_exclusive_phrasing" -> exclusivePhrasing,
     "q204_mutual_nn"     -> mutualNn,
+    "q207_label_purity"  -> labelPurity,
     "q175_centroid_kappa" -> centroidKappa,
     "q179_global_ordinals" -> globalOrdinals,
     "q111_source_overlap" -> sourceOverlap,
