@@ -1667,6 +1667,97 @@ object PipelineQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Voice-activity segmentation (q209) — the audio arm grows
+    * structure: q174 counts quiet frames, this finds the voiced
+    * SEGMENTS (maximal runs of consecutive frames with energy ≥
+    * threshold) via the islands-and-gaps idiom — `frame_idx −
+    * row_number` inside each media is constant exactly along a run,
+    * so one per-media window + one groupBy turns runs into rows, no
+    * self-join, no iteration. Per source: media/frame/voiced counts,
+    * segment count, the longest run, and mean segment length in
+    * milli-frames. The window partitions per media and is bounded by
+    * the ≤8-frame cap; everything else is two-level map-side
+    * aggregation (q174's shape). This is the VAD summary an audio
+    * curation pass runs (speech/music/silence triage) with the real
+    * energy fn swappable at the same [[graft.plans.CharEnergy]] seam.
+    */
+  val vadSegments: Q = {
+    val FRAME = 32; val STRIDE = 32; val MAXF = 8
+    val CENTER = 96; val QUIET = 8000L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val media = Multimodal.mediaTable(docs, "doc_id", "text")
+        val fe = Multimodal
+          .sampleFrames(media, "doc_id", FRAME, STRIDE, MAXF)
+          .filter(octet_length(col("frame")) === FRAME)
+          .select(col("doc_id"), col("f"),
+            (Multimodal.frameEnergy(decode(col("frame"), "UTF-8"),
+              FRAME, CENTER) >= QUIET).as("voiced"))
+        val segs = fe.filter(col("voiced"))
+          .withColumn("grp", col("f") - row_number().over(
+            Window.partitionBy("doc_id").orderBy("f")))
+          .groupBy("doc_id", "grp").agg(count(lit(1)).as("len"))
+        val perDoc = fe.groupBy("doc_id")
+          .agg(count(lit(1)).as("nf"),
+            count(when(col("voiced"), 1)).as("nv"))
+          .join(segs.groupBy("doc_id")
+            .agg(count(lit(1)).as("nseg"), max("len").as("maxrun")),
+            Seq("doc_id"), "left")
+          .na.fill(0L, Seq("nseg", "maxrun"))
+        perDoc
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_media"), sum("nf").as("n_frames"),
+            sum("nv").as("n_voiced"), sum("nseg").as("n_segments"),
+            max("maxrun").as("longest_run"))
+          .withColumn("mean_seg_milli", when(col("n_segments") > 0,
+            expr("n_voiced * 1000L div n_segments")).otherwise(0L))
+          .orderBy("source")
+      },
+      s"""WITH m AS (
+         |  SELECT doc_id, source, text,
+         |    octet_length(encode(text))::INT AS n_bytes
+         |  FROM documents),
+         |fx AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, least(${MAXF - 1}, greatest(n_bytes - $FRAME, 0) // $STRIDE) + 1)) AS f
+         |  FROM m),
+         |fr AS (
+         |  SELECT fx.doc_id, fx.f,
+         |    substr(m.text, (fx.f * $STRIDE + 1)::INT, $FRAME) AS frame
+         |  FROM fx JOIN m ON fx.doc_id = m.doc_id),
+         |fe AS (
+         |  SELECT doc_id, f,
+         |    (${CharEnergy.sql("frame", FRAME, CENTER)} >= $QUIET) AS voiced
+         |  FROM fr WHERE length(frame) = $FRAME),
+         |voi AS (
+         |  SELECT doc_id, f,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY f) AS rn
+         |  FROM fe WHERE voiced),
+         |seg AS (SELECT doc_id, f - rn AS grp, count(*)::BIGINT AS len
+         |        FROM voi GROUP BY doc_id, f - rn),
+         |sd AS (SELECT doc_id, count(*)::BIGINT AS nseg,
+         |         max(len)::BIGINT AS maxrun FROM seg GROUP BY doc_id),
+         |pd AS (
+         |  SELECT doc_id, count(*)::BIGINT AS nf,
+         |    count(CASE WHEN voiced THEN 1 END)::BIGINT AS nv
+         |  FROM fe GROUP BY doc_id),
+         |pj AS (
+         |  SELECT pd.doc_id, nf, nv, coalesce(nseg, 0) AS nseg,
+         |    coalesce(maxrun, 0) AS maxrun
+         |  FROM pd LEFT JOIN sd USING (doc_id))
+         |SELECT m.source, count(*)::BIGINT AS n_media,
+         |  sum(nf)::BIGINT AS n_frames, sum(nv)::BIGINT AS n_voiced,
+         |  sum(nseg)::BIGINT AS n_segments,
+         |  max(maxrun)::BIGINT AS longest_run,
+         |  (CASE WHEN sum(nseg) > 0 THEN sum(nv) * 1000 // sum(nseg)
+         |        ELSE 0 END)::BIGINT AS mean_seg_milli
+         |FROM pj JOIN m ON pj.doc_id = m.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Scene-change detection (q186) — the video arm of the multimodal
     * family (q33 image decode, q174 audio energy): frames sampled
     * from the opaque binary content, per-frame energy via the native
@@ -3524,6 +3615,63 @@ object PipelineQueries {
          |FROM r$ITERS JOIN names ON r$ITERS.node = names.node
          |ORDER BY rank_units DESC, word LIMIT $K""".stripMargin)
   }
+
+  /** Cross-source duplication matrix (q208) — WHO syndicates WHOM:
+    * for every ordered source pair (a, b), how many distinct content
+    * hashes occur in both (and how many docs of `a` that duplication
+    * covers). q22 collapses duplicates; this localizes them across
+    * the source taxonomy — the feed-overlap view a curator reads
+    * before double-counting "independent" sources in a mixture.
+    * Same inversion as q198: ONE hash-keyed shuffle collects each
+    * content hash's source set (plus per-source doc counts inside
+    * the set), the ≤|sources| set expands to ordered pairs, and
+    * everything after is taxonomy-bounded. The oracle self-joins on
+    * the hash, so parity again proves inversion ≡ join. The natural
+    * corpus has no cross-source exact dups, so every 7th doc is
+    * re-emitted under a `_mirror` source (q22's injection
+    * discipline) — the matrix must recover exactly that syndication
+    * pattern.
+    */
+  val sourceDupMatrix: Q = Q(
+    (s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("source"), lit("_mirror")).as("source"),
+            col("text")))
+      val h = corpus.select(col("source"), md5(col("text")).as("h"))
+      val perHash = h.groupBy("h", "source")
+        .agg(count(lit(1)).as("n_docs"))
+        .groupBy("h")
+        .agg(collect_list(struct(col("source"), col("n_docs")))
+          .as("ss"))
+        .filter(size(col("ss")) >= 2)
+      val pairs = perHash
+        .select(explode(col("ss")).as("a"), col("ss"))
+        .select(col("a.source").as("src_a"),
+          col("a.n_docs").as("na"), explode(col("ss")).as("b"))
+        .filter(col("src_a") =!= col("b.source"))
+        .select(col("src_a"), col("b.source").as("src_b"), col("na"))
+      pairs.groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_shared_hashes"),
+          sum("na").as("n_docs_a"))
+        .orderBy("src_a", "src_b")
+    },
+    """WITH corpus AS (
+      |  SELECT source, text FROM documents
+      |  UNION ALL
+      |  SELECT source || '_mirror' AS source, text FROM documents
+      |  WHERE doc_id % 7 = 0),
+      |h AS (SELECT source, md5(text) AS h FROM corpus),
+      |cs AS (SELECT h, source, count(*)::BIGINT AS n_docs
+      |       FROM h GROUP BY 1, 2)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  count(*)::BIGINT AS n_shared_hashes,
+      |  sum(a.n_docs)::BIGINT AS n_docs_a
+      |FROM cs a JOIN cs b ON a.h = b.h AND a.source <> b.source
+      |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)
 
   /** Source-exclusive phrasing mass (q203) — q195's divergence sees
     * WHICH words a source over-uses; this sees how much of a source's
@@ -6049,6 +6197,8 @@ object PipelineQueries {
     "q199_hybrid_fusion" -> hybridFusion,
     "q201_textrank"      -> textRank,
     "q203_exclusive_phrasing" -> exclusivePhrasing,
+    "q208_source_dup_matrix" -> sourceDupMatrix,
+    "q209_vad_segments"  -> vadSegments,
     "q204_mutual_nn"     -> mutualNn,
     "q207_label_purity"  -> labelPurity,
     "q175_centroid_kappa" -> centroidKappa,
