@@ -951,6 +951,49 @@ object AnalyticsQueries {
       |FROM cells JOIN rt USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin)
 
+  /** Inter-arrival spectrum (q210) — the polling-vs-organic traffic
+    * screen: per event type, the exact log₂ histogram of the gap (in
+    * whole seconds) to the user's NEXT event, each gap attributed to
+    * the earlier event's type. Machine traffic shows up as mass
+    * spiking in one narrow bucket (fixed polling interval); organic
+    * behavior spreads geometrically. Bucket = `length(bin(gap+1))` —
+    * q98's exact integer ⌊log₂⌋+1, no floats — so the histogram is
+    * mergeable across any partitioning. One per-user lead window
+    * (user-activity-bounded, q183's idiom) then a single
+    * (type, bucket) map-side-combinable aggregate with min/max gap
+    * witnesses per bucket.
+    */
+  lazy val interArrival: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("gap_s",
+          expr("(lead(unix_micros(ts)) over " +
+            "(partition by user_id order by ts, event_id) " +
+            "- unix_micros(ts)) div 1000000L"))
+        .filter(col("gap_s").isNotNull)
+        .withColumn("bucket",
+          expr("cast(length(bin(gap_s + 1)) AS bigint)"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), min("gap_s").as("min_gap_s"),
+          max("gap_s").as("max_gap_s"))
+        .orderBy("event_type", "bucket")
+    },
+    """WITH g AS (
+      |  SELECT event_type,
+      |    (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |       ORDER BY ts, event_id) - epoch_us(ts)) // 1000000 AS gap_s
+      |  FROM events)
+      |SELECT event_type,
+      |  length(bin(gap_s + 1))::BIGINT AS bucket,
+      |  count(*)::BIGINT AS n,
+      |  min(gap_s)::BIGINT AS min_gap_s,
+      |  max(gap_s)::BIGINT AS max_gap_s
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin)
+
   /** Stationary event-type mix (q206) — q143 reports the Markov
     * transition matrix; this asks what that matrix IMPLIES: the
     * stationary distribution under 3 integer power-iteration rounds
@@ -2452,7 +2495,8 @@ object AnalyticsQueries {
     "q200_item_item_recs"  -> itemItemRecs,
     "q202_hits"            -> hitsRanks,
     "q205_gold_table"      -> goldTable,
-    "q206_stationary_mix"  -> stationaryMix)
+    "q206_stationary_mix"  -> stationaryMix,
+    "q210_inter_arrival"   -> interArrival)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket

@@ -3616,6 +3616,93 @@ object PipelineQueries {
          |ORDER BY rank_units DESC, word LIMIT $K""".stripMargin)
   }
 
+  /** Synthetic range-source parity (q212) — the zero-I/O table
+    * generator a 100 TB test/benchmark harness needs: `spark.range`
+    * splits the index space evenly across executors (embarrassingly
+    * parallel, no input files, no shuffle until the final bounded
+    * aggregate), and every column derives from the row index through
+    * the SAME seeded hash family the dedup/sketch operators use — so
+    * the data is reproducible on any cluster topology, any executor
+    * count, any retry. The judged output is the generated table's
+    * per-bucket fingerprint (count, value sum, id range); the oracle
+    * regenerates the identical table from DuckDB's `range()` — pure
+    * compute parity, proving the generator is engine-portable and
+    * deterministic, the property that makes generated corpora
+    * legitimate test fixtures.
+    */
+  val rangeSource: Q = {
+    val N = 100000L; val SEED = 31; val BUCKETS = 20L; val VMOD = 100000L
+    Q(
+      (s, _) => {
+        val g = s.range(N).toDF("id")
+          .withColumn("h",
+            Hashing.seeded(SEED, col("id").cast("string")))
+          .select(col("id"), pmod(col("h"), lit(BUCKETS)).as("bucket"),
+            pmod(col("h"), lit(VMOD)).as("value_cents"))
+        g.groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            sum("value_cents").as("sum_cents"),
+            min("id").as("min_id"), max("id").as("max_id"))
+          .orderBy("bucket")
+      },
+      s"""WITH g AS (
+         |  SELECT id, ${Hashing.seededSql(SEED, "id::VARCHAR")} AS h
+         |  FROM range($N) t(id)),
+         |c AS (SELECT id, h % $BUCKETS AS bucket, h % $VMOD AS value_cents
+         |      FROM g)
+         |SELECT bucket, count(*)::BIGINT AS n,
+         |  sum(value_cents)::BIGINT AS sum_cents,
+         |  min(id)::BIGINT AS min_id, max(id)::BIGINT AS max_id
+         |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  /** Readability audit (q211) — the Flesch-style structural read on
+    * each source: average words per sentence and characters per word,
+    * both in exact milli units (the two drivers every readability
+    * formula reduces to — the syllable estimate is a lookup swapped
+    * in at the same seam). Sentences are non-empty '.'-segments
+    * (`greatest(…,1)` so headline-only docs count as one); word
+    * characters are `length(replace(text,' ',''))` — no explode
+    * needed, the whole doc profile is row-local expressions feeding
+    * one per-source aggregate. A source whose wps/cpw drifts from
+    * the corpus band is template spam, OCR noise, or genuinely
+    * different register — all reviewable facts.
+    */
+  val readability: Q = Q(
+    (s, d) => {
+      t(s, d, "documents")
+        .select(col("source"),
+          size(TextFunctions.words(col("text"))).cast("long")
+            .as("n_words"),
+          greatest(size(filter(split(col("text"), "\\."),
+            x => length(trim(x)) > 0)), lit(1)).cast("long")
+            .as("n_sent"),
+          length(regexp_replace(col("text"), " ", "")).cast("long")
+            .as("n_wchars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"), sum("n_sent").as("n_sents"),
+          sum("n_wchars").as("n_wchars"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_sents"),
+          expr("n_words * 1000L div n_sents").as("wps_milli"),
+          expr("n_wchars * 1000L div n_words").as("cpw_milli"))
+        .orderBy("source")
+    },
+    s"""WITH pd AS (
+       |  SELECT source,
+       |    len(${TextFunctions.wordsSql("text")})::BIGINT AS n_words,
+       |    greatest(len(list_filter(regexp_split_to_array(text, '\\.'),
+       |      x -> length(trim(x)) > 0)), 1)::BIGINT AS n_sent,
+       |    length(replace(text, ' ', ''))::BIGINT AS n_wchars
+       |  FROM documents)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(n_words)::BIGINT AS n_words,
+       |  sum(n_sent)::BIGINT AS n_sents,
+       |  (sum(n_words) * 1000 // sum(n_sent))::BIGINT AS wps_milli,
+       |  (sum(n_wchars) * 1000 // sum(n_words))::BIGINT AS cpw_milli
+       |FROM pd GROUP BY source ORDER BY source""".stripMargin)
+
   /** Cross-source duplication matrix (q208) — WHO syndicates WHOM:
     * for every ordered source pair (a, b), how many distinct content
     * hashes occur in both (and how many docs of `a` that duplication
@@ -6198,6 +6285,8 @@ object PipelineQueries {
     "q201_textrank"      -> textRank,
     "q203_exclusive_phrasing" -> exclusivePhrasing,
     "q208_source_dup_matrix" -> sourceDupMatrix,
+    "q211_readability"   -> readability,
+    "q212_range_source"  -> rangeSource,
     "q209_vad_segments"  -> vadSegments,
     "q204_mutual_nn"     -> mutualNn,
     "q207_label_purity"  -> labelPurity,
