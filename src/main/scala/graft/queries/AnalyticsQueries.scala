@@ -2496,7 +2496,8 @@ object AnalyticsQueries {
     "q202_hits"            -> hitsRanks,
     "q205_gold_table"      -> goldTable,
     "q206_stationary_mix"  -> stationaryMix,
-    "q210_inter_arrival"   -> interArrival)
+    "q210_inter_arrival"   -> interArrival,
+    "q214_fd_audit"        -> fdAudit)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -3381,6 +3382,65 @@ object AnalyticsQueries {
          |  (CASE WHEN n_shared = cnt.n THEN 1 ELSE 0 END)::BIGINT AS is_ind
          |FROM sh JOIN cnt ON cnt.c = col_a
          |ORDER BY col_a, col_b""".stripMargin)
+  }
+
+  /** Approximate functional-dependency audit (q214) — TANE's g₃
+    * error for a candidate FD set: g₃(X→Y) = rows that must be
+    * DELETED for X→Y to hold exactly = N − Σₓ maxᵧ count(x,y). q198
+    * finds the value-containment lattice; this measures how far each
+    * column DETERMINES another — the complementary profiling axis
+    * (key-ness, denormalization safety, "is lang really a function
+    * of source?"). Each candidate costs one (X,Y) count aggregate
+    * and one X-grouped max/sum — both map-side combinable, output
+    * one row per FD — and the suite is their union: violations are
+    * reported in exact ppm, never asserted, the q190 posture.
+    */
+  lazy val fdAudit: Q = {
+    def fdSql(name: String, tbl: String, x: String, y: String): String =
+      s"""SELECT '$name' AS fd, count(*)::BIGINT AS n_lhs,
+         |  sum(tot)::BIGINT AS n_rows, sum(m)::BIGINT AS n_clean,
+         |  (sum(tot) - sum(m))::BIGINT AS g3_violations,
+         |  ((sum(tot) - sum(m)) * 1000000 // sum(tot))::BIGINT AS g3_ppm
+         |FROM (SELECT x, max(c) AS m, sum(c) AS tot
+         |      FROM (SELECT $x AS x, $y AS y, count(*)::BIGINT AS c
+         |            FROM $tbl GROUP BY 1, 2) GROUP BY x)""".stripMargin
+    Q(
+      (s, d) => {
+        def fd(df: DataFrame, name: String,
+               x: org.apache.spark.sql.Column,
+               y: org.apache.spark.sql.Column): DataFrame = {
+          val cxy = df.groupBy(x.as("x"), y.as("y"))
+            .agg(count(lit(1)).as("c"))
+          cxy.groupBy("x").agg(max("c").as("m"), sum("c").as("tot"))
+            .agg(count(lit(1)).as("n_lhs"), sum("tot").as("n_rows"),
+              sum("m").as("n_clean"))
+            .select(lit(name).as("fd"), col("n_lhs"), col("n_rows"),
+              col("n_clean"),
+              (col("n_rows") - col("n_clean")).as("g3_violations"),
+              expr("(n_rows - n_clean) * 1000000L div n_rows")
+                .as("g3_ppm"))
+        }
+        val docs = t(s, d, "documents")
+        val ev = t(s, d, "events")
+        val ord = t(s, d, "orders")
+        fd(docs, "documents.source->lang", col("source"), col("lang"))
+          .unionByName(fd(ev, "events.user->type", col("user_id"),
+            col("event_type")))
+          .unionByName(fd(ev, "events.day->type",
+            to_date(col("ts")), col("event_type")))
+          .unionByName(fd(ord, "orders.cust->priority",
+            col("o_custkey"), col("o_orderpriority")))
+          .orderBy("fd")
+      },
+      s"""${fdSql("documents.source->lang", "documents", "source", "lang")}
+         |UNION ALL
+         |${fdSql("events.user->type", "events", "user_id", "event_type")}
+         |UNION ALL
+         |${fdSql("events.day->type", "events", "ts::DATE", "event_type")}
+         |UNION ALL
+         |${fdSql("orders.cust->priority", "orders", "o_custkey",
+            "o_orderpriority")}
+         |ORDER BY fd""".stripMargin)
   }
 
   /** Declarative data-contract validation (q190) — the Deequ-style

@@ -4473,6 +4473,64 @@ object PipelineQueries {
          |GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  /** Quoted-CSV roundtrip (q213) — the format matrix's last cell
+    * (q164 JSONL, q165 ORC, q168 Avro): RFC-4180 quoting, which the
+    * reference's no-quote tokenizer (S4) explicitly does not do. The
+    * corpus plus injected HOSTILE rows (embedded commas and
+    * double-quotes, the cases quoting exists for) is written with
+    * `escape='"'` (RFC double-quote doubling, not the backslash
+    * default), re-read with the same dialect, and fingerprinted per
+    * source with a content hash SUM — so a single corrupted byte in
+    * any text field breaks the judged hash, proving byte fidelity,
+    * not just row counts. No embedded newlines by design: quoted
+    * newlines force `multiLine` reads, and a multiLine CSV file is
+    * NOT splittable — at 100 TB that's the difference between 1000
+    * parallel readers and one; the dialect choice is the scale
+    * decision this query documents.
+    */
+  val csvSource: Q = {
+    val N_HOSTILE = 9
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val root = graft.sources.Artifacts.publishOnce(
+          "graft-csvq", d, Seq("documents.parquet")) { stage =>
+          val hostile = s.range(1, N_HOSTILE + 1).toDF("i")
+            .select((col("i") + 9000000L).as("doc_id"),
+              concat(lit("hostile,\"quoted\" field "), col("i"))
+                .as("text"),
+              lit("xx").as("lang"), lit("srcq").as("source"))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+          docs.select(col("doc_id"), col("text"), col("lang"),
+              col("source"), col("n_chars").cast("long").as("n_chars"))
+            .unionByName(hostile)
+            .coalesce(4)
+            .write.mode("overwrite")
+            .option("header", "true").option("escape", "\"")
+            .csv(stage)
+        }
+        s.read
+          .option("header", "true").option("escape", "\"")
+          .schema("doc_id BIGINT, text STRING, lang STRING, " +
+            "source STRING, n_chars BIGINT")
+          .csv(root)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+            sum(Hashing.h32(col("text"))).as("text_h32_sum"))
+          .orderBy("source")
+      },
+      s"""WITH corpus AS (
+         |  SELECT source, text, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT 'srcq', 'hostile,"quoted" field ' || i,
+         |    length('hostile,"quoted" field ' || i)
+         |  FROM range(1, ${N_HOSTILE + 1}) t(i))
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS chars,
+         |  sum(${Hashing.h32Sql("text")})::BIGINT AS text_h32_sum
+         |FROM corpus GROUP BY source ORDER BY source""".stripMargin)
+  }
+
   /** Pareto skyline of (length, quality) (q162) — the docs no other
     * doc beats on BOTH axes (≥ on each, > on one): the dominance
     * frontier a curation review reads when length and quality trade
@@ -6287,6 +6345,7 @@ object PipelineQueries {
     "q208_source_dup_matrix" -> sourceDupMatrix,
     "q211_readability"   -> readability,
     "q212_range_source"  -> rangeSource,
+    "q213_csv_source"    -> csvSource,
     "q209_vad_segments"  -> vadSegments,
     "q204_mutual_nn"     -> mutualNn,
     "q207_label_purity"  -> labelPurity,
