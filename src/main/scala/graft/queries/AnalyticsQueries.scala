@@ -2497,7 +2497,9 @@ object AnalyticsQueries {
     "q205_gold_table"      -> goldTable,
     "q206_stationary_mix"  -> stationaryMix,
     "q210_inter_arrival"   -> interArrival,
-    "q214_fd_audit"        -> fdAudit)
+    "q214_fd_audit"        -> fdAudit,
+    "q215_supplier_overlap" -> supplierOverlap,
+    "q216_theta_intersect" -> thetaIntersect)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
@@ -2835,6 +2837,88 @@ object AnalyticsQueries {
          |ORDER BY seg""".stripMargin)
   }
 
+  /** Theta-sketch set intersection (q216) — the sketch ALGEBRA step
+    * beyond q184's cardinalities: estimate |users(A) ∩ users(B)| for
+    * every event-type pair from bottom-k hash sketches alone, the
+    * way theta sketches do it — θ = min(kth-min(A), kth-min(B)),
+    * estimate = |common hashes < θ| · 2³² div θ — next to the exact
+    * intersection and the error in ppm. This is what answers
+    * "audience overlap" across 100 TB segment tables WITHOUT a
+    * pairwise distinct-count over raw data: sketches are tiny,
+    * mergeable, and intersectable. kth-mins come from q184's
+    * prefix-histogram selection (bounded 256-cell state, no per-seg
+    * corpus sort); the pair stage is an h-keyed self-join (≤·K²
+    * type-pairs per user, never a cross product). Exact truth rides
+    * the same join, so one plan yields estimate, truth, and error.
+    */
+  lazy val thetaIntersect: Q = {
+    val K = 8; val PREFIX = 16777216L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hs = t(s, d, "events")
+          .select(col("event_type").as("seg"),
+            Hashing.h32(col("user_id").cast("string")).as("h"))
+          .distinct().persist()
+        val hist = hs.groupBy(col("seg"),
+            expr(s"h div $PREFIX").as("cell"))
+          .agg(count(lit(1)).as("n"))
+        val cut = hist
+          .withColumn("cum", sum("n").over(
+            Window.partitionBy("seg").orderBy("cell")))
+          .filter(col("cum") >= K)
+          .groupBy("seg").agg(min("cell").as("cutcell"))
+        val hk = hs.join(cut, Seq("seg"))
+          .filter(col("h") < (col("cutcell") + 1) * PREFIX)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("seg").orderBy("h")))
+          .filter(col("rn") === K)
+          .select(col("seg"), col("h").as("hk"))
+        val common = hs.select(col("seg").as("a"), col("h"))
+          .join(hs.select(col("seg").as("b"), col("h")), Seq("h"))
+          .filter(col("a") < col("b"))
+        val stats = common
+          .join(hk.select(col("seg").as("a"), col("hk").as("hka")),
+            Seq("a"))
+          .join(hk.select(col("seg").as("b"), col("hk").as("hkb")),
+            Seq("b"))
+          .withColumn("theta", least(col("hka"), col("hkb")))
+          .groupBy("a", "b", "theta")
+          .agg(count(lit(1)).as("exact_inter"),
+            count(when(col("h") < col("theta"), 1)).as("s_below"))
+        stats
+          .select(col("a"), col("b"), col("exact_inter"),
+            col("theta"),
+            expr("s_below * 4294967296L div theta").as("theta_est"),
+            expr("abs(s_below * 4294967296L div theta - exact_inter)" +
+              " * 1000000L div greatest(exact_inter, 1L)").as("err_ppm"))
+          .orderBy("a", "b")
+      },
+      s"""WITH ev AS (
+         |  SELECT DISTINCT event_type AS seg,
+         |    ${Hashing.h32Sql("user_id::VARCHAR")} AS h
+         |  FROM events),
+         |rk AS (
+         |  SELECT seg, h,
+         |    row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
+         |  FROM ev),
+         |hk AS (SELECT seg, h AS hk FROM rk WHERE rn = $K),
+         |com AS (
+         |  SELECT a.seg AS a, b.seg AS b, a.h,
+         |    least(x.hk, y.hk) AS theta
+         |  FROM ev a JOIN ev b ON a.h = b.h AND a.seg < b.seg
+         |  JOIN hk x ON x.seg = a.seg JOIN hk y ON y.seg = b.seg),
+         |st AS (
+         |  SELECT a, b, theta, count(*)::BIGINT AS exact_inter,
+         |    count(CASE WHEN h < theta THEN 1 END)::BIGINT AS s_below
+         |  FROM com GROUP BY 1, 2, 3)
+         |SELECT a, b, exact_inter, theta,
+         |  (s_below * 4294967296 // theta)::BIGINT AS theta_est,
+         |  (abs((s_below * 4294967296 // theta) - exact_inter)
+         |     * 1000000 // greatest(exact_inter, 1))::BIGINT AS err_ppm
+         |FROM st ORDER BY a, b""".stripMargin)
+  }
+
   /** Rank-exact winsorization (q185) — the robust-mean readout a
     * metering pipeline runs when a handful of extreme readings would
     * otherwise own the average: per event type, the exact 5% order
@@ -3161,6 +3245,65 @@ object AnalyticsQueries {
       |JOIN part ON l_partkey = p_partkey
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  /** Supplier substitutability via bipartite projection (q215) — the
+    * one-mode projection of the customer–supplier graph: two
+    * suppliers are substitutable to the degree their CUSTOMER BASES
+    * overlap, scored with the integer Ochiai² (cosine²) in ppm —
+    * `shared² · 10⁶ div (n_a · n_b)` — so no square roots leave
+    * integer space. Rides the once-per-data-version [[tradePairs]]
+    * artifact; the projection self-joins on the customer key with a
+    * windowed degree cap (q23's df-cap discipline: a promiscuous
+    * customer linking every supplier to every other is exactly the
+    * quadratic hot key the cap exists for — capped keys are the
+    * uninformative ones). Pairs with ≥2 shared customers, ordered.
+    */
+  lazy val supplierOverlap: Q = {
+    val MAX_DEG = 50; val MIN_SHARED = 2L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = tradePairs(s, d).select("src", "dst")
+        val capped = e.withColumn("deg",
+          count(lit(1)).over(Window.partitionBy("src")))
+          .filter(col("deg") <= MAX_DEG)
+          .select("src", "dst")
+        val nPer = capped.groupBy(col("dst").as("sa"))
+          .agg(count(lit(1)).as("n_a"))
+        val pairs = capped.select(col("src"), col("dst").as("sa"))
+          .join(capped.select(col("src"), col("dst").as("sb")),
+            Seq("src"))
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= MIN_SHARED)
+        pairs.join(nPer, Seq("sa"))
+          .join(nPer.select(col("sa").as("sb"), col("n_a").as("n_b")),
+            Seq("sb"))
+          .select(col("sa"), col("sb"), col("shared"), col("n_a"),
+            col("n_b"),
+            expr("shared * shared * 1000000L div (n_a * n_b)")
+              .as("ochiai2_ppm"))
+          .orderBy("sa", "sb")
+      },
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o.o_custkey AS src,
+         |    l.l_suppkey + $TRADE_OFF AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |dg AS (SELECT src, count(*)::BIGINT AS deg FROM e0 GROUP BY 1),
+         |e AS (SELECT e0.src, e0.dst FROM e0 JOIN dg USING (src)
+         |      WHERE deg <= $MAX_DEG),
+         |np AS (SELECT dst AS sa, count(*)::BIGINT AS n_a
+         |       FROM e GROUP BY 1),
+         |p AS (
+         |  SELECT a.dst AS sa, b.dst AS sb, count(*)::BIGINT AS shared
+         |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+         |  GROUP BY 1, 2 HAVING count(*) >= $MIN_SHARED)
+         |SELECT p.sa, p.sb, p.shared, x.n_a, y.n_a AS n_b,
+         |  (p.shared * p.shared * 1000000 // (x.n_a * y.n_a))::BIGINT
+         |    AS ochiai2_ppm
+         |FROM p JOIN np x ON p.sa = x.sa JOIN np y ON p.sb = y.sa
+         |ORDER BY p.sa, p.sb""".stripMargin)
+  }
 
   /** HITS hubs and authorities (q202) — Kleinberg's second classic
     * centrality, on the DIRECTED customer→supplier trade graph (q70's
