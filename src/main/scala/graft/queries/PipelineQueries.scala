@@ -5289,6 +5289,76 @@ object PipelineQueries {
          |FROM sh ORDER BY shard, pos""".stripMargin)
   }
 
+  /** In-batch negative collision audit (q217) — contrastive training
+    * (CLIP/DPR-style) takes its negatives from the OTHER examples in
+    * the batch, which silently breaks when a batch contains two
+    * docs from the same source that are near-paraphrases: those are
+    * false negatives. Over q130's deterministic epoch order (seeded
+    * shard + in-shard position), batches are consecutive 32-blocks,
+    * and the audit counts same-source pairs per batch in closed form
+    * (Σ c·(c−1)/2 over the batch's source histogram — never a pair
+    * join) against the total pair budget n·(n−1)/2. Per shard:
+    * batch count, pair budget, collisions, worst batch, collision
+    * ppm. The window is per-shard (q130's scale argument: shards
+    * bound the sort); everything after is map-side histogram
+    * algebra. High ppm ⇒ re-shuffle with source-aware interleaving
+    * before training.
+    */
+  val inBatchNegatives: Q = {
+    val SH = 16; val B = 32
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val keyed = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            Hashing.h32(concat(lit("ep1:"),
+              col("doc_id").cast("string"))).as("k"))
+          .withColumn("shard", col("k") % SH)
+        val batched = keyed
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("shard")
+              .orderBy(col("k"), col("doc_id"))).cast("long"))
+          .withColumn("batch", expr(s"(pos - 1) div $B"))
+        val perBatch = batched
+          .groupBy("shard", "batch", "source")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("shard", "batch")
+          .agg(sum("c").as("n"),
+            sum(expr("c * (c - 1) div 2")).as("coll"))
+          .withColumn("pairs", expr("n * (n - 1) div 2"))
+        perBatch.groupBy("shard")
+          .agg(count(lit(1)).as("n_batches"), sum("pairs").as("n_pairs"),
+            sum("coll").as("n_collisions"),
+            max("coll").as("max_batch_collisions"))
+          .withColumn("coll_ppm",
+            expr("n_collisions * 1000000L div greatest(n_pairs, 1L)"))
+          .orderBy("shard")
+      },
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source,
+         |    (${Hashing.h32Sql("'ep1:' || doc_id::VARCHAR")}) AS k
+         |  FROM documents),
+         |sh AS (SELECT doc_id, source, k, k % $SH AS shard FROM keyed),
+         |po AS (
+         |  SELECT shard, source,
+         |    (row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+         |      - 1) // $B AS batch
+         |  FROM sh),
+         |cell AS (SELECT shard, batch, source, count(*)::BIGINT AS c
+         |         FROM po GROUP BY 1, 2, 3),
+         |pb AS (
+         |  SELECT shard, batch, sum(c)::BIGINT AS n,
+         |    sum(c * (c - 1) // 2)::BIGINT AS coll
+         |  FROM cell GROUP BY 1, 2)
+         |SELECT shard, count(*)::BIGINT AS n_batches,
+         |  sum(n * (n - 1) // 2)::BIGINT AS n_pairs,
+         |  sum(coll)::BIGINT AS n_collisions,
+         |  max(coll)::BIGINT AS max_batch_collisions,
+         |  (sum(coll) * 1000000
+         |     // greatest(sum(n * (n - 1) // 2), 1))::BIGINT AS coll_ppm
+         |FROM pb GROUP BY shard ORDER BY shard""".stripMargin)
+  }
+
   /** Quality × duplication calibration (q131) — does duplication
     * concentrate in low-quality docs? Per quality decile (floor of
     * the blended score × 10 — the same IEEE double both engines
@@ -6346,6 +6416,7 @@ object PipelineQueries {
     "q211_readability"   -> readability,
     "q212_range_source"  -> rangeSource,
     "q213_csv_source"    -> csvSource,
+    "q217_inbatch_negatives" -> inBatchNegatives,
     "q209_vad_segments"  -> vadSegments,
     "q204_mutual_nn"     -> mutualNn,
     "q207_label_purity"  -> labelPurity,
