@@ -120,11 +120,15 @@ object Bench {
                                  published: Seq[(String, Double)] = Nil): String = {
     // 1-decimal per-query timings with trailing ".0" trimmed: 100 ms
     // is below box noise (±20-30% run to run — full precision lives in
-    // BENCH_DETAIL.json), and the saved bytes keep ~185 queries inside
-    // the capture window; 2 decimals overflowed it at 155 (r7). The
-    // sf dir is likewise its basename — the scale, not the mount.
-    val qs = results.map { case (k, v) =>
-      s"${jstr(k.takeWhile(_ != '_'))}:${fmtTrim(v)}" }.mkString("{", ",", "}")
+    // BENCH_DETAIL.json). The driver keeps a 2000-byte tail of stdout
+    // (measured: BENCH_r07 tail is exactly 2000), so past ~185 queries
+    // even 1-decimal entries overflow and the line's FRONT would be
+    // clipped (the r5/r6 parsed:null regression). The line is
+    // therefore BUDGETED: per-query entries are emitted slowest-first
+    // until the byte budget is reached, and any remainder — all
+    // faster than the last retained entry — collapses into
+    // "more":count,"more_sec":sum. The slow tail is what per-query
+    // numbers are FOR; the folded remainder keeps value exact.
     val errs = errors.map { case (k, v) =>
       s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val sf = new java.io.File(sfDir).getName
@@ -133,8 +137,37 @@ object Bench {
     // capture budget holds
     val pub = published.map { case (k, v) =>
       s"${jstr(k.takeWhile(_ != '_'))}:${fmtTrim(v)}" }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$errs,"pub":$pub,"sf":"$sf"}"""
+    def line(qs: String, more: Seq[(String, Double)]): String = {
+      val moreStr =
+        if (more.isEmpty) ""
+        else s""","more":${more.size},"more_sec":${fmt(more.map(_._2).sum)}"""
+      s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs$moreStr,"errors":$errs,"pub":$pub,"sf":"$sf"}"""
+    }
+    val entries = results.map { case (k, v) =>
+      (k, v, s"${jstr(k.takeWhile(_ != '_'))}:${fmtTrim(v)}") }
+    val full = line(entries.map(_._3).mkString("{", ",", "}"), Nil)
+    if (full.length < Budget) full
+    else {
+      // slowest-first, name tie-break; overhead measured against the
+      // worst case (non-empty "more" section present)
+      val ranked = entries.sortBy { case (k, v, _) => (-v, k) }
+      val overhead = line("{}", Seq(("x", 9999.999))).length
+      var used = overhead
+      val keep = ranked.takeWhile { case (_, _, e) =>
+        val fits = used + e.length + 1 < Budget
+        if (fits) used += e.length + 1
+        fits
+      }
+      val kept = keep.map(_._1).toSet
+      val more = results.filter { case (k, _) => !kept(k) }
+      line(keep.map(_._3).mkString("{", ",", "}"), more)
+    }
   }
+
+  /** Byte budget for [[compactLine]] — under the driver's 2000-byte
+    * stdout tail capture with margin for the trailing newline.
+    */
+  private val Budget = 1950
 
   /** 1-decimal, integral values without the ".0" (`4.0` → `4`). */
   private def fmtTrim(v: Double): String = {

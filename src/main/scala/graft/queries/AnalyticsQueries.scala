@@ -1665,6 +1665,117 @@ object AnalyticsQueries {
          |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin)
   }
 
+  /** Layout pruning effectiveness (q219) — q81 reports the z-order
+    * file stats; this query proves WHY you pay for the layout: the
+    * same rows are binned into the SAME NUMBER of equal-row-count
+    * files under two sort orders — morton(a,b) vs `a` alone, which
+    * is exactly how a writer bins files after each sort — and a
+    * fixed 2-D probe box is answered from each layout's zone map (a
+    * file is read iff its [min,max]×[min,max] box overlaps the
+    * probe). Reported per layout: file count, files hit, rows read,
+    * true matches, and read amplification in milli — the number a
+    * table-layout decision is actually made on. The 1-D layout must
+    * read every file whose `a`-range matches regardless of `b`;
+    * z-order's interleave bounds both dimensions per file. The
+    * global row_number here IS the layout write path (a z-order
+    * publish sorts once, via a range exchange, per data version) —
+    * the judged part after it is bounded zone-map algebra. Ties only
+    * occur between identical rows, so file stats are
+    * order-independent.
+    */
+  lazy val layoutPruning: Q = {
+    val BITS = 15; val F = 64
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.ZOrder
+        val base = t(s, d, "lineitem")
+          .select(col("l_partkey").cast("int").as("a"),
+            col("l_suppkey").cast("int").as("b"))
+          .withColumn("zk", ZOrder.mortonKey(col("a"), col("b"), BITS))
+        // probe box RELATIVE to the data range (10% of a, 5% of b) so
+        // its selectivity — and the comparison — holds at any sf
+        val box = base.agg(
+          expr("max(a) * 5 div 100").as("a1"),
+          expr("max(a) * 15 div 100").as("a2"),
+          expr("max(b) * 10 div 100").as("b1"),
+          expr("max(b) * 15 div 100").as("b2"))
+        val ranked = base
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+          .withColumn("rpf", expr(s"(n + ${F - 1}) div $F"))
+          .withColumn("rz", row_number().over(
+            Window.orderBy(col("zk"), col("a"), col("b"))).cast("long"))
+          .withColumn("rl", row_number().over(
+            Window.orderBy(col("a"), col("b"))).cast("long"))
+        def filesOf(fileId: org.apache.spark.sql.Column, name: String) =
+          ranked.withColumn("file_id", fileId)
+            .groupBy("file_id")
+            .agg(count(lit(1)).as("cnt"), min("a").as("mina"),
+              max("a").as("maxa"), min("b").as("minb"),
+              max("b").as("maxb"))
+            .withColumn("layout", lit(name))
+        val z = filesOf(expr("(rz - 1) div rpf"), "zorder")
+        val lin = filesOf(expr("(rl - 1) div rpf"), "linear")
+        val truth = base.crossJoin(broadcast(box))
+          .filter(col("a").between(col("a1"), col("a2")) &&
+            col("b").between(col("b1"), col("b2")))
+          .agg(count(lit(1)).as("n_match"))
+        z.unionByName(lin)
+          .crossJoin(broadcast(box))
+          .withColumn("hit", when(col("mina") <= col("a2") &&
+            col("maxa") >= col("a1") && col("minb") <= col("b2") &&
+            col("maxb") >= col("b1"), 1L).otherwise(0L))
+          .groupBy("layout")
+          .agg(count(lit(1)).as("n_files"), sum("hit").as("n_hit"),
+            sum(col("hit") * col("cnt")).as("rows_read"))
+          .crossJoin(broadcast(truth))
+          .select(col("layout"), col("n_files"), col("n_hit"),
+            col("rows_read"), col("n_match"),
+            expr("rows_read * 1000L div greatest(n_match, 1L)")
+              .as("read_amp_milli"))
+          .orderBy("layout")
+      },
+      s"""WITH base AS (
+         |  SELECT l_partkey::INTEGER AS a, l_suppkey::INTEGER AS b,
+         |    ${graft.operators.ZOrder.mortonSql(
+               "l_partkey::INTEGER", "l_suppkey::INTEGER", BITS)} AS zk
+         |  FROM lineitem),
+         |box AS (SELECT max(a) * 5 // 100 AS a1, max(a) * 15 // 100 AS a2,
+         |               max(b) * 10 // 100 AS b1, max(b) * 15 // 100 AS b2
+         |        FROM base),
+         |nn AS (SELECT ((count(*) + ${F - 1}) // $F)::BIGINT AS rpf
+         |       FROM base),
+         |rk AS (
+         |  SELECT a, b,
+         |    (row_number() OVER (ORDER BY zk, a, b) - 1)::BIGINT AS rz,
+         |    (row_number() OVER (ORDER BY a, b) - 1)::BIGINT AS rl
+         |  FROM base),
+         |z AS (SELECT 'zorder' AS layout, rz // rpf AS file_id, a, b
+         |      FROM rk, nn),
+         |l AS (SELECT 'linear' AS layout, rl // rpf AS file_id, a, b
+         |      FROM rk, nn),
+         |f AS (
+         |  SELECT layout, file_id, count(*)::BIGINT AS cnt,
+         |    min(a) AS mina, max(a) AS maxa,
+         |    min(b) AS minb, max(b) AS maxb
+         |  FROM (SELECT * FROM z UNION ALL SELECT * FROM l)
+         |  GROUP BY 1, 2),
+         |h AS (
+         |  SELECT layout, cnt,
+         |    CASE WHEN mina <= b2.a2 AND maxa >= b2.a1
+         |          AND minb <= b2.b2 AND maxb >= b2.b1
+         |    THEN 1 ELSE 0 END AS hit
+         |  FROM f, box b2),
+         |tr AS (SELECT count(*)::BIGINT AS n_match FROM base, box
+         |       WHERE a BETWEEN a1 AND a2 AND b BETWEEN b1 AND b2)
+         |SELECT layout, count(*)::BIGINT AS n_files,
+         |  sum(hit)::BIGINT AS n_hit,
+         |  sum(hit * cnt)::BIGINT AS rows_read, n_match,
+         |  (sum(hit * cnt) * 1000 // greatest(n_match, 1))::BIGINT
+         |    AS read_amp_milli
+         |FROM h, tr GROUP BY layout, n_match ORDER BY layout""".stripMargin)
+  }
+
   /** Community detection on the part co-purchase graph via
     * synchronous deterministic label propagation
     * ([[graft.operators.LabelPropagation]]), 3 rounds, top-20
@@ -2499,7 +2610,8 @@ object AnalyticsQueries {
     "q210_inter_arrival"   -> interArrival,
     "q214_fd_audit"        -> fdAudit,
     "q215_supplier_overlap" -> supplierOverlap,
-    "q216_theta_intersect" -> thetaIntersect)
+    "q216_theta_intersect" -> thetaIntersect,
+    "q219_layout_pruning"  -> layoutPruning)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket

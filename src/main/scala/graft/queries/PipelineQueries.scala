@@ -5289,6 +5289,72 @@ object PipelineQueries {
          |FROM sh ORDER BY shard, pos""".stripMargin)
   }
 
+  /** Epoch decorrelation audit (q218) — are two epochs' shuffles
+    * actually independent? Per shard (same data-keyed shard
+    * assignment both epochs, so the comparison is within identical
+    * populations), the exact integer Spearman rank correlation
+    * between epoch-1 and epoch-2 in-shard positions:
+    * ρ_ppm = 10⁶ − 6·Σd²·10⁶ div (n(n²−1)). A near-zero value says
+    * the reshuffle destroyed epoch-1's order (what SGD wants); a
+    * high value means the "new" epoch replays the old curriculum.
+    * 6·Σd²·10⁶ stays exact int64 for shards up to ~1.6·10⁴ rows
+    * (worst case Σd² = n(n²−1)/3); past that you raise SH so
+    * per-shard n stays bounded — the SAME knob q130's layout
+    * argument already scales with the corpus. Two per-shard windows,
+    * one map-side moment aggregate — no pair joins, no global sort.
+    */
+  val epochDecorrelation: Q = {
+    val SH = 16
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val keyed = t(s, d, "documents")
+          .select(col("doc_id"),
+            Hashing.h32(col("doc_id").cast("string")).as("sk"),
+            Hashing.h32(concat(lit("ep1:"),
+              col("doc_id").cast("string"))).as("k1"),
+            Hashing.h32(concat(lit("ep2:"),
+              col("doc_id").cast("string"))).as("k2"))
+          .withColumn("shard", col("sk") % SH)
+        val pos = keyed
+          .withColumn("p1", row_number().over(
+            Window.partitionBy("shard").orderBy(col("k1"), col("doc_id")))
+            .cast("long"))
+          .withColumn("p2", row_number().over(
+            Window.partitionBy("shard").orderBy(col("k2"), col("doc_id")))
+            .cast("long"))
+        pos.groupBy("shard")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("(p1 - p2) * (p1 - p2)")).as("sd2"))
+          .filter(col("n") >= 2)
+          .select(col("shard"), col("n"),
+            expr("1000000L - 6L * sd2 * 1000000L div (n * (n * n - 1L))")
+              .as("spearman_ppm"))
+          .orderBy("shard")
+      },
+      s"""WITH keyed AS (
+         |  SELECT doc_id,
+         |    (${Hashing.h32Sql("doc_id::VARCHAR")}) % $SH AS shard,
+         |    (${Hashing.h32Sql("'ep1:' || doc_id::VARCHAR")}) AS k1,
+         |    (${Hashing.h32Sql("'ep2:' || doc_id::VARCHAR")}) AS k2
+         |  FROM documents),
+         |po AS (
+         |  SELECT shard,
+         |    row_number() OVER (PARTITION BY shard
+         |      ORDER BY k1, doc_id)::BIGINT AS p1,
+         |    row_number() OVER (PARTITION BY shard
+         |      ORDER BY k2, doc_id)::BIGINT AS p2
+         |  FROM keyed),
+         |ag AS (
+         |  SELECT shard, count(*)::BIGINT AS n,
+         |    sum((p1 - p2) * (p1 - p2))::BIGINT AS sd2
+         |  FROM po GROUP BY shard)
+         |SELECT shard, n,
+         |  (1000000 - 6 * sd2 * 1000000 // (n * (n * n - 1)))::BIGINT
+         |    AS spearman_ppm
+         |FROM ag WHERE n >= 2 ORDER BY shard""".stripMargin)
+  }
+
   /** In-batch negative collision audit (q217) — contrastive training
     * (CLIP/DPR-style) takes its negatives from the OTHER examples in
     * the batch, which silently breaks when a batch contains two
@@ -6417,6 +6483,7 @@ object PipelineQueries {
     "q212_range_source"  -> rangeSource,
     "q213_csv_source"    -> csvSource,
     "q217_inbatch_negatives" -> inBatchNegatives,
+    "q218_epoch_decorrelation" -> epochDecorrelation,
     "q209_vad_segments"  -> vadSegments,
     "q204_mutual_nn"     -> mutualNn,
     "q207_label_purity"  -> labelPurity,

@@ -31,6 +31,18 @@ class BenchFormatSpec extends AnyFunSuite {
       s"duplicate qNN prefixes: ${keys.diff(keys.distinct).distinct}")
   }
 
+  test("overflowing line folds the fast tail into more/more_sec, keeping the slowest") {
+    val many = (1 to 400).map(i => (f"q$i%03d_name", if (i <= 10) 50.0 else 0.1))
+    val line = Bench.compactLine(many, Nil, "/tmp/sf")
+    assert(line.length < 2000, s"budgeted line still ${line.length} bytes")
+    assert(line.contains("\"more\":"), line.take(200))
+    assert(line.contains("\"more_sec\":"), line.take(200))
+    // every slow query keeps its own entry; only fast ones fold
+    for (i <- 1 to 10) assert(line.contains(f""""q$i%03d":50"""), f"q$i%03d missing")
+    // the folded remainder keeps the total exact
+    assert(line.contains("\"value\":539.000"), line.take(60))
+  }
+
   test("line is valid JSON shape with escaped error strings") {
     val line = Bench.compactLine(results(3),
       Seq(("q01_x", "boom \"quoted\"\npath\\x")), "/tmp/sf")
