@@ -1972,6 +1972,79 @@ object AnalyticsQueries {
       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
       |  FROM events GROUP BY user_id) f""".stripMargin)
 
+  /** Strict window funnel (q220) — the sequence-matching funnel q85's
+    * min-pivot approximates: stage k+1 must happen strictly AFTER the
+    * user's matched stage-k time AND within the window (3 days), the
+    * windowFunnel semantics serving product analytics engines. Each
+    * stage is one keyed join back to the events (filtered to that
+    * stage's type, so the probe side shrinks per stage) + a grouped
+    * conditional min — the relational unroll of the per-user state
+    * machine, no window over raw events, no UDAF state. Output: one
+    * row per stage with survivors and conversion from the prior
+    * stage in ppm (the 3-row lag window is stage-bounded).
+    */
+  lazy val windowFunnel: Q = {
+    val T_US = 3L * 24 * 3600 * 1000000L // 3-day stage window
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id"))
+          .filter(col("ts") > col("t1") &&
+            expr(s"unix_micros(ts) - unix_micros(t1) <= $T_US"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter(col("ts") > col("t2") &&
+            expr(s"unix_micros(ts) - unix_micros(t2) <= $T_US"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        val rows = s1.agg(count(lit(1)).as("n_users"))
+          .select(lit(1L).as("stage"), col("n_users"))
+          .unionByName(s2.agg(count(lit(1)).as("n_users"))
+            .select(lit(2L).as("stage"), col("n_users")))
+          .unionByName(s3.agg(count(lit(1)).as("n_users"))
+            .select(lit(3L).as("stage"), col("n_users")))
+        rows
+          .withColumn("prev", lag("n_users", 1).over(
+            Window.orderBy("stage")))
+          .select(col("stage"), col("n_users"),
+            when(col("prev").isNotNull,
+              expr("n_users * 1000000L div greatest(prev, 1L)"))
+              .otherwise(1000000L).as("conv_ppm"))
+          .orderBy("stage")
+      },
+      s"""WITH ev AS (SELECT user_id, event_type, ts FROM events),
+         |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (
+         |  SELECT ev.user_id, min(ts) AS t2
+         |  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+         |  WHERE event_type = 'click' AND ts > t1
+         |    AND epoch_us(ts) - epoch_us(t1) <= $T_US
+         |  GROUP BY 1),
+         |s3 AS (
+         |  SELECT ev.user_id, min(ts) AS t3
+         |  FROM ev JOIN s2 ON ev.user_id = s2.user_id
+         |  WHERE event_type = 'purchase' AND ts > t2
+         |    AND epoch_us(ts) - epoch_us(t2) <= $T_US
+         |  GROUP BY 1),
+         |r AS (
+         |  SELECT 1::BIGINT AS stage, count(*)::BIGINT AS n_users FROM s1
+         |  UNION ALL SELECT 2, count(*) FROM s2
+         |  UNION ALL SELECT 3, count(*) FROM s3),
+         |w AS (SELECT stage, n_users,
+         |        lag(n_users) OVER (ORDER BY stage) AS prev FROM r)
+         |SELECT stage, n_users,
+         |  (CASE WHEN prev IS NOT NULL
+         |   THEN n_users * 1000000 // greatest(prev, 1)
+         |   ELSE 1000000 END)::BIGINT AS conv_ppm
+         |FROM w ORDER BY stage""".stripMargin)
+  }
+
   /** Retention cohorts: for each day-offset k in 1..7, how many users
     * were active exactly k days after their FIRST active day. One
     * distinct (user, day) reduction, a broadcast-size first-day
@@ -2611,7 +2684,8 @@ object AnalyticsQueries {
     "q214_fd_audit"        -> fdAudit,
     "q215_supplier_overlap" -> supplierOverlap,
     "q216_theta_intersect" -> thetaIntersect,
-    "q219_layout_pruning"  -> layoutPruning)
+    "q219_layout_pruning"  -> layoutPruning,
+    "q220_window_funnel"   -> windowFunnel)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
