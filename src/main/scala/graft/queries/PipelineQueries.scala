@@ -5289,6 +5289,72 @@ object PipelineQueries {
          |FROM sh ORDER BY shard, pos""".stripMargin)
   }
 
+  /** Mixture knapsack (q221) — turn per-source quality into an
+    * ALLOCATION: given a token budget (30% of the corpus), fill it
+    * greedily from the highest-quality source down, splitting the one
+    * boundary source fractionally — the fractional-knapsack optimum
+    * for a linear quality objective, i.e. the first-order answer to
+    * "which sources do we train on, and how much of each". Source
+    * stats are one corpus aggregate (tokens = word counts, quality =
+    * mean per-doc ppm — floored per doc BEFORE averaging so both
+    * engines share the integer); the allocation itself is a
+    * cumulative window over the ≤20-row source taxonomy. Ties on
+    * quality break by source name — a total order, so the greedy
+    * line is deterministic.
+    */
+  val mixtureKnapsack: Q = {
+    val BUDGET_PCT = 30L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val per = t(s, d, "documents")
+          .select(col("source"),
+            size(TextFunctions.words(col("text"))).cast("long")
+              .as("toks"),
+            floor(TextFunctions.qualityScore(
+              TextFunctions.words(col("text"))) * 1000000)
+              .cast("long").as("q_ppm"))
+          .groupBy("source")
+          .agg(sum("toks").as("tokens"),
+            expr("sum(q_ppm) div count(1)").as("quality_ppm"))
+        val wAll = Window.partitionBy()
+        val wg = Window.partitionBy()
+          .orderBy(desc("quality_ppm"), asc("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        per
+          .withColumn("budget",
+            expr(s"sum(tokens) over () * $BUDGET_PCT div 100"))
+          .withColumn("cum", sum("tokens").over(wg))
+          .withColumn("alloc",
+            greatest(lit(0L), least(col("tokens"),
+              col("budget") - (col("cum") - col("tokens")))))
+          .select(col("source"), col("tokens"), col("quality_ppm"),
+            col("alloc"),
+            expr("alloc * 1000000L div greatest(tokens, 1L)")
+              .as("take_ppm"))
+          .orderBy(desc("quality_ppm"), asc("source"))
+      },
+      s"""WITH per AS (
+         |  SELECT source,
+         |    sum(len(${TextFunctions.wordsSql("text")}))::BIGINT AS tokens,
+         |    (sum(floor((${TextFunctions.qualityScoreSql(
+              TextFunctions.wordsSql("text"))}) * 1000000)::BIGINT)
+         |       // count(*))::BIGINT AS quality_ppm
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, tokens, quality_ppm,
+         |    sum(tokens) OVER ()::BIGINT * $BUDGET_PCT // 100 AS budget,
+         |    sum(tokens) OVER (ORDER BY quality_ppm DESC, source
+         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+         |  FROM per)
+         |SELECT source, tokens, quality_ppm,
+         |  greatest(0, least(tokens, budget - (cum - tokens)))::BIGINT
+         |    AS alloc,
+         |  (greatest(0, least(tokens, budget - (cum - tokens)))
+         |     * 1000000 // greatest(tokens, 1))::BIGINT AS take_ppm
+         |FROM w ORDER BY quality_ppm DESC, source""".stripMargin)
+  }
+
   /** Epoch decorrelation audit (q218) — are two epochs' shuffles
     * actually independent? Per shard (same data-keyed shard
     * assignment both epochs, so the comparison is within identical
@@ -6484,6 +6550,7 @@ object PipelineQueries {
     "q213_csv_source"    -> csvSource,
     "q217_inbatch_negatives" -> inBatchNegatives,
     "q218_epoch_decorrelation" -> epochDecorrelation,
+    "q221_mixture_knapsack" -> mixtureKnapsack,
     "q209_vad_segments"  -> vadSegments,
     "q204_mutual_nn"     -> mutualNn,
     "q207_label_purity"  -> labelPurity,
