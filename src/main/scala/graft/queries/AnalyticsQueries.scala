@@ -2070,6 +2070,52 @@ object AnalyticsQueries {
       |WHERE day - day0 BETWEEN 1 AND 7
       |GROUP BY k ORDER BY k""".stripMargin)
 
+  /** Weekly cohort retention matrix (q222) — the 2-D triangle q86's
+    * single day-offset curve flattens: users grouped by FIRST-ACTIVE
+    * week, each cohort tracked across week offsets, each cell scored
+    * against its cohort's size in ppm — the standard product-
+    * analytics view that separates "the product got stickier" from
+    * "we acquired a different cohort". Weeks are epoch-anchored
+    * (`days-since-Monday-epoch div 7`), no ISO-week engine
+    * disagreements. One distinct (user, week) reduction, a per-user
+    * min, a (cohort, offset) count, and a cohort-size join —
+    * map-side combinable end to end; cells are calendar-bounded.
+    */
+  lazy val cohortMatrix: Q = Q(
+    (s, d) => {
+      val active = t(s, d, "events")
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), to_date('1970-01-05')) div 7")
+            .as("week")).distinct()
+      val first = active.groupBy("user_id").agg(min("week").as("week0"))
+      val sizes = first.groupBy("week0")
+        .agg(count(lit(1)).as("cohort_n"))
+      active.join(first, Seq("user_id"))
+        .withColumn("k", col("week") - col("week0"))
+        .groupBy("week0", "k")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .join(sizes, Seq("week0"))
+        .select(col("week0"), col("k"), col("n_users"), col("cohort_n"),
+          expr("n_users * 1000000L div cohort_n").as("ret_ppm"))
+        .orderBy("week0", "k")
+    },
+    """WITH active AS (
+      |  SELECT DISTINCT user_id,
+      |    (ts::DATE - DATE '1970-01-05') // 7 AS week FROM events),
+      |fst AS (SELECT user_id, min(week) AS week0 FROM active
+      |        GROUP BY user_id),
+      |sz AS (SELECT week0, count(*)::BIGINT AS cohort_n FROM fst
+      |       GROUP BY week0),
+      |cell AS (
+      |  SELECT week0, week - week0 AS k,
+      |    count(DISTINCT active.user_id)::BIGINT AS n_users
+      |  FROM active JOIN fst ON active.user_id = fst.user_id
+      |  GROUP BY 1, 2)
+      |SELECT week0::BIGINT AS week0, k::BIGINT AS k, n_users, cohort_n,
+      |  (n_users * 1000000 // cohort_n)::BIGINT AS ret_ppm
+      |FROM cell JOIN sz USING (week0)
+      |ORDER BY week0, k""".stripMargin)
+
   /** Personalized PageRank from one customer node on the trade graph
     * — proximity-to-source ranking (the "similar entities"
     * recommendation form), q70's uniform teleport replaced by a
@@ -2685,7 +2731,8 @@ object AnalyticsQueries {
     "q215_supplier_overlap" -> supplierOverlap,
     "q216_theta_intersect" -> thetaIntersect,
     "q219_layout_pruning"  -> layoutPruning,
-    "q220_window_funnel"   -> windowFunnel)
+    "q220_window_funnel"   -> windowFunnel,
+    "q222_cohort_matrix"   -> cohortMatrix)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket

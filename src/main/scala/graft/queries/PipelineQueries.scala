@@ -5289,6 +5289,58 @@ object PipelineQueries {
          |FROM sh ORDER BY shard, pos""".stripMargin)
   }
 
+  /** Format-matrix consistency sweep (q223) — the capstone on the
+    * source/sink family (q164 JSONL, q165 ORC, q168 Avro, q213 CSV):
+    * ONE projection of the corpus is published once per data version
+    * in three containers (parquet, ORC, quoted CSV) side by side, and
+    * the judged output is each copy's content fingerprint (count,
+    * chars, content-hash sum) — three rows that must be IDENTICAL to
+    * each other and to the oracle's single fingerprint of the base
+    * table. A format whose reader or writer drops, reorders bytes in,
+    * or re-encodes any value breaks its row. This is the cheap
+    * continuous check a multi-format lakehouse runs so "same data in
+    * every container" is a tested invariant, not an assumption.
+    */
+  val formatMatrix: Q = Q(
+    (s, d) => {
+      val root = graft.sources.Artifacts.publishOnce(
+        "graft-fmtmatrix", d, Seq("documents.parquet")) { stage =>
+        val p = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("source"),
+            col("n_chars").cast("long").as("n_chars"))
+        p.write.mode("overwrite").parquet(s"$stage/parquet")
+        p.write.mode("overwrite").orc(s"$stage/orc")
+        p.write.mode("overwrite")
+          .option("header", "true").option("escape", "\"")
+          .csv(s"$stage/csv")
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(stage, "_SUCCESS"))
+        ()
+      }
+      val schema = "doc_id BIGINT, text STRING, source STRING, " +
+        "n_chars BIGINT"
+      def fp(df: DataFrame, fmt: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"),
+          sum(Hashing.h32(col("text"))).as("text_h32_sum"))
+          .select(lit(fmt).as("fmt"), col("n_docs"), col("chars"),
+            col("text_h32_sum"))
+      fp(s.read.parquet(s"$root/parquet"), "parquet")
+        .unionByName(fp(s.read.orc(s"$root/orc"), "orc"))
+        .unionByName(fp(s.read.option("header", "true")
+          .option("escape", "\"").schema(schema).csv(s"$root/csv"),
+          "csv"))
+        .orderBy("fmt")
+    },
+    s"""WITH fp AS (
+       |  SELECT count(*)::BIGINT AS n_docs,
+       |    sum(n_chars)::BIGINT AS chars,
+       |    sum(${Hashing.h32Sql("text")})::BIGINT AS text_h32_sum
+       |  FROM documents)
+       |SELECT fmt, n_docs, chars, text_h32_sum
+       |FROM (VALUES ('csv'), ('orc'), ('parquet')) v(fmt), fp
+       |ORDER BY fmt""".stripMargin)
+
   /** Mixture knapsack (q221) — turn per-source quality into an
     * ALLOCATION: given a token budget (30% of the corpus), fill it
     * greedily from the highest-quality source down, splitting the one
@@ -6551,6 +6603,7 @@ object PipelineQueries {
     "q217_inbatch_negatives" -> inBatchNegatives,
     "q218_epoch_decorrelation" -> epochDecorrelation,
     "q221_mixture_knapsack" -> mixtureKnapsack,
+    "q223_format_matrix" -> formatMatrix,
     "q209_vad_segments"  -> vadSegments,
     "q204_mutual_nn"     -> mutualNn,
     "q207_label_purity"  -> labelPurity,
