@@ -2070,6 +2070,91 @@ object AnalyticsQueries {
       |WHERE day - day0 BETWEEN 1 AND 7
       |GROUP BY k ORDER BY k""".stripMargin)
 
+  /** Cross-table reconciliation (q224) — the source-system audit
+    * every finance/ops pipeline runs nightly: does each order's
+    * header total agree with the sum of its line items? Per order
+    * status: order count, orders with any lines, count where
+    * |header − Σ lines| exceeds 1% of the header, and the mean
+    * absolute delta in cents — drift REPORTED in exact integers
+    * (q190's posture: reconciliation routes, it doesn't throw). One
+    * per-order line-sum aggregate + one key join + one status
+    * rollup; headers without lines are counted, not silently
+    * dropped. At 100 TB both sides shuffle once on the order key —
+    * the join IS the audit.
+    */
+  lazy val reconciliation: Q = Q(
+    (s, d) => {
+      val lines = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("line_cents"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("hdr_cents"))
+        .join(lines, Seq("o_orderkey"), "left")
+        .withColumn("delta",
+          abs(col("hdr_cents") - coalesce(col("line_cents"), lit(0L))))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          count(col("line_cents")).as("n_with_lines"),
+          count(when(col("delta") * 100 > col("hdr_cents"), 1))
+            .as("n_off_1pct"),
+          expr("sum(delta) div count(1)").as("mean_abs_delta_cents"))
+        .orderBy("o_orderstatus")
+    },
+    """WITH ls AS (
+      |  SELECT l_orderkey AS o_orderkey,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+      |      AS line_cents
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o_orderstatus, line_cents,
+      |    abs(CAST(round(o_totalprice * 100) AS BIGINT)
+      |        - coalesce(line_cents, 0)) AS delta,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS hdr_cents
+      |  FROM orders LEFT JOIN ls USING (o_orderkey))
+      |SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+      |  count(line_cents)::BIGINT AS n_with_lines,
+      |  count(CASE WHEN delta * 100 > hdr_cents THEN 1 END)::BIGINT
+      |    AS n_off_1pct,
+      |  (sum(delta) // count(*))::BIGINT AS mean_abs_delta_cents
+      |FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+
+  /** Behavioral diversity (q225) — Gini–Simpson index per user
+    * (1 − Σpᵢ², the probability two of the user's events differ in
+    * type), exact in ppm: `(n² − Σcᵢ²)·10⁶ div n²` — unlike Shannon
+    * entropy this needs no logs, so it stays int64-exact (q195's TV
+    * argument applied to diversity). Users roll up into fine
+    * 5000-ppm diversity buckets: the audience-shape readout
+    * (single-behavior bots pile into bucket 0, diversified humans
+    * spread high). One (user, type) count, one per-user moment
+    * aggregate, one 11-cell histogram — all map-side combinable.
+    */
+  lazy val behaviorDiversity: Q = Q(
+    (s, d) => {
+      t(s, d, "events")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum("c").as("n"), sum(expr("c * c")).as("sc2"))
+        .select(col("user_id"),
+          expr("(n * n - sc2) * 1000000L div (n * n)").as("div_ppm"))
+        .groupBy(expr("div_ppm div 5000").as("bucket"))
+        .agg(count(lit(1)).as("n_users"), min("div_ppm").as("min_ppm"),
+          max("div_ppm").as("max_ppm"))
+        .orderBy("bucket")
+    },
+    """WITH uc AS (
+      |  SELECT user_id, event_type, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |u AS (SELECT user_id, sum(c)::BIGINT AS n,
+      |        sum(c * c)::BIGINT AS sc2 FROM uc GROUP BY 1),
+      |dv AS (SELECT user_id,
+      |         (n * n - sc2) * 1000000 // (n * n) AS div_ppm FROM u)
+      |SELECT (div_ppm // 5000)::BIGINT AS bucket,
+      |  count(*)::BIGINT AS n_users,
+      |  min(div_ppm)::BIGINT AS min_ppm, max(div_ppm)::BIGINT AS max_ppm
+      |FROM dv GROUP BY 1 ORDER BY bucket""".stripMargin)
+
   /** Weekly cohort retention matrix (q222) — the 2-D triangle q86's
     * single day-offset curve flattens: users grouped by FIRST-ACTIVE
     * week, each cohort tracked across week offsets, each cell scored
@@ -2732,7 +2817,9 @@ object AnalyticsQueries {
     "q216_theta_intersect" -> thetaIntersect,
     "q219_layout_pruning"  -> layoutPruning,
     "q220_window_funnel"   -> windowFunnel,
-    "q222_cohort_matrix"   -> cohortMatrix)
+    "q222_cohort_matrix"   -> cohortMatrix,
+    "q224_reconciliation"  -> reconciliation,
+    "q225_behavior_diversity" -> behaviorDiversity)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
