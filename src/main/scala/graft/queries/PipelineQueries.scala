@@ -75,6 +75,79 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin)
   }
 
+  /** Dedup threshold sweep (q226) — the tuning table a near-dedup
+    * rollout is decided from: for each candidate Jaccard threshold
+    * (300–900 milli), how many pairs qualify and how many documents
+    * they touch. One pair build (q23's df-capped shingle join, run
+    * once at the LOOSEST threshold) serves every threshold via a
+    * 5-row broadcast sweep — the thresholds are a post-filter on the
+    * exact integer milli score, so the sweep costs a bounded
+    * replicate of the (already small) pair list, never a re-run of
+    * the shingle join per setting. The milli score is
+    * `floor(j·1000)` of the raw IEEE division both engines perform
+    * on identical integers (the q23 determinism argument), so the
+    * sweep compares identical int64s; the oracle carries the same
+    * 0.3 double pre-filter the operator applies.
+    */
+  val dedupThresholdSweep: Q = {
+    val MAX_DF = 100
+    val THS = Seq(300L, 450L, 600L, 750L, 900L)
+    Q(
+      (s, d) => {
+        val pairs = Dedup.jaccardPairs(t(s, d, "documents"), "doc_id",
+            "text", n = 3, minJaccard = 0.3, maxDf = MAX_DF)
+          .select(col("id_a"), col("id_b"),
+            floor(col("jaccard") * 1000).cast("long").as("j_milli"))
+        val ths = s.range(1)
+          .select(explode(array(THS.map(lit): _*)).as("th"))
+        val ann = pairs.crossJoin(broadcast(ths))
+          .filter(col("j_milli") >= col("th"))
+        val np = ann.groupBy("th").agg(count(lit(1)).as("n_pairs"))
+        val nd = ann
+          .select(col("th"),
+            explode(array(col("id_a"), col("id_b"))).as("doc"))
+          .distinct().groupBy("th")
+          .agg(count(lit(1)).as("n_docs_touched"))
+        ths.join(np, Seq("th"), "left").join(nd, Seq("th"), "left")
+          .na.fill(0L, Seq("n_pairs", "n_docs_touched"))
+          .orderBy("th")
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM documents),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
+         |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > $MAX_DF),
+         |sh AS (SELECT doc_id, s FROM sh0
+         |       WHERE s NOT IN (SELECT s FROM hot)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pj AS (
+         |  SELECT id_a, id_b,
+         |    floor((n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE)
+         |      * 1000)::BIGINT AS j_milli
+         |  FROM inter JOIN sizes sa ON id_a = sa.doc_id
+         |             JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE >= 0.3),
+         |th(th) AS (VALUES ${THS.map(t => s"($t)").mkString(", ")}),
+         |ann AS (SELECT th, id_a, id_b FROM pj, th WHERE j_milli >= th),
+         |np AS (SELECT th, count(*)::BIGINT AS n_pairs FROM ann
+         |       GROUP BY 1),
+         |nd AS (SELECT th, count(*)::BIGINT AS n_docs FROM (
+         |         SELECT DISTINCT th, doc FROM (
+         |           SELECT th, unnest([id_a, id_b]) AS doc FROM ann))
+         |       GROUP BY 1)
+         |SELECT th.th::BIGINT AS th,
+         |  coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+         |  coalesce(nd.n_docs, 0)::BIGINT AS n_docs_touched
+         |FROM th LEFT JOIN np USING (th) LEFT JOIN nd USING (th)
+         |ORDER BY th""".stripMargin)
+  }
+
   // MinHash/LSH family constants shared by q24 (candidate pairs) and
   // q46 (connected components over those pairs) — one definition, so
   // the two queries and both oracles can never disagree on the family.
@@ -6604,6 +6677,7 @@ object PipelineQueries {
     "q218_epoch_decorrelation" -> epochDecorrelation,
     "q221_mixture_knapsack" -> mixtureKnapsack,
     "q223_format_matrix" -> formatMatrix,
+    "q226_threshold_sweep" -> dedupThresholdSweep,
     "q209_vad_segments"  -> vadSegments,
     "q204_mutual_nn"     -> mutualNn,
     "q207_label_purity"  -> labelPurity,
