@@ -2070,6 +2070,70 @@ object AnalyticsQueries {
       |WHERE day - day0 BETWEEN 1 AND 7
       |GROUP BY k ORDER BY k""".stripMargin)
 
+  /** Retry-storm detection (q227) — the ops screen for stuck clients
+    * and retry loops: a RUN is a maximal streak of a user's
+    * consecutive events with the SAME type and ≤5 s between
+    * neighbors (the islands idiom conditioned on type AND gap — a
+    * boundary flag cumulative-summed into run ids, one per-user
+    * window, no self-join); runs of length ≥3 are stutters. Per
+    * type: total runs, stutter runs, the worst streak, and how many
+    * events sit inside stutters — the volume a retry-dedup would
+    * reclaim. Everything after the per-user window (activity-
+    * bounded, q183's argument) is map-side aggregation.
+    */
+  lazy val retryStorms: Q = {
+    val GAP_US = 5000000L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val runs = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("brk", when(lag("event_type", 1).over(w).isNull ||
+            lag("event_type", 1).over(w) =!= col("event_type") ||
+            expr("unix_micros(ts)") -
+              lag(expr("unix_micros(ts)"), 1).over(w) > GAP_US, 1L)
+            .otherwise(0L))
+          .withColumn("run", sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "run", "event_type")
+          .agg(count(lit(1)).as("len"))
+        runs.groupBy("event_type")
+          .agg(count(lit(1)).as("n_runs"),
+            count(when(col("len") >= 3, 1)).as("n_stutter_runs"),
+            max("len").as("max_run_len"),
+            coalesce(sum(when(col("len") >= 3, col("len"))), lit(0L))
+              .as("n_stuttered_events"))
+          .orderBy("event_type")
+      },
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, ts, event_id,
+         |    lag(event_type) OVER w AS pt,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |fl AS (
+         |  SELECT user_id, event_type, ts, event_id,
+         |    (CASE WHEN pt IS NULL OR pt <> event_type
+         |           OR gap > $GAP_US THEN 1 ELSE 0 END)::BIGINT AS brk
+         |  FROM ev),
+         |rn AS (
+         |  SELECT user_id, event_type,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS run
+         |  FROM fl),
+         |runs AS (
+         |  SELECT user_id, run, event_type, count(*)::BIGINT AS len
+         |  FROM rn GROUP BY 1, 2, 3)
+         |SELECT event_type, count(*)::BIGINT AS n_runs,
+         |  count(CASE WHEN len >= 3 THEN 1 END)::BIGINT AS n_stutter_runs,
+         |  max(len)::BIGINT AS max_run_len,
+         |  coalesce(sum(CASE WHEN len >= 3 THEN len END), 0)::BIGINT
+         |    AS n_stuttered_events
+         |FROM runs GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** Cross-table reconciliation (q224) — the source-system audit
     * every finance/ops pipeline runs nightly: does each order's
     * header total agree with the sum of its line items? Per order
@@ -2819,7 +2883,8 @@ object AnalyticsQueries {
     "q220_window_funnel"   -> windowFunnel,
     "q222_cohort_matrix"   -> cohortMatrix,
     "q224_reconciliation"  -> reconciliation,
-    "q225_behavior_diversity" -> behaviorDiversity)
+    "q225_behavior_diversity" -> behaviorDiversity,
+    "q227_retry_storms"    -> retryStorms)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
