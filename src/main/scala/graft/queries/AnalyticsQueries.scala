@@ -2070,6 +2070,117 @@ object AnalyticsQueries {
       |WHERE day - day0 BETWEEN 1 AND 7
       |GROUP BY k ORDER BY k""".stripMargin)
 
+  /** Behavioral co-occurrence lift (q228) — q181's market-basket
+    * analysis with the BASKET redefined as a user-day: which event
+    * types happen together within the same user's same day, scored
+    * by lift against independence (`n_ab·N·10⁶ div (n_a·n_b)`, exact
+    * ppm). Lift ≫ 1e6 pairs are coupled behaviors (a funnel the
+    * product ships); lift ≪ 1e6 pairs are substitutes. The basket
+    * self-join is keyed on (user, day) with ≤|types| rows per basket
+    * — pair work is C(K,2)-bounded per basket, never corpus², and
+    * the basket total is the one broadcast 1-row scalar.
+    */
+  lazy val behaviorLift: Q = Q(
+    (s, d) => {
+      val basket = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type")).distinct()
+      val nd = basket.select("user_id", "day").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val rates = basket.groupBy(col("event_type").as("ta"))
+        .agg(count(lit(1)).as("n_a"))
+      val pairs = basket.select(col("user_id"), col("day"),
+          col("event_type").as("ta"))
+        .join(basket.select(col("user_id"), col("day"),
+          col("event_type").as("tb")), Seq("user_id", "day"))
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+      pairs.join(rates, Seq("ta"))
+        .join(rates.select(col("ta").as("tb"), col("n_a").as("n_b")),
+          Seq("tb"))
+        .crossJoin(broadcast(nd))
+        .select(col("ta"), col("tb"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          expr("n_ab * 1000000L div n_baskets").as("supp_ppm"),
+          expr("n_ab * n_baskets * 1000000L div (n_a * n_b)")
+            .as("lift_ppm"))
+        .orderBy("ta", "tb")
+    },
+    """WITH basket AS (
+      |  SELECT DISTINCT user_id, ts::DATE AS day, event_type
+      |  FROM events),
+      |nd AS (SELECT count(*)::BIGINT AS n_baskets FROM
+      |       (SELECT DISTINCT user_id, day FROM basket)),
+      |r AS (SELECT event_type AS ta, count(*)::BIGINT AS n_a
+      |      FROM basket GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb,
+      |    count(*)::BIGINT AS n_ab
+      |  FROM basket a JOIN basket b
+      |    ON a.user_id = b.user_id AND a.day = b.day
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.ta, p.tb, p.n_ab, x.n_a, y.n_a AS n_b,
+      |  (p.n_ab * 1000000 // nd.n_baskets)::BIGINT AS supp_ppm,
+      |  (p.n_ab * nd.n_baskets * 1000000 // (x.n_a * y.n_a))::BIGINT
+      |    AS lift_ppm
+      |FROM p JOIN r x ON p.ta = x.ta JOIN r y ON p.tb = y.ta, nd
+      |ORDER BY p.ta, p.tb""".stripMargin)
+
+  /** Hierarchical revenue shares (q229) — the drill-down table every
+    * revenue dashboard opens on: each customer nation's share of its
+    * region in ppm, and each region's share of the total — exact
+    * integer shares at both levels of the geography hierarchy. One
+    * orders⨝customer aggregate to nation grain (the only data-sized
+    * work), then nation→region rollup and shares via windows over
+    * the 25-nation / 5-region taxonomy — bounded by the dimension,
+    * not the data.
+    */
+  lazy val revenueShares: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byNation = t(s, d, "orders")
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("n_nationkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("nat_cents"))
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"),
+            col("n_regionkey"))), Seq("n_nationkey"))
+        .join(broadcast(t(s, d, "region")
+          .select(col("r_regionkey").as("n_regionkey"),
+            col("r_name"))), Seq("n_regionkey"))
+      byNation
+        .withColumn("reg_cents", sum("nat_cents").over(
+          Window.partitionBy("r_name")))
+        .withColumn("tot_cents", sum("nat_cents").over(
+          Window.partitionBy()))
+        .select(col("r_name"), col("n_name"), col("nat_cents"),
+          expr("nat_cents * 1000000L div reg_cents")
+            .as("nation_in_region_ppm"),
+          expr("reg_cents * 1000000L div tot_cents")
+            .as("region_in_total_ppm"))
+        .orderBy("r_name", "n_name")
+    },
+    """WITH bn AS (
+      |  SELECT c_nationkey,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+      |      AS nat_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1),
+      |j AS (
+      |  SELECT r_name, n_name, nat_cents,
+      |    sum(nat_cents) OVER (PARTITION BY r_name)::BIGINT AS reg_cents,
+      |    sum(nat_cents) OVER ()::BIGINT AS tot_cents
+      |  FROM bn JOIN nation ON c_nationkey = n_nationkey
+      |          JOIN region ON n_regionkey = r_regionkey)
+      |SELECT r_name, n_name, nat_cents,
+      |  (nat_cents * 1000000 // reg_cents)::BIGINT
+      |    AS nation_in_region_ppm,
+      |  (reg_cents * 1000000 // tot_cents)::BIGINT
+      |    AS region_in_total_ppm
+      |FROM j ORDER BY r_name, n_name""".stripMargin)
+
   /** Retry-storm detection (q227) — the ops screen for stuck clients
     * and retry loops: a RUN is a maximal streak of a user's
     * consecutive events with the SAME type and ≤5 s between
@@ -2884,7 +2995,9 @@ object AnalyticsQueries {
     "q222_cohort_matrix"   -> cohortMatrix,
     "q224_reconciliation"  -> reconciliation,
     "q225_behavior_diversity" -> behaviorDiversity,
-    "q227_retry_storms"    -> retryStorms)
+    "q227_retry_storms"    -> retryStorms,
+    "q228_behavior_lift"   -> behaviorLift,
+    "q229_revenue_shares"  -> revenueShares)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket

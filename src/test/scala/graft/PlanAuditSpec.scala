@@ -446,6 +446,8 @@ class PlanAuditSpec extends SparkSpec {
       "q199_hybrid_fusion" -> 1, // fixed 5-query probe set (vector arm)
       "q219_layout_pruning" -> 3, // 1-row probe-box scalar ×2 + 1-row truth
       "q226_threshold_sweep" -> 2, // 5-row threshold list, 2 consumer branches
+      "q228_behavior_lift" -> 1, // 1-row basket-total scalar
+      "q229_revenue_shares" -> 2, // nation (25) + region (5) dims
       "q202_hits" -> 22) // 4 one-row normalization totals; the declarative
       // (q205's nation hint lives in the publish closure, not the
       // judged read plan — the read is a hint-free artifact scan)
