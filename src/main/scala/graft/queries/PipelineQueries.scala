@@ -628,6 +628,73 @@ object PipelineQueries {
        |SELECT query_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= 1 ORDER BY query_id, rnk""".stripMargin)
 
+  /** Dominant principal direction (q230) — PCA's workhorse step in
+    * exact integer arithmetic: the embedding Gramian (uncentered
+    * second-moment matrix, D×D = 64×64) accumulated as (i, j)-keyed
+    * sums — per-row work is D²-bounded, state is D²-bounded, never
+    * corpus-shaped — then 3 power-iteration rounds on that
+    * 4096-cell frame, renormalized to 10⁶ L∞ units per round with
+    * staged divisions keeping every product under int64. The
+    * all-ones start makes the converged sign deterministic, so both
+    * engines land on the identical vector (the oracle unrolls the
+    * same rounds). This is the direction embedding whitening /
+    * top-PC removal ("all-but-the-top") needs; at 100 TB the Gramian
+    * build is one map-side-combinable aggregate and the iterations
+    * are dimension-bounded algebra.
+    */
+  val pcaPower: Q = {
+    val ITERS = 3; val CDIV = 1000000000L; val VSCALE = 1000000L
+    def roundCte(k: Int): String =
+      s"""u$k AS (
+         |  SELECT cov.i, sum(c * v)::BIGINT AS u
+         |  FROM cov JOIN v${k - 1} ON cov.j = v${k - 1}.j GROUP BY 1),
+         |m$k AS (SELECT max(abs(u))::BIGINT AS m FROM u$k),
+         |v$k AS (
+         |  SELECT i AS j,
+         |    ((u // 1000) * $VSCALE // greatest(m // 1000, 1))::BIGINT
+         |      AS v
+         |  FROM u$k, m$k)"""
+    Q(
+      (s, d) => {
+        val te = t(s, d, "embeddings")
+          .select(col("vec_id"),
+            posexplode(VectorFunctions.scaledMicro(col("embedding"))))
+          .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+        val cov = te
+          .join(te.select(col("vec_id"), col("i").as("j"),
+            col("x").as("y")), Seq("vec_id"))
+          .groupBy("i", "j").agg(sum(expr("x * y")).as("craw"))
+          .select(col("i"), col("j"), expr(s"craw div $CDIV").as("c"))
+        var v = cov.select(col("i").as("j")).distinct()
+          .select(col("j"), lit(VSCALE).as("v"))
+        for (_ <- 1 to ITERS) {
+          val u = cov.join(v, Seq("j"))
+            .groupBy("i").agg(sum(expr("c * v")).as("u"))
+          val m = u.agg(max(abs(col("u"))).as("m"))
+          v = u.crossJoin(broadcast(m))
+            .select(col("i").as("j"),
+              expr(s"(u div 1000) * ${VSCALE}L div " +
+                "greatest(m div 1000, 1L)").as("v"))
+        }
+        v.select(col("j").as("dim"), expr("v div 1000").as("v_milli"))
+          .orderBy("dim")
+      },
+      s"""WITH xs AS (
+         |  SELECT vec_id, ${VectorFunctions.scaledMicroSql("embedding")} AS xs
+         |  FROM embeddings),
+         |ti AS (SELECT vec_id, unnest(range(1, len(xs) + 1)) AS i, xs
+         |       FROM xs),
+         |tx AS (SELECT vec_id, i - 1 AS i, xs[i] AS x FROM ti),
+         |cov AS (
+         |  SELECT a.i, b.i AS j,
+         |    (sum(a.x * b.x) // $CDIV)::BIGINT AS c
+         |  FROM tx a JOIN tx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |v0 AS (SELECT DISTINCT i AS j, $VSCALE::BIGINT AS v FROM cov),
+         |${(1 to ITERS).map(roundCte).mkString(",\n")}
+         |SELECT j AS dim, (v // 1000)::BIGINT AS v_milli
+         |FROM v$ITERS ORDER BY dim""".stripMargin)
+  }
+
   /** Mutual nearest neighbors (q204) — the alignment/matching
     * primitive (MNN batch-effect matching, dataset linking, symmetric
     * near-dup seeding): a pair qualifies only when each vector is the
@@ -6680,6 +6747,7 @@ object PipelineQueries {
     "q226_threshold_sweep" -> dedupThresholdSweep,
     "q209_vad_segments"  -> vadSegments,
     "q204_mutual_nn"     -> mutualNn,
+    "q230_pca_power"     -> pcaPower,
     "q207_label_purity"  -> labelPurity,
     "q175_centroid_kappa" -> centroidKappa,
     "q179_global_ordinals" -> globalOrdinals,
