@@ -2070,6 +2070,58 @@ object AnalyticsQueries {
       |WHERE day - day0 BETWEEN 1 AND 7
       |GROUP BY k ORDER BY k""".stripMargin)
 
+  /** Audience turnover (q231) — the day-over-day composition of the
+    * active base, exactly: for each day, how many of its actives
+    * return tomorrow (retention_ppm) and how similar the two
+    * audiences are as SETS (exact Jaccard in ppm) — q149 counts
+    * rolling actives, q196 counts new users; this measures CHURN
+    * structure, the difference between "same 1000 users every day"
+    * and "a different 1000 daily" that a raw DAU curve hides. One
+    * distinct (day, user) reduction; the overlap join is keyed on
+    * the USER (per-user day lists are activity-bounded) with the
+    * +1-day offset as a residual; day sizes join back on the
+    * calendar-bounded day key.
+    */
+  lazy val audienceTurnover: Q = Q(
+    (s, d) => {
+      val dau = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val common = dau.select(col("day"), col("user_id"))
+        .join(dau.select(col("day").as("day_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("day_b") === date_add(col("day"), 1))
+        .groupBy("day").agg(count(lit(1)).as("n_common"))
+      val sizes = dau.groupBy("day").agg(count(lit(1)).as("n_day"))
+      sizes
+        .join(sizes.select(date_sub(col("day"), 1).as("day"),
+          col("n_day").as("n_next")), Seq("day"))
+        .join(common, Seq("day"), "left")
+        .na.fill(0L, Seq("n_common"))
+        .select(col("day"), col("n_day"), col("n_next"), col("n_common"),
+          expr("n_common * 1000000L div n_day").as("retained_ppm"),
+          expr("n_common * 1000000L div (n_day + n_next - n_common)")
+            .as("jaccard_ppm"))
+        .orderBy("day")
+    },
+    """WITH dau AS (
+      |  SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+      |cm AS (
+      |  SELECT a.day, count(*)::BIGINT AS n_common
+      |  FROM dau a JOIN dau b ON a.user_id = b.user_id
+      |    AND b.day = a.day + 1
+      |  GROUP BY 1),
+      |sz AS (SELECT day, count(*)::BIGINT AS n_day FROM dau GROUP BY 1)
+      |SELECT s.day, s.n_day, n.n_day AS n_next,
+      |  coalesce(cm.n_common, 0)::BIGINT AS n_common,
+      |  (coalesce(cm.n_common, 0) * 1000000 // s.n_day)::BIGINT
+      |    AS retained_ppm,
+      |  (coalesce(cm.n_common, 0) * 1000000
+      |     // (s.n_day + n.n_day - coalesce(cm.n_common, 0)))::BIGINT
+      |    AS jaccard_ppm
+      |FROM sz s JOIN sz n ON n.day = s.day + 1
+      |LEFT JOIN cm ON cm.day = s.day
+      |ORDER BY s.day""".stripMargin)
+
   /** Behavioral co-occurrence lift (q228) — q181's market-basket
     * analysis with the BASKET redefined as a user-day: which event
     * types happen together within the same user's same day, scored
@@ -2997,7 +3049,8 @@ object AnalyticsQueries {
     "q225_behavior_diversity" -> behaviorDiversity,
     "q227_retry_storms"    -> retryStorms,
     "q228_behavior_lift"   -> behaviorLift,
-    "q229_revenue_shares"  -> revenueShares)
+    "q229_revenue_shares"  -> revenueShares,
+    "q231_audience_turnover" -> audienceTurnover)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
