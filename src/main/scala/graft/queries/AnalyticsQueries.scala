@@ -2070,6 +2070,69 @@ object AnalyticsQueries {
       |WHERE day - day0 BETWEEN 1 AND 7
       |GROUP BY k ORDER BY k""".stripMargin)
 
+  /** Pseudonymization rotation audit (q232) — before shipping a
+    * keyed re-identification-resistant export (user ids replaced by
+    * `seeded(key, id)` pseudonyms; a key bump rotates every
+    * pseudonym at once), two properties must hold and both are
+    * checked in one pass: NO COLLISIONS (two users folding into one
+    * pseudonym silently merges their histories — reported as
+    * ids−distinct-pseudonyms) and JOIN PRESERVATION (the events∩
+    * orders id overlap, counted in pseudonym space, must equal the
+    * raw-space overlap — the analytics the export exists for).
+    * Everything is distinct key projections + one hash expression —
+    * the audit costs two semi-join-sized aggregates at any scale.
+    */
+  lazy val pseudonymAudit: Q = {
+    val KEY = 2026
+    Q(
+      (s, d) => {
+        val ue = t(s, d, "events").select(col("user_id").as("id"))
+          .distinct()
+        val uo = t(s, d, "orders").select(col("o_custkey").as("id"))
+          .distinct()
+        def p(c: org.apache.spark.sql.Column) =
+          Hashing.seeded(KEY, c.cast("string"))
+        val allU = ue.unionByName(uo).distinct()
+          .select(col("id"), p(col("id")).as("ps"))
+        val rawPairs = ue.join(uo, Seq("id"), "leftsemi")
+          .agg(count(lit(1)).as("raw_overlap"))
+        val psPairs = ue.select(p(col("id")).as("ps")).distinct()
+          .join(uo.select(p(col("id")).as("ps")).distinct(),
+            Seq("ps"), "leftsemi")
+          .agg(count(lit(1)).as("pseudo_overlap"))
+        allU.agg(count(lit(1)).as("n_ids"),
+            count_distinct(col("ps")).as("n_pseudos"))
+          .withColumn("n_collisions",
+            col("n_ids") - col("n_pseudos"))
+          .crossJoin(broadcast(rawPairs))
+          .crossJoin(broadcast(psPairs))
+          .withColumn("join_preserved",
+            when(col("raw_overlap") === col("pseudo_overlap"), 1L)
+              .otherwise(0L))
+      },
+      s"""WITH ue AS (SELECT DISTINCT user_id AS id FROM events),
+         |uo AS (SELECT DISTINCT o_custkey AS id FROM orders),
+         |au AS (
+         |  SELECT id, ${Hashing.seededSql(KEY, "id::VARCHAR")} AS ps
+         |  FROM (SELECT id FROM ue UNION SELECT id FROM uo)),
+         |rw AS (SELECT count(*)::BIGINT AS raw_overlap
+         |       FROM ue WHERE id IN (SELECT id FROM uo)),
+         |pw AS (
+         |  SELECT count(*)::BIGINT AS pseudo_overlap FROM
+         |   (SELECT DISTINCT ${Hashing.seededSql(KEY, "id::VARCHAR")} AS ps
+         |    FROM ue) e
+         |  WHERE ps IN (SELECT ${Hashing.seededSql(KEY, "id::VARCHAR")}
+         |               FROM uo))
+         |SELECT count(*)::BIGINT AS n_ids,
+         |  count(DISTINCT ps)::BIGINT AS n_pseudos,
+         |  (count(*) - count(DISTINCT ps))::BIGINT AS n_collisions,
+         |  rw.raw_overlap, pw.pseudo_overlap,
+         |  (CASE WHEN rw.raw_overlap = pw.pseudo_overlap THEN 1
+         |        ELSE 0 END)::BIGINT AS join_preserved
+         |FROM au, rw, pw
+         |GROUP BY rw.raw_overlap, pw.pseudo_overlap""".stripMargin)
+  }
+
   /** Audience turnover (q231) — the day-over-day composition of the
     * active base, exactly: for each day, how many of its actives
     * return tomorrow (retention_ppm) and how similar the two
@@ -3050,7 +3113,8 @@ object AnalyticsQueries {
     "q227_retry_storms"    -> retryStorms,
     "q228_behavior_lift"   -> behaviorLift,
     "q229_revenue_shares"  -> revenueShares,
-    "q231_audience_turnover" -> audienceTurnover)
+    "q231_audience_turnover" -> audienceTurnover,
+    "q232_pseudonym_audit" -> pseudonymAudit)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
