@@ -2070,6 +2070,53 @@ object AnalyticsQueries {
       |WHERE day - day0 BETWEEN 1 AND 7
       |GROUP BY k ORDER BY k""".stripMargin)
 
+  /** Revenue seasonality (q233) — each nation's month-of-year
+    * revenue profile reduced to its decision form: the peak month,
+    * its cents, and its share of the nation's total in ppm (a flat
+    * profile ⇒ share ≈ 1/12; a spiky one ⇒ staffing/inventory
+    * follows the spike). The peak is an argmax via `max(struct)` —
+    * a hash aggregate with the (cents desc, month asc) tie-break
+    * encoded in the struct order, no per-nation sort — over a
+    * (nation × 12)-bounded cell table; the only data-sized work is
+    * the one orders⨝customer aggregate.
+    */
+  lazy val seasonality: Q = Q(
+    (s, d) => {
+      val cells = t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), month(col("o_orderdate")).as("mon"))
+        .agg(sum(cents(col("o_totalprice"))).as("cents"))
+      cells.groupBy("n_name")
+        .agg(max(struct(col("cents"), (-col("mon")).as("negm")))
+          .as("pk"), sum("cents").as("total_cents"))
+        .select(col("n_name"),
+          (-col("pk.negm")).cast("long").as("peak_month"),
+          col("pk.cents").as("peak_cents"), col("total_cents"),
+          expr("pk.cents * 1000000L div total_cents")
+            .as("peak_share_ppm"))
+        .orderBy("n_name")
+    },
+    """WITH cells AS (
+      |  SELECT n_name, month(o_orderdate)::BIGINT AS mon,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |              JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT n_name, mon, cents,
+      |    sum(cents) OVER (PARTITION BY n_name)::BIGINT AS total_cents,
+      |    row_number() OVER (PARTITION BY n_name
+      |      ORDER BY cents DESC, mon) AS rn
+      |  FROM cells)
+      |SELECT n_name, mon AS peak_month, cents AS peak_cents,
+      |  total_cents,
+      |  (cents * 1000000 // total_cents)::BIGINT AS peak_share_ppm
+      |FROM rk WHERE rn = 1 ORDER BY n_name""".stripMargin)
+
   /** Pseudonymization rotation audit (q232) — before shipping a
     * keyed re-identification-resistant export (user ids replaced by
     * `seeded(key, id)` pseudonyms; a key bump rotates every
@@ -3114,7 +3161,8 @@ object AnalyticsQueries {
     "q228_behavior_lift"   -> behaviorLift,
     "q229_revenue_shares"  -> revenueShares,
     "q231_audience_turnover" -> audienceTurnover,
-    "q232_pseudonym_audit" -> pseudonymAudit)
+    "q232_pseudonym_audit" -> pseudonymAudit,
+    "q233_seasonality"     -> seasonality)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket

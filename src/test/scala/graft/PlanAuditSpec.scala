@@ -448,6 +448,7 @@ class PlanAuditSpec extends SparkSpec {
       "q226_threshold_sweep" -> 2, // 5-row threshold list, 2 consumer branches
       "q228_behavior_lift" -> 1, // 1-row basket-total scalar
       "q232_pseudonym_audit" -> 2, // two 1-row overlap scalars
+      "q233_seasonality" -> 1, // nation (25) dim
       "q230_pca_power" -> 7, // 3 one-row L-inf norms; the declarative
                              // unroll re-embeds prior rounds' hinted
                              // subtrees (q202's pattern) — all 1-row
