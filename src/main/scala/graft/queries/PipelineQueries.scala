@@ -1053,6 +1053,93 @@ object PipelineQueries {
          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** IVF probe-count sweep (q234) — the ANN tuning table (q226's
+    * discipline applied to retrieval): recall@5 against the exact
+    * brute-force truth for nprobe ∈ 1..4, in ONE judged query. Every
+    * arm shares the same pivot cell assignment (the partitioned
+    * corpus is built once conceptually; each arm is the same keyed
+    * cell join probing more cells), so the sweep measures exactly
+    * the knob a deployment turns — more probed cells, more
+    * candidates, higher recall — with the cost left implicit in the
+    * cell count rather than re-measured. Recall is an exact integer
+    * percentage of the NQ·K truth set; the oracle replays all four
+    * arms against the same brute-force CTE.
+    */
+  val ivfSweep: Q = {
+    val CELLS = 16; val K = 5; val NQ = 10
+    val PROBES = Seq(1, 2, 3, 4)
+    val cos = (a: String, b: String) => VectorFunctions.cosineSql(a, b)
+    def armCte(np: Int): String =
+      s"""qa$np AS (SELECT query_id, qv, cell FROM qa0 WHERE prnk <= $np),
+         |sc$np AS (
+         |  SELECT query_id, ca.vec_id,
+         |    round(${cos("qv", "ca.v")}, 6) AS cos_sim
+         |  FROM qa$np JOIN ca ON qa$np.cell = ca.cell
+         |    AND ca.vec_id <> qa$np.query_id),
+         |rk$np AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM sc$np),
+         |hit$np AS (
+         |  SELECT count(*)::BIGINT AS n_hits
+         |  FROM (SELECT query_id, vec_id FROM rk$np WHERE rnk <= $K) a
+         |  WHERE (query_id, vec_id) IN (SELECT (query_id, vec_id) FROM ex))"""
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < NQ)
+        val exact = Similarity.bruteForceTopK(
+            emb, queries, "vec_id", "embedding", K)
+          .select(col("query_id"), col("vec_id"))
+        val arms = PROBES.map { np =>
+          Similarity.ivfTopK(emb, queries, "vec_id", "embedding", K,
+              CELLS, np)
+            .select(col("query_id"), col("vec_id"))
+            .join(exact, Seq("query_id", "vec_id"), "leftsemi")
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(np.toLong).as("nprobe"), col("n_hits"))
+        }
+        arms.reduce(_ unionByName _)
+          .withColumn("recall_pct",
+            expr(s"n_hits * 100 div ${NQ * K}"))
+          .orderBy("nprobe")
+      },
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |qx AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |       WHERE vec_id < $NQ),
+         |bs AS (
+         |  SELECT query_id, e.vec_id,
+         |    round(${cos("qv", "e.v")}, 6) AS cos_sim
+         |  FROM qx JOIN e ON e.vec_id <> query_id),
+         |br AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM bs),
+         |ex AS (SELECT query_id, vec_id FROM br WHERE rnk <= $K),
+         |p AS (SELECT vec_id AS cell, v AS pv FROM e
+         |      WHERE vec_id < $CELLS),
+         |ca0 AS (
+         |  SELECT e.vec_id, e.v, p.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cos("e.v", "p.pv")} DESC, p.cell) AS prnk
+         |  FROM e CROSS JOIN p),
+         |ca AS (SELECT vec_id, v, cell FROM ca0 WHERE prnk = 1),
+         |qa0 AS (
+         |  SELECT e.vec_id AS query_id, e.v AS qv, p.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cos("e.v", "p.pv")} DESC, p.cell) AS prnk
+         |  FROM e CROSS JOIN p WHERE e.vec_id < $NQ),
+         |${PROBES.map(armCte).mkString(",\n")}
+         |${PROBES.map(np =>
+             s"SELECT $np::BIGINT AS nprobe, n_hits, " +
+               s"(n_hits * 100 // ${NQ * K})::BIGINT AS recall_pct " +
+               s"FROM hit$np").mkString("\nUNION ALL\n")}
+         |ORDER BY nprobe""".stripMargin)
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector-space member
     * of the dedup family (exact q22 / Jaccard q23 / MinHash q24 /
     * SimHash q25 cover the text side). The corpus is random synthetic
@@ -6748,6 +6835,7 @@ object PipelineQueries {
     "q209_vad_segments"  -> vadSegments,
     "q204_mutual_nn"     -> mutualNn,
     "q230_pca_power"     -> pcaPower,
+    "q234_ivf_sweep"     -> ivfSweep,
     "q207_label_purity"  -> labelPurity,
     "q175_centroid_kappa" -> centroidKappa,
     "q179_global_ordinals" -> globalOrdinals,
