@@ -2070,6 +2070,41 @@ object AnalyticsQueries {
       |WHERE day - day0 BETWEEN 1 AND 7
       |GROUP BY k ORDER BY k""".stripMargin)
 
+  /** Traffic shape heatmap (q235) — the (day-of-week × hour) activity
+    * matrix capacity planning reads: per cell, event count, share of
+    * all traffic in ppm, and a peak flag — is THIS the cell the
+    * autoscaler must survive? One scan into a ≤168-cell aggregate;
+    * share and peak ride unpartitioned windows over those 168 rows
+    * (taxonomy-bounded, the q206 argument). `dayofweek`/`hour` are
+    * extracted identically on both engines (Sunday=1 convention
+    * pinned by the oracle's `dayofweek(ts) + 1` DuckDB twin —
+    * DuckDB's dayofweek is 0-based from Sunday).
+    */
+  lazy val trafficHeatmap: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy()
+      t(s, d, "events")
+        .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum("n").over(wAll))
+        .withColumn("mx", max("n").over(wAll))
+        .select(col("dow"), col("hr"), col("n"),
+          expr("n * 1000000L div tot").as("share_ppm"),
+          when(col("n") === col("mx"), 1L).otherwise(0L).as("is_peak"))
+        .orderBy("dow", "hr")
+    },
+    """WITH c AS (
+      |  SELECT (dayofweek(ts) + 1)::BIGINT AS dow,
+      |    hour(ts)::BIGINT AS hr, count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT dow, hr, n,
+      |  (n * 1000000 // sum(n) OVER ())::BIGINT AS share_ppm,
+      |  (CASE WHEN n = max(n) OVER () THEN 1 ELSE 0 END)::BIGINT
+      |    AS is_peak
+      |FROM c ORDER BY dow, hr""".stripMargin)
+
   /** Revenue seasonality (q233) — each nation's month-of-year
     * revenue profile reduced to its decision form: the peak month,
     * its cents, and its share of the nation's total in ppm (a flat
@@ -3162,7 +3197,8 @@ object AnalyticsQueries {
     "q229_revenue_shares"  -> revenueShares,
     "q231_audience_turnover" -> audienceTurnover,
     "q232_pseudonym_audit" -> pseudonymAudit,
-    "q233_seasonality"     -> seasonality)
+    "q233_seasonality"     -> seasonality,
+    "q235_traffic_heatmap" -> trafficHeatmap)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket

@@ -1053,6 +1053,75 @@ object PipelineQueries {
          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** Content-defined chunking audit (q236) — the rolling-hash
+    * boundary statistics behind CDC dedup storage (restic/LBFS-style:
+    * a chunk boundary wherever the W-char window's hash ≡ 0 mod D, so
+    * boundaries survive insertions that shift byte offsets — the
+    * property fixed-size chunking (q58) fundamentally lacks). Per
+    * source: positions scanned, cuts found, the cut rate in ppm
+    * (healthy content ≈ 10⁶/D — a far-off rate means degenerate
+    * content defeating the chunker), and the implied mean chunk
+    * length in milli-chars. The window hash is the native codegen
+    * [[graft.plans.CharPolyHash]] per exploded position — map-only
+    * until the per-source aggregate, no shuffle of text; at 100 TB
+    * chunking parallelizes per document with zero coordination.
+    */
+  val cdcChunking: Q = {
+    val W = 16; val DIV = 64L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            length(col("text")).cast("long").as("len"))
+        val pos = docs.filter(col("len") >= W)
+          .select(col("source"), col("text"),
+            explode(sequence(lit(1),
+              (col("len") - W + 1).cast("int"))).as("p"))
+        val cuts = pos
+          .select(col("source"),
+            when(Hashing.charHash(
+              expr(s"substring(text, p, $W)"), W) % DIV === 0, 1L)
+              .otherwise(0L).as("cut"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_positions"), sum("cut").as("n_cuts"))
+        val tot = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("len").as("total_chars"))
+        tot.join(cuts, Seq("source"), "left")
+          .na.fill(0L, Seq("n_positions", "n_cuts"))
+          .select(col("source"), col("n_docs"), col("total_chars"),
+            col("n_positions"), col("n_cuts"),
+            expr("n_cuts * 1000000L div greatest(n_positions, 1L)")
+              .as("cut_ppm"),
+            expr("total_chars * 1000L div (n_cuts + n_docs)")
+              .as("mean_chunk_milli"))
+          .orderBy("source")
+      },
+      s"""WITH dd AS (
+         |  SELECT doc_id, source, text, length(text)::BIGINT AS len
+         |  FROM documents),
+         |pos AS (
+         |  SELECT source, text,
+         |    unnest(range(1, len - $W + 2)) AS p
+         |  FROM dd WHERE len >= $W),
+         |g AS (SELECT source, substr(text, p::INT, $W) AS gram FROM pos),
+         |c AS (
+         |  SELECT source, count(*)::BIGINT AS n_positions,
+         |    sum(CASE WHEN (${Hashing.charHashSql("gram", W)}) % $DIV = 0
+         |        THEN 1 ELSE 0 END)::BIGINT AS n_cuts
+         |  FROM g GROUP BY source),
+         |t AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |        sum(len)::BIGINT AS total_chars FROM dd GROUP BY source)
+         |SELECT t.source, n_docs, total_chars,
+         |  coalesce(n_positions, 0)::BIGINT AS n_positions,
+         |  coalesce(n_cuts, 0)::BIGINT AS n_cuts,
+         |  (coalesce(n_cuts, 0) * 1000000
+         |     // greatest(coalesce(n_positions, 0), 1))::BIGINT AS cut_ppm,
+         |  (total_chars * 1000 // (coalesce(n_cuts, 0) + n_docs))::BIGINT
+         |    AS mean_chunk_milli
+         |FROM t LEFT JOIN c ON t.source = c.source
+         |ORDER BY t.source""".stripMargin)
+  }
+
   /** IVF probe-count sweep (q234) — the ANN tuning table (q226's
     * discipline applied to retrieval): recall@5 against the exact
     * brute-force truth for nprobe ∈ 1..4, in ONE judged query. Every
@@ -6836,6 +6905,7 @@ object PipelineQueries {
     "q204_mutual_nn"     -> mutualNn,
     "q230_pca_power"     -> pcaPower,
     "q234_ivf_sweep"     -> ivfSweep,
+    "q236_cdc_chunking"  -> cdcChunking,
     "q207_label_purity"  -> labelPurity,
     "q175_centroid_kappa" -> centroidKappa,
     "q179_global_ordinals" -> globalOrdinals,
