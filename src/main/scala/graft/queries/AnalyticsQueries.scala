@@ -2070,6 +2070,66 @@ object AnalyticsQueries {
       |WHERE day - day0 BETWEEN 1 AND 7
       |GROUP BY k ORDER BY k""".stripMargin)
 
+  /** RFM segmentation (q237) — the classic CRM cube: each customer
+    * scored 1–5 on Recency (days from last order to the corpus
+    * anchor = max order date), Frequency (order count) and Monetary
+    * (cents), via equi-depth `ntile(5)` with (value, custkey) total
+    * orders so ties are deterministic; the judged output is the
+    * occupied (r, f, m) cells with customer counts and monetary
+    * bounds — the table a lifecycle-marketing team routes campaigns
+    * from ("511 = about to churn, was valuable"). The three ntile
+    * windows are global sorts at customer grain — q166's documented
+    * trade: at 100 TB you swap ntile for quantile-sketch cutpoints
+    * (q80) and keep the same cell semantics; per-customer stats
+    * before them are one map-side-combinable aggregate.
+    */
+  lazy val rfmSegments: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val anchor = t(s, d, "orders")
+        .agg(max(to_date(col("o_orderdate"))).as("anchor"))
+      val per = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(cents(col("o_totalprice"))).as("cents"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("rec_days",
+          datediff(col("anchor"), col("last_day")).cast("long"))
+      val scored = per
+        .withColumn("r", ntile(5).over(
+          Window.orderBy(col("rec_days"), col("cust"))).cast("long"))
+        .withColumn("f", ntile(5).over(
+          Window.orderBy(desc("freq"), col("cust"))).cast("long"))
+        .withColumn("m", ntile(5).over(
+          Window.orderBy(desc("cents"), col("cust"))).cast("long"))
+      scored.groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_cust"), min("cents").as("min_cents"),
+          max("cents").as("max_cents"))
+        .orderBy("r", "f", "m")
+    },
+    """WITH a AS (SELECT max(o_orderdate::DATE) AS anchor FROM orders),
+      |per AS (
+      |  SELECT o_custkey AS cust,
+      |    max(o_orderdate::DATE) AS last_day,
+      |    count(*)::BIGINT AS freq,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |sc AS (
+      |  SELECT cust, freq, cents,
+      |    (a.anchor - last_day)::BIGINT AS rec_days
+      |  FROM per, a),
+      |nt AS (
+      |  SELECT cents,
+      |    ntile(5) OVER (ORDER BY rec_days, cust)::BIGINT AS r,
+      |    ntile(5) OVER (ORDER BY freq DESC, cust)::BIGINT AS f,
+      |    ntile(5) OVER (ORDER BY cents DESC, cust)::BIGINT AS m
+      |  FROM sc)
+      |SELECT r, f, m, count(*)::BIGINT AS n_cust,
+      |  min(cents)::BIGINT AS min_cents, max(cents)::BIGINT AS max_cents
+      |FROM nt GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin)
+
   /** Traffic shape heatmap (q235) — the (day-of-week × hour) activity
     * matrix capacity planning reads: per cell, event count, share of
     * all traffic in ppm, and a peak flag — is THIS the cell the
@@ -3198,7 +3258,8 @@ object AnalyticsQueries {
     "q231_audience_turnover" -> audienceTurnover,
     "q232_pseudonym_audit" -> pseudonymAudit,
     "q233_seasonality"     -> seasonality,
-    "q235_traffic_heatmap" -> trafficHeatmap)
+    "q235_traffic_heatmap" -> trafficHeatmap,
+    "q237_rfm_segments"    -> rfmSegments)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket

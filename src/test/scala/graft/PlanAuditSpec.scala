@@ -449,6 +449,7 @@ class PlanAuditSpec extends SparkSpec {
       "q228_behavior_lift" -> 1, // 1-row basket-total scalar
       "q232_pseudonym_audit" -> 2, // two 1-row overlap scalars
       "q233_seasonality" -> 1, // nation (25) dim
+      "q237_rfm_segments" -> 1, // 1-row corpus-anchor date scalar
       "q234_ivf_sweep" -> 12, // fixed 10-query set + 16-pivot codebook,
                               // replicated across the 4 sweep arms +
                               // the shared brute-force truth arm
