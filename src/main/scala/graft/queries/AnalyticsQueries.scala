@@ -2070,6 +2070,87 @@ object AnalyticsQueries {
       |WHERE day - day0 BETWEEN 1 AND 7
       |GROUP BY k ORDER BY k""".stripMargin)
 
+  /** Repeat-purchase hazard (q238) — the discrete survival table
+    * behind "how long until a new customer orders again": for each
+    * week offset k since the FIRST order, the at-risk count (no
+    * second order before k, still observable at k given the corpus
+    * anchor) and the conversion count, with the hazard in exact ppm
+    * — the Kaplan–Meier numerators/denominators, censoring handled
+    * the standard way, no float survival product (consumers chain
+    * 1−h themselves). Shape: one per-customer (first, second,
+    * censor) aggregate via window-free min/conditional-min, then the
+    * week axis is CALENDAR-bounded — risk sets come from reverse
+    * cumulative sums over ≤observation-window rows, never a
+    * per-customer explode.
+    */
+  lazy val repeatHazard: Q = {
+    val MAXK = 26L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = t(s, d, "orders")
+          .select(col("o_custkey").as("cust"),
+            to_date(col("o_orderdate")).as("day"))
+        val anchor = ord.agg(max(col("day")).as("anchor"))
+        val per = ord.groupBy("cust").agg(min("day").as("d1"))
+          .join(ord, Seq("cust"))
+          .groupBy("cust", "d1")
+          .agg(min(when(col("day") > col("d1"), col("day"))).as("d2"))
+          .crossJoin(broadcast(anchor))
+          .select(col("cust"),
+            expr("datediff(d2, d1) div 7").as("k2"),
+            expr("datediff(anchor, d1) div 7").as("kc"))
+        // d(k): conversions at offset k; c(k): censored with horizon k
+        val conv = per.filter(col("k2").isNotNull)
+          .groupBy(col("k2").as("k")).agg(count(lit(1)).as("d"))
+        val cens = per.filter(col("k2").isNull)
+          .groupBy(col("kc").as("k")).agg(count(lit(1)).as("c"))
+        val axis = conv.select("k").unionByName(cens.select("k"))
+          .distinct()
+          .join(conv, Seq("k"), "left").join(cens, Seq("k"), "left")
+          .na.fill(0L, Seq("d", "c"))
+        // at-risk at k = all customers whose event/censor offset ≥ k
+        val w = Window.orderBy(desc("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        axis
+          .withColumn("n_risk", sum(col("d") + col("c")).over(w))
+          .filter(col("k") <= MAXK)
+          .select(col("k"), col("n_risk"), col("d").as("n_conv"),
+            expr("d * 1000000L div n_risk").as("hazard_ppm"))
+          .orderBy("k")
+      },
+      s"""WITH ord AS (
+         |  SELECT o_custkey AS cust, o_orderdate::DATE AS day
+         |  FROM orders),
+         |a AS (SELECT max(day) AS anchor FROM ord),
+         |f AS (SELECT cust, min(day) AS d1 FROM ord GROUP BY 1),
+         |p AS (
+         |  SELECT f.cust, f.d1,
+         |    min(CASE WHEN ord.day > f.d1 THEN ord.day END) AS d2
+         |  FROM f JOIN ord ON f.cust = ord.cust GROUP BY 1, 2),
+         |per AS (
+         |  SELECT cust, (d2 - d1) // 7 AS k2,
+         |    (a.anchor - d1) // 7 AS kc
+         |  FROM p, a),
+         |conv AS (SELECT k2 AS k, count(*)::BIGINT AS d FROM per
+         |         WHERE k2 IS NOT NULL GROUP BY 1),
+         |cens AS (SELECT kc AS k, count(*)::BIGINT AS c FROM per
+         |         WHERE k2 IS NULL GROUP BY 1),
+         |ax AS (
+         |  SELECT k, coalesce(d, 0)::BIGINT AS d,
+         |    coalesce(c, 0)::BIGINT AS c
+         |  FROM (SELECT k FROM conv UNION SELECT k FROM cens)
+         |  LEFT JOIN conv USING (k) LEFT JOIN cens USING (k)),
+         |rk AS (
+         |  SELECT k, d,
+         |    sum(d + c) OVER (ORDER BY k DESC
+         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS n_risk
+         |  FROM ax)
+         |SELECT k::BIGINT AS k, n_risk, d AS n_conv,
+         |  (d * 1000000 // n_risk)::BIGINT AS hazard_ppm
+         |FROM rk WHERE k <= $MAXK ORDER BY k""".stripMargin)
+  }
+
   /** RFM segmentation (q237) — the classic CRM cube: each customer
     * scored 1–5 on Recency (days from last order to the corpus
     * anchor = max order date), Frequency (order count) and Monetary
@@ -3259,7 +3340,8 @@ object AnalyticsQueries {
     "q232_pseudonym_audit" -> pseudonymAudit,
     "q233_seasonality"     -> seasonality,
     "q235_traffic_heatmap" -> trafficHeatmap,
-    "q237_rfm_segments"    -> rfmSegments)
+    "q237_rfm_segments"    -> rfmSegments,
+    "q238_repeat_hazard"   -> repeatHazard)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket
