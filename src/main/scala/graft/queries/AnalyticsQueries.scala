@@ -2070,6 +2070,63 @@ object AnalyticsQueries {
       |WHERE day - day0 BETWEEN 1 AND 7
       |GROUP BY k ORDER BY k""".stripMargin)
 
+  /** Ship lead-time SLA (q239) — exact P50/P90/max days from order
+    * to line shipment per order priority: the operational promise
+    * ("95% of URGENT ships within N days") read from data. Exact
+    * order statistics WITHOUT any corpus sort: lead time lives on a
+    * BOUNDED integer day axis, so a (priority, days) histogram +
+    * one cumulative window over that bounded axis locates the
+    * ceil-rank entries directly (q185's value-space selection with
+    * the domain bound making the histogram itself the index). One
+    * key join to fetch the order date, one histogram aggregate,
+    * bounded windows; ties are inherent values, not row order, so
+    * no tiebreak column exists to disagree on.
+    */
+  lazy val leadTimeSla: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lt = t(s, d, "lineitem")
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+        .join(t(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("od")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("prio"), datediff(col("sd"), col("od"))
+          .cast("long").as("days"))
+      val hist = lt.groupBy("prio", "days").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("prio").orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("n", sum("c").over(Window.partitionBy("prio")))
+        .groupBy("prio")
+        .agg(max("n").as("n_lines"),
+          min(when(col("cum") * 2 >= col("n"), col("days")))
+            .as("p50_days"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("days")))
+            .as("p90_days"),
+          max("days").as("max_days"))
+        .orderBy("prio")
+    },
+    """WITH lt AS (
+      |  SELECT o_orderpriority AS prio,
+      |    (l_shipdate::DATE - o_orderdate::DATE)::BIGINT AS days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |h AS (SELECT prio, days, count(*)::BIGINT AS c
+      |      FROM lt GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT prio, days, c,
+      |    sum(c) OVER (PARTITION BY prio ORDER BY days
+      |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+      |    sum(c) OVER (PARTITION BY prio)::BIGINT AS n
+      |  FROM h)
+      |SELECT prio, max(n)::BIGINT AS n_lines,
+      |  min(CASE WHEN cum * 2 >= n THEN days END)::BIGINT AS p50_days,
+      |  min(CASE WHEN cum * 10 >= n * 9 THEN days END)::BIGINT
+      |    AS p90_days,
+      |  max(days)::BIGINT AS max_days
+      |FROM cw GROUP BY prio ORDER BY prio""".stripMargin)
+
   /** Repeat-purchase hazard (q238) — the discrete survival table
     * behind "how long until a new customer orders again": for each
     * week offset k since the FIRST order, the at-risk count (no
@@ -3341,7 +3398,8 @@ object AnalyticsQueries {
     "q233_seasonality"     -> seasonality,
     "q235_traffic_heatmap" -> trafficHeatmap,
     "q237_rfm_segments"    -> rfmSegments,
-    "q238_repeat_hazard"   -> repeatHazard)
+    "q238_repeat_hazard"   -> repeatHazard,
+    "q239_leadtime_sla"    -> leadTimeSla)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket

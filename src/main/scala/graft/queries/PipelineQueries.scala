@@ -1053,6 +1053,56 @@ object PipelineQueries {
          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** Zipf spectrum slope (q240) — q69 plots the frequency spectrum;
+    * this fits it: the log₂-log₂ slope of (#distinct words per
+    * frequency octave) against the octave index, by q193's integer
+    * OLS closed form in milli — natural text lands near the Zipfian
+    * slope, while templated/synthetic corpora flatten or kink, so
+    * the single number is a corpus-naturalness screen comparable
+    * across snapshots. Both axes use `length(bin(n))` (exact
+    * ⌊log₂⌋+1, q98's trick) — no floats anywhere; the regression
+    * runs over ≤~20 octave points, everything before it map-side
+    * combinable word counting.
+    */
+  val zipfSlope: Q = Q(
+    (s, d) => {
+      val pts = t(s, d, "documents")
+        .select(explode(TextFunctions.words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .groupBy(expr("cast(length(bin(n)) AS bigint)").as("x"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("x"),
+          expr("cast(length(bin(cnt)) AS bigint)").as("y"))
+      pts.agg(count(lit(1)).as("k"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(expr("x * y")).as("sxy"),
+          sum(expr("x * x")).as("sxx"))
+        .withColumn("slope_milli",
+          expr("(k * sxy - sx * sy) * 1000 div (k * sxx - sx * sx)"))
+        .select(col("k"), col("slope_milli"),
+          expr("(sy * 1000 - slope_milli * sx) div k")
+            .as("intercept_milli"))
+    },
+    s"""WITH tf AS (
+       |  SELECT w, count(*)::BIGINT AS n FROM (
+       |    SELECT unnest(${TextFunctions.wordsSql("text")}) AS w
+       |    FROM documents) GROUP BY w),
+       |pts AS (
+       |  SELECT length(bin(n))::BIGINT AS x,
+       |    length(bin(count(*)))::BIGINT AS y
+       |  FROM tf GROUP BY length(bin(n))),
+       |m AS (
+       |  SELECT count(*)::BIGINT AS k, sum(x)::BIGINT AS sx,
+       |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+       |    sum(x * x)::BIGINT AS sxx
+       |  FROM pts)
+       |SELECT k,
+       |  ((k * sxy - sx * sy) * 1000 // (k * sxx - sx * sx))::BIGINT
+       |    AS slope_milli,
+       |  ((sy * 1000 - ((k * sxy - sx * sy) * 1000
+       |      // (k * sxx - sx * sx)) * sx) // k)::BIGINT
+       |    AS intercept_milli
+       |FROM m""".stripMargin)
+
   /** Content-defined chunking audit (q236) — the rolling-hash
     * boundary statistics behind CDC dedup storage (restic/LBFS-style:
     * a chunk boundary wherever the W-char window's hash ≡ 0 mod D, so
@@ -6906,6 +6956,7 @@ object PipelineQueries {
     "q230_pca_power"     -> pcaPower,
     "q234_ivf_sweep"     -> ivfSweep,
     "q236_cdc_chunking"  -> cdcChunking,
+    "q240_zipf_slope"    -> zipfSlope,
     "q207_label_purity"  -> labelPurity,
     "q175_centroid_kappa" -> centroidKappa,
     "q179_global_ordinals" -> globalOrdinals,
