@@ -2070,6 +2070,106 @@ object AnalyticsQueries {
       |WHERE day - day0 BETWEEN 1 AND 7
       |GROUP BY k ORDER BY k""".stripMargin)
 
+  /** Discount-band economics (q241) — the pricing table: per integer
+    * discount percent band, line count, units, gross and net revenue
+    * in exact cents, and the realized give-back in ppm — what a
+    * pricing team reads to see whether deeper discounts actually
+    * move volume (units per line by band) or just erode margin. One
+    * scan into a ≤12-band aggregate, everything map-side
+    * combinable; cents conversions are the shared exact-integer
+    * convention so the bands hash-match at any parallelism.
+    */
+  lazy val discountBands: Q = Q(
+    (s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(round(col("l_discount") * 100).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("units"),
+          sum(cents(col("l_extendedprice"))).as("gross_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("net_cents"))
+        .select(col("band"), col("n_lines"), col("units"),
+          col("gross_cents"), col("net_cents"),
+          expr("(gross_cents - net_cents) * 1000000L div gross_cents")
+            .as("giveback_ppm"),
+          expr("units * 1000L div n_lines").as("units_per_line_milli"))
+        .orderBy("band")
+    },
+    """SELECT CAST(round(l_discount * 100) AS BIGINT) AS band,
+      |  count(*)::BIGINT AS n_lines,
+      |  sum(l_quantity::BIGINT)::BIGINT AS units,
+      |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+      |    AS gross_cents,
+      |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |      AS BIGINT))::BIGINT AS net_cents,
+      |  ((sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |    - sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |          AS BIGINT))) * 1000000
+      |   // sum(CAST(round(l_extendedprice * 100) AS BIGINT)))::BIGINT
+      |    AS giveback_ppm,
+      |  (sum(l_quantity::BIGINT) * 1000 // count(*))::BIGINT
+      |    AS units_per_line_milli
+      |FROM lineitem GROUP BY 1 ORDER BY band""".stripMargin)
+
+  /** Revenue concentration (q242) — the 80/20 readout: for coverage
+    * targets 50/80/90/99%, the smallest customer-count prefix (by
+    * revenue rank) whose cumulative cents reach that share of total,
+    * and what fraction of the customer base that prefix is in ppm.
+    * One per-customer aggregate, ONE customer-grain ranking window
+    * (q237's documented trade — sketch cutpoints at 100 TB), then a
+    * 4-row broadcast threshold sweep over the cumulative curve
+    * (q226's sweep discipline). High concentration ⇒ key-account
+    * risk; flat ⇒ volume business — the number a revenue-risk review
+    * opens with.
+    */
+  lazy val revenueConcentration: Q = {
+    val THS = Seq(50L, 80L, 90L, 99L)
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val per = t(s, d, "orders")
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(sum(cents(col("o_totalprice"))).as("cents"))
+        val ranked = per
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(desc("cents"), col("cust"))).cast("long"))
+          .withColumn("cum", sum("cents").over(
+            Window.orderBy(desc("cents"), col("cust"))
+              .rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)))
+          .withColumn("tot", sum("cents").over(Window.partitionBy()))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        val ths = s.range(1)
+          .select(explode(array(THS.map(lit): _*)).as("th"))
+        ranked.crossJoin(broadcast(ths))
+          .filter(col("cum") * 100 >= col("tot") * col("th"))
+          .groupBy("th")
+          .agg(min("rnk").as("n_customers"), max("n").as("n_total"))
+          .select(col("th"), col("n_customers"),
+            expr("n_customers * 1000000L div n_total").as("cust_ppm"))
+          .orderBy("th")
+      },
+      s"""WITH per AS (
+         |  SELECT o_custkey AS cust,
+         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+         |      AS cents
+         |  FROM orders GROUP BY 1),
+         |rk AS (
+         |  SELECT cust, cents,
+         |    row_number() OVER (ORDER BY cents DESC, cust)::BIGINT
+         |      AS rnk,
+         |    sum(cents) OVER (ORDER BY cents DESC, cust
+         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         |    sum(cents) OVER ()::BIGINT AS tot,
+         |    count(*) OVER ()::BIGINT AS n
+         |  FROM per),
+         |th(th) AS (VALUES ${THS.map(t => s"($t)").mkString(", ")})
+         |SELECT th.th::BIGINT AS th, min(rnk)::BIGINT AS n_customers,
+         |  (min(rnk) * 1000000 // max(n))::BIGINT AS cust_ppm
+         |FROM rk, th WHERE cum * 100 >= tot * th.th
+         |GROUP BY th.th ORDER BY th""".stripMargin)
+  }
+
   /** Ship lead-time SLA (q239) — exact P50/P90/max days from order
     * to line shipment per order priority: the operational promise
     * ("95% of URGENT ships within N days") read from data. Exact
@@ -3399,7 +3499,9 @@ object AnalyticsQueries {
     "q235_traffic_heatmap" -> trafficHeatmap,
     "q237_rfm_segments"    -> rfmSegments,
     "q238_repeat_hazard"   -> repeatHazard,
-    "q239_leadtime_sla"    -> leadTimeSla)
+    "q239_leadtime_sla"    -> leadTimeSla,
+    "q241_discount_bands"  -> discountBands,
+    "q242_revenue_concentration" -> revenueConcentration)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket

@@ -450,6 +450,7 @@ class PlanAuditSpec extends SparkSpec {
       "q232_pseudonym_audit" -> 2, // two 1-row overlap scalars
       "q233_seasonality" -> 1, // nation (25) dim
       "q237_rfm_segments" -> 1, // 1-row corpus-anchor date scalar
+      "q242_revenue_concentration" -> 1, // 4-row coverage-threshold list
       "q238_repeat_hazard" -> 4, // 1-row anchor scalar fanned into the
                                  // conv/cens/axis consumer branches
       "q234_ivf_sweep" -> 12, // fixed 10-query set + 16-pivot codebook,
