@@ -58,9 +58,21 @@ object Bench {
     // runs amortize away, and the marker keeps that from reading as a
     // probe regression. name -> publish-inclusive wall time.
     val published = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-query artifact state of the execution whose time is
+    // REPORTED (the min-of-3): "cold" = that execution published a
+    // fingerprint-keyed artifact inside the timed window, "warm" = it
+    // only probed an existing committed generation. Non-artifact
+    // queries get no entry. This is what disambiguates a probe-cost
+    // regression from a cold publish when reading BENCH_rN after the
+    // fact (the r8 q91 gap: pub was empty yet the time had
+    // quadrupled, and nothing in the artifacts said whether the run
+    // was warm).
+    val artState = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
+      // (seconds, artifact state of that execution: cold/warm/None)
       val times = (1 to 3).flatMap { _ =>
         val pub0 = graft.sources.Artifacts.publishes.get()
+        val res0 = graft.sources.Artifacts.resolveHits.get()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -69,9 +81,13 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (graft.sources.Artifacts.publishes.get() > pub0 &&
-            !published.contains(name))
-          published(name) = dt
+        val state =
+          if (graft.sources.Artifacts.publishes.get() > pub0) {
+            if (!published.contains(name)) published(name) = dt
+            Some("cold")
+          } else if (graft.sources.Artifacts.resolveHits.get() > res0)
+            Some("warm")
+          else None
         // queries may persist() intermediate frames (q24); don't let
         // the cache bleed into the next measurement. The explicit gc
         // keeps one query's garbage from landing in another's timing
@@ -79,11 +95,16 @@ object Bench {
         // purely from inherited heap pressure).
         spark.catalog.clearCache()
         System.gc()
-        if (ok) Some(dt) else None
+        if (ok) Some((dt, state)) else None
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      if (times.nonEmpty) {
+        val (minT, minState) = times.minBy(_._1)
+        minState.foreach(st => artState(name) = st)
+        name -> minT
+      } else name -> -1.0
     }
-    val fullLine = detailLine(results, errors.toSeq, sfDir, published.toSeq)
+    val fullLine = detailLine(results, errors.toSeq, sfDir, published.toSeq,
+      artState.toSeq)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), fullLine + "\n")
     catch { case _: Throwable => () } // a read-only cwd must not fail the bench
@@ -91,7 +112,8 @@ object Bench {
     // stream: silence the Spark logger before printing so stop()'s
     // shutdown chatter can't land after it.
     spark.sparkContext.setLogLevel("OFF")
-    println(compactLine(results, errors.toSeq, sfDir, published.toSeq))
+    println(compactLine(results, errors.toSeq, sfDir, published.toSeq,
+      artState.toSeq))
     spark.stop()
   }
 
@@ -117,7 +139,8 @@ object Bench {
   private[graft] def compactLine(results: Seq[(String, Double)],
                                  errors: Seq[(String, String)],
                                  sfDir: String,
-                                 published: Seq[(String, Double)] = Nil): String = {
+                                 published: Seq[(String, Double)] = Nil,
+                                 art: Seq[(String, String)] = Nil): String = {
     // 1-decimal per-query timings with trailing ".0" trimmed: 100 ms
     // is below box noise (±20-30% run to run — full precision lives in
     // BENCH_DETAIL.json). The driver keeps a 2000-byte tail of stdout
@@ -137,11 +160,17 @@ object Bench {
     // capture budget holds
     val pub = published.map { case (k, v) =>
       s"${jstr(k.takeWhile(_ != '_'))}:${fmtTrim(v)}" }.mkString("{", ",", "}")
+    // warm/cold artifact markers, qNN keys, single-letter values (the
+    // map has one entry per artifact-consuming query — bounded by the
+    // artifact-family size, not the query count)
+    val artStr = art.map { case (k, v) =>
+      s"${jstr(k.takeWhile(_ != '_'))}:${jstr(v.take(1))}" }
+      .mkString("{", ",", "}")
     def line(qs: String, more: Seq[(String, Double)]): String = {
       val moreStr =
         if (more.isEmpty) ""
         else s""","more":${more.size},"more_sec":${fmt(more.map(_._2).sum)}"""
-      s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs$moreStr,"errors":$errs,"pub":$pub,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs$moreStr,"errors":$errs,"pub":$pub,"art":$artStr,"sf":"$sf"}"""
     }
     val entries = results.map { case (k, v) =>
       (k, v, s"${jstr(k.takeWhile(_ != '_'))}:${fmtTrim(v)}") }
@@ -149,9 +178,11 @@ object Bench {
     if (full.length < Budget) full
     else {
       // slowest-first, name tie-break; overhead measured against the
-      // worst case (non-empty "more" section present)
+      // WORST-CASE widths of the folded section (4-digit count,
+      // 5-figure seconds) so a real fold can never exceed the reserve
       val ranked = entries.sortBy { case (k, v, _) => (-v, k) }
-      val overhead = line("{}", Seq(("x", 9999.999))).length
+      val overhead = line("{}", Nil).length +
+        s""","more":9999,"more_sec":99999.999""".length
       var used = overhead
       val keep = ranked.takeWhile { case (_, _, e) =>
         val fits = used + e.length + 1 < Budget
@@ -160,7 +191,13 @@ object Bench {
       }
       val kept = keep.map(_._1).toSet
       val more = results.filter { case (k, _) => !kept(k) }
-      line(keep.map(_._3).mkString("{", ",", "}"), more)
+      val out = line(keep.map(_._3).mkString("{", ",", "}"), more)
+      // belt and braces: the budget math above is exact, but the
+      // capture window is a hard external constraint — never emit a
+      // line that could clip, even if a future edit breaks the math
+      assert(out.length < 2000,
+        s"budgeted bench line is ${out.length} bytes — exceeds capture")
+      out
     }
   }
 
@@ -182,13 +219,16 @@ object Bench {
   private[graft] def detailLine(results: Seq[(String, Double)],
                                 errors: Seq[(String, String)],
                                 sfDir: String,
-                                published: Seq[(String, Double)] = Nil): String = {
+                                published: Seq[(String, Double)] = Nil,
+                                art: Seq[(String, String)] = Nil): String = {
     val qs = results.map { case (k, v) =>
       s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val pub = published.map { case (k, v) =>
       s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$errs,"pub":$pub,"sf":"$sfDir"}"""
+    val artStr = art.map { case (k, v) =>
+      s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$errs,"pub":$pub,"art":$artStr,"sf":"$sfDir"}"""
   }
 }

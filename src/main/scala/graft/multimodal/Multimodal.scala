@@ -94,6 +94,67 @@ object Multimodal {
   def fakeDecodeSql(nBytes: String): (String, String) =
     (s"$nBytes % 640 + 1", s"$nBytes % 480 + 1")
 
+  // ------------------------------------------------------ real WAV bytes
+  //
+  // The one place the engine DOES interpret media bytes end-to-end
+  // (q244): a genuine little-endian RIFF/WAVE container — 44-byte
+  // canonical header + 16-bit PCM payload, playable by any audio tool
+  // — built and parsed with nothing but codegen'd string/binary
+  // expressions. This proves the decode seam carries real bytes, not
+  // substring stubs: the reader below recovers sample rate, data size
+  // and every sample from the BYTES alone, and the q244 oracle
+  // recomputes the expected values from the source data — a single
+  // wrong byte (endianness, offset, two's complement) breaks parity.
+
+  import org.apache.spark.sql.Column
+
+  /** Little-endian hex of the low `n` bytes of a non-negative value —
+    * the encoder's byte emitter (`unhex` turns the accumulated hex
+    * into the final binary). Pure codegen: shift + mod + hex + pad.
+    */
+  def leHex(v: Column, n: Int): Column =
+    concat((0 until n).map(k =>
+      lpad(hex(shiftright(v.cast("long"), 8 * k) % 256), 2, "0")): _*)
+
+  /** Little-endian unsigned read of `n` bytes at 1-based `pos` of a
+    * binary column — the decoder's byte reader (substr → hex → conv,
+    * one term per byte, all codegen).
+    */
+  def leRead(bin: Column, pos: Column, n: Int): Column =
+    (0 until n).map(k =>
+      conv(hex(bin.substr(pos + lit(k), lit(1))), 16, 10).cast("long") *
+        lit(1L << (8 * k)))
+      .reduce(_ + _)
+
+  /** A complete RIFF/WAVE file as bytes: canonical 44-byte header
+    * (PCM format 1, mono, 16-bit, little-endian throughout) followed
+    * by `nSamples` s16le samples produced by `sample(i)` for
+    * i = 1..nSamples (values in [-32768, 32767]; negatives stored as
+    * two's complement). `rate` is the per-row sample-rate column.
+    */
+  def wavBytes(rate: Column, nSamples: Column,
+               sample: Column => Column): Column = {
+    val dataSize = nSamples * 2
+    val header = concat(
+      lit("52494646"), // "RIFF"
+      leHex(dataSize + 36, 4), // chunk size
+      lit("57415645"), // "WAVE"
+      lit("666d7420"), // "fmt "
+      lit("10000000"), // subchunk1 size = 16, LE32
+      lit("0100"), // PCM = 1, LE16
+      lit("0100"), // channels = 1, LE16
+      leHex(rate, 4), // sample rate
+      leHex(rate * 2, 4), // byte rate = rate * blockAlign
+      lit("0200"), // block align = 2, LE16
+      lit("1000"), // bits per sample = 16, LE16
+      lit("64617461"), // "data"
+      leHex(dataSize, 4)) // data size
+    val data = array_join(
+      transform(sequence(lit(1), nSamples),
+        i => leHex(pmod(sample(i), lit(65536L)), 2)), "")
+    unhex(concat(header, data))
+  }
+
   /** Per-frame energy fold at the decode seam — the native
     * [[graft.plans.CharEnergy]] expression over a decoded frame (one
     * fused byte loop per row; the windowed-RMS stand-in a real PCM

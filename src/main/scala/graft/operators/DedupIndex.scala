@@ -35,86 +35,35 @@ object DedupIndex {
   def bucketOf(band: Column, bandKey: Column): Column =
     pmod(xxhash64(band, bandKey), lit(NumBuckets.toLong)).cast("int")
 
-  private def versionsOf(root: String): Seq[(Long, java.io.File)] = {
-    val d = new java.io.File(root)
-    val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
-    kids.filter(f => f.isDirectory && f.getName.startsWith("index.v") &&
-        f.getName.drop(7).forall(_.isDigit))
-      .map(f => (f.getName.drop(7).toLong, f))
-  }
-
   /** Highest committed (`_SUCCESS`-marked) index version under `root`,
     * or None before the first publish.
     */
-  def resolve(root: String): Option[String] =
-    versionsOf(root).filter { case (_, f) =>
-      new java.io.File(f, "_SUCCESS").isFile }
-      .sortBy(-_._1).headOption.map(_._2.getAbsolutePath)
+  def resolve(root: String): Option[String] = VersionedDirs.resolve(root)
 
   /** Publish the banded index of `indexSig` (a MinHash signature
     * frame) as the next version under `root`: one row per (id, band,
     * band_key), hash-partitioned into [[NumBuckets]] directories and
-    * sorted by (band, band_key) within each file. Returns the
-    * committed path.
+    * sorted by (band, band_key) within each file. Commit protocol and
+    * retention are [[VersionedDirs]]' (stage → atomic rename →
+    * keep-two-committed vacuum). Returns the committed path.
     */
   def publish(indexSig: DataFrame, id: String, bands: Int,
               rowsPerBand: Int, root: String): String = synchronized {
-    // stage under a writer-private name, then atomic-rename into the
-    // version slot — the engine's commit protocol. rename(2) onto an
-    // existing non-empty dir fails, so two cross-process publishers
-    // racing the same number cannot interleave files: the loser's
-    // rename fails and it retries the next slot with its staging dir
-    // intact. (The `synchronized` covers same-JVM races; the rename
-    // covers everything else.)
-    graft.sources.Artifacts.notePublish()
-    val staging = new java.io.File(root,
-      s".staging-${java.util.UUID.randomUUID()}")
-    Dedup.bandRows(indexSig, id, bands, rowsPerBand)
-      .withColumnRenamed(id, "index_id")
-      .withColumn("bucket", bucketOf(col("band"), col("band_key")))
-      .repartition(col("bucket"))
-      .sortWithinPartitions("band", "band_key")
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(staging.getAbsolutePath)
-    var next = versionsOf(root).map(_._1).maxOption.getOrElse(0L) + 1
-    var target = new java.io.File(root, s"index.v$next")
-    var attempts = 0
-    while (!staging.renameTo(target)) {
-      attempts += 1
-      require(attempts < 1000,
-        s"publish rename failed repeatedly into $root (not a version race)")
-      next += 1
-      target = new java.io.File(root, s"index.v$next")
+    VersionedDirs.commit(root) { staging =>
+      Dedup.bandRows(indexSig, id, bands, rowsPerBand)
+        .withColumnRenamed(id, "index_id")
+        .withColumn("bucket", bucketOf(col("band"), col("band_key")))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("band", "band_key")
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(staging)
     }
-    val path = target.getAbsolutePath
-    // engine-style retention: the floor is the SECOND-newest COMMITTED
-    // version — everything below it (older generations, crashed-writer
-    // leftovers) vacuums; everything at/above survives, so the
-    // previous committed generation stays for readers that resolved
-    // before this publish and a possibly in-flight higher-numbered
-    // writer is never yanked. Ranking raw dirs instead would let a
-    // crash orphan displace the previous committed generation.
-    retainLatestGenerations(root)
-    path
   }
 
   /** Shared retention for an index root (also used by the streaming
-    * compactor): keep the newest two COMMITTED generations, vacuum
-    * older ones plus abandoned staging dirs. See [[publish]] for why
-    * the floor ranks committed versions, not raw dirs.
-    */
-  private[graft] def retainLatestGenerations(root: String): Unit = {
-    val committedVs = versionsOf(root).filter { case (_, f) =>
-      new java.io.File(f, "_SUCCESS").isFile }.map(_._1)
-    val keepFloor = committedVs.sorted.takeRight(2).headOption.getOrElse(0L)
-    def rm(x: java.io.File): Unit = {
-      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-    }
-    versionsOf(root).filter(_._1 < keepFloor).foreach(v => rm(v._2))
-    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(".staging-"))
-      .foreach(rm)
-  }
+    * compactor) — see [[VersionedDirs.retainLatestGenerations]]. */
+  private[graft] def retainLatestGenerations(root: String): Unit =
+    VersionedDirs.retainLatestGenerations(root)
 
   /** NEW × persisted-INDEX candidate pairs with bucket pruning: band
     * the new batch, collect its touched buckets (≤ [[NumBuckets]]
@@ -140,11 +89,20 @@ object DedupIndex {
                   root: String): DataFrame = {
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
-    val touched = newBands.select("bucket").distinct()
+    // The new batch's banding (a shingle explode + k min-aggregates
+    // over the whole batch) feeds BOTH the touched-bucket collect and
+    // the probe join — persist it so the signing pass runs once, not
+    // twice per probe. The collect below doubles as the materializing
+    // action, so the join consumes the cache. Cache size is one row
+    // per (new doc × band) — batch-bounded, never corpus-bounded —
+    // and persisting an identical plan is a cache-manager no-op, so
+    // repeated probes of one batch reuse rather than stack entries.
+    val nb = newBands.persist()
+    val touched = nb.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val idx = spark.read.parquet(idxPath)
       .filter(col("bucket").isin(touched.toIndexedSeq.map(Int.box): _*))
-    newBands.join(idx, Seq("bucket", "band", "band_key"))
+    nb.join(idx, Seq("bucket", "band", "band_key"))
       .select(col("new_id"), col("index_id")).distinct()
   }
 }

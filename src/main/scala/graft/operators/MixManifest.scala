@@ -42,10 +42,13 @@ object MixManifest {
   }
 
   /** Highest committed manifest version under `root`, if any. */
-  def resolve(root: String): Option[String] =
-    versionsOf(root).filter { case (_, f) =>
+  def resolve(root: String): Option[String] = {
+    val hit = versionsOf(root).filter { case (_, f) =>
       new java.io.File(f, "_SUCCESS").isFile }
       .sortBy(-_._1).headOption.map(_._2.getAbsolutePath)
+    if (hit.isDefined) graft.sources.Artifacts.noteResolveHit()
+    hit
+  }
 
   /** Derive this corpus's mixture (q77's rule, in-plan — the 1-row
     * min is broadcast, never collected) and publish it as the next

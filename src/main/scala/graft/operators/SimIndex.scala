@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** The PERSISTED half of incremental similarity search — the ANN twin
+  * of [[DedupIndex]]: the historical corpus's multi-table
+  * hyperplane-LSH key set ([[graft.plans.MultiTableBuckets]], q74's
+  * at-scale family) materialized as a parquet table partitioned by a
+  * hash bucket of (tbl, bucket), so a daily query batch probes ONLY
+  * the partition directories its keys touch — publish the index once
+  * per re-index (amortized), probe per batch at batch cost. The
+  * in-plan [[Similarity.multiTableTopK]] stays as the
+  * oracle-checkable form; this is the production artifact.
+  *
+  * Each key row CARRIES ITS VECTOR (index_id, tbl, bucket, ivec): the
+  * write-once-read-many trade every ANN index makes (FAISS stores
+  * codes in its inverted lists for the same reason) — T copies of
+  * each vector on disk buy a probe that is ONE pruned join with
+  * scoring inline, instead of keys-join + a second corpus-wide join
+  * to fetch vectors by id (which re-touches the full corpus per
+  * batch, forfeiting the batch-cost property). T is the recall
+  * budget's table count ([[graft.functions.VectorFunctions.mtTables]],
+  * single digits for corpus-derived r), so the amplification is
+  * bounded and chosen, not accidental.
+  *
+  * The (r, T) the index was built with are FROZEN into the artifact
+  * (a probe must key its queries with the index's own parameters, not
+  * parameters re-derived from a grown corpus): publish writes them as
+  * an `_params.json` sidecar (underscore-prefixed so file readers
+  * skip it) next to `_SUCCESS`, and [[probeTopK]]
+  * reads them back — the caller never re-derives.
+  *
+  * Layout/commit/retention are [[VersionedDirs]]' versioned-dir
+  * protocol, identical to [[DedupIndex]].
+  */
+object SimIndex {
+
+  /** Partition-dir count — a layout constant (64 for test-visible
+    * pruning; thousands at 100 TB), the same bounded-by-design class
+    * as [[DedupIndex.NumBuckets]].
+    */
+  val NumBuckets = 64
+
+  /** Stable partition bucket of a key row. */
+  def pbucketOf(tbl: Column, bucket: Column): Column =
+    pmod(xxhash64(tbl, bucket), lit(NumBuckets.toLong)).cast("int")
+
+  /** Highest committed index version under `root`, if any. */
+  def resolve(root: String): Option[String] = VersionedDirs.resolve(root)
+
+  /** Publish `corpus`'s multi-table LSH key set (with vectors
+    * attached) as the next committed version under `root`: one row
+    * per (id, tbl) keyed by the packed r-bit hyperplane bucket,
+    * hash-partitioned into [[NumBuckets]] directories and sorted by
+    * (tbl, bucket) within each file. Returns the committed path.
+    */
+  def publish(corpus: DataFrame, id: String, vec: String,
+              bits: Int, tables: Int, root: String): String = synchronized {
+    VersionedDirs.commit(root) { staging =>
+      corpus.select(col(id).as("index_id"), col(vec).as("ivec"),
+          posexplode(multiTableBuckets(col(vec), bits, tables))
+            .as(Seq("tbl", "bucket")))
+        .withColumn("pbucket", pbucketOf(col("tbl"), col("bucket")))
+        .repartition(col("pbucket"))
+        .sortWithinPartitions("tbl", "bucket")
+        .write.partitionBy("pbucket").mode("overwrite")
+        .parquet(staging)
+      val params = new java.io.File(staging, "_params.json")
+      java.nio.file.Files.writeString(params.toPath,
+        s"""{"bits":$bits,"tables":$tables}""")
+      ()
+    }
+  }
+
+  /** The frozen (bits, tables) of the committed index under `root`. */
+  def params(root: String): (Int, Int) = {
+    val idxPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(idxPath, "_params.json"))
+    def field(k: String): Int =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(
+          s"malformed _params.json in $idxPath: $txt"))
+        .group(1).toInt
+    (field("bits"), field("tables"))
+  }
+
+  /** Approximate top-k of each query vector against the committed
+    * index: key the batch with the index's FROZEN (r, T), collect its
+    * touched partition buckets (≤ [[NumBuckets]] ints — a constant,
+    * never data-sized), read ONLY those directories, and score inline
+    * on the (pbucket, tbl, bucket) equi-join — a pair colliding in
+    * several tables is scored per collision but COUNTED once
+    * (max-aggregated on the identical rounded score), exactly
+    * [[Similarity.multiTableTopK]]'s rule. Self-matches (same id on
+    * both sides) are excluded. Untouched index partitions never leave
+    * the filesystem.
+    */
+  def probeTopK(spark: SparkSession, queries: DataFrame, id: String,
+                vec: String, k: Int, root: String): DataFrame = {
+    val idxPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val (bits, tables) = params(root)
+    // one banding pass for BOTH the touched-bucket collect and the
+    // probe join (the q91 lesson, baked in): the collect below is the
+    // materializing action, the join consumes the cache. Batch-sized.
+    val qk = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+        posexplode(multiTableBuckets(col(vec), bits, tables))
+          .as(Seq("tbl", "bucket")))
+      .withColumn("pbucket", pbucketOf(col("tbl"), col("bucket")))
+      .persist()
+    val touched = qk.select("pbucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idx = spark.read.parquet(idxPath)
+      .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*))
+    val scored = qk.join(idx, Seq("pbucket", "tbl", "bucket"))
+      .filter(col("index_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("index_id"))
+      .agg(max(round(cosineNative(col("qv"), col("ivec")), 6)).as("cos_sim"))
+    Similarity.topK(scored, "index_id", k)
+  }
+}

@@ -306,7 +306,7 @@ object Similarity {
     topK(scored, id, k)
   }
 
-  private def topK(scored: DataFrame, id: String, k: Int): DataFrame = {
+  private[graft] def topK(scored: DataFrame, id: String, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos_sim"), asc(id))
     scored.withColumn("rnk", row_number().over(w).cast("long"))

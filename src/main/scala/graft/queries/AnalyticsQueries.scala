@@ -1031,9 +1031,14 @@ object AnalyticsQueries {
         val cells = nxt.groupBy(col("event_type").as("from_type"),
             col("next_type").as("to_type"))
           .agg(count(lit(1)).as("n"))
+        // persisted: every power-iteration round traverses pmat, and
+        // without the cache each round would re-execute the
+        // corpus-sized per-user lead window behind `cells`. The frame
+        // itself is K×K-bounded (type-taxonomy algebra), so the cache
+        // is tiny and the corpus scan runs exactly once.
         val pmat = cells.join(
           cells.groupBy("from_type").agg(sum("n").as("rtot")),
-          Seq("from_type"))
+          Seq("from_type")).persist()
         val types = t(s, d, "events")
           .select(col("event_type").as("et")).distinct()
         var pi = types
@@ -4327,19 +4332,41 @@ object AnalyticsQueries {
     val ITERS = 2; val K = 10; val SCALE = 1000000L
     Q(
       (s, d) => {
-        val e = tradePairs(s, d).select("src", "dst").distinct()
+        // Reuse discipline (the PageRank/CC round practice): each
+        // round's raw aggregate feeds TWICE (its own 1-row broadcast
+        // normalization total + the normalized frame) — persist it so
+        // the edge join runs once per half-round — and each
+        // NORMALIZED frame is eagerly checkpointed so the next
+        // half-round's broadcast subtree starts from materialized
+        // state instead of re-executing the whole chain (lazy caches
+        // under per-round broadcast subtrees re-enter the plan once
+        // per consumer — the q230 measurement). All frames are
+        // node-sized; ITERS is a constant.
+        val e = tradePairs(s, d).select("src", "dst").distinct().persist()
         val srcs = e.select(col("src").as("node")).distinct()
         var h = srcs.select(col("node"), lit(SCALE).as("h"))
         var a: DataFrame = null
         for (_ <- 1 to ITERS) {
-          val ar = e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+          // ranks ride the BROADCAST side: the rank frame is
+          // node-sized (the customer/supplier dimension scale — the
+          // broadcastable class) while the edge list is fact-sized,
+          // so each half-round is a broadcast hash join + one
+          // aggregation and the persisted edge list is never
+          // re-exchanged (vs. 4 edge shuffles per execution shuffled)
+          val ar = e.join(broadcast(h.withColumnRenamed("node", "src")),
+              Seq("src"))
             .groupBy(col("dst").as("node")).agg(sum("h").as("a0"))
+            .persist()
           a = ar.crossJoin(broadcast(ar.agg(sum("a0").as("t"))))
             .select(col("node"), expr(s"a0 * ${SCALE}L div t").as("a"))
-          val hr = e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+            .localCheckpoint()
+          val hr = e.join(broadcast(a.withColumnRenamed("node", "dst")),
+              Seq("dst"))
             .groupBy(col("src").as("node")).agg(sum("a").as("h0"))
+            .persist()
           h = hr.crossJoin(broadcast(hr.agg(sum("h0").as("t"))))
             .select(col("node"), expr(s"h0 * ${SCALE}L div t").as("h"))
+            .localCheckpoint()
         }
         a.orderBy(desc("a"), asc("node")).limit(K)
           .select(lit("auth").as("kind"), col("node"),

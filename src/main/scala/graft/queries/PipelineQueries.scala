@@ -7,7 +7,7 @@ import graft.{Q, Tables}
 import graft.functions.{Hashing, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
 import graft.plans.CharEnergy
-import graft.operators.{Bpe, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, HeavyHitters, MixManifest, Packing, Similarity, VectorQuantizer}
+import graft.operators.{Bpe, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, HeavyHitters, MixManifest, Packing, SimIndex, Similarity, VectorQuantizer}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
   * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
@@ -94,10 +94,17 @@ object PipelineQueries {
     val THS = Seq(300L, 450L, 600L, 750L, 900L)
     Q(
       (s, d) => {
+        // persisted: the sweep's two aggregates (n_pairs and the
+        // doc-explode for n_docs_touched) both traverse `pairs`, and
+        // without the cache the df-capped shingle self-join — the
+        // expensive part this query exists to amortize — would run
+        // twice per execution. The pair list itself is small (it
+        // already passed the 0.3 floor), so the cache is cheap.
         val pairs = Dedup.jaccardPairs(t(s, d, "documents"), "doc_id",
             "text", n = 3, minJaccard = 0.3, maxDf = MAX_DF)
           .select(col("id_a"), col("id_b"),
             floor(col("jaccard") * 1000).cast("long").as("j_milli"))
+          .persist()
         val ths = s.range(1)
           .select(explode(array(THS.map(lit): _*)).as("th"))
         val ann = pairs.crossJoin(broadcast(ths))
@@ -656,15 +663,48 @@ object PipelineQueries {
          |  FROM u$k, m$k)"""
     Q(
       (s, d) => {
-        val te = t(s, d, "embeddings")
-          .select(col("vec_id"),
-            posexplode(VectorFunctions.scaledMicro(col("embedding"))))
-          .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
-        val cov = te
-          .join(te.select(col("vec_id"), col("i").as("j"),
-            col("x").as("y")), Seq("vec_id"))
-          .groupBy("i", "j").agg(sum(expr("x * y")).as("craw"))
+        // join-free Gramian: each row's pair products are emitted by
+        // two chained explodes — the first yields (i, x) carrying the
+        // array along, the second explodes only the TAIL slice from i
+        // (the matrix is symmetric, so only the upper triangle is ever
+        // generated: D(D+1)/2 products per row, not D²) — no
+        // self-join, no vec_id exchange. The groupBy's map-side
+        // combine collapses each partition to ≤ D(D+1)/2 cells before
+        // the ONLY shuffle, so shuffle volume is independent of corpus
+        // size; the mirror to the full matrix happens on the
+        // aggregated 4096-cell frame, where it is free. (Chained
+        // generators, not `transform`-built nested arrays:
+        // higher-order functions are CodegenFallback — interpreted
+        // per element — while Generate and `slice` stay in codegen.)
+        // spread rows across the cluster BEFORE exploding: the input
+        // is rows-cheap but explode-heavy (D(D+1)/2 products per
+        // row), and without the exchange the whole generate+aggregate
+        // runs at the parallelism of the file split count (one task,
+        // on a small input). Shipping N compact vectors is the cheap
+        // side of that trade at any scale.
+        val xs = t(s, d, "embeddings")
+          .select(VectorFunctions.scaledMicro(col("embedding")).as("xs"))
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        val upper = xs
+          .select(col("xs"), posexplode(col("xs")).as(Seq("i", "x")))
+          .select(col("i"), col("x"),
+            posexplode(slice(col("xs"), col("i") + 1, lit(Int.MaxValue)))
+              .as(Seq("dj", "y")))
+          .groupBy(col("i"), (col("i") + col("dj")).as("j"))
+          .agg(sum(expr("x * y")).as("craw"))
           .select(col("i"), col("j"), expr(s"craw div $CDIV").as("c"))
+          // checkpointed (the PageRank/CC round discipline, eager):
+          // BOTH sides of the mirror union below, the v₀ init, and
+          // every round's join + broadcast-normalization subtree
+          // traverse this frame; a lazy persist() would let the
+          // per-round broadcast subtrees race to materialize it and
+          // the corpus explode re-enter the plan once per consumer
+          // (measured 3-4× the runtime). The checkpoint is the
+          // 2080-cell upper triangle — trivial state.
+          .localCheckpoint()
+        val cov = upper.unionByName(
+          upper.filter(col("i") =!= col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("c")))
         var v = cov.select(col("i").as("j")).distinct()
           .select(col("j"), lit(VSCALE).as("v"))
         for (_ <- 1 to ITERS) {
@@ -675,6 +715,11 @@ object PipelineQueries {
             .select(col("i").as("j"),
               expr(s"(u div 1000) * ${VSCALE}L div " +
                 "greatest(m div 1000, 1L)").as("v"))
+            // checkpoint each round's 64-row vector so round k+1's
+            // broadcast subtree starts from materialized state
+            // instead of re-executing rounds 1..k (PageRank's
+            // per-round practice)
+            .localCheckpoint()
         }
         v.select(col("j").as("dim"), expr("v div 1000").as("v_milli"))
           .orderBy("dim")
@@ -3423,6 +3468,212 @@ object PipelineQueries {
          |ORDER BY new_id, index_id""".stripMargin)
   }
 
+  /** Incremental ANN with a PERSISTED index (q243) — the similarity
+    * twin of q91, closing the round-8 gap: vectors < 400 are the
+    * indexed corpus, published ONCE per data version as
+    * [[graft.operators.SimIndex]]'s bucket-partitioned multi-table
+    * LSH artifact (with the (r, T) it was built under frozen into the
+    * artifact); vectors ≥ 400 are the daily query batch, probed with
+    * partition pruning at batch cost. Judged output is the q96-style
+    * recall audit of the probe against in-plan exact truth
+    * ([[graft.operators.Similarity.bruteForceTopK]] of the batch vs
+    * the index): per query, how many of its exact top-[[K]] the index
+    * probe surfaced. The audit side is the oracle's burden too, so
+    * the whole candidate-generation + scoring + ranking chain must
+    * match bit-for-bit. At 100 TB the probe is the per-batch cost
+    * (touched buckets only) and the exact audit runs on a SAMPLE of
+    * queries as a recall monitor — here the full batch keeps the
+    * oracle total.
+    */
+  val simIndexProbe: Q = {
+    // the judged batch is a FIXED 100-query set: the exact-truth audit
+    // broadcasts its query side (the q96 pattern), and the suite-wide
+    // broadcast rule requires hinted sides to be constant-bounded — a
+    // full daily batch would be probed WITHOUT the audit arm (the
+    // probe itself hints nothing and scales with the batch)
+    val INDEX_MAX = 400L; val Q_MAX = 500L; val K = 3
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val index = emb.filter(col("vec_id") < INDEX_MAX)
+        val queries = emb.filter(
+          col("vec_id") >= INDEX_MAX && col("vec_id") < Q_MAX)
+        // (r, T) derive from the INDEX corpus size at publish time and
+        // travel inside the artifact — a probe against last month's
+        // index must key with last month's parameters, not parameters
+        // re-derived from a grown corpus
+        val r = VectorFunctions.mtBits(index.count())
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-sim-index", d, Seq("embeddings.parquet"))
+        if (SimIndex.resolve(root).isEmpty)
+          SimIndex.publish(index, "vec_id", "embedding",
+            r, VectorFunctions.mtTables(r), root)
+        val approx = SimIndex.probeTopK(s, queries, "vec_id",
+            "embedding", K, root)
+          .select(col("query_id"), col("index_id"))
+        val exact = Similarity.bruteForceTopK(
+            index, queries, "vec_id", "embedding", K)
+          .select(col("query_id"), col("vec_id").as("index_id"))
+        val hits = exact.join(approx, Seq("query_id", "index_id"),
+            "leftsemi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        queries.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .selectExpr("query_id", "n_hit",
+            s"n_hit * 100 div $K AS recall_pct")
+          .orderBy("query_id")
+      },
+      s"""WITH idx AS (SELECT vec_id, embedding FROM embeddings
+         |             WHERE vec_id < $INDEX_MAX),
+         |${mtCtes("idx")},
+         |qe AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+         |  FROM embeddings, params
+         |  WHERE vec_id >= $INDEX_MAX AND vec_id < $Q_MAX),
+         |qek AS (
+         |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+         |  FROM qe),
+         |qkb AS (
+         |  SELECT vec_id, embedding, tbl,
+         |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+         |  FROM qek),
+         |ascore AS (
+         |  SELECT q.vec_id AS query_id, kb.vec_id AS index_id,
+         |    max(round(${VectorFunctions.cosineSql("q.embedding", "kb.embedding")}, 6))
+         |      AS cos_sim
+         |  FROM qkb q JOIN kb ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+         |  GROUP BY 1, 2),
+         |ar AS (
+         |  SELECT query_id, index_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, index_id) AS rnk
+         |  FROM ascore),
+         |ax AS (SELECT query_id, index_id FROM ar WHERE rnk <= $K),
+         |qx AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |       FROM embeddings
+         |       WHERE vec_id >= $INDEX_MAX AND vec_id < $Q_MAX),
+         |cx AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM idx),
+         |bs AS (
+         |  SELECT query_id, vec_id AS index_id,
+         |    round(list_dot_product(qv, v) /
+         |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+         |      AS cos_sim
+         |  FROM qx JOIN cx ON vec_id <> query_id),
+         |br AS (
+         |  SELECT query_id, index_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, index_id) AS rnk
+         |  FROM bs),
+         |ex AS (SELECT query_id, index_id FROM br WHERE rnk <= $K),
+         |hit AS (
+         |  SELECT e.query_id, count(*)::BIGINT AS n_hit
+         |  FROM ex e JOIN ax a
+         |    ON e.query_id = a.query_id AND e.index_id = a.index_id
+         |  GROUP BY 1)
+         |SELECT q.query_id, coalesce(n_hit, 0)::BIGINT AS n_hit,
+         |  (coalesce(n_hit, 0) * 100 // $K)::BIGINT AS recall_pct
+         |FROM qx q LEFT JOIN hit ON q.query_id = hit.query_id
+         |ORDER BY q.query_id""".stripMargin)
+  }
+
+  /** Real binary decode at the multimodal seam (q244) — the round-8
+    * gap closer: every document is rendered as a COMPLETE RIFF/WAVE
+    * file (canonical 44-byte little-endian header + 16-bit PCM
+    * payload, playable bytes — [[Multimodal.wavBytes]]), and the
+    * judged pipeline then reads the container back from the BYTES
+    * ALONE: magic-tag validation, LE32 sample-rate and data-size
+    * fields, two's-complement s16le samples ([[Multimodal.leRead]]),
+    * composed into 16-sample frame energies and a per-source audio
+    * report. The oracle recomputes every expected value from the
+    * source data without ever seeing the bytes, so one wrong byte
+    * anywhere — endianness, header offset, complement math — breaks
+    * the hash. Sample rate varies per doc (parsed, not assumed) and
+    * n_valid counts header validations, so the decode can't be
+    * bypassed. The per-sample `transform` at the ENCODE seam is
+    * bounded (≤ [[48]] elements/doc) and sits exactly where a codec
+    * call would; decode is flat codegen substr/hex/conv. Scale: one
+    * scan, per-doc-bounded explode, two map-side-combinable
+    * aggregations — the q93 media family's cost envelope.
+    */
+  val wavDecode: Q = {
+    val MAX_S = 48
+    Q(
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+          .filter(length(col("text")) >= 1)
+        val n = least(length(col("text")), lit(MAX_S))
+        val rate = (lit(8000L) + (col("doc_id") % 3) * 4000L)
+        def sample(i: Column): Column =
+          ((ascii(col("text").substr(i, lit(1))) % 64) - 32) * 500
+        val enc = base.select(col("doc_id"), col("source"),
+          Multimodal.wavBytes(rate, n, sample).as("wav"))
+        def tag(pos: Int, want: String): Column =
+          decode(col("wav").substr(lit(pos), lit(4)), "UTF-8") === want
+        val meta = enc.select(col("doc_id"), col("source"), col("wav"),
+            (tag(1, "RIFF") && tag(9, "WAVE") && tag(37, "data") &&
+              Multimodal.leRead(col("wav"), lit(21), 2) === 1 &&
+              Multimodal.leRead(col("wav"), lit(23), 2) === 1 &&
+              Multimodal.leRead(col("wav"), lit(35), 2) === 16)
+              .cast("long").as("ok"),
+            Multimodal.leRead(col("wav"), lit(25), 4).as("rate_p"),
+            (Multimodal.leRead(col("wav"), lit(41), 4) / lit(2L))
+              .cast("long").as("n_samp"))
+          // the wav build feeds both the sample explode and the
+          // doc-level join below — one encode pass, not two
+          .persist()
+        val docAgg = meta
+          .select(col("doc_id"),
+            explode(sequence(lit(0L), col("n_samp") - 1)).as("i"),
+            col("wav"))
+          .select(col("doc_id"), col("i"),
+            Multimodal.leRead(col("wav"), lit(45) + col("i") * 2, 2)
+              .as("raw"))
+          .withColumn("smp",
+            col("raw") - lit(65536L) * (col("raw") >= 32768L).cast("long"))
+          .groupBy(col("doc_id"), expr("i div 16").as("f"))
+          .agg(sum(abs(col("smp"))).as("fr_abs"))
+          .groupBy("doc_id")
+          .agg(sum("fr_abs").as("total_abs"), max("fr_abs").as("peak"))
+        meta.drop("wav").join(docAgg, Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_media"), sum("ok").as("n_valid"),
+            sum("n_samp").as("total_samples"),
+            sum("total_abs").as("energy_sum"),
+            max("peak").as("peak_frame"), sum("rate_p").as("rate_sum"))
+          .orderBy("source")
+      },
+      s"""WITH d0 AS (SELECT doc_id, source, text FROM documents
+         |            WHERE length(text) >= 1),
+         |p AS (
+         |  SELECT doc_id, source, least(length(text), $MAX_S) AS n,
+         |    (8000 + (doc_id % 3) * 4000)::BIGINT AS rate, text
+         |  FROM d0),
+         |sm AS (SELECT doc_id, source, n, rate, text,
+         |         unnest(range(1, n + 1)) AS i FROM p),
+         |sv AS (
+         |  SELECT doc_id, source, n, rate, i,
+         |    ((ascii(substring(text, i, 1)) % 64) - 32) * 500 AS smp
+         |  FROM sm),
+         |fr AS (
+         |  SELECT doc_id, source, n, rate, (i - 1) // 16 AS f,
+         |    sum(abs(smp))::BIGINT AS fr_abs
+         |  FROM sv GROUP BY 1, 2, 3, 4, 5),
+         |dd AS (
+         |  SELECT doc_id, source, n, rate,
+         |    sum(fr_abs)::BIGINT AS total_abs, max(fr_abs)::BIGINT AS peak
+         |  FROM fr GROUP BY 1, 2, 3, 4)
+         |SELECT source, count(*)::BIGINT AS n_media,
+         |  count(*)::BIGINT AS n_valid,
+         |  sum(n)::BIGINT AS total_samples,
+         |  sum(total_abs)::BIGINT AS energy_sum,
+         |  max(peak)::BIGINT AS peak_frame,
+         |  sum(rate)::BIGINT AS rate_sum
+         |FROM dd GROUP BY source ORDER BY source""".stripMargin)
+  }
+
   /** Media near-dup via shared sampled-frame fingerprints — the
     * perceptual-dedup shape for binary media: sample fixed-stride
     * frames from the opaque content column (q33's codegen sampler),
@@ -4855,8 +5106,15 @@ object PipelineQueries {
             .option("header", "true").option("escape", "\"")
             .csv(stage)
         }
+        // emptyValue + a never-occurring nullValue sentinel: the
+        // writer distinguishes empty text (`""`) from null (bare
+        // field), but the DEFAULT reader collapses both to null — a
+        // zero-length text would silently drop out of text_h32_sum
+        // while the oracle hashes ''. These two options make the read
+        // side honor the distinction the write side already encodes.
         s.read
           .option("header", "true").option("escape", "\"")
+          .option("emptyValue", "").option("nullValue", "\\u0000")
           .schema("doc_id BIGINT, text STRING, lang STRING, " +
             "source STRING, n_chars BIGINT")
           .csv(root)
@@ -5673,8 +5931,11 @@ object PipelineQueries {
             col("text_h32_sum"))
       fp(s.read.parquet(s"$root/parquet"), "parquet")
         .unionByName(fp(s.read.orc(s"$root/orc"), "orc"))
+        // empty-string fidelity on the read side — see q213's note
         .unionByName(fp(s.read.option("header", "true")
-          .option("escape", "\"").schema(schema).csv(s"$root/csv"),
+          .option("escape", "\"")
+          .option("emptyValue", "").option("nullValue", "\\u0000")
+          .schema(schema).csv(s"$root/csv"),
           "csv"))
         .orderBy("fmt")
     },
@@ -6983,6 +7244,8 @@ object PipelineQueries {
     "q88_bpe_coverage"   -> bpeCoverage,
     "q89_label_centroids" -> labelCentroids,
     "q91_incremental_dedup" -> incrementalDedup,
+    "q243_sim_index"     -> simIndexProbe,
+    "q244_wav_decode"    -> wavDecode,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

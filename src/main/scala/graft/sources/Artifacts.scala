@@ -54,6 +54,18 @@ object Artifacts {
 
   def notePublish(): Unit = { publishes.incrementAndGet(); () }
 
+  /** Count of KEY-HIT artifact resolves in this JVM — a committed
+    * root found and read without publishing. The complement of
+    * [[publishes]]: together they let [[graft.Bench]] stamp every
+    * artifact-consuming query `cold` (published during the timed run)
+    * or `warm` (probed an existing generation), so a regression in
+    * probe cost can never hide behind publish ambiguity again (the
+    * r8 q91 diagnosis gap).
+    */
+  val resolveHits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def noteResolveHit(): Unit = { resolveHits.incrementAndGet(); () }
+
   /** The base directory artifacts for `sfDir`'s tables publish under.
     * Resolution order: `graft.artifacts.root` system property →
     * existing writable `_derived` sibling of the data dir → tmpdir.
@@ -101,7 +113,8 @@ object Artifacts {
     // retention matches every generation of this derivation for this
     // sf dir — any fingerprint, any logic version
     val matchPrefix = s"$prefix-${new File(sfDir).getName}-"
-    if (!new File(root, "_SUCCESS").exists()) {
+    if (new File(root, "_SUCCESS").exists()) noteResolveHit()
+    else {
       val stage = new File(base, name + ".stage-" +
         java.util.UUID.randomUUID().toString.take(8))
       notePublish()
@@ -134,6 +147,68 @@ object Artifacts {
     }
     root.getAbsolutePath
   }
+
+  /** The ops view of the derived-state subsystem: one row per
+    * artifact root under [[baseDir]] — prefix dirs published by
+    * [[publishOnce]] plus versioned index roots ([[graft.operators
+    * .DedupIndex]] / [[graft.operators.SimIndex]] / mix manifests),
+    * with generation counts, the committed head, byte/file totals,
+    * and any uncommitted residue (crash orphans, in-flight stages).
+    * This is the cross-prefix vacuum audit: residue with an old
+    * mtime is a crashed writer awaiting the next publish's retention
+    * pass; many generations under one root means retention isn't
+    * running. Driver-side listing of a BOUNDED namespace (artifact
+    * roots, not data), so it stays cheap at any corpus size.
+    */
+  def inventory(sfDir: String): Seq[ArtifactInfo] = {
+    val base = baseDir(sfDir)
+    def sizeOf(f: File): (Long, Long) = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[File])
+      kids.foldLeft(if (f.isFile) (f.length(), 1L) else (0L, 0L)) {
+        case ((b, n), k) => val (kb, kn) = sizeOf(k); (b + kb, n + kn)
+      }
+    }
+    val committed = (f: File) => new File(f, "_SUCCESS").exists()
+    val all = Option(base.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.isDirectory).toSeq
+      .filter(f => f.getName.startsWith("graft-"))
+    // publishOnce stages as SIBLINGS (`<root>.stage-<uuid>`) of the
+    // final root — fold them into their stem's residue count rather
+    // than listing half-written stages as artifacts of their own
+    val (stages, roots) = all.partition(_.getName.contains(".stage-"))
+    val stageCount = stages
+      .groupBy(f => f.getName.take(f.getName.indexOf(".stage-")))
+      .map { case (k, v) => (k, v.size) }
+    roots.sortBy(_.getName).map { root =>
+      val kids = Option(root.listFiles()).getOrElse(Array.empty[File])
+      val versions = kids
+        .filter(f => f.isDirectory && f.getName.startsWith("index.v") &&
+          f.getName.drop(7).forall(_.isDigit))
+      val (bytes, files) = sizeOf(root)
+      val orphanStages = stageCount.getOrElse(root.getName, 0)
+      if (versions.nonEmpty) {
+        // a versioned index root: generations are index.vN children,
+        // in-flight stages are `.staging-` children
+        val head = versions.filter(committed)
+          .map(_.getName.drop(7).toLong).sorted.lastOption
+        ArtifactInfo(root.getName, "versioned",
+          versions.count(committed), head, bytes, files,
+          nResidue = versions.count(!committed(_)) +
+            kids.count(_.getName.startsWith(".staging-")))
+      } else {
+        // a publish-once root: the dir IS the single generation,
+        // committed iff _SUCCESS landed before the rename
+        ArtifactInfo(root.getName, "publish-once",
+          if (committed(root)) 1 else 0,
+          if (committed(root)) Some(1L) else None, bytes, files,
+          nResidue = orphanStages)
+      }
+    }
+  }
+
+  final case class ArtifactInfo(name: String, kind: String,
+                                nCommitted: Int, headVersion: Option[Long],
+                                bytes: Long, nFiles: Long, nResidue: Int)
 
   private def deleteRec(f: File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(deleteRec)

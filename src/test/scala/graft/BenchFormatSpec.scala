@@ -19,8 +19,13 @@ class BenchFormatSpec extends AnyFunSuite {
     val pubs = Seq("q70_pagerank", "q79_triangles", "q91_incremental_dedup",
       "q95_mix_manifest", "q164_jsonl_source", "q165_orc_source",
       "q168_avro_source").map(n => (n, 19.9))
+    // worst case also carries a warm/cold marker for every
+    // artifact-consuming query family
+    val arts = (pubs.map(_._1) ++ Seq("q170_stream_dedup_batch",
+      "q197_dpp_peak_day", "q200_item_cf", "q202_hits", "q206_stationary",
+      "q243_sim_index")).map(n => (n, "warm"))
     val line = Bench.compactLine(
-      names.map(n => (n, 9.999)), Nil, "/root/testdata/sf0.1", pubs)
+      names.map(n => (n, 9.999)), Nil, "/root/testdata/sf0.1", pubs, arts)
     assert(line.length < 2000,
       s"compact bench line grew to ${line.length} bytes — the driver's " +
         "tail capture will clip it (the r5/r6 parsed:null regression)")
@@ -56,6 +61,16 @@ class BenchFormatSpec extends AnyFunSuite {
   test("detail line keeps full query names") {
     val line = Bench.detailLine(results(2), Nil, "/tmp/sf")
     assert(line.contains("q01_some_long_query_name_1"))
+  }
+
+  test("artifact warm/cold markers land under art (qNN keys, single letter)") {
+    val line = Bench.compactLine(results(2), Nil, "/tmp/sf", Nil,
+      Seq(("q91_incremental_dedup", "warm"), ("q243_sim_index", "cold")))
+    assert(line.contains(""""art":{"q91":"w","q243":"c"}"""), line)
+    val detail = Bench.detailLine(results(2), Nil, "/tmp/sf", Nil,
+      Seq(("q91_incremental_dedup", "warm")))
+    assert(detail.contains(""""art":{"q91_incremental_dedup":"warm"}"""),
+      detail)
   }
 
   test("publish-inclusive first runs are marked under pub with qNN keys") {

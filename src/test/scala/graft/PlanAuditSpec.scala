@@ -35,6 +35,10 @@ class PlanAuditSpec extends SparkSpec {
       "q153_er_pipeline", // CC rounds run at build (same machinery as q46)
       "q160_kcore", // per-round localCheckpoint + count (KCoreSpec audits)
       "q201_textrank", // PageRank rounds run at build (same machinery as q70)
+      "q202_hits", // per-half-round localCheckpoint since r9 (the q230
+                   // broadcast-subtree fix); round shape spec'd above
+      "q230_pca_power", // Gramian localCheckpoint + per-round vector
+                        // checkpoints run at build (PageRank's discipline)
       "q170_stream_twin") // batch replay COMMITS stream state at build;
                           // audited by DedupStreamSpec + its own oracle
 
@@ -456,17 +460,14 @@ class PlanAuditSpec extends SparkSpec {
       "q234_ivf_sweep" -> 12, // fixed 10-query set + 16-pivot codebook,
                               // replicated across the 4 sweep arms +
                               // the shared brute-force truth arm
-      "q230_pca_power" -> 7, // 3 one-row L-inf norms; the declarative
-                             // unroll re-embeds prior rounds' hinted
-                             // subtrees (q202's pattern) — all 1-row
       "q229_revenue_shares" -> 2, // nation (25) + region (5) dims
-      "q202_hits" -> 22) // 4 one-row normalization totals; the declarative
-      // (q205's nation hint lives in the publish closure, not the
-      // judged read plan — the read is a hint-free artifact scan)
-                         // 2-round unroll re-embeds each prior round's
-                         // hinted subtree in every consumer branch, so the
-                         // optimized plan repeats them 22× — every one a
-                         // 1-row aggregate
+      "q243_sim_index" -> 1) // fixed 100-query audit set (exact-truth
+      // arm); the index probe itself hints nothing
+      // (q202/q230 moved to `iterative` in r9 — their per-round
+      // localCheckpoints truncate the lineage the old hint counts
+      // measured; q205's nation hint lives in the publish closure,
+      // not the judged read plan — the read is a hint-free artifact
+      // scan)
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
       val hints = hintCount(name)
       assert(hints == bounded.getOrElse(name, 0),

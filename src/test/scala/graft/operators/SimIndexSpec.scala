@@ -1,0 +1,93 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted ANN index: versioned publish with frozen (r, T)
+  * params, bucket-pruned probe, and exact parity with the in-plan
+  * multi-table top-k ([[Similarity.multiTableTopK]]).
+  */
+class SimIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val BITS = 8; private val TABLES = 4; private val K = 3
+  private val DIM = 16
+
+  // deterministic pseudo-random unit-ish vectors; ids 100.. are the
+  // index, 0..4 the query batch, and query q is a near-copy of index
+  // vector 100+q (tiny perturbation) so its top-1 is known
+  private def vec(seed: Long, perturb: Float): Array[Float] =
+    Array.tabulate(DIM) { i =>
+      val h = (seed * 31 + i) * 2654435761L
+      ((h % 1000).toFloat / 1000.0f) + (if (i == 0) perturb else 0.0f)
+    }
+
+  private lazy val index =
+    (0 until 40).map(i => (100L + i, vec(i.toLong, 0.0f)))
+      .toDF("vec_id", "embedding")
+  private lazy val queries =
+    (0 until 5).map(q => (q.toLong, vec(q.toLong, 0.001f)))
+      .toDF("vec_id", "embedding")
+
+  test("publish + probe reproduces the in-plan multi-table top-k exactly") {
+    val root = Files.createTempDirectory("simidx").toString
+    SimIndex.publish(index, "vec_id", "embedding", BITS, TABLES, root)
+    assert(SimIndex.params(root) == ((BITS, TABLES)))
+    val got = SimIndex.probeTopK(spark, queries, "vec_id", "embedding",
+        K, root)
+      .select("query_id", "index_id", "cos_sim", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val want = Similarity.multiTableTopK(index, queries, "vec_id",
+        "embedding", K, BITS, TABLES)
+      .select(col("query_id"), col("vec_id").as("index_id"),
+        col("cos_sim"), col("rnk"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(want.nonEmpty, "corpus too sparse to collide at all")
+    assert(got == want)
+    // each near-copy query must surface its original as top-1
+    val top1 = got.filter(_._4 == 1L).map(t => (t._1, t._2)).toMap
+    for (q <- 0L until 5L)
+      assert(top1.get(q).contains(100L + q),
+        s"query $q top-1 was ${top1.get(q)}, want ${100 + q}")
+  }
+
+  test("probe prunes to touched partition directories only") {
+    val root = Files.createTempDirectory("simidx").toString
+    val path = SimIndex.publish(index, "vec_id", "embedding",
+      BITS, TABLES, root)
+    val totalDirs = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("pbucket="))
+    val touched = queries
+      .select(posexplode(graft.functions.VectorFunctions
+        .multiTableBuckets(col("embedding"), BITS, TABLES))
+        .as(Seq("tbl", "bucket")))
+      .select(SimIndex.pbucketOf(col("tbl"), col("bucket")).as("b"))
+      .distinct().count()
+    assert(touched < totalDirs,
+      s"batch too large to demonstrate pruning: $touched vs $totalDirs")
+    val p = SimIndex.probeTopK(spark, queries, "vec_id", "embedding",
+        K, root)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pbucket[^\\]]*IN".r.findFirstIn(p).isDefined
+        || "PartitionFilters: \\[[^\\]]*pbucket[^\\]]*INSET".r.findFirstIn(p).isDefined,
+      s"probe scan lost its pbucket partition filter:\n${p.take(2000)}")
+  }
+
+  test("resolve picks the highest committed version; params travel with it") {
+    val root = Files.createTempDirectory("simidx").toString
+    assert(SimIndex.resolve(root).isEmpty)
+    SimIndex.publish(index, "vec_id", "embedding", BITS, TABLES, root)
+    val v2 = SimIndex.publish(index, "vec_id", "embedding", 6, 2, root)
+    assert(SimIndex.resolve(root).contains(v2))
+    // the LATEST generation's params win — a re-index with new (r, T)
+    // must not serve probes keyed with the old ones
+    assert(SimIndex.params(root) == ((6, 2)))
+    // a crashed re-index (no _SUCCESS) stays invisible
+    val orphan = new java.io.File(root, "index.v9")
+    assert(orphan.mkdir())
+    assert(SimIndex.resolve(root).contains(v2))
+  }
+}
