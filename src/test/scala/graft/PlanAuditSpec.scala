@@ -201,6 +201,30 @@ class PlanAuditSpec extends SparkSpec {
     "strategy=broadcast".r.findAllIn(p).size
   }
 
+  test("documented reuse points are actually cached (persist sweep)") {
+    // The r8 finding class: a frame documented as "built once, read by
+    // N consumers" that is NOT persisted silently re-executes its
+    // whole subtree per consumer. Every such documented reuse point
+    // must surface as an InMemoryTableScan in the executed plan.
+    // (q202/q230's checkpointed rounds are in `iterative`; this sweep
+    // covers the plan-auditable ones.)
+    val cached = Map(
+      "q226_threshold_sweep" -> 2, // jaccardPairs' shingle frame + the
+                                   // scored pair list (both aggregates)
+      "q206_stationary_mix" -> 1, // the K x K transition matrix pmat
+      "q23_jaccard_pairs" -> 1, // the df-capped shingle frame
+      "q243_sim_index" -> 1) // the probe batch's banding (collect+join)
+    for ((name, atLeast) <- cached.toSeq.sortBy(_._1)) {
+      val p = plan(name)
+      val scans = "InMemoryTableScan".r.findAllIn(p).size
+      assert(scans >= atLeast,
+        s"$name plans $scans InMemoryTableScan(s), documented reuse " +
+          s"expects >= $atLeast — a missing persist() re-executes the " +
+          s"shared subtree once per consumer:\n${p.take(1500)}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("quantized dedup is one hash exchange — codes never pair (q113)") {
     val p = plan("q113_quantized_dedup")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
