@@ -267,6 +267,36 @@ object Dedup {
   private def bitSum(j: Int): Column =
     sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1))
 
+  /** (id, pos, h) rows — the polynomial [[Hashing.charHash]] of every
+    * `k`-char gram of every document, hashed in O(len) per document:
+    * characters are exploded ONCE, each decoded to its code point a
+    * single time, and the k-term Horner fold reads the following k−1
+    * code points via `lead` over the (id, pos) sort — the same
+    * rolling-hash-equivalent shape [[winnowFingerprints]] uses (and
+    * the same reason: per-gram `substr` re-scans the string from the
+    * start, O(len²) per doc). The position survives into the output —
+    * this is the building block of exact-substring span detection
+    * (q245), where WHERE a gram matched matters, not just that it did.
+    */
+  def gramHashes(docs: DataFrame, id: String, text: String,
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chars = docs
+      .select(col(id), graft.functions.Hashing.asciiGuard(col(text)).as(text))
+      .repartition(col(id))
+      .select(col(id), (length(col(text)) - (k - 1)).as("n_pos"),
+        posexplode(split(col(text), "")).as(Seq("pos0", "ch")))
+      .select(col(id), col("n_pos"), (col("pos0") + 1).as("pos"),
+        ascii(col("ch")).cast("long").as("c"))
+    val byPos = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val h = (1 until k).foldLeft(col("c")) { (acc, j) =>
+      (acc * lit(Hashing.GB) + lead(col("c"), j).over(byPos)) % lit(Hashing.PG)
+    }
+    chars.withColumn("h", h)
+      .filter(col("pos") <= col("n_pos"))
+      .select(col(id), col("pos"), col("h"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing:
     * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
     * every `k`-char gram (a rolling-hash equivalent — positions are

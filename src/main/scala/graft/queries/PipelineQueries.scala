@@ -3674,6 +3674,132 @@ object PipelineQueries {
          |FROM dd GROUP BY source ORDER BY source""".stripMargin)
   }
 
+  /** Exact shared-substring spans (q245) — the dedup family's missing
+    * EXACT-substring member (the Lee et al. "Deduplicating Training
+    * Data Makes Language Models Better" primitive: near-dup finds
+    * similar documents, this finds verbatim COPIED RANGES — quoted
+    * boilerplate, licence blocks, redelivered prefixes — at character
+    * precision). Every K-char gram is hashed in O(len)/doc
+    * ([[Dedup.gramHashes]]' lead-window Horner — never per-gram
+    * substr), hot grams are df-capped (q23's discipline: a ubiquitous
+    * gram carries no copy signal and would pair quadratically), and
+    * matching positions meet through the hash join. The span
+    * assembly is the classic diagonal trick: a shared substring of
+    * length L contributes L−K+1 gram matches on ONE diagonal
+    * (pos_a − pos_b constant) at CONSECUTIVE pos_a, so grouping by
+    * (pair, diagonal, pos_a − row_number) reconstructs maximal runs
+    * — pure windows, no per-char joins. The reported best span per
+    * pair is then VERIFIED by comparing the actual substrings
+    * (verification linear in reported pairs, q59's rule — this also
+    * screens the ~d²/2³¹ polynomial-hash collisions). Redelivered
+    * copies with appended tails are injected so prefix spans of known
+    * length must surface.
+    */
+  val substringSpans: Q = {
+    val K = 24; val MIN_SPAN = 32; val MAX_DF = 20; val REDELIVER = 25L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val corpus = docs.unionByName(
+          docs.filter(col("doc_id") < REDELIVER)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" tail"), col("doc_id")).as("text")))
+        val grams = Dedup.gramHashes(corpus, "doc_id", "text", K)
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+          .filter(col("df") <= MAX_DF).drop("df")
+        val hits = grams.select(col("doc_id").as("id_a"),
+            col("pos").as("pa"), col("h"))
+          .join(grams.select(col("doc_id").as("id_b"),
+            col("pos").as("pb"), col("h")), Seq("h"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("pa"), col("pb"),
+            (col("pa") - col("pb")).as("diag"))
+        val byDiag = Window.partitionBy("id_a", "id_b", "diag")
+          .orderBy("pa")
+        val spans = hits
+          .withColumn("grp", col("pa") - row_number().over(byDiag))
+          .groupBy("id_a", "id_b", "diag", "grp")
+          .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+            (count(lit(1)) + (K - 1)).as("span_len"))
+          .filter(col("span_len") >= MIN_SPAN)
+          // feeds the per-pair stats AND the best-span pick below —
+          // span count is copy-bounded, so the cache is small
+          .persist()
+        val stats = spans.groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("n_spans"), max("span_len").as("max_span"))
+        val byBest = Window.partitionBy("id_a", "id_b")
+          .orderBy(desc("span_len"), asc("start_a"), asc("start_b"))
+        val best = spans.withColumn("rn", row_number().over(byBest))
+          .filter(col("rn") === 1)
+          .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+            col("span_len"))
+        val ta = corpus.select(col("doc_id").as("id_a"), col("text").as("t_a"))
+        val tb = corpus.select(col("doc_id").as("id_b"), col("text").as("t_b"))
+        stats.join(best, Seq("id_a", "id_b"))
+          .join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+          .select(col("id_a"), col("id_b"), col("n_spans"), col("max_span"),
+            col("start_a").cast("long").as("start_a"),
+            col("start_b").cast("long").as("start_b"),
+            (col("t_a").substr(col("start_a"), col("span_len")) ===
+              col("t_b").substr(col("start_b"), col("span_len")))
+              .cast("long").as("verified"))
+          .orderBy("id_a", "id_b")
+      },
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' tail' || doc_id
+         |  FROM documents WHERE doc_id < $REDELIVER),
+         |g AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(1, greatest(length(text) - ${K - 1}, 0) + 1)) AS pos
+         |  FROM corpus),
+         |gr AS (SELECT doc_id, pos, substr(text, pos::INT, $K) AS gram
+         |       FROM g),
+         |hh AS (SELECT doc_id, pos, ${Hashing.charHashSql("gram", K)} AS h
+         |       FROM gr),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, pos, h, count(*) OVER (PARTITION BY h) AS df
+         |    FROM hh) WHERE df <= $MAX_DF),
+         |hits AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+         |  FROM capped a JOIN capped b
+         |    ON a.h = b.h AND a.doc_id < b.doc_id),
+         |runs AS (
+         |  SELECT id_a, id_b, diag, pa, pb,
+         |    pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+         |                            ORDER BY pa) AS grp
+         |  FROM hits),
+         |spans AS (
+         |  SELECT id_a, id_b, diag, grp,
+         |    min(pa) AS start_a, min(pb) AS start_b,
+         |    (count(*) + ${K - 1})::BIGINT AS span_len
+         |  FROM runs GROUP BY 1, 2, 3, 4
+         |  HAVING count(*) + ${K - 1} >= $MIN_SPAN),
+         |stats AS (
+         |  SELECT id_a, id_b, count(*)::BIGINT AS n_spans,
+         |    max(span_len)::BIGINT AS max_span
+         |  FROM spans GROUP BY 1, 2),
+         |best AS (
+         |  SELECT id_a, id_b, start_a, start_b, span_len FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+         |      ORDER BY span_len DESC, start_a, start_b) AS rn
+         |    FROM spans) WHERE rn = 1)
+         |SELECT s.id_a, s.id_b, s.n_spans, s.max_span,
+         |  b.start_a::BIGINT AS start_a, b.start_b::BIGINT AS start_b,
+         |  (substr(ta.text, b.start_a::INT, b.span_len::INT) =
+         |   substr(tb.text, b.start_b::INT, b.span_len::INT))::BIGINT
+         |    AS verified
+         |FROM stats s
+         |JOIN best b ON s.id_a = b.id_a AND s.id_b = b.id_b
+         |JOIN corpus ta ON s.id_a = ta.doc_id
+         |JOIN corpus tb ON s.id_b = tb.doc_id
+         |ORDER BY s.id_a, s.id_b""".stripMargin)
+  }
+
   /** Media near-dup via shared sampled-frame fingerprints — the
     * perceptual-dedup shape for binary media: sample fixed-stride
     * frames from the opaque content column (q33's codegen sampler),
@@ -7246,6 +7372,7 @@ object PipelineQueries {
     "q91_incremental_dedup" -> incrementalDedup,
     "q243_sim_index"     -> simIndexProbe,
     "q244_wav_decode"    -> wavDecode,
+    "q245_substring_spans" -> substringSpans,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

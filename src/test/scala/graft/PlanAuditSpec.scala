@@ -213,7 +213,8 @@ class PlanAuditSpec extends SparkSpec {
                                    // scored pair list (both aggregates)
       "q206_stationary_mix" -> 1, // the K x K transition matrix pmat
       "q23_jaccard_pairs" -> 1, // the df-capped shingle frame
-      "q243_sim_index" -> 1) // the probe batch's banding (collect+join)
+      "q243_sim_index" -> 1, // the probe batch's banding (collect+join)
+      "q245_substring_spans" -> 1) // the span list (stats + best pick)
     for ((name, atLeast) <- cached.toSeq.sortBy(_._1)) {
       val p = plan(name)
       val scans = "InMemoryTableScan".r.findAllIn(p).size
