@@ -65,6 +65,83 @@ object DedupIndex {
   private[graft] def retainLatestGenerations(root: String): Unit =
     VersionedDirs.retainLatestGenerations(root)
 
+  // ------------------------------------------------------ delete support
+  //
+  // The q172 purge sweep meets derived state: deleting a document
+  // from the corpus must also make it unfindable through the INDEX,
+  // or a redelivered copy of a purged document resurfaces a link to
+  // data the pipeline promised to forget. Deletes follow the
+  // tombstone-then-compact pattern every LSM/lakehouse uses: a delete
+  // request appends ids to a (small, cumulative) versioned tombstone
+  // set that probes anti-join immediately — O(deletes) cost, no index
+  // rewrite on the delete path — and the next compaction rewrites the
+  // index WITHOUT the tombstoned rows (pure row filter, no
+  // re-signing) and resets the tombstone set. Both steps ride the
+  // same [[VersionedDirs]] commit protocol, so readers pinned to the
+  // previous generation are never disturbed.
+
+  private def tombRoot(root: String): String =
+    new java.io.File(root, "tombstones").getAbsolutePath
+
+  /** Record `ids` as deleted: commits the UNION of the previous
+    * tombstone set and the new ids as the next tombstone version.
+    * Bounded by the cumulative delete rate between compactions —
+    * never index-sized.
+    */
+  def addTombstones(spark: SparkSession, ids: DataFrame, idCol: String,
+                    root: String): String = synchronized {
+    val tr = tombRoot(root)
+    val cur = ids.select(col(idCol).cast("long").as("index_id")).distinct()
+    val all = VersionedDirs.resolve(tr)
+      .map(p => spark.read.parquet(p).unionByName(cur).distinct())
+      .getOrElse(cur)
+    VersionedDirs.commit(tr) { st => all.coalesce(1).write.parquet(st) }
+  }
+
+  /** The committed tombstone set, if any (empty-after-compact counts
+    * as none).
+    */
+  def tombstones(spark: SparkSession, root: String): Option[DataFrame] =
+    VersionedDirs.resolve(tombRoot(root)).map(spark.read.parquet(_))
+      .filter(!_.isEmpty)
+
+  /** Rewrite the committed index WITHOUT the tombstoned rows as the
+    * next version (a pure row filter over the existing artifact — no
+    * re-shingling, no re-signing; partition layout preserved), then
+    * reset the tombstone set. Returns the compacted path.
+    *
+    * NOTE the previous generation still holds the purged rows on disk
+    * (standard keep-two retention, for readers pinned pre-compaction)
+    * — a compliance purge follows up with [[vacuumOld]] once the
+    * reader grace period passes, which drops every generation but the
+    * compacted head.
+    */
+  def compact(spark: SparkSession, root: String): String = synchronized {
+    val idxPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val idx = spark.read.parquet(idxPath)
+    val filtered = tombstones(spark, root)
+      .map(t => idx.join(t, Seq("index_id"), "left_anti"))
+      .getOrElse(idx)
+    val path = VersionedDirs.commit(root) { st =>
+      filtered.repartition(col("bucket"))
+        .sortWithinPartitions("band", "band_key")
+        .write.partitionBy("bucket").mode("overwrite").parquet(st)
+    }
+    // reset: commit an empty set so probes stop paying the anti-join
+    VersionedDirs.commit(tombRoot(root)) { st =>
+      spark.range(0).select(col("id").as("index_id")).write.parquet(st)
+    }
+    path
+  }
+
+  /** Drop every index generation but the newest committed one — the
+    * post-grace step of a compliance purge (see [[compact]]).
+    */
+  def vacuumOld(root: String): Unit = synchronized {
+    VersionedDirs.retainLatestGenerations(root, keep = 1)
+  }
+
   /** NEW × persisted-INDEX candidate pairs with bucket pruning: band
     * the new batch, collect its touched buckets (≤ [[NumBuckets]]
     * ints — a constant, not data-sized), and read ONLY those
@@ -102,7 +179,14 @@ object DedupIndex {
       .collect().map(_.getInt(0)).sorted
     val idx = spark.read.parquet(idxPath)
       .filter(col("bucket").isin(touched.toIndexedSeq.map(Int.box): _*))
-    nb.join(idx, Seq("bucket", "band", "band_key"))
+    // uncompacted deletes are honored at probe time: the tombstone
+    // anti-join is O(deletes-since-compaction); no broadcast HINT —
+    // a mass purge can be arbitrarily large, so the strategy is left
+    // to AQE (broadcast when the runtime size allows)
+    val live = tombstones(spark, root)
+      .map(t => idx.join(t, Seq("index_id"), "left_anti"))
+      .getOrElse(idx)
+    nb.join(live, Seq("bucket", "band", "band_key"))
       .select(col("new_id"), col("index_id")).distinct()
   }
 }

@@ -73,10 +73,10 @@ private[graft] object VersionedDirs {
     * would let a crash orphan displace the previous committed
     * generation.
     */
-  def retainLatestGenerations(root: String): Unit = {
+  def retainLatestGenerations(root: String, keep: Int = 2): Unit = {
     val committedVs = versionsOf(root).filter { case (_, f) =>
       new File(f, "_SUCCESS").isFile }.map(_._1)
-    val keepFloor = committedVs.sorted.takeRight(2).headOption.getOrElse(0L)
+    val keepFloor = committedVs.sorted.takeRight(keep).headOption.getOrElse(0L)
     def rm(x: File): Unit = {
       Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
     }

@@ -3674,6 +3674,99 @@ object PipelineQueries {
          |FROM dd GROUP BY source ORDER BY source""".stripMargin)
   }
 
+  /** Purge-aware incremental dedup (q246) — q172's GDPR sweep meets
+    * q91's derived state: deleting documents from the corpus must
+    * also make them unfindable through the PERSISTED index, or a
+    * redelivered copy of a purged document resurfaces a link to data
+    * the pipeline promised to forget. The cold path exercises the
+    * full lifecycle — publish the index, file a delete request for
+    * every 10th indexed doc ([[DedupIndex.addTombstones]]: O(deletes),
+    * no rewrite), compact ([[DedupIndex.compact]]: pure row filter,
+    * no re-signing), hard-vacuum the pre-purge generation
+    * ([[DedupIndex.vacuumOld]]) — and the probe then runs against
+    * physically purged state: redelivered copies of purged docs MUST
+    * find no candidate to their original (rows where they would have
+    * are simply absent), while everything else matches exactly as
+    * q91. The oracle is q91's band-join recurrence with the purged
+    * ids removed from the index side — so the hash match proves the
+    * tombstone/compact/vacuum chain dropped exactly the right rows
+    * and nothing else.
+    */
+  val indexPurge: Q = {
+    val INDEX_MAX = 400L; val REDELIVER = 50L; val MIN_J = 0.5
+    val sigCols = (0 until MH_K)
+      .map(i => s"min(${Hashing.seededSql(i, "s")}) AS h$i").mkString(",\n    ")
+    val bandRowsSql = (0 until MH_BANDS).map { b =>
+      val key = (0 until MH_R).map(r => s"h${b * MH_R + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, is_new, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val index = docs.filter(col("doc_id") < INDEX_MAX)
+        val live = index.filter(col("doc_id") % 10 =!= 0)
+        val fresh = docs.filter(col("doc_id") >= INDEX_MAX).unionByName(
+          docs.filter(col("doc_id") < REDELIVER)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-dedup-purge", d, Seq("documents.parquet"))
+        if (DedupIndex.resolve(root).isEmpty) {
+          DedupIndex.publish(
+            Dedup.minhashSignatures(index, "doc_id", "text", MH_K),
+            "doc_id", MH_BANDS, MH_R, root)
+          DedupIndex.addTombstones(s,
+            index.filter(col("doc_id") % 10 === 0).select("doc_id"),
+            "doc_id", root)
+          DedupIndex.compact(s, root)
+          DedupIndex.vacuumOld(root)
+        }
+        val sigN = Dedup.minhashSignatures(fresh, "doc_id", "text", MH_K)
+        val cands = DedupIndex.probe(s, sigN, "doc_id", MH_BANDS, MH_R, root)
+        Dedup.jaccardFor(
+            cands.select(col("new_id").as("id_a"), col("index_id").as("id_b")),
+            live.unionByName(fresh), "doc_id", "text", 3, MIN_J)
+          .select(col("id_a").as("new_id"), col("id_b").as("index_id"),
+            col("jaccard"))
+          .orderBy("new_id", "index_id")
+      },
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text, 0 AS is_new FROM docs
+         |  WHERE doc_id < $INDEX_MAX AND doc_id % 10 <> 0
+         |  UNION ALL SELECT doc_id, text, 1 FROM docs WHERE doc_id >= $INDEX_MAX
+         |  UNION ALL SELECT doc_id + 1000000, text, 1 FROM docs
+         |    WHERE doc_id < $REDELIVER),
+         |w AS (SELECT doc_id, is_new,
+         |        ${TextFunctions.wordsSql("text")} AS arr FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id, is_new,
+         |         unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
+         |sig AS (
+         |  SELECT doc_id, is_new,
+         |    $sigCols
+         |  FROM sh GROUP BY doc_id, is_new),
+         |bands AS (
+         |  $bandRowsSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |  WHERE a.is_new = 1 AND b.is_new = 0),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.new_id, c.index_id, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.new_id
+         |  JOIN sh b ON b.doc_id = c.index_id AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT new_id, index_id,
+         |  n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON new_id = sa.doc_id
+         |JOIN sizes sb ON index_id = sb.doc_id
+         |WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE >= $MIN_J
+         |ORDER BY new_id, index_id""".stripMargin)
+  }
+
   /** Exact shared-substring spans (q245) — the dedup family's missing
     * EXACT-substring member (the Lee et al. "Deduplicating Training
     * Data Makes Language Models Better" primitive: near-dup finds
@@ -7373,6 +7466,7 @@ object PipelineQueries {
     "q243_sim_index"     -> simIndexProbe,
     "q244_wav_decode"    -> wavDecode,
     "q245_substring_spans" -> substringSpans,
+    "q246_index_purge"   -> indexPurge,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

@@ -101,6 +101,42 @@ class DedupIndexSpec extends SparkSpec {
       .exists(_.getName.startsWith(".staging-")))
   }
 
+  test("tombstones hide deleted ids at probe time; compaction purges them physically") {
+    val root = Files.createTempDirectory("dedupidx").toString
+    DedupIndex.publish(sigI, "doc_id", BANDS, R, root)
+    // probe before any delete: the redelivered copy links to doc 5
+    def probeSet() = DedupIndex.probe(spark, sigN, "doc_id", BANDS, R, root)
+      .as[(Long, Long)].collect().toSet
+    assert(probeSet().contains((1000L, 5L)))
+    // delete request for doc 5: hidden IMMEDIATELY (no rewrite yet)
+    DedupIndex.addTombstones(spark,
+      Seq(5L).toDF("doc_id"), "doc_id", root)
+    val afterTomb = probeSet()
+    assert(!afterTomb.exists(_._2 == 5L),
+      s"tombstoned id still probe-visible: $afterTomb")
+    // the index FILE still contains doc 5 (delete path is O(deletes))
+    val v1 = DedupIndex.resolve(root).get
+    assert(spark.read.parquet(v1).filter($"index_id" === 5L).count() > 0)
+    // compaction: physically gone, tombstones reset, probe unchanged
+    val v2 = DedupIndex.compact(spark, root)
+    assert(spark.read.parquet(v2).filter($"index_id" === 5L).count() == 0)
+    assert(DedupIndex.tombstones(spark, root).isEmpty,
+      "tombstone set must reset after compaction")
+    assert(probeSet() == afterTomb)
+    // cumulative deletes: a second request unions with nothing (reset)
+    DedupIndex.addTombstones(spark, Seq(7L).toDF("doc_id"), "doc_id", root)
+    DedupIndex.addTombstones(spark, Seq(9L).toDF("doc_id"), "doc_id", root)
+    val t = DedupIndex.tombstones(spark, root).get
+      .as[Long].collect().toSet
+    assert(t == Set(7L, 9L), s"cumulative tombstones wrong: $t")
+    // hard vacuum after the grace period: only the compacted head stays
+    DedupIndex.vacuumOld(root)
+    val gens = new java.io.File(root).listFiles()
+      .filter(_.getName.matches("index\\.v\\d+")).map(_.getName).toSet
+    assert(gens == Set(new java.io.File(v2).getName),
+      s"pre-purge generation survived the vacuum: $gens")
+  }
+
   test("a crash orphan above the committed head never displaces the previous generation") {
     val root = Files.createTempDirectory("dedupidx").toString
     val v1 = DedupIndex.publish(sigI, "doc_id", BANDS, R, root)
