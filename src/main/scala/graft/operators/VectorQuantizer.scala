@@ -148,4 +148,71 @@ object VectorQuantizer {
 
   /** Scaled centroid component back to a double in vector units. */
   def unscale(cs: Column): Column = cs / lit(SCALE.toDouble)
+
+  // ------------------------------------------------------ product quantization
+  //
+  // PQ (Jégou/Douze/Schmid, "Product Quantization for Nearest
+  // Neighbor Search", TPAMI 2011): split each vector into `m`
+  // subspaces of `dsub` dims, k-means each subspace independently
+  // (ks centroids), and store each vector as m small codes — 64
+  // floats become 8 code bytes, the compression that lets a
+  // billion-vector index live in memory. Queries never decompress:
+  // an ADC (asymmetric distance computation) table of the query's
+  // exact distance to every subspace centroid (m·ks entries) turns
+  // scoring into m table lookups + a sum per candidate. Everything
+  // stays in the exact integer domain of [[scaled]], so codes,
+  // tables and ADC sums are bit-identical on any engine.
+
+  /** Per-subspace sub-vector rows: (id, sub, xs[dsub]) — requires
+    * len(xs) == m·dsub. One explode per vector, no joins.
+    */
+  def subVectors(e: DataFrame, id: String, m: Int, dsub: Int): DataFrame =
+    e.select(col(id), explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col("xs"), j * dsub + 1, dsub).as("xs"))): _*)).as("t"))
+      .select(col(id), col("t.sub").as("sub"), col("t.xs").as("xs"))
+
+  /** Nearest sub-centroid per (vector, subspace): exact integer
+    * squared-L2 argmin, ties to the lowest cell — [[assignCells]]
+    * with the subspace as an extra key. `cent` is (sub, cell, cs);
+    * the broadcast is m·ks rows, a layout constant.
+    */
+  def assignSubCells(epq: DataFrame, cent: DataFrame, id: String,
+                     top: Int = 1): DataFrame = {
+    val d2 = epq.join(broadcast(cent), Seq("sub"))
+      .select(col(id), col("sub"), col("cell"),
+        l2DistSq(col("xs"), col("cs")).as("d2"))
+    d2.withColumn("rnk",
+        row_number().over(Window.partitionBy(col(id), col("sub"))
+          .orderBy(col("d2"), col("cell"))))
+      .filter(col("rnk") <= top)
+      .select(col(id), col("sub"), col("cell"))
+  }
+
+  /** `iters` Lloyd rounds per subspace over an already-[[scaled]]
+    * corpus: seeds are the first `ks` vectors' sub-vectors (cell id =
+    * seed vector id — deterministic, oracle-replayable), updates are
+    * truncated-integer per-dim means exactly like [[fitCentroids]],
+    * each round's (m·ks)-row codebook checkpointed. Returns
+    * (sub, cell, cs).
+    */
+  def fitPQ(e: DataFrame, id: String, m: Int, dsub: Int, ks: Int,
+            iters: Int): DataFrame = {
+    require(iters >= 1, s"at least one Lloyd round required, got $iters")
+    val epq = subVectors(e, id, m, dsub)
+    var cent = epq.filter(col(id) < ks)
+      .select(col("sub"), col(id).as("cell"), col("xs").as("cs"))
+    for (_ <- 1 to iters) {
+      val assign = assignSubCells(epq, cent, id)
+      cent = epq.join(assign, Seq(id, "sub"))
+        .select(col("sub"), col("cell"), posexplode(col("xs")).as(Seq("pos", "x")))
+        .groupBy("sub", "cell", "pos")
+        .agg(round(sum(col("x")) / count(lit(1))).cast("long").as("cs"))
+        .groupBy("sub", "cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cs")))),
+          s => s.getField("cs")).as("cs"))
+        .localCheckpoint()
+    }
+    cent
+  }
 }

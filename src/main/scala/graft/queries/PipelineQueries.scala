@@ -3674,6 +3674,108 @@ object PipelineQueries {
          |FROM dd GROUP BY source ORDER BY source""".stripMargin)
   }
 
+  /** Product-quantization ANN (q247) — the memory-compression scale
+    * path the IVF/LSH family doesn't cover (Jégou et al., TPAMI
+    * 2011): each vector splits into [[8]] subspaces of 8 dims,
+    * each subspace gets its own 16-centroid Lloyd codebook
+    * ([[VectorQuantizer.fitPQ]] — q53's exact-integer fit with the
+    * subspace as an extra key), and every vector is stored as 8
+    * sub-codes — 64 floats become 8 nibble-codes, the ~30×
+    * compression that puts a billion-vector index in memory. Queries
+    * never decompress: the ADC table (exact integer d² from the query
+    * to every subspace centroid — m·ks = 128 entries, broadcast) turns
+    * scoring into m lookups + a sum per candidate, so the scan
+    * touches ONLY the code table. Every quantity (codes, tables, ADC
+    * sums) lives in [[VectorQuantizer.scaled]]'s integer domain, so
+    * the oracle replays fit → encode → ADC bit-for-bit. Top-10 by
+    * exact integer ADC distance per query; at 100 TB the code table
+    * is the only corpus-sized scan and it is m bytes per vector.
+    */
+  val pqAnn: Q = {
+    val M = 8; val DSUB = 8; val KS = 16; val ITERS = 2
+    val NQ = 5; val K = 10
+    def iterCte(i: Int): String =
+      s"""pd$i AS (
+         |  SELECT ep.vec_id, c.sub, c.cell,
+         |    sum((ep.xs - c.cs) * (ep.xs - c.cs)) AS d2
+         |  FROM ep JOIN pc${i - 1} c ON ep.sub = c.sub AND ep.sdim = c.sdim
+         |  GROUP BY 1, 2, 3),
+         |pa$i AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d2, cell) AS rnk
+         |    FROM pd$i) WHERE rnk = 1),
+         |pc$i AS (
+         |  SELECT a.sub, a.cell, ep.sdim,
+         |    round(sum(ep.xs) / count(*))::BIGINT AS cs
+         |  FROM ep JOIN pa$i a
+         |    ON ep.vec_id = a.vec_id AND ep.sub = a.sub
+         |  GROUP BY 1, 2, 3)"""
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = VectorQuantizer.scaled(
+          t(s, d, "embeddings"), "vec_id", "embedding").persist()
+        val cent = VectorQuantizer.fitPQ(e, "vec_id", M, DSUB, KS, ITERS)
+        val epq = VectorQuantizer.subVectors(e, "vec_id", M, DSUB)
+        val codes = VectorQuantizer.assignSubCells(epq, cent, "vec_id")
+        val dtab = epq.filter(col("vec_id") < NQ)
+          .withColumnRenamed("vec_id", "query_id")
+          .join(broadcast(cent), Seq("sub"))
+          .select(col("query_id"), col("sub"), col("cell"),
+            VectorQuantizer.l2DistSq(col("xs"), col("cs")).as("d2"))
+        val scored = codes.join(broadcast(dtab), Seq("sub", "cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy("query_id", "vec_id").agg(sum("d2").as("adc_d2"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(asc("adc_d2"), asc("vec_id"))
+        scored.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= K)
+          .orderBy("query_id", "rnk")
+      },
+      s"""WITH e AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+         |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xs
+         |  FROM embeddings),
+         |ep AS (
+         |  SELECT vec_id, (dim - 1) // $DSUB AS sub,
+         |    (dim - 1) % $DSUB + 1 AS sdim, xs
+         |  FROM e),
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ep
+         |        WHERE vec_id < $KS),
+         |${(1 to ITERS).map(iterCte).mkString(",\n")},
+         |fd AS (
+         |  SELECT ep.vec_id, c.sub, c.cell,
+         |    sum((ep.xs - c.cs) * (ep.xs - c.cs)) AS d2
+         |  FROM ep JOIN pc$ITERS c ON ep.sub = c.sub AND ep.sdim = c.sdim
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d2, cell) AS rnk
+         |    FROM fd) WHERE rnk = 1),
+         |dtab AS (
+         |  SELECT q.vec_id AS query_id, c.sub, c.cell,
+         |    sum((q.xs - c.cs) * (q.xs - c.cs)) AS d2
+         |  FROM ep q JOIN pc$ITERS c ON q.sub = c.sub AND q.sdim = c.sdim
+         |  WHERE q.vec_id < $NQ GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT dt.query_id, cd.vec_id, sum(dt.d2)::BIGINT AS adc_d2
+         |  FROM codes cd JOIN dtab dt
+         |    ON cd.sub = dt.sub AND cd.cell = dt.cell
+         |  WHERE cd.vec_id <> dt.query_id GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, vec_id, adc_d2,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adc_d2, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, vec_id, adc_d2, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
   /** Purge-aware incremental dedup (q246) — q172's GDPR sweep meets
     * q91's derived state: deleting documents from the corpus must
     * also make them unfindable through the PERSISTED index, or a
@@ -7467,6 +7569,7 @@ object PipelineQueries {
     "q244_wav_decode"    -> wavDecode,
     "q245_substring_spans" -> substringSpans,
     "q246_index_purge"   -> indexPurge,
+    "q247_pq_ann"        -> pqAnn,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

@@ -39,6 +39,8 @@ class PlanAuditSpec extends SparkSpec {
                    // broadcast-subtree fix); round shape spec'd above
       "q230_pca_power", // Gramian localCheckpoint + per-round vector
                         // checkpoints run at build (PageRank's discipline)
+      "q247_pq_ann", // fitPQ's Lloyd rounds checkpoint at build (q53's
+                     // machinery with the subspace key)
       "q170_stream_twin") // batch replay COMMITS stream state at build;
                           // audited by DedupStreamSpec + its own oracle
 
