@@ -155,6 +155,50 @@ object Multimodal {
     unhex(concat(header, data))
   }
 
+  /** A complete 24-bit BMP file as bytes: "BM" + 14-byte file header
+    * + 40-byte BITMAPINFOHEADER, then pixel rows stored BOTTOM-UP
+    * with each row zero-padded to a 4-byte boundary — the two details
+    * (row order, stride padding) that make BMP a real decode test
+    * rather than a flat array dump. `pixel(r, c)` returns the
+    * (blue, green, red) byte values of IMAGE row r, column c; the
+    * encoder handles the bottom-up storage and the file's B,G,R byte
+    * order. All little-endian via [[leHex]].
+    */
+  def bmpBytes(w: Column, h: Column,
+               pixel: (Column, Column) => (Column, Column, Column)): Column = {
+    // integer stride: shiftright-by-2 is div-4 on the non-negative
+    // width term (no float division anywhere in the byte math)
+    val rowSize = shiftright((w * 3 + 3).cast("long"), 2) * 4
+    val pad = rowSize - w * 3
+    val imageSize = rowSize * h
+    val header = concat(
+      lit("424d"), // "BM"
+      leHex(imageSize + 54, 4), // file size
+      lit("00000000"), // reserved
+      lit("36000000"), // pixel data offset = 54
+      lit("28000000"), // DIB header size = 40
+      leHex(w, 4), leHex(h, 4), // width, height (positive = bottom-up)
+      lit("0100"), // planes = 1
+      lit("1800"), // bits per pixel = 24
+      lit("00000000"), // compression = none
+      leHex(imageSize, 4),
+      lit("00000000"), lit("00000000"), // x/y pixels-per-metre
+      lit("00000000"), lit("00000000")) // palette sizes
+    // stored row rp corresponds to image row h-1-rp (bottom-up); each
+    // pixel is B,G,R bytes; the row tail is zero padding to the 4-byte
+    // stride. Bounded nested transform — this is the encode seam.
+    val data = array_join(
+      transform(sequence(lit(0), h - 1), rp =>
+        concat(
+          array_join(
+            transform(sequence(lit(0), w - 1), cc => {
+              val (b, g, r) = pixel(h - 1 - rp, cc)
+              concat(leHex(b, 1), leHex(g, 1), leHex(r, 1))
+            }), ""),
+          lit("000000").substr(lit(1), (pad * 2).cast("int")))), "")
+    unhex(concat(header, data))
+  }
+
   /** Per-frame energy fold at the decode seam — the native
     * [[graft.plans.CharEnergy]] expression over a decoded frame (one
     * fused byte loop per row; the windowed-RMS stand-in a real PCM

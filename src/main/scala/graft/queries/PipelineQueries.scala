@@ -3674,6 +3674,112 @@ object PipelineQueries {
          |FROM dd GROUP BY source ORDER BY source""".stripMargin)
   }
 
+  /** Real BMP decode (q248) — q244's image twin, and the harder half
+    * of the real-binary-decode pair: 24-bit BMP stores pixel rows
+    * BOTTOM-UP with each row zero-padded to a 4-byte stride, so
+    * correct pixel ADDRESSING (not just field parsing) is what's
+    * under test. Every document renders as a complete BMP
+    * ([[Multimodal.bmpBytes]] — valid "BM" header, BITMAPINFOHEADER,
+    * padded bottom-up rows; widths vary per doc so the stride math
+    * can't be constant-folded away), and the judged pipeline reads
+    * width/height/bpp/offset back from the bytes, re-derives the
+    * stride, walks the grid through the bottom-up mapping, and folds
+    * two per-image features: an integer luma sum and a
+    * POSITION-WEIGHTED checksum — the weight makes any
+    * row-order/stride/byte-order mistake change the value, where an
+    * unweighted sum would forgive misaddressing that permutes pixels.
+    * Oracle recomputes everything from source data without seeing
+    * bytes. Same cost envelope as q244.
+    */
+  val bmpDecode: Q = {
+    val H = 4
+    Q(
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+          .filter(length(col("text")) >= 1)
+        val w = (lit(3L) + col("doc_id") % 5)
+        def pixel(r: Column, c: Column): (Column, Column, Column) = {
+          val cp = ascii(col("text").substr(
+            (pmod(r * w + c, length(col("text")).cast("long")) + 1).cast("int"),
+            lit(1)))
+          (cp % 64 + 10, cp % 32 + 20, cp % 16 + 30)
+        }
+        val enc = base.select(col("doc_id"), col("source"),
+          Multimodal.bmpBytes(w, lit(H.toLong), pixel).as("bmp"))
+        val meta = enc.select(col("doc_id"), col("source"), col("bmp"),
+            (decode(col("bmp").substr(lit(1), lit(2)), "UTF-8") === "BM" &&
+              Multimodal.leRead(col("bmp"), lit(11), 4) === 54 &&
+              Multimodal.leRead(col("bmp"), lit(15), 4) === 40 &&
+              Multimodal.leRead(col("bmp"), lit(27), 2) === 1 &&
+              Multimodal.leRead(col("bmp"), lit(29), 2) === 24)
+              .cast("long").as("ok"),
+            Multimodal.leRead(col("bmp"), lit(19), 4).as("wp"),
+            Multimodal.leRead(col("bmp"), lit(23), 4).as("hp"))
+          .withColumn("row_size",
+            shiftright(col("wp") * 3 + 3, 2) * 4)
+          // the bmp build feeds the pixel-grid explode and the final
+          // doc-level join — one encode pass
+          .persist()
+        val grid = meta
+          .select(col("doc_id"), col("bmp"), col("wp"), col("hp"),
+            col("row_size"),
+            explode(sequence(lit(0L), col("hp") - 1)).as("r"))
+          .select(col("doc_id"), col("bmp"), col("wp"), col("r"),
+            (lit(54L) + (col("hp") - 1 - col("r")) * col("row_size"))
+              .as("row_base"),
+            explode(sequence(lit(0L), col("wp") - 1)).as("c"))
+          .select(col("doc_id"), col("r"), col("c"),
+            Multimodal.leRead(col("bmp"),
+              col("row_base") + col("c") * 3 + 1, 1).as("b"),
+            Multimodal.leRead(col("bmp"),
+              col("row_base") + col("c") * 3 + 2, 1).as("g"),
+            Multimodal.leRead(col("bmp"),
+              col("row_base") + col("c") * 3 + 3, 1).as("rr"))
+        val docAgg = grid.groupBy("doc_id").agg(
+          sum(col("rr") * 2 + col("g") * 5 + col("b")).as("luma"),
+          sum((col("r") * 31 + col("c") * 7 + 1) *
+            (col("b") + col("g") * 256 + col("rr") * 65536)).as("addr_ck"))
+        meta.drop("bmp").join(docAgg, Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_images"), sum("ok").as("n_valid"),
+            sum("wp").as("w_sum"), sum("hp").as("h_sum"),
+            sum("luma").as("luma_sum"), sum("addr_ck").as("addr_checksum"))
+          .orderBy("source")
+      },
+      s"""WITH d0 AS (SELECT doc_id, source, text FROM documents
+         |            WHERE length(text) >= 1),
+         |p AS (
+         |  SELECT doc_id, source, text,
+         |    (3 + doc_id % 5)::BIGINT AS w, $H::BIGINT AS h
+         |  FROM d0),
+         |g AS (SELECT doc_id, source, text, w, h,
+         |        unnest(range(0, h)) AS r FROM p),
+         |gc AS (SELECT doc_id, source, text, w, h, r,
+         |         unnest(range(0, w)) AS c FROM g),
+         |px AS (
+         |  SELECT doc_id, source, w, h, r, c,
+         |    ascii(substring(text,
+         |      ((r * w + c) % length(text) + 1)::INT, 1)) AS cp
+         |  FROM gc),
+         |pv AS (
+         |  SELECT doc_id, source, w, h, r, c,
+         |    cp % 64 + 10 AS b, cp % 32 + 20 AS gg, cp % 16 + 30 AS rr
+         |  FROM px),
+         |dd AS (
+         |  SELECT doc_id, source, w, h,
+         |    sum(rr * 2 + gg * 5 + b)::BIGINT AS luma,
+         |    sum((r * 31 + c * 7 + 1) *
+         |        (b + gg * 256 + rr * 65536))::BIGINT AS addr_ck
+         |  FROM pv GROUP BY 1, 2, 3, 4)
+         |SELECT source, count(*)::BIGINT AS n_images,
+         |  count(*)::BIGINT AS n_valid,
+         |  sum(w)::BIGINT AS w_sum, sum(h)::BIGINT AS h_sum,
+         |  sum(luma)::BIGINT AS luma_sum,
+         |  sum(addr_ck)::BIGINT AS addr_checksum
+         |FROM dd GROUP BY source ORDER BY source""".stripMargin)
+  }
+
   /** Product-quantization ANN (q247) — the memory-compression scale
     * path the IVF/LSH family doesn't cover (Jégou et al., TPAMI
     * 2011): each vector splits into [[8]] subspaces of 8 dims,
@@ -7570,6 +7676,7 @@ object PipelineQueries {
     "q245_substring_spans" -> substringSpans,
     "q246_index_purge"   -> indexPurge,
     "q247_pq_ann"        -> pqAnn,
+    "q248_bmp_decode"    -> bmpDecode,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,
