@@ -60,10 +60,7 @@ object SimIndex {
   def publish(corpus: DataFrame, id: String, vec: String,
               bits: Int, tables: Int, root: String): String = synchronized {
     VersionedDirs.commit(root) { staging =>
-      corpus.select(col(id).as("index_id"), col(vec).as("ivec"),
-          posexplode(multiTableBuckets(col(vec), bits, tables))
-            .as(Seq("tbl", "bucket")))
-        .withColumn("pbucket", pbucketOf(col("tbl"), col("bucket")))
+      keyRows(corpus, id, vec, bits, tables)
         .repartition(col("pbucket"))
         .sortWithinPartitions("tbl", "bucket")
         .write.partitionBy("pbucket").mode("overwrite")
@@ -88,6 +85,88 @@ object SimIndex {
         .group(1).toInt
     (field("bits"), field("tables"))
   }
+
+  // ------------------------------------------------------ delta appends
+  //
+  // Daily growth without daily re-index: a new batch lands as an
+  // append-log delta (one `batch-*` dir per append — the LSM L0
+  // shape), keyed with the BASE index's frozen (r, T) so base and
+  // delta keys stay joinable. Probes read base ∪ deltas with the
+  // same bucket pruning applied to each; a periodic merge-compaction
+  // folds every delta into the next base generation and clears the
+  // log. Appends are batch-cost, probes pay one extra root per
+  // unmerged delta — the knob is the compaction cadence.
+
+  private def deltaDir(root: String): java.io.File =
+    new java.io.File(root, "deltas")
+
+  /** The committed delta roots (append order is irrelevant — deltas
+    * are disjoint key sets by construction of the caller's batches).
+    */
+  def deltas(root: String): Seq[String] =
+    Option(deltaDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getAbsolutePath).sorted.toSeq
+
+  /** Append `corpus` as a new delta batch, keyed with the base
+    * index's frozen (r, T). Commit is the same stage-then-rename
+    * protocol; a crashed append leaves an uncommitted `.staging-`
+    * dir that probes skip and the next merge vacuums.
+    */
+  def appendDelta(corpus: DataFrame, id: String, vec: String,
+                  root: String): String = synchronized {
+    val (bits, tables) = params(root)
+    graft.sources.Artifacts.notePublish()
+    val dr = deltaDir(root); dr.mkdirs()
+    val staging = new java.io.File(dr,
+      s".staging-${java.util.UUID.randomUUID()}")
+    keyRows(corpus, id, vec, bits, tables)
+      .repartition(col("pbucket"))
+      .sortWithinPartitions("tbl", "bucket")
+      .write.partitionBy("pbucket").mode("overwrite")
+      .parquet(staging.getAbsolutePath)
+    val target = new java.io.File(dr,
+      s"batch-${java.util.UUID.randomUUID()}")
+    require(staging.renameTo(target),
+      s"delta append rename failed into $dr")
+    target.getAbsolutePath
+  }
+
+  /** Fold every committed delta into the next base generation and
+    * clear the append log. Pure row union over existing artifacts —
+    * no re-hashing; params carry over unchanged.
+    */
+  def mergeCompact(spark: SparkSession, root: String): String = synchronized {
+    val basePath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val (bits, tables) = params(root)
+    val all = (basePath +: deltas(root))
+      .map(p => spark.read.parquet(p))
+      .reduce(_.unionByName(_))
+    val path = VersionedDirs.commit(root) { st =>
+      all.repartition(col("pbucket"))
+        .sortWithinPartitions("tbl", "bucket")
+        .write.partitionBy("pbucket").mode("overwrite").parquet(st)
+      java.nio.file.Files.writeString(
+        new java.io.File(st, "_params.json").toPath,
+        s"""{"bits":$bits,"tables":$tables}""")
+      ()
+    }
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+    }
+    rm(deltaDir(root))
+    path
+  }
+
+  /** The shared key layout of [[publish]] and [[appendDelta]]. */
+  private def keyRows(corpus: DataFrame, id: String, vec: String,
+                      bits: Int, tables: Int): DataFrame =
+    corpus.select(col(id).as("index_id"), col(vec).as("ivec"),
+        posexplode(multiTableBuckets(col(vec), bits, tables))
+          .as(Seq("tbl", "bucket")))
+      .withColumn("pbucket", pbucketOf(col("tbl"), col("bucket")))
 
   /** Approximate top-k of each query vector against the committed
     * index: key the batch with the index's FROZEN (r, T), collect its
@@ -115,8 +194,13 @@ object SimIndex {
       .persist()
     val touched = qk.select("pbucket").distinct()
       .collect().map(_.getInt(0)).sorted
-    val idx = spark.read.parquet(idxPath)
-      .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*))
+    // base ∪ committed deltas, each with the same static partition
+    // filter — pruning applies per root, so an unmerged delta costs
+    // its touched buckets only
+    val idx = (idxPath +: deltas(root))
+      .map(p => spark.read.parquet(p)
+        .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*)))
+      .reduce(_.unionByName(_))
     val scored = qk.join(idx, Seq("pbucket", "tbl", "bucket"))
       .filter(col("index_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("index_id"))

@@ -3506,7 +3506,66 @@ object AnalyticsQueries {
     "q238_repeat_hazard"   -> repeatHazard,
     "q239_leadtime_sla"    -> leadTimeSla,
     "q241_discount_bands"  -> discountBands,
-    "q242_revenue_concentration" -> revenueConcentration)
+    "q242_revenue_concentration" -> revenueConcentration,
+    "q249_revenue_rollup"  -> revenueRollup)
+
+  /** Hierarchical revenue rollup (q249) — the genuine GROUPING SETS
+    * surface the OLAP family was missing: ONE aggregation pass
+    * produces the (region, nation, year) leaf grain plus nation-,
+    * region- and grand-total subtotal rows via `rollup`, with
+    * `grouping_id()` labeling each row's grain — the operator
+    * semantics underneath every drill-down report, and on Spark a
+    * single Expand + one exchange instead of 4 separate aggregations
+    * unioned (the Expand multiplies rows by the 4 grains BEFORE the
+    * map-side combine, so shuffle volume stays one row per populated
+    * (grain, group) — bounded by the dimension taxonomy × years, not
+    * the fact table). Rolled-up key columns are coalesced to explicit
+    * sentinels so neither engine's NULL ordering touches the judged
+    * sort; grouping-bit order (first rollup column = MSB) is the
+    * shared Spark/DuckDB/Postgres convention, and the hash match
+    * proves it.
+    */
+  lazy val revenueRollup: Q = Q(
+    (s, d) => {
+      val dims = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name"), col("n_name"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(dims, col("o_custkey") === col("c_custkey"))
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .rollup(col("r_name"), col("n_name"), col("yr"))
+        .agg(grouping_id().cast("long").as("gid"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+        .select(col("gid"),
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          coalesce(col("yr"), lit(-1L)).as("yr"),
+          col("revenue_cents"), col("n_lines"))
+        .orderBy("gid", "region", "nation", "yr")
+    },
+    """WITH f AS (
+      |  SELECT r_name, n_name, year(o_orderdate)::BIGINT AS yr,
+      |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+      |      AS c
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey)
+      |SELECT GROUPING(r_name, n_name, yr)::BIGINT AS gid,
+      |  coalesce(r_name, 'ALL') AS region,
+      |  coalesce(n_name, 'ALL') AS nation,
+      |  coalesce(yr, -1)::BIGINT AS yr,
+      |  sum(c)::BIGINT AS revenue_cents, count(*)::BIGINT AS n_lines
+      |FROM f
+      |GROUP BY ROLLUP(r_name, n_name, yr)
+      |ORDER BY gid, region, nation, yr""".stripMargin)
 
   /** Degree-distribution audit (q126) — the pre-flight for every
     * graph stage (q70/q79/q82/q90): per log₂-degree bucket

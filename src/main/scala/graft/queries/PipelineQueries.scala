@@ -3578,6 +3578,89 @@ object PipelineQueries {
          |ORDER BY q.query_id""".stripMargin)
   }
 
+  /** ANN index delta append (q250) — the growth half of the index
+    * lifecycle (q243 publishes and probes, q246 deletes; this
+    * appends): a new vector batch lands as an append-log delta keyed
+    * with the BASE index's frozen (r, T)
+    * ([[SimIndex.appendDelta]] — batch cost, no re-index), and probes
+    * read base ∪ deltas with bucket pruning applied to each root.
+    * The judged output is the probe's top-3 against the combined
+    * index, and the oracle replays the SAME frozen-parameter rule:
+    * its banding parameters derive from the BASE corpus only (300
+    * vectors), while its key table spans base + delta (400) — so a
+    * hash match proves the delta was keyed with the base's
+    * parameters, not re-derived ones, which is the whole correctness
+    * burden of an append. ([[SimIndex.mergeCompact]], the fold-back,
+    * is spec-tested — its result is definitionally the same rows.)
+    */
+  val simIndexAppend: Q = {
+    val BASE_MAX = 300L; val DELTA_MAX = 400L; val Q_MAX = 500L; val K = 3
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val base = emb.filter(col("vec_id") < BASE_MAX)
+        val delta = emb.filter(
+          col("vec_id") >= BASE_MAX && col("vec_id") < DELTA_MAX)
+        val queries = emb.filter(
+          col("vec_id") >= DELTA_MAX && col("vec_id") < Q_MAX)
+        val r = VectorFunctions.mtBits(base.count())
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-sim-append", d, Seq("embeddings.parquet"))
+        if (SimIndex.resolve(root).isEmpty) {
+          SimIndex.publish(base, "vec_id", "embedding",
+            r, VectorFunctions.mtTables(r), root)
+          SimIndex.appendDelta(delta, "vec_id", "embedding", root)
+        }
+        SimIndex.probeTopK(s, queries, "vec_id", "embedding", K, root)
+          .select(col("query_id"), col("index_id"), col("cos_sim"),
+            col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      s"""WITH idx0 AS (SELECT vec_id, embedding FROM embeddings
+         |              WHERE vec_id < $BASE_MAX),
+         |params AS (
+         |  SELECT (${VectorFunctions.mtBitsSql("count(*)")}) AS r,
+         |    ${VectorFunctions.mtTablesSql(VectorFunctions.mtBitsSql("count(*)"))} AS nt
+         |  FROM idx0),
+         |ie AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+         |  FROM embeddings, params WHERE vec_id < $DELTA_MAX),
+         |iek AS (
+         |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+         |  FROM ie),
+         |ikb AS (
+         |  SELECT vec_id, embedding, tbl,
+         |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+         |  FROM iek),
+         |qe AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+         |  FROM embeddings, params
+         |  WHERE vec_id >= $DELTA_MAX AND vec_id < $Q_MAX),
+         |qek AS (
+         |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+         |  FROM qe),
+         |qkb AS (
+         |  SELECT vec_id, embedding, tbl,
+         |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+         |  FROM qek),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, kb.vec_id AS index_id,
+         |    max(round(${VectorFunctions.cosineSql("q.embedding", "kb.embedding")}, 6))
+         |      AS cos_sim
+         |  FROM qkb q JOIN ikb kb ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, index_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, index_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, index_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
   /** Real binary decode at the multimodal seam (q244) — the round-8
     * gap closer: every document is rendered as a COMPLETE RIFF/WAVE
     * file (canonical 44-byte little-endian header + 16-bit PCM
@@ -7677,6 +7760,7 @@ object PipelineQueries {
     "q246_index_purge"   -> indexPurge,
     "q247_pq_ann"        -> pqAnn,
     "q248_bmp_decode"    -> bmpDecode,
+    "q250_sim_index_append" -> simIndexAppend,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

@@ -76,6 +76,34 @@ class SimIndexSpec extends SparkSpec {
       s"probe scan lost its pbucket partition filter:\n${p.take(2000)}")
   }
 
+  test("delta append probes identically before and after merge-compaction") {
+    val root = Files.createTempDirectory("simidx").toString
+    val base = index.filter(col("vec_id") < 120L)
+    val delta = index.filter(col("vec_id") >= 120L)
+    SimIndex.publish(base, "vec_id", "embedding", BITS, TABLES, root)
+    SimIndex.appendDelta(delta, "vec_id", "embedding", root)
+    assert(SimIndex.deltas(root).size == 1)
+    def probeSet() = SimIndex.probeTopK(spark, queries, "vec_id",
+        "embedding", K, root)
+      .select("query_id", "index_id", "cos_sim", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val withDelta = probeSet()
+    // the combined view equals a from-scratch index over base ∪ delta
+    val fresh = Files.createTempDirectory("simidx").toString
+    SimIndex.publish(index, "vec_id", "embedding", BITS, TABLES, fresh)
+    val want = SimIndex.probeTopK(spark, queries, "vec_id",
+        "embedding", K, fresh)
+      .select("query_id", "index_id", "cos_sim", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(withDelta == want,
+      "base ∪ delta probe diverges from a from-scratch index")
+    // merge: same answers, no deltas left, params carried over
+    SimIndex.mergeCompact(spark, root)
+    assert(SimIndex.deltas(root).isEmpty)
+    assert(SimIndex.params(root) == ((BITS, TABLES)))
+    assert(probeSet() == want, "post-merge probe diverges")
+  }
+
   test("resolve picks the highest committed version; params travel with it") {
     val root = Files.createTempDirectory("simidx").toString
     assert(SimIndex.resolve(root).isEmpty)
