@@ -105,5 +105,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(MultiTableBuckets.description)
     ext.injectFunction(CharPolyHash.description)
     ext.injectFunction(CharEnergy.description)
+    // the whole-operator tier: the per-key top-k planner strategy
+    // ([[PerKeyTopK]]); its builder also self-installs post-hoc on
+    // sessions built without extensions
+    ext.injectPlannerStrategy(_ => PerKeyTopKStrategy)
   }
 }

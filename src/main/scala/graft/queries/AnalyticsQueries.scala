@@ -3507,7 +3507,47 @@ object AnalyticsQueries {
     "q239_leadtime_sla"    -> leadTimeSla,
     "q241_discount_bands"  -> discountBands,
     "q242_revenue_concentration" -> revenueConcentration,
-    "q249_revenue_rollup"  -> revenueRollup)
+    "q249_revenue_rollup"  -> revenueRollup,
+    "q251_topk_per_key"    -> topkPerKey)
+
+  /** Per-key top-k via the CUSTOM PHYSICAL OPERATOR (q251) — the
+    * whole-operator tier of the Catalyst ladder judged end-to-end:
+    * [[graft.plans.PerKeyTopK]] plans Partial → Exchange → Final
+    * (partial aggregation's shape) instead of the window form's
+    * Exchange → Sort → Window → Filter, so each customer's 3 best
+    * orders cost O(log k) heap pushes per row with NO sort buffer,
+    * and the shuffle moves at most k rows per (key, upstream
+    * partition) — at 100 TB that is the difference between shuffling
+    * the fact table and shuffling ~k rows per key. The oracle is the
+    * window form itself, so the hash match proves the operator's
+    * semantics (including tie-breaks) equal row_number's; the final
+    * orderBy exists only for the judged total order (drop it in
+    * production and no sort appears anywhere in the plan).
+    */
+  lazy val topkPerKey: Q = {
+    val K = 3
+    Q(
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_custkey"),
+          col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+        graft.plans.PerKeyTopK(o, Seq(col("o_custkey")),
+            Seq(col("price_cents").desc, col("o_orderkey").asc), K)
+          .orderBy(asc("o_custkey"), desc("price_cents"),
+            asc("o_orderkey"))
+      },
+      s"""WITH o AS (
+         |  SELECT o_custkey, o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         |  FROM orders),
+         |r AS (
+         |  SELECT o_custkey, o_orderkey, price_cents,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY price_cents DESC, o_orderkey) AS rn
+         |  FROM o)
+         |SELECT o_custkey, o_orderkey, price_cents
+         |FROM r WHERE rn <= $K
+         |ORDER BY o_custkey, price_cents DESC, o_orderkey""".stripMargin)
+  }
 
   /** Hierarchical revenue rollup (q249) — the genuine GROUPING SETS
     * surface the OLAP family was missing: ONE aggregation pass

@@ -18,6 +18,17 @@ object ColumnBridge {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly CONVERTED catalyst expression of a Column — unlike
+    * [[expression]], which returns a lazy `ColumnNodeExpression`
+    * wrapper around the internal column AST (fine inside a plan the
+    * analyzer will visit, but not serializable and not
+    * pattern-matchable as catalyst nodes). Custom operators that
+    * capture expressions into task closures ([[graft.plans
+    * .PerKeyTopK]]) need the converted tree.
+    */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a native function on an existing session (the
     * `SparkSessionExtensions` route needs the session built with
     * `.withExtensions`; this is the post-hoc equivalent).
@@ -27,4 +38,15 @@ object ColumnBridge {
                  Seq[Expression] => Expression)): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       description._1, description._2, description._3)
+
+  /** A DataFrame over a hand-built logical plan — what a custom
+    * operator's builder ([[graft.plans.PerKeyTopK]]) returns. The
+    * `Dataset.ofRows` factory is the same call every DataFrame API
+    * method bottoms out in.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
