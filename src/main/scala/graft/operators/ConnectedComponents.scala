@@ -99,4 +99,54 @@ object ConnectedComponents {
     e.select(col("u").as("node"), col("v").as("component"))
       .union(e.select(col("v").as("node"), col("v").as("component")).distinct())
   }
+
+  /** Incremental component maintenance: fold a DELTA edge batch into
+    * an existing assignment at CONTRACTED-graph cost instead of
+    * re-clustering the world — the daily shape once near-dup
+    * clusters/entity groups live as a persisted artifact and new
+    * evidence arrives in batches. Each delta edge's endpoints map
+    * through the existing assignment to their component roots (an
+    * unseen node is its own root); edges whose endpoints land in the
+    * SAME root are already absorbed and drop out, and the survivors
+    * form the CONTRACTED graph — one node per existing component
+    * touched, sized by the delta's merge activity, never by the
+    * corpus. [[assign]] on that contracted graph yields the merge
+    * map, and one final join relabels exactly the absorbed
+    * components. Labels stay canonical (component = min reachable
+    * node id): the merged label is the min over merged roots, and
+    * min-of-mins is the global min.
+    *
+    * Returns (node, component) for every node in `baseAssign` or
+    * `deltaEdges`.
+    */
+  def incremental(baseAssign: DataFrame, deltaEdges: DataFrame,
+                  maxRounds: Int = 64): DataFrame = {
+    // base feeds the two delta-endpoint lookups AND the final
+    // relabel; callers pass a (possibly persisted/artifact-read)
+    // frame — persist here so the lookups share one materialization
+    val base = baseAssign.select(col("node"), col("component")).persist()
+    val d = deltaEdges.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val mapped = d
+      .join(base.select(col("node").as("u"), col("component").as("cu")),
+        Seq("u"), "left")
+      .join(base.select(col("node").as("v"), col("component").as("cv")),
+        Seq("v"), "left")
+      .select(coalesce(col("cu"), col("u")).as("u"),
+        coalesce(col("cv"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val newNodes = d.select(col("u").as("node"))
+      .union(d.select(col("v").as("node")))
+      .distinct()
+      .join(base, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    val universe = base.unionByName(newNodes)
+    if (mapped.isEmpty) return universe
+    val mergeMap = assign(mapped, maxRounds)
+      .select(col("node").as("component"), col("component").as("merged"))
+    universe
+      .join(mergeMap, Seq("component"), "left")
+      .select(col("node"),
+        coalesce(col("merged"), col("component")).as("component"))
+  }
 }

@@ -3965,6 +3965,223 @@ object PipelineQueries {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** Stratified sample allocation with exact apportionment (q253) —
+    * the survey-sampling design step upstream of every eval/audit
+    * sample: a fixed label budget is split across sources
+    * Neyman-style (proportional to stratum size × within-stratum
+    * spread — the integer length RANGE stands in for the classic SD
+    * so both engines share exact arithmetic), and the fractional
+    * quotas become integer seats via LARGEST-REMAINDER apportionment
+    * (Hamilton's method): floor everyone, then hand the leftover
+    * seats to the largest remainders with a total tie order — the
+    * budget is hit EXACTLY, deterministically, no float rounding
+    * drift. Selection within a stratum is the usual hash-rank rule,
+    * and the judged output carries an id-hash sum of each stratum's
+    * selected set, so the oracle match proves the identical
+    * documents were chosen, not just identical counts. One grouped
+    * aggregate + one taxonomy-sized window + one per-source ranking
+    * window — corpus-linear, state bounded by the source taxonomy.
+    */
+  val sampleAlloc: Q = {
+    val BUDGET = 100
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val stats = docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          (max("n_chars") - min("n_chars") + 1).as("spread"))
+          .withColumn("w", col("n_docs") * col("spread"))
+        val wAll = Window.partitionBy()
+        val alloc = stats
+          .withColumn("tot", sum("w").over(wAll))
+          .withColumn("base", expr(s"$BUDGET * w div tot"))
+          .withColumn("rem", expr(s"($BUDGET * w) % tot"))
+          .withColumn("leftover", lit(BUDGET) - sum("base").over(wAll))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy().orderBy(desc("rem"), asc("source"))))
+          .withColumn("alloc",
+            col("base") + when(col("rnk") <= col("leftover"), 1L)
+              .otherwise(0L))
+        val sel = docs
+          .withColumn("hrnk", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(Hashing.h32(col("doc_id").cast("string")),
+                col("doc_id"))))
+          .join(alloc.select(col("source"), col("alloc")), Seq("source"))
+          .filter(col("hrnk") <= col("alloc"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_sel"),
+            sum(Hashing.h32(col("doc_id").cast("string"))).as("sel_h32_sum"))
+        alloc.select(col("source"), col("n_docs"), col("w"), col("alloc"))
+          .join(sel, Seq("source"), "left")
+          .na.fill(0L, Seq("n_sel", "sel_h32_sum"))
+          .orderBy("source")
+      },
+      s"""WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+         |stats AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |    (max(n_chars) - min(n_chars) + 1)::BIGINT AS spread
+         |  FROM docs GROUP BY source),
+         |aw AS (SELECT source, n_docs, n_docs * spread AS w FROM stats),
+         |ax AS (
+         |  SELECT source, n_docs, w,
+         |    sum(w) OVER () AS tot,
+         |    ($BUDGET * w) // sum(w) OVER () AS base,
+         |    ($BUDGET * w) % sum(w) OVER () AS rem
+         |  FROM aw),
+         |ay AS (
+         |  SELECT *, $BUDGET - sum(base) OVER () AS leftover,
+         |    row_number() OVER (ORDER BY rem DESC, source) AS rnk
+         |  FROM ax),
+         |alloc AS (
+         |  SELECT source, n_docs, w,
+         |    (base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)::BIGINT
+         |      AS alloc
+         |  FROM ay),
+         |ranked AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${Hashing.h32Sql("doc_id::VARCHAR")}, doc_id)
+         |      AS hrnk
+         |  FROM docs),
+         |sel AS (
+         |  SELECT r.source, count(*)::BIGINT AS n_sel,
+         |    sum(${Hashing.h32Sql("r.doc_id::VARCHAR")})::BIGINT
+         |      AS sel_h32_sum
+         |  FROM ranked r JOIN alloc a ON r.source = a.source
+         |  WHERE r.hrnk <= a.alloc GROUP BY r.source)
+         |SELECT a.source, a.n_docs, a.w::BIGINT AS w, a.alloc,
+         |  coalesce(s.n_sel, 0)::BIGINT AS n_sel,
+         |  coalesce(s.sel_h32_sum, 0)::BIGINT AS sel_h32_sum
+         |FROM alloc a LEFT JOIN sel s ON a.source = s.source
+         |ORDER BY a.source""".stripMargin)
+  }
+
+  /** Max-min fair token allocation — water-filling (q254): the
+    * FAIRNESS counterpart of q221's quality knapsack (which starves
+    * low-quality sources by design) and q253's variance-weighted
+    * sampler: cap every source at a common water level λ chosen so
+    * the budget is exactly spent — sources whose whole demand fits
+    * under λ are fully satisfied (saturated), everyone else gets the
+    * level. The classic bandwidth-allocation algebra, done exactly in
+    * integers: sort demands, find the saturation prefix via the
+    * monotone feasibility test prefix(i) + (n−i)·dᵢ ≤ B (monotone
+    * because f(i)−f(i−1) = (n−i+1)(dᵢ−dᵢ₋₁) ≥ 0 on sorted demands),
+    * then split the residue by floor + largest-remainder (smallest
+    * unsaturated demand first — a total order). No floats, no
+    * iteration; one corpus aggregate + taxonomy-sized windows. The
+    * over-allocation guard is structural: the first unsaturated
+    * demand strictly exceeds the residue mean, so base+1 ≤ every
+    * unsaturated demand.
+    */
+  val waterFill: Q = {
+    val BUDGET_PCT = 30
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dem = t(s, d, "documents")
+          .select(col("source"),
+            size(TextFunctions.words(col("text"))).cast("long").as("toks"))
+          .groupBy("source").agg(sum("toks").as("demand"))
+        val wAll = Window.partitionBy()
+        val byDem = Window.partitionBy().orderBy(asc("demand"), asc("source"))
+        val wPfx = byDem.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        dem
+          .withColumn("budget",
+            expr(s"sum(demand) over () * $BUDGET_PCT div 100"))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("idx", row_number().over(byDem).cast("long"))
+          .withColumn("pfx", sum("demand").over(wPfx))
+          .withColumn("sat",
+            (col("pfx") + (col("n") - col("idx")) * col("demand") <=
+              col("budget")).cast("long"))
+          .withColumn("m", sum("sat").over(wAll))
+          .withColumn("pm", sum(when(col("sat") === 1, col("demand"))
+            .otherwise(0L)).over(wAll))
+          .withColumn("alloc",
+            when(col("sat") === 1 || col("n") === col("m"), col("demand"))
+              .otherwise(
+                expr("(budget - pm) div (n - m)") +
+                  when(col("idx") - col("m") <=
+                    expr("(budget - pm) % (n - m)"), 1L).otherwise(0L)))
+          .select(col("source"), col("demand"), col("alloc"),
+            col("sat").as("saturated"))
+          .orderBy("source")
+      },
+      s"""WITH wd AS (
+         |  SELECT source, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM documents),
+         |dem AS (
+         |  SELECT source, sum(len(arr))::BIGINT AS demand
+         |  FROM wd GROUP BY source),
+         |x AS (
+         |  SELECT source, demand,
+         |    sum(demand) OVER () * $BUDGET_PCT // 100 AS budget,
+         |    count(*) OVER () AS n,
+         |    row_number() OVER (ORDER BY demand, source) AS idx,
+         |    sum(demand) OVER (ORDER BY demand, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+         |  FROM dem),
+         |y AS (
+         |  SELECT *, CASE WHEN pfx + (n - idx) * demand <= budget
+         |    THEN 1 ELSE 0 END AS sat FROM x),
+         |z AS (
+         |  SELECT *, sum(sat) OVER () AS m,
+         |    sum(CASE WHEN sat = 1 THEN demand ELSE 0 END) OVER () AS pm
+         |  FROM y)
+         |SELECT source, demand,
+         |  (CASE WHEN sat = 1 OR n = m THEN demand
+         |        ELSE (budget - pm) // (n - m) +
+         |          (CASE WHEN idx - m <= (budget - pm) % (n - m)
+         |           THEN 1 ELSE 0 END) END)::BIGINT AS alloc,
+         |  sat::BIGINT AS saturated
+         |FROM z ORDER BY source""".stripMargin)
+  }
+
+  /** Incremental connected components (q252) — cluster maintenance
+    * at DELTA cost: once dedup groups / entity clusters live as a
+    * persisted assignment, a daily batch of new pair evidence must
+    * fold in without re-clustering the corpus. Delta edges map
+    * through the existing assignment to component roots; edges
+    * landing inside one root are already absorbed, and the survivors
+    * form the CONTRACTED graph — sized by the delta's merge
+    * activity, never the corpus — which is re-clustered and used to
+    * relabel exactly the absorbed components
+    * ([[ConnectedComponents.incremental]]). The oracle runs the FULL
+    * transitive closure over base ∪ delta, so the hash match IS the
+    * correctness proof: incremental maintenance ≡ recompute,
+    * including canonical min-id labels (min-of-mins argument in the
+    * operator doc). Judged output is the component-size census.
+    */
+  val incrementalCc: Q = {
+    val SPLIT = 250L
+    Q(
+      (s, d) => {
+        val pairs = minhashPairs(s, d)
+          .select(col("id_a").as("u"), col("id_b").as("v")).persist()
+        val base = pairs.filter(col("u") < SPLIT && col("v") < SPLIT)
+        val delta = pairs.filter(col("u") >= SPLIT || col("v") >= SPLIT)
+        val baseComp = ConnectedComponents.assign(base)
+        ConnectedComponents.incremental(baseComp, delta)
+          .groupBy("component").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("component")
+      },
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |walk(n, m) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, walk.m FROM walk JOIN edges e ON e.u = walk.n),
+         |comp AS (SELECT n AS node, min(m) AS component FROM walk GROUP BY n)
+         |SELECT component, count(*)::BIGINT AS n_nodes
+         |FROM comp GROUP BY component ORDER BY component""".stripMargin)
+  }
+
   /** Purge-aware incremental dedup (q246) — q172's GDPR sweep meets
     * q91's derived state: deleting documents from the corpus must
     * also make them unfindable through the PERSISTED index, or a
@@ -7761,6 +7978,9 @@ object PipelineQueries {
     "q247_pq_ann"        -> pqAnn,
     "q248_bmp_decode"    -> bmpDecode,
     "q250_sim_index_append" -> simIndexAppend,
+    "q252_incremental_cc" -> incrementalCc,
+    "q253_sample_alloc"  -> sampleAlloc,
+    "q254_water_fill"    -> waterFill,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimIndex
+
+/** Continuous similarity search: a stream of new vectors probed per
+  * micro-batch against a PUBLISHED [[SimIndex]] generation under
+  * `foreachBatch` — the retrieval/near-dup-alerting shape (every
+  * arriving embedding answers "what does the corpus already hold
+  * like this?") run continuously. Simpler than [[DedupStream]] by
+  * design: the index is static between re-publishes, so batches
+  * never pair with each other and there is no tail state — each
+  * batch's top-k lands as one `_SUCCESS`-committed dir keyed by
+  * batch id (the [[VersionedSink]] idempotence trick), so an
+  * at-least-once replay overwrites identical bytes and is absorbed.
+  *
+  * Index re-publishes are picked up at the NEXT batch boundary
+  * ([[SimIndex.resolve]] runs per probe) — a batch is scored against
+  * exactly one committed generation, never a half-written one (the
+  * versioned-dir commit guarantees it), which is the consistency a
+  * serving system actually wants: per-request snapshot isolation,
+  * not mid-request index mutation.
+  */
+final class AnnStream(spark: SparkSession, indexRoot: String,
+                      outRoot: String, id: String, vec: String, k: Int) {
+
+  private def fs =
+    new Path(outRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committed(p: Path): Boolean =
+    fs.exists(new Path(p, "_SUCCESS"))
+
+  private def batchDirs: Seq[(Long, Path)] = {
+    val base = new Path(outRoot)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("topk.b") && name.length > 6 &&
+          name.drop(6).forall(_.isDigit))
+        Some((name.drop(6).toLong, st.getPath))
+      else None
+    }.filter(d => committed(d._2)).sortBy(_._1)
+  }
+
+  /** The `foreachBatch` body. Returns false when this batch id is
+    * already committed (replay absorbed), true when this call
+    * committed it.
+    */
+  def processBatch(batch: DataFrame, batchId: Long): Boolean = {
+    val target = new Path(outRoot, s"topk.b$batchId")
+    if (committed(target)) return false
+    graft.sources.Artifacts.notePublish()
+    SimIndex.probeTopK(spark, batch, id, vec, k, indexRoot)
+      .write.mode("overwrite").parquet(target.toString)
+    true
+  }
+
+  /** Every committed batch's top-k results so far. */
+  def results(): DataFrame = {
+    val dirs = batchDirs.map(_._2.toString)
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("query_id"),
+        col("id").as("index_id"), lit(0.0).as("cos_sim"),
+        col("id").as("rnk"))
+    else spark.read.parquet(dirs: _*)
+      .select("query_id", "index_id", "cos_sim", "rnk")
+  }
+
+  def committedBatches: Seq[Long] = batchDirs.map(_._1)
+}

@@ -41,6 +41,8 @@ class PlanAuditSpec extends SparkSpec {
                         // checkpoints run at build (PageRank's discipline)
       "q247_pq_ann", // fitPQ's Lloyd rounds checkpoint at build (q53's
                      // machinery with the subspace key)
+      "q252_incremental_cc", // base-assign + contracted-CC rounds run at
+                             // build (q46's machinery twice)
       "q170_stream_twin") // batch replay COMMITS stream state at build;
                           // audited by DedupStreamSpec + its own oracle
 

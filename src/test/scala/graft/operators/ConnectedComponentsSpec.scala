@@ -59,6 +59,34 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("incremental delta fold equals a full recompute (merges, new nodes, absorbed edges)") {
+    // base: {1,2,3} and {10,11}; delta merges the two components
+    // (3-10), adds a brand-new component {20,21}, attaches a new
+    // node to an old component (11-12), and includes an
+    // already-absorbed edge (1-3)
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("u", "v")
+    val delta = Seq((3L, 10L), (20L, 21L), (11L, 12L), (1L, 3L))
+      .toDF("u", "v")
+    val baseComp = ConnectedComponents.assign(base)
+    val got = ConnectedComponents.incremental(baseComp, delta)
+      .as[(Long, Long)].collect().toMap
+    val want = ConnectedComponents.assign(base.unionByName(delta))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, s"incremental=$got full=$want")
+    assert(got(10L) == 1L && got(12L) == 1L, s"merge lost min label: $got")
+    assert(got(21L) == 20L)
+  }
+
+  test("incremental with a no-merge delta is the identity") {
+    val base = Seq((1L, 2L)).toDF("u", "v")
+    val baseComp = ConnectedComponents.assign(base)
+    // delta edge entirely inside the existing component
+    val got = ConnectedComponents.incremental(baseComp,
+        Seq((2L, 1L)).toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("star rounds are join/groupBy shaped — no cartesian product") {
     val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
     val plan = ConnectedComponents
