@@ -230,6 +230,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("rollup grains ride ONE Expand, never a union of aggregates (q249)") {
+    val p = plan("q249_revenue_rollup")
+    assert("Expand".r.findAllIn(p).size == 1,
+      s"rollup must be one Expand (4 grains multiplied before the " +
+        s"map-side combine), not stacked scans:\n${p.take(1500)}")
+    assert(!p.contains("Union"), s"rollup degenerated to unioned " +
+      s"aggregations:\n${p.take(1500)}")
+  }
+
+  test("binary decode paths stay inside whole-stage codegen (q244, q248)") {
+    // the WAV/BMP readers are substr/hex/conv chains — any fallback to
+    // interpreted eval here would bite on every byte of every media
+    for (name <- Seq("q244_wav_decode", "q248_bmp_decode")) {
+      val p = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.CodegenMode)
+      assert(p.contains("WholeStageCodegen"),
+        s"$name fell out of whole-stage codegen:\n${p.take(2000)}")
+      spark.catalog.clearCache() // q244/q248 persist their meta frame
+    }
+  }
+
+  test("exact-substring spans: one gram exchange feeds df-cap AND self-join (q245)") {
+    val p = plan("q245_substring_spans")
+    assert(p.contains("windowspecdefinition"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("quantized dedup is one hash exchange — codes never pair (q113)") {
     val p = plan("q113_quantized_dedup")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
