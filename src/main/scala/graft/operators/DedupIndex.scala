@@ -80,30 +80,17 @@ object DedupIndex {
   // same [[VersionedDirs]] commit protocol, so readers pinned to the
   // previous generation are never disturbed.
 
-  private def tombRoot(root: String): String =
-    new java.io.File(root, "tombstones").getAbsolutePath
-
-  /** Record `ids` as deleted: commits the UNION of the previous
-    * tombstone set and the new ids as the next tombstone version.
-    * Bounded by the cumulative delete rate between compactions —
-    * never index-sized.
-    */
+  /** Record `ids` as deleted — see [[Tombstones.add]]. */
   def addTombstones(spark: SparkSession, ids: DataFrame, idCol: String,
                     root: String): String = synchronized {
-    val tr = tombRoot(root)
-    val cur = ids.select(col(idCol).cast("long").as("index_id")).distinct()
-    val all = VersionedDirs.resolve(tr)
-      .map(p => spark.read.parquet(p).unionByName(cur).distinct())
-      .getOrElse(cur)
-    VersionedDirs.commit(tr) { st => all.coalesce(1).write.parquet(st) }
+    Tombstones.add(spark, ids, idCol, root)
   }
 
   /** The committed tombstone set, if any (empty-after-compact counts
     * as none).
     */
   def tombstones(spark: SparkSession, root: String): Option[DataFrame] =
-    VersionedDirs.resolve(tombRoot(root)).map(spark.read.parquet(_))
-      .filter(!_.isEmpty)
+    Tombstones.get(spark, root)
 
   /** Rewrite the committed index WITHOUT the tombstoned rows as the
     * next version (a pure row filter over the existing artifact — no
@@ -129,9 +116,7 @@ object DedupIndex {
         .write.partitionBy("bucket").mode("overwrite").parquet(st)
     }
     // reset: commit an empty set so probes stop paying the anti-join
-    VersionedDirs.commit(tombRoot(root)) { st =>
-      spark.range(0).select(col("id").as("index_id")).write.parquet(st)
-    }
+    Tombstones.reset(spark, root)
     path
   }
 

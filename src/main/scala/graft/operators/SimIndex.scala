@@ -86,6 +86,33 @@ object SimIndex {
     (field("bits"), field("tables"))
   }
 
+  // ------------------------------------------------------ deletes
+  //
+  // Identical semantics to [[DedupIndex]]'s delete support (shared
+  // [[Tombstones]] log): deletes commit in O(deletes), probes
+  // anti-join the committed set immediately, [[mergeCompact]] drops
+  // the rows physically and resets the log, and [[vacuumOld]] is the
+  // post-grace compliance step.
+
+  /** Record `ids` as deleted — hidden from every probe immediately,
+    * removed physically at the next [[mergeCompact]].
+    */
+  def addTombstones(spark: SparkSession, ids: DataFrame, idCol: String,
+                    root: String): String = synchronized {
+    Tombstones.add(spark, ids, idCol, root)
+  }
+
+  /** The committed tombstone set, if any. */
+  def tombstones(spark: SparkSession, root: String): Option[DataFrame] =
+    Tombstones.get(spark, root)
+
+  /** Drop every index generation but the newest committed one — the
+    * post-grace step of a compliance purge.
+    */
+  def vacuumOld(root: String): Unit = synchronized {
+    VersionedDirs.retainLatestGenerations(root, keep = 1)
+  }
+
   // ------------------------------------------------------ delta appends
   //
   // Daily growth without daily re-index: a new batch lands as an
@@ -141,9 +168,14 @@ object SimIndex {
     val basePath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
     val (bits, tables) = params(root)
-    val all = (basePath +: deltas(root))
+    val all0 = (basePath +: deltas(root))
       .map(p => spark.read.parquet(p))
       .reduce(_.unionByName(_))
+    // fold pending deletes into the rewrite (pure row filter, no
+    // re-hashing), then reset the log
+    val all = tombstones(spark, root)
+      .map(t => all0.join(t, Seq("index_id"), "left_anti"))
+      .getOrElse(all0)
     val path = VersionedDirs.commit(root) { st =>
       all.repartition(col("pbucket"))
         .sortWithinPartitions("tbl", "bucket")
@@ -157,6 +189,7 @@ object SimIndex {
       Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
     }
     rm(deltaDir(root))
+    Tombstones.reset(spark, root)
     path
   }
 
@@ -197,10 +230,15 @@ object SimIndex {
     // base ∪ committed deltas, each with the same static partition
     // filter — pruning applies per root, so an unmerged delta costs
     // its touched buckets only
-    val idx = (idxPath +: deltas(root))
+    val idx0 = (idxPath +: deltas(root))
       .map(p => spark.read.parquet(p)
         .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*)))
       .reduce(_.unionByName(_))
+    // uncompacted deletes are honored at probe time; strategy left to
+    // AQE (a mass purge can be arbitrarily large — no broadcast hint)
+    val idx = tombstones(spark, root)
+      .map(t => idx0.join(t, Seq("index_id"), "left_anti"))
+      .getOrElse(idx0)
     val scored = qk.join(idx, Seq("pbucket", "tbl", "bucket"))
       .filter(col("index_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("index_id"))

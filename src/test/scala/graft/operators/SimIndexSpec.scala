@@ -104,6 +104,32 @@ class SimIndexSpec extends SparkSpec {
     assert(probeSet() == want, "post-merge probe diverges")
   }
 
+  test("tombstoned vectors vanish from probes; merge purges them physically") {
+    val root = Files.createTempDirectory("simidx").toString
+    SimIndex.publish(index, "vec_id", "embedding", BITS, TABLES, root)
+    def top1() = SimIndex.probeTopK(spark, queries, "vec_id",
+        "embedding", 1, root)
+      .select("query_id", "index_id")
+      .as[(Long, Long)].collect().toMap
+    // query 2's nearest is its original 102 — delete it
+    assert(top1().get(2L).contains(102L))
+    SimIndex.addTombstones(spark, Seq(102L).toDF("vec_id"), "vec_id", root)
+    val after = top1()
+    assert(!after.values.exists(_ == 102L),
+      s"tombstoned vector still retrievable: $after")
+    // physically still on disk until the merge
+    val v1 = SimIndex.resolve(root).get
+    assert(spark.read.parquet(v1).filter($"index_id" === 102L).count() > 0)
+    val v2 = SimIndex.mergeCompact(spark, root)
+    assert(spark.read.parquet(v2).filter($"index_id" === 102L).count() == 0)
+    assert(SimIndex.tombstones(spark, root).isEmpty)
+    assert(top1() == after, "post-merge probe diverges")
+    SimIndex.vacuumOld(root)
+    val gens = new java.io.File(root).listFiles()
+      .filter(_.getName.matches("index\\.v\\d+")).map(_.getName).toSet
+    assert(gens == Set(new java.io.File(v2).getName))
+  }
+
   test("resolve picks the highest committed version; params travel with it") {
     val root = Files.createTempDirectory("simidx").toString
     assert(SimIndex.resolve(root).isEmpty)
