@@ -3508,7 +3508,140 @@ object AnalyticsQueries {
     "q241_discount_bands"  -> discountBands,
     "q242_revenue_concentration" -> revenueConcentration,
     "q249_revenue_rollup"  -> revenueRollup,
-    "q251_topk_per_key"    -> topkPerKey)
+    "q251_topk_per_key"    -> topkPerKey,
+    "q255_touch_attribution" -> touchAttribution)
+
+  /** Multi-touch revenue attribution (q255) — the marketing-analytics
+    * staple the event family lacked: every purchase's revenue is
+    * credited to the click/view touches in its 7-day lookback under
+    * THREE models at once — first-touch, last-touch, and linear —
+    * from ONE per-user range-frame window pass (no per-pair
+    * event×event join: the first/last touch is a min/max over a
+    * RANGE frame of a packed `ts·4+channel` integer, so the argmin/
+    * argmax rides an ordinary window aggregate and ties at equal
+    * timestamps break on the channel code identically on both
+    * engines). Linear credit is exact integer division with the
+    * remainder assigned to the LAST touch's channel — cents conserve
+    * exactly per conversion, no float splitting. Conversions with an
+    * empty lookback credit 'none'. Output: (model, channel) revenue
+    * and the count of conversions contributing to the cell — 100 TB
+    * shape is one event scan + one user-keyed window sort, state
+    * bounded by the lookback.
+    */
+  lazy val touchAttribution: Q = {
+    val LOOKBACK_US = 7L * 24 * 3600 * 1000000L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"),
+            when(col("event_type") === "purchase",
+              cents(col("value"))).otherwise(0L).as("rev"))
+        val w = Window.partitionBy("user_id").orderBy("tus")
+          .rangeBetween(-LOOKBACK_US, 0)
+        val packed = when(col("event_type") === "click",
+            col("tus") * 4 + 1)
+          .when(col("event_type") === "view", col("tus") * 4 + 2)
+        val conv = ev
+          .withColumn("first_p", min(packed).over(w))
+          .withColumn("last_p", max(packed).over(w))
+          .withColumn("n_click", count(when(
+            col("event_type") === "click", 1)).over(w))
+          .withColumn("n_view", count(when(
+            col("event_type") === "view", 1)).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("rev"),
+            coalesce(col("first_p") % 4, lit(0L)).as("fc"),
+            coalesce(col("last_p") % 4, lit(0L)).as("lc"),
+            col("n_click"), col("n_view"))
+          .withColumn("n_t", col("n_click") + col("n_view"))
+          // shared by the three model branches below
+          .persist()
+        def chan(code: org.apache.spark.sql.Column) =
+          when(code === 1, "click").when(code === 2, "view")
+            .otherwise("none")
+        val first = conv.select(lit("first").as("model"),
+          chan(col("fc")).as("channel"), col("rev"))
+        val last = conv.select(lit("last").as("model"),
+          chan(col("lc")).as("channel"), col("rev"))
+        // linear: floor shares per channel, remainder to the LAST
+        // touch's channel; no-touch conversions go whole to 'none'
+        val lin = conv.select(lit("linear").as("model"),
+            explode(array(
+              struct(lit("click").as("channel"),
+                when(col("n_t") > 0, expr("rev * n_click div n_t"))
+                  .otherwise(0L).as("r0")),
+              struct(lit("view").as("channel"),
+                when(col("n_t") > 0, expr("rev * n_view div n_t"))
+                  .otherwise(0L).as("r0")),
+              struct(lit("none").as("channel"),
+                when(col("n_t") === 0, col("rev")).otherwise(0L)
+                  .as("r0")))).as("x"),
+            col("rev"), col("lc"), col("n_t"),
+            col("n_click"), col("n_view"))
+          .select(col("model"), col("x.channel").as("channel"),
+            (col("x.r0") +
+              when(col("n_t") > 0 && chan(col("lc")) === col("x.channel"),
+                col("rev") - expr("rev * n_click div n_t") -
+                  expr("rev * n_view div n_t")).otherwise(0L)).as("rev"))
+        first.unionByName(last).unionByName(lin)
+          .groupBy("model", "channel")
+          .agg(sum("rev").as("revenue_cents"),
+            count(when(col("rev") > 0, 1)).as("n_conv"))
+          .orderBy("model", "channel")
+      },
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+         |    CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS rev,
+         |    CASE WHEN event_type = 'click' THEN epoch_us(ts) * 4 + 1
+         |         WHEN event_type = 'view' THEN epoch_us(ts) * 4 + 2
+         |    END AS packed
+         |  FROM events),
+         |wv AS (
+         |  SELECT *,
+         |    min(packed) OVER wl AS first_p,
+         |    max(packed) OVER wl AS last_p,
+         |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER wl
+         |      AS n_click,
+         |    count(CASE WHEN event_type = 'view' THEN 1 END) OVER wl
+         |      AS n_view
+         |  FROM ev
+         |  WINDOW wl AS (PARTITION BY user_id ORDER BY tus
+         |    RANGE BETWEEN $LOOKBACK_US PRECEDING AND CURRENT ROW)),
+         |conv AS (
+         |  SELECT rev, coalesce(first_p % 4, 0) AS fc,
+         |    coalesce(last_p % 4, 0) AS lc, n_click, n_view,
+         |    n_click + n_view AS n_t
+         |  FROM wv WHERE event_type = 'purchase'),
+         |credit AS (
+         |  SELECT 'first' AS model,
+         |    CASE WHEN fc = 1 THEN 'click' WHEN fc = 2 THEN 'view'
+         |         ELSE 'none' END AS channel, rev FROM conv
+         |  UNION ALL
+         |  SELECT 'last',
+         |    CASE WHEN lc = 1 THEN 'click' WHEN lc = 2 THEN 'view'
+         |         ELSE 'none' END, rev FROM conv
+         |  UNION ALL
+         |  SELECT 'linear', 'click',
+         |    CASE WHEN n_t > 0 THEN rev * n_click // n_t ELSE 0 END +
+         |    CASE WHEN n_t > 0 AND lc = 1
+         |      THEN rev - rev * n_click // n_t - rev * n_view // n_t
+         |      ELSE 0 END FROM conv
+         |  UNION ALL
+         |  SELECT 'linear', 'view',
+         |    CASE WHEN n_t > 0 THEN rev * n_view // n_t ELSE 0 END +
+         |    CASE WHEN n_t > 0 AND lc = 2
+         |      THEN rev - rev * n_click // n_t - rev * n_view // n_t
+         |      ELSE 0 END FROM conv
+         |  UNION ALL
+         |  SELECT 'linear', 'none',
+         |    CASE WHEN n_t = 0 THEN rev ELSE 0 END FROM conv)
+         |SELECT model, channel, sum(rev)::BIGINT AS revenue_cents,
+         |  count(CASE WHEN rev > 0 THEN 1 END)::BIGINT AS n_conv
+         |FROM credit GROUP BY 1, 2 ORDER BY model, channel""".stripMargin)
+  }
 
   /** Per-key top-k via the CUSTOM PHYSICAL OPERATOR (q251) — the
     * whole-operator tier of the Catalyst ladder judged end-to-end:
