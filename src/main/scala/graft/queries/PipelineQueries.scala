@@ -3965,6 +3965,79 @@ object PipelineQueries {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** ANN mean-reciprocal-rank audit (q256) — the second IR metric
+    * next to q96's recall@K: recall says whether the true neighbor
+    * appears anywhere in the approximate top-K, MRR says WHERE — the
+    * metric that notices a degrading index long before recall@10
+    * moves (the true top-1 sliding from rank 1 to rank 7 is invisible
+    * to recall, a 7× drop in reciprocal rank). Per query: the exact
+    * top-1 neighbor (brute-force truth over a fixed query set) looked
+    * up in the multi-table LSH top-10; reciprocal rank in exact
+    * integer micro-units (10⁶ div rank, 0 on a miss) — deterministic
+    * on both engines, no float division. Same cost envelope as q96:
+    * the quadratic truth arm is the fixed query set × corpus, the
+    * approximate arm reuses the production bucket join.
+    */
+  val annMrr: Q = {
+    val NQ = 20; val K = 10
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < NQ)
+        val truth = Similarity.bruteForceTopK(
+            emb, queries, "vec_id", "embedding", 1)
+          .select(col("query_id"), col("vec_id").as("truth_id"))
+        val r = VectorFunctions.mtBits(corpusStats(s, d)._1)
+        val approx = Similarity.multiTableTopK(
+            emb, queries, "vec_id", "embedding", K,
+            r, VectorFunctions.mtTables(r))
+          .select(col("query_id"), col("vec_id").as("truth_id"),
+            col("rnk"))
+        truth.join(approx, Seq("query_id", "truth_id"), "left")
+          .select(col("query_id"), col("truth_id"),
+            coalesce(col("rnk"), lit(0L)).as("rnk_approx"),
+            coalesce(expr("1000000L div rnk"), lit(0L)).as("rr_micro"))
+          .orderBy("query_id")
+      },
+      s"""WITH ${mtCtes("embeddings")},
+         |qx AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE vec_id < $NQ),
+         |cx AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bs AS (
+         |  SELECT query_id, vec_id,
+         |    round(list_dot_product(qv, v) /
+         |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+         |      AS cos_sim
+         |  FROM qx JOIN cx ON vec_id <> query_id),
+         |truth AS (
+         |  SELECT query_id, vec_id AS truth_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY cos_sim DESC, vec_id) AS rn
+         |    FROM bs) WHERE rn = 1),
+         |aq AS (SELECT vec_id, embedding, tbl, bucket FROM kb
+         |       WHERE vec_id < $NQ),
+         |ascore AS (
+         |  SELECT aq.vec_id AS query_id, kb.vec_id,
+         |    max(round(${VectorFunctions.cosineSql("aq.embedding", "kb.embedding")}, 6))
+         |      AS cos_sim
+         |  FROM aq JOIN kb ON aq.tbl = kb.tbl AND aq.bucket = kb.bucket
+         |    AND kb.vec_id <> aq.vec_id
+         |  GROUP BY 1, 2),
+         |ar AS (
+         |  SELECT query_id, vec_id AS truth_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM ascore),
+         |ax AS (SELECT query_id, truth_id, rnk FROM ar WHERE rnk <= $K)
+         |SELECT t.query_id, t.truth_id,
+         |  coalesce(a.rnk, 0)::BIGINT AS rnk_approx,
+         |  coalesce(1000000 // a.rnk, 0)::BIGINT AS rr_micro
+         |FROM truth t LEFT JOIN ax a
+         |  ON t.query_id = a.query_id AND t.truth_id = a.truth_id
+         |ORDER BY t.query_id""".stripMargin)
+  }
+
   /** Stratified sample allocation with exact apportionment (q253) —
     * the survey-sampling design step upstream of every eval/audit
     * sample: a fixed label budget is split across sources
@@ -7981,6 +8054,7 @@ object PipelineQueries {
     "q252_incremental_cc" -> incrementalCc,
     "q253_sample_alloc"  -> sampleAlloc,
     "q254_water_fill"    -> waterFill,
+    "q256_ann_mrr"       -> annMrr,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,
