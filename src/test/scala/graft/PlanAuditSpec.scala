@@ -520,7 +520,8 @@ class PlanAuditSpec extends SparkSpec {
       "q229_revenue_shares" -> 2, // nation (25) + region (5) dims
       "q243_sim_index" -> 1, // fixed 100-query audit set (exact-truth
       // arm); the index probe itself hints nothing
-      "q249_revenue_rollup" -> 2) // nation (25) + region (5) dims
+      "q249_revenue_rollup" -> 2, // nation (25) + region (5) dims
+      "q256_ann_mrr" -> 2) // fixed 20-query set, both ANN arms (q96's bound)
       // (q202/q230 moved to `iterative` in r9 — their per-round
       // localCheckpoints truncate the lineage the old hint counts
       // measured; q205's nation hint lives in the publish closure,
