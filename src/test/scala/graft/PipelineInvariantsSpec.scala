@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.PipelineQueries
+import graft.queries.{AnalyticsQueries, PipelineQueries}
 
 /** Self-validating invariants of q113–q116 — the properties their
   * docstrings promise, checked at sf0.001. The oracle gate checks
@@ -425,4 +425,42 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+  test("q253/q254: allocations conserve their budgets exactly and respect caps") {
+    // q253: largest-remainder apportionment hits the label budget
+    val a = PipelineQueries.sampleAlloc.fn(spark, sf0001).collect()
+    assert(a.map(_.getAs[Long]("alloc")).sum == 100L,
+      "apportionment missed the budget")
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_sel") == r.getAs[Long]("alloc"),
+        s"selection count != allocation for ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("alloc") <= r.getAs[Long]("n_docs"))
+    }
+    // q254: water level spends the budget exactly, never over-allocates,
+    // and unsaturated sources sit within 1 token of each other
+    val w = PipelineQueries.waterFill.fn(spark, sf0001).collect()
+    val demands = w.map(_.getAs[Long]("demand")).sum
+    val budget = demands * 30 / 100
+    assert(w.map(_.getAs[Long]("alloc")).sum == budget,
+      "water-filling missed the budget")
+    w.foreach { r =>
+      assert(r.getAs[Long]("alloc") <= r.getAs[Long]("demand"))
+      if (r.getAs[Long]("saturated") == 1L)
+        assert(r.getAs[Long]("alloc") == r.getAs[Long]("demand"))
+    }
+    val unsat = w.filter(_.getAs[Long]("saturated") == 0L)
+      .map(_.getAs[Long]("alloc"))
+    if (unsat.nonEmpty)
+      assert(unsat.max - unsat.min <= 1,
+        s"unsaturated levels diverge: ${unsat.toSeq}")
+  }
+
+  test("q255: every attribution model conserves total purchase cents") {
+    val rows = AnalyticsQueries.touchAttribution.fn(spark, sf0001).collect()
+    val byModel = rows.groupBy(_.getAs[String]("model"))
+      .map { case (m, rs) => m -> rs.map(_.getAs[Long]("revenue_cents")).sum }
+    assert(byModel.size == 3)
+    assert(byModel.values.toSet.size == 1,
+      s"models disagree on total revenue: $byModel")
+  }
+
 }

@@ -87,6 +87,30 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("incremental equals full recompute on sampled random graphs and splits") {
+    val rnd = new scala.util.Random(42)
+    (1 to 4).foreach { trial =>
+      val n = 14
+      val edges = (1 to 20).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val (base, delta) = edges.partition(_ => rnd.nextBoolean())
+      if (base.nonEmpty && delta.nonEmpty) {
+        val baseDf = base.toDF("u", "v")
+        val deltaDf = delta.toDF("u", "v")
+        val got = ConnectedComponents
+          .incremental(ConnectedComponents.assign(baseDf), deltaDf)
+          .as[(Long, Long)].collect().toMap
+        val want = ConnectedComponents
+          .assign(baseDf.unionByName(deltaDf))
+          .as[(Long, Long)].collect().toMap
+        assert(got == want,
+          s"trial $trial: base=$base delta=$delta\ngot=$got\nwant=$want")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("star rounds are join/groupBy shaped — no cartesian product") {
     val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
     val plan = ConnectedComponents
