@@ -3965,6 +3965,84 @@ object PipelineQueries {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** Span-level holdout contamination (q257) — q245's exact-substring
+    * machinery pointed at the leak that matters: verbatim ranges
+    * SHARED ACROSS the train/eval split (the GPT-3-style n-gram
+    * contamination scan, upgraded from "a shingle matched" (q50/q99's
+    * set-overlap screens) to "this exact ≥32-char range appears in
+    * both sides, here's the longest one"). Eval docs are the 5%
+    * hash-like slice (doc_id % 20 = 0); gram hashing is O(len)/doc,
+    * the df-cap kills boilerplate grams, the hash join is restricted
+    * to train × eval pairs only, and the diagonal trick reassembles
+    * maximal spans. Per eval doc: how many train docs share a span,
+    * the longest shared span, and the span count — the report a
+    * benchmark owner actually actions (drop the eval doc or purge
+    * the train side). Cost shape identical to q245; cross-side
+    * restriction only shrinks the candidate set.
+    */
+  val spanContamination: Q = {
+    val K = 24; val MIN_SPAN = 32; val MAX_DF = 20
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val grams = Dedup.gramHashes(docs, "doc_id", "text", K)
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+          .filter(col("df") <= MAX_DF).drop("df")
+          .withColumn("is_eval", (col("doc_id") % 20 === 0).cast("int"))
+        val hits = grams.filter(col("is_eval") === 0)
+          .select(col("doc_id").as("train_id"), col("pos").as("pa"),
+            col("h"))
+          .join(grams.filter(col("is_eval") === 1)
+            .select(col("doc_id").as("eval_id"), col("pos").as("pb"),
+              col("h")), Seq("h"))
+          .select(col("train_id"), col("eval_id"), col("pa"), col("pb"),
+            (col("pa") - col("pb")).as("diag"))
+        val byDiag = Window.partitionBy("train_id", "eval_id", "diag")
+          .orderBy("pa")
+        hits
+          .withColumn("grp", col("pa") - row_number().over(byDiag))
+          .groupBy("train_id", "eval_id", "diag", "grp")
+          .agg((count(lit(1)) + (K - 1)).as("span_len"))
+          .filter(col("span_len") >= MIN_SPAN)
+          .groupBy("eval_id")
+          .agg(countDistinct("train_id").as("n_train_docs"),
+            max("span_len").as("max_span"),
+            count(lit(1)).as("n_spans"))
+          .orderBy("eval_id")
+      },
+      s"""WITH g AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(1, greatest(length(text) - ${K - 1}, 0) + 1)) AS pos
+         |  FROM documents),
+         |gr AS (SELECT doc_id, pos, substr(text, pos::INT, $K) AS gram
+         |       FROM g),
+         |hh AS (SELECT doc_id, pos, ${Hashing.charHashSql("gram", K)} AS h
+         |       FROM gr),
+         |capped AS (
+         |  SELECT doc_id, pos, h, doc_id % 20 = 0 AS is_eval FROM (
+         |    SELECT doc_id, pos, h, count(*) OVER (PARTITION BY h) AS df
+         |    FROM hh) WHERE df <= $MAX_DF),
+         |hits AS (
+         |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+         |    a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+         |  FROM capped a JOIN capped b ON a.h = b.h
+         |  WHERE NOT a.is_eval AND b.is_eval),
+         |runs AS (
+         |  SELECT train_id, eval_id, diag, pa,
+         |    pa - row_number() OVER (PARTITION BY train_id, eval_id, diag
+         |                            ORDER BY pa) AS grp
+         |  FROM hits),
+         |spans AS (
+         |  SELECT train_id, eval_id,
+         |    (count(*) + ${K - 1})::BIGINT AS span_len
+         |  FROM runs GROUP BY train_id, eval_id, diag, grp
+         |  HAVING count(*) + ${K - 1} >= $MIN_SPAN)
+         |SELECT eval_id, count(DISTINCT train_id)::BIGINT AS n_train_docs,
+         |  max(span_len)::BIGINT AS max_span, count(*)::BIGINT AS n_spans
+         |FROM spans GROUP BY eval_id ORDER BY eval_id""".stripMargin)
+  }
+
   /** ANN mean-reciprocal-rank audit (q256) — the second IR metric
     * next to q96's recall@K: recall says whether the true neighbor
     * appears anywhere in the approximate top-K, MRR says WHERE — the
@@ -8055,6 +8133,7 @@ object PipelineQueries {
     "q253_sample_alloc"  -> sampleAlloc,
     "q254_water_fill"    -> waterFill,
     "q256_ann_mrr"       -> annMrr,
+    "q257_span_contamination" -> spanContamination,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,
