@@ -33,6 +33,20 @@ object Bench {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
+      // the status store retains job/stage/task/SQL-execution data
+      // in driver heap even with the UI off (defaults: 1000 jobs,
+      // 1000 stages, 100k tasks, 1000 SQL executions). A 257-query ×
+      // 3-iteration suite with AQE's multi-job plans accumulates
+      // hundreds of MB of it before the alphabetical tail runs —
+      // heap pressure that inflated late-suite queries round over
+      // round (q148: 3.3→6.2→15.1 s on byte-identical code, yet
+      // 3.1 s isolated). Cap retention to a working set.
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
+      .config("spark.sql.ui.retainedExecutions", "10")
+      .config("spark.worker.ui.retainedExecutors", "10")
+      .config("spark.worker.ui.retainedDrivers", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: first-action session costs (codegen compiler,
@@ -68,6 +82,12 @@ object Bench {
     // quadrupled, and nothing in the artifacts said whether the run
     // was warm).
     val artState = scala.collection.mutable.LinkedHashMap[String, String]()
+    // every iteration's wall time per query (not just the reported
+    // min): variance vs genuine regression is decidable from the
+    // DETAIL artifact alone — three tight samples at 15 s is a real
+    // cost, one 15 s spike over two 3 s runs is box noise. The r9
+    // q148 staircase diagnosis needed exactly this and didn't have it.
+    val iterTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = selected.map { case (name, fn) =>
       // (seconds, artifact state of that execution: cold/warm/None)
       val times = (1 to 3).flatMap { _ =>
@@ -94,9 +114,18 @@ object Bench {
         // (r02 measured a 0.8s query at 7.8s on all three iterations
         // purely from inherited heap pressure).
         spark.catalog.clearCache()
+        // clearCache only empties the SQL CacheManager; RDDs pinned by
+        // localCheckpoint (28 call sites: CC, PageRank, LPA, BPE
+        // rounds) live in sc.persistentRdds and otherwise wait on the
+        // async ContextCleaner — under suite churn they pile up in
+        // storage memory and the backlog lands on later queries'
+        // timings. Drop them synchronously-enough here.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         System.gc()
         if (ok) Some((dt, state)) else None
       }
+      iterTimes(name) = times.map(_._1)
       if (times.nonEmpty) {
         val (minT, minState) = times.minBy(_._1)
         minState.foreach(st => artState(name) = st)
@@ -104,7 +133,7 @@ object Bench {
       } else name -> -1.0
     }
     val fullLine = detailLine(results, errors.toSeq, sfDir, published.toSeq,
-      artState.toSeq)
+      artState.toSeq, iterTimes.toSeq)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), fullLine + "\n")
     catch { case _: Throwable => () } // a read-only cwd must not fail the bench
@@ -220,7 +249,8 @@ object Bench {
                                 errors: Seq[(String, String)],
                                 sfDir: String,
                                 published: Seq[(String, Double)] = Nil,
-                                art: Seq[(String, String)] = Nil): String = {
+                                art: Seq[(String, String)] = Nil,
+                                iters: Seq[(String, Seq[Double])] = Nil): String = {
     val qs = results.map { case (k, v) =>
       s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
@@ -229,6 +259,11 @@ object Bench {
       s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val artStr = art.map { case (k, v) =>
       s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$errs,"pub":$pub,"art":$artStr,"sf":"$sfDir"}"""
+    // all successful iteration times, in execution order (DETAIL
+    // only — the compact stdout line keeps its byte budget)
+    val itStr = iters.map { case (k, ts) =>
+      s"${jstr(k)}:${ts.map(fmt(_)).mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$errs,"pub":$pub,"art":$artStr,"iters":$itStr,"sf":"$sfDir"}"""
   }
 }

@@ -19,7 +19,11 @@ private[graft] object Tombstones {
 
   /** Commit `ids` (as column `index_id`) unioned with the previous
     * committed set. Bounded by the cumulative delete rate between
-    * compactions — never index-sized.
+    * compactions — never index-sized. The write stays partitioned:
+    * the `distinct` already shuffled the set, and forcing one file
+    * through `coalesce(1)` would funnel a mass purge (millions of
+    * ids in one GDPR batch) through a single task — the set is
+    * re-read whole by probes regardless of file count.
     */
   def add(spark: SparkSession, ids: DataFrame, idCol: String,
           indexRoot: String): String = {
@@ -28,7 +32,7 @@ private[graft] object Tombstones {
     val all = VersionedDirs.resolve(tr)
       .map(p => spark.read.parquet(p).unionByName(cur).distinct())
       .getOrElse(cur)
-    VersionedDirs.commit(tr) { st => all.coalesce(1).write.parquet(st) }
+    VersionedDirs.commit(tr) { st => all.write.parquet(st) }
   }
 
   /** The committed set, if any (empty-after-compact counts as none). */

@@ -4,16 +4,22 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Bench trend guard: compares the latest local bench
   * (BENCH_DETAIL.json, written by every [[Bench]] run) against the
-  * newest recorded round bench (BENCH_r*.json) and fails on a
-  * q91-class outlier — a per-query blowup far outside box noise on a
-  * query that was previously healthy. The r8 lesson: a 4× regression
-  * (5.7 → 23.6 s) shipped unflagged because nothing in the builder's
-  * own suite looked at the trend; the judge found it instead.
+  * BEST-EVER per-query time across ALL recorded round benches
+  * (BENCH_r*.json) and fails on a q91-class outlier — a per-query
+  * blowup far outside box noise on a query that was previously
+  * healthy. The r8 lesson: a 4× regression (5.7 → 23.6 s) shipped
+  * unflagged because nothing in the builder's own suite looked at the
+  * trend; the judge found it instead. The r9 lesson: comparing only
+  * against the IMMEDIATELY PREVIOUS round lets a compounding
+  * staircase ship forever — q148 went 3.3 → 6.2 → 15.1 s across
+  * three rounds, under 3× at every step but 4.6× against its best.
+  * The ratchet: per-query minimum across every recorded round is the
+  * proven-achievable cost of that plan on this box; regress > 3×
+  * AND > 2 s absolute against it and the suite fails.
   *
   * Thresholds are set ABOVE the shared-box noise band (r7→r8 drift on
-  * unchanged code measured up to ~2× on heavy queries): only a > 3×
-  * regression that also costs > 2 s absolute trips the guard.
-  * Cancels (never fails) when either file is absent — slice runs via
+  * unchanged code measured up to ~2× on heavy queries). Cancels
+  * (never fails) when either side is absent — slice runs via
   * SPARK_GRAFT_ONLY produce partial DETAIL files and compare only the
   * intersection.
   */
@@ -26,7 +32,7 @@ class BenchTrendSpec extends AnyFunSuite {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
-  test("no query regressed > 3x vs the last recorded round bench") {
+  test("no query regressed > 3x vs its best-ever recorded round time") {
     val detailF = new java.io.File("BENCH_DETAIL.json")
     val rounds = Option(new java.io.File(".").listFiles())
       .getOrElse(Array.empty)
@@ -35,20 +41,32 @@ class BenchTrendSpec extends AnyFunSuite {
     assume(detailF.isFile && rounds.nonEmpty,
       "no local bench detail or recorded round bench to compare")
     val detail = java.nio.file.Files.readString(detailF.toPath)
-    val prevJson = java.nio.file.Files.readString(rounds.last.toPath)
     val cur = parseQueries(detail, "queries")
       .map { case (k, v) => k.takeWhile(_ != '_') -> v }
-    val prev = parseQueries(prevJson, "queries")
-    assume(prev.nonEmpty, s"${rounds.last.getName} has no parsed queries")
+    // best-ever per query across every recorded round: each round's
+    // compact line lists its slowest queries explicitly (the fast
+    // tail folds into "more"), so the union across rounds covers
+    // every query that was ever slow enough to matter — exactly the
+    // population the ratchet is for.
+    val best = rounds
+      .map(f => parseQueries(java.nio.file.Files.readString(f.toPath),
+        "queries"))
+      .foldLeft(Map.empty[String, Double]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (q, t)) =>
+          if (t <= 0) a
+          else a.updated(q, a.get(q).fold(t)(math.min(_, t)))
+        }
+      }
+    assume(best.nonEmpty, "no recorded round bench has parsed queries")
     val regressions = cur.toSeq.sorted.flatMap { case (q, now) =>
-      prev.get(q).collect {
-        case before if before > 0.2 && now > 2.0 && now > 3.0 * before =>
-          f"$q: $before%.1f -> $now%.1f s (${now / before}%.1fx)"
+      best.get(q).collect {
+        case b if b > 0.2 && now > 2.0 && now > b + 2.0 && now > 3.0 * b =>
+          f"$q: best $b%.1f -> $now%.1f s (${now / b}%.1fx)"
       }
     }
     assert(regressions.isEmpty,
-      "bench regressions beyond the noise band vs " +
-        s"${rounds.last.getName} — explain or fix before shipping " +
+      "bench regressions beyond the noise band vs best-ever recorded " +
+        "round times — explain or fix before shipping " +
         s"(re-bench in isolation with SPARK_GRAFT_ONLY first):\n  " +
         regressions.mkString("\n  "))
   }
