@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED product-quantization index — [[VectorQuantizer]]'s
+  * PQ family (Jégou et al., TPAMI 2011) lifted into the
+  * train-once / publish / probe-per-batch lifecycle of [[SimIndex]]:
+  * the production IVFPQ shape trains codebooks on a corpus snapshot,
+  * freezes them into an artifact, and every serving batch pays only
+  * an ADC scan of the CODE table — m small codes per vector, the
+  * ~30× compression that puts a billion-vector index in memory —
+  * never a re-train and never a decompression.
+  *
+  * The committed generation holds three things under one
+  * [[VersionedDirs]] version dir:
+  *   - `codebook/` — the trained per-subspace centroids
+  *     (sub, cell, cs: array<long>), m·ks rows, a layout constant
+  *     that probes BROADCAST;
+  *   - `codes/` — one row per indexed vector
+  *     (index_id, codes: array<long> ordered by subspace), the only
+  *     corpus-sized table a probe touches;
+  *   - `_params.json` — the frozen (m, dsub, ks, iters): a probe
+  *     must split its queries with the index's OWN geometry, not
+  *     parameters re-derived later (the same frozen-params stance as
+  *     [[SimIndex]]'s (r, T) sidecar).
+  *
+  * Everything stays in [[VectorQuantizer.scaled]]'s exact integer
+  * domain, so codes, ADC tables and distance sums are bit-identical
+  * on any engine, any partitioning — which is what lets a DuckDB
+  * oracle replay fit → encode → ADC against the artifact-served
+  * probe and hash-match.
+  */
+object PqIndex {
+
+  /** Highest committed index version under `root`, if any. */
+  def resolve(root: String): Option[String] = VersionedDirs.resolve(root)
+
+  /** Train per-subspace codebooks on `corpus`, encode it, and commit
+    * codebook + code table + frozen params as the next version under
+    * `root`. Train cost is the Lloyd rounds (corpus-sized, paid once
+    * per re-index); the code table write is one encode pass.
+    */
+  def publish(corpus: DataFrame, id: String, vec: String, m: Int,
+              dsub: Int, ks: Int, iters: Int, root: String): String =
+    synchronized {
+      VersionedDirs.commit(root) { staging =>
+        val e = VectorQuantizer.scaled(corpus, id, vec).persist()
+        val cent = VectorQuantizer.fitPQ(e, id, m, dsub, ks, iters)
+          .localCheckpoint()
+        val epq = VectorQuantizer.subVectors(e, id, m, dsub)
+        VectorQuantizer.assignSubCells(epq, cent, id)
+          .groupBy(col(id).as("index_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("sub"), col("cell")))),
+            s => s.getField("cell")).as("codes"))
+          .write.parquet(new java.io.File(staging, "codes").toString)
+        cent.write.parquet(new java.io.File(staging, "codebook").toString)
+        e.unpersist()
+        java.nio.file.Files.writeString(
+          new java.io.File(staging, "_params.json").toPath,
+          s"""{"m":$m,"dsub":$dsub,"ks":$ks,"iters":$iters}""")
+        // the two parquet writes each committed their own subdir; the
+        // version-level marker is what resolve() keys on
+        java.nio.file.Files.createFile(
+          new java.io.File(staging, "_SUCCESS").toPath)
+        ()
+      }
+    }
+
+  /** The frozen (m, dsub, ks, iters) of the committed index. */
+  def params(root: String): (Int, Int, Int, Int) = {
+    val idxPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(idxPath, "_params.json"))
+    def field(k: String): Int =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(
+          s"malformed _params.json in $idxPath: $txt"))
+        .group(1).toInt
+    (field("m"), field("dsub"), field("ks"), field("iters"))
+  }
+
+  /** Top-k of each query against the committed code table by exact
+    * integer ADC distance: the query batch splits into sub-vectors
+    * with the index's FROZEN geometry, the ADC table (query ×
+    * sub-centroid d², nq·m·ks rows — batch-bounded) joins BROADCAST
+    * against the exploded code table, and scoring is m lookups + one
+    * sum per (query, vector). The corpus-sized side is only ever the
+    * code scan — m integers per vector, no raw-vector fetch, no
+    * decompression, which is the entire point of the artifact.
+    */
+  def probeTopK(spark: SparkSession, queries: DataFrame, id: String,
+                vec: String, k: Int, root: String): DataFrame = {
+    val idxPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val (m, dsub, _, _) = params(root)
+    val cent = spark.read.parquet(
+      new java.io.File(idxPath, "codebook").toString)
+    val codes = spark.read.parquet(
+      new java.io.File(idxPath, "codes").toString)
+    val qpq = VectorQuantizer.subVectors(
+        VectorQuantizer.scaled(queries, id, vec), id, m, dsub)
+      .withColumnRenamed(id, "query_id")
+    val dtab = qpq.join(broadcast(cent), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cell"),
+        VectorQuantizer.l2DistSq(col("xs"), col("cs")).as("d2"))
+    val scored = codes
+      .select(col("index_id"),
+        posexplode(col("codes")).as(Seq("sub", "cell")))
+      .join(broadcast(dtab), Seq("sub", "cell"))
+      .filter(col("index_id") =!= col("query_id"))
+      .groupBy("query_id", "index_id").agg(sum("d2").as("adc_d2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("adc_d2"), asc("index_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}

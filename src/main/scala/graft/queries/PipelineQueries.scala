@@ -7,7 +7,7 @@ import graft.{Q, Tables}
 import graft.functions.{Hashing, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
 import graft.plans.CharEnergy
-import graft.operators.{Bpe, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, HeavyHitters, MixManifest, Packing, SimIndex, Similarity, VectorQuantizer}
+import graft.operators.{Bpe, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, HeavyHitters, MixManifest, Packing, PqIndex, SimIndex, Similarity, VectorQuantizer, VersionedDirs}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
   * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
@@ -3661,6 +3661,289 @@ object PipelineQueries {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** ANN index purge (q258) — the GDPR chain judged end-to-end on the
+    * SIMILARITY index, the exact twin of q246's dedup-index lifecycle
+    * (the r9 verdict's top missing piece): a purge that must forget
+    * VECTORS, not just documents — an embedding of deleted user
+    * content kept serving as a nearest neighbor is the same
+    * compliance failure as a resurfaced dedup link. Cold path runs
+    * the full lifecycle — publish the [[SimIndex]] over the corpus,
+    * tombstone every 10th indexed vector
+    * ([[SimIndex.addTombstones]]: O(deletes), no rewrite),
+    * merge-compact ([[SimIndex.mergeCompact]]: pure row filter, no
+    * re-hashing), hard-vacuum the pre-purge generation
+    * ([[SimIndex.vacuumOld]]) — and the probe then runs against
+    * physically purged state: purged vectors MUST be absent from
+    * every top-k (their rows simply gone, ranks closed up over the
+    * survivors). The oracle replays q243's banding recurrence with
+    * the purged ids removed from the KEY side while the banding
+    * parameters still derive from the FULL pre-purge corpus — so the
+    * hash match proves two things at once: the chain dropped exactly
+    * the tombstoned rows, and compaction carried the FROZEN (r, T)
+    * forward instead of re-deriving from the shrunken corpus.
+    */
+  val simIndexPurge: Q = {
+    val INDEX_MAX = 400L; val Q_MAX = 500L; val K = 3
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val index = emb.filter(col("vec_id") < INDEX_MAX)
+        val queries = emb.filter(
+          col("vec_id") >= INDEX_MAX && col("vec_id") < Q_MAX)
+        val r = VectorFunctions.mtBits(index.count())
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-sim-purge", d, Seq("embeddings.parquet"))
+        if (SimIndex.resolve(root).isEmpty) {
+          SimIndex.publish(index, "vec_id", "embedding",
+            r, VectorFunctions.mtTables(r), root)
+          SimIndex.addTombstones(s,
+            index.filter(col("vec_id") % 10 === 0).select("vec_id"),
+            "vec_id", root)
+          SimIndex.mergeCompact(s, root)
+          SimIndex.vacuumOld(root)
+        }
+        SimIndex.probeTopK(s, queries, "vec_id", "embedding", K, root)
+          .select(col("query_id"), col("index_id"), col("cos_sim"),
+            col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      s"""WITH idx0 AS (SELECT vec_id, embedding FROM embeddings
+         |              WHERE vec_id < $INDEX_MAX),
+         |params AS (
+         |  SELECT (${VectorFunctions.mtBitsSql("count(*)")}) AS r,
+         |    ${VectorFunctions.mtTablesSql(VectorFunctions.mtBitsSql("count(*)"))} AS nt
+         |  FROM idx0),
+         |ie AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+         |  FROM embeddings, params
+         |  WHERE vec_id < $INDEX_MAX AND vec_id % 10 <> 0),
+         |iek AS (
+         |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+         |  FROM ie),
+         |ikb AS (
+         |  SELECT vec_id, embedding, tbl,
+         |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+         |  FROM iek),
+         |qe AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+         |  FROM embeddings, params
+         |  WHERE vec_id >= $INDEX_MAX AND vec_id < $Q_MAX),
+         |qek AS (
+         |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+         |  FROM qe),
+         |qkb AS (
+         |  SELECT vec_id, embedding, tbl,
+         |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+         |  FROM qek),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, kb.vec_id AS index_id,
+         |    max(round(${VectorFunctions.cosineSql("q.embedding", "kb.embedding")}, 6))
+         |      AS cos_sim
+         |  FROM qkb q JOIN ikb kb ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, index_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, index_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, index_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  /** Judged batch twin of the continuous ANN probe (q259) — the
+    * [[graft.streaming.AnnStream]] algebra replayed as a
+    * deterministic batch sequence so the DuckDB oracle guards it too
+    * (spec-only through r9; same closure move as q170 for
+    * [[graft.streaming.DedupStream]]): batch 0 probes the base
+    * generation, is REDELIVERED (at-least-once — the committed batch
+    * dir absorbs it byte-for-byte), then a delta append lands (the
+    * re-publish boundary), and batch 1 probes base ∪ delta keyed
+    * with the base's frozen (r, T). The emitted union of committed
+    * batch results must equal the flat SQL where batch-0 queries see
+    * ONLY base keys and batch-1 queries see base + delta — a hash
+    * match proves per-batch snapshot isolation across the append
+    * boundary: each batch scored against exactly one committed index
+    * state, replays absorbed, no batch rescored after the index
+    * moved.
+    */
+  val annStreamTwin: Q = {
+    val BASE_MAX = 300L; val DELTA_MAX = 400L
+    val B0_MAX = 450L; val Q_MAX = 500L; val K = 3
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val base = emb.filter(col("vec_id") < BASE_MAX)
+        val delta = emb.filter(
+          col("vec_id") >= BASE_MAX && col("vec_id") < DELTA_MAX)
+        val b0 = emb.filter(
+          col("vec_id") >= DELTA_MAX && col("vec_id") < B0_MAX)
+        val b1 = emb.filter(
+          col("vec_id") >= B0_MAX && col("vec_id") < Q_MAX)
+        val r = VectorFunctions.mtBits(base.count())
+        val idxRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-ann-stream-idx", d, Seq("embeddings.parquet"))
+        val outRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-ann-stream-out", d, Seq("embeddings.parquet"))
+        if (SimIndex.resolve(idxRoot).isEmpty)
+          SimIndex.publish(base, "vec_id", "embedding",
+            r, VectorFunctions.mtTables(r), idxRoot)
+        val ann = new graft.streaming.AnnStream(
+          s, idxRoot, outRoot, "vec_id", "embedding", K)
+        ann.processBatch(b0, 0)
+        ann.processBatch(b0, 0) // at-least-once redelivery: absorbed
+        // the re-publish boundary: the index grows AFTER batch 0
+        // committed — batch 1 must see it, batch 0 must not
+        if (SimIndex.deltas(idxRoot).isEmpty)
+          SimIndex.appendDelta(delta, "vec_id", "embedding", idxRoot)
+        ann.processBatch(b1, 1)
+        ann.results().orderBy("query_id", "rnk")
+      },
+      s"""WITH idx0 AS (SELECT vec_id, embedding FROM embeddings
+         |              WHERE vec_id < $BASE_MAX),
+         |params AS (
+         |  SELECT (${VectorFunctions.mtBitsSql("count(*)")}) AS r,
+         |    ${VectorFunctions.mtTablesSql(VectorFunctions.mtBitsSql("count(*)"))} AS nt
+         |  FROM idx0),
+         |ie AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+         |  FROM embeddings, params WHERE vec_id < $DELTA_MAX),
+         |iek AS (
+         |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+         |  FROM ie),
+         |ikb AS (
+         |  SELECT vec_id, embedding, tbl,
+         |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+         |  FROM iek),
+         |qe AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+         |  FROM embeddings, params
+         |  WHERE vec_id >= $DELTA_MAX AND vec_id < $Q_MAX),
+         |qek AS (
+         |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+         |  FROM qe),
+         |qkb AS (
+         |  SELECT vec_id, embedding, tbl,
+         |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+         |  FROM qek),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, kb.vec_id AS index_id,
+         |    max(round(${VectorFunctions.cosineSql("q.embedding", "kb.embedding")}, 6))
+         |      AS cos_sim
+         |  FROM qkb q JOIN ikb kb ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+         |  WHERE kb.vec_id < $BASE_MAX OR q.vec_id >= $B0_MAX
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, index_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, index_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, index_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  /** Persisted product-quantization index (q260) — q247's PQ/ADC
+    * family moved onto the train-once / publish / probe-per-batch
+    * lifecycle ([[PqIndex]], the production IVFPQ shape and the r9
+    * verdict's item 5): codebooks train ONCE on the index corpus,
+    * freeze into the artifact with their (m, dsub, ks, iters)
+    * sidecar, the corpus persists as m-code rows, and the timed path
+    * is a pure ADC probe — broadcast distance tables over a
+    * code-table-only scan, no retrain, no decompression, `art:warm`
+    * once published. Unlike q247 (queries inside the train set), the
+    * query batch here is DISJOINT from the training corpus — the
+    * serving situation — so the oracle's replay (fit on the corpus
+    * alone → encode → ADC from out-of-corpus queries) hash-matching
+    * proves the probe used the artifact's frozen codebooks, not
+    * codebooks re-derived from corpus + queries.
+    */
+  val pqIndexProbe: Q = {
+    val M = 8; val DSUB = 8; val KS = 16; val ITERS = 2
+    val INDEX_MAX = 400L; val Q_MAX = 420L; val K = 10
+    def iterCte(i: Int): String =
+      s"""pd$i AS (
+         |  SELECT ix.vec_id, c.sub, c.cell,
+         |    sum((ix.xs - c.cs) * (ix.xs - c.cs)) AS d2
+         |  FROM ix JOIN pc${i - 1} c ON ix.sub = c.sub AND ix.sdim = c.sdim
+         |  GROUP BY 1, 2, 3),
+         |pa$i AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d2, cell) AS rnk
+         |    FROM pd$i) WHERE rnk = 1),
+         |pc$i AS (
+         |  SELECT a.sub, a.cell, ix.sdim,
+         |    round(sum(ix.xs) / count(*))::BIGINT AS cs
+         |  FROM ix JOIN pa$i a
+         |    ON ix.vec_id = a.vec_id AND ix.sub = a.sub
+         |  GROUP BY 1, 2, 3)"""
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val index = emb.filter(col("vec_id") < INDEX_MAX)
+        val queries = emb.filter(
+          col("vec_id") >= INDEX_MAX && col("vec_id") < Q_MAX)
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-pq-index", d, Seq("embeddings.parquet"))
+        if (PqIndex.resolve(root).isEmpty)
+          PqIndex.publish(index, "vec_id", "embedding",
+            M, DSUB, KS, ITERS, root)
+        PqIndex.probeTopK(s, queries, "vec_id", "embedding", K, root)
+          .select(col("query_id"), col("index_id"), col("adc_d2"),
+            col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      s"""WITH e AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+         |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xs
+         |  FROM embeddings),
+         |ep AS (
+         |  SELECT vec_id, (dim - 1) // $DSUB AS sub,
+         |    (dim - 1) % $DSUB + 1 AS sdim, xs
+         |  FROM e),
+         |ix AS (SELECT * FROM ep WHERE vec_id < $INDEX_MAX),
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+         |        WHERE vec_id < $KS),
+         |${(1 to ITERS).map(iterCte).mkString(",\n")},
+         |fd AS (
+         |  SELECT ix.vec_id, c.sub, c.cell,
+         |    sum((ix.xs - c.cs) * (ix.xs - c.cs)) AS d2
+         |  FROM ix JOIN pc$ITERS c ON ix.sub = c.sub AND ix.sdim = c.sdim
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d2, cell) AS rnk
+         |    FROM fd) WHERE rnk = 1),
+         |dtab AS (
+         |  SELECT q.vec_id AS query_id, c.sub, c.cell,
+         |    sum((q.xs - c.cs) * (q.xs - c.cs)) AS d2
+         |  FROM ep q JOIN pc$ITERS c ON q.sub = c.sub AND q.sdim = c.sdim
+         |  WHERE q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX
+         |  GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT dt.query_id, cd.vec_id AS index_id,
+         |    sum(dt.d2)::BIGINT AS adc_d2
+         |  FROM codes cd JOIN dtab dt
+         |    ON cd.sub = dt.sub AND cd.cell = dt.cell
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, index_id, adc_d2,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adc_d2, index_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, index_id, adc_d2, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
   /** Real binary decode at the multimodal seam (q244) — the round-8
     * gap closer: every document is rendered as a COMPLETE RIFF/WAVE
     * file (canonical 44-byte little-endian header + 16-bit PCM
@@ -4295,17 +4578,23 @@ object PipelineQueries {
   /** Incremental connected components (q252) — cluster maintenance
     * at DELTA cost: once dedup groups / entity clusters live as a
     * persisted assignment, a daily batch of new pair evidence must
-    * fold in without re-clustering the corpus. Delta edges map
-    * through the existing assignment to component roots; edges
-    * landing inside one root are already absorbed, and the survivors
-    * form the CONTRACTED graph — sized by the delta's merge
-    * activity, never the corpus — which is re-clustered and used to
-    * relabel exactly the absorbed components
+    * fold in without re-clustering the corpus. The base assignment is
+    * exactly that PERSISTED artifact (the r9 gap closer): clustered
+    * once and committed via [[VersionedDirs]]' versioned protocol
+    * under a fingerprint-keyed root, so the timed path READS the
+    * committed generation and pays only the fold — publish-if-absent
+    * guard like q246, `art:warm` in the bench once the artifact
+    * exists. Delta edges map through the committed assignment to
+    * component roots; edges landing inside one root are already
+    * absorbed, and the survivors form the CONTRACTED graph — sized by
+    * the delta's merge activity, never the corpus — which is
+    * re-clustered and used to relabel exactly the absorbed components
     * ([[ConnectedComponents.incremental]]). The oracle runs the FULL
     * transitive closure over base ∪ delta, so the hash match IS the
-    * correctness proof: incremental maintenance ≡ recompute,
-    * including canonical min-id labels (min-of-mins argument in the
-    * operator doc). Judged output is the component-size census.
+    * correctness proof: incremental maintenance against the committed
+    * generation ≡ recompute, including canonical min-id labels
+    * (min-of-mins argument in the operator doc). Judged output is the
+    * component-size census.
     */
   val incrementalCc: Q = {
     val SPLIT = 250L
@@ -4313,9 +4602,17 @@ object PipelineQueries {
       (s, d) => {
         val pairs = minhashPairs(s, d)
           .select(col("id_a").as("u"), col("id_b").as("v")).persist()
-        val base = pairs.filter(col("u") < SPLIT && col("v") < SPLIT)
         val delta = pairs.filter(col("u") >= SPLIT || col("v") >= SPLIT)
-        val baseComp = ConnectedComponents.assign(base)
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-cc-base", d, Seq("documents.parquet"))
+        if (VersionedDirs.resolve(root).isEmpty)
+          VersionedDirs.commit(root) { st =>
+            ConnectedComponents.assign(
+                pairs.filter(col("u") < SPLIT && col("v") < SPLIT))
+              .distinct()
+              .write.parquet(st)
+          }
+        val baseComp = s.read.parquet(VersionedDirs.resolve(root).get)
         ConnectedComponents.incremental(baseComp, delta)
           .groupBy("component").agg(count(lit(1)).as("n_nodes"))
           .orderBy("component")
@@ -8134,6 +8431,9 @@ object PipelineQueries {
     "q254_water_fill"    -> waterFill,
     "q256_ann_mrr"       -> annMrr,
     "q257_span_contamination" -> spanContamination,
+    "q258_sim_index_purge" -> simIndexPurge,
+    "q259_ann_stream_twin" -> annStreamTwin,
+    "q260_pq_index"      -> pqIndexProbe,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

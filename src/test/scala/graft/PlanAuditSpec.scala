@@ -43,8 +43,10 @@ class PlanAuditSpec extends SparkSpec {
                      // machinery with the subspace key)
       "q252_incremental_cc", // base-assign + contracted-CC rounds run at
                              // build (q46's machinery twice)
-      "q170_stream_twin") // batch replay COMMITS stream state at build;
+      "q170_stream_twin", // batch replay COMMITS stream state at build;
                           // audited by DedupStreamSpec + its own oracle
+      "q259_ann_stream_twin") // same: AnnStream batches commit at build
+                              // (AnnStreamSpec audits the stream side)
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
@@ -521,7 +523,10 @@ class PlanAuditSpec extends SparkSpec {
       "q243_sim_index" -> 1, // fixed 100-query audit set (exact-truth
       // arm); the index probe itself hints nothing
       "q249_revenue_rollup" -> 2, // nation (25) + region (5) dims
-      "q256_ann_mrr" -> 2) // fixed 20-query set, both ANN arms (q96's bound)
+      "q256_ann_mrr" -> 2, // fixed 20-query set, both ANN arms (q96's bound)
+      "q260_pq_index" -> 2) // m·ks codebook (128 rows, layout constant) +
+                            // the fixed 20-query batch's ADC table
+                            // (nq·m·ks = 2560 rows, batch-bounded)
       // (q202/q230 moved to `iterative` in r9 — their per-round
       // localCheckpoints truncate the lineage the old hint counts
       // measured; q205's nation hint lives in the publish closure,

@@ -1,0 +1,127 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted PQ index: versioned publish with frozen
+  * (m, dsub, ks, iters) params, artifact-served ADC probe, and exact
+  * parity with an ADC replay computed directly from the committed
+  * codebook + code table (so the probe provably scores off the
+  * artifact, not a retrain).
+  */
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = 4; private val DSUB = 4; private val KS = 8
+  private val ITERS = 2; private val K = 3
+  private val DIM = M * DSUB
+
+  // ids 0..39 are the index (fitPQ seeds from the first KS ids);
+  // query 1000+q is a near-copy of index vector q, so its original
+  // must land in its ADC top-K
+  private def vec(seed: Long, perturb: Float): Array[Float] =
+    Array.tabulate(DIM) { i =>
+      val h = (seed * 31 + i) * 2654435761L
+      ((h % 1000).toFloat / 1000.0f) + (if (i == 0) perturb else 0.0f)
+    }
+
+  private lazy val index =
+    (0 until 40).map(i => (i.toLong, vec(i.toLong, 0.0f)))
+      .toDF("vec_id", "embedding")
+  private lazy val queries =
+    (0 until 5).map(q => (1000L + q, vec(q.toLong, 0.001f)))
+      .toDF("vec_id", "embedding")
+
+  test("publish commits codebook + m-code table + frozen params") {
+    val root = Files.createTempDirectory("pqidx").toString
+    val path = PqIndex.publish(index, "vec_id", "embedding",
+      M, DSUB, KS, ITERS, root)
+    assert(PqIndex.params(root) == ((M, DSUB, KS, ITERS)))
+    val codes = spark.read.parquet(
+      new java.io.File(path, "codes").toString)
+    assert(codes.count() == 40)
+    // every vector carries exactly m codes, each a trained cell id
+    // (seeded from the first KS vector ids)
+    val bad = codes.filter(size($"codes") =!= M ||
+      exists($"codes", c => c < 0 || c >= KS)).count()
+    assert(bad == 0, "code rows outside the m x ks geometry")
+    val cb = spark.read.parquet(
+      new java.io.File(path, "codebook").toString)
+    assert(cb.count() <= M.toLong * KS) // empty cells may drop out
+    assert(cb.select("sub").distinct().count() == M)
+  }
+
+  test("probe reproduces an ADC replay computed from the artifact itself") {
+    val root = Files.createTempDirectory("pqidx").toString
+    val path = PqIndex.publish(index, "vec_id", "embedding",
+      M, DSUB, KS, ITERS, root)
+    val got = PqIndex.probeTopK(spark, queries, "vec_id", "embedding",
+        K, root)
+      .select("query_id", "index_id", "adc_d2", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // independent replay off the committed files: explode codes, look
+    // up the committed codebook, exact integer ADC, rank
+    val cb = spark.read.parquet(new java.io.File(path, "codebook").toString)
+    val codes = spark.read.parquet(new java.io.File(path, "codes").toString)
+    val qpq = VectorQuantizer.subVectors(
+        VectorQuantizer.scaled(queries, "vec_id", "embedding"),
+        "vec_id", M, DSUB)
+      .withColumnRenamed("vec_id", "query_id")
+    val dtab = qpq.join(cb, Seq("sub"))
+      .select($"query_id", $"sub", $"cell",
+        VectorQuantizer.l2DistSq($"xs", $"cs").as("d2"))
+    val want = codes
+      .select($"index_id", posexplode($"codes").as(Seq("sub", "cell")))
+      .join(dtab, Seq("sub", "cell"))
+      .groupBy("query_id", "index_id").agg(sum("d2").as("adc_d2"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(asc("adc_d2"), asc("index_id"))).cast("long"))
+      .filter($"rnk" <= K)
+      .select("query_id", "index_id", "adc_d2", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+    // each near-copy query's original must land in its ADC top-K
+    // (identical-code vectors can tie ahead, so top-K not top-1)
+    for (q <- 0L until 5L)
+      assert(got.exists(t => t._1 == 1000L + q && t._2 == q),
+        s"query ${1000 + q}'s original $q missing from its top-$K")
+  }
+
+  test("probe serves the FROZEN codebooks — corpus drift after publish is invisible") {
+    val root = Files.createTempDirectory("pqidx").toString
+    PqIndex.publish(index, "vec_id", "embedding", M, DSUB, KS, ITERS, root)
+    val before = PqIndex.probeTopK(spark, queries, "vec_id", "embedding",
+        K, root)
+      .select("query_id", "index_id", "adc_d2", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the probe takes no corpus argument at all — its only inputs are
+    // the query batch and the committed artifact, so a re-probe after
+    // the source corpus "grew" (no re-publish) must be byte-identical
+    val after = PqIndex.probeTopK(spark, queries, "vec_id", "embedding",
+        K, root)
+      .select("query_id", "index_id", "adc_d2", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(before == after)
+  }
+
+  test("resolve picks the highest committed version; params travel with it") {
+    val root = Files.createTempDirectory("pqidx").toString
+    assert(PqIndex.resolve(root).isEmpty)
+    PqIndex.publish(index, "vec_id", "embedding", M, DSUB, KS, ITERS, root)
+    val v2 = PqIndex.publish(index, "vec_id", "embedding",
+      2, 8, 4, 1, root)
+    assert(PqIndex.resolve(root).contains(v2))
+    // the LATEST generation's params win — a re-index with new
+    // geometry must not serve probes split with the old one
+    assert(PqIndex.params(root) == ((2, 8, 4, 1)))
+    // a crashed re-index (no _SUCCESS) stays invisible
+    val orphan = new java.io.File(root, "index.v9")
+    assert(orphan.mkdir())
+    assert(PqIndex.resolve(root).contains(v2))
+  }
+}
