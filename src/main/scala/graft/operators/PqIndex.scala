@@ -49,12 +49,7 @@ object PqIndex {
         val e = VectorQuantizer.scaled(corpus, id, vec).persist()
         val cent = VectorQuantizer.fitPQ(e, id, m, dsub, ks, iters)
           .localCheckpoint()
-        val epq = VectorQuantizer.subVectors(e, id, m, dsub)
-        VectorQuantizer.assignSubCells(epq, cent, id)
-          .groupBy(col(id).as("index_id"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("sub"), col("cell")))),
-            s => s.getField("cell")).as("codes"))
+        codeRows(corpus, id, vec, cent, m, dsub)
           .write.parquet(new java.io.File(staging, "codes").toString)
         cent.write.parquet(new java.io.File(staging, "codebook").toString)
         e.unpersist()
@@ -67,6 +62,132 @@ object PqIndex {
           new java.io.File(staging, "_SUCCESS").toPath)
         ()
       }
+    }
+
+  /** Encode `corpus` against an ALREADY-TRAINED array-form codebook
+    * (sub, cell, cs) — the shared layout of [[publish]] and
+    * [[appendDelta]]: subspace split, integer argmin per (vector,
+    * subspace), codes folded back to one m-array row per vector.
+    */
+  private def codeRows(corpus: DataFrame, id: String, vec: String,
+                       cent: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val e = VectorQuantizer.scaled(corpus, id, vec)
+    val epq = VectorQuantizer.subVectors(e, id, m, dsub)
+    VectorQuantizer.assignSubCells(epq, cent, id)
+      .groupBy(col(id).as("index_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cell")))),
+        s => s.getField("cell")).as("codes"))
+  }
+
+  // ------------------------------------------------------ deletes
+  //
+  // Identical semantics to [[SimIndex]]/[[DedupIndex]] (shared
+  // [[Tombstones]] log): deletes commit in O(deletes), probes
+  // anti-join the committed set immediately, [[mergeCompact]] drops
+  // the rows physically and resets the log, [[vacuumOld]] is the
+  // post-grace compliance step.
+
+  /** Record `ids` as deleted — hidden from every probe immediately,
+    * removed physically at the next [[mergeCompact]].
+    */
+  def addTombstones(spark: SparkSession, ids: DataFrame, idCol: String,
+                    root: String): String = synchronized {
+    Tombstones.add(spark, ids, idCol, root)
+  }
+
+  /** The committed tombstone set, if any. */
+  def tombstones(spark: SparkSession, root: String): Option[DataFrame] =
+    Tombstones.get(spark, root)
+
+  /** Drop every index generation but the newest committed one. */
+  def vacuumOld(root: String): Unit = synchronized {
+    VersionedDirs.retainLatestGenerations(root, keep = 1)
+  }
+
+  // ------------------------------------------------------ delta appends
+  //
+  // Daily growth without daily re-train: a new vector batch is
+  // ENCODED with the base's FROZEN codebooks (pure argmin against
+  // committed centroids — never a Lloyd round) and lands as an
+  // append-log code delta (`batch-*` dir, the LSM L0 shape).
+  // Probes scan base codes ∪ delta codes; [[mergeCompact]] folds the
+  // deltas into the next generation as a pure row union, codebook
+  // and params carried over byte-identically.
+
+  private def deltaDir(root: String): java.io.File =
+    new java.io.File(root, "deltas")
+
+  /** The committed delta roots. */
+  def deltas(root: String): Seq[String] =
+    Option(deltaDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getAbsolutePath).sorted.toSeq
+
+  /** Append `corpus` as a new code delta, encoded with the base's
+    * frozen codebooks. Batch cost: one argmin pass over the batch
+    * against the broadcast m·ks codebook — the corpus is never
+    * touched, the codebooks never move.
+    */
+  def appendDelta(corpus: DataFrame, id: String, vec: String,
+                  root: String): String = synchronized {
+    val spark = corpus.sparkSession
+    val idxPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val (m, dsub, _, _) = params(root)
+    val cent = spark.read.parquet(
+      new java.io.File(idxPath, "codebook").toString)
+    graft.sources.Artifacts.notePublish()
+    val dr = deltaDir(root); dr.mkdirs()
+    val staging = new java.io.File(dr,
+      s".staging-${java.util.UUID.randomUUID()}")
+    codeRows(corpus, id, vec, cent, m, dsub)
+      .write.parquet(staging.getAbsolutePath)
+    val target = new java.io.File(dr,
+      s"batch-${java.util.UUID.randomUUID()}")
+    require(staging.renameTo(target),
+      s"delta append rename failed into $dr")
+    target.getAbsolutePath
+  }
+
+  /** Fold every committed code delta and pending delete into the next
+    * generation: pure row union + filter over existing artifacts —
+    * no re-encode, no re-train; codebook and params carry over
+    * unchanged. Clears the append log and resets tombstones.
+    */
+  def mergeCompact(spark: SparkSession, root: String): String =
+    synchronized {
+      val basePath = resolve(root).getOrElse(
+        throw new IllegalStateException(s"no committed index under $root"))
+      val (m, dsub, ks, iters) = params(root)
+      val cent = spark.read.parquet(
+        new java.io.File(basePath, "codebook").toString)
+      // the base generation keeps its codes under codes/; each delta
+      // dir IS a codes table
+      val all0 = deltas(root)
+        .map(spark.read.parquet(_))
+        .foldLeft(spark.read.parquet(
+          new java.io.File(basePath, "codes").toString))(_.unionByName(_))
+      val all = tombstones(spark, root)
+        .map(t => all0.join(t, Seq("index_id"), "left_anti"))
+        .getOrElse(all0)
+      val path = VersionedDirs.commit(root) { st =>
+        all.write.parquet(new java.io.File(st, "codes").toString)
+        cent.write.parquet(new java.io.File(st, "codebook").toString)
+        java.nio.file.Files.writeString(
+          new java.io.File(st, "_params.json").toPath,
+          s"""{"m":$m,"dsub":$dsub,"ks":$ks,"iters":$iters}""")
+        java.nio.file.Files.createFile(
+          new java.io.File(st, "_SUCCESS").toPath)
+        ()
+      }
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(deltaDir(root))
+      Tombstones.reset(spark, root)
+      path
     }
 
   /** The frozen (m, dsub, ks, iters) of the committed index. */
@@ -99,8 +220,16 @@ object PqIndex {
     val (m, dsub, _, _) = params(root)
     val cent = spark.read.parquet(
       new java.io.File(idxPath, "codebook").toString)
-    val codes = spark.read.parquet(
-      new java.io.File(idxPath, "codes").toString)
+    // base codes ∪ committed code deltas (each already encoded with
+    // the frozen codebooks at append time); uncompacted deletes are
+    // honored at probe time via the shared tombstone log
+    val codes0 = deltas(root)
+      .map(spark.read.parquet(_))
+      .foldLeft(spark.read.parquet(
+        new java.io.File(idxPath, "codes").toString))(_.unionByName(_))
+    val codes = tombstones(spark, root)
+      .map(t => codes0.join(t, Seq("index_id"), "left_anti"))
+      .getOrElse(codes0)
     val qpq = VectorQuantizer.subVectors(
         VectorQuantizer.scaled(queries, id, vec), id, m, dsub)
       .withColumnRenamed(id, "query_id")

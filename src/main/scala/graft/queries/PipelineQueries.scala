@@ -3862,27 +3862,89 @@ object PipelineQueries {
     * proves the probe used the artifact's frozen codebooks, not
     * codebooks re-derived from corpus + queries.
     */
+  // shared PQ oracle constants + CTE fragments (q260/q261/q262): the
+  // three lifecycle queries replay the SAME fit — ITERS Lloyd rounds
+  // over the subspace rows of the train CTE `ix` — so the family
+  // cannot drift internally
+  private val PQ_M = 8; private val PQ_DSUB = 8
+  private val PQ_KS = 16; private val PQ_ITERS = 2; private val PQ_K = 10
+
+  /** One Lloyd round of the PQ oracle fit (assign to pc(i−1), then
+    * truncated-integer per-dim means) — chains pc0 → pc[[PQ_ITERS]].
+    */
+  private def pqIterCte(i: Int): String =
+    s"""pd$i AS (
+       |  SELECT ix.vec_id, c.sub, c.cell,
+       |    sum((ix.xs - c.cs) * (ix.xs - c.cs)) AS d2
+       |  FROM ix JOIN pc${i - 1} c ON ix.sub = c.sub AND ix.sdim = c.sdim
+       |  GROUP BY 1, 2, 3),
+       |pa$i AS (
+       |  SELECT vec_id, sub, cell FROM (
+       |    SELECT vec_id, sub, cell,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |                         ORDER BY d2, cell) AS rnk
+       |    FROM pd$i) WHERE rnk = 1),
+       |pc$i AS (
+       |  SELECT a.sub, a.cell, ix.sdim,
+       |    round(sum(ix.xs) / count(*))::BIGINT AS cs
+       |  FROM ix JOIN pa$i a
+       |    ON ix.vec_id = a.vec_id AND ix.sub = a.sub
+       |  GROUP BY 1, 2, 3)"""
+
+  /** The subspace-row base of the PQ oracles: e (scaled long-form) →
+    * ep (sub, sdim, xs).
+    */
+  private def pqEpCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+       |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xs
+       |  FROM embeddings),
+       |ep AS (
+       |  SELECT vec_id, (dim - 1) // $PQ_DSUB AS sub,
+       |    (dim - 1) % $PQ_DSUB + 1 AS sdim, xs
+       |  FROM e)""".stripMargin
+
+  /** Encode `encodeCte`'s vectors with the pc[[PQ_ITERS]] codebook and
+    * ADC-score `queriesPred` rows against them, top-[[PQ_K]].
+    */
+  private def pqScoreSql(encodeCte: String, queriesPred: String): String =
+    s"""fd AS (
+       |  SELECT ib.vec_id, c.sub, c.cell,
+       |    sum((ib.xs - c.cs) * (ib.xs - c.cs)) AS d2
+       |  FROM $encodeCte ib JOIN pc$PQ_ITERS c
+       |    ON ib.sub = c.sub AND ib.sdim = c.sdim
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, sub, cell FROM (
+       |    SELECT vec_id, sub, cell,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |                         ORDER BY d2, cell) AS rnk
+       |    FROM fd) WHERE rnk = 1),
+       |dtab AS (
+       |  SELECT q.vec_id AS query_id, c.sub, c.cell,
+       |    sum((q.xs - c.cs) * (q.xs - c.cs)) AS d2
+       |  FROM ep q JOIN pc$PQ_ITERS c ON q.sub = c.sub AND q.sdim = c.sdim
+       |  WHERE $queriesPred
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT dt.query_id, cd.vec_id AS index_id,
+       |    sum(dt.d2)::BIGINT AS adc_d2
+       |  FROM codes cd JOIN dtab dt
+       |    ON cd.sub = dt.sub AND cd.cell = dt.cell
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, index_id, adc_d2,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY adc_d2, index_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, index_id, adc_d2, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= $PQ_K
+       |ORDER BY query_id, rnk""".stripMargin
+
   val pqIndexProbe: Q = {
-    val M = 8; val DSUB = 8; val KS = 16; val ITERS = 2
-    val INDEX_MAX = 400L; val Q_MAX = 420L; val K = 10
-    def iterCte(i: Int): String =
-      s"""pd$i AS (
-         |  SELECT ix.vec_id, c.sub, c.cell,
-         |    sum((ix.xs - c.cs) * (ix.xs - c.cs)) AS d2
-         |  FROM ix JOIN pc${i - 1} c ON ix.sub = c.sub AND ix.sdim = c.sdim
-         |  GROUP BY 1, 2, 3),
-         |pa$i AS (
-         |  SELECT vec_id, sub, cell FROM (
-         |    SELECT vec_id, sub, cell,
-         |      row_number() OVER (PARTITION BY vec_id, sub
-         |                         ORDER BY d2, cell) AS rnk
-         |    FROM pd$i) WHERE rnk = 1),
-         |pc$i AS (
-         |  SELECT a.sub, a.cell, ix.sdim,
-         |    round(sum(ix.xs) / count(*))::BIGINT AS cs
-         |  FROM ix JOIN pa$i a
-         |    ON ix.vec_id = a.vec_id AND ix.sub = a.sub
-         |  GROUP BY 1, 2, 3)"""
+    val M = PQ_M; val DSUB = PQ_DSUB; val KS = PQ_KS; val ITERS = PQ_ITERS
+    val INDEX_MAX = 400L; val Q_MAX = 420L; val K = PQ_K
+    def iterCte(i: Int): String = pqIterCte(i)
     Q(
       (s, d) => {
         val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
@@ -3899,49 +3961,110 @@ object PipelineQueries {
             col("rnk"))
           .orderBy("query_id", "rnk")
       },
-      s"""WITH e AS (
-         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
-         |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xs
-         |  FROM embeddings),
-         |ep AS (
-         |  SELECT vec_id, (dim - 1) // $DSUB AS sub,
-         |    (dim - 1) % $DSUB + 1 AS sdim, xs
-         |  FROM e),
+      s"""WITH $pqEpCtes,
          |ix AS (SELECT * FROM ep WHERE vec_id < $INDEX_MAX),
          |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
          |        WHERE vec_id < $KS),
          |${(1 to ITERS).map(iterCte).mkString(",\n")},
-         |fd AS (
-         |  SELECT ix.vec_id, c.sub, c.cell,
-         |    sum((ix.xs - c.cs) * (ix.xs - c.cs)) AS d2
-         |  FROM ix JOIN pc$ITERS c ON ix.sub = c.sub AND ix.sdim = c.sdim
-         |  GROUP BY 1, 2, 3),
-         |codes AS (
-         |  SELECT vec_id, sub, cell FROM (
-         |    SELECT vec_id, sub, cell,
-         |      row_number() OVER (PARTITION BY vec_id, sub
-         |                         ORDER BY d2, cell) AS rnk
-         |    FROM fd) WHERE rnk = 1),
-         |dtab AS (
-         |  SELECT q.vec_id AS query_id, c.sub, c.cell,
-         |    sum((q.xs - c.cs) * (q.xs - c.cs)) AS d2
-         |  FROM ep q JOIN pc$ITERS c ON q.sub = c.sub AND q.sdim = c.sdim
-         |  WHERE q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX
-         |  GROUP BY 1, 2, 3),
-         |scored AS (
-         |  SELECT dt.query_id, cd.vec_id AS index_id,
-         |    sum(dt.d2)::BIGINT AS adc_d2
-         |  FROM codes cd JOIN dtab dt
-         |    ON cd.sub = dt.sub AND cd.cell = dt.cell
-         |  GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT query_id, index_id, adc_d2,
-         |    row_number() OVER (PARTITION BY query_id
-         |                       ORDER BY adc_d2, index_id) AS rnk
-         |  FROM scored)
-         |SELECT query_id, index_id, adc_d2, CAST(rnk AS BIGINT) AS rnk
-         |FROM ranked WHERE rnk <= $K
-         |ORDER BY query_id, rnk""".stripMargin)
+         |${pqScoreSql("ix",
+             s"q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX")}""".stripMargin)
+  }
+
+  /** PQ index delta append (q261) — the growth half of the PQ
+    * lifecycle, the code-table twin of q250: a new vector batch is
+    * ENCODED with the base index's FROZEN codebooks
+    * ([[PqIndex.appendDelta]]: one argmin pass against the broadcast
+    * m·ks codebook — batch cost, never a Lloyd round) and lands as
+    * an append-log code delta; probes scan base codes ∪ delta codes.
+    * The oracle trains its codebooks on the BASE corpus only (300
+    * vectors) while its code table spans base + delta (400) — so a
+    * hash match proves the delta was encoded with the base's frozen
+    * codebooks, not codebooks re-trained on the grown corpus, which
+    * is the entire correctness burden of a PQ append
+    * ([[PqIndex.mergeCompact]], the fold-back, is spec-tested — a
+    * pure row union, definitionally the same rows).
+    */
+  val pqIndexAppend: Q = {
+    val BASE_MAX = 300L; val DELTA_MAX = 400L; val Q_MAX = 420L
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val base = emb.filter(col("vec_id") < BASE_MAX)
+        val delta = emb.filter(
+          col("vec_id") >= BASE_MAX && col("vec_id") < DELTA_MAX)
+        val queries = emb.filter(
+          col("vec_id") >= DELTA_MAX && col("vec_id") < Q_MAX)
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-pq-append", d, Seq("embeddings.parquet"))
+        if (PqIndex.resolve(root).isEmpty) {
+          PqIndex.publish(base, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, root)
+          PqIndex.appendDelta(delta, "vec_id", "embedding", root)
+        }
+        PqIndex.probeTopK(s, queries, "vec_id", "embedding", PQ_K, root)
+          .select(col("query_id"), col("index_id"), col("adc_d2"),
+            col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      s"""WITH $pqEpCtes,
+         |ix AS (SELECT * FROM ep WHERE vec_id < $BASE_MAX),
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+         |        WHERE vec_id < $PQ_KS),
+         |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+         |enc AS (SELECT * FROM ep WHERE vec_id < $DELTA_MAX),
+         |${pqScoreSql("enc",
+             s"q.vec_id >= $DELTA_MAX AND q.vec_id < $Q_MAX")}""".stripMargin)
+  }
+
+  /** PQ index purge (q262) — the GDPR chain on the THIRD index
+    * family, completing the lifecycle matrix ({dedup, ANN-LSH, PQ} ×
+    * {publish, probe, append, delete, compact, vacuum}): codes are
+    * derived state too — a purged vector still scoring as an ADC
+    * neighbor through its code row is the same compliance failure as
+    * q246/q258. Cold path: publish over the corpus, tombstone every
+    * 10th indexed vector (shared [[graft.operators.Tombstones]] log,
+    * O(deletes)), merge-compact (pure row filter of the code table —
+    * codebook and params byte-identical), vacuum the pre-purge
+    * generation; the probe then runs against physically purged
+    * codes. The oracle trains on the FULL pre-purge corpus (the
+    * codebooks were fit before the deletions and must NOT be
+    * re-trained by a purge — re-clustering on deletion would shift
+    * every surviving vector's codes) but keeps only live rows in its
+    * code table — a hash match proves exact-row removal AND
+    * frozen-codebook carry-forward through the compaction.
+    */
+  val pqIndexPurge: Q = {
+    val INDEX_MAX = 400L; val Q_MAX = 420L
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val index = emb.filter(col("vec_id") < INDEX_MAX)
+        val queries = emb.filter(
+          col("vec_id") >= INDEX_MAX && col("vec_id") < Q_MAX)
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-pq-purge", d, Seq("embeddings.parquet"))
+        if (PqIndex.resolve(root).isEmpty) {
+          PqIndex.publish(index, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, root)
+          PqIndex.addTombstones(s,
+            index.filter(col("vec_id") % 10 === 0).select("vec_id"),
+            "vec_id", root)
+          PqIndex.mergeCompact(s, root)
+          PqIndex.vacuumOld(root)
+        }
+        PqIndex.probeTopK(s, queries, "vec_id", "embedding", PQ_K, root)
+          .select(col("query_id"), col("index_id"), col("adc_d2"),
+            col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      s"""WITH $pqEpCtes,
+         |ix AS (SELECT * FROM ep WHERE vec_id < $INDEX_MAX),
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+         |        WHERE vec_id < $PQ_KS),
+         |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+         |enc AS (SELECT * FROM ix WHERE vec_id % 10 <> 0),
+         |${pqScoreSql("enc",
+             s"q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX")}""".stripMargin)
   }
 
   /** Real binary decode at the multimodal seam (q244) — the round-8
@@ -8434,6 +8557,8 @@ object PipelineQueries {
     "q258_sim_index_purge" -> simIndexPurge,
     "q259_ann_stream_twin" -> annStreamTwin,
     "q260_pq_index"      -> pqIndexProbe,
+    "q261_pq_append"     -> pqIndexAppend,
+    "q262_pq_purge"      -> pqIndexPurge,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

@@ -524,9 +524,11 @@ class PlanAuditSpec extends SparkSpec {
       // arm); the index probe itself hints nothing
       "q249_revenue_rollup" -> 2, // nation (25) + region (5) dims
       "q256_ann_mrr" -> 2, // fixed 20-query set, both ANN arms (q96's bound)
-      "q260_pq_index" -> 2) // m·ks codebook (128 rows, layout constant) +
+      "q260_pq_index" -> 2, // m·ks codebook (128 rows, layout constant) +
                             // the fixed 20-query batch's ADC table
                             // (nq·m·ks = 2560 rows, batch-bounded)
+      "q261_pq_append" -> 2, // same probe shape as q260
+      "q262_pq_purge" -> 2) // same probe shape as q260
       // (q202/q230 moved to `iterative` in r9 — their per-round
       // localCheckpoints truncate the lineage the old hint counts
       // measured; q205's nation hint lives in the publish closure,

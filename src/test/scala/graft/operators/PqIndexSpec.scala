@@ -109,6 +109,74 @@ class PqIndexSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("delta append encodes with FROZEN codebooks; merge folds without re-encode") {
+    val root = Files.createTempDirectory("pqidx").toString
+    val base = index.filter($"vec_id" < 20L)
+    val delta = index.filter($"vec_id" >= 20L)
+    val basePath = PqIndex.publish(base, "vec_id", "embedding",
+      M, DSUB, KS, ITERS, root)
+    PqIndex.appendDelta(delta, "vec_id", "embedding", root)
+    assert(PqIndex.deltas(root).size == 1)
+    def probeSet() = PqIndex.probeTopK(spark, queries, "vec_id",
+        "embedding", K, root)
+      .select("query_id", "index_id", "adc_d2", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val withDelta = probeSet()
+    // delta rows ARE retrievable, scored via the BASE's codebook:
+    // replay the delta's encoding off the committed codebook and
+    // check those codes are what the delta dir holds
+    val cb = spark.read.parquet(new java.io.File(basePath, "codebook").toString)
+    val wantCodes = VectorQuantizer.assignSubCells(
+        VectorQuantizer.subVectors(
+          VectorQuantizer.scaled(delta, "vec_id", "embedding"),
+          "vec_id", M, DSUB), cb, "vec_id")
+      .groupBy($"vec_id".as("index_id"))
+      .agg(transform(array_sort(collect_list(struct($"sub", $"cell"))),
+        s => s.getField("cell")).as("codes"))
+      .as[(Long, Seq[Long])].collect().toSet
+    val gotCodes = spark.read.parquet(PqIndex.deltas(root).head)
+      .as[(Long, Seq[Long])].collect().toSet
+    assert(gotCodes == wantCodes,
+      "delta codes diverge from a frozen-codebook encode")
+    // merge: same answers, no deltas left, params + codebook carry over
+    val v2 = PqIndex.mergeCompact(spark, root)
+    assert(PqIndex.deltas(root).isEmpty)
+    assert(PqIndex.params(root) == ((M, DSUB, KS, ITERS)))
+    val cb2 = spark.read.parquet(new java.io.File(v2, "codebook").toString)
+      .as[(Int, Long, Seq[Long])].collect().toSet
+    assert(cb2 == cb.as[(Int, Long, Seq[Long])].collect().toSet,
+      "merge-compaction altered the codebook")
+    assert(probeSet() == withDelta, "post-merge probe diverges")
+  }
+
+  test("tombstoned vectors vanish from probes; merge purges them physically") {
+    val root = Files.createTempDirectory("pqidx").toString
+    PqIndex.publish(index, "vec_id", "embedding", M, DSUB, KS, ITERS, root)
+    def results() = PqIndex.probeTopK(spark, queries, "vec_id",
+        "embedding", K, root)
+      .select("query_id", "index_id")
+      .as[(Long, Long)].collect().toSet
+    // query 1002's original (vector 2) is in its top-K — delete it
+    assert(results().contains((1002L, 2L)))
+    PqIndex.addTombstones(spark, Seq(2L).toDF("vec_id"), "vec_id", root)
+    val after = results()
+    assert(!after.exists(_._2 == 2L),
+      s"tombstoned vector still retrievable: $after")
+    // physically still on disk until the merge
+    val v1 = PqIndex.resolve(root).get
+    assert(spark.read.parquet(new java.io.File(v1, "codes").toString)
+      .filter($"index_id" === 2L).count() > 0)
+    val v2 = PqIndex.mergeCompact(spark, root)
+    assert(spark.read.parquet(new java.io.File(v2, "codes").toString)
+      .filter($"index_id" === 2L).count() == 0)
+    assert(PqIndex.tombstones(spark, root).isEmpty)
+    assert(results() == after, "post-merge probe diverges")
+    PqIndex.vacuumOld(root)
+    val gens = new java.io.File(root).listFiles()
+      .filter(_.getName.matches("index\\.v\\d+")).map(_.getName).toSet
+    assert(gens == Set(new java.io.File(v2).getName))
+  }
+
   test("resolve picks the highest committed version; params travel with it") {
     val root = Files.createTempDirectory("pqidx").toString
     assert(PqIndex.resolve(root).isEmpty)
