@@ -4067,6 +4067,126 @@ object PipelineQueries {
              s"q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX")}""".stripMargin)
   }
 
+  /** IVFPQ (q263) — the two PQ halves composed into FAISS's
+    * production serving shape (IndexIVFPQ with by_residual=false):
+    * a trained coarse quantizer (q53/q54's [[VectorQuantizer
+    * .fitCentroids]]) prunes the CANDIDATE SET — each query probes
+    * its nprobe nearest coarse cells and only vectors assigned there
+    * are scored at all — while PQ codes + broadcast ADC tables
+    * (q247/q260's machinery) compress the SCORING — candidates cost
+    * m integer lookups + a sum, never a float-vector fetch. Together:
+    * sub-linear candidate generation × constant-memory scoring, the
+    * combination that serves billion-vector indexes from RAM. Both
+    * quantizers live in the exact integer domain, so the oracle
+    * replays coarse fit → coarse assign → PQ fit → encode → pruned
+    * ADC bit-for-bit. In-plan form (the q247 stance); the persisted
+    * path is exactly [[PqIndex]] plus a `ccell` column on the code
+    * table — every lifecycle property is already proven by
+    * q260/q261/q262.
+    */
+  val ivfPq: Q = {
+    val NQ = 5L; val PROBE = 2; val CC = 8; val CI = 2
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = VectorQuantizer.scaled(
+          t(s, d, "embeddings"), "vec_id", "embedding").persist()
+        // coarse quantizer: 8 trained cells, 2 Lloyd rounds (the
+        // q53/q54 codebook constants)
+        val coarse = VectorQuantizer.fitCentroids(e, "vec_id", CC, CI)
+        val corpusCells = VectorQuantizer.assignCells(e, coarse, "vec_id")
+          .withColumnRenamed("cell", "ccell")
+        val queryCells = VectorQuantizer.assignCells(
+            e.filter(col("vec_id") < NQ), coarse, "vec_id", PROBE)
+          .select(col("vec_id").as("query_id"), col("cell").as("ccell"))
+        // PQ: subspace codebooks + long-form codes (the q247 fit)
+        val pqCent = VectorQuantizer.fitPQ(
+          e, "vec_id", PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS)
+        val epq = VectorQuantizer.subVectors(e, "vec_id", PQ_M, PQ_DSUB)
+        val codes = VectorQuantizer.assignSubCells(epq, pqCent, "vec_id")
+        val dtab = epq.filter(col("vec_id") < NQ)
+          .withColumnRenamed("vec_id", "query_id")
+          .join(broadcast(pqCent), Seq("sub"))
+          .select(col("query_id"), col("sub"), col("cell"),
+            VectorQuantizer.l2DistSq(col("xs"), col("cs")).as("d2"))
+        // the IVF prune: only (query, vector) pairs meeting in a
+        // probed coarse cell are ever scored
+        val cand = corpusCells.join(queryCells, Seq("ccell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select("query_id", "vec_id")
+        val scored = cand.join(codes, Seq("vec_id"))
+          .join(broadcast(dtab), Seq("query_id", "sub", "cell"))
+          .groupBy("query_id", "vec_id").agg(sum("d2").as("adc_d2"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(asc("adc_d2"), asc("vec_id"))
+        scored.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= PQ_K)
+          .select(col("query_id"), col("vec_id").as("index_id"),
+            col("adc_d2"), col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      s"""WITH ${kmeansCtes()},
+         |fa AS (
+         |  SELECT e.vec_id, c.cell,
+         |    sum((e.xs - c.cs) * (e.xs - c.cs)) AS d2
+         |  FROM e JOIN c$KM_ITERS c USING (dim)
+         |  GROUP BY e.vec_id, c.cell),
+         |ca AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM fa) WHERE rnk = 1),
+         |qa AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM fa WHERE vec_id < $NQ) WHERE rnk <= $PROBE),
+         |cand AS (
+         |  SELECT qa.query_id, ca.vec_id
+         |  FROM qa JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.query_id),
+         |ep AS (
+         |  SELECT vec_id, (dim - 1) // $PQ_DSUB AS sub,
+         |    (dim - 1) % $PQ_DSUB + 1 AS sdim, xs
+         |  FROM e),
+         |ix AS (SELECT * FROM ep),
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+         |        WHERE vec_id < $PQ_KS),
+         |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+         |fd AS (
+         |  SELECT ix.vec_id, c.sub, c.cell,
+         |    sum((ix.xs - c.cs) * (ix.xs - c.cs)) AS d2
+         |  FROM ix JOIN pc$PQ_ITERS c ON ix.sub = c.sub AND ix.sdim = c.sdim
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d2, cell) AS rnk
+         |    FROM fd) WHERE rnk = 1),
+         |dtab AS (
+         |  SELECT q.vec_id AS query_id, c.sub, c.cell,
+         |    sum((q.xs - c.cs) * (q.xs - c.cs)) AS d2
+         |  FROM ep q JOIN pc$PQ_ITERS c ON q.sub = c.sub AND q.sdim = c.sdim
+         |  WHERE q.vec_id < $NQ
+         |  GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT cand.query_id, cd.vec_id AS index_id,
+         |    sum(dt.d2)::BIGINT AS adc_d2
+         |  FROM cand
+         |  JOIN codes cd ON cd.vec_id = cand.vec_id
+         |  JOIN dtab dt ON dt.query_id = cand.query_id
+         |    AND dt.sub = cd.sub AND dt.cell = cd.cell
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, index_id, adc_d2,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adc_d2, index_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, index_id, adc_d2, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= $PQ_K
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
   /** Real binary decode at the multimodal seam (q244) — the round-8
     * gap closer: every document is rendered as a COMPLETE RIFF/WAVE
     * file (canonical 44-byte little-endian header + 16-bit PCM
@@ -8559,6 +8679,7 @@ object PipelineQueries {
     "q260_pq_index"      -> pqIndexProbe,
     "q261_pq_append"     -> pqIndexAppend,
     "q262_pq_purge"      -> pqIndexPurge,
+    "q263_ivfpq"         -> ivfPq,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

@@ -45,8 +45,10 @@ class PlanAuditSpec extends SparkSpec {
                              // build (q46's machinery twice)
       "q170_stream_twin", // batch replay COMMITS stream state at build;
                           // audited by DedupStreamSpec + its own oracle
-      "q259_ann_stream_twin") // same: AnnStream batches commit at build
+      "q259_ann_stream_twin", // same: AnnStream batches commit at build
                               // (AnnStreamSpec audits the stream side)
+      "q263_ivfpq") // coarse fit + fitPQ Lloyd rounds checkpoint at
+                    // build (q54 + q247's machinery composed)
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
