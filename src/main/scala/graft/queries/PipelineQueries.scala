@@ -4187,6 +4187,60 @@ object PipelineQueries {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** Corpus novelty audit (q264) — the data-curation signal between
+    * exact dedup (q22) and near-dup (q24): how much of each document
+    * is REPEATED SUBMATTER — word shingles already seen in an earlier
+    * document (by ingestion order = doc_id) — without any pairing.
+    * Boilerplate-heavy sources score low novelty long before whole
+    * documents duplicate, which is the early filter signal (Lee et
+    * al.'s motivation for sub-document dedup). Per shingle, ONE
+    * window-min over the shingle exchange finds its first-occurrence
+    * doc; a doc's novelty is the fraction of its shingles it
+    * introduced. Scale: one shingle-keyed exchange + doc agg +
+    * source agg — corpus-linear, no pair join anywhere; the judged
+    * report is the per-source rollup (ppm novelty, integer).
+    */
+  val noveltyAudit: Q = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        col("text"))
+      val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
+      val firsts = sh
+        .withColumn("first_doc", min("doc_id").over(Window.partitionBy("s")))
+      val perDoc = firsts.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum((col("first_doc") === col("doc_id")).cast("long"))
+            .as("n_novel"))
+      docs.select("doc_id", "source").join(perDoc, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_sh").as("n_sh"),
+          sum("n_novel").as("n_novel"))
+        .withColumn("novelty_ppm",
+          expr("n_novel * 1000000 div n_sh"))
+        .orderBy("source")
+    },
+    s"""WITH w AS (
+       |  SELECT doc_id, source, ${TextFunctions.wordsSql("text")} AS arr
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    unnest(${TextFunctions.shinglesSql("arr")}) AS s
+       |  FROM w),
+       |f AS (
+       |  SELECT doc_id, source,
+       |    min(doc_id) OVER (PARTITION BY s) AS first_doc
+       |  FROM sh),
+       |d AS (
+       |  SELECT doc_id, source, count(*)::BIGINT AS n_sh,
+       |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_novel
+       |  FROM f GROUP BY 1, 2)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(n_sh)::BIGINT AS n_sh, sum(n_novel)::BIGINT AS n_novel,
+       |  (sum(n_novel) * 1000000 // sum(n_sh))::BIGINT AS novelty_ppm
+       |FROM d GROUP BY source ORDER BY source""".stripMargin)
+
   /** Real binary decode at the multimodal seam (q244) — the round-8
     * gap closer: every document is rendered as a COMPLETE RIFF/WAVE
     * file (canonical 44-byte little-endian header + 16-bit PCM
@@ -8680,6 +8734,7 @@ object PipelineQueries {
     "q261_pq_append"     -> pqIndexAppend,
     "q262_pq_purge"      -> pqIndexPurge,
     "q263_ivfpq"         -> ivfPq,
+    "q264_novelty"       -> noveltyAudit,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,
