@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
-import graft.functions.{Hashing, TextFunctions, VectorFunctions}
+import graft.functions.{Hashing, IntMath, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
 import graft.plans.CharEnergy
 import graft.operators.{Bpe, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, HeavyHitters, MixManifest, Packing, PqIndex, SimIndex, Similarity, VectorQuantizer, VersionedDirs}
@@ -4240,6 +4240,78 @@ object PipelineQueries {
        |  sum(n_sh)::BIGINT AS n_sh, sum(n_novel)::BIGINT AS n_novel,
        |  (sum(n_novel) * 1000000 // sum(n_sh))::BIGINT AS novelty_ppm
        |FROM d GROUP BY source ORDER BY source""".stripMargin)
+
+  /** Temperature-scaled mixture weights (q265) — the multilingual
+    * low-resource upsampling rule (the mT5/XLM-R α-sampling family at
+    * α = ½): a source's mixture weight is √tokens instead of tokens,
+    * compressing the head and lifting the tail, then the doc budget
+    * apportions by q253's exact largest-remainder rule. The point of
+    * engineering interest is √ itself: float `sqrt`+`floor` is an
+    * off-by-one minefield for a hash gate (a correctly-rounded double
+    * lands ON the root for n one below a perfect square), so the
+    * weight is [[graft.functions.IntMath]]'s EXACT integer Newton
+    * isqrt — unrolled, integer-only arithmetic both engines evaluate
+    * identically, proving α-temperature mixing can be engine-exact.
+    * Judged per source: natural vs sampled share (ppm) and the exact
+    * allocation; Σalloc = budget by construction. Scale: one corpus
+    * scan into a taxonomy-sized aggregate; everything after is
+    * window work over ≤ |sources| rows.
+    */
+  val temperatureMix: Q = {
+    val BUDGET = 10000L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stats = t(s, d, "documents")
+          .select(col("source"),
+            size(TextFunctions.words(col("text"))).cast("long").as("n_tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+        val weighted = IntMath.withIsqrt(stats, "tokens", "w")
+        val wAll = Window.partitionBy()
+        weighted
+          .withColumn("tot_tokens", sum("tokens").over(wAll))
+          .withColumn("tot_w", sum("w").over(wAll))
+          .withColumn("base", expr(s"$BUDGET * w div tot_w"))
+          .withColumn("rem", expr(s"($BUDGET * w) % tot_w"))
+          .withColumn("leftover", lit(BUDGET) - sum("base").over(wAll))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy().orderBy(desc("rem"), asc("source"))))
+          .withColumn("alloc",
+            col("base") + when(col("rnk") <= col("leftover"), 1L)
+              .otherwise(0L))
+          .selectExpr("source", "n_docs", "tokens", "w", "alloc",
+            "tokens * 1000000 div tot_tokens AS nat_ppm",
+            s"alloc * 1000000 div $BUDGET AS mix_ppm")
+          .orderBy("source")
+      },
+      s"""WITH w0 AS (
+         |  SELECT source,
+         |    len(${TextFunctions.wordsSql("text")})::BIGINT AS n_tok
+         |  FROM documents),
+         |st AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |    sum(n_tok)::BIGINT AS tokens
+         |  FROM w0 GROUP BY source),
+         |${IntMath.isqrtSqlCtes("st", "source, n_docs", "tokens", "w")},
+         |ax AS (
+         |  SELECT source, n_docs, tokens, w,
+         |    sum(tokens) OVER () AS tot_tokens, sum(w) OVER () AS tot_w,
+         |    ($BUDGET * w) // sum(w) OVER () AS base,
+         |    ($BUDGET * w) % sum(w) OVER () AS rem
+         |  FROM isqf),
+         |ay AS (
+         |  SELECT *, $BUDGET - sum(base) OVER () AS leftover,
+         |    row_number() OVER (ORDER BY rem DESC, source) AS rnk
+         |  FROM ax)
+         |SELECT source, n_docs, tokens, w,
+         |  (base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)::BIGINT
+         |    AS alloc,
+         |  (tokens * 1000000 // tot_tokens)::BIGINT AS nat_ppm,
+         |  ((base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)
+         |    * 1000000 // $BUDGET)::BIGINT AS mix_ppm
+         |FROM ay ORDER BY source""".stripMargin)
+  }
 
   /** Real binary decode at the multimodal seam (q244) — the round-8
     * gap closer: every document is rendered as a COMPLETE RIFF/WAVE
@@ -8735,6 +8807,7 @@ object PipelineQueries {
     "q262_pq_purge"      -> pqIndexPurge,
     "q263_ivfpq"         -> ivfPq,
     "q264_novelty"       -> noveltyAudit,
+    "q265_temperature_mix" -> temperatureMix,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,
