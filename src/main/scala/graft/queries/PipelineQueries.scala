@@ -7,7 +7,7 @@ import graft.{Q, Tables}
 import graft.functions.{Hashing, IntMath, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
 import graft.plans.CharEnergy
-import graft.operators.{Bpe, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, HeavyHitters, MixManifest, Packing, PqIndex, SimIndex, Similarity, VectorQuantizer, VersionedDirs}
+import graft.operators.{Bpe, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, FirstSeenIndex, HeavyHitters, MixManifest, Packing, PqIndex, SimIndex, Similarity, VectorQuantizer, VersionedDirs}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
   * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
@@ -4311,6 +4311,76 @@ object PipelineQueries {
          |  ((base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)
          |    * 1000000 // $BUDGET)::BIGINT AS mix_ppm
          |FROM ay ORDER BY source""".stripMargin)
+  }
+
+  /** Incremental novelty with a PERSISTED first-seen map (q266) —
+    * q264 at the ingestion gate: once the corpus's (shingle → first
+    * introducing doc) map lives as a committed artifact
+    * ([[graft.operators.FirstSeenIndex]], the fourth persisted-index
+    * family), scoring a daily batch for repeated sub-document matter
+    * costs the BATCH, not the corpus — probe the committed map
+    * (bucket-pruned keyed join, index side read pre-partitioned),
+    * take within-batch firsts from one window-min, and a batch
+    * shingle is novel iff the index never saw it AND no earlier
+    * batch doc introduced it. The oracle computes global
+    * first-occurrence over base ∪ batch and restricts the report to
+    * batch docs — base ids all precede batch ids, so the two rules
+    * coincide exactly and the hash match proves the artifact holds
+    * precisely the base map ([[FirstSeenIndex.fold]], the
+    * post-score maintenance min-union, is spec-tested).
+    */
+  val incrementalNovelty: Q = {
+    val SPLIT = 250L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+          col("text"))
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-novelty-index", d, Seq("documents.parquet"))
+        if (FirstSeenIndex.resolve(root).isEmpty)
+          FirstSeenIndex.publish(
+            Dedup.shingleSet(
+              docs.filter(col("doc_id") < SPLIT), "doc_id", "text", 3),
+            root)
+        val batch = docs.filter(col("doc_id") >= SPLIT)
+        val probed = FirstSeenIndex.probe(s,
+          Dedup.shingleSet(batch, "doc_id", "text", 3), root)
+        val flagged = probed
+          .withColumn("batch_first",
+            min("doc_id").over(Window.partitionBy("s")))
+          .withColumn("novel",
+            (col("seen_doc").isNull &&
+              col("batch_first") === col("doc_id")).cast("long"))
+        val perDoc = flagged.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"), sum("novel").as("n_novel"))
+        batch.select("doc_id", "source").join(perDoc, Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_sh").as("n_sh"),
+            sum("n_novel").as("n_novel"))
+          .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_sh"))
+          .orderBy("source")
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, source, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, source,
+         |    unnest(${TextFunctions.shinglesSql("arr")}) AS s
+         |  FROM w),
+         |f AS (
+         |  SELECT doc_id, source,
+         |    min(doc_id) OVER (PARTITION BY s) AS first_doc
+         |  FROM sh),
+         |d AS (
+         |  SELECT doc_id, source, count(*)::BIGINT AS n_sh,
+         |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_novel
+         |  FROM f WHERE doc_id >= $SPLIT GROUP BY 1, 2)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_sh)::BIGINT AS n_sh, sum(n_novel)::BIGINT AS n_novel,
+         |  (sum(n_novel) * 1000000 // sum(n_sh))::BIGINT AS novelty_ppm
+         |FROM d GROUP BY source ORDER BY source""".stripMargin)
   }
 
   /** Real binary decode at the multimodal seam (q244) — the round-8
@@ -8808,6 +8878,7 @@ object PipelineQueries {
     "q263_ivfpq"         -> ivfPq,
     "q264_novelty"       -> noveltyAudit,
     "q265_temperature_mix" -> temperatureMix,
+    "q266_incremental_novelty" -> incrementalNovelty,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,
