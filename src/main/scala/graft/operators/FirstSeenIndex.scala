@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * partitioning below already hashes, so only the stored key column
   * changes. Partition layout: hash bucket dirs like [[DedupIndex]],
   * so a SMALL batch prunes to its touched buckets; a corpus-diverse
-  * batch touches all of them and the probe is one keyed join — the
-  * index side never shuffles (it is read already partitioned), the
-  * batch side is batch-sized.
+  * batch touches all of them and the probe is one shingle-keyed
+  * equi-join (dir partitioning is pruning metadata, not Spark
+  * co-partitioning — the deployment that must avoid the index-side
+  * exchange entirely writes the map as a bucketed table, the q182
+  * layout).
   */
 object FirstSeenIndex {
 
