@@ -3905,9 +3905,10 @@ object PipelineQueries {
        |  FROM e)""".stripMargin
 
   /** Encode `encodeCte`'s vectors with the pc[[PQ_ITERS]] codebook and
-    * ADC-score `queriesPred` rows against them, top-[[PQ_K]].
+    * ADC-score `queriesPred` rows against them — CTE chain ending at
+    * `ranked` (query_id, index_id, adc_d2, rnk).
     */
-  private def pqScoreSql(encodeCte: String, queriesPred: String): String =
+  private def pqRankCtes(encodeCte: String, queriesPred: String): String =
     s"""fd AS (
        |  SELECT ib.vec_id, c.sub, c.cell,
        |    sum((ib.xs - c.cs) * (ib.xs - c.cs)) AS d2
@@ -3936,7 +3937,11 @@ object PipelineQueries {
        |  SELECT query_id, index_id, adc_d2,
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY adc_d2, index_id) AS rnk
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  /** [[pqRankCtes]] closed with the top-[[PQ_K]] select. */
+  private def pqScoreSql(encodeCte: String, queriesPred: String): String =
+    s"""${pqRankCtes(encodeCte, queriesPred)}
        |SELECT query_id, index_id, adc_d2, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= $PQ_K
        |ORDER BY query_id, rnk""".stripMargin
@@ -4311,6 +4316,84 @@ object PipelineQueries {
          |  ((base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)
          |    * 1000000 // $BUDGET)::BIGINT AS mix_ppm
          |FROM ay ORDER BY source""".stripMargin)
+  }
+
+  /** Two-stage retrieve-and-rerank (q267) — the standard serving
+    * pipeline over the persisted PQ index: stage 1 recalls a WIDE
+    * candidate set by compressed ADC score (top-[[50]] from
+    * [[PqIndex.probeTopK]] against q260's committed artifact — SAME
+    * fingerprint root, published once, consumed by both queries),
+    * stage 2 fetches ONLY those candidates' float vectors by key and
+    * reranks them with exact cosine. Compression error is confined
+    * to recall (a true neighbor outside the ADC top-C is lost);
+    * precision within the candidate set is exact — which is why
+    * every production ANN stack ends in this shape. Judged output
+    * carries each survivor's ADC rank next to its exact rank, so the
+    * result IS the rank-agreement audit. Scale: stage 1 is the
+    * code-table scan, stage 2 is candidate-bounded (nq·C rows
+    * through one keyed vector fetch + a 20-row broadcast query
+    * side).
+    */
+  val pqRerank: Q = {
+    val C = 50; val INDEX_MAX = 400L; val Q_MAX = 420L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val index = emb.filter(col("vec_id") < INDEX_MAX)
+        val queries = emb.filter(
+          col("vec_id") >= INDEX_MAX && col("vec_id") < Q_MAX)
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-pq-index", d, Seq("embeddings.parquet"))
+        if (PqIndex.resolve(root).isEmpty)
+          PqIndex.publish(index, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, root)
+        val cands = PqIndex.probeTopK(s, queries, "vec_id", "embedding",
+            C, root)
+          .select(col("query_id"), col("index_id"),
+            col("rnk").as("adc_rnk"))
+        val exact = cands
+          .join(index.select(col("vec_id").as("index_id"),
+            col("embedding").as("iv")), Seq("index_id"))
+          .join(broadcast(queries.select(col("vec_id").as("query_id"),
+            col("embedding").as("qv"))), Seq("query_id"))
+          .select(col("query_id"), col("index_id"), col("adc_rnk"),
+            round(VectorFunctions.cosineNative(col("qv"), col("iv")), 6)
+              .as("cos_sim"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(desc("cos_sim"), asc("index_id"))
+        exact.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= PQ_K)
+          .select("query_id", "index_id", "cos_sim", "adc_rnk", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      s"""WITH $pqEpCtes,
+         |ix AS (SELECT * FROM ep WHERE vec_id < $INDEX_MAX),
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+         |        WHERE vec_id < $PQ_KS),
+         |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+         |${pqRankCtes("ix",
+             s"q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX")},
+         |cands AS (
+         |  SELECT query_id, index_id, rnk AS adc_rnk FROM ranked
+         |  WHERE rnk <= $C),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |rr AS (
+         |  SELECT c.query_id, c.index_id, c.adc_rnk,
+         |    round(${VectorFunctions.cosineSql("qv.v", "cv.v")}, 6)
+         |      AS cos_sim
+         |  FROM cands c
+         |  JOIN v cv ON cv.vec_id = c.index_id
+         |  JOIN v qv ON qv.vec_id = c.query_id),
+         |rr2 AS (
+         |  SELECT query_id, index_id, cos_sim, adc_rnk,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, index_id) AS rnk
+         |  FROM rr)
+         |SELECT query_id, index_id, cos_sim, CAST(adc_rnk AS BIGINT) AS adc_rnk,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM rr2 WHERE rnk <= $PQ_K
+         |ORDER BY query_id, rnk""".stripMargin)
   }
 
   /** Incremental novelty with a PERSISTED first-seen map (q266) —
@@ -8879,6 +8962,7 @@ object PipelineQueries {
     "q264_novelty"       -> noveltyAudit,
     "q265_temperature_mix" -> temperatureMix,
     "q266_incremental_novelty" -> incrementalNovelty,
+    "q267_pq_rerank"     -> pqRerank,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

@@ -530,7 +530,9 @@ class PlanAuditSpec extends SparkSpec {
                             // the fixed 20-query batch's ADC table
                             // (nq·m·ks = 2560 rows, batch-bounded)
       "q261_pq_append" -> 2, // same probe shape as q260
-      "q262_pq_purge" -> 2) // same probe shape as q260
+      "q262_pq_purge" -> 2, // same probe shape as q260
+      "q267_pq_rerank" -> 3) // q260's probe (2) + the fixed 20-query
+                             // float-vector side of the rerank
       // (q202/q230 moved to `iterative` in r9 — their per-round
       // localCheckpoints truncate the lineage the old hint counts
       // measured; q205's nation hint lives in the publish closure,
