@@ -25,7 +25,14 @@ import graft.operators.SimIndex
   * not mid-request index mutation.
   */
 final class AnnStream(spark: SparkSession, indexRoot: String,
-                      outRoot: String, id: String, vec: String, k: Int) {
+                      outRoot: String, id: String, vec: String, k: Int,
+                      // the probe seam: any committed-index top-k with
+                      // the shared (spark, batch, id, vec, k, root)
+                      // shape — SimIndex by default, PqIndex.probeTopK
+                      // for the streaming × PQ cell (AnnStreamSpec
+                      // proves both ≡ their direct probes)
+                      probeFn: (SparkSession, DataFrame, String, String,
+                        Int, String) => DataFrame = SimIndex.probeTopK) {
 
   private def fs =
     new Path(outRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -53,12 +60,17 @@ final class AnnStream(spark: SparkSession, indexRoot: String,
     val target = new Path(outRoot, s"topk.b$batchId")
     if (committed(target)) return false
     graft.sources.Artifacts.notePublish()
-    SimIndex.probeTopK(spark, batch, id, vec, k, indexRoot)
+    probeFn(spark, batch, id, vec, k, indexRoot)
       .write.mode("overwrite").parquet(target.toString)
     true
   }
 
-  /** Every committed batch's top-k results so far. */
+  /** Every committed batch's top-k results so far, in the probe's own
+    * schema (SimIndex: cos_sim; PqIndex: adc_d2). Before any batch
+    * commits, falls back to the SimIndex shape — callers of a
+    * non-default probe read results only after probing (the batch dir
+    * carries the real schema from then on).
+    */
   def results(): DataFrame = {
     val dirs = batchDirs.map(_._2.toString)
     if (dirs.isEmpty)
@@ -66,7 +78,6 @@ final class AnnStream(spark: SparkSession, indexRoot: String,
         col("id").as("index_id"), lit(0.0).as("cos_sim"),
         col("id").as("rnk"))
     else spark.read.parquet(dirs: _*)
-      .select("query_id", "index_id", "cos_sim", "rnk")
   }
 
   def committedBatches: Seq[Long] = batchDirs.map(_._1)

@@ -58,6 +58,37 @@ class AnnStreamSpec extends SparkSpec {
     assert(s.results().count() == got.size)
   }
 
+  test("the probe seam serves the PQ index too: stream ≡ direct ADC probe") {
+    val M = 4; val DSUB = 4; val KS = 8; val ITERS = 2
+    // PQ fit seeds from the first KS ids — index ids must start at 0
+    val pqIndex = (0 until 40).map(i => (i.toLong, vec(i.toLong, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val idxRoot = Files.createTempDirectory("annstream-pqidx").toString
+    graft.operators.PqIndex.publish(pqIndex, "vec_id", "embedding",
+      M, DSUB, KS, ITERS, idxRoot)
+    val outRoot = Files.createTempDirectory("annstream-out").toString
+    val s = new AnnStream(spark, idxRoot, outRoot, "vec_id", "embedding",
+      K, probeFn = graft.operators.PqIndex.probeTopK)
+    val b0 = (0 until 3).map(q => (1000L + q, vec(q.toLong, 0.001f)))
+      .toDF("vec_id", "embedding")
+    val b1 = (3 until 5).map(q => (1000L + q, vec(q.toLong, 0.001f)))
+      .toDF("vec_id", "embedding")
+    assert(s.processBatch(b0, 0))
+    assert(s.processBatch(b1, 1))
+    val got = s.results()
+      .select("query_id", "index_id", "adc_d2", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = graft.operators.PqIndex.probeTopK(spark,
+        b0.unionByName(b1), "vec_id", "embedding", K, idxRoot)
+      .select("query_id", "index_id", "adc_d2", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want, s"PQ stream/batch divergence:\n$got\n$want")
+    // replay absorbed on this probe too
+    assert(!s.processBatch(b1, 1))
+    assert(s.results().count() == got.size)
+  }
+
   test("runs under a real foreachBatch micro-batch query (file source)") {
     val idxRoot = publishIndex()
     val outRoot = Files.createTempDirectory("annstream-out").toString
