@@ -32,19 +32,24 @@ object IntMath {
     */
   val IsqrtSteps = 9
 
-  /** Append column `out` = floor(sqrt(`n`)) for positive-long column
-    * `n`, as [[IsqrtSteps]] chained integer-only expressions (chained
-    * `withColumn`, never a self-embedding tree — a nested unroll
-    * would double the expression per step).
+  /** Append column `out` = floor(sqrt(`n`)) for long column `n`
+    * (n ≤ 0 maps to 0 — the recurrence runs on `greatest(n, 1)` so a
+    * zero input can never reach a 0-div-0 step, which would THROW
+    * under ANSI mode rather than quietly null), as [[IsqrtSteps]]
+    * chained integer-only expressions (chained `withColumn`, never a
+    * self-embedding tree — a nested unroll would double the
+    * expression per step).
     */
   def withIsqrt(df: DataFrame, n: String, out: String): DataFrame = {
+    val g = s"greatest($n, cast(1 as bigint))"
     var d = df.withColumn(out, org.apache.spark.sql.functions.expr(
-      s"shiftleft(cast(1 as bigint), cast((length(bin($n)) + 1) div 2 as int))"))
+      s"shiftleft(cast(1 as bigint), cast((length(bin($g)) + 1) div 2 as int))"))
     for (_ <- 1 to IsqrtSteps)
       d = d.withColumn(out, org.apache.spark.sql.functions.expr(
-        s"($out + $n div $out) div 2"))
+        s"($out + $g div $out) div 2"))
     d.withColumn(out, org.apache.spark.sql.functions.expr(
-      s"case when $out > $n div $out then $out - 1 else $out end"))
+      s"case when $n <= 0 then cast(0 as bigint) " +
+        s"when $out > $n div $out then $out - 1 else $out end"))
   }
 
   /** The DuckDB twin: CTE fragments chaining the same recurrence.
@@ -54,19 +59,21 @@ object IntMath {
     */
   def isqrtSqlCtes(src: String, keep: String, n: String,
                    out: String): String = {
+    val g = s"greatest($n, CAST(1 AS BIGINT))"
     val seed =
       s"""isq0 AS (
          |  SELECT $keep, $n,
-         |    (CAST(1 AS BIGINT) << ((length(bin($n)) + 1) // 2)) AS x
+         |    (CAST(1 AS BIGINT) << ((length(bin($g)) + 1) // 2)) AS x
          |  FROM $src)"""
     val steps = (1 to IsqrtSteps).map { i =>
       s"""isq$i AS (
-         |  SELECT $keep, $n, (x + $n // x) // 2 AS x FROM isq${i - 1})"""
+         |  SELECT $keep, $n, (x + $g // x) // 2 AS x FROM isq${i - 1})"""
     }
     val fin =
       s"""isqf AS (
          |  SELECT $keep, $n,
-         |    (CASE WHEN x > $n // x THEN x - 1 ELSE x END) AS $out
+         |    (CASE WHEN $n <= 0 THEN CAST(0 AS BIGINT)
+         |          WHEN x > $n // x THEN x - 1 ELSE x END) AS $out
          |  FROM isq$IsqrtSteps)"""
     (seed +: steps :+ fin).mkString(",\n")
   }

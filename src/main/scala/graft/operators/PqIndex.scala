@@ -151,10 +151,40 @@ object PqIndex {
     target.getAbsolutePath
   }
 
+  /** Delta dir NAMES already folded into the generation at `genPath`
+    * (its `_folded.json`, written by [[mergeCompact]]) — empty for a
+    * fresh publish. Unlike [[SimIndex]], duplicate code rows are NOT
+    * harmless here: its probe max-aggregates an idempotent score, but
+    * ADC SUMS d² per code row, so a vector read from both the folded
+    * generation and a not-yet-vacuumed delta would double its
+    * distance and corrupt every ranking it appears in. The sidecar
+    * closes the commit→delta-delete race: a reader that resolves the
+    * new generation while the old delta dirs still exist skips
+    * exactly the folded ones.
+    */
+  private def foldedOf(genPath: String): Set[String] = {
+    val f = new java.io.File(genPath, "_folded.json")
+    if (!f.isFile) Set.empty
+    else """"([^"]+)"""".r
+      .findAllMatchIn(java.nio.file.Files.readString(f.toPath))
+      .map(_.group(1)).toSet
+  }
+
+  /** The committed delta roots NOT already folded into `genPath`. */
+  private def liveDeltas(root: String, genPath: String): Seq[String] = {
+    val folded = foldedOf(genPath)
+    deltas(root).filterNot(p => folded(new java.io.File(p).getName))
+  }
+
   /** Fold every committed code delta and pending delete into the next
     * generation: pure row union + filter over existing artifacts —
     * no re-encode, no re-train; codebook and params carry over
-    * unchanged. Clears the append log and resets tombstones.
+    * unchanged. The new generation records WHICH delta dirs it folded
+    * (`_folded.json`) before they are deleted, so a probe racing the
+    * deletion never reads a delta twice (see [[foldedOf]]); a crash
+    * between commit and deletion leaves only already-folded dirs,
+    * which every reader and the next merge skip. Clears the append
+    * log and resets tombstones.
     */
   def mergeCompact(spark: SparkSession, root: String): String =
     synchronized {
@@ -164,20 +194,27 @@ object PqIndex {
       val cent = spark.read.parquet(
         new java.io.File(basePath, "codebook").toString)
       // the base generation keeps its codes under codes/; each delta
-      // dir IS a codes table
-      val all0 = deltas(root)
+      // dir IS a codes table; deltas a crashed predecessor already
+      // folded into basePath must not fold twice
+      val live = liveDeltas(root, basePath)
+      val all0 = live
         .map(spark.read.parquet(_))
         .foldLeft(spark.read.parquet(
           new java.io.File(basePath, "codes").toString))(_.unionByName(_))
       val all = tombstones(spark, root)
         .map(t => all0.join(t, Seq("index_id"), "left_anti"))
         .getOrElse(all0)
+      val foldedNames =
+        (foldedOf(basePath) ++ live.map(new java.io.File(_).getName)).toSeq.sorted
       val path = VersionedDirs.commit(root) { st =>
         all.write.parquet(new java.io.File(st, "codes").toString)
         cent.write.parquet(new java.io.File(st, "codebook").toString)
         java.nio.file.Files.writeString(
           new java.io.File(st, "_params.json").toPath,
           s"""{"m":$m,"dsub":$dsub,"ks":$ks,"iters":$iters}""")
+        java.nio.file.Files.writeString(
+          new java.io.File(st, "_folded.json").toPath,
+          foldedNames.map(n => s""""$n"""").mkString("[", ",", "]"))
         java.nio.file.Files.createFile(
           new java.io.File(st, "_SUCCESS").toPath)
         ()
@@ -220,10 +257,13 @@ object PqIndex {
     val (m, dsub, _, _) = params(root)
     val cent = spark.read.parquet(
       new java.io.File(idxPath, "codebook").toString)
-    // base codes ∪ committed code deltas (each already encoded with
-    // the frozen codebooks at append time); uncompacted deletes are
-    // honored at probe time via the shared tombstone log
-    val codes0 = deltas(root)
+    // base codes ∪ committed code deltas NOT already folded into this
+    // generation (each delta already encoded with the frozen codebooks
+    // at append time; the folded-sidecar filter is what keeps a probe
+    // racing mergeCompact's delta deletion from summing a vector's d²
+    // twice — see foldedOf); uncompacted deletes are honored at probe
+    // time via the shared tombstone log
+    val codes0 = liveDeltas(root, idxPath)
       .map(spark.read.parquet(_))
       .foldLeft(spark.read.parquet(
         new java.io.File(idxPath, "codes").toString))(_.unionByName(_))

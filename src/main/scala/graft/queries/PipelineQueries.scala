@@ -4090,7 +4090,11 @@ object PipelineQueries {
     * q260/q261/q262.
     */
   val ivfPq: Q = {
-    val NQ = 5L; val PROBE = 2; val CC = 8; val CI = 2
+    // coarse geometry is the shared q53/q54 codebook (KM_C cells,
+    // KM_ITERS rounds) because the oracle's kmeansCtes() is generated
+    // from exactly those constants — a local copy would be a hidden
+    // must-stay-equal coupling the compiler can't see
+    val NQ = 5L; val PROBE = 2
     Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -4098,7 +4102,7 @@ object PipelineQueries {
           t(s, d, "embeddings"), "vec_id", "embedding").persist()
         // coarse quantizer: 8 trained cells, 2 Lloyd rounds (the
         // q53/q54 codebook constants)
-        val coarse = VectorQuantizer.fitCentroids(e, "vec_id", CC, CI)
+        val coarse = VectorQuantizer.fitCentroids(e, "vec_id", KM_C, KM_ITERS)
         val corpusCells = VectorQuantizer.assignCells(e, coarse, "vec_id")
           .withColumnRenamed("cell", "ccell")
         val queryCells = VectorQuantizer.assignCells(

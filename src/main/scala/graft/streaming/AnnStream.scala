@@ -32,7 +32,7 @@ final class AnnStream(spark: SparkSession, indexRoot: String,
                       // for the streaming × PQ cell (AnnStreamSpec
                       // proves both ≡ their direct probes)
                       probeFn: (SparkSession, DataFrame, String, String,
-                        Int, String) => DataFrame = SimIndex.probeTopK) {
+                        Int, String) => DataFrame = AnnStream.DefaultProbe) {
 
   private def fs =
     new Path(outRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -67,18 +67,35 @@ final class AnnStream(spark: SparkSession, indexRoot: String,
 
   /** Every committed batch's top-k results so far, in the probe's own
     * schema (SimIndex: cos_sim; PqIndex: adc_d2). Before any batch
-    * commits, falls back to the SimIndex shape — callers of a
-    * non-default probe read results only after probing (the batch dir
-    * carries the real schema from then on).
+    * commits, the empty frame can only carry the DEFAULT probe's
+    * shape — for a custom probe the schema lives in the committed
+    * batch dirs, so reading before the first commit raises a clear
+    * error rather than handing back columns the probe never produces.
     */
   def results(): DataFrame = {
     val dirs = batchDirs.map(_._2.toString)
-    if (dirs.isEmpty)
+    if (dirs.isEmpty) {
+      // reference equality against the shared default instance — an
+      // inline eta-expansion of SimIndex.probeTopK would never compare
+      // equal, so the default lives as one companion val
+      require(probeFn eq AnnStream.DefaultProbe,
+        s"no committed batches under $outRoot yet — a custom-probe " +
+          "stream's result schema comes from its batch dirs; probe at " +
+          "least one batch before reading results()")
       spark.range(0).select(col("id").as("query_id"),
         col("id").as("index_id"), lit(0.0).as("cos_sim"),
         col("id").as("rnk"))
-    else spark.read.parquet(dirs: _*)
+    } else spark.read.parquet(dirs: _*)
   }
 
   def committedBatches: Seq[Long] = batchDirs.map(_._1)
+}
+
+object AnnStream {
+  /** The default probe as ONE shared function instance, so the
+    * empty-results guard can tell default from custom by reference
+    * (every `SimIndex.probeTopK _` eta-expansion is a fresh object).
+    */
+  val DefaultProbe: (SparkSession, DataFrame, String, String, Int,
+    String) => DataFrame = SimIndex.probeTopK
 }

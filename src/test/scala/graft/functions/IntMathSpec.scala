@@ -12,6 +12,7 @@ class IntMathSpec extends SparkSpec {
   import spark.implicits._
 
   private def ref(n: Long): Long = {
+    if (n <= 0) return 0 // the production mapping for empty sources
     // binary-search reference, no floating point anywhere
     var lo = 0L; var hi = math.min(n, 3037000499L) + 1
     while (lo < hi) {
@@ -29,7 +30,7 @@ class IntMathSpec extends SparkSpec {
       Seq(3037000499L * 3037000499L, // largest representable square
         3037000499L * 3037000499L - 1,
         Long.MaxValue, Long.MaxValue - 1, 999999999999L)
-    val df = ns.distinct.filter(_ >= 1).toDF("n")
+    val df = (ns.distinct.filter(_ >= 1) ++ Seq(0L, -5L)).toDF("n")
     val got = IntMath.withIsqrt(df, "n", "w")
       .select($"n", $"w").as[(Long, Long)].collect()
     for ((n, w) <- got)

@@ -92,21 +92,33 @@ class PqIndexSpec extends SparkSpec {
         s"query ${1000 + q}'s original $q missing from its top-$K")
   }
 
-  test("probe serves the FROZEN codebooks — corpus drift after publish is invisible") {
+  test("probe follows the COMMITTED generation: stale before re-publish, fresh after") {
+    // non-vacuous frozen-codebook proof: the same root serves the v1
+    // (half-corpus) answers until a re-publish commits v2, and v2's
+    // answers equal a from-scratch index over the grown corpus — so
+    // the probe's codebooks/codes come from the committed artifact,
+    // never from whatever corpus currently exists
+    val half = index.filter($"vec_id" < 20L)
     val root = Files.createTempDirectory("pqidx").toString
+    PqIndex.publish(half, "vec_id", "embedding", M, DSUB, KS, ITERS, root)
+    def probe(r: String) = PqIndex.probeTopK(spark, queries, "vec_id",
+        "embedding", K, r)
+      .select("query_id", "index_id", "adc_d2", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val v1Answers = probe(root)
+    // the corpus "grew" but nothing was re-published: still v1 answers
+    assert(probe(root) == v1Answers)
+    assert(!v1Answers.exists(_._2 >= 20L),
+      "v1 probe surfaced a vector the committed generation cannot hold")
+    // re-publish over the full corpus: the probe must move to v2...
     PqIndex.publish(index, "vec_id", "embedding", M, DSUB, KS, ITERS, root)
-    val before = PqIndex.probeTopK(spark, queries, "vec_id", "embedding",
-        K, root)
-      .select("query_id", "index_id", "adc_d2", "rnk")
-      .as[(Long, Long, Long, Long)].collect().toSet
-    // the probe takes no corpus argument at all — its only inputs are
-    // the query batch and the committed artifact, so a re-probe after
-    // the source corpus "grew" (no re-publish) must be byte-identical
-    val after = PqIndex.probeTopK(spark, queries, "vec_id", "embedding",
-        K, root)
-      .select("query_id", "index_id", "adc_d2", "rnk")
-      .as[(Long, Long, Long, Long)].collect().toSet
-    assert(before == after)
+    val v2Answers = probe(root)
+    assert(v2Answers != v1Answers,
+      "re-publish over a grown corpus did not change the probe")
+    // ...and v2 ≡ a from-scratch index over the same grown corpus
+    val fresh = Files.createTempDirectory("pqidx").toString
+    PqIndex.publish(index, "vec_id", "embedding", M, DSUB, KS, ITERS, fresh)
+    assert(v2Answers == probe(fresh))
   }
 
   test("delta append encodes with FROZEN codebooks; merge folds without re-encode") {
