@@ -73,6 +73,17 @@ class BenchFormatSpec extends AnyFunSuite {
       detail)
   }
 
+  test("detail line carries every iteration time under iters (DETAIL only)") {
+    val detail = Bench.detailLine(results(2), Nil, "/tmp/sf", Nil, Nil,
+      Seq(("q01_some_long_query_name_1", Seq(6.613, 3.862, 3.382))))
+    assert(detail.contains(
+      """"iters":{"q01_some_long_query_name_1":[6.613,3.862,3.382]}"""),
+      detail)
+    // the byte-budgeted compact stdout line must NOT grow an iters map
+    val compact = Bench.compactLine(results(2), Nil, "/tmp/sf")
+    assert(!compact.contains("iters"), compact)
+  }
+
   test("publish-inclusive first runs are marked under pub with qNN keys") {
     val line = Bench.compactLine(results(2), Nil, "/tmp/sf",
       Seq(("q91_incremental_dedup", 5.73)))

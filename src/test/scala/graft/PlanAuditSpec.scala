@@ -262,6 +262,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("novelty is a shingle window-min + keyed aggs — never a pair join (q264)") {
+    val p = plan("q264_novelty")
+    // the whole point vs near-dup: first-occurrence rides ONE window
+    // over the shingle exchange; a regression to shingle-pair joins
+    // would explode quadratically on boilerplate-heavy sources
+    assert(p.contains("windowspecdefinition"), p.take(1200))
+    assert(!p.contains("SortMergeJoin ["), // doc-keyed joins broadcast/hash at this scale
+      s"q264 grew a corpus-sized sort-merge join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("temperature mix: corpus work is ONE source aggregate (q265)") {
+    val p = plan("q265_temperature_mix")
+    // everything after the per-source aggregate (isqrt chain, window
+    // apportionment) runs over taxonomy-sized rows; the corpus must
+    // contribute exactly one hash aggregate exchange
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).size == 1,
+      s"q265 shuffles the corpus more than once on source:\n${p.take(1500)}")
+  }
+
   test("quantized dedup is one hash exchange — codes never pair (q113)") {
     val p = plan("q113_quantized_dedup")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
