@@ -149,6 +149,14 @@ object DedupIndex {
     */
   def probeBanded(spark: SparkSession, newBands: DataFrame,
                   root: String): DataFrame = {
+    // tombstones are read BEFORE resolving the generation: applying a
+    // pre-reset tombstone set to either generation is always correct
+    // (old: the filter is needed; compacted: the rows are already
+    // gone, anti-join is a no-op), whereas the reverse order lets a
+    // probe that resolved the OLD generation read the log AFTER a
+    // concurrent compact's reset — and the purged rows resurface for
+    // exactly that probe. Same discipline in SimIndex and PqIndex.
+    val ts = tombstones(spark, root)
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
     // The new batch's banding (a shingle explode + k min-aggregates
@@ -168,7 +176,7 @@ object DedupIndex {
     // anti-join is O(deletes-since-compaction); no broadcast HINT —
     // a mass purge can be arbitrarily large, so the strategy is left
     // to AQE (broadcast when the runtime size allows)
-    val live = tombstones(spark, root)
+    val live = ts
       .map(t => idx.join(t, Seq("index_id"), "left_anti"))
       .getOrElse(idx)
     nb.join(live, Seq("bucket", "band", "band_key"))

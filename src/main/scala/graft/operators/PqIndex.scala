@@ -252,6 +252,9 @@ object PqIndex {
     */
   def probeTopK(spark: SparkSession, queries: DataFrame, id: String,
                 vec: String, k: Int, root: String): DataFrame = {
+    // tombstones BEFORE resolve — the compact-race discipline shared
+    // with DedupIndex.probeBanded (see its comment)
+    val ts = tombstones(spark, root)
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
     val (m, dsub, _, _) = params(root)
@@ -267,7 +270,7 @@ object PqIndex {
       .map(spark.read.parquet(_))
       .foldLeft(spark.read.parquet(
         new java.io.File(idxPath, "codes").toString))(_.unionByName(_))
-    val codes = tombstones(spark, root)
+    val codes = ts
       .map(t => codes0.join(t, Seq("index_id"), "left_anti"))
       .getOrElse(codes0)
     val qpq = VectorQuantizer.subVectors(

@@ -214,6 +214,11 @@ object SimIndex {
     */
   def probeTopK(spark: SparkSession, queries: DataFrame, id: String,
                 vec: String, k: Int, root: String): DataFrame = {
+    // tombstones BEFORE resolve — the compact-race discipline shared
+    // with DedupIndex.probeBanded (see its comment): a pre-reset set
+    // applied to the compacted generation is a no-op, but the reverse
+    // order can resurface purged vectors for a probe racing the reset
+    val ts = tombstones(spark, root)
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
     val (bits, tables) = params(root)
@@ -236,7 +241,7 @@ object SimIndex {
       .reduce(_.unionByName(_))
     // uncompacted deletes are honored at probe time; strategy left to
     // AQE (a mass purge can be arbitrarily large — no broadcast hint)
-    val idx = tombstones(spark, root)
+    val idx = ts
       .map(t => idx0.join(t, Seq("index_id"), "left_anti"))
       .getOrElse(idx0)
     val scored = qk.join(idx, Seq("pbucket", "tbl", "bucket"))
