@@ -3906,9 +3906,13 @@ object PipelineQueries {
 
   /** Encode `encodeCte`'s vectors with the pc[[PQ_ITERS]] codebook and
     * ADC-score `queriesPred` rows against them — CTE chain ending at
-    * `ranked` (query_id, index_id, adc_d2, rnk).
+    * `ranked` (query_id, index_id, adc_d2, rnk). `pairPred` restricts
+    * which (code row `cd`, query `dt`) pairs score at all — the
+    * snapshot-isolation predicate of the streaming twin (default:
+    * every pair).
     */
-  private def pqRankCtes(encodeCte: String, queriesPred: String): String =
+  private def pqRankCtes(encodeCte: String, queriesPred: String,
+                         pairPred: String = "TRUE"): String =
     s"""fd AS (
        |  SELECT ib.vec_id, c.sub, c.cell,
        |    sum((ib.xs - c.cs) * (ib.xs - c.cs)) AS d2
@@ -3932,6 +3936,7 @@ object PipelineQueries {
        |    sum(dt.d2)::BIGINT AS adc_d2
        |  FROM codes cd JOIN dtab dt
        |    ON cd.sub = dt.sub AND cd.cell = dt.cell
+       |  WHERE $pairPred
        |  GROUP BY 1, 2),
        |ranked AS (
        |  SELECT query_id, index_id, adc_d2,
@@ -4397,6 +4402,63 @@ object PipelineQueries {
          |SELECT query_id, index_id, cos_sim, CAST(adc_rnk AS BIGINT) AS adc_rnk,
          |  CAST(rnk AS BIGINT) AS rnk
          |FROM rr2 WHERE rnk <= $PQ_K
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  /** Judged batch twin of the streaming PQ probe (q268) — q259's
+    * snapshot-isolation proof on the SECOND index family the
+    * [[graft.streaming.AnnStream]] probe seam serves: batch 0 probes
+    * the base PQ generation by ADC, is REDELIVERED (absorbed
+    * byte-for-byte from the committed batch dir), a code delta lands
+    * ([[PqIndex.appendDelta]] — the re-publish boundary, encoded
+    * with the base's frozen codebooks), and batch 1 probes base ∪
+    * delta. The oracle's pair predicate IS the isolation contract:
+    * batch-0 queries score only base code rows, batch-1 queries
+    * score base + delta — a hash match proves each batch was scored
+    * against exactly one committed index state, with the delta
+    * encoded under frozen (not re-trained) codebooks.
+    */
+  val pqStreamTwin: Q = {
+    val BASE_MAX = 300L; val DELTA_MAX = 400L
+    val B0_MAX = 450L; val Q_MAX = 500L; val K = 3
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val base = emb.filter(col("vec_id") < BASE_MAX)
+        val delta = emb.filter(
+          col("vec_id") >= BASE_MAX && col("vec_id") < DELTA_MAX)
+        val b0 = emb.filter(
+          col("vec_id") >= DELTA_MAX && col("vec_id") < B0_MAX)
+        val b1 = emb.filter(
+          col("vec_id") >= B0_MAX && col("vec_id") < Q_MAX)
+        val idxRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-pq-stream-idx", d, Seq("embeddings.parquet"))
+        val outRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-pq-stream-out", d, Seq("embeddings.parquet"))
+        if (PqIndex.resolve(idxRoot).isEmpty)
+          PqIndex.publish(base, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, idxRoot)
+        val ann = new graft.streaming.AnnStream(
+          s, idxRoot, outRoot, "vec_id", "embedding", K,
+          probeFn = PqIndex.probeTopK)
+        ann.processBatch(b0, 0)
+        ann.processBatch(b0, 0) // at-least-once redelivery: absorbed
+        if (PqIndex.deltas(idxRoot).isEmpty)
+          PqIndex.appendDelta(delta, "vec_id", "embedding", idxRoot)
+        ann.processBatch(b1, 1)
+        ann.results().orderBy("query_id", "rnk")
+      },
+      s"""WITH $pqEpCtes,
+         |ix AS (SELECT * FROM ep WHERE vec_id < $BASE_MAX),
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+         |        WHERE vec_id < $PQ_KS),
+         |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+         |enc AS (SELECT * FROM ep WHERE vec_id < $DELTA_MAX),
+         |${pqRankCtes("enc",
+             s"q.vec_id >= $DELTA_MAX AND q.vec_id < $Q_MAX",
+             s"cd.vec_id < $BASE_MAX OR dt.query_id >= $B0_MAX")}
+         |SELECT query_id, index_id, adc_d2, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= $K
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
@@ -8967,6 +9029,7 @@ object PipelineQueries {
     "q265_temperature_mix" -> temperatureMix,
     "q266_incremental_novelty" -> incrementalNovelty,
     "q267_pq_rerank"     -> pqRerank,
+    "q268_pq_stream_twin" -> pqStreamTwin,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

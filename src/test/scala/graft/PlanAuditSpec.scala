@@ -47,8 +47,10 @@ class PlanAuditSpec extends SparkSpec {
                           // audited by DedupStreamSpec + its own oracle
       "q259_ann_stream_twin", // same: AnnStream batches commit at build
                               // (AnnStreamSpec audits the stream side)
-      "q263_ivfpq") // coarse fit + fitPQ Lloyd rounds checkpoint at
+      "q263_ivfpq", // coarse fit + fitPQ Lloyd rounds checkpoint at
                     // build (q54 + q247's machinery composed)
+      "q268_pq_stream_twin") // AnnStream batches commit at build
+                             // (q259's exclusion, PQ probe)
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
