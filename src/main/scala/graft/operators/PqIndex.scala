@@ -135,7 +135,10 @@ object PqIndex {
     val spark = corpus.sparkSession
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
-    val (m, dsub, _, _) = params(root)
+    // geometry read from the SAME resolved generation as the codebook
+    // — params(root) would re-resolve and could land on a racing
+    // re-publish with different (m, dsub)
+    val (m, dsub, _, _) = paramsAt(idxPath)
     val cent = spark.read.parquet(
       new java.io.File(idxPath, "codebook").toString)
     graft.sources.Artifacts.notePublish()
@@ -170,12 +173,6 @@ object PqIndex {
       .map(_.group(1)).toSet
   }
 
-  /** The committed delta roots NOT already folded into `genPath`. */
-  private def liveDeltas(root: String, genPath: String): Seq[String] = {
-    val folded = foldedOf(genPath)
-    deltas(root).filterNot(p => folded(new java.io.File(p).getName))
-  }
-
   /** Fold every committed code delta and pending delete into the next
     * generation: pure row union + filter over existing artifacts —
     * no re-encode, no re-train; codebook and params carry over
@@ -188,15 +185,17 @@ object PqIndex {
     */
   def mergeCompact(spark: SparkSession, root: String): String =
     synchronized {
+      val deltaSnap = deltas(root)
       val basePath = resolve(root).getOrElse(
         throw new IllegalStateException(s"no committed index under $root"))
-      val (m, dsub, ks, iters) = params(root)
+      val (m, dsub, ks, iters) = paramsAt(basePath)
       val cent = spark.read.parquet(
         new java.io.File(basePath, "codebook").toString)
       // the base generation keeps its codes under codes/; each delta
       // dir IS a codes table; deltas a crashed predecessor already
       // folded into basePath must not fold twice
-      val live = liveDeltas(root, basePath)
+      val folded0 = foldedOf(basePath)
+      val live = deltaSnap.filterNot(p => folded0(new java.io.File(p).getName))
       val all0 = live
         .map(spark.read.parquet(_))
         .foldLeft(spark.read.parquet(
@@ -204,8 +203,13 @@ object PqIndex {
       val all = tombstones(spark, root)
         .map(t => all0.join(t, Seq("index_id"), "left_anti"))
         .getOrElse(all0)
+      // prune carried fold names to dirs that still exist (a deleted
+      // UUID dir can never reappear) so the sidecar stays bounded by
+      // the crash-leftover count, not the root's whole history
+      val snapNames = deltaSnap.map(new java.io.File(_).getName).toSet
       val foldedNames =
-        (foldedOf(basePath) ++ live.map(new java.io.File(_).getName)).toSeq.sorted
+        ((folded0 intersect snapNames) ++
+          live.map(new java.io.File(_).getName)).toSeq.sorted
       val path = VersionedDirs.commit(root) { st =>
         all.write.parquet(new java.io.File(st, "codes").toString)
         cent.write.parquet(new java.io.File(st, "codebook").toString)
@@ -222,21 +226,34 @@ object PqIndex {
       def rm(x: java.io.File): Unit = {
         Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
       }
-      rm(deltaDir(root))
+      // delete exactly the dirs THIS merge folded — an append another
+      // process committed after the snapshot was not folded and must
+      // survive (a blanket deltaDir rm would silently lose its
+      // vectors); crashed-append staging leftovers vacuum alongside
+      live.foreach(p => rm(new java.io.File(p)))
+      Option(deltaDir(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(".staging-"))
+        .foreach(rm)
       Tombstones.reset(spark, root)
       path
     }
 
-  /** The frozen (m, dsub, ks, iters) of the committed index. */
-  def params(root: String): (Int, Int, Int, Int) = {
-    val idxPath = resolve(root).getOrElse(
-      throw new IllegalStateException(s"no committed index under $root"))
+  /** The frozen (m, dsub, ks, iters) of the newest committed index. */
+  def params(root: String): (Int, Int, Int, Int) =
+    paramsAt(resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root")))
+
+  /** The frozen geometry of ONE resolved generation — internal reads
+    * go through this with a pinned path so a probe never mixes one
+    * generation's codebook with a racing re-publish's (m, dsub).
+    */
+  private def paramsAt(genPath: String): (Int, Int, Int, Int) = {
     val txt = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(idxPath, "_params.json"))
+      java.nio.file.Paths.get(genPath, "_params.json"))
     def field(k: String): Int =
       s""""$k":(\\d+)""".r.findFirstMatchIn(txt)
         .getOrElse(throw new IllegalStateException(
-          s"malformed _params.json in $idxPath: $txt"))
+          s"malformed _params.json in $genPath: $txt"))
         .group(1).toInt
     (field("m"), field("dsub"), field("ks"), field("iters"))
   }
@@ -252,21 +269,32 @@ object PqIndex {
     */
   def probeTopK(spark: SparkSession, queries: DataFrame, id: String,
                 vec: String, k: Int, root: String): DataFrame = {
-    // tombstones BEFORE resolve — the compact-race discipline shared
-    // with DedupIndex.probeBanded (see its comment)
+    // read-order discipline (see DedupIndex.probeBanded): tombstones,
+    // then the DELTA LISTING, then resolve. Tombstones-first keeps a
+    // racing compact's log reset from resurfacing purged rows;
+    // deltas-before-resolve keeps a probe that would have resolved
+    // the OLD generation from seeing the append log AFTER the merge
+    // deleted it (it would serve old-gen-minus-deltas — a state that
+    // was never committed); and the folded-sidecar filter below
+    // drops exactly the listed dirs a racing merge already folded
+    // into the NEW generation, so no vector's d² is ever summed twice
     val ts = tombstones(spark, root)
+    val deltaSnap = deltas(root)
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
-    val (m, dsub, _, _) = params(root)
+    // geometry pinned to the SAME resolved generation as the codebook
+    // and codes — params(root) would re-resolve under a racing
+    // re-publish and split queries with the wrong (m, dsub)
+    val (m, dsub, _, _) = paramsAt(idxPath)
     val cent = spark.read.parquet(
       new java.io.File(idxPath, "codebook").toString)
     // base codes ∪ committed code deltas NOT already folded into this
     // generation (each delta already encoded with the frozen codebooks
-    // at append time; the folded-sidecar filter is what keeps a probe
-    // racing mergeCompact's delta deletion from summing a vector's d²
-    // twice — see foldedOf); uncompacted deletes are honored at probe
-    // time via the shared tombstone log
-    val codes0 = liveDeltas(root, idxPath)
+    // at append time); uncompacted deletes are honored at probe time
+    // via the shared tombstone log
+    val folded = foldedOf(idxPath)
+    val codes0 = deltaSnap
+      .filterNot(p => folded(new java.io.File(p).getName))
       .map(spark.read.parquet(_))
       .foldLeft(spark.read.parquet(
         new java.io.File(idxPath, "codes").toString))(_.unionByName(_))

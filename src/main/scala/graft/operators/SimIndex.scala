@@ -72,16 +72,22 @@ object SimIndex {
     }
   }
 
-  /** The frozen (bits, tables) of the committed index under `root`. */
-  def params(root: String): (Int, Int) = {
-    val idxPath = resolve(root).getOrElse(
-      throw new IllegalStateException(s"no committed index under $root"))
+  /** The frozen (bits, tables) of the newest committed index. */
+  def params(root: String): (Int, Int) =
+    paramsAt(resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root")))
+
+  /** The frozen params of ONE resolved generation — internal reads
+    * pin the path so a probe never keys with a racing re-publish's
+    * (r, T) against this generation's buckets.
+    */
+  private def paramsAt(genPath: String): (Int, Int) = {
     val txt = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(idxPath, "_params.json"))
+      java.nio.file.Paths.get(genPath, "_params.json"))
     def field(k: String): Int =
       s""""$k":(\\d+)""".r.findFirstMatchIn(txt)
         .getOrElse(throw new IllegalStateException(
-          s"malformed _params.json in $idxPath: $txt"))
+          s"malformed _params.json in $genPath: $txt"))
         .group(1).toInt
     (field("bits"), field("tables"))
   }
@@ -143,7 +149,8 @@ object SimIndex {
     */
   def appendDelta(corpus: DataFrame, id: String, vec: String,
                   root: String): String = synchronized {
-    val (bits, tables) = params(root)
+    val (bits, tables) = paramsAt(resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root")))
     graft.sources.Artifacts.notePublish()
     val dr = deltaDir(root); dr.mkdirs()
     val staging = new java.io.File(dr,
@@ -165,10 +172,11 @@ object SimIndex {
     * no re-hashing; params carry over unchanged.
     */
   def mergeCompact(spark: SparkSession, root: String): String = synchronized {
+    val deltaSnap = deltas(root)
     val basePath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
-    val (bits, tables) = params(root)
-    val all0 = (basePath +: deltas(root))
+    val (bits, tables) = paramsAt(basePath)
+    val all0 = (basePath +: deltaSnap)
       .map(p => spark.read.parquet(p))
       .reduce(_.unionByName(_))
     // fold pending deletes into the rewrite (pure row filter, no
@@ -188,7 +196,17 @@ object SimIndex {
     def rm(x: java.io.File): Unit = {
       Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
     }
-    rm(deltaDir(root))
+    // delete exactly the dirs THIS merge folded — an append another
+    // process committed after the snapshot was not folded and must
+    // survive (a blanket deltaDir rm would silently lose its
+    // vectors); crashed-append staging leftovers vacuum alongside.
+    // (A delta surviving one extra merge cycle is harmless here even
+    // if double-read: the probe's max-aggregated score is idempotent
+    // over duplicate key rows.)
+    deltaSnap.foreach(p => rm(new java.io.File(p)))
+    Option(deltaDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".staging-"))
+      .foreach(rm)
     Tombstones.reset(spark, root)
     path
   }
@@ -214,14 +232,22 @@ object SimIndex {
     */
   def probeTopK(spark: SparkSession, queries: DataFrame, id: String,
                 vec: String, k: Int, root: String): DataFrame = {
-    // tombstones BEFORE resolve — the compact-race discipline shared
-    // with DedupIndex.probeBanded (see its comment): a pre-reset set
-    // applied to the compacted generation is a no-op, but the reverse
-    // order can resurface purged vectors for a probe racing the reset
+    // read-order discipline (see DedupIndex.probeBanded): tombstones,
+    // then the DELTA LISTING, then resolve. Tombstones-first keeps a
+    // racing compact's log reset from resurfacing purged vectors;
+    // deltas-before-resolve keeps a probe that resolves the OLD
+    // generation from seeing the append log after a racing merge
+    // deleted it (old-gen-minus-deltas was never a committed state).
+    // Resolving the NEW generation with the stale delta listing is
+    // harmless here: the probe max-aggregates an idempotent score, so
+    // double-read key rows can't change any ranking.
     val ts = tombstones(spark, root)
+    val deltaSnap = deltas(root)
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
-    val (bits, tables) = params(root)
+    // params pinned to the resolved generation (re-resolving could
+    // land on a racing re-publish's (r, T))
+    val (bits, tables) = paramsAt(idxPath)
     // one banding pass for BOTH the touched-bucket collect and the
     // probe join (the q91 lesson, baked in): the collect below is the
     // materializing action, the join consumes the cache. Batch-sized.
@@ -235,7 +261,7 @@ object SimIndex {
     // base ∪ committed deltas, each with the same static partition
     // filter — pruning applies per root, so an unmerged delta costs
     // its touched buckets only
-    val idx0 = (idxPath +: deltas(root))
+    val idx0 = (idxPath +: deltaSnap)
       .map(p => spark.read.parquet(p)
         .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*)))
       .reduce(_.unionByName(_))

@@ -4405,6 +4405,59 @@ object PipelineQueries {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** Shared batch-novelty scoring of q266/q269 (ONE definition so the
+    * two lifecycle queries cannot drift): `probed` is the batch's
+    * shingle set annotated with the committed first-seen map's
+    * `seen_doc`; a shingle is novel iff the index never saw it AND no
+    * earlier batch doc introduced it (one window-min); rolled up per
+    * source in integer ppm.
+    */
+  private def noveltyReport(probed: DataFrame,
+                            batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = probed
+      .withColumn("batch_first",
+        min("doc_id").over(Window.partitionBy("s")))
+      .withColumn("novel",
+        (col("seen_doc").isNull &&
+          col("batch_first") === col("doc_id")).cast("long"))
+    val perDoc = flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), sum("novel").as("n_novel"))
+    batch.select("doc_id", "source").join(perDoc, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_sh").as("n_sh"),
+        sum("n_novel").as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_sh"))
+      .orderBy("source")
+  }
+
+  /** Oracle twin of [[noveltyReport]] for a batch of docs with
+    * `doc_id >= lowerBound` scored against everything before them:
+    * global first-occurrence restricted to the batch (base ids all
+    * precede batch ids, so index-unseen ∧ batch-first ≡ global-first).
+    */
+  private def noveltySql(lowerBound: Long): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source, ${TextFunctions.wordsSql("text")} AS arr
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    unnest(${TextFunctions.shinglesSql("arr")}) AS s
+       |  FROM w),
+       |f AS (
+       |  SELECT doc_id, source,
+       |    min(doc_id) OVER (PARTITION BY s) AS first_doc
+       |  FROM sh),
+       |d AS (
+       |  SELECT doc_id, source, count(*)::BIGINT AS n_sh,
+       |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_novel
+       |  FROM f WHERE doc_id >= $lowerBound GROUP BY 1, 2)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(n_sh)::BIGINT AS n_sh, sum(n_novel)::BIGINT AS n_novel,
+       |  (sum(n_novel) * 1000000 // sum(n_sh))::BIGINT AS novelty_ppm
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   /** Folded first-seen map judged end-to-end (q269) — the maintenance
     * half of q266: day 1's shingles publish the base map, day 2's
     * batch FOLDS in ([[FirstSeenIndex.fold]]: one min-union keyed
@@ -4440,41 +4493,9 @@ object PipelineQueries {
         val batch = docs.filter(col("doc_id") >= S2)
         val probed = FirstSeenIndex.probe(s,
           Dedup.shingleSet(batch, "doc_id", "text", 3), root)
-        val flagged = probed
-          .withColumn("batch_first",
-            min("doc_id").over(Window.partitionBy("s")))
-          .withColumn("novel",
-            (col("seen_doc").isNull &&
-              col("batch_first") === col("doc_id")).cast("long"))
-        val perDoc = flagged.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_sh"), sum("novel").as("n_novel"))
-        batch.select("doc_id", "source").join(perDoc, Seq("doc_id"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"), sum("n_sh").as("n_sh"),
-            sum("n_novel").as("n_novel"))
-          .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_sh"))
-          .orderBy("source")
+        noveltyReport(probed, batch)
       },
-      s"""WITH w AS (
-         |  SELECT doc_id, source, ${TextFunctions.wordsSql("text")} AS arr
-         |  FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, source,
-         |    unnest(${TextFunctions.shinglesSql("arr")}) AS s
-         |  FROM w),
-         |f AS (
-         |  SELECT doc_id, source,
-         |    min(doc_id) OVER (PARTITION BY s) AS first_doc
-         |  FROM sh),
-         |d AS (
-         |  SELECT doc_id, source, count(*)::BIGINT AS n_sh,
-         |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
-         |      AS n_novel
-         |  FROM f WHERE doc_id >= $S2 GROUP BY 1, 2)
-         |SELECT source, count(*)::BIGINT AS n_docs,
-         |  sum(n_sh)::BIGINT AS n_sh, sum(n_novel)::BIGINT AS n_novel,
-         |  (sum(n_novel) * 1000000 // sum(n_sh))::BIGINT AS novelty_ppm
-         |FROM d GROUP BY source ORDER BY source""".stripMargin)
+      noveltySql(S2))
   }
 
   /** Judged batch twin of the streaming PQ probe (q268) — q259's
@@ -4567,41 +4588,9 @@ object PipelineQueries {
         val batch = docs.filter(col("doc_id") >= SPLIT)
         val probed = FirstSeenIndex.probe(s,
           Dedup.shingleSet(batch, "doc_id", "text", 3), root)
-        val flagged = probed
-          .withColumn("batch_first",
-            min("doc_id").over(Window.partitionBy("s")))
-          .withColumn("novel",
-            (col("seen_doc").isNull &&
-              col("batch_first") === col("doc_id")).cast("long"))
-        val perDoc = flagged.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_sh"), sum("novel").as("n_novel"))
-        batch.select("doc_id", "source").join(perDoc, Seq("doc_id"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"), sum("n_sh").as("n_sh"),
-            sum("n_novel").as("n_novel"))
-          .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_sh"))
-          .orderBy("source")
+        noveltyReport(probed, batch)
       },
-      s"""WITH w AS (
-         |  SELECT doc_id, source, ${TextFunctions.wordsSql("text")} AS arr
-         |  FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, source,
-         |    unnest(${TextFunctions.shinglesSql("arr")}) AS s
-         |  FROM w),
-         |f AS (
-         |  SELECT doc_id, source,
-         |    min(doc_id) OVER (PARTITION BY s) AS first_doc
-         |  FROM sh),
-         |d AS (
-         |  SELECT doc_id, source, count(*)::BIGINT AS n_sh,
-         |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
-         |      AS n_novel
-         |  FROM f WHERE doc_id >= $SPLIT GROUP BY 1, 2)
-         |SELECT source, count(*)::BIGINT AS n_docs,
-         |  sum(n_sh)::BIGINT AS n_sh, sum(n_novel)::BIGINT AS n_novel,
-         |  (sum(n_novel) * 1000000 // sum(n_sh))::BIGINT AS novelty_ppm
-         |FROM d GROUP BY source ORDER BY source""".stripMargin)
+      noveltySql(SPLIT))
   }
 
   /** Real binary decode at the multimodal seam (q244) — the round-8

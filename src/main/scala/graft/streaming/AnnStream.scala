@@ -77,11 +77,15 @@ final class AnnStream(spark: SparkSession, indexRoot: String,
     if (dirs.isEmpty) {
       // reference equality against the shared default instance — an
       // inline eta-expansion of SimIndex.probeTopK would never compare
-      // equal, so the default lives as one companion val
+      // equal, so the default lives as one companion val. (Passing
+      // `probeFn = SimIndex.probeTopK` EXPLICITLY therefore also takes
+      // this guard path before the first batch — omit the parameter
+      // for the default probe.)
       require(probeFn eq AnnStream.DefaultProbe,
         s"no committed batches under $outRoot yet — a custom-probe " +
           "stream's result schema comes from its batch dirs; probe at " +
-          "least one batch before reading results()")
+          "least one batch before reading results() (for the SimIndex " +
+          "probe, omit the probeFn parameter)")
       spark.range(0).select(col("id").as("query_id"),
         col("id").as("index_id"), lit(0.0).as("cos_sim"),
         col("id").as("rnk"))
