@@ -68,6 +68,12 @@ object FirstSeenIndex {
       .persist()
     val touched = bs.select("pbucket").distinct()
       .collect().map(_.getInt(0)).sorted
+    // release the cache once the touched-bucket collect has consumed
+    // it — the returned join recomputes the (batch-sized) shingle
+    // frame once, which costs one extra batch scan but never leaks
+    // executor storage on library callers (the bench sweeps persisted
+    // RDDs between queries; non-bench callers don't)
+    bs.unpersist()
     val idx = spark.read.parquet(idxPath)
       .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*))
       .select(col("pbucket"), col("s"), col("first_doc").as("seen_doc"))

@@ -229,11 +229,18 @@ object PqIndex {
       // delete exactly the dirs THIS merge folded — an append another
       // process committed after the snapshot was not folded and must
       // survive (a blanket deltaDir rm would silently lose its
-      // vectors); crashed-append staging leftovers vacuum alongside
-      live.foreach(p => rm(new java.io.File(p)))
+      // vectors). Dirs a crashed predecessor folded but never deleted
+      // (folded0 ∩ snapshot) are already in the base generation, so
+      // they delete too — which is what lets the carried sidecar
+      // shrink back to empty at the NEXT merge (their names stay in
+      // THIS generation's sidecar for readers holding the pre-merge
+      // delta listing). Crashed-append staging leftovers vacuum past
+      // the grace age only — a live cross-process append's staging
+      // dir must not be yanked mid-write.
+      (live ++ deltaSnap.filter(p => folded0(new java.io.File(p).getName)))
+        .foreach(p => rm(new java.io.File(p)))
       Option(deltaDir(root).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith(".staging-"))
-        .foreach(rm)
+        .filter(VersionedDirs.stagingOrphan).foreach(rm)
       Tombstones.reset(spark, root)
       path
     }

@@ -205,8 +205,7 @@ object SimIndex {
     // over duplicate key rows.)
     deltaSnap.foreach(p => rm(new java.io.File(p)))
     Option(deltaDir(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(".staging-"))
-      .foreach(rm)
+      .filter(VersionedDirs.stagingOrphan).foreach(rm)
     Tombstones.reset(spark, root)
     path
   }
@@ -258,6 +257,11 @@ object SimIndex {
       .persist()
     val touched = qk.select("pbucket").distinct()
       .collect().map(_.getInt(0)).sorted
+    // cache released as soon as the collect has consumed it: the probe
+    // join below recomputes the batch-side banding once (batch-sized —
+    // one multiTableBuckets pass), which is cheaper than leaking
+    // executor storage on every library call
+    qk.unpersist()
     // base ∪ committed deltas, each with the same static partition
     // filter — pruning applies per root, so an unmerged delta costs
     // its touched buckets only

@@ -14,6 +14,23 @@ import java.io.File
   */
 private[graft] object VersionedDirs {
 
+  /** Age past which an abandoned `.staging-` dir is vacuumed.
+    * `synchronized` on the publish paths only covers same-JVM
+    * callers, so a blanket staging sweep could delete a concurrent
+    * cross-process writer's in-flight staging dir mid-write; the
+    * grace window keeps the crash-leftover cleanup without racing
+    * live writers (same policy as
+    * [[graft.sources.Artifacts]]'s stage-orphan age).
+    */
+  val StagingGraceMs: Long = 60L * 60 * 1000
+
+  /** True when `f` is a `.staging-` dir old enough to be a crashed
+    * writer's leftover rather than a live cross-process write.
+    */
+  def stagingOrphan(f: File): Boolean =
+    f.isDirectory && f.getName.startsWith(".staging-") &&
+      System.currentTimeMillis() - f.lastModified() > StagingGraceMs
+
   def versionsOf(root: String): Seq[(Long, File)] = {
     val d = new File(root)
     val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
@@ -82,7 +99,6 @@ private[graft] object VersionedDirs {
     }
     versionsOf(root).filter(_._1 < keepFloor).foreach(v => rm(v._2))
     Option(new File(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(".staging-"))
-      .foreach(rm)
+      .filter(stagingOrphan).foreach(rm)
   }
 }

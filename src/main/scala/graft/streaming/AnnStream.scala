@@ -67,28 +67,32 @@ final class AnnStream(spark: SparkSession, indexRoot: String,
 
   /** Every committed batch's top-k results so far, in the probe's own
     * schema (SimIndex: cos_sim; PqIndex: adc_d2). Before any batch
-    * commits, the empty frame can only carry the DEFAULT probe's
-    * shape — for a custom probe the schema lives in the committed
-    * batch dirs, so reading before the first commit raises a clear
-    * error rather than handing back columns the probe never produces.
+    * commits, the empty frame's schema is derived by PLANNING the
+    * probe over an empty query batch — which works for any probeFn,
+    * default or custom (the reference-identity guard this replaces
+    * confused callers passing `probeFn = SimIndex.probeTopK`
+    * explicitly, the documented default). The plan needs a committed
+    * index generation to resolve; absent one, the error says to probe
+    * a batch first.
     */
   def results(): DataFrame = {
     val dirs = batchDirs.map(_._2.toString)
     if (dirs.isEmpty) {
-      // reference equality against the shared default instance — an
-      // inline eta-expansion of SimIndex.probeTopK would never compare
-      // equal, so the default lives as one companion val. (Passing
-      // `probeFn = SimIndex.probeTopK` EXPLICITLY therefore also takes
-      // this guard path before the first batch — omit the parameter
-      // for the default probe.)
-      require(probeFn eq AnnStream.DefaultProbe,
-        s"no committed batches under $outRoot yet — a custom-probe " +
-          "stream's result schema comes from its batch dirs; probe at " +
-          "least one batch before reading results() (for the SimIndex " +
-          "probe, omit the probeFn parameter)")
-      spark.range(0).select(col("id").as("query_id"),
-        col("id").as("index_id"), lit(0.0).as("cos_sim"),
-        col("id").as("rnk"))
+      val emptyBatch = spark.range(0).select(
+        col("id").cast("long").as(id),
+        array().cast("array<float>").as(vec))
+      val schema =
+        try probeFn(spark, emptyBatch, id, vec, k, indexRoot).schema
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new IllegalStateException(
+              s"no committed batches under $outRoot yet and the probe " +
+                "could not plan an empty batch against the index at " +
+                s"$indexRoot — probe at least one batch before reading " +
+                "results()", e)
+        }
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else spark.read.parquet(dirs: _*)
   }
 
@@ -96,10 +100,7 @@ final class AnnStream(spark: SparkSession, indexRoot: String,
 }
 
 object AnnStream {
-  /** The default probe as ONE shared function instance, so the
-    * empty-results guard can tell default from custom by reference
-    * (every `SimIndex.probeTopK _` eta-expansion is a fresh object).
-    */
+  /** The default probe ([[SimIndex.probeTopK]]). */
   val DefaultProbe: (SparkSession, DataFrame, String, String, Int,
     String) => DataFrame = SimIndex.probeTopK
 }
