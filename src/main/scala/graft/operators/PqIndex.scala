@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   *   - `codes/` — one row per indexed vector
   *     (index_id, codes: array<long> ordered by subspace), the only
   *     corpus-sized table a probe touches;
-  *   - `_params.json` — the frozen (m, dsub, ks, iters): a probe
-  *     must split its queries with the index's OWN geometry, not
-  *     parameters re-derived later (the same frozen-params stance as
-  *     [[SimIndex]]'s (r, T) sidecar).
+  *   - `_params.json` — the frozen (m, dsub, ks, iters) plus the
+  *     coarse (c, citers): a probe must split its queries with the
+  *     index's OWN geometry, not parameters re-derived later (the
+  *     same frozen-params stance as [[SimIndex]]'s (r, T) sidecar);
+  *   - with `coarseC > 0` also `coarse/` — the frozen coarse-
+  *     quantizer centroids, with `codes/` PARTITIONED BY each
+  *     vector's coarse cell so an nprobe probe prunes to probed-cell
+  *     directories (the full FAISS IndexIVFPQ serving shape,
+  *     by_residual=false).
   *
   * Everything stays in [[VectorQuantizer.scaled]]'s exact integer
   * domain, so codes, ADC tables and distance sums are bit-identical
@@ -41,22 +46,41 @@ object PqIndex {
     * codebook + code table + frozen params as the next version under
     * `root`. Train cost is the Lloyd rounds (corpus-sized, paid once
     * per re-index); the code table write is one encode pass.
+    *
+    * With `coarseC > 0` the artifact is a full IVFPQ (FAISS
+    * IndexIVFPQ, by_residual=false): a coarse quantizer of `coarseC`
+    * cells also trains on the corpus, its centroids freeze into
+    * `coarse/` beside the PQ codebook, every code row carries its
+    * coarse cell, and `codes/` is PARTITIONED BY `ccell` — so an
+    * nprobe probe ([[probeTopK]]) prunes to the probed cells'
+    * partition directories before any ADC work: sub-linear candidate
+    * generation × constant-memory scoring, the billion-vector
+    * serving shape. `coarseC = 0` keeps the flat-PQ artifact
+    * (exhaustive ADC scan at probe time).
     */
   def publish(corpus: DataFrame, id: String, vec: String, m: Int,
-              dsub: Int, ks: Int, iters: Int, root: String): String =
+              dsub: Int, ks: Int, iters: Int, root: String,
+              coarseC: Int = 0, coarseIters: Int = 0): String =
     synchronized {
       VersionedDirs.commit(root) { staging =>
         val e = VectorQuantizer.scaled(corpus, id, vec).persist()
         val cent = VectorQuantizer.fitPQ(e, id, m, dsub, ks, iters)
           .localCheckpoint()
-        codeRows(corpus, id, vec, cent, m, dsub)
-          .write.parquet(new java.io.File(staging, "codes").toString)
+        val coarse = if (coarseC > 0)
+          Some(VectorQuantizer.fitCentroids(e, id, coarseC, coarseIters)
+            .select(col("cell"), col("cs")).localCheckpoint())
+        else None
+        writeCodes(codeRows(corpus, id, vec, cent, m, dsub, coarse),
+          new java.io.File(staging, "codes").toString)
         cent.write.parquet(new java.io.File(staging, "codebook").toString)
+        coarse.foreach(_.write.parquet(
+          new java.io.File(staging, "coarse").toString))
         e.unpersist()
         java.nio.file.Files.writeString(
           new java.io.File(staging, "_params.json").toPath,
-          s"""{"m":$m,"dsub":$dsub,"ks":$ks,"iters":$iters}""")
-        // the two parquet writes each committed their own subdir; the
+          s"""{"m":$m,"dsub":$dsub,"ks":$ks,"iters":$iters,""" +
+            s""""c":$coarseC,"citers":$coarseIters}""")
+        // the parquet writes each committed their own subdir; the
         // version-level marker is what resolve() keys on
         java.nio.file.Files.createFile(
           new java.io.File(staging, "_SUCCESS").toPath)
@@ -64,20 +88,38 @@ object PqIndex {
       }
     }
 
+  /** Write a code table — partitioned by coarse cell when the rows
+    * carry one (the IVFPQ layout [[probeTopK]]'s nprobe pruning keys
+    * on), flat otherwise.
+    */
+  private def writeCodes(rows: DataFrame, path: String): Unit =
+    if (rows.columns.contains("ccell"))
+      rows.repartition(col("ccell"))
+        .write.partitionBy("ccell").mode("overwrite").parquet(path)
+    else rows.write.parquet(path)
+
   /** Encode `corpus` against an ALREADY-TRAINED array-form codebook
     * (sub, cell, cs) — the shared layout of [[publish]] and
     * [[appendDelta]]: subspace split, integer argmin per (vector,
     * subspace), codes folded back to one m-array row per vector.
+    * With a `coarse` codebook, each row also gets its nearest coarse
+    * cell (`ccell`, int — the partition column of the IVFPQ layout).
     */
   private def codeRows(corpus: DataFrame, id: String, vec: String,
-                       cent: DataFrame, m: Int, dsub: Int): DataFrame = {
+                       cent: DataFrame, m: Int, dsub: Int,
+                       coarse: Option[DataFrame] = None): DataFrame = {
     val e = VectorQuantizer.scaled(corpus, id, vec)
     val epq = VectorQuantizer.subVectors(e, id, m, dsub)
-    VectorQuantizer.assignSubCells(epq, cent, id)
+    val codes = VectorQuantizer.assignSubCells(epq, cent, id)
       .groupBy(col(id).as("index_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("cell")))),
         s => s.getField("cell")).as("codes"))
+    coarse.fold(codes) { cc =>
+      val cells = VectorQuantizer.assignCells(e, cc, id)
+        .select(col(id).as("index_id"), col("cell").cast("int").as("ccell"))
+      codes.join(cells, Seq("index_id"))
+    }
   }
 
   // ------------------------------------------------------ deletes
@@ -141,12 +183,19 @@ object PqIndex {
     val (m, dsub, _, _) = paramsAt(idxPath)
     val cent = spark.read.parquet(
       new java.io.File(idxPath, "codebook").toString)
+    // IVFPQ artifacts assign delta rows with the FROZEN coarse
+    // centroids (pure argmin — the coarse twin of the frozen-codebook
+    // encode), so base and delta partition dirs stay prunable by the
+    // same probed-cell set
+    val coarse = if (coarseAt(idxPath)._1 > 0)
+      Some(spark.read.parquet(new java.io.File(idxPath, "coarse").toString))
+    else None
     graft.sources.Artifacts.notePublish()
     val dr = deltaDir(root); dr.mkdirs()
     val staging = new java.io.File(dr,
       s".staging-${java.util.UUID.randomUUID()}")
-    codeRows(corpus, id, vec, cent, m, dsub)
-      .write.parquet(staging.getAbsolutePath)
+    writeCodes(codeRows(corpus, id, vec, cent, m, dsub, coarse),
+      staging.getAbsolutePath)
     val target = new java.io.File(dr,
       s"batch-${java.util.UUID.randomUUID()}")
     require(staging.renameTo(target),
@@ -189,8 +238,12 @@ object PqIndex {
       val basePath = resolve(root).getOrElse(
         throw new IllegalStateException(s"no committed index under $root"))
       val (m, dsub, ks, iters) = paramsAt(basePath)
+      val (cc, citers) = coarseAt(basePath)
       val cent = spark.read.parquet(
         new java.io.File(basePath, "codebook").toString)
+      val coarse = if (cc > 0)
+        Some(spark.read.parquet(new java.io.File(basePath, "coarse").toString))
+      else None
       // the base generation keeps its codes under codes/; each delta
       // dir IS a codes table; deltas a crashed predecessor already
       // folded into basePath must not fold twice
@@ -211,11 +264,14 @@ object PqIndex {
         ((folded0 intersect snapNames) ++
           live.map(new java.io.File(_).getName)).toSeq.sorted
       val path = VersionedDirs.commit(root) { st =>
-        all.write.parquet(new java.io.File(st, "codes").toString)
+        writeCodes(all, new java.io.File(st, "codes").toString)
         cent.write.parquet(new java.io.File(st, "codebook").toString)
+        coarse.foreach(_.write.parquet(
+          new java.io.File(st, "coarse").toString))
         java.nio.file.Files.writeString(
           new java.io.File(st, "_params.json").toPath,
-          s"""{"m":$m,"dsub":$dsub,"ks":$ks,"iters":$iters}""")
+          s"""{"m":$m,"dsub":$dsub,"ks":$ks,"iters":$iters,""" +
+            s""""c":$cc,"citers":$citers}""")
         java.nio.file.Files.writeString(
           new java.io.File(st, "_folded.json").toPath,
           foldedNames.map(n => s""""$n"""").mkString("[", ",", "]"))
@@ -265,6 +321,19 @@ object PqIndex {
     (field("m"), field("dsub"), field("ks"), field("iters"))
   }
 
+  /** The frozen coarse-quantizer geometry (c, citers) of ONE resolved
+    * generation — (0, 0) for a flat-PQ artifact (including sidecars
+    * written before the IVF half existed).
+    */
+  private def coarseAt(genPath: String): (Int, Int) = {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(genPath, "_params.json"))
+    def field(k: String): Int =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt).getOrElse(0)
+    (field("c"), field("citers"))
+  }
+
   /** Top-k of each query against the committed code table by exact
     * integer ADC distance: the query batch splits into sub-vectors
     * with the index's FROZEN geometry, the ADC table (query ×
@@ -273,9 +342,26 @@ object PqIndex {
     * sum per (query, vector). The corpus-sized side is only ever the
     * code scan — m integers per vector, no raw-vector fetch, no
     * decompression, which is the entire point of the artifact.
+    * This 6-arg form scans the WHOLE code table (flat PQ — correct on
+    * any artifact, linear per probe); it is also the
+    * [[graft.streaming.AnnStream]] probe-seam shape.
     */
   def probeTopK(spark: SparkSession, queries: DataFrame, id: String,
-                vec: String, k: Int, root: String): DataFrame = {
+                vec: String, k: Int, root: String): DataFrame =
+    probeTopK(spark, queries, id, vec, k, root, 0)
+
+  /** [[probeTopK]] with IVF pruning (`nprobe > 0` — requires an
+    * artifact published with `coarseC > 0`): each query is assigned
+    * its `nprobe` nearest FROZEN coarse cells, the probed-cell set
+    * (≤ coarseC ints — a layout constant, never data-sized) statically
+    * prunes the `codes/` partition directories before any ADC work,
+    * and only (query, vector) pairs meeting in a probed cell are
+    * scored at all (the per-query broadcast cell join) — q263's
+    * pruning algebra served from the artifact. Untouched cell
+    * partitions never leave the filesystem.
+    */
+  def probeTopK(spark: SparkSession, queries: DataFrame, id: String,
+                vec: String, k: Int, root: String, nprobe: Int): DataFrame = {
     // read-order discipline (see DedupIndex.probeBanded): tombstones,
     // then the DELTA LISTING, then resolve. Tombstones-first keeps a
     // racing compact's log reset from resurfacing purged rows;
@@ -295,29 +381,59 @@ object PqIndex {
     val (m, dsub, _, _) = paramsAt(idxPath)
     val cent = spark.read.parquet(
       new java.io.File(idxPath, "codebook").toString)
+    val sq = VectorQuantizer.scaled(queries, id, vec)
+    // the IVF half: nprobe coarse cells per query under the FROZEN
+    // coarse centroids; the distinct probed-cell set (≤ coarseC ints)
+    // is the static partition filter every code root gets below
+    val queryCells = if (nprobe > 0) {
+      require(coarseAt(idxPath)._1 > 0,
+        s"nprobe=$nprobe needs an IVFPQ artifact (published with " +
+          s"coarseC > 0); $idxPath is a flat-PQ generation")
+      val coarse = spark.read.parquet(
+        new java.io.File(idxPath, "coarse").toString)
+      Some(VectorQuantizer.assignCells(sq, coarse, id, nprobe)
+        .select(col(id).as("query_id"), col("cell").cast("int").as("ccell"))
+        .localCheckpoint())
+    } else None
+    val probed = queryCells.map(_.select("ccell").distinct()
+      .collect().map(_.getInt(0)).sorted)
     // base codes ∪ committed code deltas NOT already folded into this
     // generation (each delta already encoded with the frozen codebooks
     // at append time); uncompacted deletes are honored at probe time
-    // via the shared tombstone log
+    // via the shared tombstone log. The probed-cell filter applies per
+    // root, so an unmerged delta costs its probed partitions only.
     val folded = foldedOf(idxPath)
     val codes0 = deltaSnap
       .filterNot(p => folded(new java.io.File(p).getName))
       .map(spark.read.parquet(_))
       .foldLeft(spark.read.parquet(
         new java.io.File(idxPath, "codes").toString))(_.unionByName(_))
+    val pruned = probed.fold(codes0)(cells =>
+      codes0.filter(col("ccell").isin(cells.toIndexedSeq.map(Int.box): _*)))
     val codes = ts
-      .map(t => codes0.join(t, Seq("index_id"), "left_anti"))
-      .getOrElse(codes0)
-    val qpq = VectorQuantizer.subVectors(
-        VectorQuantizer.scaled(queries, id, vec), id, m, dsub)
+      .map(t => pruned.join(t, Seq("index_id"), "left_anti"))
+      .getOrElse(pruned)
+    val qpq = VectorQuantizer.subVectors(sq, id, m, dsub)
       .withColumnRenamed(id, "query_id")
     val dtab = qpq.join(broadcast(cent), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cell"),
         VectorQuantizer.l2DistSq(col("xs"), col("cs")).as("d2"))
-    val scored = codes
-      .select(col("index_id"),
-        posexplode(col("codes")).as(Seq("sub", "cell")))
-      .join(broadcast(dtab), Seq("sub", "cell"))
+    // with IVF pruning, only (query, vector) pairs meeting in a probed
+    // cell score at all (a vector lives in exactly one cell, so the
+    // cell join can never pair a (query, vector) twice); without it
+    // every pair scores — the flat exhaustive ADC
+    val paired = queryCells match {
+      case Some(qc) =>
+        codes.join(broadcast(qc), Seq("ccell"))
+          .select(col("query_id"), col("index_id"),
+            posexplode(col("codes")).as(Seq("sub", "cell")))
+          .join(broadcast(dtab), Seq("query_id", "sub", "cell"))
+      case None =>
+        codes.select(col("index_id"),
+            posexplode(col("codes")).as(Seq("sub", "cell")))
+          .join(broadcast(dtab), Seq("sub", "cell"))
+    }
+    val scored = paired
       .filter(col("index_id") =!= col("query_id"))
       .groupBy("query_id", "index_id").agg(sum("d2").as("adc_d2"))
     val w = Window.partitionBy("query_id")

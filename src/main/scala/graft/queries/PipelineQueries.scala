@@ -1513,14 +1513,19 @@ object PipelineQueries {
     * exclusive seed-id bound — the cell count: the `$KM_C` literal
     * for the fixed shared codebook (q53/q54/q66), or a scalar
     * subquery over a params CTE when the count is corpus-derived
-    * (q71).
+    * (q71). `fitPred` restricts which `e` rows the fit SEES (seeds,
+    * distance rounds, centroid updates) — the persisted-index
+    * queries train on the index corpus only while `e` also carries
+    * the out-of-corpus query vectors (q270).
     */
-  private def kmeansCtes(seedBound: String = KM_C.toString): String = {
+  private def kmeansCtes(seedBound: String = KM_C.toString,
+                         fitPred: String = "TRUE"): String = {
     def iterCte(i: Int): String =
       s"""d$i AS (
          |  SELECT e.vec_id, c.cell,
          |    sum((e.xs - c.cs) * (e.xs - c.cs)) AS d2
          |  FROM e JOIN c${i - 1} c USING (dim)
+         |  WHERE $fitPred
          |  GROUP BY e.vec_id, c.cell),
          |a$i AS (
          |  SELECT vec_id, cell FROM (
@@ -1536,7 +1541,8 @@ object PipelineQueries {
        |    unnest(range(1, len(embedding) + 1)) AS dim,
        |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xs
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cell, dim, xs AS cs FROM e WHERE vec_id < $seedBound),
+       |c0 AS (SELECT vec_id AS cell, dim, xs AS cs FROM e
+       |       WHERE vec_id < $seedBound AND $fitPred),
        |${(1 to KM_ITERS).map(iterCte).mkString(",\n")}""".stripMargin
   }
 
@@ -4214,6 +4220,105 @@ object PipelineQueries {
          |    sum((q.xs - c.cs) * (q.xs - c.cs)) AS d2
          |  FROM ep q JOIN pc$PQ_ITERS c ON q.sub = c.sub AND q.sdim = c.sdim
          |  WHERE q.vec_id < $NQ
+         |  GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT cand.query_id, cd.vec_id AS index_id,
+         |    sum(dt.d2)::BIGINT AS adc_d2
+         |  FROM cand
+         |  JOIN codes cd ON cd.vec_id = cand.vec_id
+         |  JOIN dtab dt ON dt.query_id = cand.query_id
+         |    AND dt.sub = cd.sub AND dt.cell = cd.cell
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, index_id, adc_d2,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adc_d2, index_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, index_id, adc_d2, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= $PQ_K
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  /** PERSISTED IVFPQ serving (q270) — q263's pruning algebra served
+    * from the committed artifact (the r10 verdict's top item): the
+    * coarse quantizer trains at publish and freezes into `coarse/`
+    * beside the PQ codebook, `codes/` is PARTITIONED BY each vector's
+    * coarse cell, and the probe ([[PqIndex.probeTopK]] with nprobe)
+    * statically prunes to the probed cells' partition directories
+    * before any ADC work — never a retrain, never a full code-table
+    * scan (the q260 probe's linear weakness, closed). The query batch
+    * is DISJOINT from the training corpus (the serving situation), so
+    * the oracle's replay — coarse fit on the corpus alone → corpus
+    * assign → query probe cells → PQ fit → encode → candidate-pruned
+    * ADC — hash-matching proves BOTH frozen quantizers came from the
+    * artifact and the candidate set was exactly the probed cells'.
+    * `art:warm` once published; PqIndexSpec carries the
+    * partition-filter proof, PlanAuditSpec the no-cartesian audit.
+    */
+  val ivfPqIndexProbe: Q = {
+    val INDEX_MAX = 400L; val Q_MAX = 420L; val NPROBE = 2
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val index = emb.filter(col("vec_id") < INDEX_MAX)
+        val queries = emb.filter(
+          col("vec_id") >= INDEX_MAX && col("vec_id") < Q_MAX)
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-ivfpq-index", d, Seq("embeddings.parquet"))
+        if (PqIndex.resolve(root).isEmpty)
+          PqIndex.publish(index, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, root,
+            coarseC = KM_C, coarseIters = KM_ITERS)
+        PqIndex.probeTopK(s, queries, "vec_id", "embedding", PQ_K, root,
+            NPROBE)
+          .select(col("query_id"), col("index_id"), col("adc_d2"),
+            col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      s"""WITH ${kmeansCtes(fitPred = s"e.vec_id < $INDEX_MAX")},
+         |fa AS (
+         |  SELECT e.vec_id, c.cell,
+         |    sum((e.xs - c.cs) * (e.xs - c.cs)) AS d2
+         |  FROM e JOIN c$KM_ITERS c USING (dim)
+         |  GROUP BY e.vec_id, c.cell),
+         |ca AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM fa WHERE vec_id < $INDEX_MAX) WHERE rnk = 1),
+         |qa AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM fa WHERE vec_id >= $INDEX_MAX AND vec_id < $Q_MAX)
+         |  WHERE rnk <= $NPROBE),
+         |cand AS (
+         |  SELECT qa.query_id, ca.vec_id
+         |  FROM qa JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.query_id),
+         |ep AS (
+         |  SELECT vec_id, (dim - 1) // $PQ_DSUB AS sub,
+         |    (dim - 1) % $PQ_DSUB + 1 AS sdim, xs
+         |  FROM e),
+         |ix AS (SELECT * FROM ep WHERE vec_id < $INDEX_MAX),
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+         |        WHERE vec_id < $PQ_KS),
+         |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+         |fd AS (
+         |  SELECT ix.vec_id, c.sub, c.cell,
+         |    sum((ix.xs - c.cs) * (ix.xs - c.cs)) AS d2
+         |  FROM ix JOIN pc$PQ_ITERS c ON ix.sub = c.sub AND ix.sdim = c.sdim
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d2, cell) AS rnk
+         |    FROM fd) WHERE rnk = 1),
+         |dtab AS (
+         |  SELECT q.vec_id AS query_id, c.sub, c.cell,
+         |    sum((q.xs - c.cs) * (q.xs - c.cs)) AS d2
+         |  FROM ep q JOIN pc$PQ_ITERS c ON q.sub = c.sub AND q.sdim = c.sdim
+         |  WHERE q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX
          |  GROUP BY 1, 2, 3),
          |scored AS (
          |  SELECT cand.query_id, cd.vec_id AS index_id,
@@ -9124,6 +9229,7 @@ object PipelineQueries {
     "q267_pq_rerank"     -> pqRerank,
     "q268_pq_stream_twin" -> pqStreamTwin,
     "q269_folded_novelty" -> foldedNovelty,
+    "q270_ivfpq_index"   -> ivfPqIndexProbe,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

@@ -223,7 +223,10 @@ class PlanAuditSpec extends SparkSpec {
                                    // scored pair list (both aggregates)
       "q206_stationary_mix" -> 1, // the K x K transition matrix pmat
       "q23_jaccard_pairs" -> 1, // the df-capped shingle frame
-      "q243_sim_index" -> 1, // the probe batch's banding (collect+join)
+      // (q243's probe banding left this list in r11: SimIndex.probeTopK
+      // now RELEASES its batch cache right after the touched-bucket
+      // collect — the join recomputes the batch-sized banding once
+      // instead of leaking executor storage on library callers)
       "q245_substring_spans" -> 1) // the span list (stats + best pick)
     for ((name, atLeast) <- cached.toSeq.sortBy(_._1)) {
       val p = plan(name)
@@ -553,8 +556,11 @@ class PlanAuditSpec extends SparkSpec {
                             // (nq·m·ks = 2560 rows, batch-bounded)
       "q261_pq_append" -> 2, // same probe shape as q260
       "q262_pq_purge" -> 2, // same probe shape as q260
-      "q267_pq_rerank" -> 3) // q260's probe (2) + the fixed 20-query
+      "q267_pq_rerank" -> 3, // q260's probe (2) + the fixed 20-query
                              // float-vector side of the rerank
+      "q270_ivfpq_index" -> 3) // q260's probe pair + the nq·nprobe
+                               // probed-cell table (checkpointed,
+                               // batch-bounded)
       // (q202/q230 moved to `iterative` in r9 — their per-round
       // localCheckpoints truncate the lineage the old hint counts
       // measured; q205's nation hint lives in the publish closure,

@@ -189,6 +189,107 @@ class PqIndexSpec extends SparkSpec {
     assert(gens == Set(new java.io.File(v2).getName))
   }
 
+  private val C = 4 // coarse cells for the IVFPQ tests
+
+  test("IVFPQ publish commits coarse/ + ccell-partitioned codes; nprobe=C probe ≡ exhaustive flat probe") {
+    val root = Files.createTempDirectory("pqidx").toString
+    val path = PqIndex.publish(index, "vec_id", "embedding",
+      M, DSUB, KS, ITERS, root, coarseC = C, coarseIters = 2)
+    assert(new java.io.File(path, "coarse").isDirectory,
+      "IVFPQ artifact missing its frozen coarse centroids")
+    val cellDirs = new java.io.File(path, "codes").listFiles()
+      .count(_.getName.startsWith("ccell="))
+    assert(cellDirs > 1 && cellDirs <= C,
+      s"codes/ not partitioned by coarse cell: $cellDirs dirs")
+    def probe(np: Int) = PqIndex.probeTopK(spark, queries, "vec_id",
+        "embedding", K, root, np)
+      .select("query_id", "index_id", "adc_d2", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val flat = PqIndex.probeTopK(spark, queries, "vec_id", "embedding",
+        K, root)
+      .select("query_id", "index_id", "adc_d2", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(flat.nonEmpty)
+    // probing every coarse cell makes every vector a candidate — the
+    // pruned path must then reproduce the exhaustive ADC exactly
+    assert(probe(C) == flat)
+    // nprobe=1: every surfaced neighbor must live in its query's ONE
+    // probed cell (replayed off the committed coarse centroids)
+    val coarse = spark.read.parquet(new java.io.File(path, "coarse").toString)
+    val qCell = VectorQuantizer.assignCells(
+        VectorQuantizer.scaled(queries, "vec_id", "embedding"),
+        coarse, "vec_id")
+      .as[(Long, Long)].collect().toMap
+    val iCell = spark.read.parquet(new java.io.File(path, "codes").toString)
+      .select($"index_id", $"ccell".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val one = probe(1)
+    assert(one.nonEmpty)
+    for ((q, i, _, _) <- one)
+      assert(iCell(i) == qCell(q),
+        s"nprobe=1 surfaced vector $i outside query $q's probed cell")
+  }
+
+  test("IVFPQ nprobe probe prunes codes/ partition directories statically") {
+    val root = Files.createTempDirectory("pqidx").toString
+    PqIndex.publish(index, "vec_id", "embedding",
+      M, DSUB, KS, ITERS, root, coarseC = C, coarseIters = 2)
+    // the pruned scan must carry the probed-cell set as a STATIC
+    // partition filter — pruning at file listing, not post-scan
+    // (DedupIndexSpec's bucket-pruning assertion, on the ccell layout)
+    val p = PqIndex.probeTopK(spark, queries, "vec_id", "embedding",
+        K, root, 1)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ccell[^\\]]*IN".r.findFirstIn(p).isDefined
+        || "PartitionFilters: \\[[^\\]]*ccell[^\\]]*INSET".r.findFirstIn(p).isDefined,
+      s"nprobe probe scan lost its ccell partition filter:\n${p.take(2000)}")
+    // and a flat-PQ artifact refuses nprobe probing with a clear error
+    val flatRoot = Files.createTempDirectory("pqidx").toString
+    PqIndex.publish(index, "vec_id", "embedding", M, DSUB, KS, ITERS, flatRoot)
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.probeTopK(spark, queries, "vec_id", "embedding", K, flatRoot, 1)
+    }
+    assert(e.getMessage.contains("IVFPQ"))
+  }
+
+  test("IVFPQ delta append assigns ccells with the FROZEN coarse centroids; merge keeps the layout") {
+    val root = Files.createTempDirectory("pqidx").toString
+    val base = index.filter($"vec_id" < 20L)
+    val delta = index.filter($"vec_id" >= 20L)
+    val basePath = PqIndex.publish(base, "vec_id", "embedding",
+      M, DSUB, KS, ITERS, root, coarseC = C, coarseIters = 2)
+    PqIndex.appendDelta(delta, "vec_id", "embedding", root)
+    val deltaPath = PqIndex.deltas(root).head
+    assert(new java.io.File(deltaPath).listFiles()
+      .exists(_.getName.startsWith("ccell=")),
+      "delta codes not partitioned by coarse cell")
+    // the delta's cells must be the FROZEN coarse centroids' argmin —
+    // replayed off the committed coarse/, not a retrain
+    val coarse = spark.read.parquet(
+      new java.io.File(basePath, "coarse").toString)
+    val want = VectorQuantizer.assignCells(
+        VectorQuantizer.scaled(delta, "vec_id", "embedding"),
+        coarse, "vec_id")
+      .as[(Long, Long)].collect().toMap
+    val got = spark.read.parquet(deltaPath)
+      .select($"index_id", $"ccell".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, "delta ccells diverge from a frozen-coarse assign")
+    def probeSet() = PqIndex.probeTopK(spark, queries, "vec_id",
+        "embedding", K, root, 2)
+      .select("query_id", "index_id", "adc_d2", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val withDelta = probeSet()
+    val v2 = PqIndex.mergeCompact(spark, root)
+    assert(PqIndex.deltas(root).isEmpty)
+    assert(new java.io.File(v2, "coarse").isDirectory,
+      "merge dropped the coarse centroids")
+    assert(new java.io.File(v2, "codes").listFiles()
+      .exists(_.getName.startsWith("ccell=")),
+      "merge flattened the ccell partition layout")
+    assert(probeSet() == withDelta, "post-merge nprobe probe diverges")
+  }
+
   test("resolve picks the highest committed version; params travel with it") {
     val root = Files.createTempDirectory("pqidx").toString
     assert(PqIndex.resolve(root).isEmpty)
