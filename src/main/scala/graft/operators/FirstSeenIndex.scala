@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted first-occurrence map — the incremental form of the q264
@@ -8,10 +9,15 @@ import org.apache.spark.sql.functions._
   * committed artifact so a daily ingestion batch can be scored for
   * repeated sub-document matter WITHOUT rescanning the corpus — the
   * boilerplate monitor at the ingestion gate. Fourth member of the
-  * persisted-index family, same [[VersionedDirs]] commit protocol.
+  * persisted-index family, and since r11 it carries the SAME full
+  * lifecycle as its three siblings: O(batch) delta folds
+  * ([[fold]] — the r10 verdict's O(index) rewrite, fixed),
+  * tombstone → compact → vacuum deletes with first-occurrence
+  * REASSIGNMENT ([[mergeCompact]]'s repair join), all on
+  * [[VersionedDirs]]' commit protocol.
   *
-  * Keys are the raw shingle strings: the judged query's DuckDB
-  * oracle replays first-occurrence over strings exactly, with zero
+  * Keys are the raw shingle strings: the judged queries' DuckDB
+  * oracles replay first-occurrence over strings exactly, with zero
   * hash-parity burden. At 100 TB the key column would be a 64/128-bit
   * shingle hash ([[Dedup.shingleKeys]] is that layout) — the
   * partitioning below already hashes, so only the stored key column
@@ -22,6 +28,14 @@ import org.apache.spark.sql.functions._
   * co-partitioning — the deployment that must avoid the index-side
   * exchange entirely writes the map as a bucketed table, the q182
   * layout).
+  *
+  * Min-union semantics: the base generation and each delta hold their
+  * OWN batch's (shingle, min doc); the true first-occurrence is the
+  * MIN across them, resolved at probe time by one keyed aggregate
+  * over the touched buckets (duplicate shingle rows across
+  * generations are harmless — min is idempotent, the [[SimIndex]]
+  * stance, so no folded-sidecar machinery is needed) and folded
+  * physically at compaction cadence.
   */
 object FirstSeenIndex {
 
@@ -39,29 +53,180 @@ object FirstSeenIndex {
   /** Highest committed version under `root`, if any. */
   def resolve(root: String): Option[String] = VersionedDirs.resolve(root)
 
+  /** The shared bucketed layout of [[publish]], [[fold]] and
+    * [[mergeCompact]]: one row per distinct shingle with the minimum
+    * introducing doc id, hash-partitioned into [[NumBuckets]] dirs.
+    */
+  private def writeMap(firsts: DataFrame, path: String): Unit =
+    firsts
+      .withColumn("pbucket", pbucketOf(col("s")))
+      .repartition(col("pbucket"))
+      .sortWithinPartitions("s")
+      .write.partitionBy("pbucket").mode("overwrite").parquet(path)
+
   /** Commit the first-occurrence map of `shingles` (columns `s`,
     * `doc_id`) as the next version: one row per distinct shingle with
     * the minimum introducing doc id.
     */
   def publish(shingles: DataFrame, root: String): String = synchronized {
     VersionedDirs.commit(root) { st =>
-      shingles.groupBy("s").agg(min("doc_id").as("first_doc"))
-        .withColumn("pbucket", pbucketOf(col("s")))
-        .repartition(col("pbucket"))
-        .sortWithinPartitions("s")
-        .write.partitionBy("pbucket").mode("overwrite").parquet(st)
-      ()
+      writeMap(shingles.groupBy("s").agg(min("doc_id").as("first_doc")), st)
     }
   }
 
+  // ------------------------------------------------------ delta folds
+
+  private def deltaDir(root: String): java.io.File =
+    new java.io.File(root, "deltas")
+
+  /** The committed delta roots. */
+  def deltas(root: String): Seq[String] =
+    Option(deltaDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getAbsolutePath).sorted.toSeq
+
+  /** Fold a processed batch in at BATCH cost: commit the batch's OWN
+    * (shingle, min doc) as a delta — the committed map is never read,
+    * never rewritten (the r10 form re-aggregated and rewrote all 64
+    * bucket dirs every fold; at 100 TB that map is corpus-scale and
+    * this is the daily maintenance step). Probes resolve the min-union
+    * of base ∪ deltas (one extra keyed aggregate over touched
+    * buckets); [[mergeCompact]] folds the log physically at
+    * compaction cadence. A non-default `tag` names the delta dir
+    * deterministically (`batch-<tag>`) so an at-least-once caller —
+    * the streaming gate — can test [[folded]] and absorb a
+    * redelivered fold instead of double-committing it (double-commit
+    * would still be CORRECT — min is idempotent — just wasted bytes).
+    */
+  def fold(spark: SparkSession, batchShingles: DataFrame, root: String,
+           tag: String = java.util.UUID.randomUUID().toString): String =
+    synchronized {
+      require(resolve(root).isDefined,
+        s"no committed index under $root — publish a base first")
+      val dr = deltaDir(root); dr.mkdirs()
+      val target = new java.io.File(dr, s"batch-$tag")
+      if (new java.io.File(target, "_SUCCESS").isFile)
+        return target.getAbsolutePath // tagged fold already committed
+      graft.sources.Artifacts.notePublish()
+      val staging = new java.io.File(dr,
+        s".staging-${java.util.UUID.randomUUID()}")
+      writeMap(batchShingles.groupBy("s").agg(min("doc_id").as("first_doc")),
+        staging.getAbsolutePath)
+      require(staging.renameTo(target),
+        s"delta fold rename failed into $dr")
+      target.getAbsolutePath
+    }
+
+  /** True when a fold tagged `tag` has already committed. */
+  def folded(root: String, tag: String): Boolean =
+    new java.io.File(new java.io.File(deltaDir(root), s"batch-$tag"),
+      "_SUCCESS").isFile
+
+  // ------------------------------------------------------ deletes
+  //
+  // Shared [[Tombstones]] log, same O(deletes) commit as the three
+  // sibling families — but deletion here has a subtlety none of them
+  // have: the tombstoned ids are DOC ids, while the index rows are
+  // keyed by shingle with the doc as a VALUE. Purging a doc that
+  // "owns" first-occurrence rows must not just hide those rows — the
+  // never-ingested truth is that the next-earliest SURVIVING holder
+  // becomes the first occurrence. Probes resolve the min over
+  // surviving rows (a delta's later holder takes over immediately);
+  // [[mergeCompact]]'s optional repair source restores exact
+  // never-ingested semantics for shingles whose every RECORDED holder
+  // was purged.
+
+  /** Record doc `ids` as purged — their first-occurrence rows vanish
+    * from every probe immediately (min-union over surviving rows),
+    * removed/reassigned physically at the next [[mergeCompact]].
+    */
+  def addTombstones(spark: SparkSession, ids: DataFrame, idCol: String,
+                    root: String): String = synchronized {
+    Tombstones.add(spark, ids, idCol, root)
+  }
+
+  /** The committed purged-doc set, if any. */
+  def tombstones(spark: SparkSession, root: String): Option[DataFrame] =
+    Tombstones.get(spark, root)
+
+  /** Drop every index generation but the newest committed one. */
+  def vacuumOld(root: String): Unit = synchronized {
+    VersionedDirs.retainLatestGenerations(root, keep = 1)
+  }
+
+  /** Fold every committed delta and pending purge into the next
+    * generation: min-union of base ∪ deltas, minus rows whose
+    * first_doc was purged, plus — when `reassignSrc` (columns
+    * `doc_id`, `s`: the SURVIVING corpus's shingles, or any superset
+    * covering the affected keys) is given — the repair rows that
+    * REASSIGN first occurrence to the next-earliest surviving holder.
+    * Without a repair source, a shingle whose every recorded holder
+    * was purged simply drops (conservative: the gate re-treats it as
+    * novel). The repair join is keyed on the AFFECTED shingle set
+    * (O(purged docs' shingles) — semi-join pruned), so the source
+    * scan is one pass paid at GDPR cadence, never per probe. Clears
+    * the append log and resets tombstones.
+    */
+  def mergeCompact(spark: SparkSession, root: String,
+                   reassignSrc: Option[DataFrame] = None): String =
+    synchronized {
+      val deltaSnap = deltas(root)
+      val basePath = resolve(root).getOrElse(
+        throw new IllegalStateException(s"no committed index under $root"))
+      val all = (basePath +: deltaSnap)
+        .map(p => spark.read.parquet(p).select(col("s"), col("first_doc")))
+        .reduce(_.unionByName(_))
+      val merged0 = tombstones(spark, root) match {
+        case None => all
+        case Some(t) =>
+          val td = t.select(col("index_id").as("first_doc"))
+          val live = all.join(td, Seq("first_doc"), "left_anti")
+          // shingles that lost a RECORDED holder: only these need the
+          // repair scan — everything else already has its true min
+          val affected = all.join(td, Seq("first_doc"), "left_semi")
+            .select("s").distinct()
+          reassignSrc.fold(live) { src =>
+            val repaired = src
+              .select(col("s"), col("doc_id").cast("long").as("first_doc"))
+              .join(affected, Seq("s"), "left_semi")
+              .join(td, Seq("first_doc"), "left_anti")
+            live.unionByName(repaired)
+          }
+      }
+      val merged = merged0.groupBy("s").agg(min("first_doc").as("first_doc"))
+      val path = VersionedDirs.commit(root) { st => writeMap(merged, st) }
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      // delete exactly the dirs THIS merge folded (an append committed
+      // after the snapshot survives); a probe racing the deletion that
+      // double-reads a delta is harmless — min is idempotent. Crashed
+      // staging leftovers vacuum past the grace age only.
+      deltaSnap.foreach(p => rm(new java.io.File(p)))
+      Option(deltaDir(root).listFiles()).getOrElse(Array.empty)
+        .filter(VersionedDirs.stagingOrphan).foreach(rm)
+      Tombstones.reset(spark, root)
+      path
+    }
+
+  // ------------------------------------------------------ probe
+
   /** Batch shingles (columns `doc_id`, `s`, callers may carry more)
-    * annotated with `seen_doc` = the committed first-occurrence doc
-    * (null if the index has never seen the shingle). Reads ONLY the
-    * partition dirs the batch touches (≤ [[NumBuckets]] ints
-    * collected — a constant, never data-sized).
+    * annotated with `seen_doc` = the committed first-occurrence doc —
+    * the MIN over base ∪ unfolded deltas, excluding purged holders
+    * (null if no surviving generation has seen the shingle). Reads
+    * ONLY the partition dirs the batch touches per root
+    * (≤ [[NumBuckets]] ints collected — a constant, never
+    * data-sized).
     */
   def probe(spark: SparkSession, batchShingles: DataFrame,
             root: String): DataFrame = {
+    // read-order discipline (see SimIndex.probeTopK): tombstones, then
+    // the delta listing, then resolve — and duplicate reads under a
+    // racing merge stay harmless because min is idempotent
+    val ts = tombstones(spark, root)
+    val deltaSnap = deltas(root)
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
     val bs = batchShingles.withColumn("pbucket", pbucketOf(col("s")))
@@ -71,28 +236,40 @@ object FirstSeenIndex {
     // release the cache once the touched-bucket collect has consumed
     // it — the returned join recomputes the (batch-sized) shingle
     // frame once, which costs one extra batch scan but never leaks
-    // executor storage on library callers (the bench sweeps persisted
-    // RDDs between queries; non-bench callers don't)
+    // executor storage on library callers
     bs.unpersist()
-    val idx = spark.read.parquet(idxPath)
-      .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*))
-      .select(col("pbucket"), col("s"), col("first_doc").as("seen_doc"))
+    val idx0 = (idxPath +: deltaSnap)
+      .map(p => spark.read.parquet(p)
+        .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*))
+        .select(col("pbucket"), col("s"), col("first_doc")))
+      .reduce(_.unionByName(_))
+    val live = ts.fold(idx0)(t =>
+      idx0.join(t.select(col("index_id").as("first_doc")),
+        Seq("first_doc"), "left_anti"))
+    // base-only, purge-free reads skip the min-union aggregate — the
+    // committed map is already one row per shingle
+    val idx =
+      if (deltaSnap.isEmpty && ts.isEmpty)
+        live.select(col("pbucket"), col("s"), col("first_doc").as("seen_doc"))
+      else live.groupBy("pbucket", "s").agg(min("first_doc").as("seen_doc"))
     bs.join(idx, Seq("pbucket", "s"), "left")
       .drop("pbucket")
   }
 
-  /** Fold a processed batch into the next generation: min-union of
-    * the committed map and the batch's own firsts — one keyed
-    * aggregate, no rescan of anything already indexed. The daily
-    * maintenance step after [[probe]] scored the batch.
+  /** Per-doc novelty census of a [[probe]]d batch: a shingle is novel
+    * iff no surviving committed generation has seen it AND no earlier
+    * batch doc introduced it (one window-min over the batch). Shared
+    * by the judged q266/q269/q271 rollups and the streaming gate so
+    * the batch and stream forms cannot drift.
     */
-  def fold(spark: SparkSession, batchShingles: DataFrame,
-           root: String): String = synchronized {
-    val idxPath = resolve(root).getOrElse(
-      throw new IllegalStateException(s"no committed index under $root"))
-    val merged = spark.read.parquet(idxPath)
-      .select(col("s"), col("first_doc").as("doc_id"))
-      .unionByName(batchShingles.select(col("s"), col("doc_id")))
-    publish(merged, root)
+  def scoreBatch(probed: DataFrame): DataFrame = {
+    val flagged = probed
+      .withColumn("batch_first",
+        min("doc_id").over(Window.partitionBy("s")))
+      .withColumn("novel",
+        (col("seen_doc").isNull &&
+          col("batch_first") === col("doc_id")).cast("long"))
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), sum("novel").as("n_novel"))
   }
 }

@@ -4550,33 +4550,35 @@ object PipelineQueries {
     * source in integer ppm.
     */
   private def noveltyReport(probed: DataFrame,
-                            batch: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val flagged = probed
-      .withColumn("batch_first",
-        min("doc_id").over(Window.partitionBy("s")))
-      .withColumn("novel",
-        (col("seen_doc").isNull &&
-          col("batch_first") === col("doc_id")).cast("long"))
-    val perDoc = flagged.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"), sum("novel").as("n_novel"))
+                            batch: DataFrame): DataFrame =
+    noveltyRollup(FirstSeenIndex.scoreBatch(probed), batch)
+
+  /** Per-source rollup of a per-doc novelty census — the judged shape
+    * shared by the one-shot reports and the streaming twin (q272,
+    * whose per-doc rows come from committed batch dirs).
+    */
+  private def noveltyRollup(perDoc: DataFrame,
+                            batch: DataFrame): DataFrame =
     batch.select("doc_id", "source").join(perDoc, Seq("doc_id"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_sh").as("n_sh"),
         sum("n_novel").as("n_novel"))
       .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_sh"))
       .orderBy("source")
-  }
 
   /** Oracle twin of [[noveltyReport]] for a batch of docs with
     * `doc_id >= lowerBound` scored against everything before them:
     * global first-occurrence restricted to the batch (base ids all
     * precede batch ids, so index-unseen ∧ batch-first ≡ global-first).
+    * `srcPred` excludes docs from the corpus entirely — the
+    * NEVER-INGESTED replay the purge query's hash match is judged
+    * against (q271).
     */
-  private def noveltySql(lowerBound: Long): String =
+  private def noveltySql(lowerBound: Long,
+                         srcPred: String = "TRUE"): String =
     s"""WITH w AS (
        |  SELECT doc_id, source, ${TextFunctions.wordsSql("text")} AS arr
-       |  FROM documents),
+       |  FROM documents WHERE $srcPred),
        |sh AS (
        |  SELECT DISTINCT doc_id, source,
        |    unnest(${TextFunctions.shinglesSql("arr")}) AS s
@@ -4602,16 +4604,17 @@ object PipelineQueries {
     * batch is scored against the FOLDED generation. The oracle
     * computes global first-occurrence over all three days and
     * restricts to day-3 docs — so the hash match proves the folded
-    * artifact holds exactly the base ∪ day-2 map with correct
-    * minima, which no single-publish test can show. Guards make the
-    * chain idempotent across reruns: publish-if-absent, and the fold
-    * runs only while the root still has a single generation.
+    * state holds exactly the base ∪ day-2 map with correct minima,
+    * which no single-publish test can show. Since r11 the fold is
+    * O(batch) — day 2 commits as a DELTA (tagged, so the
+    * publish-if-absent guard extends to it) and the probe resolves
+    * the min-union; the committed base is never read or rewritten by
+    * the fold (FirstSeenIndexSpec proves the write is batch-sized).
     */
   val foldedNovelty: Q = {
     val S1 = 150L; val S2 = 250L
     Q(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
           col("text"))
         val root = graft.sources.Artifacts.versionedRoot(
@@ -4621,16 +4624,113 @@ object PipelineQueries {
             Dedup.shingleSet(
               docs.filter(col("doc_id") < S1), "doc_id", "text", 3),
             root)
-        if (graft.operators.VersionedDirs.versionsOf(root).size < 2)
+        if (!FirstSeenIndex.folded(root, "day2"))
           FirstSeenIndex.fold(s,
             Dedup.shingleSet(
               docs.filter(col("doc_id") >= S1 && col("doc_id") < S2),
               "doc_id", "text", 3),
-            root)
+            root, tag = "day2")
         val batch = docs.filter(col("doc_id") >= S2)
         val probed = FirstSeenIndex.probe(s,
           Dedup.shingleSet(batch, "doc_id", "text", 3), root)
         noveltyReport(probed, batch)
+      },
+      noveltySql(S2))
+  }
+
+  /** First-seen purge with REASSIGNMENT (q271) — the GDPR chain on
+    * the FOURTH index family, and the one with a subtlety none of
+    * its siblings have: the tombstoned ids are DOC ids while the map
+    * is keyed by SHINGLE with the doc as a value, so purging a doc
+    * that introduced a shingle must REASSIGN first occurrence to the
+    * next-earliest surviving holder — merely hiding the doc would
+    * over-report novelty for matter that still exists in the corpus.
+    * Cold path: publish day 1, fold day 2 (O(batch) delta),
+    * tombstone every 10th day-1 doc, merge-compact with the
+    * surviving corpus's shingles as the repair source
+    * ([[FirstSeenIndex.mergeCompact]] — the repair join touches only
+    * AFFECTED shingles), vacuum the pre-purge generation. The probe
+    * then scores day 3 against physically purged state, and the
+    * oracle replays first-occurrence over a corpus where the purged
+    * docs were NEVER INGESTED — the hash match proves exact
+    * reassignment, not just hiding.
+    */
+  val noveltyPurge: Q = {
+    val S1 = 150L; val S2 = 250L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+          col("text"))
+        val purged = col("doc_id") < S1 && col("doc_id") % 10 === 0
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-novelty-purge", d, Seq("documents.parquet"))
+        if (FirstSeenIndex.resolve(root).isEmpty) {
+          FirstSeenIndex.publish(
+            Dedup.shingleSet(
+              docs.filter(col("doc_id") < S1), "doc_id", "text", 3),
+            root)
+          FirstSeenIndex.fold(s,
+            Dedup.shingleSet(
+              docs.filter(col("doc_id") >= S1 && col("doc_id") < S2),
+              "doc_id", "text", 3),
+            root, tag = "day2")
+          FirstSeenIndex.addTombstones(s,
+            docs.filter(purged).select("doc_id"), "doc_id", root)
+          FirstSeenIndex.mergeCompact(s, root,
+            reassignSrc = Some(Dedup.shingleSet(
+              docs.filter(col("doc_id") < S2 && !purged),
+              "doc_id", "text", 3)))
+          FirstSeenIndex.vacuumOld(root)
+        }
+        val batch = docs.filter(col("doc_id") >= S2)
+        noveltyReport(
+          FirstSeenIndex.probe(s,
+            Dedup.shingleSet(batch, "doc_id", "text", 3), root),
+          batch)
+      },
+      noveltySql(S2, srcPred = s"NOT (doc_id < $S1 AND doc_id % 10 = 0)"))
+  }
+
+  /** Streaming novelty gate judged end-to-end (q272) — the r10
+    * verdict's empty streaming × novelty cell: the ingestion-gate use
+    * case [[graft.operators.FirstSeenIndex]] was built for is
+    * continuous by nature, and this is its judged batch twin (the
+    * q170/q259/q268 pattern on the fourth family). Batch 0 scores
+    * against the committed base and FOLDS IN (tagged delta — the
+    * exactly-once boundary), is REDELIVERED and absorbed
+    * byte-for-byte, then batch 1 scores against base ∪ batch 0's
+    * fold. First-occurrence semantics COMPOSE across the fold
+    * boundary, so the oracle is one global first-occurrence pass
+    * restricted to the streamed docs — a hash match proves each
+    * batch was scored against exactly the pre-batch committed state
+    * (a stream that skipped the fold would over-report batch-1
+    * novelty; one that re-scored the redelivery after folding would
+    * zero batch-0 novelty).
+    */
+  val noveltyStreamTwin: Q = {
+    val S2 = 250L; val B0_MAX = 400L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+          col("text"))
+        val idxRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-novelty-stream-idx", d, Seq("documents.parquet"))
+        val outRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-novelty-stream-out", d, Seq("documents.parquet"))
+        if (FirstSeenIndex.resolve(idxRoot).isEmpty)
+          FirstSeenIndex.publish(
+            Dedup.shingleSet(
+              docs.filter(col("doc_id") < S2), "doc_id", "text", 3),
+            idxRoot)
+        val ns = new graft.streaming.NoveltyStream(s, idxRoot, outRoot)
+        val b0 = Dedup.shingleSet(
+          docs.filter(col("doc_id") >= S2 && col("doc_id") < B0_MAX),
+          "doc_id", "text", 3)
+        ns.processBatch(b0, 0)
+        ns.processBatch(b0, 0) // at-least-once redelivery: absorbed
+        ns.processBatch(Dedup.shingleSet(
+          docs.filter(col("doc_id") >= B0_MAX), "doc_id", "text", 3), 1)
+        noveltyRollup(ns.results(), docs.filter(col("doc_id") >= S2))
       },
       noveltySql(S2))
   }
@@ -4712,7 +4812,6 @@ object PipelineQueries {
     val SPLIT = 250L
     Q(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
           col("text"))
         val root = graft.sources.Artifacts.versionedRoot(
@@ -9230,6 +9329,8 @@ object PipelineQueries {
     "q268_pq_stream_twin" -> pqStreamTwin,
     "q269_folded_novelty" -> foldedNovelty,
     "q270_ivfpq_index"   -> ivfPqIndexProbe,
+    "q271_novelty_purge" -> noveltyPurge,
+    "q272_novelty_stream" -> noveltyStreamTwin,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

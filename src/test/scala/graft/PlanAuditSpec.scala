@@ -49,8 +49,10 @@ class PlanAuditSpec extends SparkSpec {
                               // (AnnStreamSpec audits the stream side)
       "q263_ivfpq", // coarse fit + fitPQ Lloyd rounds checkpoint at
                     // build (q54 + q247's machinery composed)
-      "q268_pq_stream_twin") // AnnStream batches commit at build
+      "q268_pq_stream_twin", // AnnStream batches commit at build
                              // (q259's exclusion, PQ probe)
+      "q272_novelty_stream") // NoveltyStream batches commit + fold at
+                             // build (NoveltyStreamSpec audits)
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {

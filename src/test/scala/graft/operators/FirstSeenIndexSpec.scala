@@ -47,18 +47,71 @@ class FirstSeenIndexSpec extends SparkSpec {
       s"probe scan lost its pbucket partition filter:\n${p.take(1500)}")
   }
 
-  test("fold min-unions the batch; result equals a from-scratch publish") {
+  private def probeSet(probeBatch: org.apache.spark.sql.DataFrame,
+                       root: String) =
+    FirstSeenIndex.probe(spark, probeBatch, root)
+      .select($"doc_id", $"s", $"seen_doc")
+      .as[(Long, String, Option[Long])].collect().toSet
+
+  test("fold is O(batch): a tagged delta, base untouched; probe ≡ a from-scratch map") {
+    val root = Files.createTempDirectory("fsidx").toString
+    val basePath = FirstSeenIndex.publish(base, root)
+    FirstSeenIndex.fold(spark, batch, root, tag = "day2")
+    // O(batch) proof: the committed base was neither rewritten (still
+    // ONE generation) nor its rows touched; the delta holds exactly
+    // the batch's own distinct shingles, not the index's
+    assert(VersionedDirs.versionsOf(root).size == 1,
+      "fold rewrote the committed map — that is the O(index) shape")
+    assert(FirstSeenIndex.resolve(root).contains(basePath))
+    val deltaRows = spark.read.parquet(FirstSeenIndex.deltas(root).head)
+    assert(deltaRows.count() == batch.select("s").distinct().count(),
+      "delta is not batch-sized")
+    assert(FirstSeenIndex.folded(root, "day2"))
+    // a redelivered tagged fold is absorbed, not double-committed
+    FirstSeenIndex.fold(spark, batch, root, tag = "day2")
+    assert(FirstSeenIndex.deltas(root).size == 1)
+    // probe resolves the min-union of base ∪ delta ≡ from-scratch map
+    val day3 = Seq((20L, "b"), (20L, "e"), (20L, "n"), (20L, "z"))
+      .toDF("doc_id", "s")
+    val fresh = Files.createTempDirectory("fsidx").toString
+    FirstSeenIndex.publish(base.unionByName(batch), fresh)
+    assert(probeSet(day3, root) == probeSet(day3, fresh),
+      "min-union probe diverges from a from-scratch map")
+    // mergeCompact folds physically: same answers, empty log
+    FirstSeenIndex.mergeCompact(spark, root)
+    assert(FirstSeenIndex.deltas(root).isEmpty)
+    assert(probeSet(day3, root) == probeSet(day3, fresh),
+      "post-compact probe diverges")
+  }
+
+  test("purge reassigns first occurrence to the next-earliest surviving holder") {
     val root = Files.createTempDirectory("fsidx").toString
     FirstSeenIndex.publish(base, root)
     FirstSeenIndex.fold(spark, batch, root)
-    val got = spark.read.parquet(FirstSeenIndex.resolve(root).get)
-      .select($"s", $"first_doc").as[(String, Long)].collect().toSet
+    // purge doc 1 — it owns "a" (also in surviving doc 12) and "b"
+    // (also in surviving docs 2 and 10)
+    FirstSeenIndex.addTombstones(spark, Seq(1L).toDF("doc_id"),
+      "doc_id", root)
+    val day3 = Seq((20L, "a"), (20L, "b"), (20L, "e"), (20L, "z"))
+      .toDF("doc_id", "s")
+    // BEFORE compaction: purged rows hidden; a delta's later holder
+    // takes over where one was recorded ("b" → 10), an unrecorded
+    // survivor cannot ("a" → unseen until the repair runs)
+    assert(probeSet(day3, root) == Set(
+      (20L, "a", Some(12L)), (20L, "b", Some(10L)),
+      (20L, "e", Some(10L)), (20L, "z", None)))
+    // compact WITH the surviving corpus as repair source: exact
+    // never-ingested semantics — "b"'s next-earliest holder is doc 2
+    val survivors = base.unionByName(batch).filter($"doc_id" =!= 1L)
+    FirstSeenIndex.mergeCompact(spark, root, reassignSrc = Some(survivors))
+    FirstSeenIndex.vacuumOld(root)
     val fresh = Files.createTempDirectory("fsidx").toString
-    FirstSeenIndex.publish(base.unionByName(batch), fresh)
-    val want = spark.read.parquet(FirstSeenIndex.resolve(fresh).get)
-      .select($"s", $"first_doc").as[(String, Long)].collect().toSet
-    assert(got == want, "fold diverges from a from-scratch map")
-    // the previous generation survives for pinned readers (keep-two)
-    assert(VersionedDirs.versionsOf(root).size == 2)
+    FirstSeenIndex.publish(survivors, fresh)
+    assert(probeSet(day3, root) == probeSet(day3, fresh),
+      "post-purge map diverges from a never-ingested publish")
+    assert(FirstSeenIndex.tombstones(spark, root).isEmpty)
+    // physically purged: no row anywhere names doc 1
+    val v = FirstSeenIndex.resolve(root).get
+    assert(spark.read.parquet(v).filter($"first_doc" === 1L).count() == 0)
   }
 }
