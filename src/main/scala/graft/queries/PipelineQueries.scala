@@ -161,6 +161,15 @@ object PipelineQueries {
   private val MH_K = 16; private val MH_BANDS = 4; private val MH_R = 4
   private val MH_THRESH = 0.25
 
+  // shared geometry of the substring-span family (q245/q257): one
+  // gram width, one hot-gram cap, one minimum span — and ONE committed
+  // posting artifact ([[gramPostings]]) both queries consume, so the
+  // family cannot drift. (Declared up here with the other family
+  // constants: object vals initialize in declaration order, and the
+  // query vals below bake these into their oracle SQL.)
+  private val GRAM_K = 24; private val GRAM_MAX_DF = 20
+  private val GRAM_MIN_SPAN = 32
+
   /** MinHash+LSH near-dup pairs (est_sim ≥ threshold) — the Spark
     * side shared by q24 and q46. The signature frame feeds
     * lshCandidates plus both sides of minhashEstimate — persist it so
@@ -5145,18 +5154,18 @@ object PipelineQueries {
     * maximal spans. Per eval doc: how many train docs share a span,
     * the longest shared span, and the span count — the report a
     * benchmark owner actually actions (drop the eval doc or purge
-    * the train side). Cost shape identical to q245; cross-side
-    * restriction only shrinks the candidate set.
+    * the train side). Since r11 the gram postings come from the
+    * COMMITTED [[gramPostings]] artifact shared with q245 (the
+    * corpus-scale hash + df-cap paid once per data version,
+    * `art:warm` thereafter); cross-side restriction only shrinks the
+    * candidate set.
     */
   val spanContamination: Q = {
-    val K = 24; val MIN_SPAN = 32; val MAX_DF = 20
+    val K = GRAM_K; val MIN_SPAN = GRAM_MIN_SPAN
     Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-        val grams = Dedup.gramHashes(docs, "doc_id", "text", K)
-          .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-          .filter(col("df") <= MAX_DF).drop("df")
+        val grams = gramPostings(s, d)._1
           .withColumn("is_eval", (col("doc_id") % 20 === 0).cast("int"))
         val hits = grams.filter(col("is_eval") === 0)
           .select(col("doc_id").as("train_id"), col("pos").as("pa"),
@@ -5190,7 +5199,7 @@ object PipelineQueries {
          |capped AS (
          |  SELECT doc_id, pos, h, doc_id % 20 = 0 AS is_eval FROM (
          |    SELECT doc_id, pos, h, count(*) OVER (PARTITION BY h) AS df
-         |    FROM hh) WHERE df <= $MAX_DF),
+         |    FROM hh) WHERE df <= $GRAM_MAX_DF),
          |hits AS (
          |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
          |    a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
@@ -5608,6 +5617,40 @@ object PipelineQueries {
          |ORDER BY new_id, index_id""".stripMargin)
   }
 
+  /** COMMITTED df-capped gram postings over the documents table — the
+    * shared corpus-scale half of the substring-span family (q245 and
+    * q257 were the two slowest judged queries, each re-paying the
+    * O(len)/doc gram hashing + the df-cap window per run; the
+    * [[graft.sources.Artifacts.publishOnce]] graph-pair discipline
+    * amortizes it to once per data version). Two tables under one
+    * root: `postings/` — (doc_id, pos, h) for every gram whose
+    * document-frequency ≤ [[GRAM_MAX_DF]]; `hot/` — the capped-out
+    * gram hashes (a compact boilerplate blocklist, so a consumer
+    * hashing EXTRA synthetic docs can apply the same cap to them
+    * without touching the corpus).
+    */
+  private def gramPostings(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val root = graft.sources.Artifacts.publishOnce(
+      "graft-gram-postings", d, Seq("documents.parquet")) { st =>
+      import org.apache.spark.sql.expressions.Window
+      val grams = Dedup.gramHashes(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", GRAM_K)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+        .persist()
+      grams.filter(col("df") <= GRAM_MAX_DF).drop("df")
+        .write.parquet(new java.io.File(st, "postings").toString)
+      grams.filter(col("df") > GRAM_MAX_DF).select("h").distinct()
+        .write.parquet(new java.io.File(st, "hot").toString)
+      grams.unpersist()
+      java.nio.file.Files.createFile(
+        new java.io.File(st, "_SUCCESS").toPath)
+      ()
+    }
+    (s.read.parquet(new java.io.File(root, "postings").toString),
+      s.read.parquet(new java.io.File(root, "hot").toString))
+  }
+
   /** Exact shared-substring spans (q245) — the dedup family's missing
     * EXACT-substring member (the Lee et al. "Deduplicating Training
     * Data Makes Language Models Better" primitive: near-dup finds
@@ -5617,9 +5660,14 @@ object PipelineQueries {
     * ([[Dedup.gramHashes]]' lead-window Horner — never per-gram
     * substr), hot grams are df-capped (q23's discipline: a ubiquitous
     * gram carries no copy signal and would pair quadratically), and
-    * matching positions meet through the hash join. The span
-    * assembly is the classic diagonal trick: a shared substring of
-    * length L contributes L−K+1 gram matches on ONE diagonal
+    * matching positions meet through the hash join. Since r11 the
+    * corpus-scale half reads the COMMITTED posting artifact
+    * ([[gramPostings]], `art:warm` after first publish) — the cap is
+    * therefore a property of the BASE corpus (the artifact-able
+    * form): injected redelivered copies hash only themselves (25
+    * docs) and inherit the blocklist via the `hot/` anti-join. The
+    * span assembly is the classic diagonal trick: a shared substring
+    * of length L contributes L−K+1 gram matches on ONE diagonal
     * (pos_a − pos_b constant) at CONSECUTIVE pos_a, so grouping by
     * (pair, diagonal, pos_a − row_number) reconstructs maximal runs
     * — pure windows, no per-char joins. The reported best span per
@@ -5630,18 +5678,20 @@ object PipelineQueries {
     * length must surface.
     */
   val substringSpans: Q = {
-    val K = 24; val MIN_SPAN = 32; val MAX_DF = 20; val REDELIVER = 25L
+    val K = GRAM_K; val MIN_SPAN = GRAM_MIN_SPAN
+    val MAX_DF = GRAM_MAX_DF; val REDELIVER = 25L
     Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-        val corpus = docs.unionByName(
-          docs.filter(col("doc_id") < REDELIVER)
-            .select((col("doc_id") + 1000000L).as("doc_id"),
-              concat(col("text"), lit(" tail"), col("doc_id")).as("text")))
-        val grams = Dedup.gramHashes(corpus, "doc_id", "text", K)
-          .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-          .filter(col("df") <= MAX_DF).drop("df")
+        val rede = docs.filter(col("doc_id") < REDELIVER)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" tail"), col("doc_id")).as("text"))
+        val corpus = docs.unionByName(rede)
+        val (post, hot) = gramPostings(s, d)
+        val redeGrams = Dedup.gramHashes(rede, "doc_id", "text", K)
+          .join(hot, Seq("h"), "left_anti")
+        val grams = post.unionByName(redeGrams)
         val hits = grams.select(col("doc_id").as("id_a"),
             col("pos").as("pa"), col("h"))
           .join(grams.select(col("doc_id").as("id_b"),
@@ -5694,8 +5744,10 @@ object PipelineQueries {
          |hh AS (SELECT doc_id, pos, ${Hashing.charHashSql("gram", K)} AS h
          |       FROM gr),
          |capped AS (
-         |  SELECT * FROM (
-         |    SELECT doc_id, pos, h, count(*) OVER (PARTITION BY h) AS df
+         |  SELECT doc_id, pos, h FROM (
+         |    SELECT doc_id, pos, h,
+         |      sum(CASE WHEN doc_id < 1000000 THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY h) AS df
          |    FROM hh) WHERE df <= $MAX_DF),
          |hits AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
