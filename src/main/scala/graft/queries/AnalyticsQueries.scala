@@ -2120,12 +2120,19 @@ object AnalyticsQueries {
     * targets 50/80/90/99%, the smallest customer-count prefix (by
     * revenue rank) whose cumulative cents reach that share of total,
     * and what fraction of the customer base that prefix is in ppm.
-    * One per-customer aggregate, ONE customer-grain ranking window
-    * (q237's documented trade — sketch cutpoints at 100 TB), then a
-    * 4-row broadcast threshold sweep over the cumulative curve
-    * (q226's sweep discipline). High concentration ⇒ key-account
-    * risk; flat ⇒ volume business — the number a revenue-risk review
-    * opens with.
+    * One per-customer aggregate, then the rank AND the cumulative
+    * curve are built HIERARCHICALLY (q139's bucket-offset pattern):
+    * ⌊log₂ cents⌋+1 buckets are strictly ordered by construction, so
+    * global rank = higher-bucket row offset + within-bucket
+    * row_number and cumulative cents = higher-bucket cents offset +
+    * the within-bucket running sum — windows run parallel across
+    * buckets, totals come from the ~64-row bucket rollup, and NO
+    * customer-grain single-partition sort exists at any scale. A
+    * 4-row broadcast threshold sweep over the curve closes it
+    * (q226's sweep discipline). The oracle uses the plain global
+    * window pair — identical ranks/cumulatives, the equivalence the
+    * hash proves. High concentration ⇒ key-account risk; flat ⇒
+    * volume business — the number a revenue-risk review opens with.
     */
   lazy val revenueConcentration: Q = {
     val THS = Seq(50L, 80L, 90L, 99L)
@@ -2135,15 +2142,23 @@ object AnalyticsQueries {
         val per = t(s, d, "orders")
           .groupBy(col("o_custkey").as("cust"))
           .agg(sum(cents(col("o_totalprice"))).as("cents"))
-        val ranked = per
-          .withColumn("rnk", row_number().over(
-            Window.orderBy(desc("cents"), col("cust"))).cast("long"))
-          .withColumn("cum", sum("cents").over(
-            Window.orderBy(desc("cents"), col("cust"))
-              .rowsBetween(Window.unboundedPreceding,
-                Window.currentRow)))
-          .withColumn("tot", sum("cents").over(Window.partitionBy()))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+          .withColumn("bkt", length(bin(col("cents"))))
+        val higher = Window.orderBy(col("bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val boff = per.groupBy("bkt")
+          .agg(count(lit(1)).as("n_b"), sum("cents").as("c_b"))
+          .withColumn("off", coalesce(sum("n_b").over(higher), lit(0L)))
+          .withColumn("coff", coalesce(sum("c_b").over(higher), lit(0L)))
+          .withColumn("tot", sum("c_b").over(Window.partitionBy()))
+          .withColumn("n", sum("n_b").over(Window.partitionBy()))
+          .select("bkt", "off", "coff", "tot", "n")
+        val inB = Window.partitionBy("bkt")
+          .orderBy(desc("cents"), col("cust"))
+        val ranked = per.join(boff, "bkt")
+          .withColumn("rnk",
+            (col("off") + row_number().over(inB)).cast("long"))
+          .withColumn("cum", col("coff") + sum("cents").over(
+            inB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         val ths = s.range(1)
           .select(explode(array(THS.map(lit): _*)).as("th"))
         ranked.crossJoin(broadcast(ths))
@@ -2320,11 +2335,19 @@ object AnalyticsQueries {
     * orders so ties are deterministic; the judged output is the
     * occupied (r, f, m) cells with customer counts and monetary
     * bounds — the table a lifecycle-marketing team routes campaigns
-    * from ("511 = about to churn, was valuable"). The three ntile
-    * windows are global sorts at customer grain — q166's documented
-    * trade: at 100 TB you swap ntile for quantile-sketch cutpoints
-    * (q80) and keep the same cell semantics; per-customer stats
-    * before them are one map-side-combinable aggregate.
+    * from ("511 = about to churn, was valuable"). No customer-grain
+    * global sort survives at any scale: each axis's rank is built
+    * HIERARCHICALLY (q139's bucket-offset pattern) — recency buckets
+    * on the day value (corpus-span-bounded), frequency on the order
+    * count (per-customer-bounded), monetary on ⌊log₂ cents⌋+1 bins;
+    * buckets are strictly ordered by construction, so global rank =
+    * higher-bucket offset (a tiny rollup cumulative) + within-bucket
+    * row_number, and the tile is then CLOSED-FORM from (rank, n):
+    * ntile(k) over n rows gives the first n%k tiles ⌈n/k⌉ rows and
+    * the rest ⌊n/k⌋ — pure integer arithmetic both engines agree on.
+    * The oracle keeps the plain global ntile; the hash match IS the
+    * equivalence proof. Per-customer stats before all of it are one
+    * map-side-combinable aggregate.
     */
   lazy val rfmSegments: Q = Q(
     (s, d) => {
@@ -2336,16 +2359,52 @@ object AnalyticsQueries {
         .agg(max(to_date(col("o_orderdate"))).as("last_day"),
           count(lit(1)).as("freq"),
           sum(cents(col("o_totalprice"))).as("cents"))
-        .crossJoin(broadcast(anchor))
+        // unhinted 1-row cross join (statistics broadcast it): a hint
+        // here would replicate through the chained axis-rank lineage
+        // and trip the bounded-hint sweep with structural copies
+        .crossJoin(anchor)
         .withColumn("rec_days",
           datediff(col("anchor"), col("last_day")).cast("long"))
-      val scored = per
-        .withColumn("r", ntile(5).over(
-          Window.orderBy(col("rec_days"), col("cust"))).cast("long"))
-        .withColumn("f", ntile(5).over(
-          Window.orderBy(desc("freq"), col("cust"))).cast("long"))
-        .withColumn("m", ntile(5).over(
-          Window.orderBy(desc("cents"), col("cust"))).cast("long"))
+      // hierarchical rank along one axis: value-derived buckets are
+      // strictly ordered, offsets come from the bounded bucket rollup,
+      // in-bucket windows run parallel across buckets
+      def axisRank(src: org.apache.spark.sql.DataFrame,
+                   bucket: org.apache.spark.sql.Column, bucketAsc: Boolean,
+                   inBucket: Seq[org.apache.spark.sql.Column],
+                   out: String): org.apache.spark.sql.DataFrame = {
+        val b = src.withColumn("bkt", bucket)
+        val ord = if (bucketAsc) Window.orderBy(col("bkt"))
+          else Window.orderBy(col("bkt").desc)
+        val boff = b.groupBy("bkt").agg(count(lit(1)).as("n_b"))
+          .withColumn("off", coalesce(sum("n_b").over(
+            ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("bkt", "off")
+        b.join(boff, "bkt")
+          .withColumn(out, col("off") +
+            row_number().over(Window.partitionBy("bkt").orderBy(inBucket: _*)))
+          .drop("bkt", "off")
+      }
+      val ranked = axisRank(
+        axisRank(
+          axisRank(per,
+            col("rec_days"), bucketAsc = true, Seq(col("cust")), "rrnk"),
+          col("freq"), bucketAsc = false, Seq(col("cust")), "frnk"),
+        length(bin(col("cents"))), bucketAsc = false,
+        Seq(desc("cents"), col("cust")), "mrnk")
+      // ntile(5) closed-form from (rank, n): first n%5 tiles hold
+      // ⌊n/5⌋+1 rows, the rest ⌊n/5⌋ (division-by-zero branch is
+      // unreachable when n < 5: every rank then sits in the CASE's
+      // first arm)
+      def tile(rnk: String): String =
+        s"CASE WHEN $rnk <= (n div 5 + 1) * (n % 5) " +
+          s"THEN ($rnk - 1) div (n div 5 + 1) + 1 " +
+          s"ELSE n % 5 + ($rnk - (n div 5 + 1) * (n % 5) - 1) " +
+          s"div (n div 5) + 1 END"
+      val nAgg = per.agg(count(lit(1)).as("n"))
+      val scored = ranked.crossJoin(nAgg)
+        .withColumn("r", expr(tile("rrnk")).cast("long"))
+        .withColumn("f", expr(tile("frnk")).cast("long"))
+        .withColumn("m", expr(tile("mrnk")).cast("long"))
       scored.groupBy("r", "f", "m")
         .agg(count(lit(1)).as("n_cust"), min("cents").as("min_cents"),
           max("cents").as("max_cents"))

@@ -541,8 +541,14 @@ class PlanAuditSpec extends SparkSpec {
       "q228_behavior_lift" -> 1, // 1-row basket-total scalar
       "q232_pseudonym_audit" -> 2, // two 1-row overlap scalars
       "q233_seasonality" -> 1, // nation (25) dim
-      "q237_rfm_segments" -> 1, // 1-row corpus-anchor date scalar
+      // (q237 moved to ZERO hints in r11: the anchor scalar and every
+      // hierarchical-rank rollup join are UNHINTED — q139's
+      // discipline: size statistics broadcast them, and any hint
+      // would replicate through the chained axis lineage and trip
+      // this sweep with structural copies)
       "q242_revenue_concentration" -> 1, // 4-row coverage-threshold list
+                                         // (bucket rollup join unhinted,
+                                         // as q237)
       "q238_repeat_hazard" -> 4, // 1-row anchor scalar fanned into the
                                  // conv/cens/axis consumer branches
       "q234_ivf_sweep" -> 12, // fixed 10-query set + 16-pivot codebook,
