@@ -4801,6 +4801,122 @@ object PipelineQueries {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** Judged batch twin of the streaming IVFPQ probe (q273) — the
+    * q268 snapshot-isolation proof with the PRUNED serving path on
+    * the seam: the [[graft.streaming.AnnStream]] probe seam takes a
+    * partially-applied [[PqIndex.probeTopK]] with nprobe (any
+    * committed-index top-k of the shared shape — the r11
+    * empty-schema fix makes lambdas first-class here), so every
+    * micro-batch pays coarse-cell partition pruning before ADC.
+    * Batch 0 probes the base IVFPQ generation, is REDELIVERED
+    * (absorbed from the committed batch dir), a code delta lands —
+    * encoded with the frozen PQ codebooks AND assigned ccells by the
+    * frozen coarse centroids, so base and delta dirs stay prunable
+    * by one probed-cell set — and batch 1 probes base ∪ delta. The
+    * oracle replays coarse fit → cell assign → probe cells →
+    * candidate pruning → PQ fit → encode → ADC with the isolation
+    * predicate (batch-0 queries score only base vectors), so the
+    * hash match proves per-batch snapshot isolation AND that the
+    * pruning algebra held across the append boundary.
+    */
+  val ivfPqStreamTwin: Q = {
+    val BASE_MAX = 300L; val DELTA_MAX = 400L
+    val B0_MAX = 450L; val Q_MAX = 500L; val K = 3; val NPROBE = 2
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val base = emb.filter(col("vec_id") < BASE_MAX)
+        val delta = emb.filter(
+          col("vec_id") >= BASE_MAX && col("vec_id") < DELTA_MAX)
+        val b0 = emb.filter(
+          col("vec_id") >= DELTA_MAX && col("vec_id") < B0_MAX)
+        val b1 = emb.filter(
+          col("vec_id") >= B0_MAX && col("vec_id") < Q_MAX)
+        val idxRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-ivfpq-stream-idx", d, Seq("embeddings.parquet"))
+        val outRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-ivfpq-stream-out", d, Seq("embeddings.parquet"))
+        if (PqIndex.resolve(idxRoot).isEmpty)
+          PqIndex.publish(base, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, idxRoot,
+            coarseC = KM_C, coarseIters = KM_ITERS)
+        val ann = new graft.streaming.AnnStream(
+          s, idxRoot, outRoot, "vec_id", "embedding", K,
+          probeFn = (sp, b, id, vec, k, root) =>
+            PqIndex.probeTopK(sp, b, id, vec, k, root, NPROBE))
+        ann.processBatch(b0, 0)
+        ann.processBatch(b0, 0) // at-least-once redelivery: absorbed
+        if (PqIndex.deltas(idxRoot).isEmpty)
+          PqIndex.appendDelta(delta, "vec_id", "embedding", idxRoot)
+        ann.processBatch(b1, 1)
+        ann.results().orderBy("query_id", "rnk")
+      },
+      s"""WITH ${kmeansCtes(fitPred = s"e.vec_id < $BASE_MAX")},
+         |fa AS (
+         |  SELECT e.vec_id, c.cell,
+         |    sum((e.xs - c.cs) * (e.xs - c.cs)) AS d2
+         |  FROM e JOIN c$KM_ITERS c USING (dim)
+         |  GROUP BY e.vec_id, c.cell),
+         |ca AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM fa WHERE vec_id < $DELTA_MAX) WHERE rnk = 1),
+         |qa AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM fa WHERE vec_id >= $DELTA_MAX AND vec_id < $Q_MAX)
+         |  WHERE rnk <= $NPROBE),
+         |cand AS (
+         |  SELECT qa.query_id, ca.vec_id
+         |  FROM qa JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.query_id
+         |  WHERE ca.vec_id < $BASE_MAX OR qa.query_id >= $B0_MAX),
+         |ep AS (
+         |  SELECT vec_id, (dim - 1) // $PQ_DSUB AS sub,
+         |    (dim - 1) % $PQ_DSUB + 1 AS sdim, xs
+         |  FROM e),
+         |ix AS (SELECT * FROM ep WHERE vec_id < $BASE_MAX),
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+         |        WHERE vec_id < $PQ_KS),
+         |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+         |fd AS (
+         |  SELECT ib.vec_id, c.sub, c.cell,
+         |    sum((ib.xs - c.cs) * (ib.xs - c.cs)) AS d2
+         |  FROM ep ib JOIN pc$PQ_ITERS c
+         |    ON ib.sub = c.sub AND ib.sdim = c.sdim
+         |  WHERE ib.vec_id < $DELTA_MAX
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d2, cell) AS rnk
+         |    FROM fd) WHERE rnk = 1),
+         |dtab AS (
+         |  SELECT q.vec_id AS query_id, c.sub, c.cell,
+         |    sum((q.xs - c.cs) * (q.xs - c.cs)) AS d2
+         |  FROM ep q JOIN pc$PQ_ITERS c ON q.sub = c.sub AND q.sdim = c.sdim
+         |  WHERE q.vec_id >= $DELTA_MAX AND q.vec_id < $Q_MAX
+         |  GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT cand.query_id, cd.vec_id AS index_id,
+         |    sum(dt.d2)::BIGINT AS adc_d2
+         |  FROM cand
+         |  JOIN codes cd ON cd.vec_id = cand.vec_id
+         |  JOIN dtab dt ON dt.query_id = cand.query_id
+         |    AND dt.sub = cd.sub AND dt.cell = cd.cell
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, index_id, adc_d2,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adc_d2, index_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, index_id, adc_d2, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
   /** Incremental novelty with a PERSISTED first-seen map (q266) —
     * q264 at the ingestion gate: once the corpus's (shingle → first
     * introducing doc) map lives as a committed artifact
@@ -9383,6 +9499,7 @@ object PipelineQueries {
     "q270_ivfpq_index"   -> ivfPqIndexProbe,
     "q271_novelty_purge" -> noveltyPurge,
     "q272_novelty_stream" -> noveltyStreamTwin,
+    "q273_ivfpq_stream_twin" -> ivfPqStreamTwin,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

@@ -51,8 +51,10 @@ class PlanAuditSpec extends SparkSpec {
                     // build (q54 + q247's machinery composed)
       "q268_pq_stream_twin", // AnnStream batches commit at build
                              // (q259's exclusion, PQ probe)
-      "q272_novelty_stream") // NoveltyStream batches commit + fold at
+      "q272_novelty_stream", // NoveltyStream batches commit + fold at
                              // build (NoveltyStreamSpec audits)
+      "q273_ivfpq_stream_twin") // AnnStream batches commit at build
+                                // (q268's exclusion, pruned probe)
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
