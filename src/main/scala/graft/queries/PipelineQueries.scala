@@ -4347,6 +4347,131 @@ object PipelineQueries {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** IVFPQ nprobe/recall tuning sweep (q274) — THE operating knob of
+    * an IVF deployment, measured on the PERSISTED artifact: for each
+    * nprobe in the sweep, the pruned probe's top-K is compared
+    * against the exhaustive flat-ADC top-K from the SAME artifact
+    * (same frozen codebooks, same codes — so the sweep isolates
+    * exactly what candidate pruning costs in recall, not quantization
+    * noise). Shares q270's committed index root, so every probe is
+    * `art:warm`; reported per nprobe: pruned-pair count, hits inside
+    * the flat top-K, and recall in ppm of the full nq·K budget
+    * (pruned lists can run short — nprobe=1 sees one cell's
+    * candidates only — and the shortfall is recall loss by
+    * definition). The oracle replays both quantizers and both
+    * rankings; a hash match proves the artifact-served sweep equals
+    * the from-scratch replay at every operating point.
+    */
+  val ivfPqRecallSweep: Q = {
+    val INDEX_MAX = 400L; val Q_MAX = 420L; val NQ = Q_MAX - INDEX_MAX
+    val NPS = Seq(1, 2, 4)
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val index = emb.filter(col("vec_id") < INDEX_MAX)
+        val queries = emb.filter(
+          col("vec_id") >= INDEX_MAX && col("vec_id") < Q_MAX)
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-ivfpq-index", d, Seq("embeddings.parquet"))
+        if (PqIndex.resolve(root).isEmpty)
+          PqIndex.publish(index, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, root,
+            coarseC = KM_C, coarseIters = KM_ITERS)
+        val flat = PqIndex.probeTopK(s, queries, "vec_id", "embedding",
+            PQ_K, root)
+          .select(col("query_id"), col("index_id"))
+        val pruned = NPS.map { np =>
+          PqIndex.probeTopK(s, queries, "vec_id", "embedding", PQ_K, root, np)
+            .select(col("query_id"), col("index_id"))
+            .withColumn("np", lit(np.toLong))
+        }.reduce(_.unionByName(_))
+        pruned
+          .join(flat.withColumn("hit", lit(1L)),
+            Seq("query_id", "index_id"), "left")
+          .groupBy("np")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("recall_ppm",
+            expr(s"n_hit * 1000000 div (${NQ * PQ_K})"))
+          .orderBy("np")
+      },
+      s"""WITH ${kmeansCtes(fitPred = s"e.vec_id < $INDEX_MAX")},
+         |fa AS (
+         |  SELECT e.vec_id, c.cell,
+         |    sum((e.xs - c.cs) * (e.xs - c.cs)) AS d2
+         |  FROM e JOIN c$KM_ITERS c USING (dim)
+         |  GROUP BY e.vec_id, c.cell),
+         |ca AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM fa WHERE vec_id < $INDEX_MAX) WHERE rnk = 1),
+         |qa AS (
+         |  SELECT vec_id AS query_id, cell, rnk FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM fa WHERE vec_id >= $INDEX_MAX AND vec_id < $Q_MAX)
+         |  WHERE rnk <= ${NPS.max}),
+         |nps(np) AS (VALUES ${NPS.map(n => s"($n)").mkString(", ")}),
+         |ep AS (
+         |  SELECT vec_id, (dim - 1) // $PQ_DSUB AS sub,
+         |    (dim - 1) % $PQ_DSUB + 1 AS sdim, xs
+         |  FROM e),
+         |ix AS (SELECT * FROM ep WHERE vec_id < $INDEX_MAX),
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+         |        WHERE vec_id < $PQ_KS),
+         |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+         |fd AS (
+         |  SELECT ix.vec_id, c.sub, c.cell,
+         |    sum((ix.xs - c.cs) * (ix.xs - c.cs)) AS d2
+         |  FROM ix JOIN pc$PQ_ITERS c ON ix.sub = c.sub AND ix.sdim = c.sdim
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d2, cell) AS rnk
+         |    FROM fd) WHERE rnk = 1),
+         |dtab AS (
+         |  SELECT q.vec_id AS query_id, c.sub, c.cell,
+         |    sum((q.xs - c.cs) * (q.xs - c.cs)) AS d2
+         |  FROM ep q JOIN pc$PQ_ITERS c ON q.sub = c.sub AND q.sdim = c.sdim
+         |  WHERE q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX
+         |  GROUP BY 1, 2, 3),
+         |adc AS (
+         |  SELECT dt.query_id, cd.vec_id AS index_id,
+         |    sum(dt.d2)::BIGINT AS adc_d2
+         |  FROM codes cd JOIN dtab dt ON dt.sub = cd.sub AND dt.cell = cd.cell
+         |  WHERE cd.vec_id <> dt.query_id
+         |  GROUP BY 1, 2),
+         |flat AS (
+         |  SELECT query_id, index_id FROM (
+         |    SELECT query_id, index_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY adc_d2, index_id) AS rnk
+         |    FROM adc) WHERE rnk <= $PQ_K),
+         |cand AS (
+         |  SELECT nps.np, qa.query_id, ca.vec_id
+         |  FROM qa JOIN nps ON qa.rnk <= nps.np
+         |  JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.query_id),
+         |ranked_np AS (
+         |  SELECT np, query_id, index_id FROM (
+         |    SELECT c.np, c.query_id, a.index_id,
+         |      row_number() OVER (PARTITION BY c.np, c.query_id
+         |                         ORDER BY a.adc_d2, a.index_id) AS rnk
+         |    FROM cand c JOIN adc a
+         |      ON a.query_id = c.query_id AND a.index_id = c.vec_id)
+         |  WHERE rnk <= $PQ_K)
+         |SELECT p.np::BIGINT AS np, count(*)::BIGINT AS n_pairs,
+         |  sum(CASE WHEN f.query_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_hit,
+         |  (sum(CASE WHEN f.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 // ${NQ * PQ_K})::BIGINT AS recall_ppm
+         |FROM ranked_np p LEFT JOIN flat f
+         |  ON f.query_id = p.query_id AND f.index_id = p.index_id
+         |GROUP BY p.np ORDER BY np""".stripMargin)
+  }
+
   /** Corpus novelty audit (q264) — the data-curation signal between
     * exact dedup (q22) and near-dup (q24): how much of each document
     * is REPEATED SUBMATTER — word shingles already seen in an earlier
@@ -9500,6 +9625,7 @@ object PipelineQueries {
     "q271_novelty_purge" -> noveltyPurge,
     "q272_novelty_stream" -> noveltyStreamTwin,
     "q273_ivfpq_stream_twin" -> ivfPqStreamTwin,
+    "q274_ivfpq_recall_sweep" -> ivfPqRecallSweep,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,
