@@ -161,15 +161,16 @@ object DedupIndex {
       throw new IllegalStateException(s"no committed index under $root"))
     // The new batch's banding (a shingle explode + k min-aggregates
     // over the whole batch) feeds BOTH the touched-bucket collect and
-    // the probe join — persist it so the signing pass runs once, not
-    // twice per probe. The collect below doubles as the materializing
-    // action, so the join consumes the cache. Cache size is one row
-    // per (new doc × band) — batch-bounded, never corpus-bounded —
-    // and persisting an identical plan is a cache-manager no-op, so
-    // repeated probes of one batch reuse rather than stack entries.
+    // the probe join — persist it so the signing pass backs the
+    // collect, then RELEASE the cache as soon as the collect has
+    // consumed it (the r11 probe-cache policy, shared with SimIndex/
+    // FirstSeenIndex): the returned join re-signs the batch once —
+    // batch-bounded work — instead of leaking executor storage on
+    // library callers that never sweep persistent RDDs.
     val nb = newBands.persist()
     val touched = nb.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
+    nb.unpersist()
     val idx = spark.read.parquet(idxPath)
       .filter(col("bucket").isin(touched.toIndexedSeq.map(Int.box): _*))
     // uncompacted deletes are honored at probe time: the tombstone
