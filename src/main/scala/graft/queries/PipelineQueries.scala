@@ -177,12 +177,70 @@ object PipelineQueries {
     * shuffle instead of three at any scale; Bench/Verify clearCache()
     * between queries).
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashEstimates(s, d).filter(col("est_sim") >= MH_THRESH)
+
+  /** The UNFILTERED LSH candidate estimates (id_a, id_b, est_sim) —
+    * [[minhashPairs]] is this thresholded at [[MH_THRESH]]. The
+    * unthresholded form is the retrieval-pool view: every banding
+    * collision with its similarity estimate, which the hard-negative
+    * miner (q275) ranks BELOW the duplicate threshold.
+    */
+  private def minhashEstimates(s: SparkSession, d: String): DataFrame = {
     val sig = Dedup.minhashSignatures(t(s, d, "documents"), "doc_id", "text", MH_K)
       .persist()
     val cands = Dedup.lshCandidates(sig, "doc_id", MH_BANDS, MH_R)
     Dedup.minhashEstimate(cands, sig, "doc_id", MH_K)
-      .filter(col("est_sim") >= MH_THRESH)
+  }
+
+  /** COMMITTED loose-banding retrieval pool — the same 16 minhashes
+    * banded 8×2 instead of the dedup layout's 4×4: two-row bands
+    * collide at far lower similarity (collision prob s² per band vs
+    * s⁴), which is exactly the recall/precision trade a RETRIEVAL
+    * pool wants versus a DUPLICATE screen (the dedup threshold stays
+    * τ = [[MH_THRESH]] on the 4×4 graph). Published once per data
+    * version (the gram-posting discipline) because the hard-negative
+    * miner consumes it per training run.
+    */
+  private val POOL_BANDS = 8; private val POOL_R = 2
+
+  private def mhPoolArtifact(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.Artifacts.publishOnce(
+      "graft-mh-pool", d, Seq("documents.parquet")) { st =>
+      val sig = Dedup.minhashSignatures(
+        t(s, d, "documents"), "doc_id", "text", MH_K).persist()
+      Dedup.minhashEstimate(
+          Dedup.lshCandidates(sig, "doc_id", POOL_BANDS, POOL_R),
+          sig, "doc_id", MH_K)
+        .write.parquet(st)
+    }
+    s.read.parquet(root)
+  }
+
+  /** The q275 oracle's loose-banding twin of the `bands`/`cand`/`est`
+    * CTEs — [[POOL_BANDS]]×[[POOL_R]] over the SAME `sig`.
+    */
+  private def mhPoolCtes: String = {
+    val bandRows = (0 until POOL_BANDS).map { b =>
+      val key = (0 until POOL_R).map(r => s"h${b * POOL_R + r}")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val matchSum = (0 until MH_K)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""bands2 AS (
+       |  $bandRows),
+       |cand2 AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands2 a JOIN bands2 b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |pool AS (
+       |  SELECT id_a, id_b, ($matchSum) / ${MH_K}.0 AS est_sim
+       |  FROM cand2
+       |  JOIN sig sa ON id_a = sa.doc_id
+       |  JOIN sig sb ON id_b = sb.doc_id)""".stripMargin
   }
 
   /** COMMITTED full-corpus component assignment over [[minhashPairs]]
@@ -237,12 +295,13 @@ object PipelineQueries {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |pairs AS (
+       |est AS (
        |  SELECT id_a, id_b, ($matchSum) / ${MH_K}.0 AS est_sim
        |  FROM cand
        |  JOIN sig sa ON id_a = sa.doc_id
-       |  JOIN sig sb ON id_b = sb.doc_id
-       |  WHERE ($matchSum) / ${MH_K}.0 >= $MH_THRESH)""".stripMargin
+       |  JOIN sig sb ON id_b = sb.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b, est_sim FROM est WHERE est_sim >= $MH_THRESH)""".stripMargin
   }
 
   /** MinHash(k=16) + LSH(4 bands × 4 rows) near-dup candidates with
@@ -4470,6 +4529,97 @@ object PipelineQueries {
          |FROM ranked_np p LEFT JOIN flat f
          |  ON f.query_id = p.query_id AND f.index_id = p.index_id
          |GROUP BY p.np ORDER BY np""".stripMargin)
+  }
+
+  /** Hard-negative mining (q275) — the retrieval-training step that
+    * composes TWO committed artifacts: for each eval-slice query doc,
+    * rank the LOOSE-banding retrieval pool ([[mhPoolArtifact]] — 8×2
+    * bands over the same signatures, the recall-oriented layout) by
+    * estimated similarity and EXCLUDE candidates in the query's
+    * near-dup component ([[ccAssignment]] — the 4×4/τ duplicate
+    * graph's transitive closure: duplicates are positives, not
+    * negatives; training on them as negatives poisons the
+    * objective). Judged per eval query touching the pool: the
+    * candidate count, how many the duplicate screen excluded, the
+    * surviving negative count, and the TOP surviving negative with
+    * its estimate (-1 sentinels when every candidate was a
+    * duplicate — the rows that prove the screen actually fires).
+    * Both artifacts are `art:warm` after first publish; the oracle
+    * replays BOTH bandings, the estimates, AND the recursive
+    * component walk — the hash match proves the cross-artifact
+    * composition (pool minus transitive closure) end to end.
+    */
+  val hardNegatives: Q = {
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val est = mhPoolArtifact(s, d)
+        val sym = est.select(col("id_a").as("query_id"),
+            col("id_b").as("cand"), col("est_sim"))
+          .unionByName(est.select(col("id_b").as("query_id"),
+            col("id_a").as("cand"), col("est_sim")))
+          .filter(col("query_id") % 2 === 0)
+        val comp = ccAssignment(s, d)
+        val flagged = sym
+          .join(comp.select(col("node").as("query_id"),
+            col("component").as("qc")), Seq("query_id"), "left")
+          .join(comp.select(col("node").as("cand"),
+            col("component").as("cc")), Seq("cand"), "left")
+          .withColumn("dup",
+            when(col("qc").isNotNull && col("cc").isNotNull &&
+              col("qc") === col("cc"), 1L).otherwise(0L))
+        val perQ = flagged.groupBy("query_id")
+          .agg(count(lit(1)).as("n_cand"), sum("dup").as("n_excluded"))
+        val top1 = flagged.filter(col("dup") === 0)
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(desc("est_sim"), col("cand"))))
+          .filter(col("rnk") === 1)
+          .select(col("query_id"), col("cand"), col("est_sim"))
+        perQ.join(top1, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_cand"), col("n_excluded"),
+            (col("n_cand") - col("n_excluded")).as("n_negs"),
+            coalesce(col("cand"), lit(-1L)).as("top_neg_id"),
+            coalesce(col("est_sim"), lit(-1.0)).as("top_neg_est"))
+          .orderBy("query_id")
+      },
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |$mhPoolCtes,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |walk(n, m) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, walk.m FROM walk JOIN edges e ON e.u = walk.n),
+         |comp AS (SELECT n AS node, min(m) AS component FROM walk GROUP BY n),
+         |sym AS (
+         |  SELECT id_a AS query_id, id_b AS cand, est_sim FROM pool
+         |  UNION ALL SELECT id_b, id_a, est_sim FROM pool),
+         |f AS (
+         |  SELECT s.query_id, s.cand, s.est_sim,
+         |    CASE WHEN ca.component IS NOT NULL AND cb.component IS NOT NULL
+         |      AND ca.component = cb.component THEN 1 ELSE 0 END AS dup
+         |  FROM sym s
+         |  LEFT JOIN comp ca ON ca.node = s.query_id
+         |  LEFT JOIN comp cb ON cb.node = s.cand
+         |  WHERE s.query_id % 2 = 0),
+         |perq AS (
+         |  SELECT query_id, count(*)::BIGINT AS n_cand,
+         |    sum(dup)::BIGINT AS n_excluded
+         |  FROM f GROUP BY query_id),
+         |top1 AS (
+         |  SELECT query_id, cand, est_sim FROM (
+         |    SELECT query_id, cand, est_sim,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY est_sim DESC, cand) AS rnk
+         |    FROM f WHERE dup = 0) WHERE rnk = 1)
+         |SELECT p.query_id, p.n_cand, p.n_excluded,
+         |  (p.n_cand - p.n_excluded)::BIGINT AS n_negs,
+         |  coalesce(t.cand, -1)::BIGINT AS top_neg_id,
+         |  coalesce(t.est_sim, -1.0) AS top_neg_est
+         |FROM perq p LEFT JOIN top1 t USING (query_id)
+         |ORDER BY query_id""".stripMargin)
   }
 
   /** Corpus novelty audit (q264) — the data-curation signal between
@@ -9626,6 +9776,7 @@ object PipelineQueries {
     "q272_novelty_stream" -> noveltyStreamTwin,
     "q273_ivfpq_stream_twin" -> ivfPqStreamTwin,
     "q274_ivfpq_recall_sweep" -> ivfPqRecallSweep,
+    "q275_hard_negatives" -> hardNegatives,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

@@ -568,9 +568,15 @@ class PlanAuditSpec extends SparkSpec {
       "q262_pq_purge" -> 2, // same probe shape as q260
       "q267_pq_rerank" -> 3, // q260's probe (2) + the fixed 20-query
                              // float-vector side of the rerank
-      "q270_ivfpq_index" -> 3) // q260's probe pair + the nq·nprobe
+      "q270_ivfpq_index" -> 3, // q260's probe pair + the nq·nprobe
                                // probed-cell table (checkpointed,
                                // batch-bounded)
+      "q274_ivfpq_recall_sweep" -> 11) // 4 artifact probes unioned:
+                                       // the flat arm's codebook+ADC
+                                       // pair (2) + three nprobe arms'
+                                       // codebook+ADC+probed-cell
+                                       // triples (3×3) — every side
+                                       // m·ks / batch-bounded
       // (q202/q230 moved to `iterative` in r9 — their per-round
       // localCheckpoints truncate the lineage the old hint counts
       // measured; q205's nation hint lives in the publish closure,
