@@ -84,6 +84,25 @@ class FirstSeenIndexSpec extends SparkSpec {
       "post-compact probe diverges")
   }
 
+  test("a live cross-process fold's staging dir survives a merge; an aged orphan vacuums") {
+    val root = Files.createTempDirectory("fsidx").toString
+    FirstSeenIndex.publish(base, root)
+    FirstSeenIndex.fold(spark, batch, root)
+    val dr = new java.io.File(root, "deltas")
+    // a concurrent writer's IN-FLIGHT staging dir (fresh mtime): the
+    // merge must not yank it mid-write
+    val live = new java.io.File(dr, ".staging-live")
+    assert(live.mkdirs())
+    // a crashed writer's leftover (mtime past the grace age): vacuumed
+    val orphan = new java.io.File(dr, ".staging-orphan")
+    assert(orphan.mkdirs())
+    assert(orphan.setLastModified(
+      System.currentTimeMillis() - VersionedDirs.StagingGraceMs - 60000))
+    FirstSeenIndex.mergeCompact(spark, root)
+    assert(live.isDirectory, "merge deleted a live writer's staging dir")
+    assert(!orphan.exists(), "merge kept an aged staging orphan")
+  }
+
   test("purge reassigns first occurrence to the next-earliest surviving holder") {
     val root = Files.createTempDirectory("fsidx").toString
     FirstSeenIndex.publish(base, root)

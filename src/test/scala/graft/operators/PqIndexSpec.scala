@@ -290,6 +290,60 @@ class PqIndexSpec extends SparkSpec {
     assert(probeSet() == withDelta, "post-merge nprobe probe diverges")
   }
 
+  test("a crash-leftover folded delta is never double-summed and the next merge deletes it") {
+    // the nastiest hazard in this family: ADC SUMS d2 per code row, so
+    // a delta surviving past its fold (crash between commit and
+    // deletion) would double every folded vector's distance if a
+    // reader summed it again. The _folded.json sidecar must make
+    // probes and merges skip it, and the NEXT merge must physically
+    // delete it (r11: previously it accumulated forever).
+    val root = Files.createTempDirectory("pqidx").toString
+    val base = index.filter($"vec_id" < 20L)
+    val delta = index.filter($"vec_id" >= 20L)
+    PqIndex.publish(base, "vec_id", "embedding", M, DSUB, KS, ITERS, root)
+    val deltaPath = new java.io.File(
+      PqIndex.appendDelta(delta, "vec_id", "embedding", root))
+    // snapshot the committed delta dir, then merge (folds + deletes it)
+    val copy = Files.createTempDirectory("pqidx-copy").toFile
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .foreach(f => cp(f, new java.io.File(dst, f.getName)))
+      } else { Files.copy(src.toPath, dst.toPath); () }
+    }
+    cp(deltaPath, new java.io.File(copy, deltaPath.getName))
+    def probeSet() = PqIndex.probeTopK(spark, queries, "vec_id",
+        "embedding", K, root)
+      .select("query_id", "index_id", "adc_d2", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    PqIndex.mergeCompact(spark, root)
+    val clean = probeSet()
+    // simulate the crash: the already-folded delta dir reappears
+    // exactly as it was at fold time
+    cp(new java.io.File(copy, deltaPath.getName), deltaPath)
+    assert(PqIndex.deltas(root).size == 1, "leftover not visible as a delta")
+    // probes must skip it (identical answers — no doubled ADC sums)
+    assert(probeSet() == clean,
+      "probe double-summed an already-folded delta")
+    // and the next merge must fold NOTHING from it, yet delete it
+    // (its name stays in THAT generation's sidecar for readers holding
+    // the pre-merge delta listing)
+    PqIndex.mergeCompact(spark, root)
+    assert(!deltaPath.exists(),
+      "already-folded crash leftover survived the next merge")
+    assert(probeSet() == clean, "second merge changed answers")
+    // with the dir physically gone, the merge AFTER that prunes the
+    // carried name and the sidecar shrinks back to empty
+    PqIndex.mergeCompact(spark, root)
+    val folded = new java.io.File(PqIndex.resolve(root).get, "_folded.json")
+    assert(!folded.isFile ||
+      Files.readString(folded.toPath).matches("\\[\\s*\\]"),
+      s"sidecar did not shrink back to empty: " +
+        Files.readString(folded.toPath))
+    assert(probeSet() == clean, "third merge changed answers")
+  }
+
   test("resolve picks the highest committed version; params travel with it") {
     val root = Files.createTempDirectory("pqidx").toString
     assert(PqIndex.resolve(root).isEmpty)
