@@ -89,6 +89,42 @@ class AnnStreamSpec extends SparkSpec {
     assert(s.results().count() == got.size)
   }
 
+  test("a partially-applied nprobe IVFPQ probe works on the seam: stream ≡ direct pruned probe") {
+    val M = 4; val DSUB = 4; val KS = 8; val ITERS = 2; val NP = 2
+    val pqIndex = (0 until 40).map(i => (i.toLong, vec(i.toLong, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val idxRoot = Files.createTempDirectory("annstream-ivfpqidx").toString
+    graft.operators.PqIndex.publish(pqIndex, "vec_id", "embedding",
+      M, DSUB, KS, ITERS, idxRoot, coarseC = 4, coarseIters = 2)
+    val outRoot = Files.createTempDirectory("annstream-out").toString
+    // the q273 shape: a LAMBDA on the seam (the r11 empty-schema fix
+    // made non-default probes first-class — results() derives its
+    // empty shape by planning the probe, not reference identity)
+    val s = new AnnStream(spark, idxRoot, outRoot, "vec_id", "embedding",
+      K, probeFn = (sp, b, id, v, k, root) =>
+        graft.operators.PqIndex.probeTopK(sp, b, id, v, k, root, NP))
+    // before any batch commits, the empty frame carries the probe's
+    // own schema — no guard failure for a custom probe
+    assert(s.results().columns.toSeq ==
+      Seq("query_id", "index_id", "adc_d2", "rnk"))
+    assert(s.results().count() == 0)
+    val b0 = (0 until 3).map(q => (1000L + q, vec(q.toLong, 0.001f)))
+      .toDF("vec_id", "embedding")
+    val b1 = (3 until 5).map(q => (1000L + q, vec(q.toLong, 0.001f)))
+      .toDF("vec_id", "embedding")
+    assert(s.processBatch(b0, 0))
+    assert(s.processBatch(b1, 1))
+    val got = s.results()
+      .select("query_id", "index_id", "adc_d2", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = graft.operators.PqIndex.probeTopK(spark,
+        b0.unionByName(b1), "vec_id", "embedding", K, idxRoot, NP)
+      .select("query_id", "index_id", "adc_d2", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want, s"IVFPQ stream/batch divergence:\n$got\n$want")
+  }
+
   test("runs under a real foreachBatch micro-batch query (file source)") {
     val idxRoot = publishIndex()
     val outRoot = Files.createTempDirectory("annstream-out").toString
