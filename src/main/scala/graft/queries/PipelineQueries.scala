@@ -8026,7 +8026,7 @@ object PipelineQueries {
           .orderBy("id_a", "id_b")
       },
       s"""WITH $minhashPairsCtes,
-         |est AS (
+         |estm AS (
          |  SELECT id_a, id_b,
          |    (($matchSumSql) * 1000 // $MH_K)::BIGINT AS est_milli
          |  FROM cand
@@ -8044,7 +8044,7 @@ object PipelineQueries {
          |    (coalesce(i.n_inter, 0) * 1000
          |      // (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)))::BIGINT
          |      AS exact_milli
-         |  FROM est e
+         |  FROM estm e
          |  LEFT JOIN inter i ON e.id_a = i.id_a AND e.id_b = i.id_b
          |  JOIN sizes sa ON e.id_a = sa.doc_id
          |  JOIN sizes sb ON e.id_b = sb.doc_id)
