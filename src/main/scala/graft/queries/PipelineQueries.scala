@@ -5076,6 +5076,89 @@ object PipelineQueries {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** Streaming novelty gate across a PURGE boundary (q276) — the last
+    * empty lifecycle cell: every stream twin so far crosses an APPEND
+    * boundary (q259/q268/q272/q273); this one crosses a DELETE. Batch
+    * 0 scores against the PRE-purge committed map and folds in; a
+    * GDPR purge then tombstones every 10th base doc and merge-
+    * compacts WITH the surviving ingested corpus as the repair
+    * source ([[FirstSeenIndex.mergeCompact]] — first occurrence
+    * REASSIGNS to the next-earliest surviving holder, and the
+    * compaction also folds batch 0's delta); batch 1 scores against
+    * the purged-and-repaired generation. The oracle is TWO
+    * first-occurrence worlds unioned — batch 0's over the full
+    * pre-purge corpus, batch 1's over the never-ingested survivor
+    * corpus — so the hash match proves per-batch snapshot isolation
+    * across the delete: scoring batch 0 after the purge, skipping
+    * the repair, or leaking purged holders into batch 1 each break a
+    * different arm.
+    */
+  val noveltyPurgeStream: Q = {
+    val S2 = 250L; val B0_MAX = 400L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+          col("text"))
+        val purged = col("doc_id") < S2 && col("doc_id") % 10 === 0
+        val idxRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-novelty-pstream-idx", d, Seq("documents.parquet"))
+        val outRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-novelty-pstream-out", d, Seq("documents.parquet"))
+        if (FirstSeenIndex.resolve(idxRoot).isEmpty)
+          FirstSeenIndex.publish(
+            Dedup.shingleSet(
+              docs.filter(col("doc_id") < S2), "doc_id", "text", 3),
+            idxRoot)
+        val ns = new graft.streaming.NoveltyStream(s, idxRoot, outRoot)
+        ns.processBatch(Dedup.shingleSet(
+          docs.filter(col("doc_id") >= S2 && col("doc_id") < B0_MAX),
+          "doc_id", "text", 3), 0)
+        // the purge: runs exactly once (the compacted generation is
+        // the second committed version; vacuum is q271's concern)
+        if (VersionedDirs.versionsOf(idxRoot).size < 2) {
+          FirstSeenIndex.addTombstones(s,
+            docs.filter(purged).select("doc_id"), "doc_id", idxRoot)
+          FirstSeenIndex.mergeCompact(s, idxRoot,
+            reassignSrc = Some(Dedup.shingleSet(
+              docs.filter(col("doc_id") < B0_MAX && !purged),
+              "doc_id", "text", 3)))
+        }
+        ns.processBatch(Dedup.shingleSet(
+          docs.filter(col("doc_id") >= B0_MAX), "doc_id", "text", 3), 1)
+        noveltyRollup(ns.results(), docs.filter(col("doc_id") >= S2))
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, source, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, source,
+         |    unnest(${TextFunctions.shinglesSql("arr")}) AS s
+         |  FROM w),
+         |f0 AS (
+         |  SELECT doc_id, source,
+         |    min(doc_id) OVER (PARTITION BY s) AS first_doc
+         |  FROM sh WHERE doc_id < $B0_MAX),
+         |d0 AS (
+         |  SELECT doc_id, source, count(*)::BIGINT AS n_sh,
+         |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_novel
+         |  FROM f0 WHERE doc_id >= $S2 GROUP BY 1, 2),
+         |f1 AS (
+         |  SELECT doc_id, source,
+         |    min(doc_id) OVER (PARTITION BY s) AS first_doc
+         |  FROM sh WHERE NOT (doc_id < $S2 AND doc_id % 10 = 0)),
+         |d1 AS (
+         |  SELECT doc_id, source, count(*)::BIGINT AS n_sh,
+         |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_novel
+         |  FROM f1 WHERE doc_id >= $B0_MAX GROUP BY 1, 2),
+         |d AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_sh)::BIGINT AS n_sh, sum(n_novel)::BIGINT AS n_novel,
+         |  (sum(n_novel) * 1000000 // sum(n_sh))::BIGINT AS novelty_ppm
+         |FROM d GROUP BY source ORDER BY source""".stripMargin)
+  }
+
   /** Judged batch twin of the streaming IVFPQ probe (q273) — the
     * q268 snapshot-isolation proof with the PRUNED serving path on
     * the seam: the [[graft.streaming.AnnStream]] probe seam takes a
@@ -9777,6 +9860,7 @@ object PipelineQueries {
     "q273_ivfpq_stream_twin" -> ivfPqStreamTwin,
     "q274_ivfpq_recall_sweep" -> ivfPqRecallSweep,
     "q275_hard_negatives" -> hardNegatives,
+    "q276_novelty_purge_stream" -> noveltyPurgeStream,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

@@ -53,8 +53,11 @@ class PlanAuditSpec extends SparkSpec {
                              // (q259's exclusion, PQ probe)
       "q272_novelty_stream", // NoveltyStream batches commit + fold at
                              // build (NoveltyStreamSpec audits)
-      "q273_ivfpq_stream_twin") // AnnStream batches commit at build
+      "q273_ivfpq_stream_twin", // AnnStream batches commit at build
                                 // (q268's exclusion, pruned probe)
+      "q276_novelty_purge_stream") // NoveltyStream batches commit +
+                                   // purge chain runs at build
+                                   // (q272's exclusion)
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
