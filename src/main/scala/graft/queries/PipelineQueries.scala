@@ -5159,6 +5159,194 @@ object PipelineQueries {
          |FROM d GROUP BY source ORDER BY source""".stripMargin)
   }
 
+  /** DSIR-style importance resampling (q277) — targeted data
+    * selection (Xie et al. '23, "Data Selection for Language Models
+    * via Importance Resampling"): pick from a raw crawl the documents
+    * that look most like a target domain, scored entirely through
+    * hashed n-gram bucket statistics so neither distribution needs a
+    * vocabulary table. Here the target is the `lang = 'en'` slice of
+    * the pool (a domain proxy the synthetic corpus actually
+    * stratifies on), features are hashed word bigrams in D=1024
+    * buckets ([[Hashing.seeded]], q101's in-array bigram construction
+    * — no posexplode self-join), and each bucket carries the
+    * add-1-smoothed target/raw frequency ratio as an integer
+    * per-million: r(b) = (10⁶·(tgt(b)+1)) div (raw(b)+1). Two
+    * deliberate departures from the paper, both engine-parity
+    * doctrine (q36's tf·N/df rationale): the global constant
+    * (R+D)/(T+D) is dropped — it multiplies every bucket equally, so
+    * document ranking is invariant — and the per-doc aggregate is the
+    * count-weighted MEAN ratio (Σc·r div Σc, integer) rather than the
+    * log-ratio sum: a rational surrogate with the same
+    * "target-like up, raw-typical down" ordering signal and zero
+    * cross-engine float risk (libm `ln` differs in the last ulp; an
+    * order-dependent float Σ would break the hash oracle). The mean
+    * (not the sum) is the length normalizer — the paper normalizes by
+    * sequence slicing instead. Selection = top K docs by
+    * (score, doc_id), reported as the per-language pool/selected
+    * census: the judged row set proves the resample ENRICHES the
+    * target language without zeroing the rest (smoothing keeps
+    * unseen-bucket docs alive — classic DSIR behavior). K=100 of the
+    * ~500-doc sf0.01 pool.
+    *
+    * Scale shape: the bucket table is D-bounded (1024 rows →
+    * broadcast), the two corpus scans ((b) counts, (doc, b) counts)
+    * are corpus-linear exchanges, and the global top-K is
+    * TakeOrderedAndProject — per-partition heaps, never a full sort.
+    * Int64 headroom: 10⁶·(tgt+1) overflows only past ~9·10¹² bucket
+    * occurrences (~petabyte text per bucket at D=1024); past that,
+    * widen D before widening the arithmetic.
+    */
+  val dsirSample: Q = {
+    val DSIR_D = 1024; val DSIR_K = 100; val DSIR_SEED = 31
+    Q(
+      (s, d) => {
+        val db = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.words(col("text")).as("arr"))
+          .filter(size(col("arr")) >= 2)
+          .select(col("doc_id"), col("lang"),
+            explode(transform(sequence(lit(2), size(col("arr"))),
+              i => concat(element_at(col("arr"), i - 1), lit(" "),
+                element_at(col("arr"), i)))).as("bg"))
+          .select(col("doc_id"), col("lang"),
+            (Hashing.seeded(DSIR_SEED, col("bg")) % DSIR_D).as("b"))
+        val ratios = db.groupBy("b").agg(
+            count(lit(1)).as("raw_n"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_n"))
+          .selectExpr("b", "(1000000 * (tgt_n + 1)) div (raw_n + 1) AS r")
+        val scored = db.groupBy("doc_id", "lang", "b")
+          .agg(count(lit(1)).as("c"))
+          .join(broadcast(ratios), Seq("b"))
+          .groupBy("doc_id", "lang")
+          .agg(sum(expr("c * r")).as("sc"), sum("c").as("nb"))
+          .selectExpr("doc_id", "lang", "sc div nb AS score")
+        val sel = scored.orderBy(desc("score"), asc("doc_id"))
+          .limit(DSIR_K)
+          .groupBy("lang").agg(count(lit(1)).as("n_sel"))
+        scored.groupBy("lang").agg(count(lit(1)).as("n_pool"))
+          .join(sel, Seq("lang"), "left")
+          .select(col("lang"), col("n_pool"),
+            coalesce(col("n_sel"), lit(0L)).as("n_sel"))
+          .orderBy("lang")
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM documents WHERE len(${TextFunctions.wordsSql("text")}) >= 2),
+         |i AS (SELECT doc_id, lang, arr, unnest(range(2, len(arr) + 1)) AS i
+         |      FROM w),
+         |bg AS (
+         |  SELECT doc_id, lang,
+         |    (${Hashing.seededSql(DSIR_SEED, "arr[i - 1] || ' ' || arr[i]")})
+         |      % $DSIR_D AS b
+         |  FROM i),
+         |rt AS (
+         |  SELECT b, count(*)::BIGINT AS raw_n,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS tgt_n
+         |  FROM bg GROUP BY b),
+         |rs AS (SELECT b, (1000000 * (tgt_n + 1)) // (raw_n + 1) AS r FROM rt),
+         |c AS (SELECT doc_id, lang, b, count(*)::BIGINT AS c
+         |      FROM bg GROUP BY 1, 2, 3),
+         |ds AS (
+         |  SELECT doc_id, lang, (sum(c * r) // sum(c))::BIGINT AS score
+         |  FROM c JOIN rs USING (b) GROUP BY doc_id, lang),
+         |sel AS (
+         |  SELECT lang, count(*)::BIGINT AS n_sel FROM (
+         |    SELECT * FROM ds ORDER BY score DESC, doc_id LIMIT $DSIR_K)
+         |  GROUP BY lang),
+         |pool AS (SELECT lang, count(*)::BIGINT AS n_pool FROM ds GROUP BY lang)
+         |SELECT p.lang, p.n_pool, coalesce(s.n_sel, 0)::BIGINT AS n_sel
+         |FROM pool p LEFT JOIN sel s USING (lang)
+         |ORDER BY p.lang""".stripMargin)
+  }
+
+  /** Integer BM25 retrieval (q278) — the lexical ranking half the
+    * retrieval family lacked: q64 builds the inverted index, q36
+    * scores tf·idf, q199 fuses ranked lists, but none implements the
+    * BM25 scoring function (Robertson & Zaragoza '09) that production
+    * lexical search actually runs. k1 = 1.2 and b = 0.75 (the
+    * textbook defaults) are carried as ×10⁴-scaled integers; the
+    * term-frequency saturation tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    * becomes one integer division per (doc, term) with dl/avgdl as
+    * (dl·N) div Σdl, and idf is the Robertson–Sparck Jones odds
+    * (N−df+½)/(df+½) as (2(N−df)+1)·1000 div (2df+1) — the rational
+    * surrogate WITHOUT the log (q36's doctrine: rank-monotone in df,
+    * zero libm risk; the log only compresses the tail). All sums are
+    * integer sums, so the oracle hash-matches bit-for-bit. The query
+    * is self-derived so it exists at every scale factor: the five
+    * vocabulary terms ranked 20–24 by (df DESC, term) — mid-head
+    * terms common enough to match many docs, rare enough that tf
+    * saturation and length normalization decide the ranking. Output:
+    * top 20 docs by score with the matched-term count.
+    *
+    * Scale shape: df/qt are vocabulary-bounded (the qt window sorts
+    * the vocab dimension, never the corpus); the 5-row query set and
+    * the 1-row (N, Σdl) aggregate broadcast; tf→score is one
+    * doc-keyed join + groupBy; top-20 is TakeOrderedAndProject.
+    */
+  val bm25: Q = {
+    val K = 20
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextFunctions.words(col("text"))).as("term"))
+          .filter(length(col("term")) > 0)
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val df = tok.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sumdl"))
+        val qt = df
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(desc("df"), asc("term"))))
+          .filter(col("rnk") >= 20 && col("rnk") <= 24)
+          .select("term", "df")
+        tf.join(broadcast(qt), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(st))
+          .selectExpr("doc_id",
+            """((1000 * (2 * (n_docs - df) + 1)) div (2 * df + 1)) *
+              |((tf * 22000000) div
+              | (tf * 10000 + 3000 + (9000 * dl * n_docs) div sumdl))
+              | AS contrib""".stripMargin)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hit"), sum("contrib").as("score"))
+          .orderBy(desc("score"), asc("doc_id"))
+          .limit(K)
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, t AS term FROM (
+         |    SELECT doc_id, unnest(arr) AS t FROM w)
+         |  WHERE length(t) > 0),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |       FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+         |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+         |       FROM tok GROUP BY 1),
+         |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sumdl
+         |       FROM dl),
+         |qt AS (
+         |  SELECT term, df FROM (
+         |    SELECT term, df,
+         |      row_number() OVER (ORDER BY df DESC, term) AS rnk FROM df)
+         |  WHERE rnk BETWEEN 20 AND 24),
+         |sc AS (
+         |  SELECT f.doc_id,
+         |    ((1000 * (2 * (n_docs - q.df) + 1)) // (2 * q.df + 1)) *
+         |    ((f.tf * 22000000) //
+         |     (f.tf * 10000 + 3000 + (9000 * l.dl * n_docs) // sumdl))
+         |      AS contrib
+         |  FROM tf f JOIN qt q USING (term) JOIN dl l USING (doc_id)
+         |  CROSS JOIN st)
+         |SELECT doc_id, count(*)::BIGINT AS n_hit, sum(contrib)::BIGINT AS score
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin)
+  }
+
   /** Judged batch twin of the streaming IVFPQ probe (q273) — the
     * q268 snapshot-isolation proof with the PRUNED serving path on
     * the seam: the [[graft.streaming.AnnStream]] probe seam takes a
@@ -9861,6 +10049,8 @@ object PipelineQueries {
     "q274_ivfpq_recall_sweep" -> ivfPqRecallSweep,
     "q275_hard_negatives" -> hardNegatives,
     "q276_novelty_purge_stream" -> noveltyPurgeStream,
+    "q277_dsir_sample"   -> dsirSample,
+    "q278_bm25"          -> bm25,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

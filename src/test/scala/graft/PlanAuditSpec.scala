@@ -574,6 +574,12 @@ class PlanAuditSpec extends SparkSpec {
       "q270_ivfpq_index" -> 3, // q260's probe pair + the nq·nprobe
                                // probed-cell table (checkpointed,
                                // batch-bounded)
+      "q277_dsir_sample" -> 2, // 1024-row hashed-bucket ratio table
+                               // (D is a layout constant), replicated
+                               // structurally into the sel + pool
+                               // consumer branches of the scored set
+      "q278_bm25" -> 2, // 5-row derived query-term set + 1-row
+                        // (N, Σdl) corpus scalar
       "q274_ivfpq_recall_sweep" -> 11) // 4 artifact probes unioned:
                                        // the flat arm's codebook+ADC
                                        // pair (2) + three nprobe arms'
