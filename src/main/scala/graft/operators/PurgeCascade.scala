@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-family deletion propagation — the one-call GDPR surface over
+  * every persisted derived artifact.
+  *
+  * A right-to-be-forgotten request never stops at the base table: the
+  * doc also lives on in the dedup signature index, its embedding in
+  * the LSH and PQ ANN indexes, and its shingles may OWN
+  * first-occurrence rows in the novelty map. Each family already
+  * implements the identical tombstone → compact → vacuum lifecycle
+  * ([[DedupIndex]], [[SimIndex]], [[PqIndex]], [[FirstSeenIndex]] —
+  * judged end-to-end by q246/q258/q262/q271); what a compliance
+  * caller needs is ONE call that fans a deletion set across all of
+  * them and reports the new committed generation per artifact. That
+  * is all this is: pure composition over the per-family closures, no
+  * new storage semantics — each family keeps its own `synchronized`
+  * commit discipline, crash story, and probe-time tombstone masking,
+  * so a cascade interrupted between families leaves every artifact
+  * either untouched or fully compacted, and the tombstone log (not
+  * this orchestrator) is the durable record of intent.
+  *
+  * Scale: tombstone appends are O(deletes) per family; compactions
+  * are each family's own rewrite cost (row-filter over the committed
+  * artifact, partition layout preserved) paid at GDPR cadence, never
+  * per probe. Vacuum defaults OFF — compaction already removes the
+  * purged rows from the SERVING generation; physically dropping the
+  * prior generations is the post-grace step once pinned readers
+  * drain (each family's `vacuumOld` doc), so callers opt in via
+  * `vacuum = true` or a later [[vacuumAll]].
+  */
+object PurgeCascade {
+
+  /** One artifact registered for propagation: family-tagged closures
+    * over its root. `compact` returns the new committed generation.
+    */
+  final case class Target(
+      family: String,
+      root: String,
+      addTombstones: (SparkSession, DataFrame) => Unit,
+      compact: SparkSession => String,
+      vacuum: () => Unit)
+
+  /** A MinHash-band dedup index ([[DedupIndex]]); `idCol` names the
+    * deletion frame's id column.
+    */
+  def dedup(root: String, idCol: String = "doc_id"): Target = Target(
+    "dedup", root,
+    (s, ids) => DedupIndex.addTombstones(s, ids, idCol, root),
+    s => DedupIndex.compact(s, root),
+    () => DedupIndex.vacuumOld(root))
+
+  /** An LSH ANN index ([[SimIndex]]) — compaction also folds pending
+    * delta appends (the family's mergeCompact).
+    */
+  def sim(root: String, idCol: String = "vec_id"): Target = Target(
+    "sim", root,
+    (s, ids) => SimIndex.addTombstones(s, ids, idCol, root),
+    s => SimIndex.mergeCompact(s, root),
+    () => SimIndex.vacuumOld(root))
+
+  /** A PQ/IVFPQ index ([[PqIndex]]); codebooks and coarse centroids
+    * stay frozen across the purge (the family invariant).
+    */
+  def pq(root: String, idCol: String = "vec_id"): Target = Target(
+    "pq", root,
+    (s, ids) => PqIndex.addTombstones(s, ids, idCol, root),
+    s => PqIndex.mergeCompact(s, root),
+    () => PqIndex.vacuumOld(root))
+
+  /** A first-seen novelty map ([[FirstSeenIndex]]). `reassignSrc`
+    * (surviving corpus shingles, or any superset covering the
+    * affected keys) repairs first-occurrence ownership — without it a
+    * shingle whose every holder was purged drops back to novel, the
+    * family's conservative default.
+    */
+  def firstSeen(root: String, idCol: String = "doc_id",
+                reassignSrc: Option[DataFrame] = None): Target = Target(
+    "firstSeen", root,
+    (s, ids) => FirstSeenIndex.addTombstones(s, ids, idCol, root),
+    s => FirstSeenIndex.mergeCompact(s, root, reassignSrc),
+    () => FirstSeenIndex.vacuumOld(root))
+
+  /** The new committed generation of one propagated artifact. */
+  final case class Report(family: String, root: String, newVersion: String)
+
+  /** Propagate one deletion set to every registered artifact:
+    * per target, tombstone append then compaction (then vacuum when
+    * opted in). Targets run sequentially in registration order — a
+    * failure partway leaves completed targets fully compacted and the
+    * rest with at most a pending tombstone set, which their next
+    * compaction (or a re-run of this cascade, which is idempotent:
+    * re-tombstoning an absent id is a no-op filter) resolves.
+    */
+  def purge(spark: SparkSession, ids: DataFrame, targets: Seq[Target],
+            vacuum: Boolean = false): Seq[Report] =
+    targets.map { t =>
+      t.addTombstones(spark, ids)
+      val v = t.compact(spark)
+      if (vacuum) t.vacuum()
+      Report(t.family, t.root, v)
+    }
+
+  /** The post-grace physical drop across every target (see class
+    * doc): retain only each artifact's newest committed generation.
+    */
+  def vacuumAll(targets: Seq[Target]): Unit = targets.foreach(_.vacuum())
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The cross-family purge orchestrator: one deletion set fans to all
+  * four persisted index families, and afterwards the purged id is
+  * unfindable through EVERY probe path — the compliance property each
+  * family proves individually (q246/q258/q262/q271), asserted here
+  * through the single composed call.
+  */
+class PurgeCascadeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 16; private val BANDS = 4; private val R = 4
+  private val BITS = 8; private val TABLES = 4
+  private val M = 4; private val DSUB = 4; private val KS = 8
+  private val ITERS = 2
+  private val DIM = M * DSUB
+
+  private def doc(i: Int) =
+    s"alpha beta gamma delta epsilon zeta token$i filler${i * 7} " +
+      s"word${i % 13} tail${i * 31} end$i"
+
+  private def vec(seed: Long, perturb: Float): Array[Float] =
+    Array.tabulate(DIM) { i =>
+      val h = (seed * 31 + i) * 2654435761L
+      ((h % 1000).toFloat / 1000.0f) + (if (i == 0) perturb else 0.0f)
+    }
+
+  // one shared id space 0..39: the purged "user" owns doc/vector 5
+  private lazy val docs =
+    (0 until 40).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+  private lazy val vecs =
+    (0 until 40).map(i => (i.toLong, vec(i.toLong, 0.0f)))
+      .toDF("vec_id", "embedding")
+
+  test("one purge call propagates to all four families' probe paths") {
+    val roots = Seq.fill(4)(Files.createTempDirectory("cascade").toString)
+    val Seq(dRoot, sRoot, pRoot, fRoot) = roots
+    DedupIndex.publish(
+      Dedup.minhashSignatures(docs, "doc_id", "text", K),
+      "doc_id", BANDS, R, dRoot)
+    SimIndex.publish(vecs, "vec_id", "embedding", BITS, TABLES, sRoot)
+    PqIndex.publish(vecs, "vec_id", "embedding", M, DSUB, KS, ITERS, pRoot)
+    FirstSeenIndex.publish(
+      Dedup.shingleSet(docs, "doc_id", "text", 3), fRoot)
+
+    val ids = Seq(5L).toDF("id")
+    val targets = Seq(
+      PurgeCascade.dedup(dRoot, "id"),
+      PurgeCascade.sim(sRoot, "id"),
+      PurgeCascade.pq(pRoot, "id"),
+      PurgeCascade.firstSeen(fRoot, "id"))
+    val reports = PurgeCascade.purge(spark, ids, targets)
+
+    assert(reports.map(_.family) ==
+      Seq("dedup", "sim", "pq", "firstSeen"))
+    assert(reports.forall(_.newVersion.nonEmpty))
+    // compaction reset every tombstone log (probes stop paying the
+    // anti-join; the rows are physically gone from the serving gen)
+    for (r <- roots)
+      assert(Tombstones.get(spark, r).isEmpty,
+        s"tombstones not reset under $r")
+
+    // dedup: an exact redelivery of doc 5 must surface NO candidate
+    val redelivered = Seq((1000L, doc(5))).toDF("doc_id", "text")
+    val cand = DedupIndex.probe(spark,
+        Dedup.minhashSignatures(redelivered, "doc_id", "text", K),
+        "doc_id", BANDS, R, dRoot)
+      .as[(Long, Long)].collect().toSet
+    assert(!cand.exists(_._2 == 5L), s"dedup resurfaced 5: $cand")
+
+    // sim + pq: a near-copy query of vector 5 must not retrieve it
+    val q5 = Seq((2000L, vec(5L, 0.001f))).toDF("vec_id", "embedding")
+    val simHits = SimIndex.probeTopK(spark, q5, "vec_id", "embedding",
+        3, sRoot)
+      .select($"index_id").as[Long].collect().toSet
+    assert(!simHits.contains(5L), s"sim resurfaced 5: $simHits")
+    val pqHits = PqIndex.probeTopK(spark, q5, "vec_id", "embedding",
+        3, pRoot)
+      .select($"index_id").as[Long].collect().toSet
+    assert(!pqHits.contains(5L), s"pq resurfaced 5: $pqHits")
+
+    // first-seen: no shingle may still credit doc 5 as first holder
+    val probe5 = FirstSeenIndex.probe(spark,
+        Dedup.shingleSet(redelivered, "doc_id", "text", 3), fRoot)
+      .select($"seen_doc").as[Option[Long]].collect().toSet
+    assert(!probe5.contains(Some(5L)),
+      s"first-seen still credits purged doc 5: $probe5")
+  }
+
+  test("vacuumAll drops every generation but the compacted head") {
+    val root = Files.createTempDirectory("cascade").toString
+    DedupIndex.publish(
+      Dedup.minhashSignatures(docs, "doc_id", "text", K),
+      "doc_id", BANDS, R, root)
+    val t = Seq(PurgeCascade.dedup(root, "id"))
+    PurgeCascade.purge(spark, Seq(5L).toDF("id"), t)
+    assert(VersionedDirs.versionsOf(root).size == 2,
+      "purge without vacuum must keep the prior generation for " +
+        "pinned readers")
+    PurgeCascade.vacuumAll(t)
+    assert(VersionedDirs.versionsOf(root).size == 1)
+  }
+}
