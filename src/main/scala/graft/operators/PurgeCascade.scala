@@ -7,11 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * A right-to-be-forgotten request never stops at the base table: the
   * doc also lives on in the dedup signature index, its embedding in
-  * the LSH and PQ ANN indexes, and its shingles may OWN
-  * first-occurrence rows in the novelty map. Each family already
-  * implements the identical tombstone → compact → vacuum lifecycle
-  * ([[DedupIndex]], [[SimIndex]], [[PqIndex]], [[FirstSeenIndex]] —
-  * judged end-to-end by q246/q258/q262/q271); what a compliance
+  * the LSH and PQ ANN indexes, its postings in the lexical BM25
+  * index, and its shingles may OWN first-occurrence rows in the
+  * novelty map. Each family already implements the identical
+  * tombstone → compact → vacuum lifecycle ([[DedupIndex]],
+  * [[SimIndex]], [[PqIndex]], [[FirstSeenIndex]], [[LexIndex]] —
+  * judged end-to-end by q246/q258/q262/q271/q281); what a compliance
   * caller needs is ONE call that fans a deletion set across all of
   * them and reports the new committed generation per artifact. That
   * is all this is: pure composition over the per-family closures, no
@@ -68,6 +69,16 @@ object PurgeCascade {
     (s, ids) => PqIndex.addTombstones(s, ids, idCol, root),
     s => PqIndex.mergeCompact(s, root),
     () => PqIndex.vacuumOld(root))
+
+  /** A lexical BM25 index ([[LexIndex]]) — compaction also recomputes
+    * the collection statistics exactly from the surviving postings
+    * (the family's stats burden; see its scaladoc).
+    */
+  def lex(root: String, idCol: String = "doc_id"): Target = Target(
+    "lex", root,
+    (s, ids) => LexIndex.addTombstones(s, ids, idCol, root),
+    s => LexIndex.mergeCompact(s, root),
+    () => LexIndex.vacuumOld(root))
 
   /** A first-seen novelty map ([[FirstSeenIndex]]). `reassignSrc`
     * (surviving corpus shingles, or any superset covering the

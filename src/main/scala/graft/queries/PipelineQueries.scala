@@ -7,7 +7,7 @@ import graft.{Q, Tables}
 import graft.functions.{Hashing, IntMath, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
 import graft.plans.CharEnergy
-import graft.operators.{Bpe, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, FirstSeenIndex, HeavyHitters, MixManifest, Packing, PqIndex, SimIndex, Similarity, VectorQuantizer, VersionedDirs}
+import graft.operators.{Bpe, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, FirstSeenIndex, HeavyHitters, LexIndex, MixManifest, Packing, PqIndex, SimIndex, Similarity, VectorQuantizer, VersionedDirs}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
   * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
@@ -5347,6 +5347,176 @@ object PipelineQueries {
          |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin)
   }
 
+  // ---- persisted lexical index (LexIndex, the fifth family) --------
+
+  private val LEX_K = 10
+
+  /** Three 5-term queries self-derived from `base`'s df ranking
+    * (ranks 20–34 → query_id 0/1/2) — q278's existence-at-every-sf
+    * trick, batched. Shared by q279–q281.
+    */
+  private def lexQueryTerms(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    base.select(col("doc_id"),
+        explode(TextFunctions.words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("df"), asc("term"))))
+      .filter(col("rnk") >= 20 && col("rnk") <= 34)
+      .selectExpr("(rnk - 20) div 5 AS query_id", "term")
+  }
+
+  /** The DuckDB replay of a [[graft.operators.LexIndex.bm25TopK]]
+    * probe: query terms derived from the `qtPred` corpus slice,
+    * scoring (tf/dl/df and the collection stats) over the
+    * `corpusPred` slice — the split is what lets one builder express
+    * the base (q279: same slice), append (q280: stats over the grown
+    * corpus) and purge (q281: stats over the survivors) semantics.
+    * The contribution arithmetic is the operator's OWN
+    * [[graft.operators.LexIndex.contribSql]] with `//`, so the two
+    * engines cannot drift.
+    */
+  private def lexOracleSql(corpusPred: String, qtPred: String): String =
+    s"""WITH wq AS (
+       |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+       |  FROM documents WHERE $qtPred),
+       |tokq AS (
+       |  SELECT DISTINCT doc_id, t AS term FROM (
+       |    SELECT doc_id, unnest(arr) AS t FROM wq)
+       |  WHERE length(t) > 0),
+       |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tokq GROUP BY 1),
+       |qt AS (
+       |  SELECT (rnk - 20) // 5 AS query_id, term FROM (
+       |    SELECT term,
+       |      row_number() OVER (ORDER BY df DESC, term) AS rnk FROM dfq)
+       |  WHERE rnk BETWEEN 20 AND 34),
+       |w AS (
+       |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+       |  FROM documents WHERE $corpusPred),
+       |tok AS (
+       |  SELECT doc_id, t AS term FROM (
+       |    SELECT doc_id, unnest(arr) AS t FROM w)
+       |  WHERE length(t) > 0),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       |       FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sumdl
+       |       FROM dl),
+       |sc AS (
+       |  SELECT q.query_id, f.doc_id AS index_id,
+       |    ${graft.operators.LexIndex.contribSql(
+             "f.tf", "d.df", "l.dl", "n_docs", "sumdl", "//")} AS contrib
+       |  FROM tf f JOIN qt q USING (term) JOIN df d USING (term)
+       |  JOIN dl l ON l.doc_id = f.doc_id CROSS JOIN st),
+       |ag AS (
+       |  SELECT query_id, index_id, count(*)::BIGINT AS n_hit,
+       |    sum(contrib)::BIGINT AS score
+       |  FROM sc GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT ag.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, index_id) AS rnk FROM ag)
+       |SELECT query_id, index_id, n_hit, score, CAST(rnk AS BIGINT) AS rnk
+       |FROM rk WHERE rnk <= $LEX_K
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Persisted lexical index probe (q279) — q278's BM25 served from
+    * the [[graft.operators.LexIndex]] artifact instead of an in-plan
+    * recompute: postings published once per data version
+    * (term-bucket-partitioned, tf and dl denormalized per row,
+    * collection stats frozen in the `_stats.json` sidecar), probed by
+    * three self-derived 5-term queries at batch cost — the scan pays
+    * only the partition dirs the query terms touch. The oracle
+    * replays BM25 from the raw corpus with the operator's own
+    * contribution SQL, so the hash match proves the artifact's
+    * postings, df derivation and frozen stats all equal the
+    * from-scratch computation.
+    */
+  val lexIndexProbe: Q = {
+    val INDEX_MAX = 400L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val base = docs.filter(col("doc_id") < INDEX_MAX)
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-lex-index", d, Seq("documents.parquet"))
+        if (LexIndex.resolve(root).isEmpty)
+          LexIndex.publish(base, "doc_id", "text", root)
+        LexIndex.bm25TopK(s, lexQueryTerms(base), "query_id", "term",
+            LEX_K, root)
+          .orderBy("query_id", "rnk")
+      },
+      lexOracleSql(s"doc_id < 400", s"doc_id < 400"))
+  }
+
+  /** Lexical index delta append (q280) — the growth half: a new doc
+    * batch lands as a postings delta with its OWN stats sidecar, and
+    * the probe serves base ∪ delta with N' = N + ΔN, Σdl' = Σdl +
+    * ΔΣdl — so df, idf and the length normalizer all shift exactly
+    * as a from-scratch index over the grown corpus would. That shift
+    * is the whole proof burden: the oracle derives its queries from
+    * the BASE slice but scores over the grown corpus, so a probe
+    * serving stale collection stats (the easy bug: freezing N at
+    * publish) hash-mismatches every score.
+    */
+  val lexIndexAppend: Q = {
+    val BASE_MAX = 300L; val DELTA_MAX = 400L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val base = docs.filter(col("doc_id") < BASE_MAX)
+        val delta = docs.filter(
+          col("doc_id") >= BASE_MAX && col("doc_id") < DELTA_MAX)
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-lex-append", d, Seq("documents.parquet"))
+        if (LexIndex.resolve(root).isEmpty)
+          LexIndex.publish(base, "doc_id", "text", root)
+        if (LexIndex.deltas(root).isEmpty)
+          LexIndex.appendDelta(delta, "doc_id", "text", root)
+        LexIndex.bm25TopK(s, lexQueryTerms(base), "query_id", "term",
+            LEX_K, root)
+          .orderBy("query_id", "rnk")
+      },
+      lexOracleSql(s"doc_id < 400", s"doc_id < 300"))
+  }
+
+  /** Lexical index purge (q281) — the GDPR chain on the fifth
+    * family, with a proof burden the vector families don't have:
+    * deleting documents changes the COLLECTION STATISTICS (N, Σdl,
+    * df), not just the row set, so a compaction that drops rows but
+    * carries the old sidecar forward still ranks wrong. Tombstone →
+    * mergeCompact (exact stats recompute from the surviving
+    * postings) → probe; the oracle is a never-ingested index over
+    * the survivors, so the hash match proves rows AND statistics
+    * both equal a fresh publish of the post-purge corpus.
+    */
+  val lexIndexPurge: Q = {
+    val INDEX_MAX = 400L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val base = docs.filter(col("doc_id") < INDEX_MAX)
+        val purged = col("doc_id") % 10 === 0
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-lex-purge", d, Seq("documents.parquet"))
+        if (LexIndex.resolve(root).isEmpty)
+          LexIndex.publish(base, "doc_id", "text", root)
+        if (VersionedDirs.versionsOf(root).size < 2) {
+          LexIndex.addTombstones(s,
+            base.filter(purged).select("doc_id"), "doc_id", root)
+          LexIndex.mergeCompact(s, root)
+        }
+        LexIndex.bm25TopK(s,
+            lexQueryTerms(base.filter(!purged)), "query_id", "term",
+            LEX_K, root)
+          .orderBy("query_id", "rnk")
+      },
+      lexOracleSql(s"doc_id < 400 AND NOT (doc_id % 10 = 0)",
+        s"doc_id < 400 AND NOT (doc_id % 10 = 0)"))
+  }
+
   /** Judged batch twin of the streaming IVFPQ probe (q273) — the
     * q268 snapshot-isolation proof with the PRUNED serving path on
     * the seam: the [[graft.streaming.AnnStream]] probe seam takes a
@@ -10051,6 +10221,9 @@ object PipelineQueries {
     "q276_novelty_purge_stream" -> noveltyPurgeStream,
     "q277_dsir_sample"   -> dsirSample,
     "q278_bm25"          -> bm25,
+    "q279_lex_index"     -> lexIndexProbe,
+    "q280_lex_append"    -> lexIndexAppend,
+    "q281_lex_purge"     -> lexIndexPurge,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

@@ -580,6 +580,10 @@ class PlanAuditSpec extends SparkSpec {
                                // consumer branches of the scored set
       "q278_bm25" -> 2, // 5-row derived query-term set + 1-row
                         // (N, Σdl) corpus scalar
+      "q279_lex_index" -> 1, // probe-term df table (≤ 15 rows,
+                             // query-batch-bounded)
+      "q280_lex_append" -> 1, // same probe shape as q279
+      "q281_lex_purge" -> 1, // same probe shape as q279
       "q274_ivfpq_recall_sweep" -> 11) // 4 artifact probes unioned:
                                        // the flat arm's codebook+ADC
                                        // pair (2) + three nprobe arms'

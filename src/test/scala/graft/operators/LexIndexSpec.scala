@@ -1,0 +1,106 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted lexical index: probe parity with a from-scratch
+  * publish, term-bucket partition pruning, append-time collection-
+  * stats shift, and exact stats recompute at compaction.
+  */
+class LexIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 5
+
+  private def doc(i: Int) =
+    s"alpha beta gamma delta epsilon zeta token$i filler${i * 7} " +
+      s"word${i % 13} tail${i * 31} end$i"
+
+  private lazy val base =
+    (0 until 30).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+  private lazy val delta =
+    (30 until 40).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+
+  // every doc shares the 6 head terms; "alpha" + a mid-df term make a
+  // two-term query whose ranking exercises tf saturation + dl norm
+  private lazy val queries =
+    Seq((0L, "alpha"), (0L, "word5"), (1L, "zeta"), (1L, "token7"))
+      .toDF("query_id", "term")
+
+  private def probeSet(root: String): Set[(Long, Long, Long, Long, Long)] =
+    LexIndex.bm25TopK(spark, queries, "query_id", "term", K, root)
+      .select($"query_id", $"index_id", $"n_hit", $"score", $"rnk")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+  private def statsOf(path: String): String =
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_stats.json"))
+
+  test("append shifts collection stats; base+delta probe ≡ fresh publish of the union") {
+    val root = Files.createTempDirectory("lexidx").toString
+    LexIndex.publish(base, "doc_id", "text", root)
+    val before = probeSet(root)
+    LexIndex.appendDelta(delta, "doc_id", "text", root)
+    val after = probeSet(root)
+    // the delta changed N/Σdl/df, so base-era scores must move
+    assert(before.map(t => (t._1, t._2, t._4)) !=
+      after.filter(t => t._2 < 30).map(t => (t._1, t._2, t._4)),
+      "append left every base score unchanged — stale collection stats")
+    // ... and the served ranking must equal a never-appended index
+    // over the grown corpus
+    val freshRoot = Files.createTempDirectory("lexidx").toString
+    LexIndex.publish(base.unionByName(delta), "doc_id", "text", freshRoot)
+    assert(after == probeSet(freshRoot))
+  }
+
+  test("mergeCompact folds deltas, recomputes stats exactly, records _folded.json") {
+    val root = Files.createTempDirectory("lexidx").toString
+    LexIndex.publish(base, "doc_id", "text", root)
+    LexIndex.appendDelta(delta, "doc_id", "text", root)
+    val served = probeSet(root)
+    val compacted = LexIndex.mergeCompact(spark, root)
+    assert(LexIndex.deltas(root).isEmpty)
+    assert(probeSet(root) == served,
+      "compaction changed the served ranking")
+    val freshRoot = Files.createTempDirectory("lexidx").toString
+    val fresh = LexIndex.publish(base.unionByName(delta), "doc_id",
+      "text", freshRoot)
+    assert(statsOf(compacted) == statsOf(fresh),
+      "compacted stats differ from a fresh publish of the union")
+    assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(compacted, "_folded.json")).contains("batch-"),
+      "compacted generation did not record the folded delta")
+  }
+
+  test("tombstones mask immediately; compaction matches a never-ingested index") {
+    val root = Files.createTempDirectory("lexidx").toString
+    LexIndex.publish(base, "doc_id", "text", root)
+    LexIndex.addTombstones(spark, Seq(0L, 7L).toDF("doc_id"), "doc_id", root)
+    val masked = probeSet(root)
+    assert(!masked.exists(t => t._2 == 0L || t._2 == 7L),
+      s"tombstoned docs still ranked: $masked")
+    LexIndex.mergeCompact(spark, root)
+    val freshRoot = Files.createTempDirectory("lexidx").toString
+    LexIndex.publish(base.filter(!$"doc_id".isin(0L, 7L)), "doc_id",
+      "text", freshRoot)
+    assert(probeSet(root) == probeSet(freshRoot),
+      "post-purge index differs from a fresh publish of the survivors")
+  }
+
+  test("probe prunes to touched term-bucket partition directories") {
+    val root = Files.createTempDirectory("lexidx").toString
+    val path = LexIndex.publish(base, "doc_id", "text", root)
+    val totalDirs = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("pbucket="))
+    assert(totalDirs >= 4, "base too small to demonstrate pruning")
+    val one = Seq((0L, "alpha")).toDF("query_id", "term")
+    val p = LexIndex.bm25TopK(spark, one, "query_id", "term", K, root)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pbucket".r.findFirstIn(p).isDefined,
+      s"probe scan lost its pbucket partition filter:\n${p.take(1500)}")
+  }
+}

@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** The cross-family purge orchestrator: one deletion set fans to all
-  * four persisted index families, and afterwards the purged id is
+  * five persisted index families, and afterwards the purged id is
   * unfindable through EVERY probe path — the compliance property each
-  * family proves individually (q246/q258/q262/q271), asserted here
-  * through the single composed call.
+  * family proves individually (q246/q258/q262/q271/q281), asserted
+  * here through the single composed call.
   */
 class PurgeCascadeSpec extends SparkSpec {
   import spark.implicits._
@@ -38,9 +38,9 @@ class PurgeCascadeSpec extends SparkSpec {
     (0 until 40).map(i => (i.toLong, vec(i.toLong, 0.0f)))
       .toDF("vec_id", "embedding")
 
-  test("one purge call propagates to all four families' probe paths") {
-    val roots = Seq.fill(4)(Files.createTempDirectory("cascade").toString)
-    val Seq(dRoot, sRoot, pRoot, fRoot) = roots
+  test("one purge call propagates to all five families' probe paths") {
+    val roots = Seq.fill(5)(Files.createTempDirectory("cascade").toString)
+    val Seq(dRoot, sRoot, pRoot, fRoot, lRoot) = roots
     DedupIndex.publish(
       Dedup.minhashSignatures(docs, "doc_id", "text", K),
       "doc_id", BANDS, R, dRoot)
@@ -48,17 +48,19 @@ class PurgeCascadeSpec extends SparkSpec {
     PqIndex.publish(vecs, "vec_id", "embedding", M, DSUB, KS, ITERS, pRoot)
     FirstSeenIndex.publish(
       Dedup.shingleSet(docs, "doc_id", "text", 3), fRoot)
+    LexIndex.publish(docs, "doc_id", "text", lRoot)
 
     val ids = Seq(5L).toDF("id")
     val targets = Seq(
       PurgeCascade.dedup(dRoot, "id"),
       PurgeCascade.sim(sRoot, "id"),
       PurgeCascade.pq(pRoot, "id"),
-      PurgeCascade.firstSeen(fRoot, "id"))
+      PurgeCascade.firstSeen(fRoot, "id"),
+      PurgeCascade.lex(lRoot, "id"))
     val reports = PurgeCascade.purge(spark, ids, targets)
 
     assert(reports.map(_.family) ==
-      Seq("dedup", "sim", "pq", "firstSeen"))
+      Seq("dedup", "sim", "pq", "firstSeen", "lex"))
     assert(reports.forall(_.newVersion.nonEmpty))
     // compaction reset every tombstone log (probes stop paying the
     // anti-join; the rows are physically gone from the serving gen)
@@ -91,6 +93,14 @@ class PurgeCascadeSpec extends SparkSpec {
       .select($"seen_doc").as[Option[Long]].collect().toSet
     assert(!probe5.contains(Some(5L)),
       s"first-seen still credits purged doc 5: $probe5")
+
+    // lexical: a query built from doc 5's own distinctive term must
+    // not retrieve it
+    val lexHits = LexIndex.bm25TopK(spark,
+        Seq((0L, "token5")).toDF("query_id", "term"),
+        "query_id", "term", 10, lRoot)
+      .select($"index_id").as[Long].collect().toSet
+    assert(!lexHits.contains(5L), s"lex resurfaced 5: $lexHits")
   }
 
   test("vacuumAll drops every generation but the compacted head") {
