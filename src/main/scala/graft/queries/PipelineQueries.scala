@@ -5517,6 +5517,155 @@ object PipelineQueries {
         s"doc_id < 400 AND NOT (doc_id % 10 = 0)"))
   }
 
+  /** Artifact-served hybrid retrieval (q282) — q199's RAG-serving
+    * fusion moved onto COMMITTED indexes: the lexical arm is a
+    * [[graft.operators.LexIndex.bm25TopK]] probe of q279's shared
+    * lex artifact (the incoming query docs' own term bags as the
+    * query), the vector arm is a [[graft.operators.SimIndex]] probe
+    * of q243's shared LSH artifact (the same docs' embeddings — the
+    * corpus aligns doc_id ≡ vec_id), and the arms fuse by integer
+    * Borda points (q199's exact-int64 doctrine; RRF's 1/(60+r)
+    * doubles are non-associative). Three committed artifacts-worth of
+    * serving state, zero corpus scans at query time: both probes are
+    * bucket/term-partition-pruned batch-cost reads — the
+    * derive-once/consume-many doctrine composing across MODALITIES.
+    * The oracle replays full BM25 + the multi-table LSH probe + the
+    * fusion from the raw tables, so the hash match proves both
+    * artifacts served exactly the from-scratch rankings.
+    */
+  val hybridIndexServe: Q = {
+    val INDEX_MAX = 400L; val Q_MAX = 410L; val K = 10; val F = 5
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val base = docs.filter(col("doc_id") < INDEX_MAX)
+        val lexRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-lex-index", d, Seq("documents.parquet"))
+        if (LexIndex.resolve(lexRoot).isEmpty)
+          LexIndex.publish(base, "doc_id", "text", lexRoot)
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val index = emb.filter(col("vec_id") < INDEX_MAX)
+        val simRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-sim-index", d, Seq("embeddings.parquet"))
+        if (SimIndex.resolve(simRoot).isEmpty) {
+          val r = VectorFunctions.mtBits(index.count())
+          SimIndex.publish(index, "vec_id", "embedding",
+            r, VectorFunctions.mtTables(r), simRoot)
+        }
+        val qdocs = docs.filter(
+          col("doc_id") >= INDEX_MAX && col("doc_id") < Q_MAX)
+        val qterms = qdocs.select(col("doc_id").as("query_id"),
+            explode(TextFunctions.words(col("text"))).as("term"))
+          .filter(length(col("term")) > 0).distinct()
+        val lexTop = LexIndex.bm25TopK(s, qterms, "query_id", "term",
+            K, lexRoot)
+          .select(col("query_id"), col("index_id").as("doc_id"),
+            (lit(K + 1) - col("rnk")).cast("long").as("lex_pts"))
+        val qvec = emb.filter(
+          col("vec_id") >= INDEX_MAX && col("vec_id") < Q_MAX)
+        val vecTop = SimIndex.probeTopK(s, qvec, "vec_id", "embedding",
+            K, simRoot)
+          .select(col("query_id"), col("index_id").as("doc_id"),
+            (lit(K + 1) - col("rnk")).cast("long").as("vec_pts"))
+        val fused = lexTop
+          .join(vecTop, Seq("query_id", "doc_id"), "full_outer")
+          .na.fill(0L, Seq("lex_pts", "vec_pts"))
+          .withColumn("borda", col("lex_pts") + col("vec_pts"))
+        val wf = Window.partitionBy("query_id")
+          .orderBy(desc("borda"), asc("doc_id"))
+        fused.withColumn("rnk", row_number().over(wf).cast("long"))
+          .filter(col("rnk") <= F)
+          .select("query_id", "doc_id", "lex_pts", "vec_pts", "borda",
+            "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM documents WHERE doc_id < $INDEX_MAX),
+         |tok AS (
+         |  SELECT doc_id, t AS term FROM (
+         |    SELECT doc_id, unnest(arr) AS t FROM w)
+         |  WHERE length(t) > 0),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |       FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+         |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sumdl
+         |       FROM dl),
+         |wq AS (
+         |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM documents WHERE doc_id >= $INDEX_MAX AND doc_id < $Q_MAX),
+         |qt AS (
+         |  SELECT DISTINCT doc_id AS query_id, t AS term FROM (
+         |    SELECT doc_id, unnest(arr) AS t FROM wq)
+         |  WHERE length(t) > 0),
+         |sc AS (
+         |  SELECT q.query_id, f.doc_id AS index_id,
+         |    ${graft.operators.LexIndex.contribSql(
+               "f.tf", "d.df", "l.dl", "n_docs", "sumdl", "//")} AS contrib
+         |  FROM tf f JOIN qt q USING (term) JOIN df d USING (term)
+         |  JOIN dl l ON l.doc_id = f.doc_id CROSS JOIN st),
+         |ag AS (
+         |  SELECT query_id, index_id, sum(contrib)::BIGINT AS score
+         |  FROM sc GROUP BY 1, 2),
+         |lexr AS (
+         |  SELECT query_id, index_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, index_id) AS r
+         |  FROM ag),
+         |lextop AS (
+         |  SELECT query_id, index_id AS doc_id,
+         |    (${K + 1} - r)::BIGINT AS lex_pts
+         |  FROM lexr WHERE r <= $K),
+         |idx AS (SELECT vec_id, embedding FROM embeddings
+         |        WHERE vec_id < $INDEX_MAX),
+         |${mtCtes("idx")},
+         |qe AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+         |  FROM embeddings, params
+         |  WHERE vec_id >= $INDEX_MAX AND vec_id < $Q_MAX),
+         |qek AS (
+         |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+         |  FROM qe),
+         |qkb AS (
+         |  SELECT vec_id, embedding, tbl,
+         |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+         |  FROM qek),
+         |ascore AS (
+         |  SELECT q.vec_id AS query_id, kb.vec_id AS index_id,
+         |    max(round(${VectorFunctions.cosineSql("q.embedding", "kb.embedding")}, 6))
+         |      AS cos_sim
+         |  FROM qkb q JOIN kb ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+         |  GROUP BY 1, 2),
+         |ar AS (
+         |  SELECT query_id, index_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, index_id) AS rnk
+         |  FROM ascore),
+         |vectop AS (
+         |  SELECT query_id, index_id AS doc_id,
+         |    (${K + 1} - rnk)::BIGINT AS vec_pts
+         |  FROM ar WHERE rnk <= $K),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    coalesce(l.lex_pts, 0)::BIGINT AS lex_pts,
+         |    coalesce(v.vec_pts, 0)::BIGINT AS vec_pts
+         |  FROM lextop l FULL OUTER JOIN vectop v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+         |fr AS (
+         |  SELECT query_id, doc_id, lex_pts, vec_pts,
+         |    (lex_pts + vec_pts)::BIGINT AS borda,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY lex_pts + vec_pts DESC, doc_id)
+         |      AS r
+         |  FROM fused)
+         |SELECT query_id, doc_id, lex_pts, vec_pts, borda, r::BIGINT AS rnk
+         |FROM fr WHERE r <= $F ORDER BY query_id, rnk""".stripMargin)
+  }
+
   /** Judged batch twin of the streaming IVFPQ probe (q273) — the
     * q268 snapshot-isolation proof with the PRUNED serving path on
     * the seam: the [[graft.streaming.AnnStream]] probe seam takes a
@@ -10224,6 +10373,7 @@ object PipelineQueries {
     "q279_lex_index"     -> lexIndexProbe,
     "q280_lex_append"    -> lexIndexAppend,
     "q281_lex_purge"     -> lexIndexPurge,
+    "q282_hybrid_index"  -> hybridIndexServe,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

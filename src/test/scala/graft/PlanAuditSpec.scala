@@ -584,6 +584,9 @@ class PlanAuditSpec extends SparkSpec {
                              // query-batch-bounded)
       "q280_lex_append" -> 1, // same probe shape as q279
       "q281_lex_purge" -> 1, // same probe shape as q279
+      "q282_hybrid_index" -> 1, // the lex arm's probe-term df table
+                                // (batch-bounded); the sim arm hints
+                                // nothing
       "q274_ivfpq_recall_sweep" -> 11) // 4 artifact probes unioned:
                                        // the flat arm's codebook+ADC
                                        // pair (2) + three nprobe arms'
