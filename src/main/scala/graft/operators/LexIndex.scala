@@ -184,13 +184,22 @@ object LexIndex {
     * sidecar — batch cost, the base is never touched. Probes then
     * serve N' = N + ΔN, Σdl' = Σdl + ΔΣdl and union postings, so the
     * append shifts df AND the collection statistics exactly as a
-    * re-index over the grown corpus would.
+    * re-index over the grown corpus would. A caller-supplied `tag`
+    * names the delta dir deterministically and makes the append
+    * IDEMPOTENT (an already-committed tag returns without rewriting)
+    * — the at-least-once hook [[graft.streaming.LexStream]] rides,
+    * same as [[FirstSeenIndex.fold]]'s tagged folds.
     */
   def appendDelta(docs: DataFrame, id: String, text: String,
-                  root: String): String = synchronized {
+                  root: String,
+                  tag: String = java.util.UUID.randomUUID().toString)
+      : String = synchronized {
     require(resolve(root).nonEmpty, s"no committed index under $root")
-    graft.sources.Artifacts.notePublish()
     val dr = deltaDir(root); dr.mkdirs()
+    val target = new java.io.File(dr, s"batch-$tag")
+    if (new java.io.File(target, "_SUCCESS").isFile)
+      return target.getAbsolutePath // tagged append already committed
+    graft.sources.Artifacts.notePublish()
     val staging = new java.io.File(dr,
       s".staging-${java.util.UUID.randomUUID()}")
     val (rows, dl) = postingRows(docs, id, text)
@@ -201,11 +210,21 @@ object LexIndex {
       .parquet(staging.getAbsolutePath)
     writeStats(dlc, staging.getAbsolutePath)
     dlc.unpersist()
-    val target = new java.io.File(dr,
-      s"batch-${java.util.UUID.randomUUID()}")
     require(staging.renameTo(target),
       s"delta append rename failed into $dr")
     target.getAbsolutePath
+  }
+
+  /** Has the tagged append already been ingested — either live in the
+    * append log or folded into the resolved generation (its name in
+    * `_folded.json`)? The folded half matters to at-least-once
+    * callers: a replay arriving AFTER a merge deleted the delta dir
+    * must not re-append rows the generation already holds.
+    */
+  def appended(root: String, tag: String): Boolean = {
+    val live = new java.io.File(
+      new java.io.File(deltaDir(root), s"batch-$tag"), "_SUCCESS").isFile
+    live || resolve(root).exists(p => foldedOf(p)(s"batch-$tag"))
   }
 
   /** Fold every committed delta and pending delete into the next

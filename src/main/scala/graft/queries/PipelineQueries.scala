@@ -5517,6 +5517,82 @@ object PipelineQueries {
         s"doc_id < 400 AND NOT (doc_id % 10 = 0)"))
   }
 
+  /** Judged batch twin of the streaming lexical gate (q283) — the
+    * streaming × lexical cell: [[graft.streaming.LexStream]] probes
+    * each arriving doc batch against the PRE-BATCH committed
+    * [[graft.operators.LexIndex]] state, then ingests it as a tagged
+    * postings delta. Batch 0 (docs 300–349) scores against the base
+    * index (docs < 300) and is REDELIVERED — absorbed through the
+    * committed topk dir and the tagged delta; batch 1 (docs 350–399)
+    * scores against base ∪ batch 0, whose append shifted N, Σdl and
+    * df. The oracle unions two BM25 worlds — batch-0 queries over the
+    * <300 corpus with its stats, batch-1 queries over the <350 corpus
+    * with the GROWN stats — so the hash match proves per-batch
+    * snapshot isolation AND that the collection-statistics shift
+    * landed at exactly the batch boundary (the burden no vector
+    * stream has: their scores don't depend on corpus-level stats).
+    */
+  val lexStreamTwin: Q = {
+    val BASE_MAX = 300L; val B0_MAX = 350L; val Q_MAX = 400L; val K = 3
+    def world(i: Int, corpusHi: Long, qLo: Long, qHi: Long): String =
+      s"""tf$i AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |         FROM tok WHERE doc_id < $corpusHi GROUP BY 1, 2),
+         |dl$i AS (SELECT doc_id, count(*)::BIGINT AS dl
+         |         FROM tok WHERE doc_id < $corpusHi GROUP BY 1),
+         |df$i AS (SELECT term, count(*)::BIGINT AS df FROM tf$i GROUP BY 1),
+         |st$i AS (SELECT count(*)::BIGINT AS n_docs,
+         |           sum(dl)::BIGINT AS sumdl FROM dl$i),
+         |qt$i AS (
+         |  SELECT DISTINCT doc_id AS query_id, term FROM tok
+         |  WHERE doc_id >= $qLo AND doc_id < $qHi),
+         |sc$i AS (
+         |  SELECT q.query_id, f.doc_id AS index_id,
+         |    ${graft.operators.LexIndex.contribSql(
+               "f.tf", "d.df", "l.dl", "n_docs", "sumdl", "//")} AS contrib
+         |  FROM tf$i f JOIN qt$i q USING (term) JOIN df$i d USING (term)
+         |  JOIN dl$i l ON l.doc_id = f.doc_id CROSS JOIN st$i),
+         |ag$i AS (
+         |  SELECT query_id, index_id, count(*)::BIGINT AS n_hit,
+         |    sum(contrib)::BIGINT AS score
+         |  FROM sc$i GROUP BY 1, 2),
+         |rk$i AS (
+         |  SELECT ag$i.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, index_id) AS rnk FROM ag$i)"""
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val idxRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-lex-stream-idx", d, Seq("documents.parquet"))
+        val outRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-lex-stream-out", d, Seq("documents.parquet"))
+        if (LexIndex.resolve(idxRoot).isEmpty)
+          LexIndex.publish(docs.filter(col("doc_id") < BASE_MAX),
+            "doc_id", "text", idxRoot)
+        val ls = new graft.streaming.LexStream(
+          s, idxRoot, outRoot, "doc_id", "text", K)
+        val b0 = docs.filter(
+          col("doc_id") >= BASE_MAX && col("doc_id") < B0_MAX)
+        ls.processBatch(b0, 0)
+        ls.processBatch(b0, 0) // at-least-once redelivery: absorbed
+        ls.processBatch(docs.filter(
+          col("doc_id") >= B0_MAX && col("doc_id") < Q_MAX), 1)
+        ls.results().orderBy("query_id", "rnk")
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM documents WHERE doc_id < $Q_MAX),
+         |tok AS (
+         |  SELECT doc_id, t AS term FROM (
+         |    SELECT doc_id, unnest(arr) AS t FROM w)
+         |  WHERE length(t) > 0),
+         |${world(0, BASE_MAX, BASE_MAX, B0_MAX)},
+         |${world(1, B0_MAX, B0_MAX, Q_MAX)}
+         |SELECT query_id, index_id, n_hit, score, CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT * FROM rk0 WHERE rnk <= $K
+         |      UNION ALL SELECT * FROM rk1 WHERE rnk <= $K)
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
   /** Artifact-served hybrid retrieval (q282) — q199's RAG-serving
     * fusion moved onto COMMITTED indexes: the lexical arm is a
     * [[graft.operators.LexIndex.bm25TopK]] probe of q279's shared
@@ -10374,6 +10450,7 @@ object PipelineQueries {
     "q280_lex_append"    -> lexIndexAppend,
     "q281_lex_purge"     -> lexIndexPurge,
     "q282_hybrid_index"  -> hybridIndexServe,
+    "q283_lex_stream"    -> lexStreamTwin,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.LexIndex
+
+/** Continuous lexical retrieval + ingestion — the streaming × lexical
+  * cell: each arriving document micro-batch is first BM25-probed
+  * against the pre-batch committed [[LexIndex]] state ("what does the
+  * corpus already hold that reads like this?" — the redundancy /
+  * near-dup-alerting gate in its lexical form), then APPENDED as a
+  * tagged postings delta so every later batch scores against a corpus
+  * that includes it. The cell's distinctive burden, which no vector
+  * family has: ingestion shifts the COLLECTION STATISTICS — batch
+  * b+1's scores use N, Σdl and df grown by batch b — and the judged
+  * twin (q283) proves the shift lands at exactly the batch boundary.
+  *
+  * Exactly-once shape: probe results land as one `_SUCCESS`-committed
+  * `topk.bN` dir (the [[VersionedSink]] idempotence trick) BEFORE the
+  * tagged delta append (`batch-bN`, idempotent via
+  * [[LexIndex.appendDelta]]'s tag) — so a replayed batch never scores
+  * against a corpus that already contains itself: if the probe is
+  * committed it is not rewritten, and the append retries
+  * idempotently. A replay arriving after a merge-compaction folded
+  * its delta is absorbed through the generation's `_folded.json`
+  * ([[LexIndex.appended]]); as with the sibling families, the
+  * absorption window is one compaction cycle.
+  */
+final class LexStream(spark: SparkSession, indexRoot: String,
+                      outRoot: String, id: String, text: String, k: Int) {
+
+  private def fs =
+    new Path(outRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committed(p: Path): Boolean =
+    fs.exists(new Path(p, "_SUCCESS"))
+
+  private def batchDirs: Seq[(Long, Path)] = {
+    val base = new Path(outRoot)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("topk.b") && name.length > 6 &&
+          name.drop(6).forall(_.isDigit))
+        Some((name.drop(6).toLong, st.getPath))
+      else None
+    }.filter(d => committed(d._2)).sortBy(_._1)
+  }
+
+  /** The batch's docs as (query_id, term) bags — distinct terms, the
+    * standard bag-of-words probe.
+    */
+  private def termBags(docs: DataFrame): DataFrame =
+    docs.select(col(id).cast("long").as("query_id"),
+        explode(TextFunctions.words(col(text))).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+
+  /** The `foreachBatch` body: probe against the pre-batch state, then
+    * ingest. Returns false when both halves were already committed
+    * (replay absorbed), true when this call committed either.
+    */
+  def processBatch(docs: DataFrame, batchId: Long): Boolean = {
+    val target = new Path(outRoot, s"topk.b$batchId")
+    val probed = committed(target)
+    val ingested = LexIndex.appended(indexRoot, s"b$batchId")
+    if (probed && ingested) return false
+    if (!probed) {
+      graft.sources.Artifacts.notePublish()
+      LexIndex.bm25TopK(spark, termBags(docs), "query_id", "term",
+          k, indexRoot)
+        .write.mode("overwrite").parquet(target.toString)
+    }
+    // append strictly after the probe commit: a crash here replays as
+    // append-only (the committed probe is not rewritten), so a batch
+    // never scores against a corpus already containing itself
+    if (!ingested)
+      LexIndex.appendDelta(docs, id, text, indexRoot, tag = s"b$batchId")
+    true
+  }
+
+  /** Every committed batch's top-k so far (query_id, index_id, n_hit,
+    * score, rnk).
+    */
+  def results(): DataFrame = {
+    val dirs = batchDirs.map(_._2.toString)
+    require(dirs.nonEmpty, s"no committed batches under $outRoot yet")
+    spark.read.parquet(dirs: _*)
+  }
+
+  def committedBatches: Seq[Long] = batchDirs.map(_._1)
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.LexIndex
+
+/** The streaming lexical gate: per-batch probe ≡ a direct probe of
+  * the pre-batch committed state, ingestion shifts the collection
+  * stats at the batch boundary, and at-least-once redelivery is
+  * absorbed through both the committed topk dir and the tagged delta.
+  */
+class LexStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 3
+
+  private def doc(i: Int) =
+    s"alpha beta gamma delta epsilon zeta token$i filler${i * 7} " +
+      s"word${i % 13} tail${i * 31} end$i"
+
+  private def docsDF(r: Range) =
+    r.map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+
+  private def bags(r: Range) =
+    docsDF(r).select($"doc_id".as("query_id"),
+        explode(split($"text", " ")).as("term"))
+      .filter(length($"term") > 0).distinct()
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select($"query_id", $"index_id", $"n_hit", $"score", $"rnk")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+  test("per-batch probe ≡ direct probe of the pre-batch state; stats shift at the boundary") {
+    val idxRoot = Files.createTempDirectory("lexstream").toString
+    val outRoot = Files.createTempDirectory("lexstream").toString
+    LexIndex.publish(docsDF(0 until 20), "doc_id", "text", idxRoot)
+    val ls = new LexStream(spark, idxRoot, outRoot, "doc_id", "text", K)
+    assert(ls.processBatch(docsDF(20 until 30), 0))
+    assert(ls.processBatch(docsDF(30 until 40), 1))
+
+    // world 0: a never-streamed index over docs < 20
+    val w0 = Files.createTempDirectory("lexstream").toString
+    LexIndex.publish(docsDF(0 until 20), "doc_id", "text", w0)
+    val want0 = rows(LexIndex.bm25TopK(spark, bags(20 until 30),
+      "query_id", "term", K, w0))
+    // world 1: a never-streamed index over docs < 30 — batch 0's
+    // ingestion must have shifted N/Σdl/df to exactly this
+    val w1 = Files.createTempDirectory("lexstream").toString
+    LexIndex.publish(docsDF(0 until 30), "doc_id", "text", w1)
+    val want1 = rows(LexIndex.bm25TopK(spark, bags(30 until 40),
+      "query_id", "term", K, w1))
+
+    val got = rows(ls.results())
+    assert(got == (want0 ++ want1))
+    // and the stats REALLY shifted: scoring batch 1 against the
+    // un-grown base must differ (otherwise the boundary proof is void)
+    val stale = rows(LexIndex.bm25TopK(spark, bags(30 until 40),
+      "query_id", "term", K, w0))
+    assert(stale != want1,
+      "batch-1 scores identical against grown and un-grown corpus")
+  }
+
+  test("redelivery and a probe-committed/append-lost crash both replay safely") {
+    val idxRoot = Files.createTempDirectory("lexstream").toString
+    val outRoot = Files.createTempDirectory("lexstream").toString
+    LexIndex.publish(docsDF(0 until 20), "doc_id", "text", idxRoot)
+    val ls = new LexStream(spark, idxRoot, outRoot, "doc_id", "text", K)
+    assert(ls.processBatch(docsDF(20 until 30), 0))
+    val committed = rows(ls.results())
+    // full redelivery: both halves committed — absorbed, nothing moves
+    assert(!ls.processBatch(docsDF(20 until 30), 0))
+    assert(rows(ls.results()) == committed)
+    assert(LexIndex.deltas(idxRoot).size == 1)
+    // crash window: append lost after the probe committed — replay
+    // must re-append WITHOUT rescoring (the probe dir is not rewritten,
+    // so the batch never scores against a corpus containing itself)
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+    }
+    rm(new java.io.File(LexIndex.deltas(idxRoot).head))
+    assert(ls.processBatch(docsDF(20 until 30), 0))
+    assert(LexIndex.deltas(idxRoot).size == 1)
+    assert(rows(ls.results()) == committed)
+  }
+
+  test("a replay after merge-compaction is absorbed through _folded.json") {
+    val idxRoot = Files.createTempDirectory("lexstream").toString
+    val outRoot = Files.createTempDirectory("lexstream").toString
+    LexIndex.publish(docsDF(0 until 20), "doc_id", "text", idxRoot)
+    val ls = new LexStream(spark, idxRoot, outRoot, "doc_id", "text", K)
+    ls.processBatch(docsDF(20 until 30), 0)
+    LexIndex.mergeCompact(spark, idxRoot)
+    assert(LexIndex.deltas(idxRoot).isEmpty)
+    // the delta dir is gone but the generation folded it — a replay
+    // must NOT re-append (double ingestion would double df)
+    assert(!ls.processBatch(docsDF(20 until 30), 0))
+    assert(LexIndex.deltas(idxRoot).isEmpty)
+  }
+}
