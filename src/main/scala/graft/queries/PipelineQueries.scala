@@ -5593,6 +5593,139 @@ object PipelineQueries {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** nDCG@10 of the persisted ANN probe (q284) — the graded member
+    * that completes the retrieval-eval family: q96/q243 measure
+    * recall@K (set overlap, position-blind), q256 MRR (first hit
+    * only); nDCG weights EVERY position by a graded gain, which is
+    * what ranking regressions that keep the set but scramble the
+    * order actually move. Truth grades derive from the exact-cosine
+    * rank (top-2 → gain 7, top-5 → 3, top-10 → 1, else 0 — the
+    * 2^g − 1 gains of standard nDCG); the probe arm is the SHARED
+    * [[graft.operators.SimIndex]] artifact (q243's root). Position
+    * discount is the FLOOR-log₂ surrogate: gain·10⁶ div ⌊log₂(i+1)⌋
+    * via `length(bin(i+1)) − 1`, an exact integer on both engines
+    * (the proven q157 digit trick) — positions 2–3 share a discount,
+    * the price of a libm-free hash-exact metric (the q36 doctrine;
+    * the continuous-log refinement changes no ordering of whole
+    * queries, only compresses within bands). IDCG replays the same
+    * discount over the truth ranking itself, so ndcg_ppm = 10⁶ ·
+    * DCG/IDCG is 10⁶ exactly when the probe reproduces the exact
+    * order, and degrades per displaced position.
+    */
+  val annNdcg: Q = {
+    val INDEX_MAX = 400L; val Q_MAX = 500L; val K = 10
+    val SCALE = 1000000L
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val index = emb.filter(col("vec_id") < INDEX_MAX)
+        val queries = emb.filter(
+          col("vec_id") >= INDEX_MAX && col("vec_id") < Q_MAX)
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-sim-index", d, Seq("embeddings.parquet"))
+        if (SimIndex.resolve(root).isEmpty) {
+          val r = VectorFunctions.mtBits(index.count())
+          SimIndex.publish(index, "vec_id", "embedding",
+            r, VectorFunctions.mtTables(r), root)
+        }
+        val exact = Similarity.bruteForceTopK(
+            index, queries, "vec_id", "embedding", K)
+          .select(col("query_id"), col("vec_id").as("index_id"),
+            col("rnk"))
+          .withColumn("gain", when(col("rnk") <= 2, 7L)
+            .when(col("rnk") <= 5, 3L).otherwise(1L))
+        val probe = SimIndex.probeTopK(s, queries, "vec_id",
+            "embedding", K, root)
+          .select(col("query_id"), col("index_id"),
+            col("rnk").as("prnk"))
+        val dcg = probe
+          .join(exact.select("query_id", "index_id", "gain"),
+            Seq("query_id", "index_id"), "left")
+          .na.fill(0L, Seq("gain"))
+          .selectExpr("query_id",
+            s"(gain * $SCALE) div (length(bin(prnk + 1)) - 1) AS c")
+          .groupBy("query_id").agg(sum("c").as("dcg"))
+        val idcg = exact
+          .selectExpr("query_id",
+            s"(gain * $SCALE) div (length(bin(rnk + 1)) - 1) AS c")
+          .groupBy("query_id").agg(sum("c").as("idcg"))
+        queries.select(col("vec_id").as("query_id"))
+          .join(dcg, Seq("query_id"), "left")
+          .na.fill(0L, Seq("dcg"))
+          .join(idcg, Seq("query_id"))
+          .selectExpr("query_id", "dcg", "idcg",
+            s"(dcg * $SCALE) div idcg AS ndcg_ppm")
+          .orderBy("query_id")
+      },
+      s"""WITH idx AS (SELECT vec_id, embedding FROM embeddings
+         |             WHERE vec_id < $INDEX_MAX),
+         |${mtCtes("idx")},
+         |qe AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+         |  FROM embeddings, params
+         |  WHERE vec_id >= $INDEX_MAX AND vec_id < $Q_MAX),
+         |qek AS (
+         |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+         |  FROM qe),
+         |qkb AS (
+         |  SELECT vec_id, embedding, tbl,
+         |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+         |  FROM qek),
+         |ascore AS (
+         |  SELECT q.vec_id AS query_id, kb.vec_id AS index_id,
+         |    max(round(${VectorFunctions.cosineSql("q.embedding", "kb.embedding")}, 6))
+         |      AS cos_sim
+         |  FROM qkb q JOIN kb ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+         |  GROUP BY 1, 2),
+         |ar AS (
+         |  SELECT query_id, index_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, index_id) AS rnk
+         |  FROM ascore),
+         |ap AS (SELECT query_id, index_id, rnk AS prnk FROM ar
+         |       WHERE rnk <= $K),
+         |qx AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |       FROM embeddings
+         |       WHERE vec_id >= $INDEX_MAX AND vec_id < $Q_MAX),
+         |cx AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM idx),
+         |bs AS (
+         |  SELECT query_id, vec_id AS index_id,
+         |    round(list_dot_product(qv, v) /
+         |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+         |      AS cos_sim
+         |  FROM qx JOIN cx ON vec_id <> query_id),
+         |br AS (
+         |  SELECT query_id, index_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, index_id) AS rnk
+         |  FROM bs),
+         |ex AS (
+         |  SELECT query_id, index_id, rnk,
+         |    CASE WHEN rnk <= 2 THEN 7 WHEN rnk <= 5 THEN 3 ELSE 1 END
+         |      AS gain
+         |  FROM br WHERE rnk <= $K),
+         |dcg AS (
+         |  SELECT p.query_id,
+         |    sum((coalesce(e.gain, 0) * $SCALE) //
+         |        (length(bin(p.prnk + 1)) - 1))::BIGINT AS dcg
+         |  FROM ap p LEFT JOIN ex e
+         |    ON e.query_id = p.query_id AND e.index_id = p.index_id
+         |  GROUP BY 1),
+         |idcg AS (
+         |  SELECT query_id,
+         |    sum((gain * $SCALE) // (length(bin(rnk + 1)) - 1))::BIGINT
+         |      AS idcg
+         |  FROM ex GROUP BY 1),
+         |qs AS (SELECT vec_id AS query_id FROM embeddings
+         |       WHERE vec_id >= $INDEX_MAX AND vec_id < $Q_MAX)
+         |SELECT q.query_id, coalesce(d.dcg, 0)::BIGINT AS dcg, i.idcg,
+         |  ((coalesce(d.dcg, 0) * $SCALE) // i.idcg)::BIGINT AS ndcg_ppm
+         |FROM qs q LEFT JOIN dcg d USING (query_id)
+         |JOIN idcg i USING (query_id)
+         |ORDER BY query_id""".stripMargin)
+  }
+
   /** Artifact-served hybrid retrieval (q282) — q199's RAG-serving
     * fusion moved onto COMMITTED indexes: the lexical arm is a
     * [[graft.operators.LexIndex.bm25TopK]] probe of q279's shared
@@ -10451,6 +10584,7 @@ object PipelineQueries {
     "q281_lex_purge"     -> lexIndexPurge,
     "q282_hybrid_index"  -> hybridIndexServe,
     "q283_lex_stream"    -> lexStreamTwin,
+    "q284_ann_ndcg"      -> annNdcg,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,

@@ -587,6 +587,11 @@ class PlanAuditSpec extends SparkSpec {
       "q282_hybrid_index" -> 1, // the lex arm's probe-term df table
                                 // (batch-bounded); the sim arm hints
                                 // nothing
+      "q284_ann_ndcg" -> 2, // fixed 100-query set (the exact-truth
+                            // arm, q243's bound), replicated
+                            // structurally into the DCG + IDCG
+                            // consumer branches; the artifact probe
+                            // hints nothing
       "q274_ivfpq_recall_sweep" -> 11) // 4 artifact probes unioned:
                                        // the flat arm's codebook+ADC
                                        // pair (2) + three nprobe arms'
