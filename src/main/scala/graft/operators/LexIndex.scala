@@ -78,19 +78,24 @@ object LexIndex {
     * one row per (term, doc) with tf and the doc's length dl
     * denormalized on, bucketed by term. Documents with zero tokens
     * carry no postings and count in no statistic (both sides of the
-    * oracle agree by construction).
+    * oracle agree by construction). Returns (rows, dl, cached tf) —
+    * the CALLER unpersists the third element once its write and stats
+    * pass both ran: tf is the one tokenization pass (dl = Σtf per doc
+    * derives from its far smaller output, so the write path never
+    * pays the split+explode corpus scan twice).
     */
-  private def postingRows(docs: DataFrame, id: String,
-                          text: String): (DataFrame, DataFrame) = {
+  private def postingRows(docs: DataFrame, id: String, text: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val tok = docs
       .select(col(id).cast("long").as("index_id"),
         explode(TextFunctions.words(col(text))).as("term"))
       .filter(length(col("term")) > 0)
     val tf = tok.groupBy("index_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("index_id").agg(count(lit(1)).as("dl"))
+      .persist()
+    val dl = tf.groupBy("index_id").agg(sum("tf").as("dl"))
     val rows = tf.join(dl, Seq("index_id"))
       .withColumn("pbucket", pbucketOf(col("term")))
-    (rows, dl)
+    (rows, dl, tf)
   }
 
   private def writeStats(dl: DataFrame, dir: String): Unit = {
@@ -121,13 +126,12 @@ object LexIndex {
   def publish(docs: DataFrame, id: String, text: String,
               root: String): String = synchronized {
     VersionedDirs.commit(root) { staging =>
-      val (rows, dl) = postingRows(docs, id, text)
-      val dlc = dl.persist() // shared by the write and the stats row
+      val (rows, dl, tfc) = postingRows(docs, id, text)
       rows.repartition(col("pbucket"))
         .sortWithinPartitions("term")
         .write.partitionBy("pbucket").mode("overwrite").parquet(staging)
-      writeStats(dlc, staging)
-      dlc.unpersist()
+      writeStats(dl, staging)
+      tfc.unpersist()
       ()
     }
   }
@@ -202,14 +206,13 @@ object LexIndex {
     graft.sources.Artifacts.notePublish()
     val staging = new java.io.File(dr,
       s".staging-${java.util.UUID.randomUUID()}")
-    val (rows, dl) = postingRows(docs, id, text)
-    val dlc = dl.persist()
+    val (rows, dl, tfc) = postingRows(docs, id, text)
     rows.repartition(col("pbucket"))
       .sortWithinPartitions("term")
       .write.partitionBy("pbucket").mode("overwrite")
       .parquet(staging.getAbsolutePath)
-    writeStats(dlc, staging.getAbsolutePath)
-    dlc.unpersist()
+    writeStats(dl, staging.getAbsolutePath)
+    tfc.unpersist()
     require(staging.renameTo(target),
       s"delta append rename failed into $dr")
     target.getAbsolutePath

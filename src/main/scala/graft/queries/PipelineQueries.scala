@@ -5305,11 +5305,12 @@ object PipelineQueries {
         tf.join(broadcast(qt), Seq("term"))
           .join(dl, Seq("doc_id"))
           .crossJoin(broadcast(st))
+          // the ONE shared definition of the BM25 contribution
+          // (LexIndex.contribSql) — q279-q284 and the persisted
+          // index's probe all score with this exact expression
           .selectExpr("doc_id",
-            """((1000 * (2 * (n_docs - df) + 1)) div (2 * df + 1)) *
-              |((tf * 22000000) div
-              | (tf * 10000 + 3000 + (9000 * dl * n_docs) div sumdl))
-              | AS contrib""".stripMargin)
+            s"${graft.operators.LexIndex.contribSql("tf", "df", "dl",
+              "n_docs", "sumdl", "div")} AS contrib")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_hit"), sum("contrib").as("score"))
           .orderBy(desc("score"), asc("doc_id"))
@@ -5336,10 +5337,8 @@ object PipelineQueries {
          |  WHERE rnk BETWEEN 20 AND 24),
          |sc AS (
          |  SELECT f.doc_id,
-         |    ((1000 * (2 * (n_docs - q.df) + 1)) // (2 * q.df + 1)) *
-         |    ((f.tf * 22000000) //
-         |     (f.tf * 10000 + 3000 + (9000 * l.dl * n_docs) // sumdl))
-         |      AS contrib
+         |    ${graft.operators.LexIndex.contribSql(
+               "f.tf", "q.df", "l.dl", "n_docs", "sumdl", "//")} AS contrib
          |  FROM tf f JOIN qt q USING (term) JOIN dl l USING (doc_id)
          |  CROSS JOIN st)
          |SELECT doc_id, count(*)::BIGINT AS n_hit, sum(contrib)::BIGINT AS score

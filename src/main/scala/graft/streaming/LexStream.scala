@@ -24,10 +24,15 @@ import graft.operators.LexIndex
   * [[LexIndex.appendDelta]]'s tag) — so a replayed batch never scores
   * against a corpus that already contains itself: if the probe is
   * committed it is not rewritten, and the append retries
-  * idempotently. A replay arriving after a merge-compaction folded
-  * its delta is absorbed through the generation's `_folded.json`
-  * ([[LexIndex.appended]]); as with the sibling families, the
-  * absorption window is one compaction cycle.
+  * idempotently. Absorption is DURABLE across any number of
+  * compactions: after the append commits, the stream writes an
+  * `ingested.bN` marker in ITS OWN store — unlike the generation's
+  * `_folded.json` (whose fold names prune once the folded dirs are
+  * deleted, bounding the sidecar), the marker is never pruned, so a
+  * checkpoint-lagged replay arriving two merges later still cannot
+  * re-ingest the batch and double-count df/N (BM25's
+  * non-idempotence). `_folded.json` remains the second line for the
+  * append-committed/marker-lost crash sliver.
   */
 final class LexStream(spark: SparkSession, indexRoot: String,
                       outRoot: String, id: String, text: String, k: Int) {
@@ -65,9 +70,17 @@ final class LexStream(spark: SparkSession, indexRoot: String,
     */
   def processBatch(docs: DataFrame, batchId: Long): Boolean = {
     val target = new Path(outRoot, s"topk.b$batchId")
+    val marker = new Path(outRoot, s"ingested.b$batchId")
     val probed = committed(target)
-    val ingested = LexIndex.appended(indexRoot, s"b$batchId")
-    if (probed && ingested) return false
+    val ingested = fs.exists(marker) ||
+      LexIndex.appended(indexRoot, s"b$batchId")
+    if (probed && ingested) {
+      // self-heal the append-committed/marker-lost sliver while the
+      // fold evidence still exists, so absorption stays durable past
+      // the _folded.json pruning horizon
+      if (!fs.exists(marker)) fs.create(marker).close()
+      return false
+    }
     if (!probed) {
       graft.sources.Artifacts.notePublish()
       LexIndex.bm25TopK(spark, termBags(docs), "query_id", "term",
@@ -76,9 +89,14 @@ final class LexStream(spark: SparkSession, indexRoot: String,
     }
     // append strictly after the probe commit: a crash here replays as
     // append-only (the committed probe is not rewritten), so a batch
-    // never scores against a corpus already containing itself
-    if (!ingested)
+    // never scores against a corpus already containing itself. The
+    // durable marker lands LAST — a crash between append and marker
+    // replays through the idempotent tagged append (live delta or
+    // _folded.json), then writes the marker
+    if (!ingested) {
       LexIndex.appendDelta(docs, id, text, indexRoot, tag = s"b$batchId")
+      fs.create(marker).close()
+    }
     true
   }
 

@@ -24,9 +24,11 @@ class LexStreamSpec extends SparkSpec {
   private def docsDF(r: Range) =
     r.map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
 
+  // the stream's own tokenizer — a literal split here could silently
+  // diverge from LexStream.termBags if tokenization ever changes
   private def bags(r: Range) =
     docsDF(r).select($"doc_id".as("query_id"),
-        explode(split($"text", " ")).as("term"))
+        explode(graft.functions.TextFunctions.words($"text")).as("term"))
       .filter(length($"term") > 0).distinct()
 
   private def rows(df: org.apache.spark.sql.DataFrame) =
@@ -63,6 +65,10 @@ class LexStreamSpec extends SparkSpec {
       "batch-1 scores identical against grown and un-grown corpus")
   }
 
+  private def rmAll(x: java.io.File): Unit = {
+    Option(x.listFiles()).foreach(_.foreach(rmAll)); x.delete(); ()
+  }
+
   test("redelivery and a probe-committed/append-lost crash both replay safely") {
     val idxRoot = Files.createTempDirectory("lexstream").toString
     val outRoot = Files.createTempDirectory("lexstream").toString
@@ -74,19 +80,18 @@ class LexStreamSpec extends SparkSpec {
     assert(!ls.processBatch(docsDF(20 until 30), 0))
     assert(rows(ls.results()) == committed)
     assert(LexIndex.deltas(idxRoot).size == 1)
-    // crash window: append lost after the probe committed — replay
-    // must re-append WITHOUT rescoring (the probe dir is not rewritten,
-    // so the batch never scores against a corpus containing itself)
-    def rm(x: java.io.File): Unit = {
-      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-    }
-    rm(new java.io.File(LexIndex.deltas(idxRoot).head))
+    // crash window: probe committed, append never ran (delta AND
+    // marker both absent) — replay must re-append WITHOUT rescoring
+    // (the probe dir is not rewritten, so the batch never scores
+    // against a corpus containing itself)
+    rmAll(new java.io.File(LexIndex.deltas(idxRoot).head))
+    rmAll(new java.io.File(outRoot, "ingested.b0"))
     assert(ls.processBatch(docsDF(20 until 30), 0))
     assert(LexIndex.deltas(idxRoot).size == 1)
     assert(rows(ls.results()) == committed)
   }
 
-  test("a replay after merge-compaction is absorbed through _folded.json") {
+  test("replay absorption survives compactions: _folded.json covers the marker-lost sliver, the marker is durable forever") {
     val idxRoot = Files.createTempDirectory("lexstream").toString
     val outRoot = Files.createTempDirectory("lexstream").toString
     LexIndex.publish(docsDF(0 until 20), "doc_id", "text", idxRoot)
@@ -94,8 +99,21 @@ class LexStreamSpec extends SparkSpec {
     ls.processBatch(docsDF(20 until 30), 0)
     LexIndex.mergeCompact(spark, idxRoot)
     assert(LexIndex.deltas(idxRoot).isEmpty)
-    // the delta dir is gone but the generation folded it — a replay
-    // must NOT re-append (double ingestion would double df)
+    // marker-lost crash sliver: the delta dir is gone but the
+    // generation folded it — _folded.json absorbs the replay, and the
+    // absorbed replay SELF-HEALS the marker
+    rmAll(new java.io.File(outRoot, "ingested.b0"))
+    assert(!ls.processBatch(docsDF(20 until 30), 0))
+    assert(new java.io.File(outRoot, "ingested.b0").exists())
+    assert(LexIndex.deltas(idxRoot).isEmpty)
+    // a second compaction prunes the folded name (its dir is gone) —
+    // the durable marker alone must keep absorbing the replay, else a
+    // checkpoint-lagged redelivery double-ingests and doubles df/N
+    LexIndex.appendDelta(docsDF(30 until 40), "doc_id", "text", idxRoot,
+      tag = "b1")
+    LexIndex.mergeCompact(spark, idxRoot)
+    assert(!LexIndex.appended(idxRoot, "b0"),
+      "precondition: the fold evidence for b0 must be pruned by now")
     assert(!ls.processBatch(docsDF(20 until 30), 0))
     assert(LexIndex.deltas(idxRoot).isEmpty)
   }
