@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,31 +33,15 @@ final class AnnStream(spark: SparkSession, indexRoot: String,
                       probeFn: (SparkSession, DataFrame, String, String,
                         Int, String) => DataFrame = AnnStream.DefaultProbe) {
 
-  private def fs =
-    new Path(outRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def committed(p: Path): Boolean =
-    fs.exists(new Path(p, "_SUCCESS"))
-
-  private def batchDirs: Seq[(Long, Path)] = {
-    val base = new Path(outRoot)
-    if (!fs.exists(base)) Nil
-    else fs.listStatus(base).toSeq.flatMap { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("topk.b") && name.length > 6 &&
-          name.drop(6).forall(_.isDigit))
-        Some((name.drop(6).toLong, st.getPath))
-      else None
-    }.filter(d => committed(d._2)).sortBy(_._1)
-  }
+  private val sink = new BatchDirs(spark, outRoot, "topk.b")
 
   /** The `foreachBatch` body. Returns false when this batch id is
     * already committed (replay absorbed), true when this call
     * committed it.
     */
   def processBatch(batch: DataFrame, batchId: Long): Boolean = {
-    val target = new Path(outRoot, s"topk.b$batchId")
-    if (committed(target)) return false
+    val target = sink.target(batchId)
+    if (sink.committed(target)) return false
     graft.sources.Artifacts.notePublish()
     probeFn(spark, batch, id, vec, k, indexRoot)
       .write.mode("overwrite").parquet(target.toString)
@@ -76,7 +59,7 @@ final class AnnStream(spark: SparkSession, indexRoot: String,
     * a batch first.
     */
   def results(): DataFrame = {
-    val dirs = batchDirs.map(_._2.toString)
+    val dirs = sink.paths
     if (dirs.isEmpty) {
       val emptyBatch = spark.range(0).select(
         col("id").cast("long").as(id),
@@ -96,7 +79,7 @@ final class AnnStream(spark: SparkSession, indexRoot: String,
     } else spark.read.parquet(dirs: _*)
   }
 
-  def committedBatches: Seq[Long] = batchDirs.map(_._1)
+  def committedBatches: Seq[Long] = sink.ids
 }
 
 object AnnStream {

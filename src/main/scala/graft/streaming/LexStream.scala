@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,23 +36,7 @@ import graft.operators.LexIndex
 final class LexStream(spark: SparkSession, indexRoot: String,
                       outRoot: String, id: String, text: String, k: Int) {
 
-  private def fs =
-    new Path(outRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def committed(p: Path): Boolean =
-    fs.exists(new Path(p, "_SUCCESS"))
-
-  private def batchDirs: Seq[(Long, Path)] = {
-    val base = new Path(outRoot)
-    if (!fs.exists(base)) Nil
-    else fs.listStatus(base).toSeq.flatMap { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("topk.b") && name.length > 6 &&
-          name.drop(6).forall(_.isDigit))
-        Some((name.drop(6).toLong, st.getPath))
-      else None
-    }.filter(d => committed(d._2)).sortBy(_._1)
-  }
+  private val sink = new BatchDirs(spark, outRoot, "topk.b")
 
   /** The batch's docs as (query_id, term) bags — distinct terms, the
     * standard bag-of-words probe.
@@ -69,16 +52,16 @@ final class LexStream(spark: SparkSession, indexRoot: String,
     * (replay absorbed), true when this call committed either.
     */
   def processBatch(docs: DataFrame, batchId: Long): Boolean = {
-    val target = new Path(outRoot, s"topk.b$batchId")
-    val marker = new Path(outRoot, s"ingested.b$batchId")
-    val probed = committed(target)
-    val ingested = fs.exists(marker) ||
+    val target = sink.target(batchId)
+    val marker = s"ingested.b$batchId"
+    val probed = sink.committed(target)
+    val ingested = sink.exists(marker) ||
       LexIndex.appended(indexRoot, s"b$batchId")
     if (probed && ingested) {
       // self-heal the append-committed/marker-lost sliver while the
       // fold evidence still exists, so absorption stays durable past
       // the _folded.json pruning horizon
-      if (!fs.exists(marker)) fs.create(marker).close()
+      if (!sink.exists(marker)) sink.touch(marker)
       return false
     }
     if (!probed) {
@@ -95,7 +78,7 @@ final class LexStream(spark: SparkSession, indexRoot: String,
     // _folded.json), then writes the marker
     if (!ingested) {
       LexIndex.appendDelta(docs, id, text, indexRoot, tag = s"b$batchId")
-      fs.create(marker).close()
+      sink.touch(marker)
     }
     true
   }
@@ -104,10 +87,10 @@ final class LexStream(spark: SparkSession, indexRoot: String,
     * score, rnk).
     */
   def results(): DataFrame = {
-    val dirs = batchDirs.map(_._2.toString)
+    val dirs = sink.paths
     require(dirs.nonEmpty, s"no committed batches under $outRoot yet")
     spark.read.parquet(dirs: _*)
   }
 
-  def committedBatches: Seq[Long] = batchDirs.map(_._1)
+  def committedBatches: Seq[Long] = sink.ids
 }

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.FirstSeenIndex
@@ -32,23 +31,7 @@ import graft.operators.FirstSeenIndex
 final class NoveltyStream(spark: SparkSession, indexRoot: String,
                           outRoot: String) {
 
-  private def fs =
-    new Path(outRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def committed(p: Path): Boolean =
-    fs.exists(new Path(p, "_SUCCESS"))
-
-  private def batchDirs: Seq[(Long, Path)] = {
-    val base = new Path(outRoot)
-    if (!fs.exists(base)) Nil
-    else fs.listStatus(base).toSeq.flatMap { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("scored.b") && name.length > 8 &&
-          name.drop(8).forall(_.isDigit))
-        Some((name.drop(8).toLong, st.getPath))
-      else None
-    }.filter(d => committed(d._2)).sortBy(_._1)
-  }
+  private val sink = new BatchDirs(spark, outRoot, "scored.b")
 
   /** The `foreachBatch` body over a batch's shingle rows (columns
     * `doc_id`, `s`). Returns false when both the scored dir and the
@@ -56,9 +39,9 @@ final class NoveltyStream(spark: SparkSession, indexRoot: String,
     * call committed either.
     */
   def processBatch(batchShingles: DataFrame, batchId: Long): Boolean = {
-    val target = new Path(outRoot, s"scored.b$batchId")
+    val target = sink.target(batchId)
     val tag = s"b$batchId"
-    val scoredDone = committed(target)
+    val scoredDone = sink.committed(target)
     val foldDone = FirstSeenIndex.folded(indexRoot, tag)
     if (scoredDone && foldDone) return false
     if (!scoredDone) {
@@ -78,12 +61,12 @@ final class NoveltyStream(spark: SparkSession, indexRoot: String,
     * (doc_id, n_sh, n_novel).
     */
   def results(): DataFrame = {
-    val dirs = batchDirs.map(_._2.toString)
+    val dirs = sink.paths
     if (dirs.isEmpty)
       spark.range(0).selectExpr("id AS doc_id", "id AS n_sh",
         "id AS n_novel")
     else spark.read.parquet(dirs: _*)
   }
 
-  def committedBatches: Seq[Long] = batchDirs.map(_._1)
+  def committedBatches: Seq[Long] = sink.ids
 }
