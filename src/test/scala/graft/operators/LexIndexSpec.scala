@@ -91,6 +91,29 @@ class LexIndexSpec extends SparkSpec {
       "post-purge index differs from a fresh publish of the survivors")
   }
 
+  test("a crash-leftover folded delta neither double-counts nor survives the next merge") {
+    val root = Files.createTempDirectory("lexidx").toString
+    LexIndex.publish(base, "doc_id", "text", root)
+    LexIndex.appendDelta(delta, "doc_id", "text", root, tag = "day1")
+    val served = probeSet(root)
+    LexIndex.mergeCompact(spark, root)
+    // reconstruct the crash window: the merge committed (folded rows
+    // live in the new generation, _folded.json names the delta) but
+    // the delta dir deletion never ran — recreate the dir verbatim
+    LexIndex.appendDelta(delta, "doc_id", "text", root, tag = "day1")
+    assert(LexIndex.deltas(root).size == 1)
+    // BM25 sums contributions: if the probe read the leftover delta,
+    // every df and score it touches would double
+    assert(probeSet(root) == served,
+      "probe double-counted a folded-but-undeleted delta")
+    // the next merge must treat it as already folded (fold it again
+    // and the generation holds its rows twice) and vacuum it
+    LexIndex.mergeCompact(spark, root)
+    assert(LexIndex.deltas(root).isEmpty)
+    assert(probeSet(root) == served,
+      "healing merge changed the served ranking")
+  }
+
   test("probe prunes to touched term-bucket partition directories") {
     val root = Files.createTempDirectory("lexidx").toString
     val path = LexIndex.publish(base, "doc_id", "text", root)
