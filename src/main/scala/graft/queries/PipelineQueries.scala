@@ -6975,6 +6975,113 @@ object PipelineQueries {
          |ORDER BY s.id_a, s.id_b""".stripMargin)
   }
 
+  /** Artifact-served substring probe (q285) — the SEARCH interface
+    * over the committed [[gramPostings]] artifact q245/q257 already
+    * share: given a batch of eval snippets (the contamination
+    * point-probe shape — "does the training corpus contain this
+    * benchmark string verbatim, and where?"), hash ONLY the query
+    * grams (O(len)/snippet, [[Dedup.gramHashes]]' Horner), anti-join
+    * the artifact's `hot/` blocklist so the df-cap applies to the
+    * query side exactly as it did to the corpus, and meet the
+    * committed postings through one h-keyed equi-join — the tiny
+    * query side broadcasts by statistics, the corpus is never
+    * re-hashed. A full occurrence = every surviving query gram
+    * matching on ONE alignment (doc position − query position
+    * constant), so candidates are a (query, doc, alignment) count
+    * reaching the query's own surviving-gram count; every reported
+    * hit is then VERIFIED by actual substring comparison (q59's
+    * rule: verification linear in reported matches — this also
+    * screens polynomial-hash collisions and any count inflation from
+    * periodic text). Snippets with fewer than [[GRAM_MIN_SPAN]]−K+1
+    * surviving grams are dropped: too boilerplate-covered to assert
+    * anything. Output: every verified (query, doc, position)
+    * occurrence — each snippet finds at least its own source doc.
+    */
+  val substringProbe: Q = {
+    val K = GRAM_K; val MAX_DF = GRAM_MAX_DF
+    val SNIP_START = 8; val SNIP_LEN = 48
+    val MIN_GRAMS = GRAM_MIN_SPAN - GRAM_K + 1
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val (post, hot) = gramPostings(s, d)
+        val snips = docs
+          .filter(col("doc_id") % 10 === 5 && col("doc_id") < 100)
+          .select(col("doc_id").as("query_id"),
+            col("text").substr(SNIP_START, SNIP_LEN).as("snippet"))
+          .filter(length(col("snippet")) >= K)
+        val qg = Dedup.gramHashes(snips, "query_id", "snippet", K)
+          .join(hot, Seq("h"), "left_anti")
+        val expected = qg.groupBy("query_id")
+          .agg(count(lit(1)).as("n_expect"))
+          .filter(col("n_expect") >= MIN_GRAMS)
+        val hits = qg.select(col("query_id"), col("pos").as("qp"), col("h"))
+          .join(post.select(col("doc_id"), col("pos").as("dp"), col("h")),
+            Seq("h"))
+          .select(col("query_id"), col("doc_id"),
+            (col("dp") - col("qp")).as("start0"))
+          .groupBy("query_id", "doc_id", "start0")
+          .agg(count(lit(1)).as("n_hit"))
+        hits.join(expected, Seq("query_id"))
+          .filter(col("n_hit") >= col("n_expect"))
+          .select(col("query_id"), col("doc_id"),
+            (col("start0") + 1).cast("long").as("pos"))
+          .join(snips, Seq("query_id"))
+          .join(docs, Seq("doc_id"))
+          .filter(col("text").substr(col("pos").cast("int"),
+            length(col("snippet"))) === col("snippet"))
+          .select("query_id", "doc_id", "pos")
+          .orderBy("query_id", "doc_id", "pos")
+      },
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |g AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(1, greatest(length(text) - ${K - 1}, 0) + 1)) AS pos
+         |  FROM docs),
+         |hh AS (
+         |  SELECT doc_id, pos,
+         |    ${Hashing.charHashSql(s"substr(text, pos::INT, $K)", K)} AS h
+         |  FROM g),
+         |hd AS (SELECT doc_id, pos, h,
+         |         count(*) OVER (PARTITION BY h) AS df FROM hh),
+         |post AS (SELECT doc_id, pos, h FROM hd WHERE df <= $MAX_DF),
+         |hot AS (SELECT DISTINCT h FROM hd WHERE df > $MAX_DF),
+         |snips AS (
+         |  SELECT doc_id AS query_id,
+         |    substr(text, $SNIP_START, $SNIP_LEN) AS snippet
+         |  FROM docs
+         |  WHERE doc_id % 10 = 5 AND doc_id < 100
+         |    AND length(substr(text, $SNIP_START, $SNIP_LEN)) >= $K),
+         |qg0 AS (
+         |  SELECT query_id, snippet,
+         |    unnest(range(1, greatest(length(snippet) - ${K - 1}, 0) + 1))
+         |      AS pos
+         |  FROM snips),
+         |qh AS (
+         |  SELECT query_id, pos,
+         |    ${Hashing.charHashSql(s"substr(snippet, pos::INT, $K)", K)} AS h
+         |  FROM qg0),
+         |qg AS (SELECT * FROM qh WHERE h NOT IN (SELECT h FROM hot)),
+         |expected AS (
+         |  SELECT query_id, count(*)::BIGINT AS n_expect FROM qg
+         |  GROUP BY 1 HAVING count(*) >= $MIN_GRAMS),
+         |hits AS (
+         |  SELECT q.query_id, p.doc_id, p.pos - q.pos AS start0,
+         |    count(*)::BIGINT AS n_hit
+         |  FROM qg q JOIN post p USING (h)
+         |  GROUP BY 1, 2, 3),
+         |cand AS (
+         |  SELECT h.query_id, h.doc_id, (h.start0 + 1)::BIGINT AS pos
+         |  FROM hits h JOIN expected e USING (query_id)
+         |  WHERE h.n_hit >= e.n_expect)
+         |SELECT c.query_id, c.doc_id, c.pos
+         |FROM cand c
+         |JOIN snips s ON s.query_id = c.query_id
+         |JOIN docs t ON t.doc_id = c.doc_id
+         |WHERE substr(t.text, c.pos::INT, length(s.snippet)) = s.snippet
+         |ORDER BY c.query_id, c.doc_id, c.pos""".stripMargin)
+  }
+
   /** Media near-dup via shared sampled-frame fingerprints — the
     * perceptual-dedup shape for binary media: sample fixed-stride
     * frames from the opaque content column (q33's codegen sampler),
@@ -10584,6 +10691,7 @@ object PipelineQueries {
     "q282_hybrid_index"  -> hybridIndexServe,
     "q283_lex_stream"    -> lexStreamTwin,
     "q284_ann_ndcg"      -> annNdcg,
+    "q285_substring_probe" -> substringProbe,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,
