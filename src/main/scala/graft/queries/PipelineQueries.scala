@@ -1971,6 +1971,71 @@ object PipelineQueries {
          |FROM p GROUP BY stratum, bin ORDER BY stratum, bin""".stripMargin)
   }
 
+  /** Packed-window attention-leakage audit (q286) — the mask-side
+    * complement of q62/q145: packing documents into fixed context
+    * windows WITHOUT per-document attention masks lets every token
+    * causally attend across document boundaries (the cross-doc
+    * contamination the block-diagonal mask exists to stop). Per
+    * packed bin with doc lengths l₁..lₘ the attendable cross-doc
+    * pairs have the closed form (T² − Σlᵢ²)/2 (T = Σlᵢ — always
+    * even, exact in int64) against T(T+1)/2 total causal pairs, so
+    * the audit is THREE integer aggregates over the q62 pack
+    * assignment — no pair enumeration, no recursion on the Spark
+    * side (the oracle replays the same next-fit recursive CTE as
+    * q62 and then the same closed form, so a hash match proves both
+    * the assignment and the algebra). leak_ppm is the fraction of a
+    * window's attention budget that crosses document boundaries —
+    * the number a masking bug actually moves.
+    */
+  val packMaskAudit: Q = {
+    val BUDGET = 64L; val STRATA = 16
+    Q(
+      (s, d) => {
+        val n = t(s, d, "documents").select(
+          (col("doc_id") % STRATA).as("stratum"), col("doc_id"),
+          size(TextFunctions.words(col("text"))).cast("long").as("n_tok"))
+        Packing.nextFitPack(n, "stratum", "doc_id", "n_tok", BUDGET)
+          .groupBy("stratum", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("t"),
+            sum(expr("n_tok * n_tok")).as("s2"))
+          .selectExpr("stratum", "bin", "n_docs", "t AS sum_tokens",
+            "(t * t - s2) div 2 AS cross_pairs",
+            """CASE WHEN t = 0 THEN 0
+              | ELSE ((t * t - s2) div 2 * 1000000)
+              |      div ((t * (t + 1)) div 2) END AS leak_ppm"""
+              .stripMargin)
+          .orderBy("stratum", "bin")
+      },
+      s"""WITH RECURSIVE n AS (
+         |  SELECT doc_id % $STRATA AS stratum, doc_id,
+         |    len(${TextFunctions.wordsSql("text")})::BIGINT AS n_tok
+         |  FROM documents),
+         |o AS (
+         |  SELECT stratum, doc_id, n_tok,
+         |    row_number() OVER (PARTITION BY stratum ORDER BY doc_id) AS rn
+         |  FROM n),
+         |p AS (
+         |  SELECT stratum, rn, n_tok, 0::BIGINT AS bin, n_tok AS cum
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.stratum, o.rn, o.n_tok,
+         |    CASE WHEN p.cum + o.n_tok > $BUDGET THEN p.bin + 1 ELSE p.bin END,
+         |    CASE WHEN p.cum + o.n_tok > $BUDGET THEN o.n_tok
+         |         ELSE p.cum + o.n_tok END
+         |  FROM p JOIN o ON o.stratum = p.stratum AND o.rn = p.rn + 1),
+         |a AS (
+         |  SELECT stratum, bin, count(*)::BIGINT AS n_docs,
+         |    sum(n_tok)::BIGINT AS t,
+         |    sum(n_tok * n_tok)::BIGINT AS s2
+         |  FROM p GROUP BY stratum, bin)
+         |SELECT stratum, bin, n_docs, t AS sum_tokens,
+         |  ((t * t - s2) // 2)::BIGINT AS cross_pairs,
+         |  (CASE WHEN t = 0 THEN 0
+         |   ELSE ((t * t - s2) // 2 * 1000000) // ((t * (t + 1)) // 2)
+         |   END)::BIGINT AS leak_ppm
+         |FROM a ORDER BY stratum, bin""".stripMargin)
+  }
+
   /** Collocation mining: top-K adjacent-word bigrams with an exact
     * integer association strength (P(y|x) in ppm — the ln-free stand-in
     * for PMI, same discipline as q36's rational TF-IDF). The bigram
@@ -10692,6 +10757,7 @@ object PipelineQueries {
     "q283_lex_stream"    -> lexStreamTwin,
     "q284_ann_ndcg"      -> annNdcg,
     "q285_substring_probe" -> substringProbe,
+    "q286_pack_mask_audit" -> packMaskAudit,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,
