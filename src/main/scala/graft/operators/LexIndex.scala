@@ -327,14 +327,18 @@ object LexIndex {
       .getOrElse(post0)
     // postings restricted to the query's terms (bucket-pruned scan,
     // then a term equi-join); df derives from exactly these rows —
-    // tombstone-masked, so a purged doc stops counting immediately
+    // tombstone-masked, so a purged doc stops counting immediately.
+    // A per-term window (one term-keyed exchange, partition sizes
+    // bounded by df) beats a groupBy+join here: the pruned artifact
+    // scan feeds the plan ONCE instead of once for df and once for
+    // scoring
     val matched = post
       .join(qt.select("term", "pbucket").distinct(), Seq("pbucket", "term"))
-    val dfTab = matched.groupBy("term").agg(count(lit(1)).as("df"))
-    // dfTab is query-term-bounded (one row per distinct probe term)
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
     val contrib = contribSql("tf", "df", "dl",
       nDocs.toString, sumdl.toString, "div")
-    matched.join(broadcast(dfTab), Seq("term"))
+    matched
       .join(qt.select("query_id", "term"), Seq("term"))
       .selectExpr("query_id", "index_id", s"$contrib AS contrib")
       .groupBy("query_id", "index_id")

@@ -580,13 +580,9 @@ class PlanAuditSpec extends SparkSpec {
                                // consumer branches of the scored set
       "q278_bm25" -> 2, // 5-row derived query-term set + 1-row
                         // (N, Σdl) corpus scalar
-      "q279_lex_index" -> 1, // probe-term df table (≤ 15 rows,
-                             // query-batch-bounded)
-      "q280_lex_append" -> 1, // same probe shape as q279
-      "q281_lex_purge" -> 1, // same probe shape as q279
-      "q282_hybrid_index" -> 1, // the lex arm's probe-term df table
-                                // (batch-bounded); the sim arm hints
-                                // nothing
+      // (q279-q282's lex probes hint NOTHING since the df window
+      // replaced the broadcast df table — the pruned artifact scan
+      // feeds the plan once)
       "q284_ann_ndcg" -> 2, // fixed 100-query set (the exact-truth
                             // arm, q243's bound), replicated
                             // structurally into the DCG + IDCG
