@@ -176,10 +176,18 @@ object Dedup {
     * single shuffle keyed by doc id regardless of k.
     */
   def minhashSignatures(docs: DataFrame, id: String, text: String,
-                        k: Int, n: Int = 3): DataFrame = {
-    val sh = shingleSet(docs, id, text, n)
-    val hashed = sh.select(col(id) +:
-      (0 until k).map(i => Hashing.seeded(i, col("s")).as(s"h$i")): _*)
+                        k: Int, n: Int = 3): DataFrame =
+    minhashSignaturesOfSets(shingleSet(docs, id, text, n), id, "s", k)
+
+  /** [[minhashSignatures]] over an ALREADY-BUILT element set (id, s)
+    * — the modality-free form: text shingles, media frame
+    * fingerprints, any string set. One seeded-hash projection + one
+    * id-keyed min-agg shuffle regardless of k.
+    */
+  def minhashSignaturesOfSets(sets: DataFrame, id: String, s: String,
+                              k: Int): DataFrame = {
+    val hashed = sets.select(col(id) +:
+      (0 until k).map(i => Hashing.seeded(i, col(s)).as(s"h$i")): _*)
     hashed.groupBy(col(id))
       .agg(min(col("h0")).as("h0"),
         (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)

@@ -7189,6 +7189,108 @@ object PipelineQueries {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Persisted media near-dup index (q287) — ONE index family, TWO
+    * modalities: [[graft.operators.DedupIndex]] (the banded MinHash
+    * artifact q91/q246 run on text shingles) serving perceptual media
+    * dedup with zero new index machinery. The element set is the
+    * media item's sampled-frame fingerprints (q93's codegen sampler
+    * at the decode seam) instead of word shingles — minhash is
+    * modality-free over any string set
+    * ([[graft.operators.Dedup.minhashSignaturesOfSets]]), so the
+    * SAME publish/probe/tombstone/compact lifecycle, bucket pruning
+    * and crash story carry over verbatim. The index corpus publishes
+    * once per data version; the probe batch (new arrivals + exact
+    * redeliveries of indexed media) pays banding + the bucket-pruned
+    * candidate join, and candidates are VERIFIED by the true
+    * shared-frame count (pair-bounded join, q59's rule). The oracle
+    * replays frames → signatures → bands → NEW × INDEX collisions →
+    * shared-count verification from the raw table.
+    */
+  val mediaIndex: Q = {
+    val FRAME = 32; val STRIDE = 16; val MAX_F = 8
+    val MIN_SHARED = 4L; val INDEX_MAX = 400L; val REDELIVER = 20L
+    val sigCols = (0 until MH_K)
+      .map(i => s"min(${Hashing.seededSql(i, "s")}) AS h$i")
+      .mkString(",\n    ")
+    val bandRowsSql = (0 until MH_BANDS).map { b =>
+      val key = (0 until MH_R).map(r => s"h${b * MH_R + r}")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, is_new, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    def frameSets(corpus: DataFrame): DataFrame =
+      Multimodal.sampleFrames(
+          Multimodal.mediaTable(corpus, "doc_id", "text"),
+          "doc_id", FRAME, STRIDE, MAX_F)
+        .filter(octet_length(col("frame")) === FRAME)
+        .select(col("doc_id"), decode(col("frame"), "UTF-8").as("s"))
+        .distinct()
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val idx = docs.filter(col("doc_id") < INDEX_MAX)
+        val probeM = docs.filter(col("doc_id") >= INDEX_MAX)
+          .unionByName(docs.filter(col("doc_id") < REDELIVER)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-media-index", d, Seq("documents.parquet"))
+        if (DedupIndex.resolve(root).isEmpty)
+          DedupIndex.publish(
+            Dedup.minhashSignaturesOfSets(frameSets(idx), "doc_id", "s",
+              MH_K),
+            "doc_id", MH_BANDS, MH_R, root)
+        val cand = DedupIndex.probe(s,
+            Dedup.minhashSignaturesOfSets(frameSets(probeM), "doc_id",
+              "s", MH_K),
+            "doc_id", MH_BANDS, MH_R, root)
+          .distinct()
+        cand
+          .join(frameSets(probeM).withColumnRenamed("doc_id", "new_id"),
+            Seq("new_id"))
+          .join(frameSets(idx).withColumnRenamed("doc_id", "index_id"),
+            Seq("index_id", "s"))
+          .groupBy("new_id", "index_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= MIN_SHARED)
+          .orderBy("new_id", "index_id")
+      },
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text, 0 AS is_new FROM docs
+         |  WHERE doc_id < $INDEX_MAX
+         |  UNION ALL SELECT doc_id, text, 1 FROM docs
+         |    WHERE doc_id >= $INDEX_MAX
+         |  UNION ALL SELECT doc_id + 1000000, text, 1 FROM docs
+         |    WHERE doc_id < $REDELIVER),
+         |fr AS (
+         |  SELECT doc_id, is_new, text, unnest(range(0,
+         |    least(${MAX_F - 1},
+         |          greatest(length(text) - $FRAME, 0) // $STRIDE) + 1)) AS f
+         |  FROM corpus),
+         |f32 AS (
+         |  SELECT DISTINCT doc_id, is_new,
+         |    substr(text, (f * $STRIDE + 1)::INT, $FRAME) AS s
+         |  FROM fr
+         |  WHERE length(substr(text, (f * $STRIDE + 1)::INT, $FRAME))
+         |    = $FRAME),
+         |sig AS (
+         |  SELECT doc_id, is_new,
+         |    $sigCols
+         |  FROM f32 GROUP BY doc_id, is_new),
+         |bands AS (
+         |  $bandRowsSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, x.doc_id AS index_id
+         |  FROM bands a JOIN bands x
+         |    ON a.band = x.band AND a.band_key = x.band_key
+         |  WHERE a.is_new = 1 AND x.is_new = 0)
+         |SELECT c.new_id, c.index_id, count(*)::BIGINT AS n_shared
+         |FROM cand c
+         |JOIN f32 fa ON fa.doc_id = c.new_id
+         |JOIN f32 fb ON fb.doc_id = c.index_id AND fb.s = fa.s
+         |GROUP BY 1, 2 HAVING count(*) >= $MIN_SHARED
+         |ORDER BY new_id, index_id""".stripMargin)
+  }
+
   val mediaDupes: Q = {
     val FRAME = 32; val STRIDE = 16; val MAX_F = 8
     val MIN_SHARED = 4L; val REDELIVER = 50L; val MAX_DF = 100L
@@ -10758,6 +10860,7 @@ object PipelineQueries {
     "q284_ann_ndcg"      -> annNdcg,
     "q285_substring_probe" -> substringProbe,
     "q286_pack_mask_audit" -> packMaskAudit,
+    "q287_media_index"   -> mediaIndex,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,
