@@ -11,18 +11,28 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: graft.PlanDump <sfDir> <queryName> — set SPARK_GRAFT_CPUS " +
+        "to match the bench run being diagnosed (Bench's own default: 4)")
     val Array(sfDir, name) = args.take(2)
-    // mirror graft.Bench's session so the dumped plan is the plan the
-    // bench actually ran (AQE + skew-join change join strategies)
+    // mirror graft.Bench's session EXACTLY — AQE coalesce/skew/broadcast
+    // decisions depend on partition counts and sizes, so a dump at a
+    // different parallelism can show a different join strategy than
+    // the bench ran (the r11 q148 lesson: the '3x regression' was a
+    // 4-cpu run compared against the driver's 32-cpu numbers)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$cpus]")
       .appName("graft-plandump")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // catalog DDL must never touch the working dir (Bench's rule)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-plandump").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

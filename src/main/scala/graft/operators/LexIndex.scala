@@ -127,12 +127,13 @@ object LexIndex {
               root: String): String = synchronized {
     VersionedDirs.commit(root) { staging =>
       val (rows, dl, tfc) = postingRows(docs, id, text)
-      rows.repartition(col("pbucket"))
-        .sortWithinPartitions("term")
-        .write.partitionBy("pbucket").mode("overwrite").parquet(staging)
-      writeStats(dl, staging)
-      tfc.unpersist()
-      ()
+      try {
+        rows.repartition(col("pbucket"))
+          .sortWithinPartitions("term")
+          .write.partitionBy("pbucket").mode("overwrite").parquet(staging)
+        writeStats(dl, staging)
+      } finally tfc.unpersist() // corpus-sized cache must not outlive
+      ()                        // a failed write (the r10 advice rule)
     }
   }
 
@@ -207,12 +208,13 @@ object LexIndex {
     val staging = new java.io.File(dr,
       s".staging-${java.util.UUID.randomUUID()}")
     val (rows, dl, tfc) = postingRows(docs, id, text)
-    rows.repartition(col("pbucket"))
-      .sortWithinPartitions("term")
-      .write.partitionBy("pbucket").mode("overwrite")
-      .parquet(staging.getAbsolutePath)
-    writeStats(dl, staging.getAbsolutePath)
-    tfc.unpersist()
+    try {
+      rows.repartition(col("pbucket"))
+        .sortWithinPartitions("term")
+        .write.partitionBy("pbucket").mode("overwrite")
+        .parquet(staging.getAbsolutePath)
+      writeStats(dl, staging.getAbsolutePath)
+    } finally tfc.unpersist()
     require(staging.renameTo(target),
       s"delta append rename failed into $dr")
     target.getAbsolutePath
@@ -258,11 +260,12 @@ object LexIndex {
           live.map(new java.io.File(_).getName)).toSeq.sorted
       val path = VersionedDirs.commit(root) { st =>
         val allc = all.persist() // write + exact stats recompute
-        allc.repartition(col("pbucket"))
-          .sortWithinPartitions("term")
-          .write.partitionBy("pbucket").mode("overwrite").parquet(st)
-        writeStats(allc.select("index_id", "dl").distinct(), st)
-        allc.unpersist()
+        try {
+          allc.repartition(col("pbucket"))
+            .sortWithinPartitions("term")
+            .write.partitionBy("pbucket").mode("overwrite").parquet(st)
+          writeStats(allc.select("index_id", "dl").distinct(), st)
+        } finally allc.unpersist()
         java.nio.file.Files.writeString(
           new java.io.File(st, "_folded.json").toPath,
           foldedNames.map(n => s""""$n"""").mkString("[", ",", "]"))

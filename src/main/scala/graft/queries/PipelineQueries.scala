@@ -1930,6 +1930,46 @@ object PipelineQueries {
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  // the ONE definition of the pack geometry and its oracle replay —
+  // q62 judges the assignment, q286 audits attention leakage OVER
+  // that assignment, so the two must never drift (the contribSql
+  // discipline applied to packing)
+  private val PACK_BUDGET = 64L
+  private val PACK_STRATA = 16
+
+  /** The shared recursive next-fit CTE chain (n/o/p) of q62 and
+    * q286's oracles: per-stratum sequential fold with exact-integer
+    * bin boundaries.
+    */
+  private def packCtes: String =
+    s"""n AS (
+       |  SELECT doc_id % $PACK_STRATA AS stratum, doc_id,
+       |    len(${TextFunctions.wordsSql("text")})::BIGINT AS n_tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT stratum, doc_id, n_tok,
+       |    row_number() OVER (PARTITION BY stratum ORDER BY doc_id) AS rn
+       |  FROM n),
+       |p AS (
+       |  SELECT stratum, rn, n_tok, 0::BIGINT AS bin, n_tok AS cum
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.stratum, o.rn, o.n_tok,
+       |    CASE WHEN p.cum + o.n_tok > $PACK_BUDGET THEN p.bin + 1
+       |         ELSE p.bin END,
+       |    CASE WHEN p.cum + o.n_tok > $PACK_BUDGET THEN o.n_tok
+       |         ELSE p.cum + o.n_tok END
+       |  FROM p JOIN o ON o.stratum = p.stratum AND o.rn = p.rn + 1)"""
+      .stripMargin
+
+  /** The shared Spark-side pack assignment of q62 and q286. */
+  private def packAssignment(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "documents").select(
+      (col("doc_id") % PACK_STRATA).as("stratum"), col("doc_id"),
+      size(TextFunctions.words(col("text"))).cast("long").as("n_tok"))
+    Packing.nextFitPack(n, "stratum", "doc_id", "n_tok", PACK_BUDGET)
+  }
+
   /** Sequence packing: next-fit documents into fixed token-budget
     * training bins, independently per hash stratum
     * ([[graft.operators.Packing]]). The oracle replays the identical
@@ -1937,39 +1977,15 @@ object PipelineQueries {
     * exact-integer decisions on both sides, so the assignment (not
     * just the totals) must agree. Emits per-bin occupancy.
     */
-  val packSequences: Q = {
-    val BUDGET = 64L; val STRATA = 16
-    Q(
-      (s, d) => {
-        val n = t(s, d, "documents").select(
-          (col("doc_id") % STRATA).as("stratum"), col("doc_id"),
-          size(TextFunctions.words(col("text"))).cast("long").as("n_tok"))
-        Packing.nextFitPack(n, "stratum", "doc_id", "n_tok", BUDGET)
-          .groupBy("stratum", "bin")
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
-          .orderBy("stratum", "bin")
-      },
-      s"""WITH RECURSIVE n AS (
-         |  SELECT doc_id % $STRATA AS stratum, doc_id,
-         |    len(${TextFunctions.wordsSql("text")})::BIGINT AS n_tok
-         |  FROM documents),
-         |o AS (
-         |  SELECT stratum, doc_id, n_tok,
-         |    row_number() OVER (PARTITION BY stratum ORDER BY doc_id) AS rn
-         |  FROM n),
-         |p AS (
-         |  SELECT stratum, rn, n_tok, 0::BIGINT AS bin, n_tok AS cum
-         |  FROM o WHERE rn = 1
-         |  UNION ALL
-         |  SELECT o.stratum, o.rn, o.n_tok,
-         |    CASE WHEN p.cum + o.n_tok > $BUDGET THEN p.bin + 1 ELSE p.bin END,
-         |    CASE WHEN p.cum + o.n_tok > $BUDGET THEN o.n_tok
-         |         ELSE p.cum + o.n_tok END
-         |  FROM p JOIN o ON o.stratum = p.stratum AND o.rn = p.rn + 1)
-         |SELECT stratum, bin, count(*)::BIGINT AS n_docs,
-         |  sum(n_tok)::BIGINT AS sum_tokens
-         |FROM p GROUP BY stratum, bin ORDER BY stratum, bin""".stripMargin)
-  }
+  val packSequences: Q = Q(
+    (s, d) => packAssignment(s, d)
+      .groupBy("stratum", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .orderBy("stratum", "bin"),
+    s"""WITH RECURSIVE $packCtes
+       |SELECT stratum, bin, count(*)::BIGINT AS n_docs,
+       |  sum(n_tok)::BIGINT AS sum_tokens
+       |FROM p GROUP BY stratum, bin ORDER BY stratum, bin""".stripMargin)
 
   /** Packed-window attention-leakage audit (q286) — the mask-side
     * complement of q62/q145: packing documents into fixed context
@@ -1987,54 +2003,30 @@ object PipelineQueries {
     * window's attention budget that crosses document boundaries —
     * the number a masking bug actually moves.
     */
-  val packMaskAudit: Q = {
-    val BUDGET = 64L; val STRATA = 16
-    Q(
-      (s, d) => {
-        val n = t(s, d, "documents").select(
-          (col("doc_id") % STRATA).as("stratum"), col("doc_id"),
-          size(TextFunctions.words(col("text"))).cast("long").as("n_tok"))
-        Packing.nextFitPack(n, "stratum", "doc_id", "n_tok", BUDGET)
-          .groupBy("stratum", "bin")
-          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("t"),
-            sum(expr("n_tok * n_tok")).as("s2"))
-          .selectExpr("stratum", "bin", "n_docs", "t AS sum_tokens",
-            "(t * t - s2) div 2 AS cross_pairs",
-            """CASE WHEN t = 0 THEN 0
-              | ELSE ((t * t - s2) div 2 * 1000000)
-              |      div ((t * (t + 1)) div 2) END AS leak_ppm"""
-              .stripMargin)
-          .orderBy("stratum", "bin")
-      },
-      s"""WITH RECURSIVE n AS (
-         |  SELECT doc_id % $STRATA AS stratum, doc_id,
-         |    len(${TextFunctions.wordsSql("text")})::BIGINT AS n_tok
-         |  FROM documents),
-         |o AS (
-         |  SELECT stratum, doc_id, n_tok,
-         |    row_number() OVER (PARTITION BY stratum ORDER BY doc_id) AS rn
-         |  FROM n),
-         |p AS (
-         |  SELECT stratum, rn, n_tok, 0::BIGINT AS bin, n_tok AS cum
-         |  FROM o WHERE rn = 1
-         |  UNION ALL
-         |  SELECT o.stratum, o.rn, o.n_tok,
-         |    CASE WHEN p.cum + o.n_tok > $BUDGET THEN p.bin + 1 ELSE p.bin END,
-         |    CASE WHEN p.cum + o.n_tok > $BUDGET THEN o.n_tok
-         |         ELSE p.cum + o.n_tok END
-         |  FROM p JOIN o ON o.stratum = p.stratum AND o.rn = p.rn + 1),
-         |a AS (
-         |  SELECT stratum, bin, count(*)::BIGINT AS n_docs,
-         |    sum(n_tok)::BIGINT AS t,
-         |    sum(n_tok * n_tok)::BIGINT AS s2
-         |  FROM p GROUP BY stratum, bin)
-         |SELECT stratum, bin, n_docs, t AS sum_tokens,
-         |  ((t * t - s2) // 2)::BIGINT AS cross_pairs,
-         |  (CASE WHEN t = 0 THEN 0
-         |   ELSE ((t * t - s2) // 2 * 1000000) // ((t * (t + 1)) // 2)
-         |   END)::BIGINT AS leak_ppm
-         |FROM a ORDER BY stratum, bin""".stripMargin)
-  }
+  val packMaskAudit: Q = Q(
+    (s, d) => packAssignment(s, d)
+      .groupBy("stratum", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("t"),
+        sum(expr("n_tok * n_tok")).as("s2"))
+      .selectExpr("stratum", "bin", "n_docs", "t AS sum_tokens",
+        "(t * t - s2) div 2 AS cross_pairs",
+        """CASE WHEN t = 0 THEN 0
+          | ELSE ((t * t - s2) div 2 * 1000000)
+          |      div ((t * (t + 1)) div 2) END AS leak_ppm"""
+          .stripMargin)
+      .orderBy("stratum", "bin"),
+    s"""WITH RECURSIVE $packCtes,
+       |a AS (
+       |  SELECT stratum, bin, count(*)::BIGINT AS n_docs,
+       |    sum(n_tok)::BIGINT AS t,
+       |    sum(n_tok * n_tok)::BIGINT AS s2
+       |  FROM p GROUP BY stratum, bin)
+       |SELECT stratum, bin, n_docs, t AS sum_tokens,
+       |  ((t * t - s2) // 2)::BIGINT AS cross_pairs,
+       |  (CASE WHEN t = 0 THEN 0
+       |   ELSE ((t * t - s2) // 2 * 1000000) // ((t * (t + 1)) // 2)
+       |   END)::BIGINT AS leak_ppm
+       |FROM a ORDER BY stratum, bin""".stripMargin)
 
   /** Collocation mining: top-K adjacent-word bigrams with an exact
     * integer association strength (P(y|x) in ppm — the ln-free stand-in
@@ -7238,11 +7230,11 @@ object PipelineQueries {
             Dedup.minhashSignaturesOfSets(frameSets(idx), "doc_id", "s",
               MH_K),
             "doc_id", MH_BANDS, MH_R, root)
+        // probe output is already distinct (new_id, index_id) pairs
         val cand = DedupIndex.probe(s,
             Dedup.minhashSignaturesOfSets(frameSets(probeM), "doc_id",
               "s", MH_K),
             "doc_id", MH_BANDS, MH_R, root)
-          .distinct()
         cand
           .join(frameSets(probeM).withColumnRenamed("doc_id", "new_id"),
             Seq("new_id"))
