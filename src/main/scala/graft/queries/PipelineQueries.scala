@@ -7054,6 +7054,41 @@ object PipelineQueries {
     * anything. Output: every verified (query, doc, position)
     * occurrence — each snippet finds at least its own source doc.
     */
+  /** Every verified occurrence of each snippet in the committed
+    * gram-posting artifact: (query_id, doc_id, pos) — q285's matcher,
+    * shared with q288's exact arm. `snips` carries (query_id,
+    * snippet).
+    */
+  private def substringOccurrences(s: SparkSession, d: String,
+                                   snips: DataFrame): DataFrame = {
+    val K = GRAM_K
+    val MIN_GRAMS = GRAM_MIN_SPAN - GRAM_K + 1
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val (post, hot) = gramPostings(s, d)
+    val sf = snips.filter(length(col("snippet")) >= K)
+    val qg = Dedup.gramHashes(sf, "query_id", "snippet", K)
+      .join(hot, Seq("h"), "left_anti")
+    val expected = qg.groupBy("query_id")
+      .agg(count(lit(1)).as("n_expect"))
+      .filter(col("n_expect") >= MIN_GRAMS)
+    val hits = qg.select(col("query_id"), col("pos").as("qp"), col("h"))
+      .join(post.select(col("doc_id"), col("pos").as("dp"), col("h")),
+        Seq("h"))
+      .select(col("query_id"), col("doc_id"),
+        (col("dp") - col("qp")).as("start0"))
+      .groupBy("query_id", "doc_id", "start0")
+      .agg(count(lit(1)).as("n_hit"))
+    hits.join(expected, Seq("query_id"))
+      .filter(col("n_hit") >= col("n_expect"))
+      .select(col("query_id"), col("doc_id"),
+        (col("start0") + 1).cast("long").as("pos"))
+      .join(sf, Seq("query_id"))
+      .join(docs, Seq("doc_id"))
+      .filter(col("text").substr(col("pos").cast("int"),
+        length(col("snippet"))) === col("snippet"))
+      .select("query_id", "doc_id", "pos")
+  }
+
   val substringProbe: Q = {
     val K = GRAM_K; val MAX_DF = GRAM_MAX_DF
     val SNIP_START = 8; val SNIP_LEN = 48
@@ -7061,33 +7096,11 @@ object PipelineQueries {
     Q(
       (s, d) => {
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-        val (post, hot) = gramPostings(s, d)
         val snips = docs
           .filter(col("doc_id") % 10 === 5 && col("doc_id") < 100)
           .select(col("doc_id").as("query_id"),
             col("text").substr(SNIP_START, SNIP_LEN).as("snippet"))
-          .filter(length(col("snippet")) >= K)
-        val qg = Dedup.gramHashes(snips, "query_id", "snippet", K)
-          .join(hot, Seq("h"), "left_anti")
-        val expected = qg.groupBy("query_id")
-          .agg(count(lit(1)).as("n_expect"))
-          .filter(col("n_expect") >= MIN_GRAMS)
-        val hits = qg.select(col("query_id"), col("pos").as("qp"), col("h"))
-          .join(post.select(col("doc_id"), col("pos").as("dp"), col("h")),
-            Seq("h"))
-          .select(col("query_id"), col("doc_id"),
-            (col("dp") - col("qp")).as("start0"))
-          .groupBy("query_id", "doc_id", "start0")
-          .agg(count(lit(1)).as("n_hit"))
-        hits.join(expected, Seq("query_id"))
-          .filter(col("n_hit") >= col("n_expect"))
-          .select(col("query_id"), col("doc_id"),
-            (col("start0") + 1).cast("long").as("pos"))
-          .join(snips, Seq("query_id"))
-          .join(docs, Seq("doc_id"))
-          .filter(col("text").substr(col("pos").cast("int"),
-            length(col("snippet"))) === col("snippet"))
-          .select("query_id", "doc_id", "pos")
+        substringOccurrences(s, d, snips)
           .orderBy("query_id", "doc_id", "pos")
       },
       s"""WITH docs AS (SELECT doc_id, text FROM documents),
@@ -7137,6 +7150,179 @@ object PipelineQueries {
          |JOIN docs t ON t.doc_id = c.doc_id
          |WHERE substr(t.text, c.pos::INT, length(s.snippet)) = s.snippet
          |ORDER BY c.query_id, c.doc_id, c.pos""".stripMargin)
+  }
+
+  /** Paraphrase-robust contamination detection (q288) — the capstone
+    * over the two committed retrieval artifacts: exact-substring
+    * matching (q285's gram probe) is precise but brittle — corrupt
+    * one word in five of a leaked benchmark snippet and every K-char
+    * gram spanning a corruption dies, alignments fragment, and the
+    * full-occurrence count drops to zero — while the BM25 probe of
+    * the lexical artifact still surfaces the source document from
+    * the ~80% of terms that survive. Each query doc contributes a
+    * 24-token snippet judged three ways: verified exact occurrences
+    * of the CLEAN snippet (≥ 1 — its own source), of the PERTURBED
+    * snippet (every 5th token replaced by an out-of-vocabulary
+    * marker — 0), and the BM25 top-1 over the perturbed TERMS with a
+    * self-hit flag measuring how often the surviving ~80% of terms
+    * suffice to rank the source first (a real, partial number — the
+    * synthetic corpus's repetitive vocabulary caps it, which is
+    * itself the honest shape of lexical recall under noise). The row
+    * set is the contamination-pipeline lesson in data: run both
+    * probes, because exact-match recall under
+    * contamination-with-noise is the one that silently fails.
+    * Both arms are batch-cost artifact reads (q285's matcher, the
+    * lex index's pruned probe); the oracle replays gram hashing for
+    * both snippet variants AND the full BM25 chain.
+    */
+  val robustContamination: Q = {
+    val T0 = 3; val NT = 24; val LEX_MAX = 400L
+    val MIN_GRAMS = GRAM_MIN_SPAN - GRAM_K + 1
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val lexRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-lex-index", d, Seq("documents.parquet"))
+        if (LexIndex.resolve(lexRoot).isEmpty)
+          LexIndex.publish(docs.filter(col("doc_id") < LEX_MAX),
+            "doc_id", "text", lexRoot)
+        val q0 = docs
+          .filter(col("doc_id") % 10 === 5 && col("doc_id") < 100)
+          .select(col("doc_id").as("query_id"),
+            TextFunctions.words(col("text")).as("arr"))
+          .filter(size(col("arr")) >= T0 + NT - 1)
+          .select(col("query_id"),
+            expr(s"slice(arr, $T0, $NT)").as("w"))
+        val pw = expr("transform(w, (x, i) -> IF(i % 5 = 0, 'zzqx', x))")
+        val clean = q0.select(col("query_id"),
+          concat_ws(" ", col("w")).as("snippet"))
+        val pert = q0.select(col("query_id"),
+          concat_ws(" ", pw).as("snippet"))
+        val nc = substringOccurrences(s, d, clean)
+          .groupBy("query_id").agg(count(lit(1)).as("n_exact_clean"))
+        val np = substringOccurrences(s, d, pert)
+          .groupBy("query_id").agg(count(lit(1)).as("n_exact_pert"))
+        val qterms = q0.select(col("query_id"), explode(pw).as("term"))
+          .filter(length(col("term")) > 0).distinct()
+        val top1 = LexIndex.bm25TopK(s, qterms, "query_id", "term",
+            1, lexRoot)
+          .select(col("query_id"), col("index_id").as("top_doc"))
+        q0.select("query_id")
+          .join(nc, Seq("query_id"), "left")
+          .join(np, Seq("query_id"), "left")
+          .join(top1, Seq("query_id"), "left")
+          .na.fill(0L, Seq("n_exact_clean", "n_exact_pert"))
+          .withColumn("top_doc", coalesce(col("top_doc"), lit(-1L)))
+          .withColumn("self_hit",
+            (col("top_doc") === col("query_id")).cast("long"))
+          .select("query_id", "n_exact_clean", "n_exact_pert",
+            "top_doc", "self_hit")
+          .orderBy("query_id")
+      },
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |g AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(1,
+         |      greatest(length(text) - ${GRAM_K - 1}, 0) + 1)) AS pos
+         |  FROM docs),
+         |hh AS (
+         |  SELECT doc_id, pos,
+         |    ${Hashing.charHashSql(s"substr(text, pos::INT, $GRAM_K)",
+             GRAM_K)} AS h
+         |  FROM g),
+         |hd AS (SELECT doc_id, pos, h,
+         |         count(*) OVER (PARTITION BY h) AS df FROM hh),
+         |post AS (SELECT doc_id, pos, h FROM hd WHERE df <= $GRAM_MAX_DF),
+         |hot AS (SELECT DISTINCT h FROM hd WHERE df > $GRAM_MAX_DF),
+         |qd AS (
+         |  SELECT doc_id AS query_id,
+         |    ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM docs
+         |  WHERE doc_id % 10 = 5 AND doc_id < 100
+         |    AND len(${TextFunctions.wordsSql("text")}) >= ${T0 + NT - 1}),
+         |wi AS (SELECT query_id, arr, unnest(range(1, ${NT + 1})) AS i
+         |       FROM qd),
+         |tok2 AS (
+         |  SELECT query_id, i, arr[i + ${T0 - 1}] AS wc,
+         |    CASE WHEN (i - 1) % 5 = 0 THEN 'zzqx'
+         |         ELSE arr[i + ${T0 - 1}] END AS wp
+         |  FROM wi),
+         |snc AS (SELECT query_id, string_agg(wc, ' ' ORDER BY i) AS snippet
+         |        FROM tok2 GROUP BY 1),
+         |snp AS (SELECT query_id, string_agg(wp, ' ' ORDER BY i) AS snippet
+         |        FROM tok2 GROUP BY 1),
+         |${Seq(("c", "snc"), ("p", "snp")).map { case (v, sn) =>
+           s"""qg0$v AS (
+              |  SELECT query_id, snippet, unnest(range(1,
+              |    greatest(length(snippet) - ${GRAM_K - 1}, 0) + 1)) AS pos
+              |  FROM $sn),
+              |qh$v AS (
+              |  SELECT query_id, pos,
+              |    ${Hashing.charHashSql(s"substr(snippet, pos::INT, $GRAM_K)",
+                  GRAM_K)} AS h
+              |  FROM qg0$v),
+              |qg$v AS (SELECT * FROM qh$v
+              |         WHERE h NOT IN (SELECT h FROM hot)),
+              |exp$v AS (
+              |  SELECT query_id, count(*)::BIGINT AS n_expect FROM qg$v
+              |  GROUP BY 1 HAVING count(*) >= $MIN_GRAMS),
+              |hit$v AS (
+              |  SELECT q.query_id, p.doc_id, p.pos - q.pos AS start0,
+              |    count(*)::BIGINT AS n_hit
+              |  FROM qg$v q JOIN post p USING (h)
+              |  GROUP BY 1, 2, 3),
+              |occ$v AS (
+              |  SELECT c.query_id, count(*)::BIGINT AS n FROM (
+              |    SELECT h.query_id, h.doc_id, (h.start0 + 1)::BIGINT AS pos
+              |    FROM hit$v h JOIN exp$v e USING (query_id)
+              |    WHERE h.n_hit >= e.n_expect) c
+              |  JOIN $sn s ON s.query_id = c.query_id
+              |  JOIN docs t ON t.doc_id = c.doc_id
+              |  WHERE substr(t.text, c.pos::INT, length(s.snippet))
+              |    = s.snippet
+              |  GROUP BY 1)""".stripMargin
+         }.mkString(",\n")},
+         |w4 AS (
+         |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM docs WHERE doc_id < $LEX_MAX),
+         |tk AS (
+         |  SELECT doc_id, t AS term FROM (
+         |    SELECT doc_id, unnest(arr) AS t FROM w4)
+         |  WHERE length(t) > 0),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |       FROM tk GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tk GROUP BY 1),
+         |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sumdl
+         |       FROM dl),
+         |qt AS (SELECT DISTINCT query_id, wp AS term FROM tok2
+         |       WHERE length(wp) > 0),
+         |bm AS (
+         |  SELECT q.query_id, f.doc_id AS index_id,
+         |    ${graft.operators.LexIndex.contribSql(
+               "f.tf", "d.df", "l.dl", "n_docs", "sumdl", "//")} AS contrib
+         |  FROM tf f JOIN qt q USING (term) JOIN df d USING (term)
+         |  JOIN dl l ON l.doc_id = f.doc_id CROSS JOIN st),
+         |ag AS (
+         |  SELECT query_id, index_id, sum(contrib)::BIGINT AS score
+         |  FROM bm GROUP BY 1, 2),
+         |t1 AS (
+         |  SELECT query_id, index_id AS top_doc FROM (
+         |    SELECT query_id, index_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, index_id) AS r
+         |    FROM ag) WHERE r = 1)
+         |SELECT q.query_id,
+         |  coalesce(oc.n, 0)::BIGINT AS n_exact_clean,
+         |  coalesce(op.n, 0)::BIGINT AS n_exact_pert,
+         |  coalesce(t1.top_doc, -1)::BIGINT AS top_doc,
+         |  (CASE WHEN coalesce(t1.top_doc, -1) = q.query_id THEN 1
+         |   ELSE 0 END)::BIGINT AS self_hit
+         |FROM (SELECT query_id FROM qd) q
+         |LEFT JOIN occc oc USING (query_id)
+         |LEFT JOIN occp op USING (query_id)
+         |LEFT JOIN t1 USING (query_id)
+         |ORDER BY query_id""".stripMargin)
   }
 
   /** Media near-dup via shared sampled-frame fingerprints — the
@@ -10853,6 +11039,7 @@ object PipelineQueries {
     "q285_substring_probe" -> substringProbe,
     "q286_pack_mask_audit" -> packMaskAudit,
     "q287_media_index"   -> mediaIndex,
+    "q288_robust_contamination" -> robustContamination,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,
