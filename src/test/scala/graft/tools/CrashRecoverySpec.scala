@@ -35,33 +35,12 @@ class CrashRecoverySpec extends SparkSpec {
   }
 
   /** Launch CrashWriter in a fresh JVM, SIGKILL it after `minCommits`
-    * committed writes, return how many commits the parent observed.
+    * committed writes, return how many commits the parent observed
+    * (shared harness: [[KillHarness]]).
     */
   private def runAndKill(dir: String, mode: String,
-                         minCommits: Int): Int = {
-    // inherit this JVM's classpath — portable across Spark install
-    // locations and build layouts, unlike hardcoded paths
-    val cp = System.getProperty("java.class.path")
-    val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
-      .defaultModuleOptions().split(" ").toSeq
-    val cmd = (Seq(s"${System.getProperty("java.home")}/bin/java") ++
-      moduleOpts ++ Seq("-Xmx1g", "-cp", cp,
-        "graft.tools.CrashWriter", dir, mode)).asJava
-    val proc = new ProcessBuilder(cmd)
-      .redirectErrorStream(true).start()
-    val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(proc.getInputStream))
-    var commits = 0
-    val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(180)
-    var line = null: String
-    while (commits < minCommits && System.nanoTime() < deadline &&
-        { line = reader.readLine(); line != null }) {
-      if (line.startsWith("committed ")) commits += 1
-    }
-    proc.destroyForcibly() // SIGKILL, no shutdown hooks, no cleanup
-    assert(proc.waitFor(30, TimeUnit.SECONDS), "kill did not land")
-    commits
-  }
+                         minCommits: Int): Int =
+    KillHarness.runAndKill(Seq(dir, mode), minCommits)
 
   test("SIGKILLed writer JVM leaves a committed prefix; next writer recovers") {
     val dir = freshDir()

@@ -44,6 +44,39 @@ object CrashWriter {
           println(s"committed $i")
           Console.out.flush()
         }
+      case "lexindex" =>
+        // persisted-index lifecycle under the same real-kill regime:
+        // tagged delta appends with a merge-compaction every third
+        // append — the kill can land mid-append (staging dir),
+        // mid-merge (staged generation), or between a merge's commit
+        // and its delta deletion (the crash-leftover folded path).
+        // One `committed` line per completed APPEND; batch i = the
+        // deterministic docs [20+5i, 25+5i) (LexIndexCrashSpec
+        // reconstructs the expected corpus from the count).
+        import spark.implicits._
+        import graft.operators.LexIndex
+        val root = new java.io.File(dir, "lexroot").getAbsolutePath
+        val base = (0 until 20)
+          .map(j => (j.toLong, CrashWriter.doc(j))).toDF("doc_id", "text")
+        if (LexIndex.resolve(root).isEmpty)
+          LexIndex.publish(base, "doc_id", "text", root)
+        while (true) {
+          val batch = (20 + 5 * i until 25 + 5 * i)
+            .map(j => (j.toLong, CrashWriter.doc(j)))
+            .toDF("doc_id", "text")
+          LexIndex.appendDelta(batch, "doc_id", "text", root, tag = s"t$i")
+          if (i % 3 == 2) LexIndex.mergeCompact(spark, root)
+          i += 1
+          println(s"committed $i")
+          Console.out.flush()
+        }
     }
   }
+
+  /** The shared deterministic corpus of the lexindex crash mode —
+    * ONE definition for writer and asserting parent.
+    */
+  def doc(i: Int): String =
+    s"alpha beta gamma delta epsilon zeta token$i filler${i * 7} " +
+      s"word${i % 13} tail${i * 31} end$i"
 }
