@@ -274,6 +274,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("retrieval probes serve from COMMITTED artifacts, not corpus recomputes (q282, q285, q288)") {
+    // the derive-once/consume-many claim, checked on the plan itself:
+    // each probe's scan list must include the committed artifact
+    // root(s) — a regression to in-plan recompute (re-hashing the
+    // corpus, re-building postings) drops the artifact path from the
+    // FileScan locations and re-pays corpus cost per query
+    val p282 = plan("q282_hybrid_index")
+    assert(p282.contains("graft-lex-index"),
+      s"q282's lexical arm stopped reading the lex artifact:\n${p282.take(1200)}")
+    assert(p282.contains("graft-sim-index"),
+      s"q282's vector arm stopped reading the sim artifact:\n${p282.take(1200)}")
+    val p285 = plan("q285_substring_probe")
+    assert(p285.contains("graft-gram-postings"),
+      s"q285 stopped reading the gram-posting artifact:\n${p285.take(1200)}")
+    val p288 = plan("q288_robust_contamination")
+    assert(p288.contains("graft-gram-postings") &&
+        p288.contains("graft-lex-index"),
+      s"q288 must read BOTH committed artifacts:\n${p288.take(1200)}")
+  }
+
   test("novelty is a shingle window-min + keyed aggs — never a pair join (q264)") {
     val p = plan("q264_novelty")
     // the whole point vs near-dup: first-occurrence rides ONE window
