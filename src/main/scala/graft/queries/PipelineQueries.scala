@@ -7325,6 +7325,112 @@ object PipelineQueries {
          |ORDER BY query_id""".stripMargin)
   }
 
+  /** Lexical-retrieval corruption-robustness curve (q289) — q288's
+    * two-point contrast swept into the curve a retrieval owner
+    * actually tunes against: the same 24-token snippets probed at
+    * three corruption levels (clean; every 5th token replaced; every
+    * 2nd token replaced) through ONE [[graft.operators.LexIndex]]
+    * probe call — levels ride a composite query id (lvl·1000 + doc),
+    * so the batch stays a single bucket-pruned artifact read. The
+    * judged rows are the per-level self-hit census: clean recall is
+    * the ceiling, the 20%-corruption point is q288's, and the
+    * 50%-corruption point shows where BM25's term-survival margin
+    * collapses — the curve that decides whether a contamination
+    * pipeline can rely on lexical recall alone at a given noise
+    * level. The oracle replays all three perturbations and the full
+    * BM25 chain.
+    */
+  val lexRobustnessCurve: Q = {
+    val T0 = 3; val NT = 24; val LEX_MAX = 400L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val lexRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-lex-index", d, Seq("documents.parquet"))
+        if (LexIndex.resolve(lexRoot).isEmpty)
+          LexIndex.publish(docs.filter(col("doc_id") < LEX_MAX),
+            "doc_id", "text", lexRoot)
+        val q0 = docs
+          .filter(col("doc_id") % 10 === 5 && col("doc_id") < 100)
+          .select(col("doc_id").as("qid"),
+            TextFunctions.words(col("text")).as("arr"))
+          .filter(size(col("arr")) >= T0 + NT - 1)
+          .select(col("qid"), expr(s"slice(arr, $T0, $NT)").as("w"))
+        def level(l: Int, every: Int): DataFrame = {
+          val pw = if (every == 0) col("w")
+            else expr(s"transform(w, (x, i) -> " +
+              s"IF(i % $every = 0, 'zzqx', x))")
+          q0.select((lit(l.toLong * 1000L) + col("qid")).as("query_id"),
+            explode(pw).as("term"))
+        }
+        val qterms = level(0, 0)
+          .unionByName(level(1, 5))
+          .unionByName(level(2, 2))
+          .filter(length(col("term")) > 0).distinct()
+        LexIndex.bm25TopK(s, qterms, "query_id", "term", 1, lexRoot)
+          .selectExpr("query_id div 1000 AS lvl", "query_id % 1000 AS qid",
+            "index_id")
+          .groupBy("lvl")
+          .agg(count(lit(1)).as("n_q"),
+            sum(when(col("index_id") === col("qid"), 1L).otherwise(0L))
+              .as("n_self_hit"))
+          .orderBy("lvl")
+      },
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |qd AS (
+         |  SELECT doc_id AS qid, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM docs
+         |  WHERE doc_id % 10 = 5 AND doc_id < 100
+         |    AND len(${TextFunctions.wordsSql("text")}) >= ${T0 + NT - 1}),
+         |wi AS (SELECT qid, arr, unnest(range(1, ${NT + 1})) AS i FROM qd),
+         |tok3 AS (
+         |  SELECT qid, i, arr[i + ${T0 - 1}] AS w0,
+         |    CASE WHEN (i - 1) % 5 = 0 THEN 'zzqx'
+         |         ELSE arr[i + ${T0 - 1}] END AS w1,
+         |    CASE WHEN (i - 1) % 2 = 0 THEN 'zzqx'
+         |         ELSE arr[i + ${T0 - 1}] END AS w2
+         |  FROM wi),
+         |qt AS (
+         |  SELECT DISTINCT query_id, term FROM (
+         |    SELECT qid AS query_id, w0 AS term FROM tok3
+         |    UNION ALL SELECT 1000 + qid, w1 FROM tok3
+         |    UNION ALL SELECT 2000 + qid, w2 FROM tok3)
+         |  WHERE length(term) > 0),
+         |w4 AS (
+         |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM docs WHERE doc_id < $LEX_MAX),
+         |tk AS (
+         |  SELECT doc_id, t AS term FROM (
+         |    SELECT doc_id, unnest(arr) AS t FROM w4)
+         |  WHERE length(t) > 0),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |       FROM tk GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tk GROUP BY 1),
+         |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sumdl
+         |       FROM dl),
+         |bm AS (
+         |  SELECT q.query_id, f.doc_id AS index_id,
+         |    ${graft.operators.LexIndex.contribSql(
+               "f.tf", "d.df", "l.dl", "n_docs", "sumdl", "//")} AS contrib
+         |  FROM tf f JOIN qt q USING (term) JOIN df d USING (term)
+         |  JOIN dl l ON l.doc_id = f.doc_id CROSS JOIN st),
+         |ag AS (
+         |  SELECT query_id, index_id, sum(contrib)::BIGINT AS score
+         |  FROM bm GROUP BY 1, 2),
+         |t1 AS (
+         |  SELECT query_id, index_id FROM (
+         |    SELECT query_id, index_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, index_id) AS r
+         |    FROM ag) WHERE r = 1)
+         |SELECT (query_id // 1000)::BIGINT AS lvl,
+         |  count(*)::BIGINT AS n_q,
+         |  sum(CASE WHEN index_id = query_id % 1000 THEN 1 ELSE 0 END)
+         |    ::BIGINT AS n_self_hit
+         |FROM t1 GROUP BY 1 ORDER BY lvl""".stripMargin)
+  }
+
   /** Media near-dup via shared sampled-frame fingerprints — the
     * perceptual-dedup shape for binary media: sample fixed-stride
     * frames from the opaque content column (q33's codegen sampler),
@@ -11040,6 +11146,7 @@ object PipelineQueries {
     "q286_pack_mask_audit" -> packMaskAudit,
     "q287_media_index"   -> mediaIndex,
     "q288_robust_contamination" -> robustContamination,
+    "q289_lex_robustness" -> lexRobustnessCurve,
     "q22_exact_dedup"    -> exactDedup,
     "q23_jaccard_pairs"  -> jaccardPairs,
     "q24_minhash_lsh"    -> minhashLsh,
