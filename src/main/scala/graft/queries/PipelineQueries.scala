@@ -7333,12 +7333,16 @@ object PipelineQueries {
     * probe call — levels ride a composite query id (lvl·1000 + doc),
     * so the batch stays a single bucket-pruned artifact read. The
     * judged rows are the per-level self-hit census: clean recall is
-    * the ceiling, the 20%-corruption point is q288's, and the
-    * 50%-corruption point shows where BM25's term-survival margin
-    * collapses — the curve that decides whether a contamination
-    * pipeline can rely on lexical recall alone at a given noise
-    * level. The oracle replays all three perturbations and the full
-    * BM25 chain.
+    * the ceiling (itself below 1 on this corpus — a 24-token bag
+    * over highly repetitive synthetic vocabulary can rank a longer
+    * doc sharing the same head terms first, q288's documented cap),
+    * the 20%-corruption point is q288's, and the 50%-corruption
+    * point shows where BM25's term-survival margin collapses — the
+    * curve that decides whether a contamination pipeline can rely on
+    * lexical recall alone at a given noise level. Measured at
+    * sf0.01: 5/9 → 5/9 → 2/9 — stable through 20% corruption,
+    * collapsed at 50%. The oracle replays all three perturbations
+    * and the full BM25 chain.
     */
   val lexRobustnessCurve: Q = {
     val T0 = 3; val NT = 24; val LEX_MAX = 400L
