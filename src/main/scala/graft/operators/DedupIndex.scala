@@ -136,7 +136,34 @@ object DedupIndex {
     * [[Dedup.incrementalCandidates]]: distinct (new_id, index_id).
     */
   def probe(spark: SparkSession, newSig: DataFrame, id: String,
-            bands: Int, rowsPerBand: Int, root: String): DataFrame =
+            bands: Int, rowsPerBand: Int, root: String): DataFrame = {
+    // The batch's banding (a band explode over its signature frame)
+    // feeds BOTH the touched-bucket collect and the probe join, and
+    // callers like [[Dedup.jaccardFor]] reference the RESULT several
+    // more times — so this method owns the whole cache lifecycle (the
+    // r12 probe-cache contract, shared by all five index families):
+    // persist the batch side, MATERIALIZE the candidate-sized result
+    // (localCheckpoint severs its lineage, so no later consumption
+    // can ever re-derive the batch signing), and only then release
+    // the batch cache. Callers get a cheap plan AND a released cache;
+    // the checkpointed blocks are candidate-sized and swept by the
+    // context cleaner when the frame goes out of scope.
+    val nb = Dedup.bandRows(newSig, id, bands, rowsPerBand)
+      .withColumnRenamed(id, "new_id")
+      .withColumn("bucket", bucketOf(col("band"), col("band_key")))
+      .persist()
+    try ProbeCache.materialize(probeBanded(spark, nb, root))
+    finally nb.unpersist()
+  }
+
+  /** The LAZY plan behind [[probe]] — exposed for plan audits
+    * (partition-pruning specs assert on this form; [[probe]]'s
+    * returned frame is an already-materialized RDD scan). Evaluates
+    * the batch side twice if it is not cached.
+    */
+  private[graft] def probePlan(spark: SparkSession, newSig: DataFrame,
+                               id: String, bands: Int, rowsPerBand: Int,
+                               root: String): DataFrame =
     probeBanded(spark,
       Dedup.bandRows(newSig, id, bands, rowsPerBand)
         .withColumnRenamed(id, "new_id")
@@ -146,6 +173,13 @@ object DedupIndex {
   /** [[probe]] with an already-banded new side — (new_id, band,
     * band_key, bucket) rows. The streaming path shares one banding of
     * its batch across this probe and its tail join.
+    *
+    * CACHE CONTRACT: this method NEVER persists or unpersists the
+    * caller's frame (r11 clobbered [[graft.streaming.DedupStream]]'s
+    * batch cache here — an API must not unpersist a frame it didn't
+    * persist). `newBands` is evaluated twice (the touched-bucket
+    * collect and the returned lazy join) — callers should persist it
+    * for the call's scope, as [[probe]] and DedupStream both do.
     */
   def probeBanded(spark: SparkSession, newBands: DataFrame,
                   root: String): DataFrame = {
@@ -159,18 +193,8 @@ object DedupIndex {
     val ts = tombstones(spark, root)
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
-    // The new batch's banding (a shingle explode + k min-aggregates
-    // over the whole batch) feeds BOTH the touched-bucket collect and
-    // the probe join — persist it so the signing pass backs the
-    // collect, then RELEASE the cache as soon as the collect has
-    // consumed it (the r11 probe-cache policy, shared with SimIndex/
-    // FirstSeenIndex): the returned join re-signs the batch once —
-    // batch-bounded work — instead of leaking executor storage on
-    // library callers that never sweep persistent RDDs.
-    val nb = newBands.persist()
-    val touched = nb.select("bucket").distinct()
+    val touched = newBands.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
-    nb.unpersist()
     val idx = spark.read.parquet(idxPath)
       .filter(col("bucket").isin(touched.toIndexedSeq.map(Int.box): _*))
     // uncompacted deletes are honored at probe time: the tombstone
@@ -180,7 +204,7 @@ object DedupIndex {
     val live = ts
       .map(t => idx.join(t, Seq("index_id"), "left_anti"))
       .getOrElse(idx)
-    nb.join(live, Seq("bucket", "band", "band_key"))
+    newBands.join(live, Seq("bucket", "band", "band_key"))
       .select(col("new_id"), col("index_id")).distinct()
   }
 }

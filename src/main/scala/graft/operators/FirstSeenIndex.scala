@@ -34,8 +34,10 @@ import org.apache.spark.sql.functions._
   * MIN across them, resolved at probe time by one keyed aggregate
   * over the touched buckets (duplicate shingle rows across
   * generations are harmless — min is idempotent, the [[SimIndex]]
-  * stance, so no folded-sidecar machinery is needed) and folded
-  * physically at compaction cadence.
+  * stance) and folded physically at compaction cadence. Folds ARE
+  * recorded in a `_folded.json` sidecar ([[LexIndex]]'s pattern)
+  * despite min-idempotence: the idempotence argument breaks across a
+  * purge — see [[foldedOf]].
   */
 object FirstSeenIndex {
 
@@ -108,6 +110,13 @@ object FirstSeenIndex {
       val target = new java.io.File(dr, s"batch-$tag")
       if (new java.io.File(target, "_SUCCESS").isFile)
         return target.getAbsolutePath // tagged fold already committed
+      // already folded into a committed generation and its dir
+      // deleted: ABSORB — re-committing here would resurrect purged
+      // doc ids when a purge ran between the fold and this redelivery
+      // (see [[foldedOf]]); returns the generation holding the rows
+      val gen = resolve(root)
+      if (gen.exists(p => foldedOf(p)(s"batch-$tag")))
+        return gen.get
       graft.sources.Artifacts.notePublish()
       val staging = new java.io.File(dr,
         s".staging-${java.util.UUID.randomUUID()}")
@@ -118,10 +127,33 @@ object FirstSeenIndex {
       target.getAbsolutePath
     }
 
-  /** True when a fold tagged `tag` has already committed. */
-  def folded(root: String, tag: String): Boolean =
-    new java.io.File(new java.io.File(deltaDir(root), s"batch-$tag"),
-      "_SUCCESS").isFile
+  /** Delta dir NAMES already folded into the generation at `genPath`
+    * — the durable fold record ([[LexIndex]]'s `_folded.json`
+    * pattern). "Min is idempotent, a double fold is harmless" only
+    * holds while no DELETE happened in between: an at-least-once
+    * redelivery of a tagged fold arriving after a purge +
+    * [[mergeCompact]] (tombstones reset) would re-commit the delta
+    * and resurrect purged doc ids into the served first-occurrence
+    * map. The sidecar is what lets [[folded]] answer "already in the
+    * generation" after the delta dir itself is gone.
+    */
+  private def foldedOf(genPath: String): Set[String] = {
+    val f = new java.io.File(genPath, "_folded.json")
+    if (!f.isFile) Set.empty
+    else """"([^"]+)"""".r.findAllMatchIn(
+      java.nio.file.Files.readString(f.toPath)).map(_.group(1)).toSet
+  }
+
+  /** True when a fold tagged `tag` has already committed — either
+    * live in the append log or folded into the resolved generation
+    * (its name in `_folded.json`). The folded half is the purge-race
+    * closure: see [[foldedOf]].
+    */
+  def folded(root: String, tag: String): Boolean = {
+    val live = new java.io.File(
+      new java.io.File(deltaDir(root), s"batch-$tag"), "_SUCCESS").isFile
+    live || resolve(root).exists(p => foldedOf(p)(s"batch-$tag"))
+  }
 
   // ------------------------------------------------------ deletes
   //
@@ -174,7 +206,13 @@ object FirstSeenIndex {
       val deltaSnap = deltas(root)
       val basePath = resolve(root).getOrElse(
         throw new IllegalStateException(s"no committed index under $root"))
-      val all = (basePath +: deltaSnap)
+      // a crash leftover a predecessor folded but never deleted must
+      // not re-enter: its rows are in the base AND it may predate a
+      // purge (see [[foldedOf]])
+      val folded0 = foldedOf(basePath)
+      val liveDeltas = deltaSnap
+        .filterNot(p => folded0(new java.io.File(p).getName))
+      val all = (basePath +: liveDeltas)
         .map(p => spark.read.parquet(p).select(col("s"), col("first_doc")))
         .reduce(_.unionByName(_))
       val merged0 = tombstones(spark, root) match {
@@ -195,15 +233,32 @@ object FirstSeenIndex {
           }
       }
       val merged = merged0.groupBy("s").agg(min("first_doc").as("first_doc"))
-      val path = VersionedDirs.commit(root) { st => writeMap(merged, st) }
+      val snapNames = deltaSnap.map(new java.io.File(_).getName).toSet
+      val foldedNames =
+        ((folded0 intersect snapNames) ++
+          liveDeltas.map(new java.io.File(_).getName)).toSeq.sorted
+      val path = VersionedDirs.commit(root) { st =>
+        writeMap(merged, st)
+        // record the fold BEFORE deleting the dirs — the durable
+        // commit record a redelivered tagged fold checks via
+        // [[folded]] (the purge-resurrection closure; see foldedOf)
+        java.nio.file.Files.writeString(
+          new java.io.File(st, "_folded.json").toPath,
+          foldedNames.map(n => s""""$n"""").mkString("[", ",", "]"))
+        ()
+      }
       def rm(x: java.io.File): Unit = {
         Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
       }
-      // delete exactly the dirs THIS merge folded (an append committed
-      // after the snapshot survives); a probe racing the deletion that
-      // double-reads a delta is harmless — min is idempotent. Crashed
-      // staging leftovers vacuum past the grace age only.
-      deltaSnap.foreach(p => rm(new java.io.File(p)))
+      // delete exactly what THIS merge folded plus crash leftovers a
+      // predecessor folded but never deleted (an append committed
+      // after the snapshot survives); a probe racing the deletion
+      // that double-reads a LIVE delta is harmless — min is
+      // idempotent. Crashed staging leftovers vacuum past the grace
+      // age only.
+      (liveDeltas ++
+        deltaSnap.filter(p => folded0(new java.io.File(p).getName)))
+        .foreach(p => rm(new java.io.File(p)))
       Option(deltaDir(root).listFiles()).getOrElse(Array.empty)
         .filter(VersionedDirs.stagingOrphan).foreach(rm)
       Tombstones.reset(spark, root)
@@ -221,23 +276,42 @@ object FirstSeenIndex {
     * data-sized).
     */
   def probe(spark: SparkSession, batchShingles: DataFrame,
-            root: String): DataFrame = {
+            root: String): DataFrame =
+    probeCore(spark, batchShingles, root, materialize = true)
+
+  /** The LAZY plan behind [[probe]] — exposed for plan audits
+    * (pruning specs assert the static PartitionFilters on this form;
+    * [[probe]]'s returned frame is an already-materialized RDD scan
+    * per the [[ProbeCache]] contract). Evaluates the batch shingles
+    * twice if not cached.
+    */
+  private[graft] def probePlan(spark: SparkSession,
+                               batchShingles: DataFrame,
+                               root: String): DataFrame =
+    probeCore(spark, batchShingles, root, materialize = false)
+
+  private def probeCore(spark: SparkSession, batchShingles: DataFrame,
+                        root: String, materialize: Boolean): DataFrame = {
     // read-order discipline (see SimIndex.probeTopK): tombstones, then
-    // the delta listing, then resolve — and duplicate reads under a
-    // racing merge stay harmless because min is idempotent
+    // the delta listing, then resolve — duplicate reads under a
+    // racing merge stay harmless because min is idempotent, and the
+    // folded-sidecar filter below drops exactly the dirs a racing
+    // merge already folded into the resolved generation (a folded
+    // leftover may predate a purge — see [[foldedOf]])
     val ts = tombstones(spark, root)
-    val deltaSnap = deltas(root)
+    val deltaSnap0 = deltas(root)
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
-    val bs = batchShingles.withColumn("pbucket", pbucketOf(col("s")))
-      .persist()
+    val foldedNames = foldedOf(idxPath)
+    val deltaSnap = deltaSnap0
+      .filterNot(p => foldedNames(new java.io.File(p).getName))
+    val bs0 = batchShingles.withColumn("pbucket", pbucketOf(col("s")))
+    // the cache backs the touched-bucket collect AND the returned
+    // join, and is held until the result is materialized below (the
+    // [[ProbeCache]] contract)
+    val bs = if (materialize) bs0.persist() else bs0
     val touched = bs.select("pbucket").distinct()
       .collect().map(_.getInt(0)).sorted
-    // release the cache once the touched-bucket collect has consumed
-    // it — the returned join recomputes the (batch-sized) shingle
-    // frame once, which costs one extra batch scan but never leaks
-    // executor storage on library callers
-    bs.unpersist()
     val idx0 = (idxPath +: deltaSnap)
       .map(p => spark.read.parquet(p)
         .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*))
@@ -252,8 +326,12 @@ object FirstSeenIndex {
       if (deltaSnap.isEmpty && ts.isEmpty)
         live.select(col("pbucket"), col("s"), col("first_doc").as("seen_doc"))
       else live.groupBy("pbucket", "s").agg(min("first_doc").as("seen_doc"))
-    bs.join(idx, Seq("pbucket", "s"), "left")
+    val result = bs.join(idx, Seq("pbucket", "s"), "left")
       .drop("pbucket")
+    // batch-shingle-sized (never corpus-sized) — materialize before
+    // releasing the batch cache; see [[ProbeCache]]
+    if (materialize) try ProbeCache.materialize(result) finally bs.unpersist()
+    else result
   }
 
   /** Per-doc novelty census of a [[probe]]d batch: a shingle is novel

@@ -67,12 +67,31 @@ object LexIndex {
     * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with k1 = 1.2, b = 0.75
     * carried as ×10⁴ integers and dl/avgdl as (dl·N) div Σdl. All
     * operands non-negative, so DuckDB `//` ≡ Spark `div`.
+    *
+    * int64 HEADROOM BOUND: the widest intermediate is the length
+    * normalizer 9000·dl·N — it silently wraps once dl·N exceeds
+    * 2⁶³/9000 ≈ 1.0e15 (e.g. 10⁵-token docs in a 10¹⁰-doc corpus),
+    * corrupting every score with no error. The deployment ceiling is
+    * therefore max(dl)·N < 1.0e15; beyond it, shard the corpus into
+    * per-shard collections (BM25 stats are per-collection anyway) or
+    * drop the normalizer to ×10³ scaling. The stats sidecar records
+    * max(dl) since r12 and [[bm25TopK]] asserts max(dl)·N ≤
+    * [[ContribDlNBound]] at probe time — refusing to serve beats
+    * ranking garbage. The other intermediates are strictly smaller:
+    * idf ≤ 2000·N + 1000, saturation numerator ≤ tf·2.2e7 with
+    * tf ≤ dl.
     */
   def contribSql(tf: String, df: String, dl: String, nDocs: String,
                  sumdl: String, idiv: String): String =
     s"((1000 * (2 * ($nDocs - $df) + 1)) $idiv (2 * $df + 1)) * " +
       s"(($tf * 22000000) $idiv " +
       s"($tf * 10000 + 3000 + (9000 * $dl * $nDocs) $idiv $sumdl))"
+
+  /** The [[contribSql]] headroom ceiling: 9000·dl·N must stay below
+    * 2⁶³. Callers with per-generation stats check `maxDl * nDocs`
+    * against this.
+    */
+  val ContribDlNBound: Long = Long.MaxValue / 9000L
 
   /** The shared posting layout of [[publish]] and [[appendDelta]]:
     * one row per (term, doc) with tf and the doc's length dl
@@ -99,16 +118,24 @@ object LexIndex {
   }
 
   private def writeStats(dl: DataFrame, dir: String): Unit = {
-    val r = dl.agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
+    val r = dl.agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"),
+        coalesce(max("dl"), lit(0L)).as("m"))
       .first()
+    // max_dl rides along for the probe-time contribSql headroom
+    // check (9000·dl·N < 2⁶³ — see [[ContribDlNBound]])
     java.nio.file.Files.writeString(
       new java.io.File(dir, "_stats.json").toPath,
-      s"""{"n_docs":${r.getLong(0)},"sumdl":${r.getLong(1)}}""")
+      s"""{"n_docs":${r.getLong(0)},"sumdl":${r.getLong(1)},""" +
+        s""""max_dl":${r.getLong(2)}}""")
     ()
   }
 
-  /** The frozen (N, Σdl) of one committed generation or delta dir. */
-  private def statsAt(path: String): (Long, Long) = {
+  /** The frozen (N, Σdl, max dl) of one committed generation or delta
+    * dir; max dl is 0 for sidecars written before it was recorded
+    * (the headroom check then skips — it can only be verified, never
+    * assumed).
+    */
+  private def statsAt(path: String): (Long, Long, Long) = {
     val txt = java.nio.file.Files.readString(
       java.nio.file.Paths.get(path, "_stats.json"))
     def field(k: String): Long =
@@ -116,7 +143,9 @@ object LexIndex {
         .getOrElse(throw new IllegalStateException(
           s"malformed _stats.json in $path: $txt"))
         .group(1).toLong
-    (field("n_docs"), field("sumdl"))
+    val maxDl = s""""max_dl":(\\d+)""".r.findFirstMatchIn(txt)
+      .fold(0L)(_.group(1).toLong)
+    (field("n_docs"), field("sumdl"), maxDl)
   }
 
   /** Publish `docs`' postings as the next committed version under
@@ -294,7 +323,23 @@ object LexIndex {
     * (query_id, index_id, n_hit, score, rnk), rnk ≤ k per query.
     */
   def bm25TopK(spark: SparkSession, queries: DataFrame, qid: String,
-               term: String, k: Int, root: String): DataFrame = {
+               term: String, k: Int, root: String): DataFrame =
+    bm25Core(spark, queries, qid, term, k, root, materialize = true)
+
+  /** The LAZY plan behind [[bm25TopK]] — exposed for plan audits
+    * (pruning specs assert the static PartitionFilters on this form;
+    * [[bm25TopK]]'s returned frame is an already-materialized RDD
+    * scan per the [[ProbeCache]] contract). Evaluates the query-term
+    * frame several times if not cached.
+    */
+  private[graft] def bm25TopKPlan(spark: SparkSession, queries: DataFrame,
+                                  qid: String, term: String, k: Int,
+                                  root: String): DataFrame =
+    bm25Core(spark, queries, qid, term, k, root, materialize = false)
+
+  private def bm25Core(spark: SparkSession, queries: DataFrame,
+                       qid: String, term: String, k: Int, root: String,
+                       materialize: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // read-order discipline (see DedupIndex.probeBanded): tombstones,
     // then the delta listing, then resolve; the folded-sidecar filter
@@ -310,17 +355,32 @@ object LexIndex {
     val stats = (idxPath +: deltaSnap).map(statsAt)
     val nDocs = stats.map(_._1).sum
     val sumdl = stats.map(_._2).sum
-    val qt = queries
+    // contribSql headroom: its widest intermediate 9000·dl·N wraps
+    // int64 past [[ContribDlNBound]], silently corrupting every
+    // score — refuse to serve rather than rank garbage. max_dl = 0
+    // marks a pre-r12 sidecar with no recorded maximum: the check
+    // skips (it can verify, never assume).
+    val maxDl = stats.map(_._3).max
+    require(maxDl == 0L || nDocs == 0L ||
+      maxDl <= ContribDlNBound / nDocs,
+      s"BM25 integer headroom exceeded: max(dl)=$maxDl x N=$nDocs " +
+        s"overflows contribSql's 9000*dl*N intermediate (bound " +
+        s"${ContribDlNBound}); shard the corpus into per-shard " +
+        "collections or rescale the normalizer")
+    // the DISTINCT enforces the "bag of DISTINCT terms" contract the
+    // DuckDB oracles all assume: a duplicated (query_id, term) row
+    // would otherwise multiply that term's contribution and n_hit
+    val qt0 = queries
       .select(col(qid).cast("long").as("query_id"),
         col(term).as("term"))
+      .distinct()
       .withColumn("pbucket", pbucketOf(col("term")))
-      .persist()
+    // the cache backs the touched-bucket collect and BOTH joins below,
+    // and is held until the result is materialized (the [[ProbeCache]]
+    // contract)
+    val qt = if (materialize) qt0.persist() else qt0
     val touched = qt.select("pbucket").distinct()
       .collect().map(_.getInt(0)).sorted
-    // released after the collect materialized it; the joins below
-    // recompute the batch side (batch-sized) rather than leak
-    // executor storage on every library call (the r10 advice rule)
-    qt.unpersist()
     val post0 = (idxPath +: deltaSnap)
       .map(p => spark.read.parquet(p)
         .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*)))
@@ -341,7 +401,7 @@ object LexIndex {
         org.apache.spark.sql.expressions.Window.partitionBy("term")))
     val contrib = contribSql("tf", "df", "dl",
       nDocs.toString, sumdl.toString, "div")
-    matched
+    val result = matched
       .join(qt.select("query_id", "term"), Seq("term"))
       .selectExpr("query_id", "index_id", s"$contrib AS contrib")
       .groupBy("query_id", "index_id")
@@ -350,5 +410,9 @@ object LexIndex {
         Window.partitionBy("query_id")
           .orderBy(desc("score"), asc("index_id"))).cast("long"))
       .filter(col("rnk") <= k)
+    // ≤ k rows per query — materialize before releasing the
+    // query-term cache; see [[ProbeCache]]
+    if (materialize) try ProbeCache.materialize(result) finally qt.unpersist()
+    else result
   }
 }

@@ -28,8 +28,11 @@ import org.apache.spark.sql.functions._
   *   - with `coarseC > 0` also `coarse/` — the frozen coarse-
   *     quantizer centroids, with `codes/` PARTITIONED BY each
   *     vector's coarse cell so an nprobe probe prunes to probed-cell
-  *     directories (the full FAISS IndexIVFPQ serving shape,
-  *     by_residual=false).
+  *     directories (the full FAISS IndexIVFPQ serving shape);
+  *     `byResidual = true` additionally trains and encodes the PQ on
+  *     (x − coarse centroid) — FAISS's by_residual default, the
+  *     accuracy win at equal code budget (q291) — with the probe
+  *     building its ADC tables per (query, probed cell).
   *
   * Everything stays in [[VectorQuantizer.scaled]]'s exact integer
   * domain, so codes, ADC tables and distance sums are bit-identical
@@ -60,26 +63,50 @@ object PqIndex {
     */
   def publish(corpus: DataFrame, id: String, vec: String, m: Int,
               dsub: Int, ks: Int, iters: Int, root: String,
-              coarseC: Int = 0, coarseIters: Int = 0): String =
+              coarseC: Int = 0, coarseIters: Int = 0,
+              byResidual: Boolean = false): String =
     synchronized {
+      require(!byResidual || coarseC > 0,
+        "byResidual needs a coarse quantizer (coarseC > 0)")
       VersionedDirs.commit(root) { staging =>
         val e = VectorQuantizer.scaled(corpus, id, vec).persist()
-        val cent = VectorQuantizer.fitPQ(e, id, m, dsub, ks, iters)
-          .localCheckpoint()
         val coarse = if (coarseC > 0)
           Some(VectorQuantizer.fitCentroids(e, id, coarseC, coarseIters)
             .select(col("cell"), col("cs")).localCheckpoint())
         else None
-        writeCodes(codeRows(corpus, id, vec, cent, m, dsub, coarse),
-          new java.io.File(staging, "codes").toString)
+        // by_residual (FAISS IndexIVFPQ's default): PQ trains and
+        // encodes (x − its coarse centroid) instead of x — residuals
+        // concentrate near the origin, so the SAME (m, ks) code
+        // budget describes the departure from the cell mean instead
+        // of re-describing the cell's position in space: the
+        // accuracy-at-equal-bytes win q291 measures. Still exact
+        // integer arithmetic — residual components are differences
+        // of guarded scaled longs (domain ≤ 2× the scaled bound,
+        // squared-delta sums exact for any dsub ≤ 1024).
+        val train = if (byResidual)
+          residualFrame(e, coarse.get, id).persist()
+        else e
+        val cent = VectorQuantizer.fitPQ(train, id, m, dsub, ks, iters)
+          .localCheckpoint()
+        val rows = if (byResidual) codeRowsResidual(train, cent, id, m, dsub)
+          else codeRows(corpus, id, vec, cent, m, dsub, coarse)
+        writeCodes(rows, new java.io.File(staging, "codes").toString)
         cent.write.parquet(new java.io.File(staging, "codebook").toString)
         coarse.foreach(_.write.parquet(
           new java.io.File(staging, "coarse").toString))
+        // publish-time mean quantization error of the TRAINING corpus
+        // under the codebooks it just trained — the drift baseline
+        // [[retrainOnDrift]] compares a serving corpus against (an
+        // index has no way to notice its codebooks went stale without
+        // a recorded "how well did they fit when fresh")
+        val qerr = meanAssignD2(train, cent, id, m, dsub)
+        if (byResidual) train.unpersist()
         e.unpersist()
         java.nio.file.Files.writeString(
           new java.io.File(staging, "_params.json").toPath,
           s"""{"m":$m,"dsub":$dsub,"ks":$ks,"iters":$iters,""" +
-            s""""c":$coarseC,"citers":$coarseIters}""")
+            s""""c":$coarseC,"citers":$coarseIters,""" +
+            s""""resid":${if (byResidual) 1 else 0},"qerr":$qerr}""")
         // the parquet writes each committed their own subdir; the
         // version-level marker is what resolve() keys on
         java.nio.file.Files.createFile(
@@ -87,6 +114,134 @@ object PqIndex {
         ()
       }
     }
+
+  /** (id, xs = x − coarse centroid, ccell) over an already-scaled
+    * corpus — the training/encoding frame of a by_residual artifact.
+    * Exact integer: both operands live in [[VectorQuantizer.scaled]]'s
+    * guarded domain.
+    */
+  private def residualFrame(e: DataFrame, coarse: DataFrame,
+                            id: String): DataFrame = {
+    val cells = VectorQuantizer.assignCells(e, coarse, id)
+    e.join(cells, Seq(id))
+      .join(broadcast(coarse.select(col("cell"), col("cs").as("ccs"))),
+        Seq("cell"))
+      .select(col(id),
+        zip_with(col("xs"), col("ccs"), (x, c) => x - c).as("xs"),
+        col("cell").cast("int").as("ccell"))
+  }
+
+  /** Encode an already-built residual frame (id, xs, ccell) against a
+    * trained codebook — [[codeRows]]' residual twin; the ccell rides
+    * through to keep the IVFPQ partition layout.
+    */
+  private def codeRowsResidual(resid: DataFrame, cent: DataFrame,
+                               id: String, m: Int, dsub: Int): DataFrame = {
+    val epq = VectorQuantizer.subVectors(resid, id, m, dsub)
+    VectorQuantizer.assignSubCells(epq, cent, id)
+      .groupBy(col(id).as("index_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cell")))),
+        s => s.getField("cell")).as("codes"))
+      .join(resid.select(col(id).as("index_id"), col("ccell")),
+        Seq("index_id"))
+  }
+
+  // ------------------------------------------------------ drift re-train
+  //
+  // Codebooks freeze at publish — the family invariant that makes
+  // deltas cheap and oracles replayable — but a frozen codebook has a
+  // shelf life: when the embedding model is retrained (v2 re-embeds
+  // the corpus) the subspace statistics move and the old cells
+  // describe the new vectors badly. The measurable symptom is the
+  // QUANTIZATION ERROR (mean min-d² of assigning the serving corpus
+  // to the frozen sub-centroids) rising above the publish-time
+  // baseline recorded in `_params.json`. The trigger below is the
+  // lifecycle wire q132's drift audit was missing: one encode pass
+  // over the serving corpus (the same cost as a delta append — never
+  // a Lloyd round unless it fires), re-publish with the SAME geometry
+  // when the ratio exceeds the threshold.
+
+  /** Mean integer quantization error of a scaled/residual frame under
+    * `cent`: Σ per-(vector, sub) min assign-d², integer-divided by
+    * the row count — exact, deterministic, oracle-replayable.
+    */
+  private def meanAssignD2(scaled: DataFrame, cent: DataFrame,
+                           id: String, m: Int, dsub: Int): Long = {
+    val epq = VectorQuantizer.subVectors(scaled, id, m, dsub)
+    val r = epq.join(broadcast(cent), Seq("sub"))
+      .select(col(id), col("sub"),
+        VectorQuantizer.l2DistSq(col("xs"), col("cs")).as("d2"))
+      .groupBy(col(id), col("sub")).agg(min("d2").as("d2"))
+      .agg(coalesce(sum("d2"), lit(0L)).as("s"), count(lit(1)).as("n"))
+      .first()
+    if (r.getLong(1) == 0L) 0L else r.getLong(0) / r.getLong(1)
+  }
+
+  /** The publish-time quantization-error baseline of one resolved
+    * generation (0 for sidecars written before it was recorded —
+    * the trigger then never fires, it can verify but not assume).
+    */
+  private def qerrAt(genPath: String): Long =
+    """"qerr":(\d+)""".r.findFirstMatchIn(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(genPath, "_params.json")))
+      .fold(0L)(_.group(1).toLong)
+
+  /** The publish-time quantization-error baseline of the newest
+    * committed generation — what [[retrainOnDrift]] measures against.
+    */
+  def publishQuantizationError(root: String): Long =
+    qerrAt(resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root")))
+
+  /** Mean quantization error of `corpus` under the CURRENT committed
+    * codebooks — one encode pass, the drift measurement. Residual
+    * generations measure the residual (x − frozen coarse centroid),
+    * matching what their codes actually store.
+    */
+  def quantizationError(spark: SparkSession, corpus: DataFrame,
+                        id: String, vec: String, root: String): Long = {
+    val idxPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val (m, dsub, _, _) = paramsAt(idxPath)
+    val cent = spark.read.parquet(
+      new java.io.File(idxPath, "codebook").toString)
+    val e = VectorQuantizer.scaled(corpus, id, vec)
+    val frame = if (residAt(idxPath)) {
+      val coarse = spark.read.parquet(
+        new java.io.File(idxPath, "coarse").toString)
+      residualFrame(e, coarse, id)
+    } else e
+    meanAssignD2(frame, cent, id, m, dsub)
+  }
+
+  /** Re-publish the index over `corpus` with the committed
+    * generation's OWN geometry iff the serving corpus's quantization
+    * error exceeds `factorMilli`/1000 × the publish-time baseline
+    * (e.g. 2000 = "re-train when the fit is twice as bad as fresh").
+    * Returns the new committed path when the trigger fired, None when
+    * the frozen codebooks still describe the corpus well enough —
+    * the measurement costs one encode pass either way, the Lloyd
+    * rounds are paid only on fire. q292 judges the full loop:
+    * drifted corpus → trigger fires → re-published artifact restores
+    * recall that the stale generation lost.
+    */
+  def retrainOnDrift(spark: SparkSession, corpus: DataFrame, id: String,
+                     vec: String, root: String,
+                     factorMilli: Long): Option[String] = {
+    val idxPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val (m, dsub, ks, iters) = paramsAt(idxPath)
+    val (cc, citers) = coarseAt(idxPath)
+    val base = qerrAt(idxPath)
+    val cur = quantizationError(spark, corpus, id, vec, root)
+    if (base > 0L && cur * 1000L > factorMilli * base)
+      Some(publish(corpus, id, vec, m, dsub, ks, iters, root,
+        coarseC = cc, coarseIters = citers,
+        byResidual = residAt(idxPath)))
+    else None
+  }
 
   /** Write a code table — partitioned by coarse cell when the rows
     * carry one (the IVFPQ layout [[probeTopK]]'s nprobe pruning keys
@@ -194,8 +349,17 @@ object PqIndex {
     val dr = deltaDir(root); dr.mkdirs()
     val staging = new java.io.File(dr,
       s".staging-${java.util.UUID.randomUUID()}")
-    writeCodes(codeRows(corpus, id, vec, cent, m, dsub, coarse),
-      staging.getAbsolutePath)
+    // a by_residual generation's deltas encode residuals against the
+    // SAME frozen coarse centroids + codebooks (pure assign+argmin,
+    // never a Lloyd round — the flat path's frozen-codebook rule)
+    val rows =
+      if (residAt(idxPath))
+        codeRowsResidual(
+          residualFrame(VectorQuantizer.scaled(corpus, id, vec),
+            coarse.get, id),
+          cent, id, m, dsub)
+      else codeRows(corpus, id, vec, cent, m, dsub, coarse)
+    writeCodes(rows, staging.getAbsolutePath)
     val target = new java.io.File(dr,
       s"batch-${java.util.UUID.randomUUID()}")
     require(staging.renameTo(target),
@@ -271,7 +435,8 @@ object PqIndex {
         java.nio.file.Files.writeString(
           new java.io.File(st, "_params.json").toPath,
           s"""{"m":$m,"dsub":$dsub,"ks":$ks,"iters":$iters,""" +
-            s""""c":$cc,"citers":$citers}""")
+            s""""c":$cc,"citers":$citers,""" +
+            s""""resid":${if (residAt(basePath)) 1 else 0}}""")
         java.nio.file.Files.writeString(
           new java.io.File(st, "_folded.json").toPath,
           foldedNames.map(n => s""""$n"""").mkString("[", ",", "]"))
@@ -334,6 +499,17 @@ object PqIndex {
     (field("c"), field("citers"))
   }
 
+  /** Whether ONE resolved generation encodes residuals
+    * (by_residual=true) — false for flat-PQ and for sidecars written
+    * before residual coding existed.
+    */
+  private def residAt(genPath: String): Boolean = {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(genPath, "_params.json"))
+    """"resid":(\d+)""".r.findFirstMatchIn(txt)
+      .exists(_.group(1).toInt == 1)
+  }
+
   /** Top-k of each query against the committed code table by exact
     * integer ADC distance: the query batch splits into sub-vectors
     * with the index's FROZEN geometry, the ADC table (query ×
@@ -361,7 +537,22 @@ object PqIndex {
     * partitions never leave the filesystem.
     */
   def probeTopK(spark: SparkSession, queries: DataFrame, id: String,
-                vec: String, k: Int, root: String, nprobe: Int): DataFrame = {
+                vec: String, k: Int, root: String, nprobe: Int): DataFrame =
+    probeCore(spark, queries, id, vec, k, root, nprobe, materialize = true)
+
+  /** The LAZY plan behind [[probeTopK]] — exposed for plan audits
+    * (pruning specs assert the static ccell PartitionFilters on this
+    * form; [[probeTopK]]'s returned frame is an already-materialized
+    * RDD scan per the [[ProbeCache]] contract).
+    */
+  private[graft] def probeTopKPlan(spark: SparkSession, queries: DataFrame,
+                                   id: String, vec: String, k: Int,
+                                   root: String, nprobe: Int): DataFrame =
+    probeCore(spark, queries, id, vec, k, root, nprobe, materialize = false)
+
+  private def probeCore(spark: SparkSession, queries: DataFrame,
+                        id: String, vec: String, k: Int, root: String,
+                        nprobe: Int, materialize: Boolean): DataFrame = {
     // read-order discipline (see DedupIndex.probeBanded): tombstones,
     // then the DELTA LISTING, then resolve. Tombstones-first keeps a
     // racing compact's log reset from resurfacing purged rows;
@@ -381,7 +572,11 @@ object PqIndex {
     val (m, dsub, _, _) = paramsAt(idxPath)
     val cent = spark.read.parquet(
       new java.io.File(idxPath, "codebook").toString)
-    val sq = VectorQuantizer.scaled(queries, id, vec)
+    // the scaled batch feeds BOTH the cell assignment and the ADC
+    // distance table — cache it until the result is materialized
+    // below (the [[ProbeCache]] contract)
+    val sq0 = VectorQuantizer.scaled(queries, id, vec)
+    val sq = if (materialize) sq0.persist() else sq0
     // the IVF half: nprobe coarse cells per query under the FROZEN
     // coarse centroids; the distinct probed-cell set (≤ coarseC ints)
     // is the static partition filter every code root gets below
@@ -413,32 +608,73 @@ object PqIndex {
     val codes = ts
       .map(t => pruned.join(t, Seq("index_id"), "left_anti"))
       .getOrElse(pruned)
-    val qpq = VectorQuantizer.subVectors(sq, id, m, dsub)
-      .withColumnRenamed(id, "query_id")
-    val dtab = qpq.join(broadcast(cent), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("cell"),
-        VectorQuantizer.l2DistSq(col("xs"), col("cs")).as("d2"))
+    // subspace split carrying extra key columns — [[VectorQuantizer
+    // .subVectors]]' shape with a pass-through column list
+    def subSplit(df: DataFrame, keep: Seq[String]): DataFrame =
+      df.select(keep.map(col) :+
+          explode(array((0 until m).map(j => struct(lit(j).as("sub"),
+            slice(col("xs"), j * dsub + 1, dsub).as("xs"))): _*)).as("t"): _*)
+        .select(keep.map(col) :+ col("t.sub").as("sub") :+
+          col("t.xs").as("xs"): _*)
+    val resid = residAt(idxPath)
+    require(!resid || queryCells.isDefined,
+      s"a by_residual artifact serves IVF-pruned probes only " +
+        s"(nprobe > 0); $idxPath was published with byResidual=true")
     // with IVF pruning, only (query, vector) pairs meeting in a probed
     // cell score at all (a vector lives in exactly one cell, so the
     // cell join can never pair a (query, vector) twice); without it
     // every pair scores — the flat exhaustive ADC
-    val paired = queryCells match {
-      case Some(qc) =>
+    val paired = (queryCells, resid) match {
+      case (Some(qc), true) =>
+        // residual ADC: the distance table is PER (query, probed
+        // cell) — the query's residual against THAT cell's centroid,
+        // m·ks entries each (nq·nprobe·m·ks rows total:
+        // batch-bounded, broadcast). Code rows pair within their own
+        // cell only, so each (query, vector) still scores once.
+        val coarse = spark.read.parquet(
+          new java.io.File(idxPath, "coarse").toString)
+        val qres = qc
+          .join(sq.withColumnRenamed(id, "query_id"), Seq("query_id"))
+          .join(broadcast(coarse.select(col("cell").cast("int").as("ccell"),
+            col("cs").as("ccs"))), Seq("ccell"))
+          .select(col("query_id"), col("ccell"),
+            zip_with(col("xs"), col("ccs"), (x, c) => x - c).as("xs"))
+        val dtabR = subSplit(qres, Seq("query_id", "ccell"))
+          .join(broadcast(cent), Seq("sub"))
+          .select(col("query_id"), col("ccell"), col("sub"), col("cell"),
+            VectorQuantizer.l2DistSq(col("xs"), col("cs")).as("d2"))
         codes.join(broadcast(qc), Seq("ccell"))
-          .select(col("query_id"), col("index_id"),
+          .select(col("query_id"), col("ccell"), col("index_id"),
             posexplode(col("codes")).as(Seq("sub", "cell")))
-          .join(broadcast(dtab), Seq("query_id", "sub", "cell"))
-      case None =>
-        codes.select(col("index_id"),
-            posexplode(col("codes")).as(Seq("sub", "cell")))
-          .join(broadcast(dtab), Seq("sub", "cell"))
+          .join(broadcast(dtabR), Seq("query_id", "ccell", "sub", "cell"))
+      case (qcOpt, _) =>
+        val dtab = subSplit(sq.withColumnRenamed(id, "query_id"),
+            Seq("query_id"))
+          .join(broadcast(cent), Seq("sub"))
+          .select(col("query_id"), col("sub"), col("cell"),
+            VectorQuantizer.l2DistSq(col("xs"), col("cs")).as("d2"))
+        qcOpt match {
+          case Some(qc) =>
+            codes.join(broadcast(qc), Seq("ccell"))
+              .select(col("query_id"), col("index_id"),
+                posexplode(col("codes")).as(Seq("sub", "cell")))
+              .join(broadcast(dtab), Seq("query_id", "sub", "cell"))
+          case None =>
+            codes.select(col("index_id"),
+                posexplode(col("codes")).as(Seq("sub", "cell")))
+              .join(broadcast(dtab), Seq("sub", "cell"))
+        }
     }
     val scored = paired
       .filter(col("index_id") =!= col("query_id"))
       .groupBy("query_id", "index_id").agg(sum("d2").as("adc_d2"))
     val w = Window.partitionBy("query_id")
       .orderBy(asc("adc_d2"), asc("index_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    val result = scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+    // ≤ k rows per query — materialize before releasing the scaled
+    // batch cache; see [[ProbeCache]]
+    if (materialize) try ProbeCache.materialize(result) finally sq.unpersist()
+    else result
   }
 }

@@ -230,7 +230,23 @@ object SimIndex {
     * the filesystem.
     */
   def probeTopK(spark: SparkSession, queries: DataFrame, id: String,
-                vec: String, k: Int, root: String): DataFrame = {
+                vec: String, k: Int, root: String): DataFrame =
+    probeCore(spark, queries, id, vec, k, root, materialize = true)
+
+  /** The LAZY plan behind [[probeTopK]] — exposed for plan audits
+    * (pruning specs assert the static PartitionFilters on this form;
+    * [[probeTopK]]'s returned frame is an already-materialized RDD
+    * scan per the [[ProbeCache]] contract). Evaluates the batch
+    * keying twice if `queries` is not cached.
+    */
+  private[graft] def probeTopKPlan(spark: SparkSession, queries: DataFrame,
+                                   id: String, vec: String, k: Int,
+                                   root: String): DataFrame =
+    probeCore(spark, queries, id, vec, k, root, materialize = false)
+
+  private def probeCore(spark: SparkSession, queries: DataFrame,
+                        id: String, vec: String, k: Int, root: String,
+                        materialize: Boolean): DataFrame = {
     // read-order discipline (see DedupIndex.probeBanded): tombstones,
     // then the DELTA LISTING, then resolve. Tombstones-first keeps a
     // racing compact's log reset from resurfacing purged vectors;
@@ -248,20 +264,17 @@ object SimIndex {
     // land on a racing re-publish's (r, T))
     val (bits, tables) = paramsAt(idxPath)
     // one banding pass for BOTH the touched-bucket collect and the
-    // probe join (the q91 lesson, baked in): the collect below is the
-    // materializing action, the join consumes the cache. Batch-sized.
-    val qk = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+    // probe join (the q91 lesson, baked in): persist backs both, and
+    // the cache is held until the RESULT is materialized below (the
+    // [[ProbeCache]] contract) so the returned frame never re-derives
+    // this batch-sized keying
+    val qk0 = queries.select(col(id).as("query_id"), col(vec).as("qv"),
         posexplode(multiTableBuckets(col(vec), bits, tables))
           .as(Seq("tbl", "bucket")))
       .withColumn("pbucket", pbucketOf(col("tbl"), col("bucket")))
-      .persist()
+    val qk = if (materialize) qk0.persist() else qk0
     val touched = qk.select("pbucket").distinct()
       .collect().map(_.getInt(0)).sorted
-    // cache released as soon as the collect has consumed it: the probe
-    // join below recomputes the batch-side banding once (batch-sized —
-    // one multiTableBuckets pass), which is cheaper than leaking
-    // executor storage on every library call
-    qk.unpersist()
     // base ∪ committed deltas, each with the same static partition
     // filter — pruning applies per root, so an unmerged delta costs
     // its touched buckets only
@@ -278,6 +291,10 @@ object SimIndex {
       .filter(col("index_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("index_id"))
       .agg(max(round(cosineNative(col("qv"), col("ivec")), 6)).as("cos_sim"))
-    Similarity.topK(scored, "index_id", k)
+    val result = Similarity.topK(scored, "index_id", k)
+    // materialize the (≤ k per query) result BEFORE releasing the
+    // batch cache — see [[ProbeCache]]
+    if (materialize) try ProbeCache.materialize(result) finally qk.unpersist()
+    else result
   }
 }

@@ -1681,12 +1681,16 @@ object AnalyticsQueries {
     * true matches, and read amplification in milli — the number a
     * table-layout decision is actually made on. The 1-D layout must
     * read every file whose `a`-range matches regardless of `b`;
-    * z-order's interleave bounds both dimensions per file. The
-    * global row_number here IS the layout write path (a z-order
-    * publish sorts once, via a range exchange, per data version) —
-    * the judged part after it is bounded zone-map algebra. Ties only
-    * occur between identical rows, so file stats are
-    * order-independent.
+    * z-order's interleave bounds both dimensions per file. No
+    * corpus-grain global sort anywhere: each layout's file
+    * assignment is built HIERARCHICALLY (q139/q237's bucket-offset
+    * pattern) — the sort key's high bits are a strictly-ordered
+    * bucket (domain-bounded: ≤ 2⁸ buckets at any sf), global rank =
+    * higher-bucket offset (a tiny rollup cumulative) + within-bucket
+    * row_number, and the in-bucket windows run parallel across
+    * buckets — the same shape a production z-order writer gets from
+    * its range exchange. Ties only occur between identical rows, so
+    * file stats are order-independent.
     */
   lazy val layoutPruning: Q = {
     val BITS = 15; val F = 64
@@ -1705,13 +1709,37 @@ object AnalyticsQueries {
           expr("max(a) * 15 div 100").as("a2"),
           expr("max(b) * 10 div 100").as("b1"),
           expr("max(b) * 15 div 100").as("b2"))
-        val ranked = base
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        // hierarchical global rank (q237's axisRank shape): bucket on
+        // the sort key's high bits (strictly ordered, ≤ 2⁸ buckets —
+        // a domain constant), offset = the bounded bucket rollup's
+        // cumulative, in-bucket row_numbers parallel across buckets
+        def globalRank(src: org.apache.spark.sql.DataFrame,
+                       bucket: org.apache.spark.sql.Column,
+                       inBucket: Seq[org.apache.spark.sql.Column],
+                       out: String): org.apache.spark.sql.DataFrame = {
+          val b = src.withColumn("bkt", bucket)
+          // unhinted rollup join (statistics broadcast the ≤ 2⁸-row
+          // offset table) — q237's hint discipline
+          val boff = b.groupBy("bkt").agg(count(lit(1)).as("n_b"))
+            .withColumn("off", coalesce(sum("n_b").over(
+              Window.orderBy("bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select("bkt", "off")
+          b.join(boff, "bkt")
+            .withColumn(out, (col("off") + row_number().over(
+              Window.partitionBy("bkt").orderBy(inBucket: _*))).cast("long"))
+            .drop("bkt", "off")
+        }
+        // unhinted 1-row cross join for (n, rpf) — statistics
+        // broadcast it (q237's anchor rule)
+        val withN = base
+          .crossJoin(base.agg(count(lit(1)).as("n")))
           .withColumn("rpf", expr(s"(n + ${F - 1}) div $F"))
-          .withColumn("rz", row_number().over(
-            Window.orderBy(col("zk"), col("a"), col("b"))).cast("long"))
-          .withColumn("rl", row_number().over(
-            Window.orderBy(col("a"), col("b"))).cast("long"))
+        val ranked = globalRank(
+          globalRank(withN, shiftright(col("zk"), 22),
+            Seq(col("zk"), col("a"), col("b")), "rz"),
+          shiftright(col("a"), 7).cast("long"),
+          Seq(col("a"), col("b")), "rl")
         def filesOf(fileId: org.apache.spark.sql.Column, name: String) =
           ranked.withColumn("file_id", fileId)
             .groupBy("file_id")

@@ -5335,10 +5335,13 @@ object PipelineQueries {
     * saturation and length normalization decide the ranking. Output:
     * top 20 docs by score with the matched-term count.
     *
-    * Scale shape: df/qt are vocabulary-bounded (the qt window sorts
-    * the vocab dimension, never the corpus); the 5-row query set and
-    * the 1-row (N, Σdl) aggregate broadcast; tf→score is one
-    * doc-keyed join + groupBy; top-20 is TakeOrderedAndProject.
+    * Scale shape: the qt derivation is orderBy+limit —
+    * TakeOrderedAndProject, a per-partition top-24 + driver merge,
+    * never a global sort of the vocabulary — and the row_number that
+    * picks ranks 20–24 runs over the ≤24-row result, not the vocab;
+    * the 5-row query set and the 1-row (N, Σdl) aggregate broadcast;
+    * tf→score is one doc-keyed join + groupBy; top-20 is
+    * TakeOrderedAndProject.
     */
   val bm25: Q = {
     val K = 20
@@ -5354,7 +5357,11 @@ object PipelineQueries {
         val df = tok.select("doc_id", "term").distinct()
           .groupBy("term").agg(count(lit(1)).as("df"))
         val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sumdl"))
+        // top-24 via orderBy+limit (TakeOrderedAndProject) FIRST, so
+        // the ranking window below sees ≤ 24 rows — never a
+        // single-partition sort of the whole vocabulary
         val qt = df
+          .orderBy(desc("df"), asc("term")).limit(24)
           .withColumn("rnk", row_number().over(
             Window.orderBy(desc("df"), asc("term"))))
           .filter(col("rnk") >= 20 && col("rnk") <= 24)
@@ -5413,11 +5420,15 @@ object PipelineQueries {
     */
   private def lexQueryTerms(base: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // top-34 via orderBy+limit (TakeOrderedAndProject) FIRST; the
+    // ranking window then runs over ≤ 34 rows — never a
+    // single-partition sort of the whole vocabulary (q278's rule)
     base.select(col("doc_id"),
         explode(TextFunctions.words(col("text"))).as("term"))
       .filter(length(col("term")) > 0)
       .select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("term")).limit(34)
       .withColumn("rnk", row_number().over(
         Window.orderBy(desc("df"), asc("term"))))
       .filter(col("rnk") >= 20 && col("rnk") <= 34)
@@ -11019,7 +11030,699 @@ object PipelineQueries {
          |FROM ent GROUP BY source ORDER BY source""".stripMargin)
   }
 
+  /** Cross-family purge cascade judged end-to-end (q290) — the
+    * [[graft.operators.PurgeCascade]] composition the five per-family
+    * lifecycle queries (q246/q258/q262/q271/q281) leave spec-only:
+    * ONE deletion set (every 10th indexed id — the id space is
+    * shared, vector i embeds document i, so a forget-me request is
+    * naturally one frame) fanned through ONE `purge` call across all
+    * five persisted index families, then ONE judged row set proving
+    * the purged ids unfindable through every probe path at once.
+    * Each family's probe result is reduced to an order-free integer
+    * fingerprint (count + sum of [[Hashing.seeded]] over the
+    * comma-joined integer columns — q180's replica-diff trick), and
+    * the oracle recomputes the same fingerprint from a from-scratch
+    * replay of that family's semantics over a corpus where the
+    * purged docs were NEVER INGESTED (frozen pre-purge params where
+    * the family freezes them: the LSH (r, T) and the PQ codebooks
+    * derive from the FULL pre-purge corpus). A hash match therefore
+    * proves, per family in one plan: the cascade's tombstone →
+    * compact → vacuum chain dropped exactly the deletion set, kept
+    * every survivor, carried frozen params forward, and reassigned
+    * first-occurrence ownership — the compliance story as one row
+    * set instead of five.
+    *
+    * Scale shape: pure composition — each arm is the corresponding
+    * family's probe (bucket/cell-pruned artifact scans, candidate-
+    * linear work), the fingerprint folds are map-side-combinable
+    * aggregates over probe-sized frames, and the cascade itself is
+    * O(deletes) tombstones + per-family compaction paid once at GDPR
+    * cadence.
+    */
+  val purgeCascadeAudit: Q = {
+    val INDEX_MAX = 400L; val RED_MAX = 100L
+    val SIM_Q_MAX = 500L; val SIM_K = 3; val PQ_Q_MAX = 420L
+    val sigCols = (0 until MH_K)
+      .map(i => s"min(${Hashing.seededSql(i, "s")}) AS h$i").mkString(",\n    ")
+    val bandRowsSql = (0 until MH_BANDS).map { b =>
+      val key = (0 until MH_R).map(r => s"h${b * MH_R + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, is_new, $b AS band, $key AS band_key FROM csig"
+    }.mkString("\n  UNION ALL ")
+    def armSql(family: String, hashExpr: String, body: String): String =
+      s"""SELECT '$family' AS family, count(*)::BIGINT AS n_rows,
+         |  coalesce(sum(${Hashing.seededSql(0, hashExpr)}), 0)::BIGINT AS fp
+         |FROM ($body)""".stripMargin
+    Q(
+      (s, d) => {
+        import graft.operators.PurgeCascade
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val docIndex = docs.filter(col("doc_id") < INDEX_MAX)
+        val docLive = docIndex.filter(col("doc_id") % 10 =!= 0)
+        val vecIndex = emb.filter(col("vec_id") < INDEX_MAX)
+        val simR = VectorFunctions.mtBits(vecIndex.count())
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-purge-cascade", d,
+          Seq("documents.parquet", "embeddings.parquet"))
+        val dedupRoot = s"$root/dedup"; val simRoot = s"$root/sim"
+        val pqRoot = s"$root/pq"; val fsRoot = s"$root/fs"
+        val lexRoot = s"$root/lex"
+        if (DedupIndex.resolve(dedupRoot).isEmpty) {
+          DedupIndex.publish(
+            Dedup.minhashSignatures(docIndex, "doc_id", "text", MH_K),
+            "doc_id", MH_BANDS, MH_R, dedupRoot)
+          SimIndex.publish(vecIndex, "vec_id", "embedding",
+            simR, VectorFunctions.mtTables(simR), simRoot)
+          PqIndex.publish(vecIndex, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, pqRoot)
+          FirstSeenIndex.publish(
+            Dedup.shingleSet(docIndex, "doc_id", "text", 3), fsRoot)
+          LexIndex.publish(docIndex, "doc_id", "text", lexRoot)
+          // ONE deletion set, ONE call, five artifacts
+          val ids = docIndex.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id"), col("doc_id").as("vec_id"))
+          PurgeCascade.purge(s, ids, Seq(
+            PurgeCascade.dedup(dedupRoot),
+            PurgeCascade.sim(simRoot),
+            PurgeCascade.pq(pqRoot),
+            PurgeCascade.firstSeen(fsRoot, reassignSrc =
+              Some(Dedup.shingleSet(docLive, "doc_id", "text", 3))),
+            PurgeCascade.lex(lexRoot)), vacuum = true)
+        }
+        // dedup probe: redeliveries of docs < RED_MAX — purged docs
+        // among them MUST find nothing; survivors find their original
+        val fresh = docs.filter(col("doc_id") < RED_MAX)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val dedupArm = DedupIndex.probe(s,
+          Dedup.minhashSignatures(fresh, "doc_id", "text", MH_K),
+          "doc_id", MH_BANDS, MH_R, dedupRoot)
+        val simArm = SimIndex.probeTopK(s,
+          emb.filter(col("vec_id") >= INDEX_MAX &&
+            col("vec_id") < SIM_Q_MAX),
+          "vec_id", "embedding", SIM_K, simRoot)
+        val pqArm = PqIndex.probeTopK(s,
+          emb.filter(col("vec_id") >= INDEX_MAX &&
+            col("vec_id") < PQ_Q_MAX),
+          "vec_id", "embedding", PQ_K, pqRoot)
+        val batch = docs.filter(col("doc_id") >= INDEX_MAX)
+        val fsArm = FirstSeenIndex.scoreBatch(
+          FirstSeenIndex.probe(s,
+            Dedup.shingleSet(batch, "doc_id", "text", 3), fsRoot))
+        val lexArm = LexIndex.bm25TopK(s, lexQueryTerms(docLive),
+          "query_id", "term", LEX_K, lexRoot)
+        def arm(df: DataFrame, family: String,
+                cols: Seq[String]): DataFrame =
+          df.select(Hashing.seeded(0, concat_ws(",",
+              cols.map(c => col(c).cast("string")): _*)).as("h"))
+            .agg(count(lit(1)).as("n_rows"),
+              coalesce(sum("h"), lit(0L)).cast("long").as("fp"))
+            .select(lit(family).as("family"), col("n_rows"), col("fp"))
+        arm(dedupArm, "dedup", Seq("new_id", "index_id"))
+          .unionByName(arm(simArm, "sim",
+            Seq("query_id", "index_id", "rnk")))
+          .unionByName(arm(pqArm, "pq",
+            Seq("query_id", "index_id", "rnk")))
+          .unionByName(arm(fsArm, "first_seen",
+            Seq("doc_id", "n_sh", "n_novel")))
+          .unionByName(arm(lexArm, "lex",
+            Seq("query_id", "index_id", "n_hit", "score", "rnk")))
+          .orderBy("family")
+      },
+      s"""${armSql("dedup", "new_id || ',' || index_id",
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text, 0 AS is_new FROM documents
+           |  WHERE doc_id < $INDEX_MAX AND doc_id % 10 <> 0
+           |  UNION ALL SELECT doc_id + 1000000, text, 1 FROM documents
+           |    WHERE doc_id < $RED_MAX),
+           |w AS (SELECT doc_id, is_new,
+           |        ${TextFunctions.wordsSql("text")} AS arr FROM corpus),
+           |sh AS (SELECT DISTINCT doc_id, is_new,
+           |         unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
+           |csig AS (
+           |  SELECT doc_id, is_new,
+           |    $sigCols
+           |  FROM sh GROUP BY doc_id, is_new),
+           |bands AS (
+           |  $bandRowsSql),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_key = b.band_key
+           |  WHERE a.is_new = 1 AND b.is_new = 0)
+           |SELECT new_id, index_id FROM cand""".stripMargin)}
+         |UNION ALL
+         |${armSql("first_seen", "doc_id || ',' || n_sh || ',' || n_novel",
+        s"""WITH w AS (
+           |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+           |  FROM documents
+           |  WHERE NOT (doc_id < $INDEX_MAX AND doc_id % 10 = 0)),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(${TextFunctions.shinglesSql("arr")}) AS s
+           |  FROM w),
+           |f AS (
+           |  SELECT doc_id, min(doc_id) OVER (PARTITION BY s) AS first_doc
+           |  FROM sh)
+           |SELECT doc_id, count(*)::BIGINT AS n_sh,
+           |  sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_novel
+           |FROM f WHERE doc_id >= $INDEX_MAX GROUP BY 1""".stripMargin)}
+         |UNION ALL
+         |${armSql("lex",
+        "query_id || ',' || index_id || ',' || n_hit || ',' || score " +
+          "|| ',' || rnk",
+        lexOracleSql(
+          s"doc_id < $INDEX_MAX AND NOT (doc_id % 10 = 0)",
+          s"doc_id < $INDEX_MAX AND NOT (doc_id % 10 = 0)"))}
+         |UNION ALL
+         |${armSql("pq", "query_id || ',' || index_id || ',' || rnk",
+        s"""WITH $pqEpCtes,
+           |ix AS (SELECT * FROM ep WHERE vec_id < $INDEX_MAX),
+           |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+           |        WHERE vec_id < $PQ_KS),
+           |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+           |enc AS (SELECT * FROM ix WHERE vec_id % 10 <> 0),
+           |${pqRankCtes("enc",
+               s"q.vec_id >= $INDEX_MAX AND q.vec_id < $PQ_Q_MAX")}
+           |SELECT query_id, index_id, CAST(rnk AS BIGINT) AS rnk
+           |FROM ranked WHERE rnk <= $PQ_K""".stripMargin)}
+         |UNION ALL
+         |${armSql("sim", "query_id || ',' || index_id || ',' || rnk",
+        s"""WITH idx0 AS (SELECT vec_id, embedding FROM embeddings
+           |              WHERE vec_id < $INDEX_MAX),
+           |params AS (
+           |  SELECT (${VectorFunctions.mtBitsSql("count(*)")}) AS r,
+           |    ${VectorFunctions.mtTablesSql(
+                 VectorFunctions.mtBitsSql("count(*)"))} AS nt
+           |  FROM idx0),
+           |ie AS (
+           |  SELECT vec_id, embedding,
+           |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+           |  FROM embeddings, params
+           |  WHERE vec_id < $INDEX_MAX AND vec_id % 10 <> 0),
+           |iek AS (
+           |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+           |  FROM ie),
+           |ikb AS (
+           |  SELECT vec_id, embedding, tbl,
+           |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+           |  FROM iek),
+           |qe AS (
+           |  SELECT vec_id, embedding,
+           |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+           |  FROM embeddings, params
+           |  WHERE vec_id >= $INDEX_MAX AND vec_id < $SIM_Q_MAX),
+           |qek AS (
+           |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+           |  FROM qe),
+           |qkb AS (
+           |  SELECT vec_id, embedding, tbl,
+           |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+           |  FROM qek),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, kb.vec_id AS index_id,
+           |    max(round(${VectorFunctions.cosineSql(
+                 "q.embedding", "kb.embedding")}, 6))
+           |      AS cos_sim
+           |  FROM qkb q JOIN ikb kb ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+           |  GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT query_id, index_id, cos_sim,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY cos_sim DESC, index_id) AS rnk
+           |  FROM scored)
+           |SELECT query_id, index_id, CAST(rnk AS BIGINT) AS rnk
+           |FROM ranked WHERE rnk <= $SIM_K""".stripMargin)}
+         |ORDER BY family""".stripMargin)
+  }
+
+  /** Residual IVFPQ vs flat-code IVFPQ at EQUAL code budget (q291) —
+    * FAISS's `by_residual=true` default, the accuracy half the q263/
+    * q270 artifacts left on the table: PQ codebooks train and encode
+    * (x − coarse centroid) instead of x, so the same (m, ks) bytes
+    * describe the departure from the cell mean rather than
+    * re-describing the cell's position — at serving time the ADC
+    * table is built PER (query, probed cell) from the query's
+    * residual against that cell. Two committed artifacts share the
+    * identical geometry (m, dsub, ks, coarse cells, nprobe); each is
+    * probed from its artifact and scored against the EXACT integer-L2
+    * top-K truth — recall at equal bytes is the judged number, and
+    * the oracle replays coarse fit → residual computation → PQ fit →
+    * encode → per-cell ADC from scratch for BOTH variants plus the
+    * truth, so the hash match proves the served residual pipeline
+    * bit-exactly. (On this synthetic near-uniform embedding family
+    * the two variants land within noise of each other — weak cluster
+    * structure gives residuals little to win; the judged claim is
+    * pipeline exactness and the equal-budget comparison harness, the
+    * documented FAISS gain appears on clustered real corpora.)
+    *
+    * Scale shape: both arms are [[PqIndex.probeTopK]] (cell-pruned
+    * partition scans, broadcast nq·nprobe·m·ks ADC tables); the truth
+    * arm broadcasts the FIXED 20-query batch against the index scan
+    * (the q96/q243 audit-arm bound — production monitors recall on
+    * samples).
+    */
+  val ivfPqResidual: Q = {
+    val INDEX_MAX = 400L; val Q_MAX = 420L; val NQ = Q_MAX - INDEX_MAX
+    val NPROBE = 2
+    def prunedArm(residual: Boolean): String = {
+      val resid =
+        s"""rr AS (
+           |  SELECT e.vec_id, e.dim, e.xs - c.cs AS xs
+           |  FROM e JOIN ca ON e.vec_id = ca.vec_id
+           |  JOIN c$KM_ITERS c ON c.cell = ca.cell AND c.dim = e.dim),
+           |ix AS (
+           |  SELECT vec_id, (dim - 1) // $PQ_DSUB AS sub,
+           |    (dim - 1) % $PQ_DSUB + 1 AS sdim, xs
+           |  FROM rr),""".stripMargin
+      val flat =
+        s"""ix AS (
+           |  SELECT vec_id, (dim - 1) // $PQ_DSUB AS sub,
+           |    (dim - 1) % $PQ_DSUB + 1 AS sdim, xs
+           |  FROM e WHERE vec_id < $INDEX_MAX),""".stripMargin
+      val dtab = if (residual)
+        s"""qr AS (
+           |  SELECT qa.query_id, qa.cell AS ccell, e.dim, e.xs - c.cs AS xs
+           |  FROM qa JOIN e ON e.vec_id = qa.query_id
+           |  JOIN c$KM_ITERS c ON c.cell = qa.cell AND c.dim = e.dim),
+           |qx AS (
+           |  SELECT query_id, ccell, (dim - 1) // $PQ_DSUB AS sub,
+           |    (dim - 1) % $PQ_DSUB + 1 AS sdim, xs
+           |  FROM qr),
+           |dtab AS (
+           |  SELECT q.query_id, q.ccell, c.sub, c.cell,
+           |    sum((q.xs - c.cs) * (q.xs - c.cs)) AS d2
+           |  FROM qx q JOIN pc$PQ_ITERS c ON q.sub = c.sub AND q.sdim = c.sdim
+           |  GROUP BY 1, 2, 3, 4),""".stripMargin
+      else
+        s"""dtab AS (
+           |  SELECT q.vec_id AS query_id, c.sub, c.cell,
+           |    sum((q.xs - c.cs) * (q.xs - c.cs)) AS d2
+           |  FROM ep q JOIN pc$PQ_ITERS c ON q.sub = c.sub AND q.sdim = c.sdim
+           |  WHERE q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX
+           |  GROUP BY 1, 2, 3),""".stripMargin
+      val scoreJoin = if (residual)
+        s"""  JOIN dtab dt ON dt.query_id = cand.query_id
+           |    AND dt.ccell = cand.ccell
+           |    AND dt.sub = cd.sub AND dt.cell = cd.cell""".stripMargin
+      else
+        s"""  JOIN dtab dt ON dt.query_id = cand.query_id
+           |    AND dt.sub = cd.sub AND dt.cell = cd.cell""".stripMargin
+      s"""WITH ${kmeansCtes(fitPred = s"e.vec_id < $INDEX_MAX")},
+         |fa AS (
+         |  SELECT e.vec_id, c.cell,
+         |    sum((e.xs - c.cs) * (e.xs - c.cs)) AS d2
+         |  FROM e JOIN c$KM_ITERS c USING (dim)
+         |  GROUP BY e.vec_id, c.cell),
+         |ca AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM fa WHERE vec_id < $INDEX_MAX) WHERE rnk = 1),
+         |qa AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM fa WHERE vec_id >= $INDEX_MAX AND vec_id < $Q_MAX)
+         |  WHERE rnk <= $NPROBE),
+         |cand AS (
+         |  SELECT qa.query_id, qa.cell AS ccell, ca.vec_id
+         |  FROM qa JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.query_id),
+         |ep AS (
+         |  SELECT vec_id, (dim - 1) // $PQ_DSUB AS sub,
+         |    (dim - 1) % $PQ_DSUB + 1 AS sdim, xs
+         |  FROM e),
+         |${if (residual) resid else flat}
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+         |        WHERE vec_id < $PQ_KS),
+         |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+         |fd AS (
+         |  SELECT ix.vec_id, c.sub, c.cell,
+         |    sum((ix.xs - c.cs) * (ix.xs - c.cs)) AS d2
+         |  FROM ix JOIN pc$PQ_ITERS c ON ix.sub = c.sub AND ix.sdim = c.sdim
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d2, cell) AS rnk
+         |    FROM fd) WHERE rnk = 1),
+         |$dtab
+         |scored AS (
+         |  SELECT cand.query_id, cd.vec_id AS index_id,
+         |    sum(dt.d2)::BIGINT AS adc_d2
+         |  FROM cand
+         |  JOIN codes cd ON cd.vec_id = cand.vec_id
+         |$scoreJoin
+         |  GROUP BY 1, 2),
+         |rked AS (
+         |  SELECT query_id, index_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adc_d2, index_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, index_id FROM rked WHERE rnk <= $PQ_K""".stripMargin
+    }
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val index = emb.filter(col("vec_id") < INDEX_MAX)
+        val queries = emb.filter(
+          col("vec_id") >= INDEX_MAX && col("vec_id") < Q_MAX)
+        val flatRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-ivfpq-index", d, Seq("embeddings.parquet"))
+        val residRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-ivfpq-resid", d, Seq("embeddings.parquet"))
+        if (PqIndex.resolve(flatRoot).isEmpty)
+          PqIndex.publish(index, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, flatRoot,
+            coarseC = KM_C, coarseIters = KM_ITERS)
+        if (PqIndex.resolve(residRoot).isEmpty)
+          PqIndex.publish(index, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, residRoot,
+            coarseC = KM_C, coarseIters = KM_ITERS, byResidual = true)
+        // exact integer-L2 truth over the FIXED 20-query batch
+        val eI = VectorQuantizer.scaled(index, "vec_id", "embedding")
+        val eQ = VectorQuantizer.scaled(queries, "vec_id", "embedding")
+        val truth = eI.crossJoin(broadcast(eQ.select(
+            col("vec_id").as("query_id"), col("xs").as("qxs"))))
+          .select(col("query_id"), col("vec_id").as("index_id"),
+            VectorQuantizer.l2DistSq(col("qxs"), col("xs")).as("d2"))
+          .withColumn("rnk", row_number().over(Window
+            .partitionBy("query_id").orderBy(asc("d2"), asc("index_id"))))
+          .filter(col("rnk") <= PQ_K)
+          .select(col("query_id"), col("index_id"), lit(1L).as("hit"))
+        def armOf(root: String, name: String) =
+          PqIndex.probeTopK(s, queries, "vec_id", "embedding", PQ_K,
+              root, NPROBE)
+            .select(lit(name).as("variant"), col("query_id"),
+              col("index_id"))
+        armOf(flatRoot, "flat_code")
+          .unionByName(armOf(residRoot, "residual"))
+          .join(truth, Seq("query_id", "index_id"), "left")
+          .groupBy("variant")
+          .agg(count(lit(1)).as("n_pairs"),
+            coalesce(sum("hit"), lit(0L)).as("n_hit"))
+          .withColumn("recall_ppm",
+            expr(s"n_hit * 1000000 div (${NQ * PQ_K})"))
+          .orderBy("variant")
+      },
+      s"""WITH truth AS (
+         |  SELECT query_id, index_id FROM (
+         |    WITH e AS (
+         |      SELECT vec_id,
+         |        unnest(range(1, len(embedding) + 1)) AS dim,
+         |        round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xs
+         |      FROM embeddings),
+         |    td AS (
+         |      SELECT q.vec_id AS query_id, x.vec_id AS index_id,
+         |        sum((q.xs - x.xs) * (q.xs - x.xs)) AS d2
+         |      FROM e q JOIN e x USING (dim)
+         |      WHERE q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX
+         |        AND x.vec_id < $INDEX_MAX
+         |      GROUP BY 1, 2)
+         |    SELECT query_id, index_id FROM (
+         |      SELECT query_id, index_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY d2, index_id) AS rnk
+         |      FROM td) WHERE rnk <= $PQ_K)),
+         |flatp AS (SELECT query_id, index_id FROM (
+         |${prunedArm(residual = false)})),
+         |residp AS (SELECT query_id, index_id FROM (
+         |${prunedArm(residual = true)}))
+         |SELECT variant, count(*)::BIGINT AS n_pairs,
+         |  coalesce(sum(hit), 0)::BIGINT AS n_hit,
+         |  (coalesce(sum(hit), 0) * 1000000 // ${NQ * PQ_K})::BIGINT
+         |    AS recall_ppm
+         |FROM (
+         |  SELECT p.variant,
+         |    CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM (SELECT 'flat_code' AS variant, * FROM flatp
+         |        UNION ALL SELECT 'residual', * FROM residp) p
+         |  LEFT JOIN truth t ON t.query_id = p.query_id
+         |    AND t.index_id = p.index_id)
+         |GROUP BY variant ORDER BY variant""".stripMargin)
+  }
+
+  /** Drift-triggered codebook re-train judged end-to-end (q292) —
+    * the lifecycle wire q132's drift audit was missing: frozen PQ
+    * codebooks have a shelf life, and when the embedding model is
+    * retrained (here: "v2" re-embeds every document — simulated by a
+    * deterministic +0.25 per-component shift, an exact L2 isometry
+    * in the scaled integer domain (round((x+¼)·10⁶) ≡ round(x·10⁶) +
+    * 250000, bit-exact) that relocates the whole cloud away from
+    * every frozen sub-centroid while leaving all true distances
+    * unchanged), an index serving the old generation ranks the new
+    * world's queries from stale geometry. The judged loop:
+    *
+    *   1. the drift trigger ([[graft.operators.PqIndex
+    *      .retrainOnDrift]]) measures the re-embedded corpus's
+    *      quantization error under the frozen codebooks against the
+    *      publish-time baseline recorded in the artifact — one
+    *      encode pass — and MUST fire (the engine requires it);
+    *   2. the STALE arm probes the un-retrained artifact with
+    *      drifted queries and scores against the drifted truth —
+    *      recall collapses;
+    *   3. the RETRAINED arm probes the trigger-republished
+    *      generation (same geometry, codebooks re-fit on v2) —
+    *      recall is restored to the v1-on-v1 level.
+    *
+    * Both arms report (qerr_ratio_milli, n_pairs, n_hit, recall_ppm);
+    * the oracle replays both fits, both encodes, both quantization
+    * errors and the exact-L2 truth from scratch, so the hash match
+    * proves the trigger arithmetic AND the restored ranking
+    * bit-exactly. (Truth note: the shift is an isometry, so the
+    * drifted truth equals the raw truth — the oracle computes it on
+    * raw vectors.)
+    *
+    * Scale shape: the trigger is one encode pass (delta-append cost)
+    * per audit; Lloyd rounds are paid only on fire; probes are the
+    * standard artifact ADC with broadcast batch-bounded tables; the
+    * truth arm broadcasts the fixed 20-query set (q96's bound).
+    */
+  val driftRetrain: Q = {
+    val INDEX_MAX = 300L; val Q_MAX = 320L; val NQ = Q_MAX - INDEX_MAX
+    val FACTOR_MILLI = 2000L
+    def fitArm(drifted: Boolean): String = {
+      // fit + encode + flat ADC of the drifted queries, all inside
+      // one subquery WITH (names isolated); `drifted` decides the
+      // corpus world the codebooks train and encode on
+      val xsExpr =
+        if (drifted) "round(unnest(list_transform(embedding, x -> x::DOUBLE + 0.25)) * 1000000)::BIGINT"
+        else "round(unnest(embedding)::DOUBLE * 1000000)::BIGINT"
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    unnest(range(1, len(embedding) + 1)) AS dim,
+         |    $xsExpr AS xs
+         |  FROM embeddings),
+         |qe AS (
+         |  SELECT vec_id,
+         |    unnest(range(1, len(embedding) + 1)) AS dim,
+         |    round(unnest(list_transform(embedding, x -> x::DOUBLE + 0.25)) * 1000000)::BIGINT AS xs
+         |  FROM embeddings WHERE vec_id >= $INDEX_MAX AND vec_id < $Q_MAX),
+         |ep AS (
+         |  SELECT vec_id, (dim - 1) // $PQ_DSUB AS sub,
+         |    (dim - 1) % $PQ_DSUB + 1 AS sdim, xs
+         |  FROM e),
+         |ix AS (SELECT * FROM ep WHERE vec_id < $INDEX_MAX),
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+         |        WHERE vec_id < $PQ_KS),
+         |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+         |fd AS (
+         |  SELECT ix.vec_id, c.sub, c.cell,
+         |    sum((ix.xs - c.cs) * (ix.xs - c.cs)) AS d2
+         |  FROM ix JOIN pc$PQ_ITERS c ON ix.sub = c.sub AND ix.sdim = c.sdim
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d2, cell) AS rnk
+         |    FROM fd) WHERE rnk = 1),
+         |qp AS (
+         |  SELECT vec_id, (dim - 1) // $PQ_DSUB AS sub,
+         |    (dim - 1) % $PQ_DSUB + 1 AS sdim, xs
+         |  FROM qe),
+         |dtab AS (
+         |  SELECT q.vec_id AS query_id, c.sub, c.cell,
+         |    sum((q.xs - c.cs) * (q.xs - c.cs)) AS d2
+         |  FROM qp q JOIN pc$PQ_ITERS c ON q.sub = c.sub AND q.sdim = c.sdim
+         |  GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT dt.query_id, cd.vec_id AS index_id,
+         |    sum(dt.d2)::BIGINT AS adc_d2
+         |  FROM codes cd JOIN dtab dt
+         |    ON cd.sub = dt.sub AND cd.cell = dt.cell
+         |  GROUP BY 1, 2),
+         |rked AS (
+         |  SELECT query_id, index_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adc_d2, index_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, index_id FROM rked WHERE rnk <= $PQ_K""".stripMargin
+    }
+    // mean quantization error of the REVERSED (serving) corpus and of
+    // the arm's own training corpus under the arm's codebooks —
+    // integer (Σ min d²) // count, [[PqIndex.meanAssignD2]]'s formula
+    def qerrArm(drifted: Boolean): String = {
+      val xsExpr =
+        if (drifted) "round(unnest(list_transform(embedding, x -> x::DOUBLE + 0.25)) * 1000000)::BIGINT"
+        else "round(unnest(embedding)::DOUBLE * 1000000)::BIGINT"
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    unnest(range(1, len(embedding) + 1)) AS dim,
+         |    $xsExpr AS xs
+         |  FROM embeddings),
+         |ve AS (
+         |  SELECT vec_id,
+         |    unnest(range(1, len(embedding) + 1)) AS dim,
+         |    round(unnest(list_transform(embedding, x -> x::DOUBLE + 0.25)) * 1000000)::BIGINT AS xs
+         |  FROM embeddings WHERE vec_id < $INDEX_MAX),
+         |ep AS (
+         |  SELECT vec_id, (dim - 1) // $PQ_DSUB AS sub,
+         |    (dim - 1) % $PQ_DSUB + 1 AS sdim, xs
+         |  FROM e),
+         |ix AS (SELECT * FROM ep WHERE vec_id < $INDEX_MAX),
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+         |        WHERE vec_id < $PQ_KS),
+         |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+         |vp AS (
+         |  SELECT vec_id, (dim - 1) // $PQ_DSUB AS sub,
+         |    (dim - 1) % $PQ_DSUB + 1 AS sdim, xs
+         |  FROM ve),
+         |cur AS (
+         |  SELECT sum(d2)::BIGINT AS s, count(*)::BIGINT AS n FROM (
+         |    SELECT vec_id, sub, min(d2) AS d2 FROM (
+         |      SELECT v.vec_id, c.sub, c.cell,
+         |        sum((v.xs - c.cs) * (v.xs - c.cs)) AS d2
+         |      FROM vp v JOIN pc$PQ_ITERS c
+         |        ON v.sub = c.sub AND v.sdim = c.sdim
+         |      GROUP BY 1, 2, 3)
+         |    GROUP BY 1, 2)),
+         |base AS (
+         |  SELECT sum(d2)::BIGINT AS s, count(*)::BIGINT AS n FROM (
+         |    SELECT vec_id, sub, min(d2) AS d2 FROM (
+         |      SELECT ix.vec_id, c.sub, c.cell,
+         |        sum((ix.xs - c.cs) * (ix.xs - c.cs)) AS d2
+         |      FROM ix JOIN pc$PQ_ITERS c
+         |        ON ix.sub = c.sub AND ix.sdim = c.sdim
+         |      GROUP BY 1, 2, 3)
+         |    GROUP BY 1, 2))
+         |SELECT ((cur.s // cur.n) * 1000 // (base.s // base.n))::BIGINT
+         |  AS ratio
+         |FROM cur, base""".stripMargin
+    }
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val v1 = emb.filter(col("vec_id") < INDEX_MAX)
+        val shift = (v: Column) =>
+          transform(v, x => x.cast("double") + lit(0.25))
+        val v2 = v1.select(col("vec_id"),
+          shift(col("embedding")).as("embedding"))
+        val qDrift = emb.filter(
+            col("vec_id") >= INDEX_MAX && col("vec_id") < Q_MAX)
+          .select(col("vec_id"), shift(col("embedding")).as("embedding"))
+        val rootStale = graft.sources.Artifacts.versionedRoot(
+          "graft-pq-drift-stale", d, Seq("embeddings.parquet"))
+        val rootLive = graft.sources.Artifacts.versionedRoot(
+          "graft-pq-drift-live", d, Seq("embeddings.parquet"))
+        if (PqIndex.resolve(rootStale).isEmpty)
+          PqIndex.publish(v1, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, rootStale)
+        if (PqIndex.resolve(rootLive).isEmpty)
+          PqIndex.publish(v1, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, rootLive)
+        if (graft.operators.VersionedDirs.versionsOf(rootLive).size < 2) {
+          val fired = PqIndex.retrainOnDrift(s, v2, "vec_id", "embedding",
+            rootLive, FACTOR_MILLI)
+          require(fired.isDefined,
+            "drift trigger must fire on the re-embedded corpus")
+        }
+        val staleRatio = PqIndex.quantizationError(
+          s, v2, "vec_id", "embedding", rootStale) * 1000L /
+          PqIndex.publishQuantizationError(rootStale)
+        val liveRatio = PqIndex.quantizationError(
+          s, v2, "vec_id", "embedding", rootLive) * 1000L /
+          PqIndex.publishQuantizationError(rootLive)
+        // exact integer-L2 truth of the drifted queries vs the
+        // re-embedded corpus (reversal is an isometry — identical to
+        // the raw truth, which is what the oracle computes)
+        val eI = VectorQuantizer.scaled(v2, "vec_id", "embedding")
+        val eQ = VectorQuantizer.scaled(qDrift, "vec_id", "embedding")
+        val truth = eI.crossJoin(broadcast(eQ.select(
+            col("vec_id").as("query_id"), col("xs").as("qxs"))))
+          .select(col("query_id"), col("vec_id").as("index_id"),
+            VectorQuantizer.l2DistSq(col("qxs"), col("xs")).as("d2"))
+          .withColumn("rnk", row_number().over(Window
+            .partitionBy("query_id").orderBy(asc("d2"), asc("index_id"))))
+          .filter(col("rnk") <= PQ_K)
+          .select(col("query_id"), col("index_id"), lit(1L).as("hit"))
+        def armOf(root: String, name: String, ratio: Long) =
+          PqIndex.probeTopK(s, qDrift, "vec_id", "embedding", PQ_K, root)
+            .select(lit(name).as("arm"),
+              lit(ratio).as("qerr_ratio_milli"),
+              col("query_id"), col("index_id"))
+        armOf(rootLive, "retrained", liveRatio)
+          .unionByName(armOf(rootStale, "stale", staleRatio))
+          .join(truth, Seq("query_id", "index_id"), "left")
+          .groupBy("arm", "qerr_ratio_milli")
+          .agg(count(lit(1)).as("n_pairs"),
+            coalesce(sum("hit"), lit(0L)).as("n_hit"))
+          .withColumn("recall_ppm",
+            expr(s"n_hit * 1000000 div (${NQ * PQ_K})"))
+          .orderBy("arm")
+      },
+      s"""WITH truth AS (
+         |  SELECT query_id, index_id FROM (
+         |    WITH e AS (
+         |      SELECT vec_id,
+         |        unnest(range(1, len(embedding) + 1)) AS dim,
+         |        round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xs
+         |      FROM embeddings),
+         |    td AS (
+         |      SELECT q.vec_id AS query_id, x.vec_id AS index_id,
+         |        sum((q.xs - x.xs) * (q.xs - x.xs)) AS d2
+         |      FROM e q JOIN e x USING (dim)
+         |      WHERE q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX
+         |        AND x.vec_id < $INDEX_MAX
+         |      GROUP BY 1, 2)
+         |    SELECT query_id, index_id FROM (
+         |      SELECT query_id, index_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY d2, index_id) AS rnk
+         |      FROM td) WHERE rnk <= $PQ_K)),
+         |stalep AS (SELECT query_id, index_id FROM (
+         |${fitArm(drifted = false)})),
+         |livep AS (SELECT query_id, index_id FROM (
+         |${fitArm(drifted = true)})),
+         |staler AS (SELECT ratio FROM (${qerrArm(drifted = false)})),
+         |liver AS (SELECT ratio FROM (${qerrArm(drifted = true)}))
+         |SELECT arm, qerr_ratio_milli, count(*)::BIGINT AS n_pairs,
+         |  coalesce(sum(hit), 0)::BIGINT AS n_hit,
+         |  (coalesce(sum(hit), 0) * 1000000 // ${NQ * PQ_K})::BIGINT
+         |    AS recall_ppm
+         |FROM (
+         |  SELECT p.arm, p.qerr_ratio_milli,
+         |    CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM (SELECT 'stale' AS arm,
+         |          (SELECT ratio FROM staler)::BIGINT AS qerr_ratio_milli,
+         |          query_id, index_id
+         |        FROM stalep
+         |        UNION ALL
+         |        SELECT 'retrained',
+         |          (SELECT ratio FROM liver)::BIGINT, query_id, index_id
+         |        FROM livep) p
+         |  LEFT JOIN truth t ON t.query_id = p.query_id
+         |    AND t.index_id = p.index_id)
+         |GROUP BY arm, qerr_ratio_milli ORDER BY arm""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q292_drift_retrain" -> driftRetrain,
+    "q291_residual_ivfpq" -> ivfPqResidual,
+    "q290_purge_cascade" -> purgeCascadeAudit,
     "q142_source_lang_lift" -> sourceLangLift,
     "q153_er_pipeline" -> erPipeline,
     "q145_padding_waste" -> paddingWaste,

@@ -48,20 +48,27 @@ class BenchTrendSpec extends AnyFunSuite {
     // tail folds into "more"), so the union across rounds covers
     // every query that was ever slow enough to matter — exactly the
     // population the ratchet is for.
-    // Adjudicated floors: (floor, lastDiscreditedRound) — a query
-    // whose recorded bests THROUGH that round were later shown (by
-    // repeated SPARK_GRAFT_ONLY isolation runs on byte-identical code
-    // AND data — evidence in SCALE.md) to be unreproducible box-state
-    // flattery ratchets against the honest isolated floor instead.
-    // The scope is bounded: a best recorded in any LATER round is
-    // genuine and reclaims the ratchet — the floor can only displace
-    // the discredited measurements, never wave a future regression by.
-    val adjudicated = Map(
-      // r10 recorded 3.1 s; r11 isolation measured a stable ~7-10 s
-      // across cpu configs on unchanged code and re-verified identical
-      // corpus stats, while neighbor heavies held their r10 times —
-      // SCALE.md "q148 adjudicated floor"
-      "q148" -> (7.4, 11))
+    // Adjudicated floors live in BENCH_ADJUDICATIONS.json — a data
+    // sidecar, not test code, so the ratchet stays data-driven: a
+    // query whose recorded bests THROUGH `through_round` were later
+    // shown (by repeated SPARK_GRAFT_ONLY isolation runs on
+    // byte-identical code AND data — evidence cited per entry) to be
+    // unreproducible box-state flattery ratchets against the honest
+    // isolated floor instead. The scope is bounded: a best recorded
+    // in any LATER round is genuine and reclaims the ratchet — a
+    // floor can only displace the discredited measurements, never
+    // wave a future regression by.
+    val adjFile = new java.io.File("BENCH_ADJUDICATIONS.json")
+    val adjudicated: Map[String, (Double, Int)] =
+      if (!adjFile.isFile) Map.empty
+      else {
+        val txt = java.nio.file.Files.readString(adjFile.toPath)
+        ("""\{[^{}]*"query"\s*:\s*"([^"]+)"[^{}]*"floor"\s*:\s*""" +
+          """(\d+(?:\.\d+)?)[^{}]*"through_round"\s*:\s*(\d+)[^{}]*\}""").r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toInt))
+          .toMap
+      }
     val best = rounds
       .map { f =>
         val roundNo = "\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt)

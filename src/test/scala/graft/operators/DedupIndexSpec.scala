@@ -57,7 +57,7 @@ class DedupIndexSpec extends SparkSpec {
       s"corpus too small to demonstrate pruning: $touched vs $totalDirs")
     // and the probe's scan carries that footprint as a STATIC
     // partition filter — pruning happens at file listing, not post-scan
-    val p = DedupIndex.probe(spark, sigN, "doc_id", BANDS, R, root)
+    val p = DedupIndex.probePlan(spark, sigN, "doc_id", BANDS, R, root)
       .queryExecution.executedPlan.toString
     // the filter must sit INSIDE the scan's PartitionFilters list (an
     // empty list would still print the header — anchor on the content)

@@ -40,7 +40,7 @@ class FirstSeenIndexSpec extends SparkSpec {
       .count(_.getName.startsWith("pbucket="))
     // a single-shingle probe touches one bucket
     val one = Seq((10L, "b")).toDF("doc_id", "s")
-    val p = FirstSeenIndex.probe(spark, one, root)
+    val p = FirstSeenIndex.probePlan(spark, one, root)
       .queryExecution.executedPlan.toString
     assert(totalDirs >= 2, s"base too small to demonstrate pruning")
     assert("PartitionFilters: \\[[^\\]]*pbucket".r.findFirstIn(p).isDefined,
@@ -132,5 +132,32 @@ class FirstSeenIndexSpec extends SparkSpec {
     // physically purged: no row anywhere names doc 1
     val v = FirstSeenIndex.resolve(root).get
     assert(spark.read.parquet(v).filter($"first_doc" === 1L).count() == 0)
+  }
+
+  test("a tagged fold redelivered AFTER purge + merge is absorbed — no resurrection") {
+    // the r11 advice scenario: "min is idempotent, double fold
+    // harmless" breaks when a DELETE ran in between — a replayed fold
+    // re-committing its delta after mergeCompact reset the tombstones
+    // would resurrect purged doc ids into the served map. The
+    // _folded.json sidecar is the durable commit record that closes it.
+    val root = Files.createTempDirectory("fsidx").toString
+    FirstSeenIndex.publish(base, root)
+    FirstSeenIndex.fold(spark, batch, root, tag = "b0")
+    // purge doc 10 (it introduced "e"; doc 11 is the surviving holder)
+    FirstSeenIndex.addTombstones(spark, Seq(10L).toDF("doc_id"),
+      "doc_id", root)
+    val survivors = base.unionByName(batch).filter($"doc_id" =!= 10L)
+    FirstSeenIndex.mergeCompact(spark, root, reassignSrc = Some(survivors))
+    // the delta dir is gone, but the fold is still durably recorded
+    assert(FirstSeenIndex.deltas(root).isEmpty)
+    assert(FirstSeenIndex.folded(root, "b0"),
+      "merge erased the only commit record of the folded batch")
+    // at-least-once redelivery of the SAME tagged fold: absorbed
+    FirstSeenIndex.fold(spark, batch, root, tag = "b0")
+    assert(FirstSeenIndex.deltas(root).isEmpty,
+      "redelivered fold re-committed a delta a purge already consumed")
+    val day3 = Seq((20L, "e")).toDF("doc_id", "s")
+    assert(probeSet(day3, root) == Set((20L, "e", Some(11L))),
+      "purged doc resurrected as a first-occurrence holder")
   }
 }

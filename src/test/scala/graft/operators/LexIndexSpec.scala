@@ -121,7 +121,7 @@ class LexIndexSpec extends SparkSpec {
       .count(_.getName.startsWith("pbucket="))
     assert(totalDirs >= 4, "base too small to demonstrate pruning")
     val one = Seq((0L, "alpha")).toDF("query_id", "term")
-    val p = LexIndex.bm25TopK(spark, one, "query_id", "term", K, root)
+    val p = LexIndex.bm25TopKPlan(spark, one, "query_id", "term", K, root)
       .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*pbucket".r.findFirstIn(p).isDefined,
       s"probe scan lost its pbucket partition filter:\n${p.take(1500)}")

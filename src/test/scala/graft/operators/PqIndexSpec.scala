@@ -237,7 +237,7 @@ class PqIndexSpec extends SparkSpec {
     // the pruned scan must carry the probed-cell set as a STATIC
     // partition filter — pruning at file listing, not post-scan
     // (DedupIndexSpec's bucket-pruning assertion, on the ccell layout)
-    val p = PqIndex.probeTopK(spark, queries, "vec_id", "embedding",
+    val p = PqIndex.probeTopKPlan(spark, queries, "vec_id", "embedding",
         K, root, 1)
       .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*ccell[^\\]]*IN".r.findFirstIn(p).isDefined
@@ -358,5 +358,80 @@ class PqIndexSpec extends SparkSpec {
     val orphan = new java.io.File(root, "index.v9")
     assert(orphan.mkdir())
     assert(PqIndex.resolve(root).contains(v2))
+  }
+
+  test("by_residual artifact: residual encode + per-cell ADC; lifecycle carries the flag") {
+    val C = 4
+    val root = Files.createTempDirectory("pqidx").toString
+    PqIndex.publish(index, "vec_id", "embedding", M, DSUB, KS, ITERS,
+      root, coarseC = C, coarseIters = 2, byResidual = true)
+    // a near-copy query's original must land in its residual top-K
+    // when every cell is probed (the flat-parity sanity the
+    // non-residual artifact proves exhaustively)
+    val got = PqIndex.probeTopK(spark, queries, "vec_id", "embedding",
+        K, root, C)
+      .select($"query_id", $"index_id", $"rnk")
+      .as[(Long, Long, Long)].collect()
+    assert((0 until 5).forall(q =>
+      got.exists(r => r._1 == 1000L + q && r._2 == q)),
+      s"residual ADC lost a near-copy's original: ${got.toSeq}")
+    // a flat (nprobe=0) probe of a residual artifact must refuse —
+    // residual ADC tables only exist per probed cell
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.probeTopK(spark, queries, "vec_id", "embedding", K, root)
+    }
+    assert(e.getMessage.contains("by_residual"))
+    // delta append encodes RESIDUALS under the frozen coarse+codebook:
+    // an appended exact copy of an indexed vector gets identical codes
+    // and the identical coarse cell
+    val copy = index.filter($"vec_id" === 7L)
+      .select(($"vec_id" + 500L).as("vec_id"), $"embedding")
+    PqIndex.appendDelta(copy, "vec_id", "embedding", root)
+    val baseRow = spark.read.parquet(
+        new java.io.File(PqIndex.resolve(root).get, "codes").toString)
+      .filter($"index_id" === 7L).select("codes", "ccell").collect().head
+    val deltaRow = spark.read.parquet(PqIndex.deltas(root).head)
+      .filter($"index_id" === 507L).select("codes", "ccell").collect().head
+    assert(baseRow.getSeq[Long](0) == deltaRow.getSeq[Long](0) &&
+      baseRow.getInt(1) == deltaRow.getInt(1),
+      "delta append did not encode the residual under frozen quantizers")
+    // merge carries the residual flag forward (a generation that
+    // silently dropped it would serve flat ADC over residual codes)
+    PqIndex.mergeCompact(spark, root)
+    val params = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      PqIndex.resolve(root).get, "_params.json"))
+    assert(params.contains("\"resid\":1"),
+      s"mergeCompact dropped the by_residual flag: $params")
+    assert(PqIndex.probeTopK(spark, queries, "vec_id", "embedding",
+      K, root, C).count() > 0)
+  }
+
+  test("retrainOnDrift: fires on a re-embedded corpus, absorbs a stable one") {
+    val root = Files.createTempDirectory("pqidx").toString
+    PqIndex.publish(index, "vec_id", "embedding", M, DSUB, KS, ITERS, root)
+    val baseline = PqIndex.publishQuantizationError(root)
+    assert(baseline > 0L, "publish must record a quantization baseline")
+    // the SAME corpus fits exactly as well as at publish: ratio 1000,
+    // below any sane threshold — no re-train, no new generation
+    assert(PqIndex.retrainOnDrift(spark, index, "vec_id", "embedding",
+      root, factorMilli = 1500L).isEmpty)
+    assert(VersionedDirs.versionsOf(root).size == 1)
+    // a re-embedded corpus (dimension reversal — an isometry that
+    // scrambles every subspace statistic) must trip the trigger and
+    // republish with the SAME frozen geometry
+    val drifted = index.select($"vec_id",
+      reverse($"embedding").as("embedding"))
+    val fired = PqIndex.retrainOnDrift(spark, drifted, "vec_id",
+      "embedding", root, factorMilli = 1500L)
+    assert(fired.isDefined, "drift trigger failed to fire on reversal")
+    assert(VersionedDirs.versionsOf(root).size == 2)
+    assert(PqIndex.params(root) == ((M, DSUB, KS, ITERS)))
+    // the re-published generation's codebooks fit the drifted corpus
+    // as a fresh publish would: its recorded baseline is the new
+    // corpus's own error, and re-measuring lands on ratio 1000
+    val reQ = PqIndex.quantizationError(spark, drifted, "vec_id",
+      "embedding", root)
+    assert(reQ * 1000L / PqIndex.publishQuantizationError(root) == 1000L,
+      "re-published codebooks are not a fresh fit of the drifted corpus")
   }
 }

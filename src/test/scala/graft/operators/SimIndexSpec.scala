@@ -68,7 +68,7 @@ class SimIndexSpec extends SparkSpec {
       .distinct().count()
     assert(touched < totalDirs,
       s"batch too large to demonstrate pruning: $touched vs $totalDirs")
-    val p = SimIndex.probeTopK(spark, queries, "vec_id", "embedding",
+    val p = SimIndex.probeTopKPlan(spark, queries, "vec_id", "embedding",
         K, root)
       .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*pbucket[^\\]]*IN".r.findFirstIn(p).isDefined
