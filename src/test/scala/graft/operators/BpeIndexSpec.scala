@@ -1,0 +1,118 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted tokenizer (sixth family): frozen-merge artifact,
+  * bucket-pruned memo probe with a fold path for unseen words, memo
+  * deltas, the word-level purge, and the fertility-drift re-train.
+  */
+class BpeIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val R = 4
+
+  // a tiny corpus with heavy "ab"/"abc" mass so the learned merges
+  // are predictable-ish and unseen words share trained pairs
+  private lazy val train = Seq(
+    (1L, "abab abc abc abab cab"),
+    (2L, "abc abab bc bc cab"),
+    (3L, "abab abc dd dd dd")).toDF("doc_id", "text")
+  private lazy val batch = Seq(
+    (10L, "abc abab zz"),       // known words + unseen zz
+    (11L, "ababab cab qq abc")) // unseen ababab/qq
+    .toDF("doc_id", "text")
+
+  test("tokenize ≡ train-time segmentation for known AND unseen words") {
+    val root = Files.createTempDirectory("bpeidx").toString
+    BpeIndex.publish(train, "doc_id", "text", R, root)
+    // ground truth: apply the committed merges to EVERY batch word
+    // via the public fold — the memo path must agree with it exactly
+    val merges = spark.read.parquet(
+        new java.io.File(BpeIndex.resolve(root).get, "merges").toString)
+      .orderBy("round").select("lhs", "rhs")
+      .as[(String, String)].collect().toSeq
+    val words = batch.select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0).distinct()
+    val bySeg = BpeIndex.applyMerges(words, merges)
+      .as[(String, Long)].collect().toMap
+    val got = BpeIndex.tokenize(spark, batch, "doc_id", "text", root)
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, w, s) => d -> ((w, s)) }.toMap
+    val occ = batch.select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0).as[(Long, String)].collect()
+    val want = occ.groupBy(_._1).map { case (d, ws) =>
+      d -> ((ws.length.toLong, ws.map(w => bySeg(w._2)).sum))
+    }
+    assert(got == want, s"memo/fold split diverges: got $got want $want")
+  }
+
+  test("tokenize prunes the memo to touched word buckets") {
+    val root = Files.createTempDirectory("bpeidx").toString
+    BpeIndex.publish(train, "doc_id", "text", R, root)
+    val one = Seq((20L, "abc")).toDF("doc_id", "text")
+    val p = BpeIndex.tokenizePlan(spark, one, "doc_id", "text", root)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pbucket".r.findFirstIn(p).isDefined,
+      s"tokenize scan lost its pbucket partition filter:\n${p.take(1500)}")
+  }
+
+  test("memo deltas fold at batch cost and serve identically; purgeWords never changes results") {
+    val root = Files.createTempDirectory("bpeidx").toString
+    val basePath = BpeIndex.publish(train, "doc_id", "text", R, root)
+    val before = BpeIndex.tokenize(spark, batch, "doc_id", "text", root)
+      .as[(Long, Long, Long)].collect().toSet
+    // fold the batch's unseen words into the memo (what a streaming
+    // ingest does after tokenizing): results must not move
+    val merges = spark.read.parquet(
+        new java.io.File(basePath, "merges").toString)
+      .orderBy("round").select("lhs", "rhs")
+      .as[(String, String)].collect().toSeq
+    val unseenSeg = BpeIndex.applyMerges(
+      Seq("zz", "ababab", "qq").toDF("word"), merges)
+    BpeIndex.foldMemo(spark, unseenSeg, root, tag = "b0")
+    assert(BpeIndex.deltas(root).size == 1)
+    // redelivered tagged fold absorbed
+    BpeIndex.foldMemo(spark, unseenSeg, root, tag = "b0")
+    assert(BpeIndex.deltas(root).size == 1)
+    assert(BpeIndex.tokenize(spark, batch, "doc_id", "text", root)
+      .as[(Long, Long, Long)].collect().toSet == before)
+    // the committed base was not rewritten by the fold
+    assert(BpeIndex.resolve(root).contains(basePath))
+    // word-level purge: the literal token leaves the stored artifact,
+    // tokenize results are unchanged (the word re-derives via fold)
+    BpeIndex.purgeWords(spark, Seq("cab", "zz").toDF("word"), root)
+    BpeIndex.vacuumOld(root)
+    val memo = spark.read.parquet(
+      new java.io.File(BpeIndex.resolve(root).get, "memo").toString)
+    assert(memo.filter($"word".isin("cab", "zz")).count() == 0,
+      "purged word string still stored in the memo")
+    assert(BpeIndex.deltas(root).isEmpty, "purge must fold the delta log")
+    assert(BpeIndex.tokenize(spark, batch, "doc_id", "text", root)
+      .as[(Long, Long, Long)].collect().toSet == before,
+      "purgeWords changed tokenize results — memo is cache, not truth")
+  }
+
+  test("retrainOnFertility: absorbs a stable corpus, fires on a drifted one") {
+    val root = Files.createTempDirectory("bpeidx").toString
+    BpeIndex.publish(train, "doc_id", "text", R, root)
+    assert(BpeIndex.publishFertility(root) > 0L)
+    assert(BpeIndex.retrainOnFertility(spark, train, "doc_id", "text",
+      root, factorMilli = 1050L).isEmpty,
+      "trigger fired on the training corpus itself (ratio is 1000)")
+    assert(VersionedDirs.versionsOf(root).size == 1)
+    // reversed orthography: the learned merges stop firing
+    val drifted = train.select($"doc_id", reverse($"text").as("text"))
+    val fired = BpeIndex.retrainOnFertility(spark, drifted, "doc_id",
+      "text", root, factorMilli = 1050L)
+    assert(fired.isDefined, "trigger failed to fire on reversal")
+    assert(BpeIndex.rounds(root) == R)
+    // the re-published artifact fits the drifted corpus exactly as a
+    // fresh publish: remeasuring lands on ratio 1000
+    val f = BpeIndex.fertility(spark, drifted, "doc_id", "text", root)
+    assert(f * 1000L / BpeIndex.publishFertility(root) == 1000L)
+  }
+}
