@@ -55,6 +55,26 @@ object BpeIndex {
   def pbucketOf(word: Column): Column =
     pmod(xxhash64(word), lit(NumBuckets.toLong)).cast("int")
 
+  /** Memo/delta schema, read schema-first everywhere: a delta from a
+    * batch with NO unseen words is an empty partitioned dir (just
+    * `_SUCCESS`), which schema inference cannot read but an explicit
+    * schema reads as zero rows.
+    */
+  private val MemoSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "word STRING, n_sub BIGINT, pbucket INT")
+
+  /** Base ∪ delta memo rows (word, n_sub, pbucket) of the newest
+    * committed generation — the artifact's full word inventory (the
+    * purge audit's read surface).
+    */
+  private[graft] def memoAll(spark: SparkSession, root: String): DataFrame = {
+    val idxPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    (new java.io.File(idxPath, "memo").toString +: deltas(root))
+      .map(p => spark.read.schema(MemoSchema).parquet(p))
+      .reduce(_.unionByName(_))
+  }
+
   /** Highest committed version under `root`, if any. */
   def resolve(root: String): Option[String] = VersionedDirs.resolve(root)
 
@@ -162,11 +182,15 @@ object BpeIndex {
 
   /** Commit a batch's newly-derived segmentations (word, n_sub) as a
     * memo delta — batch cost, the committed memo never read or
-    * rewritten. Duplicate rows across generations are harmless: every
-    * row is DERIVED from the same frozen merges, so any copy carries
-    * the identical n_sub (no folded-sidecar machinery needed — the
-    * [[FirstSeenIndex]] purge-resurrection hazard cannot exist for a
-    * pure cache).
+    * rewritten. Duplicate rows across generations are harmless for
+    * RESULTS: every row is DERIVED from the same frozen merges, so
+    * any copy carries the identical n_sub. The one redelivery that
+    * must still be absorbed is the PII one: a tagged fold replayed
+    * after [[purgeWords]] consumed its delta would re-commit the
+    * purged word STRINGS into the store — so purge records consumed
+    * delta names in the new generation's `_folded.json`
+    * ([[FirstSeenIndex]]'s pattern, carried forward across
+    * generations) and an absorbed tag returns without writing.
     */
   def foldMemo(spark: SparkSession, seg: DataFrame, root: String,
                tag: String = java.util.UUID.randomUUID().toString): String =
@@ -177,6 +201,11 @@ object BpeIndex {
       val target = new java.io.File(dr, s"batch-$tag")
       if (new java.io.File(target, "_SUCCESS").isFile)
         return target.getAbsolutePath
+      // consumed by a purge and its dir deleted: ABSORB — a re-commit
+      // here would resurrect purged word strings (see [[purgeWords]])
+      val gen = resolve(root)
+      if (gen.exists(p => foldedOf(p)(s"batch-$tag")))
+        return gen.get
       graft.sources.Artifacts.notePublish()
       val staging = new java.io.File(dr,
         s".staging-${java.util.UUID.randomUUID()}")
@@ -191,13 +220,40 @@ object BpeIndex {
       target.getAbsolutePath
     }
 
+  /** Delta dir NAMES a generation has consumed — [[purgeWords]]
+    * writes them (previous generation's names carried forward, so
+    * absorption survives any number of purges) and [[foldMemo]]
+    * checks them: without the record, a checkpoint-lagged redelivery
+    * of a tagged fold arriving after a purge would re-commit the
+    * delta and resurrect the purged word strings into the store.
+    * Names only (~bytes per batch), never the words themselves.
+    */
+  private def foldedOf(genPath: String): Set[String] = {
+    val f = new java.io.File(genPath, "_folded.json")
+    if (!f.isFile) Set.empty
+    else """"([^"]+)"""".r.findAllMatchIn(
+      java.nio.file.Files.readString(f.toPath)).map(_.group(1)).toSet
+  }
+
+  /** True when a fold tagged `tag` has already committed — live in
+    * the delta log, or consumed by a purge (its name in the resolved
+    * generation's `_folded.json`).
+    */
+  def folded(root: String, tag: String): Boolean = {
+    val live = new java.io.File(
+      new java.io.File(deltaDir(root), s"batch-$tag"), "_SUCCESS").isFile
+    live || resolve(root).exists(p => foldedOf(p)(s"batch-$tag"))
+  }
+
   /** Drop memo rows for `words` (one column `word`) — the word-level
     * deletion surface (see the class PII note): rewrite base ∪ deltas
     * without the named words as the next generation, merges and
     * params carried over byte-identically. Tokenize RESULTS are
     * unchanged by construction (purged words re-derive through the
     * frozen-merge fold); this removes the literal token string from
-    * the stored artifact.
+    * the stored artifact. Consumed delta names land in the new
+    * generation's `_folded.json` (see [[foldedOf]]) so a redelivered
+    * fold cannot resurrect them.
     */
   def purgeWords(spark: SparkSession, words: DataFrame,
                  root: String): String = synchronized {
@@ -205,8 +261,7 @@ object BpeIndex {
       throw new IllegalStateException(s"no committed index under $root"))
     val deltaSnap = deltas(root)
     val all = (new java.io.File(idxPath, "memo").toString +: deltaSnap)
-      .map(p => spark.read.parquet(p)
-        .select(col("word"), col("n_sub"), col("pbucket")))
+      .map(p => spark.read.schema(MemoSchema).parquet(p))
       .reduce(_.unionByName(_))
     val kept = all.join(words.select("word"), Seq("word"), "left_anti")
       // deltas may duplicate base rows (identical by derivation) —
@@ -216,6 +271,8 @@ object BpeIndex {
       java.nio.file.Paths.get(idxPath, "_params.json"))
     val merges = spark.read.parquet(
       new java.io.File(idxPath, "merges").toString)
+    val foldedNames = (foldedOf(idxPath) ++
+      deltaSnap.map(p => new java.io.File(p).getName)).toSeq.sorted
     val path = VersionedDirs.commit(root) { st =>
       kept.repartition(col("pbucket"))
         .sortWithinPartitions("word")
@@ -225,6 +282,9 @@ object BpeIndex {
         .write.parquet(new java.io.File(st, "merges").toString)
       java.nio.file.Files.writeString(
         new java.io.File(st, "_params.json").toPath, params)
+      java.nio.file.Files.writeString(
+        new java.io.File(st, "_folded.json").toPath,
+        foldedNames.map(n => s""""$n"""").mkString("[", ",", "]"))
       java.nio.file.Files.createFile(
         new java.io.File(st, "_SUCCESS").toPath)
       ()
@@ -269,7 +329,27 @@ object BpeIndex {
 
   private def tokenizeCore(spark: SparkSession, docs: DataFrame,
                            id: String, text: String, root: String,
-                           materialize: Boolean): DataFrame = {
+                           materialize: Boolean): DataFrame =
+    censusCore(spark, docs, id, text, root, materialize)
+      ._1.drop("n_memo_hits")
+
+  /** [[tokenize]] plus the streaming gate's two extras, one shared
+    * derivation ([[graft.streaming.BpeStream]]): the census carries
+    * `n_memo_hits` (per-doc count of word occurrences whose word the
+    * PRE-batch memo already held — the judged evidence that a memo
+    * delta landed at exactly a batch boundary), and the second frame
+    * is the unseen tail's derived segmentations (word, n_sub) — what
+    * the stream folds as the batch's memo delta. Both materialized
+    * per the [[ProbeCache]] contract.
+    */
+  private[graft] def censusAndUnseen(spark: SparkSession, docs: DataFrame,
+                                     id: String, text: String,
+                                     root: String): (DataFrame, DataFrame) =
+    censusCore(spark, docs, id, text, root, materialize = true)
+
+  private def censusCore(spark: SparkSession, docs: DataFrame,
+                         id: String, text: String, root: String,
+                         materialize: Boolean): (DataFrame, DataFrame) = {
     val deltaSnap = deltas(root)
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
@@ -282,7 +362,7 @@ object BpeIndex {
     val touched = wb.select("pbucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val memo = (new java.io.File(idxPath, "memo").toString +: deltaSnap)
-      .map(p => spark.read.parquet(p)
+      .map(p => spark.read.schema(MemoSchema).parquet(p)
         .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*))
         .select(col("word"), col("n_sub")))
       .reduce(_.unionByName(_))
@@ -290,18 +370,25 @@ object BpeIndex {
       // derivation) — fold duplicates
       .groupBy("word").agg(min("n_sub").as("n_sub"))
     val known = wb.select("word").join(memo, Seq("word"))
-    val unseen = applyMerges(
+    val unseen0 = applyMerges(
       wb.select("word").join(memo.select("word"), Seq("word"), "left_anti"),
       merges)
-    val seg = known.unionByName(unseen)
+    // the unseen tail is batch-bounded — settle it first so the
+    // census plan (and a stream's later fold) reads the one computed
+    // copy instead of re-running the R-round fold
+    val unseen =
+      if (materialize) ProbeCache.materialize(unseen0) else unseen0
+    val seg = known.withColumn("memo_hit", lit(1L))
+      .unionByName(unseen.withColumn("memo_hit", lit(0L)))
     val result = occ.join(seg, Seq("word"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_words"),
-        sum("n_sub").as("n_subwords"))
+        sum("n_sub").as("n_subwords"),
+        sum("memo_hit").as("n_memo_hits"))
     if (materialize)
-      try ProbeCache.materialize(result)
+      try (ProbeCache.materialize(result), unseen)
       finally { wb.unpersist(); occ.unpersist(); () }
-    else result
+    else (result, unseen)
   }
 
   // ------------------------------------------------------ fertility drift

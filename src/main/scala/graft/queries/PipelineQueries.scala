@@ -11792,6 +11792,24 @@ object PipelineQueries {
          |GROUP BY arm, qerr_ratio_milli ORDER BY arm""".stripMargin)
   }
 
+  /** The tokenizer queries' novel-vocabulary world (q293/q295): the
+    * synthetic corpus is a CLOSED ~31-word vocabulary — every batch
+    * word would be a train-memo hit and the unseen-fold path would
+    * never run in a judged row set. The mutation rewrites `query` to
+    * `query<doc_id % 97>` in the RAW text ("the re-crawl carries new
+    * jargon"), deterministically and identically on both engines:
+    * ~97 novel words spread across doc ids, so a batch split sees
+    * memo hits, fresh unseen words, AND words another batch
+    * introduced. `query` is the only vocabulary word containing
+    * `query` as a substring, so the whole-string replace is
+    * word-exact.
+    */
+  private def mutBatch(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(mutBatchSql).as("text"))
+
+  private val mutBatchSql: String =
+    "replace(text, 'query', 'query' || CAST(doc_id % 97 AS STRING))"
+
   /** The persisted tokenizer served end-to-end (q293) — [[graft
     * .operators.BpeIndex]], the SIXTH persisted family: q72's BPE
     * train runs ONCE per data version and freezes into an artifact
@@ -11813,6 +11831,13 @@ object PipelineQueries {
     * is R map-only passes over the unseen tail; the R-row merge list
     * is a model constant (HLL-register-map class). Probe follows the
     * [[graft.operators.ProbeCache]] contract.
+    *
+    * The synthetic corpus is a CLOSED ~31-word vocabulary, which
+    * would leave the unseen-fold half of the claim vacuous — so the
+    * batch rides [[mutBatchSql]]'s deterministic novel-vocabulary
+    * world (both engines apply it to the raw text), putting real
+    * traffic on both the memo-hit AND the fold path in the judged
+    * row set.
     */
   val bpeIndexServe: Q = {
     val TRAIN_MAX = 400L; val BATCH_MAX = 900L
@@ -11825,14 +11850,15 @@ object PipelineQueries {
           BpeIndex.publish(docs.filter(col("doc_id") < TRAIN_MAX),
             "doc_id", "text", BPE_ROUNDS, root)
         BpeIndex.tokenize(s,
-            docs.filter(col("doc_id") >= TRAIN_MAX &&
-              col("doc_id") < BATCH_MAX),
+            mutBatch(docs.filter(col("doc_id") >= TRAIN_MAX &&
+              col("doc_id") < BATCH_MAX)),
             "doc_id", "text", root)
           .orderBy("doc_id")
       },
       s"""WITH ${BpeOracle.chainFor(s"WHERE doc_id < $TRAIN_MAX")},
          |dw AS (
-         |  SELECT doc_id, unnest(${TextFunctions.wordsSql("text")}) AS word
+         |  SELECT doc_id,
+         |    unnest(${TextFunctions.wordsSql(mutBatchSql)}) AS word
          |  FROM documents
          |  WHERE doc_id >= $TRAIN_MAX AND doc_id < $BATCH_MAX),
          |dwf AS (SELECT doc_id, word FROM dw WHERE length(word) > 0),
@@ -11972,7 +11998,286 @@ object PipelineQueries {
          |ORDER BY arm""".stripMargin)
   }
 
+  /** Judged batch twin of the streaming tokenizer (q295) — the
+    * streaming × tokenizer cell: [[graft.streaming.BpeStream]]
+    * censuses each arriving doc batch against the PRE-batch committed
+    * [[graft.operators.BpeIndex]] memo state, then folds the batch's
+    * unseen words in as a tagged memo delta. The memo is pure cache,
+    * so n_words/n_subwords cannot move with delta timing — the judged
+    * boundary evidence is `n_memo_hits`: batch 0 (docs 300–400,
+    * riding [[mutBatchSql]]'s novel-vocabulary world) hits only the
+    * train vocabulary (docs < 300), while batch 1 (docs 400–500)
+    * also hits every word batch 0 introduced — exactly at the
+    * boundary, the cost-plane twin of q283's collection-stats shift
+    * (a hit is a cheap memo join, a miss pays the R-round fold).
+    * Batch 0 is REDELIVERED and absorbed through the committed
+    * census dir and the tagged delta. The oracle replays train,
+    * applies the learned pairs to every batch word, and derives each
+    * batch's hit set from the pre-batch vocabulary — so the hash
+    * match proves the delta fold landed at exactly the batch boundary
+    * AND that delta-served segmentations equal the from-scratch
+    * apply.
+    */
+  val bpeStreamTwin: Q = {
+    val TRAIN_MAX = 300L; val B0_MAX = 400L; val B1_MAX = 500L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val idxRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-bpe-stream-idx", d, Seq("documents.parquet"))
+        val outRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-bpe-stream-out", d, Seq("documents.parquet"))
+        if (BpeIndex.resolve(idxRoot).isEmpty)
+          BpeIndex.publish(docs.filter(col("doc_id") < TRAIN_MAX),
+            "doc_id", "text", BPE_ROUNDS, idxRoot)
+        val bs = new graft.streaming.BpeStream(
+          s, idxRoot, outRoot, "doc_id", "text")
+        val b0 = mutBatch(docs.filter(
+          col("doc_id") >= TRAIN_MAX && col("doc_id") < B0_MAX))
+        bs.processBatch(b0, 0)
+        bs.processBatch(b0, 0) // at-least-once redelivery: absorbed
+        bs.processBatch(mutBatch(docs.filter(
+          col("doc_id") >= B0_MAX && col("doc_id") < B1_MAX)), 1)
+        bs.results().orderBy("doc_id")
+      },
+      s"""WITH ${BpeOracle.chainFor(s"WHERE doc_id < $TRAIN_MAX")},
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(${TextFunctions.wordsSql(mutBatchSql)}) AS word
+         |  FROM documents
+         |  WHERE doc_id >= $TRAIN_MAX AND doc_id < $B1_MAX),
+         |dwf AS (SELECT doc_id, word FROM dw WHERE length(word) > 0),
+         |bw AS (SELECT DISTINCT word FROM dwf),
+         |${BpeOracle.applyChain("bw", "a")},
+         |v0 AS (SELECT DISTINCT word FROM dwf WHERE doc_id < $B0_MAX),
+         |m1 AS (SELECT word FROM w UNION SELECT word FROM v0),
+         |cen0 AS (
+         |  SELECT d.doc_id, count(*)::BIGINT AS n_words,
+         |    sum(an.n_sub)::BIGINT AS n_subwords,
+         |    sum(CASE WHEN m.word IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_memo_hits
+         |  FROM dwf d JOIN an USING (word)
+         |  LEFT JOIN w m ON d.word = m.word
+         |  WHERE d.doc_id < $B0_MAX GROUP BY d.doc_id),
+         |cen1 AS (
+         |  SELECT d.doc_id, count(*)::BIGINT AS n_words,
+         |    sum(an.n_sub)::BIGINT AS n_subwords,
+         |    sum(CASE WHEN m.word IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_memo_hits
+         |  FROM dwf d JOIN an USING (word)
+         |  LEFT JOIN m1 m ON d.word = m.word
+         |  WHERE d.doc_id >= $B0_MAX GROUP BY d.doc_id)
+         |SELECT * FROM (SELECT * FROM cen0 UNION ALL SELECT * FROM cen1)
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Tokenizer word-level purge judged end-to-end (q296) — the purge
+    * cell of the SIXTH family, with a claim the doc/vector families
+    * can't make: because the memo is pure cache, deletion provably
+    * CANNOT change results — only remove the literal word strings
+    * from the stored artifact (the PII surface: memo keys ARE corpus
+    * words). Two arms from two committed lifecycles over the same
+    * corpus (publish + delta fold; one then purged): the census
+    * fingerprints over a probe batch must be IDENTICAL (the oracle
+    * derives the fingerprint once and the judged rows carry it
+    * twice), and the purge-word memo match must go from its exact
+    * pre-purge census (replayed: the deletion request ∩ the ingested
+    * vocabulary — including words never ingested, which a correct
+    * purge need not find) to zero. Deletion-request words that made
+    * it into `merges/` itself are out of scope here — that is
+    * [[graft.operators.BpeIndex.retrainOnFertility]]'s re-publish
+    * vehicle (q294).
+    */
+  val bpeIndexPurge: Q = {
+    val TRAIN_MAX = 300L; val DELTA_MAX = 400L; val PROBE_MAX = 500L
+    // the deletion request mixes ingested words (docs < 8 are in the
+    // train split) with words of never-ingested docs (480–488 are in
+    // the probe split) — a correct purge finds exactly the ingested
+    // intersection, and the oracle derives it
+    val piiPred = "doc_id < 8 OR (doc_id >= 480 AND doc_id < 488)"
+    def censusSql: String =
+      s"""WITH ${BpeOracle.chainFor(s"WHERE doc_id < $TRAIN_MAX")},
+         |dw AS (
+         |  SELECT doc_id, unnest(${TextFunctions.wordsSql("text")}) AS word
+         |  FROM documents
+         |  WHERE doc_id >= $DELTA_MAX AND doc_id < $PROBE_MAX),
+         |dwf AS (SELECT doc_id, word FROM dw WHERE length(word) > 0),
+         |bw AS (SELECT DISTINCT word FROM dwf),
+         |${BpeOracle.applyChain("bw", "a")}
+         |SELECT d.doc_id, count(*)::BIGINT AS n_words,
+         |  sum(an.n_sub)::BIGINT AS n_subwords
+         |FROM dwf d JOIN an USING (word)
+         |GROUP BY d.doc_id""".stripMargin
+    // the ingested vocabulary (memo after publish + the delta fold)
+    // is exactly the distinct words of docs < DELTA_MAX
+    def memoMatchSql(purged: Boolean): String = {
+      val memoW =
+        if (!purged) "SELECT word FROM memow"
+        else "SELECT word FROM memow EXCEPT SELECT word FROM purgew"
+      s"""WITH purgew AS (
+         |  SELECT DISTINCT w AS word FROM (
+         |    SELECT unnest(${TextFunctions.wordsSql("text")}) AS w
+         |    FROM documents WHERE $piiPred)
+         |  WHERE length(w) > 0),
+         |memow AS (
+         |  SELECT DISTINCT w AS word FROM (
+         |    SELECT unnest(${TextFunctions.wordsSql("text")}) AS w
+         |    FROM documents WHERE doc_id < $DELTA_MAX)
+         |  WHERE length(w) > 0)
+         |SELECT p.word FROM purgew p JOIN ($memoW) m ON p.word = m.word"""
+        .stripMargin
+    }
+    def armSql(arm: String, hashExpr: String, body: String): String =
+      s"""SELECT '$arm' AS arm, count(*)::BIGINT AS n_rows,
+         |  coalesce(sum(${Hashing.seededSql(0, hashExpr)}), 0)::BIGINT AS fp
+         |FROM ($body)""".stripMargin
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val train = docs.filter(col("doc_id") < TRAIN_MAX)
+        val deltaBatch = docs.filter(
+          col("doc_id") >= TRAIN_MAX && col("doc_id") < DELTA_MAX)
+        val probeBatch = docs.filter(
+          col("doc_id") >= DELTA_MAX && col("doc_id") < PROBE_MAX)
+        val purgeW = docs.filter(expr(piiPred))
+          .select(explode(TextFunctions.words(col("text"))).as("word"))
+          .filter(length(col("word")) > 0).distinct()
+        val rootC = graft.sources.Artifacts.versionedRoot(
+          "graft-bpe-purge-ctl", d, Seq("documents.parquet"))
+        val rootP = graft.sources.Artifacts.versionedRoot(
+          "graft-bpe-purge", d, Seq("documents.parquet"))
+        def lifecycle(root: String, purge: Boolean): Unit = {
+          if (BpeIndex.resolve(root).isEmpty)
+            BpeIndex.publish(train, "doc_id", "text", BPE_ROUNDS, root)
+          if (purge) {
+            if (VersionedDirs.versionsOf(root).size < 2) {
+              if (!BpeIndex.folded(root, "b0"))
+                BpeIndex.foldMemo(s, BpeIndex.censusAndUnseen(
+                  s, deltaBatch, "doc_id", "text", root)._2, root, "b0")
+              BpeIndex.purgeWords(s, purgeW, root)
+            }
+          } else if (!BpeIndex.folded(root, "b0"))
+            BpeIndex.foldMemo(s, BpeIndex.censusAndUnseen(
+              s, deltaBatch, "doc_id", "text", root)._2, root, "b0")
+        }
+        lifecycle(rootC, purge = false)
+        lifecycle(rootP, purge = true)
+        def arm(df: DataFrame, name: String,
+                cols: Seq[String]): DataFrame =
+          df.select(Hashing.seeded(0, concat_ws(",",
+              cols.map(c => col(c).cast("string")): _*)).as("h"))
+            .agg(count(lit(1)).as("n_rows"),
+              coalesce(sum("h"), lit(0L)).cast("long").as("fp"))
+            .select(lit(name).as("arm"), col("n_rows"), col("fp"))
+        def memoMatch(root: String): DataFrame =
+          BpeIndex.memoAll(s, root).select("word").distinct()
+            .join(purgeW, Seq("word"), "leftsemi")
+        val censusCols = Seq("doc_id", "n_words", "n_subwords")
+        arm(BpeIndex.tokenize(s, probeBatch, "doc_id", "text", rootC),
+            "census_control", censusCols)
+          .unionByName(arm(
+            BpeIndex.tokenize(s, probeBatch, "doc_id", "text", rootP),
+            "census_purged", censusCols))
+          .unionByName(arm(memoMatch(rootC),
+            "memo_match_control", Seq("word")))
+          .unionByName(arm(memoMatch(rootP),
+            "memo_match_purged", Seq("word")))
+          .orderBy("arm")
+      },
+      s"""${armSql("census_control",
+             "doc_id || ',' || n_words || ',' || n_subwords", censusSql)}
+         |UNION ALL
+         |${armSql("census_purged",
+             "doc_id || ',' || n_words || ',' || n_subwords", censusSql)}
+         |UNION ALL
+         |${armSql("memo_match_control", "word",
+             memoMatchSql(purged = false))}
+         |UNION ALL
+         |${armSql("memo_match_purged", "word",
+             memoMatchSql(purged = true))}
+         |ORDER BY arm""".stripMargin)
+  }
+
+  /** Token-budget packing driven by the PERSISTED tokenizer (q297) —
+    * the composition that makes the q293 scaladoc's "token counts are
+    * load-bearing" claim literal: the serve batch is tokenized
+    * against the committed [[graft.operators.BpeIndex]] artifact
+    * (q293's root, read-only shared) and its per-doc `n_subwords` —
+    * not the whitespace word count q62 packs by — drives
+    * [[graft.operators.Packing.nextFitPack]]'s exact-integer bin
+    * boundaries. A single off-by-one in any artifact-served
+    * segmentation flips a bin-overflow decision and cascades through
+    * the rest of the stratum's assignment, so the per-bin occupancy
+    * hash is a much sharper probe of the artifact than the census
+    * itself. The oracle replays train + run-parity apply + the q62
+    * recursive next-fit fold end-to-end.
+    *
+    * Scale shape: q293's probe cost + q62's pack shape (one shuffle
+    * to strata, in-partition sort, O(1)-state fold); the two stages
+    * compose without a barrier — the pack's repartition consumes the
+    * probe's materialized census directly.
+    */
+  val bpePackCompose: Q = {
+    val TRAIN_MAX = 400L; val BATCH_MAX = 900L
+    val STRATA = 16; val BUDGET = 256L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-bpe-index", d, Seq("documents.parquet"))
+        if (BpeIndex.resolve(root).isEmpty)
+          BpeIndex.publish(docs.filter(col("doc_id") < TRAIN_MAX),
+            "doc_id", "text", BPE_ROUNDS, root)
+        val census = BpeIndex.tokenize(s,
+          mutBatch(docs.filter(col("doc_id") >= TRAIN_MAX &&
+            col("doc_id") < BATCH_MAX)),
+          "doc_id", "text", root)
+        val n = census.select(
+          (col("doc_id") % STRATA).as("stratum"), col("doc_id"),
+          col("n_subwords").as("n_tok"))
+        Packing.nextFitPack(n, "stratum", "doc_id", "n_tok", BUDGET)
+          .groupBy("stratum", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+          .orderBy("stratum", "bin")
+      },
+      s"""WITH RECURSIVE ${BpeOracle.chainFor(s"WHERE doc_id < $TRAIN_MAX")},
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(${TextFunctions.wordsSql(mutBatchSql)}) AS word
+         |  FROM documents
+         |  WHERE doc_id >= $TRAIN_MAX AND doc_id < $BATCH_MAX),
+         |dwf AS (SELECT doc_id, word FROM dw WHERE length(word) > 0),
+         |bw AS (SELECT DISTINCT word FROM dwf),
+         |${BpeOracle.applyChain("bw", "a")},
+         |cen AS (
+         |  SELECT d.doc_id, sum(an.n_sub)::BIGINT AS n_tok
+         |  FROM dwf d JOIN an USING (word) GROUP BY d.doc_id),
+         |pkn AS (
+         |  SELECT doc_id % $STRATA AS stratum, doc_id, n_tok FROM cen),
+         |pko AS (
+         |  SELECT stratum, doc_id, n_tok,
+         |    row_number() OVER (PARTITION BY stratum ORDER BY doc_id) AS rn
+         |  FROM pkn),
+         |pkp AS (
+         |  SELECT stratum, rn, n_tok, 0::BIGINT AS bin, n_tok AS cum
+         |  FROM pko WHERE rn = 1
+         |  UNION ALL
+         |  SELECT pko.stratum, pko.rn, pko.n_tok,
+         |    CASE WHEN pkp.cum + pko.n_tok > $BUDGET THEN pkp.bin + 1
+         |         ELSE pkp.bin END,
+         |    CASE WHEN pkp.cum + pko.n_tok > $BUDGET THEN pko.n_tok
+         |         ELSE pkp.cum + pko.n_tok END
+         |  FROM pkp JOIN pko
+         |    ON pko.stratum = pkp.stratum AND pko.rn = pkp.rn + 1)
+         |SELECT stratum, bin, count(*)::BIGINT AS n_docs,
+         |  sum(n_tok)::BIGINT AS sum_tokens
+         |FROM pkp GROUP BY stratum, bin ORDER BY stratum, bin""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q297_bpe_pack"      -> bpePackCompose,
+    "q296_bpe_purge"     -> bpeIndexPurge,
+    "q295_bpe_stream"    -> bpeStreamTwin,
     "q294_bpe_drift"     -> bpeDriftRetrain,
     "q293_bpe_index"     -> bpeIndexServe,
     "q292_drift_retrain" -> driftRetrain,
