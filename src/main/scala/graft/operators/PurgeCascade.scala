@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * novelty map. Each family already implements the identical
   * tombstone → compact → vacuum lifecycle ([[DedupIndex]],
   * [[SimIndex]], [[PqIndex]], [[FirstSeenIndex]], [[LexIndex]] —
-  * judged end-to-end by q246/q258/q262/q271/q281); what a compliance
+  * judged end-to-end by q246/q258/q262/q271/q281 — plus
+  * [[BpeIndex]]'s word-surface rewrite, q296); what a compliance
   * caller needs is ONE call that fans a deletion set across all of
   * them and reports the new committed generation per artifact. That
   * is all this is: pure composition over the per-family closures, no
@@ -92,6 +93,65 @@ object PurgeCascade {
     (s, ids) => FirstSeenIndex.addTombstones(s, ids, idCol, root),
     s => FirstSeenIndex.mergeCompact(s, root, reassignSrc),
     () => FirstSeenIndex.vacuumOld(root))
+
+  /** A persisted tokenizer ([[BpeIndex]]) — the sixth family, whose
+    * deletion surface is WORDS, not doc ids: the cascade derives
+    * [[uniqueVocabulary]] (tokens existing ONLY in the deleted docs —
+    * their rare identifying strings; words shared with any survivor
+    * stay) and [[BpeIndex.purgeWords]] drops those memo rows in one
+    * atomic rewrite. The family has no tombstone phase (the memo is
+    * pure cache, results invariant by construction, and the rewrite
+    * IS the delete) — so the registration phase only stages the
+    * deletion frame, and a crash before compact loses nothing
+    * durable: a cascade re-run re-derives the same word set from the
+    * same deletion ids.
+    *
+    * `corpus` is the doc frame the deletion ids index into — needed
+    * because "unique to the deleted docs" is a property of the
+    * surviving corpus, not of the artifact. `idCol` names the
+    * deletion frame's id column; `corpusIdCol`/`textCol` the corpus
+    * frame's.
+    */
+  def bpe(root: String, corpus: DataFrame, idCol: String = "doc_id",
+          corpusIdCol: String = "doc_id",
+          textCol: String = "text"): Target = {
+    @volatile var pending: Option[DataFrame] = None
+    Target(
+      "bpe", root,
+      (_, ids) => { pending = Some(ids) },
+      s => pending match {
+        case Some(ids) =>
+          val v = BpeIndex.purgeWords(s, uniqueVocabulary(
+            corpus, corpusIdCol, textCol, ids, idCol), root)
+          pending = None; v
+        case None => BpeIndex.resolve(root).getOrElse(
+          throw new IllegalStateException(s"no committed index under $root"))
+      },
+      () => BpeIndex.vacuumOld(root))
+  }
+
+  /** The vocabulary that exists ONLY in the deletion set's docs:
+    * words of deleted docs anti-joined against the surviving corpus's
+    * words. Shared words are not identifying, and purging them would
+    * gut the memo for everyone else — this is the deletion-request →
+    * word-set derivation the tokenizer arm of a compliance cascade
+    * actually wants. Cost: one pass over the corpus words with the
+    * (small) deletion set broadcast — GDPR cadence, never per probe.
+    */
+  def uniqueVocabulary(corpus: DataFrame, corpusIdCol: String,
+                       textCol: String, ids: DataFrame,
+                       idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val words = corpus.select(col(corpusIdCol).as("_pid"),
+        explode(graft.functions.TextFunctions.words(col(textCol)))
+          .as("word"))
+      .filter(length(col("word")) > 0)
+    val delIds = ids.select(col(idCol).as("_pid"))
+    words.join(delIds, Seq("_pid"), "leftsemi")
+      .select("word").distinct()
+      .join(words.join(delIds, Seq("_pid"), "left_anti")
+        .select("word").distinct(), Seq("word"), "left_anti")
+  }
 
   /** The new committed generation of one propagated artifact. */
   final case class Report(family: String, root: String, newVersion: String)

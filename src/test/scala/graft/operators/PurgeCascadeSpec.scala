@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** The cross-family purge orchestrator: one deletion set fans to all
-  * five persisted index families, and afterwards the purged id is
+  * six persisted index families, and afterwards the purged id is
   * unfindable through EVERY probe path — the compliance property each
-  * family proves individually (q246/q258/q262/q271/q281), asserted
-  * here through the single composed call.
+  * family proves individually (q246/q258/q262/q271/q281/q296),
+  * asserted here through the single composed call (the tokenizer arm
+  * via the derived unique-vocabulary word set).
   */
 class PurgeCascadeSpec extends SparkSpec {
   import spark.implicits._
@@ -38,9 +39,9 @@ class PurgeCascadeSpec extends SparkSpec {
     (0 until 40).map(i => (i.toLong, vec(i.toLong, 0.0f)))
       .toDF("vec_id", "embedding")
 
-  test("one purge call propagates to all five families' probe paths") {
-    val roots = Seq.fill(5)(Files.createTempDirectory("cascade").toString)
-    val Seq(dRoot, sRoot, pRoot, fRoot, lRoot) = roots
+  test("one purge call propagates to all six families' probe paths") {
+    val roots = Seq.fill(6)(Files.createTempDirectory("cascade").toString)
+    val Seq(dRoot, sRoot, pRoot, fRoot, lRoot, bRoot) = roots
     DedupIndex.publish(
       Dedup.minhashSignatures(docs, "doc_id", "text", K),
       "doc_id", BANDS, R, dRoot)
@@ -49,6 +50,7 @@ class PurgeCascadeSpec extends SparkSpec {
     FirstSeenIndex.publish(
       Dedup.shingleSet(docs, "doc_id", "text", 3), fRoot)
     LexIndex.publish(docs, "doc_id", "text", lRoot)
+    BpeIndex.publish(docs, "doc_id", "text", R, bRoot)
 
     val ids = Seq(5L).toDF("id")
     val targets = Seq(
@@ -56,15 +58,16 @@ class PurgeCascadeSpec extends SparkSpec {
       PurgeCascade.sim(sRoot, "id"),
       PurgeCascade.pq(pRoot, "id"),
       PurgeCascade.firstSeen(fRoot, "id"),
-      PurgeCascade.lex(lRoot, "id"))
+      PurgeCascade.lex(lRoot, "id"),
+      PurgeCascade.bpe(bRoot, docs, "id"))
     val reports = PurgeCascade.purge(spark, ids, targets)
 
     assert(reports.map(_.family) ==
-      Seq("dedup", "sim", "pq", "firstSeen", "lex"))
+      Seq("dedup", "sim", "pq", "firstSeen", "lex", "bpe"))
     assert(reports.forall(_.newVersion.nonEmpty))
     // compaction reset every tombstone log (probes stop paying the
     // anti-join; the rows are physically gone from the serving gen)
-    for (r <- roots)
+    for (r <- roots.take(5))
       assert(Tombstones.get(spark, r).isEmpty,
         s"tombstones not reset under $r")
 
@@ -101,6 +104,28 @@ class PurgeCascadeSpec extends SparkSpec {
         "query_id", "term", 10, lRoot)
       .select($"index_id").as[Long].collect().toSet
     assert(!lexHits.contains(5L), s"lex resurfaced 5: $lexHits")
+
+    // bpe: doc 5's unique tokens left the memo; its SHARED word
+    // (word5 also lives in docs 18/31, i % 13 == 5) must survive —
+    // purging it would gut the memo for the survivors
+    val memoWords = BpeIndex.memoAll(spark, bRoot)
+      .select($"word").as[String].collect().toSet
+    for (w <- Seq("token5", "filler35", "tail155", "end5"))
+      assert(!memoWords.contains(w), s"bpe memo still stores $w")
+    assert(memoWords.contains("word5"),
+      "bpe purge dropped a word shared with surviving docs")
+    // and tokenize results are unchanged by construction
+    val redeliveredTok = BpeIndex.tokenize(spark,
+        Seq((3000L, doc(5))).toDF("doc_id", "text"),
+        "doc_id", "text", bRoot)
+      .as[(Long, Long, Long)].collect().toSet
+    val freshRoot = Files.createTempDirectory("cascade").toString
+    BpeIndex.publish(docs, "doc_id", "text", R, freshRoot)
+    assert(redeliveredTok == BpeIndex.tokenize(spark,
+      Seq((3000L, doc(5))).toDF("doc_id", "text"),
+      "doc_id", "text", freshRoot)
+      .as[(Long, Long, Long)].collect().toSet,
+      "word purge changed tokenize results")
   }
 
   test("vacuumAll drops every generation but the compacted head") {

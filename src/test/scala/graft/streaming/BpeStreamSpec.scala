@@ -76,6 +76,40 @@ class BpeStreamSpec extends SparkSpec {
       "committed census was rewritten on replay")
   }
 
+  test("runs under a real foreachBatch micro-batch query (file source)") {
+    val (bs, _, _) = fixture()
+    val inDir = Files.createTempDirectory("bpes-in")
+    def jsonOf(rows: Seq[(Long, String)]): String =
+      rows.map { case (d, t) => s"""{"doc_id":$d,"text":"$t"}""" }
+        .mkString("\n")
+    Files.writeString(inDir.resolve("f0.json"),
+      jsonOf(Seq((10L, "abc zz zz"))))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .json(inDir.toString)
+    val q = stream.writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) => bs.processBatch(b.toDF(), id); ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("bpes-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.writeString(inDir.resolve("f1.json"),
+        jsonOf(Seq((11L, "zz cab qq"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = bs.results()
+      .select("doc_id", "n_words", "n_memo_hits")
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, w, h) => d -> ((w, h)) }.toMap
+    // doc 11's zz must be a memo hit through batch 0's fold
+    assert(got(10L) == ((3L, 1L)) && got(11L) == ((3L, 2L)),
+      s"fold boundary lost under the real stream: $got")
+  }
+
   test("a fold redelivered after purgeWords consumed it cannot resurrect the purged word") {
     val (bs, idxRoot, _) = fixture()
     val b0 = Seq((10L, "abc zz")).toDF("doc_id", "text")
