@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * tombstone → compact → vacuum lifecycle ([[DedupIndex]],
   * [[SimIndex]], [[PqIndex]], [[FirstSeenIndex]], [[LexIndex]] —
   * judged end-to-end by q246/q258/q262/q271/q281 — plus
-  * [[BpeIndex]]'s word-surface rewrite, q296); what a compliance
+  * [[BpeIndex]]'s word-surface rewrite, q296, and [[SketchIndex]]'s
+  * exact subtraction, q299); what a compliance
   * caller needs is ONE call that fans a deletion set across all of
   * them and reports the new committed generation per artifact. That
   * is all this is: pure composition over the per-family closures, no
@@ -128,6 +129,41 @@ object PurgeCascade {
           throw new IllegalStateException(s"no committed index under $root"))
       },
       () => BpeIndex.vacuumOld(root))
+  }
+
+  /** A persisted count-min sketch ([[SketchIndex]]): deletion is the
+    * family's exact O(d·w) SUBTRACTION of the deleted docs' own term
+    * occurrences (sketch linearity) — like [[bpe]], no tombstone
+    * phase, the rewrite is the delete; the registration phase stages
+    * the deletion frame and a cascade re-run... CAUTION: unlike every
+    * other arm, the sketch subtraction is NOT idempotent — a re-run
+    * that subtracts the same rows twice corrupts cells, so a caller
+    * retrying a partially-failed cascade must drop this target for
+    * docs already reported compacted (the Report is the receipt).
+    */
+  def sketch(root: String, corpus: DataFrame, idCol: String = "doc_id",
+             corpusIdCol: String = "doc_id",
+             textCol: String = "text"): Target = {
+    import org.apache.spark.sql.functions._
+    @volatile var pending: Option[DataFrame] = None
+    Target(
+      "sketch", root,
+      (_, ids) => { pending = Some(ids) },
+      s => pending match {
+        case Some(ids) =>
+          val deletedTerms = corpus
+            .join(ids.select(col(idCol).as(corpusIdCol)),
+              Seq(corpusIdCol), "leftsemi")
+            .select(explode(
+              graft.functions.TextFunctions.words(col(textCol)))
+              .as("term"))
+            .filter(length(col("term")) > 0)
+          val v = SketchIndex.purge(s, deletedTerms, "term", root)
+          pending = None; v
+        case None => SketchIndex.resolve(root).getOrElse(
+          throw new IllegalStateException(s"no committed index under $root"))
+      },
+      () => SketchIndex.vacuumOld(root))
   }
 
   /** The vocabulary that exists ONLY in the deletion set's docs:

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted count-min sketch — [[CountMin]] lifted into the
+  * publish / probe / delta / purge lifecycle (seventh member of the
+  * persisted-index family): the hot-key / frequency monitor a
+  * pipeline keeps NEXT TO its corpus, answering "how often has this
+  * term/key/URL been seen so far" at every ingestion gate without a
+  * key-domain groupBy over the corpus. Two properties no sibling
+  * family has, both consequences of sketch LINEARITY
+  * (sketch(A ∪ B) = sketch(A) + sketch(B), cell-wise):
+  *
+  *   - the delta fold is ARITHMETIC, not row-union: a batch's own
+  *     d·w-cell sketch lands as a delta and the serving state is the
+  *     cell-SUM of base ∪ deltas — maintenance is O(d·w) per batch
+  *     regardless of corpus size, and [[mergeCompact]] is one tiny
+  *     aggregate;
+  *   - the purge is an exact SUBTRACTION: deleting a known row set
+  *     commits (served cells − the deletion batch's own sketch),
+  *     bit-identical to a fresh build over the survivors — no
+  *     rebuild, no corpus rescan, O(d·w). (The standard CMS caveat
+  *     holds: subtracting rows that were never ingested corrupts
+  *     cells — the deletion frame must be the ingested rows, which a
+  *     GDPR request has.)
+  *
+  * The artifact is d·w counter rows — bounded by sketch geometry,
+  * never by data — so there is no bucket pruning to do: probes
+  * broadcast the summed sketch. Total ingested count N is derivable
+  * from the sketch itself (Σ cnt over any one hash row), so no stats
+  * sidecar can drift from the cells. Determinism is [[CountMin]]'s:
+  * the affine hash family is engine-identical, so every cell, every
+  * estimate, and every subtraction replays bit-for-bit in the
+  * oracle.
+  *
+  * Layout per committed generation: `cells/` (r, cell, cnt) +
+  * `_params.json` {"depth","width"} + `_folded.json` (delta names a
+  * compaction/purge consumed — [[FirstSeenIndex.foldedOf]]'s closure;
+  * here the hazard is arithmetic: a redelivered fold after a merge
+  * would DOUBLE-COUNT its cells, sums are not idempotent).
+  */
+object SketchIndex {
+
+  def resolve(root: String): Option[String] = VersionedDirs.resolve(root)
+
+  private val CellSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "r INT, cell BIGINT, cnt BIGINT")
+
+  private def writeCells(cells: DataFrame, dir: java.io.File): Unit =
+    cells.select(col("r").cast("int"), col("cell").cast("long"),
+        col("cnt").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+
+  private def paramsText(genPath: String): String =
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(genPath, "_params.json"))
+
+  /** The frozen (depth, width) of the newest committed generation. */
+  def geometry(root: String): (Int, Int) = {
+    val p = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val t = paramsText(p)
+    def f(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(t)
+      .map(_.group(1).toInt).getOrElse(
+        throw new IllegalStateException(s"malformed params under $root"))
+    (f("depth"), f("width"))
+  }
+
+  /** Build and commit the sketch of `items`' string column `term` as
+    * the next version.
+    */
+  def publish(items: DataFrame, term: String, depth: Int, width: Int,
+              root: String): String = synchronized {
+    VersionedDirs.commit(root) { st =>
+      writeCells(CountMin.build(items, term, depth, width),
+        new java.io.File(st, "cells"))
+      java.nio.file.Files.writeString(
+        new java.io.File(st, "_params.json").toPath,
+        s"""{"depth":$depth,"width":$width}""")
+      java.nio.file.Files.createFile(
+        new java.io.File(st, "_SUCCESS").toPath)
+      ()
+    }
+  }
+
+  // ------------------------------------------------------ deltas
+
+  private def deltaDir(root: String): java.io.File =
+    new java.io.File(root, "deltas")
+
+  def deltas(root: String): Seq[String] =
+    Option(deltaDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getAbsolutePath).sorted.toSeq
+
+  private def foldedOf(genPath: String): Set[String] = {
+    val f = new java.io.File(genPath, "_folded.json")
+    if (!f.isFile) Set.empty
+    else """"([^"]+)"""".r.findAllMatchIn(
+      java.nio.file.Files.readString(f.toPath)).map(_.group(1)).toSet
+  }
+
+  /** True when a delta tagged `tag` has already committed — live in
+    * the delta log, or consumed by a merge/purge (its name in the
+    * resolved generation's `_folded.json`). Cell sums are NOT
+    * idempotent, so this closure is what keeps an at-least-once
+    * redelivery from double-counting.
+    */
+  def folded(root: String, tag: String): Boolean = {
+    val live = new java.io.File(
+      new java.io.File(deltaDir(root), s"batch-$tag"), "_SUCCESS").isFile
+    live || resolve(root).exists(p => foldedOf(p)(s"batch-$tag"))
+  }
+
+  /** Commit a batch's OWN sketch as a delta — O(d·w), the committed
+    * cells never read or rewritten. Serving state is the cell-sum of
+    * base ∪ deltas (linearity).
+    */
+  def appendDelta(spark: SparkSession, items: DataFrame, term: String,
+                  root: String,
+                  tag: String = java.util.UUID.randomUUID().toString)
+      : String = synchronized {
+    val genPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val dr = deltaDir(root); dr.mkdirs()
+    val target = new java.io.File(dr, s"batch-$tag")
+    if (new java.io.File(target, "_SUCCESS").isFile)
+      return target.getAbsolutePath
+    if (foldedOf(genPath)(s"batch-$tag")) return genPath
+    graft.sources.Artifacts.notePublish()
+    val (d, w) = geometry(root)
+    val staging = new java.io.File(dr,
+      s".staging-${java.util.UUID.randomUUID()}")
+    writeCells(CountMin.build(items, term, d, w), staging)
+    require(staging.renameTo(target), s"delta rename failed into $dr")
+    target.getAbsolutePath
+  }
+
+  /** The serving cells: cell-sum of base ∪ committed deltas —
+    * ≤ d·w rows after the aggregate, at any corpus size.
+    */
+  private def servedCells(spark: SparkSession, root: String): DataFrame = {
+    val genPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    (new java.io.File(genPath, "cells").toString +: deltas(root))
+      .map(p => spark.read.schema(CellSchema).parquet(p))
+      .reduce(_.unionByName(_))
+      .groupBy("r", "cell").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Point estimates for `queries`' distinct `term` values against
+    * the served state: min over the term's d cells, absent terms
+    * estimate 0. Also returns `n_total` (Σ row-0 cells — the total
+    * ingested count, derived from the sketch itself) on every row so
+    * callers can threshold hot keys (est ≥ N/k) without a stats
+    * sidecar. Materialized per the [[ProbeCache]] contract.
+    */
+  def estimate(spark: SparkSession, queries: DataFrame, term: String,
+               root: String): DataFrame = {
+    val (d, w) = geometry(root)
+    val cells = servedCells(spark, root)
+    val n = cells.filter(col("r") === 0)
+      .agg(coalesce(sum("cnt"), lit(0L)).as("n_total"))
+    val q = queries.select(col(term)).distinct().persist()
+    try ProbeCache.materialize(
+      CountMin.estimate(cells, q, term, d, w).crossJoin(broadcast(n)))
+    finally { q.unpersist(); () }
+  }
+
+  /** Fold the delta log physically: commit the cell-sum as the next
+    * generation and record consumed delta names (carried forward) in
+    * `_folded.json`, then drop the consumed dirs.
+    */
+  def mergeCompact(spark: SparkSession, root: String): String =
+    rewrite(spark, root, identity)
+
+  /** Exact deletion by linearity: commit (served cells − the deletion
+    * rows' own sketch) as the next generation — bit-identical to a
+    * fresh build over the survivors, O(d·w), no corpus rescan. The
+    * deletion frame must be the INGESTED rows being forgotten (the
+    * class-doc caveat).
+    */
+  def purge(spark: SparkSession, deleted: DataFrame, term: String,
+            root: String): String = {
+    val (d, w) = geometry(root)
+    val neg = CountMin.build(deleted, term, d, w)
+      .select(col("r"), col("cell"), (-col("cnt")).as("cnt"))
+    rewrite(spark, root, served =>
+      served.unionByName(neg)
+        .groupBy("r", "cell").agg(sum("cnt").as("cnt"))
+        .filter(col("cnt") =!= 0L))
+  }
+
+  private def rewrite(spark: SparkSession, root: String,
+                      f: DataFrame => DataFrame): String = synchronized {
+    val genPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val deltaSnap = deltas(root)
+    val params = paramsText(genPath)
+    val cells = f(servedCells(spark, root))
+    val foldedNames = (foldedOf(genPath) ++
+      deltaSnap.map(p => new java.io.File(p).getName)).toSeq.sorted
+    val path = VersionedDirs.commit(root) { st =>
+      writeCells(cells, new java.io.File(st, "cells"))
+      java.nio.file.Files.writeString(
+        new java.io.File(st, "_params.json").toPath, params)
+      java.nio.file.Files.writeString(
+        new java.io.File(st, "_folded.json").toPath,
+        foldedNames.map(n => s""""$n"""").mkString("[", ",", "]"))
+      java.nio.file.Files.createFile(
+        new java.io.File(st, "_SUCCESS").toPath)
+      ()
+    }
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+    }
+    deltaSnap.foreach(p => rm(new java.io.File(p)))
+    Option(deltaDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(VersionedDirs.stagingOrphan).foreach(rm)
+    path
+  }
+
+  /** Drop every generation but the newest committed one. */
+  def vacuumOld(root: String): Unit = synchronized {
+    VersionedDirs.retainLatestGenerations(root, keep = 1)
+  }
+}

@@ -7,7 +7,7 @@ import graft.{Q, Tables}
 import graft.functions.{Hashing, IntMath, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
 import graft.plans.CharEnergy
-import graft.operators.{Bpe, BpeIndex, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, FirstSeenIndex, HeavyHitters, LexIndex, MixManifest, Packing, PqIndex, SimIndex, Similarity, VectorQuantizer, VersionedDirs}
+import graft.operators.{Bpe, BpeIndex, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, FirstSeenIndex, HeavyHitters, LexIndex, MixManifest, Packing, PqIndex, SimIndex, Similarity, SketchIndex, VectorQuantizer, VersionedDirs}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
   * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
@@ -12274,7 +12274,190 @@ object PipelineQueries {
          |FROM pkp GROUP BY stratum, bin ORDER BY stratum, bin""".stripMargin)
   }
 
+  // ---- the persisted count-min family (SketchIndex, q298–q300) ----
+
+  private val CMS_D = 4; private val CMS_W = 1024
+
+  /** The shared CMS-world oracle CTEs: sketch cells over a corpus
+    * predicate + min-estimates for a query-term CTE, both in
+    * [[graft.operators.CountMin]]'s exact engine-identical
+    * arithmetic. Yields `sk$i` (cells), `nt$i` (1-row n_total) and
+    * `est$i` (term, cms_est).
+    */
+  private def cmsWorldSql(i: Int, corpusPred: String,
+                          qtCte: String): String =
+    s"""wds$i AS (
+       |  SELECT unnest(${TextFunctions.wordsSql("text")}) AS term
+       |  FROM documents WHERE $corpusPred),
+       |wf$i AS (SELECT term FROM wds$i WHERE length(term) > 0),
+       |sk$i AS (
+       |  SELECT r, ${CountMin.cellOfSql("term", "a", "b", CMS_W)} AS cell,
+       |    count(*)::BIGINT AS cnt
+       |  FROM wf$i, cmsp GROUP BY 1, 2),
+       |nt$i AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS n_total
+       |         FROM sk$i WHERE r = 0),
+       |est$i AS (
+       |  SELECT q.term, min(coalesce(s.cnt, 0))::BIGINT AS cms_est
+       |  FROM $qtCte q CROSS JOIN cmsp p
+       |  LEFT JOIN sk$i s ON s.r = p.r
+       |    AND s.cell = ${CountMin.cellOfSql("q.term", "p.a", "p.b", CMS_W)}
+       |  GROUP BY q.term)""".stripMargin
+
+  private def termsOf(docs: DataFrame): DataFrame =
+    docs.select(explode(TextFunctions.words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+
+  /** Persisted count-min index served through a delta fold (q298) —
+    * [[graft.operators.SketchIndex]], the SEVENTH family, and the
+    * only one whose delta fold is ARITHMETIC: the base generation
+    * holds the train corpus's d·w cells, a batch lands as its OWN
+    * d·w-cell sketch, and the served state is the cell-SUM — O(d·w)
+    * maintenance at any corpus size (sketch linearity). The oracle
+    * builds the sketch over base ∪ batch in ONE shot, so the hash
+    * match IS the linearity claim: base-cells + delta-cells ≡
+    * one-shot cells, estimate by estimate, bit-for-bit (the affine
+    * hash family is engine-identical — q83's determinism doctrine).
+    * `n_total` is derived from the sketch itself (Σ row-0 cells), so
+    * no stats sidecar can drift from the counters.
+    */
+  val cmsIndexServe: Q = {
+    val BASE_MAX = 300L; val DELTA_MAX = 400L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-cms-index", d, Seq("documents.parquet"))
+        if (SketchIndex.resolve(root).isEmpty)
+          SketchIndex.publish(termsOf(docs.filter(col("doc_id") < BASE_MAX)),
+            "term", CMS_D, CMS_W, root)
+        if (!SketchIndex.folded(root, "b0"))
+          SketchIndex.appendDelta(s,
+            termsOf(docs.filter(col("doc_id") >= BASE_MAX &&
+              col("doc_id") < DELTA_MAX)), "term", root, tag = "b0")
+        SketchIndex.estimate(s, termsOf(docs), "term", root)
+          .orderBy("term")
+      },
+      s"""WITH cmsp(r, a, b) AS (VALUES ${CountMin.paramsSqlValues(CMS_D)}),
+         |qt AS (
+         |  SELECT DISTINCT t AS term FROM (
+         |    SELECT unnest(${TextFunctions.wordsSql("text")}) AS t
+         |    FROM documents)
+         |  WHERE length(t) > 0),
+         |${cmsWorldSql(0, s"doc_id < $DELTA_MAX", "qt")}
+         |SELECT e.term, e.cms_est, nt0.n_total
+         |FROM est0 e, nt0 ORDER BY e.term""".stripMargin)
+  }
+
+  /** Count-min purge by exact subtraction (q299) — the deletion
+    * story no sibling family has: sketch linearity makes forgetting
+    * a known row set one O(d·w) SUBTRACTION (served cells − the
+    * deletion rows' own sketch), bit-identical to a fresh build over
+    * the survivors — no rebuild, no corpus rescan, no tombstone
+    * masking at probe time. The lifecycle runs THROUGH a pending
+    * delta (publish < 300, delta 300–400, then purge doc_id % 10 = 0
+    * rows), so the judged claim covers merge-then-subtract in one
+    * committed generation; the oracle is a never-ingested build over
+    * the survivors.
+    */
+  val cmsPurge: Q = {
+    val BASE_MAX = 300L; val DELTA_MAX = 400L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-cms-purge", d, Seq("documents.parquet"))
+        if (SketchIndex.resolve(root).isEmpty)
+          SketchIndex.publish(termsOf(docs.filter(col("doc_id") < BASE_MAX)),
+            "term", CMS_D, CMS_W, root)
+        if (VersionedDirs.versionsOf(root).size < 2) {
+          if (!SketchIndex.folded(root, "b0"))
+            SketchIndex.appendDelta(s,
+              termsOf(docs.filter(col("doc_id") >= BASE_MAX &&
+                col("doc_id") < DELTA_MAX)), "term", root, tag = "b0")
+          SketchIndex.purge(s,
+            termsOf(docs.filter(col("doc_id") < DELTA_MAX &&
+              col("doc_id") % 10 === 0)), "term", root)
+        }
+        SketchIndex.estimate(s, termsOf(docs), "term", root)
+          .orderBy("term")
+      },
+      s"""WITH cmsp(r, a, b) AS (VALUES ${CountMin.paramsSqlValues(CMS_D)}),
+         |qt AS (
+         |  SELECT DISTINCT t AS term FROM (
+         |    SELECT unnest(${TextFunctions.wordsSql("text")}) AS t
+         |    FROM documents)
+         |  WHERE length(t) > 0),
+         |${cmsWorldSql(0,
+             s"doc_id < $DELTA_MAX AND NOT doc_id % 10 = 0", "qt")}
+         |SELECT e.term, e.cms_est, nt0.n_total
+         |FROM est0 e, nt0 ORDER BY e.term""".stripMargin)
+  }
+
+  /** Judged batch twin of the streaming frequency gate (q300) — the
+    * streaming × sketch cell: [[graft.streaming.SketchStream]]
+    * estimates each batch's keys against the PRE-batch committed
+    * state, then folds the batch's own sketch as a tagged delta.
+    * Estimates are monotone (cell sums only grow), and the judged
+    * burden is the boundary: batch 0's estimates reflect ONLY the
+    * base corpus while batch 1's reflect base ∪ batch 0 — the oracle
+    * unions two sketch worlds, so a fold that lands early (batch
+    * estimating against itself) or late (batch 1 missing batch 0's
+    * mass) hash-mismatches. Batch 0 is REDELIVERED and absorbed
+    * through the committed estimate dir and the tagged delta —
+    * absorption matters doubly here because cell sums are NOT
+    * idempotent (a double fold double-counts, unlike every min/union
+    * sibling).
+    */
+  val cmsStreamTwin: Q = {
+    val BASE_MAX = 300L; val B0_MAX = 400L; val B1_MAX = 500L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val idxRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-cms-stream-idx", d, Seq("documents.parquet"))
+        val outRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-cms-stream-out", d, Seq("documents.parquet"))
+        if (SketchIndex.resolve(idxRoot).isEmpty)
+          SketchIndex.publish(termsOf(docs.filter(col("doc_id") < BASE_MAX)),
+            "term", CMS_D, CMS_W, idxRoot)
+        val ss = new graft.streaming.SketchStream(
+          s, idxRoot, outRoot, "term")
+        val b0 = termsOf(docs.filter(
+          col("doc_id") >= BASE_MAX && col("doc_id") < B0_MAX))
+        ss.processBatch(b0, 0)
+        ss.processBatch(b0, 0) // at-least-once redelivery: absorbed
+        ss.processBatch(termsOf(docs.filter(
+          col("doc_id") >= B0_MAX && col("doc_id") < B1_MAX)), 1)
+        ss.results().orderBy("batch_id", "term")
+      },
+      s"""WITH cmsp(r, a, b) AS (VALUES ${CountMin.paramsSqlValues(CMS_D)}),
+         |qt0 AS (
+         |  SELECT DISTINCT t AS term FROM (
+         |    SELECT unnest(${TextFunctions.wordsSql("text")}) AS t
+         |    FROM documents
+         |    WHERE doc_id >= $BASE_MAX AND doc_id < $B0_MAX)
+         |  WHERE length(t) > 0),
+         |qt1 AS (
+         |  SELECT DISTINCT t AS term FROM (
+         |    SELECT unnest(${TextFunctions.wordsSql("text")}) AS t
+         |    FROM documents
+         |    WHERE doc_id >= $B0_MAX AND doc_id < $B1_MAX)
+         |  WHERE length(t) > 0),
+         |${cmsWorldSql(0, s"doc_id < $BASE_MAX", "qt0")},
+         |${cmsWorldSql(1, s"doc_id < $B0_MAX", "qt1")}
+         |SELECT term, cms_est, n_total, batch_id FROM (
+         |  SELECT e.term, e.cms_est, nt0.n_total, 0::BIGINT AS batch_id
+         |  FROM est0 e, nt0
+         |  UNION ALL
+         |  SELECT e.term, e.cms_est, nt1.n_total, 1::BIGINT
+         |  FROM est1 e, nt1)
+         |ORDER BY batch_id, term""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q300_cms_stream"    -> cmsStreamTwin,
+    "q299_cms_purge"     -> cmsPurge,
+    "q298_cms_index"     -> cmsIndexServe,
     "q297_bpe_pack"      -> bpePackCompose,
     "q296_bpe_purge"     -> bpeIndexPurge,
     "q295_bpe_stream"    -> bpeStreamTwin,

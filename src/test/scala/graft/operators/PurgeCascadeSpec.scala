@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** The cross-family purge orchestrator: one deletion set fans to all
-  * six persisted index families, and afterwards the purged id is
+  * seven persisted index families, and afterwards the purged id is
   * unfindable through EVERY probe path — the compliance property each
-  * family proves individually (q246/q258/q262/q271/q281/q296),
+  * family proves individually (q246/q258/q262/q271/q281/q296/q299),
   * asserted here through the single composed call (the tokenizer arm
-  * via the derived unique-vocabulary word set).
+  * via the derived unique-vocabulary word set; the sketch arm via the
+  * exact occurrence subtraction).
   */
 class PurgeCascadeSpec extends SparkSpec {
   import spark.implicits._
@@ -39,9 +40,9 @@ class PurgeCascadeSpec extends SparkSpec {
     (0 until 40).map(i => (i.toLong, vec(i.toLong, 0.0f)))
       .toDF("vec_id", "embedding")
 
-  test("one purge call propagates to all six families' probe paths") {
-    val roots = Seq.fill(6)(Files.createTempDirectory("cascade").toString)
-    val Seq(dRoot, sRoot, pRoot, fRoot, lRoot, bRoot) = roots
+  test("one purge call propagates to all seven families' probe paths") {
+    val roots = Seq.fill(7)(Files.createTempDirectory("cascade").toString)
+    val Seq(dRoot, sRoot, pRoot, fRoot, lRoot, bRoot, cRoot) = roots
     DedupIndex.publish(
       Dedup.minhashSignatures(docs, "doc_id", "text", K),
       "doc_id", BANDS, R, dRoot)
@@ -51,6 +52,9 @@ class PurgeCascadeSpec extends SparkSpec {
       Dedup.shingleSet(docs, "doc_id", "text", 3), fRoot)
     LexIndex.publish(docs, "doc_id", "text", lRoot)
     BpeIndex.publish(docs, "doc_id", "text", R, bRoot)
+    SketchIndex.publish(docs.select(
+        explode(split($"text", " ")).as("term")),
+      "term", 4, 64, cRoot)
 
     val ids = Seq(5L).toDF("id")
     val targets = Seq(
@@ -59,11 +63,12 @@ class PurgeCascadeSpec extends SparkSpec {
       PurgeCascade.pq(pRoot, "id"),
       PurgeCascade.firstSeen(fRoot, "id"),
       PurgeCascade.lex(lRoot, "id"),
-      PurgeCascade.bpe(bRoot, docs, "id"))
+      PurgeCascade.bpe(bRoot, docs, "id"),
+      PurgeCascade.sketch(cRoot, docs, "id"))
     val reports = PurgeCascade.purge(spark, ids, targets)
 
     assert(reports.map(_.family) ==
-      Seq("dedup", "sim", "pq", "firstSeen", "lex", "bpe"))
+      Seq("dedup", "sim", "pq", "firstSeen", "lex", "bpe", "sketch"))
     assert(reports.forall(_.newVersion.nonEmpty))
     // compaction reset every tombstone log (probes stop paying the
     // anti-join; the rows are physically gone from the serving gen)
@@ -126,6 +131,21 @@ class PurgeCascadeSpec extends SparkSpec {
       "doc_id", "text", freshRoot)
       .as[(Long, Long, Long)].collect().toSet,
       "word purge changed tokenize results")
+
+    // sketch: doc 5's unique token reads 0 after the subtraction and
+    // the shared word's estimate matches a survivor-only build
+    val skEst = SketchIndex.estimate(spark,
+        Seq("token5", "word5").toDF("term"), "term", cRoot)
+      .select($"term", $"cms_est").as[(String, Long)].collect().toMap
+    assert(skEst("token5") == 0L, s"sketch still counts token5: $skEst")
+    val skFresh = Files.createTempDirectory("cascade").toString
+    SketchIndex.publish(docs.filter($"doc_id" =!= 5L)
+        .select(explode(split($"text", " ")).as("term")),
+      "term", 4, 64, skFresh)
+    assert(skEst == SketchIndex.estimate(spark,
+      Seq("token5", "word5").toDF("term"), "term", skFresh)
+      .select($"term", $"cms_est").as[(String, Long)].collect().toMap,
+      "sketch subtraction diverged from the survivor build")
   }
 
   test("vacuumAll drops every generation but the compacted head") {

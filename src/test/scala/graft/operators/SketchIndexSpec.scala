@@ -1,0 +1,83 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted count-min sketch (seventh family): linear fold,
+  * exact subtraction purge, double-count closure.
+  */
+class SketchIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val D = 4; private val W = 64
+
+  private def terms(xs: (String, Int)*) =
+    xs.flatMap { case (t, n) => Seq.fill(n)(t) }.toDF("term")
+
+  private def estMap(root: String, qs: Seq[String]) =
+    SketchIndex.estimate(spark, qs.toDF("term"), "term", root)
+      .select("term", "cms_est")
+      .as[(String, Long)].collect().toMap
+
+  test("delta fold ≡ one-shot build (linearity), n_total derived from cells") {
+    val root = Files.createTempDirectory("cms").toString
+    SketchIndex.publish(terms("a" -> 5, "b" -> 2), "term", D, W, root)
+    SketchIndex.appendDelta(spark, terms("a" -> 3, "c" -> 7), "term",
+      root, tag = "b0")
+    // redelivered tagged append absorbed (sums are NOT idempotent)
+    SketchIndex.appendDelta(spark, terms("a" -> 3, "c" -> 7), "term",
+      root, tag = "b0")
+    assert(SketchIndex.deltas(root).size == 1)
+    val oneShot = Files.createTempDirectory("cms").toString
+    SketchIndex.publish(terms("a" -> 8, "b" -> 2, "c" -> 7), "term",
+      D, W, oneShot)
+    val qs = Seq("a", "b", "c", "zz")
+    assert(estMap(root, qs) == estMap(oneShot, qs),
+      "base + delta diverged from the one-shot build")
+    val n = SketchIndex.estimate(spark, Seq("a").toDF("term"), "term", root)
+      .select("n_total").as[Long].head()
+    assert(n == 17L, s"n_total from row-0 cells wrong: $n")
+    // mergeCompact folds physically and keeps serving identically
+    SketchIndex.mergeCompact(spark, root)
+    assert(SketchIndex.deltas(root).isEmpty)
+    assert(SketchIndex.folded(root, "b0"),
+      "merge lost the consumed delta's durable record")
+    assert(estMap(root, qs) == estMap(oneShot, qs))
+    // a redelivered append AFTER the merge must not double-count
+    SketchIndex.appendDelta(spark, terms("a" -> 3, "c" -> 7), "term",
+      root, tag = "b0")
+    assert(SketchIndex.deltas(root).isEmpty,
+      "post-merge redelivery re-committed the folded delta")
+    assert(estMap(root, qs) == estMap(oneShot, qs))
+  }
+
+  test("purge is an exact subtraction ≡ fresh build over the survivors") {
+    val root = Files.createTempDirectory("cms").toString
+    SketchIndex.publish(terms("a" -> 5, "b" -> 2), "term", D, W, root)
+    SketchIndex.appendDelta(spark, terms("a" -> 3, "c" -> 7), "term",
+      root, tag = "b0")
+    // forget three of the a's and all of b (ingested rows only)
+    SketchIndex.purge(spark, terms("a" -> 3, "b" -> 2), "term", root)
+    assert(SketchIndex.deltas(root).isEmpty, "purge must consume deltas")
+    val fresh = Files.createTempDirectory("cms").toString
+    SketchIndex.publish(terms("a" -> 5, "c" -> 7), "term", D, W, fresh)
+    val qs = Seq("a", "b", "c")
+    assert(estMap(root, qs) == estMap(fresh, qs),
+      "subtraction diverged from the survivor build")
+    assert(estMap(root, qs)("b") == 0L, "fully-deleted term must read 0")
+  }
+
+  test("geometry is frozen across the lifecycle; vacuum keeps the head") {
+    val root = Files.createTempDirectory("cms").toString
+    SketchIndex.publish(terms("a" -> 1), "term", D, W, root)
+    SketchIndex.purge(spark, terms("a" -> 1), "term", root)
+    assert(SketchIndex.geometry(root) == ((D, W)))
+    assert(VersionedDirs.versionsOf(root).size == 2)
+    SketchIndex.vacuumOld(root)
+    assert(VersionedDirs.versionsOf(root).size == 1)
+    assert(SketchIndex.geometry(root) == ((D, W)))
+  }
+}
