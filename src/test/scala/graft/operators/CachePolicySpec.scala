@@ -8,7 +8,7 @@ import org.apache.spark.util.LongAccumulator
 
 import graft.SparkSpec
 
-/** Pins the [[ProbeCache]] contract across all five index families:
+/** Pins the [[ProbeCache]] contract across all seven index families:
   * a probe's RETURNED frame is materialized (lineage severed) before
   * the probe releases its batch-side cache, so
   *
@@ -159,6 +159,39 @@ class CachePolicySpec extends SparkSpec {
     PqIndex.publish(vecIndex, "vec_id", "embedding", 4, 4, 8, 2, root)
     val (q, acc) = countedVec(vecQueries, "embedding")
     val r = PqIndex.probeTopK(spark, q, "vec_id", "embedding", 3, root)
+    assertSettled(r, acc)
+  }
+
+  test("BpeIndex.tokenize: result settled before the batch cache is released") {
+    val root = Files.createTempDirectory("cps-bpe").toString
+    BpeIndex.publish(corpusDocs, "doc_id", "text", 4, root)
+    val (batch, acc) = countedText(
+      (50 until 55).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"),
+      "text")
+    val r = BpeIndex.tokenize(spark, batch, "doc_id", "text", root)
+    assertSettled(r, acc)
+  }
+
+  test("BpeIndex.censusAndUnseen: both returned frames settled") {
+    val root = Files.createTempDirectory("cps-bpe2").toString
+    BpeIndex.publish(corpusDocs, "doc_id", "text", 4, root)
+    val (batch, acc) = countedText(
+      (50 until 55).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"),
+      "text")
+    val (census, unseen) =
+      BpeIndex.censusAndUnseen(spark, batch, "doc_id", "text", root)
+    assertSettled(census, acc)
+    assertSettled(unseen, acc)
+  }
+
+  test("SketchIndex.estimate: result settled before the query cache is released") {
+    val root = Files.createTempDirectory("cps-cms").toString
+    SketchIndex.publish(
+      corpusDocs.select(explode(split($"text", " ")).as("term")),
+      "term", 4, 64, root)
+    val (q, acc) = countedText(
+      Seq("alpha", "zeta", "nope").toDF("term"), "term")
+    val r = SketchIndex.estimate(spark, q, "term", root)
     assertSettled(r, acc)
   }
 }
