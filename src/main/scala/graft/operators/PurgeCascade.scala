@@ -134,12 +134,12 @@ object PurgeCascade {
   /** A persisted count-min sketch ([[SketchIndex]]): deletion is the
     * family's exact O(d·w) SUBTRACTION of the deleted docs' own term
     * occurrences (sketch linearity) — like [[bpe]], no tombstone
-    * phase, the rewrite is the delete; the registration phase stages
-    * the deletion frame and a cascade re-run... CAUTION: unlike every
-    * other arm, the sketch subtraction is NOT idempotent — a re-run
-    * that subtracts the same rows twice corrupts cells, so a caller
-    * retrying a partially-failed cascade must drop this target for
-    * docs already reported compacted (the Report is the receipt).
+    * phase, the rewrite is the delete. Subtraction is not idempotent,
+    * but a cascade RE-RUN with the same deletion set is still safe:
+    * [[SketchIndex.purge]] fingerprints the deletion frame and
+    * absorbs a repeat through the generation's `_purged.json` ledger
+    * (the idempotence every other arm gets from no-op filters, this
+    * arm gets from the tag).
     */
   def sketch(root: String, corpus: DataFrame, idCol: String = "doc_id",
              corpusIdCol: String = "doc_id",

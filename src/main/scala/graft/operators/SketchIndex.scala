@@ -176,25 +176,69 @@ object SketchIndex {
   def mergeCompact(spark: SparkSession, root: String): String =
     rewrite(spark, root, identity)
 
+  /** Purge tags already applied to the generation at `genPath` — the
+    * subtraction twin of `_folded.json`: subtraction is NOT
+    * idempotent (a re-run with the same deletion set subtracts
+    * twice), so [[purge]] records its tag (carried forward across
+    * generations) and absorbs a repeat.
+    */
+  private def purgedOf(genPath: String): Set[String] = {
+    val f = new java.io.File(genPath, "_purged.json")
+    if (!f.isFile) Set.empty
+    else """"([^"]+)"""".r.findAllMatchIn(
+      java.nio.file.Files.readString(f.toPath)).map(_.group(1)).toSet
+  }
+
+  /** True when a purge tagged `tag` has already been applied. */
+  def purged(root: String, tag: String): Boolean =
+    resolve(root).exists(p => purgedOf(p)(tag))
+
+  /** A content fingerprint of a (small) deletion frame — the default
+    * purge tag, so retrying the same deletion set is absorbed without
+    * the caller inventing names: count + order-free seeded-hash sum
+    * over the term column (one aggregate; GDPR deletion sets are
+    * request-sized).
+    */
+  def deletionTag(deleted: DataFrame, term: String): String = {
+    val r = deleted
+      .select(graft.functions.Hashing.seeded(0, col(term)).as("h"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("h"), lit(0L)).cast("long").as("fp"))
+      .first()
+    s"del-${r.getLong(0)}-${java.lang.Long.toHexString(r.getLong(1))}"
+  }
+
   /** Exact deletion by linearity: commit (served cells − the deletion
     * rows' own sketch) as the next generation — bit-identical to a
     * fresh build over the survivors, O(d·w), no corpus rescan. The
     * deletion frame must be the INGESTED rows being forgotten (the
-    * class-doc caveat).
+    * class-doc caveat). A repeat of the same deletion set — an
+    * at-least-once compliance runner, a crashed cascade re-run — is
+    * ABSORBED: the purge tag (by default the deletion frame's own
+    * content fingerprint) is recorded in the committed generation's
+    * `_purged.json` and a tagged re-run returns the existing
+    * generation instead of subtracting twice.
     */
   def purge(spark: SparkSession, deleted: DataFrame, term: String,
-            root: String): String = {
+            root: String, tag: Option[String] = None): String = {
+    val t = tag.getOrElse(deletionTag(deleted, term))
+    resolve(root) match {
+      case Some(p) if purgedOf(p)(t) => return p
+      case _ => ()
+    }
     val (d, w) = geometry(root)
     val neg = CountMin.build(deleted, term, d, w)
       .select(col("r"), col("cell"), (-col("cnt")).as("cnt"))
     rewrite(spark, root, served =>
       served.unionByName(neg)
         .groupBy("r", "cell").agg(sum("cnt").as("cnt"))
-        .filter(col("cnt") =!= 0L))
+        .filter(col("cnt") =!= 0L), purgeTag = Some(t))
   }
 
   private def rewrite(spark: SparkSession, root: String,
-                      f: DataFrame => DataFrame): String = synchronized {
+                      f: DataFrame => DataFrame,
+                      purgeTag: Option[String] = None): String =
+    synchronized {
     val genPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
     val deltaSnap = deltas(root)
@@ -202,6 +246,7 @@ object SketchIndex {
     val cells = f(servedCells(spark, root))
     val foldedNames = (foldedOf(genPath) ++
       deltaSnap.map(p => new java.io.File(p).getName)).toSeq.sorted
+    val purgedNames = (purgedOf(genPath) ++ purgeTag).toSeq.sorted
     val path = VersionedDirs.commit(root) { st =>
       writeCells(cells, new java.io.File(st, "cells"))
       java.nio.file.Files.writeString(
@@ -209,6 +254,9 @@ object SketchIndex {
       java.nio.file.Files.writeString(
         new java.io.File(st, "_folded.json").toPath,
         foldedNames.map(n => s""""$n"""").mkString("[", ",", "]"))
+      java.nio.file.Files.writeString(
+        new java.io.File(st, "_purged.json").toPath,
+        purgedNames.map(n => s""""$n"""").mkString("[", ",", "]"))
       java.nio.file.Files.createFile(
         new java.io.File(st, "_SUCCESS").toPath)
       ()

@@ -70,6 +70,36 @@ class SketchIndexSpec extends SparkSpec {
     assert(estMap(root, qs)("b") == 0L, "fully-deleted term must read 0")
   }
 
+  test("a repeated purge of the same deletion set is absorbed (no double subtraction)") {
+    val root = Files.createTempDirectory("cms").toString
+    SketchIndex.publish(terms("a" -> 5, "b" -> 2), "term", D, W, root)
+    val del = terms("a" -> 2)
+    SketchIndex.purge(spark, del, "term", root)
+    assert(estMap(root, Seq("a"))("a") == 3L)
+    // at-least-once compliance runner retries the same request: the
+    // content-fingerprint tag absorbs it
+    val vBefore = VersionedDirs.versionsOf(root).size
+    SketchIndex.purge(spark, del, "term", root)
+    assert(VersionedDirs.versionsOf(root).size == vBefore,
+      "repeated purge committed a second subtraction generation")
+    assert(estMap(root, Seq("a"))("a") == 3L,
+      "repeated purge double-subtracted")
+    // a DIFFERENT deletion set is a new purge, not a repeat
+    SketchIndex.purge(spark, terms("a" -> 1), "term", root)
+    assert(estMap(root, Seq("a"))("a") == 2L)
+    // cascade re-run shape: same ids through the PurgeCascade arm twice
+    val docs = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
+    val cRoot = Files.createTempDirectory("cms").toString
+    SketchIndex.publish(docs.select(
+      explode(split($"text", " ")).as("term")), "term", D, W, cRoot)
+    for (_ <- 1 to 2)
+      PurgeCascade.purge(spark, Seq(1L).toDF("id"),
+        Seq(PurgeCascade.sketch(cRoot, docs, "id")))
+    assert(estMap(cRoot, Seq("x", "y", "z"))
+      == Map("x" -> 1L, "y" -> 0L, "z" -> 1L),
+      "cascade re-run double-subtracted the sketch arm")
+  }
+
   test("geometry is frozen across the lifecycle; vacuum keeps the head") {
     val root = Files.createTempDirectory("cms").toString
     SketchIndex.publish(terms("a" -> 1), "term", D, W, root)
