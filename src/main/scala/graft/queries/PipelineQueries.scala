@@ -11087,17 +11087,17 @@ object PipelineQueries {
   }
 
   /** Cross-family purge cascade judged end-to-end (q290) — the
-    * [[graft.operators.PurgeCascade]] composition the five per-family
-    * lifecycle queries (q246/q258/q262/q271/q281) leave spec-only:
-    * ONE deletion set (every 10th indexed id — the id space is
-    * shared, vector i embeds document i, so a forget-me request is
-    * naturally one frame) fanned through ONE `purge` call across all
-    * five persisted index families, then ONE judged row set proving
-    * the purged ids unfindable through every probe path at once.
-    * Each family's probe result is reduced to an order-free integer
-    * fingerprint (count + sum of [[Hashing.seeded]] over the
-    * comma-joined integer columns — q180's replica-diff trick), and
-    * the oracle recomputes the same fingerprint from a from-scratch
+    * [[graft.operators.PurgeCascade]] composition the per-family
+    * lifecycle queries (q246/q258/q262/q271/q281/q296/q299) leave
+    * spec-only: ONE deletion set (every 10th indexed id — the id
+    * space is shared, vector i embeds document i, so a forget-me
+    * request is naturally one frame) fanned through ONE `purge` call
+    * across all SEVEN persisted index families, then ONE judged row
+    * set proving the purged ids unfindable through every probe path
+    * at once. Each family's probe result is reduced to an order-free
+    * integer fingerprint (count + sum of [[Hashing.seeded]] over the
+    * comma-joined columns — q180's replica-diff trick), and the
+    * oracle recomputes the same fingerprint from a from-scratch
     * replay of that family's semantics over a corpus where the
     * purged docs were NEVER INGESTED (frozen pre-purge params where
     * the family freezes them: the LSH (r, T) and the PQ codebooks
@@ -11106,7 +11106,14 @@ object PipelineQueries {
     * compact → vacuum chain dropped exactly the deletion set, kept
     * every survivor, carried frozen params forward, and reassigned
     * first-occurrence ownership — the compliance story as one row
-    * set instead of five.
+    * set instead of seven. The two non-tombstone arms prove their
+    * own deletion semantics: the tokenizer arm's memo match over the
+    * purged docs' words returns exactly the SHARED words (words
+    * unique to the purged docs left the store; shared words rightly
+    * survive — [[graft.operators.PurgeCascade.uniqueVocabulary]]),
+    * and the sketch arm's estimates over the full vocabulary equal a
+    * never-ingested survivor build (exact subtraction, sketch
+    * linearity).
     *
     * Scale shape: pure composition — each arm is the corresponding
     * family's probe (bucket/cell-pruned artifact scans, candidate-
@@ -11141,12 +11148,23 @@ object PipelineQueries {
         val docLive = docIndex.filter(col("doc_id") % 10 =!= 0)
         val vecIndex = emb.filter(col("vec_id") < INDEX_MAX)
         val simR = VectorFunctions.mtBits(vecIndex.count())
+        // the tokenizer arm's corpus carries ONE novel word per doc
+        // (`query<doc_id>` — the closed synthetic vocabulary has no
+        // naturally-unique tokens), so each purged doc owns exactly
+        // one word the cascade's uniqueVocabulary derivation must
+        // find and purgeWords must drop — the arm's memo match then
+        // returns exactly the SHARED vocabulary
+        val bpeCorpus = docIndex.select(col("doc_id"),
+          expr(s"replace(text, 'query', 'query' || " +
+            "CAST(doc_id AS STRING))").as("text"))
         val root = graft.sources.Artifacts.versionedRoot(
           "graft-purge-cascade", d,
-          Seq("documents.parquet", "embeddings.parquet"))
+          Seq("documents.parquet", "embeddings.parquet"),
+          logicVersion = 3)
         val dedupRoot = s"$root/dedup"; val simRoot = s"$root/sim"
         val pqRoot = s"$root/pq"; val fsRoot = s"$root/fs"
-        val lexRoot = s"$root/lex"
+        val lexRoot = s"$root/lex"; val bpeRoot = s"$root/bpe"
+        val cmsRoot = s"$root/cms"
         if (DedupIndex.resolve(dedupRoot).isEmpty) {
           DedupIndex.publish(
             Dedup.minhashSignatures(docIndex, "doc_id", "text", MH_K),
@@ -11158,7 +11176,10 @@ object PipelineQueries {
           FirstSeenIndex.publish(
             Dedup.shingleSet(docIndex, "doc_id", "text", 3), fsRoot)
           LexIndex.publish(docIndex, "doc_id", "text", lexRoot)
-          // ONE deletion set, ONE call, five artifacts
+          BpeIndex.publish(bpeCorpus, "doc_id", "text", BPE_ROUNDS, bpeRoot)
+          SketchIndex.publish(termsOf(docIndex), "term", CMS_D, CMS_W,
+            cmsRoot)
+          // ONE deletion set, ONE call, seven artifacts
           val ids = docIndex.filter(col("doc_id") % 10 === 0)
             .select(col("doc_id"), col("doc_id").as("vec_id"))
           PurgeCascade.purge(s, ids, Seq(
@@ -11167,22 +11188,29 @@ object PipelineQueries {
             PurgeCascade.pq(pqRoot),
             PurgeCascade.firstSeen(fsRoot, reassignSrc =
               Some(Dedup.shingleSet(docLive, "doc_id", "text", 3))),
-            PurgeCascade.lex(lexRoot)), vacuum = true)
+            PurgeCascade.lex(lexRoot),
+            PurgeCascade.bpe(bpeRoot, bpeCorpus),
+            PurgeCascade.sketch(cmsRoot, docIndex)), vacuum = true)
         }
         // dedup probe: redeliveries of docs < RED_MAX — purged docs
         // among them MUST find nothing; survivors find their original
         val fresh = docs.filter(col("doc_id") < RED_MAX)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-        // the five probes are independent, and each one MATERIALIZES
+        // the seven probes are independent, and each one MATERIALIZES
         // its result inside the call (the ProbeCache contract) — so
-        // build them from five driver threads and let Spark overlap
+        // build them from seven driver threads and let Spark overlap
         // the jobs: the composition costs ~max(probe), not Σ probe.
         // Writes (the cold publish + purge above) stay sequential.
+        // The purged docs' distinct words (in the tokenizer arm's
+        // novel-word corpus) — the deletion-request view
+        val purgedW = bpeCorpus.filter(col("doc_id") % 10 === 0)
+          .select(explode(TextFunctions.words(col("text"))).as("word"))
+          .filter(length(col("word")) > 0).distinct()
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
-        val Seq(dedupArm, simArm, pqArm, fsArm, lexArm) = Await.result(
-          Future.sequence(Seq(
+        val Seq(dedupArm, simArm, pqArm, fsArm, lexArm, bpeArm, cmsArm) =
+          Await.result(Future.sequence(Seq(
             Future(DedupIndex.probe(s,
               Dedup.minhashSignatures(fresh, "doc_id", "text", MH_K),
               "doc_id", MH_BANDS, MH_R, dedupRoot)),
@@ -11200,7 +11228,13 @@ object PipelineQueries {
                   col("doc_id") >= INDEX_MAX && col("doc_id") < FS_MAX),
                   "doc_id", "text", 3), fsRoot))),
             Future(LexIndex.bm25TopK(s, lexQueryTerms(docLive),
-              "query_id", "term", LEX_K, lexRoot)))),
+              "query_id", "term", LEX_K, lexRoot)),
+            // post-purge memo ∩ purged docs' words = exactly their
+            // SHARED words (unique ones provably left the store)
+            Future(BpeIndex.memoAll(s, bpeRoot).select("word").distinct()
+              .join(purgedW, Seq("word"), "leftsemi")),
+            Future(SketchIndex.estimate(s, termsOf(docIndex), "term",
+              cmsRoot)))),
           Duration.Inf)
         def arm(df: DataFrame, family: String,
                 cols: Seq[String]): DataFrame =
@@ -11218,6 +11252,9 @@ object PipelineQueries {
             Seq("doc_id", "n_sh", "n_novel")))
           .unionByName(arm(lexArm, "lex",
             Seq("query_id", "index_id", "n_hit", "score", "rnk")))
+          .unionByName(arm(bpeArm, "bpe", Seq("word")))
+          .unionByName(arm(cmsArm, "cms",
+            Seq("term", "cms_est", "n_total")))
           .orderBy("family")
       },
       s"""${armSql("dedup", "new_id || ',' || index_id",
@@ -11326,6 +11363,39 @@ object PipelineQueries {
            |  FROM scored)
            |SELECT query_id, index_id, CAST(rnk AS BIGINT) AS rnk
            |FROM ranked WHERE rnk <= $SIM_K""".stripMargin)}
+         |UNION ALL
+         |${armSql("bpe", "word",
+        s"""WITH pw AS (
+           |  SELECT DISTINCT w AS word FROM (
+           |    SELECT unnest(${TextFunctions.wordsSql(
+               "replace(text, 'query', 'query' || CAST(doc_id AS STRING))")
+             }) AS w
+           |    FROM documents
+           |    WHERE doc_id < $INDEX_MAX AND doc_id % 10 = 0)
+           |  WHERE length(w) > 0),
+           |sv AS (
+           |  SELECT DISTINCT w AS word FROM (
+           |    SELECT unnest(${TextFunctions.wordsSql(
+               "replace(text, 'query', 'query' || CAST(doc_id AS STRING))")
+             }) AS w
+           |    FROM documents
+           |    WHERE doc_id < $INDEX_MAX AND doc_id % 10 <> 0)
+           |  WHERE length(w) > 0)
+           |SELECT p.word FROM pw p JOIN sv s2 ON p.word = s2.word"""
+          .stripMargin)}
+         |UNION ALL
+         |${armSql("cms", "term || ',' || cms_est || ',' || n_total",
+        s"""WITH cmsp(r, a, b) AS (
+           |  VALUES ${CountMin.paramsSqlValues(CMS_D)}),
+           |qt AS (
+           |  SELECT DISTINCT t AS term FROM (
+           |    SELECT unnest(${TextFunctions.wordsSql("text")}) AS t
+           |    FROM documents WHERE doc_id < $INDEX_MAX)
+           |  WHERE length(t) > 0),
+           |${cmsWorldSql(0,
+               s"doc_id < $INDEX_MAX AND doc_id % 10 <> 0", "qt")}
+           |SELECT e.term, e.cms_est, nt0.n_total FROM est0 e, nt0"""
+          .stripMargin)}
          |ORDER BY family""".stripMargin)
   }
 
@@ -12276,7 +12346,9 @@ object PipelineQueries {
 
   // ---- the persisted count-min family (SketchIndex, q298–q300) ----
 
-  private val CMS_D = 4; private val CMS_W = 1024
+  // defs, not vals: purgeCascadeAudit's oracle (earlier in init
+  // order) references them while the object is still initializing
+  private def CMS_D = 4; private def CMS_W = 1024
 
   /** The shared CMS-world oracle CTEs: sketch cells over a corpus
     * predicate + min-estimates for a query-term CTE, both in
