@@ -63,16 +63,30 @@ object BpeIndex {
   private val MemoSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "word STRING, n_sub BIGINT, pbucket INT")
 
-  /** Base ∪ delta memo rows (word, n_sub, pbucket) of the newest
-    * committed generation — the artifact's full word inventory (the
-    * purge audit's read surface).
+  /** Base ∪ LIVE delta memo rows (word, n_sub, pbucket) of the
+    * newest committed generation — the artifact's full word
+    * inventory (the purge audit's read surface). Deltas already
+    * consumed by a purge/re-train (named in `_folded.json`) are
+    * excluded: for a purge the crash window between its commit and
+    * its delta cleanup would otherwise RESURRECT purged word strings
+    * through the leftover dir; for a re-train the leftover's n_sub
+    * derives from the superseded merges.
     */
   private[graft] def memoAll(spark: SparkSession, root: String): DataFrame = {
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
-    (new java.io.File(idxPath, "memo").toString +: deltas(root))
+    (new java.io.File(idxPath, "memo").toString +:
+        liveDeltas(root, idxPath))
       .map(p => spark.read.schema(MemoSchema).parquet(p))
       .reduce(_.unionByName(_))
+  }
+
+  /** Delta roots NOT consumed by the generation at `genPath` — the
+    * read set every consumer must use (see [[memoAll]]).
+    */
+  private def liveDeltas(root: String, genPath: String): Seq[String] = {
+    val folded = foldedOf(genPath)
+    deltas(root).filterNot(p => folded(new java.io.File(p).getName))
   }
 
   /** Highest committed version under `root`, if any. */
@@ -85,10 +99,23 @@ object BpeIndex {
 
   /** Train `rounds` merges on `docs`' word vocabulary and commit
     * merges + segmentation memo + frozen params as the next version.
+    *
+    * Re-publishing into a root that already has a generation (the
+    * re-train path) INVALIDATES the delta log: every delta's n_sub
+    * derives from the superseded merges, so serving it against the
+    * new generation would break the memo-hit ≡ fold invariant. The
+    * new generation's `_folded.json` names them (read paths skip,
+    * redelivered folds absorb — including a fold replayed after a
+    * pre-retrain purge, the PII closure) and the dirs are dropped
+    * after the commit.
     */
   def publish(docs: DataFrame, id: String, text: String, rounds: Int,
               root: String): String = synchronized {
-    VersionedDirs.commit(root) { staging =>
+    val prev = resolve(root)
+    val deltaSnap = if (prev.isDefined) deltas(root) else Nil
+    val foldedNames = (prev.map(foldedOf).getOrElse(Set.empty) ++
+      deltaSnap.map(p => new java.io.File(p).getName)).toSeq.sorted
+    val path = VersionedDirs.commit(root) { staging =>
       val vocab = wordsOf(docs, id, text)
         .groupBy("word").agg(count(lit(1)).as("freq"))
       val (merges, seg) = Bpe.train(vocab, rounds)
@@ -114,10 +141,19 @@ object BpeIndex {
       java.nio.file.Files.writeString(
         new java.io.File(staging, "_params.json").toPath,
         s"""{"rounds":$rounds,"fert":$fert}""")
+      if (foldedNames.nonEmpty)
+        java.nio.file.Files.writeString(
+          new java.io.File(staging, "_folded.json").toPath,
+          foldedNames.map(n => s""""$n"""").mkString("[", ",", "]"))
       java.nio.file.Files.createFile(
         new java.io.File(staging, "_SUCCESS").toPath)
       ()
     }
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+    }
+    deltaSnap.foreach(p => rm(new java.io.File(p)))
+    path
   }
 
   /** The frozen round count of the newest committed generation. */
@@ -259,7 +295,10 @@ object BpeIndex {
                  root: String): String = synchronized {
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
-    val deltaSnap = deltas(root)
+    // LIVE deltas only: a leftover dir from a prior purge's crash
+    // window still holds the previously-purged word strings, and
+    // unioning it here would write them back into the new base
+    val deltaSnap = liveDeltas(root, idxPath)
     val all = (new java.io.File(idxPath, "memo").toString +: deltaSnap)
       .map(p => spark.read.schema(MemoSchema).parquet(p))
       .reduce(_.unionByName(_))
@@ -292,7 +331,9 @@ object BpeIndex {
     def rm(x: java.io.File): Unit = {
       Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
     }
-    deltaSnap.foreach(p => rm(new java.io.File(p)))
+    // drop the consumed dirs AND any already-folded leftovers a
+    // prior purge's crash window left behind
+    deltas(root).foreach(p => rm(new java.io.File(p)))
     Option(deltaDir(root).listFiles()).getOrElse(Array.empty)
       .filter(VersionedDirs.stagingOrphan).foreach(rm)
     path
@@ -350,9 +391,9 @@ object BpeIndex {
   private def censusCore(spark: SparkSession, docs: DataFrame,
                          id: String, text: String, root: String,
                          materialize: Boolean): (DataFrame, DataFrame) = {
-    val deltaSnap = deltas(root)
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
+    val deltaSnap = liveDeltas(root, idxPath)
     val merges = mergesAt(spark, idxPath)
     val occ0 = wordsOf(docs, id, text)
     val occ = if (materialize) occ0.persist() else occ0

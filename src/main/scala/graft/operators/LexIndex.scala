@@ -359,8 +359,12 @@ object LexIndex {
     // int64 past [[ContribDlNBound]], silently corrupting every
     // score — refuse to serve rather than rank garbage. max_dl = 0
     // marks a pre-r12 sidecar with no recorded maximum: the check
-    // skips (it can verify, never assume).
-    val maxDl = stats.map(_._3).max
+    // skips only when it cannot verify, and ANY unrecorded sidecar
+    // in the union poisons the max (a mixed base/delta artifact must
+    // not false-pass on the recorded subset's smaller maximum).
+    val maxDl =
+      if (stats.exists(s => s._1 > 0L && s._3 == 0L)) 0L
+      else stats.map(_._3).max
     require(maxDl == 0L || nDocs == 0L ||
       maxDl <= ContribDlNBound / nDocs,
       s"BM25 integer headroom exceeded: max(dl)=$maxDl x N=$nDocs " +

@@ -68,7 +68,17 @@ object PqIndex {
     synchronized {
       require(!byResidual || coarseC > 0,
         "byResidual needs a coarse quantizer (coarseC > 0)")
-      VersionedDirs.commit(root) { staging =>
+      // re-publishing into a root that already has a generation (the
+      // re-train path) INVALIDATES the delta log: delta codes were
+      // argmin'd against the SUPERSEDED codebooks, so decoding them
+      // against the new generation's ADC tables is garbage. The new
+      // generation's _folded.json names them (probes skip,
+      // redelivered appends absorb) and the dirs drop post-commit.
+      val prev = resolve(root)
+      val deltaSnap = if (prev.isDefined) deltas(root) else Nil
+      val invalidated = (prev.map(foldedOf).getOrElse(Set.empty) ++
+        deltaSnap.map(p => new java.io.File(p).getName)).toSeq.sorted
+      val committed = VersionedDirs.commit(root) { staging =>
         val e = VectorQuantizer.scaled(corpus, id, vec).persist()
         val coarse = if (coarseC > 0)
           Some(VectorQuantizer.fitCentroids(e, id, coarseC, coarseIters)
@@ -107,12 +117,21 @@ object PqIndex {
           s"""{"m":$m,"dsub":$dsub,"ks":$ks,"iters":$iters,""" +
             s""""c":$coarseC,"citers":$coarseIters,""" +
             s""""resid":${if (byResidual) 1 else 0},"qerr":$qerr}""")
+        if (invalidated.nonEmpty)
+          java.nio.file.Files.writeString(
+            new java.io.File(staging, "_folded.json").toPath,
+            invalidated.map(n => s""""$n"""").mkString("[", ",", "]"))
         // the parquet writes each committed their own subdir; the
         // version-level marker is what resolve() keys on
         java.nio.file.Files.createFile(
           new java.io.File(staging, "_SUCCESS").toPath)
         ()
       }
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      deltaSnap.foreach(p => rm(new java.io.File(p)))
+      committed
     }
 
   /** (id, xs = x − coarse centroid, ccell) over an already-scaled
@@ -432,11 +451,16 @@ object PqIndex {
         cent.write.parquet(new java.io.File(st, "codebook").toString)
         coarse.foreach(_.write.parquet(
           new java.io.File(st, "coarse").toString))
+        // qerr carries forward VERBATIM: the codebooks are frozen
+        // across a compaction, so the publish-time fit baseline is
+        // unchanged — dropping it would silently kill
+        // [[retrainOnDrift]] after the first GDPR compaction
         java.nio.file.Files.writeString(
           new java.io.File(st, "_params.json").toPath,
           s"""{"m":$m,"dsub":$dsub,"ks":$ks,"iters":$iters,""" +
             s""""c":$cc,"citers":$citers,""" +
-            s""""resid":${if (residAt(basePath)) 1 else 0}}""")
+            s""""resid":${if (residAt(basePath)) 1 else 0},""" +
+            s""""qerr":${qerrAt(basePath)}}""")
         java.nio.file.Files.writeString(
           new java.io.File(st, "_folded.json").toPath,
           foldedNames.map(n => s""""$n"""").mkString("[", ",", "]"))

@@ -138,13 +138,26 @@ object SketchIndex {
     target.getAbsolutePath
   }
 
-  /** The serving cells: cell-sum of base ∪ committed deltas —
+  /** Delta roots NOT yet consumed by the generation at `genPath` —
+    * the read set every consumer must use: a delta named in
+    * `_folded.json` is already IN the generation's cells, and unlike
+    * the min/union families a double-read here double-COUNTS (sums
+    * are not idempotent), so the filter is load-bearing for the
+    * crash window between a rewrite's commit and its delta cleanup.
+    */
+  private def liveDeltas(root: String, genPath: String): Seq[String] = {
+    val folded = foldedOf(genPath)
+    deltas(root).filterNot(p => folded(new java.io.File(p).getName))
+  }
+
+  /** The serving cells: cell-sum of base ∪ live (unconsumed) deltas —
     * ≤ d·w rows after the aggregate, at any corpus size.
     */
   private def servedCells(spark: SparkSession, root: String): DataFrame = {
     val genPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
-    (new java.io.File(genPath, "cells").toString +: deltas(root))
+    (new java.io.File(genPath, "cells").toString +:
+        liveDeltas(root, genPath))
       .map(p => spark.read.schema(CellSchema).parquet(p))
       .reduce(_.unionByName(_))
       .groupBy("r", "cell").agg(sum("cnt").as("cnt"))
@@ -222,6 +235,9 @@ object SketchIndex {
   def purge(spark: SparkSession, deleted: DataFrame, term: String,
             root: String, tag: Option[String] = None): String = {
     val t = tag.getOrElse(deletionTag(deleted, term))
+    // cheap early absorb; rewrite re-checks INSIDE its lock (two
+    // concurrent same-tag purges must not both pass this check and
+    // subtract twice)
     resolve(root) match {
       case Some(p) if purgedOf(p)(t) => return p
       case _ => ()
@@ -241,6 +257,9 @@ object SketchIndex {
     synchronized {
     val genPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
+    // locked re-check of the purge ledger: a concurrent same-tag
+    // purge that committed while this call waited must absorb here
+    purgeTag.foreach { t => if (purgedOf(genPath)(t)) return genPath }
     val deltaSnap = deltas(root)
     val params = paramsText(genPath)
     val cells = f(servedCells(spark, root))

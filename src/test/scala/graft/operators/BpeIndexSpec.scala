@@ -96,6 +96,84 @@ class BpeIndexSpec extends SparkSpec {
       "purgeWords changed tokenize results — memo is cache, not truth")
   }
 
+  test("re-publish invalidates the memo delta log: old-merge n_sub never served") {
+    val root = Files.createTempDirectory("bpeidx").toString
+    BpeIndex.publish(train, "doc_id", "text", R, root)
+    // fold a word under the v1 merges
+    val merges1 = spark.read.parquet(
+        new java.io.File(BpeIndex.resolve(root).get, "merges").toString)
+      .orderBy("round").select("lhs", "rhs")
+      .as[(String, String)].collect().toSeq
+    BpeIndex.foldMemo(spark,
+      BpeIndex.applyMerges(Seq("ababab").toDF("word"), merges1),
+      root, tag = "b0")
+    assert(BpeIndex.deltas(root).size == 1)
+    // re-train on a drifted corpus: different merges, so the delta's
+    // n_sub is derived from superseded state and must be invalidated
+    val drifted = train.select($"doc_id", reverse($"text").as("text"))
+    assert(BpeIndex.retrainOnFertility(spark, drifted, "doc_id", "text",
+      root, factorMilli = 1050L).isDefined)
+    assert(BpeIndex.deltas(root).isEmpty,
+      "re-publish left old-merge memo deltas in the log")
+    assert(BpeIndex.folded(root, "b0"),
+      "invalidated delta lost its durable record — a redelivered fold " +
+        "would re-commit old-merge rows")
+    // memo-hit ≡ fold invariant under the NEW merges: tokenize of the
+    // previously-folded word equals a fresh fold against v2
+    val merges2 = spark.read.parquet(
+        new java.io.File(BpeIndex.resolve(root).get, "merges").toString)
+      .orderBy("round").select("lhs", "rhs")
+      .as[(String, String)].collect().toSeq
+    val want = BpeIndex.applyMerges(Seq("ababab").toDF("word"), merges2)
+      .as[(String, Long)].collect().head._2
+    val got = BpeIndex.tokenize(spark,
+        Seq((90L, "ababab")).toDF("doc_id", "text"),
+        "doc_id", "text", root)
+      .select("n_subwords").as[Long].head()
+    assert(got == want,
+      s"stale delta served old-merge n_sub: got $got want $want")
+  }
+
+  test("a purge crash-leftover delta cannot resurrect the purged word") {
+    val root = Files.createTempDirectory("bpeidx").toString
+    BpeIndex.publish(train, "doc_id", "text", R, root)
+    val merges = spark.read.parquet(
+        new java.io.File(BpeIndex.resolve(root).get, "merges").toString)
+      .orderBy("round").select("lhs", "rhs")
+      .as[(String, String)].collect().toSeq
+    val deltaPath = BpeIndex.foldMemo(spark,
+      BpeIndex.applyMerges(Seq("zz").toDF("word"), merges),
+      root, tag = "b0")
+    // snapshot the delta dir, purge, then restore the snapshot —
+    // exactly the crash window between a purge's commit and its
+    // delta cleanup
+    val backup = Files.createTempDirectory("bpeidx-bak").toString
+    def copy(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .foreach(f => copy(f, new java.io.File(dst, f.getName)))
+      } else {
+        java.nio.file.Files.copy(src.toPath, dst.toPath); ()
+      }
+    }
+    copy(new java.io.File(deltaPath), new java.io.File(backup, "batch-b0"))
+    BpeIndex.purgeWords(spark, Seq("zz").toDF("word"), root)
+    copy(new java.io.File(backup, "batch-b0"), new java.io.File(deltaPath))
+    assert(BpeIndex.deltas(root).size == 1, "leftover not restored")
+    // the leftover is named in _folded.json: reads skip it
+    assert(BpeIndex.memoAll(spark, root)
+      .filter($"word" === "zz").isEmpty,
+      "crash-leftover delta resurrected the purged word on read")
+    // and the NEXT purge must not write it back into the new base
+    BpeIndex.purgeWords(spark, Seq("cab").toDF("word"), root)
+    assert(BpeIndex.memoAll(spark, root)
+      .filter($"word" === "zz").isEmpty,
+      "next purge unioned the leftover and resurrected the word")
+    assert(BpeIndex.deltas(root).isEmpty,
+      "purge did not clean the already-folded leftover")
+  }
+
   test("retrainOnFertility: absorbs a stable corpus, fires on a drifted one") {
     val root = Files.createTempDirectory("bpeidx").toString
     BpeIndex.publish(train, "doc_id", "text", R, root)

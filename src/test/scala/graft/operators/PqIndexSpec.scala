@@ -434,4 +434,44 @@ class PqIndexSpec extends SparkSpec {
     assert(reQ * 1000L / PqIndex.publishQuantizationError(root) == 1000L,
       "re-published codebooks are not a fresh fit of the drifted corpus")
   }
+
+  test("re-publish invalidates the delta log: stale-codebook codes never served") {
+    val root = Files.createTempDirectory("pqidx").toString
+    PqIndex.publish(index, "vec_id", "embedding", M, DSUB, KS, ITERS, root)
+    // delta codes argmin'd against the v1 codebooks
+    val extra = (200 until 210)
+      .map(i => (i.toLong, vec(i.toLong, 0.0f))).toDF("vec_id", "embedding")
+    PqIndex.appendDelta(extra, "vec_id", "embedding", root)
+    assert(PqIndex.deltas(root).size == 1)
+    // drift fires → v2 codebooks; the v1-coded delta must be
+    // invalidated, not decoded against v2's ADC tables
+    val drifted = index.select($"vec_id",
+      reverse($"embedding").as("embedding"))
+    assert(PqIndex.retrainOnDrift(spark, drifted, "vec_id", "embedding",
+      root, factorMilli = 1500L).isDefined)
+    assert(PqIndex.deltas(root).isEmpty,
+      "re-publish left stale-codebook delta codes in the log")
+    // no delta id may surface from a probe of the retrained artifact
+    val hits = PqIndex.probeTopK(spark, queries, "vec_id", "embedding",
+        40, root)
+      .select($"index_id").as[Long].collect().toSet
+    assert(!hits.exists(_ >= 200L),
+      s"probe served codes encoded under the superseded codebooks: $hits")
+  }
+
+  test("mergeCompact carries the qerr drift baseline forward") {
+    val root = Files.createTempDirectory("pqidx").toString
+    PqIndex.publish(index, "vec_id", "embedding", M, DSUB, KS, ITERS, root)
+    val baseline = PqIndex.publishQuantizationError(root)
+    assert(baseline > 0L)
+    PqIndex.addTombstones(spark,
+      Seq(1L).toDF("vec_id"), "vec_id", root)
+    PqIndex.mergeCompact(spark, root)
+    assert(PqIndex.publishQuantizationError(root) == baseline,
+      "compaction dropped the qerr baseline — retrainOnDrift is dead " +
+        "after the first GDPR purge")
+    // and the trigger still absorbs/fires as before the compaction
+    assert(PqIndex.retrainOnDrift(spark, index, "vec_id", "embedding",
+      root, factorMilli = 1500L).isEmpty)
+  }
 }

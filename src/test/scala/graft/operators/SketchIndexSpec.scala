@@ -100,6 +100,39 @@ class SketchIndexSpec extends SparkSpec {
       "cascade re-run double-subtracted the sketch arm")
   }
 
+  test("a merge crash-leftover delta is never double-counted") {
+    val root = Files.createTempDirectory("cms").toString
+    SketchIndex.publish(terms("a" -> 5), "term", D, W, root)
+    val deltaPath = SketchIndex.appendDelta(spark, terms("a" -> 3),
+      "term", root, tag = "b0")
+    // snapshot the delta, merge (consumes it), restore the snapshot —
+    // the crash window between a rewrite's commit and its cleanup
+    val backup = Files.createTempDirectory("cms-bak").toString
+    def copy(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .foreach(f => copy(f, new java.io.File(dst, f.getName)))
+      } else {
+        java.nio.file.Files.copy(src.toPath, dst.toPath); ()
+      }
+    }
+    copy(new java.io.File(deltaPath), new java.io.File(backup, "batch-b0"))
+    SketchIndex.mergeCompact(spark, root)
+    copy(new java.io.File(backup, "batch-b0"), new java.io.File(deltaPath))
+    assert(SketchIndex.deltas(root).size == 1, "leftover not restored")
+    // sums are not idempotent: the folded filter is what keeps the
+    // leftover from doubling every b0 cell
+    assert(estMap(root, Seq("a"))("a") == 8L,
+      "crash-leftover delta double-counted on read")
+    // and a subsequent rewrite must not persist the double count
+    SketchIndex.mergeCompact(spark, root)
+    assert(estMap(root, Seq("a"))("a") == 8L,
+      "next merge summed the leftover into the committed cells")
+    assert(SketchIndex.deltas(root).isEmpty,
+      "merge did not clean the already-folded leftover")
+  }
+
   test("geometry is frozen across the lifecycle; vacuum keeps the head") {
     val root = Files.createTempDirectory("cms").toString
     SketchIndex.publish(terms("a" -> 1), "term", D, W, root)
