@@ -142,17 +142,74 @@ object SimIndex {
         new java.io.File(f, "_SUCCESS").isFile)
       .map(_.getAbsolutePath).sorted.toSeq
 
+  /** Delta roots NOT yet consumed by the generation at `genPath` —
+    * the read set every consumer must use: a delta named in
+    * `_folded.json` is already in the generation's rows, and worse,
+    * it may PREDATE a purge the generation applied — reading the
+    * leftover dir in the crash window between a merge's commit and
+    * its delta cleanup would resurface purged vectors through every
+    * probe.
+    */
+  private def liveDeltas(root: String, genPath: String): Seq[String] = {
+    val folded = foldedOf(genPath)
+    deltas(root).filterNot(p => folded(new java.io.File(p).getName))
+  }
+
+  /** Delta dir NAMES already folded into the generation at `genPath`
+    * — the durable fold record ([[FirstSeenIndex]]'s closure, carried
+    * forward CUMULATIVELY across generations). "Max-aggregated scores
+    * are idempotent, a double-read is harmless" only holds while no
+    * DELETE happened in between: an at-least-once redelivery of a
+    * tagged append arriving after a purge + [[mergeCompact]]
+    * (tombstones reset) would re-commit the delta and resurrect the
+    * purged vec_ids' band rows through every probe. The sidecar is
+    * what lets [[folded]] answer "already in the generation" after
+    * the delta dir itself is gone.
+    */
+  private def foldedOf(genPath: String): Set[String] = {
+    val f = new java.io.File(genPath, "_folded.json")
+    if (!f.isFile) Set.empty
+    else """"([^"]+)"""".r.findAllMatchIn(
+      java.nio.file.Files.readString(f.toPath)).map(_.group(1)).toSet
+  }
+
+  /** True when an append tagged `tag` has already committed — live in
+    * the delta log, or folded into the resolved generation (its name
+    * in `_folded.json`). The folded half is the purge-race closure:
+    * see [[foldedOf]].
+    */
+  def folded(root: String, tag: String): Boolean = {
+    val live = new java.io.File(
+      new java.io.File(deltaDir(root), s"batch-$tag"), "_SUCCESS").isFile
+    live || resolve(root).exists(p => foldedOf(p)(s"batch-$tag"))
+  }
+
   /** Append `corpus` as a new delta batch, keyed with the base
     * index's frozen (r, T). Commit is the same stage-then-rename
     * protocol; a crashed append leaves an uncommitted `.staging-`
-    * dir that probes skip and the next merge vacuums.
+    * dir that probes skip and the next merge vacuums. `tag` names the
+    * batch (an at-least-once producer supplies its batch identity):
+    * a redelivered tag is ABSORBED — returned without writing —
+    * whether the delta is still live or was already folded into a
+    * committed generation, so a replay arriving after a
+    * purge + [[mergeCompact]] cannot resurrect purged vectors.
     */
   def appendDelta(corpus: DataFrame, id: String, vec: String,
-                  root: String): String = synchronized {
-    val (bits, tables) = paramsAt(resolve(root).getOrElse(
-      throw new IllegalStateException(s"no committed index under $root")))
-    graft.sources.Artifacts.notePublish()
+                  root: String,
+                  tag: String = java.util.UUID.randomUUID().toString)
+      : String = synchronized {
+    val genPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val (bits, tables) = paramsAt(genPath)
     val dr = deltaDir(root); dr.mkdirs()
+    val target = new java.io.File(dr, s"batch-$tag")
+    if (new java.io.File(target, "_SUCCESS").isFile)
+      return target.getAbsolutePath // tagged append already committed
+    // already folded into a committed generation and its dir deleted:
+    // ABSORB — re-committing would resurrect purged vec_ids when a
+    // purge ran between the append and this redelivery (see foldedOf)
+    if (foldedOf(genPath)(s"batch-$tag")) return genPath
+    graft.sources.Artifacts.notePublish()
     val staging = new java.io.File(dr,
       s".staging-${java.util.UUID.randomUUID()}")
     keyRows(corpus, id, vec, bits, tables)
@@ -160,8 +217,6 @@ object SimIndex {
       .sortWithinPartitions("tbl", "bucket")
       .write.partitionBy("pbucket").mode("overwrite")
       .parquet(staging.getAbsolutePath)
-    val target = new java.io.File(dr,
-      s"batch-${java.util.UUID.randomUUID()}")
     require(staging.renameTo(target),
       s"delta append rename failed into $dr")
     target.getAbsolutePath
@@ -176,7 +231,13 @@ object SimIndex {
     val basePath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
     val (bits, tables) = paramsAt(basePath)
-    val all0 = (basePath +: deltaSnap)
+    // a crash leftover a predecessor folded but never deleted must
+    // not re-enter: its rows are in the base AND it may predate a
+    // purge (see [[foldedOf]])
+    val folded0 = foldedOf(basePath)
+    val liveSnap = deltaSnap
+      .filterNot(p => folded0(new java.io.File(p).getName))
+    val all0 = (basePath +: liveSnap)
       .map(p => spark.read.parquet(p))
       .reduce(_.unionByName(_))
     // fold pending deletes into the rewrite (pure row filter, no
@@ -184,6 +245,12 @@ object SimIndex {
     val all = tombstones(spark, root)
       .map(t => all0.join(t, Seq("index_id"), "left_anti"))
       .getOrElse(all0)
+    // cumulative fold record: prior generations' names carry forward
+    // so a tag redelivered ANY number of merges later still absorbs
+    // (names are ~bytes per batch — the ledger grows with batch
+    // count, never with data)
+    val foldedNames = (folded0 ++
+      liveSnap.map(p => new java.io.File(p).getName)).toSeq.sorted
     val path = VersionedDirs.commit(root) { st =>
       all.repartition(col("pbucket"))
         .sortWithinPartitions("tbl", "bucket")
@@ -191,18 +258,21 @@ object SimIndex {
       java.nio.file.Files.writeString(
         new java.io.File(st, "_params.json").toPath,
         s"""{"bits":$bits,"tables":$tables}""")
+      // record the fold BEFORE deleting the dirs — the durable commit
+      // record a redelivered tagged append checks via [[folded]]
+      java.nio.file.Files.writeString(
+        new java.io.File(st, "_folded.json").toPath,
+        foldedNames.map(n => s""""$n"""").mkString("[", ",", "]"))
       ()
     }
     def rm(x: java.io.File): Unit = {
       Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
     }
-    // delete exactly the dirs THIS merge folded — an append another
-    // process committed after the snapshot was not folded and must
-    // survive (a blanket deltaDir rm would silently lose its
-    // vectors); crashed-append staging leftovers vacuum alongside.
-    // (A delta surviving one extra merge cycle is harmless here even
-    // if double-read: the probe's max-aggregated score is idempotent
-    // over duplicate key rows.)
+    // delete exactly the dirs THIS merge folded plus already-folded
+    // crash leftovers — an append another process committed after the
+    // snapshot was not folded and must survive (a blanket deltaDir rm
+    // would silently lose its vectors); crashed-append staging
+    // leftovers vacuum alongside.
     deltaSnap.foreach(p => rm(new java.io.File(p)))
     Option(deltaDir(root).listFiles()).getOrElse(Array.empty)
       .filter(VersionedDirs.stagingOrphan).foreach(rm)
@@ -255,11 +325,17 @@ object SimIndex {
     // deleted it (old-gen-minus-deltas was never a committed state).
     // Resolving the NEW generation with the stale delta listing is
     // harmless here: the probe max-aggregates an idempotent score, so
-    // double-read key rows can't change any ranking.
+    // double-read key rows can't change any ranking — EXCEPT a
+    // leftover dir the generation already folded, which may predate a
+    // purge the generation applied; those are filtered against the
+    // resolved generation's `_folded.json` below.
     val ts = tombstones(spark, root)
-    val deltaSnap = deltas(root)
+    val deltaSnap0 = deltas(root)
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
+    val folded0 = foldedOf(idxPath)
+    val deltaSnap = deltaSnap0
+      .filterNot(p => folded0(new java.io.File(p).getName))
     // params pinned to the resolved generation (re-resolving could
     // land on a racing re-publish's (r, T))
     val (bits, tables) = paramsAt(idxPath)

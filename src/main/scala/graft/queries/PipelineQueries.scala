@@ -3966,6 +3966,104 @@ object PipelineQueries {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** ANN delta redelivery across a purge boundary (q301) — the last
+    * family without the fold-ledger closure, closed: [[SimIndex]]
+    * delta appends are now TAG-named and [[SimIndex.mergeCompact]]
+    * records consumed names in `_folded.json`
+    * ([[FirstSeenIndex]]'s pattern), so an at-least-once redelivery
+    * of an append arriving AFTER a purge + merge consumed its delta
+    * is ABSORBED instead of re-committed — without the ledger the
+    * replay would re-append the purged vectors' band rows and
+    * resurrect them through every probe (the r12 verdict's top
+    * finding). The judged chain: publish base → tagged append →
+    * tombstone every 10th indexed vector → mergeCompact (folds the
+    * delta AND applies the purge, recording the tag) → REDELIVER the
+    * same tagged append (runs on every execution, warm or cold — the
+    * absorption is the judged claim) → probe. The oracle is the
+    * never-ingested survivor index with the banding parameters still
+    * frozen from the base corpus, so a hash match proves the purged
+    * vec_ids stayed unfindable THROUGH the redelivery.
+    */
+  val simRedelivery: Q = {
+    val BASE_MAX = 300L; val DELTA_MAX = 400L; val Q_MAX = 500L; val K = 3
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val base = emb.filter(col("vec_id") < BASE_MAX)
+        val delta = emb.filter(
+          col("vec_id") >= BASE_MAX && col("vec_id") < DELTA_MAX)
+        val queries = emb.filter(
+          col("vec_id") >= DELTA_MAX && col("vec_id") < Q_MAX)
+        val r = VectorFunctions.mtBits(base.count())
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-sim-redeliver", d, Seq("embeddings.parquet"))
+        if (SimIndex.resolve(root).isEmpty)
+          SimIndex.publish(base, "vec_id", "embedding",
+            r, VectorFunctions.mtTables(r), root)
+        if (VersionedDirs.versionsOf(root).size < 2) {
+          if (!SimIndex.folded(root, "b0"))
+            SimIndex.appendDelta(delta, "vec_id", "embedding", root,
+              tag = "b0")
+          SimIndex.addTombstones(s,
+            emb.filter(col("vec_id") < DELTA_MAX &&
+              col("vec_id") % 10 === 0).select("vec_id"), "vec_id", root)
+          SimIndex.mergeCompact(s, root)
+        }
+        // the at-least-once redelivery, after the purge consumed the
+        // delta: absorbed through the generation's _folded.json —
+        // deliberately UNguarded so it replays on every run
+        SimIndex.appendDelta(delta, "vec_id", "embedding", root, tag = "b0")
+        SimIndex.probeTopK(s, queries, "vec_id", "embedding", K, root)
+          .select(col("query_id"), col("index_id"), col("cos_sim"),
+            col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      s"""WITH idx0 AS (SELECT vec_id, embedding FROM embeddings
+         |              WHERE vec_id < $BASE_MAX),
+         |params AS (
+         |  SELECT (${VectorFunctions.mtBitsSql("count(*)")}) AS r,
+         |    ${VectorFunctions.mtTablesSql(VectorFunctions.mtBitsSql("count(*)"))} AS nt
+         |  FROM idx0),
+         |ie AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+         |  FROM embeddings, params
+         |  WHERE vec_id < $DELTA_MAX AND vec_id % 10 <> 0),
+         |iek AS (
+         |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+         |  FROM ie),
+         |ikb AS (
+         |  SELECT vec_id, embedding, tbl,
+         |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+         |  FROM iek),
+         |qe AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+         |  FROM embeddings, params
+         |  WHERE vec_id >= $DELTA_MAX AND vec_id < $Q_MAX),
+         |qek AS (
+         |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+         |  FROM qe),
+         |qkb AS (
+         |  SELECT vec_id, embedding, tbl,
+         |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+         |  FROM qek),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, kb.vec_id AS index_id,
+         |    max(round(${VectorFunctions.cosineSql("q.embedding", "kb.embedding")}, 6))
+         |      AS cos_sim
+         |  FROM qkb q JOIN ikb kb ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, index_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, index_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, index_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
   /** Judged batch twin of the continuous ANN probe (q259) — the
     * [[graft.streaming.AnnStream]] algebra replayed as a
     * deterministic batch sequence so the DuckDB oracle guards it too
@@ -12527,6 +12625,7 @@ object PipelineQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q301_sim_redelivery" -> simRedelivery,
     "q300_cms_stream"    -> cmsStreamTwin,
     "q299_cms_purge"     -> cmsPurge,
     "q298_cms_index"     -> cmsIndexServe,

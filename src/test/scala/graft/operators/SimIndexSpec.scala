@@ -130,6 +130,40 @@ class SimIndexSpec extends SparkSpec {
     assert(gens == Set(new java.io.File(v2).getName))
   }
 
+  test("redelivered tagged append after purge+merge is absorbed, not resurrected") {
+    val root = Files.createTempDirectory("simidx").toString
+    val base = index.filter(col("vec_id") < 120L)
+    val delta = index.filter(col("vec_id") >= 120L)
+    SimIndex.publish(base, "vec_id", "embedding", BITS, TABLES, root)
+    SimIndex.appendDelta(delta, "vec_id", "embedding", root, tag = "b0")
+    // same-tag replay while the delta is live: absorbed, still 1 delta
+    SimIndex.appendDelta(delta, "vec_id", "embedding", root, tag = "b0")
+    assert(SimIndex.deltas(root).size == 1)
+    assert(SimIndex.folded(root, "b0"))
+    // purge a delta vector, then merge (folds delta + applies purge)
+    SimIndex.addTombstones(spark, Seq(122L).toDF("vec_id"), "vec_id", root)
+    SimIndex.mergeCompact(spark, root)
+    assert(SimIndex.deltas(root).isEmpty)
+    def probeIds() = SimIndex.probeTopK(spark, queries, "vec_id",
+        "embedding", K, root)
+      .select("query_id", "index_id", "cos_sim", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val purged = probeIds()
+    assert(!purged.exists(_._2 == 122L), "purged vector still retrievable")
+    // the hazard: redeliver the SAME tagged delta after the purge —
+    // must be absorbed via _folded.json (no new delta dir, no
+    // resurrection of 122 through any probe)
+    SimIndex.appendDelta(delta, "vec_id", "embedding", root, tag = "b0")
+    assert(SimIndex.deltas(root).isEmpty,
+      "redelivered fold re-committed after the purge consumed it")
+    assert(SimIndex.folded(root, "b0"))
+    assert(probeIds() == purged, "redelivery changed probe results")
+    // a DIFFERENT tag is a genuinely new batch and must land
+    SimIndex.appendDelta(delta.filter(col("vec_id") === 122L),
+      "vec_id", "embedding", root, tag = "b1")
+    assert(SimIndex.deltas(root).size == 1)
+  }
+
   test("resolve picks the highest committed version; params travel with it") {
     val root = Files.createTempDirectory("simidx").toString
     assert(SimIndex.resolve(root).isEmpty)
