@@ -89,6 +89,51 @@ object BpeIndex {
     deltas(root).filterNot(p => folded(new java.io.File(p).getName))
   }
 
+  /** Bucket-pruned memo MEMBERSHIP probe: the (word, n_sub) rows of
+    * base ∪ live deltas whose word appears in `words` (one column
+    * `word`), reading ONLY the pbucket dirs the query words touch —
+    * the same static-partition-filter shape as the tokenize path. A
+    * compliance audit asks about a handful of words, so its read set
+    * must be query-sized: [[memoAll]] is a full artifact scan
+    * (train-vocabulary-sized — billions of rows at 100 TB), correct
+    * for whole-artifact inventory but wrong as a membership probe.
+    * Materialized per the [[ProbeCache]] contract.
+    */
+  def memoLookup(spark: SparkSession, words: DataFrame,
+                 root: String): DataFrame =
+    memoLookupCore(spark, words, root, materialize = true)
+
+  /** The LAZY plan behind [[memoLookup]] — exposed for plan audits
+    * (pruning specs assert the static pbucket PartitionFilters).
+    */
+  private[graft] def memoLookupPlan(spark: SparkSession, words: DataFrame,
+                                    root: String): DataFrame =
+    memoLookupCore(spark, words, root, materialize = false)
+
+  private def memoLookupCore(spark: SparkSession, words: DataFrame,
+                             root: String, materialize: Boolean): DataFrame = {
+    val idxPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val deltaSnap = liveDeltas(root, idxPath)
+    val wb0 = words.select("word").distinct()
+      .withColumn("pbucket", pbucketOf(col("word")))
+    val wb = if (materialize) wb0.persist() else wb0
+    val touched = wb.select("pbucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val memo = (new java.io.File(idxPath, "memo").toString +: deltaSnap)
+      .map(p => spark.read.schema(MemoSchema).parquet(p)
+        .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*))
+        .select(col("word"), col("n_sub")))
+      .reduce(_.unionByName(_))
+      // base ∪ deltas may both hold a word (identical n_sub by
+      // derivation) — fold duplicates
+      .groupBy("word").agg(min("n_sub").as("n_sub"))
+    val result = wb.select("word").join(memo, Seq("word"))
+    if (materialize)
+      try ProbeCache.materialize(result) finally { wb.unpersist(); () }
+    else result
+  }
+
   /** Highest committed version under `root`, if any. */
   def resolve(root: String): Option[String] = VersionedDirs.resolve(root)
 

@@ -36,13 +36,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PurgeCascade {
 
   /** One artifact registered for propagation: family-tagged closures
-    * over its root. `compact` returns the new committed generation.
+    * over its root. `compact` receives the deletion frame (the same
+    * one [[purge]] passed to `addTombstones`) and returns the new
+    * committed generation — Targets are STATELESS values, safe to
+    * build once and reuse across any number of (including concurrent)
+    * cascades; the families' own `synchronized` commits serialize the
+    * artifact writes.
     */
   final case class Target(
       family: String,
       root: String,
       addTombstones: (SparkSession, DataFrame) => Unit,
-      compact: SparkSession => String,
+      compact: (SparkSession, DataFrame) => String,
       vacuum: () => Unit)
 
   /** A MinHash-band dedup index ([[DedupIndex]]); `idCol` names the
@@ -51,7 +56,7 @@ object PurgeCascade {
   def dedup(root: String, idCol: String = "doc_id"): Target = Target(
     "dedup", root,
     (s, ids) => DedupIndex.addTombstones(s, ids, idCol, root),
-    s => DedupIndex.compact(s, root),
+    (s, _) => DedupIndex.compact(s, root),
     () => DedupIndex.vacuumOld(root))
 
   /** An LSH ANN index ([[SimIndex]]) — compaction also folds pending
@@ -60,7 +65,7 @@ object PurgeCascade {
   def sim(root: String, idCol: String = "vec_id"): Target = Target(
     "sim", root,
     (s, ids) => SimIndex.addTombstones(s, ids, idCol, root),
-    s => SimIndex.mergeCompact(s, root),
+    (s, _) => SimIndex.mergeCompact(s, root),
     () => SimIndex.vacuumOld(root))
 
   /** A PQ/IVFPQ index ([[PqIndex]]); codebooks and coarse centroids
@@ -69,7 +74,7 @@ object PurgeCascade {
   def pq(root: String, idCol: String = "vec_id"): Target = Target(
     "pq", root,
     (s, ids) => PqIndex.addTombstones(s, ids, idCol, root),
-    s => PqIndex.mergeCompact(s, root),
+    (s, _) => PqIndex.mergeCompact(s, root),
     () => PqIndex.vacuumOld(root))
 
   /** A lexical BM25 index ([[LexIndex]]) — compaction also recomputes
@@ -79,7 +84,7 @@ object PurgeCascade {
   def lex(root: String, idCol: String = "doc_id"): Target = Target(
     "lex", root,
     (s, ids) => LexIndex.addTombstones(s, ids, idCol, root),
-    s => LexIndex.mergeCompact(s, root),
+    (s, _) => LexIndex.mergeCompact(s, root),
     () => LexIndex.vacuumOld(root))
 
   /** A first-seen novelty map ([[FirstSeenIndex]]). `reassignSrc`
@@ -92,7 +97,7 @@ object PurgeCascade {
                 reassignSrc: Option[DataFrame] = None): Target = Target(
     "firstSeen", root,
     (s, ids) => FirstSeenIndex.addTombstones(s, ids, idCol, root),
-    s => FirstSeenIndex.mergeCompact(s, root, reassignSrc),
+    (s, _) => FirstSeenIndex.mergeCompact(s, root, reassignSrc),
     () => FirstSeenIndex.vacuumOld(root))
 
   /** A persisted tokenizer ([[BpeIndex]]) — the sixth family, whose
@@ -111,25 +116,18 @@ object PurgeCascade {
     * because "unique to the deleted docs" is a property of the
     * surviving corpus, not of the artifact. `idCol` names the
     * deletion frame's id column; `corpusIdCol`/`textCol` the corpus
-    * frame's.
+    * frame's. The deletion frame flows through [[purge]] into the
+    * compact closure directly (no staging state), so the Target is a
+    * plain value — reusable across cascades like every other arm.
     */
   def bpe(root: String, corpus: DataFrame, idCol: String = "doc_id",
           corpusIdCol: String = "doc_id",
-          textCol: String = "text"): Target = {
-    @volatile var pending: Option[DataFrame] = None
-    Target(
-      "bpe", root,
-      (_, ids) => { pending = Some(ids) },
-      s => pending match {
-        case Some(ids) =>
-          val v = BpeIndex.purgeWords(s, uniqueVocabulary(
-            corpus, corpusIdCol, textCol, ids, idCol), root)
-          pending = None; v
-        case None => BpeIndex.resolve(root).getOrElse(
-          throw new IllegalStateException(s"no committed index under $root"))
-      },
-      () => BpeIndex.vacuumOld(root))
-  }
+          textCol: String = "text"): Target = Target(
+    "bpe", root,
+    (_, _) => (),
+    (s, ids) => BpeIndex.purgeWords(s, uniqueVocabulary(
+      corpus, corpusIdCol, textCol, ids, idCol), root),
+    () => BpeIndex.vacuumOld(root))
 
   /** A persisted count-min sketch ([[SketchIndex]]): deletion is the
     * family's exact O(d·w) SUBTRACTION of the deleted docs' own term
@@ -145,23 +143,18 @@ object PurgeCascade {
              corpusIdCol: String = "doc_id",
              textCol: String = "text"): Target = {
     import org.apache.spark.sql.functions._
-    @volatile var pending: Option[DataFrame] = None
     Target(
       "sketch", root,
-      (_, ids) => { pending = Some(ids) },
-      s => pending match {
-        case Some(ids) =>
-          val deletedTerms = corpus
-            .join(ids.select(col(idCol).as(corpusIdCol)),
-              Seq(corpusIdCol), "leftsemi")
-            .select(explode(
-              graft.functions.TextFunctions.words(col(textCol)))
-              .as("term"))
-            .filter(length(col("term")) > 0)
-          val v = SketchIndex.purge(s, deletedTerms, "term", root)
-          pending = None; v
-        case None => SketchIndex.resolve(root).getOrElse(
-          throw new IllegalStateException(s"no committed index under $root"))
+      (_, _) => (),
+      (s, ids) => {
+        val deletedTerms = corpus
+          .join(ids.select(col(idCol).as(corpusIdCol)),
+            Seq(corpusIdCol), "leftsemi")
+          .select(explode(
+            graft.functions.TextFunctions.words(col(textCol)))
+            .as("term"))
+          .filter(length(col("term")) > 0)
+        SketchIndex.purge(s, deletedTerms, "term", root)
       },
       () => SketchIndex.vacuumOld(root))
   }
@@ -204,7 +197,7 @@ object PurgeCascade {
             vacuum: Boolean = false): Seq[Report] =
     targets.map { t =>
       t.addTombstones(spark, ids)
-      val v = t.compact(spark)
+      val v = t.compact(spark, ids)
       if (vacuum) t.vacuum()
       Report(t.family, t.root, v)
     }

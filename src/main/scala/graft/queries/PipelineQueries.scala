@@ -11328,9 +11328,12 @@ object PipelineQueries {
             Future(LexIndex.bm25TopK(s, lexQueryTerms(docLive),
               "query_id", "term", LEX_K, lexRoot)),
             // post-purge memo ∩ purged docs' words = exactly their
-            // SHARED words (unique ones provably left the store)
-            Future(BpeIndex.memoAll(s, bpeRoot).select("word").distinct()
-              .join(purgedW, Seq("word"), "leftsemi")),
+            // SHARED words (unique ones provably left the store);
+            // bucket-pruned membership probe — the audit reads only
+            // the word buckets the deletion request touches, never
+            // the train-vocabulary-sized memo
+            Future(BpeIndex.memoLookup(s, purgedW, bpeRoot)
+              .select("word")),
             Future(SketchIndex.estimate(s, termsOf(docIndex), "term",
               cmsRoot)))),
           Duration.Inf)

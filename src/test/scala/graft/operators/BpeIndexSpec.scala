@@ -60,6 +60,26 @@ class BpeIndexSpec extends SparkSpec {
       s"tokenize scan lost its pbucket partition filter:\n${p.take(1500)}")
   }
 
+  test("memoLookup prunes to the query words' buckets and matches memoAll membership") {
+    val root = Files.createTempDirectory("bpeidx").toString
+    BpeIndex.publish(train, "doc_id", "text", R, root)
+    val q = Seq("abc", "zz", "cab").toDF("word") // 2 known, 1 absent
+    // pruning: the lookup scan must carry a static pbucket filter
+    val p = BpeIndex.memoLookupPlan(spark, q, root)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pbucket".r.findFirstIn(p).isDefined,
+      s"memoLookup scan lost its pbucket partition filter:\n${p.take(1500)}")
+    // membership + n_sub agree with the full-scan inventory
+    val got = BpeIndex.memoLookup(spark, q, root)
+      .as[(String, Long)].collect().toMap
+    val want = BpeIndex.memoAll(spark, root)
+      .select($"word", $"n_sub")
+      .join(q, Seq("word"), "leftsemi")
+      .as[(String, Long)].collect().toMap
+    assert(got == want, s"memoLookup diverges from memoAll: $got vs $want")
+    assert(got.keySet == Set("abc", "cab") && !got.contains("zz"))
+  }
+
   test("memo deltas fold at batch cost and serve identically; purgeWords never changes results") {
     val root = Files.createTempDirectory("bpeidx").toString
     val basePath = BpeIndex.publish(train, "doc_id", "text", R, root)

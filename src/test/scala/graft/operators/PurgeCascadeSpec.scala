@@ -148,6 +148,44 @@ class PurgeCascadeSpec extends SparkSpec {
       "sketch subtraction diverged from the survivor build")
   }
 
+  test("Targets are stateless values — one Target serves two cascades") {
+    // the two no-tombstone arms (bpe, sketch) used to stage the
+    // deletion frame in the Target itself, making a Target single-use;
+    // the frame now flows through purge into compact, so the SAME
+    // Target values run a second cascade with a different deletion set
+    val bRoot = Files.createTempDirectory("cascade").toString
+    val cRoot = Files.createTempDirectory("cascade").toString
+    BpeIndex.publish(docs, "doc_id", "text", R, bRoot)
+    SketchIndex.publish(docs.select(
+        explode(split($"text", " ")).as("term")),
+      "term", 4, 64, cRoot)
+    val targets = Seq(
+      PurgeCascade.bpe(bRoot, docs, "id"),
+      PurgeCascade.sketch(cRoot, docs, "id"))
+    PurgeCascade.purge(spark, Seq(5L).toDF("id"), targets)
+    PurgeCascade.purge(spark, Seq(7L).toDF("id"), targets)
+    val memoWords = BpeIndex.memoAll(spark, bRoot)
+      .select($"word").as[String].collect().toSet
+    for (w <- Seq("token5", "end5", "token7", "end7"))
+      assert(!memoWords.contains(w),
+        s"bpe memo still stores $w after the second cascade")
+    // exact-subtraction check: both purges applied ≡ a never-ingested
+    // build over the survivors (estimates may carry collision bias at
+    // w=64 — the comparison is bit-equality with the survivor world,
+    // not zero)
+    val probeTerms = Seq("token5", "token7", "alpha").toDF("term")
+    val skEst = SketchIndex.estimate(spark, probeTerms, "term", cRoot)
+      .select($"term", $"cms_est").as[(String, Long)].collect().toMap
+    val skFresh = Files.createTempDirectory("cascade").toString
+    SketchIndex.publish(docs.filter($"doc_id" =!= 5L && $"doc_id" =!= 7L)
+        .select(explode(split($"text", " ")).as("term")),
+      "term", 4, 64, skFresh)
+    assert(skEst == SketchIndex.estimate(spark, probeTerms, "term", skFresh)
+      .select($"term", $"cms_est").as[(String, Long)].collect().toMap,
+      "two chained subtractions diverged from the survivor build")
+    assert(skEst("alpha") == 38L, s"sketch lost survivor mass: $skEst")
+  }
+
   test("vacuumAll drops every generation but the compacted head") {
     val root = Files.createTempDirectory("cascade").toString
     DedupIndex.publish(
