@@ -7642,6 +7642,19 @@ object PipelineQueries {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The media item's sampled-frame fingerprint set ((doc_id, s) —
+    * q93's codegen sampler at the decode seam), the element universe
+    * the media arms of the dedup family minhash over.
+    */
+  private def mediaFrameSets(corpus: DataFrame, frame: Int, stride: Int,
+                             maxF: Int): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.mediaTable(corpus, "doc_id", "text"),
+        "doc_id", frame, stride, maxF)
+      .filter(octet_length(col("frame")) === frame)
+      .select(col("doc_id"), decode(col("frame"), "UTF-8").as("s"))
+      .distinct()
+
   /** Persisted media near-dup index (q287) — ONE index family, TWO
     * modalities: [[graft.operators.DedupIndex]] (the banded MinHash
     * artifact q91/q246 run on text shingles) serving perceptual media
@@ -7671,12 +7684,7 @@ object PipelineQueries {
       s"SELECT doc_id, is_new, $b AS band, $key AS band_key FROM sig"
     }.mkString("\n  UNION ALL ")
     def frameSets(corpus: DataFrame): DataFrame =
-      Multimodal.sampleFrames(
-          Multimodal.mediaTable(corpus, "doc_id", "text"),
-          "doc_id", FRAME, STRIDE, MAX_F)
-        .filter(octet_length(col("frame")) === FRAME)
-        .select(col("doc_id"), decode(col("frame"), "UTF-8").as("s"))
-        .distinct()
+      mediaFrameSets(corpus, FRAME, STRIDE, MAX_F)
     Q(
       (s, d) => {
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
@@ -7781,6 +7789,111 @@ object PipelineQueries {
          |  FROM fh a JOIN fh b ON a.fh = b.fh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2 HAVING count(*) >= $MIN_SHARED)
          |SELECT id_a, id_b, n_shared FROM p ORDER BY id_a, id_b""".stripMargin)
+  }
+
+  /** Media purge through the compliance cascade (q303) — the GDPR
+    * case the text/vector arms of q290 don't cover: a deletion
+    * request naming MEDIA items (a face in a video, a voice in a
+    * clip) must make them unfindable through the perceptual near-dup
+    * probe. q287's frame-fingerprint artifact is a [[DedupIndex]]
+    * instance, so the media modality registers as one more
+    * [[graft.operators.PurgeCascade.dedup]] arm — the same
+    * tombstone → compact → vacuum chain, fanned by the same `purge`
+    * call. The judged chain: publish the media index, cascade-purge
+    * every 10th media id, then probe with new arrivals + exact
+    * redeliveries of INDEXED media (purged ones among them — the
+    * redelivered copy of a forgotten video must surface no link to
+    * it). Candidates verify by true shared-frame count against the
+    * SURVIVING index corpus; the oracle replays frames → signatures →
+    * bands → collisions → verification over a corpus where the purged
+    * media was never ingested, so a hash match proves the purge
+    * dropped exactly the deletion set and kept every surviving link.
+    */
+  val mediaPurgeCascade: Q = {
+    val FRAME = 32; val STRIDE = 16; val MAX_F = 8
+    val MIN_SHARED = 4L; val INDEX_MAX = 400L; val REDELIVER = 60L
+    val sigCols = (0 until MH_K)
+      .map(i => s"min(${Hashing.seededSql(i, "s")}) AS h$i")
+      .mkString(",\n    ")
+    val bandRowsSql = (0 until MH_BANDS).map { b =>
+      val key = (0 until MH_R).map(r => s"h${b * MH_R + r}")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, is_new, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        import graft.operators.PurgeCascade
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val idx = docs.filter(col("doc_id") < INDEX_MAX)
+        val idxLive = idx.filter(col("doc_id") % 10 =!= 0)
+        val probeM = docs.filter(col("doc_id") >= INDEX_MAX)
+          .unionByName(docs.filter(col("doc_id") < REDELIVER)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-media-purge", d, Seq("documents.parquet"))
+        if (DedupIndex.resolve(root).isEmpty) {
+          DedupIndex.publish(
+            Dedup.minhashSignaturesOfSets(
+              mediaFrameSets(idx, FRAME, STRIDE, MAX_F), "doc_id", "s",
+              MH_K),
+            "doc_id", MH_BANDS, MH_R, root)
+          // the media root as a cascade arm — same call shape as
+          // q290's seven; a production cascade passes all eight
+          PurgeCascade.purge(s,
+            idx.filter(col("doc_id") % 10 === 0).select("doc_id"),
+            Seq(PurgeCascade.dedup(root)), vacuum = true)
+        }
+        val cand = DedupIndex.probe(s,
+            Dedup.minhashSignaturesOfSets(
+              mediaFrameSets(probeM, FRAME, STRIDE, MAX_F), "doc_id",
+              "s", MH_K),
+            "doc_id", MH_BANDS, MH_R, root)
+        cand
+          .join(mediaFrameSets(probeM, FRAME, STRIDE, MAX_F)
+            .withColumnRenamed("doc_id", "new_id"), Seq("new_id"))
+          .join(mediaFrameSets(idxLive, FRAME, STRIDE, MAX_F)
+            .withColumnRenamed("doc_id", "index_id"), Seq("index_id", "s"))
+          .groupBy("new_id", "index_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= MIN_SHARED)
+          .orderBy("new_id", "index_id")
+      },
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text, 0 AS is_new FROM docs
+         |  WHERE doc_id < $INDEX_MAX AND doc_id % 10 <> 0
+         |  UNION ALL SELECT doc_id, text, 1 FROM docs
+         |    WHERE doc_id >= $INDEX_MAX
+         |  UNION ALL SELECT doc_id + 1000000, text, 1 FROM docs
+         |    WHERE doc_id < $REDELIVER),
+         |fr AS (
+         |  SELECT doc_id, is_new, text, unnest(range(0,
+         |    least(${MAX_F - 1},
+         |          greatest(length(text) - $FRAME, 0) // $STRIDE) + 1)) AS f
+         |  FROM corpus),
+         |f32 AS (
+         |  SELECT DISTINCT doc_id, is_new,
+         |    substr(text, (f * $STRIDE + 1)::INT, $FRAME) AS s
+         |  FROM fr
+         |  WHERE length(substr(text, (f * $STRIDE + 1)::INT, $FRAME))
+         |    = $FRAME),
+         |sig AS (
+         |  SELECT doc_id, is_new,
+         |    $sigCols
+         |  FROM f32 GROUP BY doc_id, is_new),
+         |bands AS (
+         |  $bandRowsSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, x.doc_id AS index_id
+         |  FROM bands a JOIN bands x
+         |    ON a.band = x.band AND a.band_key = x.band_key
+         |  WHERE a.is_new = 1 AND x.is_new = 0)
+         |SELECT c.new_id, c.index_id, count(*)::BIGINT AS n_shared
+         |FROM cand c
+         |JOIN f32 fa ON fa.doc_id = c.new_id
+         |JOIN f32 fb ON fb.doc_id = c.index_id AND fb.s = fa.s
+         |GROUP BY 1, 2 HAVING count(*) >= $MIN_SHARED
+         |ORDER BY new_id, index_id""".stripMargin)
   }
 
   /** Lexical rarity score — the integer analog of CCNet's LM-driven
@@ -12628,6 +12741,7 @@ object PipelineQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q303_media_purge"   -> mediaPurgeCascade,
     "q301_sim_redelivery" -> simRedelivery,
     "q300_cms_stream"    -> cmsStreamTwin,
     "q299_cms_purge"     -> cmsPurge,
