@@ -1584,10 +1584,21 @@ object PipelineQueries {
     * (q71). `fitPred` restricts which `e` rows the fit SEES (seeds,
     * distance rounds, centroid updates) — the persisted-index
     * queries train on the index corpus only while `e` also carries
-    * the out-of-corpus query vectors (q270).
+    * the out-of-corpus query vectors (q270). `eSql` overrides the
+    * scaled corpus CTE body itself — q302 swaps in a CONSTRUCTED
+    * clustered world (exact integers, no float in the oracle at all)
+    * while reusing the whole Lloyd/PQ chain unchanged.
     */
+  private val defaultESql: String =
+    """e AS (
+      |  SELECT vec_id,
+      |    unnest(range(1, len(embedding) + 1)) AS dim,
+      |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xs
+      |  FROM embeddings)""".stripMargin
+
   private def kmeansCtes(seedBound: String = KM_C.toString,
-                         fitPred: String = "TRUE"): String = {
+                         fitPred: String = "TRUE",
+                         eSql: String = defaultESql): String = {
     def iterCte(i: Int): String =
       s"""d$i AS (
          |  SELECT e.vec_id, c.cell,
@@ -1604,11 +1615,7 @@ object PipelineQueries {
          |  SELECT a$i.cell, e.dim, round(sum(e.xs) / count(*))::BIGINT AS cs
          |  FROM e JOIN a$i USING (vec_id)
          |  GROUP BY a$i.cell, e.dim)"""
-    s"""e AS (
-       |  SELECT vec_id,
-       |    unnest(range(1, len(embedding) + 1)) AS dim,
-       |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xs
-       |  FROM embeddings),
+    s"""$eSql,
        |c0 AS (SELECT vec_id AS cell, dim, xs AS cs FROM e
        |       WHERE vec_id < $seedBound AND $fitPred),
        |${(1 to KM_ITERS).map(iterCte).mkString(",\n")}""".stripMargin
@@ -11639,10 +11646,17 @@ object PipelineQueries {
     * (the q96/q243 audit-arm bound — production monitors recall on
     * samples).
     */
-  val ivfPqResidual: Q = {
-    val INDEX_MAX = 400L; val Q_MAX = 420L; val NQ = Q_MAX - INDEX_MAX
-    val NPROBE = 2
-    def prunedArm(residual: Boolean): String = {
+  /** The full IVFPQ oracle pipeline as one subquery — coarse fit,
+    * (residual|flat) PQ fit, encode, per-(query, probed-cell) ADC,
+    * top-[[PQ_K]] — shared by q291 (real embeddings) and q302 (the
+    * constructed clustered world via `eSql`). Emits
+    * (query_id, index_id).
+    */
+  private def ivfpqArmSql(residual: Boolean, indexMax: Long, qMax: Long,
+                          nprobe: Int,
+                          eSql: String = defaultESql): String = {
+    val INDEX_MAX = indexMax; val Q_MAX = qMax; val NPROBE = nprobe;
+    {
       val resid =
         s"""rr AS (
            |  SELECT e.vec_id, e.dim, e.xs - c.cs AS xs
@@ -11685,7 +11699,8 @@ object PipelineQueries {
       else
         s"""  JOIN dtab dt ON dt.query_id = cand.query_id
            |    AND dt.sub = cd.sub AND dt.cell = cd.cell""".stripMargin
-      s"""WITH ${kmeansCtes(fitPred = s"e.vec_id < $INDEX_MAX")},
+      s"""WITH ${kmeansCtes(fitPred = s"e.vec_id < $INDEX_MAX",
+             eSql = eSql)},
          |fa AS (
          |  SELECT e.vec_id, c.cell,
          |    sum((e.xs - c.cs) * (e.xs - c.cs)) AS d2
@@ -11739,6 +11754,13 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT query_id, index_id FROM rked WHERE rnk <= $PQ_K""".stripMargin
     }
+  }
+
+  val ivfPqResidual: Q = {
+    val INDEX_MAX = 400L; val Q_MAX = 420L; val NQ = Q_MAX - INDEX_MAX
+    val NPROBE = 2
+    def prunedArm(residual: Boolean): String =
+      ivfpqArmSql(residual, INDEX_MAX, Q_MAX, NPROBE)
     Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -11807,6 +11829,124 @@ object PipelineQueries {
          |${prunedArm(residual = false)})),
          |residp AS (SELECT query_id, index_id FROM (
          |${prunedArm(residual = true)}))
+         |SELECT variant, count(*)::BIGINT AS n_pairs,
+         |  coalesce(sum(hit), 0)::BIGINT AS n_hit,
+         |  (coalesce(sum(hit), 0) * 1000000 // ${NQ * PQ_K})::BIGINT
+         |    AS recall_ppm
+         |FROM (
+         |  SELECT p.variant,
+         |    CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM (SELECT 'flat_code' AS variant, * FROM flatp
+         |        UNION ALL SELECT 'residual', * FROM residp) p
+         |  LEFT JOIN truth t ON t.query_id = p.query_id
+         |    AND t.index_id = p.index_id)
+         |GROUP BY variant ORDER BY variant""".stripMargin)
+  }
+
+  /** Residual IVFPQ's ACCURACY claim made real (q302) — q291 proved
+    * the `by_residual=true` pipeline bit-exact but its synthetic
+    * near-uniform embeddings gave residuals nothing to win (recall
+    * within noise of flat codes). This query judges the FAISS-default
+    * gain itself on a CONSTRUCTED clustered world — a deterministic
+    * integer mixture around [[q302 CL]]=7 well-separated centroids
+    * (the q292 rational-surrogate doctrine: per (vec_id, dim),
+    * component = residual/16 + offset·3 with residual =
+    * (id·37+dim·101) mod 17 − 8 and offset = (id·(dim+3)) mod 7 — all
+    * terms exact in binary floating point and exact integers after
+    * the ×10⁶ scaling, so BOTH engines see the identical world with
+    * zero float risk; the oracle never touches a float at all). Same
+    * geometry in both arms (m, dsub, ks, coarse cells, nprobe — equal
+    * code bytes): flat codes spend their 16 cells per sub-quantizer
+    * re-describing the 7 clusters' absolute positions, residual codes
+    * spend them on the ±0.5-range departure from the coarse centroid
+    * — so the residual arm's recall against the exact integer-L2
+    * truth is STRICTLY higher (pinned by ResidualRecallSpec), the way
+    * q274 made nprobe's cost a judged curve. Both pipelines replay
+    * from scratch in the oracle, so the hash match proves the served
+    * artifacts bit-exactly AND the recall gap.
+    *
+    * Scale shape: identical to q291 — cell-pruned artifact probes,
+    * broadcast nq·nprobe·m·ks ADC tables, fixed-size truth batch.
+    */
+  val ivfPqClustered: Q = {
+    val INDEX_MAX = 400L; val Q_MAX = 420L; val NQ = Q_MAX - INDEX_MAX
+    val NPROBE = 2; val CL = 7
+    val DIMS = PQ_M * PQ_DSUB
+    val eSql =
+      s"""e AS (
+         |  SELECT vec_id, dim,
+         |    ((vec_id * 37 + dim * 101) % 17 - 8) * 62500
+         |      + ((vec_id * (dim + 3)) % $CL) * 3000000 AS xs
+         |  FROM (SELECT vec_id, unnest(range(1, ${DIMS + 1})) AS dim
+         |        FROM embeddings WHERE vec_id < $Q_MAX))""".stripMargin
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ids = t(s, d, "embeddings").select(col("vec_id"))
+        def world(df: DataFrame) = df.select(col("vec_id"), expr(
+          s"transform(sequence(1, $DIMS), j -> " +
+            "cast((vec_id * 37 + j * 101) % 17 - 8 as double) / 16.0d + " +
+            s"cast((vec_id * (j + 3)) % $CL as double) * 3.0d)")
+          .as("embedding"))
+        val index = world(ids.filter(col("vec_id") < INDEX_MAX))
+        val queries = world(ids.filter(
+          col("vec_id") >= INDEX_MAX && col("vec_id") < Q_MAX))
+        val flatRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-ivfpq-cflat", d, Seq("embeddings.parquet"))
+        val residRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-ivfpq-cresid", d, Seq("embeddings.parquet"))
+        if (PqIndex.resolve(flatRoot).isEmpty)
+          PqIndex.publish(index, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, flatRoot,
+            coarseC = KM_C, coarseIters = KM_ITERS)
+        if (PqIndex.resolve(residRoot).isEmpty)
+          PqIndex.publish(index, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, residRoot,
+            coarseC = KM_C, coarseIters = KM_ITERS, byResidual = true)
+        val eI = VectorQuantizer.scaled(index, "vec_id", "embedding")
+        val eQ = VectorQuantizer.scaled(queries, "vec_id", "embedding")
+        val truth = eI.crossJoin(broadcast(eQ.select(
+            col("vec_id").as("query_id"), col("xs").as("qxs"))))
+          .select(col("query_id"), col("vec_id").as("index_id"),
+            VectorQuantizer.l2DistSq(col("qxs"), col("xs")).as("d2"))
+          .withColumn("rnk", row_number().over(Window
+            .partitionBy("query_id").orderBy(asc("d2"), asc("index_id"))))
+          .filter(col("rnk") <= PQ_K)
+          .select(col("query_id"), col("index_id"), lit(1L).as("hit"))
+        def armOf(root: String, name: String) =
+          PqIndex.probeTopK(s, queries, "vec_id", "embedding", PQ_K,
+              root, NPROBE)
+            .select(lit(name).as("variant"), col("query_id"),
+              col("index_id"))
+        armOf(flatRoot, "flat_code")
+          .unionByName(armOf(residRoot, "residual"))
+          .join(truth, Seq("query_id", "index_id"), "left")
+          .groupBy("variant")
+          .agg(count(lit(1)).as("n_pairs"),
+            coalesce(sum("hit"), lit(0L)).as("n_hit"))
+          .withColumn("recall_ppm",
+            expr(s"n_hit * 1000000 div (${NQ * PQ_K})"))
+          .orderBy("variant")
+      },
+      s"""WITH truth AS (
+         |  SELECT query_id, index_id FROM (
+         |    WITH $eSql,
+         |    td AS (
+         |      SELECT q.vec_id AS query_id, x.vec_id AS index_id,
+         |        sum((q.xs - x.xs) * (q.xs - x.xs)) AS d2
+         |      FROM e q JOIN e x USING (dim)
+         |      WHERE q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX
+         |        AND x.vec_id < $INDEX_MAX
+         |      GROUP BY 1, 2)
+         |    SELECT query_id, index_id FROM (
+         |      SELECT query_id, index_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY d2, index_id) AS rnk
+         |      FROM td) WHERE rnk <= $PQ_K)),
+         |flatp AS (SELECT query_id, index_id FROM (
+         |${ivfpqArmSql(residual = false, INDEX_MAX, Q_MAX, NPROBE, eSql)})),
+         |residp AS (SELECT query_id, index_id FROM (
+         |${ivfpqArmSql(residual = true, INDEX_MAX, Q_MAX, NPROBE, eSql)}))
          |SELECT variant, count(*)::BIGINT AS n_pairs,
          |  coalesce(sum(hit), 0)::BIGINT AS n_hit,
          |  (coalesce(sum(hit), 0) * 1000000 // ${NQ * PQ_K})::BIGINT
@@ -12742,6 +12882,7 @@ object PipelineQueries {
 
   val all: Map[String, Q] = Map(
     "q303_media_purge"   -> mediaPurgeCascade,
+    "q302_residual_recall" -> ivfPqClustered,
     "q301_sim_redelivery" -> simRedelivery,
     "q300_cms_stream"    -> cmsStreamTwin,
     "q299_cms_purge"     -> cmsPurge,

@@ -454,6 +454,15 @@ class PipelineInvariantsSpec extends SparkSpec {
         s"unsaturated levels diverge: ${unsat.toSeq}")
   }
 
+  test("q302: residual coding's recall is STRICTLY higher at equal code budget") {
+    val rows = PipelineQueries.ivfPqClustered.fn(spark, sf0001).collect()
+      .map(r => r.getAs[String]("variant") -> r.getAs[Long]("recall_ppm"))
+      .toMap
+    assert(rows.keySet == Set("flat_code", "residual"))
+    assert(rows("residual") > rows("flat_code"),
+      s"no recall gain from by_residual on the clustered world: $rows")
+  }
+
   test("q255: every attribution model conserves total purchase cents") {
     val rows = AnalyticsQueries.touchAttribution.fn(spark, sf0001).collect()
     val byModel = rows.groupBy(_.getAs[String]("model"))
