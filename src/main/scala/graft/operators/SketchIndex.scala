@@ -69,19 +69,45 @@ object SketchIndex {
 
   /** Build and commit the sketch of `items`' string column `term` as
     * the next version.
+    *
+    * Re-publishing into a root that already has a generation (the
+    * [[regrowOnBias]] path) INVALIDATES the delta log: pending deltas
+    * hold cells of the OLD geometry, and summing them against a
+    * regrown width would corrupt every estimate — so `items` must be
+    * the full ingested corpus (deltas included), the new generation's
+    * `_folded.json` names the consumed dirs (redelivered tagged
+    * deltas absorb) and the purge ledger carries forward.
     */
   def publish(items: DataFrame, term: String, depth: Int, width: Int,
               root: String): String = synchronized {
-    VersionedDirs.commit(root) { st =>
+    val prev = resolve(root)
+    val deltaSnap = if (prev.isDefined) deltas(root) else Nil
+    val foldedNames = (prev.map(foldedOf).getOrElse(Set.empty) ++
+      deltaSnap.map(p => new java.io.File(p).getName)).toSeq.sorted
+    val purgedNames = prev.map(purgedOf).getOrElse(Set.empty).toSeq.sorted
+    val path = VersionedDirs.commit(root) { st =>
       writeCells(CountMin.build(items, term, depth, width),
         new java.io.File(st, "cells"))
       java.nio.file.Files.writeString(
         new java.io.File(st, "_params.json").toPath,
         s"""{"depth":$depth,"width":$width}""")
+      if (foldedNames.nonEmpty)
+        java.nio.file.Files.writeString(
+          new java.io.File(st, "_folded.json").toPath,
+          foldedNames.map(n => s""""$n"""").mkString("[", ",", "]"))
+      if (purgedNames.nonEmpty)
+        java.nio.file.Files.writeString(
+          new java.io.File(st, "_purged.json").toPath,
+          purgedNames.map(n => s""""$n"""").mkString("[", ",", "]"))
       java.nio.file.Files.createFile(
         new java.io.File(st, "_SUCCESS").toPath)
       ()
     }
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+    }
+    deltaSnap.foreach(p => rm(new java.io.File(p)))
+    path
   }
 
   // ------------------------------------------------------ deltas
@@ -292,5 +318,61 @@ object SketchIndex {
   /** Drop every generation but the newest committed one. */
   def vacuumOld(root: String): Unit = synchronized {
     VersionedDirs.retainLatestGenerations(root, keep = 1)
+  }
+
+  // ------------------------------------------------------ saturation
+
+  /** Saturation audit of the served sketch against ground truth: the
+    * frozen (depth, width) never change while N grows, so estimate
+    * bias creeps up as ~N/w and NOTHING in the serving path notices —
+    * the family's q292-analog drift hazard. One row:
+    * (width, n_terms, n_exact, max_err, sum_err, n_total, err_bound)
+    * where `corpus` is the INGESTED occurrence rows (exact counts
+    * must be the truth the sketch summarizes), errs are
+    * (estimate − exact) ≥ 0, and err_bound is the count-min
+    * guarantee ε·N (ε = e/w) as the integer surrogate
+    * (2718·N) div (1000·w) — measured bias vs the paper bound, from
+    * committed artifacts, zero floats. Cost: one corpus groupBy
+    * (vocabulary-sized exchange) + the broadcast-sketch estimate —
+    * audit cadence, never per probe.
+    */
+  def biasAudit(spark: SparkSession, corpus: DataFrame, term: String,
+                root: String): DataFrame = {
+    val (_, w) = geometry(root)
+    val exact = corpus.groupBy(col(term))
+      .agg(count(lit(1)).as("exact"))
+    estimate(spark, corpus, term, root)
+      .join(exact, Seq(term))
+      .select((col("cms_est") - col("exact")).as("err"), col("n_total"))
+      .agg(count(lit(1)).as("n_terms"),
+        coalesce(sum(when(col("err") === 0L, 1L).otherwise(0L)), lit(0L))
+          .as("n_exact"),
+        coalesce(max("err"), lit(0L)).as("max_err"),
+        coalesce(sum("err"), lit(0L)).as("sum_err"),
+        coalesce(max("n_total"), lit(0L)).as("n_total"))
+      .select(lit(w.toLong).as("width"), col("n_terms"), col("n_exact"),
+        col("max_err"), col("sum_err"), col("n_total"),
+        expr(s"2718 * n_total div (1000 * $w)").as("err_bound"))
+  }
+
+  /** Width-regrow republish trigger — fire a rebuild at
+    * `widthFactor`× the frozen width iff the measured max bias
+    * exceeds `budgetPpm` parts-per-million of N ([[biasAudit]], one
+    * audit pass); the rebuild cost (one corpus scan) is paid only on
+    * fire, the [[PqIndex.retrainOnDrift]] doctrine. `corpus` must be
+    * the full ingested rows — the rebuild subsumes the delta log,
+    * which the re-publish invalidates (see [[publish]]). Returns the
+    * new committed path when fired.
+    */
+  def regrowOnBias(spark: SparkSession, corpus: DataFrame, term: String,
+                   root: String, budgetPpm: Long,
+                   widthFactor: Int = 4): Option[String] = {
+    val r = biasAudit(spark, corpus, term, root).first()
+    val maxErr = r.getAs[Long]("max_err")
+    val n = r.getAs[Long]("n_total")
+    if (maxErr * 1000000L > budgetPpm * n) {
+      val (d, w) = geometry(root)
+      Some(publish(corpus, term, d, w * widthFactor, root))
+    } else None
   }
 }

@@ -12707,17 +12707,20 @@ object PipelineQueries {
   /** The shared CMS-world oracle CTEs: sketch cells over a corpus
     * predicate + min-estimates for a query-term CTE, both in
     * [[graft.operators.CountMin]]'s exact engine-identical
-    * arithmetic. Yields `sk$i` (cells), `nt$i` (1-row n_total) and
-    * `est$i` (term, cms_est).
+    * arithmetic. Yields `wf$i` (filtered term occurrences), `sk$i`
+    * (cells), `nt$i` (1-row n_total) and `est$i` (term, cms_est).
+    * `width` and the source table/CTE are parameters so q304 can
+    * replay two widths over a mutated corpus.
     */
-  private def cmsWorldSql(i: Int, corpusPred: String,
-                          qtCte: String): String =
+  private def cmsWorldSql(i: Int, corpusPred: String, qtCte: String,
+                          width: Int = CMS_W,
+                          src: String = "documents"): String =
     s"""wds$i AS (
        |  SELECT unnest(${TextFunctions.wordsSql("text")}) AS term
-       |  FROM documents WHERE $corpusPred),
+       |  FROM $src WHERE $corpusPred),
        |wf$i AS (SELECT term FROM wds$i WHERE length(term) > 0),
        |sk$i AS (
-       |  SELECT r, ${CountMin.cellOfSql("term", "a", "b", CMS_W)} AS cell,
+       |  SELECT r, ${CountMin.cellOfSql("term", "a", "b", width)} AS cell,
        |    count(*)::BIGINT AS cnt
        |  FROM wf$i, cmsp GROUP BY 1, 2),
        |nt$i AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS n_total
@@ -12726,7 +12729,7 @@ object PipelineQueries {
        |  SELECT q.term, min(coalesce(s.cnt, 0))::BIGINT AS cms_est
        |  FROM $qtCte q CROSS JOIN cmsp p
        |  LEFT JOIN sk$i s ON s.r = p.r
-       |    AND s.cell = ${CountMin.cellOfSql("q.term", "p.a", "p.b", CMS_W)}
+       |    AND s.cell = ${CountMin.cellOfSql("q.term", "p.a", "p.b", width)}
        |  GROUP BY q.term)""".stripMargin
 
   private def termsOf(docs: DataFrame): DataFrame =
@@ -12880,7 +12883,104 @@ object PipelineQueries {
          |ORDER BY batch_id, term""".stripMargin)
   }
 
+  /** Sketch saturation audit + width-regrow trigger (q304) — the
+    * [[graft.operators.SketchIndex]] analog of q292's drift re-train,
+    * the hazard the family's frozen geometry creates: (depth, width)
+    * never change while N grows, estimate bias creeps up as ~N/w, and
+    * no serving path notices. The judged loop, on [[mutBatchSql]]'s
+    * novel-vocabulary corpus (~126 distinct terms, so width 16 is
+    * genuinely saturated and width 64 is not):
+    *
+    *   1. two roots publish at width 16 (control + regrow — the
+    *      two-root pattern every before/after lifecycle query uses);
+    *   2. [[SketchIndex.regrowOnBias]] audits the regrow root (one
+    *      exact-count pass vs the served estimates) and MUST fire at
+    *      the 1%-of-N budget (measured max bias ≈ 9.8% of N),
+    *      republishing at 4× width;
+    *   3. the SAME trigger re-runs on every execution against the
+    *      regrown artifact and MUST NOT fire (bias ≈ 0.11% of N) —
+    *      both trigger arms judged, like q292's fire requirement;
+    *   4. the judged rows are both arms' [[SketchIndex.biasAudit]]:
+    *      (stage, width, n_terms, n_exact, max_err, sum_err, n_total,
+    *      err_bound) with err_bound the count-min ε·N guarantee
+    *      (ε = e/w) as the integer surrogate (2718·N) div (1000·w) —
+    *      measured bias vs the paper bound, all integers.
+    *
+    * The oracle replays BOTH sketch worlds (width 16 and 64) and the
+    * exact counts from scratch, so the hash match proves the audit
+    * arithmetic, the bound, and that the regrown generation serves
+    * the wide sketch bit-exactly.
+    *
+    * Scale shape: the audit's exact-count pass is one
+    * vocabulary-sized exchange paid at audit cadence; everything else
+    * is O(d·w) artifact arithmetic; the rebuild (one corpus scan) is
+    * paid only on fire.
+    */
+  val cmsSaturation: Q = {
+    val N_MAX = 400L; val W0 = 16; val FACTOR = 4
+    val BUDGET_PPM = 10000L
+    def auditSql(i: Int, stage: String, width: Int): String =
+      s"""SELECT '$stage' AS stage, ${width}::BIGINT AS width,
+         |  count(*)::BIGINT AS n_terms,
+         |  sum(CASE WHEN e.cms_est - x.exact = 0 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_exact,
+         |  max(e.cms_est - x.exact)::BIGINT AS max_err,
+         |  sum(e.cms_est - x.exact)::BIGINT AS sum_err,
+         |  max(nt$i.n_total)::BIGINT AS n_total,
+         |  (2718 * max(nt$i.n_total) // (1000 * $width))::BIGINT
+         |    AS err_bound
+         |FROM est$i e JOIN ex x USING (term), nt$i""".stripMargin
+    Q(
+      (s, d) => {
+        val docs = mutBatch(
+          t(s, d, "documents").select(col("doc_id"), col("text"))
+            .filter(col("doc_id") < N_MAX))
+        val terms = termsOf(docs)
+        val ctlRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-cms-sat-ctl", d, Seq("documents.parquet"))
+        val growRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-cms-sat-grow", d, Seq("documents.parquet"))
+        if (SketchIndex.resolve(ctlRoot).isEmpty)
+          SketchIndex.publish(terms, "term", CMS_D, W0, ctlRoot)
+        if (SketchIndex.resolve(growRoot).isEmpty)
+          SketchIndex.publish(terms, "term", CMS_D, W0, growRoot)
+        if (VersionedDirs.versionsOf(growRoot).size < 2)
+          require(SketchIndex.regrowOnBias(s, terms, "term", growRoot,
+              BUDGET_PPM, FACTOR).nonEmpty,
+            s"saturation trigger must fire at width $W0")
+        // the trigger's other arm, re-judged on EVERY run: at the
+        // regrown width the same budget holds, so no rebuild fires
+        require(SketchIndex.regrowOnBias(s, terms, "term", growRoot,
+            BUDGET_PPM, FACTOR).isEmpty,
+          "trigger re-fired on the regrown artifact")
+        SketchIndex.biasAudit(s, terms, "term", ctlRoot)
+          .select(lit("1_narrow").as("stage"), col("*"))
+          .unionByName(SketchIndex.biasAudit(s, terms, "term", growRoot)
+            .select(lit("2_regrown").as("stage"), col("*")))
+          .orderBy("stage")
+      },
+      s"""WITH cmsp(r, a, b) AS (VALUES ${CountMin.paramsSqlValues(CMS_D)}),
+         |mt AS (
+         |  SELECT doc_id, $mutBatchSql AS text
+         |  FROM documents WHERE doc_id < $N_MAX),
+         |qt AS (
+         |  SELECT DISTINCT t AS term FROM (
+         |    SELECT unnest(${TextFunctions.wordsSql("text")}) AS t
+         |    FROM mt)
+         |  WHERE length(t) > 0),
+         |${cmsWorldSql(0, "TRUE", "qt", width = W0, src = "mt")},
+         |${cmsWorldSql(1, "TRUE", "qt", width = W0 * FACTOR, src = "mt")},
+         |ex AS (SELECT term, count(*)::BIGINT AS exact
+         |       FROM wf0 GROUP BY 1)
+         |SELECT * FROM (
+         |  ${auditSql(0, "1_narrow", W0)}
+         |  UNION ALL
+         |  ${auditSql(1, "2_regrown", W0 * FACTOR)})
+         |ORDER BY stage""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q304_cms_saturation" -> cmsSaturation,
     "q303_media_purge"   -> mediaPurgeCascade,
     "q302_residual_recall" -> ivfPqClustered,
     "q301_sim_redelivery" -> simRedelivery,

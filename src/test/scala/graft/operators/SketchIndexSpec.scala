@@ -133,6 +133,53 @@ class SketchIndexSpec extends SparkSpec {
       "merge did not clean the already-folded leftover")
   }
 
+  test("regrowOnBias fires on a saturated width, absorbs on the regrown one") {
+    val root = Files.createTempDirectory("cms").toString
+    // 40 distinct terms into width 2: guaranteed saturation
+    val corpus = terms((0 until 40).map(i => s"t$i" -> (i % 3 + 1)): _*)
+    SketchIndex.publish(corpus, "term", D, 2, root)
+    val audit0 = SketchIndex.biasAudit(spark, corpus, "term", root)
+      .collect().head
+    assert(audit0.getAs[Long]("width") == 2L)
+    assert(audit0.getAs[Long]("max_err") > 0L, "width 2 not saturated?")
+    val fired = SketchIndex.regrowOnBias(spark, corpus, "term", root,
+      budgetPpm = 10000L, widthFactor = 64)
+    assert(fired.nonEmpty, "trigger must fire at width 2")
+    assert(SketchIndex.geometry(root) == ((D, 128)))
+    // the regrown artifact serves exactly a fresh wide build
+    val fresh = Files.createTempDirectory("cms").toString
+    SketchIndex.publish(corpus, "term", D, 128, fresh)
+    val qs = (0 until 40).map(i => s"t$i")
+    assert(estMap(root, qs) == estMap(fresh, qs),
+      "regrown sketch diverged from a fresh build at the new width")
+    // and the same budget holds at the regrown width — no re-fire
+    assert(SketchIndex.regrowOnBias(spark, corpus, "term", root,
+      budgetPpm = 10000L, widthFactor = 64).isEmpty)
+  }
+
+  test("re-publish (regrow) invalidates the delta log; redelivered tags absorb") {
+    val root = Files.createTempDirectory("cms").toString
+    SketchIndex.publish(terms("a" -> 5, "b" -> 2), "term", D, 2, root)
+    SketchIndex.appendDelta(spark, terms("a" -> 3, "c" -> 7), "term",
+      root, tag = "b0")
+    // the rebuild corpus covers base ∪ deltas (the publish contract)
+    SketchIndex.publish(terms("a" -> 8, "b" -> 2, "c" -> 7), "term",
+      D, W, root)
+    assert(SketchIndex.deltas(root).isEmpty,
+      "re-publish left old-geometry deltas in the log")
+    // a redelivery of the consumed tag must absorb, not sum
+    // old-width cells into the new generation
+    SketchIndex.appendDelta(spark, terms("a" -> 3, "c" -> 7), "term",
+      root, tag = "b0")
+    assert(SketchIndex.deltas(root).isEmpty,
+      "redelivered tag re-committed across the re-publish")
+    val fresh = Files.createTempDirectory("cms").toString
+    SketchIndex.publish(terms("a" -> 8, "b" -> 2, "c" -> 7), "term",
+      D, W, fresh)
+    val qs = Seq("a", "b", "c")
+    assert(estMap(root, qs) == estMap(fresh, qs))
+  }
+
   test("geometry is frozen across the lifecycle; vacuum keeps the head") {
     val root = Files.createTempDirectory("cms").toString
     SketchIndex.publish(terms("a" -> 1), "term", D, W, root)
