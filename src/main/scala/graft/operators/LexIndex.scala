@@ -228,7 +228,8 @@ object LexIndex {
                   root: String,
                   tag: String = java.util.UUID.randomUUID().toString)
       : String = synchronized {
-    require(resolve(root).nonEmpty, s"no committed index under $root")
+    val idxPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
     val dr = deltaDir(root); dr.mkdirs()
     val target = new java.io.File(dr, s"batch-$tag")
     if (new java.io.File(target, "_SUCCESS").isFile)
@@ -244,6 +245,36 @@ object LexIndex {
         .parquet(staging.getAbsolutePath)
       writeStats(dl, staging.getAbsolutePath)
     } finally tfc.unpersist()
+    // append-time headroom enforcement — the probe-time check's twin:
+    // a grown Σdl/N can cross the 9000·dl·N int64 bound BETWEEN
+    // publishes, and once an over-bound delta COMMITS, the probe-side
+    // require refuses to serve the ENTIRE index. Reject the batch
+    // here instead, before it becomes committed state (the staging
+    // dir is dropped; nothing durable changes). Same poisoned-max
+    // rule as the probe: any sidecar with no recorded max_dl forces
+    // the check to skip — it can only be verified, never assumed.
+    val folded = foldedOf(idxPath)
+    val live = deltas(root)
+      .filterNot(p => folded(new java.io.File(p).getName))
+    val statsAll = ((idxPath +: live) :+ staging.getAbsolutePath)
+      .map(statsAt)
+    val nDocs = statsAll.map(_._1).sum
+    val maxDl =
+      if (statsAll.exists(s => s._1 > 0L && s._3 == 0L)) 0L
+      else statsAll.map(_._3).max
+    if (!(maxDl == 0L || nDocs == 0L ||
+        maxDl <= ContribDlNBound / nDocs)) {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(staging)
+      throw new IllegalArgumentException(
+        s"BM25 integer headroom would be exceeded by this append: " +
+          s"max(dl)=$maxDl x N=$nDocs overflows contribSql's " +
+          s"9000*dl*N intermediate (bound ${ContribDlNBound}); shard " +
+          "the corpus into per-shard collections or rescale the " +
+          "normalizer")
+    }
     require(staging.renameTo(target),
       s"delta append rename failed into $dr")
     target.getAbsolutePath

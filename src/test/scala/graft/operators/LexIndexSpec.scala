@@ -76,6 +76,32 @@ class LexIndexSpec extends SparkSpec {
       "compacted generation did not record the folded delta")
   }
 
+  test("an append that would cross the 9000·dl·N headroom is rejected at append time") {
+    val root = Files.createTempDirectory("lexidx").toString
+    val gen = LexIndex.publish(base, "doc_id", "text", root)
+    // a genuinely over-bound corpus needs dl·N > 1e15 — doctor the
+    // committed sidecar instead (the sidecar IS the stats interface):
+    // a base whose recorded max_dl·(N + ΔN) exceeds the bound
+    val huge = LexIndex.ContribDlNBound / 35L // over once N reaches 40
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(gen, "_stats.json"),
+      s"""{"n_docs":30,"sumdl":${huge * 2},"max_dl":$huge}""")
+    val ex = intercept[IllegalArgumentException] {
+      LexIndex.appendDelta(delta, "doc_id", "text", root, tag = "over")
+    }
+    assert(ex.getMessage.contains("headroom"))
+    // nothing durable landed: no committed delta dir, tag not appended
+    assert(LexIndex.deltas(root).isEmpty,
+      "over-bound append left a committed delta")
+    assert(!LexIndex.appended(root, "over"))
+    // restore a sane sidecar: the same batch then commits
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(gen, "_stats.json"),
+      s"""{"n_docs":30,"sumdl":330,"max_dl":11}""")
+    LexIndex.appendDelta(delta, "doc_id", "text", root, tag = "over")
+    assert(LexIndex.deltas(root).size == 1)
+  }
+
   test("tombstones mask immediately; compaction matches a never-ingested index") {
     val root = Files.createTempDirectory("lexidx").toString
     LexIndex.publish(base, "doc_id", "text", root)
