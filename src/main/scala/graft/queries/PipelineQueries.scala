@@ -11310,9 +11310,12 @@ object PipelineQueries {
     * spec-only: ONE deletion set (every 10th indexed id — the id
     * space is shared, vector i embeds document i, so a forget-me
     * request is naturally one frame) fanned through ONE `purge` call
-    * across all SEVEN persisted index families, then ONE judged row
-    * set proving the purged ids unfindable through every probe path
-    * at once. Each family's probe result is reduced to an order-free
+    * across EIGHT artifacts — all seven persisted index families,
+    * with the dedup family carrying BOTH its modalities (text
+    * shingles and q287's media frame fingerprints: a face in a video
+    * is the canonical GDPR case, and it rides the same arm) — then
+    * ONE judged row set proving the purged ids unfindable through
+    * every probe path at once. Each family's probe result is reduced to an order-free
     * integer fingerprint (count + sum of [[Hashing.seeded]] over the
     * comma-joined columns — q180's replica-diff trick), and the
     * oracle recomputes the same fingerprint from a from-scratch
@@ -11347,6 +11350,8 @@ object PipelineQueries {
     // of the corpus") so the probe cost stays constant across scale
     // factors — an audit probes a sample, not the world
     val FS_MAX = 900L
+    // the media arm's frame-sampling geometry (q287's)
+    val FRAME = 32; val STRIDE = 16; val MAX_F = 8
     val sigCols = (0 until MH_K)
       .map(i => s"min(${Hashing.seededSql(i, "s")}) AS h$i").mkString(",\n    ")
     val bandRowsSql = (0 until MH_BANDS).map { b =>
@@ -11378,11 +11383,11 @@ object PipelineQueries {
         val root = graft.sources.Artifacts.versionedRoot(
           "graft-purge-cascade", d,
           Seq("documents.parquet", "embeddings.parquet"),
-          logicVersion = 3)
+          logicVersion = 4)
         val dedupRoot = s"$root/dedup"; val simRoot = s"$root/sim"
         val pqRoot = s"$root/pq"; val fsRoot = s"$root/fs"
         val lexRoot = s"$root/lex"; val bpeRoot = s"$root/bpe"
-        val cmsRoot = s"$root/cms"
+        val cmsRoot = s"$root/cms"; val mediaRoot = s"$root/media"
         if (DedupIndex.resolve(dedupRoot).isEmpty) {
           DedupIndex.publish(
             Dedup.minhashSignatures(docIndex, "doc_id", "text", MH_K),
@@ -11397,7 +11402,15 @@ object PipelineQueries {
           BpeIndex.publish(bpeCorpus, "doc_id", "text", BPE_ROUNDS, bpeRoot)
           SketchIndex.publish(termsOf(docIndex), "term", CMS_D, CMS_W,
             cmsRoot)
-          // ONE deletion set, ONE call, seven artifacts
+          // the media modality through the SAME dedup family (q287):
+          // doc i's media item shares the deletion id space
+          DedupIndex.publish(
+            Dedup.minhashSignaturesOfSets(
+              mediaFrameSets(docIndex, FRAME, STRIDE, MAX_F),
+              "doc_id", "s", MH_K),
+            "doc_id", MH_BANDS, MH_R, mediaRoot)
+          // ONE deletion set, ONE call, EIGHT artifacts (seven
+          // families; the dedup family carries two modalities)
           val ids = docIndex.filter(col("doc_id") % 10 === 0)
             .select(col("doc_id"), col("doc_id").as("vec_id"))
           PurgeCascade.purge(s, ids, Seq(
@@ -11408,7 +11421,8 @@ object PipelineQueries {
               Some(Dedup.shingleSet(docLive, "doc_id", "text", 3))),
             PurgeCascade.lex(lexRoot),
             PurgeCascade.bpe(bpeRoot, bpeCorpus),
-            PurgeCascade.sketch(cmsRoot, docIndex)), vacuum = true)
+            PurgeCascade.sketch(cmsRoot, docIndex),
+            PurgeCascade.dedup(mediaRoot)), vacuum = true)
         }
         // dedup probe: redeliveries of docs < RED_MAX — purged docs
         // among them MUST find nothing; survivors find their original
@@ -11427,7 +11441,8 @@ object PipelineQueries {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
-        val Seq(dedupArm, simArm, pqArm, fsArm, lexArm, bpeArm, cmsArm) =
+        val Seq(dedupArm, simArm, pqArm, fsArm, lexArm, bpeArm, cmsArm,
+            mediaArm) =
           Await.result(Future.sequence(Seq(
             Future(DedupIndex.probe(s,
               Dedup.minhashSignatures(fresh, "doc_id", "text", MH_K),
@@ -11455,7 +11470,14 @@ object PipelineQueries {
             Future(BpeIndex.memoLookup(s, purgedW, bpeRoot)
               .select("word")),
             Future(SketchIndex.estimate(s, termsOf(docIndex), "term",
-              cmsRoot)))),
+              cmsRoot)),
+            // redelivered MEDIA copies of purged docs must surface no
+            // link either — the frame-bucket probe path
+            Future(DedupIndex.probe(s,
+              Dedup.minhashSignaturesOfSets(
+                mediaFrameSets(fresh, FRAME, STRIDE, MAX_F),
+                "doc_id", "s", MH_K),
+              "doc_id", MH_BANDS, MH_R, mediaRoot)))),
           Duration.Inf)
         def arm(df: DataFrame, family: String,
                 cols: Seq[String]): DataFrame =
@@ -11476,6 +11498,7 @@ object PipelineQueries {
           .unionByName(arm(bpeArm, "bpe", Seq("word")))
           .unionByName(arm(cmsArm, "cms",
             Seq("term", "cms_est", "n_total")))
+          .unionByName(arm(mediaArm, "media", Seq("new_id", "index_id")))
           .orderBy("family")
       },
       s"""${armSql("dedup", "new_id || ',' || index_id",
@@ -11617,6 +11640,37 @@ object PipelineQueries {
                s"doc_id < $INDEX_MAX AND doc_id % 10 <> 0", "qt")}
            |SELECT e.term, e.cms_est, nt0.n_total FROM est0 e, nt0"""
           .stripMargin)}
+         |UNION ALL
+         |${armSql("media", "new_id || ',' || index_id",
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text, 0 AS is_new FROM documents
+           |  WHERE doc_id < $INDEX_MAX AND doc_id % 10 <> 0
+           |  UNION ALL SELECT doc_id + 1000000, text, 1 FROM documents
+           |    WHERE doc_id < $RED_MAX),
+           |fr AS (
+           |  SELECT doc_id, is_new, text, unnest(range(0,
+           |    least(${MAX_F - 1},
+           |          greatest(length(text) - $FRAME, 0) // $STRIDE) + 1))
+           |    AS f
+           |  FROM corpus),
+           |f32 AS (
+           |  SELECT DISTINCT doc_id, is_new,
+           |    substr(text, (f * $STRIDE + 1)::INT, $FRAME) AS s
+           |  FROM fr
+           |  WHERE length(substr(text, (f * $STRIDE + 1)::INT, $FRAME))
+           |    = $FRAME),
+           |csig AS (
+           |  SELECT doc_id, is_new,
+           |    $sigCols
+           |  FROM f32 GROUP BY doc_id, is_new),
+           |bands AS (
+           |  $bandRowsSql),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_key = b.band_key
+           |  WHERE a.is_new = 1 AND b.is_new = 0)
+           |SELECT new_id, index_id FROM cand""".stripMargin)}
          |ORDER BY family""".stripMargin)
   }
 

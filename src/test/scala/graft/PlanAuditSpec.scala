@@ -611,6 +611,9 @@ class PlanAuditSpec extends SparkSpec {
       "q291_residual_ivfpq" -> 1, // the fixed 20-query exact-truth
                                   // arm (q96's bound); both artifact
                                   // probes are materialized RDD scans
+      "q302_residual_recall" -> 1, // same fixed 20-query exact-truth
+                                   // arm over the constructed
+                                   // clustered world (q291's bound)
       "q292_drift_retrain" -> 1)  // same fixed 20-query exact-truth
                                   // arm; both generation probes are
                                   // materialized RDD scans
