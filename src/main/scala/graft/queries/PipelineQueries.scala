@@ -4165,6 +4165,114 @@ object PipelineQueries {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** Streaming ANN gate across a PURGE boundary (q305) — the
+    * streaming × delete cell for the similarity family, and the
+    * judged STREAMING context for q301's fold ledger: a self-growing
+    * retrieval index (each batch probes, then INGESTS as a tagged
+    * delta — the continuous near-dup-alerting shape) hit by a GDPR
+    * purge between batches. Batch 0 probes the base generation and
+    * folds in (tag `b0`); the purge tombstones every 10th indexed
+    * vector and merge-compacts — folding batch 0's delta AND the
+    * deletes into one generation, recording the tag; batch 0 is then
+    * REDELIVERED (probe absorbed by its committed dir, ingest
+    * absorbed via `_folded.json` — without the ledger the replay
+    * re-appends batch 0's purged vectors and batch 1 retrieves
+    * them); batch 1 probes the purged, folded world keyed with the
+    * STILL-frozen base (r, T). Batches are id-disjoint, so the
+    * oracle is one banding replay with a per-arm index predicate
+    * (q259's scheme): batch-0 queries must collide only with the
+    * full pre-purge base, batch-1 queries only with the never-
+    * ingested survivor world — scoring either batch against the
+    * other's index state hash-mismatches.
+    */
+  val annPurgeStream: Q = {
+    val BASE = 250L; val B0 = 400L; val Q_MAX = 500L; val K = 3
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val base = emb.filter(col("vec_id") < BASE)
+        val b0 = emb.filter(
+          col("vec_id") >= BASE && col("vec_id") < B0)
+        val b1 = emb.filter(
+          col("vec_id") >= B0 && col("vec_id") < Q_MAX)
+        val idxRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-ann-pstream-idx", d, Seq("embeddings.parquet"))
+        val outRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-ann-pstream-out", d, Seq("embeddings.parquet"))
+        if (SimIndex.resolve(idxRoot).isEmpty) {
+          val r = VectorFunctions.mtBits(base.count())
+          SimIndex.publish(base, "vec_id", "embedding",
+            r, VectorFunctions.mtTables(r), idxRoot)
+        }
+        val ann = new graft.streaming.AnnStream(
+          s, idxRoot, outRoot, "vec_id", "embedding", K)
+        ann.processBatch(b0, 0) // probe the base, THEN ingest
+        if (!SimIndex.folded(idxRoot, "b0"))
+          SimIndex.appendDelta(b0, "vec_id", "embedding", idxRoot,
+            tag = "b0")
+        // the purge: runs exactly once (compacted generation is the
+        // second committed version)
+        if (VersionedDirs.versionsOf(idxRoot).size < 2) {
+          SimIndex.addTombstones(s,
+            emb.filter(col("vec_id") < B0 && col("vec_id") % 10 === 0)
+              .select("vec_id"), "vec_id", idxRoot)
+          SimIndex.mergeCompact(s, idxRoot)
+        }
+        // at-least-once redelivery AFTER the purge consumed the
+        // delta — probe AND ingest absorbed, on every run
+        ann.processBatch(b0, 0)
+        SimIndex.appendDelta(b0, "vec_id", "embedding", idxRoot,
+          tag = "b0")
+        ann.processBatch(b1, 1) // probes the purged, folded world
+        ann.results().orderBy("query_id", "rnk")
+      },
+      s"""WITH idx0 AS (SELECT vec_id, embedding FROM embeddings
+         |              WHERE vec_id < $BASE),
+         |params AS (
+         |  SELECT (${VectorFunctions.mtBitsSql("count(*)")}) AS r,
+         |    ${VectorFunctions.mtTablesSql(VectorFunctions.mtBitsSql("count(*)"))} AS nt
+         |  FROM idx0),
+         |ie AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+         |  FROM embeddings, params WHERE vec_id < $B0),
+         |iek AS (
+         |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+         |  FROM ie),
+         |ikb AS (
+         |  SELECT vec_id, embedding, tbl,
+         |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+         |  FROM iek),
+         |qe AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+         |  FROM embeddings, params
+         |  WHERE vec_id >= $BASE AND vec_id < $Q_MAX),
+         |qek AS (
+         |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+         |  FROM qe),
+         |qkb AS (
+         |  SELECT vec_id, embedding, tbl,
+         |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+         |  FROM qek),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, kb.vec_id AS index_id,
+         |    max(round(${VectorFunctions.cosineSql("q.embedding", "kb.embedding")}, 6))
+         |      AS cos_sim
+         |  FROM qkb q JOIN ikb kb ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+         |  WHERE (q.vec_id < $B0 AND kb.vec_id < $BASE)
+         |     OR (q.vec_id >= $B0 AND kb.vec_id % 10 <> 0)
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, index_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, index_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, index_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
   /** Persisted product-quantization index (q260) — q247's PQ/ADC
     * family moved onto the train-once / publish / probe-per-batch
     * lifecycle ([[PqIndex]], the production IVFPQ shape and the r9
@@ -13034,6 +13142,7 @@ object PipelineQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q305_ann_purge_stream" -> annPurgeStream,
     "q304_cms_saturation" -> cmsSaturation,
     "q303_media_purge"   -> mediaPurgeCascade,
     "q302_residual_recall" -> ivfPqClustered,

@@ -55,9 +55,12 @@ class PlanAuditSpec extends SparkSpec {
                              // build (NoveltyStreamSpec audits)
       "q273_ivfpq_stream_twin", // AnnStream batches commit at build
                                 // (q268's exclusion, pruned probe)
-      "q276_novelty_purge_stream") // NoveltyStream batches commit +
+      "q276_novelty_purge_stream", // NoveltyStream batches commit +
                                    // purge chain runs at build
                                    // (q272's exclusion)
+      "q305_ann_purge_stream") // AnnStream batches commit + the
+                               // purge chain runs at build
+                               // (q259 + q276's exclusions composed)
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
