@@ -13045,6 +13045,83 @@ object PipelineQueries {
          |ORDER BY batch_id, term""".stripMargin)
   }
 
+  /** Streaming frequency gate across a PURGE boundary (q306) — the
+    * streaming × delete cell for the sketch family, where the hazard
+    * is sharpest of any family: cell sums are not idempotent AND the
+    * purge is a SUBTRACTION, so a batch-0 delta redelivered after the
+    * purge consumed it would not just resurface deleted mass — it
+    * would add batch 0's cells a second time on top of the
+    * subtraction, corrupting every estimate (no min/union semantics
+    * to hide behind). The judged chain: batch 0 estimates against the
+    * base and folds in (tag b0); the purge subtracts every 10th
+    * ingested doc's own term occurrences ([[SketchIndex.purge]] —
+    * exact by linearity, folding b0's delta into the same
+    * generation); batch 0 REDELIVERS (estimate absorbed by its
+    * committed dir, fold absorbed via `_folded.json`); batch 1
+    * estimates against the purged, folded state. The oracle unions
+    * two sketch worlds — batch 0's over the base, batch 1's over the
+    * never-ingested survivor corpus (subtraction ≡ survivor build,
+    * the q299 claim riding under a stream) — so an early fold, a
+    * lost subtraction, or a double-counted redelivery each
+    * hash-mismatch a different arm.
+    */
+  val cmsPurgeStream: Q = {
+    val BASE_MAX = 300L; val B0_MAX = 400L; val B1_MAX = 500L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val idxRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-cms-pstream-idx", d, Seq("documents.parquet"))
+        val outRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-cms-pstream-out", d, Seq("documents.parquet"))
+        if (SketchIndex.resolve(idxRoot).isEmpty)
+          SketchIndex.publish(termsOf(docs.filter(col("doc_id") < BASE_MAX)),
+            "term", CMS_D, CMS_W, idxRoot)
+        val ss = new graft.streaming.SketchStream(
+          s, idxRoot, outRoot, "term")
+        ss.processBatch(termsOf(docs.filter(
+          col("doc_id") >= BASE_MAX && col("doc_id") < B0_MAX)), 0)
+        // the purge: exact subtraction of ingested rows, folding b0's
+        // delta into the same generation; a re-run absorbs through
+        // the deletion frame's own fingerprint tag
+        if (VersionedDirs.versionsOf(idxRoot).size < 2)
+          SketchIndex.purge(s,
+            termsOf(docs.filter(col("doc_id") < B0_MAX &&
+              col("doc_id") % 10 === 0)), "term", idxRoot)
+        // at-least-once redelivery AFTER the purge consumed the
+        // delta — both halves absorbed, on every run (a re-commit
+        // here would double-count batch 0 ON TOP of the subtraction)
+        ss.processBatch(termsOf(docs.filter(
+          col("doc_id") >= BASE_MAX && col("doc_id") < B0_MAX)), 0)
+        ss.processBatch(termsOf(docs.filter(
+          col("doc_id") >= B0_MAX && col("doc_id") < B1_MAX)), 1)
+        ss.results().orderBy("batch_id", "term")
+      },
+      s"""WITH cmsp(r, a, b) AS (VALUES ${CountMin.paramsSqlValues(CMS_D)}),
+         |qt0 AS (
+         |  SELECT DISTINCT t AS term FROM (
+         |    SELECT unnest(${TextFunctions.wordsSql("text")}) AS t
+         |    FROM documents
+         |    WHERE doc_id >= $BASE_MAX AND doc_id < $B0_MAX)
+         |  WHERE length(t) > 0),
+         |qt1 AS (
+         |  SELECT DISTINCT t AS term FROM (
+         |    SELECT unnest(${TextFunctions.wordsSql("text")}) AS t
+         |    FROM documents
+         |    WHERE doc_id >= $B0_MAX AND doc_id < $B1_MAX)
+         |  WHERE length(t) > 0),
+         |${cmsWorldSql(0, s"doc_id < $BASE_MAX", "qt0")},
+         |${cmsWorldSql(1,
+             s"doc_id < $B0_MAX AND doc_id % 10 <> 0", "qt1")}
+         |SELECT term, cms_est, n_total, batch_id FROM (
+         |  SELECT e.term, e.cms_est, nt0.n_total, 0::BIGINT AS batch_id
+         |  FROM est0 e, nt0
+         |  UNION ALL
+         |  SELECT e.term, e.cms_est, nt1.n_total, 1::BIGINT
+         |  FROM est1 e, nt1)
+         |ORDER BY batch_id, term""".stripMargin)
+  }
+
   /** Sketch saturation audit + width-regrow trigger (q304) — the
     * [[graft.operators.SketchIndex]] analog of q292's drift re-train,
     * the hazard the family's frozen geometry creates: (depth, width)
@@ -13142,6 +13219,7 @@ object PipelineQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q306_cms_purge_stream" -> cmsPurgeStream,
     "q305_ann_purge_stream" -> annPurgeStream,
     "q304_cms_saturation" -> cmsSaturation,
     "q303_media_purge"   -> mediaPurgeCascade,

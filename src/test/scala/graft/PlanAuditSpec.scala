@@ -58,9 +58,11 @@ class PlanAuditSpec extends SparkSpec {
       "q276_novelty_purge_stream", // NoveltyStream batches commit +
                                    // purge chain runs at build
                                    // (q272's exclusion)
-      "q305_ann_purge_stream") // AnnStream batches commit + the
+      "q305_ann_purge_stream", // AnnStream batches commit + the
                                // purge chain runs at build
                                // (q259 + q276's exclusions composed)
+      "q306_cms_purge_stream") // SketchStream batches commit + the
+                               // subtraction purge runs at build
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
