@@ -2756,6 +2756,89 @@ object PipelineQueries {
          |ORDER BY new_id, index_id""".stripMargin)
   }
 
+  /** Streaming dedup across a PURGE boundary (q308) — the streaming ×
+    * delete cell for the dedup family's CONTINUOUS form, closing the
+    * one masking gap the family had: [[graft.streaming.DedupStream]]'s
+    * probe reads the compacted generation (tombstone-masked by
+    * [[DedupIndex.probeBanded]]) PLUS the uncompacted sig-dir tail —
+    * and until this round the tail join did not mask, so a purged doc
+    * whose batch had not yet been folded kept surfacing through every
+    * probe. The judged chain exercises BOTH masking paths at once:
+    * batch 0 folds into the compacted generation, batch 1 stays in
+    * the tail, the purge tombstones every 10th doc (originals AND
+    * their +10⁶ redelivered copies — copies of %10 docs share the
+    * residue), batch 1 REDELIVERS (absorbed — its committed match dir
+    * is the pre-purge audit record and must NOT be rewritten), and
+    * batch 2 probes generation + tail with the purged docs invisible
+    * through both. The final compaction folds tail + purge physically
+    * and resets the log. Oracle: band-collision pairs with strictly-
+    * later probe batch, where batch-1 pairs see the full pre-purge
+    * index and batch-2 pairs exclude the purged docs.
+    */
+  val dedupPurgeStream: Q = {
+    val NB = 3L
+    val sigCols = (0 until MH_K)
+      .map(i => s"min(${Hashing.seededSql(i, "s")}) AS h$i")
+      .mkString(",\n    ")
+    val bandRowsSql = (0 until MH_BANDS).map { b =>
+      val key = (0 until MH_R).map(r => s"h${b * MH_R + r}")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, b, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val corpus = docs.unionByName(
+            docs.select((col("doc_id") + 1000000L).as("doc_id"),
+              col("text")))
+          .withColumn("b", col("doc_id") % NB)
+        def batch(i: Long) =
+          corpus.filter(col("b") === i).select("doc_id", "text")
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-dedup-pstream", d, Seq("documents.parquet"))
+        val compactedRoot = s"$root/compacted"
+        val ds = new graft.streaming.DedupStream(s, root, "doc_id", "text",
+          MH_K, MH_BANDS, MH_R)
+        ds.processBatch(batch(0), 0)
+        ds.compactIndex() // batch 0 → the generation
+        ds.vacuumFolded()
+        ds.processBatch(batch(1), 1) // batch 1 stays in the TAIL
+        // the purge: pending tombstones must mask generation AND tail
+        // (batch 1 is not folded yet); +10⁶ copies share the residue
+        if (VersionedDirs.versionsOf(compactedRoot).size < 2)
+          DedupIndex.addTombstones(s,
+            corpus.filter(col("b") < 2 && col("doc_id") % 10 === 0)
+              .select(col("doc_id")), "doc_id", compactedRoot)
+        ds.processBatch(batch(1), 1) // redelivery: absorbed, the
+                                     // committed pre-purge audit record
+        ds.processBatch(batch(2), 2) // probes the purged world
+        // fold tail + purge physically; the log resets
+        ds.compactIndex()
+        ds.vacuumFolded()
+        ds.matches().orderBy("new_id", "index_id")
+      },
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text, doc_id % $NB AS b FROM docs
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, (doc_id + 1000000) % $NB FROM docs),
+         |w AS (SELECT doc_id, b, ${TextFunctions.wordsSql("text")} AS arr
+         |      FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id, b,
+         |         unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
+         |sig AS (
+         |  SELECT doc_id, b,
+         |    $sigCols
+         |  FROM sh GROUP BY doc_id, b),
+         |bands AS (
+         |  $bandRowsSql)
+         |SELECT DISTINCT a.doc_id AS new_id, x.doc_id AS index_id
+         |FROM bands a JOIN bands x
+         |  ON a.band = x.band AND a.band_key = x.band_key
+         |WHERE a.b > x.b AND (a.b = 1 OR x.doc_id % 10 <> 0)
+         |ORDER BY new_id, index_id""".stripMargin)
+  }
+
   /** Small-file compaction plan + report (q169) — the write half of
     * the q129 balance audit ([[graft.operators.Compaction]]): the 64
     * hash shards of the documents corpus (q129's layout) are re-binned
@@ -5923,6 +6006,97 @@ object PipelineQueries {
          |  WHERE length(t) > 0),
          |${world(0, BASE_MAX, BASE_MAX, B0_MAX)},
          |${world(1, B0_MAX, B0_MAX, Q_MAX)}
+         |SELECT query_id, index_id, n_hit, score, CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT * FROM rk0 WHERE rnk <= $K
+         |      UNION ALL SELECT * FROM rk1 WHERE rnk <= $K)
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  /** Streaming lexical gate across a PURGE boundary (q307) — the
+    * streaming × delete cell for the lexical family, whose burden is
+    * again the one no vector family has: the purge shifts the
+    * COLLECTION STATISTICS (N, Σdl, df), so batch 1 must score with
+    * stats recomputed from the survivors, not just a smaller row set.
+    * Batch 0 probes the base and ingests (tag b0, with
+    * [[graft.streaming.LexStream]]'s durable `ingested.bN` marker);
+    * the purge tombstones every 10th doc of the grown corpus —
+    * including batch-0 docs — and merge-compacts (folding the delta,
+    * dropping the purged rows, recomputing stats exactly); batch 0
+    * REDELIVERS (probe absorbed by its committed dir, ingest by the
+    * marker — the durable closure that outlives `_folded.json`'s
+    * pruning horizon); batch 1 probes the survivor world. The oracle
+    * unions two BM25 worlds — batch-0 queries over the full pre-purge
+    * base, batch-1 queries over the never-ingested survivor corpus
+    * with its own stats — so stale stats, a lost purge, or a
+    * double-ingested redelivery each hash-mismatch a different arm.
+    */
+  val lexPurgeStream: Q = {
+    val BASE_MAX = 300L; val B0_MAX = 350L; val Q_MAX = 400L; val K = 3
+    def world(i: Int, corpusPred: String, qLo: Long, qHi: Long): String =
+      s"""tf$i AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |         FROM tok WHERE $corpusPred GROUP BY 1, 2),
+         |dl$i AS (SELECT doc_id, count(*)::BIGINT AS dl
+         |         FROM tok WHERE $corpusPred GROUP BY 1),
+         |df$i AS (SELECT term, count(*)::BIGINT AS df FROM tf$i GROUP BY 1),
+         |st$i AS (SELECT count(*)::BIGINT AS n_docs,
+         |           sum(dl)::BIGINT AS sumdl FROM dl$i),
+         |qt$i AS (
+         |  SELECT DISTINCT doc_id AS query_id, term FROM tok
+         |  WHERE doc_id >= $qLo AND doc_id < $qHi),
+         |sc$i AS (
+         |  SELECT q.query_id, f.doc_id AS index_id,
+         |    ${graft.operators.LexIndex.contribSql(
+               "f.tf", "d.df", "l.dl", "n_docs", "sumdl", "//")} AS contrib
+         |  FROM tf$i f JOIN qt$i q USING (term) JOIN df$i d USING (term)
+         |  JOIN dl$i l ON l.doc_id = f.doc_id CROSS JOIN st$i),
+         |ag$i AS (
+         |  SELECT query_id, index_id, count(*)::BIGINT AS n_hit,
+         |    sum(contrib)::BIGINT AS score
+         |  FROM sc$i GROUP BY 1, 2),
+         |rk$i AS (
+         |  SELECT ag$i.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, index_id) AS rnk FROM ag$i)"""
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val idxRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-lex-pstream-idx", d, Seq("documents.parquet"))
+        val outRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-lex-pstream-out", d, Seq("documents.parquet"))
+        if (LexIndex.resolve(idxRoot).isEmpty)
+          LexIndex.publish(docs.filter(col("doc_id") < BASE_MAX),
+            "doc_id", "text", idxRoot)
+        val ls = new graft.streaming.LexStream(
+          s, idxRoot, outRoot, "doc_id", "text", K)
+        val b0 = docs.filter(
+          col("doc_id") >= BASE_MAX && col("doc_id") < B0_MAX)
+        ls.processBatch(b0, 0)
+        // the purge: every 10th doc of the GROWN corpus (batch-0 docs
+        // included), stats recomputed exactly from the survivors
+        if (VersionedDirs.versionsOf(idxRoot).size < 2) {
+          LexIndex.addTombstones(s,
+            docs.filter(col("doc_id") < B0_MAX &&
+              col("doc_id") % 10 === 0).select("doc_id"),
+            "doc_id", idxRoot)
+          LexIndex.mergeCompact(s, idxRoot)
+        }
+        // at-least-once redelivery AFTER the purge consumed the
+        // delta — probe and ingest both absorbed, on every run
+        ls.processBatch(b0, 0)
+        ls.processBatch(docs.filter(
+          col("doc_id") >= B0_MAX && col("doc_id") < Q_MAX), 1)
+        ls.results().orderBy("query_id", "rnk")
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM documents WHERE doc_id < $Q_MAX),
+         |tok AS (
+         |  SELECT doc_id, t AS term FROM (
+         |    SELECT doc_id, unnest(arr) AS t FROM w)
+         |  WHERE length(t) > 0),
+         |${world(0, s"doc_id < $BASE_MAX", BASE_MAX, B0_MAX)},
+         |${world(1, s"doc_id < $B0_MAX AND doc_id % 10 <> 0",
+             B0_MAX, Q_MAX)}
          |SELECT query_id, index_id, n_hit, score, CAST(rnk AS BIGINT) AS rnk
          |FROM (SELECT * FROM rk0 WHERE rnk <= $K
          |      UNION ALL SELECT * FROM rk1 WHERE rnk <= $K)
@@ -13219,6 +13393,8 @@ object PipelineQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q308_dedup_purge_stream" -> dedupPurgeStream,
+    "q307_lex_purge_stream" -> lexPurgeStream,
     "q306_cms_purge_stream" -> cmsPurgeStream,
     "q305_ann_purge_stream" -> annPurgeStream,
     "q304_cms_saturation" -> cmsSaturation,

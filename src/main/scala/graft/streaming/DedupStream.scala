@@ -107,7 +107,14 @@ final class DedupStream(spark: SparkSession, root: String,
       // plus only the batch-dir TAIL above the compaction floor — the
       // candidate SET is identical before and after a compaction (the
       // generation holds exactly the folded band rows), so replays
-      // stay deterministic by value across compactions too
+      // stay deterministic by value across compactions too.
+      // Tombstones (a purge between batches) mask BOTH sides: the
+      // generation through [[DedupIndex.probeBanded]]'s own anti-join,
+      // the tail through the explicit one below — without it a purged
+      // doc whose sig batch had not yet been folded keeps surfacing
+      // through every probe until the next compaction. Read the log
+      // BEFORE the dirs (probeBanded's race discipline).
+      val ts = DedupIndex.tombstones(spark, compactedRoot)
       val floor = foldedThrough
       val tail = sigDirs
         .filter(d => d._1 < batchId && d._1 > floor).map(_._2.toString)
@@ -119,11 +126,13 @@ final class DedupStream(spark: SparkSession, root: String,
         else {
           val touched = nb.select("bucket").distinct()
             .collect().map(_.getInt(0)).sorted // bounded by NumBuckets
-          Some(spark.read.parquet(tail: _*)
+          val joined = spark.read.parquet(tail: _*)
             .filter(col("bucket").isin(touched.toIndexedSeq.map(Int.box): _*))
             .withColumnRenamed("new_id", "index_id")
             .join(nb, Seq("bucket", "band", "band_key"))
-            .select(col("new_id"), col("index_id")))
+            .select(col("new_id"), col("index_id"))
+          Some(ts.map(t => joined.join(t, Seq("index_id"), "left_anti"))
+            .getOrElse(joined))
         }
       val matches = (fromCompacted, fromTail) match {
         case (Some(a), Some(b)) => a.unionByName(b).distinct()
@@ -169,6 +178,9 @@ final class DedupStream(spark: SparkSession, root: String,
     val dirs = sigDirs.map(_._2.toString)
     val current = DedupIndex.resolve(compactedRoot)
     if (dirs.isEmpty) current // nothing new to fold; keep the generation
+      // (a pending tombstone set with an EMPTY tail stays in the log —
+      // probes keep masking it — and folds physically with the next
+      // batch's compaction)
     else {
       val tailRows = spark.read.parquet(dirs: _*)
         .select(col("new_id").as("index_id"), col("band"),
@@ -177,17 +189,26 @@ final class DedupStream(spark: SparkSession, root: String,
       // vacuum the batch dirs no longer hold the earlier rows — a
       // tail-only rewrite would silently drop every previously folded
       // document from the index
-      val rows = current.map(p => spark.read.parquet(p)
+      val rows0 = current.map(p => spark.read.parquet(p)
           .select(col("index_id"), col("band"), col("band_key"),
             col("bucket"))
           .unionByName(tailRows))
         .getOrElse(tailRows)
+      // a purge between batches folds here physically — pure row
+      // filter over generation ∪ tail (DedupIndex.compact's rule),
+      // then the log resets so probes stop paying the anti-join
+      val ts = DedupIndex.tombstones(spark, compactedRoot)
+      val rows = ts
+        .map(t => rows0.join(t, Seq("index_id"), "left_anti"))
+        .getOrElse(rows0)
       graft.sources.Artifacts.notePublish()
       val path = new java.io.File(compactedRoot,
         s"index.v${sigDirs.map(_._1).max + 1}").getAbsolutePath
       rows.repartition(col("bucket"))
         .sortWithinPartitions("band", "band_key")
         .write.partitionBy("bucket").mode("overwrite").parquet(path)
+      if (ts.isDefined)
+        graft.operators.Tombstones.reset(spark, compactedRoot)
       DedupIndex.retainLatestGenerations(compactedRoot)
       Some(path)
     }

@@ -61,8 +61,13 @@ class PlanAuditSpec extends SparkSpec {
       "q305_ann_purge_stream", // AnnStream batches commit + the
                                // purge chain runs at build
                                // (q259 + q276's exclusions composed)
-      "q306_cms_purge_stream") // SketchStream batches commit + the
+      "q306_cms_purge_stream", // SketchStream batches commit + the
                                // subtraction purge runs at build
+      "q307_lex_purge_stream", // LexStream batches commit + the
+                               // stats-recomputing purge runs at build
+      "q308_dedup_purge_stream") // DedupStream batches + two
+                                 // compactions run at build
+                                 // (q170's exclusion, plus the purge)
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {

@@ -151,6 +151,34 @@ class DedupStreamSpec extends SparkSpec {
       s"re-compaction dropped previously folded rows: $m")
   }
 
+  test("tombstones mask the generation AND the uncompacted tail; compaction folds the purge") {
+    val dir = Files.createTempDirectory("dstream").toString
+    val compacted = s"$dir/compacted"
+    val s = streamIn(dir)
+    // doc 3 folds into the generation; doc 13 stays in the tail
+    s.processBatch((0 until 10).map(i => (i.toLong, doc(i)))
+      .toDF("doc_id", "text"), 0)
+    s.compactIndex(); s.vacuumFolded()
+    s.processBatch((10 until 20).map(i => (i.toLong, doc(i)))
+      .toDF("doc_id", "text"), 1)
+    DedupIndex.addTombstones(spark,
+      Seq(3L, 13L).toDF("doc_id"), "doc_id", compacted)
+    // batch 2 redelivers BOTH purged docs: neither may surface — 3
+    // through the generation's anti-join, 13 through the tail's
+    s.processBatch(Seq((1003L, doc(3)), (1013L, doc(13)))
+      .toDF("doc_id", "text"), 2)
+    val m = s.matches().as[(Long, Long)].collect().toSet
+    assert(!m.exists(p => p._2 == 3L || p._2 == 13L),
+      s"purged doc resurfaced through a probe: $m")
+    // the next compaction folds tail + purge physically, resets the log
+    val gen = s.compactIndex().get
+    assert(spark.read.parquet(gen)
+      .filter($"index_id" === 3L || $"index_id" === 13L).count() == 0,
+      "compaction carried purged rows forward")
+    assert(DedupIndex.tombstones(spark, compacted).isEmpty,
+      "compaction did not reset the tombstone log")
+  }
+
   test("replay of a FOLDED batch is absorbed by the compaction ledger") {
     val dir = Files.createTempDirectory("dstream").toString
     val s = streamIn(dir)
