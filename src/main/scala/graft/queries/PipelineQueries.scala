@@ -5485,6 +5485,68 @@ object PipelineQueries {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** Streaming PQ retrieval across a PURGE boundary (q309) — the
+    * streaming × delete cell for the quantized ANN family: the
+    * serving stream probes committed code tables, a GDPR purge
+    * tombstones every 10th indexed vector and merge-compacts between
+    * batches, and the family invariant under test is that the purge
+    * drops CODE ROWS ONLY — codebooks stay frozen ([[PqIndex
+    * .mergeCompact]] carries them forward; re-fitting on the shrunken
+    * corpus would move every surviving ADC distance). Batch 0 probes
+    * the full index and is REDELIVERED after the purge (absorbed by
+    * its committed dir — the pre-purge audit record); batch 1 probes
+    * the survivors. The oracle fits codebooks ONCE on the full
+    * pre-purge corpus and scores both arms from those codes with a
+    * per-arm pair predicate — so a purge that re-trained, a stale
+    * probe that kept serving purged codes, or a rewritten batch-0 dir
+    * each hash-mismatch.
+    */
+  val pqPurgeStream: Q = {
+    val INDEX_MAX = 400L; val B0_MAX = 450L; val Q_MAX = 500L; val K = 3
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val index = emb.filter(col("vec_id") < INDEX_MAX)
+        val b0 = emb.filter(
+          col("vec_id") >= INDEX_MAX && col("vec_id") < B0_MAX)
+        val b1 = emb.filter(
+          col("vec_id") >= B0_MAX && col("vec_id") < Q_MAX)
+        val idxRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-pq-pstream-idx", d, Seq("embeddings.parquet"))
+        val outRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-pq-pstream-out", d, Seq("embeddings.parquet"))
+        if (PqIndex.resolve(idxRoot).isEmpty)
+          PqIndex.publish(index, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, idxRoot)
+        val ann = new graft.streaming.AnnStream(
+          s, idxRoot, outRoot, "vec_id", "embedding", K,
+          probeFn = PqIndex.probeTopK)
+        ann.processBatch(b0, 0) // probes the full pre-purge index
+        // the purge: code rows drop, codebooks carry forward frozen
+        if (VersionedDirs.versionsOf(idxRoot).size < 2) {
+          PqIndex.addTombstones(s,
+            index.filter(col("vec_id") % 10 === 0).select("vec_id"),
+            "vec_id", idxRoot)
+          PqIndex.mergeCompact(s, idxRoot)
+        }
+        ann.processBatch(b0, 0) // redelivery after the purge: absorbed
+        ann.processBatch(b1, 1) // probes the survivors
+        ann.results().orderBy("query_id", "rnk")
+      },
+      s"""WITH $pqEpCtes,
+         |ix AS (SELECT * FROM ep WHERE vec_id < $INDEX_MAX),
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+         |        WHERE vec_id < $PQ_KS),
+         |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+         |enc AS (SELECT * FROM ix),
+         |${pqRankCtes("enc",
+             s"q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX",
+             s"dt.query_id < $B0_MAX OR cd.vec_id % 10 <> 0")}
+         |SELECT query_id, index_id, adc_d2, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
   /** Streaming novelty gate across a PURGE boundary (q276) — the last
     * empty lifecycle cell: every stream twin so far crosses an APPEND
     * boundary (q259/q268/q272/q273); this one crosses a DELETE. Batch
@@ -12831,6 +12893,95 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin)
   }
 
+  /** Streaming tokenizer gate across a PURGE boundary (q310) — the
+    * streaming × delete cell for the BPE family, and the matrix's odd
+    * one out: because the memo is pure cache, the purge CANNOT change
+    * results — `n_subwords` is identical on both sides of the
+    * boundary (the oracle computes it once for all batches) — so the
+    * judged signal lives entirely on the COST plane: `n_memo_hits`
+    * for a purged word drops to zero from the purge boundary on (the
+    * word re-derives through the frozen-merge fold until some later
+    * fold re-memoizes it). The deletion set deliberately includes
+    * batch-0 NOVEL words that live in batch 0's own fold delta — the
+    * in-stream PII closure: [[graft.operators.BpeIndex.purgeWords]]
+    * consumed that delta and recorded its name, so batch 0's
+    * REDELIVERY after the purge must absorb via `_folded.json`
+    * rather than re-commit the purged word strings into the store
+    * (and re-inflate batch-1 hits, which would hash-mismatch cen1).
+    */
+  val bpePurgeStream: Q = {
+    val TRAIN_MAX = 300L; val B0_MAX = 400L; val B1_MAX = 500L
+    val PURGE_LO = 300L; val PURGE_HI = 308L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val idxRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-bpe-pstream-idx", d, Seq("documents.parquet"))
+        val outRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-bpe-pstream-out", d, Seq("documents.parquet"))
+        if (BpeIndex.resolve(idxRoot).isEmpty)
+          BpeIndex.publish(docs.filter(col("doc_id") < TRAIN_MAX),
+            "doc_id", "text", BPE_ROUNDS, idxRoot)
+        val bs = new graft.streaming.BpeStream(
+          s, idxRoot, outRoot, "doc_id", "text")
+        val b0 = mutBatch(docs.filter(
+          col("doc_id") >= TRAIN_MAX && col("doc_id") < B0_MAX))
+        bs.processBatch(b0, 0)
+        // the purge: words of a deletion-request doc slice — shared
+        // train-vocab words AND batch-0 novel variants (the latter
+        // live in batch 0's fold delta, which this purge consumes)
+        if (VersionedDirs.versionsOf(idxRoot).size < 2)
+          BpeIndex.purgeWords(s,
+            mutBatch(docs.filter(
+              col("doc_id") >= PURGE_LO && col("doc_id") < PURGE_HI))
+              .select(explode(TextFunctions.words(col("text"))).as("word"))
+              .filter(length(col("word")) > 0).distinct(),
+            idxRoot)
+        // redelivery AFTER the purge consumed batch 0's delta: census
+        // absorbed by its committed dir, fold by _folded.json — a
+        // re-commit would resurrect the purged strings AND re-inflate
+        // batch 1's memo hits
+        bs.processBatch(b0, 0)
+        bs.processBatch(mutBatch(docs.filter(
+          col("doc_id") >= B0_MAX && col("doc_id") < B1_MAX)), 1)
+        bs.results().orderBy("doc_id")
+      },
+      s"""WITH ${BpeOracle.chainFor(s"WHERE doc_id < $TRAIN_MAX")},
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(${TextFunctions.wordsSql(mutBatchSql)}) AS word
+         |  FROM documents
+         |  WHERE doc_id >= $TRAIN_MAX AND doc_id < $B1_MAX),
+         |dwf AS (SELECT doc_id, word FROM dw WHERE length(word) > 0),
+         |bw AS (SELECT DISTINCT word FROM dwf),
+         |${BpeOracle.applyChain("bw", "a")},
+         |v0 AS (SELECT DISTINCT word FROM dwf WHERE doc_id < $B0_MAX),
+         |purgew AS (
+         |  SELECT DISTINCT word FROM dwf
+         |  WHERE doc_id >= $PURGE_LO AND doc_id < $PURGE_HI),
+         |m1 AS (
+         |  SELECT word FROM (SELECT word FROM w UNION SELECT word FROM v0)
+         |  EXCEPT SELECT word FROM purgew),
+         |cen0 AS (
+         |  SELECT d.doc_id, count(*)::BIGINT AS n_words,
+         |    sum(an.n_sub)::BIGINT AS n_subwords,
+         |    sum(CASE WHEN m.word IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_memo_hits
+         |  FROM dwf d JOIN an USING (word)
+         |  LEFT JOIN w m ON d.word = m.word
+         |  WHERE d.doc_id < $B0_MAX GROUP BY d.doc_id),
+         |cen1 AS (
+         |  SELECT d.doc_id, count(*)::BIGINT AS n_words,
+         |    sum(an.n_sub)::BIGINT AS n_subwords,
+         |    sum(CASE WHEN m.word IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_memo_hits
+         |  FROM dwf d JOIN an USING (word)
+         |  LEFT JOIN m1 m ON d.word = m.word
+         |  WHERE d.doc_id >= $B0_MAX GROUP BY d.doc_id)
+         |SELECT * FROM (SELECT * FROM cen0 UNION ALL SELECT * FROM cen1)
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   /** Tokenizer word-level purge judged end-to-end (q296) — the purge
     * cell of the SIXTH family, with a claim the doc/vector families
     * can't make: because the memo is pure cache, deletion provably
@@ -13393,6 +13544,8 @@ object PipelineQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q310_bpe_purge_stream" -> bpePurgeStream,
+    "q309_pq_purge_stream" -> pqPurgeStream,
     "q308_dedup_purge_stream" -> dedupPurgeStream,
     "q307_lex_purge_stream" -> lexPurgeStream,
     "q306_cms_purge_stream" -> cmsPurgeStream,

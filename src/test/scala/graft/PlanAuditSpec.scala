@@ -65,9 +65,14 @@ class PlanAuditSpec extends SparkSpec {
                                // subtraction purge runs at build
       "q307_lex_purge_stream", // LexStream batches commit + the
                                // stats-recomputing purge runs at build
-      "q308_dedup_purge_stream") // DedupStream batches + two
+      "q308_dedup_purge_stream", // DedupStream batches + two
                                  // compactions run at build
                                  // (q170's exclusion, plus the purge)
+      "q309_pq_purge_stream", // AnnStream batches commit + the PQ
+                              // purge chain runs at build
+                              // (q268 + q276's exclusions composed)
+      "q310_bpe_purge_stream") // BpeStream batches commit + the
+                               // word purge runs at build
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
