@@ -233,9 +233,15 @@ object FirstSeenIndex {
           }
       }
       val merged = merged0.groupBy("s").agg(min("first_doc").as("first_doc"))
-      val snapNames = deltaSnap.map(new java.io.File(_).getName).toSet
+      // CUMULATIVE across generations (SimIndex's rule): fold tags are
+      // CALLER-SUPPLIED batch identities, so a checkpoint-lagged
+      // redelivery can arrive any number of merges later — pruning the
+      // ledger to the current snapshot would let it re-commit then,
+      // resurrecting purged doc ids (NoveltyStream has no marker of
+      // its own; this ledger IS its absorption). Names are ~bytes per
+      // batch — the sidecar grows with batch count, never with data.
       val foldedNames =
-        ((folded0 intersect snapNames) ++
+        (folded0 ++
           liveDeltas.map(new java.io.File(_).getName)).toSeq.sorted
       val path = VersionedDirs.commit(root) { st =>
         writeMap(merged, st)

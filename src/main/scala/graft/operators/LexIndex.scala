@@ -234,6 +234,12 @@ object LexIndex {
     val target = new java.io.File(dr, s"batch-$tag")
     if (new java.io.File(target, "_SUCCESS").isFile)
       return target.getAbsolutePath // tagged append already committed
+    // already folded into a committed generation and its dir deleted:
+    // ABSORB — BM25 sums df/score, so a re-commit here would
+    // double-count the batch (and resurrect purged docs when a purge
+    // ran in between); the ledger is cumulative, so this holds past
+    // any number of merges
+    if (foldedOf(idxPath)(s"batch-$tag")) return idxPath
     graft.sources.Artifacts.notePublish()
     val staging = new java.io.File(dr,
       s".staging-${java.util.UUID.randomUUID()}")
@@ -314,9 +320,13 @@ object LexIndex {
       val all = tombstones(spark, root)
         .map(t => all0.join(t, Seq("index_id"), "left_anti"))
         .getOrElse(all0)
-      val snapNames = deltaSnap.map(new java.io.File(_).getName).toSet
+      // CUMULATIVE across generations (SimIndex's rule): append tags
+      // are caller-supplied, so a redelivery can arrive any number of
+      // merges later; BM25 sums df/score (non-idempotent), and while
+      // LexStream carries its own durable marker, a non-stream tagged
+      // caller has only this ledger. Bytes per batch, never data.
       val foldedNames =
-        ((folded0 intersect snapNames) ++
+        (folded0 ++
           live.map(new java.io.File(_).getName)).toSeq.sorted
       val path = VersionedDirs.commit(root) { st =>
         val allc = all.persist() // write + exact stats recompute

@@ -159,5 +159,19 @@ class FirstSeenIndexSpec extends SparkSpec {
     val day3 = Seq((20L, "e")).toDF("doc_id", "s")
     assert(probeSet(day3, root) == Set((20L, "e", Some(11L))),
       "purged doc resurrected as a first-occurrence holder")
+    // the HORIZON half (r13): the ledger is cumulative across
+    // generations, so the same tag absorbs even after a SECOND merge
+    // deleted every trace of the delta dir — a snapshot-pruned
+    // sidecar would drop the name here and let the replay re-commit
+    FirstSeenIndex.fold(spark, Seq((30L, "zz")).toDF("doc_id", "s"),
+      root, tag = "b1")
+    FirstSeenIndex.mergeCompact(spark, root)
+    assert(FirstSeenIndex.folded(root, "b0"),
+      "second merge pruned b0 from the fold ledger")
+    FirstSeenIndex.fold(spark, batch, root, tag = "b0")
+    assert(FirstSeenIndex.deltas(root).isEmpty,
+      "tag redelivered past one merge horizon re-committed")
+    assert(probeSet(day3, root) == Set((20L, "e", Some(11L))),
+      "late redelivery resurrected a purged holder")
   }
 }

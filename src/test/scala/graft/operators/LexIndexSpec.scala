@@ -76,6 +76,33 @@ class LexIndexSpec extends SparkSpec {
       "compacted generation did not record the folded delta")
   }
 
+  test("a tagged append absorbs past the one-merge horizon (cumulative ledger)") {
+    val root = Files.createTempDirectory("lexidx").toString
+    LexIndex.publish(base, "doc_id", "text", root)
+    LexIndex.appendDelta(delta, "doc_id", "text", root, tag = "b0")
+    LexIndex.mergeCompact(spark, root) // consumes b0, records it
+    // a second merge cycle (new delta, merge) must not prune b0 from
+    // the ledger — BM25 sums df/score, so a late replay re-committing
+    // it would double-count every batch doc
+    LexIndex.appendDelta(
+      Seq((100L, doc(100))).toDF("doc_id", "text"),
+      "doc_id", "text", root, tag = "b1")
+    LexIndex.mergeCompact(spark, root)
+    assert(LexIndex.appended(root, "b0"),
+      "second merge pruned b0 from the fold ledger")
+    LexIndex.appendDelta(delta, "doc_id", "text", root, tag = "b0")
+    assert(LexIndex.deltas(root).isEmpty,
+      "tag redelivered past one merge horizon re-committed")
+    // scores unchanged modulo the b1 doc's stats shift — compare with
+    // a fresh never-redelivered index over the same corpus
+    val freshRoot = Files.createTempDirectory("lexidx").toString
+    LexIndex.publish(base.unionByName(delta)
+        .unionByName(Seq((100L, doc(100))).toDF("doc_id", "text")),
+      "doc_id", "text", freshRoot)
+    assert(probeSet(root) == probeSet(freshRoot),
+      "late redelivery double-counted the folded batch")
+  }
+
   test("an append that would cross the 9000·dl·N headroom is rejected at append time") {
     val root = Files.createTempDirectory("lexidx").toString
     val gen = LexIndex.publish(base, "doc_id", "text", root)
@@ -122,11 +149,26 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.publish(base, "doc_id", "text", root)
     LexIndex.appendDelta(delta, "doc_id", "text", root, tag = "day1")
     val served = probeSet(root)
+    // stash the committed delta dir aside so the crash window can be
+    // reconstructed verbatim below (appendDelta itself now ABSORBS a
+    // consumed tag — the r13 ledger check — so it can no longer be
+    // used to recreate the leftover)
+    val deltaDir = new java.io.File(s"$root/deltas/batch-day1")
+    val stash = Files.createTempDirectory("lexstash").toFile
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+      ()
+    }
+    copyTree(deltaDir, new java.io.File(stash, "batch-day1"))
     LexIndex.mergeCompact(spark, root)
     // reconstruct the crash window: the merge committed (folded rows
     // live in the new generation, _folded.json names the delta) but
-    // the delta dir deletion never ran — recreate the dir verbatim
-    LexIndex.appendDelta(delta, "doc_id", "text", root, tag = "day1")
+    // the delta dir deletion never ran — restore the dir verbatim
+    copyTree(new java.io.File(stash, "batch-day1"), deltaDir)
     assert(LexIndex.deltas(root).size == 1)
     // BM25 sums contributions: if the probe read the leftover delta,
     // every df and score it touches would double
