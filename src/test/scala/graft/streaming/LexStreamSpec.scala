@@ -106,15 +106,24 @@ class LexStreamSpec extends SparkSpec {
     assert(!ls.processBatch(docsDF(20 until 30), 0))
     assert(new java.io.File(outRoot, "ingested.b0").exists())
     assert(LexIndex.deltas(idxRoot).isEmpty)
-    // a second compaction prunes the folded name (its dir is gone) —
-    // the durable marker alone must keep absorbing the replay, else a
-    // checkpoint-lagged redelivery double-ingests and doubles df/N
+    // a second compaction: since r13 the ledger is CUMULATIVE (tags
+    // never prune), so BOTH defenses now survive any number of merges
+    // — the ledger at the operator and the marker at the stream. The
+    // marker remains load-bearing as the faster check and as
+    // defense-in-depth for a root whose sidecar was rebuilt.
     LexIndex.appendDelta(docsDF(30 until 40), "doc_id", "text", idxRoot,
       tag = "b1")
     LexIndex.mergeCompact(spark, idxRoot)
-    assert(!LexIndex.appended(idxRoot, "b0"),
-      "precondition: the fold evidence for b0 must be pruned by now")
+    assert(LexIndex.appended(idxRoot, "b0"),
+      "cumulative ledger pruned a consumed tag")
     assert(!ls.processBatch(docsDF(20 until 30), 0))
     assert(LexIndex.deltas(idxRoot).isEmpty)
+    // marker alone (ledger sidecar lost — e.g. a generation restored
+    // from a backup without it): still absorbed
+    val gen = LexIndex.resolve(idxRoot).get
+    rmAll(new java.io.File(gen, "_folded.json"))
+    assert(!ls.processBatch(docsDF(20 until 30), 0))
+    assert(LexIndex.deltas(idxRoot).isEmpty,
+      "durable marker failed to absorb without the ledger")
   }
 }
