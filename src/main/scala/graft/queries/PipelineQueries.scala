@@ -12052,7 +12052,8 @@ object PipelineQueries {
     */
   private def ivfpqArmSql(residual: Boolean, indexMax: Long, qMax: Long,
                           nprobe: Int,
-                          eSql: String = defaultESql): String = {
+                          eSql: String = defaultESql,
+                          candPred: String = "TRUE"): String = {
     val INDEX_MAX = indexMax; val Q_MAX = qMax; val NPROBE = nprobe;
     {
       val resid =
@@ -12117,7 +12118,8 @@ object PipelineQueries {
          |  WHERE rnk <= $NPROBE),
          |cand AS (
          |  SELECT qa.query_id, qa.cell AS ccell, ca.vec_id
-         |  FROM qa JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.query_id),
+         |  FROM qa JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.query_id
+         |  WHERE $candPred),
          |ep AS (
          |  SELECT vec_id, (dim - 1) // $PQ_DSUB AS sub,
          |    (dim - 1) % $PQ_DSUB + 1 AS sdim, xs
@@ -12150,7 +12152,8 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY query_id
          |                       ORDER BY adc_d2, index_id) AS rnk
          |  FROM scored)
-         |SELECT query_id, index_id FROM rked WHERE rnk <= $PQ_K""".stripMargin
+         |SELECT query_id, index_id, CAST(rnk AS BIGINT) AS rnk
+         |FROM rked WHERE rnk <= $PQ_K""".stripMargin
     }
   }
 
@@ -12357,6 +12360,52 @@ object PipelineQueries {
          |  LEFT JOIN truth t ON t.query_id = p.query_id
          |    AND t.index_id = p.index_id)
          |GROUP BY variant ORDER BY variant""".stripMargin)
+  }
+
+  /** Residual-IVFPQ purge (q311) — the deletion cell the FAISS-default
+    * coding variant was missing: q262 purges a FLAT-code artifact,
+    * but a `by_residual=true` generation carries THREE frozen model
+    * pieces (coarse centroids, residual codebooks, the qerr baseline)
+    * plus per-vector (ccell, residual codes) rows — and a purge must
+    * drop exactly the tombstoned rows while carrying all three
+    * forward untouched: re-fitting the coarse quantizer would
+    * reassign survivors' cells (breaking nprobe pruning), re-fitting
+    * the PQ would move every surviving residual's ADC distance, and
+    * dropping qerr would kill the q292 drift trigger after the first
+    * GDPR compaction. The oracle replays coarse fit → residual PQ fit
+    * on the FULL pre-purge corpus (the frozen-params rule), then
+    * scores pruned probes against only the surviving candidates — so
+    * a hash match proves rows dropped, cells kept, codebooks frozen.
+    */
+  val ivfPqResidualPurge: Q = {
+    val INDEX_MAX = 400L; val Q_MAX = 420L; val NPROBE = 2
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val index = emb.filter(col("vec_id") < INDEX_MAX)
+        val queries = emb.filter(
+          col("vec_id") >= INDEX_MAX && col("vec_id") < Q_MAX)
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-ivfpq-rpurge", d, Seq("embeddings.parquet"))
+        if (PqIndex.resolve(root).isEmpty) {
+          PqIndex.publish(index, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, root,
+            coarseC = KM_C, coarseIters = KM_ITERS, byResidual = true)
+          PqIndex.addTombstones(s,
+            index.filter(col("vec_id") % 10 === 0).select("vec_id"),
+            "vec_id", root)
+          PqIndex.mergeCompact(s, root)
+          PqIndex.vacuumOld(root)
+        }
+        PqIndex.probeTopK(s, queries, "vec_id", "embedding", PQ_K,
+            root, NPROBE)
+          .select(col("query_id"), col("index_id"), col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      s"""SELECT query_id, index_id, rnk FROM (
+         |${ivfpqArmSql(residual = true, INDEX_MAX, Q_MAX, NPROBE,
+             candPred = "ca.vec_id % 10 <> 0")})
+         |ORDER BY query_id, rnk""".stripMargin)
   }
 
   /** Drift-triggered codebook re-train judged end-to-end (q292) —
@@ -13544,6 +13593,7 @@ object PipelineQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q311_residual_purge" -> ivfPqResidualPurge,
     "q310_bpe_purge_stream" -> bpePurgeStream,
     "q309_pq_purge_stream" -> pqPurgeStream,
     "q308_dedup_purge_stream" -> dedupPurgeStream,
