@@ -1,0 +1,330 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted adjacency index — the graph the pipeline keeps NEXT TO
+  * its fact tables (eighth member of the persisted-index family):
+  * who-trades-with-whom / who-interacts-with-whom as a committed
+  * artifact, so neighborhood probes, degree censuses and k-hop
+  * traversals never re-derive the edge set from a corpus-scale join
+  * (at 100 TB the trade graph is a lineitem⋈orders pass — paid once
+  * at publish, then maintained at batch cost). Same lifecycle as the
+  * seven siblings: tagged O(batch) delta folds, tombstone → compact →
+  * vacuum deletes, [[VersionedDirs]]' commit protocol, probes under
+  * the [[ProbeCache]] contract.
+  *
+  * Rows are DIRECTED weighted edges (src, dst, w); an undirected
+  * graph stores both directions (the caller's symmetrization — see
+  * the q312 queries), so every out-neighborhood probe is src-keyed.
+  * Partition layout: hash-bucket dirs on src ([[DedupIndex]]'s
+  * shape), so a probe for a node set prunes to its touched buckets —
+  * and each HOP of a traversal re-prunes to the frontier's buckets.
+  *
+  * Two burdens no sibling shares, both judged (q312–q315):
+  *
+  *   - **weights are SUMS, folds are not idempotent** (the
+  *     [[SketchIndex]] hazard in a row-keyed family): base and deltas
+  *     each hold their own batch's (src, dst, w); the served weight
+  *     is the SUM across them, so a redelivered fold double-counts
+  *     and the `_folded.json` tag ledger is load-bearing, not an
+  *     optimization;
+  *   - **deletion is two-sided**: purging node u must drop u's own
+  *     rows (bucket-local — pbucket(u)) AND every edge (v, u) scattered
+  *     across OTHER nodes' buckets. Probe-time masking anti-joins the
+  *     tombstone set against BOTH endpoints; [[mergeCompact]]'s
+  *     physical drop is the full-artifact row filter every sibling
+  *     pays at GDPR cadence. Bucket pruning cannot localize the dst
+  *     side — that asymmetry is the family's distinctive cost and is
+  *     why the tombstone mask (O(deletes) broadcast) serves until
+  *     compaction rather than an eager rewrite.
+  */
+object GraphIndex {
+
+  /** Partition-dir count (layout constant, [[DedupIndex]]'s class). */
+  val NumBuckets = 64
+
+  /** Stable partition bucket of a node id (layout only — never a
+    * semantic key, so the xxhash needs no oracle twin).
+    */
+  def pbucketOf(node: Column): Column =
+    pmod(xxhash64(node), lit(NumBuckets.toLong)).cast("int")
+
+  /** Highest committed version under `root`, if any. */
+  def resolve(root: String): Option[String] = VersionedDirs.resolve(root)
+
+  /** The shared bucketed layout of [[publish]], [[fold]] and
+    * [[mergeCompact]]: one row per (src, dst) with the summed weight,
+    * hash-partitioned on src into [[NumBuckets]] dirs.
+    */
+  private def writeAdj(edges: DataFrame, path: String): Unit =
+    edges
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"))
+      .withColumn("pbucket", pbucketOf(col("src")))
+      .repartition(col("pbucket"))
+      .sortWithinPartitions("src", "dst")
+      .write.partitionBy("pbucket").mode("overwrite").parquet(path)
+
+  private def aggEdges(edges: DataFrame): DataFrame =
+    edges.groupBy("src", "dst").agg(sum("w").as("w"))
+
+  /** Commit `edges` (columns `src`, `dst`, `w` — pre-directed rows;
+    * symmetrize before calling for an undirected graph) as the next
+    * version, one row per (src, dst) with the summed weight.
+    */
+  def publish(edges: DataFrame, root: String): String = synchronized {
+    VersionedDirs.commit(root) { st => writeAdj(aggEdges(edges), st) }
+  }
+
+  // ------------------------------------------------------ delta folds
+
+  private def deltaDir(root: String): java.io.File =
+    new java.io.File(root, "deltas")
+
+  /** The committed delta roots. */
+  def deltas(root: String): Seq[String] =
+    Option(deltaDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getAbsolutePath).sorted.toSeq
+
+  private def foldedOf(genPath: String): Set[String] = {
+    val f = new java.io.File(genPath, "_folded.json")
+    if (!f.isFile) Set.empty
+    else """"([^"]+)"""".r.findAllMatchIn(
+      java.nio.file.Files.readString(f.toPath)).map(_.group(1)).toSet
+  }
+
+  /** True when a fold tagged `tag` has already committed — live in
+    * the delta log, or consumed by a merge (its name in the resolved
+    * generation's `_folded.json`). Edge weights are SUMS, not
+    * min/union — a double fold double-counts — so this closure is
+    * what keeps an at-least-once redelivery correct, exactly the
+    * [[SketchIndex.folded]] burden.
+    */
+  def folded(root: String, tag: String): Boolean = {
+    val live = new java.io.File(
+      new java.io.File(deltaDir(root), s"batch-$tag"), "_SUCCESS").isFile
+    live || resolve(root).exists(p => foldedOf(p)(s"batch-$tag"))
+  }
+
+  /** Fold a batch's edges in at BATCH cost: the delta holds the
+    * batch's OWN (src, dst, w) sums — the committed adjacency is
+    * never read, never rewritten. Probes serve the weight-SUM of
+    * base ∪ live deltas; [[mergeCompact]] folds the log physically.
+    * A redelivered tagged fold is ABSORBED (live dir, or the
+    * generation's `_folded.json` after a merge consumed it) — sums
+    * are not idempotent, so the absorb is correctness, not hygiene.
+    */
+  def fold(spark: SparkSession, batchEdges: DataFrame, root: String,
+           tag: String = java.util.UUID.randomUUID().toString): String =
+    synchronized {
+      val genPath = resolve(root).getOrElse(
+        throw new IllegalStateException(s"no committed index under $root"))
+      val dr = deltaDir(root); dr.mkdirs()
+      val target = new java.io.File(dr, s"batch-$tag")
+      if (new java.io.File(target, "_SUCCESS").isFile)
+        return target.getAbsolutePath
+      if (foldedOf(genPath)(s"batch-$tag")) return genPath
+      graft.sources.Artifacts.notePublish()
+      val staging = new java.io.File(dr,
+        s".staging-${java.util.UUID.randomUUID()}")
+      writeAdj(aggEdges(batchEdges), staging.getAbsolutePath)
+      require(staging.renameTo(target), s"delta fold rename failed into $dr")
+      target.getAbsolutePath
+    }
+
+  // ------------------------------------------------------ deletes
+
+  /** Record node `ids` as purged: every edge INCIDENT to them (either
+    * endpoint) vanishes from probes immediately via the two-sided
+    * anti-join mask, and physically at the next [[mergeCompact]].
+    * O(deletes) — no index rewrite.
+    */
+  def addTombstones(spark: SparkSession, ids: DataFrame, idCol: String,
+                    root: String): String = synchronized {
+    Tombstones.add(spark, ids, idCol, root)
+  }
+
+  /** The committed purged-node set, if any. */
+  def tombstones(spark: SparkSession, root: String): Option[DataFrame] =
+    Tombstones.get(spark, root)
+
+  /** Drop every generation but the newest committed one. */
+  def vacuumOld(root: String): Unit = synchronized {
+    VersionedDirs.retainLatestGenerations(root, keep = 1)
+  }
+
+  /** Mask `edges` against the tombstoned node set on BOTH endpoints —
+    * the family's two-sided deletion semantics (class doc).
+    */
+  private def maskBoth(edges: DataFrame, ts: Option[DataFrame]): DataFrame =
+    ts.fold(edges) { t =>
+      val tids = t.select(col("index_id"))
+      edges
+        .join(tids.withColumnRenamed("index_id", "src"), Seq("src"),
+          "left_anti")
+        .join(tids.withColumnRenamed("index_id", "dst"), Seq("dst"),
+          "left_anti")
+    }
+
+  /** Fold every committed delta and pending purge into the next
+    * generation: weight-sum of base ∪ live deltas, minus every row
+    * incident to a tombstoned node (both endpoints — the dst half is
+    * the scattered one bucket pruning cannot localize; this rewrite
+    * is where it is paid, at GDPR cadence). Consumed delta names are
+    * recorded CUMULATIVELY in `_folded.json` ([[SimIndex]]'s rule:
+    * fold tags are caller-supplied batch identities, a
+    * checkpoint-lagged redelivery can arrive any number of merges
+    * later, and a re-commit would double-count). Clears the log and
+    * resets tombstones.
+    */
+  def mergeCompact(spark: SparkSession, root: String): String =
+    synchronized {
+      val deltaSnap = deltas(root)
+      val basePath = resolve(root).getOrElse(
+        throw new IllegalStateException(s"no committed index under $root"))
+      val folded0 = foldedOf(basePath)
+      val liveDeltas = deltaSnap
+        .filterNot(p => folded0(new java.io.File(p).getName))
+      val all = (basePath +: liveDeltas)
+        .map(p => spark.read.parquet(p)
+          .select(col("src"), col("dst"), col("w")))
+        .reduce(_.unionByName(_))
+      val merged = aggEdges(maskBoth(all, tombstones(spark, root)))
+      val foldedNames =
+        (folded0 ++ liveDeltas.map(new java.io.File(_).getName)).toSeq.sorted
+      val path = VersionedDirs.commit(root) { st =>
+        writeAdj(merged, st)
+        // record the fold BEFORE deleting the dirs — the durable
+        // commit record a redelivered tagged fold checks via
+        // [[folded]] (sums are not idempotent: without it a replay
+        // after this merge would double-count its edges)
+        java.nio.file.Files.writeString(
+          new java.io.File(st, "_folded.json").toPath,
+          foldedNames.map(n => s""""$n"""").mkString("[", ",", "]"))
+        ()
+      }
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      (liveDeltas ++
+        deltaSnap.filter(p => folded0(new java.io.File(p).getName)))
+        .foreach(p => rm(new java.io.File(p)))
+      Option(deltaDir(root).listFiles()).getOrElse(Array.empty)
+        .filter(VersionedDirs.stagingOrphan).foreach(rm)
+      Tombstones.reset(spark, root)
+      path
+    }
+
+  // ------------------------------------------------------ probes
+
+  /** Out-neighborhoods of `nodes` (column `node`; extra columns pass
+    * through): (…, node, nbr, w) — the weight-sum over base ∪ live
+    * deltas, edges incident to a tombstoned node masked (both
+    * endpoints). Reads ONLY the src-bucket dirs the node set touches
+    * (≤ [[NumBuckets]] ints collected — a constant, never
+    * data-sized). Nodes with no surviving out-edges emit no row.
+    */
+  def neighbors(spark: SparkSession, nodes: DataFrame,
+                root: String): DataFrame =
+    neighborsCore(spark, nodes, root, materialize = true)
+
+  /** The LAZY plan behind [[neighbors]] — exposed for plan audits
+    * (pruning specs assert the static PartitionFilters here).
+    */
+  private[graft] def neighborsPlan(spark: SparkSession, nodes: DataFrame,
+                                   root: String): DataFrame =
+    neighborsCore(spark, nodes, root, materialize = false)
+
+  private def neighborsCore(spark: SparkSession, nodes: DataFrame,
+                            root: String, materialize: Boolean): DataFrame = {
+    // read-order discipline (SimIndex.probeTopK): tombstones, then the
+    // delta listing, then resolve; the folded-sidecar filter drops
+    // exactly the dirs a racing merge already folded (double-reading a
+    // live delta would double-COUNT — the filter is load-bearing)
+    val ts = tombstones(spark, root)
+    val deltaSnap0 = deltas(root)
+    val idxPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val foldedNames = foldedOf(idxPath)
+    val deltaSnap = deltaSnap0
+      .filterNot(p => foldedNames(new java.io.File(p).getName))
+    val ns0 = nodes.withColumn("pbucket", pbucketOf(col("node")))
+    val ns = if (materialize) ns0.persist() else ns0
+    val touched = ns.select("pbucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val adj0 = (idxPath +: deltaSnap)
+      .map(p => spark.read.parquet(p)
+        .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*))
+        .select(col("pbucket"), col("src"), col("dst"), col("w")))
+      .reduce(_.unionByName(_))
+    val live = maskBoth(adj0, ts)
+    // base-only, purge-free reads skip the sum aggregate — the
+    // committed adjacency is already one row per (src, dst)
+    val adj =
+      if (deltaSnap.isEmpty && ts.isEmpty) live
+      else live.groupBy("pbucket", "src", "dst").agg(sum("w").as("w"))
+    val result = ns
+      .join(adj, ns("pbucket") === adj("pbucket") &&
+        ns("node") === adj("src"))
+      .drop("pbucket").drop("src")
+      .withColumnRenamed("dst", "nbr")
+    // node-set × degree bounded (never artifact-sized) — materialize
+    // before releasing the node-side cache; see [[ProbeCache]]
+    if (materialize) try ProbeCache.materialize(result) finally ns.unpersist()
+    else result
+  }
+
+  /** Degree census of `nodes` (column `node`): (node, out_deg,
+    * w_total) over the served state — 0s for nodes with no surviving
+    * out-edges (the novelty signal a connectivity gate wants: a
+    * never-seen or fully-purged node reports 0, it does not vanish).
+    */
+  def degrees(spark: SparkSession, nodes: DataFrame,
+              root: String): DataFrame = {
+    val ns = nodes.select(col("node").cast("long")).distinct().persist()
+    // neighbors() already materialized its result, so this aggregate
+    // never re-derives the node side
+    val nb = neighbors(spark, ns, root)
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"), sum("w").as("wt"))
+    val result = ns.join(nb, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("deg"), lit(0L)).as("out_deg"),
+        coalesce(col("wt"), lit(0L)).as("w_total"))
+    try ProbeCache.materialize(result) finally { ns.unpersist(); () }
+  }
+
+  /** k-hop traversal from `roots` (column `node`): (root, node, dist)
+    * with dist = BFS distance ≤ k (roots at 0). Each hop is ONE
+    * bucket-pruned [[neighbors]] probe of the current frontier — the
+    * artifact is read k times over frontier-touched buckets only,
+    * never whole — and each frontier is materialized (lineage-severed)
+    * so round r+1's plan never re-derives rounds 1..r (the
+    * [[PageRank]] iterative-join discipline).
+    */
+  def khop(spark: SparkSession, roots: DataFrame, k: Int,
+           root: String): DataFrame = {
+    var acc = ProbeCache.materialize(
+      roots.select(col("node").cast("long").as("root"))
+        .distinct()
+        .select(col("root"), col("root").as("node"), lit(0L).as("dist")))
+    var frontier = acc
+    for (i <- 1 to k) {
+      if (!frontier.isEmpty) {
+        val nb = neighbors(spark,
+          frontier.select(col("root"), col("node")), root)
+        val next = ProbeCache.materialize(
+          nb.select(col("root"), col("nbr").as("node")).distinct()
+            .join(acc.select("root", "node"), Seq("root", "node"),
+              "left_anti")
+            .select(col("root"), col("node"), lit(i.toLong).as("dist")))
+        acc = ProbeCache.materialize(acc.unionByName(next))
+        frontier = next
+      }
+    }
+    acc
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** The operational face of the persisted-index fleet: ONE call that
   * inventories every family root's committed state — the report a
   * compliance officer (or an on-call engineer) asks for before and
-  * after a [[PurgeCascade]] run. All seven families share the same
+  * after a [[PurgeCascade]] run. All eight families share the same
   * on-disk conventions ([[VersionedDirs]] versioned generations,
   * `deltas/batch-*` append logs, `_folded.json`/`_purged.json`
   * ledgers, [[Tombstones]] logs), so the inspection is one generic

@@ -100,6 +100,18 @@ object PurgeCascade {
     (s, _) => FirstSeenIndex.mergeCompact(s, root, reassignSrc),
     () => FirstSeenIndex.vacuumOld(root))
 
+  /** A persisted adjacency index ([[GraphIndex]]) — the eighth
+    * family: the tombstoned ids are NODES, and compaction drops every
+    * edge INCIDENT to them (both endpoints — the dst half lives
+    * scattered across other nodes' buckets, the family's two-sided
+    * deletion burden). `idCol` names the deletion frame's id column.
+    */
+  def graph(root: String, idCol: String = "node"): Target = Target(
+    "graph", root,
+    (s, ids) => GraphIndex.addTombstones(s, ids, idCol, root),
+    (s, _) => GraphIndex.mergeCompact(s, root),
+    () => GraphIndex.vacuumOld(root))
+
   /** A persisted tokenizer ([[BpeIndex]]) — the sixth family, whose
     * deletion surface is WORDS, not doc ids: the cascade derives
     * [[uniqueVocabulary]] (tokens existing ONLY in the deleted docs —

@@ -7,7 +7,7 @@ import graft.{Q, Tables}
 import graft.functions.{Hashing, IntMath, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
 import graft.plans.CharEnergy
-import graft.operators.{Bpe, BpeIndex, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, FirstSeenIndex, HeavyHitters, LexIndex, MixManifest, Packing, PqIndex, SimIndex, Similarity, SketchIndex, VectorQuantizer, VersionedDirs}
+import graft.operators.{Bpe, BpeIndex, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, FirstSeenIndex, GraphIndex, HeavyHitters, LexIndex, MixManifest, Packing, PqIndex, SimIndex, Similarity, SketchIndex, VectorQuantizer, VersionedDirs}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
   * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
@@ -13592,7 +13592,262 @@ object PipelineQueries {
          |ORDER BY stage""".stripMargin)
   }
 
+  // -------------------------------------------------- graph index (q312+)
+
+  /** Supplier node ids share the customer namespace at this offset
+    * (the q70 convention).
+    */
+  private val GOFF = 10000000L
+
+  /** The trade graph's directed-symmetric weighted edges under an
+    * order predicate: one (cust, supp) edge per distinct trading
+    * pair, weight = the number of distinct orders linking them, both
+    * directions. Order-keyed predicates make batches DISJOINT order
+    * sets, so per-edge weights add across base ∪ deltas — the sum
+    * semantics [[GraphIndex]] serves.
+    */
+  private def tradeEdges(s: SparkSession, d: String,
+                         pred: Column): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val ew = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(pred)
+      .select(col("o_custkey").cast("long").as("u"),
+        (col("l_suppkey") + GOFF).cast("long").as("v"),
+        col("o_orderkey").as("ok"))
+      .distinct()
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    ew.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(
+        ew.select(col("v").as("src"), col("u").as("dst"), col("w")))
+  }
+
+  /** The oracle twin of [[tradeEdges]]: CTEs `e0$sfx`/`ew$sfx`/
+    * `adj$sfx` for one edge world under `pred` (suffixed so one query
+    * can carry several worlds).
+    */
+  private def tradeAdjSql(pred: String, sfx: String = ""): String =
+    s"""e0$sfx AS (SELECT DISTINCT o.o_custkey::BIGINT AS u,
+       |         (l.l_suppkey + $GOFF)::BIGINT AS v
+       |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |       WHERE $pred),
+       |ew$sfx AS (
+       |  SELECT e.u, e.v, count(*)::BIGINT AS w FROM (
+       |    SELECT DISTINCT o.o_custkey::BIGINT AS u,
+       |      (l.l_suppkey + $GOFF)::BIGINT AS v, o.o_orderkey AS ok
+       |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |    WHERE $pred) e
+       |  GROUP BY e.u, e.v),
+       |adj$sfx AS (SELECT u AS src, v AS dst, w FROM ew$sfx
+       |        UNION ALL SELECT v, u, w FROM ew$sfx)""".stripMargin
+
+  private val G_BASE = "o_orderkey % 10 < 6"
+  private val G_B0 = "o_orderkey % 10 IN (6, 7)"
+  private val G_B1 = "o_orderkey % 10 >= 8"
+
+  /** The mixed probe node set the graph queries share: a customer
+    * slice plus a supplier slice (so probes traverse both endpoint
+    * kinds of the symmetric adjacency).
+    */
+  private def gProbeNodes(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").filter(col("c_custkey") % 19 === 0)
+      .select(col("c_custkey").cast("long").as("node"))
+      .unionByName(t(s, d, "supplier").filter(col("s_suppkey") % 11 === 0)
+        .select((col("s_suppkey") + GOFF).cast("long").as("node")))
+
+  private val gProbeNodesSql: String =
+    s"""pn AS (SELECT c_custkey::BIGINT AS node FROM customer
+       |       WHERE c_custkey % 19 = 0
+       |       UNION ALL
+       |       SELECT (s_suppkey + $GOFF)::BIGINT FROM supplier
+       |       WHERE s_suppkey % 11 = 0)""".stripMargin
+
+  /** Persisted adjacency index served end-to-end (q312) — the eighth
+    * family's publish → fold → probe chain: the trade graph commits
+    * once ([[GraphIndex.publish]] — at 100 TB the lineitem⋈orders
+    * edge derivation is paid HERE, not per query), a later order
+    * batch folds in at batch cost as a tagged delta, and the
+    * neighbors probe serves the weight-SUM of base ∪ delta over the
+    * probe set's touched src-buckets only. Weights are sums, so the
+    * delta fold is NOT idempotent — the family's [[SketchIndex]]
+    * burden in a row-keyed layout — and the oracle's flat edge
+    * recount over the combined order range would catch a double fold
+    * as a doubled weight.
+    */
+  val graphIndexServe: Q = Q(
+    (s, d) => {
+      val root = graft.sources.Artifacts.versionedRoot(
+        "graft-graph-idx", d, Seq("lineitem.parquet", "orders.parquet"))
+      if (GraphIndex.resolve(root).isEmpty)
+        GraphIndex.publish(tradeEdges(s, d, expr(G_BASE)), root)
+      if (!GraphIndex.folded(root, "b0"))
+        GraphIndex.fold(s, tradeEdges(s, d, expr(G_B0)), root, tag = "b0")
+      // the redelivery, deliberately UNguarded so it replays on every
+      // run: absorbed by the live delta dir (or _folded.json after a
+      // merge) — a re-commit would double every b0 weight
+      GraphIndex.fold(s, tradeEdges(s, d, expr(G_B0)), root, tag = "b0")
+      GraphIndex.neighbors(s, gProbeNodes(s, d), root)
+        .select("node", "nbr", "w").orderBy("node", "nbr")
+    },
+    s"""WITH ${tradeAdjSql("o.o_orderkey % 10 < 8")},
+       |$gProbeNodesSql
+       |SELECT p.node, a.dst AS nbr, a.w
+       |FROM pn p JOIN adj a ON a.src = p.node
+       |ORDER BY node, nbr""".stripMargin)
+
+  /** k-hop traversal through the committed adjacency (q313): BFS
+    * distance ≤ 2 from a root slice of customers, each hop ONE
+    * bucket-pruned probe of the frontier (the artifact is never read
+    * whole — hop 1 touches the roots' buckets, hop 2 the frontier's).
+    * The oracle unrolls two explicit hop joins and takes the min
+    * distance per (root, node) — first-discovery level ≡ min-dist,
+    * the BFS invariant the iterative probe must preserve.
+    */
+  val graphKhop: Q = {
+    val K = 2
+    Q(
+      (s, d) => {
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-graph-khop", d, Seq("lineitem.parquet", "orders.parquet"))
+        if (GraphIndex.resolve(root).isEmpty)
+          GraphIndex.publish(tradeEdges(s, d, expr(G_BASE)), root)
+        if (!GraphIndex.folded(root, "b0"))
+          GraphIndex.fold(s, tradeEdges(s, d, expr(G_B0)), root, tag = "b0")
+        val roots = t(s, d, "customer")
+          .filter(col("c_custkey") % 101 === 3)
+          .select(col("c_custkey").cast("long").as("node"))
+        GraphIndex.khop(s, roots, K, root)
+          .orderBy("root", "dist", "node")
+      },
+      s"""WITH ${tradeAdjSql("o.o_orderkey % 10 < 8")},
+         |roots AS (SELECT c_custkey::BIGINT AS root FROM customer
+         |          WHERE c_custkey % 101 = 3),
+         |h1 AS (SELECT DISTINCT r.root, a.dst AS node
+         |       FROM roots r JOIN adj a ON a.src = r.root),
+         |h2 AS (SELECT DISTINCT h.root, a.dst AS node
+         |       FROM h1 h JOIN adj a ON a.src = h.node),
+         |cand AS (
+         |  SELECT root, root AS node, 0 AS dist FROM roots
+         |  UNION ALL SELECT root, node, 1 FROM h1
+         |  UNION ALL SELECT root, node, 2 FROM h2)
+         |SELECT root, node, min(dist)::BIGINT AS dist
+         |FROM cand GROUP BY root, node
+         |ORDER BY root, dist, node""".stripMargin)
+  }
+
+  /** Two-sided graph deletion judged end-to-end (q314): a GDPR
+    * "delete these users" lands on the adjacency through the
+    * [[graft.operators.PurgeCascade.graph]] arm — tombstone →
+    * mergeCompact (which must drop the purged customers' OWN rows
+    * AND every (supplier → purged customer) row scattered across
+    * other src-buckets, the side bucket pruning cannot localize) —
+    * then the folded b0 delta REDELIVERS (absorbed via
+    * `_folded.json`; a re-commit would both double-count surviving
+    * weights and resurrect the purged users' edges). The probe set
+    * mixes purged customers (must emit NOTHING), surviving
+    * customers, and suppliers (whose lists must have FORGOTTEN the
+    * purged customers); the oracle replays the survivor world from a
+    * corpus where those users never traded.
+    */
+  val graphPurge: Q = Q(
+    (s, d) => {
+      val root = graft.sources.Artifacts.versionedRoot(
+        "graft-graph-purge", d, Seq("lineitem.parquet", "orders.parquet"))
+      // one cold block (the q290 shape): publish, fold, purge — with
+      // vacuum, so a rerun's resolve() finds the single compacted
+      // generation and skips straight to the probes
+      if (GraphIndex.resolve(root).isEmpty) {
+        GraphIndex.publish(tradeEdges(s, d, expr(G_BASE)), root)
+        GraphIndex.fold(s, tradeEdges(s, d, expr(G_B0)), root, tag = "b0")
+        val del = t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").cast("long").as("node"))
+        graft.operators.PurgeCascade.purge(s, del,
+          Seq(graft.operators.PurgeCascade.graph(root)), vacuum = true)
+      }
+      // the at-least-once redelivery AFTER the purge consumed the
+      // delta — absorbed on every run through _folded.json
+      GraphIndex.fold(s, tradeEdges(s, d, expr(G_B0)), root, tag = "b0")
+      val probe = gProbeNodes(s, d).unionByName(
+        t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").cast("long").as("node")))
+      GraphIndex.neighbors(s, probe, root)
+        .select("node", "nbr", "w").orderBy("node", "nbr")
+    },
+    s"""WITH ${tradeAdjSql("o.o_orderkey % 10 < 8 AND o.o_custkey % 7 <> 0")},
+       |$gProbeNodesSql,
+       |pp AS (SELECT node FROM pn
+       |       UNION ALL
+       |       SELECT c_custkey::BIGINT FROM customer WHERE c_custkey % 7 = 0)
+       |SELECT p.node, a.dst AS nbr, a.w
+       |FROM pp p JOIN adj a ON a.src = p.node
+       |ORDER BY node, nbr""".stripMargin)
+
+  /** Streaming connectivity gate across a PURGE boundary (q315) — the
+    * streaming × delete cell for the graph family, completing the
+    * matrix's eighth row: batch 0's endpoints are degree-censused
+    * against the committed base ([[graft.streaming.GraphStream]] —
+    * census BEFORE fold, so a batch never sees itself), the batch
+    * folds in tagged; a GDPR node purge compacts (consuming b0's
+    * delta); batch 0 REDELIVERS (census absorbed by its committed
+    * dir, fold by `_folded.json` — edge weights are sums, so a
+    * re-commit would double-count AND resurrect the purged users);
+    * batch 1 censuses the survivor world. The family's distinctive
+    * judged signal: a purged customer appearing among batch 1's
+    * endpoints reports degree 0 — identity forgotten, not just rows
+    * hidden — while batch 0's committed census is history the purge
+    * must NOT rewrite.
+    */
+  val graphPurgeStream: Q = Q(
+    (s, d) => {
+      val idxRoot = graft.sources.Artifacts.versionedRoot(
+        "graft-graph-pstream-idx", d,
+        Seq("lineitem.parquet", "orders.parquet"))
+      val outRoot = graft.sources.Artifacts.versionedRoot(
+        "graft-graph-pstream-out", d,
+        Seq("lineitem.parquet", "orders.parquet"))
+      if (GraphIndex.resolve(idxRoot).isEmpty)
+        GraphIndex.publish(tradeEdges(s, d, expr(G_BASE)), idxRoot)
+      val gs = new graft.streaming.GraphStream(s, idxRoot, outRoot)
+      gs.processBatch(tradeEdges(s, d, expr(G_B0)), 0)
+      if (VersionedDirs.versionsOf(idxRoot).size < 2) {
+        GraphIndex.addTombstones(s,
+          t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+            .select(col("c_custkey").cast("long").as("node")),
+          "node", idxRoot)
+        GraphIndex.mergeCompact(s, idxRoot)
+      }
+      // the redelivery AFTER the purge consumed b0's delta: both
+      // halves absorbed, on every run
+      gs.processBatch(tradeEdges(s, d, expr(G_B0)), 0)
+      gs.processBatch(tradeEdges(s, d, expr(G_B1)), 1)
+      gs.results().orderBy("batch_id", "node")
+    },
+    s"""WITH ${tradeAdjSql("o.o_orderkey % 10 < 6", "b")},
+       |${tradeAdjSql(
+           "o.o_orderkey % 10 < 8 AND o.o_custkey % 7 <> 0", "s")},
+       |${tradeAdjSql("o.o_orderkey % 10 IN (6, 7)", "0")},
+       |${tradeAdjSql("o.o_orderkey % 10 >= 8", "1")},
+       |ep0 AS (SELECT DISTINCT src AS node FROM adj0),
+       |ep1 AS (SELECT DISTINCT src AS node FROM adj1),
+       |c0 AS (SELECT p.node, count(a.dst)::BIGINT AS out_deg,
+       |         coalesce(sum(a.w), 0)::BIGINT AS w_total,
+       |         0::BIGINT AS batch_id
+       |       FROM ep0 p LEFT JOIN adjb a ON a.src = p.node
+       |       GROUP BY p.node),
+       |c1 AS (SELECT p.node, count(a.dst)::BIGINT AS out_deg,
+       |         coalesce(sum(a.w), 0)::BIGINT AS w_total,
+       |         1::BIGINT AS batch_id
+       |       FROM ep1 p LEFT JOIN adjs a ON a.src = p.node
+       |       GROUP BY p.node)
+       |SELECT node, out_deg, w_total, batch_id FROM c0
+       |UNION ALL SELECT node, out_deg, w_total, batch_id FROM c1
+       |ORDER BY batch_id, node""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "q315_graph_purge_stream" -> graphPurgeStream,
+    "q314_graph_purge" -> graphPurge,
+    "q313_graph_khop" -> graphKhop,
+    "q312_graph_index" -> graphIndexServe,
     "q311_residual_purge" -> ivfPqResidualPurge,
     "q310_bpe_purge_stream" -> bpePurgeStream,
     "q309_pq_purge_stream" -> pqPurgeStream,

@@ -8,7 +8,7 @@ import org.apache.spark.util.LongAccumulator
 
 import graft.SparkSpec
 
-/** Pins the [[ProbeCache]] contract across all seven index families:
+/** Pins the [[ProbeCache]] contract across all eight index families:
   * a probe's RETURNED frame is materialized (lineage severed) before
   * the probe releases its batch-side cache, so
   *
@@ -182,6 +182,22 @@ class CachePolicySpec extends SparkSpec {
       BpeIndex.censusAndUnseen(spark, batch, "doc_id", "text", root)
     assertSettled(census, acc)
     assertSettled(unseen, acc)
+  }
+
+  test("GraphIndex.neighbors: result settled before the node cache is released") {
+    val root = Files.createTempDirectory("cps-graph").toString
+    GraphIndex.publish(
+      (0 until 40).flatMap(i =>
+        Seq((i.toLong, (i + 1).toLong, 1L), ((i + 1).toLong, i.toLong, 1L)))
+        .toDF("src", "dst", "w"), root)
+    val acc = spark.sparkContext.longAccumulator("batch-evals")
+    val bump = udf((n: Long) => { acc.add(1L); n })
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+      .withColumn("node", bump(col("node")))
+    val r = GraphIndex.neighbors(spark, nodes, root)
+    assertSettled(r, acc)
+    val d = GraphIndex.degrees(spark, nodes, root)
+    assertSettled(d, acc)
   }
 
   test("SketchIndex.estimate: result settled before the query cache is released") {

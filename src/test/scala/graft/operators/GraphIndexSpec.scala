@@ -1,0 +1,142 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted adjacency index: probe parity with a from-scratch
+  * build, bucket pruning, non-idempotent fold absorption, two-sided
+  * node deletion, and the k-hop traversal.
+  */
+class GraphIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a small undirected graph stored as directed rows both ways:
+  // 1—2 (w 3), 1—3 (w 1), 2—3 (w 2), 3—4 (w 5), 5 isolated via 5—6
+  private def sym(e: Seq[(Long, Long, Long)]) =
+    (e ++ e.map { case (u, v, w) => (v, u, w) }).toDF("src", "dst", "w")
+  private lazy val base = sym(Seq(
+    (1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 4L, 5L), (5L, 6L, 1L)))
+  // the delta re-trades 1—2 (w 4 more) and adds 4—5 (w 2)
+  private lazy val delta = sym(Seq((1L, 2L, 4L), (4L, 5L, 2L)))
+
+  private def nbrSet(nodes: Seq[Long], root: String) =
+    GraphIndex.neighbors(spark, nodes.toDF("node"), root)
+      .select($"node", $"nbr", $"w").as[(Long, Long, Long)].collect().toSet
+
+  test("publish + neighbors serves the summed adjacency") {
+    val root = Files.createTempDirectory("gidx").toString
+    GraphIndex.publish(base, root)
+    assert(nbrSet(Seq(1L, 4L), root) == Set(
+      (1L, 2L, 3L), (1L, 3L, 1L), (4L, 3L, 5L)))
+  }
+
+  test("neighbors prunes to touched src-bucket directories") {
+    val root = Files.createTempDirectory("gidx").toString
+    val path = GraphIndex.publish(base, root)
+    val totalDirs = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("pbucket="))
+    assert(totalDirs >= 2, "base too small to demonstrate pruning")
+    val p = GraphIndex.neighborsPlan(spark, Seq(1L).toDF("node"), root)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pbucket".r.findFirstIn(p).isDefined,
+      s"neighbors scan lost its pbucket partition filter:\n${p.take(1500)}")
+  }
+
+  test("fold is O(batch); sums are not idempotent, so a redelivered tag is absorbed") {
+    val root = Files.createTempDirectory("gidx").toString
+    val basePath = GraphIndex.publish(base, root)
+    GraphIndex.fold(spark, delta, root, tag = "day2")
+    assert(VersionedDirs.versionsOf(root).size == 1,
+      "fold rewrote the committed adjacency — the O(index) shape")
+    assert(GraphIndex.resolve(root).contains(basePath))
+    assert(GraphIndex.folded(root, "day2"))
+    // the redelivery: absorbed (a re-commit would double-count 1—2)
+    GraphIndex.fold(spark, delta, root, tag = "day2")
+    assert(GraphIndex.deltas(root).size == 1)
+    // probe ≡ a from-scratch build over base ∪ delta (weights SUM)
+    val fresh = Files.createTempDirectory("gidx").toString
+    GraphIndex.publish(base.unionByName(delta), fresh)
+    assert(nbrSet(Seq(1L, 4L, 5L), root) == nbrSet(Seq(1L, 4L, 5L), fresh))
+    assert(nbrSet(Seq(1L), root) ==
+      Set((1L, 2L, 7L), (1L, 3L, 1L)), "delta weight did not sum")
+    // mergeCompact folds physically: same answers, empty log, and the
+    // consumed tag stays absorbed through _folded.json
+    GraphIndex.mergeCompact(spark, root)
+    assert(GraphIndex.deltas(root).isEmpty)
+    assert(GraphIndex.folded(root, "day2"))
+    GraphIndex.fold(spark, delta, root, tag = "day2")
+    assert(GraphIndex.deltas(root).isEmpty,
+      "post-merge redelivery re-committed — double-count hazard")
+    assert(nbrSet(Seq(1L, 4L, 5L), root) == nbrSet(Seq(1L, 4L, 5L), fresh))
+  }
+
+  test("purging a node masks BOTH endpoints immediately and compacts to the never-ingested world") {
+    val root = Files.createTempDirectory("gidx").toString
+    GraphIndex.publish(base, root)
+    GraphIndex.fold(spark, delta, root, tag = "b0")
+    // purge node 3: its own rows (src=3) AND the scattered (·,3) rows
+    GraphIndex.addTombstones(spark, Seq(3L).toDF("node"), "node", root)
+    val expect = Set((1L, 2L, 7L), (2L, 1L, 7L), (4L, 5L, 2L),
+      (5L, 4L, 2L), (5L, 6L, 1L), (6L, 5L, 1L))
+    assert(nbrSet(1L to 6L, root) == expect,
+      "tombstone mask missed an endpoint side")
+    GraphIndex.mergeCompact(spark, root)
+    // the never-ingested oracle: a fresh build where node 3 never was
+    val fresh = Files.createTempDirectory("gidx").toString
+    GraphIndex.publish(base.unionByName(delta)
+      .filter($"src" =!= 3L && $"dst" =!= 3L), fresh)
+    assert(nbrSet(1L to 6L, root) == nbrSet(1L to 6L, fresh))
+    assert(nbrSet(1L to 6L, root) == expect)
+    // the purged node's edges stay gone through a redelivered fold
+    GraphIndex.fold(spark, delta, root, tag = "b0")
+    assert(nbrSet(1L to 6L, root) == expect,
+      "redelivered fold after the purge resurrected edges")
+  }
+
+  test("degrees reports 0 for absent or fully-purged nodes") {
+    val root = Files.createTempDirectory("gidx").toString
+    GraphIndex.publish(base, root)
+    GraphIndex.addTombstones(spark, Seq(4L).toDF("node"), "node", root)
+    val got = GraphIndex.degrees(spark, Seq(1L, 4L, 99L).toDF("node"), root)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 4L), (4L, 0L, 0L), (99L, 0L, 0L)))
+  }
+
+  test("khop assigns BFS distance through the committed artifact") {
+    val root = Files.createTempDirectory("gidx").toString
+    GraphIndex.publish(base, root)
+    GraphIndex.fold(spark, delta, root, tag = "b0")
+    // from node 1: {1}@0, {2,3}@1, {4}@2, (5 at 3 — beyond k=2)
+    val got = GraphIndex.khop(spark, Seq(1L).toDF("node"), 2, root)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (1L, 4L, 2L)))
+    // a masked node is neither visited nor traversed THROUGH
+    GraphIndex.addTombstones(spark, Seq(3L).toDF("node"), "node", root)
+    val masked = GraphIndex.khop(spark, Seq(1L).toDF("node"), 3, root)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(masked == Set((1L, 1L, 0L), (1L, 2L, 1L)),
+      "khop traversed through a tombstoned node")
+  }
+
+  test("PurgeCascade.graph target runs the tombstone→compact→vacuum chain") {
+    val root = Files.createTempDirectory("gidx").toString
+    GraphIndex.publish(base, root)
+    GraphIndex.fold(spark, delta, root, tag = "b0")
+    val reports = PurgeCascade.purge(spark, Seq(3L).toDF("node"),
+      Seq(PurgeCascade.graph(root)), vacuum = true)
+    assert(reports.map(_.family) == Seq("graph"))
+    assert(GraphIndex.deltas(root).isEmpty)
+    assert(VersionedDirs.versionsOf(root).size == 1, "vacuum kept old gens")
+    assert(!nbrSet(1L to 6L, root).exists(r => r._1 == 3L || r._2 == 3L))
+    // a cascade RE-RUN with the same ids is a no-op filter, and the
+    // same Target value serves both runs (stateless-Target contract)
+    val again = PurgeCascade.purge(spark, Seq(3L).toDF("node"),
+      Seq(PurgeCascade.graph(root)))
+    assert(again.map(_.family) == Seq("graph"))
+    assert(!nbrSet(1L to 6L, root).exists(r => r._1 == 3L || r._2 == 3L))
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** The fleet inventory: one call over a temp-dir fleet of all seven
+/** The fleet inventory: one call over a temp-dir fleet of all eight
   * persisted families, before and after lifecycle transitions — the
   * operational report [[PurgeCascade]] callers read.
   */
@@ -34,9 +34,9 @@ class IndexCatalogSpec extends SparkSpec {
     (0 until 40).map(i => (i.toLong, vec(i.toLong)))
       .toDF("vec_id", "embedding")
 
-  test("report inventories all seven families through a purge cascade") {
-    val roots = Seq.fill(7)(Files.createTempDirectory("catalog").toString)
-    val Seq(dRoot, sRoot, pRoot, fRoot, lRoot, bRoot, cRoot) = roots
+  test("report inventories all eight families through a purge cascade") {
+    val roots = Seq.fill(8)(Files.createTempDirectory("catalog").toString)
+    val Seq(dRoot, sRoot, pRoot, fRoot, lRoot, bRoot, cRoot, gRoot) = roots
     DedupIndex.publish(
       Dedup.minhashSignatures(docs, "doc_id", "text", K),
       "doc_id", BANDS, R, dRoot)
@@ -49,6 +49,13 @@ class IndexCatalogSpec extends SparkSpec {
     SketchIndex.publish(docs.select(
         explode(split($"text", " ")).as("term")),
       "term", 4, 64, cRoot)
+    // the graph family: doc i trades with docs i+1 and i+2 (node ids
+    // share the deletion id space, edges symmetric)
+    GraphIndex.publish(
+      (0 until 40).flatMap { i =>
+        Seq((i.toLong, (i + 1).toLong, 1L), ((i + 1).toLong, i.toLong, 1L),
+          (i.toLong, (i + 2).toLong, 1L), ((i + 2).toLong, i.toLong, 1L))
+      }.toDF("src", "dst", "w"), gRoot)
     val targets = Seq(
       PurgeCascade.dedup(dRoot, "id"),
       PurgeCascade.sim(sRoot, "id"),
@@ -56,11 +63,13 @@ class IndexCatalogSpec extends SparkSpec {
       PurgeCascade.firstSeen(fRoot, "id"),
       PurgeCascade.lex(lRoot, "id"),
       PurgeCascade.bpe(bRoot, docs, "id"),
-      PurgeCascade.sketch(cRoot, docs, "id"))
+      PurgeCascade.sketch(cRoot, docs, "id"),
+      PurgeCascade.graph(gRoot, "id"))
 
     val before = IndexCatalog.reportTargets(spark, targets)
     assert(before.map(_.family) ==
-      Seq("dedup", "sim", "pq", "firstSeen", "lex", "bpe", "sketch"))
+      Seq("dedup", "sim", "pq", "firstSeen", "lex", "bpe", "sketch",
+        "graph"))
     for (e <- before) {
       assert(e.generation.nonEmpty, s"${e.family}: no committed head")
       assert(e.nGenerations == 1)
