@@ -277,6 +277,30 @@ object GraphIndex {
     else result
   }
 
+  /** The full served edge set (src, dst, w): weight-sum of base ∪
+    * live deltas, two-sided tombstone mask — the ANALYTIC-scan
+    * accessor, for whole-graph algorithms (PageRank, components,
+    * triangles) that by nature read every edge. Lazy (no bucket
+    * pruning, no ProbeCache): there is no batch side to cache, and
+    * the caller's algorithm owns the execution discipline.
+    */
+  def edges(spark: SparkSession, root: String): DataFrame = {
+    val ts = tombstones(spark, root)
+    val deltaSnap0 = deltas(root)
+    val idxPath = resolve(root).getOrElse(
+      throw new IllegalStateException(s"no committed index under $root"))
+    val foldedNames = foldedOf(idxPath)
+    val deltaSnap = deltaSnap0
+      .filterNot(p => foldedNames(new java.io.File(p).getName))
+    val all = (idxPath +: deltaSnap)
+      .map(p => spark.read.parquet(p).select(col("src"), col("dst"),
+        col("w")))
+      .reduce(_.unionByName(_))
+    val live = maskBoth(all, ts)
+    if (deltaSnap.isEmpty && ts.isEmpty) live
+    else live.groupBy("src", "dst").agg(sum("w").as("w"))
+  }
+
   /** Degree census of `nodes` (column `node`): (node, out_deg,
     * w_total) over the served state — 0s for nodes with no surviving
     * out-edges (the novelty signal a connectivity gate wants: a
@@ -321,7 +345,10 @@ object GraphIndex {
             .join(acc.select("root", "node"), Seq("root", "node"),
               "left_anti")
             .select(col("root"), col("node"), lit(i.toLong).as("dist")))
-        acc = ProbeCache.materialize(acc.unionByName(next))
+        // plain union: every piece is already lineage-free, so the
+        // accumulator never re-derives a hop — re-materializing it
+        // here would copy all prior levels once per hop (O(k²) bytes)
+        acc = acc.unionByName(next)
         frontier = next
       }
     }

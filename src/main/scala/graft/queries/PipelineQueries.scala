@@ -11654,10 +11654,14 @@ object PipelineQueries {
     * spec-only: ONE deletion set (every 10th indexed id — the id
     * space is shared, vector i embeds document i, so a forget-me
     * request is naturally one frame) fanned through ONE `purge` call
-    * across EIGHT artifacts — all seven persisted index families,
+    * across NINE artifacts — all eight persisted index families,
     * with the dedup family carrying BOTH its modalities (text
     * shingles and q287's media frame fingerprints: a face in a video
-    * is the canonical GDPR case, and it rides the same arm) — then
+    * is the canonical GDPR case, and it rides the same arm) and the
+    * graph family carrying the docs' co-source succession chain
+    * (whose deletion burden is TWO-SIDED: the purged docs' own
+    * adjacency rows AND their appearances in survivors' neighbor
+    * lists, scattered across other src-buckets) — then
     * ONE judged row set proving the purged ids unfindable through
     * every probe path at once. Each family's probe result is reduced to an order-free
     * integer fingerprint (count + sum of [[Hashing.seeded]] over the
@@ -11727,11 +11731,30 @@ object PipelineQueries {
         val root = graft.sources.Artifacts.versionedRoot(
           "graft-purge-cascade", d,
           Seq("documents.parquet", "embeddings.parquet"),
-          logicVersion = 4)
+          logicVersion = 5)
         val dedupRoot = s"$root/dedup"; val simRoot = s"$root/sim"
         val pqRoot = s"$root/pq"; val fsRoot = s"$root/fs"
         val lexRoot = s"$root/lex"; val bpeRoot = s"$root/bpe"
         val cmsRoot = s"$root/cms"; val mediaRoot = s"$root/media"
+        val graphRoot = s"$root/graph"
+        // the graph arm's nodes ARE doc ids: each doc chained to its
+        // source's next doc (frozen-as-ingested edges — the family
+        // stores interactions, a purge removes incident edges, it
+        // never re-derives the chain)
+        def chainEdges = {
+          import org.apache.spark.sql.expressions.Window
+          val ge = t(s, d, "documents")
+            .filter(col("doc_id") < INDEX_MAX)
+            .select(col("doc_id"), col("source"))
+            .withColumn("nxt", lead("doc_id", 1)
+              .over(Window.partitionBy("source").orderBy("doc_id")))
+            .filter(col("nxt").isNotNull)
+            .select(col("doc_id").as("u"), col("nxt").as("v"))
+          ge.select(col("u").as("src"), col("v").as("dst"),
+              lit(1L).as("w"))
+            .unionByName(ge.select(col("v").as("src"), col("u").as("dst"),
+              lit(1L).as("w")))
+        }
         if (DedupIndex.resolve(dedupRoot).isEmpty) {
           DedupIndex.publish(
             Dedup.minhashSignatures(docIndex, "doc_id", "text", MH_K),
@@ -11753,7 +11776,8 @@ object PipelineQueries {
               mediaFrameSets(docIndex, FRAME, STRIDE, MAX_F),
               "doc_id", "s", MH_K),
             "doc_id", MH_BANDS, MH_R, mediaRoot)
-          // ONE deletion set, ONE call, EIGHT artifacts (seven
+          GraphIndex.publish(chainEdges, graphRoot)
+          // ONE deletion set, ONE call, NINE artifacts (eight
           // families; the dedup family carries two modalities)
           val ids = docIndex.filter(col("doc_id") % 10 === 0)
             .select(col("doc_id"), col("doc_id").as("vec_id"))
@@ -11766,7 +11790,8 @@ object PipelineQueries {
             PurgeCascade.lex(lexRoot),
             PurgeCascade.bpe(bpeRoot, bpeCorpus),
             PurgeCascade.sketch(cmsRoot, docIndex),
-            PurgeCascade.dedup(mediaRoot)), vacuum = true)
+            PurgeCascade.dedup(mediaRoot),
+            PurgeCascade.graph(graphRoot, "doc_id")), vacuum = true)
         }
         // dedup probe: redeliveries of docs < RED_MAX — purged docs
         // among them MUST find nothing; survivors find their original
@@ -11786,7 +11811,7 @@ object PipelineQueries {
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
         val Seq(dedupArm, simArm, pqArm, fsArm, lexArm, bpeArm, cmsArm,
-            mediaArm) =
+            mediaArm, graphArm) =
           Await.result(Future.sequence(Seq(
             Future(DedupIndex.probe(s,
               Dedup.minhashSignatures(fresh, "doc_id", "text", MH_K),
@@ -11821,7 +11846,12 @@ object PipelineQueries {
               Dedup.minhashSignaturesOfSets(
                 mediaFrameSets(fresh, FRAME, STRIDE, MAX_F),
                 "doc_id", "s", MH_K),
-              "doc_id", MH_BANDS, MH_R, mediaRoot)))),
+              "doc_id", MH_BANDS, MH_R, mediaRoot)),
+            // the graph arm: purged docs' neighborhoods empty AND
+            // their ids gone from survivors' lists (two-sided mask)
+            Future(GraphIndex.neighbors(s,
+              docs.filter(col("doc_id") < RED_MAX)
+                .select(col("doc_id").as("node")), graphRoot)))),
           Duration.Inf)
         def arm(df: DataFrame, family: String,
                 cols: Seq[String]): DataFrame =
@@ -11843,6 +11873,7 @@ object PipelineQueries {
           .unionByName(arm(cmsArm, "cms",
             Seq("term", "cms_est", "n_total")))
           .unionByName(arm(mediaArm, "media", Seq("new_id", "index_id")))
+          .unionByName(arm(graphArm, "graph", Seq("node", "nbr", "w")))
           .orderBy("family")
       },
       s"""${armSql("dedup", "new_id || ',' || index_id",
@@ -12015,6 +12046,21 @@ object PipelineQueries {
            |    ON a.band = b.band AND a.band_key = b.band_key
            |  WHERE a.is_new = 1 AND b.is_new = 0)
            |SELECT new_id, index_id FROM cand""".stripMargin)}
+         |UNION ALL
+         |${armSql("graph", "node || ',' || nbr || ',' || w",
+        s"""WITH ch AS (
+           |  SELECT doc_id, lead(doc_id) OVER (
+           |    PARTITION BY source ORDER BY doc_id) AS nxt
+           |  FROM documents WHERE doc_id < $INDEX_MAX),
+           |ge0 AS (SELECT doc_id AS u, nxt AS v FROM ch
+           |        WHERE nxt IS NOT NULL),
+           |ga AS (SELECT u AS src, v AS dst FROM ge0
+           |       UNION ALL SELECT v, u FROM ge0),
+           |gl AS (SELECT src, dst FROM ga
+           |       WHERE src % 10 <> 0 AND dst % 10 <> 0)
+           |SELECT p.doc_id AS node, gl.dst AS nbr, 1::BIGINT AS w
+           |FROM (SELECT doc_id FROM documents WHERE doc_id < $RED_MAX) p
+           |JOIN gl ON gl.src = p.doc_id""".stripMargin)}
          |ORDER BY family""".stripMargin)
   }
 
@@ -13843,7 +13889,75 @@ object PipelineQueries {
        |UNION ALL SELECT node, out_deg, w_total, batch_id FROM c1
        |ORDER BY batch_id, node""".stripMargin)
 
+  /** Centrality OVER the committed artifact (q316) — the
+    * artifact → analytics composition: [[graft.operators.PageRank]]
+    * (q70's exact-integer recurrence) runs on
+    * [[GraphIndex.edges]] — the full served edge set of base ∪ a
+    * live delta under an UNCOMPACTED two-sided tombstone mask, the
+    * strongest state the accessor can serve (sum + mask both
+    * applied lazily in one plan). A GDPR-purged user must not just
+    * vanish from rank rows — their ABSENCE reshapes every survivor's
+    * centrality (outdegree drops, mass re-routes), which is why the
+    * oracle replays the full damped recurrence over the survivor
+    * world rather than filtering the pre-purge ranking. At 100 TB
+    * the edge derivation is the artifact's publish cost; the
+    * analytics pay one artifact scan + the node-keyed iteration
+    * shuffles.
+    */
+  val graphPagerank: Q = {
+    val ITERS = 3; val K = 20
+    def iterCte(i: Int): String =
+      s"""s$i AS (
+         |  SELECT r${i - 1}.node AS src, (r // outdeg)::BIGINT AS share
+         |  FROM r${i - 1} JOIN od ON r${i - 1}.node = od.src),
+         |f$i AS (
+         |  SELECT e.dst AS node, sum(share) AS inflow
+         |  FROM e JOIN s$i ON e.src = s$i.src GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.node,
+         |    ((15 * (${graft.operators.PageRank.SCALE} // nn.n_nodes)) // 100
+         |     + (85 * coalesce(f.inflow, 0)) // 100)::BIGINT AS r
+         |  FROM nodes n CROSS JOIN nn
+         |  LEFT JOIN f$i f ON n.node = f.node)"""
+    Q(
+      (s, d) => {
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-graph-pr", d, Seq("lineitem.parquet", "orders.parquet"))
+        if (GraphIndex.resolve(root).isEmpty) {
+          GraphIndex.publish(tradeEdges(s, d, expr(G_BASE)), root)
+          GraphIndex.fold(s, tradeEdges(s, d, expr(G_B0)), root, tag = "b0")
+          // tombstones stay UNcompacted: the analytics read through
+          // the mask, not a rewritten generation
+          GraphIndex.addTombstones(s,
+            t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+              .select(col("c_custkey").cast("long").as("node")),
+            "node", root)
+        }
+        val e = GraphIndex.edges(s, root).select("src", "dst")
+        graft.operators.PageRank.ranks(e, "src", "dst", ITERS)
+          .select(col("node"), col("r").as("rank_units"))
+          .orderBy(desc("rank_units"), asc("node")).limit(K)
+      },
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o.o_custkey::BIGINT AS u,
+         |    (l.l_suppkey + $GOFF)::BIGINT AS v
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE o.o_orderkey % 10 < 8 AND o.o_custkey % 7 <> 0),
+         |e AS (SELECT u AS src, v AS dst FROM e0
+         |      UNION SELECT v, u FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |nn AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes),
+         |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT node,
+         |         (${graft.operators.PageRank.SCALE} // n_nodes)::BIGINT AS r
+         |       FROM nodes, nn),
+         |${(1 to ITERS).map(iterCte).mkString(",\n")}
+         |SELECT node, r AS rank_units FROM r$ITERS
+         |ORDER BY rank_units DESC, node LIMIT $K""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q316_graph_pagerank" -> graphPagerank,
     "q315_graph_purge_stream" -> graphPurgeStream,
     "q314_graph_purge" -> graphPurge,
     "q313_graph_khop" -> graphKhop,
