@@ -130,7 +130,10 @@ object GraphIndex {
       graft.sources.Artifacts.notePublish()
       val staging = new java.io.File(dr,
         s".staging-${java.util.UUID.randomUUID()}")
-      writeAdj(aggEdges(batchEdges), staging.getAbsolutePath)
+      // the ingestion gate of the ban closure: edges re-mentioning a
+      // banned identity never enter the delta (see the bans section)
+      writeAdj(aggEdges(maskBoth(batchEdges, bans(spark, root))),
+        staging.getAbsolutePath)
       require(staging.renameTo(target), s"delta fold rename failed into $dr")
       target.getAbsolutePath
     }
@@ -150,6 +153,40 @@ object GraphIndex {
   /** The committed purged-node set, if any. */
   def tombstones(spark: SparkSession, root: String): Option[DataFrame] =
     Tombstones.get(spark, root)
+
+  // ------------------------------------------------------ bans
+  //
+  // "Forgotten must STAY forgotten": tombstones mask what was already
+  // ingested and RESET at compaction — nothing stops a LATER batch
+  // from re-mentioning a deleted identity (at-least-once upstreams and
+  // backfills do exactly that), and post-compact the re-mention would
+  // serve. The ban list is the durable companion: a committed node
+  // set (union-append like the tombstone log, NEVER reset) that
+  // [[fold]] filters arriving edges against (both endpoints) at
+  // ingestion, probes and [[mergeCompact]] mask as defense in depth.
+  // O(bans) broadcast per fold — GDPR request-sized, never data-sized.
+
+  private def banRoot(root: String): String =
+    new java.io.File(root, "bans").getAbsolutePath
+
+  /** Durably ban node `ids`: never ingested again (fold-side filter),
+    * masked everywhere meanwhile. Unlike tombstones, bans survive
+    * compaction — the re-ingestion closure a GDPR erasure needs.
+    */
+  def addBans(spark: SparkSession, ids: DataFrame, idCol: String,
+              root: String): String = synchronized {
+    val tr = banRoot(root)
+    val cur = ids.select(col(idCol).cast("long").as("index_id")).distinct()
+    val all = VersionedDirs.resolve(tr)
+      .map(p => spark.read.parquet(p).unionByName(cur).distinct())
+      .getOrElse(cur)
+    VersionedDirs.commit(tr) { st => all.write.parquet(st) }
+  }
+
+  /** The committed ban set, if any. */
+  def bans(spark: SparkSession, root: String): Option[DataFrame] =
+    VersionedDirs.resolve(banRoot(root)).map(spark.read.parquet(_))
+      .filter(!_.isEmpty)
 
   /** Drop every generation but the newest committed one. */
   def vacuumOld(root: String): Unit = synchronized {
@@ -192,7 +229,10 @@ object GraphIndex {
         .map(p => spark.read.parquet(p)
           .select(col("src"), col("dst"), col("w")))
         .reduce(_.unionByName(_))
-      val merged = aggEdges(maskBoth(all, tombstones(spark, root)))
+      // tombstones reset below; bans do NOT — and the physical drop
+      // here also scrubs any banned edge that slipped in pre-ban
+      val merged = aggEdges(
+        maskBoth(maskBoth(all, tombstones(spark, root)), bans(spark, root)))
       val foldedNames =
         (folded0 ++ liveDeltas.map(new java.io.File(_).getName)).toSeq.sorted
       val path = VersionedDirs.commit(root) { st =>
@@ -260,7 +300,7 @@ object GraphIndex {
         .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*))
         .select(col("pbucket"), col("src"), col("dst"), col("w")))
       .reduce(_.unionByName(_))
-    val live = maskBoth(adj0, ts)
+    val live = maskBoth(maskBoth(adj0, ts), bans(spark, root))
     // base-only, purge-free reads skip the sum aggregate — the
     // committed adjacency is already one row per (src, dst)
     val adj =
@@ -296,7 +336,9 @@ object GraphIndex {
       .map(p => spark.read.parquet(p).select(col("src"), col("dst"),
         col("w")))
       .reduce(_.unionByName(_))
-    val live = maskBoth(all, ts)
+    val live = maskBoth(maskBoth(all, ts), bans(spark, root))
+    // masks only REMOVE rows — base-only reads stay one row per
+    // (src, dst) and skip the aggregate even under a mask
     if (deltaSnap.isEmpty && ts.isEmpty) live
     else live.groupBy("src", "dst").agg(sum("w").as("w"))
   }

@@ -13956,7 +13956,177 @@ object PipelineQueries {
          |ORDER BY rank_units DESC, node LIMIT $K""".stripMargin)
   }
 
+  /** Variance-balanced subspace allocation for PQ (q317) — the
+    * dimension-PERMUTATION member of the OPQ family (Ge et al.,
+    * "Optimized Product Quantization", CVPR 2013 — their natural
+    * baseline, and the form FAISS's OPQ matrix reduces to when
+    * restricted to a permutation): PQ splits dims into m consecutive
+    * blocks, so when the energy-heavy dims happen to be ADJACENT one
+    * subspace's ks cells drown while the others' are wasted.
+    * Balancing — rank dims by energy, deal them round-robin across
+    * subspaces — costs ZERO extra bytes at serving time (the
+    * permutation is metadata) and strictly lowers total distortion on
+    * anisotropic data. Judged at equal (m, dsub, ks, iters) budget on
+    * a constructed anisotropic world (the q302 doctrine: the first m
+    * dims carry 8× the energy via an INTEGER multiply applied after
+    * micro-scaling, so the oracle replays the whole world float-free):
+    * identity layout crams all m hot dims into subspace 0; balanced
+    * gives each subspace exactly one. Both arms' mean quantization
+    * error ((Σ min-d²) div n over (vec, sub) pairs —
+    * [[PqIndex]]'s publish-baseline formula) is oracle-replayed from
+    * scratch; the strict inequality is spec-pinned like q302's.
+    *
+    * Scale shape: the energy pass is one DIM-row aggregate (the
+    * collect is model-constant-bounded — DIM ≤ 64, the BpeIndex
+    * merge-log adjudication class); fit and distortion are the
+    * standard PQ passes. A deployment would freeze the permutation in
+    * the artifact's params exactly like the codebooks.
+    */
+  val pqDimBalance: Q = {
+    val INDEX_MAX = 300L; val HI = PQ_M; val SCALEF = 8L
+    def armSql(arm: String, ixSel: String): String =
+      s"""SELECT '$arm' AS arm, qerr, n_subs FROM (
+         |WITH e0 AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+         |    round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xs0
+         |  FROM embeddings WHERE vec_id < $INDEX_MAX),
+         |e AS (SELECT vec_id, dim,
+         |        xs0 * (CASE WHEN dim <= $HI THEN $SCALEF ELSE 1 END) AS xs
+         |      FROM e0),
+         |en AS (SELECT dim, sum(xs * xs) AS energy FROM e GROUP BY dim),
+         |rk AS (SELECT dim,
+         |         (row_number() OVER (ORDER BY energy DESC, dim) - 1) AS r
+         |       FROM en),
+         |ix AS ($ixSel),
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+         |        WHERE vec_id < $PQ_KS),
+         |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+         |md AS (
+         |  SELECT vec_id, sub, min(d2) AS d2 FROM (
+         |    SELECT ix.vec_id, c.sub, c.cell,
+         |      sum((ix.xs - c.cs) * (ix.xs - c.cs)) AS d2
+         |    FROM ix JOIN pc$PQ_ITERS c
+         |      ON ix.sub = c.sub AND ix.sdim = c.sdim
+         |    GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2)
+         |SELECT (sum(d2) // count(*))::BIGINT AS qerr,
+         |  count(*)::BIGINT AS n_subs
+         |FROM md)""".stripMargin
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") < INDEX_MAX)
+        val es = VectorQuantizer.scaled(emb, "vec_id", "embedding")
+          .select(col("vec_id"),
+            transform(col("xs"),
+              (x, i) => when(i < HI, x * SCALEF).otherwise(x)).as("xs"))
+          .persist()
+        // per-dim energy → balanced permutation; DIM rows collected —
+        // a model constant (≤64), never data-sized
+        val ranked = es.select(posexplode(col("xs")).as(Seq("pos", "x")))
+          .groupBy("pos").agg(sum(col("x") * col("x")).as("energy"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+          .sortBy { case (p, en) => (-en, p) }.map(_._1)
+        // srcAt(p) = the original dim serving new position p: energy
+        // rank r lands at subspace r % m, slot r div m
+        val srcAt = new Array[Int](ranked.length)
+        for (r <- ranked.indices)
+          srcAt((r % PQ_M) * PQ_DSUB + (r / PQ_M)) = ranked(r)
+        val esP = es.select(col("vec_id"),
+          array(srcAt.toIndexedSeq.map(i =>
+            element_at(col("xs"), i + 1)): _*).as("xs"))
+        def qerrOf(e: DataFrame): DataFrame = {
+          val cent = VectorQuantizer.fitPQ(
+            e, "vec_id", PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS)
+          VectorQuantizer.subVectors(e, "vec_id", PQ_M, PQ_DSUB)
+            .join(broadcast(cent), Seq("sub"))
+            .select(col("vec_id"), col("sub"),
+              VectorQuantizer.l2DistSq(col("xs"), col("cs")).as("d2"))
+            .groupBy("vec_id", "sub").agg(min("d2").as("d2"))
+            .agg(expr("CAST(sum(d2) div count(*) AS BIGINT)").as("qerr"),
+              count(lit(1)).as("n_subs"))
+        }
+        val out = qerrOf(es)
+          .select(lit("1_identity").as("arm"), col("qerr"), col("n_subs"))
+          .unionByName(qerrOf(esP)
+            .select(lit("2_balanced").as("arm"), col("qerr"),
+              col("n_subs")))
+          .orderBy("arm")
+          .localCheckpoint()
+        es.unpersist()
+        out
+      },
+      s"""${armSql("1_identity",
+        s"SELECT vec_id, (dim - 1) // $PQ_DSUB AS sub, " +
+          s"(dim - 1) % $PQ_DSUB + 1 AS sdim, xs FROM e")}
+         |UNION ALL
+         |${armSql("2_balanced",
+        s"SELECT e.vec_id, rk.r % $PQ_M AS sub, " +
+          s"rk.r // $PQ_M + 1 AS sdim, e.xs FROM e JOIN rk USING (dim)")}
+         |ORDER BY arm""".stripMargin)
+  }
+
+  /** The re-ingestion ban gate (q318) — "forgotten must STAY
+    * forgotten", the closure q314/q315 leave open: tombstones mask
+    * what was ALREADY ingested and reset at compaction, so a later
+    * batch re-mentioning a deleted identity (an at-least-once
+    * upstream, a backfill, a fresh trade by a supposedly-erased user)
+    * would serve again. [[GraphIndex.addBans]] commits a DURABLE node
+    * set that [[GraphIndex.fold]] filters arriving edges against
+    * (both endpoints) at the ingestion gate and every read path masks
+    * besides. Judged chain: publish base → stream batch 0 → purge
+    * AND ban the deleted users (tombstone → compact, bans surviving
+    * the compaction that resets tombstones) → redeliver batch 0
+    * (absorbed) → stream batch 1, which CONTAINS the banned users'
+    * later trades — the final neighbors probe must equal a world
+    * where those users' edges from ANY batch never existed. Without
+    * the ban, batch 1's re-mentions would hash-mismatch (tombstones
+    * are gone by then — the oracle would catch exactly the hole this
+    * closes).
+    */
+  val graphBanGate: Q = Q(
+    (s, d) => {
+      val idxRoot = graft.sources.Artifacts.versionedRoot(
+        "graft-graph-ban-idx", d,
+        Seq("lineitem.parquet", "orders.parquet"))
+      val outRoot = graft.sources.Artifacts.versionedRoot(
+        "graft-graph-ban-out", d,
+        Seq("lineitem.parquet", "orders.parquet"))
+      if (GraphIndex.resolve(idxRoot).isEmpty)
+        GraphIndex.publish(tradeEdges(s, d, expr(G_BASE)), idxRoot)
+      val gs = new graft.streaming.GraphStream(s, idxRoot, outRoot)
+      gs.processBatch(tradeEdges(s, d, expr(G_B0)), 0)
+      if (VersionedDirs.versionsOf(idxRoot).size < 2) {
+        val del = t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").cast("long").as("node"))
+        GraphIndex.addTombstones(s, del, "node", idxRoot)
+        // the durable half: survives the compaction below
+        GraphIndex.addBans(s, del, "node", idxRoot)
+        GraphIndex.mergeCompact(s, idxRoot)
+      }
+      gs.processBatch(tradeEdges(s, d, expr(G_B0)), 0) // absorbed
+      // batch 1 RE-MENTIONS banned users (their %10>=8 orders exist);
+      // the fold-side ban filter keeps them out of the delta
+      gs.processBatch(tradeEdges(s, d, expr(G_B1)), 1)
+      val probe = gProbeNodes(s, d).unionByName(
+        t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").cast("long").as("node")))
+      GraphIndex.neighbors(s, probe, idxRoot)
+        .select("node", "nbr", "w").orderBy("node", "nbr")
+    },
+    s"""WITH ${tradeAdjSql("o.o_custkey % 7 <> 0")},
+       |$gProbeNodesSql,
+       |pp AS (SELECT node FROM pn
+       |       UNION ALL
+       |       SELECT c_custkey::BIGINT FROM customer WHERE c_custkey % 7 = 0)
+       |SELECT p.node, a.dst AS nbr, a.w
+       |FROM pp p JOIN adj a ON a.src = p.node
+       |ORDER BY node, nbr""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "q318_graph_ban_gate" -> graphBanGate,
+    "q317_pq_dim_balance" -> pqDimBalance,
     "q316_graph_pagerank" -> graphPagerank,
     "q315_graph_purge_stream" -> graphPurgeStream,
     "q314_graph_purge" -> graphPurge,

@@ -463,6 +463,14 @@ class PipelineInvariantsSpec extends SparkSpec {
       s"no recall gain from by_residual on the clustered world: $rows")
   }
 
+  test("q317: balanced dimension allocation STRICTLY lowers PQ distortion at equal budget") {
+    val rows = PipelineQueries.pqDimBalance.fn(spark, sf0001).collect()
+      .map(r => r.getAs[String]("arm") -> r.getAs[Long]("qerr")).toMap
+    assert(rows.keySet == Set("1_identity", "2_balanced"))
+    assert(rows("2_balanced") < rows("1_identity"),
+      s"no distortion gain from balancing on the anisotropic world: $rows")
+  }
+
   test("q255: every attribution model conserves total purchase cents") {
     val rows = AnalyticsQueries.touchAttribution.fn(spark, sf0001).collect()
     val byModel = rows.groupBy(_.getAs[String]("model"))

@@ -71,8 +71,19 @@ class PlanAuditSpec extends SparkSpec {
       "q309_pq_purge_stream", // AnnStream batches commit + the PQ
                               // purge chain runs at build
                               // (q268 + q276's exclusions composed)
-      "q310_bpe_purge_stream") // BpeStream batches commit + the
+      "q310_bpe_purge_stream", // BpeStream batches commit + the
                                // word purge runs at build
+      "q313_graph_khop", // per-hop materialize + frontier isEmpty
+                         // run at build (q152's exclusion; GraphIndexSpec
+                         // audits pruning + BFS semantics)
+      "q315_graph_purge_stream", // GraphStream batches commit + the
+                                 // node purge runs at build
+      "q316_graph_pagerank", // PageRank rounds checkpoint at build
+                             // (q70's exclusion over the artifact scan)
+      "q317_pq_dim_balance", // fitPQ Lloyd rounds checkpoint at build
+                             // (q247's machinery, twice)
+      "q318_graph_ban_gate") // GraphStream batches commit + the
+                             // purge+ban chain runs at build
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {

@@ -122,6 +122,29 @@ class GraphIndexSpec extends SparkSpec {
       "khop traversed through a tombstoned node")
   }
 
+  test("bans survive compaction and gate re-ingestion at fold") {
+    val root = Files.createTempDirectory("gidx").toString
+    GraphIndex.publish(base, root)
+    // purge AND ban node 3, compact (tombstones reset; bans must not)
+    GraphIndex.addTombstones(spark, Seq(3L).toDF("node"), "node", root)
+    GraphIndex.addBans(spark, Seq(3L).toDF("node"), "node", root)
+    GraphIndex.mergeCompact(spark, root)
+    assert(GraphIndex.tombstones(spark, root).isEmpty, "tombstones kept")
+    assert(GraphIndex.bans(spark, root).nonEmpty, "bans reset by compact")
+    // a LATER batch re-mentions the banned node: filtered at the gate
+    GraphIndex.fold(spark, sym(Seq((3L, 5L, 9L), (1L, 2L, 1L))), root,
+      tag = "later")
+    val got = nbrSet(1L to 6L, root)
+    assert(!got.exists(r => r._1 == 3L || r._2 == 3L),
+      s"banned node re-ingested through a later fold: $got")
+    assert(got.contains((1L, 2L, 4L)), "innocent edge in the batch lost")
+    // and the delta physically lacks the banned rows (gate, not mask)
+    val delta = spark.read.parquet(GraphIndex.deltas(root).head)
+      .select($"src", $"dst").as[(Long, Long)].collect().toSet
+    assert(delta == Set((1L, 2L), (2L, 1L)),
+      s"ban was only masked, not gated at ingestion: $delta")
+  }
+
   test("PurgeCascade.graph target runs the tombstone→compact→vacuum chain") {
     val root = Files.createTempDirectory("gidx").toString
     GraphIndex.publish(base, root)
