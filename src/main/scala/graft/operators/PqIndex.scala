@@ -45,6 +45,32 @@ object PqIndex {
   /** Highest committed index version under `root`, if any. */
   def resolve(root: String): Option[String] = VersionedDirs.resolve(root)
 
+  /** Apply a dimension permutation to a scaled frame:
+    * xs'(p) = xs(perm(p)) — the OPQ-permutation layout (q317: rank
+    * dims by energy, deal round-robin across subspaces so no single
+    * subspace drowns). Zero serving bytes: a projection, not data.
+    */
+  private def applyPerm(e: DataFrame, perm: Option[Seq[Int]]): DataFrame =
+    perm.fold(e)(p => e.withColumn("xs",
+      array(p.map(i => element_at(col("xs"), i + 1)): _*)))
+
+  /** The frozen dimension permutation of one resolved generation, if
+    * it was published with one. Model state exactly like the
+    * codebooks: derived from train, frozen at publish, applied to
+    * every later scaling (probe queries, delta appends, drift
+    * measurements) — a probe that skipped it would ADC-score queries
+    * in a different basis than the codes.
+    */
+  private def permAt(genPath: String): Option[Seq[Int]] =
+    """"perm":\[([0-9, ]*)\]""".r.findFirstMatchIn(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(genPath, "_params.json")))
+      .map(_.group(1).trim).filter(_.nonEmpty)
+      .map(_.split(',').toIndexedSeq.map(_.trim.toInt))
+
+  private def permJson(perm: Option[Seq[Int]]): String =
+    perm.fold("")(p => s""","perm":[${p.mkString(",")}]""")
+
   /** Train per-subspace codebooks on `corpus`, encode it, and commit
     * codebook + code table + frozen params as the next version under
     * `root`. Train cost is the Lloyd rounds (corpus-sized, paid once
@@ -64,7 +90,8 @@ object PqIndex {
   def publish(corpus: DataFrame, id: String, vec: String, m: Int,
               dsub: Int, ks: Int, iters: Int, root: String,
               coarseC: Int = 0, coarseIters: Int = 0,
-              byResidual: Boolean = false): String =
+              byResidual: Boolean = false,
+              dimPerm: Option[Seq[Int]] = None): String =
     synchronized {
       require(!byResidual || coarseC > 0,
         "byResidual needs a coarse quantizer (coarseC > 0)")
@@ -79,7 +106,8 @@ object PqIndex {
       val invalidated = (prev.map(foldedOf).getOrElse(Set.empty) ++
         deltaSnap.map(p => new java.io.File(p).getName)).toSeq.sorted
       val committed = VersionedDirs.commit(root) { staging =>
-        val e = VectorQuantizer.scaled(corpus, id, vec).persist()
+        val e = applyPerm(VectorQuantizer.scaled(corpus, id, vec), dimPerm)
+          .persist()
         val coarse = if (coarseC > 0)
           Some(VectorQuantizer.fitCentroids(e, id, coarseC, coarseIters)
             .select(col("cell"), col("cs")).localCheckpoint())
@@ -99,7 +127,7 @@ object PqIndex {
         val cent = VectorQuantizer.fitPQ(train, id, m, dsub, ks, iters)
           .localCheckpoint()
         val rows = if (byResidual) codeRowsResidual(train, cent, id, m, dsub)
-          else codeRows(corpus, id, vec, cent, m, dsub, coarse)
+          else codeRows(e, id, cent, m, dsub, coarse)
         writeCodes(rows, new java.io.File(staging, "codes").toString)
         cent.write.parquet(new java.io.File(staging, "codebook").toString)
         coarse.foreach(_.write.parquet(
@@ -116,7 +144,8 @@ object PqIndex {
           new java.io.File(staging, "_params.json").toPath,
           s"""{"m":$m,"dsub":$dsub,"ks":$ks,"iters":$iters,""" +
             s""""c":$coarseC,"citers":$coarseIters,""" +
-            s""""resid":${if (byResidual) 1 else 0},"qerr":$qerr}""")
+            s""""resid":${if (byResidual) 1 else 0},"qerr":$qerr""" +
+            s"""${permJson(dimPerm)}}""")
         if (invalidated.nonEmpty)
           java.nio.file.Files.writeString(
             new java.io.File(staging, "_folded.json").toPath,
@@ -226,7 +255,8 @@ object PqIndex {
     val (m, dsub, _, _) = paramsAt(idxPath)
     val cent = spark.read.parquet(
       new java.io.File(idxPath, "codebook").toString)
-    val e = VectorQuantizer.scaled(corpus, id, vec)
+    val e = applyPerm(VectorQuantizer.scaled(corpus, id, vec),
+      permAt(idxPath))
     val frame = if (residAt(idxPath)) {
       val coarse = spark.read.parquet(
         new java.io.File(idxPath, "coarse").toString)
@@ -258,7 +288,8 @@ object PqIndex {
     if (base > 0L && cur * 1000L > factorMilli * base)
       Some(publish(corpus, id, vec, m, dsub, ks, iters, root,
         coarseC = cc, coarseIters = citers,
-        byResidual = residAt(idxPath)))
+        byResidual = residAt(idxPath),
+        dimPerm = permAt(idxPath)))
     else None
   }
 
@@ -272,17 +303,17 @@ object PqIndex {
         .write.partitionBy("ccell").mode("overwrite").parquet(path)
     else rows.write.parquet(path)
 
-  /** Encode `corpus` against an ALREADY-TRAINED array-form codebook
+  /** Encode an already-scaled (and perm-applied) frame `e` against an
+    * ALREADY-TRAINED array-form codebook
     * (sub, cell, cs) — the shared layout of [[publish]] and
     * [[appendDelta]]: subspace split, integer argmin per (vector,
     * subspace), codes folded back to one m-array row per vector.
     * With a `coarse` codebook, each row also gets its nearest coarse
     * cell (`ccell`, int — the partition column of the IVFPQ layout).
     */
-  private def codeRows(corpus: DataFrame, id: String, vec: String,
+  private def codeRows(e: DataFrame, id: String,
                        cent: DataFrame, m: Int, dsub: Int,
                        coarse: Option[DataFrame] = None): DataFrame = {
-    val e = VectorQuantizer.scaled(corpus, id, vec)
     val epq = VectorQuantizer.subVectors(e, id, m, dsub)
     val codes = VectorQuantizer.assignSubCells(epq, cent, id)
       .groupBy(col(id).as("index_id"))
@@ -371,13 +402,15 @@ object PqIndex {
     // a by_residual generation's deltas encode residuals against the
     // SAME frozen coarse centroids + codebooks (pure assign+argmin,
     // never a Lloyd round — the flat path's frozen-codebook rule)
+    // the frozen permutation applies to every later scaling — a delta
+    // encoded in the unpermuted basis would ADC-score garbage
+    val e = applyPerm(VectorQuantizer.scaled(corpus, id, vec),
+      permAt(idxPath))
     val rows =
       if (residAt(idxPath))
-        codeRowsResidual(
-          residualFrame(VectorQuantizer.scaled(corpus, id, vec),
-            coarse.get, id),
+        codeRowsResidual(residualFrame(e, coarse.get, id),
           cent, id, m, dsub)
-      else codeRows(corpus, id, vec, cent, m, dsub, coarse)
+      else codeRows(e, id, cent, m, dsub, coarse)
     writeCodes(rows, staging.getAbsolutePath)
     val target = new java.io.File(dr,
       s"batch-${java.util.UUID.randomUUID()}")
@@ -460,7 +493,8 @@ object PqIndex {
           s"""{"m":$m,"dsub":$dsub,"ks":$ks,"iters":$iters,""" +
             s""""c":$cc,"citers":$citers,""" +
             s""""resid":${if (residAt(basePath)) 1 else 0},""" +
-            s""""qerr":${qerrAt(basePath)}}""")
+            s""""qerr":${qerrAt(basePath)}""" +
+            s"""${permJson(permAt(basePath))}}""")
         java.nio.file.Files.writeString(
           new java.io.File(st, "_folded.json").toPath,
           foldedNames.map(n => s""""$n"""").mkString("[", ",", "]"))
@@ -599,7 +633,8 @@ object PqIndex {
     // the scaled batch feeds BOTH the cell assignment and the ADC
     // distance table — cache it until the result is materialized
     // below (the [[ProbeCache]] contract)
-    val sq0 = VectorQuantizer.scaled(queries, id, vec)
+    val sq0 = applyPerm(VectorQuantizer.scaled(queries, id, vec),
+      permAt(idxPath))
     val sq = if (materialize) sq0.persist() else sq0
     // the IVF half: nprobe coarse cells per query under the FROZEN
     // coarse centroids; the distinct probed-cell set (≤ coarseC ints)

@@ -14124,7 +14124,179 @@ object PipelineQueries {
        |FROM pp p JOIN adj a ON a.src = p.node
        |ORDER BY node, nbr""".stripMargin)
 
+  /** The q317 permutation FROZEN IN THE ARTIFACT and served (q319) —
+    * the lifecycle closure: a permutation derived at query time is a
+    * drift hazard (a probe that skipped or re-derived it would
+    * ADC-score queries in a different basis than the codes), so
+    * [[PqIndex.publish]] now takes `dimPerm`, records it in
+    * `_params.json` beside the codebooks, and EVERY later scaling —
+    * probe queries, delta appends, drift measurements, compaction
+    * carry-forward — applies the committed permutation. Judged as a
+    * recall comparison at equal (m, dsub, ks) budget on the
+    * anisotropic world (the first m dims ×8 — a float power-of-two
+    * multiply, exact on both engines): identity vs balanced artifacts
+    * probed through the SAME [[PqIndex.probeTopK]] call, scored
+    * against the exact integer-L2 truth (which is
+    * permutation-INVARIANT, so one truth serves both arms). The
+    * oracle replays energy → rank → permuted layout → Lloyd → encode
+    * → ADC for both arms from scratch: a hash match proves the
+    * artifact applied its frozen permutation to both sides of the
+    * ADC, bit-exactly.
+    */
+  val pqPermServe: Q = {
+    val INDEX_MAX = 300L; val Q_MAX = 320L; val NQ = Q_MAX - INDEX_MAX
+    val HI = PQ_M; val SCALEF = 8
+    val eCtes =
+      s"""ea0 AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+         |    unnest(embedding)::DOUBLE AS x
+         |  FROM embeddings WHERE vec_id < $Q_MAX),
+         |e AS (
+         |  SELECT vec_id, dim,
+         |    round(x * (CASE WHEN dim <= $HI THEN $SCALEF ELSE 1 END)
+         |          * 1000000)::BIGINT AS xs
+         |  FROM ea0)""".stripMargin
+    def armSql(name: String, layout: String): String = {
+      // layout maps (dim) -> (sub, sdim); applied to index AND queries
+      s"""SELECT '$name' AS variant, query_id, index_id FROM (
+         |WITH $eCtes,
+         |en AS (SELECT dim, sum(xs * xs) AS energy FROM e
+         |       WHERE vec_id < $INDEX_MAX GROUP BY dim),
+         |rk AS (SELECT dim,
+         |         (row_number() OVER (ORDER BY energy DESC, dim) - 1) AS r
+         |       FROM en),
+         |lay AS ($layout),
+         |ix AS (SELECT e.vec_id, l.sub, l.sdim, e.xs
+         |       FROM e JOIN lay l USING (dim) WHERE e.vec_id < $INDEX_MAX),
+         |qp AS (SELECT e.vec_id, l.sub, l.sdim, e.xs
+         |       FROM e JOIN lay l USING (dim)
+         |       WHERE e.vec_id >= $INDEX_MAX),
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+         |        WHERE vec_id < $PQ_KS),
+         |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+         |fd AS (
+         |  SELECT ix.vec_id, c.sub, c.cell,
+         |    sum((ix.xs - c.cs) * (ix.xs - c.cs)) AS d2
+         |  FROM ix JOIN pc$PQ_ITERS c ON ix.sub = c.sub AND ix.sdim = c.sdim
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d2, cell) AS rnk
+         |    FROM fd) WHERE rnk = 1),
+         |dtab AS (
+         |  SELECT q.vec_id AS query_id, c.sub, c.cell,
+         |    sum((q.xs - c.cs) * (q.xs - c.cs)) AS d2
+         |  FROM qp q JOIN pc$PQ_ITERS c ON q.sub = c.sub AND q.sdim = c.sdim
+         |  GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT dt.query_id, cd.vec_id AS index_id,
+         |    sum(dt.d2)::BIGINT AS adc_d2
+         |  FROM codes cd JOIN dtab dt ON cd.sub = dt.sub AND cd.cell = dt.cell
+         |  GROUP BY 1, 2),
+         |rked AS (
+         |  SELECT query_id, index_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adc_d2, index_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, index_id FROM rked WHERE rnk <= $PQ_K)"""
+        .stripMargin
+    }
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") < Q_MAX)
+        val aniso = emb.select(col("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i < HI, x * lit(SCALEF.toFloat)).otherwise(x))
+            .as("embedding"))
+        val index = aniso.filter(col("vec_id") < INDEX_MAX)
+        val queries = aniso.filter(col("vec_id") >= INDEX_MAX)
+        val rootI = graft.sources.Artifacts.versionedRoot(
+          "graft-pq-perm-id", d, Seq("embeddings.parquet"))
+        val rootP = graft.sources.Artifacts.versionedRoot(
+          "graft-pq-perm-bal", d, Seq("embeddings.parquet"))
+        val eI = VectorQuantizer.scaled(index, "vec_id", "embedding")
+        if (PqIndex.resolve(rootP).isEmpty) {
+          // the balanced permutation, derived once at PUBLISH time
+          // from the train slice's energies (DIM-row collect — a
+          // model constant) and frozen into the artifact
+          val ranked = eI.select(posexplode(col("xs")).as(Seq("pos", "x")))
+            .groupBy("pos").agg(sum(col("x") * col("x")).as("energy"))
+            .collect().map(r => (r.getInt(0), r.getLong(1)))
+            .sortBy { case (p, en) => (-en, p) }.map(_._1)
+          val srcAt = new Array[Int](ranked.length)
+          for (r <- ranked.indices)
+            srcAt((r % PQ_M) * PQ_DSUB + (r / PQ_M)) = ranked(r)
+          PqIndex.publish(index, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, rootP,
+            dimPerm = Some(srcAt.toIndexedSeq))
+        }
+        if (PqIndex.resolve(rootI).isEmpty)
+          PqIndex.publish(index, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, rootI)
+        // exact-L2 truth on the anisotropic world — permutation-
+        // INVARIANT, so one truth scores both arms
+        val eQ = VectorQuantizer.scaled(queries, "vec_id", "embedding")
+        val truth = eI.crossJoin(broadcast(eQ.select(
+            col("vec_id").as("query_id"), col("xs").as("qxs"))))
+          .select(col("query_id"), col("vec_id").as("index_id"),
+            VectorQuantizer.l2DistSq(col("qxs"), col("xs")).as("d2"))
+          .withColumn("rnk", row_number().over(Window
+            .partitionBy("query_id").orderBy(asc("d2"), asc("index_id"))))
+          .filter(col("rnk") <= PQ_K)
+          .select(col("query_id"), col("index_id"), lit(1L).as("hit"))
+        def armOf(root: String, name: String) =
+          PqIndex.probeTopK(s, queries, "vec_id", "embedding", PQ_K, root)
+            .select(lit(name).as("variant"), col("query_id"),
+              col("index_id"))
+        armOf(rootI, "1_identity")
+          .unionByName(armOf(rootP, "2_balanced"))
+          .join(truth, Seq("query_id", "index_id"), "left")
+          .groupBy("variant")
+          .agg(count(lit(1)).as("n_pairs"),
+            coalesce(sum("hit"), lit(0L)).as("n_hit"))
+          .withColumn("recall_ppm",
+            expr(s"n_hit * 1000000 div (${NQ * PQ_K})"))
+          .orderBy("variant")
+      },
+      s"""WITH truth AS (
+         |  SELECT query_id, index_id FROM (
+         |    WITH $eCtes,
+         |    td AS (
+         |      SELECT q.vec_id AS query_id, x.vec_id AS index_id,
+         |        sum((q.xs - x.xs) * (q.xs - x.xs)) AS d2
+         |      FROM e q JOIN e x USING (dim)
+         |      WHERE q.vec_id >= $INDEX_MAX AND x.vec_id < $INDEX_MAX
+         |      GROUP BY 1, 2)
+         |    SELECT query_id, index_id FROM (
+         |      SELECT query_id, index_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY d2, index_id) AS rnk
+         |      FROM td) WHERE rnk <= $PQ_K)),
+         |ia AS (${armSql("1_identity",
+        s"SELECT dim, (dim - 1) // $PQ_DSUB AS sub, " +
+          s"(dim - 1) % $PQ_DSUB + 1 AS sdim FROM en")}),
+         |ba AS (${armSql("2_balanced",
+        s"SELECT dim, r % $PQ_M AS sub, r // $PQ_M + 1 AS sdim FROM rk")})
+         |SELECT variant, count(*)::BIGINT AS n_pairs,
+         |  coalesce(sum(hit), 0)::BIGINT AS n_hit,
+         |  (coalesce(sum(hit), 0) * 1000000 // ${NQ * PQ_K})::BIGINT
+         |    AS recall_ppm
+         |FROM (
+         |  SELECT p.variant,
+         |    CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM (SELECT * FROM ia UNION ALL SELECT * FROM ba) p
+         |  LEFT JOIN truth t ON t.query_id = p.query_id
+         |    AND t.index_id = p.index_id)
+         |GROUP BY variant ORDER BY variant""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q319_pq_perm_serve" -> pqPermServe,
     "q318_graph_ban_gate" -> graphBanGate,
     "q317_pq_dim_balance" -> pqDimBalance,
     "q316_graph_pagerank" -> graphPagerank,

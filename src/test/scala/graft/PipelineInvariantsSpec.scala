@@ -471,6 +471,15 @@ class PipelineInvariantsSpec extends SparkSpec {
       s"no distortion gain from balancing on the anisotropic world: $rows")
   }
 
+  test("q319: the frozen-permutation artifact serves STRICTLY higher recall") {
+    val rows = PipelineQueries.pqPermServe.fn(spark, sf0001).collect()
+      .map(r => r.getAs[String]("variant") -> r.getAs[Long]("recall_ppm"))
+      .toMap
+    assert(rows.keySet == Set("1_identity", "2_balanced"))
+    assert(rows("2_balanced") > rows("1_identity"),
+      s"the artifact-served permutation bought no recall: $rows")
+  }
+
   test("q255: every attribution model conserves total purchase cents") {
     val rows = AnalyticsQueries.touchAttribution.fn(spark, sf0001).collect()
     val byModel = rows.groupBy(_.getAs[String]("model"))
