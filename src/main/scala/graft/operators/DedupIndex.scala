@@ -92,6 +92,21 @@ object DedupIndex {
   def tombstones(spark: SparkSession, root: String): Option[DataFrame] =
     Tombstones.get(spark, root)
 
+  /** Durably ban doc `ids` — the re-ingestion closure ([[Bans]]):
+    * tombstones reset at [[compact]], so a backfill re-submitting a
+    * purged doc id would re-enter the index; a ban survives
+    * compaction, the streaming ingest gate filters banned ids out of
+    * arriving batches, and every probe masks them besides.
+    */
+  def addBans(spark: SparkSession, ids: DataFrame, idCol: String,
+              root: String): String = synchronized {
+    Bans.add(spark, ids, idCol, root)
+  }
+
+  /** The committed ban set, if any. */
+  def bans(spark: SparkSession, root: String): Option[DataFrame] =
+    Bans.get(spark, root)
+
   /** Rewrite the committed index WITHOUT the tombstoned rows as the
     * next version (a pure row filter over the existing artifact — no
     * re-shingling, no re-signing; partition layout preserved), then
@@ -107,9 +122,13 @@ object DedupIndex {
     val idxPath = resolve(root).getOrElse(
       throw new IllegalStateException(s"no committed index under $root"))
     val idx = spark.read.parquet(idxPath)
-    val filtered = tombstones(spark, root)
+    val filtered0 = tombstones(spark, root)
       .map(t => idx.join(t, Seq("index_id"), "left_anti"))
       .getOrElse(idx)
+    // banned rows that slipped in pre-ban scrub physically here too
+    val filtered = bans(spark, root)
+      .map(b => filtered0.join(b, Seq("index_id"), "left_anti"))
+      .getOrElse(filtered0)
     val path = VersionedDirs.commit(root) { st =>
       filtered.repartition(col("bucket"))
         .sortWithinPartitions("band", "band_key")
@@ -201,9 +220,14 @@ object DedupIndex {
     // anti-join is O(deletes-since-compaction); no broadcast HINT —
     // a mass purge can be arbitrarily large, so the strategy is left
     // to AQE (broadcast when the runtime size allows)
-    val live = ts
+    val live0 = ts
       .map(t => idx.join(t, Seq("index_id"), "left_anti"))
       .getOrElse(idx)
+    // bans mask like tombstones but never reset (the re-ingestion
+    // closure — see [[addBans]])
+    val live = bans(spark, root)
+      .map(b => live0.join(b, Seq("index_id"), "left_anti"))
+      .getOrElse(live0)
     newBands.join(live, Seq("bucket", "band", "band_key"))
       .select(col("new_id"), col("index_id")).distinct()
   }

@@ -166,27 +166,19 @@ object GraphIndex {
   // ingestion, probes and [[mergeCompact]] mask as defense in depth.
   // O(bans) broadcast per fold — GDPR request-sized, never data-sized.
 
-  private def banRoot(root: String): String =
-    new java.io.File(root, "bans").getAbsolutePath
-
   /** Durably ban node `ids`: never ingested again (fold-side filter),
     * masked everywhere meanwhile. Unlike tombstones, bans survive
-    * compaction — the re-ingestion closure a GDPR erasure needs.
+    * compaction — the re-ingestion closure a GDPR erasure needs
+    * (shared [[Bans]] log, same shape in [[DedupIndex]]).
     */
   def addBans(spark: SparkSession, ids: DataFrame, idCol: String,
               root: String): String = synchronized {
-    val tr = banRoot(root)
-    val cur = ids.select(col(idCol).cast("long").as("index_id")).distinct()
-    val all = VersionedDirs.resolve(tr)
-      .map(p => spark.read.parquet(p).unionByName(cur).distinct())
-      .getOrElse(cur)
-    VersionedDirs.commit(tr) { st => all.write.parquet(st) }
+    Bans.add(spark, ids, idCol, root)
   }
 
   /** The committed ban set, if any. */
   def bans(spark: SparkSession, root: String): Option[DataFrame] =
-    VersionedDirs.resolve(banRoot(root)).map(spark.read.parquet(_))
-      .filter(!_.isEmpty)
+    Bans.get(spark, root)
 
   /** Drop every generation but the newest committed one. */
   def vacuumOld(root: String): Unit = synchronized {

@@ -14295,7 +14295,101 @@ object PipelineQueries {
          |GROUP BY variant ORDER BY variant""".stripMargin)
   }
 
+  /** The dedup family's re-ingestion ban gate (q320) — q318's closure
+    * generalized through the shared [[graft.operators.Bans]] log: a
+    * purged doc id re-submitted by a backfill would re-enter the
+    * index the moment compaction resets the tombstones, and worse —
+    * its signature in the batch TAIL would hand every later
+    * near-dup probe a link back to content the pipeline promised to
+    * forget. [[DedupIndex.addBans]] commits the durable set;
+    * [[graft.streaming.DedupStream]] drops banned ids BEFORE banding
+    * commits anything (their signatures never land in the tail —
+    * gated, not masked), and probes/compactions mask-and-scrub
+    * besides. Judged chain: batch 0 ingests and compacts; the purge
+    * tombstones AND bans every 10th doc; batch 1 re-submits the
+    * banned ids (gated); batch 2 probes near-identical COPIES of the
+    * banned docs under fresh ids — if the gate had leaked, the
+    * copies' identical band keys would pair with batch 1's
+    * resurrected signatures, and the oracle (a world where banned
+    * ids are simply never present on either side) would catch it.
+    */
+  val dedupBanGate: Q = {
+    val NB = 3L
+    val sigCols = (0 until MH_K)
+      .map(i => s"min(${Hashing.seededSql(i, "s")}) AS h$i")
+      .mkString(",\n    ")
+    val bandRowsSql = (0 until MH_BANDS).map { b =>
+      val key = (0 until MH_R).map(r => s"h${b * MH_R + r}")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, b, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        // originals + legit duplicate copies of NON-banned docs (the
+        // +10⁶ shift preserves the %10 residue, so no copy is banned)
+        val corpus = docs.unionByName(
+            docs.filter(col("doc_id") % 10 =!= 0)
+              .select((col("doc_id") + 1000000L).as("doc_id"),
+                col("text")))
+          .withColumn("b", col("doc_id") % NB)
+        def batch(i: Long) =
+          corpus.filter(col("b") === i).select("doc_id", "text")
+        // near-identical copies of the BANNED docs under fresh ids —
+        // the batch-2 probes that would find batch 1's leak
+        val banCopies = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-dedup-ban", d, Seq("documents.parquet"))
+        val compactedRoot = s"$root/compacted"
+        val ds = new graft.streaming.DedupStream(s, root,
+          "doc_id", "text", MH_K, MH_BANDS, MH_R)
+        ds.processBatch(batch(0), 0)
+        ds.compactIndex(); ds.vacuumFolded()
+        if (DedupIndex.bans(s, compactedRoot).isEmpty) {
+          val del = corpus.filter(col("doc_id") % 10 === 0)
+            .select("doc_id")
+          DedupIndex.addTombstones(s, del, "doc_id", compactedRoot)
+          DedupIndex.addBans(s, del, "doc_id", compactedRoot)
+        }
+        // batch 1 RE-SUBMITS the banned ids (b covers every residue);
+        // the ingest gate drops them before their signatures commit
+        ds.processBatch(batch(1), 1)
+        ds.processBatch(batch(1), 1) // at-least-once: absorbed
+        ds.processBatch(batch(2).unionByName(banCopies), 2)
+        ds.compactIndex(); ds.vacuumFolded()
+        ds.matches().orderBy("new_id", "index_id")
+      },
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text, doc_id % $NB AS b FROM docs
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, (doc_id + 1000000) % $NB
+         |  FROM docs WHERE doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text, 2 FROM docs
+         |  WHERE doc_id % 10 = 0),
+         |w AS (SELECT doc_id, b, ${TextFunctions.wordsSql("text")} AS arr
+         |      FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id, b,
+         |         unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
+         |sig AS (
+         |  SELECT doc_id, b,
+         |    $sigCols
+         |  FROM sh GROUP BY doc_id, b),
+         |bands AS (
+         |  $bandRowsSql)
+         |SELECT DISTINCT a.doc_id AS new_id, x.doc_id AS index_id
+         |FROM bands a JOIN bands x
+         |  ON a.band = x.band AND a.band_key = x.band_key
+         |WHERE a.b > x.b
+         |  AND NOT (a.doc_id % 10 = 0 AND a.doc_id < 1000000)
+         |  AND NOT (x.doc_id % 10 = 0 AND x.doc_id < 1000000)
+         |ORDER BY new_id, index_id""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q320_dedup_ban_gate" -> dedupBanGate,
     "q319_pq_perm_serve" -> pqPermServe,
     "q318_graph_ban_gate" -> graphBanGate,
     "q317_pq_dim_balance" -> pqDimBalance,

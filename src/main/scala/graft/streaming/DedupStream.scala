@@ -99,9 +99,18 @@ final class DedupStream(spark: SparkSession, root: String,
     // this call will commit state — mark it for the bench's
     // publish-inclusive-run accounting
     graft.sources.Artifacts.notePublish()
+    // the re-ingestion BAN gate ([[DedupIndex.addBans]]): a banned doc
+    // id arriving in a later batch — a backfill re-submitting a purged
+    // doc — is dropped BEFORE banding commits anything; its signature
+    // never lands in the tail, so nothing downstream can match it
+    val bn = DedupIndex.bans(spark, compactedRoot)
+    val nb0 = bandsOf(batch).withColumnRenamed(id, "new_id")
     // batch-sized and read three times (touched set, probe join, sig
     // write) — cache for the scope of this batch only
-    val nb = bandsOf(batch).withColumnRenamed(id, "new_id").persist()
+    val nb = bn.map(b =>
+        nb0.join(b.select(col("index_id").as("new_id")), Seq("new_id"),
+          "left_anti"))
+      .getOrElse(nb0).persist()
     try {
       // the probe base: the compacted generation (directory-pruned)
       // plus only the batch-dir TAIL above the compaction floor — the
@@ -131,8 +140,12 @@ final class DedupStream(spark: SparkSession, root: String,
             .withColumnRenamed("new_id", "index_id")
             .join(nb, Seq("bucket", "band", "band_key"))
             .select(col("new_id"), col("index_id"))
-          Some(ts.map(t => joined.join(t, Seq("index_id"), "left_anti"))
-            .getOrElse(joined))
+          val masked = ts
+            .map(t => joined.join(t, Seq("index_id"), "left_anti"))
+            .getOrElse(joined)
+          // bans mask the tail too (a pre-ban batch may hold them)
+          Some(bn.map(b => masked.join(b, Seq("index_id"), "left_anti"))
+            .getOrElse(masked))
         }
       val matches = (fromCompacted, fromTail) match {
         case (Some(a), Some(b)) => a.unionByName(b).distinct()
@@ -198,9 +211,13 @@ final class DedupStream(spark: SparkSession, root: String,
       // filter over generation ∪ tail (DedupIndex.compact's rule),
       // then the log resets so probes stop paying the anti-join
       val ts = DedupIndex.tombstones(spark, compactedRoot)
-      val rows = ts
+      val rows1 = ts
         .map(t => rows0.join(t, Seq("index_id"), "left_anti"))
         .getOrElse(rows0)
+      // banned rows that slipped in pre-ban scrub physically here
+      val rows = DedupIndex.bans(spark, compactedRoot)
+        .map(b => rows1.join(b, Seq("index_id"), "left_anti"))
+        .getOrElse(rows1)
       graft.sources.Artifacts.notePublish()
       val path = new java.io.File(compactedRoot,
         s"index.v${sigDirs.map(_._1).max + 1}").getAbsolutePath

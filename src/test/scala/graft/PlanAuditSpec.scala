@@ -82,8 +82,10 @@ class PlanAuditSpec extends SparkSpec {
                              // (q70's exclusion over the artifact scan)
       "q317_pq_dim_balance", // fitPQ Lloyd rounds checkpoint at build
                              // (q247's machinery, twice)
-      "q318_graph_ban_gate") // GraphStream batches commit + the
+      "q318_graph_ban_gate", // GraphStream batches commit + the
                              // purge+ban chain runs at build
+      "q320_dedup_ban_gate") // DedupStream batches + two compactions
+                             // + the purge+ban chain run at build
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
@@ -640,9 +642,12 @@ class PlanAuditSpec extends SparkSpec {
       "q302_residual_recall" -> 1, // same fixed 20-query exact-truth
                                    // arm over the constructed
                                    // clustered world (q291's bound)
-      "q292_drift_retrain" -> 1)  // same fixed 20-query exact-truth
+      "q292_drift_retrain" -> 1,  // same fixed 20-query exact-truth
                                   // arm; both generation probes are
                                   // materialized RDD scans
+      "q319_pq_perm_serve" -> 1)  // same fixed 20-query exact-truth
+                                  // arm (q302's bound); both artifact
+                                  // probes are materialized RDD scans
       // (q274's 11 probe-internal hints also moved inside the
       // materialized probes in r12 — expected 0 in the outer plan)
       // (q202/q230 moved to `iterative` in r9 — their per-round

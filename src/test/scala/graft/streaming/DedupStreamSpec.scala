@@ -179,6 +179,38 @@ class DedupStreamSpec extends SparkSpec {
       "compaction did not reset the tombstone log")
   }
 
+  test("a banned id re-submitted after purge+compact is gated at ingest, not just masked") {
+    val dir = Files.createTempDirectory("dstream").toString
+    val compacted = s"$dir/compacted"
+    val s = streamIn(dir)
+    s.processBatch((0 until 10).map(i => (i.toLong, doc(i)))
+      .toDF("doc_id", "text"), 0)
+    s.compactIndex(); s.vacuumFolded()
+    // purge doc 3 with a BAN; compaction folds the purge and resets
+    // the tombstones — the ban must survive that reset
+    DedupIndex.addTombstones(spark, Seq(3L).toDF("doc_id"), "doc_id",
+      compacted)
+    DedupIndex.addBans(spark, Seq(3L).toDF("doc_id"), "doc_id", compacted)
+    s.processBatch(Seq((100L, doc(50))).toDF("doc_id", "text"), 1)
+    s.compactIndex(); s.vacuumFolded()
+    assert(DedupIndex.tombstones(spark, compacted).isEmpty)
+    assert(DedupIndex.bans(spark, compacted).nonEmpty,
+      "ban did not survive the compaction")
+    // the backfill re-submits doc 3 under its ORIGINAL id — post
+    // tombstone-reset, only the ban stands between it and the index
+    s.processBatch(Seq((3L, doc(3))).toDF("doc_id", "text"), 2)
+    // the gate proof: doc 3's signature never landed in the tail
+    val tail = spark.read.parquet(
+      new java.io.File(dir, "sig.b2").toString)
+    assert(tail.filter($"new_id" === 3L).count() == 0,
+      "banned id's signature entered the batch tail")
+    // a later near-copy finds NOTHING of it
+    s.processBatch(Seq((1003L, doc(3))).toDF("doc_id", "text"), 3)
+    val m = s.matches().as[(Long, Long)].collect().toSet
+    assert(!m.exists(p => p._1 == 3L || p._2 == 3L),
+      s"banned doc resurfaced: $m")
+  }
+
   test("replay of a FOLDED batch is absorbed by the compaction ledger") {
     val dir = Files.createTempDirectory("dstream").toString
     val s = streamIn(dir)
