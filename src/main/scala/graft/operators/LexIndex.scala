@@ -181,6 +181,24 @@ object LexIndex {
   def tombstones(spark: SparkSession, root: String): Option[DataFrame] =
     Tombstones.get(spark, root)
 
+  /** Durably ban doc `ids` — the re-ingestion closure ([[Bans]]):
+    * tombstones reset at [[mergeCompact]], so a backfill re-appending
+    * a purged doc would re-enter the postings AND shift the
+    * collection statistics (N, Σdl, df — the family's distinctive
+    * burden: a leak here doesn't just resurface a doc, it moves every
+    * other doc's score). Banned ids are gated at [[appendDelta]]
+    * (their rows and their stats contributions never commit), masked
+    * at [[bm25TopK]], and scrubbed at [[mergeCompact]].
+    */
+  def addBans(spark: SparkSession, ids: DataFrame, idCol: String,
+              root: String): String = synchronized {
+    Bans.add(spark, ids, idCol, root)
+  }
+
+  /** The committed ban set, if any. */
+  def bans(spark: SparkSession, root: String): Option[DataFrame] =
+    Bans.get(spark, root)
+
   /** Drop every index generation but the newest committed one — the
     * post-grace step of a compliance purge.
     */
@@ -243,7 +261,15 @@ object LexIndex {
     graft.sources.Artifacts.notePublish()
     val staging = new java.io.File(dr,
       s".staging-${java.util.UUID.randomUUID()}")
-    val (rows, dl, tfc) = postingRows(docs, id, text)
+    // the ingestion gate of the ban closure: a banned doc's rows AND
+    // its stats contribution (its dl toward Σdl, its +1 toward N, its
+    // terms toward df) never commit — the sidecar below is computed
+    // from the gated frame
+    val gated = bans(docs.sparkSession, root)
+      .map(b => docs.join(b.select(col("index_id").cast("long").as(id)),
+        Seq(id), "left_anti"))
+      .getOrElse(docs)
+    val (rows, dl, tfc) = postingRows(gated, id, text)
     try {
       rows.repartition(col("pbucket"))
         .sortWithinPartitions("term")
@@ -317,9 +343,14 @@ object LexIndex {
         .filterNot(p => folded0(new java.io.File(p).getName))
       val all0 = live.map(spark.read.parquet(_))
         .foldLeft(spark.read.parquet(basePath))(_.unionByName(_))
-      val all = tombstones(spark, root)
+      val all1 = tombstones(spark, root)
         .map(t => all0.join(t, Seq("index_id"), "left_anti"))
         .getOrElse(all0)
+      // banned rows that slipped in pre-ban scrub physically here —
+      // and the exact stats recompute below then counts survivors only
+      val all = bans(spark, root)
+        .map(b => all1.join(b, Seq("index_id"), "left_anti"))
+        .getOrElse(all1)
       // CUMULATIVE across generations (SimIndex's rule): append tags
       // are caller-supplied, so a redelivery can arrive any number of
       // merges later; BM25 sums df/score (non-idempotent), and while
@@ -430,9 +461,14 @@ object LexIndex {
       .map(p => spark.read.parquet(p)
         .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*)))
       .reduce(_.unionByName(_))
-    val post = ts
+    val post1 = ts
       .map(t => post0.join(t, Seq("index_id"), "left_anti"))
       .getOrElse(post0)
+    // bans mask like tombstones but never reset (the re-ingestion
+    // closure — see [[addBans]])
+    val post = bans(spark, root)
+      .map(b => post1.join(b, Seq("index_id"), "left_anti"))
+      .getOrElse(post1)
     // postings restricted to the query's terms (bucket-pruned scan,
     // then a term equi-join); df derives from exactly these rows —
     // tombstone-masked, so a purged doc stops counting immediately.

@@ -14388,7 +14388,110 @@ object PipelineQueries {
          |ORDER BY new_id, index_id""".stripMargin)
   }
 
+  /** The lexical family's re-ingestion ban gate (q321) — the cell
+    * where a leak is WORST: re-appending a purged doc would not just
+    * resurface it, it would shift the COLLECTION STATISTICS (+1 to N,
+    * its dl to Σdl, its terms' df) and move every OTHER doc's BM25
+    * score — a compliance failure that silently degrades ranking for
+    * everyone. [[LexIndex.addBans]] commits the durable set;
+    * [[graft.streaming.LexStream]] and [[LexIndex.appendDelta]] gate
+    * arriving batches so a banned doc's rows AND its stats
+    * contribution never commit; probes mask and compactions scrub
+    * besides. Judged chain: batch 0 ingests; the purge tombstones +
+    * compacts (stats recomputed from survivors) and BANS the ids;
+    * batch 0 redelivers (absorbed); batch 1 carries the BACKFILL —
+    * the banned ids re-submitted — and is gated to its legit docs;
+    * batch 2 then probes a world whose stats and postings must equal
+    * the never-re-ingested corpus. A leaked ban hash-mismatches
+    * batch 2 twice over: the banned docs rank again, and every
+    * surviving score moves with the shifted stats.
+    */
+  val lexBanGate: Q = {
+    val BASE_MAX = 300L; val B0_MAX = 350L; val B1_MAX = 400L
+    val B2_MAX = 450L; val K = 3
+    def world(i: Int, corpusPred: String, qLo: Long, qHi: Long): String =
+      s"""tf$i AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |         FROM tok WHERE $corpusPred GROUP BY 1, 2),
+         |dl$i AS (SELECT doc_id, count(*)::BIGINT AS dl
+         |         FROM tok WHERE $corpusPred GROUP BY 1),
+         |df$i AS (SELECT term, count(*)::BIGINT AS df FROM tf$i GROUP BY 1),
+         |st$i AS (SELECT count(*)::BIGINT AS n_docs,
+         |           sum(dl)::BIGINT AS sumdl FROM dl$i),
+         |qt$i AS (
+         |  SELECT DISTINCT doc_id AS query_id, term FROM tok
+         |  WHERE doc_id >= $qLo AND doc_id < $qHi),
+         |sc$i AS (
+         |  SELECT q.query_id, f.doc_id AS index_id,
+         |    ${graft.operators.LexIndex.contribSql(
+               "f.tf", "d.df", "l.dl", "n_docs", "sumdl", "//")} AS contrib
+         |  FROM tf$i f JOIN qt$i q USING (term) JOIN df$i d USING (term)
+         |  JOIN dl$i l ON l.doc_id = f.doc_id CROSS JOIN st$i),
+         |ag$i AS (
+         |  SELECT query_id, index_id, count(*)::BIGINT AS n_hit,
+         |    sum(contrib)::BIGINT AS score
+         |  FROM sc$i GROUP BY 1, 2),
+         |rk$i AS (
+         |  SELECT ag$i.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, index_id) AS rnk FROM ag$i)"""
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val idxRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-lex-ban-idx", d, Seq("documents.parquet"))
+        val outRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-lex-ban-out", d, Seq("documents.parquet"))
+        if (LexIndex.resolve(idxRoot).isEmpty)
+          LexIndex.publish(docs.filter(col("doc_id") < BASE_MAX),
+            "doc_id", "text", idxRoot)
+        val ls = new graft.streaming.LexStream(
+          s, idxRoot, outRoot, "doc_id", "text", K)
+        val b0 = docs.filter(
+          col("doc_id") >= BASE_MAX && col("doc_id") < B0_MAX)
+        ls.processBatch(b0, 0)
+        if (LexIndex.bans(s, idxRoot).isEmpty) {
+          val del = docs.filter(col("doc_id") < B0_MAX &&
+            col("doc_id") % 10 === 0).select("doc_id")
+          LexIndex.addTombstones(s, del, "doc_id", idxRoot)
+          LexIndex.mergeCompact(s, idxRoot)
+          // the durable half: survives every later compaction
+          LexIndex.addBans(s, del, "doc_id", idxRoot)
+        }
+        ls.processBatch(b0, 0) // redelivery: absorbed
+        // the BACKFILL: batch 1 re-submits the banned ids alongside
+        // its legit docs — the gate drops them before probe AND append
+        ls.processBatch(
+          docs.filter(col("doc_id") >= B0_MAX && col("doc_id") < B1_MAX)
+            .unionByName(docs.filter(col("doc_id") < B0_MAX &&
+              col("doc_id") % 10 === 0)), 1)
+        // batch 2's scores are the leak detector: stats and postings
+        // must equal the never-re-ingested world
+        ls.processBatch(docs.filter(
+          col("doc_id") >= B1_MAX && col("doc_id") < B2_MAX), 2)
+        ls.results().orderBy("query_id", "rnk")
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM documents WHERE doc_id < $B2_MAX),
+         |tok AS (
+         |  SELECT doc_id, t AS term FROM (
+         |    SELECT doc_id, unnest(arr) AS t FROM w)
+         |  WHERE length(t) > 0),
+         |${world(0, s"doc_id < $BASE_MAX", BASE_MAX, B0_MAX)},
+         |${world(1, s"doc_id < $B0_MAX AND doc_id % 10 <> 0",
+             B0_MAX, B1_MAX)},
+         |${world(2,
+             s"(doc_id < $B0_MAX AND doc_id % 10 <> 0) OR " +
+               s"(doc_id >= $B0_MAX AND doc_id < $B1_MAX)",
+             B1_MAX, B2_MAX)}
+         |SELECT query_id, index_id, n_hit, score, CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT * FROM rk0 WHERE rnk <= $K
+         |      UNION ALL SELECT * FROM rk1 WHERE rnk <= $K
+         |      UNION ALL SELECT * FROM rk2 WHERE rnk <= $K)
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q321_lex_ban_gate" -> lexBanGate,
     "q320_dedup_ban_gate" -> dedupBanGate,
     "q319_pq_perm_serve" -> pqPermServe,
     "q318_graph_ban_gate" -> graphBanGate,

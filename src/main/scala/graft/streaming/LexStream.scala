@@ -64,9 +64,18 @@ final class LexStream(spark: SparkSession, indexRoot: String,
       if (!sink.exists(marker)) sink.touch(marker)
       return false
     }
+    // the re-ingestion BAN gate ([[LexIndex.addBans]]): a banned doc
+    // id arriving in a later batch is dropped up front — neither
+    // served as a query nor appended; appendDelta gates again for
+    // direct callers, so the stats sidecar counts survivors only
+    val gated = LexIndex.bans(spark, indexRoot)
+      .map(b => docs.join(
+        b.select(col("index_id").cast("long").as(id)), Seq(id),
+        "left_anti"))
+      .getOrElse(docs)
     if (!probed) {
       graft.sources.Artifacts.notePublish()
-      LexIndex.bm25TopK(spark, termBags(docs), "query_id", "term",
+      LexIndex.bm25TopK(spark, termBags(gated), "query_id", "term",
           k, indexRoot)
         .write.mode("overwrite").parquet(target.toString)
     }
@@ -77,7 +86,7 @@ final class LexStream(spark: SparkSession, indexRoot: String,
     // replays through the idempotent tagged append (live delta or
     // _folded.json), then writes the marker
     if (!ingested) {
-      LexIndex.appendDelta(docs, id, text, indexRoot, tag = s"b$batchId")
+      LexIndex.appendDelta(gated, id, text, indexRoot, tag = s"b$batchId")
       sink.touch(marker)
     }
     true

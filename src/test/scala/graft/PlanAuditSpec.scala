@@ -84,8 +84,10 @@ class PlanAuditSpec extends SparkSpec {
                              // (q247's machinery, twice)
       "q318_graph_ban_gate", // GraphStream batches commit + the
                              // purge+ban chain runs at build
-      "q320_dedup_ban_gate") // DedupStream batches + two compactions
+      "q320_dedup_ban_gate", // DedupStream batches + two compactions
                              // + the purge+ban chain run at build
+      "q321_lex_ban_gate") // LexStream batches commit + the
+                           // purge+ban chain runs at build
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {

@@ -69,6 +69,32 @@ class LexStreamSpec extends SparkSpec {
     Option(x.listFiles()).foreach(_.foreach(rmAll)); x.delete(); ()
   }
 
+  test("a banned doc re-submitted after purge+compact is gated: no rows, no stats shift") {
+    val idxRoot = Files.createTempDirectory("lexstream").toString
+    val outRoot = Files.createTempDirectory("lexstream").toString
+    LexIndex.publish(docsDF(0 until 10), "doc_id", "text", idxRoot)
+    val s = new LexStream(spark, idxRoot, outRoot, "doc_id", "text", K)
+    // purge + ban doc 3; compaction resets tombstones, ban survives
+    LexIndex.addTombstones(spark, Seq(3L).toDF("doc_id"), "doc_id",
+      idxRoot)
+    LexIndex.mergeCompact(spark, idxRoot)
+    LexIndex.addBans(spark, Seq(3L).toDF("doc_id"), "doc_id", idxRoot)
+    // the backfill re-submits doc 3 beside a legit doc
+    s.processBatch(docsDF(3 to 3).unionByName(docsDF(20 to 20)), 0)
+    // gate proof: the appended delta holds ONLY the legit doc's rows
+    // and stats — a leaked ban would shift N by 2, not 1
+    val delta = spark.read.parquet(LexIndex.deltas(idxRoot).head)
+    assert(delta.filter($"index_id" === 3L).count() == 0,
+      "banned doc's postings entered the delta")
+    val probed = rows(s.results())
+    assert(!probed.exists(_._1 == 3L),
+      "banned doc served as a query through the gate")
+    // and a later probe never sees doc 3 as a hit
+    val later = rows(LexIndex.bm25TopK(spark, bags(21 to 21),
+      "query_id", "term", K, idxRoot))
+    assert(!later.exists(_._2 == 3L), s"banned doc ranked again: $later")
+  }
+
   test("redelivery and a probe-committed/append-lost crash both replay safely") {
     val idxRoot = Files.createTempDirectory("lexstream").toString
     val outRoot = Files.createTempDirectory("lexstream").toString
