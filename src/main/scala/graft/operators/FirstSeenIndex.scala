@@ -120,7 +120,15 @@ object FirstSeenIndex {
       graft.sources.Artifacts.notePublish()
       val staging = new java.io.File(dr,
         s".staging-${java.util.UUID.randomUUID()}")
-      writeMap(batchShingles.groupBy("s").agg(min("doc_id").as("first_doc")),
+      // the ingestion gate of the ban closure: a banned doc's rows
+      // never enter the delta, so it can never re-claim
+      // first-occurrence through the min-union (see [[addBans]])
+      val gated = bans(spark, root)
+        .map(b => batchShingles.join(
+          b.select(col("index_id").as("doc_id")), Seq("doc_id"),
+          "left_anti"))
+        .getOrElse(batchShingles)
+      writeMap(gated.groupBy("s").agg(min("doc_id").as("first_doc")),
         staging.getAbsolutePath)
       require(staging.renameTo(target),
         s"delta fold rename failed into $dr")
@@ -182,6 +190,24 @@ object FirstSeenIndex {
   def tombstones(spark: SparkSession, root: String): Option[DataFrame] =
     Tombstones.get(spark, root)
 
+  /** Durably ban doc `ids` — the re-ingestion closure ([[Bans]]),
+    * and in THIS family the min-semantics make a leak especially
+    * sharp: first occurrence is min(doc_id), and GDPR requests skew
+    * toward EARLY ids — a banned early doc re-folded by a backfill
+    * would steal first-occurrence back from the survivor the purge
+    * reassigned it to, silently flipping ownership (and downstream
+    * novelty verdicts) corpus-wide. Banned ids are gated at [[fold]],
+    * masked at [[probe]], and scrubbed at [[mergeCompact]].
+    */
+  def addBans(spark: SparkSession, ids: DataFrame, idCol: String,
+              root: String): String = synchronized {
+    Bans.add(spark, ids, idCol, root)
+  }
+
+  /** The committed ban set, if any. */
+  def bans(spark: SparkSession, root: String): Option[DataFrame] =
+    Bans.get(spark, root)
+
   /** Drop every index generation but the newest committed one. */
   def vacuumOld(root: String): Unit = synchronized {
     VersionedDirs.retainLatestGenerations(root, keep = 1)
@@ -215,7 +241,15 @@ object FirstSeenIndex {
       val all = (basePath +: liveDeltas)
         .map(p => spark.read.parquet(p).select(col("s"), col("first_doc")))
         .reduce(_.unionByName(_))
-      val merged0 = tombstones(spark, root) match {
+      // banned holders that slipped in pre-ban scrub physically here
+      // (the repair join below then reassigns their shingles exactly
+      // like a tombstone purge would)
+      val bn = bans(spark, root)
+      val merged0 = tombstones(spark, root)
+          .map(_.unionByName(
+            bn.getOrElse(spark.range(0).select(col("id").as("index_id"))))
+            .distinct())
+          .orElse(bn) match {
         case None => all
         case Some(t) =>
           val td = t.select(col("index_id").as("first_doc"))
@@ -323,11 +357,17 @@ object FirstSeenIndex {
         .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*))
         .select(col("pbucket"), col("s"), col("first_doc")))
       .reduce(_.unionByName(_))
-    val live = ts.fold(idx0)(t =>
+    val live0 = ts.fold(idx0)(t =>
       idx0.join(t.select(col("index_id").as("first_doc")),
         Seq("first_doc"), "left_anti"))
+    // bans mask like tombstones but never reset (the re-ingestion
+    // closure — see [[addBans]])
+    val live = bans(spark, root).fold(live0)(b =>
+      live0.join(b.select(col("index_id").as("first_doc")),
+        Seq("first_doc"), "left_anti"))
     // base-only, purge-free reads skip the min-union aggregate — the
-    // committed map is already one row per shingle
+    // committed map is already one row per shingle (masks only
+    // REMOVE rows, so a banned-masked base read stays one-per-key)
     val idx =
       if (deltaSnap.isEmpty && ts.isEmpty)
         live.select(col("pbucket"), col("s"), col("first_doc").as("seen_doc"))

@@ -112,6 +112,22 @@ object SimIndex {
   def tombstones(spark: SparkSession, root: String): Option[DataFrame] =
     Tombstones.get(spark, root)
 
+  /** Durably ban vector `ids` — the re-ingestion closure ([[Bans]]):
+    * tombstones reset at [[mergeCompact]], so a deleted user's
+    * embedding re-uploaded by a backfill would re-enter the LSH
+    * tables; banned ids are gated at [[appendDelta]] (their key rows
+    * never commit), masked at [[probeTopK]], scrubbed at
+    * [[mergeCompact]].
+    */
+  def addBans(spark: SparkSession, ids: DataFrame, idCol: String,
+              root: String): String = synchronized {
+    Bans.add(spark, ids, idCol, root)
+  }
+
+  /** The committed ban set, if any. */
+  def bans(spark: SparkSession, root: String): Option[DataFrame] =
+    Bans.get(spark, root)
+
   /** Drop every index generation but the newest committed one — the
     * post-grace step of a compliance purge.
     */
@@ -212,7 +228,14 @@ object SimIndex {
     graft.sources.Artifacts.notePublish()
     val staging = new java.io.File(dr,
       s".staging-${java.util.UUID.randomUUID()}")
-    keyRows(corpus, id, vec, bits, tables)
+    // the ingestion gate of the ban closure: a banned vector's key
+    // rows never enter the delta (see [[addBans]])
+    val gated = Bans.get(corpus.sparkSession, root)
+      .map(b => corpus.join(
+        b.select(col("index_id").cast("long").as(id)), Seq(id),
+        "left_anti"))
+      .getOrElse(corpus)
+    keyRows(gated, id, vec, bits, tables)
       .repartition(col("pbucket"))
       .sortWithinPartitions("tbl", "bucket")
       .write.partitionBy("pbucket").mode("overwrite")
@@ -242,9 +265,13 @@ object SimIndex {
       .reduce(_.unionByName(_))
     // fold pending deletes into the rewrite (pure row filter, no
     // re-hashing), then reset the log
-    val all = tombstones(spark, root)
+    val all1 = tombstones(spark, root)
       .map(t => all0.join(t, Seq("index_id"), "left_anti"))
       .getOrElse(all0)
+    // banned rows that slipped in pre-ban scrub physically here
+    val all = bans(spark, root)
+      .map(b => all1.join(b, Seq("index_id"), "left_anti"))
+      .getOrElse(all1)
     // cumulative fold record: prior generations' names carry forward
     // so a tag redelivered ANY number of merges later still absorbs
     // (names are ~bytes per batch — the ledger grows with batch
@@ -360,9 +387,14 @@ object SimIndex {
       .reduce(_.unionByName(_))
     // uncompacted deletes are honored at probe time; strategy left to
     // AQE (a mass purge can be arbitrarily large — no broadcast hint)
-    val idx = ts
+    val idx1 = ts
       .map(t => idx0.join(t, Seq("index_id"), "left_anti"))
       .getOrElse(idx0)
+    // bans mask like tombstones but never reset (the re-ingestion
+    // closure — see [[addBans]])
+    val idx = bans(spark, root)
+      .map(b => idx1.join(b, Seq("index_id"), "left_anti"))
+      .getOrElse(idx1)
     val scored = qk.join(idx, Seq("pbucket", "tbl", "bucket"))
       .filter(col("index_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("index_id"))

@@ -14490,7 +14490,203 @@ object PipelineQueries {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** The novelty family's re-ingestion ban gate (q322) — the cell
+    * where MIN-semantics make a leak uniquely sharp: first occurrence
+    * is min(doc_id) and GDPR requests skew toward EARLY ids, so a
+    * banned early doc re-folded by a backfill would steal
+    * first-occurrence back from the survivor the purge REASSIGNED it
+    * to — silently flipping shingle ownership corpus-wide long after
+    * the compliance ticket closed. [[FirstSeenIndex.addBans]] commits
+    * the durable set; [[graft.streaming.NoveltyStream]] and
+    * [[FirstSeenIndex.fold]] gate arriving batches, probes mask,
+    * compaction scrubs. The judged output is deliberately
+    * OWNERSHIP-SENSITIVE: a novelty census (null vs non-null) cannot
+    * see a holder flip, so the audit probes a fresh batch and emits
+    * per-doc (n_sh, n_seen, sum_seen) — the SUM of holder ids is
+    * exactly what a min-steal moves. Oracle: first-occurrence over
+    * the never-re-ingested world (base survivors ∪ both stream
+    * batches, banned ids absent everywhere).
+    */
+  val fsBanGate: Q = {
+    val S2 = 250L; val B0_MAX = 400L; val B1_MAX = 450L; val A_MAX = 500L
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val purged = col("doc_id") < S2 && col("doc_id") % 10 === 0
+        val idxRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-fs-ban-idx", d, Seq("documents.parquet"))
+        val outRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-fs-ban-out", d, Seq("documents.parquet"))
+        if (FirstSeenIndex.resolve(idxRoot).isEmpty)
+          FirstSeenIndex.publish(
+            Dedup.shingleSet(
+              docs.filter(col("doc_id") < S2), "doc_id", "text", 3),
+            idxRoot)
+        val ns = new graft.streaming.NoveltyStream(s, idxRoot, outRoot)
+        val b0 = Dedup.shingleSet(
+          docs.filter(col("doc_id") >= S2 && col("doc_id") < B0_MAX),
+          "doc_id", "text", 3)
+        ns.processBatch(b0, 0)
+        if (FirstSeenIndex.bans(s, idxRoot).isEmpty) {
+          val del = docs.filter(purged).select("doc_id")
+          FirstSeenIndex.addTombstones(s, del, "doc_id", idxRoot)
+          FirstSeenIndex.mergeCompact(s, idxRoot,
+            reassignSrc = Some(Dedup.shingleSet(
+              docs.filter(col("doc_id") < B0_MAX && !purged),
+              "doc_id", "text", 3)))
+          // the durable half: survives every later compaction
+          FirstSeenIndex.addBans(s, del, "doc_id", idxRoot)
+        }
+        ns.processBatch(b0, 0) // redelivery: absorbed
+        // the BACKFILL: batch 1 re-submits the banned early docs
+        // beside its legit batch — the gate drops them before either
+        // the census or the fold commits
+        ns.processBatch(
+          Dedup.shingleSet(
+            docs.filter((col("doc_id") >= B0_MAX &&
+              col("doc_id") < B1_MAX) || purged),
+            "doc_id", "text", 3), 1)
+        val audit = FirstSeenIndex.probe(s,
+          Dedup.shingleSet(
+            docs.filter(col("doc_id") >= B1_MAX &&
+              col("doc_id") < A_MAX), "doc_id", "text", 3), idxRoot)
+        audit.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            count("seen_doc").as("n_seen"),
+            coalesce(sum("seen_doc"), lit(0L)).as("sum_seen"))
+          .orderBy("doc_id")
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+         |  FROM documents WHERE doc_id < $A_MAX),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(${TextFunctions.shinglesSql("arr")}) AS s
+         |  FROM w),
+         |world AS (
+         |  SELECT doc_id, s FROM sh
+         |  WHERE doc_id < $B1_MAX
+         |    AND NOT (doc_id < $S2 AND doc_id % 10 = 0)),
+         |fo AS (SELECT s, min(doc_id) AS seen FROM world GROUP BY s),
+         |au AS (SELECT doc_id, s FROM sh
+         |       WHERE doc_id >= $B1_MAX AND doc_id < $A_MAX)
+         |SELECT a.doc_id, count(*)::BIGINT AS n_sh,
+         |  count(f.seen)::BIGINT AS n_seen,
+         |  coalesce(sum(f.seen), 0)::BIGINT AS sum_seen
+         |FROM au a LEFT JOIN fo f USING (s)
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)
+  }
+
+  /** The ANN family's re-ingestion ban gate (q323) — a deleted
+    * user's embedding RE-UPLOADED: q301 closed the redelivery of the
+    * SAME tagged batch through `_folded.json`, but a backfill
+    * arriving under a FRESH tag is a legitimate new append the ledger
+    * cannot absorb — post-compaction (tombstones reset) its banned
+    * vectors would re-enter the LSH tables and every later cosine
+    * probe would retrieve the forgotten user again.
+    * [[SimIndex.addBans]] commits the durable set;
+    * [[SimIndex.appendDelta]] gates arriving batches (banned key
+    * rows never commit — selectively: legit vectors in the same
+    * batch DO serve), probes mask, compaction scrubs. The oracle's
+    * index world holds survivors ∪ the backfill's legit vectors and
+    * NEVER the banned ids — a leaked gate hash-mismatches the first
+    * probe whose query banding collides with a banned vector.
+    */
+  val simBanGate: Q = {
+    val BASE_MAX = 300L; val DELTA_MAX = 400L; val BF_MAX = 420L
+    val Q_MAX = 500L; val K = 3
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val base = emb.filter(col("vec_id") < BASE_MAX)
+        val delta = emb.filter(
+          col("vec_id") >= BASE_MAX && col("vec_id") < DELTA_MAX)
+        val banned = emb.filter(
+          col("vec_id") < DELTA_MAX && col("vec_id") % 10 === 0)
+        val legit = emb.filter(
+          col("vec_id") >= DELTA_MAX && col("vec_id") < BF_MAX)
+        val queries = emb.filter(
+          col("vec_id") >= BF_MAX && col("vec_id") < Q_MAX)
+        val r = VectorFunctions.mtBits(base.count())
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-sim-ban", d, Seq("embeddings.parquet"))
+        if (SimIndex.resolve(root).isEmpty)
+          SimIndex.publish(base, "vec_id", "embedding",
+            r, VectorFunctions.mtTables(r), root)
+        if (SimIndex.bans(s, root).isEmpty) {
+          if (!SimIndex.folded(root, "b0"))
+            SimIndex.appendDelta(delta, "vec_id", "embedding", root,
+              tag = "b0")
+          SimIndex.addTombstones(s, banned.select("vec_id"), "vec_id",
+            root)
+          SimIndex.mergeCompact(s, root)
+          // the durable half: survives the compaction that just
+          // reset the tombstones
+          SimIndex.addBans(s, banned.select("vec_id"), "vec_id", root)
+        }
+        // q301's closure: the SAME tag redelivered, absorbed by ledger
+        SimIndex.appendDelta(delta, "vec_id", "embedding", root,
+          tag = "b0")
+        // the BACKFILL under a FRESH tag — the ledger cannot absorb
+        // it; only the gate stands between the banned vectors and the
+        // LSH tables (their legit batch-mates must still serve)
+        SimIndex.appendDelta(banned.unionByName(legit),
+          "vec_id", "embedding", root, tag = "bf")
+        SimIndex.probeTopK(s, queries, "vec_id", "embedding", K, root)
+          .select(col("query_id"), col("index_id"), col("cos_sim"),
+            col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      s"""WITH idx0 AS (SELECT vec_id, embedding FROM embeddings
+         |              WHERE vec_id < $BASE_MAX),
+         |params AS (
+         |  SELECT (${VectorFunctions.mtBitsSql("count(*)")}) AS r,
+         |    ${VectorFunctions.mtTablesSql(VectorFunctions.mtBitsSql("count(*)"))} AS nt
+         |  FROM idx0),
+         |ie AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+         |  FROM embeddings, params
+         |  WHERE (vec_id < $DELTA_MAX AND vec_id % 10 <> 0)
+         |     OR (vec_id >= $DELTA_MAX AND vec_id < $BF_MAX)),
+         |iek AS (
+         |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+         |  FROM ie),
+         |ikb AS (
+         |  SELECT vec_id, embedding, tbl,
+         |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+         |  FROM iek),
+         |qe AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+         |  FROM embeddings, params
+         |  WHERE vec_id >= $BF_MAX AND vec_id < $Q_MAX),
+         |qek AS (
+         |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+         |  FROM qe),
+         |qkb AS (
+         |  SELECT vec_id, embedding, tbl,
+         |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+         |  FROM qek),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, kb.vec_id AS index_id,
+         |    max(round(${VectorFunctions.cosineSql("q.embedding", "kb.embedding")}, 6))
+         |      AS cos_sim
+         |  FROM qkb q JOIN ikb kb ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, index_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, index_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, index_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q323_sim_ban_gate" -> simBanGate,
+    "q322_fs_ban_gate" -> fsBanGate,
     "q321_lex_ban_gate" -> lexBanGate,
     "q320_dedup_ban_gate" -> dedupBanGate,
     "q319_pq_perm_serve" -> pqPermServe,

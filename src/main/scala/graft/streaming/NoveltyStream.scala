@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.operators.FirstSeenIndex
 
@@ -44,16 +45,25 @@ final class NoveltyStream(spark: SparkSession, indexRoot: String,
     val scoredDone = sink.committed(target)
     val foldDone = FirstSeenIndex.folded(indexRoot, tag)
     if (scoredDone && foldDone) return false
+    // the re-ingestion BAN gate ([[FirstSeenIndex.addBans]]): a banned
+    // doc arriving in a later batch is neither scored nor folded —
+    // fold gates again for direct callers, so a banned early id can
+    // never steal first-occurrence back through the min-union
+    val gated = FirstSeenIndex.bans(spark, indexRoot)
+      .map(b => batchShingles.join(
+        b.select(col("index_id").as("doc_id")), Seq("doc_id"),
+        "left_anti"))
+      .getOrElse(batchShingles)
     if (!scoredDone) {
       // score against the PRE-FOLD committed state — probing after a
       // self-fold would mark every shingle seen by its own batch
       graft.sources.Artifacts.notePublish()
       FirstSeenIndex.scoreBatch(
-          FirstSeenIndex.probe(spark, batchShingles, indexRoot))
+          FirstSeenIndex.probe(spark, gated, indexRoot))
         .write.mode("overwrite").parquet(target.toString)
     }
     if (!foldDone)
-      FirstSeenIndex.fold(spark, batchShingles, indexRoot, tag = tag)
+      FirstSeenIndex.fold(spark, gated, indexRoot, tag = tag)
     true
   }
 

@@ -86,8 +86,10 @@ class PlanAuditSpec extends SparkSpec {
                              // purge+ban chain runs at build
       "q320_dedup_ban_gate", // DedupStream batches + two compactions
                              // + the purge+ban chain run at build
-      "q321_lex_ban_gate") // LexStream batches commit + the
+      "q321_lex_ban_gate", // LexStream batches commit + the
                            // purge+ban chain runs at build
+      "q322_fs_ban_gate") // NoveltyStream batches commit + the
+                          // purge+reassign+ban chain runs at build
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {

@@ -103,6 +103,33 @@ class FirstSeenIndexSpec extends SparkSpec {
     assert(!orphan.exists(), "merge kept an aged staging orphan")
   }
 
+  test("a banned early doc cannot steal first-occurrence back through a backfill fold") {
+    val root = Files.createTempDirectory("fsidx").toString
+    FirstSeenIndex.publish(base, root)
+    // purge doc 1 with reassignment (doc 12 isn't here; 2/10 take
+    // over what they hold), compact, then BAN it
+    FirstSeenIndex.addTombstones(spark, Seq(1L).toDF("doc_id"),
+      "doc_id", root)
+    FirstSeenIndex.mergeCompact(spark, root,
+      reassignSrc = Some(base.unionByName(batch)
+        .filter($"doc_id" =!= 1L)))
+    FirstSeenIndex.addBans(spark, Seq(1L).toDF("doc_id"), "doc_id", root)
+    // the backfill re-folds doc 1 (min(1) would beat every reassigned
+    // survivor) — the gate must keep it out of the delta
+    FirstSeenIndex.fold(spark,
+      Seq((1L, "a"), (1L, "b"), (30L, "q")).toDF("doc_id", "s"), root,
+      tag = "backfill")
+    val day3 = Seq((40L, "a"), (40L, "b"), (40L, "q"))
+      .toDF("doc_id", "s")
+    val got = FirstSeenIndex.probe(spark, day3, root)
+      .select($"s", $"seen_doc")
+      .as[(String, Option[Long])].collect().toMap
+    assert(!got.values.flatten.exists(_ == 1L),
+      s"banned doc re-claimed first occurrence: $got")
+    assert(got("q").contains(30L),
+      "the gate dropped the banned doc's innocent batch-mate")
+  }
+
   test("purge reassigns first occurrence to the next-earliest surviving holder") {
     val root = Files.createTempDirectory("fsidx").toString
     FirstSeenIndex.publish(base, root)

@@ -164,6 +164,32 @@ class SimIndexSpec extends SparkSpec {
     assert(SimIndex.deltas(root).size == 1)
   }
 
+  test("a banned vector re-uploaded under a FRESH tag is gated; batch-mates still serve") {
+    val root = Files.createTempDirectory("simidx").toString
+    SimIndex.publish(index.filter(col("vec_id") < 130L),
+      "vec_id", "embedding", BITS, TABLES, root)
+    // purge + BAN 122; merge resets tombstones, the ban survives
+    SimIndex.addTombstones(spark, Seq(122L).toDF("vec_id"), "vec_id", root)
+    SimIndex.mergeCompact(spark, root)
+    SimIndex.addBans(spark, Seq(122L).toDF("vec_id"), "vec_id", root)
+    assert(SimIndex.tombstones(spark, root).isEmpty)
+    // the backfill: 122 re-uploaded beside a legit new vector — the
+    // fresh tag is a real append (the fold ledger can't absorb it),
+    // so only the gate keeps 122 out
+    SimIndex.appendDelta(index.filter(
+        col("vec_id") === 122L || col("vec_id") === 135L),
+      "vec_id", "embedding", root, tag = "backfill")
+    val delta = spark.read.parquet(SimIndex.deltas(root).head)
+    assert(delta.filter(col("index_id") === 122L).count() == 0,
+      "banned vector's key rows entered the delta")
+    assert(delta.filter(col("index_id") === 135L).count() > 0,
+      "the gate dropped the banned vector's innocent batch-mate")
+    val got = SimIndex.probeTopK(spark, queries, "vec_id", "embedding",
+        K, root)
+      .select("index_id").as[Long].collect().toSet
+    assert(!got.contains(122L), "banned vector retrievable again")
+  }
+
   test("resolve picks the highest committed version; params travel with it") {
     val root = Files.createTempDirectory("simidx").toString
     assert(SimIndex.resolve(root).isEmpty)
