@@ -347,6 +347,22 @@ object PqIndex {
   def tombstones(spark: SparkSession, root: String): Option[DataFrame] =
     Tombstones.get(spark, root)
 
+  /** Durably ban vector `ids` — the re-ingestion closure ([[Bans]],
+    * the [[SimIndex.addBans]] shape): tombstones reset at
+    * [[mergeCompact]], so a deleted user's embedding re-uploaded
+    * under a fresh tag would re-encode into the code table; banned
+    * ids are gated at [[appendDelta]] (their code rows never
+    * commit), masked at [[probeTopK]], scrubbed at [[mergeCompact]].
+    */
+  def addBans(spark: SparkSession, ids: DataFrame, idCol: String,
+              root: String): String = synchronized {
+    Bans.add(spark, ids, idCol, root)
+  }
+
+  /** The committed ban set, if any. */
+  def bans(spark: SparkSession, root: String): Option[DataFrame] =
+    Bans.get(spark, root)
+
   /** Drop every index generation but the newest committed one. */
   def vacuumOld(root: String): Unit = synchronized {
     VersionedDirs.retainLatestGenerations(root, keep = 1)
@@ -399,12 +415,19 @@ object PqIndex {
     val dr = deltaDir(root); dr.mkdirs()
     val staging = new java.io.File(dr,
       s".staging-${java.util.UUID.randomUUID()}")
+    // the ingestion gate of the ban closure: a banned vector's code
+    // rows never commit (see [[addBans]])
+    val gatedCorpus = bans(spark, root)
+      .map(b => corpus.join(
+        b.select(col("index_id").cast("long").as(id)), Seq(id),
+        "left_anti"))
+      .getOrElse(corpus)
     // a by_residual generation's deltas encode residuals against the
     // SAME frozen coarse centroids + codebooks (pure assign+argmin,
     // never a Lloyd round — the flat path's frozen-codebook rule)
     // the frozen permutation applies to every later scaling — a delta
     // encoded in the unpermuted basis would ADC-score garbage
-    val e = applyPerm(VectorQuantizer.scaled(corpus, id, vec),
+    val e = applyPerm(VectorQuantizer.scaled(gatedCorpus, id, vec),
       permAt(idxPath))
     val rows =
       if (residAt(idxPath))
@@ -469,9 +492,13 @@ object PqIndex {
         .map(spark.read.parquet(_))
         .foldLeft(spark.read.parquet(
           new java.io.File(basePath, "codes").toString))(_.unionByName(_))
-      val all = tombstones(spark, root)
+      val all1 = tombstones(spark, root)
         .map(t => all0.join(t, Seq("index_id"), "left_anti"))
         .getOrElse(all0)
+      // banned rows that slipped in pre-ban scrub physically here
+      val all = bans(spark, root)
+        .map(b => all1.join(b, Seq("index_id"), "left_anti"))
+        .getOrElse(all1)
       // prune carried fold names to dirs that still exist (a deleted
       // UUID dir can never reappear) so the sidecar stays bounded by
       // the crash-leftover count, not the root's whole history
@@ -664,9 +691,14 @@ object PqIndex {
         new java.io.File(idxPath, "codes").toString))(_.unionByName(_))
     val pruned = probed.fold(codes0)(cells =>
       codes0.filter(col("ccell").isin(cells.toIndexedSeq.map(Int.box): _*)))
-    val codes = ts
+    val codes1 = ts
       .map(t => pruned.join(t, Seq("index_id"), "left_anti"))
       .getOrElse(pruned)
+    // bans mask like tombstones but never reset (the re-ingestion
+    // closure — see [[addBans]])
+    val codes = bans(spark, root)
+      .map(b => codes1.join(b, Seq("index_id"), "left_anti"))
+      .getOrElse(codes1)
     // subspace split carrying extra key columns — [[VectorQuantizer
     // .subVectors]]' shape with a pass-through column list
     def subSplit(df: DataFrame, keep: Seq[String]): DataFrame =

@@ -14684,7 +14684,76 @@ object PipelineQueries {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** The PQ family's re-ingestion ban gate (q324) — q323's closure on
+    * the COMPRESSED artifact: PQ deltas are UUID-named (no tag, no
+    * ledger absorption at all), so EVERY backfill is a fresh append
+    * and the gate at [[PqIndex.appendDelta]] is the only thing
+    * keeping a deleted user's re-uploaded embedding out of the code
+    * table post-compaction. Banned ids are gated at encode time
+    * (their code rows never commit; legit batch-mates still serve —
+    * encoded with the SAME frozen codebooks), masked at
+    * [[PqIndex.probeTopK]], scrubbed at [[PqIndex.mergeCompact]].
+    * Oracle: codebooks fit on the base corpus, the index world =
+    * survivors ∪ the backfill's legit vectors, banned absent
+    * everywhere.
+    */
+  val pqBanGate: Q = {
+    val BASE_MAX = 300L; val DELTA_MAX = 400L; val BF_MAX = 420L
+    val Q_MAX = 440L; val K = PQ_K
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val base = emb.filter(col("vec_id") < BASE_MAX)
+        val delta = emb.filter(
+          col("vec_id") >= BASE_MAX && col("vec_id") < DELTA_MAX)
+        val banned = emb.filter(
+          col("vec_id") < DELTA_MAX && col("vec_id") % 10 === 0)
+        val legit = emb.filter(
+          col("vec_id") >= DELTA_MAX && col("vec_id") < BF_MAX)
+        val queries = emb.filter(
+          col("vec_id") >= BF_MAX && col("vec_id") < Q_MAX)
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-pq-ban", d, Seq("embeddings.parquet"))
+        if (PqIndex.resolve(root).isEmpty)
+          PqIndex.publish(base, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, root)
+        if (PqIndex.bans(s, root).isEmpty) {
+          PqIndex.appendDelta(delta, "vec_id", "embedding", root)
+          PqIndex.addTombstones(s, banned.select("vec_id"), "vec_id",
+            root)
+          PqIndex.mergeCompact(s, root)
+          PqIndex.addBans(s, banned.select("vec_id"), "vec_id", root)
+          // the BACKFILL: banned re-uploads beside legit new vectors
+          // — a UUID-named append no ledger can absorb; the encode
+          // gate drops exactly the banned ids (committed once, inside
+          // this cold block: PQ appends carry no tag to absorb a
+          // replay by, so the backfill commits with the ban already
+          // durable)
+          PqIndex.appendDelta(banned.unionByName(legit),
+            "vec_id", "embedding", root)
+        }
+        PqIndex.probeTopK(s, queries, "vec_id", "embedding", K, root)
+          .select(col("query_id"), col("index_id"), col("adc_d2"),
+            col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      s"""WITH $pqEpCtes,
+         |ix AS (SELECT * FROM ep WHERE vec_id < $BASE_MAX),
+         |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+         |        WHERE vec_id < $PQ_KS),
+         |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+         |enc AS (SELECT * FROM ep
+         |        WHERE (vec_id < $DELTA_MAX AND vec_id % 10 <> 0)
+         |           OR (vec_id >= $DELTA_MAX AND vec_id < $BF_MAX)),
+         |${pqRankCtes("enc",
+             s"q.vec_id >= $BF_MAX AND q.vec_id < $Q_MAX")}
+         |SELECT query_id, index_id, adc_d2, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q324_pq_ban_gate" -> pqBanGate,
     "q323_sim_ban_gate" -> simBanGate,
     "q322_fs_ban_gate" -> fsBanGate,
     "q321_lex_ban_gate" -> lexBanGate,
