@@ -122,12 +122,16 @@ object FirstSeenIndex {
         s".staging-${java.util.UUID.randomUUID()}")
       // the ingestion gate of the ban closure: a banned doc's rows
       // never enter the delta, so it can never re-claim
-      // first-occurrence through the min-union (see [[addBans]])
-      val gated = bans(spark, root)
+      // first-occurrence through the min-union (see [[addBans]]); an
+      // ENTIRELY banned batch commits nothing — an empty partitioned
+      // delta dir would break every later read of the append log
+      val bn = bans(spark, root)
+      val gated = bn
         .map(b => batchShingles.join(
           b.select(col("index_id").as("doc_id")), Seq("doc_id"),
           "left_anti"))
         .getOrElse(batchShingles)
+      if (bn.isDefined && gated.isEmpty) return gen.get
       writeMap(gated.groupBy("s").agg(min("doc_id").as("first_doc")),
         staging.getAbsolutePath)
       require(staging.renameTo(target),

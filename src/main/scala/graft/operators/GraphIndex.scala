@@ -131,9 +131,13 @@ object GraphIndex {
       val staging = new java.io.File(dr,
         s".staging-${java.util.UUID.randomUUID()}")
       // the ingestion gate of the ban closure: edges re-mentioning a
-      // banned identity never enter the delta (see the bans section)
-      writeAdj(aggEdges(maskBoth(batchEdges, bans(spark, root))),
-        staging.getAbsolutePath)
+      // banned identity never enter the delta (see the bans section);
+      // an ENTIRELY banned batch commits nothing — an empty
+      // partitioned delta dir would break every later read
+      val bn = bans(spark, root)
+      val gated = maskBoth(batchEdges, bn)
+      if (bn.isDefined && gated.isEmpty) return genPath
+      writeAdj(aggEdges(gated), staging.getAbsolutePath)
       require(staging.renameTo(target), s"delta fold rename failed into $dr")
       target.getAbsolutePath
     }

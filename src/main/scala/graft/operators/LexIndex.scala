@@ -264,11 +264,15 @@ object LexIndex {
     // the ingestion gate of the ban closure: a banned doc's rows AND
     // its stats contribution (its dl toward Σdl, its +1 toward N, its
     // terms toward df) never commit — the sidecar below is computed
-    // from the gated frame
-    val gated = bans(docs.sparkSession, root)
+    // from the gated frame; an ENTIRELY banned batch commits nothing
+    // at all (an empty partitioned delta dir would have no parquet
+    // footers and break every later read of the append log)
+    val bn = bans(docs.sparkSession, root)
+    val gated = bn
       .map(b => docs.join(b.select(col("index_id").cast("long").as(id)),
         Seq(id), "left_anti"))
       .getOrElse(docs)
+    if (bn.isDefined && gated.isEmpty) return idxPath
     val (rows, dl, tfc) = postingRows(gated, id, text)
     try {
       rows.repartition(col("pbucket"))

@@ -416,12 +416,16 @@ object PqIndex {
     val staging = new java.io.File(dr,
       s".staging-${java.util.UUID.randomUUID()}")
     // the ingestion gate of the ban closure: a banned vector's code
-    // rows never commit (see [[addBans]])
-    val gatedCorpus = bans(spark, root)
+    // rows never commit (see [[addBans]]); an ENTIRELY banned batch
+    // commits nothing — an IVFPQ delta is ccell-partitioned, and an
+    // empty partitioned dir would break every later read
+    val bn = bans(spark, root)
+    val gatedCorpus = bn
       .map(b => corpus.join(
         b.select(col("index_id").cast("long").as(id)), Seq(id),
         "left_anti"))
       .getOrElse(corpus)
+    if (bn.isDefined && gatedCorpus.isEmpty) return idxPath
     // a by_residual generation's deltas encode residuals against the
     // SAME frozen coarse centroids + codebooks (pure assign+argmin,
     // never a Lloyd round — the flat path's frozen-codebook rule)

@@ -48,7 +48,8 @@ object PurgeCascade {
       root: String,
       addTombstones: (SparkSession, DataFrame) => Unit,
       compact: (SparkSession, DataFrame) => String,
-      vacuum: () => Unit)
+      vacuum: () => Unit,
+      addBans: (SparkSession, DataFrame) => Unit = (_, _) => ())
 
   /** A MinHash-band dedup index ([[DedupIndex]]); `idCol` names the
     * deletion frame's id column.
@@ -57,7 +58,8 @@ object PurgeCascade {
     "dedup", root,
     (s, ids) => DedupIndex.addTombstones(s, ids, idCol, root),
     (s, _) => DedupIndex.compact(s, root),
-    () => DedupIndex.vacuumOld(root))
+    () => DedupIndex.vacuumOld(root),
+    (s, ids) => { DedupIndex.addBans(s, ids, idCol, root); () })
 
   /** An LSH ANN index ([[SimIndex]]) — compaction also folds pending
     * delta appends (the family's mergeCompact).
@@ -66,7 +68,8 @@ object PurgeCascade {
     "sim", root,
     (s, ids) => SimIndex.addTombstones(s, ids, idCol, root),
     (s, _) => SimIndex.mergeCompact(s, root),
-    () => SimIndex.vacuumOld(root))
+    () => SimIndex.vacuumOld(root),
+    (s, ids) => { SimIndex.addBans(s, ids, idCol, root); () })
 
   /** A PQ/IVFPQ index ([[PqIndex]]); codebooks and coarse centroids
     * stay frozen across the purge (the family invariant).
@@ -75,7 +78,8 @@ object PurgeCascade {
     "pq", root,
     (s, ids) => PqIndex.addTombstones(s, ids, idCol, root),
     (s, _) => PqIndex.mergeCompact(s, root),
-    () => PqIndex.vacuumOld(root))
+    () => PqIndex.vacuumOld(root),
+    (s, ids) => { PqIndex.addBans(s, ids, idCol, root); () })
 
   /** A lexical BM25 index ([[LexIndex]]) — compaction also recomputes
     * the collection statistics exactly from the surviving postings
@@ -85,7 +89,8 @@ object PurgeCascade {
     "lex", root,
     (s, ids) => LexIndex.addTombstones(s, ids, idCol, root),
     (s, _) => LexIndex.mergeCompact(s, root),
-    () => LexIndex.vacuumOld(root))
+    () => LexIndex.vacuumOld(root),
+    (s, ids) => { LexIndex.addBans(s, ids, idCol, root); () })
 
   /** A first-seen novelty map ([[FirstSeenIndex]]). `reassignSrc`
     * (surviving corpus shingles, or any superset covering the
@@ -98,7 +103,8 @@ object PurgeCascade {
     "firstSeen", root,
     (s, ids) => FirstSeenIndex.addTombstones(s, ids, idCol, root),
     (s, _) => FirstSeenIndex.mergeCompact(s, root, reassignSrc),
-    () => FirstSeenIndex.vacuumOld(root))
+    () => FirstSeenIndex.vacuumOld(root),
+    (s, ids) => { FirstSeenIndex.addBans(s, ids, idCol, root); () })
 
   /** A persisted adjacency index ([[GraphIndex]]) — the eighth
     * family: the tombstoned ids are NODES, and compaction drops every
@@ -110,7 +116,8 @@ object PurgeCascade {
     "graph", root,
     (s, ids) => GraphIndex.addTombstones(s, ids, idCol, root),
     (s, _) => GraphIndex.mergeCompact(s, root),
-    () => GraphIndex.vacuumOld(root))
+    () => GraphIndex.vacuumOld(root),
+    (s, ids) => { GraphIndex.addBans(s, ids, idCol, root); () })
 
   /** A persisted tokenizer ([[BpeIndex]]) — the sixth family, whose
     * deletion surface is WORDS, not doc ids: the cascade derives
@@ -204,12 +211,22 @@ object PurgeCascade {
     * rest with at most a pending tombstone set, which their next
     * compaction (or a re-run of this cascade, which is idempotent:
     * re-tombstoning an absent id is a no-op filter) resolves.
+    *
+    * `ban = true` is the "forget AND stay forgotten" form: after each
+    * target compacts, the deletion ids also commit to its durable
+    * [[Bans]] log — so a backfill or the identity's later activity
+    * can never re-enter the artifact through any ingestion path (the
+    * q318/q320–q324 closure, one call across the fleet). The ban
+    * lands AFTER the compaction so a cascade crash never leaves ids
+    * banned-but-not-purged; the families without id-keyed state
+    * (bpe, sketch) have a no-op ban by construction.
     */
   def purge(spark: SparkSession, ids: DataFrame, targets: Seq[Target],
-            vacuum: Boolean = false): Seq[Report] =
+            vacuum: Boolean = false, ban: Boolean = false): Seq[Report] =
     targets.map { t =>
       t.addTombstones(spark, ids)
       val v = t.compact(spark, ids)
+      if (ban) t.addBans(spark, ids)
       if (vacuum) t.vacuum()
       Report(t.family, t.root, v)
     }

@@ -229,12 +229,17 @@ object SimIndex {
     val staging = new java.io.File(dr,
       s".staging-${java.util.UUID.randomUUID()}")
     // the ingestion gate of the ban closure: a banned vector's key
-    // rows never enter the delta (see [[addBans]])
-    val gated = Bans.get(corpus.sparkSession, root)
+    // rows never enter the delta (see [[addBans]]); an ENTIRELY
+    // banned batch commits nothing at all — an empty partitioned
+    // delta dir would have no parquet footers and break every later
+    // read of the append log
+    val bn = Bans.get(corpus.sparkSession, root)
+    val gated = bn
       .map(b => corpus.join(
         b.select(col("index_id").cast("long").as(id)), Seq(id),
         "left_anti"))
       .getOrElse(corpus)
+    if (bn.isDefined && gated.isEmpty) return genPath
     keyRows(gated, id, vec, bits, tables)
       .repartition(col("pbucket"))
       .sortWithinPartitions("tbl", "bucket")

@@ -148,6 +148,48 @@ class PurgeCascadeSpec extends SparkSpec {
       "sketch subtraction diverged from the survivor build")
   }
 
+  test("purge(ban = true): one call forgets AND stays forgotten across families") {
+    val Seq(dRoot, sRoot, gRoot) =
+      Seq.fill(3)(Files.createTempDirectory("cascade-ban").toString)
+    DedupIndex.publish(
+      Dedup.minhashSignatures(docs, "doc_id", "text", K),
+      "doc_id", BANDS, R, dRoot)
+    SimIndex.publish(vecs, "vec_id", "embedding", BITS, TABLES, sRoot)
+    GraphIndex.publish(
+      (0 until 39).flatMap(i =>
+        Seq((i.toLong, (i + 1).toLong, 1L), ((i + 1).toLong, i.toLong, 1L)))
+        .toDF("src", "dst", "w"), gRoot)
+    val targets = Seq(
+      PurgeCascade.dedup(dRoot, "id"),
+      PurgeCascade.sim(sRoot, "id"),
+      PurgeCascade.graph(gRoot, "id"))
+    PurgeCascade.purge(spark, Seq(5L).toDF("id"), targets, ban = true)
+    // every family's durable ban landed (tombstones are already reset)
+    assert(DedupIndex.bans(spark, dRoot).nonEmpty)
+    assert(SimIndex.bans(spark, sRoot).nonEmpty)
+    assert(GraphIndex.bans(spark, gRoot).nonEmpty)
+    // the backfill attempts: each family's ingestion path must gate.
+    // A FULLY banned batch commits no delta at all (an empty
+    // partitioned dir would break every later append-log read)
+    SimIndex.appendDelta(vecs.filter($"vec_id" === 5L),
+      "vec_id", "embedding", sRoot, tag = "backfill")
+    assert(SimIndex.deltas(sRoot).isEmpty,
+      "an entirely-banned backfill committed a delta dir")
+    // a MIXED batch commits only its legit rows
+    SimIndex.appendDelta(vecs.filter($"vec_id" === 5L || $"vec_id" === 7L),
+      "vec_id", "embedding", sRoot, tag = "backfill2")
+    assert(spark.read.parquet(SimIndex.deltas(sRoot).head)
+      .filter($"index_id" === 5L).count() == 0,
+      "sim backfill re-entered after a banned cascade")
+    GraphIndex.fold(spark,
+      Seq((5L, 9L, 1L), (9L, 5L, 1L)).toDF("src", "dst", "w"), gRoot,
+      tag = "backfill")
+    val nbrs = GraphIndex.neighbors(spark, Seq(5L, 9L).toDF("node"), gRoot)
+      .select($"node", $"nbr").as[(Long, Long)].collect().toSet
+    assert(!nbrs.exists(p => p._1 == 5L || p._2 == 5L),
+      "graph backfill re-entered after a banned cascade")
+  }
+
   test("Targets are stateless values — one Target serves two cascades") {
     // the two no-tombstone arms (bpe, sketch) used to stage the
     // deletion frame in the Target itself, making a Target single-use;
