@@ -22,6 +22,9 @@ import org.apache.spark.sql.SparkSession
   *   - `nTombstones` — committed deletes not yet compacted away: a
   *     non-zero count after a purge cascade means a compaction failed
   *     partway and must be re-run;
+  *   - `nBans` — the durable re-ingestion ban set (never resets;
+  *     after a `purge(ban = true)` cascade this equals the cumulative
+  *     deletion-request ids the family will refuse forever);
   *   - `nRows` / `nBytes` — the head generation's physical footprint
   *     (every parquet dataset under it, layout-agnostic: memo+merges,
   *     cells, postings, band keys alike).
@@ -44,6 +47,7 @@ object IndexCatalog {
       nFoldedTags: Int,
       nPurgedTags: Int,
       nTombstones: Long,
+      nBans: Long,
       nRows: Long,
       nBytes: Long)
 
@@ -99,6 +103,7 @@ object IndexCatalog {
     val purged = gen.map(ledger(_, "_purged.json")).getOrElse(Set.empty)
     val pending = deltaDirs(root).filterNot(d => folded(d.getName))
     val nTomb = Tombstones.get(spark, root).map(_.count()).getOrElse(0L)
+    val nBans = Bans.get(spark, root).map(_.count()).getOrElse(0L)
     val (rows, bytes) = gen.fold((0L, 0L)) { g =>
       val dir = new java.io.File(g)
       val n = datasetDirs(dir)
@@ -111,6 +116,7 @@ object IndexCatalog {
       nFoldedTags = folded.size,
       nPurgedTags = purged.size,
       nTombstones = nTomb,
+      nBans = nBans,
       nRows = rows, nBytes = bytes)
   }
 

@@ -88,8 +88,10 @@ class IndexCatalogSpec extends SparkSpec {
     assert(mid.nPendingDeltas == 1, s"pending delta not counted: $mid")
     assert(mid.nTombstones == 1L, s"pending tombstone not counted: $mid")
 
-    // the cascade compacts everything; vacuum keeps one generation
-    PurgeCascade.purge(spark, Seq(5L).toDF("id"), targets, vacuum = true)
+    // the cascade compacts everything WITH the durable ban; vacuum
+    // keeps one generation
+    PurgeCascade.purge(spark, Seq(5L).toDF("id"), targets,
+      vacuum = true, ban = true)
     val after = IndexCatalog.reportTargets(spark, targets)
     for (e <- after) {
       assert(e.nGenerations == 1, s"${e.family}: vacuum left extras")
@@ -98,6 +100,10 @@ class IndexCatalogSpec extends SparkSpec {
       assert(e.nTombstones == 0L,
         s"${e.family}: tombstones not reset — compaction failed?")
     }
+    // the ban log shows on every id-keyed family's report (bpe and
+    // sketch have no id-keyed rows — no-op ban by construction)
+    for (e <- after if !Set("bpe", "sketch")(e.family))
+      assert(e.nBans == 1L, s"${e.family}: ban not visible: $e")
     // the folded ledger recorded sim's consumed delta tag
     assert(after.find(_.family == "sim").get.nFoldedTags == 1)
     // the sketch purge recorded its deletion fingerprint
