@@ -20,8 +20,21 @@ private[graft] object Bans {
   private def root(indexRoot: String): String =
     new java.io.File(indexRoot, "bans").getAbsolutePath
 
+  /** Ban sets up to this size commit as ONE file (`coalesce(1)`):
+    * the set is GDPR-request-sized by design and every ingestion
+    * gate broadcasts it whole, so a compact single-file layout keeps
+    * the per-batch read one open instead of a distinct-shuffle's
+    * worth of small files accumulating over years of adds. A set
+    * past the bound (a mass-erasure event) stays partitioned —
+    * funneling millions of ids through one task is the
+    * [[Tombstones]] anti-pattern documented there.
+    */
+  private val OneFileMax = 4L * 1000 * 1000
+
   /** Commit `ids` (as column `index_id`) unioned with the previous
-    * committed ban set.
+    * committed ban set — deduplicated (the union is `distinct`) and
+    * compacted to a single file while the set stays request-sized,
+    * so N years of adds never degrade the per-batch gate read.
     */
   def add(spark: SparkSession, ids: DataFrame, idCol: String,
           indexRoot: String): String = {
@@ -30,11 +43,22 @@ private[graft] object Bans {
     val all = VersionedDirs.resolve(tr)
       .map(p => spark.read.parquet(p).unionByName(cur).distinct())
       .getOrElse(cur)
-    VersionedDirs.commit(tr) { st => all.write.parquet(st) }
+      .persist()
+    try {
+      val n = all.count()
+      VersionedDirs.commit(tr) { st =>
+        (if (n <= OneFileMax) all.coalesce(1) else all).write.parquet(st)
+      }
+    } finally { all.unpersist(); () }
   }
 
-  /** The committed ban set, if any. */
+  /** The committed ban set, if any. The emptiness check reads parquet
+    * FOOTER counts (driver-side metadata), not an `isEmpty` Spark job
+    * — this runs on every fold/append/probe/compact of six families,
+    * so the empty and absent cases must cost a listing, not a job.
+    */
   def get(spark: SparkSession, indexRoot: String): Option[DataFrame] =
-    VersionedDirs.resolve(root(indexRoot)).map(spark.read.parquet(_))
-      .filter(!_.isEmpty)
+    VersionedDirs.resolve(root(indexRoot))
+      .filter(p => ParquetFooters.rows(new java.io.File(p)) > 0)
+      .map(spark.read.parquet(_))
 }

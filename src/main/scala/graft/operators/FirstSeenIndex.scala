@@ -126,14 +126,19 @@ object FirstSeenIndex {
       // ENTIRELY banned batch commits nothing — an empty partitioned
       // delta dir would break every later read of the append log
       val bn = bans(spark, root)
+      // batch-scoped cache: the emptiness check and the min-union
+      // write are two actions over the same anti-joined frame —
+      // persist so the broadcast gate's batch scan runs once, not twice
       val gated = bn
         .map(b => batchShingles.join(
           b.select(col("index_id").as("doc_id")), Seq("doc_id"),
-          "left_anti"))
+          "left_anti").persist())
         .getOrElse(batchShingles)
-      if (bn.isDefined && gated.isEmpty) return gen.get
-      writeMap(gated.groupBy("s").agg(min("doc_id").as("first_doc")),
-        staging.getAbsolutePath)
+      try {
+        if (bn.isDefined && gated.isEmpty) return gen.get
+        writeMap(gated.groupBy("s").agg(min("doc_id").as("first_doc")),
+          staging.getAbsolutePath)
+      } finally if (bn.isDefined) { gated.unpersist(); () }
       require(staging.renameTo(target),
         s"delta fold rename failed into $dr")
       target.getAbsolutePath

@@ -16,10 +16,18 @@ import org.apache.spark.sql.functions._
   *
   * Rows are DIRECTED weighted edges (src, dst, w); an undirected
   * graph stores both directions (the caller's symmetrization — see
-  * the q312 queries), so every out-neighborhood probe is src-keyed.
-  * Partition layout: hash-bucket dirs on src ([[DedupIndex]]'s
-  * shape), so a probe for a node set prunes to its touched buckets —
-  * and each HOP of a traversal re-prunes to the frontier's buckets.
+  * the q312 queries). Each generation (and each delta) holds TWIN
+  * layouts of the same edge rows: `out/` hash-bucketed on src (the
+  * out-neighborhood probe's pruning key) and `in/` hash-bucketed on
+  * dst — the reverse-adjacency mirror, so "who points at u"
+  * ([[inNeighbors]]: followers, citers, inbound trades of a DIRECTED
+  * graph) is a bucket-pruned probe instead of a full artifact scan.
+  * A probe for a node set prunes to its touched buckets of its
+  * layout — and each HOP of a traversal re-prunes to the frontier's
+  * buckets. The mirror doubles publish/fold write cost (both twins
+  * are one shuffle each off the same cached batch) — the classic
+  * read-optimized trade: storage×2 for probe-side locality on BOTH
+  * edge directions.
   *
   * Two burdens no sibling shares, both judged (q312–q315):
   *
@@ -30,14 +38,14 @@ import org.apache.spark.sql.functions._
   *     and the `_folded.json` tag ledger is load-bearing, not an
   *     optimization;
   *   - **deletion is two-sided**: purging node u must drop u's own
-  *     rows (bucket-local — pbucket(u)) AND every edge (v, u) scattered
-  *     across OTHER nodes' buckets. Probe-time masking anti-joins the
-  *     tombstone set against BOTH endpoints; [[mergeCompact]]'s
-  *     physical drop is the full-artifact row filter every sibling
-  *     pays at GDPR cadence. Bucket pruning cannot localize the dst
-  *     side — that asymmetry is the family's distinctive cost and is
-  *     why the tombstone mask (O(deletes) broadcast) serves until
-  *     compaction rather than an eager rewrite.
+  *     rows AND every edge (v, u) held by OTHER nodes. Probe-time
+  *     masking anti-joins the tombstone set against BOTH endpoints;
+  *     [[mergeCompact]]'s physical drop is the full-artifact row
+  *     filter every sibling pays at GDPR cadence — and with the
+  *     mirror, BOTH halves of the tombstoned row set are now
+  *     bucket-addressable (src rows in `out/`'s buckets, dst rows in
+  *     `in/`'s), where the r13 single-layout artifact had to scan
+  *     every bucket for the scattered dst half.
   */
 object GraphIndex {
 
@@ -53,18 +61,39 @@ object GraphIndex {
   /** Highest committed version under `root`, if any. */
   def resolve(root: String): Option[String] = VersionedDirs.resolve(root)
 
-  /** The shared bucketed layout of [[publish]], [[fold]] and
+  /** The shared twin-layout write of [[publish]], [[fold]] and
     * [[mergeCompact]]: one row per (src, dst) with the summed weight,
-    * hash-partitioned on src into [[NumBuckets]] dirs.
+    * written twice under `path` — `out/` hash-partitioned on src and
+    * `in/` on dst (the reverse-adjacency mirror), each into
+    * [[NumBuckets]] dirs. The input is cached across the two shuffles
+    * so the batch derivation runs once; the root `_SUCCESS` marker
+    * (the [[VersionedDirs]]/delta commit record) lands only after
+    * BOTH twins are complete — a reader can never observe one without
+    * the other.
     */
-  private def writeAdj(edges: DataFrame, path: String): Unit =
-    edges
+  private def writeAdj(edges: DataFrame, path: String): Unit = {
+    val e = edges
       .select(col("src").cast("long"), col("dst").cast("long"),
         col("w").cast("long"))
-      .withColumn("pbucket", pbucketOf(col("src")))
-      .repartition(col("pbucket"))
-      .sortWithinPartitions("src", "dst")
-      .write.partitionBy("pbucket").mode("overwrite").parquet(path)
+      .persist()
+    try {
+      e.withColumn("pbucket", pbucketOf(col("src")))
+        .repartition(col("pbucket"))
+        .sortWithinPartitions("src", "dst")
+        .write.partitionBy("pbucket").mode("overwrite")
+        .parquet(s"$path/out")
+      e.withColumn("pbucket", pbucketOf(col("dst")))
+        .repartition(col("pbucket"))
+        .sortWithinPartitions("dst", "src")
+        .write.partitionBy("pbucket").mode("overwrite")
+        .parquet(s"$path/in")
+      // commit marker at the twin pair's root; the two dataset writes
+      // left theirs one level down
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(path, "_SUCCESS"))
+      ()
+    } finally { e.unpersist(); () }
+  }
 
   private def aggEdges(edges: DataFrame): DataFrame =
     edges.groupBy("src", "dst").agg(sum("w").as("w"))
@@ -131,13 +160,38 @@ object GraphIndex {
       val staging = new java.io.File(dr,
         s".staging-${java.util.UUID.randomUUID()}")
       // the ingestion gate of the ban closure: edges re-mentioning a
-      // banned identity never enter the delta (see the bans section);
-      // an ENTIRELY banned batch commits nothing — an empty
-      // partitioned delta dir would break every later read
+      // banned identity never enter the delta (see the bans section).
+      // Batch-scoped cache: the emptiness check and the write are two
+      // actions over the same anti-joined frame — persist so the
+      // broadcast gate's batch scan runs once, not twice.
       val bn = bans(spark, root)
-      val gated = maskBoth(batchEdges, bn)
-      if (bn.isDefined && gated.isEmpty) return genPath
-      writeAdj(aggEdges(gated), staging.getAbsolutePath)
+      val gated0 = maskBoth(batchEdges, bn)
+      val gated = if (bn.isDefined) gated0.persist() else gated0
+      try {
+        if (bn.isDefined && gated.isEmpty) {
+          // an ENTIRELY banned batch still commits its TAG: a
+          // marker-only EMPTY delta — plain (non-partitioned) parquet
+          // under both twins, so the footer carries the schema readers
+          // need (an empty partitionBy write leaves no footers at
+          // all). Without the marker, `folded(root, tag)` stays false
+          // forever and an at-least-once caller
+          // ([[graft.streaming.GraphStream]].processBatch) re-runs
+          // the gate and reports "work committed" on every
+          // redelivery; with it the replay absorbs like any other
+          // fold.
+          val empty = gated
+            .select(col("src").cast("long"), col("dst").cast("long"),
+              col("w").cast("long"))
+            .withColumn("pbucket", pbucketOf(col("src")))
+            .limit(0)
+          empty.write.mode("overwrite")
+            .parquet(s"${staging.getAbsolutePath}/out")
+          empty.write.mode("overwrite")
+            .parquet(s"${staging.getAbsolutePath}/in")
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(staging.getAbsolutePath, "_SUCCESS"))
+        } else writeAdj(aggEdges(gated), staging.getAbsolutePath)
+      } finally if (bn.isDefined) { gated.unpersist(); () }
       require(staging.renameTo(target), s"delta fold rename failed into $dr")
       target.getAbsolutePath
     }
@@ -204,9 +258,10 @@ object GraphIndex {
 
   /** Fold every committed delta and pending purge into the next
     * generation: weight-sum of base ∪ live deltas, minus every row
-    * incident to a tombstoned node (both endpoints — the dst half is
-    * the scattered one bucket pruning cannot localize; this rewrite
-    * is where it is paid, at GDPR cadence). Consumed delta names are
+    * incident to a tombstoned node (both endpoints — and with the
+    * `in/` mirror both halves are bucket-addressable; this full
+    * rewrite also folds the delta log, so it reads `out/` once and
+    * re-emits both twins, at GDPR cadence). Consumed delta names are
     * recorded CUMULATIVELY in `_folded.json` ([[SimIndex]]'s rule:
     * fold tags are caller-supplied batch identities, a
     * checkpoint-lagged redelivery can arrive any number of merges
@@ -222,7 +277,7 @@ object GraphIndex {
       val liveDeltas = deltaSnap
         .filterNot(p => folded0(new java.io.File(p).getName))
       val all = (basePath +: liveDeltas)
-        .map(p => spark.read.parquet(p)
+        .map(p => spark.read.parquet(s"$p/out")
           .select(col("src"), col("dst"), col("w")))
         .reduce(_.unionByName(_))
       // tombstones reset below; bans do NOT — and the physical drop
@@ -259,23 +314,49 @@ object GraphIndex {
   /** Out-neighborhoods of `nodes` (column `node`; extra columns pass
     * through): (…, node, nbr, w) — the weight-sum over base ∪ live
     * deltas, edges incident to a tombstoned node masked (both
-    * endpoints). Reads ONLY the src-bucket dirs the node set touches
-    * (≤ [[NumBuckets]] ints collected — a constant, never
-    * data-sized). Nodes with no surviving out-edges emit no row.
+    * endpoints). Reads ONLY the src-bucket dirs of the `out/` layout
+    * the node set touches (≤ [[NumBuckets]] ints collected — a
+    * constant, never data-sized). Nodes with no surviving out-edges
+    * emit no row.
     */
   def neighbors(spark: SparkSession, nodes: DataFrame,
                 root: String): DataFrame =
-    neighborsCore(spark, nodes, root, materialize = true)
+    probeCore(spark, nodes, root, out = true, materialize = true)
+
+  /** In-neighborhoods of `nodes` — "who points at node": (…, node,
+    * nbr, w) where each served edge is (nbr → node). The reverse
+    * probe a DIRECTED graph needs (followers, citers, inbound
+    * trades); it reads ONLY the dst-bucket dirs of the `in/` mirror
+    * layout the node set touches — same pruning, masking and
+    * [[ProbeCache]] discipline as [[neighbors]], where the r13
+    * single-layout artifact had to scan every bucket.
+    */
+  def inNeighbors(spark: SparkSession, nodes: DataFrame,
+                  root: String): DataFrame =
+    probeCore(spark, nodes, root, out = false, materialize = true)
 
   /** The LAZY plan behind [[neighbors]] — exposed for plan audits
     * (pruning specs assert the static PartitionFilters here).
     */
   private[graft] def neighborsPlan(spark: SparkSession, nodes: DataFrame,
                                    root: String): DataFrame =
-    neighborsCore(spark, nodes, root, materialize = false)
+    probeCore(spark, nodes, root, out = true, materialize = false)
 
-  private def neighborsCore(spark: SparkSession, nodes: DataFrame,
-                            root: String, materialize: Boolean): DataFrame = {
+  /** The LAZY plan behind [[inNeighbors]] — for the mirror's own
+    * pruning audit (static PartitionFilters on the `in/` layout).
+    */
+  private[graft] def inNeighborsPlan(spark: SparkSession, nodes: DataFrame,
+                                     root: String): DataFrame =
+    probeCore(spark, nodes, root, out = false, materialize = false)
+
+  private def probeCore(spark: SparkSession, nodes: DataFrame,
+                        root: String, out: Boolean,
+                        materialize: Boolean): DataFrame = {
+    // which twin serves the probe: out-probes key on src over `out/`,
+    // in-probes on dst over `in/` — each layout is bucketed on ITS
+    // probe key, so the pruning logic is identical
+    val (layout, keyCol, nbrCol) =
+      if (out) ("out", "src", "dst") else ("in", "dst", "src")
     // read-order discipline (SimIndex.probeTopK): tombstones, then the
     // delta listing, then resolve; the folded-sidecar filter drops
     // exactly the dirs a racing merge already folded (double-reading a
@@ -292,7 +373,7 @@ object GraphIndex {
     val touched = ns.select("pbucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val adj0 = (idxPath +: deltaSnap)
-      .map(p => spark.read.parquet(p)
+      .map(p => spark.read.parquet(s"$p/$layout")
         .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*))
         .select(col("pbucket"), col("src"), col("dst"), col("w")))
       .reduce(_.unionByName(_))
@@ -304,9 +385,9 @@ object GraphIndex {
       else live.groupBy("pbucket", "src", "dst").agg(sum("w").as("w"))
     val result = ns
       .join(adj, ns("pbucket") === adj("pbucket") &&
-        ns("node") === adj("src"))
-      .drop("pbucket").drop("src")
-      .withColumnRenamed("dst", "nbr")
+        ns("node") === adj(keyCol))
+      .drop("pbucket").drop(keyCol)
+      .withColumnRenamed(nbrCol, "nbr")
     // node-set × degree bounded (never artifact-sized) — materialize
     // before releasing the node-side cache; see [[ProbeCache]]
     if (materialize) try ProbeCache.materialize(result) finally ns.unpersist()
@@ -329,7 +410,7 @@ object GraphIndex {
     val deltaSnap = deltaSnap0
       .filterNot(p => foldedNames(new java.io.File(p).getName))
     val all = (idxPath +: deltaSnap)
-      .map(p => spark.read.parquet(p).select(col("src"), col("dst"),
+      .map(p => spark.read.parquet(s"$p/out").select(col("src"), col("dst"),
         col("w")))
       .reduce(_.unionByName(_))
     val live = maskBoth(maskBoth(all, ts), bans(spark, root))

@@ -27,10 +27,13 @@ import org.apache.spark.sql.SparkSession
   *     deletion-request ids the family will refuse forever);
   *   - `nRows` / `nBytes` — the head generation's physical footprint
   *     (every parquet dataset under it, layout-agnostic: memo+merges,
-  *     cells, postings, band keys alike).
+  *     cells, postings, band keys, and BOTH twins of a mirrored
+  *     adjacency alike — physical rows, not logical entities).
   *
-  * Cost: filesystem listings plus one count per head-generation
-  * dataset — metadata-scale, safe to run at audit cadence. Reports
+  * Cost: filesystem listings plus parquet FOOTER reads
+  * ([[ParquetFooters]] — one metadata seek per part file, no Spark
+  * job) — metadata-scale at any artifact size, safe at audit
+  * cadence. Reports
   * are point-in-time snapshots (no locks taken): a root mid-commit
   * shows its last committed state, the same read-isolation every
   * probe has.
@@ -65,29 +68,6 @@ object IndexCatalog {
         new java.io.File(f, "_SUCCESS").isFile)
       .toSeq
 
-  /** Every parquet DATASET directory under `dir`: the distinct parent
-    * dirs of its part files (a generation may hold several datasets —
-    * memo/ + merges/, or partition subdirs of one dataset, whose
-    * common parent is the dataset).
-    */
-  private def datasetDirs(dir: java.io.File): Seq[java.io.File] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-      else Seq(f)
-    walk(dir)
-      .filter(f => f.getName.endsWith(".parquet") ||
-        (f.getName.startsWith("part-") && !f.getName.endsWith(".crc")))
-      .map { f =>
-        // partition dirs (k=v) roll up to the dataset root so one
-        // partitioned dataset reads as ONE frame
-        var p = f.getParentFile
-        while (p.getName.contains("=")) p = p.getParentFile
-        p
-      }
-      .distinct
-  }
-
   private def bytesUnder(dir: java.io.File): Long = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory)
@@ -96,19 +76,25 @@ object IndexCatalog {
     walk(dir)
   }
 
-  /** Inspect one family root (see class doc for the fields). */
+  /** Inspect one family root (see class doc for the fields). Every
+    * count is a FOOTER read ([[ParquetFooters]]) or a listing — no
+    * Spark job anywhere, so the "metadata-scale" claim holds at any
+    * artifact size (the r13 finding: `count()` per head-generation
+    * dataset was a cluster pass masquerading as a listing).
+    */
   def inspect(spark: SparkSession, family: String, root: String): Entry = {
     val gen = VersionedDirs.resolve(root)
     val folded = gen.map(ledger(_, "_folded.json")).getOrElse(Set.empty)
     val purged = gen.map(ledger(_, "_purged.json")).getOrElse(Set.empty)
     val pending = deltaDirs(root).filterNot(d => folded(d.getName))
-    val nTomb = Tombstones.get(spark, root).map(_.count()).getOrElse(0L)
-    val nBans = Bans.get(spark, root).map(_.count()).getOrElse(0L)
+    def logRows(name: String): Long =
+      VersionedDirs.resolve(new java.io.File(root, name).getAbsolutePath)
+        .fold(0L)(p => ParquetFooters.rows(new java.io.File(p)))
+    val nTomb = logRows("tombstones")
+    val nBans = logRows("bans")
     val (rows, bytes) = gen.fold((0L, 0L)) { g =>
       val dir = new java.io.File(g)
-      val n = datasetDirs(dir)
-        .map(d => spark.read.parquet(d.getAbsolutePath).count()).sum
-      (n, bytesUnder(dir))
+      (ParquetFooters.rows(dir), bytesUnder(dir))
     }
     Entry(family, root, gen,
       nGenerations = VersionedDirs.versionsOf(root).size,

@@ -268,19 +268,24 @@ object LexIndex {
     // at all (an empty partitioned delta dir would have no parquet
     // footers and break every later read of the append log)
     val bn = bans(docs.sparkSession, root)
+    // batch-scoped cache: the emptiness check and the posting build
+    // are two actions over the same anti-joined frame — persist so
+    // the broadcast gate's batch scan runs once, not twice
     val gated = bn
       .map(b => docs.join(b.select(col("index_id").cast("long").as(id)),
-        Seq(id), "left_anti"))
+        Seq(id), "left_anti").persist())
       .getOrElse(docs)
-    if (bn.isDefined && gated.isEmpty) return idxPath
-    val (rows, dl, tfc) = postingRows(gated, id, text)
     try {
-      rows.repartition(col("pbucket"))
-        .sortWithinPartitions("term")
-        .write.partitionBy("pbucket").mode("overwrite")
-        .parquet(staging.getAbsolutePath)
-      writeStats(dl, staging.getAbsolutePath)
-    } finally tfc.unpersist()
+      if (bn.isDefined && gated.isEmpty) return idxPath
+      val (rows, dl, tfc) = postingRows(gated, id, text)
+      try {
+        rows.repartition(col("pbucket"))
+          .sortWithinPartitions("term")
+          .write.partitionBy("pbucket").mode("overwrite")
+          .parquet(staging.getAbsolutePath)
+        writeStats(dl, staging.getAbsolutePath)
+      } finally tfc.unpersist()
+    } finally if (bn.isDefined) { gated.unpersist(); () }
     // append-time headroom enforcement — the probe-time check's twin:
     // a grown Σdl/N can cross the 9000·dl·N int64 bound BETWEEN
     // publishes, and once an over-bound delta COMMITS, the probe-side

@@ -420,25 +420,30 @@ object PqIndex {
     // commits nothing — an IVFPQ delta is ccell-partitioned, and an
     // empty partitioned dir would break every later read
     val bn = bans(spark, root)
+    // batch-scoped cache: the emptiness check and the encode below are
+    // two actions over the same anti-joined frame — persist so the
+    // broadcast gate's batch scan runs once, not twice
     val gatedCorpus = bn
       .map(b => corpus.join(
         b.select(col("index_id").cast("long").as(id)), Seq(id),
-        "left_anti"))
+        "left_anti").persist())
       .getOrElse(corpus)
-    if (bn.isDefined && gatedCorpus.isEmpty) return idxPath
-    // a by_residual generation's deltas encode residuals against the
-    // SAME frozen coarse centroids + codebooks (pure assign+argmin,
-    // never a Lloyd round — the flat path's frozen-codebook rule)
-    // the frozen permutation applies to every later scaling — a delta
-    // encoded in the unpermuted basis would ADC-score garbage
-    val e = applyPerm(VectorQuantizer.scaled(gatedCorpus, id, vec),
-      permAt(idxPath))
-    val rows =
-      if (residAt(idxPath))
-        codeRowsResidual(residualFrame(e, coarse.get, id),
-          cent, id, m, dsub)
-      else codeRows(e, id, cent, m, dsub, coarse)
-    writeCodes(rows, staging.getAbsolutePath)
+    try {
+      if (bn.isDefined && gatedCorpus.isEmpty) return idxPath
+      // a by_residual generation's deltas encode residuals against the
+      // SAME frozen coarse centroids + codebooks (pure assign+argmin,
+      // never a Lloyd round — the flat path's frozen-codebook rule)
+      // the frozen permutation applies to every later scaling — a delta
+      // encoded in the unpermuted basis would ADC-score garbage
+      val e = applyPerm(VectorQuantizer.scaled(gatedCorpus, id, vec),
+        permAt(idxPath))
+      val rows =
+        if (residAt(idxPath))
+          codeRowsResidual(residualFrame(e, coarse.get, id),
+            cent, id, m, dsub)
+        else codeRows(e, id, cent, m, dsub, coarse)
+      writeCodes(rows, staging.getAbsolutePath)
+    } finally if (bn.isDefined) { gatedCorpus.unpersist(); () }
     val target = new java.io.File(dr,
       s"batch-${java.util.UUID.randomUUID()}")
     require(staging.renameTo(target),

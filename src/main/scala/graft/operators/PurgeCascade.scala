@@ -212,21 +212,29 @@ object PurgeCascade {
     * compaction (or a re-run of this cascade, which is idempotent:
     * re-tombstoning an absent id is a no-op filter) resolves.
     *
-    * `ban = true` is the "forget AND stay forgotten" form: after each
-    * target compacts, the deletion ids also commit to its durable
-    * [[Bans]] log — so a backfill or the identity's later activity
-    * can never re-enter the artifact through any ingestion path (the
+    * `ban = true` is the "forget AND stay forgotten" form: the
+    * deletion ids also commit to each target's durable [[Bans]] log —
+    * so a backfill or the identity's later activity can never
+    * re-enter the artifact through any ingestion path (the
     * q318/q320–q324 closure, one call across the fleet). The ban
-    * lands AFTER the compaction so a cascade crash never leaves ids
-    * banned-but-not-purged; the families without id-keyed state
-    * (bpe, sketch) have a no-op ban by construction.
+    * lands BEFORE the compaction: compaction resets the tombstone
+    * log, so ban-after-compact would leave a window where NEITHER
+    * tombstones nor bans cover the ids — a concurrent streaming batch
+    * re-mentioning them in that window would pass the ingestion gate.
+    * Ban-first closes it (the ids are continuously covered: tombstone
+    * mask until the ban commits, ban gate + mask from then on), and
+    * is equally crash-safe: a crash between ban and compact leaves
+    * ids banned-but-not-yet-scrubbed, which every read path already
+    * masks and the next compaction (or a cascade re-run, idempotent)
+    * physically drops. The families without id-keyed state (bpe,
+    * sketch) have a no-op ban by construction.
     */
   def purge(spark: SparkSession, ids: DataFrame, targets: Seq[Target],
             vacuum: Boolean = false, ban: Boolean = false): Seq[Report] =
     targets.map { t =>
       t.addTombstones(spark, ids)
-      val v = t.compact(spark, ids)
       if (ban) t.addBans(spark, ids)
+      val v = t.compact(spark, ids)
       if (vacuum) t.vacuum()
       Report(t.family, t.root, v)
     }

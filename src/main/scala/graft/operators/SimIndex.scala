@@ -234,17 +234,22 @@ object SimIndex {
     // delta dir would have no parquet footers and break every later
     // read of the append log
     val bn = Bans.get(corpus.sparkSession, root)
+    // batch-scoped cache: the emptiness check and the write below are
+    // two actions over the same anti-joined frame — persist so the
+    // broadcast gate's batch scan runs once, not twice
     val gated = bn
       .map(b => corpus.join(
         b.select(col("index_id").cast("long").as(id)), Seq(id),
-        "left_anti"))
+        "left_anti").persist())
       .getOrElse(corpus)
-    if (bn.isDefined && gated.isEmpty) return genPath
-    keyRows(gated, id, vec, bits, tables)
-      .repartition(col("pbucket"))
-      .sortWithinPartitions("tbl", "bucket")
-      .write.partitionBy("pbucket").mode("overwrite")
-      .parquet(staging.getAbsolutePath)
+    try {
+      if (bn.isDefined && gated.isEmpty) return genPath
+      keyRows(gated, id, vec, bits, tables)
+        .repartition(col("pbucket"))
+        .sortWithinPartitions("tbl", "bucket")
+        .write.partitionBy("pbucket").mode("overwrite")
+        .parquet(staging.getAbsolutePath)
+    } finally if (bn.isDefined) { gated.unpersist(); () }
     require(staging.renameTo(target),
       s"delta append rename failed into $dr")
     target.getAbsolutePath

@@ -35,10 +35,15 @@ private[graft] object Tombstones {
     VersionedDirs.commit(tr) { st => all.write.parquet(st) }
   }
 
-  /** The committed set, if any (empty-after-compact counts as none). */
+  /** The committed set, if any (empty-after-compact counts as none).
+    * The emptiness check reads parquet FOOTER counts (driver-side
+    * metadata, [[ParquetFooters]]) rather than running an `isEmpty`
+    * Spark job — probes call this on every read.
+    */
   def get(spark: SparkSession, indexRoot: String): Option[DataFrame] =
-    VersionedDirs.resolve(root(indexRoot)).map(spark.read.parquet(_))
-      .filter(!_.isEmpty)
+    VersionedDirs.resolve(root(indexRoot))
+      .filter(p => ParquetFooters.rows(new java.io.File(p)) > 0)
+      .map(spark.read.parquet(_))
 
   /** Reset to the empty set (after a compaction folded the deletes). */
   def reset(spark: SparkSession, indexRoot: String): Unit = {

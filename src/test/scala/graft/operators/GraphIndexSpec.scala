@@ -36,13 +36,55 @@ class GraphIndexSpec extends SparkSpec {
   test("neighbors prunes to touched src-bucket directories") {
     val root = Files.createTempDirectory("gidx").toString
     val path = GraphIndex.publish(base, root)
-    val totalDirs = new java.io.File(path).listFiles()
+    val totalDirs = new java.io.File(path, "out").listFiles()
       .count(_.getName.startsWith("pbucket="))
     assert(totalDirs >= 2, "base too small to demonstrate pruning")
     val p = GraphIndex.neighborsPlan(spark, Seq(1L).toDF("node"), root)
       .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*pbucket".r.findFirstIn(p).isDefined,
       s"neighbors scan lost its pbucket partition filter:\n${p.take(1500)}")
+  }
+
+  test("inNeighbors serves the reverse adjacency off the dst-bucketed mirror") {
+    val root = Files.createTempDirectory("gidx").toString
+    // a DIRECTED world (no symmetrization): 1→2, 3→2, 2→4
+    GraphIndex.publish(
+      Seq((1L, 2L, 3L), (3L, 2L, 1L), (2L, 4L, 5L)).toDF("src", "dst", "w"),
+      root)
+    val in = GraphIndex.inNeighbors(spark, Seq(2L, 4L, 9L).toDF("node"), root)
+      .select($"node", $"nbr", $"w").as[(Long, Long, Long)].collect().toSet
+    assert(in == Set((2L, 1L, 3L), (2L, 3L, 1L), (4L, 2L, 5L)),
+      s"reverse probe wrong: $in")
+    // fold + tombstone flow through the mirror identically: purge 3,
+    // fold a new 5→2 edge — the in-probe of 2 must drop 3 and sum 5
+    GraphIndex.fold(spark, Seq((5L, 2L, 2L)).toDF("src", "dst", "w"),
+      root, tag = "b0")
+    GraphIndex.addTombstones(spark, Seq(3L).toDF("node"), "node", root)
+    val in2 = GraphIndex.inNeighbors(spark, Seq(2L).toDF("node"), root)
+      .select($"node", $"nbr", $"w").as[(Long, Long, Long)].collect().toSet
+    assert(in2 == Set((2L, 1L, 3L), (2L, 5L, 2L)),
+      s"mirror probe missed delta or mask: $in2")
+    // the mirror survives compaction (mergeCompact re-emits both twins)
+    GraphIndex.mergeCompact(spark, root)
+    val in3 = GraphIndex.inNeighbors(spark, Seq(2L).toDF("node"), root)
+      .select($"node", $"nbr", $"w").as[(Long, Long, Long)].collect().toSet
+    assert(in3 == in2, s"compaction broke the mirror: $in3")
+  }
+
+  test("inNeighbors prunes to touched dst-bucket directories of the mirror") {
+    val root = Files.createTempDirectory("gidx").toString
+    val path = GraphIndex.publish(base, root)
+    val totalDirs = new java.io.File(path, "in").listFiles()
+      .count(_.getName.startsWith("pbucket="))
+    assert(totalDirs >= 2, "base too small to demonstrate pruning")
+    val p = GraphIndex.inNeighborsPlan(spark, Seq(1L).toDF("node"), root)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pbucket".r.findFirstIn(p).isDefined,
+      s"inNeighbors scan lost its pbucket partition filter:\n${p.take(1500)}")
+    // that the filter targets the MIRROR (not the out layout) is
+    // proven semantically by the parity test above: pruning to
+    // pbucket(hash(node)) over the src-bucketed layout would drop the
+    // in-edges whose src hashes elsewhere
   }
 
   test("fold is O(batch); sums are not idempotent, so a redelivered tag is absorbed") {
@@ -139,10 +181,33 @@ class GraphIndexSpec extends SparkSpec {
       s"banned node re-ingested through a later fold: $got")
     assert(got.contains((1L, 2L, 4L)), "innocent edge in the batch lost")
     // and the delta physically lacks the banned rows (gate, not mask)
-    val delta = spark.read.parquet(GraphIndex.deltas(root).head)
+    val delta = spark.read.parquet(GraphIndex.deltas(root).head + "/out")
       .select($"src", $"dst").as[(Long, Long)].collect().toSet
     assert(delta == Set((1L, 2L), (2L, 1L)),
       s"ban was only masked, not gated at ingestion: $delta")
+  }
+
+  test("an entirely-banned fold commits its tag as a marker delta") {
+    val root = Files.createTempDirectory("gidx").toString
+    GraphIndex.publish(base, root)
+    GraphIndex.addBans(spark, Seq(3L).toDF("node"), "node", root)
+    // every edge of the batch touches the banned node → nothing may
+    // ingest, but the TAG must still commit: an at-least-once caller
+    // (GraphStream) tests folded() to absorb redeliveries, and before
+    // the marker it re-ran the gate (and re-reported "committed")
+    // forever
+    GraphIndex.fold(spark, sym(Seq((3L, 5L, 9L))), root, tag = "gone")
+    assert(GraphIndex.folded(root, "gone"),
+      "fully-gated fold left its tag unrecorded — replays never absorb")
+    // the marker is an EMPTY delta: probes read through it and serve
+    // exactly the banned-masked base
+    val got = nbrSet(1L to 6L, root)
+    assert(got.contains((1L, 2L, 3L)), s"marker delta broke probe reads: $got")
+    assert(!got.exists(r => r._1 == 3L || r._2 == 3L))
+    GraphIndex.mergeCompact(spark, root)
+    assert(GraphIndex.folded(root, "gone"),
+      "marker tag lost by the merge — post-merge replays double-run")
+    assert(GraphIndex.deltas(root).isEmpty)
   }
 
   test("PurgeCascade.graph target runs the tombstone→compact→vacuum chain") {

@@ -113,4 +113,31 @@ class IndexCatalogSpec extends SparkSpec {
       assert(a.nRows <= b.nRows,
         s"${a.family}: rows grew across a purge (${b.nRows} -> ${a.nRows})")
   }
+
+  test("footer-based nRows matches a full count() — the metadata-scale claim, proven") {
+    // a multi-dataset generation (the graph family's out/ + in/
+    // twins, both partitioned) and a partitioned single-dataset one
+    // (dedup): the footer sum must equal the cluster-job answer it
+    // replaced
+    val gRoot = Files.createTempDirectory("catalog").toString
+    GraphIndex.publish(
+      (0 until 30).flatMap(i =>
+        Seq((i.toLong, (i + 1).toLong, 1L), ((i + 1).toLong, i.toLong, 2L)))
+        .toDF("src", "dst", "w"), gRoot)
+    val gGen = GraphIndex.resolve(gRoot).get
+    val gFooter = ParquetFooters.rows(new java.io.File(gGen))
+    val gCount = spark.read.parquet(s"$gGen/out").count() +
+      spark.read.parquet(s"$gGen/in").count()
+    assert(gFooter == gCount && gFooter > 0,
+      s"graph twins: footer $gFooter != count $gCount")
+    val dRoot = Files.createTempDirectory("catalog").toString
+    DedupIndex.publish(
+      Dedup.minhashSignatures(docs, "doc_id", "text", K),
+      "doc_id", BANDS, R, dRoot)
+    val dGen = DedupIndex.resolve(dRoot).get
+    val dFooter = ParquetFooters.rows(new java.io.File(dGen))
+    val dCount = spark.read.parquet(dGen).count()
+    assert(dFooter == dCount && dFooter > 0,
+      s"dedup: footer $dFooter != count $dCount")
+  }
 }
