@@ -15236,8 +15236,56 @@ object PipelineQueries {
     * the shape is one decode pass + two media-keyed aggregations —
     * the q93 family's cost envelope with a second fingerprint column.
     */
+  /** BMP grid height shared by the perceptual-media queries
+    * (q328/q329).
+    */
+  private val PH_H = 4
+
+  /** Decoded BMP pixel grid of a media frame (media_id, orig_id,
+    * text, shift, w): encode REAL bytes via
+    * [[graft.multimodal.Multimodal.bmpBytes]] (the q248 encoder),
+    * then read every pixel back from the BYTES alone (bottom-up rows,
+    * stride padding, B/G/R order — the q248 reader). Output one row
+    * per pixel: (media_id, orig_id, wp, r, c, p, b, g, rr, luma).
+    * Shared by the perceptual fingerprint (q328) and the persisted
+    * perceptual media index (q329).
+    */
+  private def bmpGrid(media: DataFrame): DataFrame = {
+    def pixel(r: Column, c: Column): (Column, Column, Column) = {
+      val cp = ascii(col("text").substr(
+        (pmod(r * col("w") + c, length(col("text")).cast("long")) + 1)
+          .cast("int"), lit(1)))
+      (cp % 64 + 10 + col("shift"), cp % 32 + 20 + col("shift"),
+        cp % 16 + 30 + col("shift"))
+    }
+    media.select(col("media_id"), col("orig_id"),
+        Multimodal.bmpBytes(col("w"), lit(PH_H.toLong), pixel).as("bmp"))
+      .select(col("media_id"), col("orig_id"), col("bmp"),
+        Multimodal.leRead(col("bmp"), lit(19), 4).as("wp"),
+        Multimodal.leRead(col("bmp"), lit(23), 4).as("hp"))
+      .withColumn("row_size", shiftright(col("wp") * 3 + 3, 2) * 4)
+      .select(col("media_id"), col("orig_id"), col("bmp"), col("wp"),
+        col("hp"), col("row_size"),
+        explode(sequence(lit(0L), col("hp") - 1)).as("r"))
+      .select(col("media_id"), col("orig_id"), col("bmp"), col("wp"),
+        col("r"),
+        (lit(54L) + (col("hp") - 1 - col("r")) * col("row_size"))
+          .as("row_base"),
+        explode(sequence(lit(0L), col("wp") - 1)).as("c"))
+      .select(col("media_id"), col("orig_id"), col("wp"), col("r"),
+        col("c"),
+        (col("r") * col("wp") + col("c")).as("p"),
+        Multimodal.leRead(col("bmp"),
+          col("row_base") + col("c") * 3 + 1, 1).as("b"),
+        Multimodal.leRead(col("bmp"),
+          col("row_base") + col("c") * 3 + 2, 1).as("g"),
+        Multimodal.leRead(col("bmp"),
+          col("row_base") + col("c") * 3 + 3, 1).as("rr"))
+      .withColumn("luma", col("rr") * 2 + col("g") * 5 + col("b"))
+  }
+
   val perceptualHash: Q = {
-    val H = 4; val C1 = 1000000L; val C2 = 2000000L; val SH = 8L
+    val H = PH_H; val C1 = 1000000L; val C2 = 2000000L; val SH = 8L
     Q(
       (s, d) => {
         val base = t(s, d, "documents")
@@ -15255,40 +15303,9 @@ object PipelineQueries {
           .unionByName(base.filter(col("doc_id") % 8 === 2)
             .select((col("doc_id") + C2).as("media_id"),
               col("doc_id").as("orig_id"), col("text"), lit(SH).as("shift")))
-        val w = lit(3L) + col("orig_id") % 5
-        def pixel(r: Column, c: Column): (Column, Column, Column) = {
-          val cp = ascii(col("text").substr(
-            (pmod(r * w + c, length(col("text")).cast("long")) + 1)
-              .cast("int"), lit(1)))
-          (cp % 64 + 10 + col("shift"), cp % 32 + 20 + col("shift"),
-            cp % 16 + 30 + col("shift"))
-        }
-        val enc = media.select(col("media_id"), col("orig_id"),
-            Multimodal.bmpBytes(w, lit(H.toLong), pixel).as("bmp"))
-          .select(col("media_id"), col("orig_id"), col("bmp"),
-            Multimodal.leRead(col("bmp"), lit(19), 4).as("wp"),
-            Multimodal.leRead(col("bmp"), lit(23), 4).as("hp"))
-          .withColumn("row_size", shiftright(col("wp") * 3 + 3, 2) * 4)
+          .withColumn("w", lit(3L) + col("orig_id") % 5)
         // decoded pixel grid — from the BYTES, not the generator
-        val grid = enc
-          .select(col("media_id"), col("orig_id"), col("bmp"), col("wp"),
-            col("hp"), col("row_size"),
-            explode(sequence(lit(0L), col("hp") - 1)).as("r"))
-          .select(col("media_id"), col("orig_id"), col("bmp"), col("wp"),
-            col("r"),
-            (lit(54L) + (col("hp") - 1 - col("r")) * col("row_size"))
-              .as("row_base"),
-            explode(sequence(lit(0L), col("wp") - 1)).as("c"))
-          .select(col("media_id"), col("orig_id"), col("wp"),
-            (col("r") * col("wp") + col("c")).as("p"),
-            Multimodal.leRead(col("bmp"),
-              col("row_base") + col("c") * 3 + 1, 1).as("b"),
-            Multimodal.leRead(col("bmp"),
-              col("row_base") + col("c") * 3 + 2, 1).as("g"),
-            Multimodal.leRead(col("bmp"),
-              col("row_base") + col("c") * 3 + 3, 1).as("rr"))
-          .withColumn("luma", col("rr") * 2 + col("g") * 5 + col("b"))
-          .persist()
+        val grid = bmpGrid(media).persist()
         val stats = grid.groupBy("media_id", "orig_id", "wp")
           .agg(sum("luma").as("luma_sum"), count(lit(1)).as("n_px"),
             sum((col("p") + 1) *
@@ -15403,7 +15420,158 @@ object PipelineQueries {
          |ORDER BY bp.arm""".stripMargin)
   }
 
+  /** PERSISTED perceptual media index (q329) — q328's robustness
+    * tier promoted into the index family: the q287 media index's
+    * element universe swapped from exact frame bytes (which an
+    * intensity shift defeats) to PER-ROW perceptual hashes of the
+    * decoded BMP grid. Each media item's element set is its
+    * [[PH_H]] row-wise average-hashes (per-row luma thresholded
+    * against the ROW mean in cross-multiplied integer form — the
+    * q328 invariance argument, row-local), minhash-banded into the
+    * SAME [[graft.operators.DedupIndex]] lifecycle — publish once,
+    * bucket-pruned probe, tombstone/compact/ban all inherited, zero
+    * new index machinery (the q287 doctrine). The judged probe batch
+    * mixes intensity-shifted copies of indexed media (ZERO shared
+    * bytes with their originals — the exact-byte q287 index provably
+    * cannot pair them; their row-hash sets are IDENTICAL, so the
+    * perceptual index must) with genuinely new documents; candidates
+    * are verified by true shared-row-hash count ≥ 3 of 4. Oracle
+    * replays pixels → row hashes → minhash → bands → NEW×INDEX
+    * collisions → verification from the raw table. Scale shape =
+    * q287's: one decode pass per batch, banded signatures, candidate
+    * joins bucket-pruned through the committed artifact.
+    */
+  val mediaPerceptualIndex: Q = {
+    val INDEX_MAX = 400L; val COPY = 1000000L; val SH = 8L
+    val MIN_SHARED = 3L
+    val sigCols = (0 until MH_K)
+      .map(i => s"min(${Hashing.seededSql(i, "s")}) AS h$i")
+      .mkString(",\n    ")
+    val bandRowsSql = (0 until MH_BANDS).map { b =>
+      val key = (0 until MH_R).map(r => s"h${b * MH_R + r}")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, is_new, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .filter(length(col("text")) >= 1)
+        def mediaOf(df: DataFrame, off: Long, shift: Long) =
+          df.select((col("doc_id") + off).as("media_id"),
+              col("doc_id").as("orig_id"), col("text"),
+              lit(shift).as("shift"))
+            .withColumn("w", lit(3L) + col("orig_id") % 5)
+        val idxM = mediaOf(docs.filter(col("doc_id") < INDEX_MAX), 0, 0)
+        val probeM = mediaOf(
+            docs.filter(col("doc_id") < INDEX_MAX &&
+              col("doc_id") % 8 === 2), COPY, SH)
+          .unionByName(mediaOf(docs.filter(col("doc_id") >= INDEX_MAX),
+            0, 0))
+        // the element set: one perceptual hash per image row —
+        // (doc_id, "wp:r:rowhash") strings, the modality-free input
+        // minhash banding needs
+        def rowSets(m: DataFrame): DataFrame = {
+          val g = bmpGrid(m)
+          val rs = g.groupBy("media_id", "r")
+            .agg(sum("luma").as("lsum"), count(lit(1)).as("n"))
+          g.join(rs, Seq("media_id", "r"))
+            .groupBy(col("media_id").as("doc_id"), col("wp"), col("r"))
+            .agg(sum(when(col("luma") * col("n") > col("lsum"),
+              expr("shiftleft(cast(1 as bigint), cast(c as int))"))
+              .otherwise(lit(0L))).as("rh"))
+            .select(col("doc_id"),
+              concat_ws(":", col("wp"), col("r"), col("rh")).as("s"))
+        }
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-media-phash", d, Seq("documents.parquet"))
+        if (DedupIndex.resolve(root).isEmpty)
+          DedupIndex.publish(
+            Dedup.minhashSignaturesOfSets(rowSets(idxM), "doc_id", "s",
+              MH_K),
+            "doc_id", MH_BANDS, MH_R, root)
+        val probeSets = rowSets(probeM)
+        val cand = DedupIndex.probe(s,
+          Dedup.minhashSignaturesOfSets(probeSets, "doc_id", "s", MH_K),
+          "doc_id", MH_BANDS, MH_R, root)
+        cand
+          .join(probeSets.withColumnRenamed("doc_id", "new_id"),
+            Seq("new_id"))
+          .join(rowSets(idxM).withColumnRenamed("doc_id", "index_id"),
+            Seq("index_id", "s"))
+          .groupBy("new_id", "index_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= MIN_SHARED)
+          .orderBy("new_id", "index_id")
+      },
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents
+         |            WHERE length(text) >= 1),
+         |corpus AS (
+         |  SELECT doc_id AS media_id, doc_id AS orig_id, text,
+         |    0::BIGINT AS shift, 0 AS is_new
+         |  FROM d0 WHERE doc_id < $INDEX_MAX
+         |  UNION ALL
+         |  SELECT doc_id + $COPY, doc_id, text, $SH::BIGINT, 1
+         |  FROM d0 WHERE doc_id < $INDEX_MAX AND doc_id % 8 = 2
+         |  UNION ALL
+         |  SELECT doc_id, doc_id, text, 0::BIGINT, 1
+         |  FROM d0 WHERE doc_id >= $INDEX_MAX),
+         |p0 AS (SELECT media_id, orig_id, text, shift, is_new,
+         |         (3 + orig_id % 5)::BIGINT AS w FROM corpus),
+         |g AS (SELECT media_id, text, shift, is_new, w,
+         |        unnest(range(0, $PH_H::BIGINT)) AS r FROM p0),
+         |gc AS (SELECT media_id, text, shift, is_new, w, r,
+         |         unnest(range(0, w)) AS c FROM g),
+         |pv AS (
+         |  SELECT media_id, is_new, w, r, c,
+         |    ascii(substring(text,
+         |      ((r * w + c) % length(text) + 1)::INT, 1)) AS cp,
+         |    shift
+         |  FROM gc),
+         |lm AS (
+         |  SELECT media_id, is_new, w, r, c,
+         |    (cp % 16 + 30 + shift) * 2 + (cp % 32 + 20 + shift) * 5 +
+         |      (cp % 64 + 10 + shift) AS luma
+         |  FROM pv),
+         |rsum AS (
+         |  SELECT media_id, r, sum(luma)::BIGINT AS lsum,
+         |    count(*)::BIGINT AS n
+         |  FROM lm GROUP BY 1, 2),
+         |rh AS (
+         |  SELECT l.media_id, any_value(l.is_new) AS is_new,
+         |    any_value(l.w) AS w, l.r,
+         |    sum(CASE WHEN l.luma * rs.n > rs.lsum
+         |             THEN (1::BIGINT << l.c::INT) ELSE 0 END)::BIGINT
+         |      AS rhash
+         |  FROM lm l JOIN rsum rs
+         |    ON rs.media_id = l.media_id AND rs.r = l.r
+         |  GROUP BY l.media_id, l.r),
+         |el AS (
+         |  SELECT media_id AS doc_id, is_new,
+         |    (w::VARCHAR || ':' || r::VARCHAR || ':' || rhash::VARCHAR)
+         |      AS s
+         |  FROM rh),
+         |sig AS (
+         |  SELECT doc_id, is_new,
+         |    $sigCols
+         |  FROM el GROUP BY doc_id, is_new),
+         |bands AS (
+         |  $bandRowsSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, x.doc_id AS index_id
+         |  FROM bands a JOIN bands x
+         |    ON a.band = x.band AND a.band_key = x.band_key
+         |  WHERE a.is_new = 1 AND x.is_new = 0)
+         |SELECT c.new_id, c.index_id, count(*)::BIGINT AS n_shared
+         |FROM cand c
+         |JOIN el a ON a.doc_id = c.new_id
+         |JOIN el x ON x.doc_id = c.index_id AND x.s = a.s
+         |GROUP BY 1, 2
+         |HAVING count(*) >= $MIN_SHARED
+         |ORDER BY new_id, index_id""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q329_media_phash_index" -> mediaPerceptualIndex,
     "q328_perceptual_hash" -> perceptualHash,
     "q327_knn_graph_ann" -> knnGraphAnn,
     "q326_index_catalog" -> indexCatalogReport,

@@ -69,4 +69,26 @@ class GraphStreamSpec extends SparkSpec {
     assert(!all.exists(r => r._1 == 2L || r._2 == 2L),
       "purged node resurrected through the stream")
   }
+
+  test("a fully-banned batch commits its tag: the redelivery absorbs instead of re-running") {
+    val idxRoot = Files.createTempDirectory("gstr-idx").toString
+    val outRoot = Files.createTempDirectory("gstr-out").toString
+    GraphIndex.publish(sym(Seq((1L, 2L, 3L))), idxRoot)
+    GraphIndex.addBans(spark, Seq(9L).toDF("node"), "node", idxRoot)
+    val gs = new GraphStream(spark, idxRoot, outRoot)
+    // every edge of the batch touches the banned node: nothing may
+    // ingest, but the batch must still COMMIT (census + marker delta)
+    val banned = sym(Seq((9L, 1L, 2L)))
+    assert(gs.processBatch(banned, 0), "first delivery should do work")
+    assert(GraphIndex.folded(idxRoot, "b0"),
+      "fully-gated fold left no tag — the r13 hole: every redelivery " +
+        "re-ran the gate and reported work committed")
+    assert(!gs.processBatch(banned, 0),
+      "redelivery of a fully-banned batch must absorb")
+    // and nothing banned serves
+    val got = GraphIndex.neighbors(spark,
+      Seq(1L, 9L).toDF("node"), idxRoot)
+      .select($"node", $"nbr", $"w").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L)), s"banned edge served: $got")
+  }
 }
