@@ -309,6 +309,108 @@ object GraphIndex {
       path
     }
 
+  /** Purge-ONLY compaction — the bucket-local rewrite the twin
+    * layouts exist to enable: physically drop every row incident to
+    * a tombstoned node by REWRITING ONLY the bucket dirs that can
+    * hold an affected row and carrying every untouched bucket into
+    * the new generation as a verbatim file copy (a server-side copy
+    * on an object store — never a read-decode-write of its rows).
+    *
+    * Which buckets can hold affected rows is answered by the MIRROR:
+    * in `out/`, tombstoned SRC rows live in pbucket(T), and
+    * tombstoned-DST rows live in pbucket(src) of exactly the edges
+    * the `in/` layout serves at T's buckets — so one bucket-pruned
+    * probe per layout yields the touched-bucket set (≤ [[NumBuckets]]
+    * ints, collected), and the r13 full-artifact scan becomes
+    * O(deg(T) probe + touched-bucket rewrite + untouched-file copy).
+    * At GDPR cadence against a 100 TB artifact that is the
+    * difference between a cluster pass and a surgical rewrite.
+    *
+    * Scope: tombstones only. Live deltas fall back to
+    * [[mergeCompact]] (their rows live outside the bucket layout
+    * this rewrite prunes); banned rows in UNtouched buckets stay
+    * physical (they are masked on every read path and scrubbed by
+    * the next full merge — the ban contract needs the gate + mask,
+    * not eager bytes). Resets the tombstone log like any compaction.
+    */
+  def purgeCompact(spark: SparkSession, root: String): String =
+    synchronized {
+      val ts = tombstones(spark, root)
+      val basePath = resolve(root).getOrElse(
+        throw new IllegalStateException(s"no committed index under $root"))
+      if (ts.isEmpty) return basePath
+      val folded0 = foldedOf(basePath)
+      val liveDeltas = deltas(root)
+        .filterNot(p => foldedOf(basePath)(new java.io.File(p).getName))
+      if (liveDeltas.nonEmpty) return mergeCompact(spark, root)
+      val t = ts.get.select(col("index_id").cast("long").as("tid"))
+      val tBuckets = t.select(pbucketOf(col("tid")).as("pb")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      // counterpart buckets per layout, via one pruned probe of the
+      // OTHER twin: every edge with a tombstoned endpoint names the
+      // bucket it occupies on the far side
+      def farBuckets(layout: String, keyCol: String,
+                     otherCol: String): Set[Int] =
+        spark.read.parquet(s"$basePath/$layout")
+          .filter(col("pbucket")
+            .isin(tBuckets.toSeq.sorted.map(Int.box): _*))
+          .join(t.withColumnRenamed("tid", keyCol), Seq(keyCol),
+            "leftsemi")
+          .select(pbucketOf(col(otherCol)).as("pb")).distinct()
+          .collect().map(_.getInt(0)).toSet
+      // out/ touched: T's own src buckets + the src buckets of every
+      // dst∈T edge (found through in/); in/ symmetric
+      val outTouched = tBuckets ++ farBuckets("in", "dst", "src")
+      val inTouched = tBuckets ++ farBuckets("out", "src", "dst")
+      val path = VersionedDirs.commit(root) { st =>
+        def rewriteLayout(layout: String, touched: Set[Int]): Unit = {
+          val src = new java.io.File(s"$basePath/$layout")
+          val dst = new java.io.File(s"$st/$layout")
+          dst.mkdirs()
+          if (touched.nonEmpty)
+            maskBoth(
+              spark.read.parquet(src.getAbsolutePath)
+                .filter(col("pbucket")
+                  .isin(touched.toSeq.sorted.map(Int.box): _*))
+                .select(col("src"), col("dst"), col("w"),
+                  col("pbucket")),
+              Some(t.withColumnRenamed("tid", "index_id")))
+              .repartition(col("pbucket"))
+              .write.partitionBy("pbucket").mode("append")
+              .parquet(dst.getAbsolutePath)
+          // untouched buckets: verbatim file copies — no row ever
+          // decoded
+          Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+            .filter(f => f.isDirectory && f.getName.startsWith("pbucket="))
+            .filterNot(f =>
+              touched(f.getName.stripPrefix("pbucket=").toInt))
+            .foreach { bdir =>
+              val out = new java.io.File(dst, bdir.getName)
+              out.mkdirs()
+              Option(bdir.listFiles()).getOrElse(Array.empty[java.io.File])
+                .filter(_.isFile).foreach { f =>
+                  java.nio.file.Files.copy(f.toPath,
+                    new java.io.File(out, f.getName).toPath)
+                  ()
+                }
+            }
+        }
+        rewriteLayout("out", outTouched)
+        rewriteLayout("in", inTouched)
+        // fold ledger carries forward unchanged — no delta consumed
+        if (folded0.nonEmpty)
+          java.nio.file.Files.writeString(
+            new java.io.File(st, "_folded.json").toPath,
+            folded0.toSeq.sorted.map(n => s""""$n"""")
+              .mkString("[", ",", "]"))
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(st, "_SUCCESS"))
+        ()
+      }
+      Tombstones.reset(spark, root)
+      path
+    }
+
   // ------------------------------------------------------ probes
 
   /** Out-neighborhoods of `nodes` (column `node`; extra columns pass

@@ -13935,6 +13935,73 @@ object PipelineQueries {
        |  AND (a.v - $GOFF) % 13 <> 2
        |ORDER BY node, nbr""".stripMargin)
 
+  /** BUCKET-LOCAL purge compaction judged (q330) — the scale form of
+    * the graph family's GDPR rewrite, enabled by the q325 mirror:
+    * [[GraphIndex.purgeCompact]] finds the touched-bucket set of each
+    * twin through ONE pruned probe of the OTHER twin (every edge with
+    * a tombstoned endpoint names the bucket it occupies on the far
+    * side), rewrites only those dirs, and carries every untouched
+    * bucket into the new generation as a verbatim file copy — at
+    * 100 TB a surgical rewrite instead of the r13 full-artifact pass.
+    * Judged on the directed trade world through BOTH probe
+    * directions off the compacted generation (arm 1: customers'
+    * out-lists must have forgotten the purged suppliers; arm 2:
+    * suppliers' in-lists the purged customers) — the oracle's
+    * never-ingested replay catches a row that a wrongly-skipped
+    * bucket would have retained, on either side. The spec pins the
+    * bucket-locality itself (untouched dirs byte-listed identical).
+    */
+  val graphPurgeLocal: Q = Q(
+    (s, d) => {
+      val root = graft.sources.Artifacts.versionedRoot(
+        "graft-graph-plocal", d, Seq("lineitem.parquet", "orders.parquet"),
+        logicVersion = 2)
+      if (GraphIndex.resolve(root).isEmpty) {
+        GraphIndex.publish(
+          tradeEdgesDirected(s, d, expr("o_orderkey % 10 < 8")), root)
+        GraphIndex.addTombstones(s,
+          t(s, d, "customer").filter(col("c_custkey") % 11 === 4)
+            .select(col("c_custkey").cast("long").as("node"))
+            .unionByName(t(s, d, "supplier")
+              .filter(col("s_suppkey") % 9 === 3)
+              .select((col("s_suppkey") + GOFF).cast("long").as("node"))),
+          "node", root)
+        GraphIndex.purgeCompact(s, root)
+      }
+      val custProbe = t(s, d, "customer")
+        .filter(col("c_custkey") % 17 === 0)
+        .select(col("c_custkey").cast("long").as("node"))
+      val suppProbe = t(s, d, "supplier")
+        .filter(col("s_suppkey") % 9 === 0)
+        .select((col("s_suppkey") + GOFF).cast("long").as("node"))
+      GraphIndex.neighbors(s, custProbe, root)
+        .select(lit("1_out").as("arm"), col("node"), col("nbr"), col("w"))
+        .unionByName(GraphIndex.inNeighbors(s, suppProbe, root)
+          .select(lit("2_in").as("arm"), col("node"), col("nbr"),
+            col("w")))
+        .orderBy("arm", "node", "nbr")
+    },
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o.o_custkey::BIGINT AS u,
+       |    (l.l_suppkey + $GOFF)::BIGINT AS v, o.o_orderkey AS ok
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE o.o_orderkey % 10 < 8),
+       |e AS (
+       |  SELECT u, v, count(*)::BIGINT AS w FROM e0
+       |  WHERE u % 11 <> 4 AND (v - $GOFF) % 9 <> 3
+       |  GROUP BY u, v),
+       |co AS (SELECT c_custkey::BIGINT AS node FROM customer
+       |       WHERE c_custkey % 17 = 0),
+       |sp AS (SELECT (s_suppkey + $GOFF)::BIGINT AS node FROM supplier
+       |       WHERE s_suppkey % 9 = 0)
+       |SELECT * FROM (
+       |  SELECT '1_out' AS arm, p.node, a.v AS nbr, a.w
+       |  FROM co p JOIN e a ON a.u = p.node
+       |  UNION ALL
+       |  SELECT '2_in', p.node, a.u, a.w
+       |  FROM sp p JOIN e a ON a.v = p.node) z
+       |ORDER BY arm, node, nbr""".stripMargin)
+
   /** Streaming connectivity gate across a PURGE boundary (q315) — the
     * streaming × delete cell for the graph family, completing the
     * matrix's eighth row: batch 0's endpoints are degree-censused
@@ -15571,6 +15638,7 @@ object PipelineQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q330_graph_purge_local" -> graphPurgeLocal,
     "q329_media_phash_index" -> mediaPerceptualIndex,
     "q328_perceptual_hash" -> perceptualHash,
     "q327_knn_graph_ann" -> knnGraphAnn,

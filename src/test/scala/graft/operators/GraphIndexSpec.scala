@@ -210,6 +210,64 @@ class GraphIndexSpec extends SparkSpec {
     assert(GraphIndex.deltas(root).isEmpty)
   }
 
+  test("purgeCompact rewrites only touched buckets; untouched dirs are verbatim copies") {
+    val root = Files.createTempDirectory("gidx").toString
+    // a chain long enough to populate many src/dst buckets
+    val edges = sym((0 until 200).map(i => (i.toLong, (i + 1).toLong, 1L)))
+    val oldGen = GraphIndex.publish(edges, root)
+    GraphIndex.addTombstones(spark, Seq(7L).toDF("node"), "node", root)
+    val newGen = GraphIndex.purgeCompact(spark, root)
+    assert(newGen != oldGen)
+    assert(GraphIndex.tombstones(spark, root).isEmpty,
+      "purgeCompact must reset the tombstone log")
+    // parity with the never-ingested world, BOTH probe directions
+    val fresh = Files.createTempDirectory("gidx").toString
+    GraphIndex.publish(edges.filter($"src" =!= 7L && $"dst" =!= 7L), fresh)
+    assert(nbrSet(0L to 20L, root) == nbrSet(0L to 20L, fresh))
+    def inSet(r: String) = GraphIndex
+      .inNeighbors(spark, (0L to 20L).toDF("node"), r)
+      .select($"node", $"nbr", $"w").as[(Long, Long, Long)].collect().toSet
+    assert(inSet(root) == inSet(fresh), "the in/ mirror missed the purge")
+    // bucket-locality: most bucket dirs must be VERBATIM copies of
+    // the old generation (same file names and sizes), and at least
+    // one (the purged node's) must differ
+    for (layout <- Seq("out", "in")) {
+      def listing(gen: String) =
+        Option(new java.io.File(gen, layout).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith("pbucket="))
+          .map { d =>
+            d.getName -> Option(d.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isFile && !f.getName.endsWith(".crc"))
+              .map(f => (f.getName, f.length())).toSet
+          }.toMap
+      val before = listing(oldGen); val after = listing(newGen)
+      val copied = after.keySet.intersect(before.keySet)
+        .count(k => before(k) == after(k))
+      val changed = after.keySet.union(before.keySet)
+        .count(k => before.get(k) != after.get(k))
+      assert(copied > 0,
+        s"$layout: no bucket carried verbatim — the rewrite was not " +
+          s"bucket-local (copied=$copied changed=$changed)")
+      assert(changed > 0 && changed < before.size,
+        s"$layout: expected a strict subset of buckets rewritten, " +
+          s"got changed=$changed of ${before.size}")
+    }
+  }
+
+  test("purgeCompact with live deltas falls back to the full merge") {
+    val root = Files.createTempDirectory("gidx").toString
+    GraphIndex.publish(base, root)
+    GraphIndex.fold(spark, delta, root, tag = "b0")
+    GraphIndex.addTombstones(spark, Seq(3L).toDF("node"), "node", root)
+    GraphIndex.purgeCompact(spark, root)
+    assert(GraphIndex.deltas(root).isEmpty, "fallback merge must fold the log")
+    val fresh = Files.createTempDirectory("gidx").toString
+    GraphIndex.publish(base.unionByName(delta)
+      .filter($"src" =!= 3L && $"dst" =!= 3L), fresh)
+    assert(nbrSet(1L to 6L, root) == nbrSet(1L to 6L, fresh))
+  }
+
   test("PurgeCascade.graph target runs the tombstone→compact→vacuum chain") {
     val root = Files.createTempDirectory("gidx").toString
     GraphIndex.publish(base, root)
