@@ -548,10 +548,13 @@ object GraphIndex {
     * artifact is read k times over frontier-touched buckets only,
     * never whole — and each frontier is materialized (lineage-severed)
     * so round r+1's plan never re-derives rounds 1..r (the
-    * [[PageRank]] iterative-join discipline).
+    * [[PageRank]] iterative-join discipline). `out = false` walks
+    * edges BACKWARD through the `in/` mirror — "ancestors within k"
+    * (provenance, influence upstream of u) with the same per-hop
+    * pruning, which the r13 single layout could not localize.
     */
   def khop(spark: SparkSession, roots: DataFrame, k: Int,
-           root: String): DataFrame = {
+           root: String, out: Boolean = true): DataFrame = {
     var acc = ProbeCache.materialize(
       roots.select(col("node").cast("long").as("root"))
         .distinct()
@@ -559,7 +562,7 @@ object GraphIndex {
     var frontier = acc
     for (i <- 1 to k) {
       if (!frontier.isEmpty) {
-        val nb = neighbors(spark,
+        val nb = (if (out) neighbors _ else inNeighbors _)(spark,
           frontier.select(col("root"), col("node")), root)
         val next = ProbeCache.materialize(
           nb.select(col("root"), col("nbr").as("node")).distinct()

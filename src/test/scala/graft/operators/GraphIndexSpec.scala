@@ -164,6 +164,24 @@ class GraphIndexSpec extends SparkSpec {
       "khop traversed through a tombstoned node")
   }
 
+  test("reverse khop walks ancestors through the mirror") {
+    val root = Files.createTempDirectory("gidx").toString
+    // directed chain 1→2→3→4 plus a side feeder 9→3
+    GraphIndex.publish(
+      Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (9L, 3L, 1L))
+        .toDF("src", "dst", "w"), root)
+    val up = GraphIndex.khop(spark, Seq(4L).toDF("node"), 2, root,
+        out = false)
+      .as[(Long, Long, Long)].collect().toSet
+    // ancestors of 4 within 2 hops: 3 at 1; 2 and 9 at 2
+    assert(up == Set((4L, 4L, 0L), (4L, 3L, 1L), (4L, 2L, 2L),
+      (4L, 9L, 2L)), s"reverse reach wrong: $up")
+    // forward khop over the same artifact is unchanged
+    val down = GraphIndex.khop(spark, Seq(1L).toDF("node"), 2, root)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(down == Set((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L)))
+  }
+
   test("bans survive compaction and gate re-ingestion at fold") {
     val root = Files.createTempDirectory("gidx").toString
     GraphIndex.publish(base, root)
