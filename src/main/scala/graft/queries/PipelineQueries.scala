@@ -15637,7 +15637,224 @@ object PipelineQueries {
          |ORDER BY new_id, index_id""".stripMargin)
   }
 
+  /** Graph-ANN purge closure (q331) — the compliance burden of the
+    * q327 serving path: when a vector's owner is forgotten, the kNN
+    * graph must forget it BOTH as a retrievable result AND as a
+    * ROUTING hop (an edge through a purged node would keep steering
+    * queries by a deleted user's data). The chain: build the q327
+    * kNN artifact on the full corpus, tombstone a vector slice
+    * (including one ENTRY point), compact with the bucket-local
+    * [[GraphIndex.purgeCompact]] (q330's surgical rewrite — every
+    * incident edge physically gone, both twins), then run the SAME
+    * beam search against the compacted generation. Judged: recall@10
+    * vs the SURVIVOR truth at beam 8 plus an explicit
+    * served-purged-ids counter (structurally zero — the artifact has
+    * no row to discover them through, and the purged entry simply
+    * drops from round 0). The oracle replays the full-corpus kNN
+    * build, masks T's incident edges (exactly the physical drop),
+    * masks the entry set, and re-walks the three beam rounds — a
+    * routing difference on either side breaks the hash.
+    */
+  val knnGraphPurge: Q = {
+    val INDEX_MAX = 400L; val Q_MAX = 420L; val NQ = Q_MAX - INDEX_MAX
+    val M_KNN = 6; val ROUNDS = 3; val K = 10; val B = 8
+    val ENT_MOD = 50L
+    // the deletion slice: a 4% id rule PLUS entry node 100 (so the
+    // entry-point drop is exercised, not just leaf retrieval)
+    val delSql = "(vec_id % 25 = 7 OR vec_id = 100)"
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def isDel(c: Column): Column = c % 25 === 7 || c === 100
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val eAll = VectorQuantizer.scaled(
+          emb.filter(col("vec_id") < Q_MAX), "vec_id", "embedding")
+          .persist()
+        val eIdx = eAll.filter(col("vec_id") < INDEX_MAX)
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-knn-purge", d, Seq("embeddings.parquet"))
+        if (GraphIndex.resolve(root).isEmpty) {
+          // the q327 build, on the FULL pre-purge corpus (edges are
+          // frozen-as-built; the purge drops incident rows, it never
+          // re-derives the graph — the family rule)
+          val cent = VectorQuantizer.fitCentroids(
+            eIdx, "vec_id", KM_C, KM_ITERS)
+          val cells = VectorQuantizer.assignCells(eIdx, cent, "vec_id")
+          val xs = eIdx.select(col("vec_id"), col("xs"))
+          val pairs = cells.as("a")
+            .join(cells.as("b"), col("a.cell") === col("b.cell") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+            .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+            .join(xs.select(col("vec_id").as("u"), col("xs").as("xu")), "u")
+            .join(xs.select(col("vec_id").as("v"), col("xs").as("xv")), "v")
+            .select(col("u"), col("v"),
+              VectorQuantizer.l2DistSq(col("xu"), col("xv")).as("d2"))
+          val knn = pairs.withColumn("rnk", row_number().over(
+              Window.partitionBy("u").orderBy(col("d2"), col("v"))))
+            .filter(col("rnk") <= M_KNN)
+            .select(col("u"), col("v"))
+          GraphIndex.publish(
+            knn.select(col("u").as("src"), col("v").as("dst"))
+              .unionByName(knn.select(col("v").as("src"),
+                col("u").as("dst")))
+              .distinct()
+              .withColumn("w", lit(1L)),
+            root)
+          // the forget: tombstone the slice, compact bucket-locally
+          GraphIndex.addTombstones(s,
+            eIdx.select(col("vec_id").as("node")).filter(isDel(col("node"))),
+            "node", root)
+          GraphIndex.purgeCompact(s, root)
+        }
+        val qxs = eAll.filter(col("vec_id") >= INDEX_MAX)
+          .select(col("vec_id").as("query_id"), col("xs").as("qx"))
+        val ixs = eIdx.select(col("vec_id").as("node"), col("xs").as("nx"))
+        val survivors = ixs.filter(!isDel(col("node")))
+        def score(cand: DataFrame): DataFrame =
+          cand.join(ixs, "node").join(qxs, "query_id")
+            .select(col("query_id"), col("node"),
+              VectorQuantizer.l2DistSq(col("qx"), col("nx")).as("d2"))
+        def topPerQuery(scored: DataFrame, n: Int): DataFrame =
+          scored.withColumn("rnk", row_number().over(
+              Window.partitionBy("query_id").orderBy(col("d2"), col("node"))))
+            .filter(col("rnk") <= n)
+            .select(col("query_id"), col("node"))
+        val truth = topPerQuery(
+          qxs.crossJoin(survivors).select(col("query_id"), col("node"),
+            VectorQuantizer.l2DistSq(col("qx"), col("nx")).as("d2")), K)
+          .withColumn("hit", lit(1L))
+        val entries = survivors.filter(col("node") % ENT_MOD === 0)
+          .select("node")
+        var visited = graft.operators.ProbeCache.materialize(
+          score(qxs.select("query_id").crossJoin(entries)))
+        var frontier = graft.operators.ProbeCache.materialize(
+          topPerQuery(visited, B))
+        for (_ <- 1 to ROUNDS) {
+          if (!frontier.isEmpty) {
+            val nb = GraphIndex.neighbors(s, frontier, root)
+            val fresh = nb
+              .select(col("query_id"), col("nbr").as("node")).distinct()
+              .join(visited.select("query_id", "node"),
+                Seq("query_id", "node"), "left_anti")
+            val newV = graft.operators.ProbeCache.materialize(score(fresh))
+            visited = visited.unionByName(newV)
+            frontier = graft.operators.ProbeCache.materialize(
+              topPerQuery(newV, B))
+          }
+        }
+        topPerQuery(visited, K)
+          .join(truth, Seq("query_id", "node"), "left")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+            sum(when(isDel(col("node")), 1L).otherwise(0L))
+              .as("n_purged_served"))
+          .withColumn("recall_ppm",
+            expr(s"n_hit * 1000000 div (${NQ * K})"))
+          .select("n_pairs", "n_hit", "n_purged_served", "recall_ppm")
+      }, {
+        val rounds = (1 to ROUNDS).map { r =>
+          s"""n$r AS (
+             |  SELECT DISTINCT f.query_id, g.dst AS node
+             |  FROM f${r - 1} f JOIN gm g ON g.src = f.node
+             |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} v
+             |                    WHERE v.query_id = f.query_id
+             |                      AND v.node = g.dst)),
+             |v$r AS (
+             |  SELECT query_id, node, d2 FROM v${r - 1}
+             |  UNION ALL
+             |  SELECT n.query_id, n.node, q.d2
+             |  FROM n$r n JOIN qd q
+             |    ON q.query_id = n.query_id AND q.node = n.node),
+             |f$r AS (
+             |  SELECT query_id, node FROM (
+             |    SELECT n.query_id, n.node,
+             |      row_number() OVER (PARTITION BY n.query_id
+             |                         ORDER BY q.d2, n.node) AS rnk
+             |    FROM n$r n JOIN qd q
+             |      ON q.query_id = n.query_id AND q.node = n.node) z
+             |  WHERE rnk <= $B)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${kmeansCtes(fitPred = s"e.vec_id < $INDEX_MAX")},
+           |fa AS (
+           |  SELECT e.vec_id, c.cell,
+           |    sum((e.xs - c.cs) * (e.xs - c.cs)) AS d2
+           |  FROM e JOIN c$KM_ITERS c USING (dim)
+           |  WHERE e.vec_id < $INDEX_MAX
+           |  GROUP BY e.vec_id, c.cell),
+           |ca AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |      row_number() OVER (PARTITION BY vec_id
+           |                         ORDER BY d2, cell) AS rnk
+           |    FROM fa) z WHERE rnk = 1),
+           |pd AS (
+           |  SELECT a.vec_id AS u, b.vec_id AS v,
+           |    sum((ea.xs - eb.xs) * (ea.xs - eb.xs)) AS d2
+           |  FROM ca a JOIN ca b ON a.cell = b.cell
+           |    AND a.vec_id <> b.vec_id
+           |  JOIN e ea ON ea.vec_id = a.vec_id
+           |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim
+           |  GROUP BY 1, 2),
+           |knn AS (
+           |  SELECT u, v FROM (
+           |    SELECT u, v,
+           |      row_number() OVER (PARTITION BY u ORDER BY d2, v) AS rnk
+           |    FROM pd) z WHERE rnk <= $M_KNN),
+           |g AS (SELECT u AS src, v AS dst FROM knn
+           |      UNION SELECT v, u FROM knn),
+           |del AS (SELECT DISTINCT vec_id FROM e
+           |        WHERE vec_id < $INDEX_MAX AND $delSql),
+           |gm AS (
+           |  SELECT src, dst FROM g
+           |  WHERE src NOT IN (SELECT vec_id FROM del)
+           |    AND dst NOT IN (SELECT vec_id FROM del)),
+           |qd AS (
+           |  SELECT q.vec_id AS query_id, x.vec_id AS node,
+           |    sum((q.xs - x.xs) * (q.xs - x.xs)) AS d2
+           |  FROM e q JOIN e x ON q.dim = x.dim AND x.vec_id < $INDEX_MAX
+           |  WHERE q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX
+           |    AND x.vec_id NOT IN (SELECT vec_id FROM del)
+           |  GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT query_id, node FROM (
+           |    SELECT query_id, node,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY d2, node) AS rnk
+           |    FROM qd) z WHERE rnk <= $K),
+           |ent AS (SELECT DISTINCT vec_id AS node FROM e
+           |        WHERE vec_id < $INDEX_MAX AND vec_id % $ENT_MOD = 0
+           |          AND NOT $delSql),
+           |v0 AS (
+           |  SELECT qd.query_id, qd.node, qd.d2
+           |  FROM qd JOIN ent ON qd.node = ent.node),
+           |f0 AS (
+           |  SELECT query_id, node FROM (
+           |    SELECT query_id, node,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY d2, node) AS rnk
+           |    FROM v0) z WHERE rnk <= $B),
+           |$rounds,
+           |res AS (
+           |  SELECT query_id, node FROM (
+           |    SELECT query_id, node,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY d2, node) AS rnk
+           |    FROM v$ROUNDS) z WHERE rnk <= $K)
+           |SELECT count(*)::BIGINT AS n_pairs,
+           |  sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_hit,
+           |  sum(CASE WHEN r.node % 25 = 7 OR r.node = 100
+           |           THEN 1 ELSE 0 END)::BIGINT AS n_purged_served,
+           |  (sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    * 1000000 // ${NQ * K})::BIGINT AS recall_ppm
+           |FROM res r LEFT JOIN truth t
+           |  ON t.query_id = r.query_id AND t.node = r.node""".stripMargin
+      })
+  }
+
   val all: Map[String, Q] = Map(
+    "q331_knn_graph_purge" -> knnGraphPurge,
     "q330_graph_purge_local" -> graphPurgeLocal,
     "q329_media_phash_index" -> mediaPerceptualIndex,
     "q328_perceptual_hash" -> perceptualHash,
