@@ -15556,7 +15556,9 @@ object PipelineQueries {
             Dedup.minhashSignaturesOfSets(rowSets(idxM), "doc_id", "s",
               MH_K),
             "doc_id", MH_BANDS, MH_R, root)
-        val probeSets = rowSets(probeM)
+        // the probe batch's row sets feed BOTH the signature banding
+        // and the verification join — one decode pass, not two
+        val probeSets = rowSets(probeM).persist()
         val cand = DedupIndex.probe(s,
           Dedup.minhashSignaturesOfSets(probeSets, "doc_id", "s", MH_K),
           "doc_id", MH_BANDS, MH_R, root)
