@@ -14131,6 +14131,63 @@ object PipelineQueries {
          |ORDER BY rank_units DESC, node LIMIT $K""".stripMargin)
   }
 
+  /** Weighted shortest paths OVER the committed artifact (q332) —
+    * the third artifact → analytics composition beside q313 (BFS
+    * k-hop) and q316 (PageRank), completing the traversal set a graph
+    * serving layer owes its callers: [[graft.operators
+    * .ShortestPaths]]' bounded Bellman-Ford (q154's exact-integer
+    * relaxation) runs on [[GraphIndex.edges]] — base ∪ live delta
+    * weight-sums under the UNCOMPACTED two-sided tombstone mask,
+    * q316's shared root, so the artifact publishes once for both
+    * analytics. Edge cost is the affinity form (w' = max(1, 12 −
+    * served_weight)): the SERVED weight is what prices the route, so
+    * a fold that double-counted a delta or a mask that leaked a
+    * purged customer would reprice paths corpus-wide — the oracle
+    * replays the survivor world's weights and unrolls the identical
+    * relaxation rounds, so either failure breaks the hash. At 100 TB:
+    * the edge derivation is the artifact's publish cost; each
+    * relaxation round is one node-keyed join + one min-aggregate,
+    * map-side combinable, lineage held O(1) by per-round checkpoints.
+    */
+  val graphSssp: Q = {
+    val H = 4; val SRC = 1L; val K = 50
+    def round(i: Int): String =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(dist)::BIGINT AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT em.dst AS node, d.dist + em.w AS dist
+         |    FROM d${i - 1} d JOIN em ON em.src = d.node) u
+         |  GROUP BY node)"""
+    Q(
+      (s, d) => {
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-graph-pr", d, Seq("lineitem.parquet", "orders.parquet"),
+          logicVersion = 2)
+        if (GraphIndex.resolve(root).isEmpty) {
+          GraphIndex.publish(tradeEdges(s, d, expr(G_BASE)), root)
+          GraphIndex.fold(s, tradeEdges(s, d, expr(G_B0)), root, tag = "b0")
+          GraphIndex.addTombstones(s,
+            t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+              .select(col("c_custkey").cast("long").as("node")),
+            "node", root)
+        }
+        val e = GraphIndex.edges(s, root)
+          .select(col("src"), col("dst"),
+            greatest(lit(1L), lit(12L) - col("w")).as("w"))
+        graft.operators.ShortestPaths.distances(e, "src", "dst", "w",
+            SRC, H)
+          .orderBy(col("dist"), col("node")).limit(K)
+      },
+      s"""WITH ${tradeAdjSql(
+             "o.o_orderkey % 10 < 8 AND o.o_custkey % 7 <> 0")},
+         |em AS (SELECT src, dst, greatest(1, 12 - w)::BIGINT AS w
+         |       FROM adj),
+         |d0(node, dist) AS (VALUES (${SRC}::BIGINT, 0::BIGINT)),
+         |${(1 to H).map(round).mkString(",\n")}
+         |SELECT node, dist FROM d$H ORDER BY dist, node LIMIT $K""".stripMargin)
+  }
+
   /** Variance-balanced subspace allocation for PQ (q317) — the
     * dimension-PERMUTATION member of the OPQ family (Ge et al.,
     * "Optimized Product Quantization", CVPR 2013 — their natural
@@ -15856,6 +15913,7 @@ object PipelineQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q332_graph_sssp" -> graphSssp,
     "q331_knn_graph_purge" -> knnGraphPurge,
     "q330_graph_purge_local" -> graphPurgeLocal,
     "q329_media_phash_index" -> mediaPerceptualIndex,

@@ -32,6 +32,8 @@ class PlanAuditSpec extends SparkSpec {
       "q119_leak_safe_split", // q46's CC rounds run at build (same machinery)
       "q152_bfs_hops", // per-hop localCheckpoint (BfsSpec audits semantics)
       "q154_cheapest_nodes", // per-round localCheckpoint (ShortestPathsSpec)
+      "q332_graph_sssp", // q154's relaxation rounds over the served
+                         // artifact — per-round localCheckpoint at build
       "q153_er_pipeline", // CC rounds run at build (same machinery as q46)
       "q160_kcore", // per-round localCheckpoint + count (KCoreSpec audits)
       "q201_textrank", // PageRank rounds run at build (same machinery as q70)
