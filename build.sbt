@@ -40,5 +40,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default on the 128 GiB box: a 332-query × 3-iteration bench
+  // accumulates status-store/broadcast/codegen residue faster than
+  // the cleaner drains it, and an 8g heap put the late-suite
+  // alphabetical tail under GC pressure on the contended driver runs
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -47,6 +47,15 @@ object Bench {
       .config("spark.sql.ui.retainedExecutions", "10")
       .config("spark.worker.ui.retainedExecutors", "10")
       .config("spark.worker.ui.retainedDrivers", "10")
+      // shuffle cleanup is the one ContextCleaner path that is async
+      // by default: a 332-query × 3-iteration suite leaves thousands
+      // of ShuffleStatus entries (driver heap) + spill files (disk)
+      // whose removal otherwise queues behind the cleaner thread.
+      // Blocking keeps the backlog at zero so no query pays for its
+      // predecessors' shuffles (the r13/r14 driver-bench q148
+      // pathology: 111 s in-suite vs 2.4 s isolated on identical
+      // code/data — accumulated suite state, not the plan).
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: first-action session costs (codegen compiler,
@@ -88,11 +97,27 @@ object Bench {
     // cost, one 15 s spike over two 3 s runs is box noise. The r9
     // q148 staircase diagnosis needed exactly this and didn't have it.
     val iterTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // per-iteration GC seconds INSIDE each timed window (DETAIL only):
+    // the r13/r14 driver-bench q148 anomaly (111 s in-suite, 2.4 s
+    // isolated, identical code/data/artifact) is unattributable from
+    // wall times alone — if the collector owns the gap, these say so
+    // in the next driver artifact instead of needing another round of
+    // guessing
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s
+    }
+    val gcTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = selected.map { case (name, fn) =>
       // (seconds, artifact state of that execution: cold/warm/None)
+      val gcs = scala.collection.mutable.ArrayBuffer[Double]()
       val times = (1 to 3).flatMap { _ =>
         val pub0 = graft.sources.Artifacts.publishes.get()
         val res0 = graft.sources.Artifacts.resolveHits.get()
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -101,6 +126,7 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        gcs += (gcMillis() - gc0) / 1e3
         val state =
           if (graft.sources.Artifacts.publishes.get() > pub0) {
             if (!published.contains(name)) published(name) = dt
@@ -119,13 +145,24 @@ object Bench {
         // rounds) live in sc.persistentRdds and otherwise wait on the
         // async ContextCleaner — under suite churn they pile up in
         // storage memory and the backlog lands on later queries'
-        // timings. Drop them synchronously-enough here.
+        // timings. Drop them SYNCHRONOUSLY: blocking=false only
+        // enqueues removal messages, and on a contended box the
+        // backlog outlives the gap between queries (the r14 driver
+        // bench drained non-blocking and still logged
+        // locally-checkpointed RDDs at suite end).
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
+        // broadcasts/accumulators are cleaned by ContextCleaner only
+        // after their weak refs surface from a GC; trigger it, then
+        // yield briefly so the cleaner thread drains its queue before
+        // the next timed window opens (untimed region — wall cost
+        // ~100 ms/iteration, never part of a query's number)
         System.gc()
+        Thread.sleep(50)
         if (ok) Some((dt, state)) else None
       }
       iterTimes(name) = times.map(_._1)
+      gcTimes(name) = gcs.toSeq
       if (times.nonEmpty) {
         val (minT, minState) = times.minBy(_._1)
         minState.foreach(st => artState(name) = st)
@@ -133,7 +170,7 @@ object Bench {
       } else name -> -1.0
     }
     val fullLine = detailLine(results, errors.toSeq, sfDir, published.toSeq,
-      artState.toSeq, iterTimes.toSeq)
+      artState.toSeq, iterTimes.toSeq, gcTimes.toSeq)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), fullLine + "\n")
     catch { case _: Throwable => () } // a read-only cwd must not fail the bench
@@ -250,7 +287,8 @@ object Bench {
                                 sfDir: String,
                                 published: Seq[(String, Double)] = Nil,
                                 art: Seq[(String, String)] = Nil,
-                                iters: Seq[(String, Seq[Double])] = Nil): String = {
+                                iters: Seq[(String, Seq[Double])] = Nil,
+                                gc: Seq[(String, Seq[Double])] = Nil): String = {
     val qs = results.map { case (k, v) =>
       s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
@@ -264,6 +302,11 @@ object Bench {
     val itStr = iters.map { case (k, ts) =>
       s"${jstr(k)}:${ts.map(fmt(_)).mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$errs,"pub":$pub,"art":$artStr,"iters":$itStr,"sf":"$sfDir"}"""
+    // per-iteration GC seconds inside the timed windows — the
+    // attribution channel for in-suite-only slowdowns
+    val gcStr = gc.map { case (k, ts) =>
+      s"${jstr(k)}:${ts.map(fmt(_)).mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":$errs,"pub":$pub,"art":$artStr,"iters":$itStr,"gc":$gcStr,"sf":"$sfDir"}"""
   }
 }

@@ -39,17 +39,23 @@ private[graft] object Bans {
   def add(spark: SparkSession, ids: DataFrame, idCol: String,
           indexRoot: String): String = {
     val tr = root(indexRoot)
+    val prev = VersionedDirs.resolve(tr)
+    // single-file decision from an UPPER BOUND, not a count() job:
+    // the previous generation's size is in its parquet footers
+    // (driver-side metadata) and the batch's own count is a narrow
+    // job on the request-sized frame — the exact distinct size is
+    // never needed, only "still under the one-file bound", and a
+    // bound that overshoots merely keeps a near-4M set partitioned
+    // one add early
+    val bound = prev.map(p =>
+      ParquetFooters.rows(new java.io.File(p))).getOrElse(0L) + ids.count()
     val cur = ids.select(col(idCol).cast("long").as("index_id")).distinct()
-    val all = VersionedDirs.resolve(tr)
+    val all = prev
       .map(p => spark.read.parquet(p).unionByName(cur).distinct())
       .getOrElse(cur)
-      .persist()
-    try {
-      val n = all.count()
-      VersionedDirs.commit(tr) { st =>
-        (if (n <= OneFileMax) all.coalesce(1) else all).write.parquet(st)
-      }
-    } finally { all.unpersist(); () }
+    VersionedDirs.commit(tr) { st =>
+      (if (bound <= OneFileMax) all.coalesce(1) else all).write.parquet(st)
+    }
   }
 
   /** The committed ban set, if any. The emptiness check reads parquet

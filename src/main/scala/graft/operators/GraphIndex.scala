@@ -162,19 +162,20 @@ object GraphIndex {
       // the ingestion gate of the ban closure: edges re-mentioning a
       // banned identity never enter the delta (see the bans section).
       // Batch-scoped cache: the emptiness check and the write are two
-      // actions over the same anti-joined frame — persist so the
-      // broadcast gate's batch scan runs once, not twice.
+      // actions over the same (possibly anti-joined) frame — persist
+      // so the batch scan runs once, not twice.
       val bn = bans(spark, root)
-      val gated0 = maskBoth(batchEdges, bn)
-      val gated = if (bn.isDefined) gated0.persist() else gated0
+      val gated = maskBoth(batchEdges, bn).persist()
       try {
-        if (bn.isDefined && gated.isEmpty) {
-          // an ENTIRELY banned batch still commits its TAG: a
-          // marker-only EMPTY delta — plain (non-partitioned) parquet
-          // under both twins, so the footer carries the schema readers
-          // need (an empty partitionBy write leaves no footers at
-          // all). Without the marker, `folded(root, tag)` stays false
-          // forever and an at-least-once caller
+        if (gated.isEmpty) {
+          // an EMPTY batch — fully banned, or empty at the source —
+          // still commits its TAG: a marker-only EMPTY delta — plain
+          // (non-partitioned) parquet under both twins, so the footer
+          // carries the schema readers need (an empty partitionBy
+          // write leaves no footers at all and would break every
+          // later read of the append log). Without the marker,
+          // `folded(root, tag)` stays false forever and an
+          // at-least-once caller
           // ([[graft.streaming.GraphStream]].processBatch) re-runs
           // the gate and reports "work committed" on every
           // redelivery; with it the replay absorbs like any other
@@ -191,7 +192,7 @@ object GraphIndex {
           java.nio.file.Files.createFile(
             java.nio.file.Paths.get(staging.getAbsolutePath, "_SUCCESS"))
         } else writeAdj(aggEdges(gated), staging.getAbsolutePath)
-      } finally if (bn.isDefined) { gated.unpersist(); () }
+      } finally { gated.unpersist(); () }
       require(staging.renameTo(target), s"delta fold rename failed into $dr")
       target.getAbsolutePath
     }
@@ -363,7 +364,8 @@ object GraphIndex {
       val outTouched = tBuckets ++ farBuckets("in", "dst", "src")
       val inTouched = tBuckets ++ farBuckets("out", "src", "dst")
       val path = VersionedDirs.commit(root) { st =>
-        def rewriteLayout(layout: String, touched: Set[Int]): Unit = {
+        def rewriteLayout(layout: String, touched: Set[Int],
+                          sortKeys: Seq[String]): Unit = {
           val src = new java.io.File(s"$basePath/$layout")
           val dst = new java.io.File(s"$st/$layout")
           dst.mkdirs()
@@ -376,6 +378,11 @@ object GraphIndex {
                   col("pbucket")),
               Some(t.withColumnRenamed("tid", "index_id")))
               .repartition(col("pbucket"))
+              // keep the layout's clustering contract: every other
+              // write path (publish/fold/mergeCompact via writeAdj)
+              // sorts within buckets, so min/max row-group stats stay
+              // tight across bucket-local purges too
+              .sortWithinPartitions(sortKeys.head, sortKeys.tail: _*)
               .write.partitionBy("pbucket").mode("append")
               .parquet(dst.getAbsolutePath)
           // untouched buckets: verbatim file copies — no row ever
@@ -395,8 +402,27 @@ object GraphIndex {
                 }
             }
         }
-        rewriteLayout("out", outTouched)
-        rewriteLayout("in", inTouched)
+        rewriteLayout("out", outTouched, Seq("src", "dst"))
+        rewriteLayout("in", inTouched, Seq("dst", "src"))
+        // a total purge can leave a layout with ZERO parquet footers
+        // (every bucket touched, every row masked, nothing copied) —
+        // the exact schema-inference hazard the fold marker guards
+        // against. Leave an empty schema-bearing plain parquet so
+        // every later read of the generation still resolves.
+        def ensureFooters(layout: String): Unit = {
+          val dst = new java.io.File(s"$st/$layout")
+          def hasParquet(f: java.io.File): Boolean =
+            (f.isFile && f.getName.endsWith(".parquet")) ||
+              (f.isDirectory && Option(f.listFiles())
+                .getOrElse(Array.empty[java.io.File]).exists(hasParquet))
+          if (!hasParquet(dst))
+            spark.read.parquet(s"$basePath/$layout")
+              .select(col("src"), col("dst"), col("w"), col("pbucket"))
+              .limit(0)
+              .write.mode("overwrite").parquet(dst.getAbsolutePath)
+        }
+        ensureFooters("out")
+        ensureFooters("in")
         // fold ledger carries forward unchanged — no delta consumed
         if (folded0.nonEmpty)
           java.nio.file.Files.writeString(
