@@ -15912,7 +15912,248 @@ object PipelineQueries {
       })
   }
 
+  /** kNN-graph ANN delta append (q333) — the growth half of the
+    * graph-serving lifecycle, the cell the family matrix left open
+    * after q327 (whose edge artifact was publish-once per corpus
+    * fingerprint: a new vector batch forced a full rebuild). The
+    * HNSW-style insert at BATCH cost: the base graph publishes from
+    * the base world alone; a new vector batch is encoded with the
+    * base's FROZEN coarse quantizer (fit on the base world only —
+    * never re-fit on the grown corpus), its candidate edges derive
+    * from same-cell pairs against base ∪ batch, each new node keeps
+    * its [[q333 M_KNN]] nearest, and the symmetrized edges land as a
+    * TAGGED [[graft.operators.GraphIndex.fold]] — O(batch) work, the
+    * committed adjacency never read, never rewritten, redeliveries
+    * absorbed via the fold ledger (q312's discipline). Beam search
+    * then serves base ∪ delta through [[GraphIndex.neighbors]]'
+    * weight-sum union — queries route INTO the appended region
+    * (entry nodes 300/350 are delta-side) and OUT of it. Judged:
+    * recall@10 at beam 8 vs the full-world exact truth plus an
+    * explicit appended-nodes-served counter (nonzero iff the fold
+    * actually serves — a probe that silently dropped the delta
+    * would zero it and break the hash). The oracle replays the
+    * SPLIT build exactly: centroids from the base world, base edges
+    * from base-only candidates, delta edges from new-node
+    * candidates against the grown world — so a Spark-side re-fit on
+    * base ∪ batch (the correctness burden of any append) would
+    * hash-mismatch.
+    */
+  val knnGraphAppend: Q = {
+    val SPLIT = 300L; val INDEX_MAX = 400L; val Q_MAX = 420L
+    val NQ = Q_MAX - INDEX_MAX
+    val M_KNN = 6; val ROUNDS = 3; val K = 10; val B = 8
+    val ENT_MOD = 50L
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val eAll = VectorQuantizer.scaled(
+          emb.filter(col("vec_id") < Q_MAX), "vec_id", "embedding")
+          .persist()
+        val eIdx = eAll.filter(col("vec_id") < INDEX_MAX)
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-knn-fold", d, Seq("embeddings.parquet"))
+        // per-node top-M nearest among same-cell candidates,
+        // symmetrized — the shared edge derivation of the base build
+        // and the delta insert (only the candidate sides differ)
+        def knnEdges(newSide: DataFrame, candSide: DataFrame): DataFrame = {
+          val xs = eIdx.select(col("vec_id"), col("xs"))
+          val pairs = newSide.as("a")
+            .join(candSide.as("b"), col("a.cell") === col("b.cell") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+            .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+            .join(xs.select(col("vec_id").as("u"), col("xs").as("xu")), "u")
+            .join(xs.select(col("vec_id").as("v"), col("xs").as("xv")), "v")
+            .select(col("u"), col("v"),
+              VectorQuantizer.l2DistSq(col("xu"), col("xv")).as("d2"))
+          val knn = pairs.withColumn("rnk", row_number().over(
+              Window.partitionBy("u").orderBy(col("d2"), col("v"))))
+            .filter(col("rnk") <= M_KNN)
+            .select(col("u"), col("v"))
+          knn.select(col("u").as("src"), col("v").as("dst"))
+            .unionByName(knn.select(col("v").as("src"), col("u").as("dst")))
+            .distinct()
+            .withColumn("w", lit(1L))
+        }
+        val needBase = GraphIndex.resolve(root).isEmpty
+        if (needBase || !GraphIndex.folded(root, "append-1")) {
+          // the FROZEN coarse quantizer: fit on the base world only.
+          // Recomputed deterministically when the lifecycle needs it
+          // (integer Lloyd — bit-stable); at 100 TB it is the
+          // committed IVF coarse codebook, read not re-fit, and the
+          // candidate source is the committed cell membership
+          // (PqIndex/SimIndex), never a corpus scan
+          val eBase = eAll.filter(col("vec_id") < SPLIT)
+          val cent = VectorQuantizer.fitCentroids(
+            eBase, "vec_id", KM_C, KM_ITERS)
+          if (needBase) {
+            val cells = VectorQuantizer.assignCells(eBase, cent, "vec_id")
+            GraphIndex.publish(knnEdges(cells, cells), root)
+          }
+          if (!GraphIndex.folded(root, "append-1")) {
+            val cellsAll = VectorQuantizer.assignCells(eIdx, cent, "vec_id")
+            GraphIndex.fold(s,
+              knnEdges(cellsAll.filter(col("vec_id") >= SPLIT), cellsAll),
+              root, tag = "append-1")
+          }
+        }
+        val qxs = eAll.filter(col("vec_id") >= INDEX_MAX)
+          .select(col("vec_id").as("query_id"), col("xs").as("qx"))
+        val ixs = eIdx.select(col("vec_id").as("node"), col("xs").as("nx"))
+        def score(cand: DataFrame): DataFrame =
+          cand.join(ixs, "node").join(qxs, "query_id")
+            .select(col("query_id"), col("node"),
+              VectorQuantizer.l2DistSq(col("qx"), col("nx")).as("d2"))
+        def topPerQuery(scored: DataFrame, n: Int): DataFrame =
+          scored.withColumn("rnk", row_number().over(
+              Window.partitionBy("query_id").orderBy(col("d2"), col("node"))))
+            .filter(col("rnk") <= n)
+            .select(col("query_id"), col("node"))
+        val truth = topPerQuery(
+          qxs.crossJoin(ixs).select(col("query_id"), col("node"),
+            VectorQuantizer.l2DistSq(col("qx"), col("nx")).as("d2")), K)
+          .withColumn("hit", lit(1L))
+        val entries = ixs.filter(col("node") % ENT_MOD === 0)
+          .select("node")
+        var visited = graft.operators.ProbeCache.materialize(
+          score(qxs.select("query_id").crossJoin(entries)))
+        var frontier = graft.operators.ProbeCache.materialize(
+          topPerQuery(visited, B))
+        for (_ <- 1 to ROUNDS) {
+          if (!frontier.isEmpty) {
+            val nb = GraphIndex.neighbors(s, frontier, root)
+            val fresh = nb
+              .select(col("query_id"), col("nbr").as("node")).distinct()
+              .join(visited.select("query_id", "node"),
+                Seq("query_id", "node"), "left_anti")
+            val newV = graft.operators.ProbeCache.materialize(score(fresh))
+            visited = visited.unionByName(newV)
+            frontier = graft.operators.ProbeCache.materialize(
+              topPerQuery(newV, B))
+          }
+        }
+        topPerQuery(visited, K)
+          .join(truth, Seq("query_id", "node"), "left")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+            sum(when(col("node") >= SPLIT, 1L).otherwise(0L))
+              .as("n_appended_served"))
+          .withColumn("recall_ppm",
+            expr(s"n_hit * 1000000 div (${NQ * K})"))
+          .select("n_pairs", "n_hit", "n_appended_served", "recall_ppm")
+      }, {
+        val rounds = (1 to ROUNDS).map { r =>
+          s"""n$r AS (
+             |  SELECT DISTINCT f.query_id, g.dst AS node
+             |  FROM f${r - 1} f JOIN g ON g.src = f.node
+             |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} v
+             |                    WHERE v.query_id = f.query_id
+             |                      AND v.node = g.dst)),
+             |v$r AS (
+             |  SELECT query_id, node, d2 FROM v${r - 1}
+             |  UNION ALL
+             |  SELECT n.query_id, n.node, q.d2
+             |  FROM n$r n JOIN qd q
+             |    ON q.query_id = n.query_id AND q.node = n.node),
+             |f$r AS (
+             |  SELECT query_id, node FROM (
+             |    SELECT n.query_id, n.node,
+             |      row_number() OVER (PARTITION BY n.query_id
+             |                         ORDER BY q.d2, n.node) AS rnk
+             |    FROM n$r n JOIN qd q
+             |      ON q.query_id = n.query_id AND q.node = n.node) z
+             |  WHERE rnk <= $B)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${kmeansCtes(fitPred = s"e.vec_id < $SPLIT")},
+           |fa AS (
+           |  SELECT e.vec_id, c.cell,
+           |    sum((e.xs - c.cs) * (e.xs - c.cs)) AS d2
+           |  FROM e JOIN c$KM_ITERS c USING (dim)
+           |  WHERE e.vec_id < $INDEX_MAX
+           |  GROUP BY e.vec_id, c.cell),
+           |ca AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |      row_number() OVER (PARTITION BY vec_id
+           |                         ORDER BY d2, cell) AS rnk
+           |    FROM fa) z WHERE rnk = 1),
+           |pdb AS (
+           |  SELECT a.vec_id AS u, b.vec_id AS v,
+           |    sum((ea.xs - eb.xs) * (ea.xs - eb.xs)) AS d2
+           |  FROM ca a JOIN ca b ON a.cell = b.cell
+           |    AND a.vec_id <> b.vec_id
+           |  JOIN e ea ON ea.vec_id = a.vec_id
+           |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim
+           |  WHERE a.vec_id < $SPLIT AND b.vec_id < $SPLIT
+           |  GROUP BY 1, 2),
+           |knb AS (
+           |  SELECT u, v FROM (
+           |    SELECT u, v,
+           |      row_number() OVER (PARTITION BY u ORDER BY d2, v) AS rnk
+           |    FROM pdb) z WHERE rnk <= $M_KNN),
+           |pdn AS (
+           |  SELECT a.vec_id AS u, b.vec_id AS v,
+           |    sum((ea.xs - eb.xs) * (ea.xs - eb.xs)) AS d2
+           |  FROM ca a JOIN ca b ON a.cell = b.cell
+           |    AND a.vec_id <> b.vec_id
+           |  JOIN e ea ON ea.vec_id = a.vec_id
+           |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim
+           |  WHERE a.vec_id >= $SPLIT
+           |  GROUP BY 1, 2),
+           |knd AS (
+           |  SELECT u, v FROM (
+           |    SELECT u, v,
+           |      row_number() OVER (PARTITION BY u ORDER BY d2, v) AS rnk
+           |    FROM pdn) z WHERE rnk <= $M_KNN),
+           |g AS (SELECT u AS src, v AS dst FROM knb
+           |      UNION SELECT v, u FROM knb
+           |      UNION SELECT u, v FROM knd
+           |      UNION SELECT v, u FROM knd),
+           |qd AS (
+           |  SELECT q.vec_id AS query_id, x.vec_id AS node,
+           |    sum((q.xs - x.xs) * (q.xs - x.xs)) AS d2
+           |  FROM e q JOIN e x ON q.dim = x.dim AND x.vec_id < $INDEX_MAX
+           |  WHERE q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX
+           |  GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT query_id, node FROM (
+           |    SELECT query_id, node,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY d2, node) AS rnk
+           |    FROM qd) z WHERE rnk <= $K),
+           |ent AS (SELECT DISTINCT vec_id AS node FROM e
+           |        WHERE vec_id < $INDEX_MAX AND vec_id % $ENT_MOD = 0),
+           |v0 AS (
+           |  SELECT qd.query_id, qd.node, qd.d2
+           |  FROM qd JOIN ent ON qd.node = ent.node),
+           |f0 AS (
+           |  SELECT query_id, node FROM (
+           |    SELECT query_id, node,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY d2, node) AS rnk
+           |    FROM v0) z WHERE rnk <= $B),
+           |$rounds,
+           |res AS (
+           |  SELECT query_id, node FROM (
+           |    SELECT query_id, node,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY d2, node) AS rnk
+           |    FROM v$ROUNDS) z WHERE rnk <= $K)
+           |SELECT count(*)::BIGINT AS n_pairs,
+           |  sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_hit,
+           |  sum(CASE WHEN r.node >= $SPLIT THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_appended_served,
+           |  (sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    * 1000000 // ${NQ * K})::BIGINT AS recall_ppm
+           |FROM res r LEFT JOIN truth t
+           |  ON t.query_id = r.query_id AND t.node = r.node""".stripMargin
+      })
+  }
+
   val all: Map[String, Q] = Map(
+    "q333_knn_graph_append" -> knnGraphAppend,
     "q332_graph_sssp" -> graphSssp,
     "q331_knn_graph_purge" -> knnGraphPurge,
     "q330_graph_purge_local" -> graphPurgeLocal,
