@@ -16152,7 +16152,237 @@ object PipelineQueries {
       })
   }
 
+  /** Graph-ANN on the streaming probe seam (q334) — the last empty
+    * cell of the streaming × serving matrix: q327's kNN-graph
+    * serving shape behind [[graft.streaming.AnnStream]]'s
+    * partially-applied probe fn (exactly how q273 put IVFPQ on the
+    * seam), hit by a GDPR purge between batches. Batch 0 probes the
+    * full graph with greedy beam search; the purge tombstones a
+    * vector slice INCLUDING entry node 100 and compacts with the
+    * bucket-local [[GraphIndex.purgeCompact]] (q330/q331's surgical
+    * rewrite); batch 0 is then REDELIVERED (absorbed by its
+    * committed `_SUCCESS` dir — the at-least-once contract); batch 1
+    * probes the purged world. Entry liveness is derived from the
+    * ARTIFACT, not from an id rule: the probe asks the graph for the
+    * candidate entries' neighborhoods and keeps only nodes that
+    * still HAVE adjacency rows — a purged entry (or an entry whose
+    * every neighbor purged) drops from round 0 without the prober
+    * knowing the deletion predicate, which is what a serving system
+    * can actually do. Batches are id-disjoint, so the oracle is two
+    * beam replays with per-arm worlds (q305's scheme): batch-0
+    * queries walk the full graph, batch-1 queries the masked one —
+    * either batch scored against the other's world hash-mismatches.
+    */
+  val knnAnnStream: Q = {
+    val INDEX_MAX = 400L; val B0_MAX = 410L; val Q_MAX = 420L
+    val M_KNN = 6; val ROUNDS = 3; val K = 10; val B = 8
+    val ENT_MOD = 50L
+    val delSql = "(vec_id % 25 = 7 OR vec_id = 100)"
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def isDel(c: Column): Column = c % 25 === 7 || c === 100
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val eAll = VectorQuantizer.scaled(
+          emb.filter(col("vec_id") < Q_MAX), "vec_id", "embedding")
+          .persist()
+        val eIdx = eAll.filter(col("vec_id") < INDEX_MAX)
+        val ixs = eIdx.select(col("vec_id").as("node"), col("xs").as("nx"))
+        val idxRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-knn-pstream-idx", d, Seq("embeddings.parquet"))
+        val outRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-knn-pstream-out", d, Seq("embeddings.parquet"))
+        if (GraphIndex.resolve(idxRoot).isEmpty) {
+          // the q327 build on the full pre-purge index world
+          val cent = VectorQuantizer.fitCentroids(
+            eIdx, "vec_id", KM_C, KM_ITERS)
+          val cells = VectorQuantizer.assignCells(eIdx, cent, "vec_id")
+          val xs = eIdx.select(col("vec_id"), col("xs"))
+          val pairs = cells.as("a")
+            .join(cells.as("b"), col("a.cell") === col("b.cell") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+            .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+            .join(xs.select(col("vec_id").as("u"), col("xs").as("xu")), "u")
+            .join(xs.select(col("vec_id").as("v"), col("xs").as("xv")), "v")
+            .select(col("u"), col("v"),
+              VectorQuantizer.l2DistSq(col("xu"), col("xv")).as("d2"))
+          val knn = pairs.withColumn("rnk", row_number().over(
+              Window.partitionBy("u").orderBy(col("d2"), col("v"))))
+            .filter(col("rnk") <= M_KNN)
+            .select(col("u"), col("v"))
+          GraphIndex.publish(
+            knn.select(col("u").as("src"), col("v").as("dst"))
+              .unionByName(knn.select(col("v").as("src"),
+                col("u").as("dst")))
+              .distinct()
+              .withColumn("w", lit(1L)),
+            idxRoot)
+        }
+        // the probe seam: beam search over whatever generation the
+        // artifact serves AT BATCH TIME — partially applied over the
+        // index-side vectors (full-precision rescoring needs them;
+        // in a deployment they ride the index, here the table)
+        def graphBeamProbe(sp: SparkSession, batch: DataFrame, id: String,
+                           vec: String, k: Int, root: String): DataFrame = {
+          val qxs = VectorQuantizer.scaled(batch, id, vec)
+            .select(col(id).as("query_id"), col("xs").as("qx"))
+          def score(cand: DataFrame): DataFrame =
+            cand.join(ixs, "node").join(qxs, "query_id")
+              .select(col("query_id"), col("node"),
+                VectorQuantizer.l2DistSq(col("qx"), col("nx")).as("d2"))
+          def top(scored: DataFrame, n: Int): DataFrame =
+            scored.withColumn("rnk", row_number().over(
+                Window.partitionBy("query_id")
+                  .orderBy(col("d2"), col("node"))))
+              .filter(col("rnk") <= n)
+          val entCand = ixs.filter(col("node") % ENT_MOD === 0)
+            .select("node")
+          // artifact-derived entry liveness: a purged entry has no
+          // adjacency row left, so it (and only it) drops here
+          val entries = GraphIndex.neighbors(sp, entCand, root)
+            .select("node").distinct()
+          var visited = graft.operators.ProbeCache.materialize(
+            score(qxs.select("query_id").crossJoin(entries)))
+          var frontier = graft.operators.ProbeCache.materialize(
+            top(visited, B).select("query_id", "node"))
+          for (_ <- 1 to ROUNDS) {
+            if (!frontier.isEmpty) {
+              val nb = GraphIndex.neighbors(sp, frontier, root)
+              val fresh = nb
+                .select(col("query_id"), col("nbr").as("node")).distinct()
+                .join(visited.select("query_id", "node"),
+                  Seq("query_id", "node"), "left_anti")
+              val newV = graft.operators.ProbeCache.materialize(score(fresh))
+              visited = visited.unionByName(newV)
+              frontier = graft.operators.ProbeCache.materialize(
+                top(newV, B).select("query_id", "node"))
+            }
+          }
+          top(visited, k)
+            .select(col("query_id"), col("node"), col("d2"),
+              col("rnk").cast("long").as("rnk"))
+        }
+        val b0 = emb.filter(
+          col("vec_id") >= INDEX_MAX && col("vec_id") < B0_MAX)
+        val b1 = emb.filter(
+          col("vec_id") >= B0_MAX && col("vec_id") < Q_MAX)
+        val ann = new graft.streaming.AnnStream(
+          s, idxRoot, outRoot, "vec_id", "embedding", K,
+          probeFn = graphBeamProbe)
+        ann.processBatch(b0, 0) // the full world
+        // the purge: exactly once (the compacted generation is v2)
+        if (VersionedDirs.versionsOf(idxRoot).size < 2) {
+          GraphIndex.addTombstones(s,
+            eIdx.select(col("vec_id").as("node"))
+              .filter(isDel(col("node"))), "node", idxRoot)
+          GraphIndex.purgeCompact(s, idxRoot)
+        }
+        ann.processBatch(b0, 0) // redelivery AFTER the purge: absorbed
+        ann.processBatch(b1, 1) // the purged world
+        ann.results().orderBy("query_id", "rnk")
+      }, {
+        def beamCtes(sfx: String, graph: String, ent: String,
+                     qPred: String): String = {
+          val rounds = (1 to ROUNDS).map { r =>
+            s"""n$r$sfx AS (
+               |  SELECT DISTINCT f.query_id, g.dst AS node
+               |  FROM f${r - 1}$sfx f JOIN $graph g ON g.src = f.node
+               |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1}$sfx v
+               |                    WHERE v.query_id = f.query_id
+               |                      AND v.node = g.dst)),
+               |v$r$sfx AS (
+               |  SELECT query_id, node, d2 FROM v${r - 1}$sfx
+               |  UNION ALL
+               |  SELECT n.query_id, n.node, q.d2
+               |  FROM n$r$sfx n JOIN qd q
+               |    ON q.query_id = n.query_id AND q.node = n.node),
+               |f$r$sfx AS (
+               |  SELECT query_id, node FROM (
+               |    SELECT n.query_id, n.node,
+               |      row_number() OVER (PARTITION BY n.query_id
+               |                         ORDER BY q.d2, n.node) AS rnk
+               |    FROM n$r$sfx n JOIN qd q
+               |      ON q.query_id = n.query_id AND q.node = n.node) z
+               |  WHERE rnk <= $B)""".stripMargin
+          }.mkString(",\n")
+          s"""$ent$sfx AS (
+             |  SELECT DISTINCT vec_id AS node FROM e
+             |  WHERE vec_id < $INDEX_MAX AND vec_id % $ENT_MOD = 0
+             |    AND EXISTS (SELECT 1 FROM $graph g
+             |                WHERE g.src = e.vec_id)),
+             |v0$sfx AS (
+             |  SELECT qd.query_id, qd.node, qd.d2
+             |  FROM qd JOIN $ent$sfx ON qd.node = $ent$sfx.node
+             |  WHERE $qPred),
+             |f0$sfx AS (
+             |  SELECT query_id, node FROM (
+             |    SELECT query_id, node,
+             |      row_number() OVER (PARTITION BY query_id
+             |                         ORDER BY d2, node) AS rnk
+             |    FROM v0$sfx) z WHERE rnk <= $B),
+             |$rounds,
+             |res$sfx AS (
+             |  SELECT query_id, node, d2 FROM (
+             |    SELECT query_id, node, d2,
+             |      row_number() OVER (PARTITION BY query_id
+             |                         ORDER BY d2, node) AS rnk
+             |    FROM v$ROUNDS$sfx) z WHERE rnk <= $K)""".stripMargin
+        }
+        s"""WITH ${kmeansCtes(fitPred = s"e.vec_id < $INDEX_MAX")},
+           |fa AS (
+           |  SELECT e.vec_id, c.cell,
+           |    sum((e.xs - c.cs) * (e.xs - c.cs)) AS d2
+           |  FROM e JOIN c$KM_ITERS c USING (dim)
+           |  WHERE e.vec_id < $INDEX_MAX
+           |  GROUP BY e.vec_id, c.cell),
+           |ca AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |      row_number() OVER (PARTITION BY vec_id
+           |                         ORDER BY d2, cell) AS rnk
+           |    FROM fa) z WHERE rnk = 1),
+           |pd AS (
+           |  SELECT a.vec_id AS u, b.vec_id AS v,
+           |    sum((ea.xs - eb.xs) * (ea.xs - eb.xs)) AS d2
+           |  FROM ca a JOIN ca b ON a.cell = b.cell
+           |    AND a.vec_id <> b.vec_id
+           |  JOIN e ea ON ea.vec_id = a.vec_id
+           |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim
+           |  GROUP BY 1, 2),
+           |knn AS (
+           |  SELECT u, v FROM (
+           |    SELECT u, v,
+           |      row_number() OVER (PARTITION BY u ORDER BY d2, v) AS rnk
+           |    FROM pd) z WHERE rnk <= $M_KNN),
+           |gf AS (SELECT u AS src, v AS dst FROM knn
+           |       UNION SELECT v, u FROM knn),
+           |del AS (SELECT DISTINCT vec_id FROM e
+           |        WHERE vec_id < $INDEX_MAX AND $delSql),
+           |gm AS (
+           |  SELECT src, dst FROM gf
+           |  WHERE src NOT IN (SELECT vec_id FROM del)
+           |    AND dst NOT IN (SELECT vec_id FROM del)),
+           |qd AS (
+           |  SELECT q.vec_id AS query_id, x.vec_id AS node,
+           |    sum((q.xs - x.xs) * (q.xs - x.xs)) AS d2
+           |  FROM e q JOIN e x ON q.dim = x.dim AND x.vec_id < $INDEX_MAX
+           |  WHERE q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX
+           |  GROUP BY 1, 2),
+           |${beamCtes("a", "gf", "ent",
+              s"qd.query_id < $B0_MAX")},
+           |${beamCtes("b", "gm", "ent",
+              s"qd.query_id >= $B0_MAX")}
+           |SELECT query_id, node, d2::BIGINT AS d2,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |                          ORDER BY d2, node) AS BIGINT) AS rnk
+           |FROM (SELECT * FROM resa UNION ALL SELECT * FROM resb) u
+           |ORDER BY query_id, rnk""".stripMargin
+      })
+  }
+
   val all: Map[String, Q] = Map(
+    "q334_knn_ann_stream" -> knnAnnStream,
     "q333_knn_graph_append" -> knnGraphAppend,
     "q332_graph_sssp" -> graphSssp,
     "q331_knn_graph_purge" -> knnGraphPurge,
