@@ -118,4 +118,20 @@ object IndexCatalog {
   def reportTargets(spark: SparkSession,
                     targets: Seq[PurgeCascade.Target]): Seq[Entry] =
     report(spark, targets.map(t => (t.family, t.root)))
+
+  /** One row per (snapshot, family) of the committed
+    * [[FleetSnapshot]] manifests under `fleetRoot`: snapshot number,
+    * family name, pinned generation version and path. Driver-side
+    * listings only — no Spark job (the [[inspect]] doctrine).
+    */
+  def pinnedSnapshots(spark: SparkSession, fleetRoot: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    FleetSnapshot.list(fleetRoot).flatMap { n =>
+      FleetSnapshot.at(fleetRoot, n).toSeq.sorted.map { case (f, g) =>
+        (n, f,
+          new java.io.File(g).getName.stripPrefix("index.v").toLong, g)
+      }
+    }.toDF("snap", "family", "generation", "gen_path")
+  }
 }

@@ -634,6 +634,33 @@ object PqIndex {
                 vec: String, k: Int, root: String, nprobe: Int): DataFrame =
     probeCore(spark, queries, id, vec, k, root, nprobe, materialize = true)
 
+  /** [[probeTopK]] against a PINNED committed generation — the
+    * fleet-snapshot read path ([[FleetSnapshot]]): serves `genPath`
+    * EXACTLY as committed — no delta log, no tombstone or ban mask
+    * (post-snapshot state by definition). Flat ADC (`nprobe = 0`);
+    * pass `nprobe > 0` for an IVFPQ generation.
+    */
+  def probeTopKAt(spark: SparkSession, queries: DataFrame, id: String,
+                  vec: String, k: Int, genPath: String,
+                  nprobe: Int = 0): DataFrame =
+    probeCore(spark, queries, id, vec, k, genPath, nprobe,
+      materialize = true, pinned = true)
+
+  /** The RANK stage of a composed retrieval ([[FleetSnapshot]]'s
+    * q282-shape read): ADC-rescore exactly the (query_id, index_id)
+    * candidate pairs a recall stage produced, against a PINNED
+    * generation, and rank within them — top-`k` per query. The code
+    * scan is pruned to the candidate ids (batch-bounded broadcast
+    * semi-join) before any ADC work, so the cost is
+    * candidate-linear, never corpus-linear — the shape that survives
+    * a 100 TB corpus behind a recall stage.
+    */
+  def adcRescoreAt(spark: SparkSession, queries: DataFrame, id: String,
+                   vec: String, k: Int, genPath: String,
+                   cand: DataFrame): DataFrame =
+    probeCore(spark, queries, id, vec, k, genPath, nprobe = 0,
+      materialize = true, pinned = true, candPairs = Some(cand))
+
   /** The LAZY plan behind [[probeTopK]] — exposed for plan audits
     * (pruning specs assert the static ccell PartitionFilters on this
     * form; [[probeTopK]]'s returned frame is an already-materialized
@@ -646,7 +673,9 @@ object PqIndex {
 
   private def probeCore(spark: SparkSession, queries: DataFrame,
                         id: String, vec: String, k: Int, root: String,
-                        nprobe: Int, materialize: Boolean): DataFrame = {
+                        nprobe: Int, materialize: Boolean,
+                        pinned: Boolean = false,
+                        candPairs: Option[DataFrame] = None): DataFrame = {
     // read-order discipline (see DedupIndex.probeBanded): tombstones,
     // then the DELTA LISTING, then resolve. Tombstones-first keeps a
     // racing compact's log reset from resurfacing purged rows;
@@ -656,10 +685,14 @@ object PqIndex {
     // was never committed); and the folded-sidecar filter below
     // drops exactly the listed dirs a racing merge already folded
     // into the NEW generation, so no vector's d² is ever summed twice
-    val ts = tombstones(spark, root)
-    val deltaSnap = deltas(root)
-    val idxPath = resolve(root).getOrElse(
-      throw new IllegalStateException(s"no committed index under $root"))
+    // pinned = fleet-snapshot read: `root` IS the generation path and
+    // every later log (deltas, tombstones, bans) is out of scope
+    val ts = if (pinned) None else tombstones(spark, root)
+    val deltaSnap = if (pinned) Nil else deltas(root)
+    val idxPath =
+      if (pinned) { graft.sources.Artifacts.noteResolveHit(); root }
+      else resolve(root).getOrElse(
+        throw new IllegalStateException(s"no committed index under $root"))
     // geometry pinned to the SAME resolved generation as the codebook
     // and codes — params(root) would re-resolve under a racing
     // re-publish and split queries with the wrong (m, dsub)
@@ -704,10 +737,17 @@ object PqIndex {
       .map(t => pruned.join(t, Seq("index_id"), "left_anti"))
       .getOrElse(pruned)
     // bans mask like tombstones but never reset (the re-ingestion
-    // closure — see [[addBans]])
-    val codes = bans(spark, root)
+    // closure — see [[addBans]]); out of scope for a pinned read
+    val codes2 = (if (pinned) None else bans(spark, root))
       .map(b => codes1.join(b, Seq("index_id"), "left_anti"))
       .getOrElse(codes1)
+    // rank-stage pruning ([[adcRescoreAt]]): only candidate ids'
+    // code rows enter the ADC join — batch-bounded broadcast
+    val codes = candPairs
+      .map(cp => codes2.join(
+        broadcast(cp.select(col("index_id")).distinct()),
+        Seq("index_id"), "left_semi"))
+      .getOrElse(codes2)
     // subspace split carrying extra key columns — [[VectorQuantizer
     // .subVectors]]' shape with a pass-through column list
     def subSplit(df: DataFrame, keep: Seq[String]): DataFrame =
@@ -765,9 +805,16 @@ object PqIndex {
               .join(broadcast(dtab), Seq("sub", "cell"))
         }
     }
-    val scored = paired
+    val scored0 = paired
       .filter(col("index_id") =!= col("query_id"))
       .groupBy("query_id", "index_id").agg(sum("d2").as("adc_d2"))
+    // rank-stage pair restriction: a candidate id may be another
+    // query's candidate only — keep exactly the produced pairs
+    val scored = candPairs
+      .map(cp => scored0.join(
+        broadcast(cp.select(col("query_id"), col("index_id")).distinct()),
+        Seq("query_id", "index_id"), "left_semi"))
+      .getOrElse(scored0)
     val w = Window.partitionBy("query_id")
       .orderBy(asc("adc_d2"), asc("index_id"))
     val result = scored.withColumn("rnk", row_number().over(w).cast("long"))

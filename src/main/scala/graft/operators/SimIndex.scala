@@ -340,6 +340,18 @@ object SimIndex {
                 vec: String, k: Int, root: String): DataFrame =
     probeCore(spark, queries, id, vec, k, root, materialize = true)
 
+  /** [[probeTopK]] against a PINNED committed generation — the
+    * fleet-snapshot read path ([[FleetSnapshot]]): serves `genPath`
+    * EXACTLY as committed — no delta log, no tombstone or ban mask
+    * (all post-snapshot state by definition: the reader asked for
+    * the world the manifest pinned, and masking it with later logs
+    * would re-open the generation-skew seam the snapshot closes).
+    */
+  def probeTopKAt(spark: SparkSession, queries: DataFrame, id: String,
+                  vec: String, k: Int, genPath: String): DataFrame =
+    probeCore(spark, queries, id, vec, k, genPath, materialize = true,
+      pinned = true)
+
   /** The LAZY plan behind [[probeTopK]] — exposed for plan audits
     * (pruning specs assert the static PartitionFilters on this form;
     * [[probeTopK]]'s returned frame is an already-materialized RDD
@@ -353,7 +365,8 @@ object SimIndex {
 
   private def probeCore(spark: SparkSession, queries: DataFrame,
                         id: String, vec: String, k: Int, root: String,
-                        materialize: Boolean): DataFrame = {
+                        materialize: Boolean,
+                        pinned: Boolean = false): DataFrame = {
     // read-order discipline (see DedupIndex.probeBanded): tombstones,
     // then the DELTA LISTING, then resolve. Tombstones-first keeps a
     // racing compact's log reset from resurfacing purged vectors;
@@ -366,10 +379,14 @@ object SimIndex {
     // leftover dir the generation already folded, which may predate a
     // purge the generation applied; those are filtered against the
     // resolved generation's `_folded.json` below.
-    val ts = tombstones(spark, root)
-    val deltaSnap0 = deltas(root)
-    val idxPath = resolve(root).getOrElse(
-      throw new IllegalStateException(s"no committed index under $root"))
+    // pinned = fleet-snapshot read: `root` IS the generation path and
+    // every later log (deltas, tombstones, bans) is out of scope
+    val ts = if (pinned) None else tombstones(spark, root)
+    val deltaSnap0 = if (pinned) Nil else deltas(root)
+    val idxPath =
+      if (pinned) { graft.sources.Artifacts.noteResolveHit(); root }
+      else resolve(root).getOrElse(
+        throw new IllegalStateException(s"no committed index under $root"))
     val folded0 = foldedOf(idxPath)
     val deltaSnap = deltaSnap0
       .filterNot(p => folded0(new java.io.File(p).getName))
@@ -401,8 +418,8 @@ object SimIndex {
       .map(t => idx0.join(t, Seq("index_id"), "left_anti"))
       .getOrElse(idx0)
     // bans mask like tombstones but never reset (the re-ingestion
-    // closure — see [[addBans]])
-    val idx = bans(spark, root)
+    // closure — see [[addBans]]); out of scope for a pinned read
+    val idx = (if (pinned) None else bans(spark, root))
       .map(b => idx1.join(b, Seq("index_id"), "left_anti"))
       .getOrElse(idx1)
     val scored = qk.join(idx, Seq("pbucket", "tbl", "bucket"))

@@ -7,7 +7,7 @@ import graft.{Q, Tables}
 import graft.functions.{Hashing, IntMath, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
 import graft.plans.CharEnergy
-import graft.operators.{Bpe, BpeIndex, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, FirstSeenIndex, GraphIndex, HeavyHitters, IndexCatalog, LexIndex, MixManifest, Packing, PqIndex, SimIndex, Similarity, SketchIndex, VectorQuantizer, VersionedDirs}
+import graft.operators.{Bpe, BpeIndex, Compaction, ConnectedComponents, CountMin, Dedup, DedupIndex, FirstSeenIndex, FleetSnapshot, GraphIndex, HeavyHitters, IndexCatalog, LexIndex, MixManifest, Packing, PqIndex, SimIndex, Similarity, SketchIndex, VectorQuantizer, VersionedDirs}
 
 /** The LLM-training-data pipeline operators (`BASELINE.json:6`):
   * deduplication (exact / Jaccard / MinHash-LSH / SimHash), similarity
@@ -16381,7 +16381,174 @@ object PipelineQueries {
       })
   }
 
+  /** Fleet snapshot manifest (q335) — the cross-family atomic-read
+    * seam closed: [[graft.operators.FleetSnapshot]] pins a
+    * (family → committed generation) vector with ONE `fleet.mN`
+    * rename (the [[graft.FlatFileEngine]] manifest commit,
+    * generalized to the index fleet), and a COMPOSED read resolves
+    * every family through the same manifest — no generation skew.
+    * The chain: SimIndex + PqIndex publish over one corpus → pin m1
+    * → a GDPR purge tombstones and compacts BOTH families → pin m2.
+    * The judged read is the production two-stage retrieval per
+    * snapshot: recall stage = LSH candidates from the pinned sim
+    * generation ([[SimIndex.probeTopKAt]] — the generation exactly
+    * as committed, no later logs), rank stage = ADC rescore of
+    * exactly those candidate pairs against the pinned pq generation
+    * ([[PqIndex.adcRescoreAt]] — candidate-linear, the code scan
+    * pruned to candidate ids before any ADC work). Both snapshot-1
+    * arms run AFTER the purge committed: their rows still serve the
+    * purged ids (the pre-purge world the manifest pinned — the
+    * whole point), while snapshot-2 rows never do. The oracle
+    * replays both stages per arm with per-snapshot index worlds;
+    * pairing either stage with the other snapshot's world
+    * hash-mismatches — which is exactly the skew the manifest
+    * forbids.
+    */
+  val fleetSnapshotServe: Q = {
+    val BASE = 250L; val Q_MAX = 270L; val C = 20; val K = 10
+    Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val base = emb.filter(col("vec_id") < BASE)
+        val queries = emb.filter(
+          col("vec_id") >= BASE && col("vec_id") < Q_MAX)
+        val fleetRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-fleet", d, Seq("embeddings.parquet"))
+        val simRoot = new java.io.File(fleetRoot, "sim").getAbsolutePath
+        val pqRoot = new java.io.File(fleetRoot, "pq").getAbsolutePath
+        if (FleetSnapshot.list(fleetRoot).isEmpty) {
+          val r = VectorFunctions.mtBits(base.count())
+          SimIndex.publish(base, "vec_id", "embedding",
+            r, VectorFunctions.mtTables(r), simRoot)
+          PqIndex.publish(base, "vec_id", "embedding",
+            PQ_M, PQ_DSUB, PQ_KS, PQ_ITERS, pqRoot)
+          FleetSnapshot.pin(fleetRoot,
+            Map("sim" -> simRoot, "pq" -> pqRoot))
+        }
+        if (FleetSnapshot.list(fleetRoot).size < 2) {
+          // the purge cascade across BOTH families, then one pin —
+          // readers see (pre-purge, pre-purge) or (post, post),
+          // never the skewed mix
+          val del = base.filter(col("vec_id") % 10 === 3)
+            .select("vec_id")
+          SimIndex.addTombstones(s, del, "vec_id", simRoot)
+          SimIndex.mergeCompact(s, simRoot)
+          PqIndex.addTombstones(s, del, "vec_id", pqRoot)
+          PqIndex.mergeCompact(s, pqRoot)
+          FleetSnapshot.pin(fleetRoot,
+            Map("sim" -> simRoot, "pq" -> pqRoot))
+        }
+        def arm(n: Long): DataFrame = {
+          val gens = FleetSnapshot.at(fleetRoot, n)
+          val cand = SimIndex.probeTopKAt(s, queries,
+              "vec_id", "embedding", C, gens("sim"))
+            .select("query_id", "index_id")
+          PqIndex.adcRescoreAt(s, queries, "vec_id", "embedding", K,
+              gens("pq"), cand)
+            .withColumn("snap", lit(n))
+            .select("snap", "query_id", "index_id", "adc_d2", "rnk")
+        }
+        arm(1).unionByName(arm(2))
+          .orderBy("snap", "query_id", "rnk")
+      }, {
+        // one snapshot arm: LSH candidates (top C by rounded cosine)
+        // from that arm's index world, ADC rescore of exactly those
+        // pairs, top K — `idxPred` is the survivor predicate of the
+        // pinned world
+        def armCtes(sfx: String, idxPred: String): String =
+          s"""scored$sfx AS (
+             |  SELECT q.vec_id AS query_id, kb.vec_id AS index_id,
+             |    max(round(${VectorFunctions.cosineSql(
+                    "q.embedding", "kb.embedding")}, 6)) AS cos_sim
+             |  FROM qkb q JOIN ikb kb
+             |    ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+             |  WHERE $idxPred
+             |  GROUP BY 1, 2),
+             |cand$sfx AS (
+             |  SELECT query_id, index_id FROM (
+             |    SELECT query_id, index_id,
+             |      row_number() OVER (PARTITION BY query_id
+             |                         ORDER BY cos_sim DESC, index_id)
+             |        AS rnk
+             |    FROM scored$sfx) z WHERE rnk <= $C),
+             |adc$sfx AS (
+             |  SELECT dt.query_id, cd.vec_id AS index_id,
+             |    sum(dt.d2)::BIGINT AS adc_d2
+             |  FROM cds cd JOIN dt ON cd.sub = dt.sub AND cd.cell = dt.cell
+             |  WHERE EXISTS (SELECT 1 FROM cand$sfx c
+             |                WHERE c.query_id = dt.query_id
+             |                  AND c.index_id = cd.vec_id)
+             |  GROUP BY 1, 2),
+             |res$sfx AS (
+             |  SELECT query_id, index_id, adc_d2,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |                            ORDER BY adc_d2, index_id)
+             |      AS BIGINT) AS rnk
+             |  FROM adc$sfx)""".stripMargin
+        s"""WITH idx0 AS (SELECT vec_id, embedding FROM embeddings
+           |              WHERE vec_id < $BASE),
+           |params AS (
+           |  SELECT (${VectorFunctions.mtBitsSql("count(*)")}) AS r,
+           |    ${VectorFunctions.mtTablesSql(
+                  VectorFunctions.mtBitsSql("count(*)"))} AS nt
+           |  FROM idx0),
+           |ie AS (
+           |  SELECT vec_id, embedding,
+           |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+           |  FROM embeddings, params WHERE vec_id < $BASE),
+           |iek AS (
+           |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+           |  FROM ie),
+           |ikb AS (
+           |  SELECT vec_id, embedding, tbl,
+           |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+           |  FROM iek),
+           |qe AS (
+           |  SELECT vec_id, embedding,
+           |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+           |  FROM embeddings, params
+           |  WHERE vec_id >= $BASE AND vec_id < $Q_MAX),
+           |qek AS (
+           |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+           |  FROM qe),
+           |qkb AS (
+           |  SELECT vec_id, embedding, tbl,
+           |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+           |  FROM qek),
+           |$pqEpCtes,
+           |ix AS (SELECT * FROM ep WHERE vec_id < $BASE),
+           |pc0 AS (SELECT sub, vec_id AS cell, sdim, xs AS cs FROM ix
+           |        WHERE vec_id < $PQ_KS),
+           |${(1 to PQ_ITERS).map(pqIterCte).mkString(",\n")},
+           |cds AS (
+           |  SELECT vec_id, sub, cell FROM (
+           |    SELECT ib.vec_id, c.sub, c.cell,
+           |      row_number() OVER (PARTITION BY ib.vec_id, c.sub
+           |        ORDER BY sum((ib.xs - c.cs) * (ib.xs - c.cs)), c.cell)
+           |        AS rnk
+           |    FROM ix ib JOIN pc$PQ_ITERS c
+           |      ON ib.sub = c.sub AND ib.sdim = c.sdim
+           |    GROUP BY ib.vec_id, c.sub, c.cell) z WHERE rnk = 1),
+           |dt AS (
+           |  SELECT q.vec_id AS query_id, c.sub, c.cell,
+           |    sum((q.xs - c.cs) * (q.xs - c.cs)) AS d2
+           |  FROM ep q JOIN pc$PQ_ITERS c
+           |    ON q.sub = c.sub AND q.sdim = c.sdim
+           |  WHERE q.vec_id >= $BASE AND q.vec_id < $Q_MAX
+           |  GROUP BY 1, 2, 3),
+           |${armCtes("a", "TRUE")},
+           |${armCtes("b", "kb.vec_id % 10 <> 3")}
+           |SELECT snap, query_id, index_id, adc_d2, rnk FROM (
+           |  SELECT CAST(1 AS BIGINT) AS snap, * FROM resa WHERE rnk <= $K
+           |  UNION ALL
+           |  SELECT CAST(2 AS BIGINT) AS snap, * FROM resb WHERE rnk <= $K
+           |) u ORDER BY snap, query_id, rnk""".stripMargin
+      })
+  }
+
   val all: Map[String, Q] = Map(
+    "q335_fleet_snapshot" -> fleetSnapshotServe,
     "q334_knn_ann_stream" -> knnAnnStream,
     "q333_knn_graph_append" -> knnGraphAppend,
     "q332_graph_sssp" -> graphSssp,

@@ -90,8 +90,11 @@ class PlanAuditSpec extends SparkSpec {
                              // + the purge+ban chain run at build
       "q321_lex_ban_gate", // LexStream batches commit + the
                            // purge+ban chain runs at build
-      "q322_fs_ban_gate") // NoveltyStream batches commit + the
+      "q322_fs_ban_gate", // NoveltyStream batches commit + the
                           // purge+reassign+ban chain runs at build
+      "q334_knn_ann_stream") // AnnStream batches commit + the graph
+                             // purge chain runs at build (q305's
+                             // exclusion, beam-search probe)
 
   test("no judged query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !iterative(name)) {
