@@ -15374,16 +15374,22 @@ object PipelineQueries {
     * Shared by the perceptual fingerprint (q328) and the persisted
     * perceptual media index (q329).
     */
-  private def bmpGrid(media: DataFrame): DataFrame = {
+  private def bmpGrid(media: DataFrame, sc: Column = lit(1L)): DataFrame = {
+    // `sc` is a horizontal upscale factor (pixel replication: output
+    // column c shows source column ⌊c/sc⌋ of the w-wide base image) —
+    // the q336 scaled-copy generator; the default 1 is a no-op and
+    // keeps the q328/q329 grids byte-identical
     def pixel(r: Column, c: Column): (Column, Column, Column) = {
+      val cs = floor(c / sc).cast("long")
       val cp = ascii(col("text").substr(
-        (pmod(r * col("w") + c, length(col("text")).cast("long")) + 1)
+        (pmod(r * col("w") + cs, length(col("text")).cast("long")) + 1)
           .cast("int"), lit(1)))
       (cp % 64 + 10 + col("shift"), cp % 32 + 20 + col("shift"),
         cp % 16 + 30 + col("shift"))
     }
     media.select(col("media_id"), col("orig_id"),
-        Multimodal.bmpBytes(col("w"), lit(PH_H.toLong), pixel).as("bmp"))
+        Multimodal.bmpBytes(col("w") * sc, lit(PH_H.toLong), pixel)
+          .as("bmp"))
       .select(col("media_id"), col("orig_id"), col("bmp"),
         Multimodal.leRead(col("bmp"), lit(19), 4).as("wp"),
         Multimodal.leRead(col("bmp"), lit(23), 4).as("hp"))
@@ -16547,7 +16553,248 @@ object PipelineQueries {
       })
   }
 
+  /** DCT perceptual hash (q336) — the crop/scale-robustness tier
+    * q328's average-hash provably lacks: aHash packs one bit PER
+    * PIXEL, so a 2× pixel-replicated upscale (identical content,
+    * more pixels) changes the packing and the hash. The pHash
+    * pipeline fixes the geometry first: the decoded grid (REAL BMP
+    * bytes through the q248 reader, the q328 machinery with a scale
+    * column) is nearest-neighbor SAMPLED onto a fixed 8×8 lattice —
+    * sampled col ⌊j·W/8⌋, and ⌊⌊j·2W/8⌋/2⌋ = ⌊j·W/8⌋ exactly, so
+    * the upscaled copy samples the IDENTICAL source pixels — then
+    * mean-centered in exact integers (x = luma·64 − Σluma: a
+    * constant intensity shift adds 64c to both terms and cancels,
+    * q328's invariance argument carried forward), transformed by a
+    * SEPARABLE integer 8×8 DCT-II (two multiply-accumulate passes
+    * against one 64-entry integer cosine table — the same literals
+    * on both engines, no float in any oracle-visible value), and the
+    * 63 AC coefficients threshold against their own mean in
+    * cross-multiplied form into one int64. Judged as the q328 arm
+    * matrix: the aHash arm pairs the shifted tier but NOT the scaled
+    * tier; the DCT arm pairs BOTH — completing the perceptual tier
+    * (exact bytes ⊂ aHash ⊂ pHash). Pair mass stays an aggregate
+    * over hash blocks, never materialized pairs. The oracle replays
+    * the pixel rule, the lattice, both transforms and the block
+    * arithmetic relationally; at 100 TB the shape is one decode pass
+    * + a 64-row-bounded per-media lattice + two bounded DCT passes —
+    * the q93/q328 cost envelope with a second fingerprint column.
+    */
+  val dctPerceptualHash: Q = {
+    val H = PH_H; val C1 = 1000000L; val C2 = 2000000L; val SH = 8L
+    // integer DCT-II cosine table: C(u,i) = round(1024·cos((2i+1)uπ/16)).
+    // Generated once here and embedded as LITERALS in both the plan
+    // and the oracle SQL — the engines only ever see integers.
+    val ctVals: Seq[(Long, Long, Long)] =
+      for { u <- 0L to 7L; i <- 0L to 7L } yield
+        (u, i, math.round(1024.0 *
+          math.cos(((2 * i + 1) * u * math.Pi) / 16.0)))
+    Q(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .filter(length(col("text")) >= 1)
+        // three tiers off one corpus: originals, 2×-upscaled copies
+        // (%8==1 — pixel replication along x: zero shared BYTES, a
+        // different pixel COUNT), intensity-shifted copies (%8==2)
+        val media = base
+          .select(col("doc_id").as("media_id"), col("doc_id").as("orig_id"),
+            col("text"), lit(0L).as("shift"), lit(1L).as("sc"))
+          .unionByName(base.filter(col("doc_id") % 8 === 1)
+            .select((col("doc_id") + C1).as("media_id"),
+              col("doc_id").as("orig_id"), col("text"),
+              lit(0L).as("shift"), lit(2L).as("sc")))
+          .unionByName(base.filter(col("doc_id") % 8 === 2)
+            .select((col("doc_id") + C2).as("media_id"),
+              col("doc_id").as("orig_id"), col("text"),
+              lit(SH).as("shift"), lit(1L).as("sc")))
+          .withColumn("w", lit(3L) + col("orig_id") % 5)
+        val grid = bmpGrid(media, col("sc")).persist()
+        // aHash over the FULL decoded grid — q328's arm, the foil
+        val stats = grid.groupBy("media_id", "orig_id", "wp")
+          .agg(sum("luma").as("luma_sum"), count(lit(1)).as("n_px"))
+        val ahashes = grid.select(col("media_id"), col("p"), col("luma"))
+          .join(stats.select(col("media_id"), col("luma_sum"),
+            col("n_px")), "media_id")
+          .groupBy("media_id")
+          .agg(sum(when(col("luma") * col("n_px") > col("luma_sum"),
+            expr("shiftleft(cast(1 as bigint), cast(p as int))"))
+            .otherwise(lit(0L)))
+            .as("ahash"))
+        // pHash: fixed 8×8 nearest-neighbor lattice over the grid
+        val sample = grid.select("media_id", "wp").distinct()
+          .withColumn("i", explode(sequence(lit(0L), lit(7L))))
+          .withColumn("j", explode(sequence(lit(0L), lit(7L))))
+          .select(col("media_id"), col("i"), col("j"),
+            expr("i div 2").as("r"), expr("j * wp div 8").as("c"))
+          .join(grid.select("media_id", "r", "c", "luma"),
+            Seq("media_id", "r", "c"))
+        val ssum = sample.groupBy("media_id").agg(sum("luma").as("ssum"))
+        val sx = sample.join(ssum, "media_id")
+          .select(col("media_id"), col("i"), col("j"),
+            (col("luma") * 64 - col("ssum")).as("x"))
+        // separable 2D DCT: rows then columns, 8 terms per pass
+        val ctu = ctVals.toDF("u", "si", "cu")
+        val ctv = ctVals.toDF("v", "sj", "cv")
+        val g1 = sx.join(ctu, col("si") === col("i"))
+          .groupBy(col("media_id"), col("u"), col("j"))
+          .agg(sum(col("cu") * col("x")).as("gx"))
+        val f1 = g1.join(ctv, col("sj") === col("j"))
+          .groupBy(col("media_id"), col("u"), col("v"))
+          .agg(sum(col("cv") * col("gx")).as("f"))
+          .filter(!(col("u") === 0 && col("v") === 0))
+        val fsum = f1.groupBy("media_id").agg(sum("f").as("fsum"))
+        val dhashes = f1.join(fsum, "media_id")
+          .groupBy("media_id")
+          // AC indices run 1..63 (DC dropped) — pack at idx−1 so the
+          // top bit (a signed-int64 overflow in DuckDB's `<<`) is
+          // never used
+          .agg(sum(when(col("f") * 63 > col("fsum"),
+            expr("shiftleft(cast(1 as bigint), cast(u * 8 + v - 1 as int))"))
+            .otherwise(lit(0L)))
+            .as("dhash"))
+        val fps = stats.select(col("media_id"), col("orig_id"), col("wp"))
+          .join(ahashes, "media_id").join(dhashes, "media_id")
+          .persist()
+        // per arm: block-pair mass over the arm's natural key (aHash
+        // blocks within a pixel geometry; pHash is geometry-free by
+        // construction) + the two copy-tier pairing counters
+        def arm(name: String, fp: Column, bk: Column): DataFrame = {
+          val keyed = fps.select(col("media_id"), col("orig_id"),
+            bk.as("bk"), fp.as("fp"))
+          val blockPairs = keyed.groupBy("bk", "fp")
+            .agg(count(lit(1)).as("n"))
+            .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
+              .as("n_block_pairs"))
+          val orig = keyed.filter(col("media_id") < C1)
+            .select(col("orig_id"), col("fp").as("fp_o"))
+          def copied(off: Long) = keyed
+            .filter(col("media_id") >= off && col("media_id") < off + C1)
+            .select(col("orig_id"), col("fp").as("fp_c"))
+            .join(orig, "orig_id")
+            .agg(coalesce(sum(when(col("fp_c") === col("fp_o"), 1L)
+              .otherwise(0L)), lit(0L)))
+          blockPairs.crossJoin(copied(C1).toDF("n_copy_scaled"))
+            .crossJoin(copied(C2).toDF("n_copy_shifted"))
+            .select(lit(name).as("arm"), col("n_block_pairs"),
+              col("n_copy_scaled"), col("n_copy_shifted"))
+        }
+        arm("1_ahash", col("ahash"), col("wp"))
+          .unionByName(arm("2_dct", col("dhash"), lit(0L)))
+          .orderBy("arm")
+      }, {
+        val ctRows = ctVals.map { case (u, i, c) => s"($u, $i, $c)" }
+          .mkString(", ")
+        s"""WITH d0 AS (SELECT doc_id, text FROM documents
+           |            WHERE length(text) >= 1),
+           |m AS (
+           |  SELECT doc_id AS media_id, doc_id AS orig_id, text,
+           |    0::BIGINT AS shift, 1::BIGINT AS sc FROM d0
+           |  UNION ALL
+           |  SELECT doc_id + $C1, doc_id, text, 0::BIGINT, 2::BIGINT
+           |  FROM d0 WHERE doc_id % 8 = 1
+           |  UNION ALL
+           |  SELECT doc_id + $C2, doc_id, text, $SH::BIGINT, 1::BIGINT
+           |  FROM d0 WHERE doc_id % 8 = 2),
+           |p0 AS (SELECT media_id, orig_id, text, shift, sc,
+           |         (3 + orig_id % 5)::BIGINT AS w,
+           |         ((3 + orig_id % 5) * sc)::BIGINT AS wp FROM m),
+           |g AS (SELECT media_id, orig_id, text, shift, sc, w, wp,
+           |        unnest(range(0, $H::BIGINT)) AS r FROM p0),
+           |gc AS (SELECT media_id, orig_id, text, shift, sc, w, wp, r,
+           |         unnest(range(0, wp)) AS c FROM g),
+           |px AS (
+           |  SELECT media_id, orig_id, wp, r, c, r * wp + c AS p,
+           |    ascii(substring(text,
+           |      ((r * w + c // sc) % length(text) + 1)::INT, 1)) AS cp,
+           |    shift
+           |  FROM gc),
+           |lm AS (
+           |  SELECT media_id, orig_id, wp, r, c, p,
+           |    (cp % 16 + 30 + shift) * 2 + (cp % 32 + 20 + shift) * 5
+           |      + (cp % 64 + 10 + shift) AS luma
+           |  FROM px),
+           |st AS (
+           |  SELECT media_id, orig_id, wp,
+           |    sum(luma)::BIGINT AS luma_sum, count(*)::BIGINT AS n_px
+           |  FROM lm GROUP BY 1, 2, 3),
+           |fpa AS (
+           |  SELECT l.media_id, st.orig_id, st.wp,
+           |    sum(CASE WHEN l.luma * st.n_px > st.luma_sum
+           |             THEN (1::BIGINT << l.p::INT) ELSE 0 END)::BIGINT
+           |      AS ahash
+           |  FROM lm l JOIN st ON l.media_id = st.media_id
+           |  GROUP BY 1, 2, 3),
+           |ct AS (SELECT * FROM (VALUES $ctRows) AS t(u, i, coef)),
+           |sm AS (
+           |  SELECT d.media_id, ii.i, jj.j,
+           |    ii.i // 2 AS r, (jj.j * d.wp) // 8 AS c
+           |  FROM (SELECT DISTINCT media_id, wp FROM p0) d,
+           |    (SELECT unnest(range(0, 8)) AS i) ii,
+           |    (SELECT unnest(range(0, 8)) AS j) jj),
+           |sv AS (
+           |  SELECT sm.media_id, sm.i, sm.j, lm.luma
+           |  FROM sm JOIN lm ON lm.media_id = sm.media_id
+           |    AND lm.r = sm.r AND lm.c = sm.c),
+           |ss AS (SELECT media_id, sum(luma) AS ssum FROM sv GROUP BY 1),
+           |sx AS (
+           |  SELECT sv.media_id, sv.i, sv.j, sv.luma * 64 - ss.ssum AS x
+           |  FROM sv JOIN ss ON sv.media_id = ss.media_id),
+           |g1 AS (
+           |  SELECT sx.media_id, ct.u, sx.j, sum(ct.coef * sx.x) AS gx
+           |  FROM sx JOIN ct ON ct.i = sx.i
+           |  GROUP BY 1, 2, 3),
+           |f1 AS (
+           |  SELECT g1.media_id, g1.u, ct.u AS v,
+           |    sum(ct.coef * g1.gx) AS f
+           |  FROM g1 JOIN ct ON ct.i = g1.j
+           |  GROUP BY 1, 2, 3
+           |  HAVING NOT (g1.u = 0 AND ct.u = 0)),
+           |fs AS (SELECT media_id, sum(f) AS fsum FROM f1 GROUP BY 1),
+           |fpd AS (
+           |  SELECT f1.media_id,
+           |    sum(CASE WHEN f1.f * 63 > fs.fsum
+           |             THEN (1::BIGINT << (f1.u * 8 + f1.v - 1)::INT)
+           |             ELSE 0 END)::BIGINT AS dhash
+           |  FROM f1 JOIN fs ON f1.media_id = fs.media_id
+           |  GROUP BY 1),
+           |arms AS (
+           |  SELECT '1_ahash' AS arm, fpa.media_id, fpa.orig_id,
+           |    fpa.wp AS bk, fpa.ahash AS fp
+           |  FROM fpa
+           |  UNION ALL
+           |  SELECT '2_dct', fpa.media_id, fpa.orig_id, 0::BIGINT,
+           |    fpd.dhash
+           |  FROM fpa JOIN fpd ON fpa.media_id = fpd.media_id),
+           |bp AS (
+           |  SELECT arm, coalesce(sum(n * (n - 1) // 2), 0)::BIGINT
+           |      AS n_block_pairs
+           |  FROM (SELECT arm, bk, fp, count(*)::BIGINT AS n
+           |        FROM arms GROUP BY 1, 2, 3) z
+           |  GROUP BY arm),
+           |cpr AS (
+           |  SELECT o.arm,
+           |    coalesce(sum(CASE WHEN c.media_id >= $C1
+           |        AND c.media_id < ${2 * C1}
+           |        AND c.fp = o.fp THEN 1 ELSE 0 END), 0)::BIGINT
+           |      AS n_copy_scaled,
+           |    coalesce(sum(CASE WHEN c.media_id >= $C2
+           |        AND c.fp = o.fp THEN 1 ELSE 0 END), 0)::BIGINT
+           |      AS n_copy_shifted
+           |  FROM arms o JOIN arms c
+           |    ON c.arm = o.arm AND c.orig_id = o.orig_id
+           |      AND c.media_id >= $C1
+           |  WHERE o.media_id < $C1
+           |  GROUP BY o.arm)
+           |SELECT bp.arm, bp.n_block_pairs, cpr.n_copy_scaled,
+           |  cpr.n_copy_shifted
+           |FROM bp JOIN cpr ON bp.arm = cpr.arm
+           |ORDER BY bp.arm""".stripMargin
+      })
+  }
+
   val all: Map[String, Q] = Map(
+    "q336_dct_phash" -> dctPerceptualHash,
     "q335_fleet_snapshot" -> fleetSnapshotServe,
     "q334_knn_ann_stream" -> knnAnnStream,
     "q333_knn_graph_append" -> knnGraphAppend,
