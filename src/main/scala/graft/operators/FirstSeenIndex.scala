@@ -135,7 +135,11 @@ object FirstSeenIndex {
           "left_anti").persist())
         .getOrElse(batchShingles)
       try {
-        if (bn.isDefined && gated.isEmpty) return gen.get
+        // EMPTY commits nothing, whatever emptied it — fully banned
+        // OR empty at the source (an empty bucket-partitioned dir has
+        // no footers; the GraphIndex:171 hazard class, closed
+        // fleet-wide in r15)
+        if (gated.isEmpty) return gen.get
         writeMap(gated.groupBy("s").agg(min("doc_id").as("first_doc")),
           staging.getAbsolutePath)
       } finally if (bn.isDefined) { gated.unpersist(); () }

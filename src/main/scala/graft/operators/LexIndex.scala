@@ -276,7 +276,10 @@ object LexIndex {
         Seq(id), "left_anti").persist())
       .getOrElse(docs)
     try {
-      if (bn.isDefined && gated.isEmpty) return idxPath
+      // EMPTY commits nothing, whatever emptied it — fully banned OR
+      // empty at the source (an empty partitionBy dir has no footers;
+      // the GraphIndex:171 hazard class, closed fleet-wide in r15)
+      if (gated.isEmpty) return idxPath
       val (rows, dl, tfc) = postingRows(gated, id, text)
       try {
         rows.repartition(col("pbucket"))

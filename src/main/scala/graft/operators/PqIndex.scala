@@ -429,7 +429,10 @@ object PqIndex {
         "left_anti").persist())
       .getOrElse(corpus)
     try {
-      if (bn.isDefined && gatedCorpus.isEmpty) return idxPath
+      // EMPTY commits nothing, whatever emptied it — fully banned OR
+      // empty at the source (an empty ccell-partitioned dir has no
+      // footers; the GraphIndex:171 hazard class, closed fleet-wide)
+      if (gatedCorpus.isEmpty) return idxPath
       // a by_residual generation's deltas encode residuals against the
       // SAME frozen coarse centroids + codebooks (pure assign+argmin,
       // never a Lloyd round — the flat path's frozen-codebook rule)

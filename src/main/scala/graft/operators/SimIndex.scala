@@ -243,7 +243,11 @@ object SimIndex {
         "left_anti").persist())
       .getOrElse(corpus)
     try {
-      if (bn.isDefined && gated.isEmpty) return genPath
+      // EMPTY commits nothing, whatever emptied it — fully banned OR
+      // empty at the source: an empty partitionBy write leaves no
+      // parquet footers and would break every later append-log read
+      // (the GraphIndex:171 hazard class, closed fleet-wide in r15)
+      if (gated.isEmpty) return genPath
       keyRows(gated, id, vec, bits, tables)
         .repartition(col("pbucket"))
         .sortWithinPartitions("tbl", "bucket")
