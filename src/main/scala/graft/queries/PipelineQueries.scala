@@ -16629,30 +16629,60 @@ object PipelineQueries {
             expr("i div 2").as("r"), expr("j * wp div 8").as("c"))
           .join(grid.select("media_id", "r", "c", "luma"),
             Seq("media_id", "r", "c"))
-        val ssum = sample.groupBy("media_id").agg(sum("luma").as("ssum"))
-        val sx = sample.join(ssum, "media_id")
-          .select(col("media_id"), col("i"), col("j"),
-            (col("luma") * 64 - col("ssum")).as("x"))
-        // separable 2D DCT: rows then columns, 8 terms per pass
-        val ctu = ctVals.toDF("u", "si", "cu")
-        val ctv = ctVals.toDF("v", "sj", "cv")
-        val g1 = sx.join(ctu, col("si") === col("i"))
-          .groupBy(col("media_id"), col("u"), col("j"))
-          .agg(sum(col("cu") * col("x")).as("gx"))
-        val f1 = g1.join(ctv, col("sj") === col("j"))
-          .groupBy(col("media_id"), col("u"), col("v"))
-          .agg(sum(col("cv") * col("gx")).as("f"))
-          .filter(!(col("u") === 0 && col("v") === 0))
-        val fsum = f1.groupBy("media_id").agg(sum("f").as("fsum"))
-        val dhashes = f1.join(fsum, "media_id")
-          .groupBy("media_id")
-          // AC indices run 1..63 (DC dropped) — pack at idx−1 so the
-          // top bit (a signed-int64 overflow in DuckDB's `<<`) is
-          // never used
-          .agg(sum(when(col("f") * 63 > col("fsum"),
-            expr("shiftleft(cast(1 as bigint), cast(u * 8 + v - 1 as int))"))
-            .otherwise(lit(0L)))
-            .as("dhash"))
+        // one 64-sample array per media, then the WHOLE transform —
+        // centering, both separable DCT passes, thresholding, packing
+        // — as per-media array expressions: ~1100 integer ops per
+        // media in one projection, zero further shuffles (the
+        // exploded row form paid two 38M-row exchange+agg passes at
+        // sf0.1 and made q336 the suite's slowest query; this is the
+        // same math on the same integers)
+        // each stage lands behind a same-key aggregate so the NEXT
+        // stage reads a MATERIALIZED array attribute: a Project alias
+        // referenced inside a lambda is re-evaluated on every
+        // element_at access (interpreted HOFs have no subexpression
+        // reuse), and chaining the three stages through aliases
+        // multiplies into ~1e9 ops per media — the boundary
+        // aggregates are exchange-free (the child is already
+        // hash-partitioned on media_id) and cost one pass over 75k
+        // one-row groups each
+        def bound(df: DataFrame, arrCol: String): DataFrame =
+          df.groupBy("media_id").agg(first(arrCol).as(arrCol))
+        val sArr = sample.groupBy("media_id")
+          .agg(transform(array_sort(collect_list(struct(
+              (col("i") * 8 + col("j")).as("p"), col("luma").as("v")))),
+            e => e.getField("v")).as("s64"),
+            sum("luma").as("ssum"))
+        // the 64-entry cosine table as one array literal: cc[u·8+i+1]
+        val ccArr = array(ctVals.map(t => lit(t._3)): _*)
+        // centering: x = luma·64 − Σluma (intensity shift cancels)
+        val xArr = bound(sArr.select(col("media_id"),
+          expr("transform(s64, v -> v * 64 - ssum)").as("x64")), "x64")
+          .withColumn("cc", ccArr)
+        // row pass: g64[u·8+j] = Σ_i cc[u·8+i]·x64[i·8+j]
+        val gArr = bound(xArr.select(col("media_id"), expr(
+          "transform(sequence(0, 63), k -> aggregate(sequence(0, 7), " +
+            "0L, (a, i) -> a + element_at(cc, " +
+            "cast((k div 8) * 8 + i + 1 as int)) " +
+            "* element_at(x64, cast(i * 8 + (k % 8) + 1 as int))))")
+          .as("g64")), "g64")
+          .withColumn("cc", ccArr)
+        // column pass over the 63 AC indices (DC dropped):
+        // f64[idx] = Σ_j cc[(idx%8)·8+j]·g64[(idx div 8)·8+j]
+        val fArr = bound(gArr.select(col("media_id"), expr(
+          "transform(sequence(1, 63), idx -> aggregate(sequence(0, 7), " +
+            "0L, (a, j) -> a + element_at(cc, " +
+            "cast((idx % 8) * 8 + j + 1 as int)) " +
+            "* element_at(g64, cast((idx div 8) * 8 + j + 1 as int))))")
+          .as("f64")), "f64")
+        // pack at idx−1 so the top bit (a signed-int64 overflow in
+        // DuckDB's `<<`) is never used
+        val dhashes = fArr
+          .withColumn("fsum", expr("aggregate(f64, 0L, (a, y) -> a + y)"))
+          .select(col("media_id"), expr(
+            "aggregate(sequence(1, 63), 0L, (a, idx) -> a + " +
+              "(CASE WHEN element_at(f64, cast(idx as int)) * 63 > fsum " +
+              "THEN shiftleft(cast(1 as bigint), cast(idx - 1 as int)) " +
+              "ELSE 0L END))").as("dhash"))
         val fps = stats.select(col("media_id"), col("orig_id"), col("wp"))
           .join(ahashes, "media_id").join(dhashes, "media_id")
           .persist()
