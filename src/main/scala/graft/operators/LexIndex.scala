@@ -410,6 +410,17 @@ object LexIndex {
                term: String, k: Int, root: String): DataFrame =
     bm25Core(spark, queries, qid, term, k, root, materialize = true)
 
+  /** [[bm25TopK]] against a PINNED committed generation — the
+    * fleet-snapshot read path ([[graft.operators.FleetSnapshot]]):
+    * serves `genPath` EXACTLY as committed — its own frozen
+    * collection stats, no delta log, no tombstone or ban mask (all
+    * post-snapshot state by definition).
+    */
+  def bm25TopKAt(spark: SparkSession, queries: DataFrame, qid: String,
+                 term: String, k: Int, genPath: String): DataFrame =
+    bm25Core(spark, queries, qid, term, k, genPath, materialize = true,
+      pinned = true)
+
   /** The LAZY plan behind [[bm25TopK]] — exposed for plan audits
     * (pruning specs assert the static PartitionFilters on this form;
     * [[bm25TopK]]'s returned frame is an already-materialized RDD
@@ -423,16 +434,21 @@ object LexIndex {
 
   private def bm25Core(spark: SparkSession, queries: DataFrame,
                        qid: String, term: String, k: Int, root: String,
-                       materialize: Boolean): DataFrame = {
+                       materialize: Boolean,
+                       pinned: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // read-order discipline (see DedupIndex.probeBanded): tombstones,
     // then the delta listing, then resolve; the folded-sidecar filter
     // keeps a racing merge's folded-but-not-yet-deleted delta from
-    // double-counting df and score.
-    val ts = tombstones(spark, root)
-    val deltaSnap0 = deltas(root)
-    val idxPath = resolve(root).getOrElse(
-      throw new IllegalStateException(s"no committed index under $root"))
+    // double-counting df and score. pinned = fleet-snapshot read:
+    // `root` IS the generation path and every later log is out of
+    // scope.
+    val ts = if (pinned) None else tombstones(spark, root)
+    val deltaSnap0 = if (pinned) Nil else deltas(root)
+    val idxPath =
+      if (pinned) { graft.sources.Artifacts.noteResolveHit(); root }
+      else resolve(root).getOrElse(
+        throw new IllegalStateException(s"no committed index under $root"))
     val folded = foldedOf(idxPath)
     val deltaSnap = deltaSnap0
       .filterNot(p => folded(new java.io.File(p).getName))
@@ -477,8 +493,8 @@ object LexIndex {
       .map(t => post0.join(t, Seq("index_id"), "left_anti"))
       .getOrElse(post0)
     // bans mask like tombstones but never reset (the re-ingestion
-    // closure — see [[addBans]])
-    val post = bans(spark, root)
+    // closure — see [[addBans]]); out of scope for a pinned read
+    val post = (if (pinned) None else bans(spark, root))
       .map(b => post1.join(b, Seq("index_id"), "left_anti"))
       .getOrElse(post1)
     // postings restricted to the query's terms (bucket-pruned scan,

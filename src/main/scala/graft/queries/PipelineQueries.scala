@@ -16823,7 +16823,205 @@ object PipelineQueries {
       })
   }
 
+  /** Hybrid retrieval through a PINNED fleet snapshot (q337) — the
+    * verdict's composed-read closure made concrete on the q282
+    * shape: BM25 (LexIndex) × LSH-ANN (SimIndex) Borda fusion where
+    * BOTH arms resolve through ONE [[graft.operators.FleetSnapshot]]
+    * manifest instead of "latest". The chain publishes both families
+    * over one aligned corpus (doc_id ≡ vec_id), pins m1, purges a
+    * doc slice from BOTH (lex compaction recomputes N/Σdl/df from
+    * survivors; sim scrubs its key rows), pins m2 — and the judged
+    * read then serves the SAME query batch through m1 and m2:
+    * the m1 arms run AFTER the purge committed and still fuse the
+    * pre-purge world with its pre-purge collection stats (a
+    * latest-reader would already see the shrunken N — the skew the
+    * manifest forbids), while m2 fuses the survivor world. The
+    * oracle replays BM25 + banding + fusion per arm with per-snapshot
+    * worlds: pairing either arm's ranking with the other snapshot's
+    * stats or survivor set hash-mismatches.
+    */
+  val pinnedHybridServe: Q = {
+    val INDEX_MAX = 400L; val Q_MAX = 410L; val K = 10; val F = 5
+    val delSql = "% 7 = 2"
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def isDel(c: Column): Column = c % 7 === 2
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val base = docs.filter(col("doc_id") < INDEX_MAX)
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val index = emb.filter(col("vec_id") < INDEX_MAX)
+        val fleetRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-fleet-hy", d,
+          Seq("documents.parquet", "embeddings.parquet"))
+        val lexRoot = new java.io.File(fleetRoot, "lex").getAbsolutePath
+        val simRoot = new java.io.File(fleetRoot, "sim").getAbsolutePath
+        if (FleetSnapshot.list(fleetRoot).isEmpty) {
+          LexIndex.publish(base, "doc_id", "text", lexRoot)
+          val r = VectorFunctions.mtBits(index.count())
+          SimIndex.publish(index, "vec_id", "embedding",
+            r, VectorFunctions.mtTables(r), simRoot)
+          FleetSnapshot.pin(fleetRoot,
+            Map("lex" -> lexRoot, "sim" -> simRoot))
+        }
+        if (FleetSnapshot.list(fleetRoot).size < 2) {
+          val del = base.filter(isDel(col("doc_id"))).select("doc_id")
+          LexIndex.addTombstones(s, del, "doc_id", lexRoot)
+          LexIndex.mergeCompact(s, lexRoot)
+          SimIndex.addTombstones(s,
+            del.withColumnRenamed("doc_id", "vec_id"), "vec_id", simRoot)
+          SimIndex.mergeCompact(s, simRoot)
+          FleetSnapshot.pin(fleetRoot,
+            Map("lex" -> lexRoot, "sim" -> simRoot))
+        }
+        val qdocs = docs.filter(
+          col("doc_id") >= INDEX_MAX && col("doc_id") < Q_MAX)
+        val qterms = qdocs.select(col("doc_id").as("query_id"),
+            explode(TextFunctions.words(col("text"))).as("term"))
+          .filter(length(col("term")) > 0).distinct()
+        val qvec = emb.filter(
+          col("vec_id") >= INDEX_MAX && col("vec_id") < Q_MAX)
+        def arm(n: Long): DataFrame = {
+          val gens = FleetSnapshot.at(fleetRoot, n)
+          val lexTop = LexIndex.bm25TopKAt(s, qterms, "query_id", "term",
+              K, gens("lex"))
+            .select(col("query_id"), col("index_id").as("doc_id"),
+              (lit(K + 1) - col("rnk")).cast("long").as("lex_pts"))
+          val vecTop = SimIndex.probeTopKAt(s, qvec, "vec_id",
+              "embedding", K, gens("sim"))
+            .select(col("query_id"), col("index_id").as("doc_id"),
+              (lit(K + 1) - col("rnk")).cast("long").as("vec_pts"))
+          val fused = lexTop
+            .join(vecTop, Seq("query_id", "doc_id"), "full_outer")
+            .na.fill(0L, Seq("lex_pts", "vec_pts"))
+            .withColumn("borda", col("lex_pts") + col("vec_pts"))
+          val wf = Window.partitionBy("query_id")
+            .orderBy(desc("borda"), asc("doc_id"))
+          fused.withColumn("rnk", row_number().over(wf).cast("long"))
+            .filter(col("rnk") <= F)
+            .withColumn("snap", lit(n))
+            .select("snap", "query_id", "doc_id", "lex_pts", "vec_pts",
+              "borda", "rnk")
+        }
+        arm(1).unionByName(arm(2))
+          .orderBy("snap", "query_id", "rnk")
+      }, {
+        // one snapshot arm: BM25 over that arm's SURVIVOR world (its
+        // own collection stats — the purged generation recomputed
+        // N/Σdl/df from survivors) + banding over the same world with
+        // the FROZEN publish-time (r, T), Borda-fused
+        def armCtes(sfx: String, pred: String => String): String =
+          s"""tok$sfx AS (SELECT doc_id, term FROM tok0
+             |            WHERE ${pred("doc_id")}),
+             |tf$sfx AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             |           FROM tok$sfx GROUP BY 1, 2),
+             |dl$sfx AS (SELECT doc_id, count(*)::BIGINT AS dl
+             |           FROM tok$sfx GROUP BY 1),
+             |df$sfx AS (SELECT term, count(*)::BIGINT AS df
+             |           FROM tf$sfx GROUP BY 1),
+             |st$sfx AS (SELECT count(*)::BIGINT AS n_docs,
+             |             sum(dl)::BIGINT AS sumdl FROM dl$sfx),
+             |sc$sfx AS (
+             |  SELECT q.query_id, f.doc_id AS index_id,
+             |    ${graft.operators.LexIndex.contribSql(
+                  "f.tf", "d.df", "l.dl", "n_docs", "sumdl", "//")}
+             |      AS contrib
+             |  FROM tf$sfx f JOIN qt q USING (term)
+             |  JOIN df$sfx d USING (term)
+             |  JOIN dl$sfx l ON l.doc_id = f.doc_id CROSS JOIN st$sfx),
+             |ag$sfx AS (
+             |  SELECT query_id, index_id, sum(contrib)::BIGINT AS score
+             |  FROM sc$sfx GROUP BY 1, 2),
+             |lextop$sfx AS (
+             |  SELECT query_id, index_id AS doc_id,
+             |    (${K + 1} - r)::BIGINT AS lex_pts
+             |  FROM (SELECT query_id, index_id,
+             |          row_number() OVER (PARTITION BY query_id
+             |            ORDER BY score DESC, index_id) AS r
+             |        FROM ag$sfx) z WHERE r <= $K),
+             |ascore$sfx AS (
+             |  SELECT q.vec_id AS query_id, kb.vec_id AS index_id,
+             |    max(round(${VectorFunctions.cosineSql(
+                  "q.embedding", "kb.embedding")}, 6)) AS cos_sim
+             |  FROM qkb q JOIN ikb kb
+             |    ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+             |  WHERE ${pred("kb.vec_id")}
+             |  GROUP BY 1, 2),
+             |vectop$sfx AS (
+             |  SELECT query_id, index_id AS doc_id,
+             |    (${K + 1} - rnk)::BIGINT AS vec_pts
+             |  FROM (SELECT query_id, index_id,
+             |          row_number() OVER (PARTITION BY query_id
+             |            ORDER BY cos_sim DESC, index_id) AS rnk
+             |        FROM ascore$sfx) z WHERE rnk <= $K),
+             |fr$sfx AS (
+             |  SELECT query_id, doc_id,
+             |    coalesce(l.lex_pts, 0)::BIGINT AS lex_pts,
+             |    coalesce(v.vec_pts, 0)::BIGINT AS vec_pts,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY coalesce(l.lex_pts, 0) + coalesce(v.vec_pts, 0)
+             |        DESC, doc_id) AS r
+             |  FROM lextop$sfx l FULL OUTER JOIN vectop$sfx v
+             |    USING (query_id, doc_id))""".stripMargin
+        s"""WITH w AS (
+           |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+           |  FROM documents WHERE doc_id < $INDEX_MAX),
+           |tok0 AS (
+           |  SELECT doc_id, t AS term FROM (
+           |    SELECT doc_id, unnest(arr) AS t FROM w)
+           |  WHERE length(t) > 0),
+           |wq AS (
+           |  SELECT doc_id, ${TextFunctions.wordsSql("text")} AS arr
+           |  FROM documents WHERE doc_id >= $INDEX_MAX AND doc_id < $Q_MAX),
+           |qt AS (
+           |  SELECT DISTINCT doc_id AS query_id, t AS term FROM (
+           |    SELECT doc_id, unnest(arr) AS t FROM wq)
+           |  WHERE length(t) > 0),
+           |idx0 AS (SELECT vec_id, embedding FROM embeddings
+           |         WHERE vec_id < $INDEX_MAX),
+           |params AS (
+           |  SELECT (${VectorFunctions.mtBitsSql("count(*)")}) AS r,
+           |    ${VectorFunctions.mtTablesSql(
+                  VectorFunctions.mtBitsSql("count(*)"))} AS nt
+           |  FROM idx0),
+           |ie AS (
+           |  SELECT vec_id, embedding,
+           |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+           |  FROM embeddings, params WHERE vec_id < $INDEX_MAX),
+           |iek AS (
+           |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+           |  FROM ie),
+           |ikb AS (
+           |  SELECT vec_id, embedding, tbl,
+           |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+           |  FROM iek),
+           |qe AS (
+           |  SELECT vec_id, embedding,
+           |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+           |  FROM embeddings, params
+           |  WHERE vec_id >= $INDEX_MAX AND vec_id < $Q_MAX),
+           |qek AS (
+           |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+           |  FROM qe),
+           |qkb AS (
+           |  SELECT vec_id, embedding, tbl,
+           |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+           |  FROM qek),
+           |${armCtes("a", c => s"$c IS NOT NULL")},
+           |${armCtes("b", c => s"NOT ($c $delSql)")}
+           |SELECT snap, query_id, doc_id, lex_pts, vec_pts,
+           |  (lex_pts + vec_pts)::BIGINT AS borda, r::BIGINT AS rnk
+           |FROM (
+           |  SELECT CAST(1 AS BIGINT) AS snap, * FROM fra WHERE r <= $F
+           |  UNION ALL
+           |  SELECT CAST(2 AS BIGINT) AS snap, * FROM frb WHERE r <= $F
+           |) u ORDER BY snap, query_id, rnk""".stripMargin
+      })
+  }
+
   val all: Map[String, Q] = Map(
+    "q337_pinned_hybrid" -> pinnedHybridServe,
     "q336_dct_phash" -> dctPerceptualHash,
     "q335_fleet_snapshot" -> fleetSnapshotServe,
     "q334_knn_ann_stream" -> knnAnnStream,
