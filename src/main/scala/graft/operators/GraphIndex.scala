@@ -451,6 +451,17 @@ object GraphIndex {
                 root: String): DataFrame =
     probeCore(spark, nodes, root, out = true, materialize = true)
 
+  /** [[neighbors]] against a PINNED committed generation — the
+    * fleet-snapshot read path ([[FleetSnapshot]]): serves `genPath`
+    * EXACTLY as committed — no delta log, no tombstone or ban mask
+    * (post-snapshot state by definition), and no weight-sum
+    * aggregate (a committed generation is already one row per edge).
+    */
+  def neighborsAt(spark: SparkSession, nodes: DataFrame,
+                  genPath: String): DataFrame =
+    probeCore(spark, nodes, genPath, out = true, materialize = true,
+      pinned = true)
+
   /** In-neighborhoods of `nodes` — "who points at node": (…, node,
     * nbr, w) where each served edge is (nbr → node). The reverse
     * probe a DIRECTED graph needs (followers, citers, inbound
@@ -479,7 +490,8 @@ object GraphIndex {
 
   private def probeCore(spark: SparkSession, nodes: DataFrame,
                         root: String, out: Boolean,
-                        materialize: Boolean): DataFrame = {
+                        materialize: Boolean,
+                        pinned: Boolean = false): DataFrame = {
     // which twin serves the probe: out-probes key on src over `out/`,
     // in-probes on dst over `in/` — each layout is bucketed on ITS
     // probe key, so the pruning logic is identical
@@ -488,11 +500,15 @@ object GraphIndex {
     // read-order discipline (SimIndex.probeTopK): tombstones, then the
     // delta listing, then resolve; the folded-sidecar filter drops
     // exactly the dirs a racing merge already folded (double-reading a
-    // live delta would double-COUNT — the filter is load-bearing)
-    val ts = tombstones(spark, root)
-    val deltaSnap0 = deltas(root)
-    val idxPath = resolve(root).getOrElse(
-      throw new IllegalStateException(s"no committed index under $root"))
+    // live delta would double-COUNT — the filter is load-bearing).
+    // pinned = fleet-snapshot read: `root` IS the generation path and
+    // every later log is out of scope.
+    val ts = if (pinned) None else tombstones(spark, root)
+    val deltaSnap0 = if (pinned) Nil else deltas(root)
+    val idxPath =
+      if (pinned) { graft.sources.Artifacts.noteResolveHit(); root }
+      else resolve(root).getOrElse(
+        throw new IllegalStateException(s"no committed index under $root"))
     val foldedNames = foldedOf(idxPath)
     val deltaSnap = deltaSnap0
       .filterNot(p => foldedNames(new java.io.File(p).getName))
@@ -505,7 +521,8 @@ object GraphIndex {
         .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*))
         .select(col("pbucket"), col("src"), col("dst"), col("w")))
       .reduce(_.unionByName(_))
-    val live = maskBoth(maskBoth(adj0, ts), bans(spark, root))
+    val live = maskBoth(maskBoth(adj0, ts),
+      if (pinned) None else bans(spark, root))
     // base-only, purge-free reads skip the sum aggregate — the
     // committed adjacency is already one row per (src, dst)
     val adj =

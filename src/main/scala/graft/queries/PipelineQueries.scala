@@ -17020,7 +17020,217 @@ object PipelineQueries {
       })
   }
 
+  /** Graph-ANN through PINNED snapshots (q338) — time travel through
+    * the SERVING STRUCTURE itself: q327's kNN graph behind
+    * [[graft.operators.FleetSnapshot]], with
+    * [[GraphIndex.neighborsAt]] walking a committed generation
+    * exactly as pinned. The chain builds the graph, pins m1, runs the
+    * q331 purge (tombstone a slice INCLUDING entry node 100 →
+    * bucket-local purgeCompact → generation 2), pins m2 — then ONE
+    * query batch beams through BOTH manifests: the m1 walk runs
+    * AFTER the purge committed yet still routes THROUGH the purged
+    * nodes and returns them (the pre-purge world the manifest pinned
+    * — retention keeps the prior generation readable precisely for
+    * this), while the m2 walk neither returns nor routes through
+    * them (q331's closure). Entry liveness derives from the PINNED
+    * generation per arm — the same artifact-derived rule as q334,
+    * evaluated against each snapshot's world. The oracle replays
+    * both walks (full graph vs masked graph, per-arm entry
+    * existence); a routing difference on either side breaks the
+    * hash.
+    */
+  val pinnedKnnServe: Q = {
+    val INDEX_MAX = 400L; val Q_MAX = 420L
+    val M_KNN = 6; val ROUNDS = 3; val K = 10; val B = 8
+    val ENT_MOD = 50L
+    val delSql = "(vec_id % 25 = 7 OR vec_id = 100)"
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def isDel(c: Column): Column = c % 25 === 7 || c === 100
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val eAll = VectorQuantizer.scaled(
+          emb.filter(col("vec_id") < Q_MAX), "vec_id", "embedding")
+          .persist()
+        val eIdx = eAll.filter(col("vec_id") < INDEX_MAX)
+        val fleetRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-fleet-gr", d, Seq("embeddings.parquet"))
+        val graphRoot = new java.io.File(fleetRoot, "knn").getAbsolutePath
+        if (FleetSnapshot.list(fleetRoot).isEmpty) {
+          val cent = VectorQuantizer.fitCentroids(
+            eIdx, "vec_id", KM_C, KM_ITERS)
+          val cells = VectorQuantizer.assignCells(eIdx, cent, "vec_id")
+          val xs = eIdx.select(col("vec_id"), col("xs"))
+          val pairs = cells.as("a")
+            .join(cells.as("b"), col("a.cell") === col("b.cell") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+            .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+            .join(xs.select(col("vec_id").as("u"), col("xs").as("xu")), "u")
+            .join(xs.select(col("vec_id").as("v"), col("xs").as("xv")), "v")
+            .select(col("u"), col("v"),
+              VectorQuantizer.l2DistSq(col("xu"), col("xv")).as("d2"))
+          val knn = pairs.withColumn("rnk", row_number().over(
+              Window.partitionBy("u").orderBy(col("d2"), col("v"))))
+            .filter(col("rnk") <= M_KNN)
+            .select(col("u"), col("v"))
+          GraphIndex.publish(
+            knn.select(col("u").as("src"), col("v").as("dst"))
+              .unionByName(knn.select(col("v").as("src"),
+                col("u").as("dst")))
+              .distinct()
+              .withColumn("w", lit(1L)),
+            graphRoot)
+          FleetSnapshot.pin(fleetRoot, Map("knn" -> graphRoot))
+        }
+        if (FleetSnapshot.list(fleetRoot).size < 2) {
+          GraphIndex.addTombstones(s,
+            eIdx.select(col("vec_id").as("node"))
+              .filter(isDel(col("node"))), "node", graphRoot)
+          GraphIndex.purgeCompact(s, graphRoot)
+          FleetSnapshot.pin(fleetRoot, Map("knn" -> graphRoot))
+        }
+        val qxs = eAll.filter(col("vec_id") >= INDEX_MAX)
+          .select(col("vec_id").as("query_id"), col("xs").as("qx"))
+        val ixs = eIdx.select(col("vec_id").as("node"), col("xs").as("nx"))
+        def score(cand: DataFrame): DataFrame =
+          cand.join(ixs, "node").join(qxs, "query_id")
+            .select(col("query_id"), col("node"),
+              VectorQuantizer.l2DistSq(col("qx"), col("nx")).as("d2"))
+        def top(scored: DataFrame, n: Int): DataFrame =
+          scored.withColumn("rnk", row_number().over(
+              Window.partitionBy("query_id").orderBy(col("d2"), col("node"))))
+            .filter(col("rnk") <= n)
+        def arm(n: Long): DataFrame = {
+          val gen = FleetSnapshot.at(fleetRoot, n)("knn")
+          val entCand = ixs.filter(col("node") % ENT_MOD === 0)
+            .select("node")
+          val entries = GraphIndex.neighborsAt(s, entCand, gen)
+            .select("node").distinct()
+          var visited = graft.operators.ProbeCache.materialize(
+            score(qxs.select("query_id").crossJoin(entries)))
+          var frontier = graft.operators.ProbeCache.materialize(
+            top(visited, B).select("query_id", "node"))
+          for (_ <- 1 to ROUNDS) {
+            if (!frontier.isEmpty) {
+              val nb = GraphIndex.neighborsAt(s, frontier, gen)
+              val fresh = nb
+                .select(col("query_id"), col("nbr").as("node")).distinct()
+                .join(visited.select("query_id", "node"),
+                  Seq("query_id", "node"), "left_anti")
+              val newV = graft.operators.ProbeCache.materialize(score(fresh))
+              visited = visited.unionByName(newV)
+              frontier = graft.operators.ProbeCache.materialize(
+                top(newV, B).select("query_id", "node"))
+            }
+          }
+          top(visited, K)
+            .select(lit(n).as("snap"), col("query_id"), col("node"),
+              col("d2"), col("rnk").cast("long").as("rnk"))
+        }
+        arm(1).unionByName(arm(2))
+          .orderBy("snap", "query_id", "rnk")
+      }, {
+        def beamCtes(sfx: String, graph: String): String = {
+          val rounds = (1 to ROUNDS).map { r =>
+            s"""n$r$sfx AS (
+               |  SELECT DISTINCT f.query_id, g.dst AS node
+               |  FROM f${r - 1}$sfx f JOIN $graph g ON g.src = f.node
+               |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1}$sfx v
+               |                    WHERE v.query_id = f.query_id
+               |                      AND v.node = g.dst)),
+               |v$r$sfx AS (
+               |  SELECT query_id, node, d2 FROM v${r - 1}$sfx
+               |  UNION ALL
+               |  SELECT n.query_id, n.node, q.d2
+               |  FROM n$r$sfx n JOIN qd q
+               |    ON q.query_id = n.query_id AND q.node = n.node),
+               |f$r$sfx AS (
+               |  SELECT query_id, node FROM (
+               |    SELECT n.query_id, n.node,
+               |      row_number() OVER (PARTITION BY n.query_id
+               |                         ORDER BY q.d2, n.node) AS rnk
+               |    FROM n$r$sfx n JOIN qd q
+               |      ON q.query_id = n.query_id AND q.node = n.node) z
+               |  WHERE rnk <= $B)""".stripMargin
+          }.mkString(",\n")
+          s"""ent$sfx AS (
+             |  SELECT DISTINCT vec_id AS node FROM e
+             |  WHERE vec_id < $INDEX_MAX AND vec_id % $ENT_MOD = 0
+             |    AND EXISTS (SELECT 1 FROM $graph g
+             |                WHERE g.src = e.vec_id)),
+             |v0$sfx AS (
+             |  SELECT qd.query_id, qd.node, qd.d2
+             |  FROM qd JOIN ent$sfx ON qd.node = ent$sfx.node),
+             |f0$sfx AS (
+             |  SELECT query_id, node FROM (
+             |    SELECT query_id, node,
+             |      row_number() OVER (PARTITION BY query_id
+             |                         ORDER BY d2, node) AS rnk
+             |    FROM v0$sfx) z WHERE rnk <= $B),
+             |$rounds,
+             |res$sfx AS (
+             |  SELECT query_id, node, d2 FROM (
+             |    SELECT query_id, node, d2,
+             |      row_number() OVER (PARTITION BY query_id
+             |                         ORDER BY d2, node) AS rnk
+             |    FROM v$ROUNDS$sfx) z WHERE rnk <= $K)""".stripMargin
+        }
+        s"""WITH ${kmeansCtes(fitPred = s"e.vec_id < $INDEX_MAX")},
+           |fa AS (
+           |  SELECT e.vec_id, c.cell,
+           |    sum((e.xs - c.cs) * (e.xs - c.cs)) AS d2
+           |  FROM e JOIN c$KM_ITERS c USING (dim)
+           |  WHERE e.vec_id < $INDEX_MAX
+           |  GROUP BY e.vec_id, c.cell),
+           |ca AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |      row_number() OVER (PARTITION BY vec_id
+           |                         ORDER BY d2, cell) AS rnk
+           |    FROM fa) z WHERE rnk = 1),
+           |pd AS (
+           |  SELECT a.vec_id AS u, b.vec_id AS v,
+           |    sum((ea.xs - eb.xs) * (ea.xs - eb.xs)) AS d2
+           |  FROM ca a JOIN ca b ON a.cell = b.cell
+           |    AND a.vec_id <> b.vec_id
+           |  JOIN e ea ON ea.vec_id = a.vec_id
+           |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim
+           |  GROUP BY 1, 2),
+           |knn AS (
+           |  SELECT u, v FROM (
+           |    SELECT u, v,
+           |      row_number() OVER (PARTITION BY u ORDER BY d2, v) AS rnk
+           |    FROM pd) z WHERE rnk <= $M_KNN),
+           |gf AS (SELECT u AS src, v AS dst FROM knn
+           |       UNION SELECT v, u FROM knn),
+           |del AS (SELECT DISTINCT vec_id FROM e
+           |        WHERE vec_id < $INDEX_MAX AND $delSql),
+           |gm AS (
+           |  SELECT src, dst FROM gf
+           |  WHERE src NOT IN (SELECT vec_id FROM del)
+           |    AND dst NOT IN (SELECT vec_id FROM del)),
+           |qd AS (
+           |  SELECT q.vec_id AS query_id, x.vec_id AS node,
+           |    sum((q.xs - x.xs) * (q.xs - x.xs)) AS d2
+           |  FROM e q JOIN e x ON q.dim = x.dim AND x.vec_id < $INDEX_MAX
+           |  WHERE q.vec_id >= $INDEX_MAX AND q.vec_id < $Q_MAX
+           |  GROUP BY 1, 2),
+           |${beamCtes("a", "gf")},
+           |${beamCtes("b", "gm")}
+           |SELECT snap, query_id, node, d2::BIGINT AS d2,
+           |  CAST(row_number() OVER (PARTITION BY snap, query_id
+           |                          ORDER BY d2, node) AS BIGINT) AS rnk
+           |FROM (
+           |  SELECT CAST(1 AS BIGINT) AS snap, * FROM resa
+           |  UNION ALL
+           |  SELECT CAST(2 AS BIGINT) AS snap, * FROM resb
+           |) u ORDER BY snap, query_id, rnk""".stripMargin
+      })
+  }
+
   val all: Map[String, Q] = Map(
+    "q338_pinned_knn" -> pinnedKnnServe,
     "q337_pinned_hybrid" -> pinnedHybridServe,
     "q336_dct_phash" -> dctPerceptualHash,
     "q335_fleet_snapshot" -> fleetSnapshotServe,
