@@ -101,6 +101,9 @@ object FleetSnapshot {
       .map(m => unescape(m.group(1)) -> unescape(m.group(2)))
       .toMap
 
+  // single pass: sequential replaces would turn the escaped form of
+  // `\"` (backslash then quote: \\\") into `"` instead of `\"`
   private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
+    """\\(.)""".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(m.group(1)))
 }
