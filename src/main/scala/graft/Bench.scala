@@ -126,7 +126,10 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        gcs += (gcMillis() - gc0) / 1e3
+        // gc[] must stay index-parallel with iters[] (ok iterations
+        // only) — an errored iteration recording gc but not time
+        // would misalign the attribution channel
+        if (ok) gcs += (gcMillis() - gc0) / 1e3
         val state =
           if (graft.sources.Artifacts.publishes.get() > pub0) {
             if (!published.contains(name)) published(name) = dt

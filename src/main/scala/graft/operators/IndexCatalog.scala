@@ -121,17 +121,27 @@ object IndexCatalog {
 
   /** One row per (snapshot, family) of the committed
     * [[FleetSnapshot]] manifests under `fleetRoot`: snapshot number,
-    * family name, pinned generation version and path. Driver-side
-    * listings only — no Spark job (the [[inspect]] doctrine).
+    * family name, pinned generation version and path, and `live` —
+    * 0 when the pinned path no longer holds a committed generation
+    * (a DANGLING pin: the manifest outlived its generation, possible
+    * for manifests written before pin-aware retention or hand-broken
+    * roots — the detector the inspect path owes a deployment).
+    * Driver-side listings only — no Spark job (the [[inspect]]
+    * doctrine); a malformed entry reports generation −1 rather than
+    * failing the whole listing (report-what-is-there).
     */
   def pinnedSnapshots(spark: SparkSession, fleetRoot: String)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     FleetSnapshot.list(fleetRoot).flatMap { n =>
       FleetSnapshot.at(fleetRoot, n).toSeq.sorted.map { case (f, g) =>
-        (n, f,
-          new java.io.File(g).getName.stripPrefix("index.v").toLong, g)
+        val gen = scala.util.Try(
+          new java.io.File(g).getName.stripPrefix("index.v").toLong)
+          .getOrElse(-1L)
+        val live =
+          if (new java.io.File(g, "_SUCCESS").isFile) 1L else 0L
+        (n, f, gen, g, live)
       }
-    }.toDF("snap", "family", "generation", "gen_path")
+    }.toDF("snap", "family", "generation", "gen_path", "live")
   }
 }

@@ -808,8 +808,12 @@ object PqIndex {
               .join(broadcast(dtab), Seq("sub", "cell"))
         }
     }
-    val scored0 = paired
-      .filter(col("index_id") =!= col("query_id"))
+    // self-pair exclusion applies to DISCOVERY probes only: when a
+    // caller supplies candidate pairs, that set alone defines the
+    // rank stage's scope — "rescore exactly the produced pairs", even
+    // one whose ids coincide (the recall stage already decided)
+    val scored0 = (if (candPairs.isDefined) paired
+      else paired.filter(col("index_id") =!= col("query_id")))
       .groupBy("query_id", "index_id").agg(sum("d2").as("adc_d2"))
     // rank-stage pair restriction: a candidate id may be another
     // query's candidate only — keep exactly the produced pairs

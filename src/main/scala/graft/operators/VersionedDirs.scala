@@ -89,6 +89,15 @@ private[graft] object VersionedDirs {
     * higher-numbered writer is never yanked. Ranking raw dirs instead
     * would let a crash orphan displace the previous committed
     * generation.
+    *
+    * PIN-AWARE: a generation still referenced by a live
+    * [[FleetSnapshot]] manifest (`<parent>/_snapshots/fleet.m*.json`)
+    * is never vacuumed regardless of age — a pinned read must not
+    * dangle while its manifest lives. [[FleetSnapshot.release]]
+    * (delete the manifest) expires the pin; the NEXT vacuum then
+    * reclaims. The pin check is a listing + small-file reads —
+    * metadata cost, run only when generations are actually below the
+    * floor.
     */
   def retainLatestGenerations(root: String, keep: Int = 2): Unit = {
     val committedVs = versionsOf(root).filter { case (_, f) =>
@@ -97,7 +106,12 @@ private[graft] object VersionedDirs {
     def rm(x: File): Unit = {
       Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
     }
-    versionsOf(root).filter(_._1 < keepFloor).foreach(v => rm(v._2))
+    val below = versionsOf(root).filter(_._1 < keepFloor)
+    if (below.nonEmpty) {
+      val pinned = FleetSnapshot.pinnedGenerations(root)
+      below.filterNot(v => pinned(v._2.getAbsolutePath))
+        .foreach(v => rm(v._2))
+    }
     Option(new File(root).listFiles()).getOrElse(Array.empty)
       .filter(stagingOrphan).foreach(rm)
   }

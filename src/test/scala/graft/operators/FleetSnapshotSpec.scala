@@ -141,4 +141,100 @@ class FleetSnapshotSpec extends SparkSpec {
       FleetSnapshot.pin(fleetRoot, Map("ghost" -> empty))
     }
   }
+
+  test("a taken snapshot slot is never clobbered: pin retries the " +
+    "next number and the committed manifest survives byte-for-byte") {
+    val (fleetRoot, simRoot, pqRoot) = fleet()
+    // simulate the losing side of a cross-process race: the slot the
+    // pinner would pick already holds a committed manifest (a plain
+    // renameTo would silently REPLACE this file — POSIX rename(2)
+    // only fails for non-empty directories)
+    val snapDir = new java.io.File(fleetRoot, "_snapshots")
+    snapDir.mkdirs()
+    val taken = new java.io.File(snapDir, "fleet.m1.json")
+    val body = """{"other":"/somewhere/index.v9"}"""
+    Files.writeString(taken.toPath, body)
+    val n = FleetSnapshot.pin(fleetRoot,
+      Map("sim" -> simRoot, "pq" -> pqRoot))
+    assert(n == 2L, "pin must advance past the taken slot")
+    assert(Files.readString(taken.toPath) == body,
+      "pin clobbered a committed manifest — lost-snapshot race")
+    assert(FleetSnapshot.at(fleetRoot, 2L).keySet == Set("sim", "pq"))
+  }
+
+  test("pin-aware retention: a vacuumed-past pinned generation " +
+    "survives while its manifest lives; release() lets it reclaim") {
+    val (fleetRoot, simRoot, _) = fleet()
+    val m1 = FleetSnapshot.pin(fleetRoot, Map("sim" -> simRoot))
+    val g1 = FleetSnapshot.at(fleetRoot, m1)("sim")
+    // push the pinned generation below the keep=2 floor: two more
+    // publishes (each commit runs retention)
+    SimIndex.publish(corpus, "vec_id", "embedding", 8, 4, simRoot)
+    SimIndex.publish(corpus, "vec_id", "embedding", 8, 4, simRoot)
+    assert(new java.io.File(g1).isDirectory,
+      "retention vacuumed a generation a live manifest still pins")
+    // the pinned read still serves the old world
+    val pinned = SimIndex.probeTopKAt(spark, queries,
+        "vec_id", "embedding", 3, g1)
+      .select("index_id").as[Long].collect()
+    assert(pinned.nonEmpty)
+    // expire the pin: delete the manifest, re-run retention
+    FleetSnapshot.release(fleetRoot, m1)
+    VersionedDirs.retainLatestGenerations(simRoot)
+    assert(!new java.io.File(g1).exists(),
+      "released pin's generation survived the next vacuum")
+    // idempotent release
+    FleetSnapshot.release(fleetRoot, m1)
+  }
+
+  test("catalog flags a dangling pin (manifest outlived its " +
+    "generation) as live=0 and a malformed path as generation -1") {
+    val (fleetRoot, simRoot, pqRoot) = fleet()
+    val m1 = FleetSnapshot.pin(fleetRoot,
+      Map("sim" -> simRoot, "pq" -> pqRoot))
+    // hand-break the sim pin: delete the pinned generation out from
+    // under the manifest (the pre-pin-aware-retention scenario)
+    val g1 = new java.io.File(FleetSnapshot.at(fleetRoot, m1)("sim"))
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+    }
+    rm(g1)
+    // plus one manifest entry whose path breaks the index.vN naming
+    Files.writeString(new java.io.File(fleetRoot,
+      "_snapshots/fleet.m2.json").toPath,
+      """{"weird":"/nonexistent/not-a-generation"}""")
+    val rows = IndexCatalog.pinnedSnapshots(spark, fleetRoot)
+      .select("snap", "family", "generation", "live")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(rows.contains((1L, "sim", 1L, 0L)), s"sim pin not dangling: $rows")
+    assert(rows.exists { case (n, f, _, l) => n == 1L && f == "pq" && l == 1L })
+    assert(rows.contains((2L, "weird", -1L, 0L)),
+      "malformed entry must report generation -1, not fail the listing")
+  }
+
+  test("corpus pin: assertCorpus passes on the pinned world and " +
+    "fails with 'corpus moved since pin' after the table changes") {
+    val (fleetRoot, simRoot, _) = fleet()
+    val tableDir = Files.createTempDirectory("corpus-tbl")
+    val part = new java.io.File(tableDir.toFile, "part-0.parquet")
+    Files.writeString(part.toPath, "row data v1")
+    val m1 = FleetSnapshot.pin(fleetRoot, Map("sim" -> simRoot),
+      corpusTables = Map("docs" -> tableDir.toString))
+    assert(FleetSnapshot.corpusAt(fleetRoot, m1).keySet == Set("docs"))
+    // corpus keys never leak into the family vector
+    assert(FleetSnapshot.at(fleetRoot, m1).keySet == Set("sim"))
+    FleetSnapshot.assertCorpus(fleetRoot, m1,
+      Map("docs" -> tableDir.toString))
+    // unpinned tables are ignored
+    FleetSnapshot.assertCorpus(fleetRoot, m1,
+      Map("other" -> "/nonexistent"))
+    // move the corpus: longer content + a bumped mtime
+    Files.writeString(part.toPath, "row data v2 — rewritten")
+    part.setLastModified(part.lastModified() + 10000)
+    val e = intercept[IllegalStateException] {
+      FleetSnapshot.assertCorpus(fleetRoot, m1,
+        Map("docs" -> tableDir.toString))
+    }
+    assert(e.getMessage.contains("corpus moved since pin"))
+  }
 }
