@@ -110,11 +110,33 @@ object BpeIndex {
                                     root: String): DataFrame =
     memoLookupCore(spark, words, root, materialize = false)
 
+  /** [[memoLookup]] against a PINNED committed generation — the
+    * fleet-snapshot read path ([[FleetSnapshot]]): the memo of
+    * `genPath` EXACTLY as committed — no delta log, no later purge
+    * (post-snapshot state by definition, the
+    * [[SimIndex.probeTopKAt]] contract).
+    */
+  def memoLookupAt(spark: SparkSession, words: DataFrame,
+                   genPath: String): DataFrame =
+    memoLookupCore(spark, words, genPath, materialize = true,
+      pinned = true)
+
+  /** The LAZY plan behind [[memoLookupAt]] — for pruning audits. */
+  private[graft] def memoLookupAtPlan(spark: SparkSession, words: DataFrame,
+                                      genPath: String): DataFrame =
+    memoLookupCore(spark, words, genPath, materialize = false,
+      pinned = true)
+
   private def memoLookupCore(spark: SparkSession, words: DataFrame,
-                             root: String, materialize: Boolean): DataFrame = {
-    val idxPath = resolve(root).getOrElse(
-      throw new IllegalStateException(s"no committed index under $root"))
-    val deltaSnap = liveDeltas(root, idxPath)
+                             root: String, materialize: Boolean,
+                             pinned: Boolean = false): DataFrame = {
+    // pinned = fleet-snapshot read: `root` IS the generation path and
+    // the delta log is out of scope
+    val idxPath =
+      if (pinned) { graft.sources.Artifacts.noteResolveHit(); root }
+      else resolve(root).getOrElse(
+        throw new IllegalStateException(s"no committed index under $root"))
+    val deltaSnap = if (pinned) Nil else liveDeltas(root, idxPath)
     val wb0 = words.select("word").distinct()
       .withColumn("pbucket", pbucketOf(col("word")))
     val wb = if (materialize) wb0.persist() else wb0
@@ -433,12 +455,37 @@ object BpeIndex {
                                      root: String): (DataFrame, DataFrame) =
     censusCore(spark, docs, id, text, root, materialize = true)
 
+  /** [[tokenize]] against a PINNED committed generation — the
+    * fleet-snapshot read path ([[FleetSnapshot]]): merges AND memo of
+    * `genPath` EXACTLY as committed — no delta log, no re-train
+    * committed since (post-snapshot state by definition, the
+    * [[SimIndex.probeTopKAt]] contract). The pinned-world guarantee
+    * a training-mix audit needs: token counts that reproduce
+    * byte-for-byte however the live tokenizer has drifted since.
+    */
+  def tokenizeAt(spark: SparkSession, docs: DataFrame, id: String,
+                 text: String, genPath: String): DataFrame =
+    censusCore(spark, docs, id, text, genPath, materialize = true,
+      pinned = true)._1.drop("n_memo_hits")
+
+  /** The LAZY plan behind [[tokenizeAt]] — for pruning audits. */
+  private[graft] def tokenizeAtPlan(spark: SparkSession, docs: DataFrame,
+                                    id: String, text: String,
+                                    genPath: String): DataFrame =
+    censusCore(spark, docs, id, text, genPath, materialize = false,
+      pinned = true)._1.drop("n_memo_hits")
+
   private def censusCore(spark: SparkSession, docs: DataFrame,
                          id: String, text: String, root: String,
-                         materialize: Boolean): (DataFrame, DataFrame) = {
-    val idxPath = resolve(root).getOrElse(
-      throw new IllegalStateException(s"no committed index under $root"))
-    val deltaSnap = liveDeltas(root, idxPath)
+                         materialize: Boolean,
+                         pinned: Boolean = false): (DataFrame, DataFrame) = {
+    // pinned = fleet-snapshot read: `root` IS the generation path and
+    // the delta log is out of scope
+    val idxPath =
+      if (pinned) { graft.sources.Artifacts.noteResolveHit(); root }
+      else resolve(root).getOrElse(
+        throw new IllegalStateException(s"no committed index under $root"))
+    val deltaSnap = if (pinned) Nil else liveDeltas(root, idxPath)
     val merges = mergesAt(spark, idxPath)
     val occ0 = wordsOf(docs, id, text)
     val occ = if (materialize) occ0.persist() else occ0

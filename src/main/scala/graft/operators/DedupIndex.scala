@@ -189,6 +189,52 @@ object DedupIndex {
         .withColumn("bucket", bucketOf(col("band"), col("band_key"))),
       root)
 
+  /** [[probe]] against a PINNED committed generation — the
+    * fleet-snapshot read path ([[FleetSnapshot]]): serves `genPath`
+    * EXACTLY as committed — no tombstone or ban mask (post-snapshot
+    * state by definition: the reader asked for the world the
+    * manifest pinned, and masking it with later logs would re-open
+    * the generation-skew seam the snapshot closes — the
+    * [[SimIndex.probeTopKAt]] contract). Same bucket-pruned read
+    * shape as [[probeBanded]]; result schema matches [[probe]].
+    */
+  def probeAt(spark: SparkSession, newSig: DataFrame, id: String,
+              bands: Int, rowsPerBand: Int, genPath: String): DataFrame = {
+    val nb = Dedup.bandRows(newSig, id, bands, rowsPerBand)
+      .withColumnRenamed(id, "new_id")
+      .withColumn("bucket", bucketOf(col("band"), col("band_key")))
+      .persist()
+    try ProbeCache.materialize(probeBandedAt(spark, nb, genPath))
+    finally nb.unpersist()
+  }
+
+  /** The LAZY plan behind [[probeAt]] — exposed for plan audits
+    * (pruning specs assert the static PartitionFilters on this form).
+    */
+  private[graft] def probeAtPlan(spark: SparkSession, newSig: DataFrame,
+                                 id: String, bands: Int, rowsPerBand: Int,
+                                 genPath: String): DataFrame =
+    probeBandedAt(spark,
+      Dedup.bandRows(newSig, id, bands, rowsPerBand)
+        .withColumnRenamed(id, "new_id")
+        .withColumn("bucket", bucketOf(col("band"), col("band_key"))),
+      genPath)
+
+  /** [[probeBanded]] pinned to one committed generation: `genPath`
+    * read exactly as committed, bucket-pruned to the batch's touched
+    * set, no tombstone/ban anti-joins (see [[probeAt]]).
+    */
+  private def probeBandedAt(spark: SparkSession, newBands: DataFrame,
+                            genPath: String): DataFrame = {
+    graft.sources.Artifacts.noteResolveHit()
+    val touched = newBands.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idx = spark.read.parquet(genPath)
+      .filter(col("bucket").isin(touched.toIndexedSeq.map(Int.box): _*))
+    newBands.join(idx, Seq("bucket", "band", "band_key"))
+      .select(col("new_id"), col("index_id")).distinct()
+  }
+
   /** [[probe]] with an already-banded new side — (new_id, band,
     * band_key, bucket) rows. The streaming path shares one banding of
     * its batch across this probe and its tail join.

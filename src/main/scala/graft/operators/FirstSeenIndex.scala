@@ -393,6 +393,53 @@ object FirstSeenIndex {
     else result
   }
 
+  /** [[probe]] against a PINNED committed generation — the
+    * fleet-snapshot read path ([[FleetSnapshot]]): annotates
+    * `batchShingles` with `seen_doc` from `genPath` EXACTLY as
+    * committed — no delta log, no tombstone or ban mask (all
+    * post-snapshot state by definition, the
+    * [[SimIndex.probeTopKAt]] contract). A committed generation is
+    * already one row per shingle ([[publish]]/[[mergeCompact]] both
+    * aggregate), so the pinned read needs no min-union — one
+    * bucket-pruned left join.
+    */
+  def probeAt(spark: SparkSession, batchShingles: DataFrame,
+              genPath: String): DataFrame =
+    probeAtCore(spark, batchShingles, genPath, materialize = true)
+
+  /** The LAZY plan behind [[probeAt]] — exposed for plan audits
+    * (pruning specs assert the static PartitionFilters on this form).
+    */
+  private[graft] def probeAtPlan(spark: SparkSession,
+                                 batchShingles: DataFrame,
+                                 genPath: String): DataFrame =
+    probeAtCore(spark, batchShingles, genPath, materialize = false)
+
+  private def probeAtCore(spark: SparkSession, batchShingles: DataFrame,
+                          genPath: String, materialize: Boolean): DataFrame = {
+    graft.sources.Artifacts.noteResolveHit()
+    val bs0 = batchShingles.withColumn("pbucket", pbucketOf(col("s")))
+    val bs = if (materialize) bs0.persist() else bs0
+    val touched = bs.select("pbucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idx = spark.read.parquet(genPath)
+      .filter(col("pbucket").isin(touched.toIndexedSeq.map(Int.box): _*))
+      .select(col("pbucket"), col("s"), col("first_doc").as("seen_doc"))
+    val result = bs.join(idx, Seq("pbucket", "s"), "left")
+      .drop("pbucket")
+    if (materialize) try ProbeCache.materialize(result) finally bs.unpersist()
+    else result
+  }
+
+  /** [[scoreBatch]] of a [[probeAt]]-annotated batch — the pinned
+    * ingestion-gate read: per-doc novelty scored against the world a
+    * [[FleetSnapshot]] manifest pinned, whatever folds or purges
+    * committed since.
+    */
+  def scoreAt(spark: SparkSession, batchShingles: DataFrame,
+              genPath: String): DataFrame =
+    scoreBatch(probeAt(spark, batchShingles, genPath))
+
   /** Per-doc novelty census of a [[probe]]d batch: a shingle is novel
     * iff no surviving committed generation has seen it AND no earlier
     * batch doc introduced it (one window-min over the batch). Shared

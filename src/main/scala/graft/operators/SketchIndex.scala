@@ -208,6 +208,34 @@ object SketchIndex {
     finally { q.unpersist(); () }
   }
 
+  /** [[estimate]] against a PINNED committed generation — the
+    * fleet-snapshot read path ([[FleetSnapshot]]): point estimates
+    * from `genPath`'s cells EXACTLY as committed — no delta log, no
+    * later purge rewrites (post-snapshot state by definition, the
+    * [[SimIndex.probeTopKAt]] contract). Geometry comes from the
+    * PINNED generation's own `_params.json`, so a regrow committed
+    * after the pin (different width) can never skew a pinned
+    * estimate. Cell read is ≤ d·w rows — model-constant, the same
+    * bounded class as [[estimate]]'s.
+    */
+  def estimateAt(spark: SparkSession, queries: DataFrame, term: String,
+                 genPath: String): DataFrame = {
+    graft.sources.Artifacts.noteResolveHit()
+    val t = paramsText(genPath)
+    def f(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(t)
+      .map(_.group(1).toInt).getOrElse(
+        throw new IllegalStateException(s"malformed params under $genPath"))
+    val (d, w) = (f("depth"), f("width"))
+    val cells = spark.read.schema(CellSchema)
+      .parquet(new java.io.File(genPath, "cells").toString)
+    val n = cells.filter(col("r") === 0)
+      .agg(coalesce(sum("cnt"), lit(0L)).as("n_total"))
+    val q = queries.select(col(term)).distinct().persist()
+    try ProbeCache.materialize(
+      CountMin.estimate(cells, q, term, d, w).crossJoin(broadcast(n)))
+    finally { q.unpersist(); () }
+  }
+
   /** Fold the delta log physically: commit the cell-sum as the next
     * generation and record consumed delta names (carried forward) in
     * `_folded.json`, then drop the consumed dirs.
