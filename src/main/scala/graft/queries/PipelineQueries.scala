@@ -17229,7 +17229,215 @@ object PipelineQueries {
       })
   }
 
+  /** Hard-negative mining through a PINNED fleet snapshot (q339) —
+    * the q275 composition (retrieval pool minus near-dup positives)
+    * re-based on COMMITTED artifacts resolved through ONE
+    * [[graft.operators.FleetSnapshot]] manifest: recall stage =
+    * LSH-ANN candidates from the pinned sim generation
+    * ([[SimIndex.probeTopKAt]]), positive screen = banded-MinHash
+    * near-dup pairs from the pinned dedup generation
+    * ([[DedupIndex.probeAt]] — the r16 pinned path; duplicates are
+    * positives, and training on them as negatives poisons the
+    * objective). The query batch is REDELIVERED copies of index docs
+    * (id + 1000, same text, same embedding — q91's trick), so the
+    * screen provably fires: each copy's top retrieval is its own
+    * original, which the dedup arm excludes. The chain publishes
+    * both families, pins m1, purges a doc slice from BOTH, pins m2;
+    * both judged arms run AFTER the purge committed. The m1 arm
+    * still retrieves AND excludes purged originals — mining against
+    * the pre-purge world with its pre-purge component structure
+    * (a latest-reader would silently emit a purged doc's surviving
+    * near-dups as negatives); the m2 arm never sees them. The oracle
+    * replays banding, cosine ranking, and the screen per-world;
+    * pairing either stage with the other snapshot's world
+    * hash-mismatches.
+    */
+  val pinnedNegatives: Q = {
+    val INDEX_MAX = 400L; val Q_SRC = 10L; val C = 12
+    val delSql = "% 9 = 4"
+    val sigCols = (0 until MH_K)
+      .map(i => s"min(${Hashing.seededSql(i, "s")}) AS h$i")
+      .mkString(",\n    ")
+    val bandRowsSql = (0 until MH_BANDS).map { b =>
+      val key = (0 until MH_R).map(r => s"h${b * MH_R + r}")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, is_new, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def isDel(c: Column): Column = c % 9 === 4
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val base = docs.filter(col("doc_id") < INDEX_MAX)
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val index = emb.filter(col("vec_id") < INDEX_MAX)
+        val fleetRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-fleet-hn", d,
+          Seq("documents.parquet", "embeddings.parquet"))
+        val simRoot = new java.io.File(fleetRoot, "sim").getAbsolutePath
+        val dedupRoot = new java.io.File(fleetRoot, "dedup").getAbsolutePath
+        if (FleetSnapshot.list(fleetRoot).isEmpty) {
+          val r = VectorFunctions.mtBits(index.count())
+          SimIndex.publish(index, "vec_id", "embedding",
+            r, VectorFunctions.mtTables(r), simRoot)
+          DedupIndex.publish(
+            Dedup.minhashSignatures(base, "doc_id", "text", MH_K),
+            "doc_id", MH_BANDS, MH_R, dedupRoot)
+          FleetSnapshot.pin(fleetRoot,
+            Map("sim" -> simRoot, "dedup" -> dedupRoot))
+        }
+        if (FleetSnapshot.list(fleetRoot).size < 2) {
+          val del = base.filter(isDel(col("doc_id"))).select("doc_id")
+          SimIndex.addTombstones(s,
+            del.withColumnRenamed("doc_id", "vec_id"), "vec_id", simRoot)
+          SimIndex.mergeCompact(s, simRoot)
+          DedupIndex.addTombstones(s, del, "doc_id", dedupRoot)
+          DedupIndex.compact(s, dedupRoot)
+          FleetSnapshot.pin(fleetRoot,
+            Map("sim" -> simRoot, "dedup" -> dedupRoot))
+        }
+        // the query batch: redelivered copies of index docs 0..9
+        val qdocs = docs.filter(col("doc_id") < Q_SRC)
+          .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+        val qvec = emb.filter(col("vec_id") < Q_SRC)
+          .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+        val sigQ = Dedup.minhashSignatures(qdocs, "doc_id", "text", MH_K)
+        def arm(n: Long): DataFrame = {
+          val gens = FleetSnapshot.at(fleetRoot, n)
+          val cand = SimIndex.probeTopKAt(s, qvec, "vec_id",
+              "embedding", C, gens("sim"))
+            .select(col("query_id"), col("index_id"), col("rnk"))
+          val dup = DedupIndex.probeAt(s, sigQ, "doc_id",
+              MH_BANDS, MH_R, gens("dedup"))
+            .select(col("new_id").as("query_id"), col("index_id"))
+            .withColumn("dup", lit(1L))
+          val flagged = cand.join(dup, Seq("query_id", "index_id"), "left")
+            .na.fill(0L, Seq("dup"))
+          val perQ = flagged.groupBy("query_id")
+            .agg(count(lit(1)).as("n_cand"), sum("dup").as("n_excluded"))
+          val top1 = flagged.filter(col("dup") === 0)
+            .withColumn("r2", row_number().over(
+              Window.partitionBy("query_id").orderBy("rnk")))
+            .filter(col("r2") === 1)
+            .select(col("query_id"), col("index_id").as("top_neg_id"),
+              col("rnk").as("top_neg_rnk"))
+          perQ.join(top1, Seq("query_id"), "left")
+            .withColumn("snap", lit(n))
+            .select(col("snap"), col("query_id"), col("n_cand"),
+              col("n_excluded"),
+              (col("n_cand") - col("n_excluded")).as("n_negs"),
+              coalesce(col("top_neg_id"), lit(-1L)).as("top_neg_id"),
+              coalesce(col("top_neg_rnk"), lit(-1L)).as("top_neg_rnk"))
+        }
+        arm(1).unionByName(arm(2))
+          .orderBy("snap", "query_id")
+      }, {
+        // one snapshot arm: cosine top-C over that world's survivor
+        // index, banded near-dup screen over the same world, q275's
+        // per-query rollup
+        def armCtes(sfx: String, pred: String => String): String =
+          s"""scored$sfx AS (
+             |  SELECT q.vec_id AS query_id, kb.vec_id AS index_id,
+             |    max(round(${VectorFunctions.cosineSql(
+                    "q.embedding", "kb.embedding")}, 6)) AS cos_sim
+             |  FROM qkb q JOIN ikb kb
+             |    ON q.tbl = kb.tbl AND q.bucket = kb.bucket
+             |  WHERE ${pred("kb.vec_id")}
+             |  GROUP BY 1, 2),
+             |cand$sfx AS (
+             |  SELECT query_id, index_id, rnk FROM (
+             |    SELECT query_id, index_id,
+             |      CAST(row_number() OVER (PARTITION BY query_id
+             |        ORDER BY cos_sim DESC, index_id) AS BIGINT) AS rnk
+             |    FROM scored$sfx) z WHERE rnk <= $C),
+             |dup$sfx AS (
+             |  SELECT DISTINCT a.doc_id AS query_id, b.doc_id AS index_id
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.band_key = b.band_key
+             |  WHERE a.is_new = 1 AND b.is_new = 0
+             |    AND ${pred("b.doc_id")}),
+             |flag$sfx AS (
+             |  SELECT c.query_id, c.index_id, c.rnk,
+             |    CASE WHEN d.index_id IS NOT NULL THEN 1 ELSE 0 END AS dup
+             |  FROM cand$sfx c LEFT JOIN dup$sfx d
+             |    ON d.query_id = c.query_id AND d.index_id = c.index_id),
+             |perq$sfx AS (
+             |  SELECT query_id, count(*)::BIGINT AS n_cand,
+             |    sum(dup)::BIGINT AS n_excluded
+             |  FROM flag$sfx GROUP BY query_id),
+             |top1$sfx AS (
+             |  SELECT query_id, index_id, rnk FROM (
+             |    SELECT query_id, index_id, rnk,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY rnk) AS r2
+             |    FROM flag$sfx WHERE dup = 0) z WHERE r2 = 1),
+             |res$sfx AS (
+             |  SELECT p.query_id, p.n_cand, p.n_excluded,
+             |    (p.n_cand - p.n_excluded)::BIGINT AS n_negs,
+             |    coalesce(t.index_id, -1)::BIGINT AS top_neg_id,
+             |    coalesce(t.rnk, -1)::BIGINT AS top_neg_rnk
+             |  FROM perq$sfx p LEFT JOIN top1$sfx t USING (query_id))"""
+            .stripMargin
+        s"""WITH docs AS (SELECT doc_id, text FROM documents),
+           |corpus AS (
+           |  SELECT doc_id, text, 0 AS is_new FROM docs
+           |  WHERE doc_id < $INDEX_MAX
+           |  UNION ALL SELECT doc_id + 1000, text, 1 FROM docs
+           |    WHERE doc_id < $Q_SRC),
+           |w AS (SELECT doc_id, is_new,
+           |        ${TextFunctions.wordsSql("text")} AS arr FROM corpus),
+           |sh AS (SELECT DISTINCT doc_id, is_new,
+           |         unnest(${TextFunctions.shinglesSql("arr")}) AS s FROM w),
+           |sig AS (
+           |  SELECT doc_id, is_new,
+           |    $sigCols
+           |  FROM sh GROUP BY doc_id, is_new),
+           |bands AS (
+           |  $bandRowsSql),
+           |idx0 AS (SELECT vec_id, embedding FROM embeddings
+           |         WHERE vec_id < $INDEX_MAX),
+           |params AS (
+           |  SELECT (${VectorFunctions.mtBitsSql("count(*)")}) AS r,
+           |    ${VectorFunctions.mtTablesSql(
+                  VectorFunctions.mtBitsSql("count(*)"))} AS nt
+           |  FROM idx0),
+           |ie AS (
+           |  SELECT vec_id, embedding,
+           |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+           |  FROM embeddings, params WHERE vec_id < $INDEX_MAX),
+           |iek AS (
+           |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+           |  FROM ie),
+           |ikb AS (
+           |  SELECT vec_id, embedding, tbl,
+           |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+           |  FROM iek),
+           |qe AS (
+           |  SELECT vec_id + 1000 AS vec_id, embedding,
+           |    ${VectorFunctions.scaledMicroSql("embedding")} AS xs, r, nt
+           |  FROM embeddings, params WHERE vec_id < $Q_SRC),
+           |qek AS (
+           |  SELECT vec_id, embedding, xs, r, unnest(range(0, nt)) AS tbl
+           |  FROM qe),
+           |qkb AS (
+           |  SELECT vec_id, embedding, tbl,
+           |    ${VectorFunctions.mtBucketSqlDyn("xs", "tbl", "r")} AS bucket
+           |  FROM qek),
+           |${armCtes("a", c => s"$c IS NOT NULL")},
+           |${armCtes("b", c => s"NOT ($c $delSql)")}
+           |SELECT snap, query_id, n_cand, n_excluded, n_negs,
+           |  top_neg_id, top_neg_rnk
+           |FROM (
+           |  SELECT CAST(1 AS BIGINT) AS snap, * FROM resa
+           |  UNION ALL
+           |  SELECT CAST(2 AS BIGINT) AS snap, * FROM resb
+           |) u ORDER BY snap, query_id""".stripMargin
+      })
+  }
+
   val all: Map[String, Q] = Map(
+    "q339_pinned_negatives" -> pinnedNegatives,
     "q338_pinned_knn" -> pinnedKnnServe,
     "q337_pinned_hybrid" -> pinnedHybridServe,
     "q336_dct_phash" -> dctPerceptualHash,
