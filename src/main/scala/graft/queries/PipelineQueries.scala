@@ -3192,35 +3192,40 @@ object PipelineQueries {
   private val BPE_ROUNDS = 8
 
   private object BpeOracle {
-    def roundCte(i: Int): String =
-      s"""p$i AS MATERIALIZED (
+    /** `tp` prefixes every train-chain CTE name, so TWO independently
+      * trained worlds can coexist in one oracle (q340's pinned
+      * re-train foil); "" keeps the original names for all existing
+      * call sites.
+      */
+    def roundCte(i: Int, tp: String = ""): String =
+      s"""${tp}p$i AS MATERIALIZED (
          |  SELECT word, freq, pos, sym AS a,
          |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b
-         |  FROM s${i - 1}),
-         |c$i AS (
-         |  SELECT a, b, sum(freq)::BIGINT AS cnt FROM p$i
+         |  FROM ${tp}s${i - 1}),
+         |${tp}c$i AS (
+         |  SELECT a, b, sum(freq)::BIGINT AS cnt FROM ${tp}p$i
          |  WHERE b IS NOT NULL GROUP BY a, b),
-         |b$i AS MATERIALIZED (SELECT a, b, cnt FROM c$i ORDER BY cnt DESC, a, b LIMIT 1),
-         |mm$i AS (
+         |${tp}b$i AS MATERIALIZED (SELECT a, b, cnt FROM ${tp}c$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |${tp}mm$i AS (
          |  SELECT p.word, p.pos,
          |    row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn
-         |  FROM p$i p JOIN b$i t ON p.a = t.a AND p.b = t.b),
-         |sel$i AS MATERIALIZED (
+         |  FROM ${tp}p$i p JOIN ${tp}b$i t ON p.a = t.a AND p.b = t.b),
+         |${tp}sel$i AS MATERIALIZED (
          |  SELECT word, pos FROM (
          |    SELECT word, pos,
          |      row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS k
-         |    FROM mm$i)
+         |    FROM ${tp}mm$i)
          |  WHERE k % 2 = 1),
-         |s$i AS MATERIALIZED (
+         |${tp}s$i AS MATERIALIZED (
          |  SELECT word, freq,
          |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
          |  FROM (
          |    SELECT s.word, s.freq, s.pos,
          |      CASE WHEN m1.pos IS NOT NULL THEN t.a || t.b ELSE s.sym END AS sym
-         |    FROM s${i - 1} s
-         |    CROSS JOIN b$i t
-         |    LEFT JOIN sel$i m1 ON s.word = m1.word AND s.pos = m1.pos
-         |    LEFT JOIN sel$i m2 ON s.word = m2.word AND s.pos = m2.pos + 1
+         |    FROM ${tp}s${i - 1} s
+         |    CROSS JOIN ${tp}b$i t
+         |    LEFT JOIN ${tp}sel$i m1 ON s.word = m1.word AND s.pos = m1.pos
+         |    LEFT JOIN ${tp}sel$i m2 ON s.word = m2.word AND s.pos = m2.pos + 1
          |    WHERE m2.pos IS NULL))""".stripMargin
 
     /** WITH-body through the final round state `s$BPE_ROUNDS`, with an
@@ -3230,18 +3235,20 @@ object PipelineQueries {
     def chainFor(where: String): String = chainForText(where, "text")
 
     /** [[chainFor]] with an arbitrary text expression (e.g.
-      * `reverse(text)` — q294's re-crawled drift world).
+      * `reverse(text)` — q294's re-crawled drift world) and an
+      * optional train-chain CTE prefix (see [[roundCte]]).
       */
-    def chainForText(where: String, textExpr: String): String =
-      s"""w AS (
+    def chainForText(where: String, textExpr: String,
+                     tp: String = ""): String =
+      s"""${tp}w AS (
          |  SELECT word, count(*)::BIGINT AS freq FROM (
          |    SELECT unnest(${TextFunctions.wordsSql(textExpr)}) AS word
          |    FROM documents $where)
          |  WHERE length(word) > 0 GROUP BY word),
-         |s0p AS (
-         |  SELECT word, freq, unnest(range(1, length(word) + 1)) AS pos FROM w),
-         |s0 AS MATERIALIZED (SELECT word, freq, pos, substr(word, pos::INT, 1) AS sym FROM s0p),
-         |${(1 to BPE_ROUNDS).map(roundCte).mkString(",\n")}""".stripMargin
+         |${tp}s0p AS (
+         |  SELECT word, freq, unnest(range(1, length(word) + 1)) AS pos FROM ${tp}w),
+         |${tp}s0 AS MATERIALIZED (SELECT word, freq, pos, substr(word, pos::INT, 1) AS sym FROM ${tp}s0p),
+         |${(1 to BPE_ROUNDS).map(roundCte(_, tp)).mkString(",\n")}""".stripMargin
 
     val chain: String = chainFor("")
 
@@ -3254,7 +3261,7 @@ object PipelineQueries {
       * greedy fold does. `src` must provide CTE `$pfx0` =
       * (word, pos, sym) char rows; produces `$pfx$BPE_ROUNDS`.
       */
-    def applyCte(i: Int, pfx: String): String =
+    def applyCte(i: Int, pfx: String, tp: String = ""): String =
       s"""${pfx}p$i AS MATERIALIZED (
          |  SELECT word, pos, sym AS a,
          |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b
@@ -3262,7 +3269,7 @@ object PipelineQueries {
          |${pfx}m$i AS (
          |  SELECT p.word, p.pos,
          |    row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn
-         |  FROM ${pfx}p$i p JOIN b$i t ON p.a = t.a AND p.b = t.b),
+         |  FROM ${pfx}p$i p JOIN ${tp}b$i t ON p.a = t.a AND p.b = t.b),
          |${pfx}sel$i AS MATERIALIZED (
          |  SELECT word, pos FROM (
          |    SELECT word, pos,
@@ -3276,22 +3283,24 @@ object PipelineQueries {
          |    SELECT s.word, s.pos,
          |      CASE WHEN m1.pos IS NOT NULL THEN t.a || t.b ELSE s.sym END AS sym
          |    FROM $pfx${i - 1} s
-         |    CROSS JOIN b$i t
+         |    CROSS JOIN ${tp}b$i t
          |    LEFT JOIN ${pfx}sel$i m1 ON s.word = m1.word AND s.pos = m1.pos
          |    LEFT JOIN ${pfx}sel$i m2 ON s.word = m2.word AND s.pos = m2.pos + 1
          |    WHERE m2.pos IS NULL))""".stripMargin
 
     /** Char-row seed + all apply rounds for a distinct word set CTE
       * `wordsCte` (one column `word`) — yields `$pfx$BPE_ROUNDS` and
-      * `${pfx}n` = (word, n_sub).
+      * `${pfx}n` = (word, n_sub). `tp` names which train chain's
+      * learned pairs to apply (see [[roundCte]]).
       */
-    def applyChain(wordsCte: String, pfx: String): String =
+    def applyChain(wordsCte: String, pfx: String,
+                   tp: String = ""): String =
       s"""${pfx}0p AS (
          |  SELECT word, unnest(range(1, length(word) + 1)) AS pos
          |  FROM $wordsCte),
          |${pfx}0 AS MATERIALIZED (
          |  SELECT word, pos, substr(word, pos::INT, 1) AS sym FROM ${pfx}0p),
-         |${(1 to BPE_ROUNDS).map(applyCte(_, pfx)).mkString(",\n")},
+         |${(1 to BPE_ROUNDS).map(applyCte(_, pfx, tp)).mkString(",\n")},
          |${pfx}n AS (
          |  SELECT word, count(*)::BIGINT AS n_sub FROM $pfx$BPE_ROUNDS
          |  GROUP BY word)""".stripMargin
@@ -17436,7 +17445,162 @@ object PipelineQueries {
       })
   }
 
+  /** Ingestion-gate audit through a PINNED fleet snapshot (q340) —
+    * the remaining three pinned read paths judged in one composed
+    * gate on q294's drift world: between the pins, the re-crawl
+    * comes back in a different orthography (deterministic full-string
+    * reversal). The gate ingests the re-crawled batch (first-seen
+    * fold + compact, sketch delta + compact) and the tokenizer
+    * RETRAINS on the re-crawled corpus; pin m2. The judged read then
+    * scores the NEXT re-crawled batch through both manifests, per
+    * audit doc: novelty against the pinned first-seen map
+    * ([[FirstSeenIndex.scoreAt]]), summed count-min estimates of its
+    * terms from the pinned cells ([[SketchIndex.estimateAt]]), and
+    * token counts under the pinned tokenizer's own frozen merges
+    * ([[BpeIndex.tokenizeAt]]). Every signal separates the worlds:
+    * the m1 arm sees the batch as alien (all shingles novel, term
+    * estimates near zero, fertility inflated under the forward
+    * merges), the m2 arm as yesterday's domain (shared shingles
+    * absorbed, real estimates, retrained fertility) — and the m1 arm
+    * runs AFTER all of that committed, rows a latest-reader can
+    * never produce again. The oracle replays BOTH worlds end to end:
+    * two first-occurrence corpora, two exact CMS builds over mixed
+    * orthographies, two full BPE trains (the prefixed train chains)
+    * with their applies. Reruns that re-publish exercise pin-aware
+    * retention: the m1 generations fall below the keep-2 floor and
+    * survive only because the live manifest pins them.
+    */
+  val pinnedIngestGate: Q = {
+    val BASE = 300L; val B1 = 360L; val AUD = 380L
+    // world 1 = forward base; world 2 = forward base + re-crawled
+    // (reversed) batch for the map/sketch, reversed re-crawl for the
+    // retrained tokenizer
+    def armCtes(i: Int, shCorpus: String, cmsCorpus: String,
+                trainTp: String, trainWhere: String, trainText: String,
+                pfx: String): String =
+      s"""wsh$i AS (
+         |  SELECT DISTINCT unnest(${TextFunctions.shinglesSql("arr")}) AS s
+         |  FROM (SELECT ${TextFunctions.wordsSql("text")} AS arr
+         |        FROM $shCorpus) z),
+         |nf$i AS (
+         |  SELECT a.doc_id,
+         |    CASE WHEN w.s IS NULL AND a.doc_id = bm.bfirst
+         |      THEN 1 ELSE 0 END AS novel
+         |  FROM ash a JOIN abm bm ON bm.s = a.s
+         |  LEFT JOIN wsh$i w ON w.s = a.s),
+         |nov$i AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_sh,
+         |    sum(novel)::BIGINT AS n_novel
+         |  FROM nf$i GROUP BY doc_id),
+         |${cmsWorldSql(i, "TRUE", "aqt", CMS_W, cmsCorpus)},
+         |cs$i AS (
+         |  SELECT t.doc_id, sum(e.cms_est)::BIGINT AS cms_sum
+         |  FROM adt t JOIN est$i e USING (term) GROUP BY t.doc_id),
+         |${BpeOracle.chainForText(trainWhere, trainText, trainTp)},
+         |${BpeOracle.applyChain("adw", pfx, trainTp)},
+         |tok$i AS (
+         |  SELECT o.doc_id, count(*)::BIGINT AS n_words,
+         |    sum(x.n_sub)::BIGINT AS n_subwords
+         |  FROM ao o JOIN ${pfx}n x USING (word) GROUP BY o.doc_id),
+         |res$i AS (
+         |  SELECT doc_id, n_sh, n_novel, n_words, n_subwords, cms_sum
+         |  FROM nov$i JOIN tok$i USING (doc_id)
+         |  JOIN cs$i USING (doc_id))""".stripMargin
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val fleetRoot = graft.sources.Artifacts.versionedRoot(
+          "graft-fleet-gate", d, Seq("documents.parquet"))
+        val fsRoot = new java.io.File(fleetRoot, "fs").getAbsolutePath
+        val cmsRoot = new java.io.File(fleetRoot, "cms").getAbsolutePath
+        val bpeRoot = new java.io.File(fleetRoot, "bpe").getAbsolutePath
+        if (FleetSnapshot.list(fleetRoot).isEmpty) {
+          val base = docs.filter(col("doc_id") < BASE)
+          FirstSeenIndex.publish(
+            Dedup.shingleSet(base, "doc_id", "text", 3), fsRoot)
+          SketchIndex.publish(termsOf(base), "term", CMS_D, CMS_W, cmsRoot)
+          BpeIndex.publish(base, "doc_id", "text", BPE_ROUNDS, bpeRoot)
+          FleetSnapshot.pin(fleetRoot,
+            Map("fs" -> fsRoot, "cms" -> cmsRoot, "bpe" -> bpeRoot))
+        }
+        if (FleetSnapshot.list(fleetRoot).size < 2) {
+          // the re-crawl: batch 1 arrives reversed (q294's drift
+          // world); the tokenizer retrains on the re-crawled corpus
+          val b1 = docs.filter(col("doc_id") >= BASE && col("doc_id") < B1)
+            .select(col("doc_id"), reverse(col("text")).as("text"))
+          FirstSeenIndex.fold(s,
+            Dedup.shingleSet(b1, "doc_id", "text", 3), fsRoot, tag = "b1")
+          FirstSeenIndex.mergeCompact(s, fsRoot)
+          if (!SketchIndex.folded(cmsRoot, "b1"))
+            SketchIndex.appendDelta(s, termsOf(b1), "term", cmsRoot,
+              tag = "b1")
+          SketchIndex.mergeCompact(s, cmsRoot)
+          BpeIndex.publish(
+            docs.filter(col("doc_id") < B1)
+              .select(col("doc_id"), reverse(col("text")).as("text")),
+            "doc_id", "text", BPE_ROUNDS, bpeRoot)
+          FleetSnapshot.pin(fleetRoot,
+            Map("fs" -> fsRoot, "cms" -> cmsRoot, "bpe" -> bpeRoot))
+        }
+        val audit = docs.filter(col("doc_id") >= B1 && col("doc_id") < AUD)
+          .select(col("doc_id"), reverse(col("text")).as("text"))
+        val ash = Dedup.shingleSet(audit, "doc_id", "text", 3)
+        val aterm = audit.select(col("doc_id"),
+            explode(TextFunctions.words(col("text"))).as("term"))
+          .filter(length(col("term")) > 0).distinct()
+        def arm(n: Long): DataFrame = {
+          val gens = FleetSnapshot.at(fleetRoot, n)
+          val nov = FirstSeenIndex.scoreAt(s, ash, gens("fs"))
+          val tok = BpeIndex.tokenizeAt(s, audit, "doc_id", "text",
+            gens("bpe"))
+          val est = SketchIndex.estimateAt(s, aterm.select("term"),
+            "term", gens("cms"))
+          val cs = aterm.join(est, Seq("term"))
+            .groupBy("doc_id")
+            .agg(sum(col("cms_est")).as("cms_sum"))
+          nov.join(tok, Seq("doc_id")).join(cs, Seq("doc_id"))
+            .withColumn("snap", lit(n))
+            .select("snap", "doc_id", "n_sh", "n_novel",
+              "n_words", "n_subwords", "cms_sum")
+        }
+        arm(1).unionByName(arm(2)).orderBy("snap", "doc_id")
+      },
+      s"""WITH cmsp(r, a, b) AS (VALUES ${CountMin.paramsSqlValues(CMS_D)}),
+         |aw0 AS (
+         |  SELECT doc_id,
+         |    ${TextFunctions.wordsSql("reverse(text)")} AS arr
+         |  FROM documents WHERE doc_id >= $B1 AND doc_id < $AUD),
+         |ao AS (
+         |  SELECT doc_id, t AS word FROM (
+         |    SELECT doc_id, unnest(arr) AS t FROM aw0)
+         |  WHERE length(t) > 0),
+         |adw AS (SELECT DISTINCT word FROM ao),
+         |adt AS (SELECT DISTINCT doc_id, word AS term FROM ao),
+         |aqt AS (SELECT DISTINCT term FROM adt),
+         |ash AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(${TextFunctions.shinglesSql("arr")}) AS s
+         |  FROM aw0),
+         |abm AS (SELECT s, min(doc_id) AS bfirst FROM ash GROUP BY s),
+         |shc1 AS (SELECT text FROM documents WHERE doc_id < $BASE),
+         |shc2 AS (
+         |  SELECT text FROM documents WHERE doc_id < $BASE
+         |  UNION ALL SELECT reverse(text) FROM documents
+         |    WHERE doc_id >= $BASE AND doc_id < $B1),
+         |${armCtes(1, "shc1", "shc1", "", s"WHERE doc_id < $BASE",
+             "text", "ua")},
+         |${armCtes(2, "shc2", "shc2", "w2", s"WHERE doc_id < $B1",
+             "reverse(text)", "ub")}
+         |SELECT snap, doc_id, n_sh, n_novel, n_words, n_subwords, cms_sum
+         |FROM (
+         |  SELECT CAST(1 AS BIGINT) AS snap, * FROM res1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT) AS snap, * FROM res2
+         |) u ORDER BY snap, doc_id""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q340_pinned_gate" -> pinnedIngestGate,
     "q339_pinned_negatives" -> pinnedNegatives,
     "q338_pinned_knn" -> pinnedKnnServe,
     "q337_pinned_hybrid" -> pinnedHybridServe,
