@@ -17870,7 +17870,195 @@ object PipelineQueries {
       })
   }
 
+  /** Audio perceptual fingerprint (q342) — the Haitsma-Kalker shape
+    * in exact integers, completing audio's exact ⊂ perceptual tier
+    * (images got theirs in q328/q336; audio had only exact frame
+    * hashes, which an AMPLITUDE-scaled re-encode of the same
+    * recording defeats). Every document renders as a complete
+    * RIFF/WAVE file (q244's real codec) and the pipeline decodes the
+    * BYTES back (LE header fields, two's-complement s16le samples);
+    * per 8-sample frame it takes 4 sub-band energies as bounded
+    * integer |sample| sums, and the fingerprint is the classic H-K
+    * bit lattice: sign of the (band-energy delta across band) delta
+    * across FRAMES — bit(f,b) = [ (E(f,b)−E(f,b+1)) −
+    * (E(f−1,b)−E(f−1,b+1)) > 0 ]. A positive gain multiplies every
+    * energy, every delta, and flips no sign, so the fingerprint is
+    * amplitude-invariant by construction — while the exact arm
+    * (position-weighted sample sum, the q93 family) changes with
+    * every scaled sample. The probe tiers: bit-exact copies (both
+    * arms pair all 50) and gain-2 re-encodes (exact arm pairs 0, the
+    * H-K arm all 50). Block-pair mass is aggregated per fingerprint,
+    * never media×media. The oracle recomputes everything from the
+    * source text without seeing the bytes — one wrong byte in
+    * encode/decode breaks the hash (q244's doctrine).
+    */
+  val audioFingerprint: Q = {
+    val MAX_S = 96; val C1 = 1000000L; val C2 = 2000000L
+    val GAIN = 2L
+    Q(
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .filter(length(col("text")) >= 1)
+        def mediaOf(df: DataFrame, off: Long, gain: Long) =
+          df.select((col("doc_id") + off).as("media_id"),
+            col("doc_id").as("orig_id"), col("text"),
+            lit(gain).as("gain"))
+        val media = mediaOf(base, 0, 1)
+          .unionByName(mediaOf(base.filter(col("doc_id") % 8 === 1), C1, 1))
+          .unionByName(
+            mediaOf(base.filter(col("doc_id") % 8 === 2), C2, GAIN))
+        val n = least(length(col("text")), lit(MAX_S.toLong))
+        val rate = lit(8000L) + (col("orig_id") % 3) * 4000L
+        def sample(i: Column): Column =
+          ((ascii(col("text").substr(i, lit(1))) % 64) - 32) * 500 *
+            col("gain")
+        val enc = media.select(col("media_id"), col("orig_id"),
+          Multimodal.wavBytes(rate, n, sample).as("wav"))
+        // decode from the bytes alone: sample count from the LE32
+        // data-size field, samples as two's-complement s16le
+        val smp = enc
+          .select(col("media_id"), col("orig_id"), col("wav"),
+            (Multimodal.leRead(col("wav"), lit(41), 4) / lit(2L))
+              .cast("long").as("n_samp"))
+          .select(col("media_id"), col("orig_id"),
+            explode(sequence(lit(0L), col("n_samp") - 1)).as("i"),
+            col("wav"))
+          .select(col("media_id"), col("orig_id"), col("i"),
+            Multimodal.leRead(col("wav"), lit(45) + col("i") * 2, 2)
+              .as("raw"))
+          .withColumn("smp",
+            col("raw") - lit(65536L) * (col("raw") >= 32768L).cast("long"))
+          .persist()
+        val exact = smp.groupBy("media_id")
+          .agg(sum((col("i") + 1) * col("smp")).as("fp"))
+        val be = smp.groupBy(col("media_id"),
+            expr("i div 8").as("f"), expr("(i % 8) div 2").as("b"))
+          .agg(sum(abs(col("smp"))).as("e"))
+        val db = be.join(
+          be.select(col("media_id"), col("f"),
+            (col("b") - 1).as("b"), col("e").as("e1")),
+          Seq("media_id", "f", "b"))
+          .select(col("media_id"), col("f"), col("b"),
+            (col("e") - col("e1")).as("de"))
+        val bits = db.join(
+          db.select(col("media_id"), (col("f") + 1).as("f"),
+            col("b"), col("de").as("de0")),
+          Seq("media_id", "f", "b"))
+          .select(col("media_id"),
+            ((col("f") - 1) * 3 + col("b")).as("p"),
+            (col("de") > col("de0")).cast("long").as("bit"))
+        val hk = bits.groupBy("media_id")
+          .agg(sum(col("bit") *
+            expr("shiftleft(cast(1 as bigint), cast(p as int))"))
+            .as("fp_hk"))
+        val fps = smp.select("media_id", "orig_id").distinct()
+          .join(exact, Seq("media_id"))
+          .join(hk, Seq("media_id"), "left")
+          .na.fill(0L, Seq("fp_hk"))
+          .persist()
+        def arm(name: String, fp: Column): DataFrame = {
+          val keyed = fps.select(col("media_id"), col("orig_id"),
+            fp.as("fp"))
+          val blockPairs = keyed.groupBy("fp")
+            .agg(count(lit(1)).as("n"))
+            .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
+              .as("n_block_pairs"))
+          val orig = keyed.filter(col("media_id") < C1)
+            .select(col("orig_id"), col("fp").as("fp_o"))
+          def copied(off: Long) = keyed
+            .filter(col("media_id") >= off && col("media_id") < off + C1)
+            .select(col("orig_id"), col("fp").as("fp_c"))
+            .join(orig, "orig_id")
+            .agg(coalesce(sum(when(col("fp_c") === col("fp_o"), 1L)
+              .otherwise(0L)), lit(0L)))
+          blockPairs.crossJoin(copied(C1).toDF("n_copy_exact"))
+            .crossJoin(copied(C2).toDF("n_copy_scaled"))
+            .select(lit(name).as("arm"), col("n_block_pairs"),
+              col("n_copy_exact"), col("n_copy_scaled"))
+        }
+        arm("1_exact", col("fp"))
+          .unionByName(arm("2_hk", col("fp_hk")))
+          .orderBy("arm")
+      },
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents
+         |            WHERE length(text) >= 1),
+         |m AS (
+         |  SELECT doc_id AS media_id, doc_id AS orig_id, text,
+         |    1::BIGINT AS gain FROM d0
+         |  UNION ALL
+         |  SELECT doc_id + $C1, doc_id, text, 1::BIGINT
+         |  FROM d0 WHERE doc_id % 8 = 1
+         |  UNION ALL
+         |  SELECT doc_id + $C2, doc_id, text, $GAIN::BIGINT
+         |  FROM d0 WHERE doc_id % 8 = 2),
+         |p AS (SELECT media_id, orig_id, gain, text,
+         |        least(length(text), $MAX_S) AS n FROM m),
+         |sm AS (SELECT media_id, orig_id, gain, text, n,
+         |         unnest(range(1, n + 1)) AS i FROM p),
+         |sv AS (
+         |  SELECT media_id, orig_id, i - 1 AS i,
+         |    ((ascii(substring(text, i::INT, 1)) % 64) - 32) * 500 * gain
+         |      AS smp
+         |  FROM sm),
+         |fe AS (
+         |  SELECT media_id, sum((i + 1) * smp)::BIGINT AS fp
+         |  FROM sv GROUP BY 1),
+         |be AS (
+         |  SELECT media_id, i // 8 AS f, (i % 8) // 2 AS b,
+         |    sum(abs(smp))::BIGINT AS e
+         |  FROM sv GROUP BY 1, 2, 3),
+         |db AS (
+         |  SELECT a.media_id, a.f, a.b, a.e - c.e AS de
+         |  FROM be a JOIN be c
+         |    ON c.media_id = a.media_id AND c.f = a.f AND c.b = a.b + 1),
+         |bits AS (
+         |  SELECT cur.media_id, (cur.f - 1) * 3 + cur.b AS p,
+         |    CASE WHEN cur.de > prev.de THEN 1 ELSE 0 END AS bit
+         |  FROM db cur JOIN db prev
+         |    ON prev.media_id = cur.media_id AND prev.f = cur.f - 1
+         |      AND prev.b = cur.b),
+         |hk AS (
+         |  SELECT media_id,
+         |    sum(bit * (1::BIGINT << p::INT))::BIGINT AS fp_hk
+         |  FROM bits GROUP BY 1),
+         |fps AS (
+         |  SELECT v.media_id, v.orig_id, fe.fp,
+         |    coalesce(hk.fp_hk, 0)::BIGINT AS fp_hk
+         |  FROM (SELECT DISTINCT media_id, orig_id FROM sv) v
+         |  JOIN fe ON fe.media_id = v.media_id
+         |  LEFT JOIN hk ON hk.media_id = v.media_id),
+         |arms AS (
+         |  SELECT '1_exact' AS arm, media_id, orig_id, fp FROM fps
+         |  UNION ALL
+         |  SELECT '2_hk', media_id, orig_id, fp_hk FROM fps),
+         |bp AS (
+         |  SELECT arm, coalesce(sum(n * (n - 1) // 2), 0)::BIGINT
+         |      AS n_block_pairs
+         |  FROM (SELECT arm, fp, count(*)::BIGINT AS n
+         |        FROM arms GROUP BY 1, 2) z
+         |  GROUP BY arm),
+         |cpr AS (
+         |  SELECT o.arm,
+         |    coalesce(sum(CASE WHEN c.media_id >= $C1
+         |        AND c.media_id < ${2 * C1}
+         |        AND c.fp = o.fp THEN 1 ELSE 0 END), 0)::BIGINT
+         |      AS n_copy_exact,
+         |    coalesce(sum(CASE WHEN c.media_id >= $C2
+         |        AND c.fp = o.fp THEN 1 ELSE 0 END), 0)::BIGINT
+         |      AS n_copy_scaled
+         |  FROM arms o JOIN arms c
+         |    ON c.arm = o.arm AND c.orig_id = o.orig_id
+         |      AND c.media_id >= $C1
+         |  WHERE o.media_id < $C1
+         |  GROUP BY o.arm)
+         |SELECT bp.arm, bp.n_block_pairs, cpr.n_copy_exact,
+         |  cpr.n_copy_scaled
+         |FROM bp JOIN cpr ON bp.arm = cpr.arm
+         |ORDER BY bp.arm""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q342_audio_fp" -> audioFingerprint,
     "q341_dct_index" -> persistedDctIndex,
     "q340_pinned_gate" -> pinnedIngestGate,
     "q339_pinned_negatives" -> pinnedNegatives,
