@@ -18057,7 +18057,258 @@ object PipelineQueries {
          |ORDER BY bp.arm""".stripMargin)
   }
 
+  /** PERSISTED audio perceptual index (q343) — q342's H-K tier
+    * promoted into the committed media index, the audio twin of
+    * q341: two element universes over the same decoded WAV samples,
+    * same [[graft.operators.DedupIndex]] lifecycle. The exact
+    * universe is per-frame exact words (position-weighted sample
+    * sums — the q93 family's frame hash as an element set); the
+    * perceptual universe is per-frame H-K words (q342's three
+    * band-delta sign bits per frame boundary, packed — every word
+    * amplitude-invariant by the sign argument). The judged probe
+    * batch mixes bit-exact re-encodes and gain-2 re-encodes of
+    * indexed audio plus novel docs; candidates from each committed
+    * artifact are verified by true shared-element majority
+    * (2·shared > probe's element count). Arm matrix through the
+    * artifacts: the exact-word index pairs every bit-exact copy and
+    * NO gain-scaled one; the H-K index pairs both tiers. Oracle
+    * replays samples → both element universes → both minhash band
+    * chains → verification, all from source text.
+    */
+  val audioHkIndex: Q = {
+    val INDEX_MAX = 400L; val MAX_S = 96
+    val C1 = 1000000L; val C2 = 2000000L; val GAIN = 2L
+    val sigCols = (0 until MH_K)
+      .map(i => s"min(${Hashing.seededSql(i, "s")}) AS h$i")
+      .mkString(",\n    ")
+    def bandsSqlFor(sig: String): String = (0 until MH_BANDS).map { b =>
+      val key = (0 until MH_R).map(r => s"h${b * MH_R + r}")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, is_new, $b AS band, $key AS band_key FROM $sig"
+    }.mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .filter(length(col("text")) >= 1)
+        def mediaOf(df: DataFrame, off: Long, gain: Long) =
+          df.select((col("doc_id") + off).as("media_id"),
+            col("doc_id").as("orig_id"), col("text"),
+            lit(gain).as("gain"))
+        val idxM = mediaOf(base.filter(col("doc_id") < INDEX_MAX), 0, 1)
+        val probeM = mediaOf(base.filter(col("doc_id") < INDEX_MAX &&
+              col("doc_id") % 8 === 1), C1, 1)
+          .unionByName(mediaOf(base.filter(col("doc_id") < INDEX_MAX &&
+            col("doc_id") % 8 === 2), C2, GAIN))
+          .unionByName(mediaOf(base.filter(col("doc_id") >= INDEX_MAX),
+            0, 1))
+        // decode through the real codec, once per media frame
+        def samplesOf(m: DataFrame): DataFrame = {
+          val n = least(length(col("text")), lit(MAX_S.toLong))
+          val rate = lit(8000L) + (col("orig_id") % 3) * 4000L
+          def sample(i: Column): Column =
+            ((ascii(col("text").substr(i, lit(1))) % 64) - 32) * 500 *
+              col("gain")
+          m.select(col("media_id"),
+              Multimodal.wavBytes(rate, n, sample).as("wav"))
+            .select(col("media_id"), col("wav"),
+              (Multimodal.leRead(col("wav"), lit(41), 4) / lit(2L))
+                .cast("long").as("n_samp"))
+            .select(col("media_id"),
+              explode(sequence(lit(0L), col("n_samp") - 1)).as("i"),
+              col("wav"))
+            .select(col("media_id"), col("i"),
+              Multimodal.leRead(col("wav"), lit(45) + col("i") * 2, 2)
+                .as("raw"))
+            .withColumn("smp", col("raw") -
+              lit(65536L) * (col("raw") >= 32768L).cast("long"))
+        }
+        def exactSets(m: DataFrame): DataFrame =
+          samplesOf(m)
+            .groupBy(col("media_id").as("doc_id"),
+              expr("i div 8").as("f"))
+            .agg(sum((col("i") + 1) * col("smp")).as("wd"))
+            .select(col("doc_id"),
+              concat_ws(":", col("f"), col("wd")).as("s"))
+        def hkSets(m: DataFrame): DataFrame = {
+          val be = samplesOf(m).groupBy(col("media_id"),
+              expr("i div 8").as("f"), expr("(i % 8) div 2").as("b"))
+            .agg(sum(abs(col("smp"))).as("e"))
+          val db = be.join(
+            be.select(col("media_id"), col("f"),
+              (col("b") - 1).as("b"), col("e").as("e1")),
+            Seq("media_id", "f", "b"))
+            .select(col("media_id"), col("f"), col("b"),
+              (col("e") - col("e1")).as("de"))
+          db.join(
+            db.select(col("media_id"), (col("f") + 1).as("f"),
+              col("b"), col("de").as("de0")),
+            Seq("media_id", "f", "b"))
+            .groupBy(col("media_id").as("doc_id"), col("f"))
+            .agg(sum((col("de") > col("de0")).cast("long") *
+              expr("shiftleft(cast(1 as bigint), cast(b as int))"))
+              .as("wd"))
+            .select(col("doc_id"),
+              concat_ws(":", col("f"), col("wd")).as("s"))
+        }
+        val root = graft.sources.Artifacts.versionedRoot(
+          "graft-audio-hk", d, Seq("documents.parquet"))
+        val exRoot = new java.io.File(root, "exact").getAbsolutePath
+        val hkRoot = new java.io.File(root, "hk").getAbsolutePath
+        if (DedupIndex.resolve(exRoot).isEmpty)
+          DedupIndex.publish(
+            Dedup.minhashSignaturesOfSets(exactSets(idxM), "doc_id", "s",
+              MH_K),
+            "doc_id", MH_BANDS, MH_R, exRoot)
+        if (DedupIndex.resolve(hkRoot).isEmpty)
+          DedupIndex.publish(
+            Dedup.minhashSignaturesOfSets(hkSets(idxM), "doc_id", "s",
+              MH_K),
+            "doc_id", MH_BANDS, MH_R, hkRoot)
+        def arm(name: String, setsOf: DataFrame => DataFrame,
+                armRoot: String): DataFrame = {
+          val probeSets = setsOf(probeM).persist()
+          val nEl = probeSets.groupBy(col("doc_id").as("new_id"))
+            .agg(count(lit(1)).as("n_el"))
+          val cand = DedupIndex.probe(s,
+            Dedup.minhashSignaturesOfSets(probeSets, "doc_id", "s",
+              MH_K),
+            "doc_id", MH_BANDS, MH_R, armRoot)
+          val verified = cand
+            .join(probeSets.withColumnRenamed("doc_id", "new_id"),
+              Seq("new_id"))
+            .join(setsOf(idxM).withColumnRenamed("doc_id", "index_id"),
+              Seq("index_id", "s"))
+            .groupBy("new_id", "index_id")
+            .agg(count(lit(1)).as("n_shared"))
+            .join(nEl, Seq("new_id"))
+            .filter(col("n_shared") * 2 > col("n_el"))
+          verified.agg(
+              count(lit(1)).as("n_pairs"),
+              coalesce(sum(when(col("new_id") >= C1 &&
+                  col("new_id") < C2 &&
+                  col("new_id") - C1 === col("index_id"), 1L)
+                .otherwise(0L)), lit(0L)).as("n_copy_exact"),
+              coalesce(sum(when(col("new_id") >= C2 &&
+                  col("new_id") - C2 === col("index_id"), 1L)
+                .otherwise(0L)), lit(0L)).as("n_copy_scaled"))
+            .select(lit(name).as("arm"), col("n_pairs"),
+              col("n_copy_exact"), col("n_copy_scaled"))
+        }
+        arm("1_exact", exactSets, exRoot)
+          .unionByName(arm("2_hk", hkSets, hkRoot))
+          .orderBy("arm")
+      },
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents
+         |            WHERE length(text) >= 1),
+         |m AS (
+         |  SELECT doc_id AS media_id, doc_id AS orig_id, text,
+         |    1::BIGINT AS gain, 0 AS is_new
+         |  FROM d0 WHERE doc_id < $INDEX_MAX
+         |  UNION ALL
+         |  SELECT doc_id + $C1, doc_id, text, 1::BIGINT, 1
+         |  FROM d0 WHERE doc_id < $INDEX_MAX AND doc_id % 8 = 1
+         |  UNION ALL
+         |  SELECT doc_id + $C2, doc_id, text, $GAIN::BIGINT, 1
+         |  FROM d0 WHERE doc_id < $INDEX_MAX AND doc_id % 8 = 2
+         |  UNION ALL
+         |  SELECT doc_id, doc_id, text, 1::BIGINT, 1
+         |  FROM d0 WHERE doc_id >= $INDEX_MAX),
+         |p AS (SELECT media_id, is_new, gain, text,
+         |        least(length(text), $MAX_S) AS n FROM m),
+         |sm AS (SELECT media_id, is_new, gain, text, n,
+         |         unnest(range(1, n + 1)) AS i FROM p),
+         |sv AS (
+         |  SELECT media_id, is_new, i - 1 AS i,
+         |    ((ascii(substring(text, i::INT, 1)) % 64) - 32) * 500 * gain
+         |      AS smp
+         |  FROM sm),
+         |eel AS (
+         |  SELECT media_id AS doc_id, any_value(is_new) AS is_new,
+         |    ((i // 8)::VARCHAR || ':' ||
+         |      sum((i + 1) * smp)::BIGINT::VARCHAR) AS s
+         |  FROM sv GROUP BY media_id, i // 8),
+         |be AS (
+         |  SELECT media_id, any_value(is_new) AS is_new, i // 8 AS f,
+         |    (i % 8) // 2 AS b, sum(abs(smp))::BIGINT AS e
+         |  FROM sv GROUP BY media_id, i // 8, (i % 8) // 2),
+         |db AS (
+         |  SELECT a.media_id, a.is_new, a.f, a.b, a.e - c.e AS de
+         |  FROM be a JOIN be c
+         |    ON c.media_id = a.media_id AND c.f = a.f AND c.b = a.b + 1),
+         |hel AS (
+         |  SELECT cur.media_id AS doc_id, any_value(cur.is_new) AS is_new,
+         |    (cur.f::VARCHAR || ':' ||
+         |      sum(CASE WHEN cur.de > prev.de
+         |        THEN (1::BIGINT << cur.b::INT) ELSE 0 END)::VARCHAR) AS s
+         |  FROM db cur JOIN db prev
+         |    ON prev.media_id = cur.media_id AND prev.f = cur.f - 1
+         |      AND prev.b = cur.b
+         |  GROUP BY cur.media_id, cur.f),
+         |esig AS (
+         |  SELECT doc_id, is_new,
+         |    $sigCols
+         |  FROM eel GROUP BY doc_id, is_new),
+         |ebands AS (
+         |  ${bandsSqlFor("esig")}),
+         |ecand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, x.doc_id AS index_id
+         |  FROM ebands a JOIN ebands x
+         |    ON a.band = x.band AND a.band_key = x.band_key
+         |  WHERE a.is_new = 1 AND x.is_new = 0),
+         |enel AS (SELECT doc_id AS new_id, count(*)::BIGINT AS n_el
+         |         FROM eel WHERE is_new = 1 GROUP BY doc_id),
+         |evp AS (
+         |  SELECT c.new_id, c.index_id
+         |  FROM ecand c
+         |  JOIN eel a ON a.doc_id = c.new_id
+         |  JOIN eel x ON x.doc_id = c.index_id AND x.s = a.s
+         |  JOIN enel ne ON ne.new_id = c.new_id
+         |  GROUP BY c.new_id, c.index_id, ne.n_el
+         |  HAVING count(*) * 2 > ne.n_el),
+         |hsig AS (
+         |  SELECT doc_id, is_new,
+         |    $sigCols
+         |  FROM hel GROUP BY doc_id, is_new),
+         |hbands AS (
+         |  ${bandsSqlFor("hsig")}),
+         |hcand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, x.doc_id AS index_id
+         |  FROM hbands a JOIN hbands x
+         |    ON a.band = x.band AND a.band_key = x.band_key
+         |  WHERE a.is_new = 1 AND x.is_new = 0),
+         |hnel AS (SELECT doc_id AS new_id, count(*)::BIGINT AS n_el
+         |         FROM hel WHERE is_new = 1 GROUP BY doc_id),
+         |hvp AS (
+         |  SELECT c.new_id, c.index_id
+         |  FROM hcand c
+         |  JOIN hel a ON a.doc_id = c.new_id
+         |  JOIN hel x ON x.doc_id = c.index_id AND x.s = a.s
+         |  JOIN hnel ne ON ne.new_id = c.new_id
+         |  GROUP BY c.new_id, c.index_id, ne.n_el
+         |  HAVING count(*) * 2 > ne.n_el)
+         |SELECT arm, n_pairs, n_copy_exact, n_copy_scaled FROM (
+         |  SELECT '1_exact' AS arm, count(*)::BIGINT AS n_pairs,
+         |    coalesce(sum(CASE WHEN new_id >= $C1 AND new_id < $C2
+         |        AND new_id - $C1 = index_id THEN 1 ELSE 0 END),
+         |      0)::BIGINT AS n_copy_exact,
+         |    coalesce(sum(CASE WHEN new_id >= $C2
+         |        AND new_id - $C2 = index_id THEN 1 ELSE 0 END),
+         |      0)::BIGINT AS n_copy_scaled
+         |  FROM evp
+         |  UNION ALL
+         |  SELECT '2_hk', count(*)::BIGINT,
+         |    coalesce(sum(CASE WHEN new_id >= $C1 AND new_id < $C2
+         |        AND new_id - $C1 = index_id THEN 1 ELSE 0 END),
+         |      0)::BIGINT,
+         |    coalesce(sum(CASE WHEN new_id >= $C2
+         |        AND new_id - $C2 = index_id THEN 1 ELSE 0 END),
+         |      0)::BIGINT
+         |  FROM hvp
+         |) u ORDER BY arm""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q343_audio_hk_index" -> audioHkIndex,
     "q342_audio_fp" -> audioFingerprint,
     "q341_dct_index" -> persistedDctIndex,
     "q340_pinned_gate" -> pinnedIngestGate,
