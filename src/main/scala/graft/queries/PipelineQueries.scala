@@ -17293,6 +17293,13 @@ object PipelineQueries {
           Seq("documents.parquet", "embeddings.parquet"))
         val simRoot = new java.io.File(fleetRoot, "sim").getAbsolutePath
         val dedupRoot = new java.io.File(fleetRoot, "dedup").getAbsolutePath
+        // the raw tables the arms read directly (query batches) are
+        // pinned by content fingerprint alongside the index
+        // generations — assertCorpus below fails a pinned read whose
+        // corpus moved since the pin (the corpus/index skew guard)
+        val corpus = Map(
+          "documents" -> s"$d/documents.parquet",
+          "embeddings" -> s"$d/embeddings.parquet")
         if (FleetSnapshot.list(fleetRoot).isEmpty) {
           val r = VectorFunctions.mtBits(index.count())
           SimIndex.publish(index, "vec_id", "embedding",
@@ -17301,7 +17308,7 @@ object PipelineQueries {
             Dedup.minhashSignatures(base, "doc_id", "text", MH_K),
             "doc_id", MH_BANDS, MH_R, dedupRoot)
           FleetSnapshot.pin(fleetRoot,
-            Map("sim" -> simRoot, "dedup" -> dedupRoot))
+            Map("sim" -> simRoot, "dedup" -> dedupRoot), corpus)
         }
         if (FleetSnapshot.list(fleetRoot).size < 2) {
           val del = base.filter(isDel(col("doc_id"))).select("doc_id")
@@ -17311,7 +17318,7 @@ object PipelineQueries {
           DedupIndex.addTombstones(s, del, "doc_id", dedupRoot)
           DedupIndex.compact(s, dedupRoot)
           FleetSnapshot.pin(fleetRoot,
-            Map("sim" -> simRoot, "dedup" -> dedupRoot))
+            Map("sim" -> simRoot, "dedup" -> dedupRoot), corpus)
         }
         // the query batch: redelivered copies of index docs 0..9
         val qdocs = docs.filter(col("doc_id") < Q_SRC)
@@ -17320,6 +17327,9 @@ object PipelineQueries {
           .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
         val sigQ = Dedup.minhashSignatures(qdocs, "doc_id", "text", MH_K)
         def arm(n: Long): DataFrame = {
+          // a pinned read whose query batch comes off the RAW tables
+          // must first prove those tables are still the pinned world
+          FleetSnapshot.assertCorpus(fleetRoot, n, corpus)
           val gens = FleetSnapshot.at(fleetRoot, n)
           val cand = SimIndex.probeTopKAt(s, qvec, "vec_id",
               "embedding", C, gens("sim"))
@@ -17521,6 +17531,10 @@ object PipelineQueries {
         val fsRoot = new java.io.File(fleetRoot, "fs").getAbsolutePath
         val cmsRoot = new java.io.File(fleetRoot, "cms").getAbsolutePath
         val bpeRoot = new java.io.File(fleetRoot, "bpe").getAbsolutePath
+        // the audit batch comes off the raw documents table — its
+        // content fingerprint is pinned with the index generations
+        // and asserted before every pinned read (corpus/index skew)
+        val corpus = Map("documents" -> s"$d/documents.parquet")
         if (FleetSnapshot.list(fleetRoot).isEmpty) {
           val base = docs.filter(col("doc_id") < BASE)
           FirstSeenIndex.publish(
@@ -17528,7 +17542,8 @@ object PipelineQueries {
           SketchIndex.publish(termsOf(base), "term", CMS_D, CMS_W, cmsRoot)
           BpeIndex.publish(base, "doc_id", "text", BPE_ROUNDS, bpeRoot)
           FleetSnapshot.pin(fleetRoot,
-            Map("fs" -> fsRoot, "cms" -> cmsRoot, "bpe" -> bpeRoot))
+            Map("fs" -> fsRoot, "cms" -> cmsRoot, "bpe" -> bpeRoot),
+            corpus)
         }
         if (FleetSnapshot.list(fleetRoot).size < 2) {
           // the re-crawl: batch 1 arrives reversed (q294's drift
@@ -17547,7 +17562,8 @@ object PipelineQueries {
               .select(col("doc_id"), reverse(col("text")).as("text")),
             "doc_id", "text", BPE_ROUNDS, bpeRoot)
           FleetSnapshot.pin(fleetRoot,
-            Map("fs" -> fsRoot, "cms" -> cmsRoot, "bpe" -> bpeRoot))
+            Map("fs" -> fsRoot, "cms" -> cmsRoot, "bpe" -> bpeRoot),
+            corpus)
         }
         val audit = docs.filter(col("doc_id") >= B1 && col("doc_id") < AUD)
           .select(col("doc_id"), reverse(col("text")).as("text"))
@@ -17556,6 +17572,9 @@ object PipelineQueries {
             explode(TextFunctions.words(col("text"))).as("term"))
           .filter(length(col("term")) > 0).distinct()
         def arm(n: Long): DataFrame = {
+          // the pinned gate re-reads the raw audit docs — prove the
+          // table is still the world the manifest pinned
+          FleetSnapshot.assertCorpus(fleetRoot, n, corpus)
           val gens = FleetSnapshot.at(fleetRoot, n)
           val nov = FirstSeenIndex.scoreAt(s, ash, gens("fs"))
           val tok = BpeIndex.tokenizeAt(s, audit, "doc_id", "text",
