@@ -17565,12 +17565,16 @@ object PipelineQueries {
             Map("fs" -> fsRoot, "cms" -> cmsRoot, "bpe" -> bpeRoot),
             corpus)
         }
+        // the audit batch's derived frames are shared by BOTH arms —
+        // persist so the shingle/term derivations run once, not per
+        // arm (batch-bounded rows)
         val audit = docs.filter(col("doc_id") >= B1 && col("doc_id") < AUD)
           .select(col("doc_id"), reverse(col("text")).as("text"))
-        val ash = Dedup.shingleSet(audit, "doc_id", "text", 3)
+          .persist()
+        val ash = Dedup.shingleSet(audit, "doc_id", "text", 3).persist()
         val aterm = audit.select(col("doc_id"),
             explode(TextFunctions.words(col("text"))).as("term"))
-          .filter(length(col("term")) > 0).distinct()
+          .filter(length(col("term")) > 0).distinct().persist()
         def arm(n: Long): DataFrame = {
           // the pinned gate re-reads the raw audit docs — prove the
           // table is still the world the manifest pinned
@@ -17674,8 +17678,12 @@ object PipelineQueries {
             col("doc_id") % 8 === 2), C2, SH, 1))
           .unionByName(mediaOf(docs.filter(col("doc_id") >= INDEX_MAX),
             0, 0, 1))
-        def rowSets(m: DataFrame): DataFrame = {
-          val g = bmpGrid(m, col("sc"))
+        // ONE decode pass per media batch, shared by BOTH element
+        // universes (the r16 bench showed each universe re-decoding
+        // the same grids — at sf0.1 that's four redundant passes over
+        // ~5k media per run); the grids are media-bounded (H·wp rows
+        // per item) so the cache is small
+        def rowSets(g: DataFrame): DataFrame = {
           val rs = g.groupBy("media_id", "r")
             .agg(sum("luma").as("lsum"), count(lit(1)).as("n"))
           g.join(rs, Seq("media_id", "r"))
@@ -17686,30 +17694,32 @@ object PipelineQueries {
             .select(col("doc_id"),
               concat_ws(":", col("wp"), col("r"), col("rh")).as("s"))
         }
-        def dctSets(m: DataFrame): DataFrame =
-          dctHashes(bmpGrid(m, col("sc")))
+        def dctSets(g: DataFrame): DataFrame =
+          dctHashes(g)
             .withColumn("b", explode(sequence(lit(0L), lit(7L))))
             .select(col("media_id").as("doc_id"),
               concat_ws(":", col("b"),
                 expr("shiftright(dhash, cast(8 * b as int)) & 255"))
                 .as("s"))
+        val gridIdx = bmpGrid(idxM, col("sc")).persist()
+        val gridProbe = bmpGrid(probeM, col("sc")).persist()
         val root = graft.sources.Artifacts.versionedRoot(
           "graft-dct-index", d, Seq("documents.parquet"))
         val rowhRoot = new java.io.File(root, "rowh").getAbsolutePath
         val dctRoot = new java.io.File(root, "dct").getAbsolutePath
         if (DedupIndex.resolve(rowhRoot).isEmpty)
           DedupIndex.publish(
-            Dedup.minhashSignaturesOfSets(rowSets(idxM), "doc_id", "s",
+            Dedup.minhashSignaturesOfSets(rowSets(gridIdx), "doc_id", "s",
               MH_K),
             "doc_id", MH_BANDS, MH_R, rowhRoot)
         if (DedupIndex.resolve(dctRoot).isEmpty)
           DedupIndex.publish(
-            Dedup.minhashSignaturesOfSets(dctSets(idxM), "doc_id", "s",
+            Dedup.minhashSignaturesOfSets(dctSets(gridIdx), "doc_id", "s",
               MH_K),
             "doc_id", MH_BANDS, MH_R, dctRoot)
         def arm(name: String, setsOf: DataFrame => DataFrame,
                 armRoot: String, minShared: Long): DataFrame = {
-          val probeSets = setsOf(probeM).persist()
+          val probeSets = setsOf(gridProbe).persist()
           val cand = DedupIndex.probe(s,
             Dedup.minhashSignaturesOfSets(probeSets, "doc_id", "s",
               MH_K),
@@ -17717,7 +17727,7 @@ object PipelineQueries {
           val verified = cand
             .join(probeSets.withColumnRenamed("doc_id", "new_id"),
               Seq("new_id"))
-            .join(setsOf(idxM).withColumnRenamed("doc_id", "index_id"),
+            .join(setsOf(gridIdx).withColumnRenamed("doc_id", "index_id"),
               Seq("index_id", "s"))
             .groupBy("new_id", "index_id")
             .agg(count(lit(1)).as("n_shared"))
@@ -18141,15 +18151,18 @@ object PipelineQueries {
             .withColumn("smp", col("raw") -
               lit(65536L) * (col("raw") >= 32768L).cast("long"))
         }
-        def exactSets(m: DataFrame): DataFrame =
-          samplesOf(m)
+        // ONE codec pass per media batch shared by both universes
+        // (the r16 bench lesson from q341, same fix): `sv` below is
+        // the persisted decoded-sample frame
+        def exactSets(sv: DataFrame): DataFrame =
+          sv
             .groupBy(col("media_id").as("doc_id"),
               expr("i div 8").as("f"))
             .agg(sum((col("i") + 1) * col("smp")).as("wd"))
             .select(col("doc_id"),
               concat_ws(":", col("f"), col("wd")).as("s"))
-        def hkSets(m: DataFrame): DataFrame = {
-          val be = samplesOf(m).groupBy(col("media_id"),
+        def hkSets(sv: DataFrame): DataFrame = {
+          val be = sv.groupBy(col("media_id"),
               expr("i div 8").as("f"), expr("(i % 8) div 2").as("b"))
             .agg(sum(abs(col("smp"))).as("e"))
           val db = be.join(
@@ -18169,23 +18182,25 @@ object PipelineQueries {
             .select(col("doc_id"),
               concat_ws(":", col("f"), col("wd")).as("s"))
         }
+        val svIdx = samplesOf(idxM).persist()
+        val svProbe = samplesOf(probeM).persist()
         val root = graft.sources.Artifacts.versionedRoot(
           "graft-audio-hk", d, Seq("documents.parquet"))
         val exRoot = new java.io.File(root, "exact").getAbsolutePath
         val hkRoot = new java.io.File(root, "hk").getAbsolutePath
         if (DedupIndex.resolve(exRoot).isEmpty)
           DedupIndex.publish(
-            Dedup.minhashSignaturesOfSets(exactSets(idxM), "doc_id", "s",
+            Dedup.minhashSignaturesOfSets(exactSets(svIdx), "doc_id", "s",
               MH_K),
             "doc_id", MH_BANDS, MH_R, exRoot)
         if (DedupIndex.resolve(hkRoot).isEmpty)
           DedupIndex.publish(
-            Dedup.minhashSignaturesOfSets(hkSets(idxM), "doc_id", "s",
+            Dedup.minhashSignaturesOfSets(hkSets(svIdx), "doc_id", "s",
               MH_K),
             "doc_id", MH_BANDS, MH_R, hkRoot)
         def arm(name: String, setsOf: DataFrame => DataFrame,
                 armRoot: String): DataFrame = {
-          val probeSets = setsOf(probeM).persist()
+          val probeSets = setsOf(svProbe).persist()
           val nEl = probeSets.groupBy(col("doc_id").as("new_id"))
             .agg(count(lit(1)).as("n_el"))
           val cand = DedupIndex.probe(s,
@@ -18195,7 +18210,7 @@ object PipelineQueries {
           val verified = cand
             .join(probeSets.withColumnRenamed("doc_id", "new_id"),
               Seq("new_id"))
-            .join(setsOf(idxM).withColumnRenamed("doc_id", "index_id"),
+            .join(setsOf(svIdx).withColumnRenamed("doc_id", "index_id"),
               Seq("index_id", "s"))
             .groupBy("new_id", "index_id")
             .agg(count(lit(1)).as("n_shared"))
