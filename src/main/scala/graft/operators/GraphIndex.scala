@@ -573,9 +573,11 @@ object GraphIndex {
   def degrees(spark: SparkSession, nodes: DataFrame,
               root: String): DataFrame = {
     val ns = nodes.select(col("node").cast("long")).distinct().persist()
-    // neighbors() already materialized its result, so this aggregate
-    // never re-derives the node side
-    val nb = neighbors(spark, ns, root)
+    // LAZY probe plan: ns is persisted right here for the whole call,
+    // so the probe's touched-bucket collect and this aggregate consume
+    // the same cached evaluation — the census settles in ONE action
+    // (the materialize below) instead of probe-materialize + census
+    val nb = probeCore(spark, ns, root, out = true, materialize = false)
       .groupBy("node")
       .agg(count(lit(1)).as("deg"), sum("w").as("wt"))
     val result = ns.join(nb, Seq("node"), "left")
@@ -605,8 +607,13 @@ object GraphIndex {
     var frontier = acc
     for (i <- 1 to k) {
       if (!frontier.isEmpty) {
-        val nb = (if (out) neighbors _ else inNeighbors _)(spark,
-          frontier.select(col("root"), col("node")), root)
+        // LAZY probe plan (no inner materialize): the frontier is
+        // already lineage-free, so the probe's two consumptions (the
+        // touched-bucket collect inside probeCore and the join below)
+        // read the same cheap checkpointed scan — the hop then settles
+        // in ONE action, the `next` materialize, instead of two
+        val nb = probeCore(spark, frontier.select(col("root"), col("node")),
+          root, out = out, materialize = false)
         val next = ProbeCache.materialize(
           nb.select(col("root"), col("nbr").as("node")).distinct()
             .join(acc.select("root", "node"), Seq("root", "node"),

@@ -23,6 +23,28 @@ object PipelineQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables(s, d, n)
 
+  /** One beam-search stage settled in ONE materialize (guide §1.2:
+    * fewer actions, same rows): rank the scored frame per query ONCE
+    * inside the checkpoint, then serve BOTH consumers as lazy views
+    * of it — the visited rows (rank projected away) and the next
+    * frontier (rank ≤ beamWidth). The previous shape materialized the
+    * scored rows and then ran a SECOND localCheckpoint job for the
+    * top-K window over them; the window work is identical here, the
+    * second action is gone (measured: one job per beam round per arm
+    * across q327/q331/q333/q334/q338). The returned views scan
+    * checkpointed blocks — still lineage-free, so the ProbeCache
+    * release contract is unchanged.
+    */
+  private def beamStage(scored: DataFrame, beamWidth: Int)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = graft.operators.ProbeCache.materialize(
+      scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2"), col("node")))))
+    (ranked.select("query_id", "node", "d2"),
+      ranked.filter(col("rnk") <= beamWidth).select("query_id", "node"))
+  }
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact dedup over a corpus with synthesized duplicates (each doc
@@ -15215,10 +15237,8 @@ object PipelineQueries {
         val entries = ixs.filter(col("node") % ENT_MOD === 0)
           .select("node")
         def beam(b: Int): DataFrame = {
-          var visited = graft.operators.ProbeCache.materialize(
-            score(qxs.select("query_id").crossJoin(entries)))
-          var frontier = graft.operators.ProbeCache.materialize(
-            topPerQuery(visited, b))
+          var (visited, frontier) =
+            beamStage(score(qxs.select("query_id").crossJoin(entries)), b)
           for (_ <- 1 to ROUNDS) {
             if (!frontier.isEmpty) {
               val nb = GraphIndex.neighbors(s, frontier, root)
@@ -15226,12 +15246,10 @@ object PipelineQueries {
                 .select(col("query_id"), col("nbr").as("node")).distinct()
                 .join(visited.select("query_id", "node"),
                   Seq("query_id", "node"), "left_anti")
-              val newV = graft.operators.ProbeCache.materialize(
-                score(fresh))
+              val (newV, newF) = beamStage(score(fresh), b)
               // pieces are lineage-free — plain union (khop's rule)
               visited = visited.unionByName(newV)
-              frontier = graft.operators.ProbeCache.materialize(
-                topPerQuery(newV, b))
+              frontier = newF
             }
           }
           topPerQuery(visited, K).withColumn("beam", lit(b.toLong))
@@ -15800,10 +15818,8 @@ object PipelineQueries {
           .withColumn("hit", lit(1L))
         val entries = survivors.filter(col("node") % ENT_MOD === 0)
           .select("node")
-        var visited = graft.operators.ProbeCache.materialize(
-          score(qxs.select("query_id").crossJoin(entries)))
-        var frontier = graft.operators.ProbeCache.materialize(
-          topPerQuery(visited, B))
+        var (visited, frontier) =
+          beamStage(score(qxs.select("query_id").crossJoin(entries)), B)
         for (_ <- 1 to ROUNDS) {
           if (!frontier.isEmpty) {
             val nb = GraphIndex.neighbors(s, frontier, root)
@@ -15811,10 +15827,9 @@ object PipelineQueries {
               .select(col("query_id"), col("nbr").as("node")).distinct()
               .join(visited.select("query_id", "node"),
                 Seq("query_id", "node"), "left_anti")
-            val newV = graft.operators.ProbeCache.materialize(score(fresh))
+            val (newV, newF) = beamStage(score(fresh), B)
             visited = visited.unionByName(newV)
-            frontier = graft.operators.ProbeCache.materialize(
-              topPerQuery(newV, B))
+            frontier = newF
           }
         }
         topPerQuery(visited, K)
@@ -16031,10 +16046,8 @@ object PipelineQueries {
           .withColumn("hit", lit(1L))
         val entries = ixs.filter(col("node") % ENT_MOD === 0)
           .select("node")
-        var visited = graft.operators.ProbeCache.materialize(
-          score(qxs.select("query_id").crossJoin(entries)))
-        var frontier = graft.operators.ProbeCache.materialize(
-          topPerQuery(visited, B))
+        var (visited, frontier) =
+          beamStage(score(qxs.select("query_id").crossJoin(entries)), B)
         for (_ <- 1 to ROUNDS) {
           if (!frontier.isEmpty) {
             val nb = GraphIndex.neighbors(s, frontier, root)
@@ -16042,10 +16055,9 @@ object PipelineQueries {
               .select(col("query_id"), col("nbr").as("node")).distinct()
               .join(visited.select("query_id", "node"),
                 Seq("query_id", "node"), "left_anti")
-            val newV = graft.operators.ProbeCache.materialize(score(fresh))
+            val (newV, newF) = beamStage(score(fresh), B)
             visited = visited.unionByName(newV)
-            frontier = graft.operators.ProbeCache.materialize(
-              topPerQuery(newV, B))
+            frontier = newF
           }
         }
         topPerQuery(visited, K)
@@ -16257,10 +16269,8 @@ object PipelineQueries {
           // adjacency row left, so it (and only it) drops here
           val entries = GraphIndex.neighbors(sp, entCand, root)
             .select("node").distinct()
-          var visited = graft.operators.ProbeCache.materialize(
-            score(qxs.select("query_id").crossJoin(entries)))
-          var frontier = graft.operators.ProbeCache.materialize(
-            top(visited, B).select("query_id", "node"))
+          var (visited, frontier) =
+            beamStage(score(qxs.select("query_id").crossJoin(entries)), B)
           for (_ <- 1 to ROUNDS) {
             if (!frontier.isEmpty) {
               val nb = GraphIndex.neighbors(sp, frontier, root)
@@ -16268,10 +16278,9 @@ object PipelineQueries {
                 .select(col("query_id"), col("nbr").as("node")).distinct()
                 .join(visited.select("query_id", "node"),
                   Seq("query_id", "node"), "left_anti")
-              val newV = graft.operators.ProbeCache.materialize(score(fresh))
+              val (newV, newF) = beamStage(score(fresh), B)
               visited = visited.unionByName(newV)
-              frontier = graft.operators.ProbeCache.materialize(
-                top(newV, B).select("query_id", "node"))
+              frontier = newF
             }
           }
           top(visited, k)
@@ -17123,10 +17132,8 @@ object PipelineQueries {
             .select("node")
           val entries = GraphIndex.neighborsAt(s, entCand, gen)
             .select("node").distinct()
-          var visited = graft.operators.ProbeCache.materialize(
-            score(qxs.select("query_id").crossJoin(entries)))
-          var frontier = graft.operators.ProbeCache.materialize(
-            top(visited, B).select("query_id", "node"))
+          var (visited, frontier) =
+            beamStage(score(qxs.select("query_id").crossJoin(entries)), B)
           for (_ <- 1 to ROUNDS) {
             if (!frontier.isEmpty) {
               val nb = GraphIndex.neighborsAt(s, frontier, gen)
@@ -17134,10 +17141,9 @@ object PipelineQueries {
                 .select(col("query_id"), col("nbr").as("node")).distinct()
                 .join(visited.select("query_id", "node"),
                   Seq("query_id", "node"), "left_anti")
-              val newV = graft.operators.ProbeCache.materialize(score(fresh))
+              val (newV, newF) = beamStage(score(fresh), B)
               visited = visited.unionByName(newV)
-              frontier = graft.operators.ProbeCache.materialize(
-                top(newV, B).select("query_id", "node"))
+              frontier = newF
             }
           }
           top(visited, K)
