@@ -45,6 +45,24 @@ object PipelineQueries {
       ranked.filter(col("rnk") <= beamWidth).select("query_id", "node"))
   }
 
+  /** Build independent arms from driver threads (guide §2.6 — overlap
+    * independent jobs): each arm's construction runs its OWN chain of
+    * Spark actions (index probes, ProbeCache materializes), and a
+    * sequential build serializes those latency-bound chains even
+    * though the cluster is idle through most of each one. Submitting
+    * the chains concurrently lets the scheduler interleave their jobs,
+    * so the composition costs ~max(arm), not Σ arm — q290's measured
+    * pattern, shared. Arms must be read-only over committed artifacts
+    * and caller-persisted frames (every multi-arm judged query is:
+    * publishes/pins happen strictly before the arms are built).
+    */
+  private def concurrently(arms: Seq[() => DataFrame]): Seq[DataFrame] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(arms.map(a => Future(a()))), Duration.Inf)
+  }
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact dedup over a corpus with synthesized duplicates (each doc
@@ -15254,7 +15272,7 @@ object PipelineQueries {
           }
           topPerQuery(visited, K).withColumn("beam", lit(b.toLong))
         }
-        BEAMS.map(beam).reduce(_.unionByName(_))
+        concurrently(BEAMS.map(b => () => beam(b))).reduce(_.unionByName(_))
           .join(truth, Seq("query_id", "node"), "left")
           .groupBy("beam")
           .agg(count(lit(1)).as("n_pairs"),
@@ -16473,7 +16491,8 @@ object PipelineQueries {
             .withColumn("snap", lit(n))
             .select("snap", "query_id", "index_id", "adc_d2", "rnk")
         }
-        arm(1).unionByName(arm(2))
+        concurrently(Seq(() => arm(1), () => arm(2)))
+          .reduce(_.unionByName(_))
           .orderBy("snap", "query_id", "rnk")
       }, {
         // one snapshot arm: LSH candidates (top C by rounded cosine)
@@ -16929,7 +16948,8 @@ object PipelineQueries {
             .select("snap", "query_id", "doc_id", "lex_pts", "vec_pts",
               "borda", "rnk")
         }
-        arm(1).unionByName(arm(2))
+        concurrently(Seq(() => arm(1), () => arm(2)))
+          .reduce(_.unionByName(_))
           .orderBy("snap", "query_id", "rnk")
       }, {
         // one snapshot arm: BM25 over that arm's SURVIVOR world (its
@@ -17150,7 +17170,8 @@ object PipelineQueries {
             .select(lit(n).as("snap"), col("query_id"), col("node"),
               col("d2"), col("rnk").cast("long").as("rnk"))
         }
-        arm(1).unionByName(arm(2))
+        concurrently(Seq(() => arm(1), () => arm(2)))
+          .reduce(_.unionByName(_))
           .orderBy("snap", "query_id", "rnk")
       }, {
         def beamCtes(sfx: String, graph: String): String = {
@@ -17362,7 +17383,8 @@ object PipelineQueries {
               coalesce(col("top_neg_id"), lit(-1L)).as("top_neg_id"),
               coalesce(col("top_neg_rnk"), lit(-1L)).as("top_neg_rnk"))
         }
-        arm(1).unionByName(arm(2))
+        concurrently(Seq(() => arm(1), () => arm(2)))
+          .reduce(_.unionByName(_))
           .orderBy("snap", "query_id")
       }, {
         // one snapshot arm: cosine top-C over that world's survivor
@@ -17599,7 +17621,8 @@ object PipelineQueries {
             .select("snap", "doc_id", "n_sh", "n_novel",
               "n_words", "n_subwords", "cms_sum")
         }
-        arm(1).unionByName(arm(2)).orderBy("snap", "doc_id")
+        concurrently(Seq(() => arm(1), () => arm(2)))
+          .reduce(_.unionByName(_)).orderBy("snap", "doc_id")
       },
       s"""WITH cmsp(r, a, b) AS (VALUES ${CountMin.paramsSqlValues(CMS_D)}),
          |aw0 AS (
@@ -17750,8 +17773,9 @@ object PipelineQueries {
             .select(lit(name).as("arm"), col("n_pairs"),
               col("n_copy_scaled"), col("n_copy_shifted"))
         }
-        arm("1_rowh", rowSets, rowhRoot, MIN_ROWH)
-          .unionByName(arm("2_dct", dctSets, dctRoot, MIN_DCT))
+        concurrently(Seq(() => arm("1_rowh", rowSets, rowhRoot, MIN_ROWH),
+            () => arm("2_dct", dctSets, dctRoot, MIN_DCT)))
+          .reduce(_.unionByName(_))
           .orderBy("arm")
       }, {
         val ctRows = DCT_CT.map { case (u, i, c) => s"($u, $i, $c)" }
@@ -18234,8 +18258,9 @@ object PipelineQueries {
             .select(lit(name).as("arm"), col("n_pairs"),
               col("n_copy_exact"), col("n_copy_scaled"))
         }
-        arm("1_exact", exactSets, exRoot)
-          .unionByName(arm("2_hk", hkSets, hkRoot))
+        concurrently(Seq(() => arm("1_exact", exactSets, exRoot),
+            () => arm("2_hk", hkSets, hkRoot)))
+          .reduce(_.unionByName(_))
           .orderBy("arm")
       },
       s"""WITH d0 AS (SELECT doc_id, text FROM documents
