@@ -12319,8 +12319,9 @@ object PipelineQueries {
               root, NPROBE)
             .select(lit(name).as("variant"), col("query_id"),
               col("index_id"))
-        armOf(flatRoot, "flat_code")
-          .unionByName(armOf(residRoot, "residual"))
+        concurrently(Seq(() => armOf(flatRoot, "flat_code"),
+            () => armOf(residRoot, "residual")))
+          .reduce(_.unionByName(_))
           .join(truth, Seq("query_id", "index_id"), "left")
           .groupBy("variant")
           .agg(count(lit(1)).as("n_pairs"),
@@ -12441,8 +12442,9 @@ object PipelineQueries {
               root, NPROBE)
             .select(lit(name).as("variant"), col("query_id"),
               col("index_id"))
-        armOf(flatRoot, "flat_code")
-          .unionByName(armOf(residRoot, "residual"))
+        concurrently(Seq(() => armOf(flatRoot, "flat_code"),
+            () => armOf(residRoot, "residual")))
+          .reduce(_.unionByName(_))
           .join(truth, Seq("query_id", "index_id"), "left")
           .groupBy("variant")
           .agg(count(lit(1)).as("n_pairs"),
@@ -12730,8 +12732,9 @@ object PipelineQueries {
             .select(lit(name).as("arm"),
               lit(ratio).as("qerr_ratio_milli"),
               col("query_id"), col("index_id"))
-        armOf(rootLive, "retrained", liveRatio)
-          .unionByName(armOf(rootStale, "stale", staleRatio))
+        concurrently(Seq(() => armOf(rootLive, "retrained", liveRatio),
+            () => armOf(rootStale, "stale", staleRatio)))
+          .reduce(_.unionByName(_))
           .join(truth, Seq("query_id", "index_id"), "left")
           .groupBy("arm", "qerr_ratio_milli")
           .agg(count(lit(1)).as("n_pairs"),
@@ -13255,15 +13258,14 @@ object PipelineQueries {
           BpeIndex.memoAll(s, root).select("word").distinct()
             .join(purgeW, Seq("word"), "leftsemi")
         val censusCols = Seq("doc_id", "n_words", "n_subwords")
-        arm(BpeIndex.tokenize(s, probeBatch, "doc_id", "text", rootC),
-            "census_control", censusCols)
-          .unionByName(arm(
-            BpeIndex.tokenize(s, probeBatch, "doc_id", "text", rootP),
-            "census_purged", censusCols))
-          .unionByName(arm(memoMatch(rootC),
-            "memo_match_control", Seq("word")))
-          .unionByName(arm(memoMatch(rootP),
-            "memo_match_purged", Seq("word")))
+        concurrently(Seq(
+            () => arm(BpeIndex.tokenize(s, probeBatch, "doc_id", "text",
+              rootC), "census_control", censusCols),
+            () => arm(BpeIndex.tokenize(s, probeBatch, "doc_id", "text",
+              rootP), "census_purged", censusCols),
+            () => arm(memoMatch(rootC), "memo_match_control", Seq("word")),
+            () => arm(memoMatch(rootP), "memo_match_purged", Seq("word"))))
+          .reduce(_.unionByName(_))
           .orderBy("arm")
       },
       s"""${armSql("census_control",
@@ -14534,8 +14536,9 @@ object PipelineQueries {
           PqIndex.probeTopK(s, queries, "vec_id", "embedding", PQ_K, root)
             .select(lit(name).as("variant"), col("query_id"),
               col("index_id"))
-        armOf(rootI, "1_identity")
-          .unionByName(armOf(rootP, "2_balanced"))
+        concurrently(Seq(() => armOf(rootI, "1_identity"),
+            () => armOf(rootP, "2_balanced")))
+          .reduce(_.unionByName(_))
           .join(truth, Seq("query_id", "index_id"), "left")
           .groupBy("variant")
           .agg(count(lit(1)).as("n_pairs"),
