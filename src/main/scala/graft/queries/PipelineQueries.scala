@@ -17977,46 +17977,52 @@ object PipelineQueries {
         val enc = media.select(col("media_id"), col("orig_id"),
           Multimodal.wavBytes(rate, n, sample).as("wav"))
         // decode from the bytes alone: sample count from the LE32
-        // data-size field, samples as two's-complement s16le
-        val smp = enc
-          .select(col("media_id"), col("orig_id"), col("wav"),
-            (Multimodal.leRead(col("wav"), lit(41), 4) / lit(2L))
-              .cast("long").as("n_samp"))
+        // data-size field, samples as two's-complement s16le — decoded
+        // ONCE per media into a bounded (≤ MAX_S) array attribute, and
+        // both fingerprints then fold over that array in one
+        // projection. The previous shape exploded ~n rows per media
+        // and derived the H-K lattice through two groupBy exchanges
+        // plus two self-joins of the band-energy frame — six
+        // corpus-sized shuffles for math that is per-media bounded
+        // (guide §2.4: remove shuffles outright). The groupBy bound
+        // between decode and fold is [[dctHashes]]' materialization
+        // boundary: a Project-alias array referenced inside lambdas is
+        // re-evaluated per element_at (interpreted HOFs), so the fold
+        // must read a MATERIALIZED array attribute.
+        def smpOf(i: Column): Column = {
+          val raw = Multimodal.leRead(col("wav"), lit(45L) + i * 2L, 2)
+          raw - lit(65536L) * (raw >= 32768L).cast("long")
+        }
+        val sv0 = enc
           .select(col("media_id"), col("orig_id"),
-            explode(sequence(lit(0L), col("n_samp") - 1)).as("i"),
-            col("wav"))
-          .select(col("media_id"), col("orig_id"), col("i"),
-            Multimodal.leRead(col("wav"), lit(45) + col("i") * 2, 2)
-              .as("raw"))
-          .withColumn("smp",
-            col("raw") - lit(65536L) * (col("raw") >= 32768L).cast("long"))
-          .persist()
-        val exact = smp.groupBy("media_id")
-          .agg(sum((col("i") + 1) * col("smp")).as("fp"))
-        val be = smp.groupBy(col("media_id"),
-            expr("i div 8").as("f"), expr("(i % 8) div 2").as("b"))
-          .agg(sum(abs(col("smp"))).as("e"))
-        val db = be.join(
-          be.select(col("media_id"), col("f"),
-            (col("b") - 1).as("b"), col("e").as("e1")),
-          Seq("media_id", "f", "b"))
-          .select(col("media_id"), col("f"), col("b"),
-            (col("e") - col("e1")).as("de"))
-        val bits = db.join(
-          db.select(col("media_id"), (col("f") + 1).as("f"),
-            col("b"), col("de").as("de0")),
-          Seq("media_id", "f", "b"))
-          .select(col("media_id"),
-            ((col("f") - 1) * 3 + col("b")).as("p"),
-            (col("de") > col("de0")).cast("long").as("bit"))
-        val hk = bits.groupBy("media_id")
-          .agg(sum(col("bit") *
-            expr("shiftleft(cast(1 as bigint), cast(p as int))"))
-            .as("fp_hk"))
-        val fps = smp.select("media_id", "orig_id").distinct()
-          .join(exact, Seq("media_id"))
-          .join(hk, Seq("media_id"), "left")
-          .na.fill(0L, Seq("fp_hk"))
+            (Multimodal.leRead(col("wav"), lit(41), 4) / lit(2L))
+              .cast("long").as("n_samp"), col("wav"))
+          .select(col("media_id"), col("orig_id"), col("n_samp"),
+            transform(sequence(lit(1L), col("n_samp")),
+              k => smpOf(k - 1)).as("sv"))
+        val svb = sv0.groupBy("media_id")
+          .agg(first("orig_id").as("orig_id"), first("n_samp").as("n"),
+            first("sv").as("sv"))
+        // E(f,b) = Σ|s(i)| over the band's ≤2 samples below n; the
+        // H-K bit at p = (f-1)·3 + b exists iff 8f+2b+2 < n (both the
+        // (f,b)→(f,b+1) delta and its f-1 predecessor exist) — the
+        // exact group-existence conditions of the exploded join form,
+        // now arithmetic guards
+        def ef(fs: String, bs: String): String =
+          s"(abs(element_at(sv, cast(($fs) * 8 + ($bs) * 2 + 1 as int)))" +
+            s" + (CASE WHEN ($fs) * 8 + ($bs) * 2 + 1 < n THEN " +
+            s"abs(element_at(sv, cast(($fs) * 8 + ($bs) * 2 + 2 as int)))" +
+            " ELSE 0L END))"
+        def de(fs: String): String =
+          s"(${ef(fs, "p % 3")} - ${ef(fs, "p % 3 + 1")})"
+        val fps = svb.select(col("media_id"), col("orig_id"),
+            expr("aggregate(sequence(1, n), 0L, (a, k) -> " +
+              "a + k * element_at(sv, cast(k as int)))").as("fp"),
+            expr("aggregate(filter(sequence(0, 32), p -> " +
+              "8 * (p div 3 + 1) + 2 * (p % 3) + 2 < n), 0L, (a, p) -> " +
+              s"a + (CASE WHEN ${de("p div 3 + 1")} > ${de("p div 3")} " +
+              "THEN shiftleft(cast(1 as bigint), cast(p as int)) " +
+              "ELSE 0L END))").as("fp_hk"))
           .persist()
         def arm(name: String, fp: Column): DataFrame = {
           val keyed = fps.select(col("media_id"), col("orig_id"),
@@ -18163,60 +18169,64 @@ object PipelineQueries {
             col("doc_id") % 8 === 2), C2, GAIN))
           .unionByName(mediaOf(base.filter(col("doc_id") >= INDEX_MAX),
             0, 1))
-        // decode through the real codec, once per media frame
-        def samplesOf(m: DataFrame): DataFrame = {
+        // decode through the real codec, ONCE per media, into a
+        // bounded (≤ MAX_S) sample-array attribute — q342's shape:
+        // the exploded per-sample frame paid two groupBy exchanges
+        // plus two self-joins per universe for math that is
+        // per-media bounded (guide §2.4). The groupBy bound between
+        // decode and the word folds is [[dctHashes]]' materialization
+        // boundary (interpreted HOFs re-evaluate Project aliases).
+        def svArrays(m: DataFrame): DataFrame = {
           val n = least(length(col("text")), lit(MAX_S.toLong))
           val rate = lit(8000L) + (col("orig_id") % 3) * 4000L
           def sample(i: Column): Column =
             ((ascii(col("text").substr(i, lit(1))) % 64) - 32) * 500 *
               col("gain")
+          def smpOf(i: Column): Column = {
+            val raw = Multimodal.leRead(col("wav"), lit(45L) + i * 2L, 2)
+            raw - lit(65536L) * (raw >= 32768L).cast("long")
+          }
           m.select(col("media_id"),
               Multimodal.wavBytes(rate, n, sample).as("wav"))
-            .select(col("media_id"), col("wav"),
-              (Multimodal.leRead(col("wav"), lit(41), 4) / lit(2L))
-                .cast("long").as("n_samp"))
             .select(col("media_id"),
-              explode(sequence(lit(0L), col("n_samp") - 1)).as("i"),
-              col("wav"))
-            .select(col("media_id"), col("i"),
-              Multimodal.leRead(col("wav"), lit(45) + col("i") * 2, 2)
-                .as("raw"))
-            .withColumn("smp", col("raw") -
-              lit(65536L) * (col("raw") >= 32768L).cast("long"))
+              (Multimodal.leRead(col("wav"), lit(41), 4) / lit(2L))
+                .cast("long").as("n_samp"), col("wav"))
+            .select(col("media_id"), col("n_samp"),
+              transform(sequence(lit(1L), col("n_samp")),
+                k => smpOf(k - 1)).as("sv"))
+            .groupBy("media_id")
+            .agg(first("n_samp").as("n"), first("sv").as("sv"))
         }
-        // ONE codec pass per media batch shared by both universes
-        // (the r16 bench lesson from q341, same fix): `sv` below is
-        // the persisted decoded-sample frame
-        def exactSets(sv: DataFrame): DataFrame =
-          sv
-            .groupBy(col("media_id").as("doc_id"),
-              expr("i div 8").as("f"))
-            .agg(sum((col("i") + 1) * col("smp")).as("wd"))
-            .select(col("doc_id"),
-              concat_ws(":", col("f"), col("wd")).as("s"))
-        def hkSets(sv: DataFrame): DataFrame = {
-          val be = sv.groupBy(col("media_id"),
-              expr("i div 8").as("f"), expr("(i % 8) div 2").as("b"))
-            .agg(sum(abs(col("smp"))).as("e"))
-          val db = be.join(
-            be.select(col("media_id"), col("f"),
-              (col("b") - 1).as("b"), col("e").as("e1")),
-            Seq("media_id", "f", "b"))
-            .select(col("media_id"), col("f"), col("b"),
-              (col("e") - col("e1")).as("de"))
-          db.join(
-            db.select(col("media_id"), (col("f") + 1).as("f"),
-              col("b"), col("de").as("de0")),
-            Seq("media_id", "f", "b"))
-            .groupBy(col("media_id").as("doc_id"), col("f"))
-            .agg(sum((col("de") > col("de0")).cast("long") *
-              expr("shiftleft(cast(1 as bigint), cast(b as int))"))
-              .as("wd"))
-            .select(col("doc_id"),
-              concat_ws(":", col("f"), col("wd")).as("s"))
+        // per-frame words as array folds over the decoded samples —
+        // frame f exists iff 8f < n (exact) / 8f+2 < n (H-K, the
+        // weakest band's delta-pair condition), the same group
+        // existence the exploded join form produced relationally
+        def exactSets(svb: DataFrame): DataFrame =
+          svb.select(col("media_id").as("doc_id"),
+            explode(expr(
+              "transform(filter(sequence(0, 11), f -> f * 8 < n), " +
+                "f -> concat(f, ':', aggregate(sequence(f * 8 + 1, " +
+                "least((f + 1) * 8, n)), 0L, (a, k) -> " +
+                "a + k * element_at(sv, cast(k as int)))))")).as("s"))
+        def hkSets(svb: DataFrame): DataFrame = {
+          def ef(fs: String, bs: String): String =
+            s"(abs(element_at(sv, cast(($fs) * 8 + ($bs) * 2 + 1 as int)))" +
+              s" + (CASE WHEN ($fs) * 8 + ($bs) * 2 + 1 < n THEN " +
+              s"abs(element_at(sv, cast(($fs) * 8 + ($bs) * 2 + 2 as int)))" +
+              " ELSE 0L END))"
+          def de(fs: String): String =
+            s"(${ef(fs, "b")} - ${ef(fs, "b + 1")})"
+          svb.select(col("media_id").as("doc_id"),
+            explode(expr(
+              "transform(filter(sequence(1, 11), f -> f * 8 + 2 < n), " +
+                "f -> concat(f, ':', aggregate(filter(sequence(0, 2), " +
+                "b -> f * 8 + 2 * b + 2 < n), 0L, (a, b) -> " +
+                s"a + (CASE WHEN ${de("f")} > ${de("f - 1")} " +
+                "THEN shiftleft(cast(1 as bigint), cast(b as int)) " +
+                "ELSE 0L END))))")).as("s"))
         }
-        val svIdx = samplesOf(idxM).persist()
-        val svProbe = samplesOf(probeM).persist()
+        val svIdx = svArrays(idxM).persist()
+        val svProbe = svArrays(probeM).persist()
         val root = graft.sources.Artifacts.versionedRoot(
           "graft-audio-hk", d, Seq("documents.parquet"))
         val exRoot = new java.io.File(root, "exact").getAbsolutePath
