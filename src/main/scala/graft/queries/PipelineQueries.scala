@@ -7763,15 +7763,33 @@ object PipelineQueries {
           concat_ws(" ", col("w")).as("snippet"))
         val pert = q0.select(col("query_id"),
           concat_ws(" ", pw).as("snippet"))
-        val nc = substringOccurrences(s, d, clean)
-          .groupBy("query_id").agg(count(lit(1)).as("n_exact_clean"))
-        val np = substringOccurrences(s, d, pert)
-          .groupBy("query_id").agg(count(lit(1)).as("n_exact_pert"))
+        // ONE postings probe for both snippet sets (guide §2.4): the
+        // clean and perturbed sides each paid a full postings-artifact
+        // scan + join; tag them into one probe via an encoded query
+        // key (qid·2 + side — the per-key pipeline is key-independent,
+        // so the rows are identical), materialize the occurrence set
+        // once (it is occurrence-sized, tiny), and split the counts
+        // lazily. The BM25 probe is independent — built concurrently
+        // (guide §2.6).
         val qterms = q0.select(col("query_id"), explode(pw).as("term"))
           .filter(length(col("term")) > 0).distinct()
-        val top1 = LexIndex.bm25TopK(s, qterms, "query_id", "term",
-            1, lexRoot)
-          .select(col("query_id"), col("index_id").as("top_doc"))
+        val Seq(occ, top1) = concurrently(Seq(
+          () => graft.operators.ProbeCache.materialize(
+            substringOccurrences(s, d,
+              clean.select((col("query_id") * 2).as("query_id"),
+                  col("snippet"))
+                .unionByName(pert.select(
+                  (col("query_id") * 2 + 1).as("query_id"),
+                  col("snippet"))))
+              .select((col("query_id") % 2).as("side"),
+                expr("query_id div 2").as("query_id"))),
+          () => LexIndex.bm25TopK(s, qterms, "query_id", "term",
+              1, lexRoot)
+            .select(col("query_id"), col("index_id").as("top_doc"))))
+        val nc = occ.filter(col("side") === 0)
+          .groupBy("query_id").agg(count(lit(1)).as("n_exact_clean"))
+        val np = occ.filter(col("side") === 1)
+          .groupBy("query_id").agg(count(lit(1)).as("n_exact_pert"))
         q0.select("query_id")
           .join(nc, Seq("query_id"), "left")
           .join(np, Seq("query_id"), "left")
