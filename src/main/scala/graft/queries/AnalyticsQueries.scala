@@ -3414,13 +3414,20 @@ object AnalyticsQueries {
           .withColumn("bucket", Hashing.h32(col("k")) % NB)
         val base = t(s, d, "lineitem").select("l_orderkey", "l_linenumber",
           "l_quantity", "l_extendedprice")
-        val a = rowsOf(base)
+        // both replicas feed TWO consumers each (the bucket
+        // fingerprint pass and the mismatched-bucket drill-down) —
+        // cache the hashed rows so the string-concat row hashing runs
+        // once per side, not twice (guide §1.2: don't recompute what
+        // you already have; the cached frame is (key, hash, bucket) —
+        // far narrower than the table)
+        val a = rowsOf(base).persist()
         val b = rowsOf(base.filter(col("l_orderkey") % 1000 =!= 13)
           .withColumn("l_quantity",
             when(col("l_orderkey") % 1000 === 7, col("l_quantity") + 1)
               .otherwise(col("l_quantity")))
           .unionByName(base.filter(col("l_orderkey") % 1000 === 21)
             .withColumn("l_linenumber", col("l_linenumber") + 100)))
+          .persist()
         def fp(r: DataFrame, nc: String, hc: String) = r.groupBy("bucket")
           .agg(count(lit(1)).as(nc), sum("rowh").as(hc))
         val mism = fp(a, "n_a", "hs_a")
