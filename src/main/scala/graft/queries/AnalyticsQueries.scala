@@ -1735,11 +1735,15 @@ object AnalyticsQueries {
         val withN = base
           .crossJoin(base.agg(count(lit(1)).as("n")))
           .withColumn("rpf", expr(s"(n + ${F - 1}) div $F"))
+        // both layout arms (z-order files, linear files) consume the
+        // double-ranked frame — cache it so the two hierarchical-rank
+        // window passes over the table run once, not per arm
         val ranked = globalRank(
           globalRank(withN, shiftright(col("zk"), 22),
             Seq(col("zk"), col("a"), col("b")), "rz"),
           shiftright(col("a"), 7).cast("long"),
           Seq(col("a"), col("b")), "rl")
+          .persist()
         def filesOf(fileId: org.apache.spark.sql.Column, name: String) =
           ranked.withColumn("file_id", fileId)
             .groupBy("file_id")
