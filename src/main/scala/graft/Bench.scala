@@ -224,17 +224,35 @@ object Bench {
     val errs = errors.map { case (k, v) =>
       s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val sf = new java.io.File(sfDir).getName
-    // publish-inclusive first runs, qNN: wall-sec — a handful of
-    // entries (only artifact-building queries on a cold box), so the
-    // capture budget holds
-    val pub = published.map { case (k, v) =>
-      s"${jstr(k.takeWhile(_ != '_'))}:${fmtTrim(v)}" }.mkString("{", ",", "}")
-    // warm/cold artifact markers, qNN keys, single-letter values (the
-    // map has one entry per artifact-consuming query — bounded by the
-    // artifact-family size, not the query count)
-    val artStr = art.map { case (k, v) =>
-      s"${jstr(k.takeWhile(_ != '_'))}:${jstr(v.take(1))}" }
-      .mkString("{", ",", "}")
+    // pub/art are informational sidecars and must be BYTE-BOUNDED
+    // like the query map: on a fully cold box pub carries one entry
+    // per artifact family (measured r16: 89 publishes pushed the line
+    // to 2338 bytes and the capture assert killed the run AFTER the
+    // whole bench had executed). Keep the biggest publishes / the
+    // markers of the slowest queries — the full maps are always in
+    // BENCH_DETAIL.json — and drop the rest from the compact line
+    // only. Entries are cut at a fixed cap per map so the query
+    // section's budget math below stays exact.
+    def bounded(entries: Seq[String], cap: Int): String = {
+      var used = 0
+      entries.takeWhile { e =>
+        val fits = used + e.length + 1 <= cap
+        if (fits) used += e.length + 1
+        fits
+      }.mkString("{", ",", "}")
+    }
+    // publish-inclusive first runs, qNN: wall-sec, biggest first
+    val pub = bounded(
+      published.sortBy(-_._2).map { case (k, v) =>
+        s"${jstr(k.takeWhile(_ != '_'))}:${fmtTrim(v)}" }, PubBudget)
+    // warm/cold artifact markers, qNN keys, single-letter values —
+    // slowest queries' markers first (those are the entries a reader
+    // correlates with the per-query timings that survive the fold)
+    val timeOf = results.toMap
+    val artStr = bounded(
+      art.sortBy { case (k, _) => -timeOf.getOrElse(k, 0.0) }
+        .map { case (k, v) =>
+          s"${jstr(k.takeWhile(_ != '_'))}:${jstr(v.take(1))}" }, ArtBudget)
     def line(qs: String, more: Seq[(String, Double)]): String = {
       val moreStr =
         if (more.isEmpty) ""
@@ -274,6 +292,12 @@ object Bench {
     * stdout tail capture with margin for the trailing newline.
     */
   private val Budget = 1950
+
+  /** Byte caps for the pub / art sidecar maps inside [[Budget]] —
+    * ~25 pub entries / ~35 markers; the rest live in BENCH_DETAIL.
+    */
+  private val PubBudget = 300
+  private val ArtBudget = 320
 
   /** 1-decimal, integral values without the ".0" (`4.0` → `4`). */
   private def fmtTrim(v: Double): String = {

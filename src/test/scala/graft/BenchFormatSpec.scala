@@ -36,6 +36,21 @@ class BenchFormatSpec extends AnyFunSuite {
       s"duplicate qNN prefixes: ${keys.diff(keys.distinct).distinct}")
   }
 
+  test("fully cold box: a pub entry per artifact family still fits the capture") {
+    // the r16 baseline run: 89 publishes + a warm/cold marker for every
+    // artifact query blew the line to 2338 bytes and the capture assert
+    // killed the bench AFTER all queries had executed — pub/art must be
+    // byte-bounded exactly like the query map
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val pubs = names.filter(_.hashCode % 2 == 0).map(n => (n, 19.9))
+    val arts = names.map(n => (n, if (n.hashCode % 3 == 0) "cold" else "warm"))
+    val line = Bench.compactLine(
+      names.map(n => (n, 9.999)), Nil, "/root/testdata/sf0.1", pubs, arts)
+    assert(line.length < 2000,
+      s"cold-box compact line is ${line.length} bytes — exceeds capture")
+    assert(line.contains(""""pub":{""") && line.contains(""""art":{"""))
+  }
+
   test("overflowing line folds the fast tail into more/more_sec, keeping the slowest") {
     val many = (1 to 400).map(i => (f"q$i%03d_name", if (i <= 10) 50.0 else 0.1))
     val line = Bench.compactLine(many, Nil, "/tmp/sf")
